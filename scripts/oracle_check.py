@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local differential check: Spark results (graft.Verify output) vs DuckDB.
+
+Mimics the driver's t2 gate: for each query in oracle_sql.json, run the
+oracle SQL in DuckDB over the same parquet tables, canonicalize both sides
+(sort columns by name, sort rows), and compare EXACTLY (floats bit-equal —
+the corpus is engineered so they are). Reports per-query verdicts.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return [cols[i] for i in order], out
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            d = con.execute(sql)
+            dcols = [c[0] for c in d.description]
+            drows = d.fetchall()
+            s = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            scols = [c[0] for c in s.description]
+            srows = s.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_bad += 1
+            continue
+        dc, dr = canon(drows, dcols)
+        sc, sr = canon(srows, scols)
+        if dc != sc:
+            print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            n_bad += 1
+        elif len(dr) != len(sr):
+            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            n_bad += 1
+        elif dr != sr:
+            n_bad += 1
+            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+            print(f"FAIL {name}: values differ, first diffs (spark vs duck):")
+            for a, b in diffs:
+                print(f"   S={a}\n   D={b}")
+        else:
+            n_ok += 1
+            print(f"ok   {name} ({len(sr)} rows)")
+    print(f"== {n_ok} ok, {n_bad} failed ==")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
