@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.io.StdIn
+
+/** CLI + interactive REPL, mirroring the reference's two entry points:
+  * the scanner CLI (delta-unity-duckdb.js:537-635 — count, optional
+  * schema, then results as table or JSON) and the SQL REPL
+  * (query_sync_table.py:175-209 — help/tables/exit, SELECT-vs-DML
+  * dispatch is unnecessary here since spark.sql handles both).
+  *
+  * Usage:
+  *   runMain graft.Cli --table=lineitem --query="SELECT COUNT(*) FROM \$TABLE"
+  *   runMain graft.Cli --table=/path/to/file.parquet --limit=5 --schema
+  *   runMain graft.Cli --interactive
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.filter(_.startsWith("--")).map { a =>
+      a.stripPrefix("--").split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> "true"
+      }
+    }.toMap
+
+    val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.registerAll(spark, sfDir)
+
+    // Star-schema table names resolve directly; 3-part names go through
+    // the catalog mapping; anything else is a path.
+    val pathResolver = new PathResolver(
+      Tables.names.map(n => s"local.main.$n" -> s"$sfDir/$n.parquet").toMap)
+    val resolver = new TableResolver {
+      override def resolve(s: SparkSession, ref: String): DataFrame =
+        if (Tables.names.contains(ref)) Tables.load(s, sfDir, ref)
+        else pathResolver.resolve(s, ref)
+    }
+    val scanner = new DeltaScanner(spark, resolver)
+
+    if (opts.contains("interactive")) repl(spark)
+    else opts.get("table") match {
+      case None =>
+        System.err.println(
+          "usage: graft.Cli --table=<name|path> [--query=SQL] [--limit=N] " +
+            "[--schema] [--format=table|json] [--sf-dir=DIR] | --interactive")
+        sys.exit(1)
+      case Some(table) =>
+        // Reference CLI flow (delta-unity-duckdb.js:582-634): stats first,
+        // optional schema, then the query (default scan+limit).
+        println(s"Table row count: ${scanner.getTableStats(table)}")
+        if (opts.contains("schema")) {
+          println("Schema:")
+          scanner.getTableSchema(table).foreach(f =>
+            println(s"  ${f.name}  ${f.dataType.simpleString}"))
+        }
+        val df = scanner.query(table, opts.get("query"),
+          opts.get("limit").map(_.toInt).getOrElse(10))
+        opts.getOrElse("format", "table") match {
+          case "json" => scanner.toJsonLines(df).foreach(println)
+          case _ => df.show(100, truncate = false)
+        }
+    }
+    spark.stop()
+  }
+
+  private def repl(spark: SparkSession): Unit = {
+    println("graft SQL (help | tables | exit)")
+    Iterator.continually(StdIn.readLine("SQL> "))
+      .takeWhile(l => l != null && l.trim != "exit")
+      .map(_.trim).filter(_.nonEmpty)
+      .foreach {
+        case "help" =>
+          println("Enter SQL over: " + Tables.names.mkString(", "))
+        case "tables" =>
+          spark.catalog.listTables().show(truncate = false)
+        case sql =>
+          try spark.sql(sql).show(100, truncate = false)
+          catch { case e: Exception => println(s"error: ${e.getMessage}") }
+      }
+  }
+}

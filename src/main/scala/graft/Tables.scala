@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated star schema (TESTDATA.md).
   *
@@ -16,8 +18,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects outright. Read the raw int64 nanos and truncate to
+      // microseconds with integer division — the same conversion DuckDB
+      // applies when it reads the file, so both engines see identical
+      // timestamps. (Double division would lose precision at 1e18 ns.)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every table as a temp view so `spark.sql` corpus queries and
     * the interactive surface (DeltaScanner / REPL) resolve bare names. */

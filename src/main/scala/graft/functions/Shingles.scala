@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of a document, in one compiled pass:
+  * lower/trim → whitespace split → sliding n-gram join → first-occurrence
+  * dedup. Equivalent to the declarative
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
+  * slice(tokens, i, n))))` chain — but that chain is three nested
+  * interpreted higher-order functions allocating per shingle, which made
+  * shingling itself a multi-second stage at sf0.1. Oracle counterpart
+  * (DuckDB list comprehension) documented at the Dedup call sites.
+  *
+  * Unicode: lower/trim go through UTF8String (identical to the built-in
+  * `lower`/`trim`), the split regex is the same `\s+` the built-in `split`
+  * uses — token streams match the declarative form exactly.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects string, got ${other.simpleString(10)}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].trim().toLowerCase().toString
+    val toks = text.split("\\s+")
+    if (toks.length < n || (toks.length == 1 && toks(0).isEmpty))
+      return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      seen.add(sb.toString); i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val FnName = "graft_shingles"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+
+  /** Column API: requires register(spark) once per session. */
+  def wordShingles(text: Column, n: Int): Column =
+    call_function(FnName, text, lit(n))
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-stream operators over the `events` table: as-of join,
+  * sessionization, pivot, tumbling windows, distinct-count (exact and HLL),
+  * and JSON extraction. These are the batch forms; the streaming module
+  * runs the same aggregations through Structured Streaming.
+  *
+  * Scale notes: every operator shuffles once on its natural key
+  * (user_id / event_type / window), and the as-of join is the O(n log n)
+  * single-window form — NOT the O(n²) inequality self-join a naive
+  * translation would produce (that's what the oracle SQL uses, since
+  * correctness at sf0.01 is the only thing asked of DuckDB here).
+  */
+object EventOps {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // As-of join: for each purchase, the most recent signup at-or-before
+    // it for the same user. A RANGE frame to CURRENT ROW over ts includes
+    // equal-ts peers — exactly the s.ts <= p.ts join semantics.
+    GraftQuery("q51_asof_join",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("asof_ts",
+            max(when(col("event_type") === "signup", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "asof_ts")
+          .orderBy("event_id")
+      },
+      Some("SELECT p.event_id, p.user_id, MAX(s.ts) AS asof_ts FROM events p " +
+        "LEFT JOIN events s ON p.user_id = s.user_id AND s.event_type = 'signup' " +
+        "AND s.ts <= p.ts WHERE p.event_type = 'purchase' " +
+        "GROUP BY p.event_id, p.user_id ORDER BY p.event_id")),
+
+    // Sessionization: 30-minute inactivity gap starts a new session.
+    GraftQuery("q52_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev(s, d)
+          .withColumn("lag_ts", lag("ts", 1).over(w))
+          .withColumn("nf",
+            when(col("lag_ts").isNull ||
+              col("ts") > col("lag_ts") + expr("INTERVAL 30 MINUTE"), 1)
+              .otherwise(0))
+          .groupBy("user_id")
+          .agg(sum("nf").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("WITH x AS (SELECT user_id, ts, LAG(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts FROM events), " +
+        "f AS (SELECT user_id, CASE WHEN lag_ts IS NULL OR ts > lag_ts + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS nf FROM x) " +
+        "SELECT user_id, CAST(SUM(nf) AS BIGINT) AS n_sessions, COUNT(*) AS n_events " +
+        "FROM f GROUP BY user_id ORDER BY user_id")),
+
+    // Pivot with a declared value list (dynamic pivot would need a driver
+    // round-trip to enumerate keys — never do that at scale).
+    GraftQuery("q53_pivot",
+      (s, d) => ev(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0, EventTypes)
+        .orderBy("user_id"),
+      Some("SELECT user_id, " + EventTypes.map(t =>
+        s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(", ") +
+        " FROM events GROUP BY user_id ORDER BY user_id")),
+
+    // Epoch-aligned 1-hour tumbling window (batch form of the streaming
+    // windowed aggregation; window(ts, '1 hour').start ≡ date_trunc).
+    GraftQuery("q54_window_tumbling",
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sv"))
+        .orderBy("ws", "event_type"),
+      Some("SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv " +
+        "FROM events GROUP BY 1, 2 ORDER BY ws, event_type")),
+
+    GraftQuery("q55_distinct_users",
+      (s, d) => ev(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("du"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, COUNT(DISTINCT user_id) AS du, COUNT(*) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // HLL++ sketch — the 100 TB form of q55 (no per-key exact set, fixed
+    // sketch memory, single shuffle). Engine-specific sketch → rows-only.
+    GraftQuery("q56_approx_distinct_users",
+      (s, d) => ev(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_du"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      None),
+
+    GraftQuery("q57_json_extract",
+      (s, d) => ev(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sk"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sk " +
+        "FROM events GROUP BY event_type ORDER BY event_type"))
+  )
+}

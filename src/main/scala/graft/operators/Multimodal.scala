@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata carried next to every media payload. */
+final case class MediaMeta(
+    mime: String, width: Int, height: Int, durationMs: Long)
+
+/** A multimodal record: opaque binary payload + typed metadata. */
+final case class MediaRecord(
+    media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+
+/** Extracted features for one media item. */
+final case class MediaFeatures(
+    media_id: Long, kind: String, dim: Int, features: Array[Float])
+
+/** Multimodal (image/audio/video) column plumbing for the training-data
+  * pipeline: payloads are opaque `binary` columns with a typed metadata
+  * struct, processed per-partition in batches.
+  *
+  * The actual codecs are STUBBED (this container has no image/audio
+  * libraries): `decodeStub` produces a deterministic fake feature vector
+  * from the payload bytes. Everything around the stub is real Spark:
+  * the schema (`binary` + struct metadata), the partition-batched
+  * `mapPartitions` execution shape (one codec init per partition, not per
+  * row — the same shape a vectorized/Arrow-batched UDF gives), and the
+  * downstream feature pipeline (the vectors feed Similarity's ANN ops).
+  *
+  * At 100 TB: payloads never shuffle — decode/featurize is a narrow map
+  * on the scan partitioning; only the (id, features) rows (fixed size)
+  * move. Repartition BEFORE attaching payloads if skewed.
+  */
+object Multimodal {
+
+  /** STUB — deterministic fake decoder. A real deployment replaces this
+    * body (and only this body) with the codec call; signature, batching,
+    * and schema stay as-is. */
+  def decodeStub(payload: Array[Byte], dim: Int = 16): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L // deterministic FNV-ish fold over bytes
+    var i = 0
+    while (i < payload.length) {
+      h = h * 31 + (payload(i) & 0xff); i += 1
+    }
+    var j = 0
+    while (j < dim) {
+      val x = h ^ (j * 0x9e3779b97f4a7c15L)
+      val m = ((x % 2000001L) + 2000001L) % 2000001L
+      out(j) = ((m - 1000000L).toFloat / 1000000.0f)
+      j += 1
+    }
+    out
+  }
+
+  /** Decode + featurize, one partition at a time. The `mapPartitions`
+    * boundary is where a real codec would be initialized once per task. */
+  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: val codec = Codec.open() — once per partition
+      it.map(r => MediaFeatures(r.media_id, r.kind, dim, decodeStub(r.payload, dim)))
+    }
+  }
+
+  /** Metadata-only pruning never touches payload bytes: Parquet column
+    * pruning means a filter on `meta` reads only the struct column. */
+  def filterByMeta(df: DataFrame, minW: Int, minH: Int): DataFrame =
+    df.filter(col("meta.width") >= minW && col("meta.height") >= minH)
+
+  /** Deterministic synthetic media table derived from `documents` (the
+    * container has no real media): payload = utf8 bytes, metadata derived
+    * from sizes. Lets every downstream op run end-to-end in tests. */
+  def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          lit("application/x-graft-fake").as("mime"),
+          (pmod(col("doc_id"), lit(1920)) + 1).cast("int").as("width"),
+          (pmod(col("doc_id"), lit(1080)) + 1).cast("int").as("height"),
+          (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"))
+      .as[MediaRecord]
+  }
+}

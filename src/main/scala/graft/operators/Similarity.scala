@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *   - Brute-force top-k: broadcast the (small) query set against the
+  *     (huge) corpus — a BroadcastNestedLoopJoin where every executor scans
+  *     only its corpus partitions; per-query top-k via window rank. This is
+  *     the exactness baseline and is oracle-checked bit-for-bit.
+  *   - Random-hyperplane LSH (SimHash for vectors): 6 deterministic
+  *     pseudo-hyperplanes → 6-bit bucket per vector (sized so local test buckets are non-trivial; at real scale raise bits with corpus size); candidates share a
+  *     bucket, then exact cosine re-ranks. At 100 TB the bucket join
+  *     replaces the full scan per query with |bucket|-sized probes; recall
+  *     is tuned by bits/probes (single-probe here; multi-probe is a
+  *     parameter change, not a redesign).
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  private val QueryCount = 20 // vec_id < 20 are the query vectors
+  private val TopK = 5
+  private val HyperplaneBits = 6
+  private val Dim = 64
+
+  /** Deterministic pseudo-hyperplane component r(j,k) ∈ [-1, 1]. */
+  private def hp(j: Column, k: Column): Column =
+    (pmod(xxhash64(concat(lit("hp"), j, lit("_"), k)), lit(2000001L)) -
+      lit(1000000L)).cast("double") / 1000000.0
+
+  /** Sign bucket of a vector under the fixed hyperplanes. */
+  private def bucket(v: Column): Column = {
+    val vd = v.cast("array<double>")
+    array_join(
+      transform(sequence(lit(0), lit(HyperplaneBits - 1)), j =>
+        when(aggregate(sequence(lit(0), lit(Dim - 1)), lit(0.0),
+          (acc, k) => acc + hp(j, k) * get(vd, k)) > 0, lit(1)).otherwise(lit(0))),
+      "")
+  }
+
+  private def topkPerQuery(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select("q", "n", "rnk", "cos")
+      .orderBy("q", "rnk")
+  }
+
+  private val cosSql =
+    """list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), z -> z[1]*z[2]))
+      |/ (sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), z -> z*z)))
+      |   * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), z -> z*z))))"""
+      .stripMargin.replace("\n", " ")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery("q49_ann_brute",
+      (s, d) => {
+        graft.functions.CosineSim.register(s)
+        val q = emb(s, d).filter(col("vec_id") < QueryCount)
+          .select(col("vec_id").as("q"), col("embedding").as("qv"))
+        val c = emb(s, d)
+          .select(col("vec_id").as("n"), col("embedding").as("nv"))
+        val pairs = c.join(broadcast(q), col("q") =!= col("n"))
+          .select(col("q"), col("n"), cosine(col("qv"), col("nv")).as("cos"))
+        topkPerQuery(pairs)
+      },
+      Some(s"""WITH p AS (SELECT q.vec_id AS q, c.vec_id AS n, $cosSql AS cos
+        |FROM embeddings q JOIN embeddings c ON q.vec_id < $QueryCount AND q.vec_id != c.vec_id),
+        |r AS (SELECT q, n, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, n) AS BIGINT) AS rnk FROM p)
+        |SELECT q, n, rnk, cos FROM r WHERE rnk <= $TopK ORDER BY q, rnk"""
+        .stripMargin.replace("\n", " ")),
+    ),
+
+    // LSH-bucketed ANN: same output shape as q49 so recall is directly
+    // comparable; approximation is engine-specific → rows-only check.
+    GraftQuery("q50_ann_lsh",
+      (s, d) => {
+        graft.functions.CosineSim.register(s)
+        val e = emb(s, d).withColumn("bkt", bucket(col("embedding")))
+        val q = e.filter(col("vec_id") < QueryCount)
+          .select(col("vec_id").as("q"), col("embedding").as("qv"), col("bkt"))
+        val c = e.select(col("vec_id").as("n"), col("embedding").as("nv"), col("bkt"))
+        val pairs = c.join(broadcast(q), Seq("bkt"))
+          .filter(col("q") =!= col("n"))
+          .select(col("q"), col("n"), cosine(col("qv"), col("nv")).as("cos"))
+        topkPerQuery(pairs)
+      },
+      None)
+  )
+}

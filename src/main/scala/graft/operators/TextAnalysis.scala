@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * quality scoring, language identification, and fingerprinting — the
+  * per-document preprocessing stage of a training-data pipeline.
+  *
+  * All are single-pass narrow transforms + one hash aggregation: at 100 TB
+  * they scan once, aggregate with map-side combine, and never shuffle the
+  * document text itself (only small per-doc/per-group rows). Every query
+  * here is oracle-checked; ratios divide exact integers in double, so the
+  * results are bit-identical across engines.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  // Marker regexes shared verbatim (RE2 ∩ Java syntax) with the oracle.
+  private val StopRe = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+  private val EnRe = "\\b(the|and|of|to|is)\\b"
+  private val DeRe = "\\b(der|die|das|und|ist)\\b"
+  private val EsRe = "\\b(el|la|los|de|y|es)\\b"
+  private val FrRe = "\\b(le|la|les|et|est)\\b"
+  private val ZhRe = "[\\x{4e00}-\\x{9fff}]"
+
+  private def reCount(c: Column, re: String): Column =
+    regexp_count(c, lit(re)).cast("long")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery("q40_text_tokens",
+      (s, d) => docs(s, d)
+        .select(col("source"), tokenCount(col("text")).as("tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("total_tokens"),
+          min("tok").as("min_tokens"), max("tok").as("max_tokens"))
+        .orderBy("source"),
+      Some("""WITH t AS (SELECT source, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |MIN(tok) AS min_tokens, MAX(tok) AS max_tokens FROM t GROUP BY source ORDER BY source"""
+        .stripMargin.replace("\n", " "))),
+
+    GraftQuery("q41_text_quality",
+      (s, d) => {
+        val base = docs(s, d).select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          reCount(col("text"), "[.,;:!?]").as("n_punct"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_glyphs"),
+          length(col("text")).cast("long").as("len"),
+          reCount(lower(col("text")), StopRe).as("n_stop"))
+        base.select(
+          col("doc_id"), col("n_tokens"),
+          (col("n_glyphs").cast("double") / nullif(col("n_tokens"), lit(0)))
+            .as("avg_token_len"),
+          (col("n_punct").cast("double") / nullif(col("len"), lit(0)))
+            .as("punct_ratio"),
+          (col("n_stop").cast("double") / nullif(col("n_tokens"), lit(0)))
+            .as("stop_ratio"))
+          .withColumn("quality",
+            least(lit(1.0), col("n_tokens").cast("double") / 100) *
+              (lit(1.0) - col("punct_ratio")) *
+              (lit(0.5) + lit(0.5) * col("stop_ratio")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+        |CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_glyphs,
+        |CAST(length(text) AS BIGINT) AS len,
+        |CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS n_stop
+        |FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |CAST(n_glyphs AS DOUBLE)/NULLIF(n_tokens,0) AS avg_token_len,
+        |CAST(n_punct AS DOUBLE)/NULLIF(len,0) AS punct_ratio,
+        |CAST(n_stop AS DOUBLE)/NULLIF(n_tokens,0) AS stop_ratio FROM b)
+        |SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stop_ratio,
+        |least(1.0, CAST(n_tokens AS DOUBLE)/100) * (1.0 - punct_ratio) * (0.5 + 0.5*stop_ratio) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // n-gram-marker language ID; deterministic argmax with fixed tie order.
+    GraftQuery("q42_text_langid",
+      (s, d) => {
+        val t = lower(col("text"))
+        docs(s, d).select(
+          col("doc_id"), col("lang"),
+          reCount(t, EnRe).as("sen"), reCount(t, DeRe).as("sde"),
+          reCount(t, EsRe).as("ses"), reCount(t, FrRe).as("sfr"),
+          reCount(col("text"), ZhRe).as("szh"))
+          .select(col("doc_id"), col("lang"),
+            when(col("szh") > 0, "zh")
+              .when(greatest(col("sen"), col("sde"), col("ses"), col("sfr")) === 0, "und")
+              .when(col("sen") >= col("sde") && col("sen") >= col("ses") &&
+                col("sen") >= col("sfr"), "en")
+              .when(col("sde") >= col("ses") && col("sde") >= col("sfr"), "de")
+              .when(col("ses") >= col("sfr"), "es")
+              .otherwise("fr").as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+        |CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS BIGINT) AS sen,
+        |CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT) AS sde,
+        |CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|de|y|es)\b')) AS BIGINT) AS ses,
+        |CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS BIGINT) AS sfr,
+        |CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS szh
+        |FROM documents)
+        |SELECT doc_id, lang, CASE WHEN szh > 0 THEN 'zh'
+        |WHEN greatest(sen, sde, ses, sfr) = 0 THEN 'und'
+        |WHEN sen >= sde AND sen >= ses AND sen >= sfr THEN 'en'
+        |WHEN sde >= ses AND sde >= sfr THEN 'de'
+        |WHEN ses >= sfr THEN 'es' ELSE 'fr' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Normalized-content fingerprint (rolling-hash stand-in: md5 over
+    // whitespace/case-normalized text — same capability, oracle-exact).
+    GraftQuery("q43_text_fingerprint",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+  )
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Typed event row for stateful processing. */
+final case class Event(
+    event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-user session state (mapGroupsWithState buffer). */
+final case class SessionState(sessions: Long, lastTs: Long)
+
+final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+/** Structured Streaming forms of the event operators: the same windowed
+  * aggregation as EventOps.q54 running incrementally, and stateful
+  * sessionization via mapGroupsWithState.
+  *
+  * The reference is batch-only (SURVEY §1.1.6) — "sync" re-reads the world
+  * every run. These show the incremental generalization the north star
+  * asks for: a file-source stream + watermark + windowed state, which is
+  * the shape that keeps state bounded on an unbounded 100 TB/day feed.
+  */
+object EventsStreaming {
+
+  /** The events schema as a file-stream source requires (declared, since
+    * streams cannot infer). ts arrives as int64 nanos (see Tables.load). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw int64
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Incremental form of EventOps.q54: 1-hour tumbling windows with a
+    * 10-minute watermark bounding state. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
+
+  /** Stateful sessionization (30-minute gap), the streaming twin of
+    * EventOps.q52. State is one (count, lastTs) pair per user — constant
+    * memory per key, timeout-evicted. */
+  def sessionize(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          var n = 0L
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.lastTs == Long.MinValue || t - st.lastTs > gapMs)
+              st = st.copy(sessions = st.sessions + 1)
+            st = st.copy(lastTs = math.max(st.lastTs, t))
+            n += 1
+          }
+          state.update(st)
+          UserSessions(uid, st.sessions, n)
+      }
+  }
+
+  /** Drive a stream over `dir` to completion against an in-memory sink and
+    * return the materialized result (micro-batch test harness). */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator specs over the sf0.001 fixtures. One session per suite. */
+class CorpusSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("driver contract: unique names, oracle keys ⊆ query keys") {
+    val names = SparkEntry.corpus.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("every corpus query runs at sf0.001 with a non-empty schema") {
+    SparkEntry.corpus.foreach { q =>
+      val df = q.run(spark, sf)
+      assert(df.schema.nonEmpty, q.name)
+      df.limit(1).collect() // forces planning + execution of a sliver
+    }
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q44 exact dedup groups equal distinct texts") {
+    val docs = Tables.load(spark, sf, "documents")
+    val groups = SparkEntry.queries("q44_dedup_exact")(spark, sf).count()
+    assert(groups == docs.select("text").distinct().count())
+    // group sizes add back up to the table size
+    val total = SparkEntry.queries("q44_dedup_exact")(spark, sf)
+      .agg(sum("dup_cnt")).head.getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("q49 brute-force ANN returns exactly top-5 per query, ranks 1..5") {
+    val r = SparkEntry.queries("q49_ann_brute")(spark, sf)
+      .groupBy("q").agg(count(lit(1)).as("c"),
+        min("rnk").as("lo"), max("rnk").as("hi"))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach(row => {
+      assert(row.getLong(1) == 5)
+      assert(row.getLong(2) == 1 && row.getLong(3) == 5)
+    })
+  }
+
+  test("q50 LSH ANN candidates are a subset-quality result: cos ∈ [-1,1]") {
+    val r = SparkEntry.queries("q50_ann_lsh")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(math.abs(row.getDouble(3)) <= 1.0 + 1e-12))
+  }
+
+  test("q46 minhash estimates stay in [0.5, 1] and pairs are ordered") {
+    val r = SparkEntry.queries("q46_dedup_minhash_lsh")(spark, sf).collect()
+    r.foreach { row =>
+      assert(row.getLong(0) < row.getLong(1))
+      val est = row.getDouble(2)
+      assert(est >= 0.5 && est <= 1.0)
+    }
+  }
+
+  test("q47 simhash pairs respect the hamming threshold") {
+    val r = SparkEntry.queries("q47_dedup_simhash")(spark, sf).collect()
+    r.foreach(row => assert(row.getLong(2) <= 3))
+  }
+
+  test("SimHash64 of a single token hash is that hash") {
+    import graft.functions.SimHash64
+    SimHash64.register(spark)
+    val h = -6574323520724709867L
+    val out = spark.range(1)
+      .select(SimHash64.simhash64(typedlit(Seq(h))).as("s"))
+      .head.getLong(0)
+    assert(out == h)
+  }
+
+  test("q51 asof join: every purchase appears exactly once") {
+    val purchases = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    val r = SparkEntry.queries("q51_asof_join")(spark, sf)
+    assert(r.count() == purchases)
+    assert(r.select("event_id").distinct().count() == purchases)
+  }
+
+  test("q52 sessionize: session count bounded by event count") {
+    val bad = SparkEntry.queries("q52_sessionize")(spark, sf)
+      .filter(col("n_sessions") > col("n_events") || col("n_sessions") < 1)
+      .count()
+    assert(bad == 0)
+  }
+}

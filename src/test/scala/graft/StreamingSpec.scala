@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Event, EventsStreaming}
+
+/** Structured Streaming specs: the incremental windowed aggregation must
+  * agree with its batch twin (EventOps.q54) on the same input. */
+class StreamingSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def stagedEventsDir: String = {
+    val dir = Files.createTempDirectory("graft_events_stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming windowed counts equal the batch tumbling-window result") {
+    val streamed = EventsStreaming.windowedCounts(
+      EventsStreaming.readEvents(spark, stagedEventsDir))
+    val got = EventsStreaming.runToMemory(spark, streamed, "win_out")
+      .select("ws", "event_type", "n")
+
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.except(batch).count() == 0)
+    assert(batch.except(got).count() == 0)
+  }
+
+  test("stateful sessionization agrees with the batch window form") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    val got = EventsStreaming.sessionize(events)
+
+    val batch = SparkEntry.queries("q52_sessionize")(spark, sf)
+    val diff = got.toDF("user_id", "n_sessions", "n_events")
+      .except(batch).count()
+    assert(diff == 0)
+  }
+}

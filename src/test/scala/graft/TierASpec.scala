@@ -1,0 +1,201 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Specs for the Tier A API surface: DeltaScanner semantics, SCD2 merge
+  * invariants, graph MERGE idempotency, multimodal plumbing. */
+class TierASpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-tiera-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def scanner = new DeltaScanner(spark, new TableResolver {
+    override def resolve(s: SparkSession, ref: String) = Tables.load(s, sf, ref)
+  })
+
+  // ---- DeltaScanner (A2/A7/A8/A9/A10 truth tables) ----
+
+  test("name classification matches the reference truth table") {
+    val r = new PathResolver()
+    assert(r.isCatalogName("cat.schema.table"))
+    assert(!r.isCatalogName("abfss://c@a.dfs.core.windows.net/p"))
+    assert(!r.isCatalogName("s3://bucket/path"))
+    assert(!r.isCatalogName("/local/path"))
+    assert(!r.isCatalogName("two.parts"))
+    assert(!r.isCatalogName("a.b.c.d"))
+  }
+
+  test("$TABLE substitution is global (self-join resolves)") {
+    val df = scanner.query("nation",
+      Some("SELECT COUNT(*) AS n FROM $TABLE a JOIN $TABLE b ON a.n_nationkey = b.n_nationkey"))
+    val nations = Tables.load(spark, sf, "nation").count()
+    assert(df.head.getLong(0) == nations)
+  }
+
+  test("default limit applies only without SQL; ignored with SQL") {
+    assert(scanner.query("lineitem").count() == 10)
+    assert(scanner.query("lineitem", limit = 3).count() == 3)
+    // limit ignored when SQL present (reference quirk)
+    val n = scanner.query("lineitem",
+      Some("SELECT * FROM $TABLE"), limit = 3).count()
+    assert(n > 3)
+  }
+
+  test("stats and schema mirror count()/schema") {
+    assert(scanner.getTableStats("region") ==
+      Tables.load(spark, sf, "region").count())
+    assert(scanner.getTableSchema("region").fieldNames.toSeq ==
+      Seq("r_regionkey", "r_name"))
+  }
+
+  test("toJsonLines renders int64 as strings (BigInt-safe CLI boundary)") {
+    val lines = scanner.toJsonLines(
+      scanner.query("orders", Some("SELECT o_orderkey FROM $TABLE ORDER BY o_orderkey LIMIT 1")))
+    assert(lines.head.contains("\"o_orderkey\":\""))
+  }
+
+  // ---- SCD2 merge invariants (SURVEY §5.2.3) ----
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def mkBatch(rows: Seq[(Int, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("mission_id", "status", "name")
+  }
+
+  test("SCD2: first sync inserts all as current; re-sync is a no-op") {
+    val b1 = mkBatch(Seq((1, "open", "alpha"), (2, "open", "beta")))
+    val empty = ScdPipeline.emptyTarget(b1)
+    val (t1, s1) = ScdPipeline.sync(empty, b1, Seq("mission_id"), now = ts("2024-01-01 00:00:00"))
+    assert(s1.insertedNew == 2 && s1.closedChanged == 0)
+    val t1c = t1.cache()
+    assert(t1c.filter(col("is_current")).count() == 2)
+
+    val (t2, s2) = ScdPipeline.sync(t1c, b1, Seq("mission_id"), now = ts("2024-01-02 00:00:00"))
+    assert(s2.insertedNew == 0 && s2.closedChanged == 0 && s2.unchanged == 2)
+    assert(t2.count() == 2) // identical re-sync changes nothing
+  }
+
+  test("SCD2: change closes old version and inserts new current") {
+    val b1 = mkBatch(Seq((1, "open", "alpha"), (2, "open", "beta")))
+    val (t1, _) = ScdPipeline.sync(ScdPipeline.emptyTarget(b1), b1,
+      Seq("mission_id"), now = ts("2024-01-01 00:00:00"))
+    val b2 = mkBatch(Seq((1, "closed", "alpha"), (2, "open", "beta"), (3, "open", "gamma")))
+    val (t2, s2) = ScdPipeline.sync(t1.cache(), b2, Seq("mission_id"),
+      now = ts("2024-02-01 00:00:00"))
+    val t2c = t2.cache()
+    assert(s2.closedChanged == 1 && s2.insertedNew == 2 && s2.unchanged == 1)
+    // exactly one current row per key
+    assert(t2c.filter(col("is_current")).groupBy("mission_id").count()
+      .filter(col("count") =!= 1).count() == 0)
+    // end_date set iff not current
+    assert(t2c.filter(col("is_current") && col("end_date").isNotNull).count() == 0)
+    assert(t2c.filter(!col("is_current") && col("end_date").isNull).count() == 0)
+    // scd_ids unique
+    assert(t2c.select("scd_id").distinct().count() == t2c.count())
+    // key 1 history: closed 'open' + current 'closed'
+    val k1 = t2c.filter(col("mission_id") === 1).collect()
+    assert(k1.length == 2)
+  }
+
+  test("SCD2: NULL folds to '' — NULL→'' transition is NOT a change") {
+    import spark.implicits._
+    val b1 = Seq((1, null.asInstanceOf[String], "x")).toDF("mission_id", "status", "name")
+    val (t1, _) = ScdPipeline.sync(ScdPipeline.emptyTarget(b1), b1,
+      Seq("mission_id"), now = ts("2024-01-01 00:00:00"))
+    val b2 = Seq((1, "", "x")).toDF("mission_id", "status", "name")
+    val (_, s2) = ScdPipeline.sync(t1.cache(), b2, Seq("mission_id"),
+      now = ts("2024-02-01 00:00:00"))
+    assert(s2.closedChanged == 0 && s2.unchanged == 1)
+  }
+
+  test("SCD2: column mapping renames before merge") {
+    import spark.implicits._
+    val b1 = Seq((1, "open")).toDF("id_src", "status")
+    val (t1, s1) = ScdPipeline.sync(
+      ScdPipeline.emptyTarget(b1.withColumnRenamed("id_src", "mission_id")),
+      b1, Seq("mission_id"), columnMapping = Map("id_src" -> "mission_id"),
+      now = ts("2024-01-01 00:00:00"))
+    assert(s1.insertedNew == 1)
+    assert(t1.columns.contains("mission_id"))
+  }
+
+  test("SCD2: in-batch duplicate keys are deduplicated deterministically") {
+    val b = mkBatch(Seq((1, "a", "x"), (1, "b", "y")))
+    val (t, s) = ScdPipeline.sync(ScdPipeline.emptyTarget(b), b,
+      Seq("mission_id"), now = ts("2024-01-01 00:00:00"))
+    assert(s.insertedNew == 1 && t.count() == 1)
+  }
+
+  // ---- Graph pipeline (A28-A30) ----
+
+  private val block1 =
+    """MERGE (parent:Mission {id: 'M1'}) SET parent.mission_number = '001', parent.title = 'Alpha', parent.comments = ['c1', 'c2']
+      |MERGE (child:Mission {id: 'M2'}) SET child.mission_number = '002', child.title = 'Beta', child.comments = []
+      |MERGE (parent)-[:IS_PARENT_TO]->(child)""".stripMargin
+  private val block2 =
+    """MERGE (parent:Mission {id: 'M1'}) SET parent.mission_number = '001', parent.title = 'Alpha v2', parent.comments = ['c3']
+      |MERGE (child:Mission {id: 'M3'}) SET child.mission_number = '003', child.title = 'Gamma', child.comments = []
+      |MERGE (parent)-[:IS_PARENT_TO]->(child)""".stripMargin
+
+  test("graph load: MERGE dedup with last-writer-wins; edges dedup") {
+    import spark.implicits._
+    val (nodes, edges) = GraphPipeline.load(spark,
+      Seq(block1, block2, block1).toDS) // block1 repeated: idempotent
+    val n = nodes.cache(); val e = edges.cache()
+    assert(n.count() == 3)
+    assert(e.count() == 2)
+    // last writer (block2, higher index than first block1) wins for M1...
+    // but the REPEATED block1 has the highest index, so title reverts.
+    val m1 = n.filter(col("id") === "M1").head
+    assert(m1.getAs[String]("title") == "Alpha")
+    val (stats, sample) = GraphPipeline.verify(n, e)
+    assert(stats == GraphStats(3, 2))
+    assert(sample.count() == 2)
+  }
+
+  test("graph load idempotency: re-loading the same blocks changes nothing") {
+    import spark.implicits._
+    val once = GraphPipeline.load(spark, Seq(block1, block2).toDS)
+    val twice = GraphPipeline.load(spark, Seq(block1, block2, block1, block2).toDS)
+    assert(once._1.count() == twice._1.count())
+    assert(once._2.count() == twice._2.count())
+  }
+
+  test("graph parse: escaped quotes and comment arrays") {
+    val b = """MERGE (parent:Mission {id: 'M\'9'}) SET parent.title = 'It\'s fine', parent.comments = ['a\'b', 'c']
+              |MERGE (child:Mission {id: 'M10'})
+              |MERGE (parent)-[:IS_PARENT_TO]->(child)""".stripMargin
+    val (ns, es) = GraphPipeline.parseBlock(b)
+    assert(ns.map(_._2.id).toSet == Set("M'9", "M10"))
+    assert(ns.head._2.comments == Seq("a'b", "c"))
+    assert(es == Seq("parent" -> "child"))
+  }
+
+  // ---- Multimodal plumbing ----
+
+  test("multimodal: features are deterministic, fixed-dim, metadata prunes") {
+    val media = Multimodal.syntheticMedia(spark, sf)
+    val f1 = Multimodal.extractFeatures(media).cache()
+    assert(f1.count() == 500)
+    assert(f1.filter(size(col("features")) =!= 16).count() == 0)
+    val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, sf))
+    assert(f1.select("media_id", "features").except(
+      again.select("media_id", "features")).count() == 0)
+    val pruned = Multimodal.filterByMeta(media.toDF(), 100, 100)
+    assert(pruned.count() > 0 && pruned.count() < 500)
+  }
+}
