@@ -129,10 +129,10 @@ object ScdPipeline {
     // One aggregation pass for the whole summary (four separate counts
     // would re-execute the join four times).
     val stats = j.agg(
-      sum(when(hasT && hasS && isChanged, 1).otherwise(0)).as("closed"),
-      sum(when(hasS && !hasT, 1).otherwise(0)).as("new"),
-      sum(when(hasT && hasS && !isChanged, 1).otherwise(0)).as("unchanged"),
-      sum(when(hasT && !hasS, 1).otherwise(0)).as("cur_only")).head
+      coalesce(sum(when(hasT && hasS && isChanged, 1).otherwise(0)), lit(0L)).as("closed"),
+      coalesce(sum(when(hasS && !hasT, 1).otherwise(0)), lit(0L)).as("new"),
+      coalesce(sum(when(hasT && hasS && !isChanged, 1).otherwise(0)), lit(0L)).as("unchanged"),
+      coalesce(sum(when(hasT && !hasS, 1).otherwise(0)), lit(0L)).as("cur_only")).head
     val (nClosed, nNew, nUnchanged, nCurOnly) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
     val nHistory = history.count()
