@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scalar-function and set-operation breadth for the Tier B surface
+  * (SURVEY §2.2 "implied" rows): string/date/math suites, array ops over
+  * real array data, EXCEPT/INTERSECT, and ROLLUP. All single-pass narrow
+  * transforms or single aggregations; every query oracle-exact.
+  *
+  * Dialect notes baked in: Spark's ceil/floor of a double return BIGINT
+  * (DuckDB: DOUBLE — cast there); EXTRACT returns BIGINT in DuckDB (cast
+  * Spark's int); element access is 0-based get() here, 1-based [] there;
+  * dayofweek is intentionally absent (Sunday=1 vs ISO mismatch).
+  */
+object ScalarOps {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery("q32_string_suite",
+      (s, d) => T(s, d, "customer")
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit("_"), col("c_mktsegment")).as("cn"),
+          expr("replace(c_name, 'Customer', 'C')").as("rep"),
+          element_at(split(col("c_name"), "#"), 2).as("num_part"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("pad"),
+          ltrim(rtrim(col("c_name"))).as("tr"))
+        .orderBy("c_custkey")
+        .limit(100),
+      Some("SELECT c_custkey, CONCAT(c_name, '_', c_mktsegment) AS cn, " +
+        "REPLACE(c_name, 'Customer', 'C') AS rep, " +
+        "string_split(c_name, '#')[2] AS num_part, " +
+        "LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS pad, " +
+        "LTRIM(RTRIM(c_name)) AS tr " +
+        "FROM customer ORDER BY c_custkey LIMIT 100")),
+
+    GraftQuery("q33_date_suite",
+      (s, d) => T(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mstart"))
+        .orderBy("o_orderkey")
+        .limit(100),
+      Some("SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) AS y, " +
+        "EXTRACT(MONTH FROM o_orderdate) AS m, EXTRACT(DAY FROM o_orderdate) AS dom, " +
+        "CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart " +
+        "FROM orders ORDER BY o_orderkey LIMIT 100")),
+
+    // Array ops over genuine array data (embedding: array<float>).
+    GraftQuery("q34_array_ops",
+      (s, d) => T(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          get(col("embedding"), lit(0)).as("e0"),
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"))
+        .orderBy("vec_id"),
+      Some("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+        "embedding[1] AS e0, " +
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos " +
+        "FROM embeddings ORDER BY vec_id")),
+
+    GraftQuery("q35_setops",
+      (s, d) => {
+        val c = T(s, d, "customer").select(col("c_custkey").as("k"))
+        val o = T(s, d, "orders").select(col("o_custkey").as("k"))
+        val onlyCust = c.except(o).agg(count(lit(1)).as("only_cust"))
+        val both = c.intersect(o).agg(count(lit(1)).as("both_sides"))
+        onlyCust.crossJoin(broadcast(both))
+      },
+      Some("SELECT (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer EXCEPT " +
+        "SELECT o_custkey FROM orders)) AS only_cust, " +
+        "(SELECT COUNT(*) FROM (SELECT c_custkey FROM customer INTERSECT " +
+        "SELECT o_custkey FROM orders)) AS both_sides")),
+
+    GraftQuery("q36_rollup",
+      (s, d) => T(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST")),
+
+    GraftQuery("q37_math_suite",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"),
+          abs(col("l_discount") - 0.05).as("ad"),
+          ceil(col("l_extendedprice")).as("ce"),
+          floor(col("l_extendedprice")).as("fl"),
+          sqrt(col("l_quantity")).as("sq"),
+          pmod(col("l_orderkey"), lit(7L)).as("m7"))
+        .orderBy("l_orderkey", "l_quantity", "l_discount", "l_tax", "ce", "fl")
+        .limit(100)
+        .drop("l_quantity", "l_discount", "l_tax"),
+      Some("SELECT l_orderkey, ad, ce, fl, sq, m7 FROM (" +
+        "SELECT l_orderkey, l_quantity, l_discount, l_tax, " +
+        "ABS(l_discount - 0.05) AS ad, " +
+        "CAST(CEIL(l_extendedprice) AS BIGINT) AS ce, " +
+        "CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl, " +
+        "SQRT(l_quantity) AS sq, l_orderkey % 7 AS m7 FROM lineitem " +
+        "ORDER BY l_orderkey, l_quantity, l_discount, l_tax, ce, fl LIMIT 100)"))
+  )
+}
