@@ -79,6 +79,35 @@ object Similarity {
         .stripMargin.replace("\n", " ")),
     ),
 
+    // IVF-style ANN: partition the corpus into K inverted lists around
+    // deterministic seed centroids (first K vectors — training-free),
+    // probe the nprobe nearest lists per query, exact-rerank inside them.
+    // At scale the cluster assignment is a narrow broadcast-scored map and
+    // each query touches |corpus|·nprobe/K candidates instead of all.
+    GraftQuery("q58_ann_ivf",
+      (s, d) => {
+        graft.functions.CosineSim.register(s)
+        val K = 16; val NProbe = 2
+        val e = emb(s, d)
+        val cent = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val scored = e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            cosine(col("embedding"), col("cv")).as("sim"))
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+        val assign = scored.withColumn("arn", row_number().over(wAssign))
+        val corpusList = assign.filter(col("arn") === 1)
+          .select(col("vec_id").as("n"), col("embedding").as("nv"), col("cid"))
+        val probes = assign.filter(col("vec_id") < QueryCount && col("arn") <= NProbe)
+          .select(col("vec_id").as("q"), col("embedding").as("qv"), col("cid"))
+        val pairs = corpusList.join(broadcast(probes), Seq("cid"))
+          .filter(col("q") =!= col("n"))
+          .select(col("q"), col("n"), cosine(col("qv"), col("nv")).as("cos"))
+        topkPerQuery(pairs)
+      },
+      None),
+
     // LSH-bucketed ANN: same output shape as q49 so recall is directly
     // comparable; approximation is engine-specific → rows-only check.
     GraftQuery("q50_ann_lsh",

@@ -117,6 +117,29 @@ object TextAnalysis {
         |WHEN ses >= sfr THEN 'es' ELSE 'fr' END AS pred_lang
         |FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // BPE-style pre-tokenization count (GPT-2-ish pattern restricted to
+    // the RE2 ∩ Java-regex subset — no lookahead): letters / digits /
+    // punctuation runs with optional leading space. The ratio to
+    // whitespace tokens is the usual tokens-per-word fertility estimate.
+    GraftQuery("q59_bpe_tokens",
+      (s, d) => {
+        val bpeRe = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+        docs(s, d).select(col("source"),
+          reCount(col("text"), bpeRe).as("bpe"),
+          tokenCount(col("text")).as("ws"))
+          .groupBy("source")
+          .agg(sum("bpe").as("total_bpe"), sum("ws").as("total_ws"),
+            (sum("bpe").cast("double") / sum("ws")).as("fertility"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source,
+        |CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS bpe,
+        |CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws FROM documents)
+        |SELECT source, CAST(SUM(bpe) AS BIGINT) AS total_bpe,
+        |CAST(SUM(ws) AS BIGINT) AS total_ws,
+        |CAST(CAST(SUM(bpe) AS BIGINT) AS DOUBLE)/CAST(SUM(ws) AS BIGINT) AS fertility
+        |FROM t GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
+
     // Normalized-content fingerprint (rolling-hash stand-in: md5 over
     // whitespace/case-normalized text — same capability, oracle-exact).
     GraftQuery("q43_text_fingerprint",

@@ -42,6 +42,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(got).count() == 0)
   }
 
+  test("append mode + watermark: windows finalize only once the watermark passes") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = Files.createTempDirectory("graft_events_wm")
+    // stage first half / second half by time, keeping ts in its RAW int64
+    // nanos form (readEvents' declared schema) — a Spark rewrite of the
+    // converted timestamp would change the physical parquet type.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet").orderBy("ts").cache()
+    val n = ev.count()
+    val cut = ev.select("ts").collect()(n.toInt / 2).getLong(0)
+    ev.filter(col("ts") <= cut).coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("batch1").toString)
+    Files.move(
+      Files.list(dir.resolve("batch1")).filter(_.toString.endsWith(".parquet")).findFirst.get,
+      dir.resolve("b1.parquet"))
+    val streamed = EventsStreaming.windowedCounts(
+      EventsStreaming.readEvents(spark, dir.toString))
+    val q = streamed.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_out").start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("wm_out").count() // watermark still at batch1 max
+    ev.filter(col("ts") > cut).coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("batch2").toString)
+    Files.move(
+      Files.list(dir.resolve("batch2")).filter(_.toString.endsWith(".parquet")).findFirst.get,
+      dir.resolve("b2.parquet"))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("wm_out")
+    // batch2 advanced the watermark: finalized (early) windows are out, and
+    // every emitted window agrees with the batch result for that window.
+    assert(emitted.count() > afterB1)
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(emitted.select("ws", "event_type", "n").except(batch).count() == 0)
+  }
+
   test("stateful sessionization agrees with the batch window form") {
     import spark.implicits._
     val events = Tables.load(spark, sf, "events")
