@@ -18,7 +18,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Per-session plan cache: spark.read.parquet eagerly lists files and
+  // reads footers for schema; across a 57-query benchmark run that
+  // re-listing is a measurable slice of the per-query constant cost. The
+  // cached object is only the lazy DataFrame (analyzed plan) — no data.
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    planCache.computeIfAbsent((spark, dir, name),
+      _ => loadUncached(spark, dir, name))
+
+  private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects outright. Read the raw int64 nanos and truncate to

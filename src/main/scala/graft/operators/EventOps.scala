@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
-/** Event-stream operators over the `events` table: as-of join,
+/** Event-stream operators over the `events` table (SURVEY §2.2 window /
+  * streaming rows; as-of/theta-join row): as-of join,
   * sessionization, pivot, tumbling windows, distinct-count (exact and HLL),
   * and JSON extraction. These are the batch forms; the streaming module
   * runs the same aggregations through Structured Streaming.

@@ -6,7 +6,8 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
-/** Multi-join analytical queries in TPC-H shapes — the workloads where the
+/** Multi-join analytical queries in TPC-H shapes (SURVEY §2.2 join rows;
+  * §2.3 corpus extension) — the workloads where the
   * 100 TB join strategy matters most.
   *
   * Plan discipline: dimension tables (region/nation, and customer when it

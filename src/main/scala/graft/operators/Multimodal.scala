@@ -16,8 +16,9 @@ final case class MediaFeatures(
     media_id: Long, kind: String, dim: Int, features: Array[Float])
 
 /** Multimodal (image/audio/video) column plumbing for the training-data
-  * pipeline: payloads are opaque `binary` columns with a typed metadata
-  * struct, processed per-partition in batches.
+  * pipeline (BASELINE.json north_star; SURVEY §4.3.4): payloads are opaque
+  * `binary` columns with a typed metadata struct, processed per-partition
+  * in batches.
   *
   * The actual codecs are STUBBED (this container has no image/audio
   * libraries): `decodeStub` produces a deterministic fake feature vector

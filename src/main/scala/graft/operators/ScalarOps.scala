@@ -89,6 +89,17 @@ object ScalarOps {
         "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST")),
 
+    GraftQuery("q38_like_in",
+      (s, d) => T(s, d, "part")
+        .filter(col("p_type").like("%ECO%") ||
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("p_brand")).as("nb"))
+        .orderBy("p_type"),
+      Some("SELECT p_type, COUNT(*) AS n, COUNT(DISTINCT p_brand) AS nb FROM part " +
+        "WHERE p_type LIKE '%ECO%' OR p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') " +
+        "GROUP BY p_type ORDER BY p_type")),
+
     GraftQuery("q37_math_suite",
       (s, d) => T(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"),

@@ -7,7 +7,9 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorFunctions._
 
-/** Approximate-nearest-neighbor search over the `embeddings` table.
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (BASELINE.json north_star capability; SURVEY §4.3.4 — absent from the
+  * reference itself, SURVEY §2.2 UDF row).
   *
   *   - Brute-force top-k: broadcast the (small) query set against the
   *     (huge) corpus — a BroadcastNestedLoopJoin where every executor scans

@@ -8,7 +8,8 @@ import graft.functions.TextFunctions._
 
 /** Text-analysis operators over the `documents` table: token statistics,
   * quality scoring, language identification, and fingerprinting — the
-  * per-document preprocessing stage of a training-data pipeline.
+  * per-document preprocessing stage of a training-data pipeline
+  * (BASELINE.json north_star; beyond the reference surface, SURVEY §4.3.4).
   *
   * All are single-pass narrow transforms + one hash aggregation: at 100 TB
   * they scan once, aggregate with map-side combine, and never shuffle the
