@@ -76,19 +76,21 @@ object Dedup {
         graft.functions.WordShingles.register(s)
         val sh = docs(s, d).select(col("doc_id"),
           explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("s"))
-        val dfc = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df").between(2, 20))
-        // shf feeds three consumers (cardinalities + both join sides);
-        // without a persist the tokenize+shingle explode re-runs for each.
-        // Tiny relative to the corpus: only df-filtered (doc_id, shingle).
-        val shf = sh.join(dfc.select("s"), "s").select("doc_id", "s").persist()
-        val card = shf.groupBy("doc_id").agg(count(lit(1)).as("c"))
-        // Pair generation via one groupBy + in-group expansion instead of
-        // a shingle self-join: the df ≤ 20 bound caps every group at
-        // C(20,2)=190 pairs, so the expansion is tiny and the two SMJ
-        // sorts of the naive self-join disappear.
-        val inter = shf.groupBy("s")
+        // ONE shuffle builds the inverted lists; the df∈[2,20] filter is a
+        // size predicate on the list (shingles are distinct per doc, so
+        // list length == document frequency). Persisted: feeds both the
+        // per-doc cardinalities and the pair expansion.
+        val grouped = sh.groupBy("s")
           .agg(sort_array(collect_list("doc_id")).as("ids"))
+          .filter(size(col("ids")).between(2, 20))
+          .persist()
+        val card = grouped.select(explode(col("ids")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("c"))
+        // Pair generation via in-group expansion instead of a shingle
+        // self-join: the df ≤ 20 bound caps every group at C(20,2)=190
+        // pairs, so the expansion is tiny and the two SMJ sorts of the
+        // naive self-join disappear.
+        val inter = grouped
           .select(explode(flatten(transform(col("ids"), (x, i) =>
             transform(slice(col("ids"), i + 2, size(col("ids"))),
               y => struct(x.as("a"), y.as("b")))))).as("p"))

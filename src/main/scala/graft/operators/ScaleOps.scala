@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques that only matter beyond one machine, implemented and
+  * tested at toy scale so they are drop-in at 100 TB:
+  *
+  *   - salted joins: a skewed fact key (one customer with 30% of all
+  *     orders) turns one shuffle partition into the whole job's critical
+  *     path; salting splinters each hot key into `salt` sub-keys and
+  *     explodes the dimension side to match. AQE's skew-join handles
+  *     sort-merge cases adaptively; explicit salting is the portable form
+  *     that also covers aggregations.
+  *   - salted aggregation: two-phase groupBy (key+salt, then key) so no
+  *     single reducer sees a hot key's entire group.
+  *   - bucketed co-located joins: pre-bucketing both tables on the join
+  *     key at write time makes every subsequent join on that key
+  *     shuffle-free (SortMergeJoin with no Exchange) — the right layout
+  *     for repeatedly-joined 100 TB fact tables.
+  */
+object ScaleOps {
+
+  /** Inner equi-join with the left (fact) side salted `salt` ways.
+    * Correctness is unconditional; use when `leftKey` is skewed. */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, salt: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight,
+        saltedLeft(leftKey) === saltedRight(rightKey) &&
+          saltedLeft("__salt") === saltedRight("__salt"))
+      .drop("__salt")
+  }
+
+  /** Two-phase aggregation: partial aggregate on (key, salt), final on
+    * key. `aggs` maps output column name → (partialAgg, finalAgg) pairs
+    * expressed over the value column, e.g. count → (count, sum). */
+  def saltedCountByKey(df: DataFrame, key: String, salt: Int): DataFrame =
+    df.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum("__partial").as("n"))
+
+  /** Write both sides bucketed on the join key; returns the table names.
+    * Subsequent joins between them on that key plan with zero Exchange. */
+  def writeBucketed(
+      spark: SparkSession,
+      left: DataFrame, leftName: String, leftKey: String,
+      right: DataFrame, rightName: String, rightKey: String,
+      buckets: Int): Unit = {
+    left.write.mode("overwrite")
+      .bucketBy(buckets, leftKey).sortBy(leftKey)
+      .format("parquet").saveAsTable(leftName)
+    right.write.mode("overwrite")
+      .bucketBy(buckets, rightKey).sortBy(rightKey)
+      .format("parquet").saveAsTable(rightName)
+  }
+}
