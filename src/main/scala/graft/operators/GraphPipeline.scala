@@ -27,21 +27,35 @@ final case class GraphStats(nodes: Long, edges: Long)
   */
 object GraphPipeline {
 
+  // Unanchored patterns: the reference's edge statement packs three MERGEs
+  // onto one line (`MERGE (parent:Mission {id:'x'}) MERGE (child:…) MERGE
+  // (parent)-[:IS_PARENT_TO]->(child)`, cypher_queries_clean.json), and id
+  // colons appear both with and without a following space. A node's SET
+  // clause extends until the next MERGE on the same line (lookahead).
   private val NodeRe =
-    """MERGE \((\w+):Mission \{id: '((?:[^'\\]|\\.)*)'\}\)(?: SET (.*))?""".r
+    ("""MERGE \((\w+):Mission \{id:\s*'([^'\\]*(?:\\.[^'\\]*)*)'\}\)""" +
+      """(?: SET (.*?))?(?=\s*MERGE |\s*$)""").r
   private val EdgeRe =
     """MERGE \((\w+)\)-\[:(\w+)\]->\((\w+)\)""".r
-  private val PropRe = """\w+\.(\w+) = ('((?:[^'\\]|\\.)*)'|\[[^\]]*\])""".r
-  private val StrRe = """'((?:[^'\\]|\\.)*)'""".r
+  // Property values: a quoted string or a quoted-string list (quotes may
+  // contain escaped apostrophes and, inside lists, ']' characters).
+  private val PropRe =
+    ("""\w+\.(\w+) = ('([^'\\]*(?:\\.[^'\\]*)*)'""" +
+      """|\[\s*(?:'[^'\\]*(?:\\.[^'\\]*)*'(?:\s*,\s*'[^'\\]*(?:\\.[^'\\]*)*')*)?\s*\])""").r
+  private val StrRe = """'([^'\\]*(?:\\.[^'\\]*)*)'""".r
 
   private def unescape(s: String): String = s.replace("\\'", "'")
 
-  /** Parse one block's statements into (vars→nodes, edges). */
+  /** Parse one block's statements into (vars→nodes, edges). Propless
+    * re-MERGEs of an already-seen variable (the edge line's node mentions)
+    * must not clobber parsed properties; a later SET replays over earlier
+    * state, like sequential Cypher execution. */
   def parseBlock(block: String): (Seq[(String, MissionNode)], Seq[(String, String)]) = {
-    val nodes = scala.collection.mutable.ArrayBuffer[(String, MissionNode)]()
+    val nodes = scala.collection.mutable.LinkedHashMap[String, MissionNode]()
     val edges = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    block.split("\n").map(_.trim).filter(_.nonEmpty).foreach {
-      case NodeRe(v, id, propsOrNull) =>
+    block.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
+      NodeRe.findAllMatchIn(line).foreach { nm =>
+        val (v, id, propsOrNull) = (nm.group(1), nm.group(2), nm.group(3))
         var number = ""; var title = ""; var comments = Seq.empty[String]
         Option(propsOrNull).foreach { props =>
           PropRe.findAllMatchIn(props).foreach { m =>
@@ -55,11 +69,22 @@ object GraphPipeline {
             }
           }
         }
-        nodes += v -> MissionNode(unescape(id), number, title, comments)
-      case EdgeRe(srcVar, _, dstVar) => edges += srcVar -> dstVar
-      case _ => () // non-matching statement: skip (error isolation, A28)
+        val parsed = MissionNode(unescape(id), number, title, comments)
+        // A propless re-MERGE of a known var (edge line) keeps its props;
+        // a MERGE with SET replays over earlier state, like Cypher.
+        if (propsOrNull != null || !nodes.contains(v)) nodes(v) = parsed
+      }
+      EdgeRe.findAllMatchIn(line).foreach(m => edges += m.group(1) -> m.group(3))
     }
     (nodes.toSeq, edges.toSeq)
+  }
+
+  /** A30: ingest the reference's JSON shape (array of {"cypher": block})
+    * via spark.read.json, then parse/dedup as in load. */
+  def loadFromJson(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    load(spark, spark.read.option("multiLine", "true").json(path)
+      .select("cypher").as[String])
   }
 
   /** Blocks → (nodes, edges) DataFrames with MERGE/dedup semantics. */

@@ -54,11 +54,23 @@ object ScaleOps {
       left: DataFrame, leftName: String, leftKey: String,
       right: DataFrame, rightName: String, rightKey: String,
       buckets: Int): Unit = {
-    left.write.mode("overwrite")
-      .bucketBy(buckets, leftKey).sortBy(leftKey)
-      .format("parquet").saveAsTable(leftName)
-    right.write.mode("overwrite")
-      .bucketBy(buckets, rightKey).sortBy(rightKey)
-      .format("parquet").saveAsTable(rightName)
+    def write(df: DataFrame, name: String, key: String): Unit = {
+      // Clear both the catalog entry and any orphaned location — CTAS
+      // refuses to reuse a leftover directory from a dropped table.
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(name)
+    }
+    write(left, leftName, leftKey)
+    write(right, rightName, rightKey)
   }
 }

@@ -175,6 +175,30 @@ class TierASpec extends AnyFunSuite {
     assert(once._2.count() == twice._2.count())
   }
 
+  test("graph load: the reference's real 3,443-block corpus parses fully") {
+    val ref = "/root/reference/cypher_queries_clean.json"
+    assume(new java.io.File(ref).exists(), "reference corpus not present")
+    val (nodes, edges) = GraphPipeline.loadFromJson(spark, ref)
+    val (stats, sample) = GraphPipeline.verify(nodes, edges)
+    // 4,532 distinct Mission ids and one parent→child edge per block
+    // (measured independently from the raw JSON with regex extraction).
+    assert(stats.nodes == 4532, s"nodes: $stats")
+    assert(stats.edges > 3000 && stats.edges <= 3443, s"edges: $stats")
+    assert(sample.count() == 5)
+  }
+
+  test("graph parse: reference statement shape (no-space id, 3-MERGE edge line)") {
+    val b = "MERGE (parent:Mission {id:'523490'}) SET parent.mission_number = '00001', parent.title = 'Alpha', parent.comments = []\n" +
+      "MERGE (child:Mission {id:'523491'}) SET child.mission_number = '00002', child.title = 'Beta', child.comments = ['x, y]', 'z']\n" +
+      "MERGE (parent:Mission {id:'523490'}) MERGE (child:Mission {id:'523491'}) MERGE (parent)-[:IS_PARENT_TO]->(child)"
+    val (ns, es) = GraphPipeline.parseBlock(b)
+    assert(ns.map(_._2.id).toSet == Set("523490", "523491"))
+    // the propless re-MERGEs on the edge line must not clobber the SET props
+    assert(ns.toMap.apply("parent").title == "Alpha")
+    assert(ns.toMap.apply("child").comments == Seq("x, y]", "z"))
+    assert(es == Seq("parent" -> "child"))
+  }
+
   test("graph parse: escaped quotes and comment arrays") {
     val b = """MERGE (parent:Mission {id: 'M\'9'}) SET parent.title = 'It\'s fine', parent.comments = ['a\'b', 'c']
               |MERGE (child:Mission {id: 'M10'})
