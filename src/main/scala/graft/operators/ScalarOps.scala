@@ -89,6 +89,40 @@ object ScalarOps {
         "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST")),
 
+    // Exact interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the (n-1)p interpolation definition.
+    GraftQuery("q39_percentiles",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.5)").as("med_price"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty, " +
+        "quantile_cont(l_quantity, 0.9) AS p90_qty, " +
+        "quantile_cont(l_extendedprice, 0.5) AS med_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Statistical moments via the explicit sum/sum-of-squares formula —
+    // identical expressions on both engines instead of each engine's own
+    // stddev accumulator (Welford vs naive differ in final ulps). Exact
+    // here because l_quantity is integer-valued (sums are exact doubles).
+    GraftQuery("q63_stats_moments",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"),
+          sum(col("l_quantity") * col("l_quantity")).as("sq"))
+        .select(col("l_returnflag"), col("n"),
+          (col("s") / col("n")).as("mean_qty"),
+          sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1))
+            .as("sd_qty"))
+        .orderBy("l_returnflag"),
+      Some("WITH m AS (SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS s, " +
+        "SUM(l_quantity * l_quantity) AS sq FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, s / n AS mean_qty, " +
+        "sqrt((sq - s * s / n) / (n - 1)) AS sd_qty FROM m ORDER BY l_returnflag")),
+
     GraftQuery("q38_like_in",
       (s, d) => T(s, d, "part")
         .filter(col("p_type").like("%ECO%") ||
