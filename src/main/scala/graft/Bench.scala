@@ -31,6 +31,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      finally spark.catalog.clearCache() // sketch persists don't outlive their query
       (System.nanoTime() - t0) / 1e9
     }
 

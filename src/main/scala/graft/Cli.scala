@@ -36,14 +36,17 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
     Tables.registerAll(spark, sfDir)
 
-    // Star-schema table names resolve directly; 3-part names go through
-    // the catalog mapping; anything else is a path.
-    val pathResolver = new PathResolver(
-      Tables.names.map(n => s"local.main.$n" -> s"$sfDir/$n.parquet").toMap)
+    // Star-schema table names resolve directly; 3-part names map back to
+    // the same loaders (so events keeps its nanos→timestamp handling on
+    // every resolution route); anything else is a raw path.
+    val pathResolver = new PathResolver()
     val resolver = new TableResolver {
-      override def resolve(s: SparkSession, ref: String): DataFrame =
-        if (Tables.names.contains(ref)) Tables.load(s, sfDir, ref)
+      override def resolve(s: SparkSession, ref: String): DataFrame = {
+        val short =
+          if (pathResolver.isCatalogName(ref)) ref.split("\\.").last else ref
+        if (Tables.names.contains(short)) Tables.load(s, sfDir, short)
         else pathResolver.resolve(s, ref)
+      }
     }
     val scanner = new DeltaScanner(spark, resolver)
 

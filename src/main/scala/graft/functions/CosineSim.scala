@@ -74,23 +74,27 @@ case class CosineSim(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      // every local must go through freshName — a fixed identifier would
+      // collide when two CosineSim calls share one codegen scope and kick
+      // the whole stage back to interpreted execution
+      val anyNull = ctx.freshName("anyNull")
       s"""
         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        |boolean anyNull = false;
-        |for (int $i = 0; $i < $n && !anyNull; $i++) {
-        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { anyNull = true; break; }
+        |boolean $anyNull = false;
+        |for (int $i = 0; $i < $n && !$anyNull; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
         |  $dot += (double) $a.$getterA($i) * (double) $b.$getterB($i);
         |}
-        |for (int $i = 0; $i < $a.numElements() && !anyNull; $i++) {
-        |  if ($a.isNullAt($i)) { anyNull = true; break; }
+        |for (int $i = 0; $i < $a.numElements() && !$anyNull; $i++) {
+        |  if ($a.isNullAt($i)) { $anyNull = true; break; }
         |  double $x = (double) $a.$getterA($i); $na += $x * $x;
         |}
-        |for (int $i = 0; $i < $b.numElements() && !anyNull; $i++) {
-        |  if ($b.isNullAt($i)) { anyNull = true; break; }
+        |for (int $i = 0; $i < $b.numElements() && !$anyNull; $i++) {
+        |  if ($b.isNullAt($i)) { $anyNull = true; break; }
         |  double $x = (double) $b.$getterB($i); $nb += $x * $x;
         |}
-        |if (anyNull) { ${ev.isNull} = true; ${ev.value} = -1.0; }
+        |if ($anyNull) { ${ev.isNull} = true; ${ev.value} = -1.0; }
         |else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
       """.stripMargin
     })

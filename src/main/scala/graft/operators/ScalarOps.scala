@@ -115,13 +115,15 @@ object ScalarOps {
           sum(col("l_quantity") * col("l_quantity")).as("sq"))
         .select(col("l_returnflag"), col("n"),
           (col("s") / col("n")).as("mean_qty"),
-          sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1))
-            .as("sd_qty"))
+          // NULLIF guards n=1 groups identically on both engines (Spark's
+          // non-ANSI x/0 is NULL, DuckDB's IEEE mode would give NaN).
+          sqrt((col("sq") - col("s") * col("s") / col("n")) /
+            nullif(col("n") - 1, lit(0))).as("sd_qty"))
         .orderBy("l_returnflag"),
       Some("WITH m AS (SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS s, " +
         "SUM(l_quantity * l_quantity) AS sq FROM lineitem GROUP BY l_returnflag) " +
         "SELECT l_returnflag, n, s / n AS mean_qty, " +
-        "sqrt((sq - s * s / n) / (n - 1)) AS sd_qty FROM m ORDER BY l_returnflag")),
+        "sqrt((sq - s * s / n) / NULLIF(n - 1, 0)) AS sd_qty FROM m ORDER BY l_returnflag")),
 
     GraftQuery("q38_like_in",
       (s, d) => T(s, d, "part")

@@ -52,10 +52,13 @@ object ScdPipeline {
     * string rendering of all non-key columns — arbitrary but stable). */
   private def dedupBatch(batch: DataFrame, keys: Seq[String]): DataFrame = {
     val others = batch.columns.filterNot(keys.contains)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(others.map(c => coalesce(col(c).cast("string"), lit("")).desc): _*)
-    batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    if (others.isEmpty) batch.dropDuplicates(keys) // pure-key table: no
+    else {                                         // orderable payload
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(others.map(c => coalesce(col(c).cast("string"), lit("")).desc): _*)
+      batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /** Create an empty SCD target with the incoming business schema. */

@@ -13,7 +13,7 @@ final case class Event(
     event_type: String, value: Double)
 
 /** Per-user session state (mapGroupsWithState buffer). */
-final case class SessionState(sessions: Long, lastTs: Long)
+final case class SessionState(sessions: Long, lastTs: Long, events: Long)
 
 final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
@@ -46,44 +46,61 @@ object EventsStreaming {
   }
 
   /** Incremental form of EventOps.q54: 1-hour tumbling windows with a
-    * 10-minute watermark bounding state. */
+    * 10-minute watermark bounding state. `sv` goes through DECIMAL(18,2)
+    * like its batch twin, so the sum is order/batching-independent and
+    * comparable with q54's result. */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sv"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
 
   /** Stateful sessionization (30-minute gap), the streaming twin of
-    * EventOps.q52. State is one (count, lastTs) pair per user — constant
-    * memory per key, timeout-evicted. */
-  def sessionize(events: Dataset[Event]): Dataset[UserSessions] = {
+    * EventOps.q52. State is one (sessions, lastTs, events) triple per
+    * user; cumulative across micro-batches. A processing-time timeout
+    * evicts idle keys so the state store stays bounded on an unbounded
+    * keyspace — a timed-out key's state is dropped and its totals emitted
+    * one last time. */
+  def sessionize(
+      events: Dataset[Event],
+      idleEvictionMs: Long = 24L * 3600 * 1000): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000
     events.groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, UserSessions](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.ProcessingTimeTimeout) {
         case (uid, it, state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          var n = 0L
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.lastTs == Long.MinValue || t - st.lastTs > gapMs)
-              st = st.copy(sessions = st.sessions + 1)
-            st = st.copy(lastTs = math.max(st.lastTs, t))
-            n += 1
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            UserSessions(uid, st.sessions, st.events)
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.lastTs == Long.MinValue || t - st.lastTs > gapMs)
+                st = st.copy(sessions = st.sessions + 1)
+              st = st.copy(lastTs = math.max(st.lastTs, t), events = st.events + 1)
+            }
+            state.update(st)
+            state.setTimeoutDuration(idleEvictionMs)
+            UserSessions(uid, st.sessions, st.events)
           }
-          state.update(st)
-          UserSessions(uid, st.sessions, n)
       }
   }
 
   /** Drive a stream over `dir` to completion against an in-memory sink and
-    * return the materialized result (micro-batch test harness). */
-  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    * return the materialized result (micro-batch test harness). Stateful
+    * operators (mapGroupsWithState) require Update mode; pass it. */
+  def runToMemory(
+      spark: SparkSession, streamed: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = streamed.writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()

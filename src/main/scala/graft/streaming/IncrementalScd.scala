@@ -58,8 +58,13 @@ object IncrementalScd {
         val version = s"v$batchId"
         next.write.mode("overwrite").parquet(s"$targetDir/$version")
         // Atomic commit: flip the pointer only after the snapshot is fully
-        // written, so concurrent readers never observe a partial state.
-        Files.writeString(currentPointer(targetDir), version)
+        // written, via write-temp-then-ATOMIC_MOVE — a direct writeString
+        // truncates first, so a concurrent reader could see an empty file.
+        val tmp = Paths.get(targetDir, s"_CURRENT.tmp.$batchId")
+        Files.writeString(tmp, version)
+        Files.move(tmp, currentPointer(targetDir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         println(s"[scd-stream] batch=$batchId $summary -> $version")
       }
       .start()
