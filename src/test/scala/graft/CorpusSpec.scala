@@ -77,6 +77,25 @@ class CorpusSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getLong(2) <= 3))
   }
 
+  test("two CosineSim calls in one projection stay codegen-compatible " +
+    "and match the declarative form") {
+    import graft.functions.{CosineSim, VectorFunctions}
+    CosineSim.register(spark)
+    val e = Tables.load(spark, sf, "embeddings").limit(50)
+    val x = e.select(col("embedding").as("v"),
+      org.apache.spark.sql.functions.reverse(col("embedding")).as("w"))
+    // two native cosines side by side: generated locals must not collide
+    val native = x.select(
+      CosineSim.cosineSim(col("v"), col("w")).as("c1"),
+      CosineSim.cosineSim(col("w"), col("v")).as("c2"),
+      VectorFunctions.cosineDeclarative(col("v"), col("w")).as("cd"))
+      .collect()
+    native.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(2)) // native ≡ declarative, bit-exact
+      assert(r.getDouble(0) == r.getDouble(1)) // cosine is symmetric
+    }
+  }
+
   test("SimHash64 of a single token hash is that hash") {
     import graft.functions.SimHash64
     SimHash64.register(spark)
