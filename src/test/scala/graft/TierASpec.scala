@@ -209,6 +209,24 @@ class TierASpec extends AnyFunSuite {
     assert(es == Seq("parent" -> "child"))
   }
 
+  // ---- DDL/DML through spark.sql (A26/A27 surface) ----
+
+  test("CTAS and INSERT INTO work through the SQL surface") {
+    Tables.registerAll(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS region_copy")
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, "region_copy")
+    if (wh.exists()) { def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }; rm(wh) }
+    spark.sql("CREATE TABLE region_copy USING parquet AS SELECT * FROM region")
+    assert(spark.table("region_copy").count() == 5)
+    spark.sql("INSERT INTO region_copy VALUES (99, 'ATLANTIS')")
+    assert(spark.table("region_copy").count() == 6)
+    assert(spark.sql("SELECT r_name FROM region_copy WHERE r_regionkey = 99")
+      .head.getString(0) == "ATLANTIS")
+    spark.sql("DROP TABLE region_copy")
+  }
+
   // ---- Multimodal plumbing ----
 
   test("multimodal: features are deterministic, fixed-dim, metadata prunes") {
