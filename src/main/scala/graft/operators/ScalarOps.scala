@@ -79,6 +79,41 @@ object ScalarOps {
         "(SELECT COUNT(*) FROM (SELECT c_custkey FROM customer INTERSECT " +
         "SELECT o_custkey FROM orders)) AS both_sides")),
 
+    // Window-function breadth: ranking, offset, and frame-bounded value
+    // functions in one pass. o_orderkey is unique per customer partition,
+    // so every window order is total and rank ≡ dense_rank ≡ row_number.
+    GraftQuery("q64_window_suite",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            lag("o_totalprice", 1).over(w).as("prev_price"),
+            lead("o_totalprice", 1).over(w).as("next_price"),
+            first("o_orderkey").over(wf).as("first_ok"),
+            last("o_orderkey").over(wf).as("last_ok"))
+          .filter(col("o_custkey") < 200)
+          .orderBy("o_custkey", "o_orderkey")
+          .drop("o_totalprice")
+      },
+      Some("SELECT o_custkey, o_orderkey, " +
+        "CAST(RANK() OVER w AS BIGINT) AS rnk, " +
+        "CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk, " +
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
+        "LAG(o_totalprice, 1) OVER w AS prev_price, " +
+        "LEAD(o_totalprice, 1) OVER w AS next_price, " +
+        "FIRST_VALUE(o_orderkey) OVER wf AS first_ok, " +
+        "LAST_VALUE(o_orderkey) OVER wf AS last_ok " +
+        "FROM orders WHERE o_custkey < 200 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey), " +
+        "wf AS (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey")),
+
     GraftQuery("q36_rollup",
       (s, d) => T(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
