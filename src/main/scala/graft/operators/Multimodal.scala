@@ -69,6 +69,48 @@ object Multimodal {
   def filterByMeta(df: DataFrame, minW: Int, minH: Int): DataFrame =
     df.filter(col("meta.width") >= minW && col("meta.height") >= minH)
 
+  /** Resize: STUB transform — a real codec would re-encode the payload;
+    * here the payload is truncated deterministically and the metadata
+    * updated, preserving the narrow (no-shuffle) per-partition shape. */
+  def resize(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.meta.width <= maxW && r.meta.height <= maxH) r
+      else {
+        val scale = math.min(maxW.toDouble / r.meta.width, maxH.toDouble / r.meta.height)
+        val keep = math.max(1, (r.payload.length * scale).toInt)
+        r.copy(payload = r.payload.take(keep),
+          meta = r.meta.copy(
+            width = math.max(1, (r.meta.width * scale).toInt),
+            height = math.max(1, (r.meta.height * scale).toInt)))
+      }
+    })
+  }
+
+  /** Frame sampling for video-kind records: one output row per sampled
+    * frame at a fixed interval. Implemented as a flatMap (narrow); frames
+    * are deterministic byte slices standing in for decoded frames. The
+    * per-record fan-out is bounded by maxFrames, so row growth is
+    * controlled — the knob that matters when a 2-hour video would
+    * otherwise explode into 200k rows. */
+  def sampleFrames(
+      media: Dataset[MediaRecord],
+      intervalMs: Long,
+      maxFrames: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val n = math.min(maxFrames,
+        math.max(1, (r.meta.durationMs / math.max(1, intervalMs)).toInt))
+      (0 until n).map { i =>
+        val tsMs = i * intervalMs
+        // STUB frame decode: a deterministic slice of the payload
+        val off = if (r.payload.isEmpty) 0 else (i * 31) % math.max(1, r.payload.length)
+        val frame = r.payload.slice(off, math.min(off + 16, r.payload.length))
+        (r.media_id, i, tsMs, frame)
+      }
+    }.toDF("media_id", "frame_idx", "ts_ms", "frame")
+  }
+
   /** Deterministic synthetic media table derived from `documents` (the
     * container has no real media): payload = utf8 bytes, metadata derived
     * from sizes. Lets every downstream op run end-to-end in tests. */

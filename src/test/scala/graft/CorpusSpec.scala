@@ -72,6 +72,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash estimates track exact jaccard on shared candidate pairs") {
+    // q46's signature estimate vs true FULL-shingle-set jaccard for its
+    // candidate pairs (not q45's df-filtered variant — minhash signatures
+    // sketch the complete set). Sketch theory: stderr ≈ 1/√128 ≈ 0.09.
+    import graft.functions.WordShingles
+    WordShingles.register(spark)
+    val est = SparkEntry.queries("q46_dedup_minhash_lsh")(spark, sf)
+      .select(col("a"), col("b"), col("est_jaccard"))
+    val sh = Tables.load(spark, sf, "documents").select(col("doc_id"),
+      explode(WordShingles.wordShingles(col("text"), 3)).as("s"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val exact = inter
+      .join(card.select(col("doc_id").as("a"), col("c").as("ca")), "a")
+      .join(card.select(col("doc_id").as("b"), col("c").as("cb")), "b")
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("ca") + col("cb") - col("i"))).as("jac"))
+    val joined = est.join(exact, Seq("a", "b")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (e, j) = (r.getAs[Double]("est_jaccard"), r.getAs[Double]("jac"))
+      assert(math.abs(e - j) < 0.25, s"pair (${r.get(0)},${r.get(1)}): est=$e exact=$j")
+    }
+  }
+
   test("q47 simhash pairs respect the hamming threshold") {
     val r = SparkEntry.queries("q47_dedup_simhash")(spark, sf).collect()
     r.foreach(row => assert(row.getLong(2) <= 3))

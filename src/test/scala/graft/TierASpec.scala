@@ -229,6 +229,23 @@ class TierASpec extends AnyFunSuite {
 
   // ---- Multimodal plumbing ----
 
+  test("multimodal: resize bounds metadata; frame sampling bounds fan-out") {
+    import org.apache.spark.sql.functions.{max => smax}
+    val media = Multimodal.syntheticMedia(spark, sf)
+    val resized = Multimodal.resize(media, 640, 480).cache()
+    assert(resized.count() == 500)
+    assert(resized.filter(col("meta.width") > 640 || col("meta.height") > 480).count() == 0)
+    // idempotent: resizing an already-small record is a no-op
+    val twice = Multimodal.resize(resized, 640, 480)
+    assert(twice.toDF().except(resized.toDF()).count() == 0)
+
+    val frames = Multimodal.sampleFrames(media, intervalMs = 500, maxFrames = 8).cache()
+    assert(frames.count() > 0)
+    assert(frames.groupBy("media_id").count()
+      .filter(col("count") > 8).count() == 0) // fan-out bounded
+    assert(frames.agg(smax(col("frame_idx"))).head.getInt(0) <= 7)
+  }
+
   test("multimodal: features are deterministic, fixed-dim, metadata prunes") {
     val media = Multimodal.syntheticMedia(spark, sf)
     val f1 = Multimodal.extractFeatures(media).cache()
