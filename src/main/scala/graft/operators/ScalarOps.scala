@@ -171,6 +171,26 @@ object ScalarOps {
         "WHERE p_type LIKE '%ECO%' OR p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') " +
         "GROUP BY p_type ORDER BY p_type")),
 
+    // Deterministic string aggregation: collect_list order is undefined,
+    // so sort before joining — mirrors string_agg(... ORDER BY) exactly.
+    GraftQuery("q65_string_agg",
+      (s, d) => T(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey"),
+      Some("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations, " +
+        "COUNT(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")),
+
+    GraftQuery("q66_union_all",
+      (s, d) => {
+        val a = T(s, d, "orders").select(col("o_custkey").as("k"))
+        val b = T(s, d, "customer").select(col("c_custkey").as("k"))
+        a.unionAll(b).agg(count(lit(1)).as("n"), countDistinct(col("k")).as("dk"))
+      },
+      Some("SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS dk FROM " +
+        "(SELECT o_custkey AS k FROM orders UNION ALL SELECT c_custkey FROM customer)")),
+
     GraftQuery("q37_math_suite",
       (s, d) => T(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"),
