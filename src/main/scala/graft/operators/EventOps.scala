@@ -112,6 +112,26 @@ object EventOps {
         .orderBy("event_type"),
       None),
 
+    // Range join (theta-join row): events within the preceding 5 minutes
+    // for the same user. The oracle states it as the inequality self-join;
+    // the Spark plan is the O(n log n) form — a RANGE window frame in
+    // microseconds ([-5min, -1µs] ≡ b.ts >= a.ts - 5min AND b.ts < a.ts),
+    // which shuffles once on user_id instead of materializing pair blowup.
+    GraftQuery("q67_range_join",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-300000000L, -1L)
+        ev(s, d)
+          .withColumn("prior_5m", count(lit(1)).over(w))
+          .filter(col("event_type") === "error")
+          .select("event_id", "prior_5m")
+          .orderBy("event_id")
+      },
+      Some("SELECT a.event_id, COUNT(b.event_id) AS prior_5m FROM events a " +
+        "LEFT JOIN events b ON a.user_id = b.user_id AND b.ts < a.ts " +
+        "AND b.ts >= a.ts - INTERVAL 5 MINUTE " +
+        "WHERE a.event_type = 'error' GROUP BY a.event_id ORDER BY a.event_id")),
+
     GraftQuery("q57_json_extract",
       (s, d) => ev(s, d)
         .select(col("event_type"),
