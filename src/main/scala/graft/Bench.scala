@@ -37,7 +37,11 @@ object Bench {
 
     materialize("q02_count") // warmup: session + codegen + parquet footers
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args restrict the run to named queries (local iteration);
+    // the driver passes none and benches the full corpus.
+    val names =
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -24,6 +24,12 @@ case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // Null ELEMENTS make the result null regardless of child nullability;
+  // without this override, non-nullable inputs give ev.isNull =
+  // FalseLiteral and the generated `false = true;` fails to compile
+  // (silent fallback to interpreted), and interpreted eval could return
+  // null from an expression Spark believes non-nullable (ADVICE r01).
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {

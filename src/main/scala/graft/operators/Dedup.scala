@@ -40,6 +40,25 @@ object Dedup {
   private val NumPerm = graft.functions.MinHashSig.NumPerm
   private val Bands = 16
   private val RowsPerBand = NumPerm / Bands
+  // Skew control for LSH banding: a band bucket larger than this is
+  // dropped the way q45 drops hot shingles — a degenerate corpus of
+  // near-identical docs would otherwise make one bucket quadratic.
+  // C(256,2) ≈ 33k pairs bounds the worst group's expansion.
+  private val MaxBandBucket = 256
+
+  /** Ordered in-group pair expansion: rows of sorted id-arrays →
+    * (a, b) with a < b, via two `posexplode`s and an index inequality.
+    * Both Generates stay in whole-stage codegen — the round-1 nested
+    * `transform(slice(...))` form computed the same pairs through
+    * interpreted higher-order functions and was 5× the DuckDB baseline.
+    * Callers bound the group size (df / bucket caps), so the n² expansion
+    * this produces before the filter is capped per group. */
+  private def pairExpand(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("ids"), posexplode(col("ids")).as(Seq("pi", "a")))
+      .select(col("pi"), col("a"), posexplode(col("ids")).as(Seq("pj", "b")))
+      .filter(col("pj") > col("pi"))
+      .select("a", "b")
 
   /** doc_id → 128-long MinHash signature over distinct 3-gram shingles,
     * via the native MinHashSig expression (one compiled loop per row; the
@@ -74,27 +93,31 @@ object Dedup {
     GraftQuery("q45_dedup_ngram_jaccard",
       (s, d) => {
         graft.functions.WordShingles.register(s)
+        // Shingles are hashed to 64-bit keys post-explode (codegen
+        // xxhash64) so the inverted-list shuffle carries (long, int)
+        // instead of 3-word strings — same intersection counts modulo a
+        // vanishing 64-bit collision probability, and the oracle's
+        // string-keyed form verifies no collision bites this corpus.
         val sh = docs(s, d).select(col("doc_id"),
-          explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("s"))
+          explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("s3"))
+          .select(col("doc_id"), xxhash64(col("s3")).as("s"))
         // ONE shuffle builds the inverted lists; the df∈[2,20] filter is a
         // size predicate on the list (shingles are distinct per doc, so
-        // list length == document frequency). Persisted: feeds both the
-        // per-doc cardinalities and the pair expansion.
+        // list length == document frequency). Both consumers (per-doc
+        // cardinalities and the pair expansion) share the physical
+        // Exchange via ReuseExchange — measurably cheaper than persist(),
+        // which paid cache serialization for a subplan read only twice.
         val grouped = sh.groupBy("s")
           .agg(sort_array(collect_list("doc_id")).as("ids"))
           .filter(size(col("ids")).between(2, 20))
-          .persist()
         val card = grouped.select(explode(col("ids")).as("doc_id"))
           .groupBy("doc_id").agg(count(lit(1)).as("c"))
         // Pair generation via in-group expansion instead of a shingle
         // self-join: the df ≤ 20 bound caps every group at C(20,2)=190
         // pairs, so the expansion is tiny and the two SMJ sorts of the
         // naive self-join disappear.
-        val inter = grouped
-          .select(explode(flatten(transform(col("ids"), (x, i) =>
-            transform(slice(col("ids"), i + 2, size(col("ids"))),
-              y => struct(x.as("a"), y.as("b")))))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        val inter = pairExpand(grouped)
+          .groupBy("a", "b")
           .agg(count(lit(1)).as("i"))
         inter
           .join(card.select(col("doc_id").as("a"), col("c").as("ca")), "a")
@@ -130,11 +153,14 @@ object Dedup {
           xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)))
         val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
           .toDF("doc_id", "band", "bh")
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
+        // Candidate pairs by in-bucket expansion (one shuffle on the band
+        // hash, every group bounded by MaxBandBucket) instead of the
+        // round-1 bands⋈bands self-join, whose hottest bucket is
+        // unbounded-quadratic on a degenerate near-identical corpus.
+        val buckets = bands.groupBy("band", "bh")
+          .agg(sort_array(collect_list("doc_id")).as("ids"))
+          .filter(size(col("ids")).between(2, MaxBandBucket))
+        val cand = pairExpand(buckets).distinct()
         cand
           .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
           .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), "b")

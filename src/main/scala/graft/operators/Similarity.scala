@@ -29,23 +29,6 @@ object Similarity {
 
   private val QueryCount = 20 // vec_id < 20 are the query vectors
   private val TopK = 5
-  private val HyperplaneBits = 6
-  private val Dim = 64
-
-  /** Deterministic pseudo-hyperplane component r(j,k) ∈ [-1, 1]. */
-  private def hp(j: Column, k: Column): Column =
-    (pmod(xxhash64(concat(lit("hp"), j, lit("_"), k)), lit(2000001L)) -
-      lit(1000000L)).cast("double") / 1000000.0
-
-  /** Sign bucket of a vector under the fixed hyperplanes. */
-  private def bucket(v: Column): Column = {
-    val vd = v.cast("array<double>")
-    array_join(
-      transform(sequence(lit(0), lit(HyperplaneBits - 1)), j =>
-        when(aggregate(sequence(lit(0), lit(Dim - 1)), lit(0.0),
-          (acc, k) => acc + hp(j, k) * get(vd, k)) > 0, lit(1)).otherwise(lit(0))),
-      "")
-  }
 
   private def topkPerQuery(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
@@ -86,6 +69,11 @@ object Similarity {
     // probe the nprobe nearest lists per query, exact-rerank inside them.
     // At scale the cluster assignment is a narrow broadcast-scored map and
     // each query touches |corpus|·nprobe/K candidates instead of all.
+    // Assignment is a map-side-combined max_by per vec_id: the corpus ×
+    // K-centroid scoring collapses to one row per vector BEFORE the
+    // groupBy shuffle (broadcast cross-join keeps corpus partitioning), so
+    // the shuffle carries |corpus| rows, not the K-fold blowup a
+    // row_number window over the scored pairs would materialize.
     GraftQuery("q58_ann_ivf",
       (s, d) => {
         graft.functions.CosineSim.register(s)
@@ -96,12 +84,19 @@ object Similarity {
         val scored = e.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("embedding"), col("cid"),
             cosine(col("embedding"), col("cv")).as("sim"))
-        val wAssign = org.apache.spark.sql.expressions.Window
+        // argmax by (sim desc, cid asc): max_by on (sim, -cid) struct order
+        val corpusList = scored.groupBy("vec_id")
+          .agg(max_by(struct(col("cid"), col("embedding")),
+            struct(col("sim"), (-col("cid")).as("nc"))).as("best"))
+          .select(col("vec_id").as("n"), col("best.embedding").as("nv"),
+            col("best.cid").as("cid"))
+        // Probe lists only exist for the tiny query set — the window here
+        // runs over QueryCount × K rows, not the corpus.
+        val wProbe = org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-        val assign = scored.withColumn("arn", row_number().over(wAssign))
-        val corpusList = assign.filter(col("arn") === 1)
-          .select(col("vec_id").as("n"), col("embedding").as("nv"), col("cid"))
-        val probes = assign.filter(col("vec_id") < QueryCount && col("arn") <= NProbe)
+        val probes = scored.filter(col("vec_id") < QueryCount)
+          .withColumn("arn", row_number().over(wProbe))
+          .filter(col("arn") <= NProbe)
           .select(col("vec_id").as("q"), col("embedding").as("qv"), col("cid"))
         val pairs = corpusList.join(broadcast(probes), Seq("cid"))
           .filter(col("q") =!= col("n"))
@@ -112,10 +107,15 @@ object Similarity {
 
     // LSH-bucketed ANN: same output shape as q49 so recall is directly
     // comparable; approximation is engine-specific → rows-only check.
+    // Bucketing is the native HyperplaneLsh expression (fused codegen
+    // Bits×Dim loop over a constant matrix); the round-1 interpreted HOF
+    // form was the bench's worst query at 18 s.
     GraftQuery("q50_ann_lsh",
       (s, d) => {
         graft.functions.CosineSim.register(s)
-        val e = emb(s, d).withColumn("bkt", bucket(col("embedding")))
+        graft.functions.HyperplaneLsh.register(s)
+        val e = emb(s, d).withColumn("bkt",
+          graft.functions.HyperplaneLsh.hplsh(col("embedding")))
         val q = e.filter(col("vec_id") < QueryCount)
           .select(col("vec_id").as("q"), col("embedding").as("qv"), col("bkt"))
         val c = e.select(col("vec_id").as("n"), col("embedding").as("nv"), col("bkt"))
