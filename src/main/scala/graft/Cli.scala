@@ -87,7 +87,16 @@ object Cli {
         case "tables" =>
           spark.catalog.listTables().show(truncate = false)
         case sql =>
-          try spark.sql(sql).show(100, truncate = false)
+          // UPDATE/DELETE on Delta table paths route to the copy-on-write
+          // DML engine (the reference REPL's non-SELECT dispatch,
+          // query_sync_table.py:123-125); everything else is spark.sql —
+          // including CREATE SCHEMA/DATABASE and USE qualification.
+          try graft.sources.DeltaDml.dispatch(spark, sql) match {
+            case Some(r) =>
+              println(s"${r.affectedRows} rows affected " +
+                s"(${r.rewrittenFiles} files rewritten, version ${r.version})")
+            case None => spark.sql(sql).show(100, truncate = false)
+          }
           catch { case e: Exception => println(s"error: ${e.getMessage}") }
       }
   }

@@ -32,7 +32,11 @@ final class PathResolver(mapping: Map[String, String] = Map.empty)
         mapping.getOrElse(ref,
           throw new IllegalArgumentException(s"unknown catalog table: $ref"))
       else ref
-    spark.read.parquet(path)
+    // Delta tables resolve through the transaction log (the reference's
+    // delta_scan path); anything else is a plain parquet file/directory.
+    if (graft.sources.DeltaLog.isDeltaTable(spark, path))
+      graft.sources.DeltaLog.read(spark, path)
+    else spark.read.parquet(path)
   }
 }
 

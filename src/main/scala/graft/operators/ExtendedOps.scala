@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Implied-surface rows VERDICT r01 flagged with no passing query:
+  * right/full outer join (q68), CUBE (q69), MapType construction +
+  * access (q70). Scale notes: q68's right join broadcasts the filtered
+  * 2-row region dim; the full join shuffles both sides once on the join
+  * key (outer joins can't broadcast the preserved side). q69 is one
+  * shuffle with partial aggregation (CUBE expands grouping ids
+  * map-side). q70 is a narrow projection — maps never shuffle.
+  */
+object ExtendedOps {
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Right outer (all nations survive a filtered region dim) feeding a
+    // full outer against per-nation customer counts over a disjoint key
+    // range — rows exist on the left only, right only, and both.
+    GraftQuery("q68_outer_joins",
+      (s, d) => {
+        val r2 = T(s, d, "region").filter(col("r_regionkey") < 2)
+        val rj = r2.join(T(s, d, "nation"),
+            r2("r_regionkey") === col("n_regionkey"), "right")
+          .select(col("n_nationkey"), coalesce(col("r_name"), lit("NONE")).as("r_name"))
+          .filter(col("n_nationkey") >= 5)
+        val cn = T(s, d, "customer").filter(col("c_nationkey") < 10)
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+        rj.join(cn, rj("n_nationkey") === cn("c_nationkey"), "full")
+          .select(
+            coalesce(col("n_nationkey"), col("c_nationkey")).as("k"),
+            coalesce(col("r_name"), lit("??")).as("r_name"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+          .orderBy("k")
+      },
+      Some("""WITH rj AS (
+        |  SELECT n_nationkey, COALESCE(r_name, 'NONE') AS r_name
+        |  FROM (SELECT * FROM region WHERE r_regionkey < 2) r
+        |  RIGHT JOIN nation ON r.r_regionkey = nation.n_regionkey
+        |  WHERE n_nationkey >= 5),
+        |cn AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        |  WHERE c_nationkey < 10 GROUP BY c_nationkey)
+        |SELECT COALESCE(n_nationkey, c_nationkey) AS k,
+        |  COALESCE(r_name, '??') AS r_name, COALESCE(n_cust, 0) AS n_cust
+        |FROM rj FULL JOIN cn ON rj.n_nationkey = cn.c_nationkey
+        |ORDER BY k""".stripMargin.replace("\n", " "))),
+
+    // CUBE over (returnflag, linestatus): all four grouping combinations
+    // in one pass. NULLS FIRST pinned — Spark/DuckDB defaults differ.
+    GraftQuery("q69_cube",
+      (s, d) => T(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("c"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sq"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("SELECT l_returnflag, l_linestatus, COUNT(*) AS c, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST")),
+
+    // MapType: build a map per row, read it back via element_at, count
+    // keys. The oracle states the equivalent result without maps (DuckDB
+    // map-extract returns lists in 1.0 — semantics differ, results must
+    // not).
+    GraftQuery("q70_map_access",
+      (s, d) => T(s, d, "events")
+        .filter(col("event_id") <= 100)
+        .select(col("event_id"),
+          map(lit("value"), col("value"),
+            lit("uid"), col("user_id").cast("double")).as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "value").as("mv"),
+          element_at(col("m"), "uid").as("mu"),
+          size(map_keys(col("m"))).cast("long").as("nk"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, value AS mv, CAST(user_id AS DOUBLE) AS mu, " +
+        "CAST(2 AS BIGINT) AS nk FROM events WHERE event_id <= 100 " +
+        "ORDER BY event_id"))
+  )
+}

@@ -1,0 +1,230 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Minimal Delta Lake commit writer (public protocol, see [[DeltaLog]]):
+  * data files are written distributed (plain parquet through the normal
+  * Spark writer — partitioned writes keep hive-style layout), then ONE
+  * driver-side metadata commit appends `<version>.json` to `_delta_log/`.
+  * The commit rename is the atomicity point: `FileSystem.rename` onto an
+  * existing name fails, so two racing writers cannot both claim a
+  * version (the loser gets a conflict error, as in Delta's optimistic
+  * concurrency).
+  *
+  * Covers the reference's `USING DELTA` DDL surface
+  * (unity_catalog_scd.py:123-128) with create / append / overwrite,
+  * plus parquet checkpoints + `_last_checkpoint` so logs replay in
+  * O(commits-since-checkpoint) instead of O(all commits).
+  */
+object DeltaWrite {
+
+  private val mapper = new ObjectMapper()
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Write `df` as a new commit. Mode semantics:
+    *   - Overwrite: previous live files are removed in the same commit
+    *     (copy-on-write replace — time travel still sees them);
+    *   - Append: adds only;
+    *   - ErrorIfExists: table must not exist yet (version 0).
+    */
+  def write(df: DataFrame, tablePath: String,
+      mode: SaveMode = SaveMode.ErrorIfExists,
+      partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    val exists = f.exists(DeltaLog.logDir(tablePath))
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"Delta table already exists: $tablePath")
+      case SaveMode.Ignore if exists => return DeltaLog.latestVersion(spark, tablePath)
+      case _ =>
+    }
+
+    val adds = writeDataFiles(df, tablePath, partitionBy)
+    val removes: Seq[String] =
+      if (exists && mode == SaveMode.Overwrite)
+        DeltaLog.snapshot(spark, tablePath).files.map(_.path)
+      else Nil
+
+    val actions = mutable.Buffer[ObjectNode]()
+    if (!exists) actions += protocolAction()
+    if (!exists || mode == SaveMode.Overwrite)
+      actions += metaDataAction(df, partitionBy)
+    actions ++= removes.map(removeAction)
+    actions ++= adds.map(addAction)
+    commit(spark, tablePath, actions.toSeq,
+      operation = if (exists) mode.toString.toUpperCase else "CREATE TABLE")
+  }
+
+  /** Append a commit of explicit actions (used by [[DeltaDml]]). Returns
+    * the committed version. */
+  private[sources] def commit(spark: SparkSession, tablePath: String,
+      actions: Seq[ObjectNode], operation: String): Long = {
+    val dir = DeltaLog.logDir(tablePath)
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    val version = nextVersion(f, dir)
+    val info = mapper.createObjectNode()
+    info.set[ObjectNode]("commitInfo", mapper.createObjectNode()
+      .put("operation", operation).put("engineInfo", "graft-spark"))
+    val body = (info +: actions).map(mapper.writeValueAsString).mkString("\n")
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val target = new Path(dir, f"$version%020d.json")
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent Delta commit conflict at version $version for $tablePath")
+    }
+    version
+  }
+
+  /** Write a parquet checkpoint of the current snapshot plus the
+    * `_last_checkpoint` pointer, so readers skip replaying old commits. */
+  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val ckptSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType), StructField("size", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("modificationTime", LongType),
+        StructField("partitionValues", MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType), StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)))))))
+    val rows: Seq[Row] =
+      Seq(Row(null, Row(1, 2), null),
+        Row(null, null, Row(java.util.UUID.randomUUID().toString,
+          snap.schema.json, snap.partitionColumns))) ++
+      snap.files.map(a =>
+        Row(Row(a.path, a.size, false, 0L, Map.empty[String, String]), null, null))
+    val dir = DeltaLog.logDir(tablePath)
+    val f = fs(spark, dir)
+    val staging = new Path(dir, s".ckpt-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1).asInstanceOf[org.apache.spark.rdd.RDD[Row]],
+        ckptSchema)
+      .write.mode("overwrite").parquet(staging.toString)
+    val part = f.listStatus(staging).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
+    val target = new Path(dir, f"${snap.version}%020d.checkpoint.parquet")
+    f.delete(target, false)
+    if (!f.rename(part, target))
+      throw new IllegalStateException(s"could not place checkpoint $target")
+    f.delete(staging, true)
+    val lc = f.create(new Path(dir, "_last_checkpoint"), true)
+    try lc.write(s"""{"version":${snap.version},"size":${snap.files.size + 2}}"""
+      .getBytes("UTF-8")) finally lc.close()
+    snap.version
+  }
+
+  /** Distributed data-file write: stage through a hidden subdirectory,
+    * then move the part files into the table root (keeping any hive-style
+    * partition subpaths). Only file METADATA moves through the driver. */
+  private[sources] def writeDataFiles(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String]): Seq[DeltaLog.AddEntry] = {
+    val spark = df.sparkSession
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    val staging = new Path(table, s".staging-${java.util.UUID.randomUUID()}")
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(staging.toString)
+
+    val adds = mutable.Buffer[DeltaLog.AddEntry]()
+    def walk(p: Path, rel: String): Unit =
+      f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, s"$rel$name/")
+        else if (name.startsWith("part-") && name.endsWith(".parquet")) {
+          val relPath = s"$rel$name"
+          val target = new Path(table, relPath)
+          f.mkdirs(target.getParent)
+          if (!f.rename(st.getPath, target))
+            throw new IllegalStateException(s"could not move data file to $target")
+          adds += DeltaLog.AddEntry(relPath, st.getLen)
+        }
+      }
+    walk(staging, "")
+    f.delete(staging, true)
+    adds.toSeq
+  }
+
+  private[sources] def addAction(a: DeltaLog.AddEntry): ObjectNode = {
+    val n = mapper.createObjectNode()
+    val add = mapper.createObjectNode()
+      .put("path", a.path).put("size", a.size)
+      .put("modificationTime", 0L).put("dataChange", true)
+    add.set[ObjectNode]("partitionValues", partitionValuesOf(a.path))
+    n.set[ObjectNode]("add", add)
+    n
+  }
+
+  private[sources] def removeAction(path: String): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.set[ObjectNode]("remove", mapper.createObjectNode()
+      .put("path", path).put("dataChange", true).put("deletionTimestamp", 0L))
+    n
+  }
+
+  /** Recover `col=value` partition values from a hive-style relative
+    * path, as the protocol requires them recorded on every `add`. */
+  private def partitionValuesOf(relPath: String): ObjectNode = {
+    val pv = mapper.createObjectNode()
+    relPath.split("/").dropRight(1).foreach { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) =>
+          pv.put(java.net.URLDecoder.decode(k, "UTF-8"),
+            java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ =>
+      }
+    }
+    pv
+  }
+
+  private def metaDataAction(df: DataFrame, partitionBy: Seq[String]): ObjectNode = {
+    val n = mapper.createObjectNode()
+    val md = mapper.createObjectNode()
+      .put("id", java.util.UUID.randomUUID().toString)
+      .put("schemaString", df.schema.json)
+      .put("createdTime", 0L)
+    val fmt = mapper.createObjectNode().put("provider", "parquet")
+    fmt.set[ObjectNode]("options", mapper.createObjectNode())
+    md.set[ObjectNode]("format", fmt)
+    val pc = JsonNodeFactory.instance.arrayNode()
+    partitionBy.foreach(pc.add)
+    md.set[ObjectNode]("partitionColumns", pc)
+    md.set[ObjectNode]("configuration", mapper.createObjectNode())
+    n.set[ObjectNode]("metaData", md)
+    n
+  }
+
+  private def protocolAction(): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.set[ObjectNode]("protocol", mapper.createObjectNode()
+      .put("minReaderVersion", 1).put("minWriterVersion", 2))
+    n
+  }
+
+  private def nextVersion(f: FileSystem, dir: Path): Long = {
+    val existing = f.listStatus(dir).map(_.getPath.getName).collect {
+      case n if n.length == 25 && n.endsWith(".json") &&
+        n.dropRight(5).forall(_.isDigit) => n.dropRight(5).toLong
+    }
+    if (existing.isEmpty) 0L else existing.max + 1
+  }
+}

@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaDml, DeltaLog, DeltaWrite}
+
+/** Specs for the public-protocol Delta source: log replay, time travel,
+  * checkpoints, partitioned layout, copy-on-write DML, and the REPL
+  * dispatch — the A1 / Tier B "Delta scan" + "Delta create/write" +
+  * "UPDATE/DELETE DML" rows VERDICT r01 flagged.  */
+class DeltaSourceSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-delta-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-delta").resolve("t").toString
+
+  test("create + read roundtrip preserves rows and schema") {
+    val t = tmpTable()
+    val nation = Tables.load(spark, sf, "nation")
+    val v = DeltaWrite.write(nation, t)
+    assert(v == 0L)
+    val back = DeltaLog.read(spark, t)
+    assert(back.schema == nation.schema)
+    assert(back.count() == nation.count())
+    assert(back.orderBy("n_nationkey").collect()
+      .sameElements(nation.orderBy("n_nationkey").collect()))
+  }
+
+  test("append adds rows; overwrite replaces; time travel sees history") {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
+    val v1 = DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+    assert(v1 == 1L)
+    assert(DeltaLog.read(spark, t).count() == 3)
+    val v2 = DeltaWrite.write(Seq((9, "z")).toDF("id", "s"), t, SaveMode.Overwrite)
+    assert(v2 == 2L)
+    assert(DeltaLog.read(spark, t).collect().map(_.getInt(0)).toSeq == Seq(9))
+    // time travel: v0 = {1,2}, v1 = {1,2,3}
+    assert(DeltaLog.read(spark, t, Some(0L)).count() == 2)
+    assert(DeltaLog.read(spark, t, Some(1L)).count() == 3)
+  }
+
+  test("checkpoint replaces commit replay (old commits deletable)") {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append)
+    val ckptV = DeltaWrite.checkpoint(spark, t)
+    assert(ckptV == 1L)
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+    // Prove the checkpoint carries the full state: remove the JSON
+    // commits it supersedes and replay must still succeed.
+    val fs = DeltaLog.logDir(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to ckptV).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(DeltaLog.logDir(t), f"$v%020d.json"), false)
+    }
+    val ids = DeltaLog.read(spark, t).collect().map(_.getInt(0)).toSet
+    assert(ids == Set(1, 2, 3))
+  }
+
+  test("partitioned write records partition values and reads them back") {
+    val t = tmpTable()
+    import spark.implicits._
+    val df = Seq((1, "x", "eu"), (2, "y", "eu"), (3, "z", "us"))
+      .toDF("id", "s", "region")
+    DeltaWrite.write(df, t, partitionBy = Seq("region"))
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.partitionColumns == Seq("region"))
+    assert(snap.files.forall(_.path.contains("region=")))
+    val back = DeltaLog.read(spark, t)
+    assert(back.filter(col("region") === "eu").count() == 2)
+    assert(back.schema.fieldNames.contains("region"))
+  }
+
+  test("UPDATE rewrites only hit files and applies assignments") {
+    val t = tmpTable()
+    import spark.implicits._
+    // two partitions → two files; the update hits only region=eu
+    DeltaWrite.write(
+      Seq((1, 10.0, "eu"), (2, 20.0, "eu"), (3, 30.0, "us")).toDF("id", "v", "region"),
+      t, partitionBy = Seq("region"))
+    val r = DeltaDml.update(spark, t,
+      col("region") === "eu" && col("id") === 1,
+      Seq("v" -> (col("v") * 10)))
+    assert(r.affectedRows == 1L)
+    assert(r.rewrittenFiles == 1) // the us file is untouched
+    val rows = DeltaLog.read(spark, t).orderBy("id")
+      .collect().map(x => (x.getInt(0), x.getDouble(1)))
+    assert(rows.toSeq == Seq((1, 100.0), (2, 20.0), (3, 30.0)))
+  }
+
+  test("DELETE removes matching rows; history is time-travelable") {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write((1 to 10).map(i => (i, i % 2)).toDF("id", "par"), t)
+    val r = DeltaDml.delete(spark, t, col("par") === 0)
+    assert(r.affectedRows == 5L)
+    assert(DeltaLog.read(spark, t).count() == 5)
+    assert(DeltaLog.read(spark, t).filter(col("par") === 0).count() == 0)
+    assert(DeltaLog.read(spark, t, Some(0L)).count() == 10)
+  }
+
+  test("DML no-op when nothing matches (no new commit)") {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    val before = DeltaLog.latestVersion(spark, t)
+    val r = DeltaDml.delete(spark, t, col("id") === 999)
+    assert(r.affectedRows == 0L && r.rewrittenFiles == 0)
+    assert(DeltaLog.latestVersion(spark, t) == before)
+  }
+
+  test("REPL dispatch parses UPDATE/DELETE and routes to the DML engine") {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"), t)
+    val up = DeltaDml.dispatch(spark,
+      s"UPDATE $t SET s = upper(s) WHERE id >= 2")
+    assert(up.exists(_.affectedRows == 2L))
+    val del = DeltaDml.dispatch(spark, s"DELETE FROM $t WHERE id = 1")
+    assert(del.exists(_.affectedRows == 1L))
+    assert(DeltaDml.dispatch(spark, "SELECT 1").isEmpty)
+    val rows = DeltaLog.read(spark, t).orderBy("id")
+      .collect().map(x => (x.getInt(0), x.getString(1)))
+    assert(rows.toSeq == Seq((2, "B"), (3, "C")))
+  }
+
+  test("DeltaScanner resolves Delta paths through the log") {
+    val t = tmpTable()
+    val nation = Tables.load(spark, sf, "nation")
+    DeltaWrite.write(nation, t)
+    val scanner = new DeltaScanner(spark)
+    assert(scanner.getTableStats(t) == nation.count())
+    val top = scanner.query(t,
+      Some("SELECT COUNT(*) AS n FROM $TABLE WHERE n_regionkey = 0"))
+    assert(top.head.getLong(0) ==
+      nation.filter(col("n_regionkey") === 0).count())
+  }
+
+  test("unsupported reader protocol is rejected, not misread") {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    // Hand-write a protocol upgrade action the way a DV-enabled writer would.
+    val dir = DeltaLog.logDir(t)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"${1L}%020d.json"), false)
+    out.write(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
+        .getBytes("UTF-8"))
+    out.close()
+    intercept[UnsupportedOperationException] { DeltaLog.read(spark, t) }
+  }
+
+  test("filter pushdown reaches the parquet scan under a Delta read") {
+    val t = tmpTable()
+    val lineitem = Tables.load(spark, sf, "lineitem")
+    DeltaWrite.write(lineitem, t)
+    val q = DeltaLog.read(spark, t)
+      .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"expected pushed filter in:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>") ||
+      scan.contains("ReadSchema: struct<l_orderkey"), s"expected pruned schema in:\n$scan")
+  }
+}
