@@ -16,12 +16,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(rows, cols):
+    # Columns reorder by name (the driver does the same before hashing);
+    # rows stay in RESULT ORDER — every oracled query declares a total
+    # ORDER BY, and Verify writes coalesce(1) after the global sort, so
+    # both sides' row sequences are comparable as-is. (ADVICE r01: the
+    # old set-sorted compare could not catch ORDER BY violations that the
+    # driver's order-sensitive hash would flag.)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(norm(r[i]) for i in order))
-    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
     return [cols[i] for i in order], out
+
+
+def rows_sorted(rows):
+    return sorted(rows, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 def norm(v):
@@ -69,8 +78,13 @@ def main(sf_dir, out_dir):
             n_bad += 1
         elif dr != sr:
             n_bad += 1
-            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
-            print(f"FAIL {name}: values differ, first diffs (spark vs duck):")
+            if rows_sorted(dr) == rows_sorted(sr):
+                print(f"FAIL {name}: same rows, DIFFERENT ORDER "
+                      f"(ORDER BY violated or not total)")
+                diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+            else:
+                diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+                print(f"FAIL {name}: values differ, first diffs (spark vs duck):")
             for a, b in diffs:
                 print(f"   S={a}\n   D={b}")
         else:

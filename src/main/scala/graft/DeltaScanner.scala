@@ -53,8 +53,11 @@ final class DeltaScanner(
     spark: SparkSession,
     resolver: TableResolver = new PathResolver()) {
 
-  /** The temp view name `$TABLE` resolves to. */
-  private val ViewName = "graft_table"
+  /** `$TABLE` resolves to a fresh view name per query() call — a single
+    * fixed name would make two interleaved calls (or a lazily-consumed
+    * DataFrame evaluated after a later call) resolve against the wrong
+    * table (ADVICE r01). */
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Run SQL against a table. Reference semantics preserved exactly:
     *   - no SQL ⇒ `SELECT * FROM $TABLE LIMIT <limit>` (default 10,
@@ -68,8 +71,9 @@ final class DeltaScanner(
     sql match {
       case None => df.limit(limit)
       case Some(text) =>
-        df.createOrReplaceTempView(ViewName)
-        spark.sql(text.replace("$TABLE", ViewName))
+        val view = s"graft_table_${viewCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        spark.sql(text.replace("$TABLE", view))
     }
   }
 

@@ -87,6 +87,21 @@ object GraphPipeline {
       .select("cypher").as[String])
   }
 
+  /** A30: ingest the reference's CSV shape — header `cypher_json`, each
+    * cell a JSON string `{"cypher": <block>}` with escaped quotes
+    * (load_memgraph.py:17-26) — then parse/dedup as in load. */
+  def loadFromCsv(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val blocks = spark.read
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+      .select(get_json_object(col("cypher_json"), "$.cypher").as("cypher"))
+      .filter(col("cypher").isNotNull)
+      .as[String]
+    load(spark, blocks)
+  }
+
   /** Blocks → (nodes, edges) DataFrames with MERGE/dedup semantics. */
   def load(spark: SparkSession, blocks: Dataset[String]): (DataFrame, DataFrame) = {
     import spark.implicits._

@@ -111,12 +111,16 @@ object ScdPipeline {
     val toInsert = j.filter(hasS && (!hasT || isChanged))
       .select(businessKeys.map(col) ++ nonKey.map(c => col(s"s.$c")): _*)
 
-    // Surrogate ids: offset past the existing maximum, then a per-row
-    // unique increment; lazy end-to-end (the max is a broadcast scalar).
-    val maxId = target.agg(coalesce(max("scd_id"), lit(0L)).as("__max"))
-    val inserted = toInsert.crossJoin(broadcast(maxId))
-      .withColumn("scd_id", col("__max") + monotonically_increasing_id() + 1)
-      .drop("__max")
+    // One pass over the target yields the id offset AND the history
+    // count (ADVICE r01: history.count() was a second job per sync, and
+    // the old broadcast-scalar max subtree re-ran on every downstream
+    // materialization of the snapshot — costly in the streaming path).
+    val tstats = target.agg(
+      coalesce(max("scd_id"), lit(0L)).as("__max"),
+      coalesce(sum(when(!col("is_current"), 1).otherwise(0)), lit(0L)).as("__nh")).head
+    val (maxId, nHistory) = (tstats.getLong(0), tstats.getLong(1))
+    val inserted = toInsert
+      .withColumn("scd_id", lit(maxId) + monotonically_increasing_id() + 1)
       .withColumn("effective_date", lit(now))
       .withColumn("end_date", lit(null).cast("timestamp"))
       .withColumn("is_current", lit(true))
@@ -138,7 +142,6 @@ object ScdPipeline {
       coalesce(sum(when(hasT && !hasS, 1).otherwise(0)), lit(0L)).as("cur_only")).head
     val (nClosed, nNew, nUnchanged, nCurOnly) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
-    val nHistory = history.count()
     (result, ScdSummary(
       insertedNew = nNew + nClosed, // changed rows insert a fresh version
       closedChanged = nClosed,

@@ -62,21 +62,32 @@ object EventsStreaming {
     * EventOps.q52. State is one (sessions, lastTs, events) triple per
     * user; cumulative across micro-batches. A processing-time timeout
     * evicts idle keys so the state store stays bounded on an unbounded
-    * keyspace — a timed-out key's state is dropped and its totals emitted
-    * one last time. */
+    * keyspace; a timed-out key's state drops SILENTLY — its totals were
+    * already emitted when last updated, so emitting again would duplicate
+    * the final row in Update-mode sinks (ADVICE r01).
+    *
+    * Ordering contract (ADVICE r01): events are sorted by (ts, event_id)
+    * WITHIN a micro-batch; across batches the source is assumed
+    * near-in-order (a file feed of time-bucketed drops). An event that
+    * arrives in a later batch with ts ≤ the state's lastTs merges into
+    * the CURRENT session — it counts toward n_events and never opens a
+    * session, so late data can undercount session splits but never
+    * fabricates sessions or double-counts events. Exact out-of-order
+    * session reconstruction needs event-time buffering (watermark +
+    * session-window state holding per-session boundaries), which is the
+    * documented upgrade path, not this operator's contract. */
   def sessionize(
       events: Dataset[Event],
       idleEvictionMs: Long = 24L * 3600 * 1000): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60 * 1000
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, UserSessions](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
         case (uid, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val st = state.get
             state.remove()
-            UserSessions(uid, st.sessions, st.events)
+            Iterator.empty
           } else {
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
@@ -88,7 +99,7 @@ object EventsStreaming {
             }
             state.update(st)
             state.setTimeoutDuration(idleEvictionMs)
-            UserSessions(uid, st.sessions, st.events)
+            Iterator.single(UserSessions(uid, st.sessions, st.events))
           }
       }
   }

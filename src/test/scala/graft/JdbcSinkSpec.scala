@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ScdPipeline
+import graft.sources.JdbcUpsertSink
+import graft.sources.JdbcUpsertSink.{UpsertConnection, UpsertConnectionFactory}
+
+/** The JDBC upsert path with an in-memory fake connection: the statement
+  * text is asserted against the reference's ON CONFLICT form, and the
+  * full foreachPartition batching path runs (no driver jar in env). */
+object FakeDb {
+  // (table, key values) -> full row; shared across local "executors".
+  val store: TrieMap[(String, Seq[Any]), Seq[Any]] = TrieMap.empty
+  val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Applies postgres ON CONFLICT semantics structurally: the fake is
+    * constructed with the same (table, cols, keys) the writer was, so it
+    * does not parse SQL — the SQL text itself is covered by its own test. */
+  final class Factory(table: String, cols: Seq[String], keys: Seq[String])
+      extends UpsertConnectionFactory {
+    private val keyIdx = keys.map(cols.indexOf)
+    override def connect(): UpsertConnection = new UpsertConnection {
+      override def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit = {
+        require(sql == JdbcUpsertSink.postgresUpsertSql(table, cols, keys),
+          "writer must emit the statement it declared")
+        batches.incrementAndGet()
+        batch.foreach(row => store.put((table, keyIdx.map(row)), row))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+class JdbcSinkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-jdbc-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("postgres upsert statement matches the reference dialect form") {
+    assert(JdbcUpsertSink.postgresUpsertSql("dim_c", Seq("id", "name", "v"), Seq("id")) ==
+      "INSERT INTO dim_c (id, name, v) VALUES (?, ?, ?) " +
+        "ON CONFLICT (id) DO UPDATE SET name = EXCLUDED.name, v = EXCLUDED.v")
+    assert(JdbcUpsertSink.postgresUpsertSql("k", Seq("a", "b"), Seq("a", "b")) ==
+      "INSERT INTO k (a, b) VALUES (?, ?) ON CONFLICT (a, b) DO NOTHING")
+    intercept[IllegalArgumentException] {
+      JdbcUpsertSink.postgresUpsertSql("t", Seq("a"), Seq("missing"))
+    }
+  }
+
+  test("write inserts then upserts through foreachPartition batches") {
+    import spark.implicits._
+    FakeDb.store.clear(); FakeDb.batches.set(0)
+    val cols = Seq("id", "name")
+    val factory = new FakeDb.Factory("t1", cols, Seq("id"))
+    val n1 = JdbcUpsertSink.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name").repartition(3),
+      factory, "t1", Seq("id"), batchSize = 2)
+    assert(n1 == 3)
+    assert(FakeDb.store.size == 3)
+    // conflict path: same keys, new values
+    val n2 = JdbcUpsertSink.write(
+      Seq((2L, "B!"), (4L, "d")).toDF("id", "name"), factory, "t1", Seq("id"))
+    assert(n2 == 2)
+    assert(FakeDb.store.size == 4)
+    assert(FakeDb.store(("t1", Seq(2L))) == Seq(2L, "B!"))
+    assert(FakeDb.store(("t1", Seq(1L))) == Seq(1L, "a"))
+  }
+
+  test("ScdPipeline snapshot emits to the sink (reference SCD target path)") {
+    import spark.implicits._
+    FakeDb.store.clear()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-02-01 00:00:00")
+    val b0 = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val (snap0, _) = ScdPipeline.sync(
+      ScdPipeline.emptyTarget(b0), b0, Seq("id"), now = t0)
+    val cols = snap0.columns.toSeq
+    val factory = new FakeDb.Factory("scd_t", cols, Seq("scd_id"))
+    JdbcUpsertSink.write(snap0, factory, "scd_t", Seq("scd_id"))
+    assert(FakeDb.store.size == 2)
+
+    val b1 = Seq((1L, "x2"), (3L, "z")).toDF("id", "v") // 1 changes, 3 is new
+    val (snap1, sum1) = ScdPipeline.sync(snap0, b1, Seq("id"), now = t1)
+    JdbcUpsertSink.write(snap1, factory, "scd_t", Seq("scd_id"))
+    assert(sum1.closedChanged == 1 && sum1.insertedNew == 2)
+    // closed v1 of id=1, current v2 of id=1, current id=2, current id=3
+    assert(FakeDb.store.size == 4)
+    val idIdx = cols.indexOf("id"); val curIdx = cols.indexOf("is_current")
+    val currentIds = FakeDb.store.values
+      .filter(r => r(curIdx) == true).map(r => r(idIdx)).toSet
+    assert(currentIds == Set(1L, 2L, 3L))
+  }
+}

@@ -80,6 +80,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.select("ws", "event_type", "n").except(batch).count() == 0)
   }
 
+  test("sessionize across batches: late events merge, never fabricate " +
+    "sessions; timeout does not re-emit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String): Event =
+      Event(id, Timestamp.valueOf(t), 1L, "click", 0.0)
+
+    val in = MemoryStream[Event]
+    val q = EventsStreaming.sessionize(in.toDS())
+      .toDF("user_id", "n_sessions", "n_events")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sess_multi").start()
+    // processAllAvailable does not return under ProcessingTimeTimeout's
+    // recurring trigger — poll the sink for the expected emission instead.
+    def awaitRow(want: (Long, Long)): Set[(Long, Long)] = {
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      var rows = Set.empty[(Long, Long)]
+      while (System.nanoTime < deadline && !rows.contains(want)) {
+        Thread.sleep(200)
+        rows = spark.table("sess_multi")
+          .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+        q.exception.foreach(throw _)
+      }
+      rows
+    }
+    try {
+      // batch 1: two events > 30 min apart -> 2 sessions
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 11:00:00"))
+      assert(awaitRow((2L, 2L)).contains((2L, 2L)))
+      // batch 2: one LATE event (ts before state.lastTs) + one fresh
+      // event past the gap. Contract: the late event merges into the
+      // current session (events+1, no new session); the fresh one opens
+      // session 3.
+      in.addData(ev(3, "2024-01-01 10:05:00"), ev(4, "2024-01-01 12:00:00"))
+      val rows = awaitRow((3L, 4L))
+      assert(rows == Set((2L, 2L), (3L, 4L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("stateful sessionization agrees with the batch window form") {
     import spark.implicits._
     val events = Tables.load(spark, sf, "events")

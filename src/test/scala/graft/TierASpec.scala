@@ -209,7 +209,47 @@ class TierASpec extends AnyFunSuite {
     assert(es == Seq("parent" -> "child"))
   }
 
+  test("graph load: CSV ingest (reference Mission_Cypher.csv shape)") {
+    // The reference CSV has a cypher_json column holding JSON strings
+    // with escaped quotes (load_memgraph.py:17-26).
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("missions.csv")
+    def cell(block: String): String = {
+      val json = s"""{"cypher": "${block.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n")}"}"""
+      "\"" + json.replace("\"", "\"\"") + "\""
+    }
+    java.nio.file.Files.write(f,
+      (Seq("cypher_json") ++ Seq(block1, block2).map(cell))
+        .mkString("\n").getBytes("UTF-8"))
+    val (nodes, edges) = GraphPipeline.loadFromCsv(spark, f.toString)
+    assert(nodes.count() == 3)
+    assert(edges.count() == 2)
+    assert(nodes.filter(col("id") === "M1").head.getAs[String]("title") == "Alpha v2")
+  }
+
   // ---- DDL/DML through spark.sql (A26/A27 surface) ----
+
+  test("CREATE SCHEMA + USE qualification (A24 surface)") {
+    // The reference qualifies per-session: CREATE SCHEMA IF NOT EXISTS +
+    // USE/SET search_path (delta_to_postgres_scd.py:160,
+    // query_sync_table.py:106-107). Spark's equivalent surface.
+    Tables.registerAll(spark, sf)
+    spark.sql("CREATE SCHEMA IF NOT EXISTS graft_scd")
+    spark.sql("DROP TABLE IF EXISTS graft_scd.region_snap")
+    spark.sql("CREATE TABLE graft_scd.region_snap USING parquet AS " +
+      "SELECT * FROM region")
+    // qualified access from the default database
+    assert(spark.table("graft_scd.region_snap").count() == 5)
+    // USE switches the resolution default; unqualified name resolves
+    spark.sql("USE graft_scd")
+    try {
+      assert(spark.sql("SELECT COUNT(*) AS n FROM region_snap").head.getLong(0) == 5)
+      assert(spark.catalog.currentDatabase == "graft_scd")
+    } finally spark.sql("USE default")
+    spark.sql("DROP TABLE graft_scd.region_snap")
+    spark.sql("DROP SCHEMA graft_scd")
+  }
 
   test("CTAS and INSERT INTO work through the SQL surface") {
     Tables.registerAll(spark, sf)
