@@ -63,6 +63,24 @@ class CorpusSpec extends AnyFunSuite {
     r.foreach(row => assert(math.abs(row.getDouble(3)) <= 1.0 + 1e-12))
   }
 
+  test("approximate ANN recall vs exact brute force (q50 LSH, q58 IVF)") {
+    // Recall@5 against q49's exact ground truth. Approximation quality is
+    // the operator's contract at 100 TB — a fast ANN that finds nothing
+    // is not an ANN. Thresholds are loose (single-probe LSH at 6 bits
+    // keeps ~1/64 of the corpus per bucket; IVF probes 2/16 lists).
+    val exact = SparkEntry.queries("q49_ann_brute")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(name: String): Double = {
+      val approx = SparkEntry.queries(name)(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      approx.intersect(exact).size.toDouble / exact.size
+    }
+    val rLsh = recall("q50_ann_lsh")
+    val rIvf = recall("q58_ann_ivf")
+    assert(rLsh >= 0.25, s"LSH recall@5 too low: $rLsh")
+    assert(rIvf >= 0.5, s"IVF recall@5 too low: $rIvf")
+  }
+
   test("q46 minhash estimates stay in [0.5, 1] and pairs are ordered") {
     val r = SparkEntry.queries("q46_dedup_minhash_lsh")(spark, sf).collect()
     r.foreach { row =>

@@ -251,6 +251,20 @@ class TierASpec extends AnyFunSuite {
     spark.sql("DROP SCHEMA graft_scd")
   }
 
+  test("CREATE OR REPLACE VIEW works as user DDL") {
+    Tables.registerAll(spark, sf)
+    spark.sql("CREATE OR REPLACE TEMP VIEW big_orders AS " +
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000")
+    val n1 = spark.table("big_orders").count()
+    assert(n1 == Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 100000).count())
+    // REPLACE swaps the definition in place
+    spark.sql("CREATE OR REPLACE TEMP VIEW big_orders AS " +
+      "SELECT o_orderkey FROM orders WHERE o_totalprice > 200000")
+    assert(spark.table("big_orders").columns.toSeq == Seq("o_orderkey"))
+    spark.sql("DROP VIEW big_orders")
+  }
+
   test("CTAS and INSERT INTO work through the SQL surface") {
     Tables.registerAll(spark, sf)
     spark.sql("DROP TABLE IF EXISTS region_copy")
