@@ -64,4 +64,39 @@ class IncrementalScdSpec extends AnyFunSuite {
     assert(s2.filter(col("is_current")).groupBy("mission_id").count()
       .filter(col("count") =!= 1).count() == 0)
   }
+
+  test("Delta-backed incremental SCD: atomic commits + time-travelable " +
+    "sync points") {
+    import spark.implicits._
+    import graft.sources.DeltaLog
+    val srcDir = Files.createTempDirectory("graft_scd_dsrc").toString
+    val tbl = Files.createTempDirectory("graft_scd_dtbl").resolve("t").toString
+    val clock = (id: Long) => Timestamp.valueOf(f"2024-01-${id + 1}%02d 00:00:00")
+
+    Seq((1, "open"), (2, "open")).toDF("mission_id", "status")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    IncrementalScd.startDelta(
+      spark.readStream.schema(schema).parquet(srcDir),
+      tbl, Seq("mission_id"), clock).awaitTermination(60000)
+    val v0 = DeltaLog.latestVersion(spark, tbl)
+
+    Seq((1, "closed"), (3, "open")).toDF("mission_id", "status")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    IncrementalScd.startDelta(
+      spark.readStream.schema(schema).parquet(srcDir),
+      tbl, Seq("mission_id"), clock).awaitTermination(60000)
+
+    val cur = DeltaLog.read(spark, tbl).cache()
+    // key 1: closed old + new current; key 2 unchanged; key 3 new
+    assert(cur.count() == 4)
+    assert(cur.filter(col("is_current")).count() == 3)
+    assert(cur.filter(col("mission_id") === 1 && col("is_current"))
+      .head.getAs[String]("status") == "closed")
+    // the first sync point is still readable as of its commit version
+    val asOf = DeltaLog.read(spark, tbl, Some(v0))
+    assert(asOf.count() == 2)
+    assert(asOf.filter(col("is_current")).count() == 2)
+    assert(asOf.filter(col("mission_id") === 1)
+      .head.getAs[String]("status") == "open")
+  }
 }
