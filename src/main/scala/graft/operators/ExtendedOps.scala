@@ -70,6 +70,38 @@ object ExtendedOps {
     // keys. The oracle states the equivalent result without maps (DuckDB
     // map-extract returns lists in 1.0 — semantics differ, results must
     // not).
+    // The 100 TB form of q39: approx_percentile's fixed-size QuantileSummaries
+    // sketch replaces exact percentile's per-group value buffer (which is
+    // O(group size) memory — the VERDICT r01 flag). Engine-specific sketch
+    // → rows-only check; CorpusSpec bounds its error vs the exact form.
+    GraftQuery("q74_percentiles_approx",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // Struct build + field access (Tier B map/struct row, struct half):
+    // named_struct round-trips through projection; oracle states the
+    // equivalent flat result.
+    GraftQuery("q75_struct_access",
+      (s, d) => T(s, d, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          struct(col("o_custkey").as("ck"), col("o_totalprice").as("tp"),
+            struct(col("o_orderstatus").as("st")).as("nest")).as("rec"))
+        .select(col("o_orderkey"),
+          col("rec.ck").as("ck"),
+          col("rec.tp").as("tp"),
+          col("rec.nest.st").as("st"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_custkey AS ck, o_totalprice AS tp, " +
+        "o_orderstatus AS st FROM orders WHERE o_orderkey <= 500 " +
+        "ORDER BY o_orderkey")),
+
     GraftQuery("q70_map_access",
       (s, d) => T(s, d, "events")
         .filter(col("event_id") <= 100)

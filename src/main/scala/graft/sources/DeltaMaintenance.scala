@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance operations completing the Delta lifecycle (public
+  * protocol semantics):
+  *
+  *   - OPTIMIZE (bin-packing compaction): streaming syncs and per-batch
+  *     DML leave a long tail of small files — the classic small-file
+  *     problem that murders 100 TB scan throughput (every file is a task
+  *     + a footer read). Compaction rewrites small files into
+  *     `targetSize`-ish ones and commits remove+add with
+  *     `dataChange=false`, so downstream incremental consumers know no
+  *     rows changed.
+  *   - VACUUM: physically deletes files no longer referenced by the
+  *     CURRENT snapshot (tombstoned by overwrite/DML/compaction). Until
+  *     vacuumed, every historical version stays time-travelable; after,
+  *     only the current one is guaranteed. Retention is the caller's
+  *     contract (Delta defaults to 7 days; tests pass 0).
+  */
+object DeltaMaintenance {
+
+  /** Compact live files smaller than `smallFileBytes` into bin-packed
+    * rewritten files. Returns (filesCompacted, version) — version is
+    * unchanged when fewer than two small files exist. */
+  def compact(spark: SparkSession, tablePath: String,
+      smallFileBytes: Long = 128L * 1024 * 1024): (Int, Long) = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val small = snap.files.filter(_.size < smallFileBytes)
+    if (small.size < 2) return (0, snap.version)
+    val uris = small.map { a =>
+      new Path(tablePath, java.net.URLDecoder.decode(a.path, "UTF-8")).toString
+    }
+    // One partition per ~targetSize of input: the rewrite is distributed,
+    // only file metadata moves through the driver.
+    val totalBytes = small.map(_.size).sum
+    val parts = math.max(1, (totalBytes / smallFileBytes).toInt)
+    val df = spark.read.schema(snap.schema)
+      .option("basePath", tablePath).parquet(uris: _*)
+    val compacted =
+      if (snap.partitionColumns.nonEmpty) df.repartition(parts,
+        snap.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(parts)
+    val adds = DeltaWrite.writeDataFiles(compacted, tablePath, snap.partitionColumns)
+    val actions =
+      small.map(a => DeltaWrite.removeAction(a.path)) ++ adds.map(DeltaWrite.addAction)
+    // dataChange=false on every action: same rows, new layout.
+    actions.foreach { n =>
+      Seq("remove", "add").foreach { k =>
+        val o = n.get(k)
+        if (o != null && o.isObject)
+          o.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("dataChange", false)
+      }
+    }
+    val v = DeltaWrite.commit(spark, tablePath, actions, "OPTIMIZE")
+    (small.size, v)
+  }
+
+  /** Delete data files not referenced by the current snapshot. With
+    * `retainMs` > 0, tombstones younger than the horizon survive (their
+    * versions stay time-travelable). Returns deleted file count. */
+  def vacuum(spark: SparkSession, tablePath: String, retainMs: Long = 0L): Int = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val live = snap.files.map(a =>
+      new Path(tablePath, java.net.URLDecoder.decode(a.path, "UTF-8"))).map(
+      p => fs.makeQualified(p).toString).toSet
+    val horizon = System.currentTimeMillis() - retainMs
+    var deleted = 0
+    def walk(p: Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name != "_delta_log" && !name.startsWith(".")) walk(st.getPath)
+        } else if (name.endsWith(".parquet") &&
+            !live.contains(fs.makeQualified(st.getPath).toString) &&
+            st.getModificationTime <= horizon) {
+          if (fs.delete(st.getPath, false)) deleted += 1
+        }
+      }
+    walk(table)
+    deleted
+  }
+}

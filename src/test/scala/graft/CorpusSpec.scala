@@ -81,6 +81,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(rIvf >= 0.5, s"IVF recall@5 too low: $rIvf")
   }
 
+  test("q74 approx percentiles track the exact q39 form") {
+    // QuantileSummaries at accuracy 10000 should sit within ~0.5% of the
+    // exact rank statistic on this distribution.
+    val approx = SparkEntry.queries("q74_percentiles_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (a50, a95)) =>
+      val (e50, e95) = exact(k)
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 < 0.01, s"$k p95: $a95 vs $e95")
+    }
+  }
+
   test("q46 minhash estimates stay in [0.5, 1] and pairs are ordered") {
     val r = SparkEntry.queries("q46_dedup_minhash_lsh")(spark, sf).collect()
     r.foreach { row =>

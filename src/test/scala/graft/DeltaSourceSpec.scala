@@ -167,6 +167,35 @@ class DeltaSourceSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] { DeltaLog.read(spark, t) }
   }
 
+  test("OPTIMIZE compacts small files without changing rows; VACUUM " +
+    "deletes only unreferenced files") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    // five tiny appends -> five small files (the streaming-sync pattern)
+    (1 to 5).foreach { i =>
+      DeltaWrite.write(Seq((i, s"v$i")).toDF("id", "s"), t,
+        if (i == 1) SaveMode.ErrorIfExists else SaveMode.Append)
+    }
+    val before = DeltaLog.snapshot(spark, t)
+    assert(before.files.size == 5)
+    val (nCompacted, v) = DeltaMaintenance.compact(spark, t)
+    assert(nCompacted == 5 && v == before.version + 1)
+    val after = DeltaLog.snapshot(spark, t)
+    assert(after.files.size < 5)
+    assert(DeltaLog.read(spark, t).collect().map(_.getInt(0)).sorted.toSeq ==
+      (1 to 5))
+    // pre-compaction version still time-travels (files not yet deleted)
+    assert(DeltaLog.read(spark, t, Some(before.version)).count() == 5)
+    // vacuum with zero retention drops the five tombstoned originals
+    val deleted = DeltaMaintenance.vacuum(spark, t, retainMs = 0L)
+    assert(deleted == 5, s"deleted $deleted")
+    // current snapshot unharmed
+    assert(DeltaLog.read(spark, t).count() == 5)
+    // second vacuum is a no-op
+    assert(DeltaMaintenance.vacuum(spark, t, retainMs = 0L) == 0)
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")
