@@ -47,6 +47,19 @@ object DeltaWrite {
       case _ =>
     }
 
+    // Appends must match the table schema exactly (name+type, order-
+    // insensitive) — a silent mismatched append would corrupt every
+    // later scan that trusts metaData.schemaString.
+    if (exists && mode == SaveMode.Append) {
+      val table = DeltaLog.snapshot(spark, tablePath).schema
+      val incoming = df.schema
+      val canon = (s: org.apache.spark.sql.types.StructType) =>
+        s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      require(canon(table) == canon(incoming),
+        s"append schema ${incoming.simpleString} does not match table " +
+          s"schema ${table.simpleString} at $tablePath")
+    }
+
     val adds = writeDataFiles(df, tablePath, partitionBy)
     val removes: Seq[String] =
       if (exists && mode == SaveMode.Overwrite)

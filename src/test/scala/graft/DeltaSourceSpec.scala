@@ -115,6 +115,16 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(DeltaLog.read(spark, t, Some(0L)).count() == 10)
   }
 
+  test("append with a mismatched schema is rejected") {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    intercept[IllegalArgumentException] {
+      DeltaWrite.write(Seq((2, 3.5)).toDF("id", "wrong"), t, SaveMode.Append)
+    }
+    assert(DeltaLog.read(spark, t).count() == 1) // table unharmed
+  }
+
   test("DML no-op when nothing matches (no new commit)") {
     val t = tmpTable()
     import spark.implicits._
