@@ -33,7 +33,38 @@ object DeltaQueries {
       t
     })
 
+  /** orders as a range-clustered Delta table (8 files of disjoint
+    * o_orderkey ranges) — the layout data skipping rewards. */
+  private def clusteredOrders(s: SparkSession, d: String): String =
+    built.computeIfAbsent(s"$d#orders", _ => {
+      val t = java.nio.file.Files.createTempDirectory("graft-delta-corpus")
+        .resolve("orders").toString
+      DeltaWrite.write(
+        Tables.load(s, d, "orders").repartitionByRange(8, col("o_orderkey")), t)
+      t
+    })
+
   val all: Seq[GraftQuery] = Seq(
+
+    // Data-skipping read: the range predicate prunes files by add.stats
+    // BEFORE the scan (≈1-2 of 8 files open), and the result still
+    // hash-matches DuckDB running the same filter over all of parquet —
+    // pruning is provably lossless on this corpus.
+    GraftQuery("q76_delta_skipping",
+      (s, d) => {
+        val t = clusteredOrders(s, d)
+        graft.sources.DeltaLog.readWhere(s, t,
+            col("o_orderkey") >= 1000 && col("o_orderkey") <= 2000)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("tp"))
+          .orderBy("o_orderstatus")
+      },
+      Some("SELECT o_orderstatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp " +
+        "FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")),
 
     // Delta scan joined with a parquet dim — mixed-source plan; filters
     // and pruning push into the underlying parquet scan either way.

@@ -4,8 +4,8 @@ import scala.collection.mutable
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal Delta Lake transaction-log reader, from the PUBLIC Delta
   * protocol only (delta.io PROTOCOL.md): a table directory's
@@ -32,8 +32,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object DeltaLog {
 
   /** One live data file in a snapshot. `path` is as recorded in the log
-    * (relative, percent-encoded per protocol). */
-  final case class AddEntry(path: String, size: Long)
+    * (relative, percent-encoded per protocol); `stats` is the raw
+    * `add.stats` JSON when the writer recorded one (see DataSkipping). */
+  final case class AddEntry(path: String, size: Long, stats: Option[String] = None)
 
   final case class Snapshot(
       version: Long,
@@ -112,7 +113,11 @@ object DeltaLog {
               val a = r.getStruct(i)
               checkNoDeletionVector(a)
               val path = a.getAs[String]("path")
-              live(path) = AddEntry(path, a.getAs[Long]("size"))
+              val stats =
+                if (a.schema.fieldNames.contains("stats"))
+                  Option(a.getAs[String]("stats"))
+                else None
+              live(path) = AddEntry(path, a.getAs[Long]("size"), stats)
             case ("metaData", i) if !r.isNullAt(i) =>
               val m = r.getStruct(i)
               schemaString = m.getAs[String]("schemaString")
@@ -142,7 +147,10 @@ object DeltaLog {
                 throw new UnsupportedOperationException(
                   "deletion vectors not supported (reader version 1 scope)")
               val p = add.get("path").asText()
-              live(p) = AddEntry(p, add.get("size").asLong())
+              val stats =
+                if (add.hasNonNull("stats")) Some(add.get("stats").asText())
+                else None
+              live(p) = AddEntry(p, add.get("size").asLong(), stats)
             }
             if (rm != null) live.remove(rm.get("path").asText())
             if (md != null) {
@@ -176,6 +184,50 @@ object DeltaLog {
         .parquet(snap.filePaths: _*)
     }
   }
+
+  /** Read with file-level data skipping: files whose `add.stats` range
+    * provably cannot satisfy `condition` are never opened, and the full
+    * predicate still filters the surviving rows (pruning is an I/O
+    * optimization, not a correctness dependency — files without stats
+    * always scan). At 100 TB this is the difference between opening the
+    * three files whose [min,max] straddle a point predicate and opening
+    * the table. */
+  def readWhere(spark: SparkSession, tablePath: String, condition: Column,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, versionAsOf)
+    val statted = snap.files.filter(_.stats.isDefined)
+    val kept: Seq[AddEntry] =
+      if (statted.isEmpty) snap.files
+      else {
+        import org.apache.spark.sql.functions.{col => c, from_json}
+        val statsDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            statted.map(a => org.apache.spark.sql.Row(a.path, a.stats.get)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("stats",
+              org.apache.spark.sql.types.StringType))))
+        val keepPaths = statsDf
+          .withColumn("s", from_json(c("stats"),
+            DataSkipping.statsSchema(dataSchema(snap))))
+          .where(DataSkipping.canMatch(condition))
+          .select("path").collect().map(_.getString(0)).toSet
+        snap.files.filter(a => a.stats.isEmpty || keepPaths.contains(a.path))
+      }
+    val pruned = snap.copy(files = kept)
+    val df =
+      if (pruned.files.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), snap.schema)
+      else spark.read.schema(snap.schema)
+        .option("basePath", tablePath).parquet(pruned.filePaths: _*)
+    df.where(condition)
+  }
+
+  /** Columns physically present in data files (partition cols excluded). */
+  private def dataSchema(snap: Snapshot): StructType =
+    StructType(snap.schema.fields.filterNot(f =>
+      snap.partitionColumns.contains(f.name)))
 
   private def checkProtocol(minReader: Int): Unit =
     if (minReader > 1) throw new UnsupportedOperationException(

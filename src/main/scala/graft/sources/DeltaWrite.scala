@@ -111,6 +111,7 @@ object DeltaWrite {
         StructField("path", StringType), StructField("size", LongType),
         StructField("dataChange", BooleanType),
         StructField("modificationTime", LongType),
+        StructField("stats", StringType),
         StructField("partitionValues", MapType(StringType, StringType))))),
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
@@ -123,7 +124,8 @@ object DeltaWrite {
         Row(null, null, Row(java.util.UUID.randomUUID().toString,
           snap.schema.json, snap.partitionColumns))) ++
       snap.files.map(a =>
-        Row(Row(a.path, a.size, false, 0L, Map.empty[String, String]), null, null))
+        Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
+          Map.empty[String, String]), null, null))
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
     val staging = new Path(dir, s".ckpt-${java.util.UUID.randomUUID()}")
@@ -169,7 +171,12 @@ object DeltaWrite {
           f.mkdirs(target.getParent)
           if (!f.rename(st.getPath, target))
             throw new IllegalStateException(s"could not move data file to $target")
-          adds += DeltaLog.AddEntry(relPath, st.getLen)
+          // Footer-derived per-file stats enable data skipping on read;
+          // best-effort (None on any parse trouble — stats are an
+          // optimization, never a dependency).
+          val stats = DataSkipping.statsJson(
+            spark.sessionState.newHadoopConf(), target)
+          adds += DeltaLog.AddEntry(relPath, st.getLen, stats)
         }
       }
     walk(staging, "")
@@ -182,6 +189,7 @@ object DeltaWrite {
     val add = mapper.createObjectNode()
       .put("path", a.path).put("size", a.size)
       .put("modificationTime", 0L).put("dataChange", true)
+    a.stats.foreach(add.put("stats", _))
     add.set[ObjectNode]("partitionValues", partitionValuesOf(a.path))
     n.set[ObjectNode]("add", add)
     n

@@ -206,6 +206,46 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(DeltaMaintenance.vacuum(spark, t, retainMs = 0L) == 0)
   }
 
+  test("data skipping: point/range predicates open only the files whose " +
+    "stats can match") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DataSkipping
+    // 5 range-partitioned files -> disjoint [min,max] id ranges
+    val df = (1 to 1000).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartitionByRange(5, col("id"))
+    DeltaWrite.write(df, t)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.size == 5)
+    assert(snap.files.forall(_.stats.isDefined), "writer must record stats")
+    // point predicate: exactly one file can contain id=42
+    val point = DeltaLog.readWhere(spark, t, col("id") === 42)
+    assert(point.inputFiles.length == 1, s"scanned ${point.inputFiles.length}")
+    assert(point.collect().map(_.getInt(0)).toSeq == Seq(42))
+    // range predicate across a boundary: 2 files
+    val range = DeltaLog.readWhere(spark, t,
+      col("id") >= 390 && col("id") <= 410)
+    assert(range.inputFiles.length <= 2)
+    assert(range.count() == 21)
+    // string equality prunes on binary stats too
+    val str = DeltaLog.readWhere(spark, t, col("s") === "row999")
+    assert(str.count() == 1)
+    // impossible predicate: zero files, empty result, correct schema
+    val none = DeltaLog.readWhere(spark, t, col("id") > 10000)
+    assert(none.inputFiles.isEmpty && none.count() == 0)
+    assert(none.schema.fieldNames.toSeq == Seq("id", "s"))
+    // unsupported predicate shape must NOT prune (correctness first)
+    val weird = DeltaLog.readWhere(spark, t, (col("id") % 500) === 3)
+    assert(weird.count() == 2) // ids 3 and 503
+    // stats survive a checkpoint roundtrip
+    DeltaWrite.checkpoint(spark, t)
+    val snap2 = DeltaLog.snapshot(spark, t)
+    assert(snap2.files.forall(_.stats.isDefined))
+    // translation unit checks
+    assert(DataSkipping.statsSchema(snap.schema).fieldNames.toSeq ==
+      Seq("numRecords", "minValues", "maxValues", "nullCount"))
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")
