@@ -1,0 +1,84 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Incremental change consumption from the Delta log — the semantics of
+  * Delta-as-a-streaming-source: a consumer holds a last-seen version and
+  * each poll returns the rows ADDED by commits after it (reading only
+  * the new commits' `add` files, never rescanning the table).
+  *
+  * Append-only commits replay exactly. A commit that REMOVES files
+  * (overwrite, DML, not compaction) cannot be represented as an
+  * append-stream — by default that is an error, mirroring Delta's own
+  * streaming source; `ignoreChanges = true` opts into emitting the
+  * commit's added files anyway (re-emitting rewritten rows — the same
+  * at-least-once contract as Delta's `ignoreChanges`). OPTIMIZE commits
+  * (`dataChange = false`) are layout-only and are skipped entirely.
+  */
+object DeltaChanges {
+
+  private val mapper = new ObjectMapper()
+
+  final case class Changes(fromVersionExclusive: Long, toVersion: Long,
+      addedFiles: Seq[String])
+
+  /** File paths added by commits in `(fromExclusive, latest]`. */
+  def changedFiles(spark: SparkSession, tablePath: String,
+      fromExclusive: Long, ignoreChanges: Boolean = false): Changes = {
+    val latest = DeltaLog.latestVersion(spark, tablePath)
+    val fs = DeltaLog.logDir(tablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val added = scala.collection.mutable.Buffer[String]()
+    ((fromExclusive + 1) to latest).foreach { v =>
+      val commit = new org.apache.hadoop.fs.Path(
+        DeltaLog.logDir(tablePath), f"$v%020d.json")
+      if (fs.exists(commit)) { // vacuumed/checkpointed-away commits skip
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(commit), "UTF-8"))
+        val adds = scala.collection.mutable.Buffer[String]()
+        var dataChangingRemove = false
+        var dataChangingAdd = false
+        try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+          .filter(_.trim.nonEmpty).foreach { line =>
+            val node = mapper.readTree(line)
+            val add = node.get("add"); val rm = node.get("remove")
+            if (add != null) {
+              val changes = !add.hasNonNull("dataChange") ||
+                add.get("dataChange").asBoolean(true)
+              if (changes) { dataChangingAdd = true; adds += add.get("path").asText() }
+            }
+            if (rm != null && (!rm.hasNonNull("dataChange") ||
+                rm.get("dataChange").asBoolean(true)))
+              dataChangingRemove = true
+          }
+        finally reader.close()
+        if (dataChangingRemove && dataChangingAdd && !ignoreChanges)
+          throw new UnsupportedOperationException(
+            s"commit $v of $tablePath rewrites data (overwrite/DML); " +
+              "an append stream cannot represent it — pass " +
+              "ignoreChanges=true to re-emit rewritten rows, or re-read " +
+              "the snapshot")
+        added ++= adds
+      }
+    }
+    Changes(fromExclusive, latest, added.toSeq.map { p =>
+      new org.apache.hadoop.fs.Path(tablePath,
+        java.net.URLDecoder.decode(p, "UTF-8")).toString
+    })
+  }
+
+  /** Rows added after `fromExclusive`, with the new high-water version
+    * to store for the next poll. */
+  def readChanges(spark: SparkSession, tablePath: String,
+      fromExclusive: Long, ignoreChanges: Boolean = false): (Long, DataFrame) = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val c = changedFiles(spark, tablePath, fromExclusive, ignoreChanges)
+    val df =
+      if (c.addedFiles.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), snap.schema)
+      else spark.read.schema(snap.schema)
+        .option("basePath", tablePath).parquet(c.addedFiles: _*)
+    (c.toVersion, df)
+  }
+}

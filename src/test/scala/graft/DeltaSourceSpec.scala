@@ -246,6 +246,35 @@ class DeltaSourceSpec extends AnyFunSuite {
       Seq("numRecords", "minValues", "maxValues", "nullCount"))
   }
 
+  test("incremental change feed: polls see only new appends; rewrites " +
+    "require explicit opt-in; compaction is invisible") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.{DeltaChanges, DeltaDml, DeltaMaintenance}
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
+    val (v1, d1) = DeltaChanges.readChanges(spark, t, fromExclusive = -1L)
+    assert(d1.count() == 2)
+    // no new commits -> empty poll
+    val (v2, d2) = DeltaChanges.readChanges(spark, t, v1)
+    assert(v2 == v1 && d2.count() == 0)
+    // append lands -> only the new rows surface
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+    val (v3, d3) = DeltaChanges.readChanges(spark, t, v2)
+    assert(d3.collect().map(_.getInt(0)).toSeq == Seq(3))
+    // OPTIMIZE (dataChange=false) is layout-only: nothing to emit
+    DeltaMaintenance.compact(spark, t, smallFileBytes = 1024 * 1024)
+    val (v4, d4) = DeltaChanges.readChanges(spark, t, v3)
+    assert(d4.count() == 0)
+    // a DML rewrite cannot be an append stream...
+    DeltaDml.update(spark, t, col("id") === 1, Seq("s" -> lit("A")))
+    intercept[UnsupportedOperationException] {
+      DeltaChanges.readChanges(spark, t, v4)
+    }
+    // ...unless the consumer opts into at-least-once re-emission
+    val (_, d5) = DeltaChanges.readChanges(spark, t, v4, ignoreChanges = true)
+    assert(d5.count() > 0)
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")
