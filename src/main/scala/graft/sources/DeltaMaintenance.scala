@@ -58,6 +58,37 @@ object DeltaMaintenance {
     (small.size, v)
   }
 
+  /** Z-order clustering rewrite (OPTIMIZE ZORDER BY): re-layout the
+    * whole table into `numFiles` files range-partitioned by the Morton
+    * interleave of two keys, so file [min,max] ranges are tight in BOTH
+    * dimensions and [[DataSkipping]] prunes for predicates on either
+    * column. Commits with `dataChange=false` (layout-only). */
+  def clusterByZOrder(spark: SparkSession, tablePath: String,
+      colA: String, colB: String, numFiles: Int): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    require(snap.partitionColumns.isEmpty,
+      "z-order clustering applies within unpartitioned tables here")
+    graft.functions.ZOrder.register(spark)
+    val df = DeltaLog.read(spark, tablePath)
+    val relaid = df
+      .repartitionByRange(numFiles, graft.functions.ZOrder.zorder(
+        org.apache.spark.sql.functions.col(colA),
+        org.apache.spark.sql.functions.col(colB)))
+    val adds = DeltaWrite.writeDataFiles(relaid, tablePath, Nil)
+    val actions =
+      snap.files.map(a => DeltaWrite.removeAction(a.path)) ++
+        adds.map(DeltaWrite.addAction)
+    actions.foreach { n =>
+      Seq("remove", "add").foreach { k =>
+        val o = n.get(k)
+        if (o != null && o.isObject)
+          o.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("dataChange", false)
+      }
+    }
+    DeltaWrite.commit(spark, tablePath, actions, "OPTIMIZE ZORDER")
+  }
+
   /** Delete data files not referenced by the current snapshot. With
     * `retainMs` > 0, tombstones younger than the horizon survive (their
     * versions stay time-travelable). Returns deleted file count. */

@@ -275,6 +275,39 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(d5.count() > 0)
   }
 
+  test("z-order clustering: predicates on EITHER column prune files; " +
+    "x-only sort prunes only x") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    // 64x64 grid, initially range-laid-out by x only
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x, y, x * 64 + y)
+    DeltaWrite.write(
+      grid.toDF("x", "y", "payload").repartitionByRange(16, col("x")), t)
+    def filesFor(c: org.apache.spark.sql.Column): Int =
+      DeltaLog.readWhere(spark, t, c).inputFiles.length
+    // x-sorted layout: x-predicates prune, y-predicates cannot
+    assert(filesFor(col("x") >= 0 && col("x") <= 3) <= 2)
+    assert(filesFor(col("y") >= 0 && col("y") <= 3) == 16)
+    val v = DeltaMaintenance.clusterByZOrder(spark, t, "x", "y", numFiles = 16)
+    assert(v > 0)
+    // z-ordered layout: BOTH dimensions prune well below a full scan
+    val fx = filesFor(col("x") >= 0 && col("x") <= 3)
+    val fy = filesFor(col("y") >= 0 && col("y") <= 3)
+    assert(fx <= 8, s"x-pruning after zorder: $fx of 16")
+    assert(fy <= 8, s"y-pruning after zorder: $fy of 16")
+    // rows unchanged, results exact
+    assert(DeltaLog.read(spark, t).count() == 64 * 64)
+    assert(DeltaLog.readWhere(spark, t, col("x") === 5 && col("y") === 6)
+      .collect().map(_.getInt(2)).toSeq == Seq(5 * 64 + 6))
+    // interleave unit sanity: (0,0)<(1,1), y contributes the higher bit
+    import graft.functions.ZOrder.interleave
+    assert(interleave(0, 0) < interleave(1, 1))
+    assert(interleave(1, 0) < interleave(0, 1) ||
+      interleave(1, 0) > interleave(0, 1)) // total order either way
+    assert(interleave(-1, 0) < interleave(0, 0)) // sign flip keeps order
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")
