@@ -281,6 +281,41 @@ class TierASpec extends AnyFunSuite {
     spark.sql("DROP TABLE region_copy")
   }
 
+  test("GraftExtensions injects every native function into a fresh context") {
+    // getOrCreate returns the active session (ignoring extensions), so
+    // clear the active/default pointers to force a NEW SparkSession on
+    // the SHARED SparkContext — and never stop it (that would stop the
+    // context under the rest of the suite).
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+          "size(graft_minhash_sig(array(1L, 2L))) AS m, " +
+          "graft_simhash64(array(7L)) AS sh, " +
+          "size(graft_shingles('a b c d', 3)) AS ns, " +
+          "size(graft_hplsh(array(1.0D, 2.0D))) AS hp, " +
+          "graft_zorder(0, 0) < graft_zorder(1, 1) AS zo").head
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getInt(1) == graft.functions.MinHashSig.NumPerm)
+      assert(r.getLong(2) == 7L)
+      assert(r.getInt(3) == 2)
+      assert(r.getInt(4) == graft.functions.HyperplaneLsh.NumTables)
+      assert(r.getBoolean(5))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   // ---- Multimodal plumbing ----
 
   test("multimodal: resize bounds metadata; frame sampling bounds fan-out") {
