@@ -60,6 +60,46 @@ object Dedup {
       .filter(col("pj") > col("pi"))
       .select("a", "b")
 
+  /** Rare-shingle Jaccard pairs (q45's body; also feeds q81's
+    * component clustering): one inverted-list shuffle, df∈[2,20] cap
+    * bounding every group, in-group pair expansion, broadcast cardinality
+    * joins. Shingles are hashed to 64-bit keys post-explode (codegen
+    * xxhash64) so the inverted-list shuffle carries (long, int) instead
+    * of 3-word strings — same intersection counts modulo a vanishing
+    * 64-bit collision probability, and the oracle's string-keyed form
+    * verifies no collision bites this corpus. Both `grouped` consumers
+    * (per-doc cardinalities and the pair expansion) share the physical
+    * Exchange via ReuseExchange — measurably cheaper than persist(),
+    * which paid cache serialization for a subplan read only twice. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    val sh = docs(s, d).select(col("doc_id"),
+      explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("s3"))
+      .select(col("doc_id"), xxhash64(col("s3")).as("s"))
+    // ONE shuffle builds the inverted lists; the df∈[2,20] filter is a
+    // size predicate on the list (shingles are distinct per doc, so
+    // list length == document frequency).
+    val grouped = sh.groupBy("s")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, 20))
+    val card = grouped.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    // Pair generation via in-group expansion instead of a shingle
+    // self-join: the df ≤ 20 bound caps every group at C(20,2)=190
+    // pairs, so the expansion is tiny and the two SMJ sorts of the
+    // naive self-join disappear.
+    val inter = pairExpand(grouped)
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(card.select(col("doc_id").as("a"), col("c").as("ca")), "a")
+      .join(card.select(col("doc_id").as("b"), col("c").as("cb")), "b")
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+  }
+
   /** doc_id → 128-long MinHash signature over distinct 3-gram shingles,
     * via the native MinHashSig expression (one compiled loop per row; the
     * equivalent nested higher-order functions run interpreted and were the
@@ -91,43 +131,7 @@ object Dedup {
     // Rare-shingle Jaccard: similarity over the df∈[2,20] shingle universe.
     // The df upper bound is the scale lever — it bounds every join group.
     GraftQuery("q45_dedup_ngram_jaccard",
-      (s, d) => {
-        graft.functions.WordShingles.register(s)
-        // Shingles are hashed to 64-bit keys post-explode (codegen
-        // xxhash64) so the inverted-list shuffle carries (long, int)
-        // instead of 3-word strings — same intersection counts modulo a
-        // vanishing 64-bit collision probability, and the oracle's
-        // string-keyed form verifies no collision bites this corpus.
-        val sh = docs(s, d).select(col("doc_id"),
-          explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("s3"))
-          .select(col("doc_id"), xxhash64(col("s3")).as("s"))
-        // ONE shuffle builds the inverted lists; the df∈[2,20] filter is a
-        // size predicate on the list (shingles are distinct per doc, so
-        // list length == document frequency). Both consumers (per-doc
-        // cardinalities and the pair expansion) share the physical
-        // Exchange via ReuseExchange — measurably cheaper than persist(),
-        // which paid cache serialization for a subplan read only twice.
-        val grouped = sh.groupBy("s")
-          .agg(sort_array(collect_list("doc_id")).as("ids"))
-          .filter(size(col("ids")).between(2, 20))
-        val card = grouped.select(explode(col("ids")).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("c"))
-        // Pair generation via in-group expansion instead of a shingle
-        // self-join: the df ≤ 20 bound caps every group at C(20,2)=190
-        // pairs, so the expansion is tiny and the two SMJ sorts of the
-        // naive self-join disappear.
-        val inter = pairExpand(grouped)
-          .groupBy("a", "b")
-          .agg(count(lit(1)).as("i"))
-        inter
-          .join(card.select(col("doc_id").as("a"), col("c").as("ca")), "a")
-          .join(card.select(col("doc_id").as("b"), col("c").as("cb")), "b")
-          .select(col("a"), col("b"),
-            (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
-              .as("jaccard"))
-          .filter(col("jaccard") >= 0.1)
-          .orderBy("a", "b")
-      },
+      (s, d) => jaccardPairs(s, d).orderBy("a", "b"),
       Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
         |  FOR i IN generate_series(1, len(toks)-2)])) AS s FROM t),
@@ -215,6 +219,66 @@ object Dedup {
         |/ (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), z -> z*z)))
         |   * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), z -> z*z)))) AS cos
         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
-        |WHERE cos >= 0.3 ORDER BY a, b""".stripMargin.replace("\n", " ")))
+        |WHERE cos >= 0.3 ORDER BY a, b""".stripMargin.replace("\n", " "))),
+
+    // Connected components over the near-dup pair graph: every document
+    // in a dup cluster maps to the cluster's smallest doc_id (the
+    // canonical survivor) — pairwise similarity alone under-deduplicates
+    // when a~b and b~c but a~c was never scored. Iterative min-label
+    // propagation, one shuffle per round, persisted per round with a
+    // scalar convergence check (labels only decrease, so the label sum
+    // is a strictly decreasing fixpoint witness — no join needed to
+    // detect convergence). Rounds ≈ component diameter; dup clusters in
+    // practice are shallow (the cap guards a pathological chain). The
+    // oracle states it declaratively as a recursive-CTE transitive
+    // closure — only viable at oracle scale, which is the point: the
+    // iterative form IS the 100 TB algorithm.
+    GraftQuery("q81_dedup_components",
+      (s, d) => {
+        val pairs = jaccardPairs(s, d).select("a", "b")
+        val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+          .persist()
+        var labels = und.select(col("a").as("n")).distinct()
+          .select(col("n"), col("n").as("lbl")).persist()
+        var lastSum = labels.agg(sum("lbl")).head.getLong(0)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 50) {
+          val nbrMin = und.join(labels, und("b") === labels("n"))
+            .groupBy(und("a").as("m")).agg(min("lbl").as("nbl"))
+          val next = labels.join(nbrMin, col("n") === col("m"), "left")
+            .select(col("n"),
+              least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+            .persist()
+          val newSum = next.agg(sum("lbl")).head.getLong(0)
+          labels.unpersist()
+          labels = next
+          converged = newSum == lastSum
+          lastSum = newSum
+          iter += 1
+        }
+        und.unpersist()
+        labels.select(col("n").as("doc_id"), col("lbl").as("canonical"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  FOR i IN generate_series(1, len(toks)-2)])) AS s FROM t),
+        |df AS (SELECT s FROM (SELECT s, COUNT(*) AS d FROM sh GROUP BY s) WHERE d BETWEEN 2 AND 20),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s),
+        |card AS (SELECT doc_id, COUNT(*) AS c FROM shf GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i FROM shf x
+        |  JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT a, b FROM (
+        |  SELECT inter.a, inter.b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
+        |  FROM inter JOIN card ca ON inter.a = ca.doc_id JOIN card cb ON inter.b = cb.doc_id)
+        |  WHERE jaccard >= 0.1),
+        |und AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)
+        |SELECT src AS doc_id, MIN(dst) AS canonical FROM reach
+        |GROUP BY src ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }
