@@ -148,6 +148,61 @@ object TextAnalysis {
         .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Normalization-aware exact dedup: case-fold, strip punctuation,
+    // collapse whitespace BEFORE hashing — catches trivially-reformatted
+    // duplicates byte-exact dedup (q44) misses. Same one-shuffle shape:
+    // only (digest, id) rows move.
+    GraftQuery("q82_dedup_normalized",
+      (s, d) => {
+        val canon = regexp_replace(
+          regexp_replace(lower(trim(col("text"))), "[^\\p{L}\\p{N}\\s]", ""),
+          "\\s+", " ")
+        docs(s, d)
+          .groupBy(sha2(canon, 256).as("h"))
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
+          .select("doc_id", "h", "dup_cnt")
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |lower(trim(text)), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g') AS canon
+        |FROM documents)
+        |SELECT MIN(doc_id) AS doc_id, sha256(canon) AS h, COUNT(*) AS dup_cnt
+        |FROM c GROUP BY sha256(canon) ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // Deterministic stratified sampling: keep ~10% per language via a
+    // residue predicate on a key-derived value — reproducible across
+    // runs/engines (what rand() sampling can never give a pipeline),
+    // no shuffle at all for the sample itself (narrow filter), one
+    // aggregation to report per-stratum rates.
+    GraftQuery("q83_stratified_sample",
+      (s, d) => {
+        val keep = pmod(col("doc_id") * 2654435761L, lit(100)) < 10
+        docs(s, d)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some("SELECT lang, COUNT(*) AS n_total, " +
+        "CAST(SUM(CASE WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 10 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled " +
+        "FROM documents GROUP BY lang ORDER BY lang")),
+
+    // Per-language document-length histogram (512-char buckets, capped):
+    // the distribution diagnostic every corpus build runs before
+    // filtering. Bucketing is a narrow projection; one shuffle on
+    // (lang, bucket) with map-side combine.
+    GraftQuery("q84_length_histogram",
+      (s, d) => docs(s, d)
+        .select(col("lang"),
+          least(floor(col("n_chars") / 512), lit(8L)).as("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "bucket"),
+      Some("SELECT lang, LEAST(CAST(FLOOR(n_chars / 512) AS BIGINT), 8) AS bucket, " +
+        "COUNT(*) AS n FROM documents GROUP BY 1, 2 ORDER BY lang, bucket"))
   )
 }
