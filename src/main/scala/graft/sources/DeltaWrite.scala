@@ -72,32 +72,61 @@ object DeltaWrite {
       actions += metaDataAction(df, partitionBy)
     actions ++= removes.map(removeAction)
     actions ++= adds.map(addAction)
+    // Optimistic concurrency: an append conflicts with a concurrent
+    // commit only on the version NUMBER, never semantically (its files
+    // are already staged and no remove depends on a snapshot), so it
+    // retries against the next version. Overwrite/DML computed removes
+    // from a snapshot that just changed — the conflict surfaces to the
+    // caller, who must re-read and redo (Delta's own semantics).
     commit(spark, tablePath, actions.toSeq,
-      operation = if (exists) mode.toString.toUpperCase else "CREATE TABLE")
+      operation = if (exists) mode.toString.toUpperCase else "CREATE TABLE",
+      maxRetries = if (exists && mode == SaveMode.Append) 20 else 0)
   }
 
   /** Append a commit of explicit actions (used by [[DeltaDml]]). Returns
-    * the committed version. */
+    * the committed version. With `maxRetries` > 0, a version-number race
+    * (rename onto an existing commit fails) re-lists and retries — only
+    * safe when the actions do not depend on the snapshot (appends). */
   private[sources] def commit(spark: SparkSession, tablePath: String,
-      actions: Seq[ObjectNode], operation: String): Long = {
+      actions: Seq[ObjectNode], operation: String, maxRetries: Int = 0): Long = {
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
     f.mkdirs(dir)
-    val version = nextVersion(f, dir)
     val info = mapper.createObjectNode()
     info.set[ObjectNode]("commitInfo", mapper.createObjectNode()
       .put("operation", operation).put("engineInfo", "graft-spark"))
     val body = (info +: actions).map(mapper.writeValueAsString).mkString("\n")
-    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
-    val out = f.create(tmp, false)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val target = new Path(dir, f"$version%020d.json")
-    if (!f.rename(tmp, target)) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(
-        s"concurrent Delta commit conflict at version $version for $tablePath")
+    var attempt = 0
+    while (true) {
+      val version = nextVersion(f, dir)
+      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
+      val out = f.create(tmp, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val target = new Path(dir, f"$version%020d.json")
+      // Claim-the-version atomicity: POSIX rename() CLOBBERS an existing
+      // target, so on local filesystems the primitive is link(2) — hard-
+      // linking the temp file onto the commit name fails atomically with
+      // EEXIST when another writer won. On stores whose rename is
+      // no-clobber (HDFS), exists+rename suffices.
+      val won =
+        if (f.getScheme == "file") {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(target.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else !f.exists(target) && f.rename(tmp, target)
+      f.delete(tmp, false) // the link carries the commit; tmp goes either way
+      if (won) return version
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"concurrent Delta commit conflict at version $version for $tablePath")
     }
-    version
+    -1L // unreachable
   }
 
   /** Write a parquet checkpoint of the current snapshot plus the

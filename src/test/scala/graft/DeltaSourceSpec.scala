@@ -308,6 +308,26 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(interleave(-1, 0) < interleave(0, 0)) // sign flip keeps order
   }
 
+  test("concurrent appends all land: optimistic retry claims distinct " +
+    "versions") {
+    val t = tmpTable()
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    DeltaWrite.write(Seq((0, "seed")).toDF("id", "s"), t)
+    val writers = (1 to 8).map { i =>
+      Future {
+        DeltaWrite.write(Seq((i, s"w$i")).toDF("id", "s"), t, SaveMode.Append)
+      }
+    }
+    val versions = Await.result(Future.sequence(writers), 300.seconds)
+    assert(versions.distinct.size == 8, s"versions: $versions")
+    assert(DeltaLog.latestVersion(spark, t) == 8L)
+    val ids = DeltaLog.read(spark, t).collect().map(_.getInt(0)).toSet
+    assert(ids == (0 to 8).toSet)
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")
