@@ -55,21 +55,31 @@ object Cli {
       case None =>
         System.err.println(
           "usage: graft.Cli --table=<name|path> [--query=SQL] [--limit=N] " +
-            "[--schema] [--format=table|json] [--sf-dir=DIR] | --interactive")
+            "[--schema] [--version=N] [--format=table|json] [--sf-dir=DIR] " +
+            "| --interactive")
         sys.exit(1)
       case Some(table) =>
         // Reference CLI flow (delta-unity-duckdb.js:582-634): stats first,
         // optional schema, then the query (default scan+limit).
-        println(s"Table row count: ${scanner.getTableStats(table)}")
+        // --version=N time-travels a Delta table target.
+        val sc = opts.get("version") match {
+          case Some(v) if graft.sources.DeltaLog.isDeltaTable(spark, table) =>
+            new DeltaScanner(spark, new TableResolver {
+              override def resolve(s: SparkSession, ref: String): DataFrame =
+                graft.sources.DeltaLog.read(s, ref, Some(v.toLong))
+            })
+          case _ => scanner
+        }
+        println(s"Table row count: ${sc.getTableStats(table)}")
         if (opts.contains("schema")) {
           println("Schema:")
-          scanner.getTableSchema(table).foreach(f =>
+          sc.getTableSchema(table).foreach(f =>
             println(s"  ${f.name}  ${f.dataType.simpleString}"))
         }
-        val df = scanner.query(table, opts.get("query"),
+        val df = sc.query(table, opts.get("query"),
           opts.get("limit").map(_.toInt).getOrElse(10))
         opts.getOrElse("format", "table") match {
-          case "json" => scanner.toJsonLines(df).foreach(println)
+          case "json" => sc.toJsonLines(df).foreach(println)
           case _ => df.show(100, truncate = false)
         }
     }

@@ -58,6 +58,31 @@ object DeltaMaintenance {
     (small.size, v)
   }
 
+  /** Delete commit JSONs superseded by the newest checkpoint (metadata
+    * retention). Replay correctness is untouched — snapshot() bootstraps
+    * from the checkpoint — but time travel to versions BEFORE the kept
+    * horizon stops working, exactly like Delta's logRetentionDuration.
+    * Returns the number of commit files deleted. */
+  def cleanupLog(spark: SparkSession, tablePath: String): Int = {
+    val dir = DeltaLog.logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = fs.listStatus(dir).map(_.getPath.getName)
+    val ckpt = entries.collect {
+      case n if n.endsWith(".checkpoint.parquet") => n.take(20).toLong
+    }.maxOption
+    ckpt match {
+      case None => 0
+      case Some(horizon) =>
+        val old = entries.collect {
+          case n if n.length == 25 && n.endsWith(".json") &&
+            n.dropRight(5).forall(_.isDigit) &&
+            n.dropRight(5).toLong <= horizon => n
+        }
+        old.foreach(n => fs.delete(new Path(dir, n), false))
+        old.length
+    }
+  }
+
   /** Z-order clustering rewrite (OPTIMIZE ZORDER BY): re-layout the
     * whole table into `numFiles` files range-partitioned by the Morton
     * interleave of two keys, so file [min,max] ranges are tight in BOTH

@@ -328,6 +328,22 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(ids == (0 to 8).toSet)
   }
 
+  test("log cleanup after checkpoint removes superseded commits only") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append)
+    assert(DeltaMaintenance.cleanupLog(spark, t) == 0) // no checkpoint yet
+    DeltaWrite.checkpoint(spark, t)
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+    assert(DeltaMaintenance.cleanupLog(spark, t) == 2) // v0, v1 superseded
+    // replay still complete through the checkpoint + v2
+    assert(DeltaLog.read(spark, t).collect().map(_.getInt(0)).toSet ==
+      Set(1, 2, 3))
+    assert(DeltaMaintenance.cleanupLog(spark, t) == 0) // idempotent
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")
