@@ -33,7 +33,15 @@ object DeltaChanges {
     ((fromExclusive + 1) to latest).foreach { v =>
       val commit = new org.apache.hadoop.fs.Path(
         DeltaLog.logDir(tablePath), f"$v%020d.json")
-      if (fs.exists(commit)) { // vacuumed/checkpointed-away commits skip
+      // A missing commit in range means history was cleaned past the
+      // consumer's offset — skipping it would silently LOSE data.
+      // (if/else, NOT statement sequence: a bare block after `throw new
+      // X(...)` parses as an anonymous-subclass body.)
+      if (!fs.exists(commit)) {
+        throw new IllegalStateException(
+          s"commit $v of $tablePath no longer exists (log cleaned past " +
+            "this consumer's offset) — full snapshot refresh required")
+      } else {
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(fs.open(commit), "UTF-8"))
         val adds = scala.collection.mutable.Buffer[String]()

@@ -342,6 +342,14 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(DeltaLog.read(spark, t).collect().map(_.getInt(0)).toSet ==
       Set(1, 2, 3))
     assert(DeltaMaintenance.cleanupLog(spark, t) == 0) // idempotent
+    // a change-feed consumer whose offset predates the cleaned commits
+    // must FAIL (silent skip would lose data), not return partial rows
+    intercept[IllegalStateException] {
+      graft.sources.DeltaChanges.readChanges(spark, t, fromExclusive = -1L)
+    }
+    // an up-to-date consumer is unaffected
+    assert(graft.sources.DeltaChanges
+      .readChanges(spark, t, fromExclusive = 1L)._2.count() == 1)
   }
 
   test("filter pushdown reaches the parquet scan under a Delta read") {
