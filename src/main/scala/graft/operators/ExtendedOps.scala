@@ -102,6 +102,30 @@ object ExtendedOps {
         "o_orderstatus AS st FROM orders WHERE o_orderkey <= 500 " +
         "ORDER BY o_orderkey")),
 
+    // Skew-salted fact⋈dim join in the graded corpus (previously only
+    // spec-covered in ScaleOpsSpec): the salt splinters every fact key
+    // across `salt` sub-keys and explodes the dim to match, so one hot
+    // partkey cannot own a shuffle partition. Salt values come from
+    // monotonically_increasing_id — NONDETERMINISTIC per run, but the
+    // join RESULT is salt-invariant, which is what the oracle checks.
+    GraftQuery("q85_salted_join",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val li = T(s, d, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+        val p = T(s, d, "part").select("p_partkey", "p_brand")
+        ScaleOps.saltedJoin(li, p, "l_partkey", "p_partkey", salt = 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast("double").as("sq"))
+          .orderBy("p_brand")
+      },
+      Some("SELECT p_brand, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand")),
+
     GraftQuery("q70_map_access",
       (s, d) => T(s, d, "events")
         .filter(col("event_id") <= 100)
