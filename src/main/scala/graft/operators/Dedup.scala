@@ -240,7 +240,9 @@ object Dedup {
           .persist()
         var labels = und.select(col("a").as("n")).distinct()
           .select(col("n"), col("n").as("lbl")).persist()
-        var lastSum = labels.agg(sum("lbl")).head.getLong(0)
+        // coalesce: an empty pair graph (corpus with no near-dups) must
+        // yield an empty result, not an NPE on sum-of-nothing
+        var lastSum = labels.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
         var converged = false
         var iter = 0
         while (!converged && iter < 50) {
@@ -250,7 +252,7 @@ object Dedup {
             .select(col("n"),
               least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
             .persist()
-          val newSum = next.agg(sum("lbl")).head.getLong(0)
+          val newSum = next.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
           labels.unpersist()
           labels = next
           converged = newSum == lastSum
