@@ -132,6 +132,25 @@ object EventOps {
         "AND b.ts >= a.ts - INTERVAL 5 MINUTE " +
         "WHERE a.event_type = 'error' GROUP BY a.event_id ORDER BY a.event_id")),
 
+    // Native session_window sessionization — same semantics as q52's
+    // lag-based form (30-minute gap), expressed through Spark's built-in
+    // session operator (merging windows, map-side partial merge; also
+    // the streaming-native form). Same oracle as q52 — the two
+    // formulations must agree row-for-row.
+    GraftQuery("q86_session_window",
+      (s, d) => ev(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("ev"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("ev").as("n_events"))
+        .orderBy("user_id"),
+      Some("WITH x AS (SELECT user_id, ts, LAG(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts FROM events), " +
+        "f AS (SELECT user_id, CASE WHEN lag_ts IS NULL OR ts > lag_ts + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS nf FROM x) " +
+        "SELECT user_id, CAST(SUM(nf) AS BIGINT) AS n_sessions, COUNT(*) AS n_events " +
+        "FROM f GROUP BY user_id ORDER BY user_id")),
+
     GraftQuery("q57_json_extract",
       (s, d) => ev(s, d)
         .select(col("event_type"),

@@ -104,6 +104,27 @@ object EventsStreaming {
       }
   }
 
+  /** Stream-stream interval join: each purchase joins the signups of the
+    * same user within the preceding hour. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so the state store
+    * holds only one hour (+watermark) of signups per user — the condition
+    * is what lets Spark EVICT, which is the entire difference between a
+    * stream-stream join that runs forever and one that OOMs. Inner join →
+    * append mode; results are identical to the batch self-join twin. */
+  def purchasesWithRecentSignup(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(signups, expr(
+      "p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("s_ts"))
+  }
+
   /** Drive a stream over `dir` to completion against an in-memory sink and
     * return the materialized result (micro-batch test harness). Stateful
     * operators (mapGroupsWithState) require Update mode; pass it. */

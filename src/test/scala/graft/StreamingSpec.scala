@@ -121,6 +121,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch self-join twin") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val streamed = EventsStreaming.purchasesWithRecentSignup(
+      EventsStreaming.readEvents(spark, stagedEventsDir))
+    val got = EventsStreaming.runToMemory(spark, streamed, "ssj_out",
+      OutputMode.Append())
+    val ev = Tables.load(spark, sf, "events")
+    val batch = EventsStreaming.purchasesWithRecentSignup(ev)
+    assert(got.count() > 0)
+    assert(got.except(batch).count() == 0)
+    assert(batch.except(got).count() == 0)
+  }
+
   test("stateful sessionization agrees with the batch window form") {
     import spark.implicits._
     val events = Tables.load(spark, sf, "events")
