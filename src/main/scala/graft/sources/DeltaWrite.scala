@@ -189,7 +189,7 @@ object DeltaWrite {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(staging.toString)
 
-    val adds = mutable.Buffer[DeltaLog.AddEntry]()
+    val moved = mutable.Buffer[(String, Path, Long)]()
     def walk(p: Path, rel: String): Unit =
       f.listStatus(p).foreach { st =>
         val name = st.getPath.getName
@@ -200,17 +200,23 @@ object DeltaWrite {
           f.mkdirs(target.getParent)
           if (!f.rename(st.getPath, target))
             throw new IllegalStateException(s"could not move data file to $target")
-          // Footer-derived per-file stats enable data skipping on read;
-          // best-effort (None on any parse trouble — stats are an
-          // optimization, never a dependency).
-          val stats = DataSkipping.statsJson(
-            spark.sessionState.newHadoopConf(), target)
-          adds += DeltaLog.AddEntry(relPath, st.getLen, stats)
+          moved += ((relPath, target, st.getLen))
         }
       }
     walk(staging, "")
     f.delete(staging, true)
-    adds.toSeq
+    // Footer-derived per-file stats enable data skipping on read;
+    // best-effort (None on any parse trouble — stats are an optimization,
+    // never a dependency). Footer reads are independent — harvest them in
+    // parallel so a many-file commit is not serialized on the driver.
+    val conf = spark.sessionState.newHadoopConf()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    Await.result(
+      Future.sequence(moved.toSeq.map { case (relPath, target, len) =>
+        Future(DeltaLog.AddEntry(relPath, len, DataSkipping.statsJson(conf, target)))
+      }), 10.minutes)
   }
 
   private[sources] def addAction(a: DeltaLog.AddEntry): ObjectNode = {

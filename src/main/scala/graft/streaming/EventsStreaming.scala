@@ -125,6 +125,19 @@ object EventsStreaming {
         col("p_ts"), col("s_ts"))
   }
 
+  /** Streaming exact dedup: emit each key's FIRST arrival, with the
+    * watermark bounding how long a key is remembered —
+    * `dropDuplicatesWithinWatermark` drops a duplicate arriving within
+    * the watermark delay of the first sighting and EVICTS the key once
+    * the watermark passes it. This is the streaming twin of q44's exact
+    * dedup: unbounded-keyspace dedup needs either eviction or infinite
+    * state, and the watermark is the contract for which duplicates are
+    * guaranteed caught (those within the delay). */
+  def dedupStream(events: DataFrame, keyCol: String): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Drive a stream over `dir` to completion against an in-memory sink and
     * return the materialized result (micro-batch test harness). Stateful
     * operators (mapGroupsWithState) require Update mode; pass it. */

@@ -134,6 +134,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(got).count() == 0)
   }
 
+  test("streaming dedup emits first arrivals only; duplicates within " +
+    "the watermark are dropped") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // stage the events file TWICE -> every event_id arrives twice
+    val dir = Files.createTempDirectory("graft_events_dup")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val deduped = EventsStreaming.dedupStream(
+      EventsStreaming.readEvents(spark, dir.toString), "event_id")
+    val got = EventsStreaming.runToMemory(spark, deduped, "dedup_out",
+      OutputMode.Append())
+    val expected = Tables.load(spark, sf, "events").count()
+    assert(got.count() == expected, s"${got.count()} vs $expected")
+    assert(got.groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("stateful sessionization agrees with the batch window form") {
     import spark.implicits._
     val events = Tables.load(spark, sf, "events")
