@@ -48,6 +48,10 @@ object EventOps {
         "GROUP BY p.event_id, p.user_id ORDER BY p.event_id")),
 
     // Sessionization: 30-minute inactivity gap starts a new session.
+    // Gap boundary is `>=`: an event arriving EXACTLY gap-after the
+    // previous one opens a new session — the same half-open-interval
+    // semantics as session_window (q86), so the two formulations (and
+    // their shared oracle) stay row-identical on boundary data.
     GraftQuery("q52_sessionize",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -55,7 +59,7 @@ object EventOps {
           .withColumn("lag_ts", lag("ts", 1).over(w))
           .withColumn("nf",
             when(col("lag_ts").isNull ||
-              col("ts") > col("lag_ts") + expr("INTERVAL 30 MINUTE"), 1)
+              col("ts") >= col("lag_ts") + expr("INTERVAL 30 MINUTE"), 1)
               .otherwise(0))
           .groupBy("user_id")
           .agg(sum("nf").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
@@ -63,7 +67,7 @@ object EventOps {
       },
       Some("WITH x AS (SELECT user_id, ts, LAG(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts FROM events), " +
-        "f AS (SELECT user_id, CASE WHEN lag_ts IS NULL OR ts > lag_ts + INTERVAL 30 MINUTE " +
+        "f AS (SELECT user_id, CASE WHEN lag_ts IS NULL OR ts >= lag_ts + INTERVAL 30 MINUTE " +
         "THEN 1 ELSE 0 END AS nf FROM x) " +
         "SELECT user_id, CAST(SUM(nf) AS BIGINT) AS n_sessions, COUNT(*) AS n_events " +
         "FROM f GROUP BY user_id ORDER BY user_id")),
@@ -146,7 +150,7 @@ object EventOps {
         .orderBy("user_id"),
       Some("WITH x AS (SELECT user_id, ts, LAG(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts FROM events), " +
-        "f AS (SELECT user_id, CASE WHEN lag_ts IS NULL OR ts > lag_ts + INTERVAL 30 MINUTE " +
+        "f AS (SELECT user_id, CASE WHEN lag_ts IS NULL OR ts >= lag_ts + INTERVAL 30 MINUTE " +
         "THEN 1 ELSE 0 END AS nf FROM x) " +
         "SELECT user_id, CAST(SUM(nf) AS BIGINT) AS n_sessions, COUNT(*) AS n_events " +
         "FROM f GROUP BY user_id ORDER BY user_id")),

@@ -143,29 +143,34 @@ object DataSkipping {
 
   /** Rewrite a row predicate into a may-this-file-match predicate over a
     * parsed stats struct column `s`. Conservative: any unsupported
-    * subtree (or missing stat, via coalesce) becomes TRUE. Operates on
-    * the bridge's neutral view of the Column node tree (Spark 4's
+    * subtree (or missing stat, via coalesce) becomes TRUE. `statCols` is
+    * the set of columns actually present in the stats schema — an
+    * attribute outside it (e.g. a PARTITION column, which dataSchema
+    * excludes) must fall back to "might match", not throw on a
+    * nonexistent `s.minValues.<col>` reference. Operates on the
+    * bridge's neutral view of the Column node tree (Spark 4's
     * Connect-unified Column has no public `.expr`). */
-  def canMatch(condition: Column): Column =
-    translate(GraftColumnBridge.view(condition))
+  def canMatch(condition: Column, statCols: Set[String]): Column =
+    translate(GraftColumnBridge.view(condition), statCols)
 
-  private def translate(e: NodeView): Column = e match {
-    case FnView("and", Seq(l, r)) => translate(l) && translate(r)
-    case FnView("or", Seq(l, r)) => translate(l) || translate(r)
+  private def translate(e: NodeView, statCols: Set[String]): Column = e match {
+    case FnView("and", Seq(l, r)) => translate(l, statCols) && translate(r, statCols)
+    case FnView("or", Seq(l, r)) => translate(l, statCols) || translate(r, statCols)
     case FnView("=" | "==" | "equal_to", Seq(a, b)) =>
       (a, b) match {
-        case (AttrView(n), LitView(v)) => rangeContains(n, v)
-        case (LitView(v), AttrView(n)) => rangeContains(n, v)
+        case (AttrView(n), LitView(v)) if statCols(n) => rangeContains(n, v)
+        case (LitView(v), AttrView(n)) if statCols(n) => rangeContains(n, v)
         case _ => lit(true)
       }
-    case FnView("<", Seq(a, b)) => cmpNode(a, b, strict = true, attrOnLeftUsesMin = true)
-    case FnView("<=", Seq(a, b)) => cmpNode(a, b, strict = false, attrOnLeftUsesMin = true)
-    case FnView(">", Seq(a, b)) => cmpNode(a, b, strict = true, attrOnLeftUsesMin = false)
-    case FnView(">=", Seq(a, b)) => cmpNode(a, b, strict = false, attrOnLeftUsesMin = false)
-    case FnView("in", AttrView(n) +: vs) if vs.forall(_.isInstanceOf[LitView]) =>
+    case FnView("<", Seq(a, b)) => cmpNode(a, b, strict = true, attrOnLeftUsesMin = true, statCols)
+    case FnView("<=", Seq(a, b)) => cmpNode(a, b, strict = false, attrOnLeftUsesMin = true, statCols)
+    case FnView(">", Seq(a, b)) => cmpNode(a, b, strict = true, attrOnLeftUsesMin = false, statCols)
+    case FnView(">=", Seq(a, b)) => cmpNode(a, b, strict = false, attrOnLeftUsesMin = false, statCols)
+    case FnView("in", AttrView(n) +: vs)
+        if statCols(n) && vs.forall(_.isInstanceOf[LitView]) =>
       vs.collect { case LitView(v) => rangeContains(n, v) }
         .reduceOption(_ || _).getOrElse(lit(true))
-    case FnView("isnull", Seq(AttrView(n))) =>
+    case FnView("isnull", Seq(AttrView(n))) if statCols(n) =>
       safe(col(s"s.nullCount.`$n`") > 0)
     case _ => lit(true)
   }
@@ -173,11 +178,11 @@ object DataSkipping {
   /** attr OP lit (or lit OP attr, mirrored): `<`-family checks the file
     * minimum, `>`-family the maximum. */
   private def cmpNode(a: NodeView, b: NodeView,
-      strict: Boolean, attrOnLeftUsesMin: Boolean): Column =
+      strict: Boolean, attrOnLeftUsesMin: Boolean, statCols: Set[String]): Column =
     (a, b) match {
-      case (AttrView(n), LitView(v)) =>
+      case (AttrView(n), LitView(v)) if statCols(n) =>
         bound(n, v, useMin = attrOnLeftUsesMin, strict)
-      case (LitView(v), AttrView(n)) =>
+      case (LitView(v), AttrView(n)) if statCols(n) =>
         bound(n, v, useMin = !attrOnLeftUsesMin, strict)
       case _ => lit(true)
     }

@@ -13,8 +13,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * append-stream — by default that is an error, mirroring Delta's own
   * streaming source; `ignoreChanges = true` opts into emitting the
   * commit's added files anyway (re-emitting rewritten rows — the same
-  * at-least-once contract as Delta's `ignoreChanges`). OPTIMIZE commits
-  * (`dataChange = false`) are layout-only and are skipped entirely.
+  * at-least-once contract as Delta's `ignoreChanges`), and
+  * `ignoreDeletes = true` opts into skipping REMOVE-ONLY commits (a
+  * DELETE whose rewrite produced no files — the delete signal is
+  * dropped, which is exactly why it needs the explicit flag, as in
+  * Delta's own `ignoreDeletes`). OPTIMIZE commits (`dataChange =
+  * false`) are layout-only and are skipped entirely.
   */
 object DeltaChanges {
 
@@ -25,7 +29,8 @@ object DeltaChanges {
 
   /** File paths added by commits in `(fromExclusive, latest]`. */
   def changedFiles(spark: SparkSession, tablePath: String,
-      fromExclusive: Long, ignoreChanges: Boolean = false): Changes = {
+      fromExclusive: Long, ignoreChanges: Boolean = false,
+      ignoreDeletes: Boolean = false): Changes = {
     val latest = DeltaLog.latestVersion(spark, tablePath)
     val fs = DeltaLog.logDir(tablePath)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -61,12 +66,24 @@ object DeltaChanges {
               dataChangingRemove = true
           }
         finally reader.close()
-        if (dataChangingRemove && dataChangingAdd && !ignoreChanges)
-          throw new UnsupportedOperationException(
-            s"commit $v of $tablePath rewrites data (overwrite/DML); " +
-              "an append stream cannot represent it — pass " +
-              "ignoreChanges=true to re-emit rewritten rows, or re-read " +
-              "the snapshot")
+        // ANY data-changing remove breaks the append contract — including
+        // a remove-ONLY commit (a DELETE whose rewrite produced no part
+        // files). Treating that as a no-op would silently drop the
+        // delete signal; real Delta demands the same explicit opt-in.
+        if (dataChangingRemove && !ignoreChanges) {
+          if (dataChangingAdd)
+            throw new UnsupportedOperationException(
+              s"commit $v of $tablePath rewrites data (overwrite/DML); " +
+                "an append stream cannot represent it — pass " +
+                "ignoreChanges=true to re-emit rewritten rows, or re-read " +
+                "the snapshot")
+          else if (!ignoreDeletes)
+            throw new UnsupportedOperationException(
+              s"commit $v of $tablePath deletes data without adding any; " +
+                "an append stream cannot represent the deletion — pass " +
+                "ignoreDeletes=true to skip delete-only commits, or " +
+                "re-read the snapshot")
+        }
         added ++= adds
       }
     }
@@ -79,9 +96,10 @@ object DeltaChanges {
   /** Rows added after `fromExclusive`, with the new high-water version
     * to store for the next poll. */
   def readChanges(spark: SparkSession, tablePath: String,
-      fromExclusive: Long, ignoreChanges: Boolean = false): (Long, DataFrame) = {
+      fromExclusive: Long, ignoreChanges: Boolean = false,
+      ignoreDeletes: Boolean = false): (Long, DataFrame) = {
     val snap = DeltaLog.snapshot(spark, tablePath)
-    val c = changedFiles(spark, tablePath, fromExclusive, ignoreChanges)
+    val c = changedFiles(spark, tablePath, fromExclusive, ignoreChanges, ignoreDeletes)
     val df =
       if (c.addedFiles.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[Row](), snap.schema)

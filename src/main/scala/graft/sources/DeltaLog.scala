@@ -208,10 +208,11 @@ object DeltaLog {
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("stats",
               org.apache.spark.sql.types.StringType))))
+        val stSchema = dataSchema(snap)
         val keepPaths = statsDf
           .withColumn("s", from_json(c("stats"),
-            DataSkipping.statsSchema(dataSchema(snap))))
-          .where(DataSkipping.canMatch(condition))
+            DataSkipping.statsSchema(stSchema)))
+          .where(DataSkipping.canMatch(condition, stSchema.fieldNames.toSet))
           .select("path").collect().map(_.getString(0)).toSet
         snap.files.filter(a => a.stats.isEmpty || keepPaths.contains(a.path))
       }

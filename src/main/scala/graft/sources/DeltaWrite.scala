@@ -276,11 +276,37 @@ object DeltaWrite {
     n
   }
 
+  /** Highest version claimed by ANY log artifact, plus one. Commit JSONs
+    * alone are not enough: after checkpoint() + cleanupLog() the
+    * checkpoint parquet (and `_last_checkpoint`) may be the only record
+    * of the current version — deriving from JSONs only would re-issue
+    * version 0, which snapshot() (bootstrapping from the checkpoint at V
+    * and replaying from V+1) silently never replays: data loss. */
   private def nextVersion(f: FileSystem, dir: Path): Long = {
-    val existing = f.listStatus(dir).map(_.getPath.getName).collect {
+    val names = f.listStatus(dir).map(_.getPath.getName)
+    val commitVersions = names.collect {
       case n if n.length == 25 && n.endsWith(".json") &&
         n.dropRight(5).forall(_.isDigit) => n.dropRight(5).toLong
     }
-    if (existing.isEmpty) 0L else existing.max + 1
+    val checkpointVersions = names.collect {
+      case n if n.length >= 20 && n.contains(".checkpoint") &&
+        n.endsWith(".parquet") && n.take(20).forall(_.isDigit) => n.take(20).toLong
+    }
+    // _last_checkpoint can outlive its checkpoint file mid-rewrite; read
+    // it too so the claimed horizon survives either artifact vanishing.
+    val pointerVersion = {
+      val lc = new Path(dir, "_last_checkpoint")
+      if (f.exists(lc)) {
+        val in = f.open(lc)
+        try {
+          val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          val node = mapper.readTree(txt)
+          Option(node.get("version")).map(_.asLong())
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally in.close()
+      } else None
+    }
+    val claimed = commitVersions ++ checkpointVersions ++ pointerVersion
+    if (claimed.isEmpty) 0L else claimed.max + 1
   }
 }

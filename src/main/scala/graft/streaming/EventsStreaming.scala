@@ -93,7 +93,9 @@ object EventsStreaming {
             var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
             sorted.foreach { e =>
               val t = e.ts.getTime
-              if (st.lastTs == Long.MinValue || t - st.lastTs > gapMs)
+              // >= : an event exactly gap-after opens a new session, the
+              // same half-open-interval boundary as session_window / q52.
+              if (st.lastTs == Long.MinValue || t - st.lastTs >= gapMs)
                 st = st.copy(sessions = st.sessions + 1)
               st = st.copy(lastTs = math.max(st.lastTs, t), events = st.events + 1)
             }

@@ -30,7 +30,13 @@ object GraftColumnBridge {
     case a: internal.UnresolvedAttribute if a.nameParts.size == 1 =>
       AttrView(a.nameParts.head)
     case l: internal.Literal => LitView(l.value)
-    case c: internal.Cast => viewNode(c.child) // prune on the raw column range
+    // Cast is Opaque, NOT stripped: the child's source type is unresolved
+    // here, so an order-preserving widening cannot be proven. Stripping
+    // would prune on the RAW column's stats range — for order-breaking
+    // casts (string "10" < "9" but int 10 > 9) that wrongly excludes
+    // files with matching rows, breaking pruning's "safe, never exact"
+    // contract. Opaque just costs the skip, never rows.
+    case _: internal.Cast => Opaque
     case _ => Opaque
   }
 }

@@ -246,6 +246,39 @@ class DeltaSourceSpec extends AnyFunSuite {
       Seq("numRecords", "minValues", "maxValues", "nullCount"))
   }
 
+  test("data skipping never prunes through an order-breaking cast") {
+    val t = tmpTable()
+    import spark.implicits._
+    // One file whose STRING stats are min="10", max="9" (lexicographic);
+    // pruning CAST(s AS INT) = 10 on the raw string range would compare
+    // "10" <= "10" && "9" >= "10" -> false and wrongly skip the file.
+    DeltaWrite.write(Seq((1, "9"), (2, "10")).toDF("id", "s")
+      .coalesce(1), t)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.size == 1 && snap.files.head.stats.isDefined)
+    val out = DeltaLog.readWhere(spark, t, col("s").cast("int") === 10)
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(2),
+      "cast predicate must fall back to scan, never skip matching rows")
+  }
+
+  test("data skipping tolerates predicates on partition columns") {
+    val t = tmpTable()
+    import spark.implicits._
+    // Partitioned stats-bearing table: partition cols are absent from the
+    // stats schema; a predicate mentioning one must conservatively keep
+    // files (and still filter rows), not throw AnalysisException.
+    val df = Seq((1, "a", "eu"), (2, "b", "eu"), (3, "c", "us"))
+      .toDF("id", "s", "region")
+    DeltaWrite.write(df, t, partitionBy = Seq("region"))
+    assert(DeltaLog.snapshot(spark, t).files.forall(_.stats.isDefined))
+    val out = DeltaLog.readWhere(spark, t, col("region") === "eu")
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // mixed predicate: data column still prunes, partition column passes
+    val mixed = DeltaLog.readWhere(spark, t,
+      col("region") === "us" && col("id") >= 3)
+    assert(mixed.collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
   test("incremental change feed: polls see only new appends; rewrites " +
     "require explicit opt-in; compaction is invisible") {
     val t = tmpTable()
@@ -271,8 +304,24 @@ class DeltaSourceSpec extends AnyFunSuite {
       DeltaChanges.readChanges(spark, t, v4)
     }
     // ...unless the consumer opts into at-least-once re-emission
-    val (_, d5) = DeltaChanges.readChanges(spark, t, v4, ignoreChanges = true)
+    val (v5, d5) = DeltaChanges.readChanges(spark, t, v4, ignoreChanges = true)
     assert(d5.count() > 0)
+    // a REMOVE-ONLY commit (delete whose rewrite kept no files) is NOT a
+    // silent no-op: the delete signal needs its own explicit opt-in
+    val snap = DeltaLog.snapshot(spark, t)
+    val removeOnly = new org.apache.hadoop.fs.Path(
+      DeltaLog.logDir(t), f"${v5 + 1}%020d.json")
+    val fs = removeOnly.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(removeOnly, false)
+    try out.write(
+      (s"""{"commitInfo":{"operation":"DELETE"}}""" + "\n" +
+        s"""{"remove":{"path":"${snap.files.head.path}","dataChange":true,"deletionTimestamp":0}}""")
+        .getBytes("UTF-8")) finally out.close()
+    intercept[UnsupportedOperationException] {
+      DeltaChanges.readChanges(spark, t, v5)
+    }
+    val (_, d6) = DeltaChanges.readChanges(spark, t, v5, ignoreDeletes = true)
+    assert(d6.count() == 0) // skipped, by explicit contract
   }
 
   test("z-order clustering: predicates on EITHER column prune files; " +
@@ -350,6 +399,31 @@ class DeltaSourceSpec extends AnyFunSuite {
     // an up-to-date consumer is unaffected
     assert(graft.sources.DeltaChanges
       .readChanges(spark, t, fromExclusive = 1L)._2.count() == 1)
+  }
+
+  test("append after checkpoint + cleanupLog claims the NEXT version, not 0") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaWrite.checkpoint(spark, t) // checkpoint at v1
+    // No commits past the checkpoint: cleanup leaves ONLY the checkpoint
+    assert(DeltaMaintenance.cleanupLog(spark, t) == 2)
+    // The next append must commit as v2 — deriving the version from
+    // commit JSONs alone would re-issue v0, which replay (checkpoint at
+    // v1, commits from v2) silently never sees: lost data.
+    val v = DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+    assert(v == 2L, s"append after cleanup committed as v$v")
+    assert(DeltaLog.read(spark, t).collect().map(_.getInt(0)).toSet ==
+      Set(1, 2, 3))
+    // and even with _last_checkpoint gone, the checkpoint file itself
+    // still carries the claimed horizon
+    val fs = DeltaLog.logDir(t).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(DeltaLog.logDir(t), "_last_checkpoint"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(DeltaLog.logDir(t), f"${2L}%020d.json"), false)
+    val v2 = DeltaWrite.write(Seq((4, "d")).toDF("id", "s"), t, SaveMode.Append)
+    assert(v2 == 2L, s"expected v2 from checkpoint horizon alone, got v$v2")
   }
 
   test("filter pushdown reaches the parquet scan under a Delta read") {
