@@ -204,5 +204,56 @@ object TextAnalysis {
         .orderBy("lang", "bucket"),
       Some("SELECT lang, LEAST(CAST(FLOOR(n_chars / 512) AS BIGINT), 8) AS bucket, " +
         "COUNT(*) AS n FROM documents GROUP BY 1, 2 ORDER BY lang, bucket"))
+    ,
+
+    // Repetition filters (the Gopher/MassiveText rules every corpus build
+    // applies): duplicate-line fraction and top-word mass per document,
+    // with the usual reject thresholds. Explode → count is the scale
+    // form: a document's exploded lines/words land in the producing
+    // partition, so map-side combine collapses them to per-doc distincts
+    // BEFORE the (doc_id, token) shuffle — the shuffle carries ~unique
+    // tokens per doc, never the raw token stream. Ratios are exact-int
+    // divisions in double: bit-identical across engines.
+    GraftQuery("q87_repetition_filters",
+      (s, d) => {
+        val base = docs(s, d)
+        val lineFrac = base
+          .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+          .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(((sum("c") - count(lit(1))).cast("double") / sum("c"))
+            .as("dup_line_frac"))
+        val wordFrac = base
+          .select(col("doc_id"),
+            explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
+              .as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg((max("c").cast("double") / sum("c")).as("top_word_frac"),
+            sum("c").cast("long").as("n_words"))
+        base.select("doc_id")
+          .join(lineFrac, Seq("doc_id"), "left")
+          .join(wordFrac, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("dup_line_frac"),
+            coalesce(col("top_word_frac"), lit(0.0)).as("top_word_frac"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            (col("dup_line_frac") > 0.3 ||
+              coalesce(col("top_word_frac"), lit(0.0)) > 0.2).as("repetitive"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+        |lc AS (SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY 1, 2),
+        |lf AS (SELECT doc_id, CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_line_frac FROM lc GROUP BY doc_id),
+        |w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\p{L}+')) AS word FROM documents),
+        |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        |wf AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac,
+        |CAST(SUM(c) AS BIGINT) AS n_words FROM wc GROUP BY doc_id)
+        |SELECT d.doc_id, lf.dup_line_frac,
+        |COALESCE(wf.top_word_frac, 0.0) AS top_word_frac,
+        |CAST(COALESCE(wf.n_words, 0) AS BIGINT) AS n_words,
+        |(lf.dup_line_frac > 0.3 OR COALESCE(wf.top_word_frac, 0.0) > 0.2) AS repetitive
+        |FROM documents d LEFT JOIN lf USING (doc_id) LEFT JOIN wf USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -27,11 +27,15 @@ object DeltaChanges {
   final case class Changes(fromVersionExclusive: Long, toVersion: Long,
       addedFiles: Seq[String])
 
-  /** File paths added by commits in `(fromExclusive, latest]`. */
+  /** File paths added by commits in `(fromExclusive, toInclusive]`
+    * (`toInclusive` defaults to the latest version — a streaming source
+    * passes the batch's end offset so a commit landing mid-planning
+    * stays out of the batch). */
   def changedFiles(spark: SparkSession, tablePath: String,
       fromExclusive: Long, ignoreChanges: Boolean = false,
-      ignoreDeletes: Boolean = false): Changes = {
-    val latest = DeltaLog.latestVersion(spark, tablePath)
+      ignoreDeletes: Boolean = false,
+      toInclusive: Option[Long] = None): Changes = {
+    val latest = toInclusive.getOrElse(DeltaLog.latestVersion(spark, tablePath))
     val fs = DeltaLog.logDir(tablePath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val added = scala.collection.mutable.Buffer[String]()

@@ -67,8 +67,11 @@ object DeltaMaintenance {
     val dir = DeltaLog.logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val entries = fs.listStatus(dir).map(_.getPath.getName)
+    // Both single-part (<v>.checkpoint.parquet) and multi-part
+    // (<v>.checkpoint.<i>.<n>.parquet) forms mark a horizon.
     val ckpt = entries.collect {
-      case n if n.endsWith(".checkpoint.parquet") => n.take(20).toLong
+      case n if n.length >= 20 && n.contains(".checkpoint") &&
+        n.endsWith(".parquet") && n.take(20).forall(_.isDigit) => n.take(20).toLong
     }.maxOption
     ckpt match {
       case None => 0

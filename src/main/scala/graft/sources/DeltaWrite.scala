@@ -130,10 +130,19 @@ object DeltaWrite {
   }
 
   /** Write a parquet checkpoint of the current snapshot plus the
-    * `_last_checkpoint` pointer, so readers skip replaying old commits. */
-  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    * `_last_checkpoint` pointer, so readers skip replaying old commits.
+    *
+    * `parts > 1` writes the protocol's multi-part form
+    * (`<v>.checkpoint.<i>.<n>.parquet`, 1-based): a 100 TB table's
+    * checkpoint is millions of `add` rows — one parquet file becomes the
+    * bootstrap bottleneck, while N parts let the reader's
+    * `spark.read.parquet(parts: _*)` parallelize the replay scan. Add
+    * entries are distributed round-robin; protocol + metaData ride in
+    * part 1 (replay order does not matter within a checkpoint). */
+  def checkpoint(spark: SparkSession, tablePath: String, parts: Int = 1): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    require(parts >= 1, s"parts must be >= 1, got $parts")
     val snap = DeltaLog.snapshot(spark, tablePath)
     val ckptSchema = StructType(Seq(
       StructField("add", StructType(Seq(
@@ -148,31 +157,48 @@ object DeltaWrite {
       StructField("metaData", StructType(Seq(
         StructField("id", StringType), StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)))))))
-    val rows: Seq[Row] =
+    val header: Seq[Row] =
       Seq(Row(null, Row(1, 2), null),
         Row(null, null, Row(java.util.UUID.randomUUID().toString,
-          snap.schema.json, snap.partitionColumns))) ++
-      snap.files.map(a =>
-        Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
-          Map.empty[String, String]), null, null))
+          snap.schema.json, snap.partitionColumns)))
+    val addRows = snap.files.map(a =>
+      Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
+        Map.empty[String, String]), null, null))
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
-    val staging = new Path(dir, s".ckpt-${java.util.UUID.randomUUID()}")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1).asInstanceOf[org.apache.spark.rdd.RDD[Row]],
-        ckptSchema)
-      .write.mode("overwrite").parquet(staging.toString)
-    val part = f.listStatus(staging).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
-    val target = new Path(dir, f"${snap.version}%020d.checkpoint.parquet")
-    f.delete(target, false)
-    if (!f.rename(part, target))
-      throw new IllegalStateException(s"could not place checkpoint $target")
-    f.delete(staging, true)
+
+    def writePart(rows: Seq[Row], target: Path): Unit = {
+      val staging = new Path(dir, s".ckpt-${java.util.UUID.randomUUID()}")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1).asInstanceOf[org.apache.spark.rdd.RDD[Row]],
+          ckptSchema)
+        .write.mode("overwrite").parquet(staging.toString)
+      val part = f.listStatus(staging).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
+      f.delete(target, false)
+      if (!f.rename(part, target))
+        throw new IllegalStateException(s"could not place checkpoint $target")
+      f.delete(staging, true)
+    }
+
+    if (parts == 1) {
+      writePart(header ++ addRows,
+        new Path(dir, f"${snap.version}%020d.checkpoint.parquet"))
+    } else {
+      val slices = Array.fill(parts)(scala.collection.mutable.Buffer[Row]())
+      addRows.zipWithIndex.foreach { case (r, i) => slices(i % parts) += r }
+      (0 until parts).foreach { i =>
+        val rows = (if (i == 0) header else Nil) ++ slices(i)
+        writePart(rows, new Path(dir,
+          f"${snap.version}%020d.checkpoint.${i + 1}%010d.$parts%010d.parquet"))
+      }
+    }
     val lc = f.create(new Path(dir, "_last_checkpoint"), true)
-    try lc.write(s"""{"version":${snap.version},"size":${snap.files.size + 2}}"""
-      .getBytes("UTF-8")) finally lc.close()
+    val partsField = if (parts > 1) s""","parts":$parts""" else ""
+    try lc.write(
+      s"""{"version":${snap.version},"size":${snap.files.size + 2}$partsField}"""
+        .getBytes("UTF-8")) finally lc.close()
     snap.version
   }
 

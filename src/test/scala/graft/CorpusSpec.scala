@@ -184,4 +184,35 @@ class CorpusSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("q88 skyline: no survivor dominated, every dropped point dominated " +
+    "by a survivor, result independent of partitioning") {
+    import graft.operators.{Skyline, SkyPoint}
+    import spark.implicits._
+    val parts = Tables.load(spark, sf, "part")
+      .select(col("p_partkey").cast("long"), col("p_retailprice"), col("p_size"))
+      .as[(Long, Double, Int)].collect().map(t => SkyPoint(t._1, t._2, t._3))
+    val sky = SparkEntry.queries("q88_skyline")(spark, sf)
+      .as[(Long, Double, Int)].collect().map(t => SkyPoint(t._1, t._2, t._3))
+    def dominates(q: SkyPoint, p: SkyPoint): Boolean =
+      q.price <= p.price && q.size >= p.size &&
+        (q.price < p.price || q.size > p.size)
+    // soundness: nothing in the skyline is dominated by any input point
+    sky.foreach(p => assert(!parts.exists(q => dominates(q, p)), s"dominated: $p"))
+    // completeness: every non-skyline point is dominated by some survivor
+    val skyKeys = sky.map(_.key).toSet
+    parts.filterNot(p => skyKeys(p.key)).foreach(p =>
+      assert(sky.exists(q => dominates(q, p)), s"wrongly dropped: $p"))
+    // partition-count invariance (local sweep + merge is exact, not approx)
+    val repartitioned = Skyline.skyline2d(
+      spark.createDataset(parts.toSeq).repartition(7))
+      .collect().map(_.key).sorted.toSeq
+    assert(repartitioned == sky.map(_.key).sorted.toSeq)
+    // duplicate coordinates: all copies survive together
+    val dup = Skyline.skyline2d(spark.createDataset(Seq(
+      SkyPoint(1, 5.0, 10), SkyPoint(2, 5.0, 10), SkyPoint(3, 6.0, 10),
+      SkyPoint(4, 4.0, 3), SkyPoint(5, 7.0, 11))))
+      .collect().map(_.key).sorted.toSeq
+    assert(dup == Seq(1L, 2L, 4L, 5L), s"got $dup")
+  }
 }

@@ -401,6 +401,32 @@ class DeltaSourceSpec extends AnyFunSuite {
       .readChanges(spark, t, fromExclusive = 1L)._2.count() == 1)
   }
 
+  test("multi-part checkpoint: replay bootstraps from all parts; cleanup " +
+    "and version claims recognize the multi-part horizon") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    DeltaWrite.write((1 to 100).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(6), t)
+    DeltaWrite.write(Seq((101, "x")).toDF("id", "s"), t, SaveMode.Append)
+    val v = DeltaWrite.checkpoint(spark, t, parts = 3)
+    assert(v == 1L)
+    val fs = DeltaLog.logDir(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val ckptNames = fs.listStatus(DeltaLog.logDir(t)).map(_.getPath.getName)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet"))
+    assert(ckptNames.length == 3, ckptNames.mkString(", "))
+    // the multi-part checkpoint is a recognized horizon: commits at-or-
+    // before it are deletable and replay still reconstructs everything
+    assert(DeltaMaintenance.cleanupLog(spark, t) == 2)
+    assert(DeltaLog.read(spark, t).count() == 101)
+    assert(DeltaLog.read(spark, t).agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) == (1 to 101).map(_.toLong).sum)
+    // and the next append claims v2, not v0
+    val v2 = DeltaWrite.write(Seq((102, "y")).toDF("id", "s"), t, SaveMode.Append)
+    assert(v2 == 2L)
+    assert(DeltaLog.read(spark, t).count() == 102)
+  }
+
   test("append after checkpoint + cleanupLog claims the NEXT version, not 0") {
     val t = tmpTable()
     import spark.implicits._

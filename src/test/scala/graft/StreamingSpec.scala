@@ -162,4 +162,58 @@ class StreamingSpec extends AnyFunSuite {
       .except(batch).count()
     assert(diff == 0)
   }
+
+  test("graft-delta streaming source: appends arrive exactly once across " +
+    "restarts; rewrites fail the query without opt-in") {
+    import graft.sources.{DeltaDml, DeltaWrite}
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_ds_t").resolve("t").toString
+    val out = Files.createTempDirectory("graft_ds_out").toString
+    val ckpt = Files.createTempDirectory("graft_ds_ckpt").toString
+    // coalesce(1): both rows in ONE data file, so the later UPDATE's
+    // rewrite re-emits exactly these two rows under ignoreChanges
+    DeltaWrite.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+
+    def start(opts: Map[String, String] = Map.empty) = {
+      val reader = spark.readStream.format("graft-delta").option("path", t)
+      opts.foreach { case (k, v) => reader.option(k, v) }
+      reader.load().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+    }
+
+    val q = start()
+    q.processAllAvailable()
+    assert(spark.read.parquet(out).count() == 2)
+    // live append: next micro-batch carries exactly the new commit
+    DeltaWrite.write(Seq((3L, "c")).toDF("id", "s"), t, SaveMode.Append)
+    q.processAllAvailable()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    q.stop()
+    // an append landing while the query is DOWN arrives exactly once on
+    // restart (offset = Delta version, recovered from the checkpoint)
+    DeltaWrite.write(Seq((4L, "d")).toDF("id", "s"), t, SaveMode.Append)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(out).count() == 4, "no loss, no re-emission")
+    // a DML rewrite breaks the append contract -> the query fails...
+    DeltaDml.update(spark, t, col("id") === 1L,
+      Seq("s" -> org.apache.spark.sql.functions.lit("A")))
+    val q3 = start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    def causes(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq
+    assert(causes(ex).exists(_.isInstanceOf[UnsupportedOperationException]))
+    // ...and ignoreChanges opts into at-least-once re-emission of the
+    // rewritten file (ids 1,2 re-emitted alongside the 4 originals)
+    val q4 = start(Map("ignoreChanges" -> "true"))
+    q4.processAllAvailable()
+    q4.stop()
+    assert(spark.read.parquet(out).count() == 6)
+  }
 }
