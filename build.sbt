@@ -12,6 +12,11 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true  // REPL (graft.Cli --interactive) reads stdin
+// Pass the forked process's stdout through VERBATIM — sbt's default
+// LoggedOutput prepends "[info] " to every line, which corrupts the
+// one-line JSON contract of graft.Bench/graft.Verify (the driver parses
+// the line; BENCH_r01–r03 all came back "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -43,9 +43,16 @@ object Bench {
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // ONE compact JSON line for the driver. Keys are the short query ids
+    // ("q45" for "q45_dedup_ngram_jaccard" — unique by construction) and
+    // values are rounded to ms so the whole line fits inside the
+    // driver's 2000-char output-tail capture: with full names the line
+    // is ~3.3k chars and arrives truncated (BENCH_r01–r03 all show
+    // "parsed": null with the tail starting mid-line).
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 1000) / 1000)
+    }.mkString("{", ",", "}")
+    val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 1000) / 1000
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -51,7 +51,8 @@ object DeltaLog {
 
   private val mapper = new ObjectMapper()
   private val VersionRe = """(\d{20})\.json""".r
-  private val CheckpointRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
+  private val SinglePartRe = """(\d{20})\.checkpoint\.parquet""".r
+  private val MultiPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
 
   def logDir(tablePath: String): Path = new Path(tablePath, "_delta_log")
 
@@ -61,12 +62,24 @@ object DeltaLog {
     fs.exists(p)
   }
 
-  /** Current (or as-of) table version, from the commit-file listing. */
-  def latestVersion(spark: SparkSession, tablePath: String): Long =
-    listLog(spark, tablePath)._2.keys.maxOption.getOrElse(
+  /** Current (or as-of) table version. Checkpoint versions count: after
+    * checkpoint + log cleanup a valid table may have no commit JSON at
+    * its current version (mirrors snapshot()'s own horizon). */
+  def latestVersion(spark: SparkSession, tablePath: String): Long = {
+    val (_, commits, checkpoints) = listLog(spark, tablePath)
+    (commits.keys ++ checkpoints.keys).maxOption.getOrElse(
       throw new IllegalStateException(s"no Delta commits under $tablePath"))
+  }
 
-  private def listLog(spark: SparkSession, tablePath: String)
+  /** List the log: commit JSONs by version, plus COMPLETE checkpoints by
+    * version. A multi-part checkpoint (`<v>.checkpoint.<i>.<n>.parquet`)
+    * is trusted only when all n distinct parts are present — a reader
+    * racing the part-rename publish (or landing after a crash mid-write)
+    * must not bootstrap from a partial live-file set: replay starts at
+    * v+1, so missing adds would be silent durable data loss, not an
+    * error. Incomplete checkpoints are simply invisible; replay falls
+    * back to the next older complete checkpoint or the full commit log. */
+  private[sources] def listLog(spark: SparkSession, tablePath: String)
       : (FileSystem, Map[Long, Path], Map[Long, Seq[Path]]) = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -77,10 +90,21 @@ object DeltaLog {
       case VersionRe(v) => Some(v.toLong -> p)
       case _ => None
     }).toMap
-    val checkpoints = entries.flatMap(p => p.getName match {
-      case CheckpointRe(v) => Some(v.toLong -> p)
+    val singles = entries.flatMap(p => p.getName match {
+      case SinglePartRe(v) => Some(v.toLong -> p)
       case _ => None
-    }).groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSeq }
+    }).toMap
+    val multis: Map[Long, Seq[Path]] = entries.flatMap(p => p.getName match {
+      case MultiPartRe(v, i, n) => Some(((v.toLong, n.toInt), i.toInt, p))
+      case _ => None
+    }).groupBy(_._1).collect {
+      // complete = exactly parts 1..n all present (distinct, no gaps)
+      case ((v, n), group) if group.map(_._2).toSet == (1 to n).toSet =>
+        v -> group.sortBy(_._2).map(_._3).toSeq
+    }
+    // a complete single-part checkpoint at the same version wins (either
+    // is valid; one file is the cheaper bootstrap)
+    val checkpoints = multis ++ singles.map { case (v, p) => v -> Seq(p) }
     (fs, commits, checkpoints)
   }
 

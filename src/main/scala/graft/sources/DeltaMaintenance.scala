@@ -67,12 +67,11 @@ object DeltaMaintenance {
     val dir = DeltaLog.logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val entries = fs.listStatus(dir).map(_.getPath.getName)
-    // Both single-part (<v>.checkpoint.parquet) and multi-part
-    // (<v>.checkpoint.<i>.<n>.parquet) forms mark a horizon.
-    val ckpt = entries.collect {
-      case n if n.length >= 20 && n.contains(".checkpoint") &&
-        n.endsWith(".parquet") && n.take(20).forall(_.isDigit) => n.take(20).toLong
-    }.maxOption
+    // The horizon must be a COMPLETE checkpoint (DeltaLog.listLog
+    // validates multi-part completeness): trusting a partial checkpoint
+    // left by a crashed writer would delete the only replayable record
+    // of those commits — durable data loss, not a retention trim.
+    val ckpt = DeltaLog.listLog(spark, tablePath)._3.keys.maxOption
     ckpt match {
       case None => 0
       case Some(horizon) =>

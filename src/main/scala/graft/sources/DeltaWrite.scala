@@ -167,7 +167,14 @@ object DeltaWrite {
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
 
-    def writePart(rows: Seq[Row], target: Path): Unit = {
+    // Parts are fully staged under hidden names BEFORE any is published:
+    // a reader never lists a half-written parquet. The publish renames
+    // themselves are not atomic as a group — which is why DeltaLog only
+    // trusts a multi-part checkpoint when all n parts are present (a
+    // reader racing this loop, or landing after a crash inside it, falls
+    // back to the previous checkpoint / full replay instead of silently
+    // bootstrapping from a partial live-file set).
+    def stagePart(rows: Seq[Row]): Path = {
       val staging = new Path(dir, s".ckpt-${java.util.UUID.randomUUID()}")
       spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1).asInstanceOf[org.apache.spark.rdd.RDD[Row]],
@@ -176,23 +183,30 @@ object DeltaWrite {
       val part = f.listStatus(staging).map(_.getPath)
         .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
-      f.delete(target, false)
-      if (!f.rename(part, target))
-        throw new IllegalStateException(s"could not place checkpoint $target")
+      val hidden = new Path(dir, s".ckpt-staged-${java.util.UUID.randomUUID()}.parquet")
+      if (!f.rename(part, hidden))
+        throw new IllegalStateException(s"could not stage checkpoint part $hidden")
       f.delete(staging, true)
+      hidden
     }
+    def publish(staged: Seq[(Path, Path)]): Unit =
+      staged.foreach { case (hidden, target) =>
+        f.delete(target, false)
+        if (!f.rename(hidden, target))
+          throw new IllegalStateException(s"could not place checkpoint $target")
+      }
 
     if (parts == 1) {
-      writePart(header ++ addRows,
-        new Path(dir, f"${snap.version}%020d.checkpoint.parquet"))
+      publish(Seq(stagePart(header ++ addRows) ->
+        new Path(dir, f"${snap.version}%020d.checkpoint.parquet")))
     } else {
       val slices = Array.fill(parts)(scala.collection.mutable.Buffer[Row]())
       addRows.zipWithIndex.foreach { case (r, i) => slices(i % parts) += r }
-      (0 until parts).foreach { i =>
+      publish((0 until parts).map { i =>
         val rows = (if (i == 0) header else Nil) ++ slices(i)
-        writePart(rows, new Path(dir,
-          f"${snap.version}%020d.checkpoint.${i + 1}%010d.$parts%010d.parquet"))
-      }
+        stagePart(rows) -> new Path(dir,
+          f"${snap.version}%020d.checkpoint.${i + 1}%010d.$parts%010d.parquet")
+      })
     }
     val lc = f.create(new Path(dir, "_last_checkpoint"), true)
     val partsField = if (parts > 1) s""","parts":$parts""" else ""

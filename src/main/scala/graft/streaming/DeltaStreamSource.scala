@@ -40,12 +40,22 @@ class DeltaStreamSource(
     Some(LongOffset(DeltaLog.latestVersion(spark, tablePath)))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(-1L)
     val to = versionOf(end)
-    val files =
-      if (to <= from) Nil
-      else DeltaChanges.changedFiles(spark, tablePath, from,
-        ignoreChanges, ignoreDeletes, toInclusive = Some(to)).addedFiles
+    val files = start match {
+      // Initial batch: serve the CURRENT snapshot's live files (as
+      // Delta's own source does), not a replay of every commit from
+      // version -1 — on a table whose log was cleaned the early commits
+      // no longer exist; after OPTIMIZE+VACUUM replay would reference
+      // vacuumed files; and under ignoreChanges replay would re-emit
+      // rows that were deleted before the stream started.
+      case None => DeltaLog.snapshot(spark, tablePath,
+        versionAsOf = Some(to)).filePaths
+      case Some(s) =>
+        val from = versionOf(s)
+        if (to <= from) Nil
+        else DeltaChanges.changedFiles(spark, tablePath, from,
+          ignoreChanges, ignoreDeletes, toInclusive = Some(to)).addedFiles
+    }
     GraftStreamBridge.streamingParquetBatch(spark, schema, tablePath, files)
   }
 

@@ -452,6 +452,56 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(v2 == 2L, s"expected v2 from checkpoint horizon alone, got v$v2")
   }
 
+  test("latestVersion answers on a checkpoint-only log (after cleanup)") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.{DeltaChanges, DeltaMaintenance}
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaWrite.checkpoint(spark, t) // checkpoint at v1
+    assert(DeltaMaintenance.cleanupLog(spark, t) == 2) // ONLY checkpoint left
+    // Deriving the version from commit JSONs alone threw here even
+    // though snapshot() reads the table fine (ADVICE r03): the current
+    // version can be recorded by the checkpoint alone.
+    assert(DeltaLog.latestVersion(spark, t) == 1L)
+    // ...which is what DeltaChanges' default toInclusive resolves
+    val c = DeltaChanges.changedFiles(spark, t, fromExclusive = 1L)
+    assert(c.toVersion == 1L && c.addedFiles.isEmpty)
+  }
+
+  test("incomplete multi-part checkpoint is not trusted: replay falls " +
+    "back to commits; cleanup refuses the partial horizon") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    DeltaWrite.write((1 to 60).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(6), t)
+    DeltaWrite.write(Seq((61, "x")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaWrite.checkpoint(spark, t, parts = 3)
+    val dir = DeltaLog.logDir(t)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a crash between part publishes: drop one of the 3 parts
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.contains(".checkpoint.") && p.getName.endsWith(".parquet"))
+    assert(parts.length == 3)
+    fs.delete(parts(1), false)
+    // a reader must NOT bootstrap from the 2 surviving parts (that would
+    // silently lose the adds recorded in the missing part) — with the
+    // commits still present it replays them instead and sees every row
+    assert(DeltaLog.read(spark, t).count() == 61)
+    assert(DeltaLog.read(spark, t).agg(sum("id")).head.getLong(0) ==
+      (1 to 61).map(_.toLong).sum)
+    assert(DeltaLog.latestVersion(spark, t) == 1L)
+    // cleanup must not treat the partial checkpoint as a horizon either:
+    // deleting the commits it "supersedes" would leave nothing replayable
+    assert(DeltaMaintenance.cleanupLog(spark, t) == 0)
+    assert(DeltaLog.read(spark, t).count() == 61)
+    // a fresh COMPLETE checkpoint at the same version repairs the table
+    DeltaWrite.checkpoint(spark, t, parts = 3)
+    assert(DeltaMaintenance.cleanupLog(spark, t) == 2)
+    assert(DeltaLog.read(spark, t).count() == 61)
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")

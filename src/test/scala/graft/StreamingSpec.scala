@@ -216,4 +216,51 @@ class StreamingSpec extends AnyFunSuite {
     q4.stop()
     assert(spark.read.parquet(out).count() == 6)
   }
+
+  test("graft-delta fresh stream bootstraps from the snapshot: works on a " +
+    "cleaned log and does not resurrect pre-stream deletes") {
+    import graft.sources.{DeltaDml, DeltaMaintenance, DeltaWrite}
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+
+    // Case 1: table whose early commits were cleaned away. A fresh
+    // stream used to replay from version -1 and die on the missing
+    // commit 0 (ADVICE r03); it must instead serve the current snapshot.
+    val t1 = Files.createTempDirectory("graft_ds_boot1").resolve("t").toString
+    DeltaWrite.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t1)
+    DeltaWrite.write(Seq((3L, "c")).toDF("id", "s"), t1, SaveMode.Append)
+    DeltaWrite.checkpoint(spark, t1)
+    assert(DeltaMaintenance.cleanupLog(spark, t1) == 2)
+    val out1 = Files.createTempDirectory("graft_ds_boot1_out").toString
+    val q1 = spark.readStream.format("graft-delta").option("path", t1).load()
+      .writeStream.format("parquet").option("path", out1)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ds_boot1_ckpt").toString).start()
+    q1.processAllAvailable()
+    // appends after the bootstrap still flow incrementally
+    DeltaWrite.write(Seq((4L, "d")).toDF("id", "s"), t1, SaveMode.Append)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out1).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // Case 2: DML before the stream ever started. Under ignoreChanges a
+    // from-scratch replay would emit the original file AND its rewrite —
+    // resurrecting rows deleted before the stream existed. The snapshot
+    // bootstrap emits only the live rows.
+    val t2 = Files.createTempDirectory("graft_ds_boot2").resolve("t").toString
+    DeltaWrite.write((1L to 4L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1), t2)
+    DeltaDml.delete(spark, t2, col("id") <= 2L)
+    val out2 = Files.createTempDirectory("graft_ds_boot2_out").toString
+    val q2 = spark.readStream.format("graft-delta").option("path", t2)
+      .option("ignoreChanges", "true").load()
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ds_boot2_ckpt").toString).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(out2).as[(Long, String)].collect().toSet ==
+      Set((3L, "r3"), (4L, "r4")))
+  }
 }
