@@ -65,6 +65,141 @@ object DeltaDml {
     DmlResult(v, hitRel.size, affected)
   }
 
+  final case class MergeResult(version: Long, rewrittenFiles: Int,
+      updatedRows: Long, deletedRows: Long, insertedRows: Long)
+
+  /** MERGE INTO: the general upsert the reference's SCD sync is a
+    * special case of (delta_to_postgres_scd.py:269-337 closes + inserts
+    * by business key; `ScdPipeline` implements that shape directly —
+    * this is the open-coded Delta counterpart for arbitrary clauses).
+    *
+    * The target is aliased `t` and the source `s`: write `condition`,
+    * clause conditions, and assignment values against those qualifiers
+    * (`col("t.id") === col("s.id")`, `"v" -> col("s.v")`).
+    *
+    * Clauses (each optional, Delta semantics):
+    *   - `matchedUpdate`: assignments applied to matched target rows
+    *     (optionally gated by `matchedUpdateCond`);
+    *   - `matchedDelete`: matched target rows satisfying the condition
+    *     are deleted (checked BEFORE update, as when a MERGE lists
+    *     DELETE first);
+    *   - `insert`: when true, source rows matching NO target row are
+    *     inserted (source schema must cover the target's columns).
+    *
+    * Copy-on-write at scale: only files holding at least one matched row
+    * are rewritten (semi-join collecting file NAMES — metadata-scale);
+    * inserts append new files; one atomic remove+add commit. A source
+    * with MULTIPLE rows matching one target row makes the update
+    * ambiguous — that is an error, as in Delta.
+    */
+  def merge(spark: SparkSession, tablePath: String, source: DataFrame,
+      condition: Column,
+      matchedUpdate: Seq[(String, Column)] = Nil,
+      matchedUpdateCond: Option[Column] = None,
+      matchedDelete: Option[Column] = None,
+      insert: Boolean = false): MergeResult = {
+    import org.apache.spark.sql.functions.{count, lit, max, monotonically_increasing_id, sum}
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val target = DeltaLog.read(spark, tablePath)
+
+    val uriToRel: Map[String, String] =
+      snap.files.map { a =>
+        val abs = new Path(tablePath,
+          java.net.URLDecoder.decode(a.path, "UTF-8"))
+        abs.getFileSystem(spark.sessionState.newHadoopConf())
+          .makeQualified(abs).toUri.toString -> a.path
+      }.toMap
+
+    // Files containing at least one row a matched CLAUSE will act on
+    // (semi join: file names only come back to the driver, never data).
+    // The gate matters: a match with no applicable update/delete clause
+    // changes nothing, and rewriting its file would turn an insert-only
+    // merge into a spurious full-file rewrite.
+    import org.apache.spark.sql.functions.lit
+    val updGate =
+      if (matchedUpdate.nonEmpty) matchedUpdateCond.getOrElse(lit(true))
+      else lit(false)
+    val actGate = matchedDelete.foldLeft(updGate)(_ || _)
+    val hitUris =
+      if (matchedUpdate.isEmpty && matchedDelete.isEmpty) Array.empty[String]
+      else target.alias("t")
+        .join(source.alias("s"), condition && actGate, "left_semi")
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0))
+    val hitRel = hitUris.toSeq.map(u => uriToRel.getOrElse(u,
+      throw new IllegalStateException(s"scanned file not in snapshot: $u")))
+
+    // Source rows matching no target row (whole table, not just hit files).
+    val inserts =
+      if (!insert) None
+      else Some(source.alias("s")
+        .join(target.alias("t"), condition, "left_anti")
+        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*))
+
+    if (hitUris.isEmpty && !insert)
+      return MergeResult(snap.version, 0, 0L, 0L, 0L)
+
+    // Bounded by the HIT files, not the table — cached once, read for
+    // the ambiguity check, the clause counts, and the rewrite; released
+    // after the commit (or on any failure).
+    var cached: Option[DataFrame] = None
+    try {
+      val (rewritten, updated, deleted) =
+        if (hitUris.isEmpty) (None, 0L, 0L)
+        else {
+          val hit = spark.read.schema(snap.schema)
+            .option("basePath", tablePath).parquet(hitUris.toIndexedSeq: _*)
+            .withColumn("__rid", monotonically_increasing_id())
+          val marked = source.withColumn("__matched", lit(true))
+          val joined = hit.alias("t").join(marked.alias("s"), condition, "left")
+          joined.persist()
+          cached = Some(joined)
+          val dup = joined.groupBy(col("__rid"))
+            .agg(count(col("__matched")).as("m")).agg(max(col("m")))
+            .head.getLong(0)
+          if (dup > 1) throw new IllegalStateException(
+            s"MERGE source has $dup rows matching one target row of " +
+              s"$tablePath — the update is ambiguous (Delta semantics)")
+
+          val matched = col("__matched").isNotNull
+          val doDelete = matchedDelete.map(matched && _).getOrElse(lit(false))
+          val doUpdate = matched && !doDelete &&
+            matchedUpdateCond.getOrElse(lit(true)) &&
+            lit(matchedUpdate.nonEmpty)
+          val counts = joined.agg(
+            sum(when(doDelete, 1L).otherwise(0L)),
+            sum(when(doUpdate, 1L).otherwise(0L))).head
+          val nDel = Option(counts.get(0)).fold(0L)(_.asInstanceOf[Long])
+          val nUpd = Option(counts.get(1)).fold(0L)(_.asInstanceOf[Long])
+
+          val kept = joined.filter(!doDelete)
+          val applied = snap.schema.fieldNames.map { f =>
+            matchedUpdate.toMap.get(f) match {
+              case Some(v) => when(doUpdate, v).otherwise(col(s"t.$f")).as(f)
+              case None => col(s"t.$f").as(f)
+            }
+          }
+          (Some(kept.select(applied.toIndexedSeq: _*)), nUpd, nDel)
+        }
+
+      val nIns = inserts.map(_.count()).getOrElse(0L)
+      val newData = (rewritten, inserts) match {
+        case (Some(r), Some(i)) if nIns > 0 => Some(r.unionByName(i))
+        case (Some(r), _) => Some(r)
+        case (None, Some(i)) if nIns > 0 => Some(i)
+        case _ => None
+      }
+      if (newData.isEmpty && hitRel.isEmpty)
+        return MergeResult(snap.version, 0, 0L, 0L, 0L)
+
+      val adds = newData.toSeq.flatMap(d =>
+        DeltaWrite.writeDataFiles(d, tablePath, snap.partitionColumns))
+      val actions = hitRel.map(DeltaWrite.removeAction) ++ adds.map(DeltaWrite.addAction)
+      val v = DeltaWrite.commit(spark, tablePath, actions, "MERGE")
+      MergeResult(v, hitRel.size, updated, deleted, nIns)
+    } finally cached.foreach(_.unpersist())
+  }
+
   // ---- REPL dispatch ------------------------------------------------
 
   private val UpdateRe =

@@ -41,7 +41,11 @@ object DeltaLog {
       schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[AddEntry],
-      tablePath: String) {
+      tablePath: String,
+      /** Last recorded `txn` version per appId (the protocol's streaming
+        * transaction identifiers — what makes a replayed micro-batch
+        * detectable after a sink restart). */
+      txns: Map[String, Long] = Map.empty) {
     /** Absolute (decoded) URIs of the live files. */
     def filePaths: Seq[String] = files.map { a =>
       val decoded = java.net.URLDecoder.decode(a.path, "UTF-8")
@@ -118,6 +122,7 @@ object DeltaLog {
     require(target <= latest, s"version $target > latest $latest for $tablePath")
 
     val live = mutable.LinkedHashMap[String, AddEntry]()
+    val txns = mutable.Map[String, Long]()
     var schemaString: String = null
     var partCols: Seq[String] = Nil
 
@@ -128,7 +133,7 @@ object DeltaLog {
     ckptVersion.foreach { v =>
       val rows = spark.read.parquet(checkpoints(v).map(_.toString): _*)
       val cols = rows.columns.toSet
-      val wanted = Seq("add", "metaData", "protocol").filter(cols)
+      val wanted = Seq("add", "metaData", "protocol", "txn").filter(cols)
       rows.select(wanted.map(org.apache.spark.sql.functions.col): _*)
         .collect() // checkpoint = table METADATA; size is O(#files), not data
         .foreach { r =>
@@ -148,6 +153,9 @@ object DeltaLog {
               partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
             case ("protocol", i) if !r.isNullAt(i) =>
               checkProtocol(r.getStruct(i).getAs[Int]("minReaderVersion"))
+            case ("txn", i) if !r.isNullAt(i) =>
+              val t = r.getStruct(i)
+              txns(t.getAs[String]("appId")) = t.getAs[Long]("version")
             case _ =>
           }
         }
@@ -182,13 +190,16 @@ object DeltaLog {
               partCols = jsonArray(md.get("partitionColumns")).map(_.asText())
             }
             if (proto != null) checkProtocol(proto.get("minReaderVersion").asInt())
+            val txn = node.get("txn")
+            if (txn != null)
+              txns(txn.get("appId").asText()) = txn.get("version").asLong()
           }
       } finally reader.close()
     }
 
     require(schemaString != null, s"no metaData action in log of $tablePath")
     Snapshot(target, DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partCols, live.values.toSeq, tablePath)
+      partCols, live.values.toSeq, tablePath, txns.toMap)
   }
 
   /** Read a Delta table as a DataFrame (optionally time-traveled). The

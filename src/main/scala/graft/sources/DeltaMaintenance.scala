@@ -21,6 +21,40 @@ import org.apache.spark.sql.SparkSession
   */
 object DeltaMaintenance {
 
+  /** RESTORE TABLE … TO VERSION AS OF: one commit that removes files
+    * added since `version` and re-adds files removed since, so the
+    * CURRENT snapshot equals the historical one while history keeps
+    * growing forward (the restore itself is time-travelable, exactly
+    * Delta's RESTORE semantics — no log rewriting). Metadata (schema /
+    * partitioning) is restored too.
+    *
+    * Requires the historical files to still exist physically — VACUUM
+    * breaks restorability past its retention, so missing files are an
+    * upfront error, not a later scan failure. Work is metadata-scale:
+    * two log replays + an existence check per re-added file.
+    */
+  def restore(spark: SparkSession, tablePath: String, version: Long): Long = {
+    val current = DeltaLog.snapshot(spark, tablePath)
+    require(version <= current.version,
+      s"cannot restore $tablePath to future version $version (current ${current.version})")
+    if (version == current.version) return current.version
+    val old = DeltaLog.snapshot(spark, tablePath, Some(version))
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val missing = old.files.filterNot { a =>
+      fs.exists(new Path(tablePath, java.net.URLDecoder.decode(a.path, "UTF-8")))
+    }
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cannot restore $tablePath to version $version: ${missing.size} " +
+        s"file(s) were vacuumed (first: ${missing.head.path})")
+    val oldPaths = old.files.map(_.path).toSet
+    val curPaths = current.files.map(_.path).toSet
+    val removes = current.files.filterNot(f => oldPaths(f.path)).map(_.path)
+    val readds = old.files.filterNot(f => curPaths(f.path))
+    val actions = DeltaWrite.metaDataAction(old.schema, old.partitionColumns) +:
+      (removes.map(DeltaWrite.removeAction) ++ readds.map(DeltaWrite.addAction))
+    DeltaWrite.commit(spark, tablePath, actions, "RESTORE")
+  }
+
   /** Compact live files smaller than `smallFileBytes` into bin-packed
     * rewritten files. Returns (filesCompacted, version) — version is
     * unchanged when fewer than two small files exist. */

@@ -156,14 +156,22 @@ object DeltaWrite {
         StructField("minWriterVersion", IntegerType)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType), StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType)))))))
+        StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType), StructField("version", LongType))))))
+    // txn state rides in the checkpoint (protocol requirement): without
+    // it, checkpoint + log cleanup would FORGET which streaming batches
+    // committed, and a restarted sink would re-apply them.
     val header: Seq[Row] =
-      Seq(Row(null, Row(1, 2), null),
+      Seq(Row(null, Row(1, 2), null, null),
         Row(null, null, Row(java.util.UUID.randomUUID().toString,
-          snap.schema.json, snap.partitionColumns)))
+          snap.schema.json, snap.partitionColumns), null)) ++
+        snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          Row(null, null, null, Row(app, v))
+        }
     val addRows = snap.files.map(a =>
       Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
-        Map.empty[String, String]), null, null))
+        Map.empty[String, String]), null, null, null))
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
 
@@ -211,7 +219,7 @@ object DeltaWrite {
     val lc = f.create(new Path(dir, "_last_checkpoint"), true)
     val partsField = if (parts > 1) s""","parts":$parts""" else ""
     try lc.write(
-      s"""{"version":${snap.version},"size":${snap.files.size + 2}$partsField}"""
+      s"""{"version":${snap.version},"size":${snap.files.size + 2 + snap.txns.size}$partsField}"""
         .getBytes("UTF-8")) finally lc.close()
     snap.version
   }
@@ -270,6 +278,59 @@ object DeltaWrite {
     n
   }
 
+  private[sources] def txnAction(appId: String, version: Long): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.set[ObjectNode]("txn", mapper.createObjectNode()
+      .put("appId", appId).put("version", version).put("lastUpdated", 0L))
+    n
+  }
+
+  /** Idempotent append for a streaming sink: commit `df` together with a
+    * `txn` (appId, txnVersion) action, or skip when the log already
+    * records `appId` at `txnVersion` or later (the batch is a replay
+    * after a restart). Returns the committed version, or None when
+    * skipped. Exactly-once under the optimistic-concurrency loop: two
+    * writers racing the same (appId, batch) both stage, one commits, the
+    * loser's version-conflict retry re-reads the log, sees the txn, and
+    * skips — its staged files are unreferenced and deleted.
+    */
+  def transactionalAppend(df: DataFrame, tablePath: String, appId: String,
+      txnVersion: Long, partitionBy: Seq[String] = Nil): Option[Long] = {
+    val spark = df.sparkSession
+    val table = new Path(tablePath)
+    val f = fs(spark, table)
+    var staged: Seq[DeltaLog.AddEntry] = null
+    var attempt = 0
+    while (true) {
+      val exists = f.exists(DeltaLog.logDir(tablePath))
+      val snap = if (exists) Some(DeltaLog.snapshot(spark, tablePath)) else None
+      if (snap.exists(_.txns.get(appId).exists(_ >= txnVersion))) {
+        // already applied — drop any files staged by a lost race
+        if (staged != null) staged.foreach { a =>
+          f.delete(new Path(table,
+            java.net.URLDecoder.decode(a.path, "UTF-8")), false)
+        }
+        return None
+      }
+      if (staged == null)
+        staged = writeDataFiles(df, tablePath,
+          snap.map(_.partitionColumns).getOrElse(partitionBy))
+      val actions =
+        (if (exists) Seq.empty
+         else Seq(protocolAction(), metaDataAction(df.schema, partitionBy))) ++
+          (txnAction(appId, txnVersion) +: staged.map(addAction))
+      try {
+        return Some(commit(spark, tablePath, actions, "STREAMING UPDATE"))
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("concurrent Delta commit conflict") =>
+          attempt += 1
+          if (attempt > 20) throw e // re-loop: re-check txn, re-claim version
+      }
+    }
+    None // unreachable
+  }
+
   private[sources] def removeAction(path: String): ObjectNode = {
     val n = mapper.createObjectNode()
     n.set[ObjectNode]("remove", mapper.createObjectNode()
@@ -292,11 +353,15 @@ object DeltaWrite {
     pv
   }
 
-  private def metaDataAction(df: DataFrame, partitionBy: Seq[String]): ObjectNode = {
+  private def metaDataAction(df: DataFrame, partitionBy: Seq[String]): ObjectNode =
+    metaDataAction(df.schema, partitionBy)
+
+  private[sources] def metaDataAction(schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String]): ObjectNode = {
     val n = mapper.createObjectNode()
     val md = mapper.createObjectNode()
       .put("id", java.util.UUID.randomUUID().toString)
-      .put("schemaString", df.schema.json)
+      .put("schemaString", schema.json)
       .put("createdTime", 0L)
     val fmt = mapper.createObjectNode().put("provider", "parquet")
     fmt.set[ObjectNode]("options", mapper.createObjectNode())

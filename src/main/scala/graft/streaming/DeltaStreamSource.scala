@@ -66,10 +66,37 @@ class DeltaStreamSource(
   override def stop(): Unit = ()
 }
 
+/** Delta micro-batch SINK (`writeStream.format("graft-delta")`): each
+  * batch is one append commit carrying the protocol's `txn` (appId,
+  * batchId) action, so a batch replayed after a restart — the engine
+  * re-delivers the last uncommitted-at-the-sink batch from its own
+  * checkpoint — is detected in the LOG and skipped: exactly-once
+  * end-to-end, with the table itself as the idempotence ledger.
+  * The appId defaults to the query's checkpoint location (stable across
+  * restarts of the same query); override with `txnAppId` when two
+  * queries share a checkpoint convention. */
+class DeltaStreamSink(
+    spark: SparkSession,
+    tablePath: String,
+    appId: String,
+    partitionBy: Seq[String])
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = GraftStreamBridge.batchDataFrame(data)
+    graft.sources.DeltaWrite.transactionalAppend(
+      batch, tablePath, appId, batchId, partitionBy)
+  }
+
+  override def toString: String = s"DeltaStreamSink[$tablePath]"
+}
+
 /** `format("graft-delta")` registration (short name via the standard
-  * META-INF/services entry). Options: `path` (required),
-  * `ignoreChanges`, `ignoreDeletes`. */
-class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  * META-INF/services entry). Source options: `path` (required),
+  * `ignoreChanges`, `ignoreDeletes`. Sink options: `path` (required),
+  * `txnAppId` (optional — defaults to the checkpoint location). */
+class DeltaSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
 
@@ -89,4 +116,19 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
     new DeltaStreamSource(sqlContext.sparkSession, path(parameters),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean))
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-delta sink supports Append output mode only, got $outputMode")
+    val appId = parameters.getOrElse("txnAppId",
+      parameters.getOrElse("checkpointLocation",
+        throw new IllegalArgumentException(
+          "graft-delta sink needs txnAppId or a checkpointLocation to " +
+            "identify its transaction stream")))
+    new DeltaStreamSink(sqlContext.sparkSession, path(parameters), appId,
+      partitionColumns)
+  }
 }

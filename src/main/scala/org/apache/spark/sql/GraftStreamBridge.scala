@@ -13,6 +13,18 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftStreamBridge {
 
+  /** The inverse direction, for a V1 streaming SINK: `Sink.addBatch`
+    * receives a DataFrame whose logical plan is flagged streaming, which
+    * the normal batch writers refuse. Re-wrap the micro-batch's physical
+    * rows as a plain batch frame (what Spark's own FileStreamSink
+    * effectively does before handing off to the file format). */
+  def batchDataFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val cs = ds.sparkSession
+    cs.internalCreateDataFrame(ds.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   /** A batch DataFrame over explicit parquet files, flagged streaming.
     * `basePath` keeps hive-style partition columns resolvable when the
     * file list is a subset of the table tree. Empty file list → empty

@@ -452,6 +452,155 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(v2 == 2L, s"expected v2 from checkpoint horizon alone, got v$v2")
   }
 
+  test("MERGE INTO: update + delete + insert clauses in one atomic commit; " +
+    "untouched files survive; history is time-travelable") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaDml
+    // two partition files: par=lo holds ids 1,2 — par=hi holds 3,4
+    DeltaWrite.write(
+      Seq((1, "a", 10.0, "lo"), (2, "b", 20.0, "lo"),
+          (3, "c", 30.0, "hi"), (4, "d", 40.0, "hi"))
+        .toDF("id", "s", "v", "par"),
+      t, partitionBy = Seq("par"))
+    val source = Seq((2, "b2", 95.0, "lo", "upd"), (3, "c", 0.0, "hi", "del"),
+        (5, "e", 50.0, "hi", "new"))
+      .toDF("id", "s", "v", "par", "op")
+    val r = DeltaDml.merge(spark, t, source,
+      condition = col("t.id") === col("s.id"),
+      matchedUpdate = Seq("s" -> col("s.s"), "v" -> col("s.v")),
+      matchedDelete = Some(col("s.op") === "del"),
+      insert = true)
+    assert(r.version == 1L)
+    assert(r.updatedRows == 1L && r.deletedRows == 1L && r.insertedRows == 1L)
+    assert(r.rewrittenFiles == 2) // both partitions held a match
+    val rows = DeltaLog.read(spark, t).orderBy("id")
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getDouble(2))).toSeq
+    assert(rows == Seq((1, "a", 10.0), (2, "b2", 95.0), (4, "d", 40.0),
+      (5, "e", 50.0)))
+    // pre-merge state is still one time travel away
+    assert(DeltaLog.read(spark, t, Some(0L)).count() == 4)
+  }
+
+  test("MERGE: single-clause forms; rewrite touches only hit files") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaDml
+    DeltaWrite.write(
+      Seq((1, 10.0, "lo"), (2, 20.0, "lo"), (3, 30.0, "hi"), (4, 40.0, "hi"))
+        .toDF("id", "v", "par"),
+      t, partitionBy = Seq("par"))
+    // update-only merge hitting par=lo: the hi file must not be rewritten
+    val r1 = DeltaDml.merge(spark, t,
+      Seq((2, 99.0)).toDF("id", "nv"),
+      condition = col("t.id") === col("s.id"),
+      matchedUpdate = Seq("v" -> col("s.nv")))
+    assert(r1.rewrittenFiles == 1 && r1.updatedRows == 1L &&
+      r1.deletedRows == 0L && r1.insertedRows == 0L)
+    assert(DeltaLog.read(spark, t).filter(col("id") === 2)
+      .head.getAs[Double]("v") == 99.0)
+    // insert-only merge (no matches): appends without rewriting anything
+    val r2 = DeltaDml.merge(spark, t,
+      Seq((9, 90.0, "hi")).toDF("id", "v", "par"),
+      condition = col("t.id") === col("s.id"), insert = true)
+    assert(r2.rewrittenFiles == 0 && r2.insertedRows == 1L)
+    assert(DeltaLog.read(spark, t).count() == 5)
+    // all-matched insert-only merge is a no-op: NO new commit
+    val vBefore = DeltaLog.latestVersion(spark, t)
+    val r3 = DeltaDml.merge(spark, t,
+      Seq((9, 0.0, "hi")).toDF("id", "v", "par"),
+      condition = col("t.id") === col("s.id"), insert = true)
+    assert(r3.version == vBefore && r3.insertedRows == 0L)
+    assert(DeltaLog.latestVersion(spark, t) == vBefore)
+  }
+
+  test("MERGE rejects an ambiguous source (two rows matching one target row)") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaDml
+    DeltaWrite.write(Seq((1, 10.0)).toDF("id", "v"), t)
+    val dup = Seq((1, 11.0), (1, 12.0)).toDF("id", "nv")
+    val ex = intercept[IllegalStateException] {
+      DeltaDml.merge(spark, t, dup,
+        condition = col("t.id") === col("s.id"),
+        matchedUpdate = Seq("v" -> col("s.nv")))
+    }
+    assert(ex.getMessage.contains("ambiguous"))
+    // and the table is untouched
+    assert(DeltaLog.read(spark, t).head.getDouble(1) == 10.0)
+    assert(DeltaLog.latestVersion(spark, t) == 0L)
+  }
+
+  test("identity column: ids are unique and advance across appends via " +
+    "the logged high-water mark; GENERATED ALWAYS rejects supplied ids") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaIdentity
+    val v0 = DeltaIdentity.create(
+      (1 to 100).map(i => (s"k$i", i * 1.0)).toDF("k", "v").repartition(4),
+      t, idCol = "scd_id", start = 10L, step = 2L)
+    assert(v0 == 0L)
+    val snap0 = graft.sources.DeltaLog.snapshot(spark, t)
+    val info0 = DeltaIdentity.identityInfo(snap0.schema).get
+    assert(info0.column == "scd_id" && info0.start == 10L && info0.step == 2L)
+    assert(info0.highWaterMark.contains(10L + 2L * 99))
+    val ids0 = DeltaLog.read(spark, t).select("scd_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids0.toSeq == (0 until 100).map(10L + 2L * _))
+    // append WITHOUT ids: generation continues past the high-water mark
+    val v1 = DeltaIdentity.append(
+      (1 to 50).map(i => (s"n$i", -i * 1.0)).toDF("k", "v").repartition(3), t)
+    assert(v1 == 1L)
+    val all = DeltaLog.read(spark, t).select("scd_id")
+      .collect().map(_.getLong(0))
+    assert(all.length == 150 && all.distinct.length == 150, "ids must be unique")
+    assert(all.min == 10L && all.max == 10L + 2L * 149)
+    val info1 = DeltaIdentity.identityInfo(
+      graft.sources.DeltaLog.snapshot(spark, t).schema).get
+    assert(info1.highWaterMark.contains(10L + 2L * 149))
+    // GENERATED ALWAYS: a frame carrying the identity column is rejected
+    intercept[IllegalArgumentException] {
+      DeltaIdentity.append(Seq((999L, "x", 0.0)).toDF("scd_id", "k", "v"), t)
+    }
+    // and a non-identity table refuses identity appends
+    val plain = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), plain)
+    intercept[IllegalArgumentException] {
+      DeltaIdentity.append(Seq("b").toDF("s"), plain)
+    }
+  }
+
+  test("RESTORE rolls the current snapshot back to a past version as a " +
+    "forward commit; vacuumed history refuses to restore") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.{DeltaDml, DeltaMaintenance}
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t) // v0
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append) // v1
+    DeltaDml.delete(spark, t, col("id") === 1) // v2
+    assert(DeltaLog.read(spark, t).collect().map(_.getInt(0)).toSet == Set(2, 3))
+    // restore to v1: the delete is undone, id 1 is back
+    val v3 = DeltaMaintenance.restore(spark, t, 1L)
+    assert(v3 == 3L)
+    assert(DeltaLog.read(spark, t).collect().map(_.getInt(0)).toSet ==
+      Set(1, 2, 3))
+    // the restore is itself history: v2 (post-delete) still time-travels
+    assert(DeltaLog.read(spark, t, Some(2L)).collect().map(_.getInt(0)).toSet ==
+      Set(2, 3))
+    // restoring to the current version is a no-op (no commit)
+    assert(DeltaMaintenance.restore(spark, t, 3L) == 3L)
+    assert(DeltaLog.latestVersion(spark, t) == 3L)
+    // a future version is an error
+    intercept[IllegalArgumentException] { DeltaMaintenance.restore(spark, t, 9L) }
+    // overwrite then vacuum: v3's files are gone — restore must refuse
+    DeltaWrite.write(Seq((9, "z")).toDF("id", "s"), t, SaveMode.Overwrite) // v4
+    DeltaMaintenance.vacuum(spark, t)
+    val ex = intercept[IllegalStateException] {
+      DeltaMaintenance.restore(spark, t, 3L)
+    }
+    assert(ex.getMessage.contains("vacuum"))
+  }
+
   test("latestVersion answers on a checkpoint-only log (after cleanup)") {
     val t = tmpTable()
     import spark.implicits._

@@ -217,6 +217,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 6)
   }
 
+  test("graft-delta sink: micro-batches append exactly once; replayed " +
+    "(appId, batch) pairs are skipped via the logged txn — even after " +
+    "checkpoint + log cleanup") {
+    import graft.sources.{DeltaLog, DeltaMaintenance, DeltaWrite}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val t = Files.createTempDirectory("graft_dsink_t").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft_dsink_ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    def start() = ms.toDF().toDF("id", "s").writeStream
+      .format("graft-delta").option("path", t)
+      .option("checkpointLocation", ckpt).start()
+
+    val q = start()
+    ms.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    assert(DeltaLog.read(spark, t).count() == 2)
+    val snap1 = DeltaLog.snapshot(spark, t)
+    assert(snap1.txns.nonEmpty, "commit must record a txn action")
+    val appId = snap1.txns.keys.head
+    ms.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(DeltaLog.read(spark, t).count() == 3)
+
+    // restart from the same engine checkpoint: nothing re-applies
+    val q2 = start()
+    ms.addData((4L, "d"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // direct replay of an already-committed batch is a skip, not a dup
+    val lastTxn = DeltaLog.snapshot(spark, t).txns(appId)
+    val replay = DeltaWrite.transactionalAppend(
+      Seq((99L, "dup")).toDF("id", "s"), t, appId, lastTxn)
+    assert(replay.isEmpty)
+    assert(DeltaLog.read(spark, t).count() == 4)
+    // ...and a NEW batch commits
+    val fresh = DeltaWrite.transactionalAppend(
+      Seq((5L, "e")).toDF("id", "s"), t, appId, lastTxn + 1)
+    assert(fresh.nonEmpty)
+    assert(DeltaLog.read(spark, t).count() == 5)
+
+    // txn state survives checkpoint + log cleanup (it rides in the
+    // checkpoint parquet): the replay is STILL detected
+    DeltaWrite.checkpoint(spark, t)
+    assert(DeltaMaintenance.cleanupLog(spark, t) > 0)
+    assert(DeltaLog.snapshot(spark, t).txns(appId) == lastTxn + 1)
+    val replay2 = DeltaWrite.transactionalAppend(
+      Seq((99L, "dup")).toDF("id", "s"), t, appId, lastTxn + 1)
+    assert(replay2.isEmpty)
+    assert(DeltaLog.read(spark, t).count() == 5)
+  }
+
   test("graft-delta fresh stream bootstraps from the snapshot: works on a " +
     "cleaned log and does not resurrect pre-stream deletes") {
     import graft.sources.{DeltaDml, DeltaMaintenance, DeltaWrite}
