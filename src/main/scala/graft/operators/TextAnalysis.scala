@@ -255,5 +255,77 @@ object TextAnalysis {
         |(lf.dup_line_frac > 0.3 OR COALESCE(wf.top_word_frac, 0.0) > 0.2) AS repetitive
         |FROM documents d LEFT JOIN lf USING (doc_id) LEFT JOIN wf USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")))
+    ,
+
+    // Deterministic train/val/test split — the assignment every corpus
+    // build needs to be REPRODUCIBLE and shard-local: hash the stable
+    // doc key, never rand(). Bucketing by the first md5 byte gives a
+    // content-independent ~80/10/10 split identical on any engine and
+    // any partitioning; at 100 TB it is a narrow map + one tiny
+    // aggregation (3 groups), no shuffle of document data.
+    GraftQuery("q89_train_split",
+      (s, d) => {
+        val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+        docs(s, d)
+          .select(when(h2 < "cd", "train").when(h2 < "e6", "val")
+            .otherwise("test").as("split"), col("n_chars"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("total_chars"))
+          .orderBy("split")
+      },
+      Some("WITH b AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split, n_chars FROM documents) " +
+        "SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+        "FROM b GROUP BY split ORDER BY split"))
+    ,
+
+    // Type-token ratio (vocabulary richness) — a quality signal the
+    // ratio suite (q41) does not cover: distinct-word count per doc.
+    // Exact integers only (the ratio is left to the consumer), so the
+    // result is engine-independent. Narrow per-row work; the distinct
+    // happens INSIDE the row (array_distinct), never as a shuffle.
+    GraftQuery("q90_ttr",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_types"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("lexically_poor", col("n_types") * 5 < col("n_tokens"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "(len(list_distinct(string_split(text, ' '))) * 5 < len(string_split(text, ' '))) AS lexically_poor " +
+        "FROM documents ORDER BY doc_id"))
+    ,
+
+    // Benchmark decontamination — before training, count which corpus
+    // documents contain a benchmark document's opening passage (here the
+    // bench set is a deterministic 1-in-97 sample standing in for an
+    // external eval set). Scale shape: the bench prefixes are a tiny
+    // BROADCAST side; the corpus streams through a codegen `contains`
+    // (substring search, no regex) exactly once — no shuffle of text,
+    // and the per-bench counts aggregate map-side.
+    GraftQuery("q91_decontamination",
+      (s, d) => {
+        val base = docs(s, d)
+        val bench = base.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id").as("bench_id"),
+            substring(col("text"), 1, 60).as("prefix"))
+        val hits = base.join(broadcast(bench),
+            contains(col("text"), col("prefix")) &&
+              col("doc_id") =!= col("bench_id"))
+          .groupBy("bench_id")
+          .agg(count(lit(1)).as("n_contaminated"))
+        bench.select("bench_id")
+          .join(hits, Seq("bench_id"), "left")
+          .select(col("bench_id"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+          .orderBy("bench_id")
+      },
+      Some("WITH bench AS (SELECT doc_id AS bench_id, substr(text, 1, 60) AS prefix FROM documents WHERE doc_id % 97 = 0), " +
+        "hits AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated FROM documents d " +
+        "JOIN bench b ON d.doc_id <> b.bench_id AND contains(d.text, b.prefix) GROUP BY bench_id) " +
+        "SELECT b.bench_id, CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated " +
+        "FROM bench b LEFT JOIN hits h USING (bench_id) ORDER BY b.bench_id"))
   )
 }
