@@ -105,7 +105,13 @@ object Cli {
             case Some(r) =>
               println(s"${r.affectedRows} rows affected " +
                 s"(${r.rewrittenFiles} files rewritten, version ${r.version})")
-            case None => spark.sql(sql).show(100, truncate = false)
+            case None =>
+              // Delta maintenance surface (OPTIMIZE / VACUUM / RESTORE /
+              // ADD|DROP CONSTRAINT) before falling through to spark.sql
+              graft.sources.DeltaDml.dispatchMaintenance(spark, sql) match {
+                case Some(msg) => println(msg)
+                case None => spark.sql(sql).show(100, truncate = false)
+              }
           }
           catch { case e: Exception => println(s"error: ${e.getMessage}") }
       }

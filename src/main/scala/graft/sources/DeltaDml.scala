@@ -60,6 +60,8 @@ object DeltaDml {
     val affected = hitDf.filter(condition).count()
     val rewritten = transform(hitDf)
     val adds = DeltaWrite.writeDataFiles(rewritten, tablePath, snap.partitionColumns)
+    DeltaConstraints.enforceStaged(spark, tablePath, adds, snap.schema,
+      snap.configuration)
     val actions = hitRel.map(DeltaWrite.removeAction) ++ adds.map(DeltaWrite.addAction)
     val v = DeltaWrite.commit(spark, tablePath, actions, operation)
     DmlResult(v, hitRel.size, affected)
@@ -194,6 +196,8 @@ object DeltaDml {
 
       val adds = newData.toSeq.flatMap(d =>
         DeltaWrite.writeDataFiles(d, tablePath, snap.partitionColumns))
+      DeltaConstraints.enforceStaged(spark, tablePath, adds, snap.schema,
+        snap.configuration)
       val actions = hitRel.map(DeltaWrite.removeAction) ++ adds.map(DeltaWrite.addAction)
       val v = DeltaWrite.commit(spark, tablePath, actions, "MERGE")
       MergeResult(v, hitRel.size, updated, deleted, nIns)
@@ -206,6 +210,41 @@ object DeltaDml {
     """(?is)\s*UPDATE\s+(\S+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+(\S+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+(\S+?)\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val AddConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+
+  /** Dispatch Delta maintenance / constraint statements against a table
+    * path (the REPL's non-SELECT surface beyond DML): OPTIMIZE, VACUUM
+    * [RETAIN n HOURS], RESTORE … TO VERSION AS OF n, ALTER TABLE …
+    * ADD/DROP CONSTRAINT. Returns a human-readable summary, or None
+    * when the statement is none of these. */
+  def dispatchMaintenance(spark: SparkSession, sql: String): Option[String] = sql match {
+    case OptimizeRe(target) =>
+      val (n, v) = DeltaMaintenance.compact(spark, unquote(target))
+      Some(s"compacted $n files (version $v)")
+    case VacuumRe(target, hours) =>
+      val retainMs = Option(hours).map(_.toLong * 3600 * 1000L).getOrElse(0L)
+      val n = DeltaMaintenance.vacuum(spark, unquote(target), retainMs)
+      Some(s"vacuumed $n unreferenced files")
+    case RestoreRe(target, v) =>
+      val nv = DeltaMaintenance.restore(spark, unquote(target), v.toLong)
+      Some(s"restored to version $v (as new version $nv)")
+    case AddConstraintRe(target, name, check) =>
+      val v = DeltaConstraints.addCheck(spark, unquote(target), name, check)
+      Some(s"constraint $name added (version $v)")
+    case DropConstraintRe(target, name) =>
+      val v = DeltaConstraints.dropCheck(spark, unquote(target), name)
+      Some(s"constraint $name dropped (version $v)")
+    case _ => None
+  }
 
   /** Dispatch an UPDATE/DELETE statement against a Delta table path, the
     * way the reference REPL routes non-SELECT statements to its engine.

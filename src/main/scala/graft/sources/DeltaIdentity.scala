@@ -78,9 +78,11 @@ object DeltaIdentity {
     val ordered = withIds.select(
       snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     val adds = DeltaWrite.writeDataFiles(ordered, tablePath, snap.partitionColumns)
+    DeltaConstraints.enforceStaged(spark, tablePath, adds, snap.schema,
+      snap.configuration)
     val newSchema = withHwm(snap.schema, info.column, info.start, info.step, hwm)
-    val actions = DeltaWrite.metaDataAction(newSchema, snap.partitionColumns) +:
-      adds.map(DeltaWrite.addAction)
+    val actions = DeltaWrite.metaDataAction(newSchema, snap.partitionColumns,
+      snap.configuration) +: adds.map(DeltaWrite.addAction)
     DeltaWrite.commit(spark, tablePath, actions, "APPEND")
   }
 

@@ -1,6 +1,7 @@
 package graft.sources
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -45,7 +46,11 @@ object DeltaLog {
       /** Last recorded `txn` version per appId (the protocol's streaming
         * transaction identifiers — what makes a replayed micro-batch
         * detectable after a sink restart). */
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      /** `metaData.configuration` — table properties, notably the
+        * `delta.constraints.<name>` CHECK constraints every writer must
+        * enforce. */
+      configuration: Map[String, String] = Map.empty) {
     /** Absolute (decoded) URIs of the live files. */
     def filePaths: Seq[String] = files.map { a =>
       val decoded = java.net.URLDecoder.decode(a.path, "UTF-8")
@@ -112,6 +117,28 @@ object DeltaLog {
     (fs, commits, checkpoints)
   }
 
+  /** Resolve TIMESTAMP AS OF to a version: the last commit whose log
+    * file's modification time is at or before `ts` (Delta's own
+    * timestamp resolution — commit mtime is the protocol's commit
+    * timestamp surrogate). Errors when `ts` predates the earliest
+    * retained commit, exactly like Delta ("before the earliest version
+    * available"). Checkpoint-only versions (cleaned logs) count via the
+    * checkpoint file's mtime. */
+  def versionAt(spark: SparkSession, tablePath: String,
+      ts: java.sql.Timestamp): Long = {
+    val (fs, commits, checkpoints) = listLog(spark, tablePath)
+    val times: Map[Long, Long] =
+      (checkpoints.map { case (v, ps) =>
+        v -> ps.map(p => fs.getFileStatus(p).getModificationTime).max
+      } ++ commits.map { case (v, p) =>  // commit mtime wins over checkpoint
+        v -> fs.getFileStatus(p).getModificationTime
+      }).toMap
+    val at = times.filter(_._2 <= ts.getTime).keys.maxOption
+    at.getOrElse(throw new IllegalArgumentException(
+      s"timestamp $ts is before the earliest retained version of " +
+        s"$tablePath (earliest commit at ${new java.sql.Timestamp(times.values.min)})"))
+  }
+
   /** Replay the log to `versionAsOf` (default: latest). */
   def snapshot(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Snapshot = {
@@ -125,6 +152,7 @@ object DeltaLog {
     val txns = mutable.Map[String, Long]()
     var schemaString: String = null
     var partCols: Seq[String] = Nil
+    var config: Map[String, String] = Map.empty
 
     // Start from the newest checkpoint at-or-before the target: its rows
     // are the complete live state at that version (removes in it are
@@ -151,6 +179,10 @@ object DeltaLog {
               val m = r.getStruct(i)
               schemaString = m.getAs[String]("schemaString")
               partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
+              if (m.schema.fieldNames.contains("configuration")) {
+                val c = m.getAs[scala.collection.Map[String, String]]("configuration")
+                if (c != null) config = c.toMap
+              }
             case ("protocol", i) if !r.isNullAt(i) =>
               checkProtocol(r.getStruct(i).getAs[Int]("minReaderVersion"))
             case ("txn", i) if !r.isNullAt(i) =>
@@ -188,6 +220,11 @@ object DeltaLog {
             if (md != null) {
               schemaString = md.get("schemaString").asText()
               partCols = jsonArray(md.get("partitionColumns")).map(_.asText())
+              val c = md.get("configuration")
+              config =
+                if (c == null || !c.isObject) Map.empty
+                else c.properties().iterator().asScala
+                  .map(e => e.getKey -> e.getValue.asText()).toMap
             }
             if (proto != null) checkProtocol(proto.get("minReaderVersion").asInt())
             val txn = node.get("txn")
@@ -199,15 +236,20 @@ object DeltaLog {
 
     require(schemaString != null, s"no metaData action in log of $tablePath")
     Snapshot(target, DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partCols, live.values.toSeq, tablePath, txns.toMap)
+      partCols, live.values.toSeq, tablePath, txns.toMap, config)
   }
 
   /** Read a Delta table as a DataFrame (optionally time-traveled). The
     * scan is a plain distributed parquet read over the snapshot's live
     * files — predicate pushdown / column pruning apply unchanged. */
   def read(spark: SparkSession, tablePath: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, tablePath, versionAsOf)
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[java.sql.Timestamp] = None): DataFrame = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "pass versionAsOf OR timestampAsOf, not both")
+    val asOf = versionAsOf.orElse(
+      timestampAsOf.map(versionAt(spark, tablePath, _)))
+    val snap = snapshot(spark, tablePath, asOf)
     if (snap.files.isEmpty) {
       spark.createDataFrame(java.util.Collections.emptyList[Row](), snap.schema)
     } else {

@@ -50,7 +50,8 @@ object DeltaMaintenance {
     val curPaths = current.files.map(_.path).toSet
     val removes = current.files.filterNot(f => oldPaths(f.path)).map(_.path)
     val readds = old.files.filterNot(f => curPaths(f.path))
-    val actions = DeltaWrite.metaDataAction(old.schema, old.partitionColumns) +:
+    val actions = DeltaWrite.metaDataAction(old.schema, old.partitionColumns,
+      old.configuration) +:
       (removes.map(DeltaWrite.removeAction) ++ readds.map(DeltaWrite.addAction))
     DeltaWrite.commit(spark, tablePath, actions, "RESTORE")
   }

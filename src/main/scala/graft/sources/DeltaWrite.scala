@@ -61,15 +61,22 @@ object DeltaWrite {
     }
 
     val adds = writeDataFiles(df, tablePath, partitionBy)
+    val prior =
+      if (exists) Some(DeltaLog.snapshot(spark, tablePath)) else None
+    // CHECK constraints veto the commit (staged files are deleted)
+    prior.foreach(p => DeltaConstraints.enforceStaged(
+      spark, tablePath, adds, df.schema, p.configuration))
     val removes: Seq[String] =
-      if (exists && mode == SaveMode.Overwrite)
-        DeltaLog.snapshot(spark, tablePath).files.map(_.path)
+      if (mode == SaveMode.Overwrite) prior.toSeq.flatMap(_.files.map(_.path))
       else Nil
 
     val actions = mutable.Buffer[ObjectNode]()
     if (!exists) actions += protocolAction()
     if (!exists || mode == SaveMode.Overwrite)
-      actions += metaDataAction(df, partitionBy)
+      // overwrite replaces data + schema but keeps table PROPERTIES
+      // (constraints survive an INSERT OVERWRITE, as in Delta)
+      actions += metaDataAction(df.schema, partitionBy,
+        prior.map(_.configuration).getOrElse(Map.empty))
     actions ++= removes.map(removeAction)
     actions ++= adds.map(addAction)
     // Optimistic concurrency: an append conflicts with a concurrent
@@ -156,7 +163,8 @@ object DeltaWrite {
         StructField("minWriterVersion", IntegerType)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType), StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType))))),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType), StructField("version", LongType))))))
     // txn state rides in the checkpoint (protocol requirement): without
@@ -165,7 +173,7 @@ object DeltaWrite {
     val header: Seq[Row] =
       Seq(Row(null, Row(1, 2), null, null),
         Row(null, null, Row(java.util.UUID.randomUUID().toString,
-          snap.schema.json, snap.partitionColumns), null)) ++
+          snap.schema.json, snap.partitionColumns, snap.configuration), null)) ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           Row(null, null, null, Row(app, v))
         }
@@ -312,9 +320,12 @@ object DeltaWrite {
         }
         return None
       }
-      if (staged == null)
+      if (staged == null) {
         staged = writeDataFiles(df, tablePath,
           snap.map(_.partitionColumns).getOrElse(partitionBy))
+        snap.foreach(s => DeltaConstraints.enforceStaged(
+          spark, tablePath, staged, df.schema, s.configuration))
+      }
       val actions =
         (if (exists) Seq.empty
          else Seq(protocolAction(), metaDataAction(df.schema, partitionBy))) ++
@@ -357,7 +368,8 @@ object DeltaWrite {
     metaDataAction(df.schema, partitionBy)
 
   private[sources] def metaDataAction(schema: org.apache.spark.sql.types.StructType,
-      partitionBy: Seq[String]): ObjectNode = {
+      partitionBy: Seq[String],
+      configuration: Map[String, String] = Map.empty): ObjectNode = {
     val n = mapper.createObjectNode()
     val md = mapper.createObjectNode()
       .put("id", java.util.UUID.randomUUID().toString)
@@ -369,7 +381,9 @@ object DeltaWrite {
     val pc = JsonNodeFactory.instance.arrayNode()
     partitionBy.foreach(pc.add)
     md.set[ObjectNode]("partitionColumns", pc)
-    md.set[ObjectNode]("configuration", mapper.createObjectNode())
+    val cfg = mapper.createObjectNode()
+    configuration.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+    md.set[ObjectNode]("configuration", cfg)
     n.set[ObjectNode]("metaData", md)
     n
   }

@@ -651,6 +651,105 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(DeltaLog.read(spark, t).count() == 61)
   }
 
+  test("TIMESTAMP AS OF resolves to the last version committed at-or-" +
+    "before the timestamp; too-early timestamps error") {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t) // v0
+    val afterV0 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1100) // local-fs mtime granularity is 1s
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append) // v1
+    assert(DeltaLog.versionAt(spark, t, afterV0) == 0L)
+    assert(DeltaLog.read(spark, t, timestampAsOf = Some(afterV0)).count() == 1)
+    val now = new java.sql.Timestamp(System.currentTimeMillis() + 1000)
+    assert(DeltaLog.versionAt(spark, t, now) == 1L)
+    intercept[IllegalArgumentException] {
+      DeltaLog.versionAt(spark, t, new java.sql.Timestamp(0L))
+    }
+    intercept[IllegalArgumentException] { // both pins at once is an error
+      DeltaLog.read(spark, t, versionAsOf = Some(0L),
+        timestampAsOf = Some(afterV0))
+    }
+  }
+
+  test("CHECK constraints: writers enforce them atomically across append, " +
+    "DML, merge, and identity appends; they survive checkpoint cleanup") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.{DeltaConstraints, DeltaDml, DeltaMaintenance}
+    DeltaWrite.write(Seq((1, 10.0), (2, 20.0)).toDF("id", "v"), t)
+    // adding a constraint existing rows violate is rejected
+    intercept[IllegalStateException] {
+      DeltaConstraints.addCheck(spark, t, "v_big", "v >= 15.0")
+    }
+    val v1 = DeltaConstraints.addCheck(spark, t, "v_pos", "v > 0.0")
+    assert(v1 == 1L)
+    // a conforming append lands; a violating one is vetoed with NO commit
+    DeltaWrite.write(Seq((3, 30.0)).toDF("id", "v"), t, SaveMode.Append)
+    val ex = intercept[IllegalStateException] {
+      DeltaWrite.write(Seq((4, -1.0)).toDF("id", "v"), t, SaveMode.Append)
+    }
+    assert(ex.getMessage.contains("v_pos"))
+    assert(DeltaLog.latestVersion(spark, t) == 2L)
+    assert(DeltaLog.read(spark, t).count() == 3)
+    // NULL passes a CHECK (SQL semantics): nullable column round-trip
+    // UPDATE driving a value negative is vetoed; a legal one passes
+    intercept[IllegalStateException] {
+      DeltaDml.update(spark, t, col("id") === 1, Seq("v" -> lit(-5.0)))
+    }
+    assert(DeltaLog.read(spark, t).filter(col("id") === 1)
+      .head.getDouble(1) == 10.0)
+    DeltaDml.update(spark, t, col("id") === 1, Seq("v" -> lit(11.0)))
+    // MERGE enforcement: violating update vetoed, conforming insert lands
+    intercept[IllegalStateException] {
+      DeltaDml.merge(spark, t, Seq((2, -9.0)).toDF("id", "nv"),
+        condition = col("t.id") === col("s.id"),
+        matchedUpdate = Seq("v" -> col("s.nv")))
+    }
+    DeltaDml.merge(spark, t, Seq((9, 90.0)).toDF("id", "v"),
+      condition = col("t.id") === col("s.id"), insert = true)
+    assert(DeltaLog.read(spark, t).count() == 4)
+    // constraints ride the checkpoint: still enforced after log cleanup
+    DeltaWrite.checkpoint(spark, t)
+    DeltaMaintenance.cleanupLog(spark, t)
+    assert(DeltaConstraints.checks(
+      DeltaLog.snapshot(spark, t).configuration) == Map("v_pos" -> "v > 0.0"))
+    intercept[IllegalStateException] {
+      DeltaWrite.write(Seq((5, -2.0)).toDF("id", "v"), t, SaveMode.Append)
+    }
+    // drop lifts the veto
+    DeltaConstraints.dropCheck(spark, t, "v_pos")
+    DeltaWrite.write(Seq((5, -2.0)).toDF("id", "v"), t, SaveMode.Append)
+    assert(DeltaLog.read(spark, t).count() == 5)
+  }
+
+  test("maintenance REPL dispatch: OPTIMIZE / VACUUM / RESTORE / " +
+    "ADD CONSTRAINT route to the engine") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaDml
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append)
+    val opt = DeltaDml.dispatchMaintenance(spark, s"OPTIMIZE '$t'")
+    assert(opt.exists(_.startsWith("compacted 2 files")))
+    val vac = DeltaDml.dispatchMaintenance(spark, s"VACUUM '$t' RETAIN 0 HOURS")
+    assert(vac.exists(_.startsWith("vacuumed 2")))
+    val cons = DeltaDml.dispatchMaintenance(spark,
+      s"ALTER TABLE '$t' ADD CONSTRAINT id_pos CHECK (id > 0)")
+    assert(cons.exists(_.contains("id_pos added")))
+    // restore to v2 (the post-OPTIMIZE snapshot — its file still exists;
+    // v0/v1's were vacuumed). Restoring also restores v2's METADATA,
+    // i.e. the constraint added at v3 is rolled back with it.
+    val rest = DeltaDml.dispatchMaintenance(spark,
+      s"RESTORE '$t' TO VERSION AS OF 2")
+    assert(rest.exists(_.contains("restored to version 2")))
+    assert(DeltaLog.read(spark, t).count() == 2)
+    assert(graft.sources.DeltaConstraints.checks(
+      DeltaLog.snapshot(spark, t).configuration).isEmpty)
+    // non-maintenance statements fall through
+    assert(DeltaDml.dispatchMaintenance(spark, "SELECT 1").isEmpty)
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")
