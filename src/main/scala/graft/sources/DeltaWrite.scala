@@ -32,10 +32,19 @@ object DeltaWrite {
     *     (copy-on-write replace — time travel still sees them);
     *   - Append: adds only;
     *   - ErrorIfExists: table must not exist yet (version 0).
+    *
+    * `mergeSchema` (appends): NEW columns in the incoming frame widen
+    * the table schema (recorded nullable, in the same commit — Delta's
+    * schema evolution); columns the frame lacks read back as NULL from
+    * its files. Without it, appends must match the table schema exactly
+    * (name+type, order-insensitive) — a silent mismatched append would
+    * corrupt every later scan that trusts metaData.schemaString. Either
+    * way a column present on both sides must keep its type.
     */
   def write(df: DataFrame, tablePath: String,
       mode: SaveMode = SaveMode.ErrorIfExists,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val table = new Path(tablePath)
     val f = fs(spark, table)
@@ -47,17 +56,29 @@ object DeltaWrite {
       case _ =>
     }
 
-    // Appends must match the table schema exactly (name+type, order-
-    // insensitive) — a silent mismatched append would corrupt every
-    // later scan that trusts metaData.schemaString.
+    var widened: Option[org.apache.spark.sql.types.StructType] = None
     if (exists && mode == SaveMode.Append) {
-      val table = DeltaLog.snapshot(spark, tablePath).schema
+      val tableSchema = DeltaLog.snapshot(spark, tablePath).schema
       val incoming = df.schema
-      val canon = (s: org.apache.spark.sql.types.StructType) =>
-        s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-      require(canon(table) == canon(incoming),
-        s"append schema ${incoming.simpleString} does not match table " +
-          s"schema ${table.simpleString} at $tablePath")
+      val tableTypes = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+      val conflicts = incoming.fields.filter(f =>
+        tableTypes.get(f.name).exists(_ != f.dataType))
+      require(conflicts.isEmpty,
+        s"append changes column type(s) ${conflicts.map(_.name).mkString(", ")} " +
+          s"of $tablePath (table ${tableSchema.simpleString})")
+      val newCols = incoming.fields.filterNot(f => tableTypes.contains(f.name))
+      if (mergeSchema) {
+        if (newCols.nonEmpty)
+          widened = Some(org.apache.spark.sql.types.StructType(
+            tableSchema.fields ++ newCols.map(_.copy(nullable = true))))
+      } else {
+        val missing = tableSchema.fields.filterNot(f =>
+          incoming.fieldNames.contains(f.name))
+        require(newCols.isEmpty && missing.isEmpty,
+          s"append schema ${incoming.simpleString} does not match table " +
+            s"schema ${tableSchema.simpleString} at $tablePath " +
+            "(pass mergeSchema = true to evolve)")
+      }
     }
 
     val adds = writeDataFiles(df, tablePath, partitionBy)
@@ -77,6 +98,9 @@ object DeltaWrite {
       // (constraints survive an INSERT OVERWRITE, as in Delta)
       actions += metaDataAction(df.schema, partitionBy,
         prior.map(_.configuration).getOrElse(Map.empty))
+    widened.foreach(w => actions += metaDataAction(w,
+      prior.map(_.partitionColumns).getOrElse(partitionBy),
+      prior.map(_.configuration).getOrElse(Map.empty)))
     actions ++= removes.map(removeAction)
     actions ++= adds.map(addAction)
     // Optimistic concurrency: an append conflicts with a concurrent

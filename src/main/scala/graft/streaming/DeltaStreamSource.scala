@@ -32,15 +32,33 @@ class DeltaStreamSource(
     spark: SparkSession,
     tablePath: String,
     ignoreChanges: Boolean,
-    ignoreDeletes: Boolean) extends Source {
+    ignoreDeletes: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   override val schema: StructType = DeltaLog.snapshot(spark, tablePath).schema
 
-  override def getOffset: Option[Offset] =
-    Some(LongOffset(DeltaLog.latestVersion(spark, tablePath)))
+  /** High-water mark of versions already handed to the engine, for rate
+    * limiting. Seeded by the first getBatch (which carries the recovered
+    * checkpoint offsets on restart), so the cap never reverses a
+    * committed offset. */
+  @volatile private var served: Option[Long] = None
+
+  override def getOffset: Option[Offset] = {
+    val latest = DeltaLog.latestVersion(spark, tablePath)
+    val capped = (maxVersionsPerTrigger, served) match {
+      // Cap applies only once we know where the stream stands; the very
+      // first batch (snapshot bootstrap / restart recovery) is served
+      // whole regardless — it is one consistent snapshot either way.
+      case (Some(max), Some(base)) => math.min(latest, base + max)
+      case _ => latest
+    }
+    served = Some(served.fold(capped)(math.max(_, capped)))
+    Some(LongOffset(capped))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
+    served = Some(served.fold(to)(math.max(_, to)))
     val files = start match {
       // Initial batch: serve the CURRENT snapshot's live files (as
       // Delta's own source does), not a replay of every commit from
@@ -93,7 +111,8 @@ class DeltaStreamSink(
 
 /** `format("graft-delta")` registration (short name via the standard
   * META-INF/services entry). Source options: `path` (required),
-  * `ignoreChanges`, `ignoreDeletes`. Sink options: `path` (required),
+  * `ignoreChanges`, `ignoreDeletes`, `maxVersionsPerTrigger` (rate
+  * limit after the bootstrap batch). Sink options: `path` (required),
   * `txnAppId` (optional — defaults to the checkpoint location). */
 class DeltaSourceProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
@@ -115,7 +134,9 @@ class DeltaSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext.sparkSession, path(parameters),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean))
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean),
+      maxVersionsPerTrigger =
+        parameters.get("maxVersionsPerTrigger").map(_.toLong))
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],

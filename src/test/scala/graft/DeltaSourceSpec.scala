@@ -750,6 +750,37 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(DeltaDml.dispatchMaintenance(spark, "SELECT 1").isEmpty)
   }
 
+  test("schema evolution: mergeSchema appends widen the table; old files " +
+    "read NULL for new columns; type changes always rejected") {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    // without mergeSchema a new column is rejected
+    intercept[IllegalArgumentException] {
+      DeltaWrite.write(Seq((2, "b", 5.0)).toDF("id", "s", "score"), t,
+        SaveMode.Append)
+    }
+    // with it, the schema widens in the same commit
+    DeltaWrite.write(Seq((2, "b", 5.0)).toDF("id", "s", "score"), t,
+      SaveMode.Append, mergeSchema = true)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "s", "score"))
+    assert(snap.schema("score").nullable)
+    val rows = DeltaLog.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq == Seq((1, None), (2, Some(5.0))))
+    // a frame MISSING a column appends under mergeSchema (reads as NULL)
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t,
+      SaveMode.Append, mergeSchema = true)
+    assert(DeltaLog.read(spark, t).filter(col("id") === 3)
+      .head.isNullAt(2))
+    // changing an existing column's type is rejected even with mergeSchema
+    intercept[IllegalArgumentException] {
+      DeltaWrite.write(Seq(("x", "d")).toDF("id", "s"), t,
+        SaveMode.Append, mergeSchema = true)
+    }
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")

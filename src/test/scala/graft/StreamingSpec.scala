@@ -275,6 +275,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(DeltaLog.read(spark, t).count() == 5)
   }
 
+  test("graft-delta source rate limiting: maxVersionsPerTrigger splits a " +
+    "backlog into bounded micro-batches without losing commits") {
+    import graft.sources.DeltaWrite
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_ds_rate").resolve("t").toString
+    DeltaWrite.write(Seq((0L, "v0")).toDF("id", "s"), t)
+    (1 to 6).foreach(i =>
+      DeltaWrite.write(Seq((i.toLong, s"v$i")).toDF("id", "s"), t, SaveMode.Append))
+    val out = Files.createTempDirectory("graft_ds_rate_out").toString
+    val q = spark.readStream.format("graft-delta").option("path", t)
+      .option("maxVersionsPerTrigger", "2").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ds_rate_ckpt").toString).start()
+    q.processAllAvailable()
+    // first batch = whole current snapshot (one consistent bootstrap);
+    // then new commits arrive at most 2 versions per batch
+    (7 to 11).foreach(i =>
+      DeltaWrite.write(Seq((i.toLong, s"v$i")).toDF("id", "s"), t, SaveMode.Append))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out).count() == 12, "no commit lost or duplicated")
+    // the 5-commit backlog took ceil(5/2) = 3 batches after the bootstrap
+    val progress = q.recentProgress.map(p =>
+      (p.batchId, p.numInputRows)).filter(_._2 > 0)
+    assert(progress.length >= 4, // bootstrap + >= 3 capped batches
+      s"expected the backlog split across batches, saw ${progress.mkString(", ")}")
+  }
+
   test("graft-delta fresh stream bootstraps from the snapshot: works on a " +
     "cleaned log and does not resurrect pre-stream deletes") {
     import graft.sources.{DeltaDml, DeltaMaintenance, DeltaWrite}
