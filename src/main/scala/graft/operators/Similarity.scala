@@ -114,6 +114,55 @@ object Similarity {
     // 18 s AND had recall@5 of 0.02. A candidate qualifies by colliding
     // in ANY of the 12 tables; duplicates collapse before the exact
     // rerank so each surviving pair is scored once.
+    // Product-quantization ANN (Jégou et al. 2011): corpus vectors are
+    // compressed to M=8 codeword indices against a broadcast-literal
+    // codebook (training-free: first-K seed subvectors, like q58's
+    // centroids); each query carries an ADC lookup table, and the
+    // pair-scoring is the native codegen PqScore — M array reads instead
+    // of a d-dim dot product. Scale shape: the candidate shuffle carries
+    // (q, n, approx) ONLY — the embedding column never enters it; the
+    // exact rerank joins the tiny candidate set back to the corpus.
+    // Vectors are L2-normalized up front so approximate dot ≡
+    // approximate cosine.
+    GraftQuery("q92_ann_pq",
+      (s, d) => {
+        graft.functions.CosineSim.register(s)
+        graft.functions.ProductQuant.register(s)
+        import graft.functions.ProductQuant.{pqAdcTable, pqEncode, pqScore}
+        val M = 8; val K = 16; val Cand = 60
+        val e = emb(s, d)
+        val norm = e.select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x / sqrt(norm2(col("embedding")))).as("nv"))
+        // Codebook = bounded constant (M·K·sub doubles), shipped as a
+        // literal exactly like q50's hyperplane matrix — the collect is
+        // K=16 seed vectors of metadata, not data, through the driver.
+        val seeds = norm.filter(col("vec_id") < K).orderBy("vec_id")
+          .select("nv").collect().map(_.getSeq[Double](0).toArray)
+        val sub = seeds(0).length / M
+        val flat = new Array[Double](M * K * sub)
+        for (j <- 0 until M; kk <- 0 until K; t <- 0 until sub)
+          flat((j * K + kk) * sub + t) = seeds(kk)(j * sub + t)
+        val cb = typedLit(flat.toSeq)
+        val codes = norm.select(col("vec_id").as("n"),
+          pqEncode(col("nv"), cb, M, K).as("codes"))
+        val queries = norm.filter(col("vec_id") < QueryCount)
+          .select(col("vec_id").as("q"), pqAdcTable(col("nv"), cb, M, K).as("tbl"))
+        val scored = codes.join(broadcast(queries), col("q") =!= col("n"))
+          .select(col("q"), col("n"), pqScore(col("codes"), col("tbl"), K).as("approx"))
+        val wCand = Window.partitionBy("q").orderBy(col("approx").desc, col("n"))
+        val cands = scored.withColumn("crn", row_number().over(wCand))
+          .filter(col("crn") <= Cand).select("q", "n")
+        val qv = norm.filter(col("vec_id") < QueryCount)
+          .select(col("vec_id").as("q"), col("nv").as("qv"))
+        val pairs = norm.select(col("vec_id").as("n"), col("nv").as("cv"))
+          .join(broadcast(cands), Seq("n"))
+          .join(broadcast(qv), Seq("q"))
+          .select(col("q"), col("n"), cosine(col("qv"), col("cv")).as("cos"))
+        topkPerQuery(pairs)
+      },
+      None),
+
     GraftQuery("q50_ann_lsh",
       (s, d) => {
         graft.functions.CosineSim.register(s)
