@@ -129,6 +129,65 @@ object DataSkipping {
     case _ =>
   }
 
+  /** Fold a file's hive-style partition values into its stats JSON as
+    * point ranges (min = max = value), so partition predicates prune
+    * through the same [[canMatch]] rewrite as data-column ranges — a
+    * `region='eu'` filter then drops every other partition's files
+    * DRIVER-side, before the scan is even planned. Values are typed from
+    * the table schema (numbers unquoted, strings quoted) because
+    * `from_json` null-swallows mistyped tokens, which would silently
+    * disable pruning. Unsupported types and the hive null sentinel just
+    * contribute no range (never wrong, only unpruned). Returns None only
+    * when there is nothing at all to skip on. */
+  def withPartitionValues(statsJson: Option[String], relPath: String,
+      schema: StructType, partCols: Seq[String]): Option[String] = {
+    val segs = relPath.split("/").dropRight(1).flatMap(_.split("=", 2) match {
+      case Array(k, v) => Some(
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8"))
+      case _ => None
+    }).filter { case (k, v) =>
+      partCols.contains(k) && v != "__HIVE_DEFAULT_PARTITION__"
+    }
+    if (segs.isEmpty) return statsJson
+    val root = statsJson.map(mapper.readTree(_)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse {
+        val r = mapper.createObjectNode()
+        r.set[com.fasterxml.jackson.databind.node.ObjectNode](
+          "minValues", mapper.createObjectNode())
+        r.set[com.fasterxml.jackson.databind.node.ObjectNode](
+          "maxValues", mapper.createObjectNode())
+        r
+      }
+    def obj(name: String) = {
+      val n = root.get(name)
+      if (n != null && n.isObject)
+        n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else {
+        val o = mapper.createObjectNode()
+        root.set[com.fasterxml.jackson.databind.node.ObjectNode](name, o); o
+      }
+    }
+    val (mins, maxs) = (obj("minValues"), obj("maxValues"))
+    segs.foreach { case (k, v) =>
+      try schema.fields.find(_.name == k).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.IntegerType) =>
+          mins.put(k, v.toInt); maxs.put(k, v.toInt)
+        case Some(org.apache.spark.sql.types.LongType) =>
+          mins.put(k, v.toLong); maxs.put(k, v.toLong)
+        case Some(org.apache.spark.sql.types.FloatType) =>
+          mins.put(k, v.toFloat); maxs.put(k, v.toFloat)
+        case Some(org.apache.spark.sql.types.DoubleType) =>
+          mins.put(k, v.toDouble); maxs.put(k, v.toDouble)
+        case Some(org.apache.spark.sql.types.StringType) =>
+          mins.put(k, v); maxs.put(k, v)
+        case _ =>
+      } catch { case _: NumberFormatException => } // malformed dir: no range
+    }
+    Some(mapper.writeValueAsString(root))
+  }
+
   /** Spark schema for parsing `add.stats` of a table with `dataSchema`. */
   def statsSchema(dataSchema: StructType): StructType = {
     val valueStruct = StructType(dataSchema.fields.map(f =>
@@ -145,9 +204,10 @@ object DataSkipping {
     * parsed stats struct column `s`. Conservative: any unsupported
     * subtree (or missing stat, via coalesce) becomes TRUE. `statCols` is
     * the set of columns actually present in the stats schema — an
-    * attribute outside it (e.g. a PARTITION column, which dataSchema
-    * excludes) must fall back to "might match", not throw on a
-    * nonexistent `s.minValues.<col>` reference. Operates on the
+    * attribute outside it must fall back to "might match", not throw on
+    * a nonexistent `s.minValues.<col>` reference. Partition columns
+    * participate via [[withPartitionValues]]' point ranges. Operates on
+    * the
     * bridge's neutral view of the Column node tree (Spark 4's
     * Connect-unified Column has no public `.expr`). */
   def canMatch(condition: Column, statCols: Set[String]): Column =

@@ -272,26 +272,32 @@ object DeltaLog {
   def readWhere(spark: SparkSession, tablePath: String, condition: Column,
       versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, tablePath, versionAsOf)
-    val statted = snap.files.filter(_.stats.isDefined)
+    // Partition values become point ranges in each file's skipping stats,
+    // so partition predicates prune files exactly like clustered-column
+    // ranges do (files without any skippable info always survive).
+    val statted: Seq[(String, String)] = snap.files.flatMap { a =>
+      DataSkipping.withPartitionValues(a.stats, a.path, snap.schema,
+        snap.partitionColumns).map(a.path -> _)
+    }
     val kept: Seq[AddEntry] =
       if (statted.isEmpty) snap.files
       else {
         import org.apache.spark.sql.functions.{col => c, from_json}
         val statsDf = spark.createDataFrame(
           spark.sparkContext.parallelize(
-            statted.map(a => org.apache.spark.sql.Row(a.path, a.stats.get)), 1),
+            statted.map { case (p, s) => org.apache.spark.sql.Row(p, s) }, 1),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("path",
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("stats",
               org.apache.spark.sql.types.StringType))))
-        val stSchema = dataSchema(snap)
+        val withStats = statted.map(_._1).toSet
         val keepPaths = statsDf
           .withColumn("s", from_json(c("stats"),
-            DataSkipping.statsSchema(stSchema)))
-          .where(DataSkipping.canMatch(condition, stSchema.fieldNames.toSet))
+            DataSkipping.statsSchema(snap.schema)))
+          .where(DataSkipping.canMatch(condition, snap.schema.fieldNames.toSet))
           .select("path").collect().map(_.getString(0)).toSet
-        snap.files.filter(a => a.stats.isEmpty || keepPaths.contains(a.path))
+        snap.files.filter(a => !withStats(a.path) || keepPaths(a.path))
       }
     val pruned = snap.copy(files = kept)
     val df =
@@ -301,11 +307,6 @@ object DeltaLog {
         .option("basePath", tablePath).parquet(pruned.filePaths: _*)
     df.where(condition)
   }
-
-  /** Columns physically present in data files (partition cols excluded). */
-  private def dataSchema(snap: Snapshot): StructType =
-    StructType(snap.schema.fields.filterNot(f =>
-      snap.partitionColumns.contains(f.name)))
 
   private def checkProtocol(minReader: Int): Unit =
     if (minReader > 1) throw new UnsupportedOperationException(

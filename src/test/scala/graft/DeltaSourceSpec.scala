@@ -261,22 +261,33 @@ class DeltaSourceSpec extends AnyFunSuite {
       "cast predicate must fall back to scan, never skip matching rows")
   }
 
-  test("data skipping tolerates predicates on partition columns") {
+  test("data skipping PRUNES on partition columns (point ranges from the " +
+    "hive path), composing with data-column stats") {
     val t = tmpTable()
     import spark.implicits._
-    // Partitioned stats-bearing table: partition cols are absent from the
-    // stats schema; a predicate mentioning one must conservatively keep
-    // files (and still filter rows), not throw AnalysisException.
     val df = Seq((1, "a", "eu"), (2, "b", "eu"), (3, "c", "us"))
       .toDF("id", "s", "region")
     DeltaWrite.write(df, t, partitionBy = Seq("region"))
     assert(DeltaLog.snapshot(spark, t).files.forall(_.stats.isDefined))
     val out = DeltaLog.readWhere(spark, t, col("region") === "eu")
     assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
-    // mixed predicate: data column still prunes, partition column passes
+    // the us file must not even appear in the pruned scan's file list
+    val scanned = out.queryExecution.executedPlan.toString
+    assert(!scanned.contains("region=us"), s"us partition not pruned:\n$scanned")
+    // mixed predicate: both the partition range and the data-column
+    // range participate
     val mixed = DeltaLog.readWhere(spark, t,
       col("region") === "us" && col("id") >= 3)
     assert(mixed.collect().map(_.getInt(0)).toSeq == Seq(3))
+    // an integer partition column prunes as a typed point range
+    val t2 = tmpTable()
+    DeltaWrite.write((1 to 40).map(i => (i, i % 4)).toDF("v", "p"),
+      t2, partitionBy = Seq("p"))
+    val one = DeltaLog.readWhere(spark, t2, col("p") === 2)
+    assert(one.collect().map(_.getInt(0)).forall(_ % 4 == 2))
+    val plan2 = one.queryExecution.executedPlan.toString
+    assert(!plan2.contains("p=0") && !plan2.contains("p=1") &&
+      !plan2.contains("p=3"), s"expected only p=2 files:\n$plan2")
   }
 
   test("incremental change feed: polls see only new appends; rewrites " +
