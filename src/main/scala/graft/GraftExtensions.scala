@@ -42,5 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => WordShingles(e.head, e(1).eval().asInstanceOf[Int])))
     ext.injectFunction(fn("graft_hplsh", 1, e => HyperplaneLsh(e.head)))
     ext.injectFunction(fn("graft_zorder", 2, e => ZOrder(e.head, e(1))))
+    ext.injectFunction(fn("graft_pq_encode", 4,
+      e => ProductQuant.PqEncode(e.head, e(1),
+        e(2).eval().asInstanceOf[Int], e(3).eval().asInstanceOf[Int])))
+    ext.injectFunction(fn("graft_pq_table", 4,
+      e => ProductQuant.PqAdcTable(e.head, e(1),
+        e(2).eval().asInstanceOf[Int], e(3).eval().asInstanceOf[Int])))
+    ext.injectFunction(fn("graft_pq_score", 3,
+      e => ProductQuant.PqScore(e.head, e(1), e(2).eval().asInstanceOf[Int])))
   }
 }

@@ -303,13 +303,23 @@ class TierASpec extends AnyFunSuite {
           "graft_simhash64(array(7L)) AS sh, " +
           "size(graft_shingles('a b c d', 3)) AS ns, " +
           "size(graft_hplsh(array(1.0D, 2.0D))) AS hp, " +
-          "graft_zorder(0, 0) < graft_zorder(1, 1) AS zo").head
+          "graft_zorder(0, 0) < graft_zorder(1, 1) AS zo, " +
+          // PQ round-trip: 2 subspaces × 2 codewords over a 2-dim vector;
+          // vector (1,9) encodes to codeword 0 then 1, and the ADC score
+          // reads those two table cells back
+          "graft_pq_encode(array(1.0D, 9.0D), array(1.0D, 5.0D, 2.0D, 9.0D), 2, 2) AS pq, " +
+          "graft_pq_score(array(0, 1), array(10.0D, 20.0D, 30.0D, 40.0D), 2) AS ps, " +
+          "size(graft_pq_table(array(1.0D, 9.0D), array(1.0D, 5.0D, 2.0D, 9.0D), 2, 2)) AS pt"
+        ).head
       assert(r.getDouble(0) == 1.0)
       assert(r.getInt(1) == graft.functions.MinHashSig.NumPerm)
       assert(r.getLong(2) == 7L)
       assert(r.getInt(3) == 2)
       assert(r.getInt(4) == graft.functions.HyperplaneLsh.NumTables)
       assert(r.getBoolean(5))
+      assert(r.getSeq[Int](6) == Seq(0, 1))
+      assert(r.getDouble(7) == 10.0 + 40.0)
+      assert(r.getInt(8) == 4)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
