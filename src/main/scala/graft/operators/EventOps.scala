@@ -165,5 +165,50 @@ object EventOps {
       Some("SELECT event_type, COUNT(*) AS n, " +
         "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sk " +
         "FROM events GROUP BY event_type ORDER BY event_type"))
+    ,
+
+    // Funnel analysis (sequential-pattern detection): how far does each
+    // user get through view → click-within-6h → purchase-within-6h with
+    // strictly increasing timestamps? The MATCH_RECOGNIZE-shaped
+    // question every product pipeline asks (the conversion window is
+    // what makes the stages discriminate — unbounded, everyone with 50
+    // events eventually converts). Scale shape: three filtered
+    // min-aggregations and the final stage join are ALL keyed on
+    // user_id — one hash partitioning reused end-to-end (no windows
+    // over the full event stream, no per-user event-list buffering);
+    // each stage's input is only the users who survived the previous
+    // one.
+    GraftQuery("q93_funnel",
+      (s, d) => {
+        val e = ev(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = e.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 6 HOUR"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 6 HOUR"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        e.select("user_id").distinct()
+          .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
+          .join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+          .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+          .select(when(col("s3").isNotNull, 3L).when(col("s2").isNotNull, 2L)
+            .when(col("s1").isNotNull, 1L).otherwise(0L).as("stage"))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+          .orderBy("stage")
+      },
+      Some("WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id " +
+        "AND e.event_type = 'click' AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 6 HOUR GROUP BY 1), " +
+        "p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id " +
+        "AND e.event_type = 'purchase' AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 6 HOUR GROUP BY 1), " +
+        "u AS (SELECT DISTINCT user_id FROM events), " +
+        "s AS (SELECT CAST(CASE WHEN p.user_id IS NOT NULL THEN 3 WHEN c.user_id IS NOT NULL THEN 2 " +
+        "WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage " +
+        "FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)) " +
+        "SELECT stage, COUNT(*) AS n_users FROM s GROUP BY stage ORDER BY stage"))
   )
 }

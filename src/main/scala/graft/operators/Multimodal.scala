@@ -130,4 +130,40 @@ object Multimodal {
           (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"))
       .as[MediaRecord]
   }
+
+  /** The multimodal pipeline's metadata surface as an ORACLED corpus
+    * query: binary payloads flow through the real plumbing (encode →
+    * byte length → digest; video frame sampling through the flatMap
+    * path) and every output number is pure arithmetic DuckDB reproduces
+    * from `documents` — so the payload/metadata/fan-out machinery is
+    * hash-checked, with only the codec stub left spec-only. Payloads
+    * never shuffle: per-item rows reduce to (kind, … ) aggregates
+    * map-side. */
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q94_multimodal_meta",
+      (s, d) => {
+        val media = syntheticMedia(s, d).toDF()
+        val frames = sampleFrames(syntheticMedia(s, d),
+            intervalMs = 1000, maxFrames = 32)
+          .groupBy("media_id").agg(count(lit(1)).as("nf"))
+        media.select(col("media_id"), col("kind"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            md5(col("payload")).as("digest"))
+          .join(frames, Seq("media_id"), "left")
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_items"),
+            sum("n_bytes").cast("long").as("total_bytes"),
+            countDistinct("digest").cast("long").as("n_digests"),
+            sum(coalesce(col("nf"), lit(0L))).cast("long").as("total_frames"))
+          .orderBy("kind")
+      },
+      Some("WITH m AS (SELECT doc_id AS media_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "strlen(text) AS n_bytes, md5(text) AS digest, n_chars * 10 AS dur FROM documents), " +
+        "f AS (SELECT media_id, LEAST(32, GREATEST(1, dur // 1000)) AS nf FROM m WHERE kind = 'video') " +
+        "SELECT kind, COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, " +
+        "CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_digests, " +
+        "CAST(SUM(COALESCE(f.nf, 0)) AS BIGINT) AS total_frames " +
+        "FROM m LEFT JOIN f USING (media_id) GROUP BY kind ORDER BY kind"))
+  )
 }
