@@ -9,12 +9,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.{DeltaDml, DeltaLog, DeltaMaintenance, DeltaWrite}
 
 /** Model-based property test: a random interleaving of every Delta
-  * operation (append / overwrite / UPDATE / DELETE / OPTIMIZE /
-  * checkpoint / VACUUM / time-travel reads) must keep the log-replayed
-  * table equal to a trivial in-memory model after every step. This is
-  * the strongest correctness statement the source can make: no
-  * operation order corrupts the snapshot, and maintenance operations
-  * are invisible to readers. */
+  * operation (append / overwrite / UPDATE / DELETE / MERGE / RESTORE /
+  * transactional streaming appends with replay / OPTIMIZE / checkpoint /
+  * VACUUM / time-travel reads) must keep the log-replayed table equal to
+  * a trivial in-memory model after every step. This is the strongest
+  * correctness statement the source can make: no operation order
+  * corrupts the snapshot, maintenance operations are invisible to
+  * readers, and a replayed (appId, batch) is a no-op wherever it lands
+  * in the interleaving. */
 class DeltaPropertySpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -51,8 +53,9 @@ class DeltaPropertySpec extends AnyFunSuite {
     }
     check()
 
-    (1 to 30).foreach { step =>
-      rnd.nextInt(7) match {
+    var txnBatch = 0L // monotone batch counter for the streaming-sink path
+    (1 to 40).foreach { step =>
+      rnd.nextInt(10) match {
         case 0 => // append
           val b = freshBatch(1 + rnd.nextInt(3))
           val v = DeltaWrite.write(b.toDF("id", "v"), t, SaveMode.Append)
@@ -86,6 +89,40 @@ class DeltaPropertySpec extends AnyFunSuite {
         case 6 => // vacuum: kills time travel for pre-vacuum versions
           DeltaMaintenance.vacuum(spark, t, retainMs = 0L)
           history = Map.empty
+        case 7 => // MERGE: update a residue class + insert fresh rows
+          val k = 2 + rnd.nextInt(3); val r = rnd.nextInt(k)
+          val updates = model.collect {
+            case (id, _) if ((id % k) + k) % k == r => (id, id * -2.0)
+          }.toSeq
+          val fresh = freshBatch(1 + rnd.nextInt(2))
+          val src = (updates ++ fresh).toDF("id", "v")
+          val res = DeltaDml.merge(spark, t, src,
+            condition = col("t.id") === col("s.id"),
+            matchedUpdate = Seq("v" -> col("s.v")), insert = true)
+          assert(res.updatedRows == updates.size &&
+            res.insertedRows == fresh.size)
+          model = model ++ updates.toMap ++ fresh.toMap
+          history += (DeltaLog.latestVersion(spark, t) -> model)
+        case 8 => // RESTORE to a random retained version (post-vacuum
+          // history only, so the historical files still exist)
+          if (history.nonEmpty) {
+            val (hv, hm) = history.toSeq(rnd.nextInt(history.size))
+            val nv = DeltaMaintenance.restore(spark, t, hv)
+            model = hm
+            history += (nv -> model)
+          }
+        case 9 => // transactional (streaming-sink) append, then REPLAY
+          // the same (appId, batch) — the replay must be a no-op
+          val b = freshBatch(1 + rnd.nextInt(2))
+          txnBatch += 1
+          val v = DeltaWrite.transactionalAppend(
+            b.toDF("id", "v"), t, "prop-app", txnBatch)
+          assert(v.nonEmpty)
+          model ++= b.toMap
+          history += (v.get -> model)
+          val replay = DeltaWrite.transactionalAppend(
+            Seq((-1, -1.0)).toDF("id", "v"), t, "prop-app", txnBatch)
+          assert(replay.isEmpty, "replayed txn batch must not commit")
       }
       check()
       // spot-check one retained historical version per step
