@@ -305,6 +305,31 @@ object TextAnalysis {
     // BROADCAST side; the corpus streams through a codegen `contains`
     // (substring search, no regex) exactly once — no shuffle of text,
     // and the per-bench counts aggregate map-side.
+    // Global heavy hitters — the corpus-wide vocabulary profile (top-k
+    // terms by document frequency) that drives stopword lists and
+    // tokenizer audits. Scale shape: explode → per-partition partial
+    // counts (map-side combine collapses each partition's repeats of a
+    // word BEFORE the shuffle) → one (word)-keyed exchange →
+    // TakeOrderedAndProject for the top-k. The per-doc distinct for df
+    // happens inside the (doc_id, word) pre-aggregation, which shares
+    // the word-keyed shuffle.
+    GraftQuery("q95_heavy_hitters",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
+            .as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("word")
+        .agg(sum("c").cast("long").as("total"),
+          count(lit(1)).as("df"))
+        .orderBy(col("total").desc, col("word"))
+        .limit(50),
+      Some("WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\p{L}+')) AS word FROM documents), " +
+        "dc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2) " +
+        "SELECT word, CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS df " +
+        "FROM dc GROUP BY word ORDER BY total DESC, word LIMIT 50"))
+    ,
+
     GraftQuery("q91_decontamination",
       (s, d) => {
         val base = docs(s, d)

@@ -97,6 +97,70 @@ object DeltaChanges {
     })
   }
 
+  /** ROW-level change feed for one commit, derived from the
+    * copy-on-write file diff — no `_change_data` files needed: the
+    * commit's removed files hold the pre-image rows, its added files the
+    * post-image, and the multiset difference is exactly what changed.
+    * Returns the table columns plus `_change_type` ('insert'/'delete')
+    * and `_commit_version`; an UPDATE surfaces as delete(old row) +
+    * insert(new row) — without declared keys the pairing into
+    * update_preimage/postimage is not derivable, and this multiset form
+    * is the honest contract. Layout-only commits (dataChange = false,
+    * OPTIMIZE/Z-ORDER) yield no rows.
+    *
+    * Scale shape: work is bounded by the COMMIT's files, not the table;
+    * the diff is one weighted union (pre = -1, post = +1) aggregated on
+    * all columns — GROUP BY treats NULLs as equal, so null-bearing rows
+    * diff correctly without null-safe join gymnastics — and surviving
+    * multiplicities re-expand through a bounded `sequence` explode. */
+  def rowChanges(spark: SparkSession, tablePath: String,
+      version: Long): DataFrame = {
+    // selective import: functions.version would shadow the parameter
+    import org.apache.spark.sql.functions.{abs, col, explode, lit, sequence, sum, when}
+    val fs = DeltaLog.logDir(tablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val commit = new org.apache.hadoop.fs.Path(
+      DeltaLog.logDir(tablePath), f"$version%020d.json")
+    if (!fs.exists(commit)) throw new IllegalStateException(
+      s"commit $version of $tablePath no longer exists (log cleaned)")
+    val added = scala.collection.mutable.Buffer[String]()
+    val removed = scala.collection.mutable.Buffer[String]()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(commit), "UTF-8"))
+    try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+      .filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        val add = node.get("add"); val rm = node.get("remove")
+        def changes(n: com.fasterxml.jackson.databind.JsonNode) =
+          !n.hasNonNull("dataChange") || n.get("dataChange").asBoolean(true)
+        if (add != null && changes(add)) added += add.get("path").asText()
+        if (rm != null && changes(rm)) removed += rm.get("path").asText()
+      }
+    finally reader.close()
+
+    val schema = DeltaLog.snapshot(spark, tablePath, Some(version)).schema
+    def readFiles(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      else spark.read.schema(schema).option("basePath", tablePath)
+        .parquet(paths.map(p => new org.apache.hadoop.fs.Path(tablePath,
+          java.net.URLDecoder.decode(p, "UTF-8")).toString): _*)
+    val cols = schema.fieldNames.toSeq
+    val weighted = readFiles(removed.toSeq)
+      .select(cols.map(col) :+ lit(-1L).as("__w"): _*)
+      .unionByName(readFiles(added.toSeq)
+        .select(cols.map(col) :+ lit(1L).as("__w"): _*))
+    weighted.groupBy(cols.map(col): _*).agg(sum("__w").as("__d"))
+      .filter(col("__d") =!= 0L)
+      .select(cols.map(col) :+
+        when(col("__d") > 0, lit("insert")).otherwise(lit("delete"))
+          .as("_change_type") :+
+        abs(col("__d")).as("__n"): _*)
+      .withColumn("__i", explode(sequence(lit(1L), col("__n"))))
+      .select(cols.map(col) :+ col("_change_type") :+
+        lit(version).as("_commit_version"): _*)
+  }
+
   /** Rows added after `fromExclusive`, with the new high-water version
     * to store for the next poll. */
   def readChanges(spark: SparkSession, tablePath: String,

@@ -792,6 +792,35 @@ class DeltaSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("row-level change feed: per-commit multiset diff yields inserts/" +
+    "deletes; updates surface as delete+insert; compaction yields nothing") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.{DeltaChanges, DeltaDml, DeltaMaintenance}
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t) // v0
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append) // v1
+    DeltaDml.update(spark, t, col("id") === 1, Seq("s" -> lit("A"))) // v2
+    DeltaDml.delete(spark, t, col("id") === 2) // v3
+    DeltaMaintenance.compact(spark, t, smallFileBytes = 32 * 1024 * 1024) // v4
+
+    def changes(v: Long): Set[(Int, String, String)] =
+      DeltaChanges.rowChanges(spark, t, v).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+
+    assert(changes(0L) == Set((1, "a", "insert"), (2, "b", "insert")))
+    assert(changes(1L) == Set((3, "c", "insert")))
+    // any rows the UPDATE's rewrite copied through unchanged cancel out
+    // in the multiset diff, leaving only the actual change
+    assert(changes(2L) == Set((1, "a", "delete"), (1, "A", "insert")))
+    assert(changes(3L) == Set((2, "b", "delete")))
+    assert(changes(4L).isEmpty, "layout-only commit emits no row changes")
+    // duplicate rows carry multiplicity: append two identical rows
+    DeltaWrite.write(Seq((9, "z"), (9, "z")).toDF("id", "s"), t, SaveMode.Append)
+    val dup = DeltaChanges.rowChanges(spark, t, 5L).collect()
+    assert(dup.length == 2 && dup.forall(r =>
+      r.getInt(0) == 9 && r.getString(2) == "insert"))
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")
