@@ -305,6 +305,43 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the backlog split across batches, saw ${progress.mkString(", ")}")
   }
 
+  test("Delta-to-Delta streaming pipeline: source -> transform -> txn " +
+    "sink survives a restart with exactly-once end to end") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_d2d_src").resolve("t").toString
+    val dst = Files.createTempDirectory("graft_d2d_dst").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft_d2d_ckpt").toString
+    DeltaWrite.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), src)
+
+    def start() = spark.readStream.format("graft-delta").option("path", src)
+      .load()
+      .select(col("id"), (col("v") * 2).as("v2")) // the incremental ETL
+      .writeStream.format("graft-delta").option("path", dst)
+      .option("checkpointLocation", ckpt).start()
+
+    val q = start()
+    q.processAllAvailable()
+    assert(DeltaLog.read(spark, dst).as[(Long, Double)].collect().toSet ==
+      Set((1L, 20.0), (2L, 40.0)))
+    DeltaWrite.write(Seq((3L, 30.0)).toDF("id", "v"), src, SaveMode.Append)
+    q.processAllAvailable()
+    q.stop()
+    // an append lands while the pipeline is DOWN; the restart must carry
+    // it through exactly once (source offset from the engine checkpoint,
+    // sink dedupe from the destination table's txn ledger)
+    DeltaWrite.write(Seq((4L, 40.0)).toDF("id", "v"), src, SaveMode.Append)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(DeltaLog.read(spark, dst).as[(Long, Double)].collect().toSet ==
+      Set((1L, 20.0), (2L, 40.0), (3L, 60.0), (4L, 80.0)))
+    // destination history is itself a Delta log: one commit per batch,
+    // each carrying its txn action
+    assert(DeltaLog.snapshot(spark, dst).txns.nonEmpty)
+  }
+
   test("graft-delta fresh stream bootstraps from the snapshot: works on a " +
     "cleaned log and does not resurrect pre-stream deletes") {
     import graft.sources.{DeltaDml, DeltaMaintenance, DeltaWrite}
