@@ -47,6 +47,38 @@ object ScaleOps {
       .groupBy(col(key))
       .agg(sum("__partial").as("n"))
 
+  /** Bloom-prefiltered join (a portable runtime filter): build a compact
+    * bloom filter over the dimension side's join keys, ship it into the
+    * fact scan as a literal, and drop fact rows that cannot possibly
+    * join BEFORE the fact side's shuffle. At 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling
+    * its join-selective fraction — the same idea as Spark's own
+    * InjectRuntimeFilter, but explicit, so it applies even where the
+    * optimizer declines. False positives only pass extra rows into the
+    * join (which still runs); never wrong, only less pruned.
+    *
+    * The membership probe is the codegen `BloomFilterMightContain`
+    * expression over the serialized filter — no UDF boundary in the
+    * fact's hot path. Long-typed keys (the filter stores longs). */
+  def bloomPrefilteredJoin(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      expectedDimRows: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast, Literal}
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    val bf = dim.stat.bloomFilter(dimKey, expectedDimRows, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val might = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      Cast(UnresolvedAttribute(factKey), LongType)))
+    fact.filter(might).join(dim, fact(factKey) === dim(dimKey))
+  }
+
   /** Write both sides bucketed on the join key; returns the table names.
     * Subsequent joins between them on that key plan with zero Exchange. */
   def writeBucketed(

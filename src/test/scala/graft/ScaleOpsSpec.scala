@@ -41,6 +41,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain.except(salted).count() == 0)
   }
 
+  test("bloom-prefiltered join equals the plain join and prunes the fact " +
+    "side before its shuffle") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val dim = Tables.load(spark, sf, "part").filter(col("p_partkey") % 10 === 0)
+      .select("p_partkey", "p_name")
+    val plain = li.join(dim, li("l_partkey") === dim("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n"))
+    val bloomed = ScaleOps.bloomPrefilteredJoin(li, dim, "l_partkey", "p_partkey",
+        expectedDimRows = 1000L)
+      .groupBy("p_partkey").agg(count(lit(1)).as("n"))
+    assert(bloomed.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(bloomed).count() == 0)
+    // the filter actually prunes: far fewer fact rows survive than exist
+    // (dim keeps 1/10 of keys; fpp 1% passes ~1% extra)
+    val total = li.count()
+    val survivors = ScaleOps.bloomPrefilteredJoin(li, dim,
+      "l_partkey", "p_partkey", expectedDimRows = 1000L)
+    assert(survivors.count() < total / 2,
+      "bloom prefilter should drop most non-joining fact rows")
+    // and the membership probe sits in the plan as a Filter on the fact
+    // scan side (before the join), not after
+    val plan = survivors.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom probe in:\n$plan")
+  }
+
   test("bucketed join plans with no shuffle Exchange") {
     val o = Tables.load(spark, sf, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
