@@ -210,5 +210,36 @@ object EventOps {
         "WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage " +
         "FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)) " +
         "SELECT stage, COUNT(*) AS n_users FROM s GROUP BY stage ORDER BY stage"))
+    ,
+
+    // Cohort retention: users grouped by the week of their first event,
+    // counted in each later week they were active — the triangle every
+    // growth dashboard draws. Scale shape: the first-event aggregation
+    // and the activity join share the user_id partitioning; the
+    // per-(user, cohort, offset) distinct collapses a user's events
+    // map-side before the final (cohort, offset) count. Week offsets are
+    // exact integers (week starts differ by multiples of 7 days), so
+    // the result is engine-identical.
+    GraftQuery("q96_retention",
+      (s, d) => {
+        val e = ev(s, d)
+        val first = e.groupBy("user_id").agg(min("ts").as("first_ts"))
+        e.join(first, "user_id")
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("first_ts"))).as("cohort_week"),
+            (datediff(to_date(date_trunc("week", col("ts"))),
+              to_date(date_trunc("week", col("first_ts")))) / 7)
+              .cast("long").as("week_offset"))
+          .distinct()
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1), " +
+        "a AS (SELECT DISTINCT e.user_id, CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week, " +
+        "CAST(date_diff('day', date_trunc('week', f.first_ts), date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_offset " +
+        "FROM events e JOIN f USING (user_id)) " +
+        "SELECT cohort_week, week_offset, COUNT(*) AS n_active " +
+        "FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset"))
   )
 }
