@@ -241,7 +241,15 @@ object DeltaLog {
 
   /** Read a Delta table as a DataFrame (optionally time-traveled). The
     * scan is a plain distributed parquet read over the snapshot's live
-    * files — predicate pushdown / column pruning apply unchanged. */
+    * files — predicate pushdown / column pruning apply unchanged.
+    *
+    * Column mapping (`delta.columnMapping.mode = name`, reader version
+    * 2): parquet files store PHYSICAL column names recorded in each
+    * schema field's `delta.columnMapping.physicalName` metadata; the
+    * scan reads the physical schema and projects back to logical names
+    * (a zero-cost rename in the plan — pruning/pushdown still operate
+    * on the physical scan). `id` mode (parquet field-id matching) is
+    * rejected explicitly rather than misread. */
   def read(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None,
       timestampAsOf: Option[java.sql.Timestamp] = None): DataFrame = {
@@ -250,8 +258,25 @@ object DeltaLog {
     val asOf = versionAsOf.orElse(
       timestampAsOf.map(versionAt(spark, tablePath, _)))
     val snap = snapshot(spark, tablePath, asOf)
+    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (mode != "none" && mode != "name")
+      throw new UnsupportedOperationException(
+        s"column mapping mode '$mode' not supported (name mode only)")
     if (snap.files.isEmpty) {
       spark.createDataFrame(java.util.Collections.emptyList[Row](), snap.schema)
+    } else if (mode == "name") {
+      val physical = StructType(snap.schema.fields.map { f =>
+        val pn =
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName")
+          else f.name
+        f.copy(name = pn)
+      })
+      val raw = spark.read.schema(physical)
+        .option("basePath", tablePath).parquet(snap.filePaths: _*)
+      raw.select(physical.fields.zip(snap.schema.fields).map {
+        case (p, l) => org.apache.spark.sql.functions.col(s"`${p.name}`").as(l.name)
+      }.toIndexedSeq: _*)
     } else {
       // basePath keeps hive-style partition columns resolvable when the
       // live set is a subset of the directory tree.
@@ -308,9 +333,12 @@ object DeltaLog {
     df.where(condition)
   }
 
+  /** Reader versions 1 and 2 are in scope (2 adds column mapping, which
+    * read() handles in name mode); version 3's table-feature lists are
+    * not — rejected rather than misread. */
   private def checkProtocol(minReader: Int): Unit =
-    if (minReader > 1) throw new UnsupportedOperationException(
-      s"Delta reader protocol $minReader not supported (this reader implements version 1)")
+    if (minReader > 2) throw new UnsupportedOperationException(
+      s"Delta reader protocol $minReader not supported (this reader implements versions 1-2)")
 
   private def checkNoDeletionVector(add: Row): Unit =
     if (add.schema.fieldNames.contains("deletionVector") &&

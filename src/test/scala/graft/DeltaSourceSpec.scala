@@ -821,6 +821,52 @@ class DeltaSourceSpec extends AnyFunSuite {
       r.getInt(0) == 9 && r.getString(2) == "insert"))
   }
 
+  test("column mapping (name mode): logical columns resolve through " +
+    "physicalName metadata on a reader-v2 table; id mode is rejected") {
+    import org.apache.spark.sql.types.{IntegerType, MetadataBuilder, StringType, StructField, StructType}
+    import spark.implicits._
+    val t = tmpTable()
+    // files as a mapping-enabled writer lays them out: PHYSICAL names
+    Seq((1, "a"), (2, "b")).toDF("col-9f3a", "col-77bd")
+      .coalesce(1).write.parquet(t)
+    val fs = DeltaLog.logDir(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(t))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).head
+    def field(logical: String, physical: String, dt: org.apache.spark.sql.types.DataType) =
+      StructField(logical, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", physical)
+          .putLong("delta.columnMapping.id", 1L).build())
+    def writeLog(mode: String): Unit = {
+      val schema = StructType(Seq(
+        field("id", "col-9f3a", IntegerType), field("s", "col-77bd", StringType)))
+      fs.mkdirs(DeltaLog.logDir(t))
+      val p = new org.apache.hadoop.fs.Path(DeltaLog.logDir(t), f"${0L}%020d.json")
+      fs.delete(p, false)
+      val out = fs.create(p, true)
+      val schemaJson = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+        .build().writeValueAsString(schema.json)
+      out.write((
+        s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+           |{"metaData":{"id":"cm-test","schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode"},"format":{"provider":"parquet","options":{}}}}
+           |{"add":{"path":"$part","size":1,"dataChange":true,"partitionValues":{}}}"""
+          .stripMargin).getBytes("UTF-8"))
+      out.close()
+    }
+    writeLog("name")
+    val back = DeltaLog.read(spark, t)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(back.as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+    // physical-named parquet + logical projection: filters still push
+    val q = back.filter(col("id") === 2)
+    assert(q.collect().map(_.getString(1)).toSeq == Seq("b"))
+    // id mode (parquet field-id matching) is out of scope — rejected
+    writeLog("id")
+    graft.Tables.invalidate()
+    intercept[UnsupportedOperationException] { DeltaLog.read(spark, t) }
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")
