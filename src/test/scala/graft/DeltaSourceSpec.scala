@@ -867,6 +867,42 @@ class DeltaSourceSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] { DeltaLog.read(spark, t) }
   }
 
+  test("incremental aggregate maintenance over the change feed equals " +
+    "full recompute after every commit") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    import graft.sources.{DeltaDml, DeltaMaintenance}
+    // integral-valued doubles: delta-order addition stays exact, so the
+    // maintained view can be compared to the recompute EXACTLY
+    DeltaWrite.write((1 to 30).map(i => (i, i % 5, (i * 3).toDouble))
+      .toDF("id", "k", "v"), t)
+    def recompute(): Map[Int, (Double, Long)] =
+      IncrementalAgg.compute(DeltaLog.read(spark, t), "k", "v")
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Int, (Double, Long)] =
+      df.collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+
+    var view = IncrementalAgg.compute(DeltaLog.read(spark, t), "k", "v")
+    var last = DeltaLog.latestVersion(spark, t)
+    def step(op: => Unit): Unit = {
+      op
+      val now = DeltaLog.latestVersion(spark, t)
+      view = IncrementalAgg.refresh(spark, view, t, last, now, "k", "v")
+      last = now
+      assert(asMap(view) == recompute(), s"view diverged after v$now")
+    }
+    step(DeltaWrite.write(Seq((31, 1, 99.0), (32, 7, 5.0)).toDF("id", "k", "v"),
+      t, SaveMode.Append)) // new key 7 enters the view
+    step(DeltaDml.update(spark, t, col("k") === 2, Seq("v" -> (col("v") + 10))))
+    step(DeltaDml.delete(spark, t, col("k") === 7)) // key 7 leaves the view
+    step(DeltaDml.merge(spark, t, Seq((1, 1, 1000.0)).toDF("id", "k", "v"),
+      condition = col("t.id") === col("s.id"),
+      matchedUpdate = Seq("v" -> col("s.v"))))
+    // a layout-only commit must be a no-op for the view
+    step { DeltaMaintenance.compact(spark, t, smallFileBytes = 32 * 1024 * 1024); () }
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")
