@@ -115,6 +115,41 @@ object Dedup {
       .select(col("doc_id"), graft.functions.MinHashSig.minhashSig(col("hs")).as("sig"))
   }
 
+  /** Connected components of the near-dup (Jaccard ≥ 0.1) pair graph by
+    * iterative min-label propagation (q81's body; also feeds q97's
+    * cleaned-corpus materialization): rounds ≈ component diameter, the
+    * label-SUM is the convergence witness (monotone non-increasing, so
+    * an unchanged sum means a fixed point — no comparison join). Only
+    * docs that appear in some pair are returned. */
+  private def nearDupComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(s, d).select("a", "b")
+    val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = und.select(col("a").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl")).persist()
+    // coalesce: an empty pair graph (corpus with no near-dups) must
+    // yield an empty result, not an NPE on sum-of-nothing
+    var lastSum = labels.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbrMin = und.join(labels, und("b") === labels("n"))
+        .groupBy(und("a").as("m")).agg(min("lbl").as("nbl"))
+      val next = labels.join(nbrMin, col("n") === col("m"), "left")
+        .select(col("n"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        .persist()
+      val newSum = next.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = newSum == lastSum
+      lastSum = newSum
+      iter += 1
+    }
+    und.unpersist()
+    labels.select(col("n").as("doc_id"), col("lbl").as("canonical"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // Exact dedup: group on a content digest, keep the smallest doc_id as
@@ -234,35 +269,7 @@ object Dedup {
     // closure — only viable at oracle scale, which is the point: the
     // iterative form IS the 100 TB algorithm.
     GraftQuery("q81_dedup_components",
-      (s, d) => {
-        val pairs = jaccardPairs(s, d).select("a", "b")
-        val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-          .persist()
-        var labels = und.select(col("a").as("n")).distinct()
-          .select(col("n"), col("n").as("lbl")).persist()
-        // coalesce: an empty pair graph (corpus with no near-dups) must
-        // yield an empty result, not an NPE on sum-of-nothing
-        var lastSum = labels.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 50) {
-          val nbrMin = und.join(labels, und("b") === labels("n"))
-            .groupBy(und("a").as("m")).agg(min("lbl").as("nbl"))
-          val next = labels.join(nbrMin, col("n") === col("m"), "left")
-            .select(col("n"),
-              least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-            .persist()
-          val newSum = next.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
-          labels.unpersist()
-          labels = next
-          converged = newSum == lastSum
-          lastSum = newSum
-          iter += 1
-        }
-        und.unpersist()
-        labels.select(col("n").as("doc_id"), col("lbl").as("canonical"))
-          .orderBy("doc_id")
-      },
+      (s, d) => nearDupComponents(s, d).orderBy("doc_id"),
       Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
         |  FOR i IN generate_series(1, len(toks)-2)])) AS s FROM t),
@@ -282,5 +289,57 @@ object Dedup {
         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)
         |SELECT src AS doc_id, MIN(dst) AS canonical FROM reach
         |GROUP BY src ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+    ,
+
+    // The dedup family's END USE: materialize the cleaned corpus. A doc
+    // survives iff it is the exact-canonical of its content hash (min
+    // doc_id per sha256) AND, when it sits in the near-dup graph, the
+    // canonical of its component. (The component canonical is always
+    // exact-kept: exact dups share text, hence a component, and the
+    // component min is its own hash group's min.) Output is the cleaned
+    // corpus profile per language. One pipeline: digest groupBy +
+    // component labels + two key-joins — nothing rescans text after the
+    // shingle pass.
+    GraftQuery("q97_clean_corpus",
+      (s, d) => {
+        val base = docs(s, d)
+        val exactKeep = base
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val labels = nearDupComponents(s, d)
+        base.join(exactKeep, Seq("doc_id"), "left_semi")
+          .join(labels, Seq("doc_id"), "left")
+          .filter(col("canonical").isNull || col("canonical") === col("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  FOR i IN generate_series(1, len(toks)-2)])) AS s FROM t),
+        |df AS (SELECT s FROM (SELECT s, COUNT(*) AS d FROM sh GROUP BY s) WHERE d BETWEEN 2 AND 20),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s),
+        |card AS (SELECT doc_id, COUNT(*) AS c FROM shf GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i FROM shf x
+        |  JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT a, b FROM (
+        |  SELECT inter.a, inter.b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
+        |  FROM inter JOIN card ca ON inter.a = ca.doc_id JOIN card cb ON inter.b = cb.doc_id)
+        |  WHERE jaccard >= 0.1),
+        |und AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+        |comp AS (SELECT src AS doc_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+        |ek AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+        |kept AS (SELECT dd.lang, dd.n_chars FROM documents dd
+        |  JOIN ek ON dd.doc_id = ek.doc_id
+        |  LEFT JOIN comp ON dd.doc_id = comp.doc_id
+        |  WHERE comp.canonical IS NULL OR comp.canonical = dd.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")))
   )
 }
