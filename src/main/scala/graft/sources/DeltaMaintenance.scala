@@ -161,6 +161,35 @@ object DeltaMaintenance {
     val live = snap.files.map(a =>
       new Path(tablePath, java.net.URLDecoder.decode(a.path, "UTF-8"))).map(
       p => fs.makeQualified(p).toString).toSet
+    // Retention counts from the DELETION time recorded on the remove
+    // action (Delta semantics): a file created a year ago but tombstoned
+    // a minute ago must survive `retainMs` so time travel inside the
+    // retention window keeps working. Tombstone times come from the
+    // retained commit JSONs; an orphan with no tombstone record (log
+    // cleaned past its remove) falls back to file mtime — conservative
+    // for fresh writes, best-effort for ancient orphans.
+    val tombstones: Map[String, Long] = {
+      val (lfs, commits, _) = DeltaLog.listLog(spark, tablePath)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val acc = scala.collection.mutable.Map[String, Long]()
+      commits.values.foreach { c =>
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(lfs.open(c), "UTF-8"))
+        try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+          .filter(_.trim.nonEmpty).foreach { line =>
+            val rm = mapper.readTree(line).get("remove")
+            if (rm != null) {
+              val p = fs.makeQualified(new Path(tablePath,
+                java.net.URLDecoder.decode(rm.get("path").asText(), "UTF-8"))).toString
+              val ts = if (rm.hasNonNull("deletionTimestamp"))
+                rm.get("deletionTimestamp").asLong() else 0L
+              acc(p) = math.max(acc.getOrElse(p, 0L), ts)
+            }
+          }
+        finally reader.close()
+      }
+      acc.toMap
+    }
     val horizon = System.currentTimeMillis() - retainMs
     var deleted = 0
     def walk(p: Path): Unit =
@@ -168,10 +197,13 @@ object DeltaMaintenance {
         val name = st.getPath.getName
         if (st.isDirectory) {
           if (name != "_delta_log" && !name.startsWith(".")) walk(st.getPath)
-        } else if (name.endsWith(".parquet") &&
-            !live.contains(fs.makeQualified(st.getPath).toString) &&
-            st.getModificationTime <= horizon) {
-          if (fs.delete(st.getPath, false)) deleted += 1
+        } else if (name.endsWith(".parquet")) {
+          val q = fs.makeQualified(st.getPath).toString
+          val deletedAt = tombstones.get(q).filter(_ > 0L)
+            .getOrElse(st.getModificationTime)
+          if (!live.contains(q) && deletedAt <= horizon) {
+            if (fs.delete(st.getPath, false)) deleted += 1
+          }
         }
       }
     walk(table)

@@ -369,7 +369,9 @@ object DeltaWrite {
   private[sources] def removeAction(path: String): ObjectNode = {
     val n = mapper.createObjectNode()
     n.set[ObjectNode]("remove", mapper.createObjectNode()
-      .put("path", path).put("dataChange", true).put("deletionTimestamp", 0L))
+      .put("path", path).put("dataChange", true)
+      // VACUUM's retention clock counts from DELETION, not file creation
+      .put("deletionTimestamp", System.currentTimeMillis()))
     n
   }
 

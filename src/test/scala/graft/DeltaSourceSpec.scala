@@ -903,6 +903,27 @@ class DeltaSourceSpec extends AnyFunSuite {
     step { DeltaMaintenance.compact(spark, t, smallFileBytes = 32 * 1024 * 1024); () }
   }
 
+  test("vacuum retention counts from DELETION time, not file age: an old " +
+    "file tombstoned recently survives the retention window") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t) // v0
+    val fs = DeltaLog.logDir(t).getFileSystem(spark.sessionState.newHadoopConf())
+    // age the v0 data files two hours into the past
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+    graft.sources.DeltaLog.snapshot(spark, t).filePaths.foreach(p =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(p), old, -1))
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Overwrite) // v1
+    // retention 1h: the file is 2h OLD but was deleted seconds ago —
+    // an mtime-based clock would vacuum it and break time travel
+    assert(DeltaMaintenance.vacuum(spark, t, retainMs = 3600 * 1000L) == 0)
+    assert(DeltaLog.read(spark, t, Some(0L)).collect().map(_.getInt(0)).toSeq
+      == Seq(1), "v0 must stay time-travelable inside the retention window")
+    // retention 0: now it goes
+    assert(DeltaMaintenance.vacuum(spark, t, retainMs = 0L) == 1)
+  }
+
   test("filter pushdown reaches the parquet scan under a Delta read") {
     val t = tmpTable()
     val lineitem = Tables.load(spark, sf, "lineitem")
