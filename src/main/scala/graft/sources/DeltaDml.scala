@@ -37,6 +37,7 @@ object DeltaDml {
   private def rewrite(spark: SparkSession, tablePath: String, condition: Column,
       transform: DataFrame => DataFrame, operation: String): DmlResult = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap)
     val df = DeltaLog.read(spark, tablePath)
 
     // Map absolute scan URIs back to the log's relative paths.
@@ -102,6 +103,7 @@ object DeltaDml {
       insert: Boolean = false): MergeResult = {
     import org.apache.spark.sql.functions.{count, lit, max, monotonically_increasing_id, sum}
     val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap)
     val target = DeltaLog.read(spark, tablePath)
 
     val uriToRel: Map[String, String] =

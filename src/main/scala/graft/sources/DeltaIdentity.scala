@@ -61,6 +61,7 @@ object DeltaIdentity {
   def append(df: DataFrame, tablePath: String): Long = {
     val spark = df.sparkSession
     val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap)
     val info = identityInfo(snap.schema).getOrElse(throw new IllegalArgumentException(
       s"$tablePath has no identity column (no $StartKey metadata)"))
     require(!df.columns.contains(info.column),

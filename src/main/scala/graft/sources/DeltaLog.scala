@@ -333,6 +333,17 @@ object DeltaLog {
     df.where(condition)
   }
 
+  /** Column-mapped tables are READ-only in this engine: our writers
+    * emit parquet under logical column names, which a mapped table's
+    * readers would resolve to nothing (silent nulls). Every
+    * data-writing path calls this with its already-loaded snapshot. */
+  private[sources] def checkWritable(snap: Snapshot): Unit = {
+    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (mode != "none") throw new UnsupportedOperationException(
+      s"${snap.tablePath} uses column mapping ($mode); this engine reads " +
+        "mapped tables but does not write them")
+  }
+
   /** Reader versions 1 and 2 are in scope (2 adds column mapping, which
     * read() handles in name mode); version 3's table-feature lists are
     * not — rejected rather than misread. */

@@ -62,6 +62,7 @@ object DeltaMaintenance {
   def compact(spark: SparkSession, tablePath: String,
       smallFileBytes: Long = 128L * 1024 * 1024): (Int, Long) = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap) // compaction rewrites data files too
     val small = snap.files.filter(_.size < smallFileBytes)
     if (small.size < 2) return (0, snap.version)
     val uris = small.map { a =>
@@ -128,6 +129,7 @@ object DeltaMaintenance {
   def clusterByZOrder(spark: SparkSession, tablePath: String,
       colA: String, colB: String, numFiles: Int): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap) // clustering rewrites data files too
     require(snap.partitionColumns.isEmpty,
       "z-order clustering applies within unpartitioned tables here")
     graft.functions.ZOrder.register(spark)

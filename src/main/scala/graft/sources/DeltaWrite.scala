@@ -84,6 +84,7 @@ object DeltaWrite {
     val adds = writeDataFiles(df, tablePath, partitionBy)
     val prior =
       if (exists) Some(DeltaLog.snapshot(spark, tablePath)) else None
+    prior.foreach(DeltaLog.checkWritable)
     // CHECK constraints veto the commit (staged files are deleted)
     prior.foreach(p => DeltaConstraints.enforceStaged(
       spark, tablePath, adds, df.schema, p.configuration))
@@ -336,6 +337,7 @@ object DeltaWrite {
     while (true) {
       val exists = f.exists(DeltaLog.logDir(tablePath))
       val snap = if (exists) Some(DeltaLog.snapshot(spark, tablePath)) else None
+      snap.foreach(DeltaLog.checkWritable)
       if (snap.exists(_.txns.get(appId).exists(_ >= txnVersion))) {
         // already applied — drop any files staged by a lost race
         if (staged != null) staged.foreach { a =>

@@ -861,6 +861,19 @@ class DeltaSourceSpec extends AnyFunSuite {
     // physical-named parquet + logical projection: filters still push
     val q = back.filter(col("id") === 2)
     assert(q.collect().map(_.getString(1)).toSeq == Seq("b"))
+    // mapped tables are READ-only: our writers emit logical-named
+    // parquet, which a mapped reader would resolve to silent nulls —
+    // every data-writing path must refuse instead
+    intercept[UnsupportedOperationException] {
+      DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+    }
+    intercept[UnsupportedOperationException] {
+      graft.sources.DeltaDml.update(spark, t, col("id") === 1,
+        Seq("s" -> lit("X")))
+    }
+    intercept[UnsupportedOperationException] {
+      graft.sources.DeltaMaintenance.compact(spark, t, smallFileBytes = 1L << 30)
+    }
     // id mode (parquet field-id matching) is out of scope — rejected
     writeLog("id")
     graft.Tables.invalidate()
