@@ -20,7 +20,9 @@ object Cli {
   def main(args: Array[String]): Unit = {
     val opts = args.filter(_.startsWith("--")).map { a =>
       a.stripPrefix("--").split("=", 2) match {
-        case Array(k, v) => k -> v
+        // sbt's runMain arg splitting keeps embedded quote characters —
+        // strip them so --timestamp="yyyy-MM-dd HH:mm:ss" parses
+        case Array(k, v) => k -> v.stripPrefix("\"").stripSuffix("\"")
         case Array(k) => k -> "true"
       }
     }.toMap
@@ -55,18 +57,25 @@ object Cli {
       case None =>
         System.err.println(
           "usage: graft.Cli --table=<name|path> [--query=SQL] [--limit=N] " +
-            "[--schema] [--version=N] [--format=table|json] [--sf-dir=DIR] " +
-            "| --interactive")
+            "[--schema] [--version=N | --timestamp=\"yyyy-MM-dd HH:mm:ss\"] " +
+            "[--format=table|json] [--sf-dir=DIR] | --interactive")
         sys.exit(1)
       case Some(table) =>
         // Reference CLI flow (delta-unity-duckdb.js:582-634): stats first,
         // optional schema, then the query (default scan+limit).
-        // --version=N time-travels a Delta table target.
-        val sc = opts.get("version") match {
-          case Some(v) if graft.sources.DeltaLog.isDeltaTable(spark, table) =>
+        // --version=N / --timestamp=TS time-travel a Delta table target.
+        val isDelta = graft.sources.DeltaLog.isDeltaTable(spark, table)
+        val sc = (opts.get("version"), opts.get("timestamp")) match {
+          case (Some(v), _) if isDelta =>
             new DeltaScanner(spark, new TableResolver {
               override def resolve(s: SparkSession, ref: String): DataFrame =
                 graft.sources.DeltaLog.read(s, ref, Some(v.toLong))
+            })
+          case (None, Some(ts)) if isDelta =>
+            new DeltaScanner(spark, new TableResolver {
+              override def resolve(s: SparkSession, ref: String): DataFrame =
+                graft.sources.DeltaLog.read(s, ref,
+                  timestampAsOf = Some(java.sql.Timestamp.valueOf(ts)))
             })
           case _ => scanner
         }
