@@ -112,6 +112,14 @@ object DataSkipping {
     }
 
   private def cmp(x: Any, y: Any, isMin: Boolean): Any = (x, y) match {
+    // integral pairs compare as longs: doubleValue collapses distinct
+    // BIGINTs beyond 2^53, and a wrong recorded min/max makes pruning
+    // skip a file that holds matching rows — silent data loss, not a
+    // missed optimization
+    case (a: java.lang.Long, b: java.lang.Long) =>
+      if ((a.longValue() <= b.longValue()) == isMin) x else y
+    case (a: java.lang.Integer, b: java.lang.Integer) =>
+      if ((a.intValue() <= b.intValue()) == isMin) x else y
     case (a: Number, b: Number) =>
       val (da, db) = (a.doubleValue(), b.doubleValue())
       if ((da <= db) == isMin) x else y

@@ -138,13 +138,13 @@ object DeltaChanges {
       }
     finally reader.close()
 
-    val schema = DeltaLog.snapshot(spark, tablePath, Some(version)).schema
+    val snap = DeltaLog.snapshot(spark, tablePath, Some(version))
+    val schema = snap.schema
+    // mapping-aware: physical-named parquet must not silently read NULL
     def readFiles(paths: Seq[String]): DataFrame =
-      if (paths.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-      else spark.read.schema(schema).option("basePath", tablePath)
-        .parquet(paths.map(p => new org.apache.hadoop.fs.Path(tablePath,
-          java.net.URLDecoder.decode(p, "UTF-8")).toString): _*)
+      DeltaLog.scanFiles(spark, snap,
+        paths.map(p => new org.apache.hadoop.fs.Path(tablePath,
+          java.net.URLDecoder.decode(p, "UTF-8")).toString))
     val cols = schema.fieldNames.toSeq
     val weighted = readFiles(removed.toSeq)
       .select(cols.map(col) :+ lit(-1L).as("__w"): _*)
@@ -167,12 +167,13 @@ object DeltaChanges {
       fromExclusive: Long, ignoreChanges: Boolean = false,
       ignoreDeletes: Boolean = false): (Long, DataFrame) = {
     val snap = DeltaLog.snapshot(spark, tablePath)
-    val c = changedFiles(spark, tablePath, fromExclusive, ignoreChanges, ignoreDeletes)
-    val df =
-      if (c.addedFiles.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), snap.schema)
-      else spark.read.schema(snap.schema)
-        .option("basePath", tablePath).parquet(c.addedFiles: _*)
-    (c.toVersion, df)
+    // The range end is pinned to the SNAPSHOT's version: a commit landing
+    // between the snapshot and an independent latest-version lookup would
+    // have its files read with a stale schema (a mergeSchema append's new
+    // column silently dropped from the batch).
+    val c = changedFiles(spark, tablePath, fromExclusive, ignoreChanges,
+      ignoreDeletes, toInclusive = Some(snap.version))
+    // mapping-aware read (physical names project back to logical)
+    (c.toVersion, DeltaLog.scanFiles(spark, snap, c.addedFiles))
   }
 }

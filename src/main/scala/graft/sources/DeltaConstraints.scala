@@ -41,7 +41,7 @@ object DeltaConstraints {
         s"row(s) of $tablePath violate it")
     DeltaWrite.commit(spark, tablePath,
       Seq(DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
-        snap.configuration + (key -> expression))),
+        snap.configuration + (key -> expression), snap.metaDataId)),
       operation = "ADD CONSTRAINT")
   }
 
@@ -53,7 +53,7 @@ object DeltaConstraints {
       s"no constraint '$name' on $tablePath")
     DeltaWrite.commit(spark, tablePath,
       Seq(DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
-        snap.configuration - key)),
+        snap.configuration - key, snap.metaDataId)),
       operation = "DROP CONSTRAINT")
   }
 

@@ -25,14 +25,26 @@ object DeltaDml {
       operation = "DELETE")
 
   /** `assignments`: column name → new-value expression, applied only to
-    * rows matching `condition` (other rows in hit files pass through). */
+    * rows matching `condition` (other rows in hit files pass through).
+    *
+    * SQL UPDATE semantics: the WHERE condition AND every SET expression
+    * evaluate against the OLD row — one `select` projects all columns at
+    * once (a sequential `withColumn` fold would re-resolve the condition
+    * and later values against already-updated columns, so
+    * `SET status='done' WHERE status='pending'` would un-match its own
+    * rows and `SET a=b, b=a` would not swap). */
   def update(spark: SparkSession, tablePath: String, condition: Column,
-      assignments: Seq[(String, Column)]): DmlResult =
+      assignments: Seq[(String, Column)]): DmlResult = {
+    val byName = assignments.toMap
     rewrite(spark, tablePath, condition, { df =>
-      assignments.foldLeft(df) { case (d, (name, value)) =>
-        d.withColumn(name, when(condition, value).otherwise(col(name)))
-      }
+      df.select(df.columns.toIndexedSeq.map { c =>
+        byName.get(c) match {
+          case Some(v) => when(condition, v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
     }, operation = "UPDATE")
+  }
 
   private def rewrite(spark: SparkSession, tablePath: String, condition: Column,
       transform: DataFrame => DataFrame, operation: String): DmlResult = {
@@ -115,10 +127,14 @@ object DeltaDml {
       }.toMap
 
     // Files containing at least one row a matched CLAUSE will act on
-    // (semi join: file names only come back to the driver, never data).
-    // The gate matters: a match with no applicable update/delete clause
-    // changes nothing, and rewriting its file would turn an insert-only
-    // merge into a spurious full-file rewrite.
+    // (file names only come back to the driver, never data). The gate
+    // matters: a match with no applicable update/delete clause changes
+    // nothing, and rewriting its file would turn an insert-only merge
+    // into a spurious full-file rewrite. input_file_name() is captured
+    // as a column AT THE SCAN, before the join: evaluated after a
+    // shuffle it returns "" — which would break hit detection for any
+    // source too large to broadcast (sort-merge/shuffle-hash joins),
+    // exactly the at-scale case.
     import org.apache.spark.sql.functions.lit
     val updGate =
       if (matchedUpdate.nonEmpty) matchedUpdateCond.getOrElse(lit(true))
@@ -126,9 +142,9 @@ object DeltaDml {
     val actGate = matchedDelete.foldLeft(updGate)(_ || _)
     val hitUris =
       if (matchedUpdate.isEmpty && matchedDelete.isEmpty) Array.empty[String]
-      else target.alias("t")
-        .join(source.alias("s"), condition && actGate, "left_semi")
-        .select(input_file_name().as("f")).distinct()
+      else target.withColumn("__file", input_file_name()).alias("t")
+        .join(source.alias("s"), condition && actGate)
+        .select(col("t.__file")).distinct()
         .collect().map(_.getString(0))
     val hitRel = hitUris.toSeq.map(u => uriToRel.getOrElse(u,
       throw new IllegalStateException(s"scanned file not in snapshot: $u")))

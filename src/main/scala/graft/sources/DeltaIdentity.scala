@@ -83,7 +83,7 @@ object DeltaIdentity {
       snap.configuration)
     val newSchema = withHwm(snap.schema, info.column, info.start, info.step, hwm)
     val actions = DeltaWrite.metaDataAction(newSchema, snap.partitionColumns,
-      snap.configuration) +: adds.map(DeltaWrite.addAction)
+      snap.configuration, snap.metaDataId) +: adds.map(DeltaWrite.addAction)
     DeltaWrite.commit(spark, tablePath, actions, "APPEND")
   }
 

@@ -50,11 +50,52 @@ object DeltaLog {
       /** `metaData.configuration` — table properties, notably the
         * `delta.constraints.<name>` CHECK constraints every writer must
         * enforce. */
-      configuration: Map[String, String] = Map.empty) {
+      configuration: Map[String, String] = Map.empty,
+      /** `metaData.id` — the table's STABLE unique identifier (protocol:
+        * assigned at creation, preserved by every later metaData commit;
+        * external clients treat an id change as "different table"). */
+      metaDataId: Option[String] = None) {
     /** Absolute (decoded) URIs of the live files. */
     def filePaths: Seq[String] = files.map { a =>
       val decoded = java.net.URLDecoder.decode(a.path, "UTF-8")
       new Path(tablePath, decoded).toString
+    }
+    /** Column-mapping mode ("none" unless the table opted in). */
+    def columnMappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+  }
+
+  /** Scan explicit data files of a snapshot, column-mapping aware: under
+    * `name` mode the parquet holds PHYSICAL column names (from each
+    * field's `delta.columnMapping.physicalName` metadata) and the result
+    * is projected back to logical names; other mapped modes are rejected
+    * rather than silently read as all-NULL columns. Every path that
+    * reads a mapped table's files (read / readWhere / the change feeds)
+    * must go through here. */
+  private[sources] def scanFiles(spark: SparkSession, snap: Snapshot,
+      paths: Seq[String]): DataFrame = {
+    val mode = snap.columnMappingMode
+    if (mode != "none" && mode != "name")
+      throw new UnsupportedOperationException(
+        s"column mapping mode '$mode' not supported (name mode only)")
+    if (paths.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), snap.schema)
+    else if (mode == "name") {
+      val physical = StructType(snap.schema.fields.map { f =>
+        val pn =
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName")
+          else f.name
+        f.copy(name = pn)
+      })
+      val raw = spark.read.schema(physical)
+        .option("basePath", snap.tablePath).parquet(paths: _*)
+      raw.select(physical.fields.zip(snap.schema.fields).map {
+        case (p, l) => org.apache.spark.sql.functions.col(s"`${p.name}`").as(l.name)
+      }.toIndexedSeq: _*)
+    } else {
+      spark.read.schema(snap.schema)
+        .option("basePath", snap.tablePath).parquet(paths: _*)
     }
   }
 
@@ -153,6 +194,7 @@ object DeltaLog {
     var schemaString: String = null
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
+    var mdId: Option[String] = None
 
     // Start from the newest checkpoint at-or-before the target: its rows
     // are the complete live state at that version (removes in it are
@@ -183,6 +225,7 @@ object DeltaLog {
                 val c = m.getAs[scala.collection.Map[String, String]]("configuration")
                 if (c != null) config = c.toMap
               }
+              mdId = Option(m.getAs[String]("id"))
             case ("protocol", i) if !r.isNullAt(i) =>
               checkProtocol(r.getStruct(i).getAs[Int]("minReaderVersion"))
             case ("txn", i) if !r.isNullAt(i) =>
@@ -225,6 +268,7 @@ object DeltaLog {
                 if (c == null || !c.isObject) Map.empty
                 else c.properties().iterator().asScala
                   .map(e => e.getKey -> e.getValue.asText()).toMap
+              mdId = Option(md.get("id")).map(_.asText())
             }
             if (proto != null) checkProtocol(proto.get("minReaderVersion").asInt())
             val txn = node.get("txn")
@@ -236,7 +280,7 @@ object DeltaLog {
 
     require(schemaString != null, s"no metaData action in log of $tablePath")
     Snapshot(target, DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partCols, live.values.toSeq, tablePath, txns.toMap, config)
+      partCols, live.values.toSeq, tablePath, txns.toMap, config, mdId)
   }
 
   /** Read a Delta table as a DataFrame (optionally time-traveled). The
@@ -258,33 +302,7 @@ object DeltaLog {
     val asOf = versionAsOf.orElse(
       timestampAsOf.map(versionAt(spark, tablePath, _)))
     val snap = snapshot(spark, tablePath, asOf)
-    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    if (mode != "none" && mode != "name")
-      throw new UnsupportedOperationException(
-        s"column mapping mode '$mode' not supported (name mode only)")
-    if (snap.files.isEmpty) {
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), snap.schema)
-    } else if (mode == "name") {
-      val physical = StructType(snap.schema.fields.map { f =>
-        val pn =
-          if (f.metadata.contains("delta.columnMapping.physicalName"))
-            f.metadata.getString("delta.columnMapping.physicalName")
-          else f.name
-        f.copy(name = pn)
-      })
-      val raw = spark.read.schema(physical)
-        .option("basePath", tablePath).parquet(snap.filePaths: _*)
-      raw.select(physical.fields.zip(snap.schema.fields).map {
-        case (p, l) => org.apache.spark.sql.functions.col(s"`${p.name}`").as(l.name)
-      }.toIndexedSeq: _*)
-    } else {
-      // basePath keeps hive-style partition columns resolvable when the
-      // live set is a subset of the directory tree.
-      spark.read
-        .schema(snap.schema)
-        .option("basePath", tablePath)
-        .parquet(snap.filePaths: _*)
-    }
+    scanFiles(spark, snap, snap.filePaths)
   }
 
   /** Read with file-level data skipping: files whose `add.stats` range
@@ -325,12 +343,10 @@ object DeltaLog {
         snap.files.filter(a => !withStats(a.path) || keepPaths(a.path))
       }
     val pruned = snap.copy(files = kept)
-    val df =
-      if (pruned.files.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), snap.schema)
-      else spark.read.schema(snap.schema)
-        .option("basePath", tablePath).parquet(pruned.filePaths: _*)
-    df.where(condition)
+    // scanFiles keeps mapped tables honest here too: stats recorded
+    // under physical names simply fail to parse against the logical
+    // stats schema → safe() keeps the file (conservative, never wrong).
+    scanFiles(spark, pruned, pruned.filePaths).where(condition)
   }
 
   /** Column-mapped tables are READ-only in this engine: our writers

@@ -51,7 +51,7 @@ object DeltaMaintenance {
     val removes = current.files.filterNot(f => oldPaths(f.path)).map(_.path)
     val readds = old.files.filterNot(f => curPaths(f.path))
     val actions = DeltaWrite.metaDataAction(old.schema, old.partitionColumns,
-      old.configuration) +:
+      old.configuration, current.metaDataId) +:
       (removes.map(DeltaWrite.removeAction) ++ readds.map(DeltaWrite.addAction))
     DeltaWrite.commit(spark, tablePath, actions, "RESTORE")
   }

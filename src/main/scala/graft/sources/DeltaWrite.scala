@@ -56,9 +56,16 @@ object DeltaWrite {
       case _ =>
     }
 
+    // Metadata checks BEFORE the distributed write: a rejected write
+    // must not first spend the full staging cost and leave orphaned
+    // part files in the table directory.
+    val prior =
+      if (exists) Some(DeltaLog.snapshot(spark, tablePath)) else None
+    prior.foreach(DeltaLog.checkWritable)
+
     var widened: Option[org.apache.spark.sql.types.StructType] = None
     if (exists && mode == SaveMode.Append) {
-      val tableSchema = DeltaLog.snapshot(spark, tablePath).schema
+      val tableSchema = prior.get.schema
       val incoming = df.schema
       val tableTypes = tableSchema.fields.map(f => f.name -> f.dataType).toMap
       val conflicts = incoming.fields.filter(f =>
@@ -82,9 +89,6 @@ object DeltaWrite {
     }
 
     val adds = writeDataFiles(df, tablePath, partitionBy)
-    val prior =
-      if (exists) Some(DeltaLog.snapshot(spark, tablePath)) else None
-    prior.foreach(DeltaLog.checkWritable)
     // CHECK constraints veto the commit (staged files are deleted)
     prior.foreach(p => DeltaConstraints.enforceStaged(
       spark, tablePath, adds, df.schema, p.configuration))
@@ -98,10 +102,12 @@ object DeltaWrite {
       // overwrite replaces data + schema but keeps table PROPERTIES
       // (constraints survive an INSERT OVERWRITE, as in Delta)
       actions += metaDataAction(df.schema, partitionBy,
-        prior.map(_.configuration).getOrElse(Map.empty))
+        prior.map(_.configuration).getOrElse(Map.empty),
+        prior.flatMap(_.metaDataId))
     widened.foreach(w => actions += metaDataAction(w,
       prior.map(_.partitionColumns).getOrElse(partitionBy),
-      prior.map(_.configuration).getOrElse(Map.empty)))
+      prior.map(_.configuration).getOrElse(Map.empty),
+      prior.flatMap(_.metaDataId)))
     actions ++= removes.map(removeAction)
     actions ++= adds.map(addAction)
     // Optimistic concurrency: an append conflicts with a concurrent
@@ -197,14 +203,18 @@ object DeltaWrite {
     // committed, and a restarted sink would re-apply them.
     val header: Seq[Row] =
       Seq(Row(null, Row(1, 2), null, null),
-        Row(null, null, Row(java.util.UUID.randomUUID().toString,
+        Row(null, null, Row(
+          snap.metaDataId.getOrElse(java.util.UUID.randomUUID().toString),
           snap.schema.json, snap.partitionColumns, snap.configuration), null)) ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           Row(null, null, null, Row(app, v))
         }
+    // partitionValues recorded for real (protocol requirement): external
+    // readers bootstrap partition columns from the add entry, not from
+    // the hive path — an empty map would misread partitioned tables.
     val addRows = snap.files.map(a =>
       Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
-        Map.empty[String, String]), null, null, null))
+        partitionValuesMap(a.path)), null, null, null))
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
 
@@ -338,6 +348,16 @@ object DeltaWrite {
       val exists = f.exists(DeltaLog.logDir(tablePath))
       val snap = if (exists) Some(DeltaLog.snapshot(spark, tablePath)) else None
       snap.foreach(DeltaLog.checkWritable)
+      // same append contract as write(SaveMode.Append): a silent
+      // mismatched append corrupts every later scan that trusts
+      // metaData.schemaString — streaming batches get no exemption
+      snap.foreach { s =>
+        val canon = (x: org.apache.spark.sql.types.StructType) =>
+          x.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+        require(canon(s.schema) == canon(df.schema),
+          s"streaming append schema ${df.schema.simpleString} does not " +
+            s"match table schema ${s.schema.simpleString} at $tablePath")
+      }
       if (snap.exists(_.txns.get(appId).exists(_ >= txnVersion))) {
         // already applied — drop any files staged by a lost race
         if (staged != null) staged.foreach { a =>
@@ -381,26 +401,34 @@ object DeltaWrite {
     * path, as the protocol requires them recorded on every `add`. */
   private def partitionValuesOf(relPath: String): ObjectNode = {
     val pv = mapper.createObjectNode()
-    relPath.split("/").dropRight(1).foreach { seg =>
-      seg.split("=", 2) match {
-        case Array(k, v) =>
-          pv.put(java.net.URLDecoder.decode(k, "UTF-8"),
-            java.net.URLDecoder.decode(v, "UTF-8"))
-        case _ =>
-      }
-    }
+    partitionValuesMap(relPath).foreach { case (k, v) => pv.put(k, v) }
     pv
   }
+
+  private def partitionValuesMap(relPath: String): Map[String, String] =
+    relPath.split("/").dropRight(1).flatMap(_.split("=", 2) match {
+      case Array(k, v) => Some(
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8"))
+      case _ => None
+    }).toMap
 
   private def metaDataAction(df: DataFrame, partitionBy: Seq[String]): ObjectNode =
     metaDataAction(df.schema, partitionBy)
 
+  /** `tableId`: the protocol's STABLE table identifier — pass the
+    * existing snapshot's id on every metadata update (overwrite, schema
+    * widen, constraint change, restore, identity high-water mark);
+    * minting a fresh one makes external clients that track identity
+    * (e.g. Delta streaming sources) see a "different table". Only table
+    * CREATION may omit it. */
   private[sources] def metaDataAction(schema: org.apache.spark.sql.types.StructType,
       partitionBy: Seq[String],
-      configuration: Map[String, String] = Map.empty): ObjectNode = {
+      configuration: Map[String, String] = Map.empty,
+      tableId: Option[String] = None): ObjectNode = {
     val n = mapper.createObjectNode()
     val md = mapper.createObjectNode()
-      .put("id", java.util.UUID.randomUUID().toString)
+      .put("id", tableId.getOrElse(java.util.UUID.randomUUID().toString))
       .put("schemaString", schema.json)
       .put("createdTime", 0L)
     val fmt = mapper.createObjectNode().put("provider", "parquet")

@@ -525,6 +525,54 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(DeltaLog.latestVersion(spark, t) == vBefore)
   }
 
+  test("UPDATE evaluates WHERE and every SET expression against the OLD " +
+    "row: self-referencing conditions and column swaps work") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaDml
+    DeltaWrite.write(Seq((1, "pending", 10.0, 20.0), (2, "done", 1.0, 2.0))
+      .toDF("id", "status", "a", "b"), t)
+    // SET touches the column the WHERE reads: the matched row must get
+    // ALL assignments (a sequential fold would un-match its own row
+    // after rewriting status and silently skip the later assignments)
+    val r = DeltaDml.update(spark, t, col("status") === "pending",
+      Seq("status" -> lit("done"), "a" -> lit(99.0)))
+    assert(r.affectedRows == 1L)
+    val row1 = DeltaLog.read(spark, t).filter(col("id") === 1).head
+    assert(row1.getString(1) == "done" && row1.getDouble(2) == 99.0,
+      s"both assignments must apply: $row1")
+    // swap: SET a=b, b=a must exchange, not duplicate
+    DeltaDml.update(spark, t, col("id") === 2,
+      Seq("a" -> col("b"), "b" -> col("a")))
+    val row2 = DeltaLog.read(spark, t).filter(col("id") === 2).head
+    assert(row2.getDouble(2) == 2.0 && row2.getDouble(3) == 1.0,
+      s"swap must see old values on both sides: $row2")
+  }
+
+  test("MERGE hit-file detection survives a non-broadcast join (the " +
+    "at-scale sort-merge path)") {
+    val t = tmpTable()
+    import spark.implicits._
+    import graft.sources.DeltaDml
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      DeltaWrite.write((1 to 50).map(i => (i, i * 1.0)).toDF("id", "v")
+        .repartition(3), t)
+      // input_file_name() evaluated after a shuffle returns "": the scan
+      // must capture it as a column BEFORE the join for SMJ to work
+      val r = DeltaDml.merge(spark, t,
+        (Seq((5, 500.0), (23, 230.0), (60, 600.0))).toDF("id", "nv"),
+        condition = col("t.id") === col("s.id"),
+        matchedUpdate = Seq("v" -> col("s.nv")))
+      assert(r.updatedRows == 2L)
+      val got = DeltaLog.read(spark, t)
+        .filter(col("id").isin(5, 23)).orderBy("id")
+        .collect().map(_.getDouble(1)).toSeq
+      assert(got == Seq(500.0, 230.0))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("MERGE rejects an ambiguous source (two rows matching one target row)") {
     val t = tmpTable()
     import spark.implicits._
