@@ -114,13 +114,19 @@ object Cli {
             case Some(r) =>
               println(s"${r.affectedRows} rows affected " +
                 s"(${r.rewrittenFiles} files rewritten, version ${r.version})")
-            case None =>
-              // Delta maintenance surface (OPTIMIZE / VACUUM / RESTORE /
-              // ADD|DROP CONSTRAINT) before falling through to spark.sql
-              graft.sources.DeltaDml.dispatchMaintenance(spark, sql) match {
-                case Some(msg) => println(msg)
-                case None => spark.sql(sql).show(100, truncate = false)
-              }
+            case None => graft.sources.DeltaDml.dispatchMerge(spark, sql) match {
+              case Some(m) =>
+                println(s"merged: ${m.updatedRows} updated, " +
+                  s"${m.deletedRows} deleted, ${m.insertedRows} inserted " +
+                  s"(${m.rewrittenFiles} files rewritten, version ${m.version})")
+              case None =>
+                // Delta maintenance surface (OPTIMIZE / VACUUM / RESTORE /
+                // ADD|DROP CONSTRAINT) before falling through to spark.sql
+                graft.sources.DeltaDml.dispatchMaintenance(spark, sql) match {
+                  case Some(msg) => println(msg)
+                  case None => spark.sql(sql).show(100, truncate = false)
+                }
+            }
           }
           catch { case e: Exception => println(s"error: ${e.getMessage}") }
       }

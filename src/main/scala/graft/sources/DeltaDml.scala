@@ -284,6 +284,156 @@ object DeltaDml {
     case _ => None
   }
 
+  // ---- MERGE statement parse ----------------------------------------
+
+  private val MergeHead =
+    """(?is)\s*MERGE\s+INTO\s+(\S+)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+USING\s+(.*)""".r
+
+  /** Parse and execute a `MERGE INTO` statement against a Delta table
+    * path, the REPL counterpart of [[merge]] (the reference REPL routes
+    * every non-SELECT to its engine, query_sync_table.py:123-125).
+    *
+    * Supported grammar (Delta's SQL shape):
+    * {{{
+    * MERGE INTO <path> [AS] <t> USING (<subquery>)|<table> [AS] <s>
+    *   ON <condition>
+    *   [WHEN MATCHED [AND <cond>] THEN UPDATE SET a = <expr>, ...]
+    *   [WHEN MATCHED [AND <cond>] THEN DELETE]
+    *   [WHEN NOT MATCHED THEN INSERT *]
+    * }}}
+    * Aliases are free (rewritten to the engine's `t`/`s` qualifiers);
+    * `INSERT *` is the only insert form because [[merge]] projects the
+    * target schema out of the source by name. Returns None when the
+    * statement is not a MERGE; malformed MERGE text throws (a silent
+    * fall-through to spark.sql would produce a confusing parser error).
+    */
+  def dispatchMerge(spark: SparkSession, sql: String): Option[MergeResult] = sql match {
+    case MergeHead(target, tAliasOrNull, rest) =>
+      val tAlias = Option(tAliasOrNull).getOrElse("t")
+      // Source: balanced-paren subquery or a single table/path token.
+      val trimmed = rest.trim
+      val (src, afterSrc) =
+        if (trimmed.startsWith("(")) {
+          val end = matchingParen(trimmed)
+          (trimmed.substring(0, end + 1), trimmed.substring(end + 1))
+        } else {
+          val end = trimmed.indexWhere(_.isWhitespace)
+          require(end > 0, s"MERGE: missing ON clause in: $sql")
+          (trimmed.substring(0, end), trimmed.substring(end))
+        }
+      val SrcTail = """(?is)\s*(?:(?:AS\s+)?([A-Za-z_]\w*)\s+)??ON\s+(.*)""".r
+      val (sAlias, afterOn) = afterSrc match {
+        case SrcTail(a, tail) => (Option(a).getOrElse("s"), tail)
+        case _ => throw new IllegalArgumentException(
+          s"MERGE: expected [alias] ON <condition> after USING source in: $sql")
+      }
+      // Condition runs to the first top-level WHEN.
+      val whenAt = indexOfTopLevelWord(afterOn, "WHEN")
+      require(whenAt > 0, s"MERGE: no WHEN clause in: $sql")
+      def rq(e: String): Column = expr(requalify(e, tAlias, sAlias))
+      val condition = rq(afterOn.substring(0, whenAt).trim)
+
+      val MatchedUpdate =
+        """(?is)\s*MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*;?\s*""".r
+      val MatchedDelete =
+        """(?is)\s*MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*;?\s*""".r
+      val NotMatchedInsert =
+        """(?is)\s*NOT\s+MATCHED\s+THEN\s+INSERT\s+(.+?)\s*;?\s*""".r
+      var upd: Seq[(String, Column)] = Nil
+      var updCond: Option[Column] = None
+      var delCond: Option[Column] = None
+      var doInsert = false
+      splitTopLevelWord(afterOn.substring(whenAt + "WHEN".length), "WHEN")
+        .foreach {
+          case MatchedUpdate(cond, setList) =>
+            upd = splitTopLevel(setList).map { kv =>
+              val Array(k, v) = kv.split("=", 2)
+              val name = k.trim.stripPrefix(s"$tAlias.").stripPrefix("t.")
+              name -> rq(v.trim)
+            }
+            updCond = Option(cond).map(rq)
+          case MatchedDelete(cond) =>
+            delCond = Some(Option(cond).map(rq)
+              .getOrElse(org.apache.spark.sql.functions.lit(true)))
+          case NotMatchedInsert(form) =>
+            require(form.trim == "*", "MERGE: only INSERT * is supported " +
+              "(the engine projects the target schema from the source by name)")
+            doInsert = true
+          case other => throw new IllegalArgumentException(
+            s"MERGE: unsupported WHEN clause: WHEN $other")
+        }
+
+      val source = resolveMergeSource(spark, src)
+      Some(merge(spark, unquote(target), source, condition,
+        matchedUpdate = upd, matchedUpdateCond = updCond,
+        matchedDelete = delCond, insert = doInsert))
+    case _ => None
+  }
+
+  private def resolveMergeSource(spark: SparkSession, src: String): DataFrame =
+    if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
+    else {
+      val name = unquote(src)
+      if (DeltaLog.isDeltaTable(spark, name)) DeltaLog.read(spark, name)
+      else scala.util.Try(spark.table(name))
+        .getOrElse(spark.read.parquet(name))
+    }
+
+  /** Rewrite the statement's alias qualifiers to the engine's fixed
+    * `t.`/`s.` (two-step so `MERGE INTO x s USING y t` cross-renames
+    * correctly). Qualifiers inside string literals are not protected —
+    * acceptable for the REPL surface. */
+  private def requalify(e: String, tAlias: String, sAlias: String): String = {
+    def q(a: String) = "(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(a) + "\\s*\\."
+    e.replaceAll(q(tAlias), "__GT__.").replaceAll(q(sAlias), "__GS__.")
+      .replace("__GT__.", "t.").replace("__GS__.", "s.")
+  }
+
+  /** Index just past the paren that closes `s`'s leading '('. */
+  private def matchingParen(s: String): Int = {
+    var depth = 0; var inStr = false
+    s.zipWithIndex.foreach { case (c, i) =>
+      c match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr =>
+          depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+  }
+
+  /** First index of whole-word `word` (case-insensitive) outside parens
+    * and string literals; -1 if absent. */
+  private def indexOfTopLevelWord(s: String, word: String): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    val n = s.length; val w = word.length
+    while (i < n) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case _ =>
+      }
+      if (!inStr && depth == 0 && i + w <= n &&
+          s.regionMatches(true, i, word, 0, w) &&
+          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') &&
+          (i + w == n || !Character.isLetterOrDigit(s.charAt(i + w)) && s.charAt(i + w) != '_'))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on top-level whole-word occurrences of `word`. */
+  private def splitTopLevelWord(s: String, word: String): Seq[String] = {
+    val at = indexOfTopLevelWord(s, word)
+    if (at < 0) Seq(s)
+    else s.substring(0, at) +:
+      splitTopLevelWord(s.substring(at + word.length), word)
+  }
+
   private def unquote(t: String): String =
     t.stripPrefix("'").stripSuffix("'").stripPrefix("`").stripSuffix("`")
 

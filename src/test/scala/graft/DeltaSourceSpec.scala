@@ -150,6 +150,38 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((2, "B"), (3, "C")))
   }
 
+  test("REPL dispatch parses MERGE INTO with free aliases, gated clauses, " +
+    "and a subquery source") {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write(
+      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "s", "v"), t)
+    // aliases other than t/s, update gated on the source, delete gated on
+    // the target, INSERT * from an inline subquery
+    val m = DeltaDml.dispatchMerge(spark,
+      s"""MERGE INTO $t AS tgt
+         |USING (SELECT 1 AS id, 'A' AS s, 11 AS v UNION ALL
+         |        SELECT 3 AS id, 'x' AS s, -1 AS v UNION ALL
+         |        SELECT 9 AS id, 'z' AS s, 90 AS v) src
+         |ON tgt.id = src.id
+         |WHEN MATCHED AND src.v < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET s = src.s, v = tgt.v + src.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(m.nonEmpty)
+    val r = m.get
+    assert(r.updatedRows == 1L && r.deletedRows == 1L && r.insertedRows == 1L)
+    val rows = DeltaLog.read(spark, t).orderBy("id")
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getInt(2)))
+    assert(rows.toSeq == Seq((1, "A", 21), (2, "b", 20), (9, "z", 90)))
+    // non-MERGE text falls through; malformed MERGE throws, not mangles
+    assert(DeltaDml.dispatchMerge(spark, "SELECT 1").isEmpty)
+    intercept[Exception] {
+      DeltaDml.dispatchMerge(spark,
+        s"MERGE INTO $t USING x ON t.id = x.id " +
+          "WHEN NOT MATCHED THEN INSERT (id) VALUES (1)")
+    }
+  }
+
   test("DeltaScanner resolves Delta paths through the log") {
     val t = tmpTable()
     val nation = Tables.load(spark, sf, "nation")
