@@ -22,7 +22,9 @@ object DeltaDml {
 
   def delete(spark: SparkSession, tablePath: String, condition: Column): DmlResult =
     rewrite(spark, tablePath, condition, df => df.filter(not(condition)),
-      operation = "DELETE")
+      operation = "DELETE",
+      cdcOf = hit => hit.filter(condition)
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
 
   /** `assignments`: column name → new-value expression, applied only to
     * rows matching `condition` (other rows in hit files pass through).
@@ -36,18 +38,29 @@ object DeltaDml {
   def update(spark: SparkSession, tablePath: String, condition: Column,
       assignments: Seq[(String, Column)]): DmlResult = {
     val byName = assignments.toMap
-    rewrite(spark, tablePath, condition, { df =>
+    def applied(df: DataFrame): DataFrame =
       df.select(df.columns.toIndexedSeq.map { c =>
         byName.get(c) match {
           case Some(v) => when(condition, v).otherwise(col(c)).as(c)
           case None => col(c)
         }
       }: _*)
-    }, operation = "UPDATE")
+    rewrite(spark, tablePath, condition, applied, operation = "UPDATE",
+      cdcOf = { hit =>
+        import org.apache.spark.sql.functions.lit
+        val matched = hit.filter(condition)
+        matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applied(matched)
+            .withColumn("_change_type", lit("update_postimage")))
+      })
   }
 
+  /** `cdcOf`: builds the commit's change-file rows (table columns +
+    * `_change_type`) from the hit-file frame; materialized only when the
+    * table has [[DeltaCdf.Property]] enabled. */
   private def rewrite(spark: SparkSession, tablePath: String, condition: Column,
-      transform: DataFrame => DataFrame, operation: String): DmlResult = {
+      transform: DataFrame => DataFrame, operation: String,
+      cdcOf: DataFrame => DataFrame): DmlResult = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     DeltaLog.checkWritable(snap)
     val df = DeltaLog.read(spark, tablePath)
@@ -75,7 +88,12 @@ object DeltaDml {
     val adds = DeltaWrite.writeDataFiles(rewritten, tablePath, snap.partitionColumns)
     DeltaConstraints.enforceStaged(spark, tablePath, adds, snap.schema,
       snap.configuration)
-    val actions = hitRel.map(DeltaWrite.removeAction) ++ adds.map(DeltaWrite.addAction)
+    val cdcs =
+      if (DeltaCdf.enabled(snap.configuration))
+        DeltaCdf.writeCdcFiles(cdcOf(hitDf), tablePath).map(DeltaCdf.cdcAction)
+      else Nil
+    val actions = hitRel.map(DeltaWrite.removeAction) ++
+      adds.map(DeltaWrite.addAction) ++ cdcs
     val v = DeltaWrite.commit(spark, tablePath, actions, operation)
     DmlResult(v, hitRel.size, affected)
   }
@@ -162,10 +180,11 @@ object DeltaDml {
     // Bounded by the HIT files, not the table — cached once, read for
     // the ambiguity check, the clause counts, and the rewrite; released
     // after the commit (or on any failure).
+    val cdf = DeltaCdf.enabled(snap.configuration)
     var cached: Option[DataFrame] = None
     try {
-      val (rewritten, updated, deleted) =
-        if (hitUris.isEmpty) (None, 0L, 0L)
+      val (rewritten, updated, deleted, hitChanges) =
+        if (hitUris.isEmpty) (None, 0L, 0L, None)
         else {
           val hit = spark.read.schema(snap.schema)
             .option("basePath", tablePath).parquet(hitUris.toIndexedSeq: _*)
@@ -199,7 +218,18 @@ object DeltaDml {
               case None => col(s"t.$f").as(f)
             }
           }
-          (Some(kept.select(applied.toIndexedSeq: _*)), nUpd, nDel)
+          val changes =
+            if (!cdf) None
+            else {
+              val tcols = snap.schema.fieldNames.toIndexedSeq.map(f => col(s"t.$f").as(f))
+              Some(joined.filter(doDelete).select(tcols: _*)
+                .withColumn("_change_type", lit("delete"))
+                .unionByName(joined.filter(doUpdate).select(tcols: _*)
+                  .withColumn("_change_type", lit("update_preimage")))
+                .unionByName(joined.filter(doUpdate).select(applied.toIndexedSeq: _*)
+                  .withColumn("_change_type", lit("update_postimage"))))
+            }
+          (Some(kept.select(applied.toIndexedSeq: _*)), nUpd, nDel, changes)
         }
 
       val nIns = inserts.map(_.count()).getOrElse(0L)
@@ -216,7 +246,21 @@ object DeltaDml {
         DeltaWrite.writeDataFiles(d, tablePath, snap.partitionColumns))
       DeltaConstraints.enforceStaged(spark, tablePath, adds, snap.schema,
         snap.configuration)
-      val actions = hitRel.map(DeltaWrite.removeAction) ++ adds.map(DeltaWrite.addAction)
+      val cdcs =
+        if (!cdf) Nil
+        else {
+          val insChanges = inserts.filter(_ => nIns > 0)
+            .map(_.withColumn("_change_type", lit("insert")))
+          (hitChanges, insChanges) match {
+            case (Some(h), Some(i)) =>
+              DeltaCdf.writeCdcFiles(h.unionByName(i), tablePath)
+            case (Some(h), None) => DeltaCdf.writeCdcFiles(h, tablePath)
+            case (None, Some(i)) => DeltaCdf.writeCdcFiles(i, tablePath)
+            case _ => Nil
+          }
+        }.map(DeltaCdf.cdcAction)
+      val actions = hitRel.map(DeltaWrite.removeAction) ++
+        adds.map(DeltaWrite.addAction) ++ cdcs
       val v = DeltaWrite.commit(spark, tablePath, actions, "MERGE")
       MergeResult(v, hitRel.size, updated, deleted, nIns)
     } finally cached.foreach(_.unpersist())
@@ -238,6 +282,8 @@ object DeltaDml {
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val SetPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
 
   /** Dispatch Delta maintenance / constraint statements against a table
     * path (the REPL's non-SELECT surface beyond DML): OPTIMIZE, VACUUM
@@ -261,6 +307,14 @@ object DeltaDml {
     case DropConstraintRe(target, name) =>
       val v = DeltaConstraints.dropCheck(spark, unquote(target), name)
       Some(s"constraint $name dropped (version $v)")
+    case SetPropsRe(target, propList) =>
+      val props = splitTopLevel(propList).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        unquote(k.trim) -> unquote(v.trim)
+      }.toMap
+      val v = DeltaMaintenance.setTblProperties(spark, unquote(target), props)
+      Some(s"${props.size} propert${if (props.size == 1) "y" else "ies"} " +
+        s"set (version $v)")
     case _ => None
   }
 

@@ -56,6 +56,22 @@ object DeltaMaintenance {
     DeltaWrite.commit(spark, tablePath, actions, "RESTORE")
   }
 
+  /** ALTER TABLE … SET TBLPROPERTIES: record table properties in a
+    * metaData commit (how `delta.enableChangeDataFeed` is switched on).
+    * `delta.constraints.*` keys are rejected — ADD CONSTRAINT is the
+    * path that validates existing rows before recording a CHECK. */
+  def setTblProperties(spark: SparkSession, tablePath: String,
+      props: Map[String, String]): Long = {
+    require(props.keys.forall(!_.startsWith(DeltaConstraints.Prefix)),
+      "use ALTER TABLE ... ADD CONSTRAINT for CHECK constraints " +
+        "(SET TBLPROPERTIES would skip existing-row validation)")
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaWrite.commit(spark, tablePath,
+      Seq(DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
+        snap.configuration ++ props, snap.metaDataId)),
+      operation = "SET TBLPROPERTIES")
+  }
+
   /** Compact live files smaller than `smallFileBytes` into bin-packed
     * rewritten files. Returns (filesCompacted, version) — version is
     * unchanged when fewer than two small files exist. */
