@@ -121,10 +121,15 @@ object Cli {
                   s"(${m.rewrittenFiles} files rewritten, version ${m.version})")
               case None =>
                 // Delta maintenance surface (OPTIMIZE / VACUUM / RESTORE /
-                // ADD|DROP CONSTRAINT) before falling through to spark.sql
+                // ADD|DROP CONSTRAINT / SET TBLPROPERTIES), then the
+                // table_changes CDF function, before plain spark.sql
                 graft.sources.DeltaDml.dispatchMaintenance(spark, sql) match {
                   case Some(msg) => println(msg)
-                  case None => spark.sql(sql).show(100, truncate = false)
+                  case None =>
+                    graft.sources.DeltaCdf.dispatchSql(spark, sql) match {
+                      case Some(df) => df.show(100, truncate = false)
+                      case None => spark.sql(sql).show(100, truncate = false)
+                    }
                 }
             }
           }

@@ -3,22 +3,29 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.DeltaChanges
+import graft.sources.{DeltaCdf, DeltaLog}
 
 /** Incremental maintenance of a SUM/COUNT-per-key aggregate (the
-  * materialized-view pattern) over [[DeltaChanges.rowChanges]]' row-level
-  * feed: inserts add, deletes subtract, and a key whose count reaches
-  * zero leaves the view. AVG derives as sum/count downstream; MIN/MAX are
-  * NOT maintainable from deltas alone (a deleted maximum needs a rescan)
-  * — that asymmetry is inherent to delta maintenance, not this
-  * implementation.
+  * materialized-view pattern) over the row-level change feed: inserts
+  * and update post-images add, deletes and update pre-images subtract,
+  * and a key whose count reaches zero leaves the view. AVG derives as
+  * sum/count downstream; MIN/MAX are NOT maintainable from deltas alone
+  * (a deleted maximum needs a rescan) — that asymmetry is inherent to
+  * delta maintenance, not this implementation.
   *
-  * Scale shape: each refresh reads ONLY the commits' changed files
-  * (bounded by the DML, never the table), reduces them to per-key deltas
-  * with map-side combine, and joins against the view on its key — one
-  * shuffle keyed like the view itself. Refreshing a 100 TB table's view
-  * after a point UPDATE touches the files that update rewrote, nothing
-  * else.
+  * The feed comes through [[DeltaCdf.changesInRange]]: commits that
+  * carry cdc change files are consumed as exact pre/post images
+  * (bounded by the rows the DML touched), and commits without them fall
+  * back to the copy-on-write multiset diff — so enabling
+  * `delta.enableChangeDataFeed` on the base table makes refresh cost
+  * proportional to ROWS CHANGED instead of files rewritten.
+  *
+  * Scale shape: each refresh reads ONLY the commits' change/changed
+  * files (bounded by the DML, never the table), reduces them to per-key
+  * deltas with map-side combine, and joins against the view on its key
+  * — one shuffle keyed like the view itself. Refreshing a 100 TB
+  * table's view after a point UPDATE touches what the update wrote,
+  * nothing else.
   */
 object IncrementalAgg {
 
@@ -33,14 +40,16 @@ object IncrementalAgg {
   def refresh(spark: SparkSession, view: DataFrame, tablePath: String,
       fromExclusive: Long, toInclusive: Long,
       key: String, valueCol: String): DataFrame = {
-    val deltas = ((fromExclusive + 1) to toInclusive)
-      .map(v => DeltaChanges.rowChanges(spark, tablePath, v))
-      .reduceOption(_ unionByName _)
+    val deltas =
+      if (toInclusive <= fromExclusive) None
+      else Some(DeltaCdf.changesInRange(spark, tablePath, fromExclusive + 1,
+        toInclusive, DeltaLog.snapshot(spark, tablePath, Some(toInclusive)).schema))
     deltas match {
       case None => view
       case Some(ch) =>
         val signed = ch.withColumn("__sign",
-          when(col("_change_type") === "insert", 1L).otherwise(-1L))
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
         val perKey = signed.groupBy(key).agg(
           sum(col(valueCol) * col("__sign")).as("d_sum"),
           sum(col("__sign")).as("d_cnt"))

@@ -81,6 +81,82 @@ object DeltaCdf {
     n
   }
 
+  /** One commit's row-level changes (table columns + `_change_type` +
+    * `_commit_version`), preferring cdc change files (true pre/post
+    * images), then the append fast path, then the multiset-diff
+    * fallback; None for metadata/layout-only commits. `tableSchema` is
+    * the schema the feed projects to (the range-end snapshot's). */
+  private[graft] def commitChanges(spark: SparkSession, tablePath: String,
+      v: Long, tableSchema: StructType): Option[DataFrame] = {
+    val fs = DeltaLog.logDir(tablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val commit = new Path(DeltaLog.logDir(tablePath), f"$v%020d.json")
+    if (!fs.exists(commit)) throw new IllegalStateException(
+      s"commit $v of $tablePath no longer exists (log cleaned) — " +
+        "change feed unavailable for this range")
+    val cdcs = scala.collection.mutable.Buffer[String]()
+    val adds = scala.collection.mutable.Buffer[String]()
+    var dataRemove = false
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(commit), "UTF-8"))
+    try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+      .filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        val cdc = node.get("cdc"); val add = node.get("add"); val rm = node.get("remove")
+        def changes(n: com.fasterxml.jackson.databind.JsonNode) =
+          !n.hasNonNull("dataChange") || n.get("dataChange").asBoolean(true)
+        if (cdc != null) cdcs += cdc.get("path").asText()
+        if (add != null && changes(add)) adds += add.get("path").asText()
+        if (rm != null && changes(rm)) dataRemove = true
+      }
+    finally reader.close()
+
+    if (cdcs.nonEmpty) {
+      // protocol: cdc actions are the commit's complete change record
+      val paths = cdcs.toSeq.map { p =>
+        val abs = new Path(tablePath, java.net.URLDecoder.decode(p, "UTF-8"))
+        if (!fs.exists(abs)) throw new IllegalStateException(
+          s"change file $p of commit $v was vacuumed — change feed " +
+            "unavailable for this range")
+        abs.toString
+      }
+      val cdcSchema = StructType(tableSchema.fields.toSeq :+
+        StructField("_change_type", StringType))
+      Some(spark.read.schema(cdcSchema).parquet(paths: _*)
+        .withColumn("_commit_version", lit(v)))
+    } else if (dataRemove) {
+      // rewrite commit without change files: honest multiset diff
+      Some(DeltaChanges.rowChanges(spark, tablePath, v))
+    } else if (adds.nonEmpty) {
+      // append-only commit: its added files ARE the inserted rows
+      val snapV = DeltaLog.snapshot(spark, tablePath, Some(v))
+      Some(DeltaLog.scanFiles(spark, snapV, adds.toSeq.map { p =>
+        new Path(tablePath, java.net.URLDecoder.decode(p, "UTF-8")).toString
+      }).withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v)))
+    } else None // metadata-only or layout-only commit
+  }
+
+  /** The feed for `[fromVersion, toVersion]` with no enablement gate —
+    * the internal form shared by [[tableChanges]], the streaming CDF
+    * mode, and incremental-view maintenance (which all want cdc files
+    * when present and the file-action derivation when not). */
+  private[graft] def changesInRange(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long,
+      tableSchema: StructType): DataFrame = {
+    val cols = tableSchema.fieldNames.toSeq
+    val outSchema = StructType(tableSchema.fields.toSeq :+
+      StructField("_change_type", StringType) :+
+      StructField("_commit_version", LongType))
+    def finish(df: DataFrame): DataFrame =
+      df.select((cols.map(col) :+ col("_change_type") :+ col("_commit_version")): _*)
+    val frames = (fromVersion to toVersion)
+      .flatMap(v => commitChanges(spark, tablePath, v, tableSchema))
+    if (frames.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)
+    else finish(frames.map(finish).reduce(_ unionByName _))
+  }
+
   /** The row-level change feed for commits `[fromVersion, toVersion]`
     * (default: current version): table columns + `_change_type` +
     * `_commit_version`. Requires the feed enabled on the table; commits
@@ -96,65 +172,25 @@ object DeltaCdf {
       if (toVersion.isEmpty) endSnap else DeltaLog.snapshot(spark, tablePath)
     require(enabled(current.configuration),
       s"change data feed is not enabled on $tablePath (set $Property=true)")
-    val fs = DeltaLog.logDir(tablePath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val cols = endSnap.schema.fieldNames.toSeq
-    val outSchema = StructType(endSnap.schema.fields.toSeq :+
-      StructField("_change_type", StringType) :+
-      StructField("_commit_version", LongType))
-    def finish(df: DataFrame): DataFrame =
-      df.select((cols.map(col) :+ col("_change_type") :+ col("_commit_version")): _*)
-
-    val frames = (fromVersion to endSnap.version).flatMap { v =>
-      val commit = new Path(DeltaLog.logDir(tablePath), f"$v%020d.json")
-      if (!fs.exists(commit)) throw new IllegalStateException(
-        s"commit $v of $tablePath no longer exists (log cleaned) — " +
-          "change feed unavailable for this range")
-      val cdcs = scala.collection.mutable.Buffer[String]()
-      val adds = scala.collection.mutable.Buffer[String]()
-      var dataRemove = false
-      val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(commit), "UTF-8"))
-      try Iterator.continually(reader.readLine()).takeWhile(_ != null)
-        .filter(_.trim.nonEmpty).foreach { line =>
-          val node = mapper.readTree(line)
-          val cdc = node.get("cdc"); val add = node.get("add"); val rm = node.get("remove")
-          def changes(n: com.fasterxml.jackson.databind.JsonNode) =
-            !n.hasNonNull("dataChange") || n.get("dataChange").asBoolean(true)
-          if (cdc != null) cdcs += cdc.get("path").asText()
-          if (add != null && changes(add)) adds += add.get("path").asText()
-          if (rm != null && changes(rm)) dataRemove = true
-        }
-      finally reader.close()
-
-      if (cdcs.nonEmpty) {
-        // protocol: cdc actions are the commit's complete change record
-        val paths = cdcs.toSeq.map { p =>
-          val abs = new Path(tablePath, java.net.URLDecoder.decode(p, "UTF-8"))
-          if (!fs.exists(abs)) throw new IllegalStateException(
-            s"change file $p of commit $v was vacuumed — change feed " +
-              "unavailable for this range")
-          abs.toString
-        }
-        val cdcSchema = StructType(endSnap.schema.fields.toSeq :+
-          StructField("_change_type", StringType))
-        Some(spark.read.schema(cdcSchema).parquet(paths: _*)
-          .withColumn("_commit_version", lit(v)))
-      } else if (dataRemove) {
-        // rewrite commit without change files: honest multiset diff
-        Some(DeltaChanges.rowChanges(spark, tablePath, v))
-      } else if (adds.nonEmpty) {
-        // append-only commit: its added files ARE the inserted rows
-        val snapV = DeltaLog.snapshot(spark, tablePath, Some(v))
-        Some(DeltaLog.scanFiles(spark, snapV, adds.toSeq.map { p =>
-          new Path(tablePath, java.net.URLDecoder.decode(p, "UTF-8")).toString
-        }).withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v)))
-      } else None // metadata-only or layout-only commit
-    }
-
-    if (frames.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)
-    else finish(frames.map(finish).reduce(_ unionByName _))
+    changesInRange(spark, tablePath, fromVersion, endSnap.version,
+      endSnap.schema)
   }
+
+  private val TableChangesRe =
+    """(?is)(.*\bFROM\s+)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)(.*)""".r
+
+  /** SQL surface for the feed (the reference stack's `table_changes`
+    * table function): rewrites `… FROM table_changes('<path>', from[,
+    * to]) …` to a temp view over [[tableChanges]] and runs the rest of
+    * the statement through `spark.sql`. Returns None when the statement
+    * doesn't use the function. */
+  def dispatchSql(spark: SparkSession, sql: String): Option[DataFrame] =
+    sql match {
+      case TableChangesRe(pre, path, from, to, post) =>
+        val view = "__table_changes__"
+        tableChanges(spark, path, from.toLong,
+          Option(to).map(_.toLong)).createOrReplaceTempView(view)
+        Some(spark.sql(pre + view + post))
+      case _ => None
+    }
 }

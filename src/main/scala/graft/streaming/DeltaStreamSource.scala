@@ -6,7 +6,10 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
-import graft.sources.{DeltaChanges, DeltaLog}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+import graft.sources.{DeltaCdf, DeltaChanges, DeltaLog}
 
 /** Delta-table Structured Streaming source (`readStream.format
   * ("graft-delta")`) — the real streaming integration of the public
@@ -33,9 +36,19 @@ class DeltaStreamSource(
     tablePath: String,
     ignoreChanges: Boolean,
     ignoreDeletes: Boolean,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    readChangeFeed: Boolean = false) extends Source {
 
-  override val schema: StructType = DeltaLog.snapshot(spark, tablePath).schema
+  private val tableSchema: StructType =
+    DeltaLog.snapshot(spark, tablePath).schema
+
+  /** CDF mode appends the feed's metadata columns, like Delta's own
+    * `readChangeFeed` option. */
+  override val schema: StructType =
+    if (!readChangeFeed) tableSchema
+    else StructType(tableSchema.fields.toSeq :+
+      StructField("_change_type", StringType) :+
+      StructField("_commit_version", LongType))
 
   /** High-water mark of versions already handed to the engine, for rate
     * limiting. Seeded by the first getBatch (which carries the recovered
@@ -59,6 +72,7 @@ class DeltaStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
     served = Some(served.fold(to)(math.max(_, to)))
+    if (readChangeFeed) return changeFeedBatch(start.map(versionOf), to)
     val files = start match {
       // Initial batch: serve the CURRENT snapshot's live files (as
       // Delta's own source does), not a replay of every commit from
@@ -75,6 +89,29 @@ class DeltaStreamSource(
           ignoreChanges, ignoreDeletes, toInclusive = Some(to)).addedFiles
     }
     GraftStreamBridge.streamingParquetBatch(spark, schema, tablePath, files)
+  }
+
+  /** CDF micro-batch: the initial batch is the snapshot's live rows as
+    * `insert`s at the boot version (Delta's own readChangeFeed initial
+    * semantics without a startingVersion); subsequent batches are the
+    * [[DeltaCdf.changesInRange]] feed for `(start, end]` — cdc change
+    * files when the commit wrote them (true pre/post images), the
+    * file-action derivation otherwise. The computed frame re-enters the
+    * stream through [[GraftStreamBridge.streamingFromBatch]]; its cost
+    * is bounded by the rows the range's commits changed. */
+  private def changeFeedBatch(start: Option[Long], to: Long): DataFrame = {
+    val batch = start match {
+      case None =>
+        DeltaLog.read(spark, tablePath, versionAsOf = Some(to))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(to))
+      case Some(from) if to <= from =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      case Some(from) =>
+        DeltaCdf.changesInRange(spark, tablePath, from + 1, to, tableSchema)
+    }
+    GraftStreamBridge.streamingFromBatch(batch)
   }
 
   /** Offsets come back as [[LongOffset]] live or SerializedOffset from a
@@ -112,8 +149,11 @@ class DeltaStreamSink(
 /** `format("graft-delta")` registration (short name via the standard
   * META-INF/services entry). Source options: `path` (required),
   * `ignoreChanges`, `ignoreDeletes`, `maxVersionsPerTrigger` (rate
-  * limit after the bootstrap batch). Sink options: `path` (required),
-  * `txnAppId` (optional — defaults to the checkpoint location). */
+  * limit after the bootstrap batch), `readChangeFeed` (emit the CDF
+  * row-level feed — table columns + `_change_type` +
+  * `_commit_version` — instead of append rows). Sink options: `path`
+  * (required), `txnAppId` (optional — defaults to the checkpoint
+  * location). */
 class DeltaSourceProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
@@ -123,11 +163,20 @@ class DeltaSourceProvider extends StreamSourceProvider
     parameters.getOrElse("path",
       throw new IllegalArgumentException("option 'path' is required for graft-delta"))
 
+  private def cdfMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      DeltaLog.snapshot(sqlContext.sparkSession, path(parameters)).schema))
+    (shortName(), schema.getOrElse {
+      val base =
+        DeltaLog.snapshot(sqlContext.sparkSession, path(parameters)).schema
+      if (!cdfMode(parameters)) base
+      else StructType(base.fields.toSeq :+
+        StructField("_change_type", StringType) :+
+        StructField("_commit_version", LongType))
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -136,7 +185,8 @@ class DeltaSourceProvider extends StreamSourceProvider
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean),
       maxVersionsPerTrigger =
-        parameters.get("maxVersionsPerTrigger").map(_.toLong))
+        parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      readChangeFeed = cdfMode(parameters))
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],

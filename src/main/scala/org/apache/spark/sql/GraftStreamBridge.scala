@@ -25,6 +25,19 @@ object GraftStreamBridge {
       isStreaming = false)
   }
 
+  /** A computed batch DataFrame re-flagged streaming, for sources whose
+    * micro-batch is more than a file scan (the CDF feed unions per-commit
+    * scans with literal columns and may fall back to a multiset diff).
+    * The plan boundary is the batch plan's physical rows — downstream
+    * stream operators can't push filters into it, which matches the
+    * bounded-by-changed-rows shape of a change feed batch. */
+  def streamingFromBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val cs = ds.sparkSession
+    cs.internalCreateDataFrame(ds.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** A batch DataFrame over explicit parquet files, flagged streaming.
     * `basePath` keeps hive-style partition columns resolvable when the
     * file list is a subset of the table tree. Empty file list → empty

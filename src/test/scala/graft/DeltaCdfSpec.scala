@@ -114,6 +114,89 @@ class DeltaCdfSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("enableChangeDataFeed"))
   }
 
+  test("table_changes SQL surface rewrites onto the feed") {
+    val t = newCdfTable()
+    DeltaDml.delete(spark, t, col("id") === 1) // v2
+    val df = DeltaCdf.dispatchSql(spark,
+      s"SELECT id, _change_type FROM table_changes('$t', 2) ORDER BY id").get
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "delete")))
+    // bounded range + aggregation through ordinary SQL over the view
+    val counts = DeltaCdf.dispatchSql(spark,
+      s"SELECT _change_type, COUNT(*) AS n FROM table_changes('$t', 0, 2) " +
+        "GROUP BY 1 ORDER BY 1").get
+    assert(counts.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("delete", 1L), ("insert", 3L)))
+    assert(DeltaCdf.dispatchSql(spark, "SELECT 1").isEmpty)
+  }
+
+  test("streaming readChangeFeed: snapshot bootstraps as inserts, then " +
+    "DML arrives as pre/post images across a restart") {
+    val t = newCdfTable()
+    val out = Files.createTempDirectory("graft-cdf-out").toString
+    val ckpt = Files.createTempDirectory("graft-cdf-ckpt").toString
+    def start() = spark.readStream.format("graft-delta")
+      .option("path", t).option("readChangeFeed", "true")
+      .load().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    val q = start()
+    q.processAllAvailable()
+    val boot = spark.read.parquet(out)
+    assert(boot.count() == 3)
+    assert(boot.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+
+    val r = DeltaDml.update(spark, t, col("id") === 2, Seq("v" -> lit(99)))
+    q.processAllAvailable()
+    q.stop()
+    val afterUpd = spark.read.parquet(out)
+      .filter(col("_commit_version") === r.version)
+      .select("id", "v", "_change_type").collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getString(2))).toSet
+    assert(afterUpd == Set((2, 20, "update_preimage"), (2, 99, "update_postimage")))
+
+    // a DELETE landing while the query is down arrives exactly once
+    val d = DeltaDml.delete(spark, t, col("id") === 3)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val del = spark.read.parquet(out)
+      .filter(col("_commit_version") === d.version).collect()
+    assert(del.length == 1 && del.head.getAs[String]("_change_type") == "delete")
+    assert(spark.read.parquet(out).count() == 6) // 3 boot + 2 update + 1 delete
+  }
+
+  test("incremental view maintenance consumes cdc pre/post images and " +
+    "matches full recompute") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val t = tmpTable()
+    DeltaWrite.write((1 to 20).map(i => (i, i % 4, (i * 2).toDouble))
+      .toDF("id", "k", "v"), t)
+    DeltaMaintenance.setTblProperties(spark, t, Map(DeltaCdf.Property -> "true"))
+    def recompute(): Map[Int, (Double, Long)] =
+      IncrementalAgg.compute(graft.sources.DeltaLog.read(spark, t), "k", "v")
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    var view = IncrementalAgg.compute(graft.sources.DeltaLog.read(spark, t), "k", "v")
+    var last = DeltaLog.latestVersion(spark, t)
+    def step(op: => Any): Unit = {
+      op
+      val now = DeltaLog.latestVersion(spark, t)
+      view = IncrementalAgg.refresh(spark, view, t, last, now, "k", "v")
+      last = now
+      assert(view.collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2)))
+        .toMap == recompute(), s"view diverged after v$now")
+    }
+    // the UPDATE refresh reads the cdc images (2 rows), not the rewritten
+    // file (20 rows): exercised by the preimage/postimage sign handling
+    step(DeltaDml.update(spark, t, col("k") === 1, Seq("v" -> (col("v") + 5))))
+    step(DeltaDml.delete(spark, t, col("k") === 2))
+    step(DeltaDml.merge(spark, t, Seq((3, 3, 77.0), (50, 9, 10.0)).toDF("id", "k", "v"),
+      condition = col("t.id") === col("s.id"),
+      matchedUpdate = Seq("v" -> col("s.v")), insert = true))
+  }
+
   test("REPL ALTER TABLE SET TBLPROPERTIES enables the feed") {
     val t = tmpTable()
     import spark.implicits._
