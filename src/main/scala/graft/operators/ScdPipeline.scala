@@ -26,10 +26,13 @@ final case class ScdSummary(
   * Deviations (documented, SURVEY §7.3):
   *   - in-batch duplicate business keys are pre-deduplicated
   *     deterministically (the reference would hit PostgreSQL's
-  *     "affect row twice" error);
-  *   - `scd_id` is unique and increasing but not dense
-  *     (`monotonically_increasing_id` over executors — a dense sequence
-  *     would serialize the cluster through one partition).
+  *     "affect row twice" error).
+  *
+  * `scd_id` is DENSE (maxId+1, maxId+2, …), matching the reference's
+  * PostgreSQL sequence, via [[graft.sources.DeltaIdentity]]'s two-pass
+  * distributed assignment (per-partition counts to the driver, then an
+  * executor-side offset stamp) — dense without serializing the cluster
+  * through one partition.
   *
   * Scale shape: one shuffle keyed on the business key (the full-outer
   * join); history rows are untouched (no rewrite of closed partitions when
@@ -119,8 +122,9 @@ object ScdPipeline {
       coalesce(max("scd_id"), lit(0L)).as("__max"),
       coalesce(sum(when(!col("is_current"), 1).otherwise(0)), lit(0L)).as("__nh")).head
     val (maxId, nHistory) = (tstats.getLong(0), tstats.getLong(1))
-    val inserted = toInsert
-      .withColumn("scd_id", lit(maxId) + monotonically_increasing_id() + 1)
+    val (withIds, _) = graft.sources.DeltaIdentity.assign(
+      toInsert, "scd_id", start = 1L, step = 1L, firstValue = maxId + 1)
+    val inserted = withIds
       .withColumn("effective_date", lit(now))
       .withColumn("end_date", lit(null).cast("timestamp"))
       .withColumn("is_current", lit(true))

@@ -94,7 +94,7 @@ object DeltaIdentity {
     * Two passes total (zipWithIndex-style, sharing one size pass): a
     * per-partition COUNT (longs to the driver — metadata-scale), then
     * the stamp pass with each partition's cumulative offset. */
-  private def assign(df: DataFrame, idCol: String, start: Long, step: Long,
+  private[graft] def assign(df: DataFrame, idCol: String, start: Long, step: Long,
       firstValue: Long): (DataFrame, Long) = {
     val spark = df.sparkSession
     val rdd0 = df.rdd

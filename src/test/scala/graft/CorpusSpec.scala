@@ -84,6 +84,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(rLsh >= 0.25, s"LSH recall@5 too low: $rLsh")
     assert(rIvf >= 0.5, s"IVF recall@5 too low: $rIvf")
     assert(rPq >= 0.7, s"PQ recall@5 too low: $rPq")
+    // k-means training must improve the quantizer objective (mean
+    // assigned cosine — vectors sit closer to their list centroid) while
+    // the worst-probe bound holds: no list may swallow the corpus
+    // ("probe n lists" must prune, not re-scan).
+    val (fSeed, simSeed) =
+      graft.operators.Similarity.ivfStats(spark, sf, trainIters = 0)
+    val (fTrained, simTrained) =
+      graft.operators.Similarity.ivfStats(spark, sf, trainIters = 2)
+    assert(simTrained >= simSeed - 1e-9,
+      s"training worsened the quantizer: mean cos $simSeed -> $simTrained")
+    assert(fTrained <= 0.5,
+      s"trained largest list holds $fTrained of the corpus — no pruning " +
+        s"(seed was $fSeed)")
   }
 
   test("q92 PQ is deterministic and well-formed: 5 ranked rows per query, " +

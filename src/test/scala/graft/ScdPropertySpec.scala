@@ -63,8 +63,12 @@ class ScdPropertySpec extends AnyFunSuite {
       // 2: end_date iff closed
       assert(target.filter(col("is_current") && col("end_date").isNotNull).count() == 0)
       assert(target.filter(!col("is_current") && col("end_date").isNull).count() == 0)
-      // 4: scd_id unique
-      assert(target.select("scd_id").distinct().count() == target.count())
+      // 4: scd_id DENSE — exactly 1..n (the reference's PG sequence shape)
+      val n = target.count()
+      assert(target.select("scd_id").distinct().count() == n)
+      val mm = target.agg(min("scd_id"), max("scd_id")).head
+      if (n > 0) assert(mm.getLong(0) == 1L && mm.getLong(1) == n,
+        s"scd_id not dense: min=${mm.getLong(0)} max=${mm.getLong(1)} n=$n")
       // 3: re-sync of the last batch is a no-op
       batches.lastOption.foreach { last =>
         val (again, s) = ScdPipeline.sync(target, toDf(last), Seq("k"),
