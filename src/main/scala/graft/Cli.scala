@@ -126,7 +126,8 @@ object Cli {
                 graft.sources.DeltaDml.dispatchMaintenance(spark, sql) match {
                   case Some(msg) => println(msg)
                   case None =>
-                    graft.sources.DeltaCdf.dispatchSql(spark, sql) match {
+                    graft.sources.DeltaMaintenance.dispatchHistory(spark, sql)
+                      .orElse(graft.sources.DeltaCdf.dispatchSql(spark, sql)) match {
                       case Some(df) => df.show(100, truncate = false)
                       case None => spark.sql(sql).show(100, truncate = false)
                     }

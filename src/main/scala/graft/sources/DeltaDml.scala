@@ -81,8 +81,7 @@ object DeltaDml {
     val hitRel = hitUris.toSeq.map(u => uriToRel.getOrElse(u,
       throw new IllegalStateException(s"scanned file not in snapshot: $u")))
 
-    val hitDf = spark.read.schema(snap.schema)
-      .option("basePath", tablePath).parquet(hitUris.toIndexedSeq: _*)
+    val hitDf = DeltaLog.scanFiles(spark, snap, hitUris.toIndexedSeq)
     val affected = hitDf.filter(condition).count()
     val rewritten = transform(hitDf)
     val adds = DeltaWrite.writeDataFiles(rewritten, tablePath, snap.partitionColumns)
@@ -186,8 +185,7 @@ object DeltaDml {
       val (rewritten, updated, deleted, hitChanges) =
         if (hitUris.isEmpty) (None, 0L, 0L, None)
         else {
-          val hit = spark.read.schema(snap.schema)
-            .option("basePath", tablePath).parquet(hitUris.toIndexedSeq: _*)
+          val hit = DeltaLog.scanFiles(spark, snap, hitUris.toIndexedSeq)
             .withColumn("__rid", monotonically_increasing_id())
           val marked = source.withColumn("__matched", lit(true))
           val joined = hit.alias("t").join(marked.alias("s"), condition, "left")
@@ -284,6 +282,8 @@ object DeltaDml {
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val SetPropsRe =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+(\S+)\s+SHALLOW\s+CLONE\s+(\S+)\s*;?\s*""".r
 
   /** Dispatch Delta maintenance / constraint statements against a table
     * path (the REPL's non-SELECT surface beyond DML): OPTIMIZE, VACUUM
@@ -307,6 +307,9 @@ object DeltaDml {
     case DropConstraintRe(target, name) =>
       val v = DeltaConstraints.dropCheck(spark, unquote(target), name)
       Some(s"constraint $name dropped (version $v)")
+    case CloneRe(target, source) =>
+      val v = DeltaMaintenance.shallowClone(spark, unquote(source), unquote(target))
+      Some(s"shallow clone created at ${unquote(target)} (version $v)")
     case SetPropsRe(target, propList) =>
       val props = splitTopLevel(propList).map { kv =>
         val Array(k, v) = kv.split("=", 2)
@@ -488,7 +491,7 @@ object DeltaDml {
       splitTopLevelWord(s.substring(at + word.length), word)
   }
 
-  private def unquote(t: String): String =
+  private[sources] def unquote(t: String): String =
     t.stripPrefix("'").stripSuffix("'").stripPrefix("`").stripSuffix("`")
 
   /** Split `a = f(x, y), b = 2` on commas not nested in parens/quotes. */

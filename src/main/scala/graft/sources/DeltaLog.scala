@@ -65,13 +65,26 @@ object DeltaLog {
       configuration.getOrElse("delta.columnMapping.mode", "none")
   }
 
+  /** A file's table root: parent directory with trailing hive
+    * `col=value` partition segments stripped. For the table's own files
+    * this IS the table path; for a shallow clone's entries it is the
+    * SOURCE table's root — grouping by it gives each origin its own
+    * `basePath`, so hive partition columns resolve per origin instead of
+    * failing Spark's "file not under basePath" check. */
+  private def fileTableRoot(p: String): String = {
+    val segs = p.split("/").dropRight(1)
+    segs.reverse.dropWhile(_.contains("=")).reverse.mkString("/")
+  }
+
   /** Scan explicit data files of a snapshot, column-mapping aware: under
     * `name` mode the parquet holds PHYSICAL column names (from each
     * field's `delta.columnMapping.physicalName` metadata) and the result
     * is projected back to logical names; other mapped modes are rejected
     * rather than silently read as all-NULL columns. Every path that
-    * reads a mapped table's files (read / readWhere / the change feeds)
-    * must go through here. */
+    * reads a mapped table's files (read / readWhere / the change feeds /
+    * DML hit reads) must go through here. Files may live OUTSIDE the
+    * table directory (shallow clones) — they are read in per-origin
+    * groups, each with its own basePath. */
   private[sources] def scanFiles(spark: SparkSession, snap: Snapshot,
       paths: Seq[String]): DataFrame = {
     val mode = snap.columnMappingMode
@@ -79,24 +92,29 @@ object DeltaLog {
       throw new UnsupportedOperationException(
         s"column mapping mode '$mode' not supported (name mode only)")
     if (paths.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), snap.schema)
-    else if (mode == "name") {
-      val physical = StructType(snap.schema.fields.map { f =>
-        val pn =
-          if (f.metadata.contains("delta.columnMapping.physicalName"))
-            f.metadata.getString("delta.columnMapping.physicalName")
-          else f.name
-        f.copy(name = pn)
-      })
-      val raw = spark.read.schema(physical)
-        .option("basePath", snap.tablePath).parquet(paths: _*)
-      raw.select(physical.fields.zip(snap.schema.fields).map {
-        case (p, l) => org.apache.spark.sql.functions.col(s"`${p.name}`").as(l.name)
-      }.toIndexedSeq: _*)
-    } else {
-      spark.read.schema(snap.schema)
-        .option("basePath", snap.tablePath).parquet(paths: _*)
-    }
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), snap.schema)
+    def readGroup(base: String, ps: Seq[String]): DataFrame =
+      if (mode == "name") {
+        val physical = StructType(snap.schema.fields.map { f =>
+          val pn =
+            if (f.metadata.contains("delta.columnMapping.physicalName"))
+              f.metadata.getString("delta.columnMapping.physicalName")
+            else f.name
+          f.copy(name = pn)
+        })
+        val raw = spark.read.schema(physical)
+          .option("basePath", base).parquet(ps: _*)
+        raw.select(physical.fields.zip(snap.schema.fields).map {
+          case (p, l) => org.apache.spark.sql.functions.col(s"`${p.name}`").as(l.name)
+        }.toIndexedSeq: _*)
+      } else {
+        spark.read.schema(snap.schema)
+          .option("basePath", base).parquet(ps: _*)
+      }
+    paths.groupBy(fileTableRoot).toSeq.sortBy(_._1)
+      .map { case (root, ps) => readGroup(root, ps) }
+      .reduce(_ unionByName _)
   }
 
   private val mapper = new ObjectMapper()

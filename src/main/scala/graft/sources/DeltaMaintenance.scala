@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
 /** Table-maintenance operations completing the Delta lifecycle (public
   * protocol semantics):
@@ -72,6 +73,90 @@ object DeltaMaintenance {
       operation = "SET TBLPROPERTIES")
   }
 
+  /** SHALLOW CLONE: create a NEW table at `targetPath` whose `add`
+    * entries reference the SOURCE snapshot's data files by absolute
+    * path — zero data copy, so cloning a 100 TB table is one
+    * metadata-scale commit (the protocol permits absolute `add` paths;
+    * [[DeltaLog.scanFiles]] reads per-origin file groups). The clone is
+    * fully independent going forward: appends/DML/OPTIMIZE write new
+    * files under the clone and only retire the clone's REFERENCES to
+    * source files, and VACUUM's deletion walk is rooted at the clone's
+    * directory so it can never delete source data. Caveat (same as
+    * Delta's own shallow clones): VACUUM on the SOURCE can remove files
+    * a clone still references — the clone is a dev/test snapshot, not a
+    * backup. Size/stats carry over, so data skipping keeps working. */
+  def shallowClone(spark: SparkSession, sourcePath: String,
+      targetPath: String): Long = {
+    val snap = DeltaLog.snapshot(spark, sourcePath)
+    val fs = DeltaLog.logDir(targetPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(DeltaLog.logDir(targetPath)))
+      throw new IllegalStateException(s"Delta table already exists: $targetPath")
+    val srcRoot = new Path(sourcePath)
+    val adds = snap.files.map { a =>
+      a.copy(path = new Path(srcRoot,
+        java.net.URLDecoder.decode(a.path, "UTF-8")).toString)
+    }
+    val actions = DeltaWrite.protocolAction() +:
+      DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
+        snap.configuration) +:
+      adds.map(DeltaWrite.addAction)
+    DeltaWrite.commit(spark, targetPath, actions, "CLONE")
+  }
+
+  /** DESCRIBE HISTORY: one row per surviving commit (version DESC) with
+    * the commitInfo operation/engineInfo and the commit timestamp
+    * (commitInfo.timestamp, file mtime for commits predating it).
+    * Metadata-scale: reads only the log. Commits cleaned past a
+    * checkpoint horizon no longer appear — history is as durable as the
+    * log, exactly the protocol's contract. */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val dir = DeltaLog.logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = fs.listStatus(dir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.length == 25 && n.endsWith(".json") && n.dropRight(5).forall(_.isDigit)
+      }
+      .map { st =>
+        val v = st.getPath.getName.dropRight(5).toLong
+        var op: String = null; var engine: String = null
+        var ts: Long = st.getModificationTime
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(st.getPath), "UTF-8"))
+        try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+          .filter(_.trim.nonEmpty).foreach { line =>
+            val ci = mapper.readTree(line).get("commitInfo")
+            if (ci != null) {
+              if (ci.hasNonNull("operation")) op = ci.get("operation").asText()
+              if (ci.hasNonNull("engineInfo")) engine = ci.get("engineInfo").asText()
+              if (ci.hasNonNull("timestamp")) ts = ci.get("timestamp").asLong()
+            }
+          }
+        finally reader.close()
+        Row(v, new java.sql.Timestamp(ts), op, engine)
+      }
+      .sortBy(-_.getLong(0))
+    val schema = StructType(Seq(
+      StructField("version", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("operation", StringType),
+      StructField("engineInfo", StringType)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+)\s*;?\s*""".r
+
+  /** REPL surface for [[history]]: `DESCRIBE HISTORY <path>`. */
+  def dispatchHistory(spark: SparkSession, sql: String): Option[DataFrame] =
+    sql match {
+      case HistoryRe(target) => Some(history(spark, DeltaDml.unquote(target)))
+      case _ => None
+    }
+
   /** Compact live files smaller than `smallFileBytes` into bin-packed
     * rewritten files. Returns (filesCompacted, version) — version is
     * unchanged when fewer than two small files exist. */
@@ -88,8 +173,7 @@ object DeltaMaintenance {
     // only file metadata moves through the driver.
     val totalBytes = small.map(_.size).sum
     val parts = math.max(1, (totalBytes / smallFileBytes).toInt)
-    val df = spark.read.schema(snap.schema)
-      .option("basePath", tablePath).parquet(uris: _*)
+    val df = DeltaLog.scanFiles(spark, snap, uris)
     val compacted =
       if (snap.partitionColumns.nonEmpty) df.repartition(parts,
         snap.partitionColumns.map(org.apache.spark.sql.functions.col): _*)

@@ -132,6 +132,7 @@ object DeltaWrite {
     f.mkdirs(dir)
     val info = mapper.createObjectNode()
     info.set[ObjectNode]("commitInfo", mapper.createObjectNode()
+      .put("timestamp", System.currentTimeMillis())
       .put("operation", operation).put("engineInfo", "graft-spark"))
     val body = (info +: actions).map(mapper.writeValueAsString).mkString("\n")
     var attempt = 0
@@ -444,7 +445,7 @@ object DeltaWrite {
     n
   }
 
-  private def protocolAction(): ObjectNode = {
+  private[sources] def protocolAction(): ObjectNode = {
     val n = mapper.createObjectNode()
     n.set[ObjectNode]("protocol", mapper.createObjectNode()
       .put("minReaderVersion", 1).put("minWriterVersion", 2))

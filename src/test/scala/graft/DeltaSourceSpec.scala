@@ -1029,4 +1029,79 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>") ||
       scan.contains("ReadSchema: struct<l_orderkey"), s"expected pruned schema in:\n$scan")
   }
+
+  test("shallow clone: zero-copy read equals source; divergence stays " +
+    "local; vacuum on the clone never deletes source data") {
+    import spark.implicits._
+    import graft.sources.{DeltaDml, DeltaMaintenance}
+    val src = tmpTable(); val dst = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")
+      .repartition(2), src)
+    val v = DeltaMaintenance.shallowClone(spark, src, dst)
+    assert(v == 0L)
+    // no data files copied — the clone directory holds only the log
+    val fs = DeltaLog.logDir(dst).getFileSystem(spark.sessionState.newHadoopConf())
+    val dstFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dst))
+      .map(_.getPath.getName).toSet
+    assert(dstFiles == Set("_delta_log"), s"unexpected copies: $dstFiles")
+    assert(DeltaLog.read(spark, dst).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+
+    // divergence: DML on the clone rewrites into the CLONE's directory
+    DeltaDml.update(spark, dst, col("id") === 1,
+      Seq("s" -> org.apache.spark.sql.functions.lit("A")))
+    DeltaWrite.write(Seq((4, "d")).toDF("id", "s"), dst, SaveMode.Append)
+    assert(DeltaLog.read(spark, dst).as[(Int, String)].collect().toSet ==
+      Set((1, "A"), (2, "b"), (3, "c"), (4, "d")))
+    assert(DeltaLog.read(spark, src).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")), "source must be untouched")
+
+    // vacuum on the clone removes only clone-local tombstones; the
+    // source file the UPDATE retired (a reference, not clone data)
+    // stays on disk and the source still reads whole
+    DeltaMaintenance.vacuum(spark, dst, retainMs = 0L)
+    assert(DeltaLog.read(spark, src).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")), "vacuumed clone reached into source")
+    assert(DeltaLog.read(spark, dst).as[(Int, String)].collect().toSet ==
+      Set((1, "A"), (2, "b"), (3, "c"), (4, "d")))
+
+    // REPL surface
+    val dst2 = tmpTable()
+    val msg = DeltaDml.dispatchMaintenance(spark,
+      s"CREATE TABLE $dst2 SHALLOW CLONE $src")
+    assert(msg.exists(_.contains("shallow clone created")))
+    assert(DeltaLog.read(spark, dst2).count() == 3)
+  }
+
+  test("shallow clone of a PARTITIONED table resolves partition columns " +
+    "from the source layout, mixed with clone-local appends") {
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    val src = tmpTable(); val dst = tmpTable()
+    DeltaWrite.write(Seq((1, "x", 10), (2, "y", 20), (3, "x", 30))
+      .toDF("id", "k", "v"), src, partitionBy = Seq("k"))
+    DeltaMaintenance.shallowClone(spark, src, dst)
+    DeltaWrite.write(Seq((4, "z", 40)).toDF("id", "k", "v"), dst, SaveMode.Append)
+    assert(DeltaLog.read(spark, dst).as[(Int, String, Int)].collect().toSet ==
+      Set((1, "x", 10), (2, "y", 20), (3, "x", 30), (4, "z", 40)))
+    // partition pruning still works across origins
+    assert(DeltaLog.read(spark, dst).filter(col("k") === "x").count() == 2)
+  }
+
+  test("DESCRIBE HISTORY lists commits newest-first with operations") {
+    import spark.implicits._
+    import graft.sources.{DeltaDml, DeltaMaintenance}
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaDml.delete(spark, t, col("id") === 1)
+    val h = DeltaMaintenance.history(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(h.toSeq == Seq((2L, "DELETE"), (1L, "APPEND"), (0L, "CREATE TABLE")))
+    assert(DeltaMaintenance.history(spark, t)
+      .collect().forall(_.getTimestamp(1) != null))
+    val df = DeltaMaintenance.dispatchHistory(spark, s"DESCRIBE HISTORY $t")
+    assert(df.isDefined && df.get.count() == 3)
+    assert(DeltaMaintenance.dispatchHistory(spark, "SELECT 1").isEmpty)
+  }
 }
