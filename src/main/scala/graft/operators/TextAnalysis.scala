@@ -352,5 +352,79 @@ object TextAnalysis {
         "JOIN bench b ON d.doc_id <> b.bench_id AND contains(d.text, b.prefix) GROUP BY bench_id) " +
         "SELECT b.bench_id, CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated " +
         "FROM bench b LEFT JOIN hits h USING (bench_id) ORDER BY b.bench_id"))
+    ,
+
+    // PII detection + redaction — the scrub stage of a corpus build.
+    // The synthetic corpus carries no PII, so the query plants a
+    // deterministic contact suffix per document (both engines build the
+    // SAME enriched column) and then detects/redacts with RE2∩Java
+    // regexes: counts per kind plus a fingerprint of the redacted text
+    // prove the rewrite is byte-identical. Single-pass narrow; the
+    // redacted text collapses to an md5 before any ORDER BY, so document
+    // bodies never move between stages.
+    GraftQuery("q98_pii_redaction",
+      (s, d) => {
+        val enriched = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com phone 555-867-5309 ip 10.0.0."),
+          pmod(col("doc_id"), lit(250)).cast("string"))
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        docs(s, d)
+          .select(col("doc_id"), enriched.as("t"))
+          .select(col("doc_id"),
+            regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+            regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(
+                regexp_replace(col("t"), email, "<EMAIL>"),
+                ip, "<IP>"),
+              phone, "<PHONE>")).as("redacted_fp"))
+          .orderBy("doc_id")
+      },
+      Some("WITH e AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.com phone 555-867-5309 ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) AS t FROM documents) " +
+        "SELECT doc_id, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(t, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+        "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS redacted_fp " +
+        "FROM e ORDER BY doc_id"))
+    ,
+
+    // Sequence packing — grouping documents into context-window-sized
+    // training sequences. Distributed shape: documents hash-shard by
+    // the first md5 nibble of the stable key (16 independent partitions
+    // — no global-order bottleneck), then a per-shard running token sum
+    // assigns each doc to the window it starts in (greedy contiguous
+    // fill, 2048-token budget, oversize docs overflow their own bin).
+    // Only (shard, doc_id, tok) rows enter the window shuffle — text
+    // stays at the scan.
+    GraftQuery("q99_seq_packing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val shard = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, d)
+          .select(shard.as("shard"), col("doc_id"),
+            tokenCount(col("text")).as("tok"))
+          .withColumn("cum", sum("tok").over(w))
+          .select(col("shard"),
+            floor((col("cum") - col("tok")) / 2048.0).cast("long").as("bin"),
+            col("tok"))
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").cast("long").as("sum_tokens"))
+          .orderBy("shard", "bin")
+      },
+      Some("WITH t AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard, doc_id, " +
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok FROM documents), " +
+        "c AS (SELECT shard, doc_id, tok, SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
+        "SELECT shard, CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS bin, " +
+        "COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tokens " +
+        "FROM c GROUP BY shard, bin ORDER BY shard, bin"))
   )
 }

@@ -112,8 +112,14 @@ object DeltaLog {
         spark.read.schema(snap.schema)
           .option("basePath", base).parquet(ps: _*)
       }
+    // Hive partition discovery may reorder partition columns to the end
+    // of a group's output — pin every group to the snapshot's column
+    // order so unions and positional consumers see ONE deterministic
+    // schema regardless of file layout.
+    val ordered = snap.schema.fieldNames.toIndexedSeq
+      .map(n => org.apache.spark.sql.functions.col(s"`$n`"))
     paths.groupBy(fileTableRoot).toSeq.sortBy(_._1)
-      .map { case (root, ps) => readGroup(root, ps) }
+      .map { case (root, ps) => readGroup(root, ps).select(ordered: _*) }
       .reduce(_ unionByName _)
   }
 

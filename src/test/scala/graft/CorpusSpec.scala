@@ -245,4 +245,30 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(_.key).sorted.toSeq
     assert(dup == Seq(1L, 2L, 4L, 5L), s"got $dup")
   }
+
+  test("q98 redaction finds every planted contact; q99 packing bins are " +
+    "contiguous per shard and respect the budget start rule") {
+    val pii = SparkEntry.queries("q98_pii_redaction")(spark, sf).collect()
+    // every doc got exactly the planted email+phone (corpus text itself
+    // carries none), and redaction fingerprints are well-formed md5 hex
+    assert(pii.nonEmpty)
+    assert(pii.forall(r => r.getLong(1) == 1L && r.getLong(2) == 1L))
+    assert(pii.forall(_.getString(3).matches("[0-9a-f]{32}")))
+
+    val packs = SparkEntry.queries("q99_seq_packing")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bins within a shard are consecutive from 0 (greedy contiguous fill)
+    packs.groupBy(_._1).foreach { case (shard, rows) =>
+      val bins = rows.map(_._2).sorted.toSeq
+      assert(bins == (0L until bins.size).toSeq, s"shard $shard bins $bins")
+    }
+    // every bin except a shard's last must have crossed the 2048 budget
+    // (otherwise the next doc would have started in it)
+    packs.groupBy(_._1).foreach { case (shard, rows) =>
+      val last = rows.map(_._2).max
+      rows.filter(_._2 != last).foreach { case (_, bin, _, sum) =>
+        assert(sum >= 2048, s"shard $shard bin $bin closed early at $sum")
+      }
+    }
+  }
 }
