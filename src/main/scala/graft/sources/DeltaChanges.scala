@@ -140,15 +140,22 @@ object DeltaChanges {
 
     val snap = DeltaLog.snapshot(spark, tablePath, Some(version))
     val schema = snap.schema
-    // mapping-aware: physical-named parquet must not silently read NULL
-    def readFiles(paths: Seq[String]): DataFrame =
-      DeltaLog.scanFiles(spark, snap,
+    // mapping-aware: physical-named parquet must not silently read NULL.
+    // Removed files read under the PRE-commit snapshot: a merge-on-read
+    // DELETE re-adds the same path with a bigger deletion vector, and
+    // the diff is only right when the removed side applies the OLD
+    // vector and the added side the new one.
+    def readFiles(snapAt: DeltaLog.Snapshot, paths: Seq[String]): DataFrame =
+      DeltaLog.scanFiles(spark, snapAt,
         paths.map(p => new org.apache.hadoop.fs.Path(tablePath,
           java.net.URLDecoder.decode(p, "UTF-8")).toString))
+    val prevSnap =
+      if (removed.isEmpty) snap
+      else DeltaLog.snapshot(spark, tablePath, Some(version - 1))
     val cols = schema.fieldNames.toSeq
-    val weighted = readFiles(removed.toSeq)
+    val weighted = readFiles(prevSnap, removed.toSeq)
       .select(cols.map(col) :+ lit(-1L).as("__w"): _*)
-      .unionByName(readFiles(added.toSeq)
+      .unionByName(readFiles(snap, added.toSeq)
         .select(cols.map(col) :+ lit(1L).as("__w"): _*))
     weighted.groupBy(cols.map(col): _*).agg(sum("__w").as("__d"))
       .filter(col("__d") =!= 0L)

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, input_file_name, not, when}
+import org.apache.spark.sql.functions.{col, expr, not, when}
 
 /** Copy-on-write UPDATE / DELETE over [[DeltaLog]] tables — the DML the
   * reference REPL dispatches to its engine (query_sync_table.py:123-125)
@@ -21,7 +21,11 @@ object DeltaDml {
   final case class DmlResult(version: Long, rewrittenFiles: Int, affectedRows: Long)
 
   def delete(spark: SparkSession, tablePath: String, condition: Column): DmlResult =
-    rewrite(spark, tablePath, condition, df => df.filter(not(condition)),
+    // delta.enableDeletionVectors=true switches DELETE to merge-on-read
+    // (positions to a sidecar, no data rewrite) — see [[DeltaDv]].
+    if (DeltaDv.enabled(DeltaLog.snapshot(spark, tablePath).configuration))
+      DeltaDv.delete(spark, tablePath, condition)
+    else rewrite(spark, tablePath, condition, df => df.filter(not(condition)),
       operation = "DELETE",
       cdcOf = hit => hit.filter(condition)
         .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
@@ -63,7 +67,6 @@ object DeltaDml {
       cdcOf: DataFrame => DataFrame): DmlResult = {
     val snap = DeltaLog.snapshot(spark, tablePath)
     DeltaLog.checkWritable(snap)
-    val df = DeltaLog.read(spark, tablePath)
 
     // Map absolute scan URIs back to the log's relative paths.
     val uriToRel: Map[String, String] =
@@ -71,11 +74,14 @@ object DeltaDml {
         val abs = new Path(tablePath,
           java.net.URLDecoder.decode(a.path, "UTF-8"))
         abs.getFileSystem(spark.sessionState.newHadoopConf())
-          .makeQualified(abs).toUri.toString -> a.path
+          .makeQualified(abs).toString -> a.path
       }.toMap
 
-    val hitUris = df.filter(condition).select(input_file_name().as("f"))
-      .distinct().collect().map(_.getString(0)) // file names only: metadata-scale
+    val hitUris =
+      if (snap.files.isEmpty) Array.empty[String]
+      else DeltaLog.scanFilesWithMeta(spark, snap, snap.filePaths)
+        .filter(condition).select(col("__file"))
+        .distinct().collect().map(_.getString(0)) // file names only: metadata-scale
     if (hitUris.isEmpty)
       return DmlResult(snap.version, 0, 0L)
     val hitRel = hitUris.toSeq.map(u => uriToRel.getOrElse(u,
@@ -140,26 +146,28 @@ object DeltaDml {
         val abs = new Path(tablePath,
           java.net.URLDecoder.decode(a.path, "UTF-8"))
         abs.getFileSystem(spark.sessionState.newHadoopConf())
-          .makeQualified(abs).toUri.toString -> a.path
+          .makeQualified(abs).toString -> a.path
       }.toMap
 
     // Files containing at least one row a matched CLAUSE will act on
     // (file names only come back to the driver, never data). The gate
     // matters: a match with no applicable update/delete clause changes
     // nothing, and rewriting its file would turn an insert-only merge
-    // into a spurious full-file rewrite. input_file_name() is captured
-    // as a column AT THE SCAN, before the join: evaluated after a
-    // shuffle it returns "" — which would break hit detection for any
-    // source too large to broadcast (sort-merge/shuffle-hash joins),
-    // exactly the at-scale case.
+    // into a spurious full-file rewrite. Provenance comes from the
+    // scan's `__file` metadata COLUMN (scanFilesWithMeta), which
+    // survives any join strategy — input_file_name() evaluated after a
+    // shuffle returns "", which would break hit detection for any
+    // source too large to broadcast, exactly the at-scale case.
     import org.apache.spark.sql.functions.lit
     val updGate =
       if (matchedUpdate.nonEmpty) matchedUpdateCond.getOrElse(lit(true))
       else lit(false)
     val actGate = matchedDelete.foldLeft(updGate)(_ || _)
     val hitUris =
-      if (matchedUpdate.isEmpty && matchedDelete.isEmpty) Array.empty[String]
-      else target.withColumn("__file", input_file_name()).alias("t")
+      if ((matchedUpdate.isEmpty && matchedDelete.isEmpty) || snap.files.isEmpty)
+        Array.empty[String]
+      else DeltaLog.scanFilesWithMeta(spark, snap, snap.filePaths)
+        .drop("__pos").alias("t")
         .join(source.alias("s"), condition && actGate)
         .select(col("t.__file")).distinct()
         .collect().map(_.getString(0))

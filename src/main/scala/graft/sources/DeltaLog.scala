@@ -25,17 +25,31 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * surviving parquet file list to the distributed scan. Filters and
   * column pruning push into that scan as with any parquet read.
   *
-  * Scope (checked, not assumed): reader version 1 tables — no deletion
-  * vectors, no column mapping. Partitioned tables are supported via
+  * Scope (checked, not assumed): reader versions 1-3 — version 2's
+  * column mapping in `name` mode, version 3's deletion vectors via
+  * path-typed parquet sidecars ([[DvDescriptor]]); anything else is
+  * rejected rather than misread. Partitioned tables are supported via
   * hive-style file layout (`col=val/part-….parquet`), which is what
   * [[DeltaWrite]] and Spark's own `partitionBy` produce.
   */
 object DeltaLog {
 
+  /** A deletion vector attached to a live file (merge-on-read deletes):
+    * `path` is the sidecar as recorded (`pathOrInlineDv`, table-relative
+    * or absolute), `cardinality` the number of deleted positions.
+    * Deviation from Delta's physical encoding (documented): the sidecar
+    * is a parquet of `(file STRING, pos BIGINT)` deleted row positions
+    * (storageType `p`), not a roaring-bitmap bin — the LOGICAL
+    * merge-on-read contract (scan = file rows minus DV positions, DV
+    * replaced atomically with its add entry) is the protocol's. */
+  final case class DvDescriptor(path: String, cardinality: Long)
+
   /** One live data file in a snapshot. `path` is as recorded in the log
     * (relative, percent-encoded per protocol); `stats` is the raw
-    * `add.stats` JSON when the writer recorded one (see DataSkipping). */
-  final case class AddEntry(path: String, size: Long, stats: Option[String] = None)
+    * `add.stats` JSON when the writer recorded one (see DataSkipping);
+    * `dv` is the file's deletion vector, if any. */
+  final case class AddEntry(path: String, size: Long,
+      stats: Option[String] = None, dv: Option[DvDescriptor] = None)
 
   final case class Snapshot(
       version: Long,
@@ -86,14 +100,34 @@ object DeltaLog {
     * table directory (shallow clones) — they are read in per-origin
     * groups, each with its own basePath. */
   private[sources] def scanFiles(spark: SparkSession, snap: Snapshot,
+      paths: Seq[String]): DataFrame =
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), snap.schema)
+    else {
+      val ordered = snap.schema.fieldNames.toIndexedSeq
+        .map(n => org.apache.spark.sql.functions.col(s"`$n`"))
+      scanFilesWithMeta(spark, snap, paths).select(ordered: _*)
+    }
+
+  /** [[scanFiles]] plus the physical provenance columns `__file`
+    * (qualified file URI) and `__pos` (row index within the file) —
+    * what DML hit detection and deletion-vector writes key on. */
+  private[sources] def scanFilesWithMeta(spark: SparkSession, snap: Snapshot,
       paths: Seq[String]): DataFrame = {
     val mode = snap.columnMappingMode
     if (mode != "none" && mode != "name")
       throw new UnsupportedOperationException(
         s"column mapping mode '$mode' not supported (name mode only)")
-    if (paths.isEmpty)
-      return spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), snap.schema)
+    require(paths.nonEmpty, "scanFilesWithMeta needs at least one file")
+    import org.apache.spark.sql.functions.col
+    // Hive partition discovery may reorder partition columns to the end
+    // of a group's output — every group is pinned to the snapshot's
+    // column order (plus the provenance columns, taken from the scan's
+    // _metadata before any projection) so unions and positional
+    // consumers see ONE deterministic schema regardless of file layout.
+    val metaCols = Seq(col("_metadata.file_path").as("__file"),
+      col("_metadata.row_index").as("__pos"))
     def readGroup(base: String, ps: Seq[String]): DataFrame =
       if (mode == "name") {
         val physical = StructType(snap.schema.fields.map { f =>
@@ -106,21 +140,54 @@ object DeltaLog {
         val raw = spark.read.schema(physical)
           .option("basePath", base).parquet(ps: _*)
         raw.select(physical.fields.zip(snap.schema.fields).map {
-          case (p, l) => org.apache.spark.sql.functions.col(s"`${p.name}`").as(l.name)
-        }.toIndexedSeq: _*)
+          case (p, l) => col(s"`${p.name}`").as(l.name)
+        }.toIndexedSeq ++ metaCols: _*)
       } else {
         spark.read.schema(snap.schema)
           .option("basePath", base).parquet(ps: _*)
+          .select(snap.schema.fieldNames.toIndexedSeq.map(n => col(s"`$n`")) ++
+            metaCols: _*)
       }
-    // Hive partition discovery may reorder partition columns to the end
-    // of a group's output — pin every group to the snapshot's column
-    // order so unions and positional consumers see ONE deterministic
-    // schema regardless of file layout.
-    val ordered = snap.schema.fieldNames.toIndexedSeq
-      .map(n => org.apache.spark.sql.functions.col(s"`$n`"))
-    paths.groupBy(fileTableRoot).toSeq.sortBy(_._1)
-      .map { case (root, ps) => readGroup(root, ps).select(ordered: _*) }
-      .reduce(_ unionByName _)
+    def readAll(ps: Seq[String]): DataFrame =
+      ps.groupBy(fileTableRoot).toSeq.sortBy(_._1)
+        .map { case (root, group) => readGroup(root, group) }
+        .reduce(_ unionByName _)
+
+    // Merge-on-read: files carrying a deletion vector are scanned with
+    // their physical row index and anti-joined against the DV sidecar
+    // rows (file, pos) — fully distributed, positions never transit the
+    // driver, and the join probe side is bounded by DELETED rows, not
+    // the table.
+    // Callers hand over either plain absolute paths (snapshot file
+    // lists) or qualified URIs (provenance-column round trips) —
+    // canonicalize both sides before matching.
+    val hconf = spark.sessionState.newHadoopConf()
+    def canon(p: String): String = {
+      val hp = new Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp).toString
+    }
+    val dvByCanon: Map[String, String] = snap.files.flatMap { a =>
+      a.dv.map { d =>
+        val abs = new Path(snap.tablePath,
+          java.net.URLDecoder.decode(a.path, "UTF-8")).toString
+        canon(abs) -> new Path(snap.tablePath, d.path).toString
+      }
+    }.toMap
+    val (dvPaths, plainPaths) = paths.partition(p => dvByCanon.contains(canon(p)))
+    if (dvPaths.isEmpty) readAll(plainPaths)
+    else {
+      if (mode != "none") throw new UnsupportedOperationException(
+        "deletion vectors on a column-mapped table are not supported")
+      val sidecars = dvPaths.map(p => dvByCanon(canon(p))).distinct
+      val dvRows = spark.read.schema("file STRING, pos BIGINT")
+        .parquet(sidecars: _*).toDF("__dv_file", "__dv_pos")
+      val withMeta = readAll(dvPaths)
+      val filtered = withMeta.join(dvRows,
+          withMeta("__file") === dvRows("__dv_file") &&
+            withMeta("__pos") === dvRows("__dv_pos"), "left_anti")
+      if (plainPaths.isEmpty) filtered
+      else readAll(plainPaths).unionByName(filtered)
+    }
   }
 
   private val mapper = new ObjectMapper()
@@ -234,13 +301,20 @@ object DeltaLog {
           wanted.zipWithIndex.foreach {
             case ("add", i) if !r.isNullAt(i) =>
               val a = r.getStruct(i)
-              checkNoDeletionVector(a)
               val path = a.getAs[String]("path")
               val stats =
                 if (a.schema.fieldNames.contains("stats"))
                   Option(a.getAs[String]("stats"))
                 else None
-              live(path) = AddEntry(path, a.getAs[Long]("size"), stats)
+              val dv =
+                if (a.schema.fieldNames.contains("deletionVector") &&
+                    a.getAs[AnyRef]("deletionVector") != null) {
+                  val d = a.getAs[Row]("deletionVector")
+                  checkDvStorage(d.getAs[String]("storageType"))
+                  Some(DvDescriptor(d.getAs[String]("pathOrInlineDv"),
+                    d.getAs[Long]("cardinality")))
+                } else None
+              live(path) = AddEntry(path, a.getAs[Long]("size"), stats, dv)
             case ("metaData", i) if !r.isNullAt(i) =>
               val m = r.getStruct(i)
               schemaString = m.getAs[String]("schemaString")
@@ -274,14 +348,18 @@ object DeltaLog {
             val add = node.get("add"); val rm = node.get("remove")
             val md = node.get("metaData"); val proto = node.get("protocol")
             if (add != null) {
-              if (add.hasNonNull("deletionVector"))
-                throw new UnsupportedOperationException(
-                  "deletion vectors not supported (reader version 1 scope)")
               val p = add.get("path").asText()
               val stats =
                 if (add.hasNonNull("stats")) Some(add.get("stats").asText())
                 else None
-              live(p) = AddEntry(p, add.get("size").asLong(), stats)
+              val dv =
+                if (add.hasNonNull("deletionVector")) {
+                  val d = add.get("deletionVector")
+                  checkDvStorage(d.get("storageType").asText())
+                  Some(DvDescriptor(d.get("pathOrInlineDv").asText(),
+                    d.get("cardinality").asLong()))
+                } else None
+              live(p) = AddEntry(p, add.get("size").asLong(), stats, dv)
             }
             if (rm != null) live.remove(rm.get("path").asText())
             if (md != null) {
@@ -384,18 +462,21 @@ object DeltaLog {
         "mapped tables but does not write them")
   }
 
-  /** Reader versions 1 and 2 are in scope (2 adds column mapping, which
-    * read() handles in name mode); version 3's table-feature lists are
-    * not — rejected rather than misread. */
+  /** Reader versions 1-3 are in scope (2 adds column mapping, which
+    * read() handles in name mode; 3 adds deletion vectors, which
+    * scanFiles applies); higher versions are rejected rather than
+    * misread. */
   private def checkProtocol(minReader: Int): Unit =
-    if (minReader > 2) throw new UnsupportedOperationException(
-      s"Delta reader protocol $minReader not supported (this reader implements versions 1-2)")
+    if (minReader > 3) throw new UnsupportedOperationException(
+      s"Delta reader protocol $minReader not supported (this reader implements versions 1-3)")
 
-  private def checkNoDeletionVector(add: Row): Unit =
-    if (add.schema.fieldNames.contains("deletionVector") &&
-        add.getAs[AnyRef]("deletionVector") != null)
-      throw new UnsupportedOperationException(
-        "deletion vectors not supported (reader version 1 scope)")
+  /** Only path-typed DV sidecars are readable (`p`); inline (`i`) and
+    * uuid-relative (`u`) encodings carry roaring bitmaps this engine
+    * does not parse — reject, never misread as zero deletions. */
+  private def checkDvStorage(storageType: String): Unit =
+    if (storageType != "p") throw new UnsupportedOperationException(
+      s"deletion vector storageType '$storageType' not supported " +
+        "(path-typed parquet sidecars only)")
 
   private def jsonArray(n: JsonNode): Seq[JsonNode] =
     if (n == null) Nil

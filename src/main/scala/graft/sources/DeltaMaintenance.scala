@@ -42,15 +42,19 @@ object DeltaMaintenance {
     val old = DeltaLog.snapshot(spark, tablePath, Some(version))
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     val missing = old.files.filterNot { a =>
-      fs.exists(new Path(tablePath, java.net.URLDecoder.decode(a.path, "UTF-8")))
+      fs.exists(new Path(tablePath, java.net.URLDecoder.decode(a.path, "UTF-8"))) &&
+        a.dv.forall(d => fs.exists(new Path(tablePath, d.path)))
     }
     if (missing.nonEmpty) throw new IllegalStateException(
       s"cannot restore $tablePath to version $version: ${missing.size} " +
         s"file(s) were vacuumed (first: ${missing.head.path})")
     val oldPaths = old.files.map(_.path).toSet
-    val curPaths = current.files.map(_.path).toSet
+    val curByPath = current.files.map(f => f.path -> f).toMap
     val removes = current.files.filterNot(f => oldPaths(f.path)).map(_.path)
-    val readds = old.files.filterNot(f => curPaths(f.path))
+    // Re-add when the whole ENTRY differs, not just when the path is
+    // new: a merge-on-read DELETE changes only a file's deletion
+    // vector, and restoring past it must reinstate the old DV state.
+    val readds = old.files.filterNot(f => curByPath.get(f.path).contains(f))
     val actions = DeltaWrite.metaDataAction(old.schema, old.partitionColumns,
       old.configuration, current.metaDataId) +:
       (removes.map(DeltaWrite.removeAction) ++ readds.map(DeltaWrite.addAction))
@@ -94,8 +98,11 @@ object DeltaMaintenance {
       throw new IllegalStateException(s"Delta table already exists: $targetPath")
     val srcRoot = new Path(sourcePath)
     val adds = snap.files.map { a =>
-      a.copy(path = new Path(srcRoot,
-        java.net.URLDecoder.decode(a.path, "UTF-8")).toString)
+      a.copy(
+        path = new Path(srcRoot,
+          java.net.URLDecoder.decode(a.path, "UTF-8")).toString,
+        // DV sidecars are source-relative too — absolutize alongside
+        dv = a.dv.map(d => d.copy(path = new Path(srcRoot, d.path).toString)))
     }
     val actions = DeltaWrite.protocolAction() +:
       DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
@@ -260,8 +267,13 @@ object DeltaMaintenance {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val snap = DeltaLog.snapshot(spark, tablePath)
-    val live = snap.files.map(a =>
-      new Path(tablePath, java.net.URLDecoder.decode(a.path, "UTF-8"))).map(
+    // Live set covers data files AND the deletion-vector sidecars their
+    // descriptors reference — a vacuumed live sidecar would silently
+    // resurrect deleted rows. Superseded sidecars (no live descriptor)
+    // age out through the normal tombstone/mtime path.
+    val live = (snap.files.map(a =>
+      new Path(tablePath, java.net.URLDecoder.decode(a.path, "UTF-8"))) ++
+      snap.files.flatMap(_.dv).map(d => new Path(tablePath, d.path))).map(
       p => fs.makeQualified(p).toString).toSet
     // Retention counts from the DELETION time recorded on the remove
     // action (Delta semantics): a file created a year ago but tombstoned

@@ -189,7 +189,11 @@ object DeltaWrite {
         StructField("dataChange", BooleanType),
         StructField("modificationTime", LongType),
         StructField("stats", StringType),
-        StructField("partitionValues", MapType(StringType, StringType))))),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("cardinality", LongType))))))),
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType)))),
@@ -202,8 +206,9 @@ object DeltaWrite {
     // txn state rides in the checkpoint (protocol requirement): without
     // it, checkpoint + log cleanup would FORGET which streaming batches
     // committed, and a restarted sink would re-apply them.
+    val hasDv = snap.files.exists(_.dv.isDefined)
     val header: Seq[Row] =
-      Seq(Row(null, Row(1, 2), null, null),
+      Seq(Row(null, Row(if (hasDv) 3 else 1, if (hasDv) 7 else 2), null, null),
         Row(null, null, Row(
           snap.metaDataId.getOrElse(java.util.UUID.randomUUID().toString),
           snap.schema.json, snap.partitionColumns, snap.configuration), null)) ++
@@ -215,7 +220,8 @@ object DeltaWrite {
     // the hive path — an empty map would misread partitioned tables.
     val addRows = snap.files.map(a =>
       Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
-        partitionValuesMap(a.path)), null, null, null))
+        partitionValuesMap(a.path),
+        a.dv.map(d => Row("p", d.path, d.cardinality)).orNull), null, null, null))
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
 
@@ -317,6 +323,11 @@ object DeltaWrite {
       .put("path", a.path).put("size", a.size)
       .put("modificationTime", 0L).put("dataChange", true)
     a.stats.foreach(add.put("stats", _))
+    a.dv.foreach { d =>
+      add.set[ObjectNode]("deletionVector", mapper.createObjectNode()
+        .put("storageType", "p").put("pathOrInlineDv", d.path)
+        .put("cardinality", d.cardinality))
+    }
     add.set[ObjectNode]("partitionValues", partitionValuesOf(a.path))
     n.set[ObjectNode]("add", add)
     n
@@ -449,6 +460,20 @@ object DeltaWrite {
     val n = mapper.createObjectNode()
     n.set[ObjectNode]("protocol", mapper.createObjectNode()
       .put("minReaderVersion", 1).put("minWriterVersion", 2))
+    n
+  }
+
+  /** The table-features protocol form (reader 3 / writer 7) a
+    * deletion-vector commit must record, per the public protocol. */
+  private[sources] def dvProtocolAction(): ObjectNode = {
+    val n = mapper.createObjectNode()
+    val p = mapper.createObjectNode()
+      .put("minReaderVersion", 3).put("minWriterVersion", 7)
+    val rf = JsonNodeFactory.instance.arrayNode(); rf.add("deletionVectors")
+    val wf = JsonNodeFactory.instance.arrayNode(); wf.add("deletionVectors")
+    p.set[com.fasterxml.jackson.databind.node.ArrayNode]("readerFeatures", rf)
+    p.set[com.fasterxml.jackson.databind.node.ArrayNode]("writerFeatures", wf)
+    n.set[ObjectNode]("protocol", p)
     n
   }
 

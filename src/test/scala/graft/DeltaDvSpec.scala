@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaCdf, DeltaChanges, DeltaDml, DeltaDv, DeltaLog, DeltaMaintenance, DeltaWrite}
+
+/** Deletion-vector (merge-on-read DELETE) specs: no-rewrite deletes,
+  * vector merging, time travel and RESTORE across DV-only changes,
+  * copy-on-write interplay (UPDATE/OPTIMIZE purge vectors), checkpoint
+  * round-trip, vacuum safety, CDF and multiset-diff change feeds, and
+  * the protocol/feature gates. */
+class DeltaDvSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dv-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-dv").resolve("t").toString
+
+  /** (id, s) rows of a table, sorted. */
+  private def rows(t: String): Seq[(Int, String)] = {
+    import spark.implicits._
+    DeltaLog.read(spark, t).as[(Int, String)].collect().sorted.toSeq
+  }
+
+  private def dataFilePaths(t: String): Set[String] =
+    DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+
+  private def newDvTable(): String = {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write(
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "s").coalesce(1), t)
+    DeltaMaintenance.setTblProperties(spark, t, Map(DeltaDv.Property -> "true"))
+    t
+  }
+
+  test("MOR delete removes rows WITHOUT rewriting data files; history " +
+    "time-travels; a second delete merges positions") {
+    val t = newDvTable()
+    val before = dataFilePaths(t)
+    val r = DeltaDml.delete(spark, t, col("id") === 2)
+    assert(r.affectedRows == 1L && r.rewrittenFiles == 0)
+    assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")))
+    assert(dataFilePaths(t) == before, "data files must be untouched")
+    val dv = DeltaLog.snapshot(spark, t).files.flatMap(_.dv)
+    assert(dv.map(_.cardinality) == Seq(1L))
+
+    // second delete on the SAME file: positions union, cardinality grows
+    val r2 = DeltaDml.delete(spark, t, col("id") >= 3)
+    assert(r2.affectedRows == 2L)
+    assert(rows(t) == Seq((1, "a")))
+    val dv2 = DeltaLog.snapshot(spark, t).files.flatMap(_.dv)
+    assert(dv2.map(_.cardinality) == Seq(3L))
+
+    // time travel sees every pre-delete state
+    import spark.implicits._
+    assert(DeltaLog.read(spark, t, Some(r.version)).as[(Int, String)]
+      .collect().sorted.toSeq == Seq((1, "a"), (3, "c"), (4, "d")))
+    assert(DeltaLog.read(spark, t, Some(0L)).count() == 4)
+
+    // deleting nothing commits nothing
+    val r3 = DeltaDml.delete(spark, t, col("id") === 99)
+    assert(r3.version == r2.version && r3.affectedRows == 0L)
+  }
+
+  test("UPDATE (copy-on-write) on a vectored file purges the vector and " +
+    "never resurrects deleted rows; OPTIMIZE does the same") {
+    val t = newDvTable()
+    DeltaDml.delete(spark, t, col("id") === 2)
+    DeltaDml.update(spark, t, col("id") === 1, Seq("s" -> lit("A")))
+    assert(rows(t) == Seq((1, "A"), (3, "c"), (4, "d")))
+    assert(DeltaLog.snapshot(spark, t).files.flatMap(_.dv).isEmpty,
+      "rewrite must retire the descriptor")
+
+    val t2 = newDvTable()
+    import spark.implicits._
+    DeltaWrite.write(Seq((5, "e")).toDF("id", "s"), t2, SaveMode.Append)
+    DeltaDml.delete(spark, t2, col("id") === 3)
+    DeltaMaintenance.compact(spark, t2, smallFileBytes = 1L << 30)
+    assert(rows(t2) == Seq((1, "a"), (2, "b"), (4, "d"), (5, "e")))
+    assert(DeltaLog.snapshot(spark, t2).files.flatMap(_.dv).isEmpty)
+  }
+
+  test("RESTORE reinstates the pre-delete DV state even though file " +
+    "paths never changed") {
+    val t = newDvTable()
+    val v0 = DeltaLog.latestVersion(spark, t)
+    DeltaDml.delete(spark, t, col("id") === 2)
+    DeltaMaintenance.restore(spark, t, v0)
+    assert(rows(t) == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+  }
+
+  test("checkpoint round-trips descriptors; vacuum never deletes a live " +
+    "sidecar but collects superseded ones") {
+    val t = newDvTable()
+    DeltaDml.delete(spark, t, col("id") === 2) // sidecar 1
+    DeltaWrite.checkpoint(spark, t)
+    DeltaMaintenance.cleanupLog(spark, t)
+    graft.Tables.invalidate()
+    assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")),
+      "descriptor must survive checkpoint bootstrap")
+
+    DeltaDml.delete(spark, t, col("id") === 3) // sidecar 2 supersedes 1
+    val deleted = DeltaMaintenance.vacuum(spark, t, retainMs = 0L)
+    assert(deleted >= 1, "superseded sidecar should be vacuumable")
+    assert(rows(t) == Seq((1, "a"), (4, "d")), "live sidecar must survive")
+  }
+
+  test("change feeds see MOR deletes: cdc images when CDF is on, the " +
+    "multiset diff when not") {
+    // without CDF: rowChanges diffs old-DV vs new-DV states
+    val t = newDvTable()
+    val r = DeltaDml.delete(spark, t, col("id") === 2)
+    val diff = DeltaChanges.rowChanges(spark, t, r.version)
+      .select("id", "_change_type").collect()
+      .map(x => (x.getInt(0), x.getString(1))).toSeq
+    assert(diff == Seq((2, "delete")))
+
+    // with CDF: exact delete images in cdc files
+    val t2 = newDvTable()
+    DeltaMaintenance.setTblProperties(spark, t2, Map(DeltaCdf.Property -> "true"))
+    val r2 = DeltaDml.delete(spark, t2, col("id") >= 3)
+    val feed = DeltaCdf.tableChanges(spark, t2, r2.version, Some(r2.version))
+      .select("id", "_change_type").collect()
+      .map(x => (x.getInt(0), x.getString(1))).toSeq.sorted
+    assert(feed == Seq((3, "delete"), (4, "delete")))
+  }
+
+  test("shallow clone of a vectored table keeps deletes; protocol gates: " +
+    "reader v3 accepted, v4 rejected, foreign DV encodings rejected") {
+    val t = newDvTable()
+    DeltaDml.delete(spark, t, col("id") === 2)
+    val c = tmpTable()
+    DeltaMaintenance.shallowClone(spark, t, c)
+    assert(rows(c) == Seq((1, "a"), (3, "c"), (4, "d")))
+
+    // protocol v4 unreadable; a 'u'-typed (roaring bitmap) DV rejected
+    val fs = DeltaLog.logDir(t).getFileSystem(spark.sessionState.newHadoopConf())
+    def writeTable(lines: Seq[String]): String = {
+      val p = tmpTable()
+      val dir = DeltaLog.logDir(p)
+      fs.mkdirs(dir)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"${0L}%020d.json"), true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+      p
+    }
+    val schemaJson = DeltaLog.snapshot(spark, t).schema.json
+      .replace("\"", "\\\"")
+    val v4 = writeTable(Seq(
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""",
+      s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))
+    intercept[UnsupportedOperationException] { DeltaLog.snapshot(spark, v4) }
+    val uDv = writeTable(Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"f.parquet","size":1,"dataChange":true,"partitionValues":{},"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-EGao","sizeInBytes":40,"cardinality":6}}}"""))
+    intercept[UnsupportedOperationException] { DeltaLog.snapshot(spark, uDv) }
+  }
+}

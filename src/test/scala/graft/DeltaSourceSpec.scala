@@ -194,18 +194,25 @@ class DeltaSourceSpec extends AnyFunSuite {
       nation.filter(col("n_regionkey") === 0).count())
   }
 
-  test("unsupported reader protocol is rejected, not misread") {
+  test("unsupported reader protocol is rejected, not misread; the v3 " +
+    "feature protocol a DV writer records stays readable") {
     val t = tmpTable()
     import spark.implicits._
     DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
-    // Hand-write a protocol upgrade action the way a DV-enabled writer would.
     val dir = DeltaLog.logDir(t)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // the protocol upgrade a deletion-vector writer records: in scope
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, f"${1L}%020d.json"), false)
     out.write(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
         .getBytes("UTF-8"))
     out.close()
+    assert(DeltaLog.read(spark, t).count() == 1)
+    // a FUTURE reader version is rejected, never misread
+    val out2 = fs.create(new org.apache.hadoop.fs.Path(dir, f"${2L}%020d.json"), false)
+    out2.write(
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":8}}""".getBytes("UTF-8"))
+    out2.close()
     intercept[UnsupportedOperationException] { DeltaLog.read(spark, t) }
   }
 
