@@ -41,6 +41,8 @@ object DeltaDml {
     * rows and `SET a=b, b=a` would not swap). */
   def update(spark: SparkSession, tablePath: String, condition: Column,
       assignments: Seq[(String, Column)]): DmlResult = {
+    if (DeltaDv.enabled(DeltaLog.snapshot(spark, tablePath).configuration))
+      return DeltaDv.update(spark, tablePath, condition, assignments)
     val byName = assignments.toMap
     def applied(df: DataFrame): DataFrame =
       df.select(df.columns.toIndexedSeq.map { c =>

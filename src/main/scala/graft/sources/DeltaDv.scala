@@ -23,9 +23,11 @@ import graft.sources.DeltaDml.DmlResult
   * into the new sidecar (a file's descriptor always points at its
   * complete deletion set; the superseded sidecar becomes vacuumable).
   *
-  * UPDATE / MERGE / OPTIMIZE stay copy-on-write: their rewrites read
-  * through the DV filter (purging deleted rows physically) and re-add
-  * files WITHOUT a descriptor, retiring the vector.
+  * UPDATE is merge-on-read too ([[update]]): old row versions are
+  * vectored out and only the UPDATED rows append as new files. MERGE
+  * and OPTIMIZE stay copy-on-write: their rewrites read through the DV
+  * filter (purging deleted rows physically) and re-add files WITHOUT a
+  * descriptor, retiring the vector.
   */
 object DeltaDv {
 
@@ -57,21 +59,17 @@ object DeltaDv {
     rel
   }
 
-  /** The merge-on-read DELETE. Called by [[DeltaDml.delete]] when the
-    * table property opts in. */
-  private[sources] def delete(spark: SparkSession, tablePath: String,
-      condition: org.apache.spark.sql.Column): DmlResult = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
-    DeltaLog.checkWritable(snap)
-    if (snap.files.isEmpty) return DmlResult(snap.version, 0, 0L)
-
-    val withMeta = DeltaLog.scanFilesWithMeta(spark, snap, snap.filePaths)
-    // Already-vectored rows are filtered by the scan, so `matched` is
-    // exactly the NEWLY deleted rows.
-    val matched = withMeta.filter(condition)
+  /** The vectorization common to MOR DELETE and UPDATE: given the
+    * matched rows (with provenance columns), stage ONE sidecar holding
+    * the hit files' complete deletion sets and return the remove /
+    * re-add-with-descriptor actions plus the newly-deleted row count.
+    * None when nothing matched. */
+  private def vectorize(spark: SparkSession, snap: DeltaLog.Snapshot,
+      tablePath: String, matched: DataFrame)
+      : Option[(Seq[com.fasterxml.jackson.databind.node.ObjectNode], Long)] = {
     val hitFiles = matched.select("__file").distinct()
       .collect().map(_.getString(0)) // metadata-scale
-    if (hitFiles.isEmpty) return DmlResult(snap.version, 0, 0L)
+    if (hitFiles.isEmpty) return None
 
     val hconf = spark.sessionState.newHadoopConf()
     def canon(p: String): String = {
@@ -104,22 +102,82 @@ object DeltaDv {
     val oldCards = hitEntries.map(_._2.dv.map(_.cardinality).getOrElse(0L)).sum
     val affected = cards.values.sum - oldCards
 
-    val cdcs =
-      if (!DeltaCdf.enabled(snap.configuration)) Nil
-      else DeltaCdf.writeCdcFiles(
-        matched.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
-          .withColumn("_change_type", lit("delete")), tablePath)
-        .map(DeltaCdf.cdcAction)
-
     // remove + re-add with the descriptor (adds AFTER removes — replay
-    // is line-ordered); the protocol upgrade rides in the same commit.
-    val actions = DeltaWrite.dvProtocolAction() +:
-      (hitEntries.map(e => DeltaWrite.removeAction(e._2.path)) ++
-        hitEntries.map { case (f, a) =>
-          DeltaWrite.addAction(a.copy(dv = Some(
-            DeltaLog.DvDescriptor(rel, cards.getOrElse(f, 0L)))))
-        } ++ cdcs)
-    val v = DeltaWrite.commit(spark, tablePath, actions, "DELETE")
-    DmlResult(v, 0, affected)
+    // is line-ordered)
+    val actions = hitEntries.map(e => DeltaWrite.removeAction(e._2.path)) ++
+      hitEntries.map { case (f, a) =>
+        DeltaWrite.addAction(a.copy(dv = Some(
+          DeltaLog.DvDescriptor(rel, cards.getOrElse(f, 0L)))))
+      }
+    Some((actions, affected))
+  }
+
+  /** The merge-on-read DELETE. Called by [[DeltaDml.delete]] when the
+    * table property opts in. */
+  private[sources] def delete(spark: SparkSession, tablePath: String,
+      condition: org.apache.spark.sql.Column): DmlResult = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap)
+    if (snap.files.isEmpty) return DmlResult(snap.version, 0, 0L)
+
+    val withMeta = DeltaLog.scanFilesWithMeta(spark, snap, snap.filePaths)
+    // Already-vectored rows are filtered by the scan, so `matched` is
+    // exactly the NEWLY deleted rows.
+    val matched = withMeta.filter(condition)
+    vectorize(spark, snap, tablePath, matched) match {
+      case None => DmlResult(snap.version, 0, 0L)
+      case Some((dvActions, affected)) =>
+        val cdcs =
+          if (!DeltaCdf.enabled(snap.configuration)) Nil
+          else DeltaCdf.writeCdcFiles(
+            matched.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+              .withColumn("_change_type", lit("delete")), tablePath)
+            .map(DeltaCdf.cdcAction)
+        val v = DeltaWrite.commit(spark, tablePath,
+          DeltaWrite.dvProtocolAction() +: (dvActions ++ cdcs), "DELETE")
+        DmlResult(v, 0, affected)
+    }
+  }
+
+  /** Merge-on-read UPDATE: the matched rows' OLD versions are vectored
+    * out of their files and the UPDATED versions append as new files —
+    * cost proportional to updated ROWS, not hit files (a one-row update
+    * in a 1 GB file writes a one-row file plus a one-position sidecar).
+    * Called by [[DeltaDml.update]] when the table property opts in. */
+  private[sources] def update(spark: SparkSession, tablePath: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)]): DmlResult = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap)
+    if (snap.files.isEmpty) return DmlResult(snap.version, 0, 0L)
+
+    val withMeta = DeltaLog.scanFilesWithMeta(spark, snap, snap.filePaths)
+    val matched = withMeta.filter(condition)
+    vectorize(spark, snap, tablePath, matched) match {
+      case None => DmlResult(snap.version, 0, 0L)
+      case Some((dvActions, affected)) =>
+        val byName = assignments.toMap
+        // SET expressions evaluate against the OLD row, all at once
+        // (same projection rule as the copy-on-write path).
+        val updated = matched.select(snap.schema.fieldNames.toIndexedSeq.map { c =>
+          byName.get(c).map(_.as(c)).getOrElse(col(c))
+        }: _*)
+        val adds = DeltaWrite.writeDataFiles(updated, tablePath,
+          snap.partitionColumns)
+        DeltaConstraints.enforceStaged(spark, tablePath, adds, snap.schema,
+          snap.configuration)
+        val cdcs =
+          if (!DeltaCdf.enabled(snap.configuration)) Nil
+          else DeltaCdf.writeCdcFiles(
+            matched.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionByName(updated
+                .withColumn("_change_type", lit("update_postimage"))), tablePath)
+            .map(DeltaCdf.cdcAction)
+        val v = DeltaWrite.commit(spark, tablePath,
+          DeltaWrite.dvProtocolAction() +:
+            (dvActions ++ adds.map(DeltaWrite.addAction) ++ cdcs), "UPDATE")
+        DmlResult(v, 0, affected)
+    }
   }
 }

@@ -73,22 +73,29 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(r3.version == r2.version && r3.affectedRows == 0L)
   }
 
-  test("UPDATE (copy-on-write) on a vectored file purges the vector and " +
-    "never resurrects deleted rows; OPTIMIZE does the same") {
+  test("MOR UPDATE vectors old versions and appends only updated rows; " +
+    "OPTIMIZE purges vectors physically") {
     val t = newDvTable()
     DeltaDml.delete(spark, t, col("id") === 2)
-    DeltaDml.update(spark, t, col("id") === 1, Seq("s" -> lit("A")))
+    val before = dataFilePaths(t)
+    val r = DeltaDml.update(spark, t, col("id") === 1, Seq("s" -> lit("A")))
+    assert(r.affectedRows == 1L && r.rewrittenFiles == 0)
     assert(rows(t) == Seq((1, "A"), (3, "c"), (4, "d")))
-    assert(DeltaLog.snapshot(spark, t).files.flatMap(_.dv).isEmpty,
-      "rewrite must retire the descriptor")
-
-    val t2 = newDvTable()
+    val snap = DeltaLog.snapshot(spark, t)
+    // original file survives with BOTH positions vectored (delete + old
+    // version of the updated row); ONE new file holds the updated row
+    assert(snap.files.map(_.path).toSet.intersect(before) == before)
+    assert(snap.files.flatMap(_.dv).map(_.cardinality) == Seq(2L))
+    assert(snap.files.size == before.size + 1)
+    // time travel: pre-update still shows the old value
     import spark.implicits._
-    DeltaWrite.write(Seq((5, "e")).toDF("id", "s"), t2, SaveMode.Append)
-    DeltaDml.delete(spark, t2, col("id") === 3)
-    DeltaMaintenance.compact(spark, t2, smallFileBytes = 1L << 30)
-    assert(rows(t2) == Seq((1, "a"), (2, "b"), (4, "d"), (5, "e")))
-    assert(DeltaLog.snapshot(spark, t2).files.flatMap(_.dv).isEmpty)
+    assert(DeltaLog.read(spark, t, Some(r.version - 1)).as[(Int, String)]
+      .collect().toSet.contains((1, "a")))
+
+    // OPTIMIZE rewrites through the DV filter and retires descriptors
+    DeltaMaintenance.compact(spark, t, smallFileBytes = 1L << 30)
+    assert(rows(t) == Seq((1, "A"), (3, "c"), (4, "d")))
+    assert(DeltaLog.snapshot(spark, t).files.flatMap(_.dv).isEmpty)
   }
 
   test("RESTORE reinstates the pre-delete DV state even though file " +
@@ -126,7 +133,8 @@ class DeltaDvSpec extends AnyFunSuite {
       .map(x => (x.getInt(0), x.getString(1))).toSeq
     assert(diff == Seq((2, "delete")))
 
-    // with CDF: exact delete images in cdc files
+    // with CDF: exact delete images in cdc files; MOR update writes
+    // true pre/post images
     val t2 = newDvTable()
     DeltaMaintenance.setTblProperties(spark, t2, Map(DeltaCdf.Property -> "true"))
     val r2 = DeltaDml.delete(spark, t2, col("id") >= 3)
@@ -134,6 +142,11 @@ class DeltaDvSpec extends AnyFunSuite {
       .select("id", "_change_type").collect()
       .map(x => (x.getInt(0), x.getString(1))).toSeq.sorted
     assert(feed == Seq((3, "delete"), (4, "delete")))
+    val r3 = DeltaDml.update(spark, t2, col("id") === 1, Seq("s" -> lit("A")))
+    val upd = DeltaCdf.tableChanges(spark, t2, r3.version, Some(r3.version))
+      .select("id", "s", "_change_type").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2))).toSet
+    assert(upd == Set((1, "a", "update_preimage"), (1, "A", "update_postimage")))
   }
 
   test("shallow clone of a vectored table keeps deletes; protocol gates: " +
