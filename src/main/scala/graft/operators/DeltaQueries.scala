@@ -113,5 +113,30 @@ object DeltaQueries {
       Some("SELECT n_nationkey, CASE WHEN n_regionkey = 1 THEN lower(n_name) " +
         "ELSE n_name END AS n_name, n_regionkey FROM nation " +
         "WHERE n_regionkey != 0 ORDER BY n_nationkey"))
+    ,
+
+    // Merge-on-read DML: the same DELETE + UPDATE shape as q73 but
+    // through deletion vectors — no data file is rewritten, the scan
+    // reconstructs the state via the (file, row_index) anti-join, and
+    // the result still hash-matches the oracle exactly. The 100 TB
+    // point: q73's copy-on-write rewrites every hit file; this commits
+    // a sidecar of positions and appends only updated rows.
+    GraftQuery("q100_delta_mor_dml",
+      (s, d) => {
+        val t = java.nio.file.Files.createTempDirectory("graft-delta-mor")
+          .resolve("nation").toString
+        DeltaWrite.write(Tables.load(s, d, "nation"), t)
+        graft.sources.DeltaMaintenance.setTblProperties(s, t,
+          Map(graft.sources.DeltaDv.Property -> "true"))
+        DeltaDml.delete(s, t, col("n_regionkey") === 0)
+        DeltaDml.update(s, t, col("n_regionkey") === 1,
+          Seq("n_name" -> lower(col("n_name"))))
+        DeltaLog.read(s, t)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, CASE WHEN n_regionkey = 1 THEN lower(n_name) " +
+        "ELSE n_name END AS n_name, n_regionkey FROM nation " +
+        "WHERE n_regionkey != 0 ORDER BY n_nationkey"))
   )
 }
