@@ -138,7 +138,7 @@ object DeltaDml {
       matchedUpdateCond: Option[Column] = None,
       matchedDelete: Option[Column] = None,
       insert: Boolean = false): MergeResult = {
-    import org.apache.spark.sql.functions.{count, lit, max, monotonically_increasing_id, sum}
+    import org.apache.spark.sql.functions.{count, lit, max, sum}
     val snap = DeltaLog.snapshot(spark, tablePath)
     DeltaLog.checkWritable(snap)
     val target = DeltaLog.read(spark, tablePath)
@@ -192,16 +192,18 @@ object DeltaDml {
     val cdf = DeltaCdf.enabled(snap.configuration)
     var cached: Option[DataFrame] = None
     try {
-      val (rewritten, updated, deleted, hitChanges) =
-        if (hitUris.isEmpty) (None, 0L, 0L, None)
+      val (rewritten, updated, deleted, hitChanges, dvActed) =
+        if (hitUris.isEmpty) (None, 0L, 0L, None, None)
         else {
-          val hit = DeltaLog.scanFiles(spark, snap, hitUris.toIndexedSeq)
-            .withColumn("__rid", monotonically_increasing_id())
+          // (__file, __pos) is the stable physical row identity — it
+          // keys the ambiguity check deterministically and, on
+          // deletion-vector tables, becomes the vectorized position.
+          val hit = DeltaLog.scanFilesWithMeta(spark, snap, hitUris.toIndexedSeq)
           val marked = source.withColumn("__matched", lit(true))
           val joined = hit.alias("t").join(marked.alias("s"), condition, "left")
           joined.persist()
           cached = Some(joined)
-          val dup = joined.groupBy(col("__rid"))
+          val dup = joined.groupBy(col("t.__file"), col("t.__pos"))
             .agg(count(col("__matched")).as("m")).agg(max(col("m")))
             .head.getLong(0)
           if (dup > 1) throw new IllegalStateException(
@@ -237,11 +239,25 @@ object DeltaDml {
                 .unionByName(joined.filter(doUpdate).select(applied.toIndexedSeq: _*)
                   .withColumn("_change_type", lit("update_postimage"))))
             }
-          (Some(kept.select(applied.toIndexedSeq: _*)), nUpd, nDel, changes)
+          if (DeltaDv.enabled(snap.configuration)) {
+            // Merge-on-read: acted-on rows (deleted or updated) are
+            // vectored out of their files; ONLY the updated versions
+            // re-materialize (plus inserts) — untouched rows in hit
+            // files are never rewritten.
+            val acted = joined.filter(doDelete || doUpdate)
+              .select(col("t.__file").as("__file"), col("t.__pos").as("__pos"))
+            val updatedRows = joined.filter(doUpdate)
+              .select(applied.toIndexedSeq: _*)
+            (Some(updatedRows), nUpd, nDel, changes, Some(acted))
+          } else
+            (Some(kept.select(applied.toIndexedSeq: _*)), nUpd, nDel, changes, None)
         }
 
       val nIns = inserts.map(_.count()).getOrElse(0L)
-      val newData = (rewritten, inserts) match {
+      // In merge-on-read mode `rewritten` holds the UPDATED rows only;
+      // an acted-delete-only merge materializes no rewrite data at all.
+      val rewriteData = rewritten.filter(_ => dvActed.isEmpty || updated > 0)
+      val newData = (rewriteData, inserts) match {
         case (Some(r), Some(i)) if nIns > 0 => Some(r.unionByName(i))
         case (Some(r), _) => Some(r)
         case (None, Some(i)) if nIns > 0 => Some(i)
@@ -267,10 +283,21 @@ object DeltaDml {
             case _ => Nil
           }
         }.map(DeltaCdf.cdcAction)
-      val actions = hitRel.map(DeltaWrite.removeAction) ++
-        adds.map(DeltaWrite.addAction) ++ cdcs
+      val actions = dvActed match {
+        case Some(acted) =>
+          // vectorize the acted rows instead of removing+rewriting the
+          // hit files; kept rows stay physically where they are
+          val dvPart = DeltaDv.vectorize(spark, snap, tablePath, acted)
+            .map(_._1).getOrElse(Nil)
+          DeltaWrite.dvProtocolAction() +:
+            (dvPart ++ adds.map(DeltaWrite.addAction) ++ cdcs)
+        case None =>
+          hitRel.map(DeltaWrite.removeAction) ++
+            adds.map(DeltaWrite.addAction) ++ cdcs
+      }
       val v = DeltaWrite.commit(spark, tablePath, actions, "MERGE")
-      MergeResult(v, hitRel.size, updated, deleted, nIns)
+      MergeResult(v, if (dvActed.isDefined) 0 else hitRel.size,
+        updated, deleted, nIns)
     } finally cached.foreach(_.unpersist())
   }
 

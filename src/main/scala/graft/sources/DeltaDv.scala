@@ -64,7 +64,7 @@ object DeltaDv {
     * the hit files' complete deletion sets and return the remove /
     * re-add-with-descriptor actions plus the newly-deleted row count.
     * None when nothing matched. */
-  private def vectorize(spark: SparkSession, snap: DeltaLog.Snapshot,
+  private[sources] def vectorize(spark: SparkSession, snap: DeltaLog.Snapshot,
       tablePath: String, matched: DataFrame)
       : Option[(Seq[com.fasterxml.jackson.databind.node.ObjectNode], Long)] = {
     val hitFiles = matched.select("__file").distinct()

@@ -98,6 +98,34 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(DeltaLog.snapshot(spark, t).files.flatMap(_.dv).isEmpty)
   }
 
+  test("MOR MERGE vectors acted rows and appends updates+inserts; " +
+    "kept rows never rewrite") {
+    val t = newDvTable()
+    import spark.implicits._
+    val before = dataFilePaths(t)
+    val source = Seq((2, "B", 0), (3, "x", 1), (9, "z", 0)).toDF("id", "s", "del")
+    val m = DeltaDml.merge(spark, t, source,
+      condition = col("t.id") === col("s.id"),
+      matchedUpdate = Seq("s" -> col("s.s")),
+      matchedDelete = Some(col("s.del") === 1),
+      insert = true)
+    assert(m.updatedRows == 1L && m.deletedRows == 1L && m.insertedRows == 1L)
+    assert(m.rewrittenFiles == 0)
+    assert(rows(t) == Seq((1, "a"), (2, "B"), (4, "d"), (9, "z")))
+    val snap = DeltaLog.snapshot(spark, t)
+    // original file survives vectored (old id=2 version + deleted id=3)
+    assert(before.subsetOf(snap.files.map(_.path).toSet))
+    assert(snap.files.flatMap(_.dv).map(_.cardinality) == Seq(2L))
+    // time travel sees the pre-merge state
+    assert(DeltaLog.read(spark, t, Some(m.version - 1)).count() == 4)
+    // ambiguity still rejected under the (file, pos) identity
+    intercept[IllegalStateException] {
+      DeltaDml.merge(spark, t, Seq((2, "y", 0), (2, "w", 0)).toDF("id", "s", "del"),
+        condition = col("t.id") === col("s.id"),
+        matchedUpdate = Seq("s" -> col("s.s")))
+    }
+  }
+
   test("RESTORE reinstates the pre-delete DV state even though file " +
     "paths never changed") {
     val t = newDvTable()
