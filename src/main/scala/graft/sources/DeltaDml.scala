@@ -321,6 +321,8 @@ object DeltaDml {
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+(\S+)\s+SHALLOW\s+CLONE\s+(\S+)\s*;?\s*""".r
+  private val ConvertRe =
+    """(?is)\s*CONVERT\s+TO\s+DELTA\s+(?:parquet\.)?(\S+)\s*;?\s*""".r
 
   /** Dispatch Delta maintenance / constraint statements against a table
     * path (the REPL's non-SELECT surface beyond DML): OPTIMIZE, VACUUM
@@ -347,6 +349,9 @@ object DeltaDml {
     case CloneRe(target, source) =>
       val v = DeltaMaintenance.shallowClone(spark, unquote(source), unquote(target))
       Some(s"shallow clone created at ${unquote(target)} (version $v)")
+    case ConvertRe(target) =>
+      val v = DeltaMaintenance.convertToDelta(spark, unquote(target))
+      Some(s"converted ${unquote(target)} to Delta (version $v)")
     case SetPropsRe(target, propList) =>
       val props = splitTopLevel(propList).map { kv =>
         val Array(k, v) = kv.split("=", 2)

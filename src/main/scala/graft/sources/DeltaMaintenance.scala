@@ -61,6 +61,75 @@ object DeltaMaintenance {
     DeltaWrite.commit(spark, tablePath, actions, "RESTORE")
   }
 
+  /** CONVERT TO DELTA: create `_delta_log/` IN PLACE over an existing
+    * parquet directory — version 0 records every data file as an `add`,
+    * no data is rewritten or moved (the point of the operation: a 100 TB
+    * parquet lake becomes a Delta table in one metadata-scale commit).
+    * Hive-style `col=value` subdirectories become partition columns
+    * (types as Spark's partition discovery infers them); footer stats
+    * are harvested in parallel so data skipping works from the first
+    * read. The reference's tables are exactly such converted parquet
+    * (its `delta_scan` reads them, delta-unity-duckdb.js:330).
+    *
+    * Mirrors Delta's own constraints: the directory must not already be
+    * a Delta table, must contain at least one parquet file, and a mixed
+    * (partially-partitioned) layout is rejected rather than misread. */
+  def convertToDelta(spark: SparkSession, tablePath: String): Long = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(table), s"no such directory: $tablePath")
+    if (fs.exists(DeltaLog.logDir(tablePath)))
+      throw new IllegalStateException(s"already a Delta table: $tablePath")
+    val found = scala.collection.mutable.Buffer[(String, Long)]()
+    def walk(p: Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (!name.startsWith(".") && !name.startsWith("_"))
+            walk(st.getPath, s"$rel$name/")
+        } else if (name.endsWith(".parquet") &&
+            !name.startsWith(".") && !name.startsWith("_"))
+          found += ((s"$rel$name", st.getLen))
+      }
+    walk(table, "")
+    require(found.nonEmpty, s"no parquet files to convert under $tablePath")
+    // Partition columns come from the directory layout; every file must
+    // agree on the same column sequence — a mixed layout means the dir
+    // is not one table, and converting it would corrupt reads silently.
+    def partColsOf(rel: String): Seq[String] =
+      rel.split("/").dropRight(1).toSeq.map { seg =>
+        val kv = seg.split("=", 2)
+        require(kv.length == 2,
+          s"non-hive subdirectory '$seg' under $tablePath (expected col=value)")
+        java.net.URLDecoder.decode(kv(0), "UTF-8")
+      }
+    val partCols = partColsOf(found.head._1)
+    found.foreach { case (rel, _) =>
+      require(partColsOf(rel) == partCols,
+        s"inconsistent partition layout: $rel has ${partColsOf(rel)}, " +
+          s"expected $partCols")
+    }
+    // One planning-time read infers the unified schema, including typed
+    // partition columns (Spark's partition discovery), without scanning
+    // row data.
+    val schema = spark.read.parquet(tablePath).schema
+    // Footer stats in parallel (independent reads; only metadata moves
+    // through the driver) — best-effort, like every stats harvest here.
+    val conf = spark.sessionState.newHadoopConf()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val adds = Await.result(
+      Future.sequence(found.toSeq.sortBy(_._1).map { case (rel, len) =>
+        Future(DeltaLog.AddEntry(rel, len,
+          DataSkipping.statsJson(conf, new Path(table, rel))))
+      }), 10.minutes)
+    val actions = DeltaWrite.protocolAction() +:
+      DeltaWrite.metaDataAction(schema, partCols) +:
+      adds.map(DeltaWrite.addAction)
+    DeltaWrite.commit(spark, tablePath, actions, "CONVERT")
+  }
+
   /** ALTER TABLE … SET TBLPROPERTIES: record table properties in a
     * metaData commit (how `delta.enableChangeDataFeed` is switched on).
     * `delta.constraints.*` keys are rejected — ADD CONSTRAINT is the
