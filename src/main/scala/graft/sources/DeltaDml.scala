@@ -323,6 +323,12 @@ object DeltaDml {
     """(?is)\s*CREATE\s+TABLE\s+(\S+)\s+SHALLOW\s+CLONE\s+(\S+)\s*;?\s*""".r
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+DELTA\s+(?:parquet\.)?(\S+)\s*;?\s*""".r
+  private val AddColumnsRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
+  private val RenameColumnRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val DropColumnRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
 
   /** Dispatch Delta maintenance / constraint statements against a table
     * path (the REPL's non-SELECT surface beyond DML): OPTIMIZE, VACUUM
@@ -352,6 +358,15 @@ object DeltaDml {
     case ConvertRe(target) =>
       val v = DeltaMaintenance.convertToDelta(spark, unquote(target))
       Some(s"converted ${unquote(target)} to Delta (version $v)")
+    case AddColumnsRe(target, ddl) =>
+      val v = DeltaSchema.addColumns(spark, unquote(target), ddl)
+      Some(s"column(s) added (version $v)")
+    case RenameColumnRe(target, from, to) =>
+      val v = DeltaSchema.renameColumn(spark, unquote(target), from, to)
+      Some(s"column $from renamed to $to (version $v)")
+    case DropColumnRe(target, name) =>
+      val v = DeltaSchema.dropColumn(spark, unquote(target), name)
+      Some(s"column $name dropped (version $v)")
     case SetPropsRe(target, propList) =>
       val props = splitTopLevel(propList).map { kv =>
         val Array(k, v) = kv.split("=", 2)

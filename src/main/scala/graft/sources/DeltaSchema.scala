@@ -1,0 +1,166 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+
+/** Schema-evolution DDL beyond append-time `mergeSchema`: ALTER TABLE
+  * ADD / RENAME / DROP COLUMN as METADATA-ONLY commits (no data file is
+  * touched — at 100 TB that is the entire point; a rewrite would be a
+  * petabyte job for a rename).
+  *
+  *   - ADD COLUMNS appends nullable fields; existing files simply lack
+  *     the column and read it back as NULL (provided-schema parquet
+  *     semantics — same mechanism as `mergeSchema`).
+  *   - RENAME / DROP require column mapping (`name` mode): parquet files
+  *     keep their physical column names forever, and the mapping is the
+  *     indirection that lets logical names diverge. A plain table is
+  *     upgraded in the same commit (each existing field's physical name
+  *     pinned to its current logical name, protocol raised to
+  *     reader 2 / writer 5), exactly Delta's own upgrade path.
+  *
+  * Engine contract preserved: column-mapped tables are READ-only here
+  * ([[DeltaLog.checkWritable]]) — renaming/dropping makes a table
+  * readable-but-frozen for this engine's writers, which the specs
+  * assert rather than hide. Constraints referencing a renamed/dropped
+  * column reject the operation (a recorded CHECK would otherwise go
+  * silently unenforceable), and partition columns are immovable (their
+  * names live in every add's partitionValues and the directory layout).
+  */
+object DeltaSchema {
+
+  private val ModeKey = "delta.columnMapping.mode"
+  private val MaxIdKey = "delta.columnMapping.maxColumnId"
+  private val PhysKey = "delta.columnMapping.physicalName"
+  private val IdKey = "delta.columnMapping.id"
+
+  /** ALTER TABLE … ADD COLUMNS: `ddl` is a column-list in DDL form
+    * ("a INT, b STRING"). Metadata-only; new fields are nullable and
+    * read as NULL from every pre-existing file. On a mapped table each
+    * new field gets a fresh physical name (never reuses a dropped
+    * column's bytes) and the next column id. */
+  def addColumns(spark: SparkSession, tablePath: String, ddl: String): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val incoming = StructType.fromDDL(ddl)
+    val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
+    val dup = incoming.fieldNames.find(n => existing(n.toLowerCase))
+    require(dup.isEmpty, s"column ${dup.get} already exists in $tablePath")
+    val mapped = snap.columnMappingMode == "name"
+    var maxId = snap.configuration.get(MaxIdKey).map(_.toLong).getOrElse(0L)
+    val newFields = incoming.fields.map { f =>
+      val base = f.copy(nullable = true)
+      if (!mapped) base
+      else {
+        maxId += 1
+        base.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysKey, s"col-${java.util.UUID.randomUUID()}")
+          .putLong(IdKey, maxId).build())
+      }
+    }
+    val schema = StructType(snap.schema.fields ++ newFields)
+    val config =
+      if (mapped) snap.configuration + (MaxIdKey -> maxId.toString)
+      else snap.configuration
+    DeltaWrite.commit(spark, tablePath,
+      Seq(DeltaWrite.metaDataAction(schema, snap.partitionColumns, config,
+        snap.metaDataId)),
+      operation = "ADD COLUMNS")
+  }
+
+  /** ALTER TABLE … RENAME COLUMN … TO …: metadata-only logical rename;
+    * the field keeps its physical name (upgrading the table to name-mode
+    * mapping first when needed). Field metadata (identity, mapping ids)
+    * rides along untouched. */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String): Long = {
+    val snap = mappedSnapshot(spark, tablePath)
+    val f = fieldOf(snap, from)
+    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column $to already exists in $tablePath")
+    guardImmovable(snap, from, "rename")
+    val schema = StructType(snap.schema.fields.map { g =>
+      if (g.name == f.name) g.copy(name = to) else g
+    })
+    DeltaWrite.commit(spark, tablePath,
+      Seq(DeltaWrite.metaDataAction(schema, snap.partitionColumns,
+        snap.configuration, snap.metaDataId)),
+      operation = "RENAME COLUMN")
+  }
+
+  /** ALTER TABLE … DROP COLUMN: metadata-only removal — the bytes stay
+    * in the files (unreferenced), history before the drop still serves
+    * the column via time travel. Requires mapping for the same reason
+    * rename does: without it the physical schema IS the logical one. */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String): Long = {
+    val snap = mappedSnapshot(spark, tablePath)
+    val f = fieldOf(snap, name)
+    require(snap.schema.fields.length > 1,
+      s"cannot drop the only column of $tablePath")
+    guardImmovable(snap, name, "drop")
+    val schema = StructType(snap.schema.fields.filterNot(_.name == f.name))
+    DeltaWrite.commit(spark, tablePath,
+      Seq(DeltaWrite.metaDataAction(schema, snap.partitionColumns,
+        snap.configuration, snap.metaDataId)),
+      operation = "DROP COLUMN")
+  }
+
+  /** Upgrade a table to name-mode column mapping (no-op when already
+    * there): every existing field's physical name is pinned to its
+    * current logical name, column ids are assigned ordinally, and the
+    * protocol is raised to reader 2 / writer 5 in the same commit. */
+  def enableColumnMapping(spark: SparkSession, tablePath: String): Long = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    snap.columnMappingMode match {
+      case "name" => return snap.version
+      case "none" =>
+      case other => throw new UnsupportedOperationException(
+        s"cannot upgrade from column mapping mode '$other'")
+    }
+    // DV + mapping is an unsupported read combination in this engine —
+    // enabling mapping on a table with live deletion vectors would make
+    // it unreadable, not read-only.
+    require(snap.files.forall(_.dv.isEmpty),
+      s"$tablePath has live deletion vectors; column mapping would make it unreadable here")
+    val fields = snap.schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putString(PhysKey, f.name).putLong(IdKey, i + 1L).build())
+    }
+    val config = snap.configuration +
+      (ModeKey -> "name") + (MaxIdKey -> fields.length.toString)
+    DeltaWrite.commit(spark, tablePath,
+      Seq(DeltaWrite.protocolAction(2, 5),
+        DeltaWrite.metaDataAction(StructType(fields), snap.partitionColumns,
+          config, snap.metaDataId)),
+      operation = "UPGRADE COLUMN MAPPING")
+  }
+
+  /** Snapshot with mapping guaranteed on (upgrading first if needed). */
+  private def mappedSnapshot(spark: SparkSession,
+      tablePath: String): DeltaLog.Snapshot = {
+    enableColumnMapping(spark, tablePath)
+    DeltaLog.snapshot(spark, tablePath)
+  }
+
+  private def fieldOf(snap: DeltaLog.Snapshot, name: String): StructField =
+    snap.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $name in ${snap.tablePath} " +
+          s"(has ${snap.schema.fieldNames.mkString(", ")})"))
+
+  /** Partition columns and constraint-referenced columns cannot be
+    * renamed or dropped: partition names live in every add entry's
+    * partitionValues and the hive layout; a CHECK whose text references
+    * the column would silently stop being enforceable. */
+  private def guardImmovable(snap: DeltaLog.Snapshot, col: String,
+      op: String): Unit = {
+    require(!snap.partitionColumns.exists(_.equalsIgnoreCase(col)),
+      s"cannot $op partition column $col of ${snap.tablePath}")
+    val re = ("(?i)\\b" + java.util.regex.Pattern.quote(col) + "\\b").r
+    DeltaConstraints.checks(snap.configuration).find {
+      case (_, e) => re.findFirstIn(e).isDefined
+    }.foreach { case (n, e) =>
+      throw new IllegalStateException(
+        s"cannot $op column $col: CHECK constraint $n ($e) references it " +
+          "(drop the constraint first)")
+    }
+  }
+}

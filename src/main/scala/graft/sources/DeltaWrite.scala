@@ -207,8 +207,14 @@ object DeltaWrite {
     // it, checkpoint + log cleanup would FORGET which streaming batches
     // committed, and a restarted sink would re-apply them.
     val hasDv = snap.files.exists(_.dv.isDefined)
+    // Column-mapped tables need reader 2 / writer 5 recorded in the
+    // checkpoint too — a reader bootstrapping from it must see the same
+    // protocol floor the commit log carried.
+    val mapped = snap.columnMappingMode != "none"
     val header: Seq[Row] =
-      Seq(Row(null, Row(if (hasDv) 3 else 1, if (hasDv) 7 else 2), null, null),
+      Seq(Row(null, Row(
+        if (hasDv) 3 else if (mapped) 2 else 1,
+        if (hasDv) 7 else if (mapped) 5 else 2), null, null),
         Row(null, null, Row(
           snap.metaDataId.getOrElse(java.util.UUID.randomUUID().toString),
           snap.schema.json, snap.partitionColumns, snap.configuration), null)) ++
@@ -456,10 +462,12 @@ object DeltaWrite {
     n
   }
 
-  private[sources] def protocolAction(): ObjectNode = {
+  private[sources] def protocolAction(): ObjectNode = protocolAction(1, 2)
+
+  private[sources] def protocolAction(minReader: Int, minWriter: Int): ObjectNode = {
     val n = mapper.createObjectNode()
     n.set[ObjectNode]("protocol", mapper.createObjectNode()
-      .put("minReaderVersion", 1).put("minWriterVersion", 2))
+      .put("minReaderVersion", minReader).put("minWriterVersion", minWriter))
     n
   }
 

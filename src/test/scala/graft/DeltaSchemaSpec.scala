@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaConstraints, DeltaDml, DeltaLog, DeltaSchema, DeltaWrite}
+
+/** ALTER TABLE ADD / RENAME / DROP COLUMN — metadata-only schema
+  * evolution. RENAME/DROP ride on name-mode column mapping (auto
+  * upgrade, protocol reader 2 / writer 5); the engine contract that
+  * mapped tables are read-only afterwards is asserted, not hidden. */
+class DeltaSchemaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-schema-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-schema").resolve("t").toString
+
+  import spark.implicits._
+
+  test("ADD COLUMNS is metadata-only: old files read NULL, appends can " +
+    "then fill the column, data files untouched") {
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
+    val filesBefore = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+
+    DeltaSchema.addColumns(spark, t, "score DOUBLE, tag STRING")
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "s", "score", "tag"))
+    assert(snap.files.map(_.path).toSet == filesBefore)
+    val back = DeltaLog.read(spark, t).orderBy("id")
+    assert(back.collect().map(r => (r.getInt(0), r.isNullAt(2), r.isNullAt(3)))
+      .toSeq == Seq((1, true, true), (2, true, true)))
+
+    // appends now carry the widened schema
+    DeltaWrite.write(Seq((3, "c", 0.5, "x")).toDF("id", "s", "score", "tag"),
+      t, SaveMode.Append)
+    val rows = DeltaLog.read(spark, t).orderBy("id").collect()
+    assert(rows.length == 3 && rows(2).getDouble(2) == 0.5)
+    // duplicate name rejected (case-insensitive)
+    intercept[IllegalArgumentException](
+      DeltaSchema.addColumns(spark, t, "ID BIGINT"))
+  }
+
+  test("RENAME COLUMN upgrades to name-mode mapping, keeps data, keeps " +
+    "physical names; table becomes read-only for this engine") {
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
+    DeltaSchema.renameColumn(spark, t, "s", "label")
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.columnMappingMode == "name")
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "label"))
+    val f = snap.schema.fields(1)
+    assert(f.metadata.getString("delta.columnMapping.physicalName") == "s")
+    val back = DeltaLog.read(spark, t).orderBy("id")
+    assert(back.columns.toSeq == Seq("id", "label"))
+    assert(back.collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    // time travel: the pre-rename snapshot still shows the old name
+    assert(DeltaLog.read(spark, t, Some(0L)).columns.toSeq == Seq("id", "s"))
+    // documented engine contract: mapped tables are read-only here
+    intercept[UnsupportedOperationException](
+      DeltaWrite.write(Seq((3, "c")).toDF("id", "label"), t, SaveMode.Append))
+    // rename collision rejected
+    intercept[IllegalArgumentException](
+      DeltaSchema.renameColumn(spark, t, "label", "ID"))
+  }
+
+  test("DROP COLUMN hides the column going forward; time travel still " +
+    "serves it; ADD on a mapped table assigns fresh physical names") {
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a", 9.5), (2, "b", 7.0)).toDF("id", "s", "score"), t)
+    val vDrop = DeltaSchema.dropColumn(spark, t, "score")
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(DeltaLog.read(spark, t).columns.toSeq == Seq("id", "s"))
+    assert(DeltaLog.read(spark, t, Some(vDrop - 1))
+      .select("score").collect().map(_.getDouble(0)).sorted.toSeq == Seq(7.0, 9.5))
+
+    // re-adding a column with the dropped NAME must not resurrect the
+    // old bytes: the fresh physical name reads NULL from old files
+    DeltaSchema.addColumns(spark, t, "score DOUBLE")
+    val snap2 = DeltaLog.snapshot(spark, t)
+    val re = snap2.schema.fields.find(_.name == "score").get
+    assert(re.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"))
+    assert(DeltaLog.read(spark, t).select("score").collect()
+      .forall(_.isNullAt(0)))
+    // cannot drop down to zero columns
+    DeltaSchema.dropColumn(spark, t, "score")
+    DeltaSchema.dropColumn(spark, t, "s")
+    intercept[IllegalArgumentException](DeltaSchema.dropColumn(spark, t, "id"))
+  }
+
+  test("guards: partition columns and constraint-referenced columns are " +
+    "immovable; missing column errors") {
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "eu", "a"), (2, "us", "b")).toDF("id", "region", "s"),
+      t, partitionBy = Seq("region"))
+    DeltaConstraints.addCheck(spark, t, "pos_id", "id > 0")
+    intercept[IllegalArgumentException](
+      DeltaSchema.renameColumn(spark, t, "region", "r"))
+    intercept[IllegalArgumentException](
+      DeltaSchema.dropColumn(spark, t, "region"))
+    intercept[IllegalStateException](
+      DeltaSchema.renameColumn(spark, t, "id", "key"))
+    intercept[IllegalStateException](DeltaSchema.dropColumn(spark, t, "id"))
+    intercept[IllegalArgumentException](
+      DeltaSchema.dropColumn(spark, t, "nope"))
+    // dropping the constraint unblocks the rename
+    DeltaConstraints.dropCheck(spark, t, "pos_id")
+    DeltaSchema.renameColumn(spark, t, "id", "key")
+    assert(DeltaLog.read(spark, t).columns.contains("key"))
+  }
+
+  test("mapped snapshot survives a checkpoint roundtrip (protocol 2/5 " +
+    "and physical names intact)") {
+    val t = tmpTable()
+    DeltaWrite.write((1 to 10).map(i => (i, s"r$i")).toDF("id", "s"), t)
+    DeltaSchema.renameColumn(spark, t, "s", "txt")
+    DeltaWrite.checkpoint(spark, t)
+    assert(graft.sources.DeltaMaintenance.cleanupLog(spark, t) > 0)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.columnMappingMode == "name")
+    assert(snap.schema.fields(1).metadata
+      .getString("delta.columnMapping.physicalName") == "s")
+    assert(DeltaLog.read(spark, t).select("txt").count() == 10)
+  }
+
+  test("REPL dispatch: ADD/RENAME/DROP COLUMN statements route to the " +
+    "schema engine") {
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    assert(DeltaDml.dispatchMaintenance(spark,
+      s"ALTER TABLE `$t` ADD COLUMNS (score DOUBLE)").exists(_.contains("added")))
+    assert(DeltaDml.dispatchMaintenance(spark,
+      s"ALTER TABLE `$t` RENAME COLUMN s TO label").exists(_.contains("renamed")))
+    assert(DeltaDml.dispatchMaintenance(spark,
+      s"ALTER TABLE `$t` DROP COLUMN score").exists(_.contains("dropped")))
+    assert(DeltaLog.read(spark, t).columns.toSeq == Seq("id", "label"))
+  }
+}
