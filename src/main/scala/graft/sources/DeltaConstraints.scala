@@ -57,12 +57,20 @@ object DeltaConstraints {
       operation = "DROP CONSTRAINT")
   }
 
-  /** Validate staged adds against the table's constraints; deletes the
-    * staged files and throws on any violation. No-op without checks. */
+  /** Validate staged adds against the table's constraints AND its
+    * generated-column expressions (`delta.generationExpression` field
+    * metadata — supplied values must equal the expression, null-safely,
+    * after casting the expression to the column's declared type);
+    * deletes the staged files and throws on any violation. All checks
+    * fold into ONE aggregation pass. No-op without checks. */
   private[sources] def enforceStaged(spark: SparkSession, tablePath: String,
       adds: Seq[DeltaLog.AddEntry], schema: org.apache.spark.sql.types.StructType,
       configuration: Map[String, String]): Unit = {
-    val cs = checks(configuration).toSeq.sortBy(_._1)
+    val genChecks = DeltaGenerated.generationExprs(schema).map { case (c, e) =>
+      val dt = schema.fields.find(_.name == c).get.dataType
+      s"generation of $c" -> s"`$c` <=> CAST(($e) AS ${dt.sql})"
+    }
+    val cs = (checks(configuration) ++ genChecks).toSeq.sortBy(_._1)
     if (cs.isEmpty || adds.isEmpty) return
     val paths = adds.map(a => new Path(tablePath,
       java.net.URLDecoder.decode(a.path, "UTF-8")).toString)

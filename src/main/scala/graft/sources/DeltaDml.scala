@@ -41,16 +41,33 @@ object DeltaDml {
     * rows and `SET a=b, b=a` would not swap). */
   def update(spark: SparkSession, tablePath: String, condition: Column,
       assignments: Seq[(String, Column)]): DmlResult = {
-    if (DeltaDv.enabled(DeltaLog.snapshot(spark, tablePath).configuration))
+    val snap0 = DeltaLog.snapshot(spark, tablePath)
+    if (DeltaDv.enabled(snap0.configuration))
       return DeltaDv.update(spark, tablePath, condition, assignments)
     val byName = assignments.toMap
-    def applied(df: DataFrame): DataFrame =
-      df.select(df.columns.toIndexedSeq.map { c =>
+    // Generated columns not explicitly assigned are RECOMPUTED on the
+    // hit rows from their recorded expression, evaluated AFTER the
+    // assignments (Delta's own UPDATE semantics — otherwise every
+    // update of a base column would be vetoed by the staged-file
+    // generation check as stale).
+    val gen = DeltaGenerated.generationExprs(snap0.schema)
+      .filterNot { case (c, _) => byName.contains(c) }
+    def applied(df: DataFrame): DataFrame = {
+      // condition must see PRE-assignment values — mark hits first
+      val marked = df.withColumn("__hit", condition)
+      val assigned = marked.select(df.columns.toIndexedSeq.map { c =>
         byName.get(c) match {
-          case Some(v) => when(condition, v).otherwise(col(c)).as(c)
+          case Some(v) => when(col("__hit"), v).otherwise(col(c)).as(c)
           case None => col(c)
         }
-      }: _*)
+      } :+ col("__hit"): _*)
+      gen.foldLeft(assigned) { case (d, (c, e)) =>
+        val dt = snap0.schema.fields.find(_.name == c).get.dataType
+        d.withColumn(c,
+          when(col("__hit"), org.apache.spark.sql.functions.expr(e).cast(dt))
+            .otherwise(col(c)))
+      }.drop("__hit")
+    }
     rewrite(spark, tablePath, condition, applied, operation = "UPDATE",
       cdcOf = { hit =>
         import org.apache.spark.sql.functions.lit

@@ -63,10 +63,19 @@ object DeltaWrite {
       if (exists) Some(DeltaLog.snapshot(spark, tablePath)) else None
     prior.foreach(DeltaLog.checkWritable)
 
+    // Generated columns: appends may OMIT them — compute each from its
+    // recorded expression before the schema check. Supplied values are
+    // instead validated over the staged files (enforceStaged), per the
+    // protocol's writer obligation.
+    val data =
+      if (exists && mode == SaveMode.Append)
+        DeltaGenerated.fillMissing(df, prior.get.schema)
+      else df
+
     var widened: Option[org.apache.spark.sql.types.StructType] = None
     if (exists && mode == SaveMode.Append) {
       val tableSchema = prior.get.schema
-      val incoming = df.schema
+      val incoming = data.schema
       val tableTypes = tableSchema.fields.map(f => f.name -> f.dataType).toMap
       val conflicts = incoming.fields.filter(f =>
         tableTypes.get(f.name).exists(_ != f.dataType))
@@ -88,10 +97,21 @@ object DeltaWrite {
       }
     }
 
-    val adds = writeDataFiles(df, tablePath, partitionBy)
-    // CHECK constraints veto the commit (staged files are deleted)
+    // Appends inherit the TABLE's partitioning (the caller need not
+    // re-state it; staging unpartitioned files into a partitioned table
+    // would silently break partition pruning). Create/overwrite use the
+    // caller's layout.
+    val effPartitionBy =
+      if (mode == SaveMode.Append)
+        prior.map(_.partitionColumns).getOrElse(partitionBy)
+      else partitionBy
+    val adds = writeDataFiles(data, tablePath, effPartitionBy)
+    // CHECK constraints + generated-column expressions veto the commit
+    // (staged files are deleted). Validation runs against the TABLE
+    // schema — the generation metadata lives there, not on the
+    // incoming frame.
     prior.foreach(p => DeltaConstraints.enforceStaged(
-      spark, tablePath, adds, df.schema, p.configuration))
+      spark, tablePath, adds, p.schema, p.configuration))
     val removes: Seq[String] =
       if (mode == SaveMode.Overwrite) prior.toSeq.flatMap(_.files.map(_.path))
       else Nil
@@ -101,7 +121,7 @@ object DeltaWrite {
     if (!exists || mode == SaveMode.Overwrite)
       // overwrite replaces data + schema but keeps table PROPERTIES
       // (constraints survive an INSERT OVERWRITE, as in Delta)
-      actions += metaDataAction(df.schema, partitionBy,
+      actions += metaDataAction(data.schema, partitionBy,
         prior.map(_.configuration).getOrElse(Map.empty),
         prior.flatMap(_.metaDataId))
     widened.foreach(w => actions += metaDataAction(w,
@@ -388,7 +408,7 @@ object DeltaWrite {
         staged = writeDataFiles(df, tablePath,
           snap.map(_.partitionColumns).getOrElse(partitionBy))
         snap.foreach(s => DeltaConstraints.enforceStaged(
-          spark, tablePath, staged, df.schema, s.configuration))
+          spark, tablePath, staged, s.schema, s.configuration))
       }
       val actions =
         (if (exists) Seq.empty
