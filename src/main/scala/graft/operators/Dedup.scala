@@ -340,6 +340,45 @@ object Dedup {
         |  LEFT JOIN comp ON dd.doc_id = comp.doc_id
         |  WHERE comp.canonical IS NULL OR comp.canonical = dd.doc_id)
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")))
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "))),
+
+    // Duplicated-passage detection (the span-level complement of the
+    // whole-document dedup family, after Lee et al.'s "Deduplicating
+    // Training Data" observation that cross-document REPEATED PASSAGES —
+    // boilerplate, licenses, templated text — survive document-level
+    // dedup): per document, how many of its distinct 5-gram shingles
+    // also occur in at least one other document, and what fraction of
+    // the document that is. Plan shape: one shuffle keyed on the
+    // 64-bit shingle hash computes document frequencies WITHOUT
+    // materializing posting lists (count-only aggregate, immune to hot
+    // shingles), then one shuffle back on doc_id folds the per-doc
+    // profile. Text never shuffles; (hash, doc_id) pairs do.
+    GraftQuery("q101_dup_passages",
+      (s, d) => {
+        graft.functions.WordShingles.register(s)
+        val sh = docs(s, d).select(col("doc_id"),
+          explode(graft.functions.WordShingles.wordShingles(col("text"), 5)).as("s5"))
+          .select(col("doc_id"), xxhash64(col("s5")).as("s"))
+        val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        sh.join(dfs, "s")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("total_ngrams"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("long").as("dup_ngrams"))
+          .filter(col("dup_ngrams") > 0)
+          .select(col("doc_id"), col("total_ngrams"), col("dup_ngrams"),
+            (col("dup_ngrams").cast("double") / col("total_ngrams"))
+              .as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+        |  FOR i IN generate_series(1, len(toks)-4)])) AS s FROM t),
+        |dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        |per AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+        |  CAST(SUM(CASE WHEN dfs.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams
+        |  FROM sh JOIN dfs ON sh.s = dfs.s GROUP BY sh.doc_id)
+        |SELECT doc_id, total_ngrams, dup_ngrams,
+        |  CAST(dup_ngrams AS DOUBLE)/total_ngrams AS dup_ratio
+        |FROM per WHERE dup_ngrams > 0 ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -45,6 +45,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(total == docs.count())
   }
 
+  test("q101 duplicated passages: exact docs share ALL their shingles; " +
+    "ratios bounded; unique docs absent") {
+    val out = SparkEntry.queries("q101_dup_passages")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (total, dup, ratio) =>
+      assert(dup >= 1 && dup <= total)
+      assert(math.abs(ratio - dup.toDouble / total) < 1e-12)
+    }
+    // exact duplicates (same text, different doc_id) must both appear
+    // with dup_ratio == 1 (every shingle is shared)
+    val docs = Tables.load(spark, sf, "documents")
+    val exactDup = docs.groupBy("text")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+      .collect().map(_.getLong(0))
+    // only docs long enough to HAVE a 5-gram participate
+    val longEnough = docs
+      .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    exactDup.filter(longEnough).foreach { id =>
+      val (total, dup, _) = out(id)
+      assert(total == dup, s"doc $id: exact dup must share all shingles")
+    }
+  }
+
   test("q49 brute-force ANN returns exactly top-5 per query, ranks 1..5") {
     val r = SparkEntry.queries("q49_ann_brute")(spark, sf)
       .groupBy("q").agg(count(lit(1)).as("c"),
