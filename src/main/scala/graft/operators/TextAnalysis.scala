@@ -426,5 +426,36 @@ object TextAnalysis {
         "SELECT shard, CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS bin, " +
         "COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tokens " +
         "FROM c GROUP BY shard, bin ORDER BY shard, bin"))
+    ,
+
+    // Deterministic source mixing — re-weight training domains by
+    // sampling each source at its mixture rate (here: src0–4 kept
+    // whole, src5–9 at 1/2, the rest at 1/4), with the keep decision a
+    // pure function of doc_id (md5 bucket < rate threshold, the q89
+    // trick) so reruns and both engines agree row-for-row. Distributed
+    // shape: rate and keep are computed inside the scan's projection
+    // (the filter prunes before anything moves), then one agg shuffle
+    // on the low-cardinality source key. Text never shuffles; at 100 TB
+    // this is a single pass that drops (1 - blended rate) of the input
+    // at the mapper.
+    GraftQuery("q103_source_mixing",
+      (s, d) => {
+        val srcNum = substring(col("source"), 4, 8).cast("int")
+        val thr = when(srcNum < 5, "g").when(srcNum < 10, "80").otherwise("40")
+        docs(s, d)
+          .withColumn("keep",
+            substring(md5(col("doc_id").cast("string")), 1, 2) < thr)
+          .where(col("keep"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum("n_chars").cast("long").as("kept_chars"))
+          .orderBy("source")
+      },
+      Some("WITH r AS (SELECT source, n_chars, " +
+        "CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 'g' " +
+        "WHEN CAST(substr(source, 4) AS INT) < 10 THEN '80' ELSE '40' END AS thr, " +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2 FROM documents) " +
+        "SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars " +
+        "FROM r WHERE h2 < thr GROUP BY source ORDER BY source"))
   )
 }
