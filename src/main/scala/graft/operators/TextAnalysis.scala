@@ -457,5 +457,47 @@ object TextAnalysis {
         "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2 FROM documents) " +
         "SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars " +
         "FROM r WHERE h2 < thr GROUP BY source ORDER BY source"))
+    ,
+
+    // N-gram-collision decontamination — the published stronger form of
+    // q91's prefix containment (GPT-3 appendix C / PaLM style): a corpus
+    // document is contaminated if it shares any word 5-gram with the
+    // bench set (same 1-in-97 bench sample as q91). Distributed shape:
+    // the bench side's DISTINCT 5-gram hash set is tiny and BROADCAST;
+    // the corpus explodes its (in-row distinct) shingles once and
+    // streams through the broadcast hash join — a left join with a
+    // marker so one map-side-combined doc_id aggregation yields both
+    // total and hit counts. Text never shuffles; only (doc_id, 8-byte
+    // hash) rows exist past the scan, and the hit filter keeps the
+    // result proportional to the contamination, not the corpus.
+    GraftQuery("q104_ngram_decontamination",
+      (s, d) => {
+        graft.functions.WordShingles.register(s)
+        val sh = docs(s, d).select(col("doc_id"),
+          explode(graft.functions.WordShingles.wordShingles(col("text"), 5)).as("s5"))
+          .select(col("doc_id"), xxhash64(col("s5")).as("s"))
+        val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select("s").distinct().withColumn("hit", lit(1L))
+        sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+          .join(broadcast(bench), Seq("s"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("total_ngrams"),
+            sum(coalesce(col("hit"), lit(0L))).cast("long").as("hit_ngrams"))
+          .filter(col("hit_ngrams") > 0)
+          .select(col("doc_id"), col("total_ngrams"), col("hit_ngrams"),
+            (col("hit_ngrams").cast("double") / col("total_ngrams"))
+              .as("contamination"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+        |  FOR i IN generate_series(1, len(toks)-4)])) AS s FROM t),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |per AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+        |  CAST(SUM(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_ngrams
+        |  FROM sh LEFT JOIN bench ON sh.s = bench.s WHERE sh.doc_id % 97 <> 0 GROUP BY sh.doc_id)
+        |SELECT doc_id, total_ngrams, hit_ngrams,
+        |  CAST(hit_ngrams AS DOUBLE)/total_ngrams AS contamination
+        |FROM per WHERE hit_ngrams > 0 ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }
