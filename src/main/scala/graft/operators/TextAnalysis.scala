@@ -499,5 +499,38 @@ object TextAnalysis {
         |SELECT doc_id, total_ngrams, hit_ngrams,
         |  CAST(hit_ngrams AS DOUBLE)/total_ngrams AS contamination
         |FROM per WHERE hit_ngrams > 0 ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+    ,
+
+    // Deterministic mixture upsampling — q103's complement: sources with
+    // epoch weight > 1 (Pile/LLaMA-style domain re-weighting) repeat
+    // fractionally, floor(rate) whole epochs plus one more for the
+    // md5-bucket fraction of documents (src0–4 at 2.5 epochs, src5–9 at
+    // 1.5, the rest at 1.0). The repetition is an IN-ROW
+    // explode(sequence(1, epochs)) — no shuffle, no driver loop — and
+    // each copy carries an epoch tag so a downstream packer (q99) can
+    // interleave epochs. At 100 TB the blowup is the blended rate
+    // (~1.6× here), paid at the mapper; the only exchange is the final
+    // low-cardinality source aggregation.
+    GraftQuery("q105_mixture_upsampling",
+      (s, d) => {
+        val srcNum = substring(col("source"), 4, 8).cast("int")
+        val base = lit(1L) + when(srcNum < 5, 1L).otherwise(0L)
+        val extra = (substring(md5(col("doc_id").cast("string")), 1, 2) < "80")
+          .and(srcNum < 10).cast("long")
+        docs(s, d)
+          .select(col("source"), col("n_chars"),
+            explode(sequence(lit(1L), base + extra)).as("epoch"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("n_chars").cast("long").as("total_chars"),
+            max("epoch").cast("long").as("max_epoch"))
+          .orderBy("source")
+      },
+      Some("WITH r AS (SELECT source, n_chars, unnest(generate_series(1, " +
+        "(CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 2 WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 1 END) " +
+        "+ (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' AND CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 0 END))) AS epoch " +
+        "FROM documents) " +
+        "SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(MAX(epoch) AS BIGINT) AS max_epoch FROM r GROUP BY source ORDER BY source"))
   )
 }
