@@ -43,8 +43,9 @@ object Dedup {
   // Skew control for LSH banding: a band bucket larger than this is
   // dropped the way q45 drops hot shingles — a degenerate corpus of
   // near-identical docs would otherwise make one bucket quadratic.
-  // C(256,2) ≈ 33k pairs bounds the worst group's expansion.
-  private val MaxBandBucket = 256
+  // C(256,2) ≈ 33k pairs bounds the worst group's expansion. Public:
+  // the streaming candidate detector shares the same cap.
+  val MaxBandBucket = 256
 
   /** Ordered in-group pair expansion: rows of sorted id-arrays →
     * (a, b) with a < b, via two `posexplode`s and an index inequality.
@@ -105,7 +106,7 @@ object Dedup {
     * equivalent nested higher-order functions run interpreted and were the
     * benchmark's 700 s outlier). Per-document work is local (no shuffle)
     * and the output is a fixed ~1 KB signature regardless of doc size. */
-  private def signatures(d: DataFrame): DataFrame = {
+  def signatures(d: DataFrame): DataFrame = {
     graft.functions.MinHashSig.register(d.sparkSession)
     graft.functions.WordShingles.register(d.sparkSession)
     val hs = transform(
@@ -113,6 +114,28 @@ object Dedup {
     d.select(col("doc_id"), hs.as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), graft.functions.MinHashSig.minhashSig(col("hs")).as("sig"))
+  }
+
+  /** (doc_id, band, bh) LSH band-hash rows from a signature frame — the
+    * in-row banding step shared by batch q46 and the streaming candidate
+    * detector ([[graft.streaming.NearDupStream]]). Narrow (explode of a
+    * 16-element array); no shuffle. */
+  def bandRows(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map(b =>
+      xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)))
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bh")
+  }
+
+  /** LSH candidate pairs (a < b) from a signature frame: one shuffle on
+    * the band hash, every bucket bounded by [[MaxBandBucket]], in-bucket
+    * pair expansion instead of a bands⋈bands self-join (whose hottest
+    * bucket is unbounded-quadratic on a degenerate corpus). */
+  def lshCandidates(sig: DataFrame): DataFrame = {
+    val buckets = bandRows(sig).groupBy("band", "bh")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBandBucket))
+    pairExpand(buckets).distinct()
   }
 
   /** Connected components of the near-dup (Jaccard ≥ 0.1) pair graph by
@@ -188,18 +211,7 @@ object Dedup {
         // candidate verification join); persist the fixed-size sketch
         // (~1 KB/doc) instead of recomputing the shingle pipeline 3×.
         val sig = signatures(docs(s, d)).persist()
-        val bandCols = (0 until Bands).map(b =>
-          xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)))
-        val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
-          .toDF("doc_id", "band", "bh")
-        // Candidate pairs by in-bucket expansion (one shuffle on the band
-        // hash, every group bounded by MaxBandBucket) instead of the
-        // round-1 bands⋈bands self-join, whose hottest bucket is
-        // unbounded-quadratic on a degenerate near-identical corpus.
-        val buckets = bands.groupBy("band", "bh")
-          .agg(sort_array(collect_list("doc_id")).as("ids"))
-          .filter(size(col("ids")).between(2, MaxBandBucket))
-        val cand = pairExpand(buckets).distinct()
+        val cand = lshCandidates(sig)
         cand
           .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
           .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
