@@ -241,5 +241,50 @@ object EventOps {
         "FROM events e JOIN f USING (user_id)) " +
         "SELECT cohort_week, week_offset, COUNT(*) AS n_active " +
         "FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset"))
+    ,
+
+    // Time-series gap fill + forward fill — regularize each user's event
+    // stream onto an hourly grid (the feature-engineering step before
+    // any windowed model input). Distributed shape: the hourly rollup is
+    // one (user, hour) exchange with map-side combine; per-user bounds
+    // reuse that rollup (tiny second agg); the grid materializes IN-ROW
+    // via explode(sequence(min, max, 1 hour)) — never a driver loop or a
+    // cross join against a calendar table; the forward fill is one
+    // last(ignoreNulls) window on the user partitioning already in
+    // place. Grid size scales with users × span, not events, and the
+    // output re-aggregates to one row per user so only aggregates leave
+    // the window stage.
+    GraftQuery("q107_gap_fill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = ev(s, d)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(col("value").cast(DecimalType(18, 2))).as("hv"))
+        val bounds = hourly.groupBy("user_id")
+          .agg(min("h").as("mn"), max("h").as("mx"))
+        val grid = bounds.select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("fv", last("hv", ignoreNulls = true).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_hours"),
+            sum(when(col("hv").isNull, 1L).otherwise(0L)).cast("long")
+              .as("n_gaps"),
+            sum("fv").cast("double").as("fill_sum"))
+          .orderBy("user_id")
+      },
+      Some("WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h, " +
+        "SUM(CAST(value AS DECIMAL(18,2))) AS hv FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1), " +
+        "grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b), " +
+        "j AS (SELECT g.user_id, g.h, hourly.hv FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h), " +
+        "f AS (SELECT user_id, hv, last_value(hv IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv FROM j) " +
+        "SELECT user_id, COUNT(*) AS n_hours, " +
+        "CAST(SUM(CASE WHEN hv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, " +
+        "CAST(SUM(fv) AS DOUBLE) AS fill_sum FROM f GROUP BY user_id ORDER BY user_id"))
   )
 }

@@ -323,5 +323,33 @@ object Relational {
       Some("SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem " +
         "GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus)) " +
         "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"))
+    ,
+
+    // UNPIVOT (melt) — q53's pivot inverted: the four lineitem measures
+    // become (measure, value) rows, then a per-(flag, measure) profile.
+    // Spark's `unpivot` is a zero-shuffle in-row Expand (each input row
+    // emits 4 narrow rows BEFORE the aggregation's partial combine, so
+    // the exchange carries only group aggregates, never the 4× row
+    // blowup). Oracle spelled as UNION ALL — same semantics, and DuckDB
+    // folds it to a similar multi-emit scan.
+    GraftQuery("q106_unpivot",
+      (s, d) => T(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy("l_returnflag", "measure")
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast(DecimalType(18, 2))).cast("double").as("sv"))
+        .orderBy("l_returnflag", "measure"),
+      Some("WITH u AS (" +
+        "SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem " +
+        "UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem " +
+        "UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) " +
+        "SELECT l_returnflag, measure, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sv " +
+        "FROM u GROUP BY 1, 2 ORDER BY l_returnflag, measure"))
   )
 }
