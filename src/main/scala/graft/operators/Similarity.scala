@@ -200,6 +200,41 @@ object Similarity {
         topkPerQuery(pairs)
       },
       None)
+    ,
+
+    // Per-label embedding centroids — class prototypes / topic vectors,
+    // the aggregation side of embedding pipelines (SemDeDup's cluster
+    // means, nearest-class-mean classifiers). Declarative and
+    // oracle-exact: posexplode to (label, pos, v), one exchange whose
+    // map-side combine collapses every partition to ≤ labels×dim
+    // partial sums — the shuffle is INDEPENDENT of corpus size, which
+    // is the property that makes this the 100 TB shape (a collect-based
+    // or driver-side mean would not be). Determinism: float addition
+    // does not commute, and a decimal CAST round-trips through decimal
+    // ROUNDING, whose half-way rule differs across engines (one tie in
+    // this corpus's 32k roundings broke hash-equality at DECIMAL(27,10)).
+    // Instead each element quantizes to a 2^-30 grid with pure IEEE
+    // double ops — floor(v·2^30 + 0.5) is bit-identical everywhere —
+    // and the grid integers sum exactly through DECIMAL(38,0) (BIGINT
+    // would hold ~2^33 rows per (label,pos) before overflow; decimal
+    // removes even that bound).
+    GraftQuery("q108_label_centroids",
+      (s, d) => emb(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("v").cast("double") * 1073741824.0 + 0.5)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / 1073741824.0 / count(lit(1))).as("c"))
+        .select(col("label").cast("long").as("label"),
+          col("pos").cast("long").as("pos"), col("n"), col("c"))
+        .orderBy("label", "pos"),
+      Some("WITH e AS (SELECT label, unnest(embedding) AS v, " +
+        "unnest(generate_series(0, len(embedding)-1)) AS pos FROM embeddings) " +
+        "SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(floor(CAST(v AS DOUBLE)*1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
+        "/1073741824.0/COUNT(*) AS c " +
+        "FROM e GROUP BY 1, 2 ORDER BY label, pos"))
   )
 
   /** Quantizer quality probes for the CorpusSpec training assertion:
