@@ -417,12 +417,17 @@ object Dedup {
         val y = assigned.select(col("cid"), col("vec_id").as("b"),
           col("v").as("vb"))
         x.join(y, Seq("cid")).filter(col("a") < col("b"))
-          // a pair sharing BOTH probed clusters collides twice — collapse
-          // before scoring so each surviving pair is scored once
-          .dropDuplicates("a", "b")
+          // Score INSIDE the join projection and threshold BEFORE the
+          // (a, b) collapse: a pair sharing several probed clusters gets
+          // re-scored (≤ probes× extra codegen flops on a minority of
+          // pairs), but the dedup exchange then carries only the rare
+          // surviving (a, b, cos) triples — the earlier collapse-first
+          // form shuffled every candidate WITH both 64-float vectors
+          // (~30× the bytes) just to avoid cheap recompute.
           .select(col("a"), col("b"),
             VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
           .filter(col("cos") >= 0.3)
+          .dropDuplicates("a", "b")
           .orderBy("a", "b")
       },
       // k-means assignment is engine-specific → rows-only check; the
