@@ -434,5 +434,36 @@ object Dedup {
       // accuracy contract (subset of q48, recall floor) lives in
       // CorpusSpec.
       None)
+    ,
+
+    // Incremental-ingest exact dedup — the ongoing-pipeline form of q44:
+    // an incoming batch (the 1-in-5 doc_id stripe standing in for
+    // today's crawl) is admitted only where its content digest was never
+    // seen in the existing corpus, then deduped within itself. Shape: a
+    // LEFT ANTI join on the 32-byte digest (text never shuffles — both
+    // sides reduce to (digest[, id]) at the scan), the existing side
+    // pre-collapsed by DISTINCT so the anti join probes one row per
+    // historical digest. At 100 TB the existing-digest set is exactly
+    // the state a production ingest keeps (a digest table), and a bloom
+    // prefilter (ScaleOps.bloomPrefilteredJoin) drops most of the
+    // incoming shuffle before it happens.
+    GraftQuery("q111_incremental_ingest",
+      (s, d) => {
+        val dgst = sha2(col("text"), 256)
+        val inc = docs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), dgst.as("h"))
+        val existing = docs(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select(dgst.as("h")).distinct()
+        inc.join(existing, Seq("h"), "left_anti")
+          .groupBy("h")
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("batch_dups"))
+          .select("doc_id", "h", "batch_dups")
+          .orderBy("doc_id")
+      },
+      Some("WITH inc AS (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 5 = 0), " +
+        "ex AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 5 <> 0) " +
+        "SELECT MIN(doc_id) AS doc_id, h, COUNT(*) AS batch_dups FROM inc " +
+        "WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.h = inc.h) " +
+        "GROUP BY h ORDER BY doc_id"))
   )
 }

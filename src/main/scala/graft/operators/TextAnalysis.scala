@@ -532,5 +532,48 @@ object TextAnalysis {
         "FROM documents) " +
         "SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
         "CAST(MAX(epoch) AS BIGINT) AS max_epoch FROM r GROUP BY source ORDER BY source"))
+    ,
+
+    // Quality filtering at a GLOBAL percentile threshold — drop the
+    // bottom decile by token count (the corpus-relative form of q41's
+    // absolute-ratio filters). The threshold is a one-row aggregate
+    // broadcast back over the corpus (scalar-subquery shape, q27), so
+    // the corpus streams once and only (doc_id, tok) pairs move. The
+    // exact global percentile buffers the value column on one reducer —
+    // fine for a threshold over a numeric column, and q74's
+    // approx_percentile is the documented sketch twin at 100 TB.
+    GraftQuery("q109_quality_percentile_filter",
+      (s, d) => {
+        val scored = docs(s, d)
+          .select(col("doc_id"), tokenCount(col("text")).as("tok"))
+        val thr = scored.agg(expr("percentile(tok, 0.1)").as("thr"))
+        scored.crossJoin(broadcast(thr))
+          .filter(col("tok") < col("thr"))
+          .select(col("doc_id"), col("tok"))
+          .orderBy("doc_id")
+      },
+      Some("WITH s AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok FROM documents), " +
+        "t AS (SELECT quantile_cont(tok, 0.1) AS thr FROM s) " +
+        "SELECT doc_id, tok FROM s, t WHERE tok < thr ORDER BY doc_id"))
+    ,
+
+    // Deterministic per-source cap — balance a corpus by keeping at most
+    // K documents per source, chosen by md5 order so the "sample" is
+    // stable across runs and engines (no RAND(), no first-K-by-arrival).
+    // One exchange on source; the rank is a window over that
+    // partitioning and rows beyond K never leave the window stage.
+    GraftQuery("q110_source_cap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs(s, d).select(col("source"), col("doc_id"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 10)
+          .orderBy("source", "rn")
+      },
+      Some("SELECT source, doc_id, rn FROM (SELECT source, doc_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn " +
+        "FROM documents) WHERE rn <= 10 ORDER BY source, rn"))
   )
 }
