@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -286,5 +286,47 @@ object EventOps {
         "SELECT user_id, COUNT(*) AS n_hours, " +
         "CAST(SUM(CASE WHEN hv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, " +
         "CAST(SUM(fv) AS DOUBLE) AS fill_sum FROM f GROUP BY user_id ORDER BY user_id"))
+    ,
+
+    // RFM segmentation — recency/frequency/monetary quintiles per user.
+    // NOT a global ntile window (one partition holding every user): the
+    // quintile boundaries are a one-row percentile aggregate broadcast
+    // back over the per-user metrics (q109's threshold shape ×3), so
+    // bucketing is a narrow in-row comparison sum and the only exchanges
+    // are the user rollup and the final sort. Monetary goes through
+    // DECIMAL(18,2) (money rule); recency compares in epoch micros
+    // (exact int64 below 2^53, so the interpolated double boundary is
+    // engine-stable).
+    GraftQuery("q113_rfm",
+      (s, d) => {
+        val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+        val per = ev(s, d).groupBy("user_id")
+          .agg(unix_micros(max("ts")).as("r"),
+            count(lit(1)).as("f"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("m"))
+        val thr = per.agg(
+          expr(s"percentile(r, $qs)").as("rt"),
+          expr(s"percentile(f, $qs)").as("ft"),
+          expr(s"percentile(m, $qs)").as("mt"))
+        def bucket(c: Column, t: Column): Column =
+          (1 to 4).foldLeft(lit(1L))((acc, i) =>
+            acc + (c >= element_at(t, i)).cast("long"))
+        per.crossJoin(broadcast(thr))
+          .select(col("user_id"),
+            bucket(col("r"), col("rt")).as("r_q"),
+            bucket(col("f").cast("double"), col("ft")).as("f_q"),
+            bucket(col("m"), col("mt")).as("m_q"))
+          .orderBy("user_id")
+      },
+      Some("WITH per AS (SELECT user_id, epoch_us(MAX(ts)) AS r, COUNT(*) AS f, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m FROM events GROUP BY 1), " +
+        "t AS (SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS rt, " +
+        "quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS ft, " +
+        "quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS mt FROM per) " +
+        "SELECT user_id, " +
+        "CAST(1 + CAST(r >= rt[1] AS INT) + CAST(r >= rt[2] AS INT) + CAST(r >= rt[3] AS INT) + CAST(r >= rt[4] AS INT) AS BIGINT) AS r_q, " +
+        "CAST(1 + CAST(f >= ft[1] AS INT) + CAST(f >= ft[2] AS INT) + CAST(f >= ft[3] AS INT) + CAST(f >= ft[4] AS INT) AS BIGINT) AS f_q, " +
+        "CAST(1 + CAST(m >= mt[1] AS INT) + CAST(m >= mt[2] AS INT) + CAST(m >= mt[3] AS INT) + CAST(m >= mt[4] AS INT) AS BIGINT) AS m_q " +
+        "FROM per, t ORDER BY user_id"))
   )
 }

@@ -351,5 +351,32 @@ object Relational {
         "SELECT l_returnflag, measure, COUNT(*) AS n, " +
         "CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sv " +
         "FROM u GROUP BY 1, 2 ORDER BY l_returnflag, measure"))
+    ,
+
+    // LATERAL join — per-outer-row correlated subquery with its own
+    // ORDER BY/LIMIT (top-2 nations by customer count per region), the
+    // SQL-standard form of "top-k per group against another table".
+    // Identical SQL text runs on both engines (q28's pattern). Catalyst
+    // DECORRELATES the lateral subquery into a join + per-group
+    // row_number window rather than re-executing it per outer row —
+    // at scale that is one customer-side aggregation and one window,
+    // not |region| query replays.
+    GraftQuery("q112_lateral_topk",
+      (s, d) => {
+        Seq("region", "nation", "customer")
+          .foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+        s.sql(LateralSql)
+      },
+      Some(LateralSql))
   )
+
+  // def, not val: referenced from `all` above its own declaration point
+  // (a val would still be null while `all` initializes).
+  private def LateralSql =
+    """SELECT r.r_name, t.n_name, t.n_cust FROM region r,
+      |LATERAL (SELECT n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_cust
+      |  FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name ORDER BY n_cust DESC, n.n_name LIMIT 2) t
+      |ORDER BY r.r_name, t.n_cust DESC, t.n_name""".stripMargin.replace("\n", " ")
 }
