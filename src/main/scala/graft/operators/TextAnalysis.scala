@@ -575,5 +575,94 @@ object TextAnalysis {
       Some("SELECT source, doc_id, rn FROM (SELECT source, doc_id, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn " +
         "FROM documents) WHERE rn <= 10 ORDER BY source, rn"))
+    ,
+
+    // Pairwise source similarity — cosine between the unigram count
+    // vectors of every source pair, the domain-similarity matrix a
+    // mixture designer reads before setting q103/q105 weights. All
+    // arithmetic is engine-stable: counts are integers, the dot/norm
+    // sums are exact 64-bit integer additions (≤ 2^53 here; DECIMAL is
+    // the documented upgrade at larger scale), and the final
+    // dot/sqrt/divide is a fixed-order IEEE expression. Shape: one
+    // (source, word) count exchange; the word-keyed pair join's groups
+    // are bounded by the SOURCE count (≤ 20 rows per word, so the
+    // "hot stopword" group explodes to at most C(20,2) pairs — the df
+    // cap problem q45 has does not exist here); pair sums exchange on
+    // (sa, sb), 190 cells.
+    GraftQuery("q114_source_similarity",
+      (s, d) => {
+        val wc = docs(s, d)
+          .select(col("source"),
+            explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
+              .as("word"))
+          .groupBy("source", "word").agg(count(lit(1)).as("c"))
+        val norms = wc.groupBy("source")
+          .agg(sum(col("c") * col("c")).as("n2"))
+        val dots = wc.select(col("source").as("sa"), col("word"), col("c").as("ca"))
+          .join(wc.select(col("source").as("sb"), col("word"), col("c").as("cb")),
+            "word")
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(sum(col("ca") * col("cb")).as("dot"))
+        dots
+          .join(broadcast(norms.select(col("source").as("sa"), col("n2").as("na"))), "sa")
+          .join(broadcast(norms.select(col("source").as("sb"), col("n2").as("nb"))), "sb")
+          .select(col("sa"), col("sb"),
+            (col("dot").cast("double") / sqrt(col("na").cast("double"))
+              / sqrt(col("nb").cast("double"))).as("cos"))
+          .orderBy("sa", "sb")
+      },
+      Some("WITH w AS (SELECT source, unnest(regexp_extract_all(lower(text), '\\p{L}+')) AS word FROM documents), " +
+        "wc AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2), " +
+        "n AS (SELECT source, SUM(c * c) AS n2 FROM wc GROUP BY 1), " +
+        "dots AS (SELECT a.source AS sa, b.source AS sb, SUM(a.c * b.c) AS dot " +
+        "  FROM wc a JOIN wc b ON a.word = b.word AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT sa, sb, CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE)) / sqrt(CAST(nb.n2 AS DOUBLE)) AS cos " +
+        "FROM dots JOIN n na ON dots.sa = na.source JOIN n nb ON dots.sb = nb.source " +
+        "ORDER BY sa, sb"))
+    ,
+
+    // Distinctive terms per source — top-5 words by LIFT (in-source rate
+    // over corpus rate), the rational-arithmetic stand-in for TF-IDF:
+    // log() is libm-dependent and breaks cross-engine exactness, while
+    // lift's multiply-then-divide chain is exact-rounded IEEE in a fixed
+    // order on both engines and yields the same "what makes this domain
+    // different" ranking. tf ≥ 3 drops hapax noise. Shape: the
+    // (source, word) rollup feeds both the word-level corpus counts and
+    // the per-source totals (two small reuses of one exchange); ranking
+    // is a row_number window on the source partitioning.
+    GraftQuery("q115_distinctive_terms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wc = docs(s, d)
+          .select(col("source"),
+            explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
+              .as("word"))
+          .groupBy("source", "word").agg(count(lit(1)).as("tf"))
+        val srcTot = wc.groupBy("source").agg(sum("tf").as("st"))
+        val wordTot = wc.groupBy("word").agg(sum("tf").as("ctf"))
+        val corpusTot = wc.agg(sum("tf").as("ct"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("lift").desc, col("word"))
+        wc.filter(col("tf") >= 3)
+          .join(wordTot, "word")
+          .join(broadcast(srcTot), "source")
+          .crossJoin(broadcast(corpusTot))
+          .select(col("source"), col("word"), col("tf"),
+            (col("tf").cast("double") * col("ct") / col("st") / col("ctf"))
+              .as("lift"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .orderBy("source", "rn")
+      },
+      Some("WITH w AS (SELECT source, unnest(regexp_extract_all(lower(text), '\\p{L}+')) AS word FROM documents), " +
+        "wc AS (SELECT source, word, COUNT(*) AS tf FROM w GROUP BY 1, 2), " +
+        "st AS (SELECT source, SUM(tf) AS st FROM wc GROUP BY 1), " +
+        "wt AS (SELECT word, SUM(tf) AS ctf FROM wc GROUP BY 1), " +
+        "ct AS (SELECT SUM(tf) AS ct FROM wc), " +
+        "l AS (SELECT wc.source, wc.word, wc.tf, " +
+        "  CAST(wc.tf AS DOUBLE) * ct.ct / st.st / wt.ctf AS lift " +
+        "  FROM wc JOIN wt ON wc.word = wt.word JOIN st ON wc.source = st.source, ct WHERE wc.tf >= 3), " +
+        "r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY lift DESC, word) AS BIGINT) AS rn FROM l) " +
+        "SELECT source, word, tf, lift, rn FROM r WHERE rn <= 5 ORDER BY source, rn"))
   )
 }
