@@ -68,7 +68,12 @@ object DeltaLog {
       /** `metaData.id` — the table's STABLE unique identifier (protocol:
         * assigned at creation, preserved by every later metaData commit;
         * external clients treat an id change as "different table"). */
-      metaDataId: Option[String] = None) {
+      metaDataId: Option[String] = None,
+      /** The table's latest `protocol` action (versions + feature
+        * lists) — what a feature-enabling writer must PRESERVE when it
+        * upgrades (e.g. adding `inCommitTimestamp` to a deletion-vector
+        * table must not drop `deletionVectors`). */
+      protocol: TableProtocol = TableProtocol()) {
     /** Absolute (decoded) URIs of the live files. */
     def filePaths: Seq[String] = files.map { a =>
       val decoded = java.net.URLDecoder.decode(a.path, "UTF-8")
@@ -78,6 +83,13 @@ object DeltaLog {
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
   }
+
+  /** `protocol` action contents: reader/writer versions plus the
+    * feature lists the table-features form (reader 3 / writer 7)
+    * carries. Defaults are the legacy base protocol. */
+  final case class TableProtocol(
+      minReader: Int = 1, minWriter: Int = 2,
+      readerFeatures: Seq[String] = Nil, writerFeatures: Seq[String] = Nil)
 
   /** A file's table root: parent directory with trailing hive
     * `col=value` partition segments stripped. For the table's own files
@@ -264,11 +276,43 @@ object DeltaLog {
         v -> ps.map(p => fs.getFileStatus(p).getModificationTime).max
       } ++ commits.map { case (v, p) =>  // commit mtime wins over checkpoint
         v -> fs.getFileStatus(p).getModificationTime
+      } ++ commits.flatMap { case (v, p) => // in-commit timestamp wins over all
+        readIct(fs, p).map(v -> _)
       }).toMap
     val at = times.filter(_._2 <= ts.getTime).keys.maxOption
     at.getOrElse(throw new IllegalArgumentException(
       s"timestamp $ts is before the earliest retained version of " +
         s"$tablePath (earliest commit at ${new java.sql.Timestamp(times.values.min)})"))
+  }
+
+  /** The `commitInfo.inCommitTimestamp` of a commit file, if stamped —
+    * the writer feature that makes TIMESTAMP AS OF independent of log
+    * file mtimes (which rewrites, copies, and object-store migrations
+    * all corrupt). Scans the commit's action lines for commitInfo; a
+    * pre-feature commit returns None and falls back to mtime. */
+  private def readIct(fs: FileSystem, commit: Path): Option[Long] = {
+    val in = fs.open(commit)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8"))
+    try {
+      Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        .filter(_.trim.nonEmpty)
+        .map(mapper.readTree)
+        .collectFirst { case n if n.hasNonNull("commitInfo") => n.get("commitInfo") }
+        .filter(_.hasNonNull("inCommitTimestamp"))
+        .map(_.get("inCommitTimestamp").asLong())
+    } finally reader.close()
+  }
+
+  /** [[readIct]] by table path + version; None when the commit JSON no
+    * longer exists (cleaned log) or carries no in-commit timestamp. */
+  private[sources] def commitIct(spark: SparkSession, tablePath: String,
+      version: Long): Option[Long] = {
+    if (version < 0) return None
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new Path(dir, f"$version%020d.json")
+    if (!fs.exists(p)) None else readIct(fs, p)
   }
 
   /** Replay the log to `versionAsOf` (default: latest). */
@@ -286,6 +330,7 @@ object DeltaLog {
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
     var mdId: Option[String] = None
+    var protocolInfo: TableProtocol = TableProtocol()
 
     // Start from the newest checkpoint at-or-before the target: its rows
     // are the complete live state at that version (removes in it are
@@ -325,7 +370,14 @@ object DeltaLog {
               }
               mdId = Option(m.getAs[String]("id"))
             case ("protocol", i) if !r.isNullAt(i) =>
-              checkProtocol(r.getStruct(i).getAs[Int]("minReaderVersion"))
+              val p = r.getStruct(i)
+              checkProtocol(p.getAs[Int]("minReaderVersion"))
+              // checkpoint protocol rows carry versions only (the
+              // checkpoint writer's struct omits feature lists); a later
+              // commit's protocol action re-establishes them
+              protocolInfo = TableProtocol(
+                p.getAs[Int]("minReaderVersion"),
+                p.getAs[Int]("minWriterVersion"))
             case ("txn", i) if !r.isNullAt(i) =>
               val t = r.getStruct(i)
               txns(t.getAs[String]("appId")) = t.getAs[Long]("version")
@@ -372,7 +424,16 @@ object DeltaLog {
                   .map(e => e.getKey -> e.getValue.asText()).toMap
               mdId = Option(md.get("id")).map(_.asText())
             }
-            if (proto != null) checkProtocol(proto.get("minReaderVersion").asInt())
+            if (proto != null) {
+              checkProtocol(proto.get("minReaderVersion").asInt())
+              protocolInfo = TableProtocol(
+                proto.get("minReaderVersion").asInt(),
+                proto.get("minWriterVersion").asInt(),
+                if (proto.hasNonNull("readerFeatures"))
+                  jsonArray(proto.get("readerFeatures")).map(_.asText()) else Nil,
+                if (proto.hasNonNull("writerFeatures"))
+                  jsonArray(proto.get("writerFeatures")).map(_.asText()) else Nil)
+            }
             val txn = node.get("txn")
             if (txn != null)
               txns(txn.get("appId").asText()) = txn.get("version").asLong()
@@ -382,7 +443,8 @@ object DeltaLog {
 
     require(schemaString != null, s"no metaData action in log of $tablePath")
     Snapshot(target, DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partCols, live.values.toSeq, tablePath, txns.toMap, config, mdId)
+      partCols, live.values.toSeq, tablePath, txns.toMap, config, mdId,
+      protocolInfo)
   }
 
   /** Read a Delta table as a DataFrame (optionally time-traveled). The

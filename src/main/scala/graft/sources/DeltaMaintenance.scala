@@ -140,10 +140,29 @@ object DeltaMaintenance {
       "use ALTER TABLE ... ADD CONSTRAINT for CHECK constraints " +
         "(SET TBLPROPERTIES would skip existing-row validation)")
     val snap = DeltaLog.snapshot(spark, tablePath)
-    DeltaWrite.commit(spark, tablePath,
-      Seq(DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
-        snap.configuration ++ props, snap.metaDataId)),
-      operation = "SET TBLPROPERTIES")
+    val ictOn = (k: Map[String, String]) =>
+      k.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
+    if (ictOn(props) && !ictOn(snap.configuration)) {
+      // Enabling in-commit timestamps: the enablement commit itself must
+      // carry the first inCommitTimestamp, record the writer feature in
+      // a protocol upgrade (preserving existing features), and pin the
+      // enablement version/timestamp properties — the protocol's anchor
+      // for readers (and this writer's monotonicity re-seed after log
+      // cleanup removes the predecessor commit).
+      val now = System.currentTimeMillis()
+      val all = props ++ Map(
+        "delta.inCommitTimestampEnablementVersion" -> (snap.version + 1).toString,
+        "delta.inCommitTimestampEnablementTimestamp" -> now.toString)
+      DeltaWrite.commit(spark, tablePath,
+        Seq(DeltaWrite.featureProtocolAction(snap.protocol, Seq("inCommitTimestamp")),
+          DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
+            snap.configuration ++ all, snap.metaDataId)),
+        operation = "SET TBLPROPERTIES", ictExplicit = Some(now))
+    } else
+      DeltaWrite.commit(spark, tablePath,
+        Seq(DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
+          snap.configuration ++ props, snap.metaDataId)),
+        operation = "SET TBLPROPERTIES")
   }
 
   /** SHALLOW CLONE: create a NEW table at `targetPath` whose `add`

@@ -146,18 +146,46 @@ object DeltaWrite {
     * (rename onto an existing commit fails) re-lists and retries — only
     * safe when the actions do not depend on the snapshot (appends). */
   private[sources] def commit(spark: SparkSession, tablePath: String,
-      actions: Seq[ObjectNode], operation: String, maxRetries: Int = 0): Long = {
+      actions: Seq[ObjectNode], operation: String, maxRetries: Int = 0,
+      ictExplicit: Option[Long] = None): Long = {
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
     f.mkdirs(dir)
-    val info = mapper.createObjectNode()
-    info.set[ObjectNode]("commitInfo", mapper.createObjectNode()
-      .put("timestamp", System.currentTimeMillis())
-      .put("operation", operation).put("engineInfo", "graft-spark"))
-    val body = (info +: actions).map(mapper.writeValueAsString).mkString("\n")
+    // In-commit timestamps (writer feature `inCommitTimestamp`): once a
+    // table's commitInfo carries one, every later commit must carry a
+    // STRICTLY greater one, and readers trust it over file mtime for
+    // TIMESTAMP AS OF. The enablement commit passes `ictExplicit`;
+    // inheritance reads the PREVIOUS commit's commitInfo. After log
+    // cleanup the previous commit JSON may be gone — then the
+    // enablement-timestamp property (recorded at enablement, per the
+    // protocol) re-seeds monotonicity; that snapshot read happens at
+    // most once per cleanup (the next commit's predecessor exists again).
+    lazy val cleanedSeed: Option[Long] =
+      scala.util.Try(DeltaLog.snapshot(spark, tablePath)).toOption
+        .flatMap(_.configuration.get(
+          "delta.inCommitTimestampEnablementTimestamp"))
+        .map(_.toLong)
     var attempt = 0
     while (true) {
       val version = nextVersion(f, dir)
+      val prevIct = DeltaLog.commitIct(spark, tablePath, version - 1)
+      val ict: Option[Long] = ictExplicit match {
+        case Some(e) => Some(prevIct.fold(e)(p => math.max(e, p + 1)))
+        case None => prevIct match {
+          case Some(p) => Some(math.max(System.currentTimeMillis(), p + 1))
+          case None if version > 0 && !f.exists(
+              new Path(dir, f"${version - 1}%020d.json")) =>
+            cleanedSeed.map(s => math.max(System.currentTimeMillis(), s + 1))
+          case None => None
+        }
+      }
+      val ci = mapper.createObjectNode()
+        .put("timestamp", System.currentTimeMillis())
+        .put("operation", operation).put("engineInfo", "graft-spark")
+      ict.foreach(t => ci.put("inCommitTimestamp", t))
+      val info = mapper.createObjectNode()
+      info.set[ObjectNode]("commitInfo", ci)
+      val body = (info +: actions).map(mapper.writeValueAsString).mkString("\n")
       val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
       val out = f.create(tmp, false)
       try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -488,6 +516,32 @@ object DeltaWrite {
     val n = mapper.createObjectNode()
     n.set[ObjectNode]("protocol", mapper.createObjectNode()
       .put("minReaderVersion", minReader).put("minWriterVersion", minWriter))
+    n
+  }
+
+  /** Upgrade a table's protocol to the writer-features form (writer 7),
+    * ADDING `newWriterFeatures` while preserving the existing reader
+    * version and both feature lists — enabling in-commit timestamps on
+    * a deletion-vector table must not drop `deletionVectors`. (Like
+    * [[dvProtocolAction]], legacy writer capabilities implied by the old
+    * minWriterVersion are not re-listed as features — this engine
+    * enforces constraints/generation from table properties directly.) */
+  private[sources] def featureProtocolAction(
+      current: DeltaLog.TableProtocol,
+      newWriterFeatures: Seq[String]): ObjectNode = {
+    val n = mapper.createObjectNode()
+    val p = mapper.createObjectNode()
+      .put("minReaderVersion", current.minReader)
+      .put("minWriterVersion", 7)
+    if (current.readerFeatures.nonEmpty) {
+      val rf = JsonNodeFactory.instance.arrayNode()
+      current.readerFeatures.foreach(rf.add)
+      p.set[com.fasterxml.jackson.databind.node.ArrayNode]("readerFeatures", rf)
+    }
+    val wf = JsonNodeFactory.instance.arrayNode()
+    (current.writerFeatures ++ newWriterFeatures).distinct.foreach(wf.add)
+    p.set[com.fasterxml.jackson.databind.node.ArrayNode]("writerFeatures", wf)
+    n.set[ObjectNode]("protocol", p)
     n
   }
 
