@@ -227,6 +227,10 @@ object DeltaMaintenance {
               if (ci.hasNonNull("operation")) op = ci.get("operation").asText()
               if (ci.hasNonNull("engineInfo")) engine = ci.get("engineInfo").asText()
               if (ci.hasNonNull("timestamp")) ts = ci.get("timestamp").asLong()
+              // the feature's commit timestamp IS the table's time axis —
+              // history must agree with TIMESTAMP AS OF resolution
+              if (ci.hasNonNull("inCommitTimestamp"))
+                ts = ci.get("inCommitTimestamp").asLong()
             }
           }
         finally reader.close()

@@ -67,6 +67,11 @@ class InCommitTimestampSpec extends AnyFunSuite {
     val icts = (1L to 3L).map(v => ictOf(t, v).get)
     assert(icts == icts.sorted && icts.distinct == icts,
       s"icts must be strictly increasing, got $icts")
+    // DESCRIBE HISTORY reports the same time axis TIMESTAMP AS OF uses.
+    val hist = DeltaMaintenance.history(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert((1L to 3L).forall(v => hist(v) == ictOf(t, v).get),
+      "history timestamps must equal the in-commit timestamps")
   }
 
   test("TIMESTAMP AS OF trusts ict over log-file mtimes") {

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the scale shapes the late
+  * pipeline queries were designed around — a future edit that silently
+  * turns a broadcast into a shuffle join, or adds an exchange under a
+  * window that was built to reuse one, fails HERE rather than only
+  * showing up as a benchmark drift. Counts use the pre-AQE-execution
+  * plan string (the queries are not collected). */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-planshape-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "(?m)^\\s*(?:\\+- |:- )?Exchange hashpartitioning".r
+      .findAllIn(p).length + "Exchange rangepartitioning".r.findAllIn(p).length
+
+  test("q104: bench n-grams broadcast; corpus text never shuffles") {
+    val p = plan("q104_ngram_decontamination")
+    assert(p.contains("BroadcastHashJoin"), "bench set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the contamination probe must not shuffle the corpus side")
+  }
+
+  test("q106: unpivot is an in-row Expand, one agg exchange") {
+    val p = plan("q106_unpivot")
+    assert(p.contains("Expand"), "unpivot must plan as Expand")
+    assert(exchanges(p) <= 2, // (flag, measure) agg + final sort
+      s"unpivot grew extra exchanges:\n$p")
+  }
+
+  test("q107: forward-fill window reuses the bounds partitioning") {
+    val p = plan("q107_gap_fill")
+    assert(p.contains("Window"), "forward fill must be a window")
+    assert(exchanges(p) <= 3, // hourly rollup, per-user bounds, final sort
+      s"gap fill grew extra exchanges (window no longer reuses):\n$p")
+  }
+
+  test("q108: centroid sums combine map-side, one agg exchange") {
+    val p = plan("q108_label_centroids")
+    assert(exchanges(p) <= 2, // (label, pos) agg + final sort
+      s"centroids grew extra exchanges:\n$p")
+    assert(p.contains("partial".toLowerCase) || p.contains("HashAggregate"),
+      "expected partial aggregation before the exchange")
+  }
+
+  test("q114: word-keyed pair join stays bounded, norms broadcast") {
+    val p = plan("q114_source_similarity")
+    assert(p.contains("BroadcastHashJoin"), "norms must broadcast")
+  }
+}
