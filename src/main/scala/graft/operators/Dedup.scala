@@ -138,14 +138,57 @@ object Dedup {
     pairExpand(buckets).distinct()
   }
 
-  /** Connected components of the near-dup (Jaccard ≥ 0.1) pair graph by
-    * iterative min-label propagation (q81's body; also feeds q97's
-    * cleaned-corpus materialization): rounds ≈ component diameter, the
-    * label-SUM is the convergence witness (monotone non-increasing, so
-    * an unchanged sum means a fixed point — no comparison join). Only
-    * docs that appear in some pair are returned. */
-  private def nearDupComponents(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(s, d).select("a", "b")
+  /** Connected components of the near-dup (Jaccard ≥ 0.1) pair graph
+    * (q81's body; also feeds q97's cleaned-corpus materialization).
+    * Two execution paths, chosen by the PAIR GRAPH's size — the same
+    * adaptive logic as a broadcast-join threshold:
+    *
+    *   - edges ≤ 2^20 (≈ 16 MB of (long, long) — near-dup graphs are
+    *     tiny relative to their corpus; edges scale with duplication,
+    *     not corpus size): ONE union-find pass on the fetched edge
+    *     list. The distributed iteration would spend ~diameter× job
+    *     rounds of pure scheduler constant on a graph this small.
+    *   - larger: iterative distributed min-label propagation — rounds ≈
+    *     component diameter, the label-SUM is the convergence witness
+    *     (monotone non-increasing, so an unchanged sum means a fixed
+    *     point — no comparison join). Nothing ever requires the edge
+    *     list to fit anywhere: the gate fetches AT MOST cap+1 rows.
+    *
+    * Only docs that appear in some pair are returned; both paths yield
+    * identically (canonical = component minimum). */
+  private val MaxDriverEdges = 1 << 20
+
+  // driverEdgeCap is a parameter so the spec can force the distributed
+  // branch (cap = 0) on the small test corpus and prove both paths agree
+  private[graft] def nearDupComponents(s: SparkSession, d: String,
+      driverEdgeCap: Int = MaxDriverEdges): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val pairs0 = jaccardPairs(s, d).select("a", "b").persist()
+    val head = pairs0.limit(driverEdgeCap + 1).collect()
+    if (head.length <= driverEdgeCap) {
+      pairs0.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      head.foreach { e =>
+        val a = e.getLong(0); val b = e.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by MIN root: the root IS the component minimum
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.sorted.map(n => Row(n, find(n)))
+      return s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("canonical", LongType))))
+    }
+    val pairs = pairs0
     val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist()
     var labels = und.select(col("a").as("n")).distinct()
@@ -170,6 +213,7 @@ object Dedup {
       iter += 1
     }
     und.unpersist()
+    pairs0.unpersist()
     labels.select(col("n").as("doc_id"), col("lbl").as("canonical"))
   }
 

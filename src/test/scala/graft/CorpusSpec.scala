@@ -89,6 +89,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(recall >= 0.65, f"recall $recall%.3f below floor")
   }
 
+  test("q81 components: driver union-find and the distributed min-label " +
+    "loop yield identical canonicals") {
+    val sf01 = "/root/testdata/sf0.01"
+    val fast = graft.operators.Dedup.nearDupComponents(spark, sf01)
+    val dist = graft.operators.Dedup
+      .nearDupComponents(spark, sf01, driverEdgeCap = 0)
+    assert(fast.count() > 0, "needs a non-trivial pair graph")
+    assert(fast.except(dist).count() == 0 && dist.except(fast).count() == 0,
+      "the two component paths must agree row-for-row")
+  }
+
   test("q49 brute-force ANN returns exactly top-5 per query, ranks 1..5") {
     val r = SparkEntry.queries("q49_ann_brute")(spark, sf)
       .groupBy("q").agg(count(lit(1)).as("c"),
