@@ -121,6 +121,33 @@ object Similarity {
         .stripMargin.replace("\n", " ")),
     ),
 
+    // Hard-negative mining — for each anchor, the top-k most-similar
+    // vectors with a DIFFERENT label: the pair-construction step of
+    // contrastive training (the negatives that actually move the loss
+    // are the similar-but-wrong ones). Same distributed shape as q49 —
+    // the anchor set broadcasts WITH its labels, the corpus streams
+    // once, and the label inequality prunes inside the codegen join
+    // condition before any cosine is scored.
+    GraftQuery("q116_hard_negatives",
+      (s, d) => {
+        graft.functions.CosineSim.register(s)
+        val q = emb(s, d).filter(col("vec_id") < QueryCount)
+          .select(col("vec_id").as("q"), col("embedding").as("qv"),
+            col("label").as("ql"))
+        val c = emb(s, d)
+          .select(col("vec_id").as("n"), col("embedding").as("nv"),
+            col("label").as("nl"))
+        val pairs = c.join(broadcast(q), col("ql") =!= col("nl"))
+          .select(col("q"), col("n"), cosine(col("qv"), col("nv")).as("cos"))
+        topkPerQuery(pairs)
+      },
+      Some(s"""WITH p AS (SELECT q.vec_id AS q, c.vec_id AS n, $cosSql AS cos
+        |FROM embeddings q JOIN embeddings c ON q.vec_id < $QueryCount AND q.label != c.label),
+        |r AS (SELECT q, n, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, n) AS BIGINT) AS rnk FROM p)
+        |SELECT q, n, rnk, cos FROM r WHERE rnk <= $TopK ORDER BY q, rnk"""
+        .stripMargin.replace("\n", " ")),
+    ),
+
     // IVF-style ANN: partition the corpus into K inverted lists around
     // k-means-TRAINED centroids (Lloyd's on a deterministic hash sample,
     // seeded from the first K vectors), probe the nprobe nearest lists
