@@ -148,6 +148,44 @@ object Similarity {
         .stripMargin.replace("\n", " ")),
     ),
 
+    // Embedding-quality evaluation by nearest-neighbor label
+    // consistency: for a 1-in-10 anchor sample, does the top-1 neighbor
+    // share the anchor's label? Reported per label — the cheap,
+    // label-only proxy for "are these embeddings good enough to train
+    // on" that corpus builders run before committing to a crawl. Shape:
+    // anchors broadcast (the sample is bounded by construction), corpus
+    // streams once, the top-1 window runs over anchor-keyed pairs, and
+    // the accuracy aggregation touches one row per anchor.
+    GraftQuery("q118_knn_label_eval",
+      (s, d) => {
+        graft.functions.CosineSim.register(s)
+        val a = emb(s, d).filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select(col("vec_id").as("q"), col("embedding").as("qv"),
+            col("label").as("ql"))
+        val c = emb(s, d)
+          .select(col("vec_id").as("n"), col("embedding").as("nv"),
+            col("label").as("nl"))
+        val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
+        c.join(broadcast(a), col("q") =!= col("n"))
+          .select(col("q"), col("n"), col("ql"), col("nl"),
+            cosine(col("qv"), col("nv")).as("cos"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .groupBy(col("ql").cast("long").as("label"))
+          .agg(count(lit(1)).as("n_anchors"),
+            sum(when(col("ql") === col("nl"), 1L).otherwise(0L))
+              .cast("long").as("n_consistent"))
+          .orderBy("label")
+      },
+      Some(s"""WITH p AS (SELECT q.vec_id AS q, q.label AS ql, c.vec_id AS n, c.label AS nl, $cosSql AS cos
+        |FROM embeddings q JOIN embeddings c ON q.vec_id % 10 = 0 AND q.vec_id != c.vec_id),
+        |r AS (SELECT q, ql, nl, ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rnk FROM p)
+        |SELECT CAST(ql AS BIGINT) AS label, COUNT(*) AS n_anchors,
+        |CAST(SUM(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent
+        |FROM r WHERE rnk = 1 GROUP BY 1 ORDER BY label"""
+        .stripMargin.replace("\n", " ")),
+    ),
+
     // IVF-style ANN: partition the corpus into K inverted lists around
     // k-means-TRAINED centroids (Lloyd's on a deterministic hash sample,
     // seeded from the first K vectors), probe the nprobe nearest lists

@@ -664,5 +664,36 @@ object TextAnalysis {
         "  FROM wc JOIN wt ON wc.word = wt.word JOIN st ON wc.source = st.source, ct WHERE wc.tf >= 3), " +
         "r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY lift DESC, word) AS BIGINT) AS rn FROM l) " +
         "SELECT source, word, tf, lift, rn FROM r WHERE rn <= 5 ORDER BY source, rn"))
+    ,
+
+    // Overlapping-window document chunking — the retrieval-pipeline
+    // (RAG) segmentation step: 200-char windows on a 150-char stride
+    // (50-char overlap so no boundary-straddling passage is lost).
+    // Chunk offsets and slices are pure IN-ROW arithmetic
+    // (explode(sequence) + substr — no shuffle, no driver loop); each
+    // chunk collapses to its md5 in the same projection, so document
+    // text never outlives the scan stage and the output is
+    // embedding-ready (chunk id + fingerprint + length). The 1-in-50
+    // doc sample keeps the dump small; the plan is identical without it.
+    GraftQuery("q117_chunking",
+      (s, d) => docs(s, d)
+        .filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(1L), col("n_chars"), lit(150L)))
+            .as(Seq("chunk_idx", "off")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          expr("substring(text, off, 200)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("fp"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("WITH c AS (SELECT doc_id, " +
+        "unnest(generate_series(1, n_chars, 150)) AS off, " +
+        "unnest(generate_series(0, CAST(CEIL(n_chars / 150.0) AS BIGINT) - 1)) AS chunk_idx, " +
+        "text FROM documents WHERE doc_id % 50 = 0) " +
+        "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, " +
+        "CAST(len(substr(text, CAST(off AS BIGINT), 200)) AS BIGINT) AS chunk_len, " +
+        "md5(substr(text, CAST(off AS BIGINT), 200)) AS fp " +
+        "FROM c ORDER BY doc_id, chunk_idx"))
   )
 }
