@@ -372,12 +372,15 @@ object DeltaLog {
             case ("protocol", i) if !r.isNullAt(i) =>
               val p = r.getStruct(i)
               checkProtocol(p.getAs[Int]("minReaderVersion"))
-              // checkpoint protocol rows carry versions only (the
-              // checkpoint writer's struct omits feature lists); a later
-              // commit's protocol action re-establishes them
+              def feats(field: String): Seq[String] =
+                if (p.schema.fieldNames.contains(field) &&
+                    !p.isNullAt(p.fieldIndex(field)))
+                  p.getAs[scala.collection.Seq[String]](field).toSeq
+                else Nil
               protocolInfo = TableProtocol(
                 p.getAs[Int]("minReaderVersion"),
-                p.getAs[Int]("minWriterVersion"))
+                p.getAs[Int]("minWriterVersion"),
+                feats("readerFeatures"), feats("writerFeatures"))
             case ("txn", i) if !r.isNullAt(i) =>
               val t = r.getStruct(i)
               txns(t.getAs[String]("appId")) = t.getAs[Long]("version")

@@ -244,7 +244,9 @@ object DeltaWrite {
           StructField("cardinality", LongType))))))),
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType), StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)),
@@ -257,12 +259,21 @@ object DeltaWrite {
     val hasDv = snap.files.exists(_.dv.isDefined)
     // Column-mapped tables need reader 2 / writer 5 recorded in the
     // checkpoint too — a reader bootstrapping from it must see the same
-    // protocol floor the commit log carried.
+    // protocol floor the commit log carried. The replayed protocol (with
+    // its FEATURE LISTS — inCommitTimestamp, deletionVectors) rides in
+    // the checkpoint verbatim, floored by the derived versions, so a
+    // cleaned log does not forget the table's feature record.
     val mapped = snap.columnMappingMode != "none"
+    val derivedReader = if (hasDv) 3 else if (mapped) 2 else 1
+    val derivedWriter = if (hasDv) 7 else if (mapped) 5 else 2
+    val proto = snap.protocol
     val header: Seq[Row] =
       Seq(Row(null, Row(
-        if (hasDv) 3 else if (mapped) 2 else 1,
-        if (hasDv) 7 else if (mapped) 5 else 2), null, null),
+        math.max(proto.minReader, derivedReader),
+        math.max(proto.minWriter, derivedWriter),
+        if (proto.readerFeatures.nonEmpty) proto.readerFeatures else null,
+        if (proto.writerFeatures.nonEmpty) proto.writerFeatures else null),
+        null, null),
         Row(null, null, Row(
           snap.metaDataId.getOrElse(java.util.UUID.randomUUID().toString),
           snap.schema.json, snap.partitionColumns, snap.configuration), null)) ++

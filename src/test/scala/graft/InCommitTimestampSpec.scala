@@ -95,6 +95,31 @@ class InCommitTimestampSpec extends AnyFunSuite {
     assert(rows.count() == 2L, "v2 snapshot has exactly rows 1 and 2")
   }
 
+  test("checkpoint + log cleanup keep the feature record and ict monotonicity") {
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    DeltaMaintenance.setTblProperties(spark, t,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, mode = SaveMode.Append)
+    val lastIct = ictOf(t, 2).get
+    DeltaWrite.checkpoint(spark, t)
+    DeltaMaintenance.cleanupLog(spark, t)
+    // the checkpoint now carries the protocol FEATURE LISTS
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.protocol.writerFeatures.contains("inCommitTimestamp"),
+      "cleaned log must not forget the feature record")
+    // and the first post-cleanup commit re-seeds monotonic stamping from
+    // the enablement anchor (its predecessor commit JSON is gone)
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, mode = SaveMode.Append)
+    val v3 = DeltaLog.snapshot(spark, t).version
+    assert(ictOf(t, v3).exists(_ > 0),
+      "post-cleanup commit must still stamp an ict")
+    assert(DeltaLog.read(spark, t).count() == 3L)
+    assert(ictOf(t, v3).get >= lastIct,
+      "post-cleanup ict must not regress behind the enablement anchor")
+  }
+
   test("non-ict tables keep mtime-based travel and clean commitInfo") {
     import spark.implicits._
     val t = tmpTable()
