@@ -234,18 +234,7 @@ object Dedup {
     // The df upper bound is the scale lever — it bounds every join group.
     GraftQuery("q45_dedup_ngram_jaccard",
       (s, d) => jaccardPairs(s, d).orderBy("a", "b"),
-      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-        |  FOR i IN generate_series(1, len(toks)-2)])) AS s FROM t),
-        |df AS (SELECT s FROM (SELECT s, COUNT(*) AS d FROM sh GROUP BY s) WHERE d BETWEEN 2 AND 20),
-        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s),
-        |card AS (SELECT doc_id, COUNT(*) AS c FROM shf GROUP BY doc_id),
-        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i FROM shf x
-        |  JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
-        |SELECT a, b, jaccard FROM (
-        |  SELECT inter.a, inter.b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
-        |  FROM inter JOIN card ca ON inter.a = ca.doc_id JOIN card cb ON inter.b = cb.doc_id)
-        |WHERE jaccard >= 0.1 ORDER BY a, b""".stripMargin.replace("\n", " "))),
+      Some(JaccardPairsSql + " ORDER BY a, b")),
 
     // MinHash/LSH candidate pairs with signature-estimated Jaccard.
     // Not SQL-oracle-expressible (xxhash64 sketch); driver rows-only check.
@@ -509,5 +498,51 @@ object Dedup {
         "SELECT MIN(doc_id) AS doc_id, h, COUNT(*) AS batch_dups FROM inc " +
         "WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.h = inc.h) " +
         "GROUP BY h ORDER BY doc_id"))
+    ,
+
+    // Triangle counting on the near-dup pair graph — the density signal
+    // that separates "chains of borderline matches" from genuinely
+    // cohesive duplicate clusters (a triangle means three documents all
+    // pairwise-similar). Shape: two joins over the id-ORIENTED edge
+    // list (a < b everywhere, so each triangle is enumerated exactly
+    // once as a < b < c and the wedge join's group sizes are bounded by
+    // out-degree — at real scale the standard refinement orients by
+    // DEGREE instead of id, a sort swap, not a redesign); the per-node
+    // rollup is one in-row explode plus a count exchange.
+    GraftQuery("q119_triangles",
+      (s, d) => {
+        val e = jaccardPairs(s, d).select("a", "b").persist()
+        val e2 = e.select(col("a").as("b2"), col("b").as("c"))
+        val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
+        e.join(e2, col("b") === col("b2"))
+          .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+          .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+          .orderBy("doc_id")
+      },
+      Some("WITH pairs AS (" + JaccardPairsSql + "), " +
+        "tri AS (SELECT e1.a, e1.b, e2.b AS c FROM pairs e1 " +
+        "JOIN pairs e2 ON e1.b = e2.a " +
+        "JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "nodes AS (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri " +
+        "UNION ALL SELECT c FROM tri) " +
+        "SELECT doc_id, COUNT(*) AS n_triangles FROM nodes " +
+        "GROUP BY 1 ORDER BY doc_id"))
   )
+
+  /** The q45 rare-shingle Jaccard pair SQL (no ORDER BY) — shared by the
+    * q45 oracle and graph-shaped consumers (q119) as a CTE body. */
+  private def JaccardPairsSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+      |  FOR i IN generate_series(1, len(toks)-2)])) AS s FROM t),
+      |df AS (SELECT s FROM (SELECT s, COUNT(*) AS d FROM sh GROUP BY s) WHERE d BETWEEN 2 AND 20),
+      |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s),
+      |card AS (SELECT doc_id, COUNT(*) AS c FROM shf GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i FROM shf x
+      |  JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+      |SELECT a, b, jaccard FROM (
+      |  SELECT inter.a, inter.b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
+      |  FROM inter JOIN card ca ON inter.a = ca.doc_id JOIN card cb ON inter.b = cb.doc_id)
+      |WHERE jaccard >= 0.1""".stripMargin.replace("\n", " ")
 }
