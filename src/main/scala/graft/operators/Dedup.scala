@@ -528,6 +528,52 @@ object Dedup {
         "UNION ALL SELECT c FROM tri) " +
         "SELECT doc_id, COUNT(*) AS n_triangles FROM nodes " +
         "GROUP BY 1 ORDER BY doc_id"))
+    ,
+
+    // PageRank over the near-dup graph (3 power-method steps, damping
+    // 0.85) — centrality inside duplicate clusters picks the canonical
+    // representative better than min-id when clusters are hub-shaped.
+    // The trick that makes ITERATIVE float analytics oracle-exact: rank
+    // state lives on a 2^30 integer grid (1.0 ≡ 1073741824) and every
+    // update is INTEGER arithmetic — contribution = rank div degree,
+    // damping = (*17) div 20, teleport = the 0.15 grid constant — so
+    // both engines compute bit-identical trajectories (float PageRank
+    // never agrees across engines: per-group sum order differs). Each
+    // iteration is one node-keyed join + aggregation; iteration count
+    // is fixed (power method), not data-dependent.
+    GraftQuery("q120_pagerank",
+      (s, d) => {
+        val pairs = jaccardPairs(s, d).select("a", "b")
+        val und = pairs
+          .union(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
+        val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("dg"))
+        var r = deg.select(col("n"), lit(1073741824L).as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = und
+            .join(r.select(col("n").as("b"), col("r").as("rb")), "b")
+            .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+            .groupBy(col("a").as("m"))
+            .agg(sum(expr("rb div db")).as("sm"))
+          r = deg.select(col("n"))
+            .join(contrib, col("n") === col("m"), "left")
+            .select(col("n"),
+              (lit(161061274L) + expr("(coalesce(sm, 0L) * 17) div 20"))
+                .as("r"))
+        }
+        r.select(col("n").as("doc_id"), col("r").as("pr_grid"))
+          .orderBy("doc_id")
+      },
+      Some("WITH pairs AS (" + JaccardPairsSql + "), " +
+        "und AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs), " +
+        "deg AS (SELECT a AS n, COUNT(*) AS d FROM und GROUP BY 1), " +
+        "r0 AS (SELECT n, CAST(1073741824 AS BIGINT) AS r FROM deg), " +
+        "i1 AS (SELECT und.a AS n, SUM(r0.r // deg.d) AS s FROM und JOIN r0 ON und.b = r0.n JOIN deg ON und.b = deg.n GROUP BY 1), " +
+        "r1 AS (SELECT deg.n, CAST(161061274 + (COALESCE(i1.s, 0) * 17) // 20 AS BIGINT) AS r FROM deg LEFT JOIN i1 ON deg.n = i1.n), " +
+        "i2 AS (SELECT und.a AS n, SUM(r1.r // deg.d) AS s FROM und JOIN r1 ON und.b = r1.n JOIN deg ON und.b = deg.n GROUP BY 1), " +
+        "r2 AS (SELECT deg.n, CAST(161061274 + (COALESCE(i2.s, 0) * 17) // 20 AS BIGINT) AS r FROM deg LEFT JOIN i2 ON deg.n = i2.n), " +
+        "i3 AS (SELECT und.a AS n, SUM(r2.r // deg.d) AS s FROM und JOIN r2 ON und.b = r2.n JOIN deg ON und.b = deg.n GROUP BY 1), " +
+        "r3 AS (SELECT deg.n, CAST(161061274 + (COALESCE(i3.s, 0) * 17) // 20 AS BIGINT) AS r FROM deg LEFT JOIN i3 ON deg.n = i3.n) " +
+        "SELECT n AS doc_id, r AS pr_grid FROM r3 ORDER BY doc_id"))
   )
 
   /** The q45 rare-shingle Jaccard pair SQL (no ORDER BY) — shared by the
