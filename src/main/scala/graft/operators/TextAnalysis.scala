@@ -695,5 +695,38 @@ object TextAnalysis {
         "CAST(len(substr(text, CAST(off AS BIGINT), 200)) AS BIGINT) AS chunk_len, " +
         "md5(substr(text, CAST(off AS BIGINT), 200)) AS fp " +
         "FROM c ORDER BY doc_id, chunk_idx"))
+    ,
+
+    // Vocabulary-overlap sketches — pairwise Jaccard of the sources'
+    // word sets estimated from 256-value KMV sketches (the
+    // TypedImperativeAggregate in functions/KmvSketch): q114's exact
+    // similarity matrix needs a word-keyed join over the full
+    // vocabulary; the sketch form aggregates each source to a CONSTANT
+    // 2 KB synopsis map-side and compares synopses pairwise — the only
+    // shape that survives when "source" is a thousand crawls and the
+    // vocabulary is billions of n-grams. No SQL oracle (engine-specific
+    // hashing); CorpusSpec bounds |estimate − exact Jaccard|.
+    GraftQuery("q121_vocab_overlap_sketch",
+      (s, d) => {
+        graft.functions.KmvSketch.register(s)
+        val k = 256
+        val sk = docs(s, d)
+          .select(col("source"),
+            explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
+              .as("word"))
+          .groupBy("source")
+          .agg(graft.functions.KmvSketch.kmv(col("word"), k).as("sk"))
+        val x = sk.select(col("source").as("sa"), col("sk").as("ka"))
+        val y = sk.select(col("source").as("sb"), col("sk").as("kb"))
+        x.join(y, col("sa") < col("sb"))
+          .select(col("sa"), col("sb"),
+            slice(array_sort(array_union(col("ka"), col("kb"))), 1, k).as("ku"),
+            col("ka"), col("kb"))
+          .select(col("sa"), col("sb"),
+            (size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb")))
+              .cast("double") / size(col("ku"))).as("jaccard_est"))
+          .orderBy("sa", "sb")
+      },
+      None)
   )
 }

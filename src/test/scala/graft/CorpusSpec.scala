@@ -89,6 +89,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(recall >= 0.65, f"recall $recall%.3f below floor")
   }
 
+  test("q121 KMV sketch: pairwise Jaccard estimates track exact vocabulary " +
+    "overlap within 0.15") {
+    val sf01 = "/root/testdata/sf0.01"
+    val est = SparkEntry.queries("q121_vocab_overlap_sketch")(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.size == 190, "20 sources -> 190 pairs")
+    val words = Tables.load(spark, sf01, "documents")
+      .select(col("source"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
+          .as("word"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (s0, rs) => s0 -> rs.map(_.getString(1)).toSet }
+    val errs = est.map { case ((a, b), e) =>
+      val exact = words(a).intersect(words(b)).size.toDouble / words(a).union(words(b)).size
+      math.abs(e - exact)
+    }
+    assert(errs.max <= 0.15, s"worst sketch error ${errs.max}")
+    assert(errs.sum / errs.size <= 0.05, s"mean sketch error ${errs.sum / errs.size}")
+  }
+
   test("q81 components: driver union-find and the distributed min-label " +
     "loop yield identical canonicals") {
     val sf01 = "/root/testdata/sf0.01"
