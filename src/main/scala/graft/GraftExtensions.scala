@@ -50,5 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         e(2).eval().asInstanceOf[Int], e(3).eval().asInstanceOf[Int])))
     ext.injectFunction(fn("graft_pq_score", 3,
       e => ProductQuant.PqScore(e.head, e(1), e(2).eval().asInstanceOf[Int])))
+    ext.injectFunction(fn("graft_kmv", 2,
+      e => KmvSketch(e.head, e(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
   }
 }

@@ -320,6 +320,11 @@ class TierASpec extends AnyFunSuite {
       assert(r.getSeq[Int](6) == Seq(0, 1))
       assert(r.getDouble(7) == 10.0 + 40.0)
       assert(r.getInt(8) == 4)
+      // the aggregate half of the surface: KMV sketch over a 3-row group
+      val kr = s2.sql(
+        "SELECT size(graft_kmv(x, 8)) AS n FROM VALUES (1), (2), (2) AS t(x)")
+        .head
+      assert(kr.getInt(0) == 2, "3 rows, 2 distinct -> 2 sketch entries")
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
