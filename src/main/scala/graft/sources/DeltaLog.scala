@@ -206,6 +206,7 @@ object DeltaLog {
   private val VersionRe = """(\d{20})\.json""".r
   private val SinglePartRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  private val V2Re = """(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.parquet""".r
 
   def logDir(tablePath: String): Path = new Path(tablePath, "_delta_log")
 
@@ -255,9 +256,19 @@ object DeltaLog {
       case ((v, n), group) if group.map(_._2).toSet == (1 to n).toSet =>
         v -> group.sortBy(_._2).map(_._3).toSeq
     }
-    // a complete single-part checkpoint at the same version wins (either
-    // is valid; one file is the cheaper bootstrap)
-    val checkpoints = multis ++ singles.map { case (v, p) => v -> Seq(p) }
+    // V2 checkpoints: <v>.checkpoint.<uuid>.parquet manifests whose add
+    // entries live in _sidecars/. Several writers may race the same
+    // version with different uuids — any one is a complete manifest, so
+    // the lexically-first is picked deterministically.
+    val v2s: Map[Long, Seq[Path]] = entries.flatMap(p => p.getName match {
+      case V2Re(v, _) => Some(v.toLong -> p)
+      case _ => None
+    }).groupBy(_._1).map { case (v, g) =>
+      v -> Seq(g.map(_._2).minBy(_.getName))
+    }
+    // preference at the same version: any complete form is valid; the
+    // single-part file is the cheapest bootstrap, v2 next, multi last
+    val checkpoints = multis ++ v2s ++ singles.map { case (v, p) => v -> Seq(p) }
     (fs, commits, checkpoints)
   }
 
@@ -337,29 +348,34 @@ object DeltaLog {
     // vacuum tombstones, not pending deletes).
     val ckptVersion = checkpoints.keys.filter(_ <= target).maxOption
     ckptVersion.foreach { v =>
+      def processAdd(a: Row): Unit = {
+        val path = a.getAs[String]("path")
+        val stats =
+          if (a.schema.fieldNames.contains("stats"))
+            Option(a.getAs[String]("stats"))
+          else None
+        val dv =
+          if (a.schema.fieldNames.contains("deletionVector") &&
+              a.getAs[AnyRef]("deletionVector") != null) {
+            val d = a.getAs[Row]("deletionVector")
+            checkDvStorage(d.getAs[String]("storageType"))
+            Some(DvDescriptor(d.getAs[String]("pathOrInlineDv"),
+              d.getAs[Long]("cardinality")))
+          } else None
+        live(path) = AddEntry(path, a.getAs[Long]("size"), stats, dv)
+      }
       val rows = spark.read.parquet(checkpoints(v).map(_.toString): _*)
       val cols = rows.columns.toSet
-      val wanted = Seq("add", "metaData", "protocol", "txn").filter(cols)
+      val wanted = Seq("add", "metaData", "protocol", "txn", "sidecar").filter(cols)
+      val sidecarFiles = mutable.Buffer[String]()
       rows.select(wanted.map(org.apache.spark.sql.functions.col): _*)
         .collect() // checkpoint = table METADATA; size is O(#files), not data
         .foreach { r =>
           wanted.zipWithIndex.foreach {
             case ("add", i) if !r.isNullAt(i) =>
-              val a = r.getStruct(i)
-              val path = a.getAs[String]("path")
-              val stats =
-                if (a.schema.fieldNames.contains("stats"))
-                  Option(a.getAs[String]("stats"))
-                else None
-              val dv =
-                if (a.schema.fieldNames.contains("deletionVector") &&
-                    a.getAs[AnyRef]("deletionVector") != null) {
-                  val d = a.getAs[Row]("deletionVector")
-                  checkDvStorage(d.getAs[String]("storageType"))
-                  Some(DvDescriptor(d.getAs[String]("pathOrInlineDv"),
-                    d.getAs[Long]("cardinality")))
-                } else None
-              live(path) = AddEntry(path, a.getAs[Long]("size"), stats, dv)
+              processAdd(r.getStruct(i))
+            case ("sidecar", i) if !r.isNullAt(i) =>
+              sidecarFiles += r.getStruct(i).getAs[String]("path")
             case ("metaData", i) if !r.isNullAt(i) =>
               val m = r.getStruct(i)
               schemaString = m.getAs[String]("schemaString")
@@ -387,6 +403,27 @@ object DeltaLog {
             case _ =>
           }
         }
+      // V2 checkpoints keep the file actions in sidecar parquet under
+      // _delta_log/_sidecars/ (relative names per the protocol). A
+      // referenced-but-missing sidecar is a HARD error — bootstrapping
+      // from the surviving subset would silently drop live files, the
+      // exact failure mode the multi-part completeness check exists to
+      // prevent.
+      if (sidecarFiles.nonEmpty) {
+        val scDir = new Path(logDir(tablePath), "_sidecars")
+        val paths = sidecarFiles.toSeq.map { p =>
+          if (p.contains("://") || p.startsWith("/")) p
+          else new Path(scDir, p).toString
+        }
+        paths.foreach { p =>
+          if (!fs.exists(new Path(p))) throw new IllegalStateException(
+            s"v2 checkpoint at version $v of $tablePath references a " +
+              s"missing sidecar $p — refusing a partial live-file set")
+        }
+        spark.read.parquet(paths: _*).select("add").collect().foreach { r =>
+          if (!r.isNullAt(0)) processAdd(r.getStruct(0))
+        }
+      }
     }
 
     val from = ckptVersion.map(_ + 1).getOrElse(0L)

@@ -339,6 +339,122 @@ object DeltaWrite {
     snap.version
   }
 
+  /** Write the protocol's V2 checkpoint form: a MANIFEST parquet
+    * (`<v>.checkpoint.<uuid>.parquet`) holding protocol / metaData /
+    * txn / checkpointMetadata plus `sidecar` references, with every
+    * `add` entry in sidecar parquet files under `_delta_log/_sidecars/`.
+    * Why this form exists (and why it is the 100 TB checkpoint): the
+    * manifest stays tiny no matter how many files the table has, the
+    * sidecars parallelize the bootstrap scan like multi-part parts do,
+    * and — unlike parts — an incremental writer may REUSE unchanged
+    * sidecars across checkpoints (not implemented here; the layout is
+    * what enables it). Requires the `v2Checkpoint` table feature: if the
+    * table does not carry it yet, a protocol-upgrade commit (reader 3 /
+    * writer 7, feature lists preserved) lands first. Sidecars are fully
+    * staged before the manifest publishes, and the reader refuses a
+    * manifest whose sidecar is missing. */
+  def checkpointV2(spark: SparkSession, tablePath: String,
+      sidecars: Int = 1): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(sidecars >= 1, s"sidecars must be >= 1, got $sidecars")
+    var snap = DeltaLog.snapshot(spark, tablePath)
+    if (!snap.protocol.readerFeatures.contains("v2Checkpoint")) {
+      commit(spark, tablePath,
+        Seq(featureProtocolAction(snap.protocol,
+          Seq("v2Checkpoint"), Seq("v2Checkpoint"))),
+        operation = "UPGRADE PROTOCOL")
+      snap = DeltaLog.snapshot(spark, tablePath)
+    }
+    val addStruct = StructType(Seq(
+      StructField("path", StringType), StructField("size", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("modificationTime", LongType),
+      StructField("stats", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("cardinality", LongType))))))
+    val sidecarSchema = StructType(Seq(StructField("add", addStruct)))
+    val manifestSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType), StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType), StructField("version", LongType)))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType))))))
+
+    val dir = DeltaLog.logDir(tablePath)
+    val f = fs(spark, dir)
+    val scDir = new Path(dir, "_sidecars")
+    f.mkdirs(scDir)
+
+    def writeOne(target: Path, rows: Seq[Row], schema: StructType): Long = {
+      val staging = new Path(dir, s".ckpt-v2-${java.util.UUID.randomUUID()}")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1)
+            .asInstanceOf[org.apache.spark.rdd.RDD[Row]], schema)
+        .write.mode("overwrite").parquet(staging.toString)
+      val part = f.listStatus(staging).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
+      val size = f.getFileStatus(part).getLen
+      f.delete(target, false)
+      if (!f.rename(part, target))
+        throw new IllegalStateException(s"could not place $target")
+      f.delete(staging, true)
+      size
+    }
+
+    val addRows = snap.files.map(a =>
+      Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
+        partitionValuesMap(a.path),
+        a.dv.map(d => Row("p", d.path, d.cardinality)).orNull)))
+    val slices = Array.fill(sidecars)(scala.collection.mutable.Buffer[Row]())
+    addRows.zipWithIndex.foreach { case (r, i) => slices(i % sidecars) += r }
+    // sidecars land (fully written) BEFORE the manifest that names them
+    val sidecarRows = slices.toSeq.map { rows =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      val size = writeOne(new Path(scDir, name), rows.toSeq, sidecarSchema)
+      Row(null, null, null, null, Row(name, size, 0L))
+    }
+    val proto = snap.protocol
+    val manifest: Seq[Row] =
+      Seq(
+        Row(Row(proto.minReader, proto.minWriter,
+          if (proto.readerFeatures.nonEmpty) proto.readerFeatures else null,
+          if (proto.writerFeatures.nonEmpty) proto.writerFeatures else null),
+          null, null, null, null),
+        Row(null, Row(
+          snap.metaDataId.getOrElse(java.util.UUID.randomUUID().toString),
+          snap.schema.json, snap.partitionColumns, snap.configuration),
+          null, null, null),
+        Row(null, null, null, Row(snap.version), null)) ++
+        snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          Row(null, null, Row(app, v), null, null)
+        } ++ sidecarRows
+    writeOne(new Path(dir,
+      f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"),
+      manifest, manifestSchema)
+    val lc = f.create(new Path(dir, "_last_checkpoint"), true)
+    try lc.write(
+      s"""{"version":${snap.version},"size":${manifest.size + snap.files.size}}"""
+        .getBytes("UTF-8")) finally lc.close()
+    snap.version
+  }
+
   /** Distributed data-file write: stage through a hidden subdirectory,
     * then move the part files into the table root (keeping any hive-style
     * partition subpaths). Only file METADATA moves through the driver. */
@@ -539,14 +655,19 @@ object DeltaWrite {
     * enforces constraints/generation from table properties directly.) */
   private[sources] def featureProtocolAction(
       current: DeltaLog.TableProtocol,
-      newWriterFeatures: Seq[String]): ObjectNode = {
+      newWriterFeatures: Seq[String],
+      newReaderFeatures: Seq[String] = Nil): ObjectNode = {
     val n = mapper.createObjectNode()
     val p = mapper.createObjectNode()
-      .put("minReaderVersion", current.minReader)
+      // a new reader feature forces the table-features reader version
+      .put("minReaderVersion",
+        if (newReaderFeatures.nonEmpty) math.max(current.minReader, 3)
+        else current.minReader)
       .put("minWriterVersion", 7)
-    if (current.readerFeatures.nonEmpty) {
+    val allReader = (current.readerFeatures ++ newReaderFeatures).distinct
+    if (allReader.nonEmpty) {
       val rf = JsonNodeFactory.instance.arrayNode()
-      current.readerFeatures.foreach(rf.add)
+      allReader.foreach(rf.add)
       p.set[com.fasterxml.jackson.databind.node.ArrayNode]("readerFeatures", rf)
     }
     val wf = JsonNodeFactory.instance.arrayNode()

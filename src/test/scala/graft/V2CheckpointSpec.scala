@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaDml, DeltaDv, DeltaLog, DeltaMaintenance, DeltaWrite}
+
+/** V2 checkpoint specs: manifest + sidecar layout, protocol feature
+  * upgrade, bootstrap after log cleanup, deletion-vector round-trip
+  * through sidecars, and the refuse-partial-manifest guard. */
+class V2CheckpointSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-v2ckpt-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-v2ckpt").resolve("t").toString
+
+  private def logNames(t: String): Seq[String] = {
+    val d = new java.io.File(s"$t/_delta_log")
+    d.listFiles().map(_.getName).toSeq.sorted
+  }
+
+  test("v2 checkpoint: manifest + sidecars bootstrap a cleaned log") {
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, mode = SaveMode.Append)
+    DeltaWrite.write(Seq((4, "d")).toDF("id", "s"), t, mode = SaveMode.Append)
+
+    val v = DeltaWrite.checkpointV2(spark, t, sidecars = 2)
+    // the protocol upgrade commit bumped the version before checkpointing
+    assert(v == 3L)
+    val names = logNames(t)
+    assert(names.exists(n => n.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet")),
+      s"expected a v2 manifest, got $names")
+    assert(new java.io.File(s"$t/_delta_log/_sidecars").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+
+    val removed = DeltaMaintenance.cleanupLog(spark, t)
+    assert(removed == 4, "create + 2 appends + upgrade commits cleaned")
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.protocol.readerFeatures.contains("v2Checkpoint"))
+    assert(snap.protocol.writerFeatures.contains("v2Checkpoint"))
+    assert(DeltaLog.read(spark, t).as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+
+    // the table stays writable and replayable past the v2 bootstrap
+    DeltaWrite.write(Seq((5, "e")).toDF("id", "s"), t, mode = SaveMode.Append)
+    assert(DeltaLog.read(spark, t).count() == 5L)
+  }
+
+  test("v2 checkpoint round-trips deletion vectors through sidecars") {
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "s").coalesce(1), t)
+    DeltaMaintenance.setTblProperties(spark, t, Map(DeltaDv.Property -> "true"))
+    val r = DeltaDml.delete(spark, t, col("id") === 2)
+    assert(r.rewrittenFiles == 0, "merge-on-read delete expected")
+
+    DeltaWrite.checkpointV2(spark, t)
+    DeltaMaintenance.cleanupLog(spark, t)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.flatMap(_.dv).map(_.cardinality) == Seq(1L),
+      "dv descriptor must survive the sidecar round-trip")
+    assert(snap.protocol.readerFeatures.toSet ==
+      Set("deletionVectors", "v2Checkpoint"),
+      "the upgrade must PRESERVE the dv feature")
+    assert(DeltaLog.read(spark, t).as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (3, "c"), (4, "d")))
+  }
+
+  test("a manifest referencing a missing sidecar is refused loudly") {
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
+    DeltaWrite.checkpointV2(spark, t)
+    DeltaMaintenance.cleanupLog(spark, t)
+    new java.io.File(s"$t/_delta_log/_sidecars").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val e = intercept[IllegalStateException](DeltaLog.snapshot(spark, t))
+    assert(e.getMessage.contains("missing sidecar"),
+      s"wrong failure: ${e.getMessage}")
+  }
+}
