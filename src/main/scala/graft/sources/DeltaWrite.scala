@@ -418,17 +418,77 @@ object DeltaWrite {
       size
     }
 
-    val addRows = snap.files.map(a =>
-      Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
-        partitionValuesMap(a.path),
-        a.dv.map(d => Row("p", d.path, d.cardinality)).orNull)))
-    val slices = Array.fill(sidecars)(scala.collection.mutable.Buffer[Row]())
-    addRows.zipWithIndex.foreach { case (r, i) => slices(i % sidecars) += r }
-    // sidecars land (fully written) BEFORE the manifest that names them
-    val sidecarRows = slices.toSeq.map { rows =>
-      val name = s"${java.util.UUID.randomUUID()}.parquet"
-      val size = writeOne(new Path(scDir, name), rows.toSeq, sidecarSchema)
-      Row(null, null, null, null, Row(name, size, 0L))
+    // Buckets are keyed by a STABLE hash of the file path (not
+    // round-robin): an unchanged bucket yields the identical add set at
+    // the next checkpoint, which is what makes sidecar REUSE sound — the
+    // incremental property this layout exists for. With N sidecars, a
+    // checkpoint after k file changes rewrites ~min(k, N) sidecars and
+    // REFERENCES the rest; at 100 TB (millions of adds, hundreds of
+    // sidecars) that turns every checkpoint after the first from a
+    // full-metadata rewrite into a delta-sized one.
+    def bucketOf(path: String): Int =
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(path), sidecars)
+    def contentKey(path: String, size: Long, stats: Option[String],
+        dvPath: Option[String], dvCard: Option[Long]) =
+      (path, size, stats.getOrElse(""), dvPath.getOrElse(""),
+        dvCard.getOrElse(-1L))
+    val buckets: Seq[Seq[DeltaLog.AddEntry]] = {
+      val bs = Array.fill(sidecars)(scala.collection.mutable.Buffer[DeltaLog.AddEntry]())
+      snap.files.foreach(a => bs(bucketOf(a.path)) += a)
+      bs.toSeq.map(_.sortBy(_.path).toSeq)
+    }
+    // Prior v2 manifest (if any, and if written with the same bucket
+    // count): map each prior sidecar's CONTENT set to its (name, size)
+    // so byte-equal buckets are referenced instead of rewritten.
+    val priorSidecars: Map[Set[(String, Long, String, String, Long)], (String, Long)] = {
+      val priors = f.listStatus(dir).map(_.getPath).flatMap(p => p.getName match {
+        case v2 if v2.matches("""\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.parquet""") =>
+          Some(v2.take(20).toLong -> p)
+        case _ => None
+      })
+      priors.sortBy(-_._1).headOption match {
+        case None => Map.empty
+        case Some((_, manifest)) =>
+          val refs = spark.read.parquet(manifest.toString)
+          if (!refs.columns.contains("sidecar")) Map.empty
+          else refs.select("sidecar").collect()
+            .filter(!_.isNullAt(0)).map(_.getStruct(0))
+            .filter(sc => f.exists(new Path(scDir, sc.getAs[String]("path"))))
+            .map { sc =>
+              val name = sc.getAs[String]("path")
+              val sz = sc.getAs[Long]("sizeInBytes")
+              val keys = spark.read
+                .parquet(new Path(scDir, name).toString)
+                .select("add").collect()
+                .filter(!_.isNullAt(0)).map(_.getStruct(0))
+                .map { a =>
+                  val dv = Option(a.getAs[Row]("deletionVector"))
+                  contentKey(a.getAs[String]("path"), a.getAs[Long]("size"),
+                    Option(a.getAs[String]("stats")),
+                    dv.map(_.getAs[String]("pathOrInlineDv")),
+                    dv.map(_.getAs[Long]("cardinality")))
+                }.toSet
+              keys -> (name, sz)
+            }.toMap
+      }
+    }
+    // unchanged buckets are referenced; changed ones land (fully
+    // written) BEFORE the manifest that names them
+    val sidecarRows = buckets.map { bucket =>
+      val ks = bucket.map(a => contentKey(a.path, a.size, a.stats,
+        a.dv.map(_.path), a.dv.map(_.cardinality))).toSet
+      priorSidecars.get(ks) match {
+        case Some((name, sz)) =>
+          Row(null, null, null, null, Row(name, sz, 0L))
+        case None =>
+          val rows = bucket.map(a =>
+            Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
+              partitionValuesMap(a.path),
+              a.dv.map(d => Row("p", d.path, d.cardinality)).orNull)))
+          val name = s"${java.util.UUID.randomUUID()}.parquet"
+          val size = writeOne(new Path(scDir, name), rows, sidecarSchema)
+          Row(null, null, null, null, Row(name, size, 0L))
+      }
     }
     val proto = snap.protocol
     val manifest: Seq[Row] =

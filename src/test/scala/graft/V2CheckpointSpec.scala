@@ -79,6 +79,42 @@ class V2CheckpointSpec extends AnyFunSuite {
       Seq((1, "a"), (3, "c"), (4, "d")))
   }
 
+  test("incremental v2 checkpoints REUSE unchanged sidecars") {
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s").coalesce(1), t)
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s").coalesce(1), t,
+      mode = SaveMode.Append)
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s").coalesce(1), t,
+      mode = SaveMode.Append)
+    DeltaWrite.checkpointV2(spark, t, sidecars = 3)
+    val scDir = new java.io.File(s"$t/_delta_log/_sidecars")
+    def sidecarNames(): Set[String] =
+      scDir.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val after1 = sidecarNames()
+
+    DeltaWrite.write(Seq((4, "d")).toDF("id", "s").coalesce(1), t,
+      mode = SaveMode.Append)
+    DeltaWrite.checkpointV2(spark, t, sidecars = 3)
+    val fresh = sidecarNames() -- after1
+    // one new data file lands in exactly one bucket: at most one sidecar
+    // is rewritten, the rest are REFERENCED from the prior checkpoint
+    assert(fresh.size <= 1, s"expected at most one rewritten sidecar, got $fresh")
+    val manifests = logNames(t)
+      .filter(_.matches("""\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.parquet"""))
+      .sorted
+    assert(manifests.size == 2)
+    val refs = spark.read.parquet(s"$t/_delta_log/${manifests.last}")
+      .select("sidecar").collect()
+      .filter(!_.isNullAt(0)).map(_.getStruct(0).getAs[String]("path")).toSet
+    assert((refs -- fresh).subsetOf(after1) && (refs & after1).nonEmpty,
+      "the new manifest must reference prior sidecars")
+    // and the reused layout still reads correctly after cleanup
+    DeltaMaintenance.cleanupLog(spark, t)
+    assert(DeltaLog.read(spark, t).as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+  }
+
   test("a manifest referencing a missing sidecar is refused loudly") {
     import spark.implicits._
     val t = tmpTable()
