@@ -451,25 +451,40 @@ object DeltaWrite {
         case Some((_, manifest)) =>
           val refs = spark.read.parquet(manifest.toString)
           if (!refs.columns.contains("sidecar")) Map.empty
-          else refs.select("sidecar").collect()
-            .filter(!_.isNullAt(0)).map(_.getStruct(0))
-            .filter(sc => f.exists(new Path(scDir, sc.getAs[String]("path"))))
-            .map { sc =>
-              val name = sc.getAs[String]("path")
-              val sz = sc.getAs[Long]("sizeInBytes")
-              val keys = spark.read
-                .parquet(new Path(scDir, name).toString)
-                .select("add").collect()
-                .filter(!_.isNullAt(0)).map(_.getStruct(0))
-                .map { a =>
-                  val dv = Option(a.getAs[Row]("deletionVector"))
-                  contentKey(a.getAs[String]("path"), a.getAs[Long]("size"),
-                    Option(a.getAs[String]("stats")),
-                    dv.map(_.getAs[String]("pathOrInlineDv")),
-                    dv.map(_.getAs[Long]("cardinality")))
-                }.toSet
-              keys -> (name, sz)
-            }.toMap
+          else {
+            val named = refs.select("sidecar").collect()
+              .filter(!_.isNullAt(0)).map(_.getStruct(0))
+              .map(sc => sc.getAs[String]("path") -> sc.getAs[Long]("sizeInBytes"))
+              .filter { case (name, _) => f.exists(new Path(scDir, name)) }
+              .toMap
+            if (named.isEmpty) Map.empty
+            else {
+              // ONE read over every prior sidecar, grouped back by file —
+              // a per-sidecar read would launch N driver jobs per checkpoint
+              val rows = spark.read
+                .parquet(named.keys.toSeq.map(n => new Path(scDir, n).toString): _*)
+                .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+                  org.apache.spark.sql.functions.col("add"))
+                .collect()
+              val nameToKeys = rows.filter(!_.isNullAt(1))
+                .groupBy(r => new Path(r.getString(0)).getName)
+                .map { case (name, rs) =>
+                  name -> rs.map(_.getStruct(1)).map { a =>
+                    val dv = Option(a.getAs[Row]("deletionVector"))
+                    contentKey(a.getAs[String]("path"), a.getAs[Long]("size"),
+                      Option(a.getAs[String]("stats")),
+                      dv.map(_.getAs[String]("pathOrInlineDv")),
+                      dv.map(_.getAs[Long]("cardinality")))
+                  }.toSet
+                }
+              // files absent from the scan were EMPTY sidecars — they
+              // legitimately match (and serve) an empty bucket
+              named.map { case (n, sz) =>
+                nameToKeys.getOrElse(n,
+                  Set.empty[(String, Long, String, String, Long)]) -> (n, sz)
+              }
+            }
+          }
       }
     }
     // unchanged buckets are referenced; changed ones land (fully
