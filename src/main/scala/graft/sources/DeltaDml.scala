@@ -346,10 +346,15 @@ object DeltaDml {
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val DropColumnRe =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  private val CheckpointRe =
+    """(?is)\s*CHECKPOINT\s+(\S+?)(?:\s+(V2)(?:\s+SIDECARS\s+(\d+))?|\s+PARTS\s+(\d+))?\s*;?\s*""".r
+  private val CleanupRe =
+    """(?is)\s*CLEANUP\s+LOG\s+(\S+?)\s*;?\s*""".r
 
   /** Dispatch Delta maintenance / constraint statements against a table
     * path (the REPL's non-SELECT surface beyond DML): OPTIMIZE, VACUUM
-    * [RETAIN n HOURS], RESTORE … TO VERSION AS OF n, ALTER TABLE …
+    * [RETAIN n HOURS], RESTORE … TO VERSION AS OF n, CHECKPOINT …
+    * [V2 [SIDECARS n] | PARTS n], CLEANUP LOG …, ALTER TABLE …
     * ADD/DROP CONSTRAINT. Returns a human-readable summary, or None
     * when the statement is none of these. */
   def dispatchMaintenance(spark: SparkSession, sql: String): Option[String] = sql match {
@@ -384,6 +389,20 @@ object DeltaDml {
     case DropColumnRe(target, name) =>
       val v = DeltaSchema.dropColumn(spark, unquote(target), name)
       Some(s"column $name dropped (version $v)")
+    case CheckpointRe(target, v2, sidecars, parts) =>
+      val t = unquote(target)
+      val v =
+        if (v2 != null)
+          DeltaWrite.checkpointV2(spark, t,
+            Option(sidecars).map(_.toInt).getOrElse(1))
+        else
+          DeltaWrite.checkpoint(spark, t,
+            Option(parts).map(_.toInt).getOrElse(1))
+      Some(s"checkpointed $t at version $v" +
+        (if (v2 != null) " (v2)" else ""))
+    case CleanupRe(target) =>
+      val n = DeltaMaintenance.cleanupLog(spark, unquote(target))
+      Some(s"cleaned $n commit files behind the checkpoint horizon")
     case SetPropsRe(target, propList) =>
       val props = splitTopLevel(propList).map { kv =>
         val Array(k, v) = kv.split("=", 2)

@@ -115,6 +115,22 @@ class V2CheckpointSpec extends AnyFunSuite {
       Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
   }
 
+  test("REPL dispatch: CHECKPOINT ... V2 SIDECARS n and CLEANUP LOG") {
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
+    val msg = DeltaDml.dispatchMaintenance(spark, s"CHECKPOINT `$t` V2 SIDECARS 2")
+    assert(msg.exists(_.contains("(v2)")), s"got $msg")
+    assert(new java.io.File(s"$t/_delta_log/_sidecars").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+    val cl = DeltaDml.dispatchMaintenance(spark, s"CLEANUP LOG `$t`")
+    assert(cl.exists(_.startsWith("cleaned ")), s"got $cl")
+    assert(DeltaLog.read(spark, t).count() == 2L)
+    // classic form still routes
+    val m2 = DeltaDml.dispatchMaintenance(spark, s"CHECKPOINT `$t`")
+    assert(m2.exists(m => m.contains("checkpointed") && !m.contains("(v2)")))
+  }
+
   test("a manifest referencing a missing sidecar is refused loudly") {
     import spark.implicits._
     val t = tmpTable()
