@@ -544,6 +544,11 @@ object Dedup {
     GraftQuery("q120_pagerank",
       (s, d) => {
         val pairs = jaccardPairs(s, d).select("a", "b")
+        // The persisted edge list bounds the chained-lineage growth; a
+        // per-iteration persist+materialize was MEASURED SLOWER (3 extra
+        // blocking jobs + cache writes beat the 3-deep plan recompute —
+        // the "persist is not free" lesson) — fixed iteration depth
+        // keeps the unpersisted chain shallow by construction.
         val und = pairs
           .union(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
         val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("dg"))
