@@ -15,13 +15,18 @@ import graft.sources.DeltaDml.DmlResult
   * positions, instead of rewriting every hit file; the scan-side cost
   * is one anti-join bounded by deleted rows ([[DeltaLog.scanFilesWithMeta]]).
   *
-  * Physical encoding (documented deviation, [[DeltaLog.DvDescriptor]]):
-  * ONE parquet sidecar of `(file, pos)` per DELETE commit, shared by
-  * all of the commit's descriptors — the same one-DV-file-per-commit
-  * shape Delta writes, with parquet instead of a roaring-bitmap bin.
+  * Physical encoding ([[RoaringDv]]): ONE roaring-format DV file per
+  * DELETE commit — the protocol's framed layout (format-version byte,
+  * then per vector big-endian size · roaring portable bitmap · CRC-32)
+  * holding every hit file's vector at its own descriptor offset, the
+  * same multi-vector-per-file shape Delta writes. Building the file
+  * concentrates the COMMIT'S deletion set at the driver (bounded by
+  * the delete's affected rows — the same working set Delta's own DV
+  * writer materializes as bitmaps); the SCAN side stays distributed
+  * (vectors parse in executor tasks, [[DeltaLog.scanFiles]]).
   * Re-deleting from an already-vectored file UNIONS the old positions
-  * into the new sidecar (a file's descriptor always points at its
-  * complete deletion set; the superseded sidecar becomes vacuumable).
+  * into the new file (a file's descriptor always points at its
+  * complete deletion set; the superseded DV file becomes vacuumable).
   *
   * UPDATE is merge-on-read too ([[update]]): old row versions are
   * vectored out and only the UPDATED rows append as new files. MERGE
@@ -37,26 +42,35 @@ object DeltaDv {
   def enabled(configuration: Map[String, String]): Boolean =
     configuration.get(Property).exists(_.equalsIgnoreCase("true"))
 
-  /** Stage the commit's `(file, pos)` rows as ONE sidecar parquet;
-    * returns its table-relative path. The coalesce is bounded by deleted
-    * positions (16 bytes-ish each), not table size — the same
-    * single-file-per-commit shape as Delta's own DV bins. */
-  private def writeSidecar(rows: DataFrame, tablePath: String): String = {
-    val spark = rows.sparkSession
+  /** Write one framed roaring DV file holding each hit file's complete
+    * deletion vector (ordered by file for determinism); returns the
+    * table-relative path plus each file's descriptor fields. */
+  private def writeDvFile(spark: SparkSession, tablePath: String,
+      perFile: Seq[(String, Array[Long])])
+      : (String, Map[String, (Long, Long, Long)]) = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val staging = new Path(table, s".dv-staging-${java.util.UUID.randomUUID()}")
-    rows.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    val part = fs.listStatus(staging).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("DV write produced no part file"))
-    val rel = s"$DvDir/dv-${java.util.UUID.randomUUID()}.parquet"
+    val ordered = perFile.sortBy(_._1)
+    val (bytes, descs) = RoaringDv.frame(ordered.map(_._2))
+    val rel = s"$DvDir/dv-${java.util.UUID.randomUUID()}.bin"
     val target = new Path(table, rel)
     fs.mkdirs(target.getParent)
-    if (!fs.rename(part, target))
-      throw new IllegalStateException(s"could not place DV sidecar $target")
-    fs.delete(staging, true)
-    rel
+    val out = fs.create(target, false)
+    try out.write(bytes) finally out.close()
+    rel -> ordered.map(_._1).zip(descs).toMap
+  }
+
+  /** Parse the existing vector of an already-vectored file (driver-side;
+    * bounded by that file's deletion set). */
+  private def existingPositions(spark: SparkSession, tablePath: String,
+      d: DeltaLog.DvDescriptor): Array[Long] = {
+    val p = new Path(tablePath, d.path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    RoaringDv.unframe(bytes, d.offset, d.sizeInBytes)
   }
 
   /** The vectorization common to MOR DELETE and UPDATE: given the
@@ -84,30 +98,30 @@ object DeltaDv {
       throw new IllegalStateException(s"scanned file not in snapshot: $f")))
 
     // New positions ∪ the hit files' existing vectors → each descriptor
-    // stays the file's COMPLETE deletion set.
-    val newRows = matched.select(col("__file").as("file"), col("__pos").as("pos"))
-    val oldSidecars = hitEntries.flatMap(_._2.dv)
-      .map(d => new Path(tablePath, d.path).toString).distinct
-    val allRows =
-      if (oldSidecars.isEmpty) newRows
-      else newRows.unionByName(
-        spark.read.schema("file STRING, pos BIGINT").parquet(oldSidecars: _*)
-          .filter(col("file").isin(hitFiles.toIndexedSeq: _*))).distinct()
+    // stays the file's COMPLETE deletion set. The collect is bounded by
+    // THIS COMMIT's deletion sets (the DV writer's working set, as in
+    // Delta's own bitmap builder), never by table size.
+    val newByFile: Map[String, Array[Long]] = matched
+      .select(col("__file"), col("__pos"))
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+    val perFile: Seq[(String, Array[Long])] = hitEntries.map { case (f, a) =>
+      val old = a.dv.map(existingPositions(spark, tablePath, _))
+        .getOrElse(Array.empty[Long])
+      f -> (newByFile.getOrElse(f, Array.empty[Long]) ++ old).distinct.sorted
+    }
 
-    val rel = writeSidecar(allRows, tablePath)
-    val cards = spark.read.schema("file STRING, pos BIGINT")
-      .parquet(new Path(tablePath, rel).toString)
-      .groupBy("file").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // #hit files
+    val (rel, descs) = writeDvFile(spark, tablePath, perFile)
     val oldCards = hitEntries.map(_._2.dv.map(_.cardinality).getOrElse(0L)).sum
-    val affected = cards.values.sum - oldCards
+    val affected = descs.values.map(_._3).sum - oldCards
 
     // remove + re-add with the descriptor (adds AFTER removes — replay
     // is line-ordered)
     val actions = hitEntries.map(e => DeltaWrite.removeAction(e._2.path)) ++
       hitEntries.map { case (f, a) =>
+        val (off, size, card) = descs(f)
         DeltaWrite.addAction(a.copy(dv = Some(
-          DeltaLog.DvDescriptor(rel, cards.getOrElse(f, 0L)))))
+          DeltaLog.DvDescriptor(rel, card, off, size))))
       }
     Some((actions, affected))
   }

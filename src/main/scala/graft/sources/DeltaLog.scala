@@ -35,14 +35,15 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
 object DeltaLog {
 
   /** A deletion vector attached to a live file (merge-on-read deletes):
-    * `path` is the sidecar as recorded (`pathOrInlineDv`, table-relative
-    * or absolute), `cardinality` the number of deleted positions.
-    * Deviation from Delta's physical encoding (documented): the sidecar
-    * is a parquet of `(file STRING, pos BIGINT)` deleted row positions
-    * (storageType `p`), not a roaring-bitmap bin — the LOGICAL
-    * merge-on-read contract (scan = file rows minus DV positions, DV
-    * replaced atomically with its add entry) is the protocol's. */
-  final case class DvDescriptor(path: String, cardinality: Long)
+    * `path` is the DV file as recorded (`pathOrInlineDv`, table-relative
+    * or absolute), `offset`/`sizeInBytes` locate this file's vector
+    * inside it, `cardinality` the number of deleted positions. The
+    * physical encoding is the protocol's roaring portable format framed
+    * per [[RoaringDv]] (format-version byte, big-endian size, CRC-32);
+    * one DV FILE per commit holds every hit file's vector at its own
+    * offset — the same multi-vector-per-file shape Delta writes. */
+  final case class DvDescriptor(path: String, cardinality: Long,
+      offset: Long = 1L, sizeInBytes: Long = 0L)
 
   /** One live data file in a snapshot. `path` is as recorded in the log
     * (relative, percent-encoded per protocol); `stats` is the raw
@@ -178,11 +179,11 @@ object DeltaLog {
       val hp = new Path(p)
       hp.getFileSystem(hconf).makeQualified(hp).toString
     }
-    val dvByCanon: Map[String, String] = snap.files.flatMap { a =>
+    val dvByCanon: Map[String, DvDescriptor] = snap.files.flatMap { a =>
       a.dv.map { d =>
         val abs = new Path(snap.tablePath,
           java.net.URLDecoder.decode(a.path, "UTF-8")).toString
-        canon(abs) -> new Path(snap.tablePath, d.path).toString
+        canon(abs) -> d.copy(path = new Path(snap.tablePath, d.path).toString)
       }
     }.toMap
     val (dvPaths, plainPaths) = paths.partition(p => dvByCanon.contains(canon(p)))
@@ -190,9 +191,25 @@ object DeltaLog {
     else {
       if (mode != "none") throw new UnsupportedOperationException(
         "deletion vectors on a column-mapped table are not supported")
-      val sidecars = dvPaths.map(p => dvByCanon(canon(p))).distinct
-      val dvRows = spark.read.schema("file STRING, pos BIGINT")
-        .parquet(sidecars: _*).toDF("__dv_file", "__dv_pos")
+      // Each (data file, descriptor) ref parses ITS vector out of the
+      // roaring DV file in the executor task — positions never transit
+      // the driver, and the probe side stays bounded by deleted rows.
+      val refs: Seq[(String, String, Long, Long)] = dvPaths.map { p =>
+        val d = dvByCanon(canon(p))
+        (canon(p), d.path, d.offset, d.sizeInBytes)
+      }
+      import spark.implicits._
+      val dvRows = spark.createDataset(refs)
+        .flatMap { case (file, dvFile, off, size) =>
+          val p = new Path(dvFile)
+          // default conf suffices: the path's scheme picks the filesystem
+          val dfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val len = dfs.getFileStatus(p).getLen.toInt
+          val bytes = new Array[Byte](len)
+          val in = dfs.open(p)
+          try in.readFully(0, bytes) finally in.close()
+          RoaringDv.unframe(bytes, off, size).map(file -> _)
+        }.toDF("__dv_file", "__dv_pos")
       val withMeta = readAll(dvPaths)
       val filtered = withMeta.join(dvRows,
           withMeta("__file") === dvRows("__dv_file") &&
@@ -359,8 +376,12 @@ object DeltaLog {
               a.getAs[AnyRef]("deletionVector") != null) {
             val d = a.getAs[Row]("deletionVector")
             checkDvStorage(d.getAs[String]("storageType"))
+            def lf(n: String, dflt: Long): Long =
+              if (d.schema.fieldNames.contains(n) && !d.isNullAt(d.fieldIndex(n)))
+                d.getAs[Long](n)
+              else dflt
             Some(DvDescriptor(d.getAs[String]("pathOrInlineDv"),
-              d.getAs[Long]("cardinality")))
+              d.getAs[Long]("cardinality"), lf("offset", 1L), lf("sizeInBytes", 0L)))
           } else None
         live(path) = AddEntry(path, a.getAs[Long]("size"), stats, dv)
       }
@@ -449,7 +470,10 @@ object DeltaLog {
                   val d = add.get("deletionVector")
                   checkDvStorage(d.get("storageType").asText())
                   Some(DvDescriptor(d.get("pathOrInlineDv").asText(),
-                    d.get("cardinality").asLong()))
+                    d.get("cardinality").asLong(),
+                    if (d.hasNonNull("offset")) d.get("offset").asLong() else 1L,
+                    if (d.hasNonNull("sizeInBytes")) d.get("sizeInBytes").asLong()
+                    else 0L))
                 } else None
               live(p) = AddEntry(p, add.get("size").asLong(), stats, dv)
             }

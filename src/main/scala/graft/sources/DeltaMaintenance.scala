@@ -403,7 +403,9 @@ object DeltaMaintenance {
         val name = st.getPath.getName
         if (st.isDirectory) {
           if (name != "_delta_log" && !name.startsWith(".")) walk(st.getPath)
-        } else if (name.endsWith(".parquet")) {
+        } else if (name.endsWith(".parquet") || name.endsWith(".bin")) {
+          // .bin = roaring DV files; live descriptors protect theirs via
+          // the same `live` set, superseded ones age out identically
           val q = fs.makeQualified(st.getPath).toString
           val deletedAt = tombstones.get(q).filter(_ > 0L)
             .getOrElse(st.getModificationTime)

@@ -241,6 +241,8 @@ object DeltaWrite {
         StructField("deletionVector", StructType(Seq(
           StructField("storageType", StringType),
           StructField("pathOrInlineDv", StringType),
+          StructField("offset", LongType),
+          StructField("sizeInBytes", LongType),
           StructField("cardinality", LongType))))))),
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
@@ -286,7 +288,7 @@ object DeltaWrite {
     val addRows = snap.files.map(a =>
       Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
         partitionValuesMap(a.path),
-        a.dv.map(d => Row("p", d.path, d.cardinality)).orNull), null, null, null))
+        a.dv.map(d => Row("p", d.path, d.offset, d.sizeInBytes, d.cardinality)).orNull), null, null, null))
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
 
@@ -375,6 +377,8 @@ object DeltaWrite {
       StructField("deletionVector", StructType(Seq(
         StructField("storageType", StringType),
         StructField("pathOrInlineDv", StringType),
+        StructField("offset", LongType),
+        StructField("sizeInBytes", LongType),
         StructField("cardinality", LongType))))))
     val sidecarSchema = StructType(Seq(StructField("add", addStruct)))
     val manifestSchema = StructType(Seq(
@@ -428,9 +432,11 @@ object DeltaWrite {
     // full-metadata rewrite into a delta-sized one.
     def bucketOf(path: String): Int =
       math.floorMod(scala.util.hashing.MurmurHash3.stringHash(path), sidecars)
+    // the dv component carries path@offset+size so a re-vectored file
+    // (same dv path, new offset) never false-matches a prior sidecar
     def contentKey(path: String, size: Long, stats: Option[String],
-        dvPath: Option[String], dvCard: Option[Long]) =
-      (path, size, stats.getOrElse(""), dvPath.getOrElse(""),
+        dv: Option[String], dvCard: Option[Long]) =
+      (path, size, stats.getOrElse(""), dv.getOrElse(""),
         dvCard.getOrElse(-1L))
     val buckets: Seq[Seq[DeltaLog.AddEntry]] = {
       val bs = Array.fill(sidecars)(scala.collection.mutable.Buffer[DeltaLog.AddEntry]())
@@ -473,7 +479,8 @@ object DeltaWrite {
                     val dv = Option(a.getAs[Row]("deletionVector"))
                     contentKey(a.getAs[String]("path"), a.getAs[Long]("size"),
                       Option(a.getAs[String]("stats")),
-                      dv.map(_.getAs[String]("pathOrInlineDv")),
+                      dv.map(d => d.getAs[String]("pathOrInlineDv") +
+                        "@" + d.getAs[Long]("offset") + "+" + d.getAs[Long]("sizeInBytes")),
                       dv.map(_.getAs[Long]("cardinality")))
                   }.toSet
                 }
@@ -491,7 +498,8 @@ object DeltaWrite {
     // written) BEFORE the manifest that names them
     val sidecarRows = buckets.map { bucket =>
       val ks = bucket.map(a => contentKey(a.path, a.size, a.stats,
-        a.dv.map(_.path), a.dv.map(_.cardinality))).toSet
+        a.dv.map(d => d.path + "@" + d.offset + "+" + d.sizeInBytes),
+        a.dv.map(_.cardinality))).toSet
       priorSidecars.get(ks) match {
         case Some((name, sz)) =>
           Row(null, null, null, null, Row(name, sz, 0L))
@@ -499,7 +507,7 @@ object DeltaWrite {
           val rows = bucket.map(a =>
             Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
               partitionValuesMap(a.path),
-              a.dv.map(d => Row("p", d.path, d.cardinality)).orNull)))
+              a.dv.map(d => Row("p", d.path, d.offset, d.sizeInBytes, d.cardinality)).orNull)))
           val name = s"${java.util.UUID.randomUUID()}.parquet"
           val size = writeOne(new Path(scDir, name), rows, sidecarSchema)
           Row(null, null, null, null, Row(name, size, 0L))
@@ -582,6 +590,7 @@ object DeltaWrite {
     a.dv.foreach { d =>
       add.set[ObjectNode]("deletionVector", mapper.createObjectNode()
         .put("storageType", "p").put("pathOrInlineDv", d.path)
+        .put("offset", d.offset).put("sizeInBytes", d.sizeInBytes)
         .put("cardinality", d.cardinality))
     }
     add.set[ObjectNode]("partitionValues", partitionValuesOf(a.path))
