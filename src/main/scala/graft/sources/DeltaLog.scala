@@ -26,8 +26,8 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * column pruning push into that scan as with any parquet read.
   *
   * Scope (checked, not assumed): reader versions 1-3 — version 2's
-  * column mapping in `name` mode, version 3's deletion vectors via
-  * path-typed parquet sidecars ([[DvDescriptor]]); anything else is
+  * column mapping in `name` mode, version 3's deletion vectors in the
+  * roaring portable format ([[RoaringDv]], [[DvDescriptor]]); anything else is
   * rejected rather than misread. Partitioned tables are supported via
   * hive-style file layout (`col=val/part-….parquet`), which is what
   * [[DeltaWrite]] and Spark's own `partitionBy` produce.
