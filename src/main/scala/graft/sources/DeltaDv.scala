@@ -52,12 +52,14 @@ object DeltaDv {
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val ordered = perFile.sortBy(_._1)
     val (bytes, descs) = RoaringDv.frame(ordered.map(_._2))
-    val rel = s"$DvDir/dv-${java.util.UUID.randomUUID()}.bin"
-    val target = new Path(table, rel)
+    val target = new Path(table,
+      s"$DvDir/dv-${java.util.UUID.randomUUID()}.bin")
     fs.mkdirs(target.getParent)
     val out = fs.create(target, false)
     try out.write(bytes) finally out.close()
-    rel -> ordered.map(_._1).zip(descs).toMap
+    // storageType 'p' records an ABSOLUTE path per the protocol (the
+    // relocatable relative form is 'u'; readers here resolve either)
+    fs.makeQualified(target).toString -> ordered.map(_._1).zip(descs).toMap
   }
 
   /** Parse the existing vector of an already-vectored file (driver-side;
