@@ -375,12 +375,14 @@ object DeltaLog {
           if (a.schema.fieldNames.contains("deletionVector") &&
               a.getAs[AnyRef]("deletionVector") != null) {
             val d = a.getAs[Row]("deletionVector")
-            checkDvStorage(d.getAs[String]("storageType"))
+            val st = d.getAs[String]("storageType")
+            checkDvStorage(st)
             def lf(n: String, dflt: Long): Long =
               if (d.schema.fieldNames.contains(n) && !d.isNullAt(d.fieldIndex(n)))
                 d.getAs[Long](n)
               else dflt
-            Some(DvDescriptor(d.getAs[String]("pathOrInlineDv"),
+            Some(DvDescriptor(
+              dvPathOf(st, d.getAs[String]("pathOrInlineDv")),
               d.getAs[Long]("cardinality"), lf("offset", 1L), lf("sizeInBytes", 0L)))
           } else None
         live(path) = AddEntry(path, a.getAs[Long]("size"), stats, dv)
@@ -468,8 +470,10 @@ object DeltaLog {
               val dv =
                 if (add.hasNonNull("deletionVector")) {
                   val d = add.get("deletionVector")
-                  checkDvStorage(d.get("storageType").asText())
-                  Some(DvDescriptor(d.get("pathOrInlineDv").asText(),
+                  val st = d.get("storageType").asText()
+                  checkDvStorage(st)
+                  Some(DvDescriptor(
+                    dvPathOf(st, d.get("pathOrInlineDv").asText()),
                     d.get("cardinality").asLong(),
                     if (d.hasNonNull("offset")) d.get("offset").asLong() else 1L,
                     if (d.hasNonNull("sizeInBytes")) d.get("sizeInBytes").asLong()
@@ -596,13 +600,20 @@ object DeltaLog {
     if (minReader > 3) throw new UnsupportedOperationException(
       s"Delta reader protocol $minReader not supported (this reader implements versions 1-3)")
 
-  /** Only path-typed DV sidecars are readable (`p`); inline (`i`) and
-    * uuid-relative (`u`) encodings carry roaring bitmaps this engine
-    * does not parse — reject, never misread as zero deletions. */
+  /** Path forms are readable: absolute (`p`) and uuid-relative (`u`,
+    * the form standard Delta writers emit — resolved through
+    * [[RoaringDv.relativeDvPath]]); inline (`i`) vectors are rejected
+    * explicitly, never misread as zero deletions. */
   private def checkDvStorage(storageType: String): Unit =
-    if (storageType != "p") throw new UnsupportedOperationException(
-      s"deletion vector storageType '$storageType' not supported " +
-        "(path-typed parquet sidecars only)")
+    if (storageType != "p" && storageType != "u")
+      throw new UnsupportedOperationException(
+        s"deletion vector storageType '$storageType' not supported " +
+          "(path forms 'p'/'u' only)")
+
+  /** Table-relative (or absolute) DV file path for a descriptor. */
+  private def dvPathOf(storageType: String, pathOrInlineDv: String): String =
+    if (storageType == "u") RoaringDv.relativeDvPath(pathOrInlineDv)
+    else pathOrInlineDv
 
   private def jsonArray(n: JsonNode): Seq[JsonNode] =
     if (n == null) Nil

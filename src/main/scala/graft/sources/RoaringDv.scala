@@ -190,6 +190,52 @@ object RoaringDv {
     (out.toByteArray, descs)
   }
 
+  // ---- storageType 'u' path derivation ----
+
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyz" +
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Index: Map[Char, Int] =
+    Z85Alphabet.zipWithIndex.toMap
+
+  /** z85-encode (ZeroMQ base85: 4 bytes → 5 chars, big-endian). */
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, "z85 input must be a multiple of 4 bytes")
+    bytes.grouped(4).map { g =>
+      var v = g.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      val out = new Array[Char](5)
+      (4 to 0 by -1).foreach { i => out(i) = Z85Alphabet((v % 85).toInt); v /= 85 }
+      new String(out)
+    }.mkString
+  }
+
+  /** z85-decode (ZeroMQ base85: 5 chars → 4 bytes, big-endian). */
+  def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 length must be a multiple of 5: $s")
+    s.grouped(5).flatMap { g =>
+      val v = g.foldLeft(0L)((acc, c) => acc * 85 +
+        Z85Index.getOrElse(c,
+          throw new IllegalArgumentException(s"bad z85 char '$c' in $s")))
+      Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    }.toArray
+  }
+
+  /** Resolve a storageType-'u' `pathOrInlineDv` (an optional random
+    * prefix followed by the z85-encoded 16-byte UUID — the protocol's
+    * RELATIVE, relocatable DV reference, the form standard Delta
+    * writers emit) to its file under the table root:
+    * `<tablePath>/<prefix>/deletion_vector_<uuid>.bin`. */
+  def relativeDvPath(pathOrInlineDv: String): String = {
+    require(pathOrInlineDv.length >= 20,
+      s"storageType 'u' value too short: $pathOrInlineDv")
+    val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
+    val bytes = z85Decode(enc)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    (if (prefix.nonEmpty) s"$prefix/" else "") + s"deletion_vector_$uuid.bin"
+  }
+
   /** Read one vector out of DV-file bytes at `offset` (checksum
     * verified — a corrupt vector must fail loudly, never read as
     * fewer deletions). */

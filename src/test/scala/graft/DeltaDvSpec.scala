@@ -44,6 +44,38 @@ class DeltaDvSpec extends AnyFunSuite {
     t
   }
 
+  test("a foreign table's uuid-relative ('u') deletion vectors read " +
+    "correctly — the form standard Delta writers emit") {
+    import graft.sources.RoaringDv
+    val t = newDvTable()
+    DeltaDml.delete(spark, t, col("id") === 2)
+    // Rewrite our commit into the standard 'u' shape: move the DV file
+    // to deletion_vector_<uuid>.bin at the table root and patch the
+    // descriptor to storageType 'u' + z85(uuid).
+    val snap0 = DeltaLog.snapshot(spark, t)
+    val d = snap0.files.flatMap(_.dv).head
+    val uuid = java.util.UUID.randomUUID()
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    val enc = RoaringDv.z85Encode(bb.array())
+    val src = java.nio.file.Paths.get(new java.net.URI(d.path))
+    val dst = java.nio.file.Paths.get(t, s"deletion_vector_$uuid.bin")
+    java.nio.file.Files.copy(src, dst)
+    val commit = java.nio.file.Paths.get(s"$t/_delta_log/" + f"${2L}%020d.json")
+    val patched = java.nio.file.Files.readString(commit)
+      .replace("\"storageType\":\"p\"", "\"storageType\":\"u\"")
+      .replace(s""""pathOrInlineDv":"${d.path}"""",
+        s""""pathOrInlineDv":"$enc"""")
+    assert(patched.contains("\"storageType\":\"u\""), "patch must apply")
+    java.nio.file.Files.writeString(commit, patched)
+
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.flatMap(_.dv).head.path == s"deletion_vector_$uuid.bin",
+      "u descriptor resolves to the derived relative path")
+    assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")),
+      "the u-referenced vector must apply in the scan")
+  }
+
   test("MOR delete removes rows WITHOUT rewriting data files; history " +
     "time-travels; a second delete merges positions") {
     val t = newDvTable()
@@ -201,10 +233,12 @@ class DeltaDvSpec extends AnyFunSuite {
       """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""",
       s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))
     intercept[UnsupportedOperationException] { DeltaLog.snapshot(spark, v4) }
-    val uDv = writeTable(Seq(
+    // 'u' (uuid-relative) reads are SUPPORTED now; the rejected foreign
+    // form is 'i' (inline vectors)
+    val iDv = writeTable(Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
       s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
-      """{"add":{"path":"f.parquet","size":1,"dataChange":true,"partitionValues":{},"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-EGao","sizeInBytes":40,"cardinality":6}}}"""))
-    intercept[UnsupportedOperationException] { DeltaLog.snapshot(spark, uDv) }
+      """{"add":{"path":"f.parquet","size":1,"dataChange":true,"partitionValues":{},"deletionVector":{"storageType":"i","pathOrInlineDv":"ab^-aqEH.-EGao","sizeInBytes":40,"cardinality":6}}}"""))
+    intercept[UnsupportedOperationException] { DeltaLog.snapshot(spark, iDv) }
   }
 }

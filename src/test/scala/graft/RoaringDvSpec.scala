@@ -58,6 +58,18 @@ class RoaringDvSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(10L, 11L, 12L, 13L, 14L))
   }
 
+  test("z85 roundtrip and uuid-relative path derivation") {
+    val uuid = java.util.UUID.fromString("0f5c6c16-9a6f-4c32-8e9f-1a2b3c4d5e6f")
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    val enc = RoaringDv.z85Encode(bb.array())
+    assert(enc.length == 20)
+    assert(RoaringDv.z85Decode(enc).toSeq == bb.array().toSeq)
+    assert(RoaringDv.relativeDvPath(enc) == s"deletion_vector_$uuid.bin")
+    assert(RoaringDv.relativeDvPath("ab" + enc) ==
+      s"ab/deletion_vector_$uuid.bin", "leading chars are the random prefix")
+  }
+
   test("framing: version byte, big-endian sizes, checksum enforced") {
     val (file, descs) = RoaringDv.frame(Seq(Array(2L, 4L), Array(9L)))
     assert(file(0) == 1, "format version byte")
