@@ -49,13 +49,19 @@ object DeltaCdf {
 
   /** Stage `df` (table columns + `_change_type`) as parquet change files
     * under `_change_data/`; returns log-relative paths. Distributed
-    * write — only file metadata moves through the driver. */
-  private[sources] def writeCdcFiles(df: DataFrame, tablePath: String): Seq[CdcEntry] = {
+    * write — only file metadata moves through the driver. Change files
+    * of a name-mapped table hold PHYSICAL column names like data files
+    * (`logicalSchema` drives the rename; `_change_type` passes through),
+    * so the feed survives later column renames and foreign readers
+    * resolve it per protocol. */
+  private[sources] def writeCdcFiles(df: DataFrame, tablePath: String,
+      logicalSchema: Option[StructType] = None): Seq[CdcEntry] = {
     val spark = df.sparkSession
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new Path(table, s".cdc-staging-${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(staging.toString)
+    val out0 = logicalSchema.map(s => DeltaLog.toPhysical(df, s)).getOrElse(df)
+    out0.write.mode("overwrite").parquet(staging.toString)
     val out = scala.collection.mutable.Buffer[CdcEntry]()
     fs.listStatus(staging).foreach { st =>
       val name = st.getPath.getName
@@ -120,9 +126,16 @@ object DeltaCdf {
             "unavailable for this range")
         abs.toString
       }
-      val cdcSchema = StructType(tableSchema.fields.toSeq :+
+      // change files hold physical names (like data files) — read
+      // through them and project back to the CURRENT logical names, so
+      // the feed keeps resolving across column renames
+      val phys = DeltaLog.physicalSchema(tableSchema)
+      val cdcSchema = StructType(phys.fields.toSeq :+
         StructField("_change_type", StringType))
       Some(spark.read.schema(cdcSchema).parquet(paths: _*)
+        .select(phys.fields.zip(tableSchema.fields).map { case (p, l) =>
+          col(s"`${p.name}`").as(l.name)
+        }.toIndexedSeq :+ col("_change_type"): _*)
         .withColumn("_commit_version", lit(v)))
     } else if (dataRemove) {
       // rewrite commit without change files: honest multiset diff

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
 
 /** CHECK constraints — the protocol's `delta.constraints.<name>` table
   * properties (ALTER TABLE … ADD CONSTRAINT … CHECK …): every writer
@@ -74,8 +74,15 @@ object DeltaConstraints {
     if (cs.isEmpty || adds.isEmpty) return
     val paths = adds.map(a => new Path(tablePath,
       java.net.URLDecoder.decode(a.path, "UTF-8")).toString)
-    val staged = spark.read.schema(schema)
+    // Staged files of a mapped table hold PHYSICAL names — read through
+    // them and project back, or every logical-named CHECK would
+    // validate a column of nulls.
+    val phys = DeltaLog.physicalSchema(schema)
+    val staged = spark.read.schema(phys)
       .option("basePath", tablePath).parquet(paths: _*)
+      .select(phys.fields.zip(schema.fields).map { case (p, l) =>
+        col(s"`${p.name}`").as(l.name)
+      }.toIndexedSeq: _*)
     val aggs = cs.map { case (_, e) =>
       sum(when(coalesce(expr(e), lit(true)) === false, 1L).otherwise(0L))
     }

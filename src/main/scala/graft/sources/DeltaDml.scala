@@ -109,12 +109,14 @@ object DeltaDml {
     val hitDf = DeltaLog.scanFiles(spark, snap, hitUris.toIndexedSeq)
     val affected = hitDf.filter(condition).count()
     val rewritten = transform(hitDf)
-    val adds = DeltaWrite.writeDataFiles(rewritten, tablePath, snap.partitionColumns)
+    val adds = DeltaWrite.writeDataFiles(rewritten, tablePath,
+      snap.partitionColumns, Some(snap.schema))
     DeltaConstraints.enforceStaged(spark, tablePath, adds, snap.schema,
       snap.configuration)
     val cdcs =
       if (DeltaCdf.enabled(snap.configuration))
-        DeltaCdf.writeCdcFiles(cdcOf(hitDf), tablePath).map(DeltaCdf.cdcAction)
+        DeltaCdf.writeCdcFiles(cdcOf(hitDf), tablePath, Some(snap.schema))
+          .map(DeltaCdf.cdcAction)
       else Nil
     val actions = hitRel.map(DeltaWrite.removeAction) ++
       adds.map(DeltaWrite.addAction) ++ cdcs
@@ -284,7 +286,8 @@ object DeltaDml {
         return MergeResult(snap.version, 0, 0L, 0L, 0L)
 
       val adds = newData.toSeq.flatMap(d =>
-        DeltaWrite.writeDataFiles(d, tablePath, snap.partitionColumns))
+        DeltaWrite.writeDataFiles(d, tablePath, snap.partitionColumns,
+          Some(snap.schema)))
       DeltaConstraints.enforceStaged(spark, tablePath, adds, snap.schema,
         snap.configuration)
       val cdcs =
@@ -294,9 +297,11 @@ object DeltaDml {
             .map(_.withColumn("_change_type", lit("insert")))
           (hitChanges, insChanges) match {
             case (Some(h), Some(i)) =>
-              DeltaCdf.writeCdcFiles(h.unionByName(i), tablePath)
-            case (Some(h), None) => DeltaCdf.writeCdcFiles(h, tablePath)
-            case (None, Some(i)) => DeltaCdf.writeCdcFiles(i, tablePath)
+              DeltaCdf.writeCdcFiles(h.unionByName(i), tablePath, Some(snap.schema))
+            case (Some(h), None) =>
+              DeltaCdf.writeCdcFiles(h, tablePath, Some(snap.schema))
+            case (None, Some(i)) =>
+              DeltaCdf.writeCdcFiles(i, tablePath, Some(snap.schema))
             case _ => Nil
           }
         }.map(DeltaCdf.cdcAction)
@@ -306,7 +311,7 @@ object DeltaDml {
           // hit files; kept rows stay physically where they are
           val dvPart = DeltaDv.vectorize(spark, snap, tablePath, acted)
             .map(_._1).getOrElse(Nil)
-          DeltaWrite.dvProtocolAction() +:
+          DeltaWrite.dvProtocolAction(snap.protocol) +:
             (dvPart ++ adds.map(DeltaWrite.addAction) ++ cdcs)
         case None =>
           hitRel.map(DeltaWrite.removeAction) ++

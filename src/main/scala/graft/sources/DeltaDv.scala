@@ -66,6 +66,9 @@ object DeltaDv {
     * bounded by that file's deletion set). */
   private def existingPositions(spark: SparkSession, tablePath: String,
       d: DeltaLog.DvDescriptor): Array[Long] = {
+    if (d.inline)
+      return RoaringDv.deserialize(
+        RoaringDv.z85DecodeTo(d.raw, d.sizeInBytes.toInt))
     val p = new Path(tablePath, d.path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val len = fs.getFileStatus(p).getLen.toInt
@@ -147,10 +150,11 @@ object DeltaDv {
           if (!DeltaCdf.enabled(snap.configuration)) Nil
           else DeltaCdf.writeCdcFiles(
             matched.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
-              .withColumn("_change_type", lit("delete")), tablePath)
+              .withColumn("_change_type", lit("delete")), tablePath,
+            Some(snap.schema))
             .map(DeltaCdf.cdcAction)
         val v = DeltaWrite.commit(spark, tablePath,
-          DeltaWrite.dvProtocolAction() +: (dvActions ++ cdcs), "DELETE")
+          DeltaWrite.dvProtocolAction(snap.protocol) +: (dvActions ++ cdcs), "DELETE")
         DmlResult(v, 0, affected)
     }
   }
@@ -175,11 +179,21 @@ object DeltaDv {
         val byName = assignments.toMap
         // SET expressions evaluate against the OLD row, all at once
         // (same projection rule as the copy-on-write path).
-        val updated = matched.select(snap.schema.fieldNames.toIndexedSeq.map { c =>
+        val assigned = matched.select(snap.schema.fieldNames.toIndexedSeq.map { c =>
           byName.get(c).map(_.as(c)).getOrElse(col(c))
         }: _*)
+        // Unassigned generated columns recompute from their recorded
+        // expression AFTER the assignments (same rule as DeltaDml.update)
+        // — otherwise enforceStaged vetoes the commit for staging stale
+        // generated values.
+        val updated = DeltaGenerated.generationExprs(snap.schema)
+          .filterNot { case (c, _) => byName.contains(c) }
+          .foldLeft(assigned) { case (d, (c, e)) =>
+            val dt = snap.schema.fields.find(_.name == c).get.dataType
+            d.withColumn(c, org.apache.spark.sql.functions.expr(e).cast(dt))
+          }
         val adds = DeltaWrite.writeDataFiles(updated, tablePath,
-          snap.partitionColumns)
+          snap.partitionColumns, Some(snap.schema))
         DeltaConstraints.enforceStaged(spark, tablePath, adds, snap.schema,
           snap.configuration)
         val cdcs =
@@ -188,10 +202,11 @@ object DeltaDv {
             matched.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
               .withColumn("_change_type", lit("update_preimage"))
               .unionByName(updated
-                .withColumn("_change_type", lit("update_postimage"))), tablePath)
+                .withColumn("_change_type", lit("update_postimage"))), tablePath,
+            Some(snap.schema))
             .map(DeltaCdf.cdcAction)
         val v = DeltaWrite.commit(spark, tablePath,
-          DeltaWrite.dvProtocolAction() +:
+          DeltaWrite.dvProtocolAction(snap.protocol) +:
             (dvActions ++ adds.map(DeltaWrite.addAction) ++ cdcs), "UPDATE")
         DmlResult(v, 0, affected)
     }

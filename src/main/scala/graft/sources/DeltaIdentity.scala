@@ -78,7 +78,8 @@ object DeltaIdentity {
     // line up (id is first by construction of create()).
     val ordered = withIds.select(
       snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    val adds = DeltaWrite.writeDataFiles(ordered, tablePath, snap.partitionColumns)
+    val adds = DeltaWrite.writeDataFiles(ordered, tablePath,
+      snap.partitionColumns, Some(snap.schema))
     DeltaConstraints.enforceStaged(spark, tablePath, adds, snap.schema,
       snap.configuration)
     val newSchema = withHwm(snap.schema, info.column, info.start, info.step, hwm)

@@ -43,7 +43,16 @@ object DeltaLog {
     * one DV FILE per commit holds every hit file's vector at its own
     * offset — the same multi-vector-per-file shape Delta writes. */
   final case class DvDescriptor(path: String, cardinality: Long,
-      offset: Long = 1L, sizeInBytes: Long = 0L)
+      offset: Long = 1L, sizeInBytes: Long = 0L,
+      storageType: String = "p", raw: String = "") {
+    /** The descriptor's ORIGINAL `pathOrInlineDv`, for lossless
+      * re-serialization (addAction / checkpoints / clones): a 'u'
+      * descriptor must round-trip as 'u' — rewriting it as 'p' with the
+      * table-relative resolved path would violate the protocol ('p' is
+      * absolute) and mis-resolve in foreign readers. */
+    def rawOrPath: String = if (raw.nonEmpty) raw else path
+    def inline: Boolean = storageType == "i"
+  }
 
   /** One live data file in a snapshot. `path` is as recorded in the log
     * (relative, percent-encoded per protocol); `stats` is the raw
@@ -129,9 +138,9 @@ object DeltaLog {
   private[sources] def scanFilesWithMeta(spark: SparkSession, snap: Snapshot,
       paths: Seq[String]): DataFrame = {
     val mode = snap.columnMappingMode
-    if (mode != "none" && mode != "name")
+    if (mode != "none" && mode != "name" && mode != "id")
       throw new UnsupportedOperationException(
-        s"column mapping mode '$mode' not supported (name mode only)")
+        s"column mapping mode '$mode' not supported (none/name/id)")
     require(paths.nonEmpty, "scanFilesWithMeta needs at least one file")
     import org.apache.spark.sql.functions.col
     // Hive partition discovery may reorder partition columns to the end
@@ -142,14 +151,31 @@ object DeltaLog {
     val metaCols = Seq(col("_metadata.file_path").as("__file"),
       col("_metadata.row_index").as("__pos"))
     def readGroup(base: String, ps: Seq[String]): DataFrame =
-      if (mode == "name") {
-        val physical = StructType(snap.schema.fields.map { f =>
-          val pn =
-            if (f.metadata.contains("delta.columnMapping.physicalName"))
-              f.metadata.getString("delta.columnMapping.physicalName")
-            else f.name
-          f.copy(name = pn)
-        })
+      if (mode == "name" || mode == "id") {
+        // name mode: parquet columns match by PHYSICAL name. id mode
+        // (icebergCompat writers): they match by parquet FIELD ID —
+        // stamp each requested field with `parquet.field.id` from its
+        // `delta.columnMapping.id` and let Spark's field-id resolution
+        // do the matching (the session flag only activates for fields
+        // that carry the metadata, so name-matched reads are unaffected).
+        val physical0 = physicalSchema(snap.schema)
+        val physical =
+          if (mode == "id")
+            StructType(physical0.fields.zip(snap.schema.fields).map {
+              case (p, l) =>
+                if (l.metadata.contains("delta.columnMapping.id"))
+                  p.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                    .withMetadata(p.metadata)
+                    .putLong("parquet.field.id",
+                      l.metadata.getLong("delta.columnMapping.id"))
+                    .build())
+                else throw new IllegalStateException(
+                  s"id-mode table ${snap.tablePath}: field ${l.name} has no " +
+                    "delta.columnMapping.id — cannot resolve columns")
+            })
+          else physical0
+        if (mode == "id")
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         val raw = spark.read.schema(physical)
           .option("basePath", base).parquet(ps: _*)
         raw.select(physical.fields.zip(snap.schema.fields).map {
@@ -183,32 +209,43 @@ object DeltaLog {
       a.dv.map { d =>
         val abs = new Path(snap.tablePath,
           java.net.URLDecoder.decode(a.path, "UTF-8")).toString
-        canon(abs) -> d.copy(path = new Path(snap.tablePath, d.path).toString)
+        canon(abs) -> (if (d.inline) d
+          else d.copy(path = new Path(snap.tablePath, d.path).toString))
       }
     }.toMap
     val (dvPaths, plainPaths) = paths.partition(p => dvByCanon.contains(canon(p)))
     if (dvPaths.isEmpty) readAll(plainPaths)
     else {
-      if (mode != "none") throw new UnsupportedOperationException(
-        "deletion vectors on a column-mapped table are not supported")
       // Each (data file, descriptor) ref parses ITS vector out of the
       // roaring DV file in the executor task — positions never transit
       // the driver, and the probe side stays bounded by deleted rows.
-      val refs: Seq[(String, String, Long, Long)] = dvPaths.map { p =>
+      // Inline ('i') vectors decode straight from the descriptor's z85
+      // payload; no file I/O. File reads use the SESSION's Hadoop conf
+      // (broadcast — spark.hadoop.* credentials/endpoints must reach
+      // executor-side DV opens on real object stores).
+      val refs: Seq[(String, String, String, Long, Long)] = dvPaths.map { p =>
         val d = dvByCanon(canon(p))
-        (canon(p), d.path, d.offset, d.sizeInBytes)
+        (canon(p), d.storageType, if (d.inline) d.raw else d.path,
+          d.offset, d.sizeInBytes)
       }
+      val bconf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(hconf))
       import spark.implicits._
       val dvRows = spark.createDataset(refs)
-        .flatMap { case (file, dvFile, off, size) =>
-          val p = new Path(dvFile)
-          // default conf suffices: the path's scheme picks the filesystem
-          val dfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          val len = dfs.getFileStatus(p).getLen.toInt
-          val bytes = new Array[Byte](len)
-          val in = dfs.open(p)
-          try in.readFully(0, bytes) finally in.close()
-          RoaringDv.unframe(bytes, off, size).map(file -> _)
+        .flatMap { case (file, st, ref, off, size) =>
+          val positions =
+            if (st == "i")
+              RoaringDv.deserialize(RoaringDv.z85DecodeTo(ref, size.toInt))
+            else {
+              val p = new Path(ref)
+              val dfs = p.getFileSystem(bconf.value.value)
+              val len = dfs.getFileStatus(p).getLen.toInt
+              val bytes = new Array[Byte](len)
+              val in = dfs.open(p)
+              try in.readFully(0, bytes) finally in.close()
+              RoaringDv.unframe(bytes, off, size)
+            }
+          positions.map(file -> _)
         }.toDF("__dv_file", "__dv_pos")
       val withMeta = readAll(dvPaths)
       val filtered = withMeta.join(dvRows,
@@ -383,7 +420,8 @@ object DeltaLog {
               else dflt
             Some(DvDescriptor(
               dvPathOf(st, d.getAs[String]("pathOrInlineDv")),
-              d.getAs[Long]("cardinality"), lf("offset", 1L), lf("sizeInBytes", 0L)))
+              d.getAs[Long]("cardinality"), lf("offset", 1L), lf("sizeInBytes", 0L),
+              st, d.getAs[String]("pathOrInlineDv")))
           } else None
         live(path) = AddEntry(path, a.getAs[Long]("size"), stats, dv)
       }
@@ -477,7 +515,8 @@ object DeltaLog {
                     d.get("cardinality").asLong(),
                     if (d.hasNonNull("offset")) d.get("offset").asLong() else 1L,
                     if (d.hasNonNull("sizeInBytes")) d.get("sizeInBytes").asLong()
-                    else 0L))
+                    else 0L,
+                    st, d.get("pathOrInlineDv").asText()))
                 } else None
               live(p) = AddEntry(p, add.get("size").asLong(), stats, dv)
             }
@@ -587,9 +626,36 @@ object DeltaLog {
     * data-writing path calls this with its already-loaded snapshot. */
   private[sources] def checkWritable(snap: Snapshot): Unit = {
     val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    if (mode != "none") throw new UnsupportedOperationException(
-      s"${snap.tablePath} uses column mapping ($mode); this engine reads " +
-        "mapped tables but does not write them")
+    if (mode != "none" && mode != "name") throw new UnsupportedOperationException(
+      s"${snap.tablePath} uses column mapping mode '$mode'; this engine " +
+        "writes unmapped and name-mapped tables only")
+  }
+
+  /** Physical-name view of a logical schema: each field renamed to its
+    * `delta.columnMapping.physicalName` (identity without mapping
+    * metadata). What the parquet files of a name-mapped table actually
+    * hold — reads resolve through it and writes must produce it. */
+  private[sources] def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      val pn =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      f.copy(name = pn)
+    })
+
+  /** Rename a frame's logical columns to their physical names before a
+    * data-file write on a mapped table (columns outside the table
+    * schema — e.g. `_change_type` — pass through). No-op when the
+    * schema carries no mapping. */
+  private[sources] def toPhysical(df: org.apache.spark.sql.DataFrame,
+      schema: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val m = schema.fields.zip(physicalSchema(schema).fields)
+      .map { case (l, p) => l.name -> p.name }.toMap
+    if (m.forall { case (l, p) => l == p }) df
+    else df.select(df.columns.toIndexedSeq.map(c =>
+      m.get(c).map(p => col(s"`$c`").as(p)).getOrElse(col(s"`$c`"))): _*)
   }
 
   /** Reader versions 1-3 are in scope (2 adds column mapping, which
@@ -600,20 +666,26 @@ object DeltaLog {
     if (minReader > 3) throw new UnsupportedOperationException(
       s"Delta reader protocol $minReader not supported (this reader implements versions 1-3)")
 
-  /** Path forms are readable: absolute (`p`) and uuid-relative (`u`,
-    * the form standard Delta writers emit — resolved through
-    * [[RoaringDv.relativeDvPath]]); inline (`i`) vectors are rejected
-    * explicitly, never misread as zero deletions. */
+  /** All three protocol storage forms are readable: absolute (`p`),
+    * uuid-relative (`u`, the form standard Delta writers emit —
+    * resolved through [[RoaringDv.relativeDvPath]]), and inline (`i`,
+    * the z85 payload carried in the descriptor itself, the form
+    * standard writers emit for tiny deletes). Anything else fails
+    * loudly, never misread as zero deletions. */
   private def checkDvStorage(storageType: String): Unit =
-    if (storageType != "p" && storageType != "u")
+    if (storageType != "p" && storageType != "u" && storageType != "i")
       throw new UnsupportedOperationException(
         s"deletion vector storageType '$storageType' not supported " +
-          "(path forms 'p'/'u' only)")
+          "(forms 'p'/'u'/'i' only)")
 
-  /** Table-relative (or absolute) DV file path for a descriptor. */
+  /** Table-relative (or absolute) DV file path for a descriptor;
+    * inline descriptors have no path. */
   private def dvPathOf(storageType: String, pathOrInlineDv: String): String =
-    if (storageType == "u") RoaringDv.relativeDvPath(pathOrInlineDv)
-    else pathOrInlineDv
+    storageType match {
+      case "u" => RoaringDv.relativeDvPath(pathOrInlineDv)
+      case "i" => ""
+      case _ => pathOrInlineDv
+    }
 
   private def jsonArray(n: JsonNode): Seq[JsonNode] =
     if (n == null) Nil

@@ -43,7 +43,7 @@ object DeltaMaintenance {
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     val missing = old.files.filterNot { a =>
       fs.exists(new Path(tablePath, java.net.URLDecoder.decode(a.path, "UTF-8"))) &&
-        a.dv.forall(d => fs.exists(new Path(tablePath, d.path)))
+        a.dv.forall(d => d.inline || fs.exists(new Path(tablePath, d.path)))
     }
     if (missing.nonEmpty) throw new IllegalStateException(
       s"cannot restore $tablePath to version $version: ${missing.size} " +
@@ -189,8 +189,14 @@ object DeltaMaintenance {
       a.copy(
         path = new Path(srcRoot,
           java.net.URLDecoder.decode(a.path, "UTF-8")).toString,
-        // DV sidecars are source-relative too — absolutize alongside
-        dv = a.dv.map(d => d.copy(path = new Path(srcRoot, d.path).toString)))
+        // DV sidecars are source-relative too — absolutize alongside.
+        // 'u' becomes 'p' (the uuid-relative form is relative to the
+        // SOURCE root, which the clone's readers don't know); inline
+        // payloads travel in the descriptor and need no rewrite.
+        dv = a.dv.map(d =>
+          if (d.inline) d
+          else d.copy(path = new Path(srcRoot, d.path).toString,
+            storageType = "p", raw = "")))
     }
     val actions = DeltaWrite.protocolAction() +:
       DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
@@ -277,7 +283,8 @@ object DeltaMaintenance {
       if (snap.partitionColumns.nonEmpty) df.repartition(parts,
         snap.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(parts)
-    val adds = DeltaWrite.writeDataFiles(compacted, tablePath, snap.partitionColumns)
+    val adds = DeltaWrite.writeDataFiles(compacted, tablePath,
+      snap.partitionColumns, Some(snap.schema))
     val actions =
       small.map(a => DeltaWrite.removeAction(a.path)) ++ adds.map(DeltaWrite.addAction)
     // dataChange=false on every action: same rows, new layout.
@@ -337,7 +344,7 @@ object DeltaMaintenance {
       .repartitionByRange(numFiles, graft.functions.ZOrder.zorder(
         org.apache.spark.sql.functions.col(colA),
         org.apache.spark.sql.functions.col(colB)))
-    val adds = DeltaWrite.writeDataFiles(relaid, tablePath, Nil)
+    val adds = DeltaWrite.writeDataFiles(relaid, tablePath, Nil, Some(snap.schema))
     val actions =
       snap.files.map(a => DeltaWrite.removeAction(a.path)) ++
         adds.map(DeltaWrite.addAction)
@@ -365,7 +372,8 @@ object DeltaMaintenance {
     // age out through the normal tombstone/mtime path.
     val live = (snap.files.map(a =>
       new Path(tablePath, java.net.URLDecoder.decode(a.path, "UTF-8"))) ++
-      snap.files.flatMap(_.dv).map(d => new Path(tablePath, d.path))).map(
+      snap.files.flatMap(_.dv).filterNot(_.inline)
+        .map(d => new Path(tablePath, d.path))).map(
       p => fs.makeQualified(p).toString).toSet
     // Retention counts from the DELETION time recorded on the remove
     // action (Delta semantics): a file created a year ago but tombstoned

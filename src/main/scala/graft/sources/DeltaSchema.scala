@@ -18,10 +18,11 @@ import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
   *     pinned to its current logical name, protocol raised to
   *     reader 2 / writer 5), exactly Delta's own upgrade path.
   *
-  * Engine contract preserved: column-mapped tables are READ-only here
-  * ([[DeltaLog.checkWritable]]) — renaming/dropping makes a table
-  * readable-but-frozen for this engine's writers, which the specs
-  * assert rather than hide. Constraints referencing a renamed/dropped
+  * Name-mapped tables stay WRITABLE: appends and DML route their
+  * frames through [[DeltaLog.toPhysical]] so data (and change) files
+  * hold physical column names per protocol; overwrite and mergeSchema
+  * widening are rejected (they would have to mint fresh column ids for
+  * a replaced schema). Constraints referencing a renamed/dropped
   * column reject the operation (a recorded CHECK would otherwise go
   * silently unenforceable), and partition columns are immovable (their
   * names live in every add's partitionValues and the directory layout).
@@ -115,19 +116,26 @@ object DeltaSchema {
       case other => throw new UnsupportedOperationException(
         s"cannot upgrade from column mapping mode '$other'")
     }
-    // DV + mapping is an unsupported read combination in this engine —
-    // enabling mapping on a table with live deletion vectors would make
-    // it unreadable, not read-only.
-    require(snap.files.forall(_.dv.isEmpty),
-      s"$tablePath has live deletion vectors; column mapping would make it unreadable here")
     val fields = snap.schema.fields.zipWithIndex.map { case (f, i) =>
       f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
         .putString(PhysKey, f.name).putLong(IdKey, i + 1L).build())
     }
     val config = snap.configuration +
       (ModeKey -> "name") + (MaxIdKey -> fields.length.toString)
+    // FLOOR the protocol against the current one — a table already at
+    // the table-features form (reader 3 / writer 7 with feature lists,
+    // e.g. inCommitTimestamp or v2Checkpoint) must keep its features
+    // and gain `columnMapping`, not be downgraded to a bare (2, 5).
+    val proto =
+      if (snap.protocol.minWriter >= 7 || snap.protocol.writerFeatures.nonEmpty)
+        DeltaWrite.featureProtocolAction(snap.protocol,
+          newWriterFeatures = Seq("columnMapping"),
+          newReaderFeatures = Seq("columnMapping"))
+      else DeltaWrite.protocolAction(
+        math.max(2, snap.protocol.minReader),
+        math.max(5, snap.protocol.minWriter))
     DeltaWrite.commit(spark, tablePath,
-      Seq(DeltaWrite.protocolAction(2, 5),
+      Seq(proto,
         DeltaWrite.metaDataAction(StructType(fields), snap.partitionColumns,
           config, snap.metaDataId)),
       operation = "UPGRADE COLUMN MAPPING")

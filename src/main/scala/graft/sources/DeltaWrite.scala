@@ -105,7 +105,21 @@ object DeltaWrite {
       if (mode == SaveMode.Append)
         prior.map(_.partitionColumns).getOrElse(partitionBy)
       else partitionBy
-    val adds = writeDataFiles(data, tablePath, effPartitionBy)
+    // Mapped tables: appends are supported (files written with physical
+    // names); overwrite and schema widening would have to mint fresh
+    // column ids / physical names for a replaced schema — out of scope,
+    // rejected loudly.
+    val mapped = prior.exists(_.columnMappingMode != "none")
+    if (mapped && mode == SaveMode.Overwrite)
+      throw new UnsupportedOperationException(
+        s"$tablePath uses column mapping; overwrite would replace the " +
+          "mapped schema — write a new table instead")
+    if (mapped && widened.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$tablePath uses column mapping; use ALTER TABLE ADD COLUMNS " +
+          "(which assigns fresh physical names) instead of mergeSchema")
+    val adds = writeDataFiles(data, tablePath, effPartitionBy,
+      if (mapped) prior.map(_.schema) else None)
     // CHECK constraints + generated-column expressions veto the commit
     // (staged files are deleted). Validation runs against the TABLE
     // schema — the generation metadata lives there, not on the
@@ -288,7 +302,7 @@ object DeltaWrite {
     val addRows = snap.files.map(a =>
       Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
         partitionValuesMap(a.path),
-        a.dv.map(d => Row("p", d.path, d.offset, d.sizeInBytes, d.cardinality)).orNull), null, null, null))
+        a.dv.map(d => Row(d.storageType, d.rawOrPath, d.offset, d.sizeInBytes, d.cardinality)).orNull), null, null, null))
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
 
@@ -507,7 +521,7 @@ object DeltaWrite {
           val rows = bucket.map(a =>
             Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
               partitionValuesMap(a.path),
-              a.dv.map(d => Row("p", d.path, d.offset, d.sizeInBytes, d.cardinality)).orNull)))
+              a.dv.map(d => Row(d.storageType, d.rawOrPath, d.offset, d.sizeInBytes, d.cardinality)).orNull)))
           val name = s"${java.util.UUID.randomUUID()}.parquet"
           val size = writeOne(new Path(scDir, name), rows, sidecarSchema)
           Row(null, null, null, null, Row(name, size, 0L))
@@ -541,13 +555,22 @@ object DeltaWrite {
   /** Distributed data-file write: stage through a hidden subdirectory,
     * then move the part files into the table root (keeping any hive-style
     * partition subpaths). Only file METADATA moves through the driver. */
+  /** `logicalSchema` (writes into an EXISTING table): the table's
+    * logical schema with mapping metadata — a name-mapped table's files
+    * must hold PHYSICAL column names, so the frame is renamed through
+    * [[DeltaLog.toPhysical]] before staging (no-op unmapped). Partition
+    * columns keep physical == logical by construction (immovable after
+    * the mapping upgrade), so the hive layout needs no translation. */
   private[sources] def writeDataFiles(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String]): Seq[DeltaLog.AddEntry] = {
+      partitionBy: Seq[String],
+      logicalSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[DeltaLog.AddEntry] = {
     val spark = df.sparkSession
     val table = new Path(tablePath)
     val f = fs(spark, table)
     val staging = new Path(table, s".staging-${java.util.UUID.randomUUID()}")
-    val writer = df.write.mode(SaveMode.Overwrite)
+    val out = logicalSchema.map(s => DeltaLog.toPhysical(df, s)).getOrElse(df)
+    val writer = out.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(staging.toString)
 
@@ -588,8 +611,11 @@ object DeltaWrite {
       .put("modificationTime", 0L).put("dataChange", true)
     a.stats.foreach(add.put("stats", _))
     a.dv.foreach { d =>
+      // the ORIGINAL storage form round-trips: a foreign 'u'/'i'
+      // descriptor re-committed here must not be rewritten as a 'p'
+      // with a relative path ('p' is absolute per the protocol)
       add.set[ObjectNode]("deletionVector", mapper.createObjectNode()
-        .put("storageType", "p").put("pathOrInlineDv", d.path)
+        .put("storageType", d.storageType).put("pathOrInlineDv", d.rawOrPath)
         .put("offset", d.offset).put("sizeInBytes", d.sizeInBytes)
         .put("cardinality", d.cardinality))
     }
@@ -645,7 +671,8 @@ object DeltaWrite {
       }
       if (staged == null) {
         staged = writeDataFiles(df, tablePath,
-          snap.map(_.partitionColumns).getOrElse(partitionBy))
+          snap.map(_.partitionColumns).getOrElse(partitionBy),
+          snap.filter(_.columnMappingMode != "none").map(_.schema))
         snap.foreach(s => DeltaConstraints.enforceStaged(
           spark, tablePath, staged, s.schema, s.configuration))
       }
@@ -762,18 +789,15 @@ object DeltaWrite {
   }
 
   /** The table-features protocol form (reader 3 / writer 7) a
-    * deletion-vector commit must record, per the public protocol. */
-  private[sources] def dvProtocolAction(): ObjectNode = {
-    val n = mapper.createObjectNode()
-    val p = mapper.createObjectNode()
-      .put("minReaderVersion", 3).put("minWriterVersion", 7)
-    val rf = JsonNodeFactory.instance.arrayNode(); rf.add("deletionVectors")
-    val wf = JsonNodeFactory.instance.arrayNode(); wf.add("deletionVectors")
-    p.set[com.fasterxml.jackson.databind.node.ArrayNode]("readerFeatures", rf)
-    p.set[com.fasterxml.jackson.databind.node.ArrayNode]("writerFeatures", wf)
-    n.set[ObjectNode]("protocol", p)
-    n
-  }
+    * deletion-vector commit must record, per the public protocol —
+    * MERGED over the table's current protocol, never a bare
+    * replacement (a DV commit on a table that also records
+    * columnMapping / inCommitTimestamp must not drop those features). */
+  private[sources] def dvProtocolAction(
+      current: DeltaLog.TableProtocol): ObjectNode =
+    featureProtocolAction(current,
+      newWriterFeatures = Seq("deletionVectors"),
+      newReaderFeatures = Seq("deletionVectors"))
 
   /** Highest version claimed by ANY log artifact, plus one. Commit JSONs
     * alone are not enough: after checkpoint() + cleanupLog() the

@@ -38,22 +38,24 @@ object RoaringDv {
 
   // ---- 64-bit RoaringBitmapArray ----
 
-  /** Serialize sorted distinct non-negative positions. */
+  /** Serialize sorted distinct non-negative positions. The array index
+    * IS the high word (protocol), so absent high words up to the max key
+    * are written as EMPTY 32-bit bitmaps — a gap (or any position >=
+    * 2^32) must serialize, matching the reference RoaringBitmapArray. */
   def serialize(positions: Array[Long]): Array[Byte] = {
     require(positions.forall(_ >= 0), "DV positions are non-negative")
     val sorted = positions.distinct.sorted
-    val byHigh = sorted.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
-    require(byHigh.zipWithIndex.forall { case ((k, _), i) => k == i },
-      "RoaringBitmapArray requires DENSE high words from 0 (protocol: " +
-        "index in the array IS the high word)")
+    val byHigh = sorted.groupBy(p => (p >>> 32).toInt)
+    val nHigh = if (sorted.isEmpty) 0 else (sorted.last >>> 32).toInt + 1
     val out = new ByteArrayOutputStream()
     def le32(v: Int): Unit =
       out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         .putInt(v).array())
     le32(Magic)
     out.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      .putLong(byHigh.size.toLong).array())
-    byHigh.foreach { case (_, ps) =>
+      .putLong(nHigh.toLong).array())
+    (0 until nHigh).foreach { hi =>
+      val ps = byHigh.getOrElse(hi, Array.empty[Long])
       out.write(serialize32(ps.map(p => (p & 0xffffffffL).toInt)))
     }
     out.toByteArray
@@ -219,6 +221,25 @@ object RoaringDv {
       Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
         ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
     }.toArray
+  }
+
+  /** z85-encode arbitrary-length bytes: the last 4-byte group is
+    * zero-padded (standard writers' base85 codec does the same for
+    * inline DV payloads); the true length travels in the descriptor's
+    * `sizeInBytes`, so [[z85DecodeTo]] can truncate the padding away. */
+  def z85EncodePadded(bytes: Array[Byte]): String = {
+    val rem = bytes.length % 4
+    z85Encode(if (rem == 0) bytes else bytes ++ new Array[Byte](4 - rem))
+  }
+
+  /** z85-decode to EXACTLY `outLen` bytes (an inline descriptor's
+    * `sizeInBytes`), dropping the encoder's zero padding. */
+  def z85DecodeTo(s: String, outLen: Int): Array[Byte] = {
+    val all = z85Decode(s)
+    require(outLen <= all.length && all.length - outLen < 4,
+      s"inline DV length mismatch: descriptor says $outLen bytes, " +
+        s"payload decodes to ${all.length}")
+    all.take(outLen)
   }
 
   /** Resolve a storageType-'u' `pathOrInlineDv` (an optional random

@@ -233,12 +233,122 @@ class DeltaDvSpec extends AnyFunSuite {
       """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""",
       s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))
     intercept[UnsupportedOperationException] { DeltaLog.snapshot(spark, v4) }
-    // 'u' (uuid-relative) reads are SUPPORTED now; the rejected foreign
-    // form is 'i' (inline vectors)
-    val iDv = writeTable(Seq(
+    // all three protocol forms ('p'/'u'/'i') read now; an UNKNOWN
+    // storage form still fails loudly, never as zero deletions
+    val xDv = writeTable(Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
       s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
-      """{"add":{"path":"f.parquet","size":1,"dataChange":true,"partitionValues":{},"deletionVector":{"storageType":"i","pathOrInlineDv":"ab^-aqEH.-EGao","sizeInBytes":40,"cardinality":6}}}"""))
-    intercept[UnsupportedOperationException] { DeltaLog.snapshot(spark, iDv) }
+      """{"add":{"path":"f.parquet","size":1,"dataChange":true,"partitionValues":{},"deletionVector":{"storageType":"x","pathOrInlineDv":"ab^-aqEH.-EGao","sizeInBytes":40,"cardinality":6}}}"""))
+    intercept[UnsupportedOperationException] { DeltaLog.snapshot(spark, xDv) }
+  }
+
+  test("inline ('i') deletion vectors decode from the descriptor itself; " +
+    "a second MOR delete merges the inline positions") {
+    import graft.sources.RoaringDv
+    val t = newDvTable()
+    DeltaDml.delete(spark, t, col("id") === 2)
+    // Rewrite our file-backed descriptor into the standard inline shape:
+    // z85(serialized vector) in pathOrInlineDv, then DELETE the DV file
+    // to prove the scan never touches it.
+    val snap0 = DeltaLog.snapshot(spark, t)
+    val d = snap0.files.flatMap(_.dv).head
+    val src = java.nio.file.Paths.get(new java.net.URI(d.path))
+    val positions = RoaringDv.unframe(
+      java.nio.file.Files.readAllBytes(src), d.offset, d.sizeInBytes)
+    val data = RoaringDv.serialize(positions)
+    assert(data.length == d.sizeInBytes, "framed size IS the vector size")
+    val enc = RoaringDv.z85EncodePadded(data)
+    val commit = java.nio.file.Paths.get(s"$t/_delta_log/" + f"${2L}%020d.json")
+    val patched = java.nio.file.Files.readString(commit)
+      .replace("\"storageType\":\"p\"", "\"storageType\":\"i\"")
+      .replace(s""""pathOrInlineDv":"${d.path}"""", s""""pathOrInlineDv":"$enc"""")
+    assert(patched.contains("\"storageType\":\"i\""), "patch must apply")
+    java.nio.file.Files.writeString(commit, patched)
+    java.nio.file.Files.delete(src)
+
+    assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")),
+      "inline vector applies without any DV file")
+    // merging on top of an inline vector: existing positions decode
+    // from the payload, the union writes as our own 'p' file
+    DeltaDml.delete(spark, t, col("id") === 3)
+    assert(rows(t) == Seq((1, "a"), (4, "d")))
+  }
+
+  test("'u' descriptors round-trip checkpoints unchanged; shallow clone " +
+    "rewrites them to absolute 'p' (source-relative 'u' would dangle)") {
+    import graft.sources.RoaringDv
+    val t = newDvTable()
+    DeltaDml.delete(spark, t, col("id") === 2)
+    val snap0 = DeltaLog.snapshot(spark, t)
+    val d = snap0.files.flatMap(_.dv).head
+    val uuid = java.util.UUID.randomUUID()
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    val enc = RoaringDv.z85Encode(bb.array())
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(new java.net.URI(d.path)),
+      java.nio.file.Paths.get(t, s"deletion_vector_$uuid.bin"))
+    val commit = java.nio.file.Paths.get(s"$t/_delta_log/" + f"${2L}%020d.json")
+    java.nio.file.Files.writeString(commit,
+      java.nio.file.Files.readString(commit)
+        .replace("\"storageType\":\"p\"", "\"storageType\":\"u\"")
+        .replace(s""""pathOrInlineDv":"${d.path}"""",
+          s""""pathOrInlineDv":"$enc""""))
+
+    // checkpoint re-serializes the add — the descriptor must stay 'u'
+    // with the ORIGINAL payload (a relative path under 'p' would
+    // mis-resolve in foreign readers)
+    DeltaWrite.checkpoint(spark, t)
+    val snap1 = DeltaLog.snapshot(spark, t)
+    val d1 = snap1.files.flatMap(_.dv).head
+    assert(d1.storageType == "u" && d1.rawOrPath == enc,
+      s"checkpoint must preserve the 'u' form, got ${d1.storageType}/${d1.rawOrPath}")
+    assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")))
+
+    val c = tmpTable()
+    DeltaMaintenance.shallowClone(spark, t, c)
+    val dc = DeltaLog.snapshot(spark, c).files.flatMap(_.dv).head
+    assert(dc.storageType == "p" && new org.apache.hadoop.fs.Path(dc.rawOrPath).isAbsolute,
+      s"clone must absolutize to 'p', got ${dc.storageType}/${dc.rawOrPath}")
+    assert(rows(c) == Seq((1, "a"), (3, "c"), (4, "d")))
+  }
+
+  test("DV + column mapping combine: MOR DELETE/UPDATE on a renamed " +
+    "(name-mapped) table match copy-on-write results") {
+    import graft.sources.DeltaSchema
+    val t = newDvTable()
+    DeltaDml.delete(spark, t, col("id") === 2) // live DV BEFORE mapping
+    DeltaSchema.enableColumnMapping(spark, t)
+    DeltaSchema.renameColumn(spark, t, "s", "label")
+    assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")),
+      "physical-name scan and the DV anti-join are orthogonal")
+    DeltaDml.delete(spark, t, col("label") === "c") // MOR on mapped table
+    assert(rows(t) == Seq((1, "a"), (4, "d")))
+    DeltaDml.update(spark, t, col("id") === 4, Seq("label" -> lit("D")))
+    assert(rows(t) == Seq((1, "a"), (4, "D")))
+    // protocol carries BOTH features after the mapping upgrade
+    val p = DeltaLog.snapshot(spark, t).protocol
+    assert(p.minReader == 3 && p.minWriter == 7)
+    assert(p.readerFeatures.contains("deletionVectors") &&
+      p.readerFeatures.contains("columnMapping"),
+      s"feature lists must merge, got ${p.readerFeatures}")
+  }
+
+  test("MOR UPDATE recomputes unassigned generated columns (no spurious " +
+    "constraint veto)") {
+    import graft.sources.DeltaGenerated
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaGenerated.create(Seq((1, 10), (2, 20)).toDF("id", "n").coalesce(1), t,
+      Map("n2" -> "n * 2"))
+    DeltaMaintenance.setTblProperties(spark, t, Map(DeltaDv.Property -> "true"))
+    DeltaDml.update(spark, t, col("id") === 1, Seq("n" -> lit(15)))
+    val got = DeltaLog.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == Seq((1, 15, 30), (2, 20, 40)),
+      "n2 must follow the n update, unprompted")
+    // the old row version is vectored out, not rewritten
+    assert(DeltaLog.snapshot(spark, t).files.exists(_.dv.nonEmpty),
+      "update went merge-on-read")
   }
 }

@@ -10,8 +10,9 @@ import graft.sources.{DeltaConstraints, DeltaDml, DeltaLog, DeltaSchema, DeltaWr
 
 /** ALTER TABLE ADD / RENAME / DROP COLUMN — metadata-only schema
   * evolution. RENAME/DROP ride on name-mode column mapping (auto
-  * upgrade, protocol reader 2 / writer 5); the engine contract that
-  * mapped tables are read-only afterwards is asserted, not hidden. */
+  * upgrade, protocol reader 2 / writer 5); appends and DML keep working
+  * afterwards (files written with PHYSICAL names), while overwrite /
+  * mergeSchema widening stay rejected. */
 class DeltaSchemaSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -52,7 +53,7 @@ class DeltaSchemaSpec extends AnyFunSuite {
   }
 
   test("RENAME COLUMN upgrades to name-mode mapping, keeps data, keeps " +
-    "physical names; table becomes read-only for this engine") {
+    "physical names; appends keep working, overwrite is rejected") {
     val t = tmpTable()
     DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
     DeltaSchema.renameColumn(spark, t, "s", "label")
@@ -66,9 +67,14 @@ class DeltaSchemaSpec extends AnyFunSuite {
     assert(back.collect().map(_.getString(1)).toSeq == Seq("a", "b"))
     // time travel: the pre-rename snapshot still shows the old name
     assert(DeltaLog.read(spark, t, Some(0L)).columns.toSeq == Seq("id", "s"))
-    // documented engine contract: mapped tables are read-only here
+    // appends write PHYSICAL names (new files must read back through
+    // the mapping, alongside the pre-rename files)
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "label"), t, SaveMode.Append)
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    // overwrite would replace the mapped schema — still rejected
     intercept[UnsupportedOperationException](
-      DeltaWrite.write(Seq((3, "c")).toDF("id", "label"), t, SaveMode.Append))
+      DeltaWrite.write(Seq((9, "z")).toDF("id", "label"), t, SaveMode.Overwrite))
     // rename collision rejected
     intercept[IllegalArgumentException](
       DeltaSchema.renameColumn(spark, t, "label", "ID"))

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -909,7 +909,8 @@ class DeltaSourceSpec extends AnyFunSuite {
   }
 
   test("column mapping (name mode): logical columns resolve through " +
-    "physicalName metadata on a reader-v2 table; id mode is rejected") {
+    "physicalName metadata on a reader-v2 table; id mode resolves by " +
+    "parquet field id; name-mapped tables accept writes") {
     import org.apache.spark.sql.types.{IntegerType, MetadataBuilder, StringType, StructField, StructType}
     import spark.implicits._
     val t = tmpTable()
@@ -948,23 +949,58 @@ class DeltaSourceSpec extends AnyFunSuite {
     // physical-named parquet + logical projection: filters still push
     val q = back.filter(col("id") === 2)
     assert(q.collect().map(_.getString(1)).toSeq == Seq("b"))
-    // mapped tables are READ-only: our writers emit logical-named
-    // parquet, which a mapped reader would resolve to silent nulls —
-    // every data-writing path must refuse instead
+    // name-mapped tables are WRITABLE: appends/DML stage files with
+    // PHYSICAL names, so they read back through the mapping
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+    graft.sources.DeltaDml.update(spark, t, col("id") === 1,
+      Seq("s" -> lit("X")))
+    assert(DeltaLog.read(spark, t).as[(Int, String)].collect().toSet ==
+      Set((1, "X"), (2, "b"), (3, "c")))
+
+    // id mode (icebergCompat writers): columns resolve by parquet FIELD
+    // ID, not name — rewrite the fixture with field-id'd parquet under
+    // DIFFERENT physical names so only id matching can succeed
+    val t2 = tmpTable()
+    val idSchema = StructType(Seq(
+      StructField("x1", IntegerType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("x2", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(1, "a"), Row(2, "b")), idSchema)
+      .coalesce(1).write.parquet(t2)
+    val part2 = fs.listStatus(new org.apache.hadoop.fs.Path(t2))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).head
+    def idField(logical: String, physical: String, id: Long,
+        dt: org.apache.spark.sql.types.DataType) =
+      StructField(logical, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", physical)
+          .putLong("delta.columnMapping.id", id).build())
+    val idModeSchema = StructType(Seq(
+      idField("id", "col-aaaa", 1L, IntegerType),
+      idField("s", "col-bbbb", 2L, StringType)))
+    fs.mkdirs(DeltaLog.logDir(t2))
+    val p2 = new org.apache.hadoop.fs.Path(DeltaLog.logDir(t2), f"${0L}%020d.json")
+    val out2 = fs.create(p2, true)
+    val schemaJson2 = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().writeValueAsString(idModeSchema.json)
+    out2.write((
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"cm-id-test","schemaString":$schemaJson2,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"format":{"provider":"parquet","options":{}}}}
+         |{"add":{"path":"$part2","size":1,"dataChange":true,"partitionValues":{}}}"""
+        .stripMargin).getBytes("UTF-8"))
+    out2.close()
+    val idBack = DeltaLog.read(spark, t2)
+    assert(idBack.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(idBack.as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")),
+      "field-id matching must resolve columns the physical NAMES cannot")
+    // id-mode tables stay read-only (fresh ids on write are out of scope)
     intercept[UnsupportedOperationException] {
-      DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+      DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t2, SaveMode.Append)
     }
-    intercept[UnsupportedOperationException] {
-      graft.sources.DeltaDml.update(spark, t, col("id") === 1,
-        Seq("s" -> lit("X")))
-    }
-    intercept[UnsupportedOperationException] {
-      graft.sources.DeltaMaintenance.compact(spark, t, smallFileBytes = 1L << 30)
-    }
-    // id mode (parquet field-id matching) is out of scope — rejected
-    writeLog("id")
-    graft.Tables.invalidate()
-    intercept[UnsupportedOperationException] { DeltaLog.read(spark, t) }
   }
 
   test("incremental aggregate maintenance over the change feed equals " +

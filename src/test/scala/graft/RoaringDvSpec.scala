@@ -43,6 +43,29 @@ class RoaringDvSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse high words serialize as empty bitmaps, not an error") {
+    // gap: positions only in high words 0 and 2 — word 1 must be
+    // written as an EMPTY 32-bit bitmap (array index IS the high word)
+    val ps = Array(3L, (2L << 32) | 7L)
+    val bytes = RoaringDv.serialize(ps)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt == 1681511377)
+    assert(bb.getLong == 3L, "three 32-bit bitmaps: words 0, 1 (empty), 2")
+    assert(RoaringDv.deserialize(bytes).toSeq == ps.toSeq)
+    // also a vector starting above 2^32 entirely
+    val high = Array((1L << 32) + 5L)
+    assert(RoaringDv.deserialize(RoaringDv.serialize(high)).toSeq == high.toSeq)
+  }
+
+  test("padded z85 for inline payloads truncates to the descriptor size") {
+    val data = RoaringDv.serialize(Array(1L, 3L, 70000L))
+    val enc = RoaringDv.z85EncodePadded(data)
+    assert(enc.length % 5 == 0)
+    assert(RoaringDv.z85DecodeTo(enc, data.length).toSeq == data.toSeq)
+    // wrong declared size fails loudly
+    intercept[IllegalArgumentException](RoaringDv.z85DecodeTo(enc, data.length + 8))
+  }
+
   test("run-container input parses (foreign-writer compatibility)") {
     // hand-build: run cookie, 1 container (card 5), runs [(10, len 4)]
     val bb = ByteBuffer.allocate(4 + 1 + 4 + 2 + 6).order(ByteOrder.LITTLE_ENDIAN)
