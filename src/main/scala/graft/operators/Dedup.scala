@@ -72,7 +72,7 @@ object Dedup {
     * (per-doc cardinalities and the pair expansion) share the physical
     * Exchange via ReuseExchange — measurably cheaper than persist(),
     * which paid cache serialization for a subplan read only twice. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.WordShingles.register(s)
     val sh = docs(s, d).select(col("doc_id"),
       explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("s3"))
@@ -503,20 +503,49 @@ object Dedup {
     // Triangle counting on the near-dup pair graph — the density signal
     // that separates "chains of borderline matches" from genuinely
     // cohesive duplicate clusters (a triangle means three documents all
-    // pairwise-similar). Shape: two joins over the id-ORIENTED edge
-    // list (a < b everywhere, so each triangle is enumerated exactly
-    // once as a < b < c and the wedge join's group sizes are bounded by
-    // out-degree — at real scale the standard refinement orients by
-    // DEGREE instead of id, a sort swap, not a redesign); the per-node
-    // rollup is one in-row explode plus a count exchange.
+    // pairwise-similar). Shape: DEGREE-ORIENTED wedge join (each
+    // undirected edge points from its lower-(degree, id) endpoint to
+    // the higher one): every wedge-join group is bounded by the
+    // orientation out-degree, which is O(sqrt(|E|)) for ANY graph — a
+    // hub node of degree d contributes d wedges under id orientation
+    // but only the edges where the hub ranks LOWER under degree
+    // orientation, so skewed graphs can't unbound a join group. Each
+    // triangle is enumerated exactly once: at its minimum-rank node,
+    // with the closing edge oriented low→high by construction. The
+    // per-node rollup is one in-row explode plus a count exchange.
+    // [[graft.CorpusSpec]] proves degree- and id-orientation
+    // row-identical; the DuckDB oracle (id-oriented SQL) is the
+    // cross-engine proof.
     GraftQuery("q119_triangles",
       (s, d) => {
-        val e = jaccardPairs(s, d).select("a", "b").persist()
-        val e2 = e.select(col("a").as("b2"), col("b").as("c"))
-        val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
-        e.join(e2, col("b") === col("b2"))
-          .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-          .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        val e = jaccardPairs(s, d).select("a", "b")
+        val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("dg"))
+        // orient by (degree, id); carry the DESTINATION's rank so the
+        // wedge join can order out-neighbors without a re-join
+        val oriented = e
+          .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+          .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+          .select(when(
+            col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+            .otherwise(
+              struct(col("b").as("s"), col("a").as("t"), col("da").as("dt")))
+            .as("o"))
+          .select(col("o.s").as("s"), col("o.t").as("t"), col("o.dt").as("dt"))
+          .persist()
+        // wedges at the minimum-rank node: unordered out-neighbor pairs
+        // (v ranked below w), closed by the oriented edge v -> w
+        val w1 = oriented.select(col("s"), col("t").as("v"), col("dt").as("dv"))
+        val w2 = oriented.select(col("s").as("s2"), col("t").as("w"),
+          col("dt").as("dw"))
+        w1.join(w2, col("s") === col("s2") &&
+            (col("dv") < col("dw") ||
+              (col("dv") === col("dw") && col("v") < col("w"))))
+          .join(oriented.select(col("s").as("v2"), col("t").as("w2")),
+            col("v") === col("v2") && col("w") === col("w2"))
+          .select(explode(array(col("s"), col("v"), col("w"))).as("doc_id"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
           .orderBy("doc_id")
       },

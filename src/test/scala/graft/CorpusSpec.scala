@@ -89,6 +89,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(recall >= 0.65, f"recall $recall%.3f below floor")
   }
 
+  test("q119 degree orientation enumerates the same per-node triangle " +
+    "counts as the id orientation (sf0.1 — skew-safe plan, same answer)") {
+    val sf01 = "/root/testdata/sf0.1"
+    // the shipped (degree-oriented, skew-bounded) form
+    val byDegree = SparkEntry.queries("q119_triangles")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the simple id-oriented reference form (a < b < c wedge join) —
+    // group sizes bounded only by id-orientation out-degree, so fine as
+    // a TEST oracle, not as the shipped plan
+    val e = graft.operators.Dedup.jaccardPairs(spark, sf01)
+      .select("a", "b").persist()
+    val e2 = e.select(col("a").as("b2"), col("b").as("c"))
+    val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
+    val byId = e.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    e.unpersist()
+    assert(byDegree.nonEmpty, "sf0.1 near-dup graph must contain triangles")
+    assert(byDegree == byId,
+      s"orientations disagree: ${byDegree.size} vs ${byId.size} rows")
+  }
+
   test("q121 KMV sketch: pairwise Jaccard estimates track exact vocabulary " +
     "overlap within 0.15") {
     val sf01 = "/root/testdata/sf0.01"

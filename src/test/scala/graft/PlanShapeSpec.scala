@@ -61,4 +61,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q114_source_similarity")
     assert(p.contains("BroadcastHashJoin"), "norms must broadcast")
   }
+
+  test("q119: triangle wedge joins stay equi-joins over the persisted " +
+    "degree-oriented edge list (no nested-loop fallback)") {
+    val p = plan("q119_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"wedge enumeration degraded to a nested loop:\n$p")
+    // rank tie-breaks are JOIN CONDITIONS on the equi-join, not a
+    // post-filter over an unkeyed product; the oriented list is
+    // persisted so orientation degrees compute once
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "oriented edge list must come from the persisted cache")
+  }
 }
