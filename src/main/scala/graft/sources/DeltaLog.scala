@@ -322,8 +322,46 @@ object DeltaLog {
     }
     // preference at the same version: any complete form is valid; the
     // single-part file is the cheapest bootstrap, v2 next, multi last
-    val checkpoints = multis ++ v2s ++ singles.map { case (v, p) => v -> Seq(p) }
-    (fs, commits, checkpoints)
+    val listed = multis ++ v2s ++ singles.map { case (v, p) => v -> Seq(p) }
+    // `_last_checkpoint` is TRUSTED first (the protocol's pointer —
+    // what foreign readers consult): when it names a checkpoint the
+    // listing missed (eventually-consistent stores list-lag renames),
+    // targeted existence probes adopt it; a corrupt/dangling pointer
+    // falls back to the listing silently. Versions the listing DOES
+    // know keep their listed artifact set (completeness was validated).
+    val pointed: Map[Long, Seq[Path]] =
+      readLastCheckpoint(fs, dir) match {
+        case Some((v, partsOpt)) if !listed.contains(v) =>
+          partsOpt match {
+            case None =>
+              val p = new Path(dir, f"$v%020d.checkpoint.parquet")
+              if (fs.exists(p)) Map(v -> Seq(p)) else Map.empty
+            case Some(n) =>
+              val ps = (1 to n).map(i =>
+                new Path(dir, f"$v%020d.checkpoint.$i%010d.$n%010d.parquet"))
+              if (ps.forall(fs.exists)) Map(v -> ps.toSeq) else Map.empty
+          }
+        case _ => Map.empty
+      }
+    (fs, commits, listed ++ pointed)
+  }
+
+  /** Parse `_delta_log/_last_checkpoint`: (version, parts). None when
+    * absent or unreadable — the pointer is a hint with list-fallback,
+    * never a hard dependency. */
+  private def readLastCheckpoint(fs: FileSystem,
+      dir: Path): Option[(Long, Option[Int])] = {
+    val lc = new Path(dir, "_last_checkpoint")
+    try {
+      if (!fs.exists(lc)) return None
+      val in = fs.open(lc)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val node = mapper.readTree(txt)
+      Option(node.get("version")).map(v =>
+        v.asLong() -> Option(node.get("parts")).map(_.asInt()))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Resolve TIMESTAMP AS OF to a version: the last commit whose log
@@ -620,10 +658,12 @@ object DeltaLog {
     scanFiles(spark, pruned, pruned.filePaths).where(condition)
   }
 
-  /** Column-mapped tables are READ-only in this engine: our writers
-    * emit parquet under logical column names, which a mapped table's
-    * readers would resolve to nothing (silent nulls). Every
-    * data-writing path calls this with its already-loaded snapshot. */
+  /** Unmapped and NAME-mapped tables are writable (writers route frames
+    * through [[toPhysical]] so files hold physical names); any other
+    * mapping mode (id) is rejected — minting fresh column ids on write
+    * is out of scope, and a logical-named file in an id-mapped table
+    * would resolve to silent nulls. Every data-writing path calls this
+    * with its already-loaded snapshot. */
   private[sources] def checkWritable(snap: Snapshot): Unit = {
     val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     if (mode != "none" && mode != "name") throw new UnsupportedOperationException(

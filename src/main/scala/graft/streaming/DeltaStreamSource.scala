@@ -147,17 +147,48 @@ class DeltaStreamSink(
 }
 
 /** `format("graft-delta")` registration (short name via the standard
-  * META-INF/services entry). Source options: `path` (required),
-  * `ignoreChanges`, `ignoreDeletes`, `maxVersionsPerTrigger` (rate
-  * limit after the bootstrap batch), `readChangeFeed` (emit the CDF
-  * row-level feed — table columns + `_change_type` +
-  * `_commit_version` — instead of append rows). Sink options: `path`
-  * (required), `txnAppId` (optional — defaults to the checkpoint
-  * location). */
+  * META-INF/services entry) — BOTH surfaces of the public API mapping:
+  *
+  *   - batch: `spark.read.format("graft-delta").load(path)` (options
+  *     `versionAsOf` / `timestampAsOf` for time travel) through
+  *     [[graft.sources.DeltaBatchRelation]] — pushed filters visible on
+  *     the scan node, DV/mapping/skipping underneath; and
+  *     `df.write.format("graft-delta").mode(...).save(path)` (option
+  *     `partitionBy` comma-separated) through [[DeltaWrite.write]];
+  *   - streaming: `readStream`/`writeStream`. Source options: `path`
+  *     (required), `ignoreChanges`, `ignoreDeletes`,
+  *     `maxVersionsPerTrigger` (rate limit after the bootstrap batch),
+  *     `readChangeFeed` (emit the CDF row-level feed — table columns +
+  *     `_change_type` + `_commit_version` — instead of append rows).
+  *     Sink options: `path` (required), `txnAppId` (optional —
+  *     defaults to the checkpoint location). */
 class DeltaSourceProvider extends StreamSourceProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation =
+    new graft.sources.DeltaBatchRelation(sqlContext, path(parameters),
+      parameters.get("versionAsOf").map(_.toLong),
+      parameters.get("timestampAsOf")
+        .map(java.sql.Timestamp.valueOf))
+
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val p = path(parameters)
+    graft.sources.DeltaWrite.write(data, p, mode,
+      partitionBy = parameters.get("partitionBy").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+    new graft.sources.DeltaBatchRelation(sqlContext, p, None, None)
+  }
 
   private def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path",

@@ -73,6 +73,52 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(ids == Set(1, 2, 3))
   }
 
+  test("_last_checkpoint: written per protocol after CHECKPOINT (version " +
+    "+ parts), trusted on read, and a corrupt/dangling pointer falls " +
+    "back to the listing") {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaWrite.checkpoint(spark, t)
+    val fs = DeltaLog.logDir(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lc = new org.apache.hadoop.fs.Path(DeltaLog.logDir(t), "_last_checkpoint")
+    assert(fs.exists(lc), "pointer must exist after CHECKPOINT")
+    def pointer(): com.fasterxml.jackson.databind.JsonNode = {
+      val in = fs.open(lc)
+      try com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+    assert(pointer().get("version").asLong() == 1L)
+    assert(!pointer().has("parts"), "single-part pointer carries no parts")
+
+    // multi-part: pointer records parts per protocol
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+    DeltaWrite.checkpoint(spark, t, parts = 2)
+    assert(pointer().get("version").asLong() == 2L)
+    assert(pointer().get("parts").asInt() == 2)
+
+    // the pointer is TRUSTED for bootstrap: clean the superseded
+    // commits, read stays green off the pointed checkpoint
+    (0L to 2L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(DeltaLog.logDir(t), f"$v%020d.json"), false)
+    }
+    assert(DeltaLog.read(spark, t).collect().map(_.getInt(0)).toSet ==
+      Set(1, 2, 3))
+
+    // corrupt pointer: hint only, never a hard dependency
+    val out = fs.create(lc, true)
+    try out.write("not json".getBytes("UTF-8")) finally out.close()
+    assert(DeltaLog.read(spark, t).count() == 3)
+    // dangling pointer (names a version with no artifacts): ignored
+    val out2 = fs.create(lc, true)
+    try out2.write("""{"version":99,"size":1}""".getBytes("UTF-8"))
+    finally out2.close()
+    assert(DeltaLog.read(spark, t).count() == 3)
+  }
+
   test("partitioned write records partition values and reads them back") {
     val t = tmpTable()
     import spark.implicits._
@@ -1071,6 +1117,41 @@ class DeltaSourceSpec extends AnyFunSuite {
       s"expected pushed filter in:\n$scan")
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>") ||
       scan.contains("ReadSchema: struct<l_orderkey"), s"expected pruned schema in:\n$scan")
+  }
+
+  test("spark.read.format(\"graft-delta\"): the public format string " +
+    "serves batch reads (DV + time travel honored, pushed filters on " +
+    "the scan node) and batch writes") {
+    import spark.implicits._
+    import graft.sources.{DeltaDv, DeltaMaintenance}
+    val t = tmpTable()
+    // batch WRITE through the format string
+    Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "s").coalesce(1)
+      .write.format("graft-delta").save(t)
+    DeltaMaintenance.setTblProperties(spark, t, Map(DeltaDv.Property -> "true"))
+    DeltaDml.delete(spark, t, col("id") === 2) // merge-on-read: DV, no rewrite
+    assert(DeltaLog.snapshot(spark, t).files.exists(_.dv.nonEmpty),
+      "fixture must actually carry a deletion vector")
+
+    val df = spark.read.format("graft-delta").load(t)
+    assert(df.as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (3, "c"), (4, "d")), "DV must apply through the format")
+    // time travel options
+    assert(spark.read.format("graft-delta").option("versionAsOf", "0")
+      .load(t).count() == 4, "versionAsOf must see the pre-delete state")
+
+    // pushed filters are ON the scan node (V1 RowDataSourceScan shows
+    // its handled pushdown, like the JDBC source)
+    val q = df.filter(col("id") > 2).select("s")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(id,2"),
+      s"expected the filter pushed to the relation in:\n$plan")
+    assert(q.collect().map(_.getString(0)).toSet == Set("c", "d"))
+
+    // append mode through the format string
+    Seq((5, "e")).toDF("id", "s").write.format("graft-delta")
+      .mode(SaveMode.Append).save(t)
+    assert(spark.read.format("graft-delta").load(t).count() == 4)
   }
 
   test("shallow clone: zero-copy read equals source; divergence stays " +
