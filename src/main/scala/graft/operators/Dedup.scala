@@ -444,7 +444,11 @@ object Dedup {
     GraftQuery("q102_dedup_semantic",
       (s, d) => {
         graft.functions.CosineSim.register(s)
-        val assigned = Similarity.clusterAssign(s, d, trainIters = 2)
+        // persisted: BOTH join sides read the assignment — without the
+        // cache the K-way scoring subplan runs twice (aliased columns
+        // defeat ReuseExchange), which ScaleCheck measured as ~2x the
+        // whole assignment cost at 20k vectors
+        val assigned = Similarity.clusterAssign(s, d, trainIters = 2).persist()
         val x = assigned.select(col("cid"), col("vec_id").as("a"),
           col("v").as("va"))
         val y = assigned.select(col("cid"), col("vec_id").as("b"),

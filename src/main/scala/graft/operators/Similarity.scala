@@ -352,21 +352,107 @@ object Similarity {
     * ever shuffles — the output carries probes× the corpus, nothing
     * more. The per-row HOFs here run once per VECTOR over K elements
     * (bounded, like MinHashSig), not per pair — the O(n²) HOF ban does
-    * not apply. */
+    * not apply.
+    *
+    * K SCALES WITH THE CORPUS (`K < 0` = auto): constant cluster SIZE
+    * (~256 members incl. multi-probe), i.e. K ≈ probes·n/256, floored
+    * at 16 — the published SemDeDup shape. A FIXED K is quadratic in
+    * disguise: per-cluster pair groups grow as (probes·n/K)², which
+    * graft.ScaleCheck measured as exponent 1.83 (80 s at 20k vectors)
+    * before this scaling; with size-scaled K the downstream pair join
+    * is linear in n. Past K = 64 the flat K-way scoring is itself the
+    * next quadratic (O(n·K) per-row work), so assignment goes TWO-LEVEL
+    * (IVF practice): a sqrt(K)-centroid coarse quantizer over the
+    * centroids picks 3 cells in-row, and only those cells' fine
+    * centroids are scored — O(n·sqrt(K)) per-row work, measured exp
+    * ~1 at the 2k→20k decade. The 4096 cap bounds the centroid literal
+    * (~2 MB at d=64); past it (~350k vectors per corpus at the default
+    * target) the same trick recurses. */
   private[graft] def clusterAssign(s: SparkSession, d: String,
-      trainIters: Int, K: Int = 16, probes: Int = 3): DataFrame = {
+      trainIters: Int, K: Int = -1, probes: Int = 3): DataFrame = {
     graft.functions.CosineSim.register(s)
     val e = emb(s, d)
-    val cent = trainedCentroids(s, d, K, iters = trainIters, sampleMod = 2)
-    val centLit = typedLit(cent.sortBy(_._1).map(_._2))
-    // struct(-sim, cid) sorts ascending == sim desc with cid tie-break
-    val ranked = array_sort(zip_with(centLit,
-      sequence(lit(0L), lit(K - 1L)),
-      (c, i) => struct((-cosine(col("embedding"), c)).as("nsim"),
-        i.as("cid"))))
-    e.select(col("vec_id"), col("embedding").as("v"),
-        explode(slice(ranked, 1, probes)).as("pick"))
-      .select(col("vec_id"), col("v"), col("pick.cid").as("cid"))
+    val k =
+      if (K > 0) K
+      else math.min(4096,
+        math.max(16, (probes * emb(s, d).count() / 256.0).ceil.toInt))
+    val cent = trainedCentroids(s, d, k, iters = trainIters, sampleMod = 2)
+    val ordered = cent.sortBy(_._1).toIndexedSeq
+    if (k <= 64) {
+      val centLit = typedLit(ordered.map(_._2))
+      // struct(-sim, cid) sorts ascending == sim desc with cid tie-break
+      val ranked = array_sort(zip_with(centLit,
+        sequence(lit(0L), lit(k - 1L)),
+        (c, i) => struct((-cosine(col("embedding"), c)).as("nsim"),
+          i.as("cid"))))
+      e.select(col("vec_id"), col("embedding").as("v"),
+          explode(slice(ranked, 1, probes)).as("pick"))
+        .select(col("vec_id"), col("v"), col("pick.cid").as("cid"))
+    } else {
+      // two-level: coarse k-means over the CENTROIDS themselves
+      // (model-on-model, driver-side — k x d doubles), then per row:
+      // rank sqrt(K) coarse cells, flatten the top-3 cells' fine lists,
+      // score only those. Both HOF passes are O(sqrt(K)) per row.
+      val nCoarse = math.ceil(math.sqrt(k.toDouble)).toInt
+      val coarse = kmeansSmall(ordered.map(_._2), nCoarse, iters = 5)
+      val cells: Seq[Seq[(Long, Seq[Double])]] = {
+        val byCell = ordered.groupBy { case (_, v) => nearestOf(coarse, v) }
+        (0 until nCoarse).map(ci =>
+          byCell.getOrElse(ci, IndexedSeq.empty).toSeq)
+      }
+      val coarseLit = typedLit(coarse)
+      val cellsLit = typedLit(cells)
+      val rankedCoarse = array_sort(zip_with(coarseLit,
+        sequence(lit(0L), lit(nCoarse - 1L)),
+        (c, i) => struct((-cosine(col("embedding"), c)).as("nsim"),
+          i.as("ci"))))
+      val cands = flatten(transform(
+        slice(rankedCoarse, 1, math.min(3, nCoarse)),
+        p => element_at(cellsLit, (p.getField("ci") + 1).cast("int"))))
+      val rankedFine = array_sort(transform(cands,
+        p => struct((-cosine(col("embedding"), p.getField("_2"))).as("nsim"),
+          p.getField("_1").as("cid"))))
+      e.select(col("vec_id"), col("embedding").as("v"),
+          explode(slice(rankedFine, 1, probes)).as("pick"))
+        .select(col("vec_id"), col("v"), col("pick.cid").as("cid"))
+    }
+  }
+
+  private def cosSmall(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  private def nearestOf(cs: IndexedSeq[Seq[Double]], v: Seq[Double]): Int =
+    cs.indices.maxBy(i => (cosSmall(cs(i), v), -i))
+
+  /** Deterministic driver-side Lloyd's over a SMALL vector set (the
+    * coarse quantizer trains on at most 4096 centroids — model
+    * metadata, never data): seeds are the first C vectors, cosine
+    * assignment, mean recompute, empty cells keep their seed. */
+  private def kmeansSmall(vs: IndexedSeq[Seq[Double]], c: Int,
+      iters: Int): IndexedSeq[Seq[Double]] = {
+    var cent = vs.take(c)
+    for (_ <- 1 to iters) {
+      val assign = vs.map(v => nearestOf(cent, v))
+      cent = cent.indices.map { ci =>
+        val members = vs.indices.filter(assign(_) == ci)
+        if (members.isEmpty) cent(ci)
+        else {
+          val d = vs.head.length
+          val sum = new Array[Double](d)
+          members.foreach { m =>
+            val v = vs(m); var i = 0
+            while (i < d) { sum(i) += v(i); i += 1 }
+          }
+          sum.map(_ / members.size).toSeq
+        }
+      }
+    }
+    cent
   }
 
   /** The IVF search behind q58; `trainIters = 0` keeps the raw seed
