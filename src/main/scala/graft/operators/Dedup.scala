@@ -522,7 +522,9 @@ object Dedup {
     // cross-engine proof.
     GraftQuery("q119_triangles",
       (s, d) => {
-        val e = jaccardPairs(s, d).select("a", "b")
+        // persisted: the pair subplan feeds the degree build (twice,
+        // via the undirected union) AND the orientation join
+        val e = jaccardPairs(s, d).select("a", "b").persist()
         val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
         val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("dg"))
         // orient by (degree, id); carry the DESTINATION's rank so the
