@@ -44,22 +44,33 @@ object DeltaDv {
 
   /** Write one framed roaring DV file holding each hit file's complete
     * deletion vector (ordered by file for determinism); returns the
-    * table-relative path plus each file's descriptor fields. */
+    * descriptor's `(storageType, pathOrInlineDv, derived relative
+    * path)` plus each file's offset/size/cardinality fields.
+    *
+    * Emitted in the protocol's RELOCATABLE 'u' form — the form standard
+    * Delta writers produce: the file lands at
+    * `<table>/<DvDir>/deletion_vector_<uuid>.bin` and the descriptor
+    * carries `<DvDir><z85(uuid)>` (prefix + 20-char encoded UUID), so
+    * the whole table survives a plain directory move/copy with no
+    * descriptor rewrite (an absolute 'p' reference would dangle). */
   private def writeDvFile(spark: SparkSession, tablePath: String,
       perFile: Seq[(String, Array[Long])])
-      : (String, Map[String, (Long, Long, Long)]) = {
+      : ((String, String, String), Map[String, (Long, Long, Long)]) = {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val ordered = perFile.sortBy(_._1)
     val (bytes, descs) = RoaringDv.frame(ordered.map(_._2))
-    val target = new Path(table,
-      s"$DvDir/dv-${java.util.UUID.randomUUID()}.bin")
+    val uuid = java.util.UUID.randomUUID()
+    val rel = s"$DvDir/deletion_vector_$uuid.bin"
+    val target = new Path(table, rel)
     fs.mkdirs(target.getParent)
     val out = fs.create(target, false)
     try out.write(bytes) finally out.close()
-    // storageType 'p' records an ABSOLUTE path per the protocol (the
-    // relocatable relative form is 'u'; readers here resolve either)
-    fs.makeQualified(target).toString -> ordered.map(_._1).zip(descs).toMap
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    val raw = DvDir + RoaringDv.z85Encode(bb.array())
+    (("u", raw, rel)) -> ordered.map(_._1).zip(descs).toMap
   }
 
   /** Parse the existing vector of an already-vectored file (driver-side;
@@ -116,7 +127,7 @@ object DeltaDv {
       f -> (newByFile.getOrElse(f, Array.empty[Long]) ++ old).distinct.sorted
     }
 
-    val (rel, descs) = writeDvFile(spark, tablePath, perFile)
+    val ((st, raw, rel), descs) = writeDvFile(spark, tablePath, perFile)
     val oldCards = hitEntries.map(_._2.dv.map(_.cardinality).getOrElse(0L)).sum
     val affected = descs.values.map(_._3).sum - oldCards
 
@@ -126,7 +137,7 @@ object DeltaDv {
       hitEntries.map { case (f, a) =>
         val (off, size, card) = descs(f)
         DeltaWrite.addAction(a.copy(dv = Some(
-          DeltaLog.DvDescriptor(rel, card, off, size))))
+          DeltaLog.DvDescriptor(rel, card, off, size, st, raw))))
       }
     Some((actions, affected))
   }

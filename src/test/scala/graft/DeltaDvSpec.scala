@@ -44,36 +44,46 @@ class DeltaDvSpec extends AnyFunSuite {
     t
   }
 
-  test("a foreign table's uuid-relative ('u') deletion vectors read " +
-    "correctly — the form standard Delta writers emit") {
+  test("our own DV commits use the protocol's relocatable 'u' form; a " +
+    "foreign PREFIX-LESS 'u' (uuid file at the table root) reads too; " +
+    "the table survives a plain directory move") {
     import graft.sources.RoaringDv
     val t = newDvTable()
     DeltaDml.delete(spark, t, col("id") === 2)
-    // Rewrite our commit into the standard 'u' shape: move the DV file
-    // to deletion_vector_<uuid>.bin at the table root and patch the
-    // descriptor to storageType 'u' + z85(uuid).
-    val snap0 = DeltaLog.snapshot(spark, t)
-    val d = snap0.files.flatMap(_.dv).head
+    val d = DeltaLog.snapshot(spark, t).files.flatMap(_.dv).head
+    assert(d.storageType == "u", "writer must emit the relocatable form")
+    assert(d.raw.startsWith(DeltaDv.DvDir) && d.raw.length ==
+      DeltaDv.DvDir.length + 20, s"prefix + 20-char z85 uuid, got ${d.raw}")
+    assert(d.path == RoaringDv.relativeDvPath(d.raw) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(t, d.path)),
+      "descriptor derives to the file the writer produced")
+    assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")))
+
+    // relocatable for real: MOVE the whole table directory — every
+    // reference (data + DV) must survive with no rewrite
+    val t2 = tmpTable()
+    java.nio.file.Files.move(java.nio.file.Paths.get(t),
+      java.nio.file.Paths.get(t2))
+    graft.Tables.invalidate()
+    assert(rows(t2) == Seq((1, "a"), (3, "c"), (4, "d")),
+      "an absolute 'p' reference would dangle after the move")
+
+    // foreign prefix-less variant: uuid file directly at the table root
     val uuid = java.util.UUID.randomUUID()
     val bb = java.nio.ByteBuffer.allocate(16)
     bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
     val enc = RoaringDv.z85Encode(bb.array())
-    val src = java.nio.file.Paths.get(new java.net.URI(d.path))
-    val dst = java.nio.file.Paths.get(t, s"deletion_vector_$uuid.bin")
-    java.nio.file.Files.copy(src, dst)
-    val commit = java.nio.file.Paths.get(s"$t/_delta_log/" + f"${2L}%020d.json")
-    val patched = java.nio.file.Files.readString(commit)
-      .replace("\"storageType\":\"p\"", "\"storageType\":\"u\"")
-      .replace(s""""pathOrInlineDv":"${d.path}"""",
-        s""""pathOrInlineDv":"$enc"""")
-    assert(patched.contains("\"storageType\":\"u\""), "patch must apply")
-    java.nio.file.Files.writeString(commit, patched)
-
-    val snap = DeltaLog.snapshot(spark, t)
-    assert(snap.files.flatMap(_.dv).head.path == s"deletion_vector_$uuid.bin",
-      "u descriptor resolves to the derived relative path")
-    assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")),
-      "the u-referenced vector must apply in the scan")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(t2, d.path),
+      java.nio.file.Paths.get(t2, s"deletion_vector_$uuid.bin"))
+    val commit = java.nio.file.Paths.get(s"$t2/_delta_log/" + f"${2L}%020d.json")
+    java.nio.file.Files.writeString(commit,
+      java.nio.file.Files.readString(commit)
+        .replace(s""""pathOrInlineDv":"${d.raw}"""",
+          s""""pathOrInlineDv":"$enc""""))
+    val d2 = DeltaLog.snapshot(spark, t2).files.flatMap(_.dv).head
+    assert(d2.path == s"deletion_vector_$uuid.bin",
+      "prefix-less 'u' derives to the root-level file")
+    assert(rows(t2) == Seq((1, "a"), (3, "c"), (4, "d")))
   }
 
   test("MOR delete removes rows WITHOUT rewriting data files; history " +
@@ -252,7 +262,7 @@ class DeltaDvSpec extends AnyFunSuite {
     // to prove the scan never touches it.
     val snap0 = DeltaLog.snapshot(spark, t)
     val d = snap0.files.flatMap(_.dv).head
-    val src = java.nio.file.Paths.get(new java.net.URI(d.path))
+    val src = java.nio.file.Paths.get(t, d.path)
     val positions = RoaringDv.unframe(
       java.nio.file.Files.readAllBytes(src), d.offset, d.sizeInBytes)
     val data = RoaringDv.serialize(positions)
@@ -260,8 +270,8 @@ class DeltaDvSpec extends AnyFunSuite {
     val enc = RoaringDv.z85EncodePadded(data)
     val commit = java.nio.file.Paths.get(s"$t/_delta_log/" + f"${2L}%020d.json")
     val patched = java.nio.file.Files.readString(commit)
-      .replace("\"storageType\":\"p\"", "\"storageType\":\"i\"")
-      .replace(s""""pathOrInlineDv":"${d.path}"""", s""""pathOrInlineDv":"$enc"""")
+      .replace("\"storageType\":\"u\"", "\"storageType\":\"i\"")
+      .replace(s""""pathOrInlineDv":"${d.raw}"""", s""""pathOrInlineDv":"$enc"""")
     assert(patched.contains("\"storageType\":\"i\""), "patch must apply")
     java.nio.file.Files.writeString(commit, patched)
     java.nio.file.Files.delete(src)
@@ -269,39 +279,24 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")),
       "inline vector applies without any DV file")
     // merging on top of an inline vector: existing positions decode
-    // from the payload, the union writes as our own 'p' file
+    // from the payload, the union writes as our own 'u' file
     DeltaDml.delete(spark, t, col("id") === 3)
     assert(rows(t) == Seq((1, "a"), (4, "d")))
   }
 
   test("'u' descriptors round-trip checkpoints unchanged; shallow clone " +
     "rewrites them to absolute 'p' (source-relative 'u' would dangle)") {
-    import graft.sources.RoaringDv
     val t = newDvTable()
     DeltaDml.delete(spark, t, col("id") === 2)
-    val snap0 = DeltaLog.snapshot(spark, t)
-    val d = snap0.files.flatMap(_.dv).head
-    val uuid = java.util.UUID.randomUUID()
-    val bb = java.nio.ByteBuffer.allocate(16)
-    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
-    val enc = RoaringDv.z85Encode(bb.array())
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(new java.net.URI(d.path)),
-      java.nio.file.Paths.get(t, s"deletion_vector_$uuid.bin"))
-    val commit = java.nio.file.Paths.get(s"$t/_delta_log/" + f"${2L}%020d.json")
-    java.nio.file.Files.writeString(commit,
-      java.nio.file.Files.readString(commit)
-        .replace("\"storageType\":\"p\"", "\"storageType\":\"u\"")
-        .replace(s""""pathOrInlineDv":"${d.path}"""",
-          s""""pathOrInlineDv":"$enc""""))
+    val d = DeltaLog.snapshot(spark, t).files.flatMap(_.dv).head
+    assert(d.storageType == "u")
 
     // checkpoint re-serializes the add — the descriptor must stay 'u'
     // with the ORIGINAL payload (a relative path under 'p' would
     // mis-resolve in foreign readers)
     DeltaWrite.checkpoint(spark, t)
-    val snap1 = DeltaLog.snapshot(spark, t)
-    val d1 = snap1.files.flatMap(_.dv).head
-    assert(d1.storageType == "u" && d1.rawOrPath == enc,
+    val d1 = DeltaLog.snapshot(spark, t).files.flatMap(_.dv).head
+    assert(d1.storageType == "u" && d1.rawOrPath == d.raw,
       s"checkpoint must preserve the 'u' form, got ${d1.storageType}/${d1.rawOrPath}")
     assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")))
 
