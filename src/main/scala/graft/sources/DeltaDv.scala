@@ -42,35 +42,58 @@ object DeltaDv {
   def enabled(configuration: Map[String, String]): Boolean =
     configuration.get(Property).exists(_.equalsIgnoreCase("true"))
 
-  /** Write one framed roaring DV file holding each hit file's complete
-    * deletion vector (ordered by file for determinism); returns the
-    * descriptor's `(storageType, pathOrInlineDv, derived relative
-    * path)` plus each file's offset/size/cardinality fields.
-    *
-    * Emitted in the protocol's RELOCATABLE 'u' form — the form standard
-    * Delta writers produce: the file lands at
-    * `<table>/<DvDir>/deletion_vector_<uuid>.bin` and the descriptor
-    * carries `<DvDir><z85(uuid)>` (prefix + 20-char encoded UUID), so
-    * the whole table survives a plain directory move/copy with no
-    * descriptor rewrite (an absolute 'p' reference would dangle). */
-  private def writeDvFile(spark: SparkSession, tablePath: String,
+  /** Serialized size at or under which a vector is INLINED into its
+    * descriptor ('i' form) instead of referenced from a DV file — a
+    * point delete costs one z85 string in the commit JSON, zero extra
+    * files (the small-file problem applied to sidecars: a streaming
+    * DML workload would otherwise mint one tiny .bin per commit). 512 B
+    * serialized ≈ up to ~240 scattered positions. */
+  private val InlineMaxBytes = 512
+
+  /** Build each hit file's descriptor: vectors at or under
+    * [[InlineMaxBytes]] inline into the descriptor ('i'); the rest
+    * frame into ONE DV file per commit, emitted in the protocol's
+    * RELOCATABLE 'u' form — the form standard Delta writers produce:
+    * the file lands at `<table>/<DvDir>/deletion_vector_<uuid>.bin`
+    * and the descriptor carries `<DvDir><z85(uuid)>` (prefix +
+    * 20-char encoded UUID), so the whole table survives a plain
+    * directory move/copy with no descriptor rewrite (an absolute 'p'
+    * reference would dangle). */
+  private def writeDescriptors(spark: SparkSession, tablePath: String,
       perFile: Seq[(String, Array[Long])])
-      : ((String, String, String), Map[String, (Long, Long, Long)]) = {
-    val table = new Path(tablePath)
-    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+      : Map[String, DeltaLog.DvDescriptor] = {
     val ordered = perFile.sortBy(_._1)
-    val (bytes, descs) = RoaringDv.frame(ordered.map(_._2))
-    val uuid = java.util.UUID.randomUUID()
-    val rel = s"$DvDir/deletion_vector_$uuid.bin"
-    val target = new Path(table, rel)
-    fs.mkdirs(target.getParent)
-    val out = fs.create(target, false)
-    try out.write(bytes) finally out.close()
-    val bb = java.nio.ByteBuffer.allocate(16)
-    bb.putLong(uuid.getMostSignificantBits)
-    bb.putLong(uuid.getLeastSignificantBits)
-    val raw = DvDir + RoaringDv.z85Encode(bb.array())
-    (("u", raw, rel)) -> ordered.map(_._1).zip(descs).toMap
+      .map { case (f, ps) =>
+        val distinct = ps.distinct
+        (f, RoaringDv.serialize(ps), distinct.length.toLong)
+      }
+    val (small, big) = ordered.partition(_._2.length <= InlineMaxBytes)
+    val inlined = small.map { case (f, data, card) =>
+      f -> DeltaLog.DvDescriptor("", card, 1L, data.length.toLong,
+        "i", RoaringDv.z85EncodePadded(data))
+    }
+    val filed: Seq[(String, DeltaLog.DvDescriptor)] =
+      if (big.isEmpty) Nil
+      else {
+        val table = new Path(tablePath)
+        val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+        val (bytes, descs) =
+          RoaringDv.frameSerialized(big.map(t => t._2 -> t._3))
+        val uuid = java.util.UUID.randomUUID()
+        val rel = s"$DvDir/deletion_vector_$uuid.bin"
+        val target = new Path(table, rel)
+        fs.mkdirs(target.getParent)
+        val out = fs.create(target, false)
+        try out.write(bytes) finally out.close()
+        val bb = java.nio.ByteBuffer.allocate(16)
+        bb.putLong(uuid.getMostSignificantBits)
+        bb.putLong(uuid.getLeastSignificantBits)
+        val raw = DvDir + RoaringDv.z85Encode(bb.array())
+        big.map(_._1).zip(descs).map { case (f, (off, size, card)) =>
+          f -> DeltaLog.DvDescriptor(rel, card, off, size, "u", raw)
+        }
+      }
+    (inlined ++ filed).toMap
   }
 
   /** Parse the existing vector of an already-vectored file (driver-side;
@@ -127,17 +150,15 @@ object DeltaDv {
       f -> (newByFile.getOrElse(f, Array.empty[Long]) ++ old).distinct.sorted
     }
 
-    val ((st, raw, rel), descs) = writeDvFile(spark, tablePath, perFile)
+    val descs = writeDescriptors(spark, tablePath, perFile)
     val oldCards = hitEntries.map(_._2.dv.map(_.cardinality).getOrElse(0L)).sum
-    val affected = descs.values.map(_._3).sum - oldCards
+    val affected = descs.values.map(_.cardinality).sum - oldCards
 
     // remove + re-add with the descriptor (adds AFTER removes — replay
     // is line-ordered)
     val actions = hitEntries.map(e => DeltaWrite.removeAction(e._2.path)) ++
       hitEntries.map { case (f, a) =>
-        val (off, size, card) = descs(f)
-        DeltaWrite.addAction(a.copy(dv = Some(
-          DeltaLog.DvDescriptor(rel, card, off, size, st, raw))))
+        DeltaWrite.addAction(a.copy(dv = Some(descs(f))))
       }
     Some((actions, affected))
   }

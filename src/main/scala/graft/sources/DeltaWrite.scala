@@ -302,7 +302,7 @@ object DeltaWrite {
     val addRows = snap.files.map(a =>
       Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
         partitionValuesMap(a.path),
-        a.dv.map(d => Row(d.storageType, d.rawOrPath, d.offset, d.sizeInBytes, d.cardinality)).orNull), null, null, null))
+        a.dv.map(d => Row(d.storageType, d.rawOrPath, if (d.inline) null else d.offset, d.sizeInBytes, d.cardinality)).orNull), null, null, null))
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
 
@@ -521,7 +521,7 @@ object DeltaWrite {
           val rows = bucket.map(a =>
             Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
               partitionValuesMap(a.path),
-              a.dv.map(d => Row(d.storageType, d.rawOrPath, d.offset, d.sizeInBytes, d.cardinality)).orNull)))
+              a.dv.map(d => Row(d.storageType, d.rawOrPath, if (d.inline) null else d.offset, d.sizeInBytes, d.cardinality)).orNull)))
           val name = s"${java.util.UUID.randomUUID()}.parquet"
           val size = writeOne(new Path(scDir, name), rows, sidecarSchema)
           Row(null, null, null, null, Row(name, size, 0L))
@@ -614,10 +614,13 @@ object DeltaWrite {
       // the ORIGINAL storage form round-trips: a foreign 'u'/'i'
       // descriptor re-committed here must not be rewritten as a 'p'
       // with a relative path ('p' is absolute per the protocol)
-      add.set[ObjectNode]("deletionVector", mapper.createObjectNode()
+      val dvNode = mapper.createObjectNode()
         .put("storageType", d.storageType).put("pathOrInlineDv", d.rawOrPath)
-        .put("offset", d.offset).put("sizeInBytes", d.sizeInBytes)
-        .put("cardinality", d.cardinality))
+      // offset exists only for file-backed vectors (protocol: absent
+      // for inline payloads)
+      if (!d.inline) dvNode.put("offset", d.offset)
+      dvNode.put("sizeInBytes", d.sizeInBytes).put("cardinality", d.cardinality)
+      add.set[ObjectNode]("deletionVector", dvNode)
     }
     add.set[ObjectNode]("partitionValues", partitionValuesOf(a.path))
     n.set[ObjectNode]("add", add)

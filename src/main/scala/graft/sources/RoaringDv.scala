@@ -177,17 +177,23 @@ object RoaringDv {
   /** Frame one or more vectors into DV-file bytes. Returns the file
     * bytes plus each vector's (offset, sizeInBytes, cardinality) in
     * input order. */
-  def frame(vectors: Seq[Array[Long]]): (Array[Byte], Seq[(Long, Long, Long)]) = {
+  def frame(vectors: Seq[Array[Long]]): (Array[Byte], Seq[(Long, Long, Long)]) =
+    frameSerialized(vectors.map(ps => serialize(ps) -> ps.distinct.length.toLong))
+
+  /** [[frame]] over ALREADY-serialized vectors (data, cardinality) —
+    * callers that split small vectors off for inline storage serialize
+    * each vector exactly once. */
+  def frameSerialized(vectors: Seq[(Array[Byte], Long)])
+      : (Array[Byte], Seq[(Long, Long, Long)]) = {
     val out = new ByteArrayOutputStream()
     out.write(1) // format version
-    val descs = vectors.map { ps =>
+    val descs = vectors.map { case (data, card) =>
       val offset = out.size().toLong
-      val data = serialize(ps)
       out.write(ByteBuffer.allocate(4).putInt(data.length).array()) // BE
       out.write(data)
       val crc = new CRC32(); crc.update(data)
       out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
-      (offset, data.length.toLong, ps.distinct.length.toLong)
+      (offset, data.length.toLong, card)
     }
     (out.toByteArray, descs)
   }

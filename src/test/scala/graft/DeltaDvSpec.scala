@@ -44,12 +44,23 @@ class DeltaDvSpec extends AnyFunSuite {
     t
   }
 
-  test("our own DV commits use the protocol's relocatable 'u' form; a " +
-    "foreign PREFIX-LESS 'u' (uuid file at the table root) reads too; " +
-    "the table survives a plain directory move") {
+  /** A 2000-row one-file table: deleting every other row serializes
+    * well past the inline threshold, forcing the file-backed 'u' form. */
+  private def newBigDvTable(): String = {
+    val t = tmpTable()
+    import spark.implicits._
+    DeltaWrite.write(
+      (1 to 2000).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaMaintenance.setTblProperties(spark, t, Map(DeltaDv.Property -> "true"))
+    t
+  }
+
+  test("our own DV commits use the protocol's relocatable 'u' form past " +
+    "the inline threshold; a foreign PREFIX-LESS 'u' (uuid file at the " +
+    "table root) reads too; the table survives a plain directory move") {
     import graft.sources.RoaringDv
-    val t = newDvTable()
-    DeltaDml.delete(spark, t, col("id") === 2)
+    val t = newBigDvTable()
+    DeltaDml.delete(spark, t, col("id") % 2 === 0) // 1000 positions >> inline
     val d = DeltaLog.snapshot(spark, t).files.flatMap(_.dv).head
     assert(d.storageType == "u", "writer must emit the relocatable form")
     assert(d.raw.startsWith(DeltaDv.DvDir) && d.raw.length ==
@@ -57,7 +68,7 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(d.path == RoaringDv.relativeDvPath(d.raw) &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(t, d.path)),
       "descriptor derives to the file the writer produced")
-    assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")))
+    assert(DeltaLog.read(spark, t).count() == 1000)
 
     // relocatable for real: MOVE the whole table directory — every
     // reference (data + DV) must survive with no rewrite
@@ -65,7 +76,7 @@ class DeltaDvSpec extends AnyFunSuite {
     java.nio.file.Files.move(java.nio.file.Paths.get(t),
       java.nio.file.Paths.get(t2))
     graft.Tables.invalidate()
-    assert(rows(t2) == Seq((1, "a"), (3, "c"), (4, "d")),
+    assert(DeltaLog.read(spark, t2).count() == 1000,
       "an absolute 'p' reference would dangle after the move")
 
     // foreign prefix-less variant: uuid file directly at the table root
@@ -83,7 +94,7 @@ class DeltaDvSpec extends AnyFunSuite {
     val d2 = DeltaLog.snapshot(spark, t2).files.flatMap(_.dv).head
     assert(d2.path == s"deletion_vector_$uuid.bin",
       "prefix-less 'u' derives to the root-level file")
-    assert(rows(t2) == Seq((1, "a"), (3, "c"), (4, "d")))
+    assert(DeltaLog.read(spark, t2).count() == 1000)
   }
 
   test("MOR delete removes rows WITHOUT rewriting data files; history " +
@@ -179,18 +190,18 @@ class DeltaDvSpec extends AnyFunSuite {
 
   test("checkpoint round-trips descriptors; vacuum never deletes a live " +
     "sidecar but collects superseded ones") {
-    val t = newDvTable()
-    DeltaDml.delete(spark, t, col("id") === 2) // sidecar 1
+    val t = newBigDvTable()
+    DeltaDml.delete(spark, t, col("id") % 2 === 0) // sidecar 1 (file-backed)
     DeltaWrite.checkpoint(spark, t)
     DeltaMaintenance.cleanupLog(spark, t)
     graft.Tables.invalidate()
-    assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")),
+    assert(DeltaLog.read(spark, t).count() == 1000,
       "descriptor must survive checkpoint bootstrap")
 
-    DeltaDml.delete(spark, t, col("id") === 3) // sidecar 2 supersedes 1
+    DeltaDml.delete(spark, t, col("id") % 3 === 0) // sidecar 2 supersedes 1
     val deleted = DeltaMaintenance.vacuum(spark, t, retainMs = 0L)
     assert(deleted >= 1, "superseded sidecar should be vacuumable")
-    assert(rows(t) == Seq((1, "a"), (4, "d")), "live sidecar must survive")
+    assert(DeltaLog.read(spark, t).count() == 667, "live sidecar must survive")
   }
 
   test("change feeds see MOR deletes: cdc images when CDF is on, the " +
@@ -252,42 +263,36 @@ class DeltaDvSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] { DeltaLog.snapshot(spark, xDv) }
   }
 
-  test("inline ('i') deletion vectors decode from the descriptor itself; " +
-    "a second MOR delete merges the inline positions") {
-    import graft.sources.RoaringDv
+  test("small deletes INLINE their vector ('i'): no sidecar file at all, " +
+    "commit JSON omits offset, a second MOR delete merges the inline " +
+    "positions") {
     val t = newDvTable()
     DeltaDml.delete(spark, t, col("id") === 2)
-    // Rewrite our file-backed descriptor into the standard inline shape:
-    // z85(serialized vector) in pathOrInlineDv, then DELETE the DV file
-    // to prove the scan never touches it.
-    val snap0 = DeltaLog.snapshot(spark, t)
-    val d = snap0.files.flatMap(_.dv).head
-    val src = java.nio.file.Paths.get(t, d.path)
-    val positions = RoaringDv.unframe(
-      java.nio.file.Files.readAllBytes(src), d.offset, d.sizeInBytes)
-    val data = RoaringDv.serialize(positions)
-    assert(data.length == d.sizeInBytes, "framed size IS the vector size")
-    val enc = RoaringDv.z85EncodePadded(data)
+    val d = DeltaLog.snapshot(spark, t).files.flatMap(_.dv).head
+    assert(d.storageType == "i", "a 1-position vector must inline")
+    assert(d.cardinality == 1L && d.raw.nonEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, DeltaDv.DvDir)),
+      "no DV directory should exist for inline-only commits")
     val commit = java.nio.file.Paths.get(s"$t/_delta_log/" + f"${2L}%020d.json")
-    val patched = java.nio.file.Files.readString(commit)
-      .replace("\"storageType\":\"u\"", "\"storageType\":\"i\"")
-      .replace(s""""pathOrInlineDv":"${d.raw}"""", s""""pathOrInlineDv":"$enc"""")
-    assert(patched.contains("\"storageType\":\"i\""), "patch must apply")
-    java.nio.file.Files.writeString(commit, patched)
-    java.nio.file.Files.delete(src)
-
+    val json = java.nio.file.Files.readString(commit)
+    assert(json.contains("\"storageType\":\"i\"") && !json.contains("\"offset\""),
+      "protocol: inline descriptors carry no offset")
     assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")),
       "inline vector applies without any DV file")
     // merging on top of an inline vector: existing positions decode
-    // from the payload, the union writes as our own 'u' file
+    // from the payload and union with the new delete
     DeltaDml.delete(spark, t, col("id") === 3)
     assert(rows(t) == Seq((1, "a"), (4, "d")))
+    assert(DeltaLog.snapshot(spark, t).files.flatMap(_.dv)
+      .head.cardinality == 2L)
   }
 
   test("'u' descriptors round-trip checkpoints unchanged; shallow clone " +
-    "rewrites them to absolute 'p' (source-relative 'u' would dangle)") {
-    val t = newDvTable()
-    DeltaDml.delete(spark, t, col("id") === 2)
+    "rewrites them to absolute 'p' (source-relative 'u' would dangle); " +
+    "inline descriptors clone as-is") {
+    val t = newBigDvTable()
+    DeltaDml.delete(spark, t, col("id") % 2 === 0)
     val d = DeltaLog.snapshot(spark, t).files.flatMap(_.dv).head
     assert(d.storageType == "u")
 
@@ -298,14 +303,22 @@ class DeltaDvSpec extends AnyFunSuite {
     val d1 = DeltaLog.snapshot(spark, t).files.flatMap(_.dv).head
     assert(d1.storageType == "u" && d1.rawOrPath == d.raw,
       s"checkpoint must preserve the 'u' form, got ${d1.storageType}/${d1.rawOrPath}")
-    assert(rows(t) == Seq((1, "a"), (3, "c"), (4, "d")))
+    assert(DeltaLog.read(spark, t).count() == 1000)
 
     val c = tmpTable()
     DeltaMaintenance.shallowClone(spark, t, c)
     val dc = DeltaLog.snapshot(spark, c).files.flatMap(_.dv).head
     assert(dc.storageType == "p" && new org.apache.hadoop.fs.Path(dc.rawOrPath).isAbsolute,
       s"clone must absolutize to 'p', got ${dc.storageType}/${dc.rawOrPath}")
-    assert(rows(c) == Seq((1, "a"), (3, "c"), (4, "d")))
+    assert(DeltaLog.read(spark, c).count() == 1000)
+
+    // an inline-vectored table clones without any rewrite
+    val t2 = newDvTable()
+    DeltaDml.delete(spark, t2, col("id") === 2)
+    val c2 = tmpTable()
+    DeltaMaintenance.shallowClone(spark, t2, c2)
+    assert(DeltaLog.snapshot(spark, c2).files.flatMap(_.dv).head.inline)
+    assert(rows(c2) == Seq((1, "a"), (3, "c"), (4, "d")))
   }
 
   test("DV + column mapping combine: MOR DELETE/UPDATE on a renamed " +
