@@ -121,6 +121,11 @@ object DeltaLog {
     * DML hit reads) must go through here. Files may live OUTSIDE the
     * table directory (shallow clones) — they are read in per-origin
     * groups, each with its own basePath. */
+  /** [[scanFiles]] for callers outside this package (the streaming
+    * source): explicit files of `snap` read DV- and mapping-aware. */
+  private[graft] def readFiles(spark: SparkSession, snap: Snapshot,
+      paths: Seq[String]): DataFrame = scanFiles(spark, snap, paths)
+
   private[sources] def scanFiles(spark: SparkSession, snap: Snapshot,
       paths: Seq[String]): DataFrame =
     if (paths.isEmpty)

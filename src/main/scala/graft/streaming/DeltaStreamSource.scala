@@ -73,6 +73,7 @@ class DeltaStreamSource(
     val to = versionOf(end)
     served = Some(served.fold(to)(math.max(_, to)))
     if (readChangeFeed) return changeFeedBatch(start.map(versionOf), to)
+    val snapTo = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(to))
     val files = start match {
       // Initial batch: serve the CURRENT snapshot's live files (as
       // Delta's own source does), not a replay of every commit from
@@ -80,15 +81,26 @@ class DeltaStreamSource(
       // no longer exist; after OPTIMIZE+VACUUM replay would reference
       // vacuumed files; and under ignoreChanges replay would re-emit
       // rows that were deleted before the stream started.
-      case None => DeltaLog.snapshot(spark, tablePath,
-        versionAsOf = Some(to)).filePaths
+      case None => snapTo.filePaths
       case Some(s) =>
         val from = versionOf(s)
         if (to <= from) Nil
         else DeltaChanges.changedFiles(spark, tablePath, from,
           ignoreChanges, ignoreDeletes, toInclusive = Some(to)).addedFiles
     }
-    GraftStreamBridge.streamingParquetBatch(spark, schema, tablePath, files)
+    // DV or column-mapped tables must read through the snapshot-aware
+    // scan — a raw parquet read would RESURRECT vectored-out rows in
+    // the bootstrap batch and resolve a mapped table's physical columns
+    // to nulls. The plain path keeps the pushdown-friendly streaming
+    // relation (a scan boundary downstream filters can enter).
+    if (snapTo.columnMappingMode == "none" && snapTo.files.forall(_.dv.isEmpty))
+      GraftStreamBridge.streamingParquetBatch(spark, schema, tablePath, files)
+    else if (files.isEmpty)
+      GraftStreamBridge.streamingParquetBatch(spark, schema, tablePath, Nil)
+    else GraftStreamBridge.streamingFromBatch(
+      DeltaLog.readFiles(spark, snapTo, files)
+        .select(schema.fieldNames.toIndexedSeq.map(
+          org.apache.spark.sql.functions.col): _*))
   }
 
   /** CDF micro-batch: the initial batch is the snapshot's live rows as

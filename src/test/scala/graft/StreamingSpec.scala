@@ -388,4 +388,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out2).as[(Long, String)].collect().toSet ==
       Set((3L, "r3"), (4L, "r4")))
   }
+
+  test("graft-delta source applies deletion vectors and column mapping: " +
+    "bootstrap excludes vectored rows; mid-stream MOR deletes under " +
+    "ignoreChanges re-emit live rows only; renamed tables stream " +
+    "logical columns") {
+    import graft.sources.{DeltaDml, DeltaDv, DeltaMaintenance, DeltaSchema, DeltaWrite}
+    import spark.implicits._
+
+    // DV table: delete BEFORE the stream → bootstrap must not serve the
+    // deleted row (the raw-parquet fast path would)
+    val t = Files.createTempDirectory("graft_ds_dv").resolve("t").toString
+    DeltaWrite.write((1L to 4L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1), t)
+    DeltaMaintenance.setTblProperties(spark, t, Map(DeltaDv.Property -> "true"))
+    DeltaDml.delete(spark, t, col("id") === 2L) // merge-on-read: no rewrite
+    val out = Files.createTempDirectory("graft_ds_dv_out").toString
+    val ckpt = Files.createTempDirectory("graft_ds_dv_ckpt").toString
+    val q = spark.readStream.format("graft-delta").option("path", t)
+      .option("ignoreChanges", "true").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ==
+      Set((1L, "r1"), (3L, "r3"), (4L, "r4")),
+      "bootstrap must apply the deletion vector")
+    // mid-stream MOR delete: the re-added file carries a merged DV —
+    // under ignoreChanges only its LIVE rows re-emit (id=2 stays dead)
+    DeltaDml.delete(spark, t, col("id") === 3L)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ==
+      Set((1L, "r1"), (3L, "r3"), (4L, "r4")),
+      "re-emission must not resurrect vectored-out rows")
+
+    // name-mapped table: physical parquet names resolve to LOGICAL
+    // stream columns (raw read would yield nulls for the renamed column)
+    val t2 = Files.createTempDirectory("graft_ds_map").resolve("t").toString
+    DeltaWrite.write(Seq((1L, "x"), (2L, "y")).toDF("id", "s"), t2)
+    DeltaSchema.renameColumn(spark, t2, "s", "label")
+    val out2 = Files.createTempDirectory("graft_ds_map_out").toString
+    val q2 = spark.readStream.format("graft-delta").option("path", t2).load()
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ds_map_ckpt").toString).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out2)
+    assert(got.columns.toSeq == Seq("id", "label"))
+    assert(got.as[(Long, String)].collect().toSet == Set((1L, "x"), (2L, "y")),
+      "mapped physical column must not read as null")
+  }
 }
