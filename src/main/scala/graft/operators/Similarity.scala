@@ -367,7 +367,15 @@ object Similarity {
     * centroids are scored — O(n·sqrt(K)) per-row work, measured exp
     * ~1 at the 2k→20k decade. The 4096 cap bounds the centroid literal
     * (~2 MB at d=64); past it (~350k vectors per corpus at the default
-    * target) the same trick recurses. */
+    * target) the same trick recurses.
+    *
+    * TRAINING cost is O(sample·K) per corpus version and is NOT in the
+    * per-query exponent: centroids are cached model artifacts (trained
+    * once per corpus, like a production quantizer — see centroidCache),
+    * so the measured scaling covers assignment + pairs, the recurring
+    * cost. At the cap point the one-off training pass is ~1e8 native
+    * cosines; the coarse two-level trick applies to it as the next
+    * rung if that one-off ever dominates. */
   private[graft] def clusterAssign(s: SparkSession, d: String,
       trainIters: Int, K: Int = -1, probes: Int = 3): DataFrame = {
     graft.functions.CosineSim.register(s)
@@ -375,7 +383,7 @@ object Similarity {
     val k =
       if (K > 0) K
       else math.min(4096,
-        math.max(16, (probes * emb(s, d).count() / 256.0).ceil.toInt))
+        math.max(16, (probes * e.count() / 256.0).ceil.toInt))
     val cent = trainedCentroids(s, d, k, iters = trainIters, sampleMod = 2)
     val ordered = cent.sortBy(_._1).toIndexedSeq
     if (k <= 64) {

@@ -129,13 +129,12 @@ object DeltaCdf {
       // change files hold physical names (like data files) — read
       // through them and project back to the CURRENT logical names, so
       // the feed keeps resolving across column renames
-      val phys = DeltaLog.physicalSchema(tableSchema)
-      val cdcSchema = StructType(phys.fields.toSeq :+
+      val cdcSchema = StructType(
+        DeltaLog.physicalSchema(tableSchema).fields.toSeq :+
         StructField("_change_type", StringType))
-      Some(spark.read.schema(cdcSchema).parquet(paths: _*)
-        .select(phys.fields.zip(tableSchema.fields).map { case (p, l) =>
-          col(s"`${p.name}`").as(l.name)
-        }.toIndexedSeq :+ col("_change_type"): _*)
+      Some(DeltaLog.fromPhysical(
+        spark.read.schema(cdcSchema).parquet(paths: _*),
+        tableSchema, extra = Seq("_change_type"))
         .withColumn("_commit_version", lit(v)))
     } else if (dataRemove) {
       // rewrite commit without change files: honest multiset diff

@@ -77,12 +77,9 @@ object DeltaConstraints {
     // Staged files of a mapped table hold PHYSICAL names — read through
     // them and project back, or every logical-named CHECK would
     // validate a column of nulls.
-    val phys = DeltaLog.physicalSchema(schema)
-    val staged = spark.read.schema(phys)
-      .option("basePath", tablePath).parquet(paths: _*)
-      .select(phys.fields.zip(schema.fields).map { case (p, l) =>
-        col(s"`${p.name}`").as(l.name)
-      }.toIndexedSeq: _*)
+    val staged = DeltaLog.fromPhysical(
+      spark.read.schema(DeltaLog.physicalSchema(schema))
+        .option("basePath", tablePath).parquet(paths: _*), schema)
     val aggs = cs.map { case (_, e) =>
       sum(when(coalesce(expr(e), lit(true)) === false, 1L).otherwise(0L))
     }

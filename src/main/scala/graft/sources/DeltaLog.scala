@@ -179,6 +179,11 @@ object DeltaLog {
                     "delta.columnMapping.id — cannot resolve columns")
             })
           else physical0
+        // session-level by necessity (field-id resolution is a SQL conf,
+        // not a per-read option, and the read materializes lazily) —
+        // deliberate and safe: the flag only changes behavior for reads
+        // whose REQUESTED schema carries parquet.field.id metadata,
+        // which this engine attaches exactly for id-mode tables
         if (mode == "id")
           spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         val raw = spark.read.schema(physical)
@@ -688,6 +693,18 @@ object DeltaLog {
         else f.name
       f.copy(name = pn)
     })
+
+  /** Project a PHYSICAL-named frame (a staged-file or change-file read)
+    * back to the logical schema — the read-side inverse of
+    * [[toPhysical]]; extra columns pass through via `extra`. */
+  private[sources] def fromPhysical(df: org.apache.spark.sql.DataFrame,
+      schema: StructType,
+      extra: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(physicalSchema(schema).fields.zip(schema.fields).map {
+      case (p, l) => col(s"`${p.name}`").as(l.name)
+    }.toIndexedSeq ++ extra.map(c => col(s"`$c`")): _*)
+  }
 
   /** Rename a frame's logical columns to their physical names before a
     * data-file write on a mapped table (columns outside the table

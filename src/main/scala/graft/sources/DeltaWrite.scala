@@ -491,10 +491,14 @@ object DeltaWrite {
                 .map { case (name, rs) =>
                   name -> rs.map(_.getStruct(1)).map { a =>
                     val dv = Option(a.getAs[Row]("deletionVector"))
+                    // offset is NULL for inline descriptors — a bare
+                    // getAs[Long] would NPE on unboxing
                     contentKey(a.getAs[String]("path"), a.getAs[Long]("size"),
                       Option(a.getAs[String]("stats")),
                       dv.map(d => d.getAs[String]("pathOrInlineDv") +
-                        "@" + d.getAs[Long]("offset") + "+" + d.getAs[Long]("sizeInBytes")),
+                        "@" + (if (d.isNullAt(d.fieldIndex("offset"))) "i"
+                          else d.getAs[Long]("offset").toString) +
+                        "+" + d.getAs[Long]("sizeInBytes")),
                       dv.map(_.getAs[Long]("cardinality")))
                   }.toSet
                 }
@@ -511,8 +515,14 @@ object DeltaWrite {
     // unchanged buckets are referenced; changed ones land (fully
     // written) BEFORE the manifest that names them
     val sidecarRows = buckets.map { bucket =>
+      // key on the SERIALIZED descriptor fields (rawOrPath + the
+      // offset form the sidecar row stores) — keying on the resolved
+      // d.path/d.offset never matches what reads back from a prior
+      // sidecar for 'u'/'i' descriptors, silently disabling reuse for
+      // exactly the forms the writer now emits
       val ks = bucket.map(a => contentKey(a.path, a.size, a.stats,
-        a.dv.map(d => d.path + "@" + d.offset + "+" + d.sizeInBytes),
+        a.dv.map(d => d.rawOrPath + "@" +
+          (if (d.inline) "i" else d.offset.toString) + "+" + d.sizeInBytes),
         a.dv.map(_.cardinality))).toSet
       priorSidecars.get(ks) match {
         case Some((name, sz)) =>
@@ -763,10 +773,16 @@ object DeltaWrite {
   /** Upgrade a table's protocol to the writer-features form (writer 7),
     * ADDING `newWriterFeatures` while preserving the existing reader
     * version and both feature lists — enabling in-commit timestamps on
-    * a deletion-vector table must not drop `deletionVectors`. (Like
-    * [[dvProtocolAction]], legacy writer capabilities implied by the old
-    * minWriterVersion are not re-listed as features — this engine
-    * enforces constraints/generation from table properties directly.) */
+    * a deletion-vector table must not drop `deletionVectors`.
+    *
+    * READER features implied by a LEGACY reader version are re-listed
+    * explicitly: a (2, 5) name-mapped table gaining DVs moves to
+    * reader 3, where the protocol honors ONLY the listed features — an
+    * upgrade that forgot `columnMapping` would make foreign readers
+    * resolve the mapped columns wrong. (Legacy WRITER capabilities —
+    * constraints/generation/appendOnly — are not re-listed; this engine
+    * enforces them from table properties directly, and they never gate
+    * reads.) */
   private[sources] def featureProtocolAction(
       current: DeltaLog.TableProtocol,
       newWriterFeatures: Seq[String],
@@ -778,14 +794,24 @@ object DeltaWrite {
         if (newReaderFeatures.nonEmpty) math.max(current.minReader, 3)
         else current.minReader)
       .put("minWriterVersion", 7)
-    val allReader = (current.readerFeatures ++ newReaderFeatures).distinct
+    // only when this upgrade actually moves the table to reader 3 —
+    // readerFeatures must not exist below reader 3
+    val legacyImpliedReader =
+      if (newReaderFeatures.nonEmpty && current.minReader >= 2 &&
+          current.readerFeatures.isEmpty)
+        Seq("columnMapping")
+      else Nil
+    val allReader = (current.readerFeatures ++ legacyImpliedReader ++
+      newReaderFeatures).distinct
     if (allReader.nonEmpty) {
       val rf = JsonNodeFactory.instance.arrayNode()
       allReader.foreach(rf.add)
       p.set[com.fasterxml.jackson.databind.node.ArrayNode]("readerFeatures", rf)
     }
     val wf = JsonNodeFactory.instance.arrayNode()
-    (current.writerFeatures ++ newWriterFeatures).distinct.foreach(wf.add)
+    // a listed reader feature must appear in the writer list too
+    (current.writerFeatures ++ legacyImpliedReader ++ newWriterFeatures)
+      .distinct.foreach(wf.add)
     p.set[com.fasterxml.jackson.databind.node.ArrayNode]("writerFeatures", wf)
     n.set[ObjectNode]("protocol", p)
     n

@@ -73,7 +73,10 @@ class DeltaStreamSource(
     val to = versionOf(end)
     served = Some(served.fold(to)(math.max(_, to)))
     if (readChangeFeed) return changeFeedBatch(start.map(versionOf), to)
-    val snapTo = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(to))
+    // built at most once per NON-EMPTY batch (the bootstrap needs it
+    // anyway; an empty incremental tick — the common sub-second-trigger
+    // case — must not pay a full log replay per trigger)
+    lazy val snapTo = DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(to))
     val files = start match {
       // Initial batch: serve the CURRENT snapshot's live files (as
       // Delta's own source does), not a replay of every commit from
@@ -88,15 +91,16 @@ class DeltaStreamSource(
         else DeltaChanges.changedFiles(spark, tablePath, from,
           ignoreChanges, ignoreDeletes, toInclusive = Some(to)).addedFiles
     }
+    if (files.isEmpty)
+      GraftStreamBridge.streamingParquetBatch(spark, schema, tablePath, Nil)
     // DV or column-mapped tables must read through the snapshot-aware
     // scan — a raw parquet read would RESURRECT vectored-out rows in
     // the bootstrap batch and resolve a mapped table's physical columns
     // to nulls. The plain path keeps the pushdown-friendly streaming
     // relation (a scan boundary downstream filters can enter).
-    if (snapTo.columnMappingMode == "none" && snapTo.files.forall(_.dv.isEmpty))
+    else if (snapTo.columnMappingMode == "none" &&
+        snapTo.files.forall(_.dv.isEmpty))
       GraftStreamBridge.streamingParquetBatch(spark, schema, tablePath, files)
-    else if (files.isEmpty)
-      GraftStreamBridge.streamingParquetBatch(spark, schema, tablePath, Nil)
     else GraftStreamBridge.streamingFromBatch(
       DeltaLog.readFiles(spark, snapTo, files)
         .select(schema.fieldNames.toIndexedSeq.map(

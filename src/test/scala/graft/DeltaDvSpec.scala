@@ -44,6 +44,14 @@ class DeltaDvSpec extends AnyFunSuite {
     t
   }
 
+  /** Surviving ids of a big table, as (count, sum) — a content check a
+    * wrong-positions DV bug cannot pass, unlike a bare count. */
+  private def idStats(t: String): (Long, Long) = {
+    val r = DeltaLog.read(spark, t)
+      .agg(count(lit(1)), sum(col("id"))).head
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** A 2000-row one-file table: deleting every other row serializes
     * well past the inline threshold, forcing the file-backed 'u' form. */
   private def newBigDvTable(): String = {
@@ -68,7 +76,7 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(d.path == RoaringDv.relativeDvPath(d.raw) &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(t, d.path)),
       "descriptor derives to the file the writer produced")
-    assert(DeltaLog.read(spark, t).count() == 1000)
+    assert(idStats(t) == ((1000L, 1000000L)), "exactly the odd ids survive")
 
     // relocatable for real: MOVE the whole table directory — every
     // reference (data + DV) must survive with no rewrite
@@ -76,7 +84,7 @@ class DeltaDvSpec extends AnyFunSuite {
     java.nio.file.Files.move(java.nio.file.Paths.get(t),
       java.nio.file.Paths.get(t2))
     graft.Tables.invalidate()
-    assert(DeltaLog.read(spark, t2).count() == 1000,
+    assert(idStats(t2) == ((1000L, 1000000L)),
       "an absolute 'p' reference would dangle after the move")
 
     // foreign prefix-less variant: uuid file directly at the table root
@@ -94,7 +102,7 @@ class DeltaDvSpec extends AnyFunSuite {
     val d2 = DeltaLog.snapshot(spark, t2).files.flatMap(_.dv).head
     assert(d2.path == s"deletion_vector_$uuid.bin",
       "prefix-less 'u' derives to the root-level file")
-    assert(DeltaLog.read(spark, t2).count() == 1000)
+    assert(idStats(t2) == ((1000L, 1000000L)))
   }
 
   test("MOR delete removes rows WITHOUT rewriting data files; history " +
@@ -195,13 +203,16 @@ class DeltaDvSpec extends AnyFunSuite {
     DeltaWrite.checkpoint(spark, t)
     DeltaMaintenance.cleanupLog(spark, t)
     graft.Tables.invalidate()
-    assert(DeltaLog.read(spark, t).count() == 1000,
+    assert(idStats(t) == ((1000L, 1000000L)),
       "descriptor must survive checkpoint bootstrap")
 
     DeltaDml.delete(spark, t, col("id") % 3 === 0) // sidecar 2 supersedes 1
     val deleted = DeltaMaintenance.vacuum(spark, t, retainMs = 0L)
     assert(deleted >= 1, "superseded sidecar should be vacuumable")
-    assert(DeltaLog.read(spark, t).count() == 667, "live sidecar must survive")
+    // survivors: odd, non-multiples of 3 — sum is the content witness
+    val expect = (1 to 2000).filter(i => i % 2 == 1 && i % 3 != 0)
+    assert(idStats(t) == ((expect.size.toLong, expect.map(_.toLong).sum)),
+      "live sidecar must survive")
   }
 
   test("change feeds see MOR deletes: cdc images when CDF is on, the " +
@@ -303,14 +314,14 @@ class DeltaDvSpec extends AnyFunSuite {
     val d1 = DeltaLog.snapshot(spark, t).files.flatMap(_.dv).head
     assert(d1.storageType == "u" && d1.rawOrPath == d.raw,
       s"checkpoint must preserve the 'u' form, got ${d1.storageType}/${d1.rawOrPath}")
-    assert(DeltaLog.read(spark, t).count() == 1000)
+    assert(idStats(t) == ((1000L, 1000000L)))
 
     val c = tmpTable()
     DeltaMaintenance.shallowClone(spark, t, c)
     val dc = DeltaLog.snapshot(spark, c).files.flatMap(_.dv).head
     assert(dc.storageType == "p" && new org.apache.hadoop.fs.Path(dc.rawOrPath).isAbsolute,
       s"clone must absolutize to 'p', got ${dc.storageType}/${dc.rawOrPath}")
-    assert(DeltaLog.read(spark, c).count() == 1000)
+    assert(idStats(c) == ((1000L, 1000000L)))
 
     // an inline-vectored table clones without any rewrite
     val t2 = newDvTable()
@@ -340,6 +351,28 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(p.readerFeatures.contains("deletionVectors") &&
       p.readerFeatures.contains("columnMapping"),
       s"feature lists must merge, got ${p.readerFeatures}")
+  }
+
+  test("DV commit on a LEGACY (2,5) mapped table re-lists the implied " +
+    "columnMapping feature at reader 3 (mapping-first order)") {
+    import graft.sources.DeltaSchema
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")
+      .coalesce(1), t)
+    DeltaSchema.renameColumn(spark, t, "s", "label") // legacy (2,5), no lists
+    val p0 = DeltaLog.snapshot(spark, t).protocol
+    assert(p0.minReader == 2 && p0.readerFeatures.isEmpty, "legacy fixture")
+    DeltaMaintenance.setTblProperties(spark, t, Map(DeltaDv.Property -> "true"))
+    DeltaDml.delete(spark, t, col("id") === 2)
+    val p = DeltaLog.snapshot(spark, t).protocol
+    assert(p.minReader == 3 &&
+      p.readerFeatures.contains("columnMapping") &&
+      p.readerFeatures.contains("deletionVectors"),
+      s"reader 3 honors ONLY listed features — dropping columnMapping " +
+        s"makes foreign readers misread the mapping, got ${p.readerFeatures}")
+    assert(p.writerFeatures.contains("columnMapping"))
+    assert(rows(t) == Seq((1, "a"), (3, "c")))
   }
 
   test("MOR UPDATE recomputes unassigned generated columns (no spurious " +
