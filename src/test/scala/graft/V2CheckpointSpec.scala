@@ -115,6 +115,43 @@ class V2CheckpointSpec extends AnyFunSuite {
       Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
   }
 
+  test("incremental v2 checkpoints reuse sidecars holding 'u' and " +
+    "inline DV descriptors (serialized-form content keys)") {
+    import graft.sources.{DeltaDml, DeltaDv, DeltaMaintenance}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write((1 to 2000).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1), t)
+    DeltaWrite.write(Seq((9001, "x"), (9002, "y")).toDF("id", "s")
+      .coalesce(1), t, mode = SaveMode.Append)
+    DeltaMaintenance.setTblProperties(spark, t, Map(DeltaDv.Property -> "true"))
+    DeltaDml.delete(spark, t, col("id") % 2 === 0) // big file -> 'u' vector
+    DeltaDml.delete(spark, t, col("id") === 9001)  // small file -> inline
+    val dvs = DeltaLog.snapshot(spark, t).files.flatMap(_.dv)
+    assert(dvs.map(_.storageType).sorted == Seq("i", "u"), "both forms live")
+
+    DeltaWrite.checkpointV2(spark, t, sidecars = 3)
+    val scDir = new java.io.File(s"$t/_delta_log/_sidecars")
+    def sidecarNames(): Set[String] =
+      scDir.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val after1 = sidecarNames()
+
+    // an unrelated append must not rewrite the DV'd entries' buckets —
+    // before the serialized-form key fix, EVERY bucket holding a 'u' or
+    // 'i' descriptor failed its content match and was rewritten
+    DeltaWrite.write(Seq((9100, "z")).toDF("id", "s").coalesce(1), t,
+      mode = SaveMode.Append)
+    DeltaWrite.checkpointV2(spark, t, sidecars = 3)
+    val fresh = sidecarNames() -- after1
+    assert(fresh.size <= 1,
+      s"DV'd buckets must match their prior sidecars, got rewrites: $fresh")
+    // the layout still reads right after cleanup: 1000 odd survivors +
+    // the appended z (9002 fell to the even-delete, 9001 to the second)
+    DeltaMaintenance.cleanupLog(spark, t)
+    assert(DeltaLog.read(spark, t).count() == 1001)
+  }
+
   test("REPL dispatch: CHECKPOINT ... V2 SIDECARS n and CLEANUP LOG") {
     import spark.implicits._
     val t = tmpTable()
