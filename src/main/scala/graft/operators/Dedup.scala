@@ -393,22 +393,35 @@ object Dedup {
     // boilerplate, licenses, templated text — survive document-level
     // dedup): per document, how many of its distinct 5-gram shingles
     // also occur in at least one other document, and what fraction of
-    // the document that is. Plan shape: one shuffle keyed on the
-    // 64-bit shingle hash computes document frequencies WITHOUT
-    // materializing posting lists (count-only aggregate, immune to hot
-    // shingles), then one shuffle back on doc_id folds the per-doc
-    // profile. Text never shuffles; (hash, doc_id) pairs do.
+    // the document that is. Plan shape: shingles are DISTINCT per doc
+    // (WordShingles contract), so dup_ngrams = total − #(df==1
+    // shingles), and a df==1 shingle belongs to exactly ONE document —
+    // recoverable as min(doc_id) inside the same s-keyed aggregate.
+    // That identity removes the shingle-stream⋈df join an earlier form
+    // paid (a full re-shuffle of every (hash, doc_id) pair): one
+    // s-keyed count/min aggregate, one per-row size() for totals, and
+    // a doc-cardinality left join. Text never shuffles; (hash, doc_id)
+    // pairs shuffle once. Count-only aggregates — immune to hot
+    // shingles (no posting lists).
     GraftQuery("q101_dup_passages",
       (s, d) => {
         graft.functions.WordShingles.register(s)
-        val sh = docs(s, d).select(col("doc_id"),
-          explode(graft.functions.WordShingles.wordShingles(col("text"), 5)).as("s5"))
+        val shingled = docs(s, d).select(col("doc_id"),
+          graft.functions.WordShingles.wordShingles(col("text"), 5).as("arr"))
+        // totals come straight off the shingle array — no shuffle
+        val total = shingled
+          .select(col("doc_id"), size(col("arr")).cast("long").as("total_ngrams"))
+          .filter(col("total_ngrams") > 0)
+        val sh = shingled.select(col("doc_id"), explode(col("arr")).as("s5"))
           .select(col("doc_id"), xxhash64(col("s5")).as("s"))
-        val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        sh.join(dfs, "s")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).cast("long").as("total_ngrams"),
-            sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("long").as("dup_ngrams"))
+        val uniq = sh.groupBy("s")
+          .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+          .filter(col("df") === 1)
+          .groupBy("doc_id").agg(count(lit(1)).as("uniq"))
+        total.join(uniq, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("total_ngrams"),
+            (col("total_ngrams") - coalesce(col("uniq"), lit(0L)))
+              .cast("long").as("dup_ngrams"))
           .filter(col("dup_ngrams") > 0)
           .select(col("doc_id"), col("total_ngrams"), col("dup_ngrams"),
             (col("dup_ngrams").cast("double") / col("total_ngrams"))
