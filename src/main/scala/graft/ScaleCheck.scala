@@ -45,14 +45,25 @@ object ScaleCheck {
     def best(name: String, dir: String): Double =
       math.min(once(name, dir), once(name, dir))
 
-    once(names.head, dirA) // warmup: codegen + parquet footer caches
+    try once(names.head, dirA) // warmup: codegen + parquet footer caches
+    catch { case _: Exception => () }
 
-    val rows = names.map { n =>
-      val tA = best(n, dirA)
-      val tB = best(n, dirB)
-      val exp = math.log(tB / tA) / math.log(scale)
-      println(f"$n%-28s ${tA}%8.2fs -> ${tB}%8.2fs  ratio ${tB / tA}%6.2f  exp $exp%5.2f")
-      (n, tA, tB, exp)
+    // A query the probe dirs can't feed (missing table, corpus-specific
+    // fixture) is reported and skipped, so one sweep can name every
+    // query without pre-filtering by input dependency.
+    val rows = names.flatMap { n =>
+      try {
+        val tA = best(n, dirA)
+        val tB = best(n, dirB)
+        val exp = math.log(tB / tA) / math.log(scale)
+        println(f"$n%-28s ${tA}%8.2fs -> ${tB}%8.2fs  ratio ${tB / tA}%6.2f  exp $exp%5.2f")
+        Some((n, tA, tB, exp))
+      } catch {
+        case e: Exception =>
+          println(s"$n  SKIP (${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString})")
+          None
+      }
     }
     val qs = rows.map { case (n, tA, tB, e) =>
       "\"" + n.takeWhile(_ != '_') + "\":{\"tA\":" + (math.rint(tA * 1000) / 1000) +

@@ -290,6 +290,66 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("CosineAll scores a panel bit-identically to per-pair CosineSim") {
+    import graft.functions.{CosineAll, CosineSim}
+    CosineAll.register(spark)
+    CosineSim.register(spark)
+    val e = Tables.load(spark, sf, "embeddings")
+    val panel = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val matrix = panel.map(_._2).toIndexedSeq
+    val got = e.limit(50)
+      .select(col("vec_id"), col("embedding"),
+        CosineAll.cosineAll(col("embedding"), matrix).as("scores"))
+      .collect()
+    // reference: the pairwise expression, panel side as a literal
+    got.foreach { r =>
+      val scores = r.getSeq[Double](2)
+      assert(scores.size == matrix.size)
+      panel.zipWithIndex.foreach { case ((_, pv), i) =>
+        val pair = e.filter(col("vec_id") === r.getLong(0))
+          .select(CosineSim.cosineSim(typedlit(pv), col("embedding")))
+          .head.getDouble(0)
+        assert(scores(i) == pair, // bit-exact, no tolerance
+          s"vec ${r.getLong(0)} anchor $i: ${scores(i)} != $pair")
+      }
+    }
+  }
+
+  test("PanelTop1 matches the pairwise max_by top-1 (labels, bit-exact)") {
+    import graft.functions.{CosineAll, PanelTop1}
+    PanelTop1.register(spark)
+    CosineAll.register(spark)
+    val e = Tables.load(spark, sf, "embeddings")
+    val panel = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), col("label").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+      .sortBy(_._1)
+    val ids = panel.map(_._1).toIndexedSeq
+    val matrix = panel.map(_._3).toIndexedSeq
+    val agg = e.agg(PanelTop1.panelTop1(col("embedding"),
+        col("vec_id"), col("label").cast("long"), ids, matrix).as("best"))
+      .head.getSeq[java.lang.Long](0)
+    assert(agg.size == ids.size)
+    // reference: explode the CosineAll scores and take max_by per anchor
+    val qIdsLit = typedlit(ids)
+    val ref = e
+      .select(col("vec_id").as("n"), col("label").cast("long").as("nl"),
+        posexplode(CosineAll.cosineAll(col("embedding"), matrix))
+          .as(Seq("aidx", "cos")))
+      .filter(element_at(qIdsLit, col("aidx") + 1) =!= col("n"))
+      .groupBy("aidx")
+      .agg(max_by(col("nl"), struct(col("cos"), (-col("n")).as("nt"))).as("nl"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    ids.indices.foreach { i =>
+      assert(Option(agg(i)).map(_.longValue) == ref.get(i),
+        s"anchor $i: agg=${agg(i)} ref=${ref.get(i)}")
+    }
+  }
+
   test("SimHash64 of a single token hash is that hash") {
     import graft.functions.SimHash64
     SimHash64.register(spark)

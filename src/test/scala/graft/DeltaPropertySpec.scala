@@ -6,7 +6,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{DeltaDml, DeltaLog, DeltaMaintenance, DeltaWrite}
+import graft.sources.{DeltaDml, DeltaDv, DeltaLog, DeltaMaintenance, DeltaSchema, DeltaWrite}
 
 /** Model-based property test: a random interleaving of every Delta
   * operation (append / overwrite / UPDATE / DELETE / MERGE / RESTORE /
@@ -133,5 +133,128 @@ class DeltaPropertySpec extends AnyFunSuite {
         assert(got == hm, s"time travel v$hv diverged: got=$got model=$hm")
       }
     }
+  }
+
+  /** The same model-based interleaving on the HARD table shape: deletion
+    * vectors enabled (DELETE/UPDATE go merge-on-read — descriptors land
+    * inline for small deletes and as uuid-relative 'u' files for big
+    * ones) on a column-mapped table whose logical column name differs
+    * from the physical parquet name. Mixes MoR DML with copy-on-write
+    * MERGE, compaction (which must materialize the DVs it compacts
+    * away), both checkpoint formats, RESTORE and VACUUM. At the end the
+    * run must have exercised BOTH descriptor storage forms — a fixed
+    * seed makes that witness deterministic. */
+  test("random MoR sequences on a DV + column-mapped table never diverge") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val t = Files.createTempDirectory("graft-delta-prop-mor").resolve("t").toString
+
+    var nextId = 0
+    def freshBatch(n: Int): Seq[(Int, Double)] = {
+      val b = (0 until n).map(i => (nextId + i, (nextId + i) * 1.5))
+      nextId += n
+      b
+    }
+
+    // 2000 rows in ONE file: residue-class deletes hit hundreds of
+    // positions there, overflowing the 512-byte inline bound into the
+    // 'u' sidecar form; later small appends + deletes stay inline.
+    val seedRows = freshBatch(2000)
+    DeltaWrite.write(seedRows.toDF("id", "v").coalesce(1), t)
+    DeltaMaintenance.setTblProperties(spark, t, Map(DeltaDv.Property -> "true"))
+    DeltaSchema.enableColumnMapping(spark, t)
+    DeltaSchema.renameColumn(spark, t, "v", "w") // logical != physical
+
+    var model: Map[Int, Double] = seedRows.toMap
+    var history = Map.empty[Long, Map[Int, Double]]
+    history += (DeltaLog.latestVersion(spark, t) -> model)
+
+    def check(): Unit = {
+      val got = DeltaLog.read(spark, t).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(got == model, s"divergence: ${got.size} vs ${model.size} rows; " +
+        s"extra=${(got.keySet -- model.keySet).take(5)} " +
+        s"missing=${(model.keySet -- got.keySet).take(5)}")
+    }
+    check()
+
+    var sawInline = false
+    var sawFileDv = false
+    def noteDvForms(): Unit =
+      DeltaLog.snapshot(spark, t).files.flatMap(_.dv).foreach { d =>
+        if (d.inline) sawInline = true else sawFileDv = true
+      }
+
+    (1 to 40).foreach { step =>
+      rnd.nextInt(10) match {
+        case 0 | 1 => // append (small files: later deletes inline)
+          val b = freshBatch(1 + rnd.nextInt(3))
+          val v = DeltaWrite.write(b.toDF("id", "w"), t, SaveMode.Append)
+          model ++= b.toMap
+          history += (v -> model)
+        case 2 | 3 => // MoR DELETE of a residue class
+          val k = 2 + rnd.nextInt(4); val r = rnd.nextInt(k)
+          val res = DeltaDml.delete(spark, t, pmod(col("id"), lit(k)) === r)
+          val expect = model.filter { case (id, _) => ((id % k) + k) % k == r }
+          assert(res.affectedRows == expect.size,
+            s"DELETE id%$k==$r: got ${res.affectedRows}, expect ${expect.size}")
+          assert(res.rewrittenFiles == 0, "MoR DELETE must not rewrite files")
+          model --= expect.keys
+          history += (DeltaLog.latestVersion(spark, t) -> model)
+        case 4 => // MoR UPDATE of a residue class (condition + SET on
+          // the RENAMED logical column)
+          val k = 2 + rnd.nextInt(4); val r = rnd.nextInt(k)
+          DeltaDml.update(spark, t, pmod(col("id"), lit(k)) === r,
+            Seq("w" -> (col("w") + 1000)))
+          model = model.map { case (id, v) =>
+            id -> (if (((id % k) + k) % k == r) v + 1000 else v)
+          }
+          history += (DeltaLog.latestVersion(spark, t) -> model)
+        case 5 => // CoW MERGE into the MoR table
+          val k = 2 + rnd.nextInt(3); val r = rnd.nextInt(k)
+          val updates = model.collect {
+            case (id, _) if ((id % k) + k) % k == r => (id, id * -2.0)
+          }.toSeq
+          val fresh = freshBatch(1 + rnd.nextInt(2))
+          val res = DeltaDml.merge(spark, t, (updates ++ fresh).toDF("id", "w"),
+            condition = col("t.id") === col("s.id"),
+            matchedUpdate = Seq("w" -> col("s.w")), insert = true)
+          assert(res.updatedRows == updates.size &&
+            res.insertedRows == fresh.size)
+          model = model ++ updates.toMap ++ fresh.toMap
+          history += (DeltaLog.latestVersion(spark, t) -> model)
+        case 6 => // compact: materializes DVs into clean files
+          DeltaMaintenance.compact(spark, t, smallFileBytes = 32 * 1024 * 1024)
+        case 7 => // either checkpoint format
+          if (rnd.nextBoolean()) DeltaWrite.checkpoint(spark, t)
+          else DeltaWrite.checkpointV2(spark, t, sidecars = 1 + rnd.nextInt(2))
+        case 8 => // RESTORE to a retained version (files + DV files of
+          // retained versions still exist pre-vacuum)
+          if (history.nonEmpty) {
+            val (hv, hm) = history.toSeq(rnd.nextInt(history.size))
+            val nv = DeltaMaintenance.restore(spark, t, hv)
+            model = hm
+            history += (nv -> model)
+          }
+        case 9 => // vacuum: unreferenced data AND DV files go; history dies
+          DeltaMaintenance.vacuum(spark, t, retainMs = 0L)
+          history = Map.empty
+      }
+      noteDvForms()
+      check()
+      if (history.nonEmpty) {
+        val (hv, hm) = history.toSeq(rnd.nextInt(history.size))
+        val got = DeltaLog.read(spark, t, Some(hv)).collect()
+          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        assert(got == hm, s"time travel v$hv diverged")
+      }
+    }
+
+    assert(sawInline && sawFileDv,
+      s"run must exercise both DV storage forms: inline=$sawInline file=$sawFileDv")
+    // the mapped-table protocol still carries both features at the end
+    val p = DeltaLog.snapshot(spark, t).protocol
+    assert(p.readerFeatures.contains("deletionVectors") &&
+      p.readerFeatures.contains("columnMapping"))
   }
 }
