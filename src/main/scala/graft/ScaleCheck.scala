@@ -45,8 +45,13 @@ object ScaleCheck {
     def best(name: String, dir: String): Double =
       math.min(once(name, dir), once(name, dir))
 
-    try once(names.head, dirA) // warmup: codegen + parquet footer caches
-    catch { case _: Exception => () }
+    // warmup (codegen + parquet footer caches): the FIRST query the
+    // probe dir can actually feed — stopping at a failing names.head
+    // would leave the JVM cold and bias the first measured tA upward
+    // (deflating that query's exponent, the metric this main exists for)
+    names.iterator
+      .map(n => try { once(n, dirA); true } catch { case _: Exception => false })
+      .find(identity)
 
     // A query the probe dirs can't feed (missing table, corpus-specific
     // fixture) is reported and skipped, so one sweep can name every

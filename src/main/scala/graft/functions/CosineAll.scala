@@ -57,16 +57,14 @@ case class CosineAll(child: Expression, matrix: Seq[Seq[Double]])
     matrix.map(_.toArray).toArray
   // norms in the same index-order summation CosineSim uses for its right
   // side, precomputed once per task instead of once per pair
-  @transient private lazy val norms: Array[Double] = rows.map { r =>
-    var nb = 0.0; var i = 0
-    while (i < r.length) { val x = r(i); nb += x * x; i += 1 }
-    math.sqrt(nb)
+  @transient private lazy val norms: Array[Double] = CosineAll.normsOf(rows)
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    val t = elemType.get
-    val isFloat = t == FloatType
     val an = a.numElements()
     val v = new Array[Double](an)
     var na = 0.0
@@ -97,16 +95,29 @@ case class CosineAll(child: Expression, matrix: Seq[Seq[Double]])
 object CosineAll {
   private val FnName = "graft_cosine_all"
 
+  /** Decode an `array<array<double>>` literal (evaluated at function
+    * registration, like WordShingles' n) into matrix rows — shared by
+    * every panel primitive so their literal contracts stay in lockstep. */
+  private[functions] def decodeMatrix(e: Expression): IndexedSeq[IndexedSeq[Double]] = {
+    val m = e.eval().asInstanceOf[ArrayData]
+    (0 until m.numElements()).map { i =>
+      val r = m.getArray(i)
+      (0 until r.numElements()).map(r.getDouble)
+    }
+  }
+
+  /** Row norms in CosineSim's index-order summation. */
+  private[functions] def normsOf(rows: Array[Array[Double]]): Array[Double] =
+    rows.map { r =>
+      var nb = 0.0; var i = 0
+      while (i < r.length) { val x = r(i); nb += x * x; i += 1 }
+      math.sqrt(nb)
+    }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => {
-        val m = exprs(1).eval().asInstanceOf[ArrayData]
-        val rows = (0 until m.numElements()).map { i =>
-          val r = m.getArray(i)
-          (0 until r.numElements()).map(r.getDouble).toIndexedSeq
-        }
-        CosineAll(exprs.head, rows)
-      }, "built-in")
+      FnName, exprs => CosineAll(exprs.head, decodeMatrix(exprs(1))),
+      "built-in")
 
   /** Column API: requires register(spark) once per session. The matrix
     * rides along as an array-of-array literal (driver-bounded model

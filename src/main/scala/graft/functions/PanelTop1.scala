@@ -31,11 +31,19 @@ import org.apache.spark.sql.types._
   * Scores are computed with [[CosineSim]]'s exact arithmetic order
   * (dot over min length, index-order norms, `dot/(sqrt·sqrt)`), so the
   * selected neighbors are bit-identical to the pairwise form and
-  * differential oracles stay exact. Comparison uses
-  * `java.lang.Double.compare`, which ranks NaN above every real value —
-  * the same total order Spark's max_by/ORDER BY DESC uses. Rows with a
-  * null vector/id/label or a null vector ELEMENT are skipped (the
-  * pairwise form nulls those pairs out of max_by the same way).
+  * differential oracles stay exact. Comparison mirrors Spark's SQL
+  * double ordering exactly: `x == y` short-circuits first (so -0.0 and
+  * +0.0 tie, as SQLOrderingUtil treats them), then
+  * `java.lang.Double.compare` ranks NaN above every real value — the
+  * same total order max_by/ORDER BY DESC uses.
+  *
+  * NULL CONTRACT (narrower than the pairwise form — callers with
+  * nullable inputs must pre-clean): rows with a null vector, null
+  * vector ELEMENT, or null id are skipped, matching the pairwise form
+  * (those pairs null out of the join/max_by). Rows with a null LABEL
+  * are ALSO skipped, which the pairwise form would not do (a
+  * null-labeled row can win rank-1 there and count its anchor as
+  * inconsistent) — coalesce labels first if that distinction matters.
   * Anchors that never see a valid non-self neighbor yield a NULL slot.
   *
   * Output: `array<bigint>` of best-neighbor LABELS, indexed by panel
@@ -57,11 +65,7 @@ case class PanelTop1(
   @transient private lazy val rows: Array[Array[Double]] =
     matrix.map(_.toArray).toArray
   @transient private lazy val ids: Array[Long] = qIds.toArray
-  @transient private lazy val norms: Array[Double] = rows.map { r =>
-    var s = 0.0; var i = 0
-    while (i < r.length) { val x = r(i); s += x * x; i += 1 }
-    math.sqrt(s)
-  }
+  @transient private lazy val norms: Array[Double] = CosineAll.normsOf(rows)
   @transient private lazy val isFloat = vec.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -69,11 +73,18 @@ case class PanelTop1(
 
   override def createAggregationBuffer(): State = {
     val p = qIds.length
-    val s = State(new Array[Double](p), new Array[Long](p), new Array[Long](p))
-    java.util.Arrays.fill(s.cos, Double.NegativeInfinity)
-    java.util.Arrays.fill(s.n, -1L)
-    s
+    State(new Array[Double](p), new Array[Long](p), new Array[Long](p),
+      new Array[Boolean](p))
   }
+
+  // Spark's SQL double ordering: -0.0 == +0.0 first, then
+  // Double.compare (NaN greatest). Tie on cos → smaller neighbor id.
+  @inline private def better(cos: Double, n: Long,
+      hit: Boolean, bufCos: Double, bufN: Long): Boolean =
+    !hit || {
+      val c = if (cos == bufCos) 0 else java.lang.Double.compare(cos, bufCos)
+      c > 0 || (c == 0 && n < bufN)
+    }
 
   override def update(buf: State, input: InternalRow): State = {
     val v0 = vec.eval(input)
@@ -101,9 +112,9 @@ case class PanelTop1(
         var dot = 0.0; i = 0
         while (i < n) { dot += v(i) * m(i); i += 1 }
         val cos = dot / (sna * norms(k))
-        val c = java.lang.Double.compare(cos, buf.cos(k))
-        if (c > 0 || (c == 0 && (buf.n(k) < 0 || rowId < buf.n(k)))) {
+        if (better(cos, rowId, buf.hit(k), buf.cos(k), buf.n(k))) {
           buf.cos(k) = cos; buf.n(k) = rowId; buf.nl(k) = rowLabel
+          buf.hit(k) = true
         }
       }
       k += 1
@@ -114,11 +125,10 @@ case class PanelTop1(
   override def merge(buf: State, other: State): State = {
     var k = 0
     while (k < buf.cos.length) {
-      if (other.n(k) >= 0) {
-        val c = java.lang.Double.compare(other.cos(k), buf.cos(k))
-        if (c > 0 || (c == 0 && (buf.n(k) < 0 || other.n(k) < buf.n(k)))) {
-          buf.cos(k) = other.cos(k); buf.n(k) = other.n(k); buf.nl(k) = other.nl(k)
-        }
+      if (other.hit(k) &&
+          better(other.cos(k), other.n(k), buf.hit(k), buf.cos(k), buf.n(k))) {
+        buf.cos(k) = other.cos(k); buf.n(k) = other.n(k); buf.nl(k) = other.nl(k)
+        buf.hit(k) = true
       }
       k += 1
     }
@@ -129,7 +139,7 @@ case class PanelTop1(
     val out = new Array[Any](buf.cos.length)
     var k = 0
     while (k < out.length) {
-      out(k) = if (buf.n(k) < 0) null else buf.nl(k)
+      out(k) = if (buf.hit(k)) buf.nl(k) else null
       k += 1
     }
     new GenericArrayData(out)
@@ -137,11 +147,12 @@ case class PanelTop1(
 
   override def serialize(buf: State): Array[Byte] = {
     val p = buf.cos.length
-    val bb = ByteBuffer.allocate(4 + 24 * p)
+    val bb = ByteBuffer.allocate(4 + 25 * p)
     bb.putInt(p)
     var k = 0
     while (k < p) {
       bb.putDouble(buf.cos(k)); bb.putLong(buf.n(k)); bb.putLong(buf.nl(k))
+      bb.put(if (buf.hit(k)) 1.toByte else 0.toByte)
       k += 1
     }
     bb.array()
@@ -150,10 +161,12 @@ case class PanelTop1(
   override def deserialize(bytes: Array[Byte]): State = {
     val bb = ByteBuffer.wrap(bytes)
     val p = bb.getInt
-    val s = State(new Array[Double](p), new Array[Long](p), new Array[Long](p))
+    val s = State(new Array[Double](p), new Array[Long](p), new Array[Long](p),
+      new Array[Boolean](p))
     var k = 0
     while (k < p) {
       s.cos(k) = bb.getDouble; s.n(k) = bb.getLong; s.nl(k) = bb.getLong
+      s.hit(k) = bb.get() != 0
       k += 1
     }
     s
@@ -174,8 +187,10 @@ case class PanelTop1(
 
 object PanelTop1 {
   /** Running per-anchor best: parallel primitive arrays, panel-indexed.
-    * `n(k) < 0` means "no valid neighbor seen yet". */
-  case class State(cos: Array[Double], n: Array[Long], nl: Array[Long])
+    * `hit(k)` distinguishes "no valid neighbor yet" from any real id
+    * (a sentinel in `n` would conflate with legitimate negative ids). */
+  case class State(cos: Array[Double], n: Array[Long], nl: Array[Long],
+      hit: Array[Boolean])
 
   private val FnName = "graft_panel_top1"
 
@@ -184,13 +199,8 @@ object PanelTop1 {
       FnName, exprs => {
         val idArr = exprs(3).eval().asInstanceOf[ArrayData]
         val qIds = (0 until idArr.numElements()).map(idArr.getLong)
-        val m = exprs(4).eval().asInstanceOf[ArrayData]
-        val rows = (0 until m.numElements()).map { i =>
-          val r = m.getArray(i)
-          (0 until r.numElements()).map(r.getDouble).toIndexedSeq
-        }
-        PanelTop1(exprs(0), exprs(1), exprs(2), qIds, rows)
-          .toAggregateExpression()
+        PanelTop1(exprs(0), exprs(1), exprs(2), qIds,
+          CosineAll.decodeMatrix(exprs(4))).toAggregateExpression()
       }, "scala_udf")
 
   /** Aggregate Column: per-panel-position best-neighbor label over the

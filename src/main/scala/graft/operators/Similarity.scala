@@ -92,6 +92,15 @@ object Similarity {
     } finally { train.unpersist(); () }
   }
 
+  /** Empty result with an explicit schema — the empty-panel degenerate
+    * case of the panel-scoring queries (an empty corpus used to produce
+    * an empty broadcast side; the literal-matrix primitives reject
+    * empty matrices instead, so the operator short-circuits). */
+  private def emptyResult(s: SparkSession, ddl: String): DataFrame =
+    s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
   private def topkPerQuery(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
     pairs.withColumn("rnk", row_number().over(w).cast("long"))
@@ -119,15 +128,19 @@ object Similarity {
           .select(col("vec_id"), col("embedding").cast("array<double>"))
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
           .sortBy(_._1)
-        val qIds = typedLit(panel.map(_._1).toSeq)
-        val pairs = emb(s, d)
-          .select(col("vec_id").as("n"),
-            posexplode(graft.functions.CosineAll.cosineAll(col("embedding"),
-              panel.map(_._2).toIndexedSeq)).as(Seq("aidx", "cos")))
-          .select(element_at(qIds, col("aidx") + 1).as("q"), col("n"),
-            col("cos"))
-          .filter(col("q") =!= col("n"))
-        topkPerQuery(pairs)
+        if (panel.isEmpty)
+          emptyResult(s, "q BIGINT, n BIGINT, rnk BIGINT, cos DOUBLE")
+        else {
+          val qIds = typedLit(panel.map(_._1).toSeq)
+          val pairs = emb(s, d)
+            .select(col("vec_id").as("n"),
+              posexplode(graft.functions.CosineAll.cosineAll(col("embedding"),
+                panel.map(_._2).toIndexedSeq)).as(Seq("aidx", "cos")))
+            .select(element_at(qIds, col("aidx") + 1).as("q"), col("n"),
+              col("cos"))
+            .filter(col("q") =!= col("n"))
+          topkPerQuery(pairs)
+        }
       },
       Some(s"""WITH p AS (SELECT q.vec_id AS q, c.vec_id AS n, $cosSql AS cos
         |FROM embeddings q JOIN embeddings c ON q.vec_id < $QueryCount AND q.vec_id != c.vec_id),
@@ -152,19 +165,23 @@ object Similarity {
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
           .sortBy(_._1)
-        val qIds = typedLit(panel.map(_._1).toSeq)
-        val qLabels = typedLit(panel.map(_._2).toSeq)
-        // in-row panel scoring, same shape as q49; the label inequality
-        // (which also excludes the anchor itself) prunes the narrow
-        // exploded rows before the top-k window
-        val pairs = emb(s, d)
-          .select(col("vec_id").as("n"), col("label").cast("long").as("nl"),
-            posexplode(graft.functions.CosineAll.cosineAll(col("embedding"),
-              panel.map(_._3).toIndexedSeq)).as(Seq("aidx", "cos")))
-          .filter(element_at(qLabels, col("aidx") + 1) =!= col("nl"))
-          .select(element_at(qIds, col("aidx") + 1).as("q"), col("n"),
-            col("cos"))
-        topkPerQuery(pairs)
+        if (panel.isEmpty)
+          emptyResult(s, "q BIGINT, n BIGINT, rnk BIGINT, cos DOUBLE")
+        else {
+          val qIds = typedLit(panel.map(_._1).toSeq)
+          val qLabels = typedLit(panel.map(_._2).toSeq)
+          // in-row panel scoring, same shape as q49; the label
+          // inequality (which also excludes the anchor itself) prunes
+          // the narrow exploded rows before the top-k window
+          val pairs = emb(s, d)
+            .select(col("vec_id").as("n"), col("label").cast("long").as("nl"),
+              posexplode(graft.functions.CosineAll.cosineAll(col("embedding"),
+                panel.map(_._3).toIndexedSeq)).as(Seq("aidx", "cos")))
+            .filter(element_at(qLabels, col("aidx") + 1) =!= col("nl"))
+            .select(element_at(qIds, col("aidx") + 1).as("q"), col("n"),
+              col("cos"))
+          topkPerQuery(pairs)
+        }
       },
       Some(s"""WITH p AS (SELECT q.vec_id AS q, c.vec_id AS n, $cosSql AS cos
         |FROM embeddings q JOIN embeddings c ON q.vec_id < $QueryCount AND q.label != c.label),
@@ -207,21 +224,27 @@ object Similarity {
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
           .sortBy(_._1)
-        val qLabels = typedLit(panel.map(_._2).toSeq)
-        emb(s, d)
-          .agg(graft.functions.PanelTop1.panelTop1(
-            col("embedding"), col("vec_id").cast("long"),
-            col("label").cast("long"),
-            panel.map(_._1).toIndexedSeq,
-            panel.map(_._3).toIndexedSeq).as("best"))
-          .select(posexplode(col("best")).as(Seq("aidx", "nl")))
-          .filter(col("nl").isNotNull)
-          .select(element_at(qLabels, col("aidx") + 1).as("label"), col("nl"))
-          .groupBy("label")
-          .agg(count(lit(1)).as("n_anchors"),
-            sum(when(col("label") === col("nl"), 1L).otherwise(0L))
-              .cast("long").as("n_consistent"))
-          .orderBy("label")
+        if (panel.isEmpty)
+          emptyResult(s,
+            "label BIGINT, n_anchors BIGINT, n_consistent BIGINT")
+        else {
+          val qLabels = typedLit(panel.map(_._2).toSeq)
+          emb(s, d)
+            .agg(graft.functions.PanelTop1.panelTop1(
+              col("embedding"), col("vec_id").cast("long"),
+              col("label").cast("long"),
+              panel.map(_._1).toIndexedSeq,
+              panel.map(_._3).toIndexedSeq).as("best"))
+            .select(posexplode(col("best")).as(Seq("aidx", "nl")))
+            .filter(col("nl").isNotNull)
+            .select(element_at(qLabels, col("aidx") + 1).as("label"),
+              col("nl"))
+            .groupBy("label")
+            .agg(count(lit(1)).as("n_anchors"),
+              sum(when(col("label") === col("nl"), 1L).otherwise(0L))
+                .cast("long").as("n_consistent"))
+            .orderBy("label")
+        }
       },
       Some(s"""WITH p AS (SELECT q.vec_id AS q, q.label AS ql, c.vec_id AS n, c.label AS nl, $cosSql AS cos
         |FROM embeddings q JOIN embeddings c ON q.vec_id % 10 = 0 AND q.vec_id < $AnchorCap AND q.vec_id != c.vec_id),

@@ -359,7 +359,7 @@ object TextAnalysis {
             coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
           .orderBy("bench_id")
       },
-      Some("WITH bench AS (SELECT doc_id AS bench_id, substr(text, 1, 60) AS prefix FROM documents WHERE doc_id % 97 = 0 AND doc_id < 20000), " +
+      Some(s"WITH bench AS (SELECT doc_id AS bench_id, substr(text, 1, 60) AS prefix FROM documents WHERE doc_id % 97 = 0 AND doc_id < $BenchCap), " +
         "hits AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated FROM documents d " +
         "JOIN bench b ON d.doc_id <> b.bench_id AND contains(d.text, b.prefix) GROUP BY bench_id) " +
         "SELECT b.bench_id, CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated " +
