@@ -597,6 +597,7 @@ object DeltaLog {
     }
 
     require(schemaString != null, s"no metaData action in log of $tablePath")
+    checkReaderFeatures(protocolInfo, tablePath)
     Snapshot(target, DataType.fromJson(schemaString).asInstanceOf[StructType],
       partCols, live.values.toSeq, tablePath, txns.toMap, config, mdId,
       protocolInfo)
@@ -727,6 +728,30 @@ object DeltaLog {
   private def checkProtocol(minReader: Int): Unit =
     if (minReader > 3) throw new UnsupportedOperationException(
       s"Delta reader protocol $minReader not supported (this reader implements versions 1-3)")
+
+  /** Reader features this engine actually implements. `timestampNtz`
+    * costs nothing extra (Spark's schema JSON and parquet reader handle
+    * TIMESTAMP_NTZ natively); `vacuumProtocolCheck` requires no read-path
+    * behavior by definition — it exists to gate vacuum implementations. */
+  private val SupportedReaderFeatures: Set[String] = Set(
+    "columnMapping", "deletionVectors", "v2Checkpoint",
+    "timestampNtz", "vacuumProtocolCheck")
+
+  /** Protocol gate for reader version 3 TABLE FEATURES: the spec requires
+    * a reader to refuse the table when `readerFeatures` names a feature it
+    * does not implement (e.g. `variantType`, `typeWidening`) — reading on
+    * anyway would silently misinterpret data. Version gating alone
+    * (checkProtocol) cannot catch this: every feature table sits at
+    * reader 3. Validated once per snapshot, after the replay settles on
+    * the table's final protocol action. */
+  private def checkReaderFeatures(p: TableProtocol, tablePath: String): Unit = {
+    val unsupported = p.readerFeatures.filterNot(SupportedReaderFeatures)
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      s"Delta table $tablePath requires reader features " +
+        unsupported.sorted.mkString("[", ", ", "]") +
+        " that this reader does not implement (supported: " +
+        SupportedReaderFeatures.toSeq.sorted.mkString(", ") + ")")
+  }
 
   /** All three protocol storage forms are readable: absolute (`p`),
     * uuid-relative (`u`, the form standard Delta writers emit —

@@ -62,8 +62,9 @@ object DeltaSchema {
       if (mapped) snap.configuration + (MaxIdKey -> maxId.toString)
       else snap.configuration
     DeltaWrite.commit(spark, tablePath,
-      Seq(DeltaWrite.metaDataAction(schema, snap.partitionColumns, config,
-        snap.metaDataId)),
+      DeltaWrite.ntzUpgradeAction(snap.protocol, schema).toSeq ++
+        Seq(DeltaWrite.metaDataAction(schema, snap.partitionColumns, config,
+          snap.metaDataId)),
       operation = "ADD COLUMNS")
   }
 

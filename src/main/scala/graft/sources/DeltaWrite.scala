@@ -131,7 +131,12 @@ object DeltaWrite {
       else Nil
 
     val actions = mutable.Buffer[ObjectNode]()
-    if (!exists) actions += protocolAction()
+    if (!exists) actions += createProtocolAction(data.schema)
+    prior.foreach { p =>
+      val newSchema = widened.getOrElse(
+        if (mode == SaveMode.Overwrite) data.schema else p.schema)
+      ntzUpgradeAction(p.protocol, newSchema).foreach(actions += _)
+    }
     if (!exists || mode == SaveMode.Overwrite)
       // overwrite replaces data + schema but keeps table PROPERTIES
       // (constraints survive an INSERT OVERWRITE, as in Delta)
@@ -691,7 +696,8 @@ object DeltaWrite {
       }
       val actions =
         (if (exists) Seq.empty
-         else Seq(protocolAction(), metaDataAction(df.schema, partitionBy))) ++
+         else Seq(createProtocolAction(df.schema),
+           metaDataAction(df.schema, partitionBy))) ++
           (txnAction(appId, txnVersion) +: staged.map(addAction))
       try {
         return Some(commit(spark, tablePath, actions, "STREAMING UPDATE"))
@@ -760,6 +766,45 @@ object DeltaWrite {
     n.set[ObjectNode]("metaData", md)
     n
   }
+
+  /** True when the type tree stores a TIMESTAMP_NTZ column — the
+    * protocol's `timestampNtz` reader+writer feature is then REQUIRED:
+    * a reader that does not know the feature would decode the column
+    * with session-local semantics instead of refusing the table. */
+  private[sources] def containsNtz(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.TimestampNTZType => true
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.exists(f => containsNtz(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsNtz(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      containsNtz(m.keyType) || containsNtz(m.valueType)
+    case _ => false
+  }
+
+  /** Protocol action for a FRESH table with `schema`: the legacy base
+    * (1,2) unless the schema requires the timestampNtz feature. */
+  private[sources] def createProtocolAction(
+      schema: org.apache.spark.sql.types.StructType): ObjectNode =
+    if (containsNtz(schema))
+      featureProtocolAction(DeltaLog.TableProtocol(1, 2),
+        newWriterFeatures = Seq("timestampNtz"),
+        newReaderFeatures = Seq("timestampNtz"))
+    else protocolAction()
+
+  /** Protocol upgrade needed (if any) when a commit introduces a
+    * TIMESTAMP_NTZ column into an existing table — overwrite,
+    * mergeSchema widening, or ADD COLUMNS. Merges over the current
+    * protocol so no recorded feature is dropped. */
+  private[sources] def ntzUpgradeAction(
+      current: DeltaLog.TableProtocol,
+      newSchema: org.apache.spark.sql.types.StructType): Option[ObjectNode] =
+    if (containsNtz(newSchema) &&
+        !current.readerFeatures.contains("timestampNtz"))
+      Some(featureProtocolAction(current,
+        newWriterFeatures = Seq("timestampNtz"),
+        newReaderFeatures = Seq("timestampNtz")))
+    else None
 
   private[sources] def protocolAction(): ObjectNode = protocolAction(1, 2)
 

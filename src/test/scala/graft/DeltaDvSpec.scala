@@ -272,6 +272,26 @@ class DeltaDvSpec extends AnyFunSuite {
       s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
       """{"add":{"path":"f.parquet","size":1,"dataChange":true,"partitionValues":{},"deletionVector":{"storageType":"x","pathOrInlineDv":"ab^-aqEH.-EGao","sizeInBytes":40,"cardinality":6}}}"""))
     intercept[UnsupportedOperationException] { DeltaLog.snapshot(spark, xDv) }
+
+    // reader-3 TABLE FEATURE gate: an unimplemented reader feature must
+    // refuse the table (version gating alone passes every feature table);
+    // no-read-behavior features (vacuumProtocolCheck) must NOT refuse it
+    val variant = writeTable(Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""",
+      s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLog.snapshot(spark, variant)
+    }
+    assert(e.getMessage.contains("variantType"), e.getMessage)
+    val vacuumOk = writeTable(Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["vacuumProtocolCheck","timestampNtz"],"writerFeatures":["vacuumProtocolCheck","timestampNtz"]}}""",
+      s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))
+    assert(DeltaLog.snapshot(spark, vacuumOk).files.isEmpty)
+    // unknown WRITER-only features never block reads
+    val writerOnly = writeTable(Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors","rowTracking","icebergCompatV2"]}}""",
+      s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))
+    assert(DeltaLog.snapshot(spark, writerOnly).files.isEmpty)
   }
 
   test("small deletes INLINE their vector ('i'): no sidecar file at all, " +

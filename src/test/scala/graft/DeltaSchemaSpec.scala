@@ -153,4 +153,46 @@ class DeltaSchemaSpec extends AnyFunSuite {
       s"ALTER TABLE `$t` DROP COLUMN score").exists(_.contains("dropped")))
     assert(DeltaLog.read(spark, t).columns.toSeq == Seq("id", "label"))
   }
+
+  test("TIMESTAMP_NTZ schemas declare the timestampNtz table feature: " +
+    "create records reader 3 / writer 7 with the feature, ADD COLUMNS " +
+    "and mergeSchema upgrade in the same commit, values round-trip") {
+    // fresh table with an NTZ column
+    val t = tmpTable()
+    val df = spark.sql(
+      "SELECT 1 AS id, TIMESTAMP_NTZ'2024-03-01 10:30:00' AS ts")
+    DeltaWrite.write(df, t)
+    val p = DeltaLog.snapshot(spark, t).protocol
+    assert(p.minReader == 3 && p.minWriter == 7 &&
+      p.readerFeatures.contains("timestampNtz") &&
+      p.writerFeatures.contains("timestampNtz"),
+      s"fresh NTZ table must declare the feature, got $p")
+    val back = DeltaLog.read(spark, t).collect().head
+    assert(back.getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.of(2024, 3, 1, 10, 30),
+      "NTZ semantics: no timezone shift on round-trip")
+
+    // ADD COLUMNS introducing NTZ upgrades a legacy-protocol table
+    val t2 = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t2)
+    assert(DeltaLog.snapshot(spark, t2).protocol.minReader == 1)
+    DeltaSchema.addColumns(spark, t2, "seen TIMESTAMP_NTZ")
+    val p2 = DeltaLog.snapshot(spark, t2).protocol
+    assert(p2.minReader == 3 && p2.readerFeatures.contains("timestampNtz") &&
+      p2.writerFeatures.contains("timestampNtz"), s"ADD COLUMNS upgrade: $p2")
+
+    // mergeSchema widening introducing NTZ upgrades too
+    val t3 = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t3)
+    DeltaWrite.write(
+      spark.sql("SELECT 2 AS id, 'b' AS s, TIMESTAMP_NTZ'2024-01-01 00:00:00' AS ts"),
+      t3, SaveMode.Append, mergeSchema = true)
+    val p3 = DeltaLog.snapshot(spark, t3).protocol
+    assert(p3.readerFeatures.contains("timestampNtz"), s"mergeSchema upgrade: $p3")
+    // a plain table stays on the legacy base protocol
+    val t4 = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t4)
+    val p4 = DeltaLog.snapshot(spark, t4).protocol
+    assert(p4.minReader == 1 && p4.readerFeatures.isEmpty)
+  }
 }
