@@ -34,6 +34,12 @@ object Similarity {
   // are unchanged there; beyond it the panel stays fixed and the eval
   // cost is linear in the corpus).
   private val AnchorCap = 20000
+  // q122's benchmark panel: vec_id % 25 == 7 below this cap — ≤ 40
+  // benchmark vectors at ANY corpus size (eval suites are fixed-size).
+  private val BenchCap = 1000
+  // contamination threshold, tuned to the synthetic embeddings the
+  // same way q48's 0.3 near-dup threshold is
+  private val ContamTau = 0.35
 
   /** Lloyd's output is deterministic in (corpus dir, K, iters,
     * sampleMod), so the trained quantizer is cached like any model
@@ -384,6 +390,56 @@ object Similarity {
         "CAST(SUM(CAST(floor(CAST(v AS DOUBLE)*1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
         "/1073741824.0/COUNT(*) AS c " +
         "FROM e GROUP BY 1, 2 ORDER BY label, pos"))
+    ,
+
+    // Semantic decontamination — the embedding-space member of the
+    // decontamination family (q91 prefix containment, q104 n-gram
+    // collision): flag every corpus vector whose nearest BENCHMARK
+    // vector scores >= tau, reporting which benchmark item it leaks.
+    // The benchmark panel is id-capped (<= BenchCap/25 vectors at ANY
+    // corpus size — eval suites are fixed-size; they do not grow with
+    // the crawl) and rides in as a literal matrix, so the corpus
+    // streams ONCE through in-row [[graft.functions.CosineAll]]
+    // scoring — no join, no exploded pair rows, nothing shuffles but
+    // the contaminated survivors feeding the output sort. argmax is
+    // in-row too: array_position over the score array picks the
+    // LOWEST panel index among exact ties, which is bench-id
+    // ascending — the oracle's (cos DESC, bench_id) order.
+    GraftQuery("q122_semantic_decontamination",
+      (s, d) => {
+        graft.functions.CosineAll.register(s)
+        val isBench =
+          pmod(col("vec_id"), lit(25)) === 7 && col("vec_id") < BenchCap
+        val panel = emb(s, d).filter(isBench)
+          .select(col("vec_id").cast("long"),
+            col("embedding").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_._1)
+        if (panel.isEmpty)
+          emptyResult(s, "vec_id BIGINT, bench_id BIGINT, cos DOUBLE")
+        else {
+          val bIds = typedLit(panel.map(_._1).toSeq)
+          emb(s, d).filter(!isBench)
+            .select(col("vec_id").cast("long").as("vec_id"),
+              graft.functions.CosineAll.cosineAll(col("embedding"),
+                panel.map(_._2).toIndexedSeq).as("cs"))
+            .select(col("vec_id"),
+              element_at(bIds,
+                array_position(col("cs"), array_max(col("cs"))).cast("int"))
+                .as("bench_id"),
+              array_max(col("cs")).as("cos"))
+            .filter(col("cos") >= ContamTau)
+            .orderBy("vec_id")
+        }
+      },
+      Some(s"""WITH p AS (SELECT c.vec_id AS vec_id, q.vec_id AS bench_id, $cosSql AS cos
+        |FROM embeddings q JOIN embeddings c
+        |ON q.vec_id % 25 = 7 AND q.vec_id < $BenchCap
+        |AND NOT (c.vec_id % 25 = 7 AND c.vec_id < $BenchCap)),
+        |r AS (SELECT vec_id, bench_id, cos, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rnk FROM p)
+        |SELECT vec_id, bench_id, cos FROM r WHERE rnk = 1 AND cos >= $ContamTau ORDER BY vec_id"""
+        .stripMargin.replace("\n", " ")),
+    )
   )
 
   /** Quantizer quality probes for the CorpusSpec training assertion:
