@@ -20,15 +20,18 @@ object DeltaDml {
 
   final case class DmlResult(version: Long, rewrittenFiles: Int, affectedRows: Long)
 
-  def delete(spark: SparkSession, tablePath: String, condition: Column): DmlResult =
+  def delete(spark: SparkSession, tablePath: String, condition: Column): DmlResult = {
+    val snap0 = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkAppendOnly(snap0, "DELETE")
     // delta.enableDeletionVectors=true switches DELETE to merge-on-read
     // (positions to a sidecar, no data rewrite) — see [[DeltaDv]].
-    if (DeltaDv.enabled(DeltaLog.snapshot(spark, tablePath).configuration))
+    if (DeltaDv.enabled(snap0.configuration))
       DeltaDv.delete(spark, tablePath, condition)
     else rewrite(spark, tablePath, condition, df => df.filter(not(condition)),
       operation = "DELETE",
       cdcOf = hit => hit.filter(condition)
         .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
+  }
 
   /** `assignments`: column name → new-value expression, applied only to
     * rows matching `condition` (other rows in hit files pass through).
@@ -42,6 +45,7 @@ object DeltaDml {
   def update(spark: SparkSession, tablePath: String, condition: Column,
       assignments: Seq[(String, Column)]): DmlResult = {
     val snap0 = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkAppendOnly(snap0, "UPDATE")
     if (DeltaDv.enabled(snap0.configuration))
       return DeltaDv.update(spark, tablePath, condition, assignments)
     val byName = assignments.toMap
@@ -160,6 +164,8 @@ object DeltaDml {
     import org.apache.spark.sql.functions.{count, lit, max, sum}
     val snap = DeltaLog.snapshot(spark, tablePath)
     DeltaLog.checkWritable(snap)
+    if (matchedUpdate.nonEmpty || matchedDelete.nonEmpty)
+      DeltaLog.checkAppendOnly(snap, "MERGE with matched clauses")
     val target = DeltaLog.read(spark, tablePath)
 
     val uriToRel: Map[String, String] =

@@ -675,12 +675,51 @@ object DeltaLog {
     * is out of scope, and a logical-named file in an id-mapped table
     * would resolve to silent nulls. Every data-writing path calls this
     * with its already-loaded snapshot. */
+  /** Writer features this engine implements. The protocol requires a
+    * writer to REFUSE a table whose `writerFeatures` names anything
+    * else — e.g. writing a `rowTracking` table without maintaining row
+    * ids, or an `icebergCompatV2` table without syncing the Iceberg
+    * metadata, silently corrupts the feature's invariants. Legacy
+    * writer versions (2-6) only ever imply features from this set, so
+    * the gate needs the feature list alone. */
+  private[sources] val SupportedWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "generatedColumns",
+    "changeDataFeed", "columnMapping", "identityColumns",
+    "deletionVectors", "timestampNtz", "inCommitTimestamp",
+    "v2Checkpoint", "vacuumProtocolCheck")
+
   private[sources] def checkWritable(snap: Snapshot): Unit = {
     val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     if (mode != "none" && mode != "name") throw new UnsupportedOperationException(
       s"${snap.tablePath} uses column mapping mode '$mode'; this engine " +
         "writes unmapped and name-mapped tables only")
+    val unsupported =
+      snap.protocol.writerFeatures.filterNot(SupportedWriterFeatures)
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      s"${snap.tablePath} requires writer features " +
+        unsupported.sorted.mkString("[", ", ", "]") +
+        " that this engine does not implement; writing would corrupt " +
+        "the feature's invariants — refusing (the table stays readable)")
+    // `invariants` the FEATURE is listed on virtually every real table;
+    // refuse only when the schema actually defines one (we would not
+    // enforce it on the incoming rows).
+    if (snap.schema.fields.exists(_.metadata.contains("delta.invariants")))
+      throw new UnsupportedOperationException(
+        s"${snap.tablePath} defines column invariants, which this " +
+          "engine does not enforce — refusing to write")
   }
+
+  /** `delta.appendOnly=true` forbids commits that remove live rows
+    * (protocol: no `remove` with dataChange=true) — DELETE, UPDATE,
+    * matched MERGE clauses, overwrite, RESTORE. Compaction keeps
+    * working: OPTIMIZE removes files with dataChange=false. */
+  private[sources] def checkAppendOnly(snap: Snapshot,
+      operation: String): Unit =
+    if (snap.configuration.get("delta.appendOnly")
+        .exists(_.equalsIgnoreCase("true")))
+      throw new UnsupportedOperationException(
+        s"${snap.tablePath} is delta.appendOnly=true; $operation would " +
+          "remove live rows")
 
   /** Physical-name view of a logical schema: each field renamed to its
     * `delta.columnMapping.physicalName` (identity without mapping
@@ -709,16 +748,30 @@ object DeltaLog {
 
   /** Rename a frame's logical columns to their physical names before a
     * data-file write on a mapped table (columns outside the table
-    * schema — e.g. `_change_type` — pass through). No-op when the
-    * schema carries no mapping. */
+    * schema — e.g. `_change_type` — pass through). Fields carrying a
+    * `delta.columnMapping.id` are also stamped with `parquet.field.id`
+    * so the written files resolve under BOTH mapping modes — Spark's
+    * parquet writer materializes that key as the parquet field_id,
+    * which id-mode readers (icebergCompat and this engine's own id-mode
+    * scan) require; name-mode readers ignore it. No-op when the schema
+    * carries no mapping. */
   private[sources] def toPhysical(df: org.apache.spark.sql.DataFrame,
       schema: StructType): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val m = schema.fields.zip(physicalSchema(schema).fields)
-      .map { case (l, p) => l.name -> p.name }.toMap
-    if (m.forall { case (l, p) => l == p }) df
-    else df.select(df.columns.toIndexedSeq.map(c =>
-      m.get(c).map(p => col(s"`$c`").as(p)).getOrElse(col(s"`$c`"))): _*)
+      .map { case (l, p) => l.name -> (p.name, l.metadata) }.toMap
+    if (m.forall { case (l, (p, md)) =>
+        l == p && !md.contains("delta.columnMapping.id") }) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      m.get(c) match {
+        case Some((p, md)) if md.contains("delta.columnMapping.id") =>
+          col(s"`$c`").as(p, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", md.getLong("delta.columnMapping.id"))
+            .build())
+        case Some((p, _)) => col(s"`$c`").as(p)
+        case None => col(s"`$c`")
+      }
+    }: _*)
   }
 
   /** Reader versions 1-3 are in scope (2 adds column mapping, which

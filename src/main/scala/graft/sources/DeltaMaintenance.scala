@@ -36,6 +36,7 @@ object DeltaMaintenance {
     */
   def restore(spark: SparkSession, tablePath: String, version: Long): Long = {
     val current = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkAppendOnly(current, "RESTORE")
     require(version <= current.version,
       s"cannot restore $tablePath to future version $version (current ${current.version})")
     if (version == current.version) return current.version

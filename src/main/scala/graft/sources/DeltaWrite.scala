@@ -62,6 +62,8 @@ object DeltaWrite {
     val prior =
       if (exists) Some(DeltaLog.snapshot(spark, tablePath)) else None
     prior.foreach(DeltaLog.checkWritable)
+    if (mode == SaveMode.Overwrite)
+      prior.foreach(DeltaLog.checkAppendOnly(_, "OVERWRITE"))
 
     // Generated columns: appends may OMIT them — compute each from its
     // recorded expression before the schema check. Supplied values are

@@ -257,4 +257,72 @@ class DeltaPropertySpec extends AnyFunSuite {
     assert(p.readerFeatures.contains("deletionVectors") &&
       p.readerFeatures.contains("columnMapping"))
   }
+
+  test("delta.appendOnly=true: appends + OPTIMIZE keep working, every " +
+    "row-removing operation is refused") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-ao").resolve("t").toString
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
+    DeltaMaintenance.setTblProperties(spark, t,
+      Map("delta.appendOnly" -> "true"))
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append)
+    intercept[UnsupportedOperationException](
+      DeltaDml.delete(spark, t, col("id") === 1))
+    intercept[UnsupportedOperationException](
+      DeltaDml.update(spark, t, col("id") === 1, Seq("s" -> lit("x"))))
+    intercept[UnsupportedOperationException](
+      DeltaDml.merge(spark, t, Seq((1, "z")).toDF("id", "s"),
+        col("t.id") === col("s.id"), matchedDelete = Some(lit(true))))
+    intercept[UnsupportedOperationException](
+      DeltaWrite.write(Seq((9, "z")).toDF("id", "s"), t, SaveMode.Overwrite))
+    intercept[UnsupportedOperationException](
+      DeltaMaintenance.restore(spark, t, 0L))
+    // insert-only MERGE is an append — allowed
+    DeltaDml.merge(spark, t, Seq((4, "d")).toDF("id", "s"),
+      col("t.id") === col("s.id"), insert = true)
+    // compaction removes FILES, not rows (dataChange=false) — allowed
+    DeltaMaintenance.compact(spark, t)
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+  }
+
+  test("unsupported writerFeatures refuse writes but not reads; a " +
+    "defined column invariant refuses writes") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-wf").resolve("t").toString
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    // rewrite the protocol into a foreign shape listing rowTracking
+    val log = java.nio.file.Paths.get(s"$t/_delta_log")
+    val v1 = log.resolve(f"${1L}%020d.json")
+    java.nio.file.Files.writeString(v1,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","invariants"]}}""")
+    assert(DeltaLog.read(spark, t).count() == 1, "reads stay open")
+    val e = intercept[UnsupportedOperationException](
+      DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append))
+    assert(e.getMessage.contains("[rowTracking]"),
+      s"refusal names the unknown feature only: ${e.getMessage}")
+    intercept[UnsupportedOperationException](
+      DeltaDml.delete(spark, t, col("id") === 1))
+
+    // invariants: the FEATURE alone is fine; a DEFINED invariant refuses
+    val t2 = Files.createTempDirectory("graft-inv").resolve("t").toString
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t2)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.invariants",
+            """{"expression":{"expression":"id > 0"}}""").build()),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val schemaJson = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$t2/_delta_log").resolve(f"${1L}%020d.json"),
+      s"""{"metaData":{"id":"inv","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""")
+    assert(DeltaLog.read(spark, t2).count() == 1)
+    val e2 = intercept[UnsupportedOperationException](
+      DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t2, SaveMode.Append))
+    assert(e2.getMessage.contains("invariant"), e2.getMessage)
+  }
 }

@@ -195,4 +195,34 @@ class DeltaSchemaSpec extends AnyFunSuite {
     val p4 = DeltaLog.snapshot(spark, t4).protocol
     assert(p4.minReader == 1 && p4.readerFeatures.isEmpty)
   }
+
+  test("mapped-table writes stamp parquet field_ids from " +
+    "delta.columnMapping.id, so files resolve under BOTH mapping modes") {
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
+    DeltaSchema.renameColumn(spark, t, "s", "label") // upgrades to mapping
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "label"), t, SaveMode.Append)
+    val snap = DeltaLog.snapshot(spark, t)
+    val idOf = snap.schema.fields.map(f =>
+      f.name -> f.metadata.getLong("delta.columnMapping.id")).toMap
+    // every live file written AFTER the upgrade carries the field ids
+    val conf = spark.sessionState.newHadoopConf()
+    val withIds = snap.files.filter { a =>
+      val p = new org.apache.hadoop.fs.Path(t, a.path)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader
+        .open(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val msg = footer.getFileMetaData.getSchema
+        (0 until msg.getFieldCount).forall { i =>
+          Option(msg.getType(i).getId).exists(id =>
+            idOf.values.toSet.contains(id.intValue().toLong))
+        }
+      } finally footer.close()
+    }
+    assert(withIds.nonEmpty, "the post-upgrade append must carry field ids")
+    // and the table still reads correctly through name-mode resolution
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
 }
