@@ -75,3 +75,55 @@ object WordShingles {
   def wordShingles(text: Column, n: Int): Column =
     call_function(FnName, text, lit(n))
 }
+
+/** ALL consecutive character n-grams of `lower(trim(text))`, duplicates
+  * kept (unlike [[WordShingles]], which dedups word n-grams) — the unit
+  * stream a character-level LM model/scorer consumes. One compiled pass;
+  * the declarative equivalent (`transform(sequence(1, length-n+1), i ->
+  * substring(text, i, n))`) is two nested interpreted higher-order
+  * functions allocating per position. Character indexing matches the
+  * oracle's `substr` (both are codepoint-based over UTF-8).
+  */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_ngrams expects string, got ${other.simpleString(10)}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].trim().toLowerCase()
+    val len = text.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      out(i) = text.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+object CharNgrams {
+  private val FnName = "graft_char_ngrams"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => CharNgrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+
+  /** Column API: requires register(spark) once per session. */
+  def charNgrams(text: Column, n: Int): Column =
+    call_function(FnName, text, lit(n))
+}

@@ -740,5 +740,86 @@ object TextAnalysis {
           .orderBy("sa", "sb")
       },
       None)
+    ,
+
+    // Character-LM quality score (CCNet-style gibberish filter, integer
+    // form): train a corpus-level char-bigram frequency model, keep the
+    // top-K bigrams (total order (count DESC, bigram ASC) makes the cut
+    // deterministic), and score each document by how many of its bigrams
+    // fall in that common set — text whose character statistics diverge
+    // from the corpus (mojibake, binary spill, wrong-language noise)
+    // scores low. Integer counts only, so the result is bit-identical to
+    // the oracle; the ratio threshold (coverage < 0.9) is cross-
+    // multiplied to stay in integers. Scale shape: two linear scans of
+    // the text (model pass, scoring pass — train-then-apply is
+    // irreducibly two passes); the model aggregate collapses map-side to
+    // the charset² (~low thousands) before its one tiny exchange; the
+    // top-K is a TakeOrdered over that; scoring streams bigrams through
+    // a BROADCAST join with the K-row set and pre-aggregates per doc
+    // before the one doc-keyed exchange. Document text never shuffles.
+    GraftQuery("q123_char_bigram_quality",
+      (s, d) => {
+        graft.functions.CharNgrams.register(s)
+        import graft.functions.CharNgrams.charNgrams
+        val bg = docs(s, d).select(col("doc_id"),
+          explode(charNgrams(col("text"), 2)).as("b"))
+        val top = bg.groupBy("b").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("b").asc).limit(100)
+          .select(col("b"), lit(1).as("hit"))
+        val scored = bg.join(broadcast(top), Seq("b"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), count("hit").as("n_common"))
+        docs(s, d).select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"))
+          .withColumn("gibberish", col("n_common") * 10 < col("n_bigrams") * 9)
+          .orderBy("doc_id")
+      },
+      Some("WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "bg AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS b " +
+        "FROM norm, unnest(range(1, length(t))) AS u(i)), " +
+        "topb AS (SELECT b, 1 AS hit FROM (SELECT b, COUNT(*) AS c FROM bg " +
+        "GROUP BY b ORDER BY c DESC, b LIMIT 100)), " +
+        "sc AS (SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(topb.hit) AS n_common " +
+        "FROM bg LEFT JOIN topb USING (b) GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, " +
+        "COALESCE(n_common, 0) AS n_common, " +
+        "(COALESCE(n_common, 0) * 10 < COALESCE(n_bigrams, 0) * 9) AS gibberish " +
+        "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"))
+    ,
+
+    // Deterministic shard export — the final stage of a corpus build
+    // assigns every document to one of N output shards so that (a) the
+    // assignment is a pure function of the stable doc key (rebuildable,
+    // engine- and partitioning-independent — same md5 discipline as
+    // q89's split) and (b) the shards are statistically balanced. Two
+    // hex nibbles of md5 give a uniform 0..255 draw; mod 64 folds it to
+    // the shard id (the nibble lookup via instr on a charset literal is
+    // the hex→int bridge both engines share). The report is the shard
+    // balance sheet an export job checks before writing. Scale shape:
+    // one narrow scan, 64-group aggregate with map-side combine — the
+    // exchange carries 64 rows per partition regardless of corpus size.
+    GraftQuery("q124_shard_export",
+      (s, d) => {
+        val hx = md5(col("doc_id").cast("string"))
+        def nib(i: Int) = call_function("instr",
+          lit("0123456789abcdef"), substring(hx, i, 1)).cast("long") - 1L
+        docs(s, d)
+          .select(((nib(1) * 16L + nib(2)) % 64L).as("shard"),
+            col("doc_id"), col("n_chars"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("total_chars"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("shard")
+      },
+      Some("WITH h AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents), " +
+        "sh AS (SELECT CAST(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 64 AS BIGINT) AS shard, " +
+        "n_chars, doc_id FROM h) " +
+        "SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+        "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
+        "FROM sh GROUP BY shard ORDER BY shard"))
   )
 }

@@ -431,4 +431,45 @@ class CorpusSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CharNgrams: all positions, normalized, codepoint-indexed") {
+    import spark.implicits._
+    graft.functions.CharNgrams.register(spark)
+    import graft.functions.CharNgrams.charNgrams
+    val out = Seq("  AbC ", "x", "", "héllo").toDF("t")
+      .select(charNgrams(col("t"), 2).as("g")).collect()
+      .map(_.getSeq[String](0).toList).toList
+    assert(out == List(List("ab", "bc"), Nil, Nil,
+      List("hé", "él", "ll", "lo")))
+  }
+
+  test("q123 bigram quality: counts tie out per doc, flag matches the " +
+    "threshold, and the flag discriminates on the fixture") {
+    val r = SparkEntry.queries("q123_char_bigram_quality")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val expected = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        greatest(length(lower(trim(col("text")))) - 1, lit(0)).cast("long").as("nb"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.foreach { case (id, nb, nc, gib) =>
+      assert(nb == expected(id), s"doc $id bigram count")
+      assert(nc <= nb, s"doc $id common > total")
+      assert(gib == (nc * 10 < nb * 9), s"doc $id flag")
+    }
+    val flagged = r.count(_._4)
+    assert(flagged > 0 && flagged < r.length,
+      s"threshold should split the fixture, flagged=$flagged/${r.length}")
+  }
+
+  test("q124 shard export: partition of the corpus, 64 balanced shards") {
+    val r = SparkEntry.queries("q124_shard_export")(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.map(_._1).toList == (0L until 64L).toList)
+    val docs = Tables.load(spark, sf, "documents")
+      .agg(count(lit(1)), sum("n_chars")).collect()(0)
+    assert(r.map(_._2).sum == docs.getLong(0), "every doc in exactly one shard")
+    assert(r.map(_._3).sum == docs.getLong(1), "chars conserved")
+    val (mn, mx) = (r.map(_._2).min, r.map(_._2).max)
+    assert(mx <= 8 * mn, s"shard skew $mn..$mx")
+  }
 }
