@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct word n-gram shingles of a document, in one compiled pass:
@@ -125,5 +125,65 @@ object CharNgrams {
 
   /** Column API: requires register(spark) once per session. */
   def charNgrams(text: Column, n: Int): Column =
+    call_function(FnName, text, lit(n))
+}
+
+/** Per-document character-n-gram HISTOGRAM (ngram → occurrence count)
+  * over the same normalized stream as [[CharNgrams]]. The in-row
+  * aggregation is the scale lever: exploding the map downstream yields
+  * one row per DISTINCT n-gram per doc (bounded by the charset^n, ~10²
+  * for text bigrams) instead of one row per character position —
+  * typically a 10-100x smaller stream into any global model aggregate,
+  * while total counts are preserved exactly (`sum(values)` = position
+  * count). */
+case class CharNgramCounts(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "graft_char_ngram_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_ngram_counts expects string, got ${other.simpleString(10)}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].trim().toLowerCase()
+    val len = text.numChars()
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i <= len - n) {
+      val g = text.substringSQL(i + 1, n)
+      val c = counts.get(g)
+      counts.put(g, if (c == null) 1L else c + 1L)
+      i += 1
+    }
+    val ks = new Array[Any](counts.size)
+    val vs = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator(); var k = 0
+    while (it.hasNext) {
+      val e = it.next(); ks(k) = e.getKey; vs(k) = e.getValue.longValue; k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks, vs)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramCounts =
+    copy(child = newChild)
+}
+
+object CharNgramCounts {
+  private val FnName = "graft_char_ngram_counts"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => CharNgramCounts(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+
+  /** Column API: requires register(spark) once per session. */
+  def charNgramCounts(text: Column, n: Int): Column =
     call_function(FnName, text, lit(n))
 }

@@ -752,23 +752,29 @@ object TextAnalysis {
     // the oracle; the ratio threshold (coverage < 0.9) is cross-
     // multiplied to stay in integers. Scale shape: two linear scans of
     // the text (model pass, scoring pass — train-then-apply is
-    // irreducibly two passes); the model aggregate collapses map-side to
-    // the charset² (~low thousands) before its one tiny exchange; the
-    // top-K is a TakeOrdered over that; scoring streams bigrams through
-    // a BROADCAST join with the K-row set and pre-aggregates per doc
+    // irreducibly two passes), but the unit that flows OUT of each scan
+    // is the per-doc bigram HISTOGRAM (CharNgramCounts, in-row), so the
+    // exploded stream is one row per distinct bigram per doc (bounded
+    // by charset², ~10² for text) instead of one row per character —
+    // the model aggregate and the scoring join see a ~100x smaller
+    // stream carrying the same exact counts. Model: map-side combine to
+    // the charset² before one tiny exchange, TakeOrdered for the top-K,
+    // BROADCAST to the scoring side; scoring pre-aggregates per doc
     // before the one doc-keyed exchange. Document text never shuffles.
     GraftQuery("q123_char_bigram_quality",
       (s, d) => {
-        graft.functions.CharNgrams.register(s)
-        import graft.functions.CharNgrams.charNgrams
+        graft.functions.CharNgramCounts.register(s)
+        import graft.functions.CharNgramCounts.charNgramCounts
         val bg = docs(s, d).select(col("doc_id"),
-          explode(charNgrams(col("text"), 2)).as("b"))
-        val top = bg.groupBy("b").agg(count(lit(1)).as("c"))
+          explode(charNgramCounts(col("text"), 2)).as(Seq("b", "cnt")))
+        val top = bg.groupBy("b").agg(sum("cnt").as("c"))
           .orderBy(col("c").desc, col("b").asc).limit(100)
           .select(col("b"), lit(1).as("hit"))
         val scored = bg.join(broadcast(top), Seq("b"), "left")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), count("hit").as("n_common"))
+          .agg(sum("cnt").as("n_bigrams"),
+            sum(when(col("hit").isNotNull, col("cnt")).otherwise(lit(0L)))
+              .as("n_common"))
         docs(s, d).select(col("doc_id")).join(scored, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

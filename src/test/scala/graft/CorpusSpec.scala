@@ -432,15 +432,26 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
-  test("CharNgrams: all positions, normalized, codepoint-indexed") {
+  test("CharNgrams: all positions, normalized, codepoint-indexed; " +
+    "CharNgramCounts is its exact histogram") {
     import spark.implicits._
     graft.functions.CharNgrams.register(spark)
+    graft.functions.CharNgramCounts.register(spark)
     import graft.functions.CharNgrams.charNgrams
+    import graft.functions.CharNgramCounts.charNgramCounts
     val out = Seq("  AbC ", "x", "", "héllo").toDF("t")
       .select(charNgrams(col("t"), 2).as("g")).collect()
       .map(_.getSeq[String](0).toList).toList
     assert(out == List(List("ab", "bc"), Nil, Nil,
       List("hé", "él", "ll", "lo")))
+    // histogram ≡ groupBy of the position stream, on real corpus text
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val fromArray = docs
+      .select(col("doc_id"), explode(charNgrams(col("text"), 2)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val fromMap = docs
+      .select(col("doc_id"), explode(charNgramCounts(col("text"), 2)).as(Seq("b", "c")))
+    assert(fromArray.except(fromMap).isEmpty && fromMap.except(fromArray).isEmpty)
   }
 
   test("q123 bigram quality: counts tie out per doc, flag matches the " +
