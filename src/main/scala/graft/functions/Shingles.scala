@@ -100,12 +100,14 @@ case class CharNgrams(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].trim().toLowerCase()
-    val len = text.numChars()
+    val bytes = text.getBytes
+    val offs = CharWalk.codepointOffsets(bytes)
+    val len = offs.length - 1
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](len - n + 1)
     var i = 0
     while (i <= len - n) {
-      out(i) = text.substringSQL(i + 1, n)
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
       i += 1
     }
     new GenericArrayData(out)
@@ -113,6 +115,33 @@ case class CharNgrams(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): CharNgrams =
     copy(child = newChild)
+}
+
+/** One-pass UTF-8 codepoint boundary walk. `substringSQL(i, n)` re-scans
+  * the string from byte 0 on every call to find the i-th codepoint, so a
+  * per-position n-gram loop built on it is O(len²) per document — the
+  * offsets table makes every gram an O(1) slice of one shared byte
+  * array (and `fromBytes` wraps without copying). */
+private[functions] object CharWalk {
+
+  /** Byte offset of every codepoint start, plus an end sentinel. */
+  def codepointOffsets(bytes: Array[Byte]): Array[Int] = {
+    val tmp = new Array[Int](bytes.length + 1)
+    var i = 0
+    var k = 0
+    while (i < bytes.length) {
+      tmp(k) = i
+      k += 1
+      val b = bytes(i)
+      i += (if ((b & 0x80) == 0) 1
+        else if ((b & 0xe0) == 0xc0) 2
+        else if ((b & 0xf0) == 0xe0) 3
+        else if ((b & 0xf8) == 0xf0) 4
+        else 1)
+    }
+    tmp(k) = bytes.length
+    java.util.Arrays.copyOf(tmp, k + 1)
+  }
 }
 
 object CharNgrams {
@@ -153,11 +182,13 @@ case class CharNgramCounts(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].trim().toLowerCase()
-    val len = text.numChars()
+    val bytes = text.getBytes
+    val offs = CharWalk.codepointOffsets(bytes)
+    val len = offs.length - 1
     val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
     var i = 0
     while (i <= len - n) {
-      val g = text.substringSQL(i + 1, n)
+      val g = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
       val c = counts.get(g)
       counts.put(g, if (c == null) 1L else c + 1L)
       i += 1
