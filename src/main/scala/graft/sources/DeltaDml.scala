@@ -124,7 +124,8 @@ object DeltaDml {
       else Nil
     val actions = hitRel.map(DeltaWrite.removeAction) ++
       adds.map(DeltaWrite.addAction) ++ cdcs
-    val v = DeltaWrite.commit(spark, tablePath, actions, operation)
+    val v = DeltaWrite.commit(spark, tablePath, actions, operation,
+      snapHint = Some(snap))
     DmlResult(v, hitRel.size, affected)
   }
 
@@ -323,7 +324,8 @@ object DeltaDml {
           hitRel.map(DeltaWrite.removeAction) ++
             adds.map(DeltaWrite.addAction) ++ cdcs
       }
-      val v = DeltaWrite.commit(spark, tablePath, actions, "MERGE")
+      val v = DeltaWrite.commit(spark, tablePath, actions, "MERGE",
+        snapHint = Some(snap))
       MergeResult(v, if (dvActed.isDefined) 0 else hitRel.size,
         updated, deleted, nIns)
     } finally cached.foreach(_.unpersist())

@@ -85,7 +85,7 @@ object DeltaIdentity {
     val newSchema = withHwm(snap.schema, info.column, info.start, info.step, hwm)
     val actions = DeltaWrite.metaDataAction(newSchema, snap.partitionColumns,
       snap.configuration, snap.metaDataId) +: adds.map(DeltaWrite.addAction)
-    DeltaWrite.commit(spark, tablePath, actions, "APPEND")
+    DeltaWrite.commit(spark, tablePath, actions, "APPEND", snapHint = Some(snap))
   }
 
   /** Stamp `start + step * rowIndex` ids, id column FIRST. Returns the

@@ -57,9 +57,13 @@ object DeltaLog {
   /** One live data file in a snapshot. `path` is as recorded in the log
     * (relative, percent-encoded per protocol); `stats` is the raw
     * `add.stats` JSON when the writer recorded one (see DataSkipping);
-    * `dv` is the file's deletion vector, if any. */
+    * `dv` is the file's deletion vector, if any; `baseRowId` /
+    * `defaultRowCommitVersion` are the row-tracking fields (fresh row id
+    * of row i in the file = baseRowId + i). */
   final case class AddEntry(path: String, size: Long,
-      stats: Option[String] = None, dv: Option[DvDescriptor] = None)
+      stats: Option[String] = None, dv: Option[DvDescriptor] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   final case class Snapshot(
       version: Long,
@@ -83,7 +87,11 @@ object DeltaLog {
         * lists) — what a feature-enabling writer must PRESERVE when it
         * upgrades (e.g. adding `inCommitTimestamp` to a deletion-vector
         * table must not drop `deletionVectors`). */
-      protocol: TableProtocol = TableProtocol()) {
+      protocol: TableProtocol = TableProtocol(),
+      /** LIVE `domainMetadata` domains (domain → configuration JSON);
+        * a replayed `removed: true` tombstone deletes its domain. The
+        * row-tracking high-water mark lives in `delta.rowTracking`. */
+      domainMetadata: Map[String, String] = Map.empty) {
     /** Absolute (decoded) URIs of the live files. */
     def filePaths: Seq[String] = files.map { a =>
       val decoded = java.net.URLDecoder.decode(a.path, "UTF-8")
@@ -439,6 +447,7 @@ object DeltaLog {
 
     val live = mutable.LinkedHashMap[String, AddEntry]()
     val txns = mutable.Map[String, Long]()
+    val domains = mutable.LinkedHashMap[String, String]()
     var schemaString: String = null
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
@@ -471,11 +480,17 @@ object DeltaLog {
               d.getAs[Long]("cardinality"), lf("offset", 1L), lf("sizeInBytes", 0L),
               st, d.getAs[String]("pathOrInlineDv")))
           } else None
-        live(path) = AddEntry(path, a.getAs[Long]("size"), stats, dv)
+        def optLong(n: String): Option[Long] =
+          if (a.schema.fieldNames.contains(n) && !a.isNullAt(a.fieldIndex(n)))
+            Some(a.getAs[Long](n))
+          else None
+        live(path) = AddEntry(path, a.getAs[Long]("size"), stats, dv,
+          optLong("baseRowId"), optLong("defaultRowCommitVersion"))
       }
       val rows = spark.read.parquet(checkpoints(v).map(_.toString): _*)
       val cols = rows.columns.toSet
-      val wanted = Seq("add", "metaData", "protocol", "txn", "sidecar").filter(cols)
+      val wanted = Seq("add", "metaData", "protocol", "txn", "sidecar",
+        "domainMetadata").filter(cols)
       val sidecarFiles = mutable.Buffer[String]()
       rows.select(wanted.map(org.apache.spark.sql.functions.col): _*)
         .collect() // checkpoint = table METADATA; size is O(#files), not data
@@ -509,6 +524,14 @@ object DeltaLog {
             case ("txn", i) if !r.isNullAt(i) =>
               val t = r.getStruct(i)
               txns(t.getAs[String]("appId")) = t.getAs[Long]("version")
+            case ("domainMetadata", i) if !r.isNullAt(i) =>
+              val dm = r.getStruct(i)
+              val removed = dm.schema.fieldNames.contains("removed") &&
+                !dm.isNullAt(dm.fieldIndex("removed")) &&
+                dm.getAs[Boolean]("removed")
+              if (removed) domains.remove(dm.getAs[String]("domain"))
+              else domains(dm.getAs[String]("domain")) =
+                dm.getAs[String]("configuration")
             case _ =>
           }
         }
@@ -566,7 +589,10 @@ object DeltaLog {
                     else 0L,
                     st, d.get("pathOrInlineDv").asText()))
                 } else None
-              live(p) = AddEntry(p, add.get("size").asLong(), stats, dv)
+              def optLong(n: String): Option[Long] =
+                if (add.hasNonNull(n)) Some(add.get(n).asLong()) else None
+              live(p) = AddEntry(p, add.get("size").asLong(), stats, dv,
+                optLong("baseRowId"), optLong("defaultRowCommitVersion"))
             }
             if (rm != null) live.remove(rm.get("path").asText())
             if (md != null) {
@@ -592,6 +618,13 @@ object DeltaLog {
             val txn = node.get("txn")
             if (txn != null)
               txns(txn.get("appId").asText()) = txn.get("version").asLong()
+            val dm = node.get("domainMetadata")
+            if (dm != null) {
+              if (dm.hasNonNull("removed") && dm.get("removed").asBoolean())
+                domains.remove(dm.get("domain").asText())
+              else domains(dm.get("domain").asText()) =
+                dm.get("configuration").asText()
+            }
           }
       } finally reader.close()
     }
@@ -600,7 +633,7 @@ object DeltaLog {
     checkReaderFeatures(protocolInfo, tablePath)
     Snapshot(target, DataType.fromJson(schemaString).asInstanceOf[StructType],
       partCols, live.values.toSeq, tablePath, txns.toMap, config, mdId,
-      protocolInfo)
+      protocolInfo, domains.toMap)
   }
 
   /** Read a Delta table as a DataFrame (optionally time-traveled). The
@@ -686,7 +719,7 @@ object DeltaLog {
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "changeDataFeed", "columnMapping", "identityColumns",
     "deletionVectors", "timestampNtz", "inCommitTimestamp",
-    "v2Checkpoint", "vacuumProtocolCheck")
+    "v2Checkpoint", "vacuumProtocolCheck", "domainMetadata", "rowTracking")
 
   private[sources] def checkWritable(snap: Snapshot): Unit = {
     val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")

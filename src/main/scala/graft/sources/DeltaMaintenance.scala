@@ -59,7 +59,7 @@ object DeltaMaintenance {
     val actions = DeltaWrite.metaDataAction(old.schema, old.partitionColumns,
       old.configuration, current.metaDataId) +:
       (removes.map(DeltaWrite.removeAction) ++ readds.map(DeltaWrite.addAction))
-    DeltaWrite.commit(spark, tablePath, actions, "RESTORE")
+    DeltaWrite.commit(spark, tablePath, actions, "RESTORE", snapHint = Some(snap))
   }
 
   /** CONVERT TO DELTA: create `_delta_log/` IN PLACE over an existing
@@ -297,7 +297,8 @@ object DeltaMaintenance {
             .put("dataChange", false)
       }
     }
-    val v = DeltaWrite.commit(spark, tablePath, actions, "OPTIMIZE")
+    val v = DeltaWrite.commit(spark, tablePath, actions, "OPTIMIZE",
+      snapHint = Some(snap))
     (small.size, v)
   }
 
@@ -357,7 +358,8 @@ object DeltaMaintenance {
             .put("dataChange", false)
       }
     }
-    DeltaWrite.commit(spark, tablePath, actions, "OPTIMIZE ZORDER")
+    DeltaWrite.commit(spark, tablePath, actions, "OPTIMIZE ZORDER",
+      snapHint = Some(snap))
   }
 
   /** Delete data files not referenced by the current snapshot. With

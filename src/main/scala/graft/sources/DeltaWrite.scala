@@ -159,7 +159,8 @@ object DeltaWrite {
     // caller, who must re-read and redo (Delta's own semantics).
     commit(spark, tablePath, actions.toSeq,
       operation = if (exists) mode.toString.toUpperCase else "CREATE TABLE",
-      maxRetries = if (exists && mode == SaveMode.Append) 20 else 0)
+      maxRetries = if (exists && mode == SaveMode.Append) 20 else 0,
+      snapHint = prior)
   }
 
   /** Append a commit of explicit actions (used by [[DeltaDml]]). Returns
@@ -168,7 +169,8 @@ object DeltaWrite {
     * safe when the actions do not depend on the snapshot (appends). */
   private[sources] def commit(spark: SparkSession, tablePath: String,
       actions: Seq[ObjectNode], operation: String, maxRetries: Int = 0,
-      ictExplicit: Option[Long] = None): Long = {
+      ictExplicit: Option[Long] = None,
+      snapHint: Option[DeltaLog.Snapshot] = None): Long = {
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
     f.mkdirs(dir)
@@ -187,6 +189,10 @@ object DeltaWrite {
           "delta.inCommitTimestampEnablementTimestamp"))
         .map(_.toLong)
     var attempt = 0
+    // add nodes THIS commit stamped with row ids — restamped on a
+    // version-conflict retry against a fresh high-water mark (the
+    // concurrent winner may have advanced it)
+    val rtStamped = mutable.Set[ObjectNode]()
     while (true) {
       val version = nextVersion(f, dir)
       val prevIct = DeltaLog.commitIct(spark, tablePath, version - 1)
@@ -206,7 +212,9 @@ object DeltaWrite {
       ict.foreach(t => ci.put("inCommitTimestamp", t))
       val info = mapper.createObjectNode()
       info.set[ObjectNode]("commitInfo", ci)
-      val body = (info +: actions).map(mapper.writeValueAsString).mkString("\n")
+      val effActions = RowTracking.stamp(spark, tablePath,
+        if (attempt == 0) snapHint else None, version, actions, rtStamped)
+      val body = (info +: effActions).map(mapper.writeValueAsString).mkString("\n")
       val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
       val out = f.create(tmp, false)
       try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -264,7 +272,9 @@ object DeltaWrite {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", LongType),
           StructField("sizeInBytes", LongType),
-          StructField("cardinality", LongType))))))),
+          StructField("cardinality", LongType)))),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
@@ -275,7 +285,13 @@ object DeltaWrite {
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("configuration", MapType(StringType, StringType))))),
       StructField("txn", StructType(Seq(
-        StructField("appId", StringType), StructField("version", LongType))))))
+        StructField("appId", StringType), StructField("version", LongType)))),
+      // LIVE domains ride in the checkpoint (protocol requirement): a
+      // cleaned log must not forget the row-id high-water mark
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
     // txn state rides in the checkpoint (protocol requirement): without
     // it, checkpoint + log cleanup would FORGET which streaming batches
     // committed, and a restarted sink would re-apply them.
@@ -296,12 +312,16 @@ object DeltaWrite {
         math.max(proto.minWriter, derivedWriter),
         if (proto.readerFeatures.nonEmpty) proto.readerFeatures else null,
         if (proto.writerFeatures.nonEmpty) proto.writerFeatures else null),
-        null, null),
+        null, null, null),
         Row(null, null, Row(
           snap.metaDataId.getOrElse(java.util.UUID.randomUUID().toString),
-          snap.schema.json, snap.partitionColumns, snap.configuration), null)) ++
+          snap.schema.json, snap.partitionColumns, snap.configuration),
+          null, null)) ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-          Row(null, null, null, Row(app, v))
+          Row(null, null, null, Row(app, v), null)
+        } ++
+        snap.domainMetadata.toSeq.sortBy(_._1).map { case (dom, cfg) =>
+          Row(null, null, null, null, Row(dom, cfg, false))
         }
     // partitionValues recorded for real (protocol requirement): external
     // readers bootstrap partition columns from the add entry, not from
@@ -309,7 +329,10 @@ object DeltaWrite {
     val addRows = snap.files.map(a =>
       Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
         partitionValuesMap(a.path),
-        a.dv.map(d => Row(d.storageType, d.rawOrPath, if (d.inline) null else d.offset, d.sizeInBytes, d.cardinality)).orNull), null, null, null))
+        a.dv.map(d => Row(d.storageType, d.rawOrPath, if (d.inline) null else d.offset, d.sizeInBytes, d.cardinality)).orNull,
+        a.baseRowId.map(Long.box).orNull,
+        a.defaultRowCommitVersion.map(Long.box).orNull),
+        null, null, null, null))
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
 
@@ -357,7 +380,7 @@ object DeltaWrite {
     val lc = f.create(new Path(dir, "_last_checkpoint"), true)
     val partsField = if (parts > 1) s""","parts":$parts""" else ""
     try lc.write(
-      s"""{"version":${snap.version},"size":${snap.files.size + 2 + snap.txns.size}$partsField}"""
+      s"""{"version":${snap.version},"size":${snap.files.size + 2 + snap.txns.size + snap.domainMetadata.size}$partsField}"""
         .getBytes("UTF-8")) finally lc.close()
     snap.version
   }
@@ -400,7 +423,9 @@ object DeltaWrite {
         StructField("pathOrInlineDv", StringType),
         StructField("offset", LongType),
         StructField("sizeInBytes", LongType),
-        StructField("cardinality", LongType))))))
+        StructField("cardinality", LongType)))),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))
     val sidecarSchema = StructType(Seq(StructField("add", addStruct)))
     val manifestSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
@@ -419,7 +444,13 @@ object DeltaWrite {
       StructField("sidecar", StructType(Seq(
         StructField("path", StringType),
         StructField("sizeInBytes", LongType),
-        StructField("modificationTime", LongType))))))
+        StructField("modificationTime", LongType)))),
+      // non-file actions belong in the MANIFEST (protocol): live
+      // domains must survive log cleanup like protocol/metaData do
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
 
     val dir = DeltaLog.logDir(tablePath)
     val f = fs(spark, dir)
@@ -454,11 +485,14 @@ object DeltaWrite {
     def bucketOf(path: String): Int =
       math.floorMod(scala.util.hashing.MurmurHash3.stringHash(path), sidecars)
     // the dv component carries path@offset+size so a re-vectored file
-    // (same dv path, new offset) never false-matches a prior sidecar
+    // (same dv path, new offset) never false-matches a prior sidecar;
+    // baseRowId keyed too — a row-tracking backfill re-add must not
+    // reuse a sidecar whose rows lack the assigned ids
     def contentKey(path: String, size: Long, stats: Option[String],
-        dv: Option[String], dvCard: Option[Long]) =
+        dv: Option[String], dvCard: Option[Long],
+        baseRowId: Option[Long]) =
       (path, size, stats.getOrElse(""), dv.getOrElse(""),
-        dvCard.getOrElse(-1L))
+        dvCard.getOrElse(-1L), baseRowId.getOrElse(-1L))
     val buckets: Seq[Seq[DeltaLog.AddEntry]] = {
       val bs = Array.fill(sidecars)(scala.collection.mutable.Buffer[DeltaLog.AddEntry]())
       snap.files.foreach(a => bs(bucketOf(a.path)) += a)
@@ -500,20 +534,25 @@ object DeltaWrite {
                     val dv = Option(a.getAs[Row]("deletionVector"))
                     // offset is NULL for inline descriptors — a bare
                     // getAs[Long] would NPE on unboxing
+                    val base =
+                      if (a.schema.fieldNames.contains("baseRowId") &&
+                          !a.isNullAt(a.fieldIndex("baseRowId")))
+                        Some(a.getAs[Long]("baseRowId"))
+                      else None
                     contentKey(a.getAs[String]("path"), a.getAs[Long]("size"),
                       Option(a.getAs[String]("stats")),
                       dv.map(d => d.getAs[String]("pathOrInlineDv") +
                         "@" + (if (d.isNullAt(d.fieldIndex("offset"))) "i"
                           else d.getAs[Long]("offset").toString) +
                         "+" + d.getAs[Long]("sizeInBytes")),
-                      dv.map(_.getAs[Long]("cardinality")))
+                      dv.map(_.getAs[Long]("cardinality")), base)
                   }.toSet
                 }
               // files absent from the scan were EMPTY sidecars — they
               // legitimately match (and serve) an empty bucket
               named.map { case (n, sz) =>
                 nameToKeys.getOrElse(n,
-                  Set.empty[(String, Long, String, String, Long)]) -> (n, sz)
+                  Set.empty[(String, Long, String, String, Long, Long)]) -> (n, sz)
               }
             }
           }
@@ -621,12 +660,18 @@ object DeltaWrite {
       }), 10.minutes)
   }
 
-  private[sources] def addAction(a: DeltaLog.AddEntry): ObjectNode = {
+  private[sources] def addAction(a: DeltaLog.AddEntry): ObjectNode =
+    addAction(a, dataChange = true)
+
+  private[sources] def addAction(a: DeltaLog.AddEntry,
+      dataChange: Boolean): ObjectNode = {
     val n = mapper.createObjectNode()
     val add = mapper.createObjectNode()
       .put("path", a.path).put("size", a.size)
-      .put("modificationTime", 0L).put("dataChange", true)
+      .put("modificationTime", 0L).put("dataChange", dataChange)
     a.stats.foreach(add.put("stats", _))
+    a.baseRowId.foreach(add.put("baseRowId", _))
+    a.defaultRowCommitVersion.foreach(add.put("defaultRowCommitVersion", _))
     a.dv.foreach { d =>
       // the ORIGINAL storage form round-trips: a foreign 'u'/'i'
       // descriptor re-committed here must not be rewritten as a 'p'
@@ -648,6 +693,15 @@ object DeltaWrite {
     val n = mapper.createObjectNode()
     n.set[ObjectNode]("txn", mapper.createObjectNode()
       .put("appId", appId).put("version", version).put("lastUpdated", 0L))
+    n
+  }
+
+  private[sources] def domainMetadataAction(domain: String,
+      configuration: String, removed: Boolean = false): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.set[ObjectNode]("domainMetadata", mapper.createObjectNode()
+      .put("domain", domain).put("configuration", configuration)
+      .put("removed", removed))
     n
   }
 
@@ -702,7 +756,8 @@ object DeltaWrite {
            metaDataAction(df.schema, partitionBy))) ++
           (txnAction(appId, txnVersion) +: staged.map(addAction))
       try {
-        return Some(commit(spark, tablePath, actions, "STREAMING UPDATE"))
+        return Some(commit(spark, tablePath, actions, "STREAMING UPDATE",
+          snapHint = snap))
       } catch {
         case e: IllegalStateException
             if e.getMessage.contains("concurrent Delta commit conflict") =>
