@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver-generated star schema (TESTDATA.md).
   *
@@ -44,16 +44,26 @@ object Tables {
 
   private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects outright. Read the raw int64 nanos and truncate to
-      // microseconds with integer division — the same conversion DuckDB
-      // applies when it reads the file, so both engines see identical
-      // timestamps. (Double division would lose precision at 1e18 ns.)
+      // events.ts has shipped in two physical forms, normalized here so
+      // every operator sees a session-TZ TIMESTAMP:
+      //  - legacy TIMESTAMP(NANOS): Spark's vectorized reader rejects it,
+      //    so read the raw int64 nanos and truncate to micros with
+      //    integer division — the same conversion DuckDB applies, so
+      //    both engines see identical timestamps. (Double division would
+      //    lose precision at 1e18 ns.)
+      //  - current timestamp[us] without tz (TIMESTAMP_NTZ): cast to
+      //    TIMESTAMP under the UTC session — identical wall-clock values
+      //    to DuckDB's naive-as-UTC read, and unix_micros/date functions
+      //    resolve again (they reject NTZ inputs).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

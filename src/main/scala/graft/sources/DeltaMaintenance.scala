@@ -59,7 +59,8 @@ object DeltaMaintenance {
     val actions = DeltaWrite.metaDataAction(old.schema, old.partitionColumns,
       old.configuration, current.metaDataId) +:
       (removes.map(DeltaWrite.removeAction) ++ readds.map(DeltaWrite.addAction))
-    DeltaWrite.commit(spark, tablePath, actions, "RESTORE", snapHint = Some(snap))
+    DeltaWrite.commit(spark, tablePath, actions, "RESTORE",
+      snapHint = Some(current))
   }
 
   /** CONVERT TO DELTA: create `_delta_log/` IN PLACE over an existing

@@ -192,7 +192,8 @@ object DeltaWrite {
     // add nodes THIS commit stamped with row ids — restamped on a
     // version-conflict retry against a fresh high-water mark (the
     // concurrent winner may have advanced it)
-    val rtStamped = mutable.Set[ObjectNode]()
+    val rtStamped = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[ObjectNode, java.lang.Boolean]())
     while (true) {
       val version = nextVersion(f, dir)
       val prevIct = DeltaLog.commitIct(spark, tablePath, version - 1)
@@ -501,7 +502,7 @@ object DeltaWrite {
     // Prior v2 manifest (if any, and if written with the same bucket
     // count): map each prior sidecar's CONTENT set to its (name, size)
     // so byte-equal buckets are referenced instead of rewritten.
-    val priorSidecars: Map[Set[(String, Long, String, String, Long)], (String, Long)] = {
+    val priorSidecars: Map[Set[(String, Long, String, String, Long, Long)], (String, Long)] = {
       val priors = f.listStatus(dir).map(_.getPath).flatMap(p => p.getName match {
         case v2 if v2.matches("""\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.parquet""") =>
           Some(v2.take(20).toLong -> p)
@@ -569,18 +570,20 @@ object DeltaWrite {
       val ks = bucket.map(a => contentKey(a.path, a.size, a.stats,
         a.dv.map(d => d.rawOrPath + "@" +
           (if (d.inline) "i" else d.offset.toString) + "+" + d.sizeInBytes),
-        a.dv.map(_.cardinality))).toSet
+        a.dv.map(_.cardinality), a.baseRowId)).toSet
       priorSidecars.get(ks) match {
         case Some((name, sz)) =>
-          Row(null, null, null, null, Row(name, sz, 0L))
+          Row(null, null, null, null, Row(name, sz, 0L), null)
         case None =>
           val rows = bucket.map(a =>
             Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
               partitionValuesMap(a.path),
-              a.dv.map(d => Row(d.storageType, d.rawOrPath, if (d.inline) null else d.offset, d.sizeInBytes, d.cardinality)).orNull)))
+              a.dv.map(d => Row(d.storageType, d.rawOrPath, if (d.inline) null else d.offset, d.sizeInBytes, d.cardinality)).orNull,
+              a.baseRowId.map(Long.box).orNull,
+              a.defaultRowCommitVersion.map(Long.box).orNull)))
           val name = s"${java.util.UUID.randomUUID()}.parquet"
           val size = writeOne(new Path(scDir, name), rows, sidecarSchema)
-          Row(null, null, null, null, Row(name, size, 0L))
+          Row(null, null, null, null, Row(name, size, 0L), null)
       }
     }
     val proto = snap.protocol
@@ -589,14 +592,17 @@ object DeltaWrite {
         Row(Row(proto.minReader, proto.minWriter,
           if (proto.readerFeatures.nonEmpty) proto.readerFeatures else null,
           if (proto.writerFeatures.nonEmpty) proto.writerFeatures else null),
-          null, null, null, null),
+          null, null, null, null, null),
         Row(null, Row(
           snap.metaDataId.getOrElse(java.util.UUID.randomUUID().toString),
           snap.schema.json, snap.partitionColumns, snap.configuration),
-          null, null, null),
-        Row(null, null, null, Row(snap.version), null)) ++
+          null, null, null, null),
+        Row(null, null, null, Row(snap.version), null, null)) ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-          Row(null, null, Row(app, v), null, null)
+          Row(null, null, Row(app, v), null, null, null)
+        } ++
+        snap.domainMetadata.toSeq.sortBy(_._1).map { case (dom, cfg) =>
+          Row(null, null, null, null, null, Row(dom, cfg, false))
         } ++ sidecarRows
     writeOne(new Path(dir,
       f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"),

@@ -92,7 +92,11 @@ object RowTracking {
     * `delta.rowTracking` high-water-mark domain action appended. */
   private[sources] def stamp(spark: SparkSession, tablePath: String,
       snapHint: Option[DeltaLog.Snapshot], version: Long,
-      actions: Seq[ObjectNode], ours: mutable.Set[ObjectNode]): Seq[ObjectNode] = {
+      actions: Seq[ObjectNode],
+      // IDENTITY set, not a hash set: restamping MUTATES the nodes, so a
+      // value-hashed set would lose them after the first restamp and a
+      // second conflict retry would treat our own adds as caller-assigned
+      ours: java.util.Set[ObjectNode]): Seq[ObjectNode] = {
     val addNodes = actions.flatMap { n =>
       Option(n.get("add")).map(_.asInstanceOf[ObjectNode])
     }
@@ -102,7 +106,7 @@ object RowTracking {
     val on = snap.exists(supported) || protocolActionListsRowTracking(actions)
     if (!on) return actions
 
-    val toStamp = addNodes.filter(a => !a.has("baseRowId") || ours(a))
+    val toStamp = addNodes.filter(a => !a.has("baseRowId") || ours.contains(a))
     val preserved = addNodes.filterNot(toStamp.contains)
     // caller-provided ids (restore/clone) may sit ABOVE the recorded
     // mark of a young target table — the new mark must clear them too
@@ -112,7 +116,7 @@ object RowTracking {
     var next = math.max(snap.map(highWaterMark).getOrElse(-1L), preservedTop) + 1
     toStamp.foreach { a =>
       a.put("baseRowId", next).put("defaultRowCommitVersion", version)
-      ours += a
+      ours.add(a)
       next += numRecordsOf(spark, tablePath, a)
     }
     if (next == 0L) actions // empty files only, nothing recorded yet

@@ -29,20 +29,33 @@ final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 object EventsStreaming {
 
   /** The events schema as a file-stream source requires (declared, since
-    * streams cannot infer). ts arrives as int64 nanos (see Tables.load). */
-  val rawSchema: StructType = StructType(Seq(
+    * streams cannot infer), parameterized on the fixture's physical ts
+    * type — legacy TIMESTAMP(NANOS) read as raw int64, or the current
+    * timestamp[us] without tz (TIMESTAMP_NTZ). See Tables.load for the
+    * normalization contract both share. */
+  def rawSchema(tsType: DataType = LongType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw int64
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet. */
+  /** File-source stream over a directory of events parquet. A one-off
+    * batch footer read picks the declared schema (streams cannot infer);
+    * either physical form is then normalized to a session-TZ TIMESTAMP —
+    * the UTC session makes the NTZ cast exact vs DuckDB's naive-as-UTC
+    * read. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physical = spark.read.parquet(dir).schema("ts").dataType
+    val stream = spark.readStream.schema(rawSchema(physical)).parquet(dir)
+    physical match {
+      case LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Incremental form of EventOps.q54: 1-hour tumbling windows with a

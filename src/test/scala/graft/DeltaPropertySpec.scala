@@ -292,15 +292,17 @@ class DeltaPropertySpec extends AnyFunSuite {
     import spark.implicits._
     val t = Files.createTempDirectory("graft-wf").resolve("t").toString
     DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t)
-    // rewrite the protocol into a foreign shape listing rowTracking
+    // rewrite the protocol into a foreign shape listing a writer
+    // feature this engine does NOT implement (rowTracking moved to the
+    // supported set in r5, so icebergCompatV2 is the unknown probe now)
     val log = java.nio.file.Paths.get(s"$t/_delta_log")
     val v1 = log.resolve(f"${1L}%020d.json")
     java.nio.file.Files.writeString(v1,
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","invariants"]}}""")
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2","invariants"]}}""")
     assert(DeltaLog.read(spark, t).count() == 1, "reads stay open")
     val e = intercept[UnsupportedOperationException](
       DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append))
-    assert(e.getMessage.contains("[rowTracking]"),
+    assert(e.getMessage.contains("[icebergCompatV2]"),
       s"refusal names the unknown feature only: ${e.getMessage}")
     intercept[UnsupportedOperationException](
       DeltaDml.delete(spark, t, col("id") === 1))

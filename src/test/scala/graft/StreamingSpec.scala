@@ -45,13 +45,13 @@ class StreamingSpec extends AnyFunSuite {
   test("append mode + watermark: windows finalize only once the watermark passes") {
     import org.apache.spark.sql.streaming.OutputMode
     val dir = Files.createTempDirectory("graft_events_wm")
-    // stage first half / second half by time, keeping ts in its RAW int64
-    // nanos form (readEvents' declared schema) — a Spark rewrite of the
-    // converted timestamp would change the physical parquet type.
+    // stage first half / second half by time, keeping ts in its RAW
+    // physical form (int64 nanos or NTZ — readEvents detects either); a
+    // Spark rewrite of the converted timestamp would change the type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sf/events.parquet").orderBy("ts").cache()
     val n = ev.count()
-    val cut = ev.select("ts").collect()(n.toInt / 2).getLong(0)
+    val cut = lit(ev.select("ts").collect()(n.toInt / 2).get(0))
     ev.filter(col("ts") <= cut).coalesce(1).write.mode("overwrite")
       .parquet(dir.resolve("batch1").toString)
     Files.move(
