@@ -359,6 +359,8 @@ object DeltaDml {
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val DropColumnRe =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  private val WidenColumnRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*;?\s*""".r
   private val CheckpointRe =
     """(?is)\s*CHECKPOINT\s+(\S+?)(?:\s+(V2)(?:\s+SIDECARS\s+(\d+))?|\s+PARTS\s+(\d+))?\s*;?\s*""".r
   private val CleanupRe =
@@ -402,6 +404,9 @@ object DeltaDml {
     case DropColumnRe(target, name) =>
       val v = DeltaSchema.dropColumn(spark, unquote(target), name)
       Some(s"column $name dropped (version $v)")
+    case WidenColumnRe(target, name, toDdl) =>
+      val v = DeltaSchema.widenColumnType(spark, unquote(target), name, toDdl)
+      Some(s"column $name widened to ${toDdl.trim} (version $v)")
     case CheckpointRe(target, v2, sidecars, parts) =>
       val t = unquote(target)
       val v =

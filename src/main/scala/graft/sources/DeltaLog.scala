@@ -719,7 +719,11 @@ object DeltaLog {
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "changeDataFeed", "columnMapping", "identityColumns",
     "deletionVectors", "timestampNtz", "inCommitTimestamp",
-    "v2Checkpoint", "vacuumProtocolCheck", "domainMetadata", "rowTracking")
+    "v2Checkpoint", "vacuumProtocolCheck", "domainMetadata", "rowTracking",
+    // writer obligations hold: new files are written with the table's
+    // CURRENT (widest) logical schema, and DeltaSchema.widenColumnType
+    // records `delta.typeChanges` at ALTER time
+    "typeWidening", "typeWidening-preview")
 
   private[sources] def checkWritable(snap: Snapshot): Unit = {
     val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -821,7 +825,15 @@ object DeltaLog {
     * behavior by definition — it exists to gate vacuum implementations. */
   private val SupportedReaderFeatures: Set[String] = Set(
     "columnMapping", "deletionVectors", "v2Checkpoint",
-    "timestampNtz", "vacuumProtocolCheck")
+    "timestampNtz", "vacuumProtocolCheck",
+    // Type widening needs no bespoke read path: the scan already reads
+    // every file with the snapshot's DECLARED schema, and Spark's
+    // vectorized parquet reader promotes the narrower physical types the
+    // protocol allows (byte→short→int→long, float→double, int→double,
+    // date→TIMESTAMP_NTZ, int→decimal, decimal precision growth) to the
+    // requested wider type. Both the stable and preview feature names
+    // appear in the wild; `variantType` stays refused.
+    "typeWidening", "typeWidening-preview")
 
   /** Protocol gate for reader version 3 TABLE FEATURES: the spec requires
     * a reader to refuse the table when `readerFeatures` names a feature it

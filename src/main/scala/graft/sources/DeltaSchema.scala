@@ -159,6 +159,90 @@ object DeltaSchema {
     * renamed or dropped: partition names live in every add entry's
     * partitionValues and the hive layout; a CHECK whose text references
     * the column would silently stop being enforceable. */
+  /** ALTER TABLE … ALTER COLUMN … TYPE …: type widening (public Delta
+    * protocol feature `typeWidening`), metadata-only like the other
+    * ALTERs — at 100 TB the entire point is that no data file is
+    * rewritten. Existing files keep their narrow physical type; the scan
+    * reads every file with the snapshot's declared schema and Spark's
+    * vectorized parquet reader performs the promotion (verified for the
+    * full protocol-allowed set on this runtime). New files are written
+    * wide by construction. The change is recorded in the field's
+    * `delta.typeChanges` metadata and the protocol gains
+    * `typeWidening` (reader + writer feature), so foreign engines
+    * either widen the same way or refuse loudly.
+    *
+    * Only the protocol's widening lattice is allowed — anything else
+    * (narrowing, string↔numeric, …) is rejected: it would silently
+    * corrupt old files' values rather than promote them. Partition
+    * columns are immovable (their serialized values live in every add
+    * entry); constraint-referenced columns are guarded like rename/drop
+    * (a CHECK compiled against the narrow type may change semantics). */
+  def widenColumnType(spark: SparkSession, tablePath: String,
+      name: String, toDdl: String): Long = {
+    import org.apache.spark.sql.types._
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap)
+    val f = fieldOf(snap, name)
+    val to = StructType.fromDDL(s"`__w` $toDdl").head.dataType
+    require(isWidening(f.dataType, to),
+      s"cannot change ${f.name}: ${f.dataType.typeName} -> ${to.typeName} " +
+        "is not a protocol-allowed type widening")
+    guardImmovable(snap, name, "widen")
+    // the change record rides in the field metadata per the feature spec
+    val prior =
+      if (f.metadata.contains(TypeChangesKey))
+        f.metadata.getMetadataArray(TypeChangesKey) else Array.empty[Metadata]
+    val entry = new MetadataBuilder()
+      .putString("fromType", f.dataType.typeName)
+      .putString("toType", to.typeName).build()
+    val widened = f.copy(dataType = to,
+      metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putMetadataArray(TypeChangesKey, prior :+ entry).build())
+    val schema = StructType(snap.schema.fields.map(g =>
+      if (g.name == f.name) widened else g))
+    val ntzFeature =
+      if (to.isInstanceOf[TimestampNTZType] &&
+          !snap.protocol.readerFeatures.contains("timestampNtz"))
+        Seq("timestampNtz")
+      else Nil
+    val proto =
+      if (snap.protocol.writerFeatures.contains("typeWidening") &&
+          ntzFeature.isEmpty) Nil
+      else Seq(DeltaWrite.featureProtocolAction(snap.protocol,
+        newWriterFeatures = "typeWidening" +: ntzFeature,
+        newReaderFeatures = "typeWidening" +: ntzFeature))
+    DeltaWrite.commit(spark, tablePath,
+      proto :+ DeltaWrite.metaDataAction(schema, snap.partitionColumns,
+        snap.configuration, snap.metaDataId),
+      operation = "ALTER COLUMN TYPE")
+  }
+
+  private val TypeChangesKey = "delta.typeChanges"
+
+  /** The protocol's widening lattice: promotions every reader can apply
+    * losslessly to the narrow physical values. */
+  private def isWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (DateType, _: TimestampNTZType) => true
+      case (d: DecimalType, e: DecimalType) =>
+        (e.precision > d.precision || e.scale > d.scale) &&
+          e.precision >= d.precision && e.scale >= d.scale &&
+          e.precision - e.scale >= d.precision - d.scale
+      case (ByteType, e: DecimalType) => e.precision - e.scale >= 3
+      case (ShortType, e: DecimalType) => e.precision - e.scale >= 5
+      case (IntegerType, e: DecimalType) => e.precision - e.scale >= 10
+      case (LongType, e: DecimalType) => e.precision - e.scale >= 20
+      case _ => false
+    }
+  }
+
   private def guardImmovable(snap: DeltaLog.Snapshot, col: String,
       op: String): Unit = {
     require(!snap.partitionColumns.exists(_.equalsIgnoreCase(col)),

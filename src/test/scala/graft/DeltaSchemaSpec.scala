@@ -225,4 +225,75 @@ class DeltaSchemaSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1))).toSeq ==
       Seq((1, "a"), (2, "b")))
   }
+
+  test("ALTER COLUMN TYPE widens metadata-only: narrow files promote on " +
+    "read, appends write wide, typeChanges + feature recorded") {
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
+    val filesBefore = DeltaLog.snapshot(spark, t).files.map(_.path).toSet
+
+    val v = DeltaSchema.widenColumnType(spark, t, "id", "BIGINT")
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.version == v)
+    // metadata-only: not one data file was touched
+    assert(snap.files.map(_.path).toSet == filesBefore)
+    assert(snap.protocol.readerFeatures.contains("typeWidening"))
+    assert(snap.protocol.writerFeatures.contains("typeWidening"))
+    val f = snap.schema("id")
+    assert(f.dataType == org.apache.spark.sql.types.LongType)
+    val changes = f.metadata.getMetadataArray("delta.typeChanges")
+    assert(changes.length == 1 &&
+      changes(0).getString("fromType") == "integer" &&
+      changes(0).getString("toType") == "long")
+
+    // the narrow physical file promotes on read; a wide append coexists
+    DeltaWrite.write(Seq((3L, "c")).toDF("id", "s"), t, SaveMode.Append)
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // a second widening on another column appends to the record
+    val t2 = tmpTable()
+    DeltaWrite.write(Seq((1.5f, java.sql.Date.valueOf("2024-01-02")))
+      .toDF("x", "d"), t2)
+    DeltaSchema.widenColumnType(spark, t2, "x", "DOUBLE")
+    DeltaSchema.widenColumnType(spark, t2, "d", "TIMESTAMP_NTZ")
+    val snap2 = DeltaLog.snapshot(spark, t2)
+    assert(snap2.schema("x").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(snap2.protocol.readerFeatures.contains("timestampNtz"),
+      "date->ntz widening must declare the ntz feature too")
+    val row = DeltaLog.read(spark, t2).collect().head
+    assert(row.getDouble(0) == 1.5d)
+    assert(row.getAs[java.time.LocalDateTime](1) ==
+      java.time.LocalDate.of(2024, 1, 2).atStartOfDay())
+  }
+
+  test("widening guards: narrowing, non-lattice changes, and partition " +
+    "columns are refused; DDL dispatch routes") {
+    val t = tmpTable()
+    Tables.invalidate()
+    DeltaWrite.write(
+      Seq((1L, 1, "a")).toDF("big", "part", "s"), t, partitionBy = Seq("part"))
+    intercept[IllegalArgumentException](
+      DeltaSchema.widenColumnType(spark, t, "big", "INT")) // narrowing
+    intercept[IllegalArgumentException](
+      DeltaSchema.widenColumnType(spark, t, "s", "BIGINT")) // not in lattice
+    intercept[IllegalArgumentException](
+      DeltaSchema.widenColumnType(spark, t, "part", "BIGINT")) // partition
+    // decimal: capacity may only grow
+    val t2 = tmpTable()
+    DeltaWrite.write(Seq(BigDecimal("1.25")).toDF("m")
+      .select(col("m").cast("decimal(5,2)")), t2)
+    intercept[IllegalArgumentException](
+      DeltaSchema.widenColumnType(spark, t2, "m", "DECIMAL(5,3)"))
+    DeltaSchema.widenColumnType(spark, t2, "m", "DECIMAL(12,4)")
+    assert(DeltaLog.read(spark, t2).collect().head.getDecimal(0)
+      .compareTo(new java.math.BigDecimal("1.25")) == 0)
+    // DDL surface routes, and carries the same guards
+    intercept[IllegalArgumentException](DeltaDml.dispatchMaintenance(spark,
+      s"ALTER TABLE `$t` ALTER COLUMN big TYPE INT"))
+    assert(DeltaDml.dispatchMaintenance(spark,
+      s"ALTER TABLE `$t2` ALTER COLUMN m SET DATA TYPE DECIMAL(14,4)")
+      .exists(_.contains("widened")))
+  }
 }

@@ -1228,4 +1228,38 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(df.isDefined && df.get.count() == 3)
     assert(DeltaMaintenance.dispatchHistory(spark, "SELECT 1").isEmpty)
   }
+
+  test("foreign typeWidening table: narrow files promote under the " +
+    "declared wide schema; variantType stays refused") {
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t) // INT files
+    // a foreign writer widened id to long: preview feature name, wide
+    // schema + typeChanges record, narrow files untouched
+    val wide = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        org.apache.spark.sql.types.Metadata.fromJson(
+          """{"delta.typeChanges":[{"fromType":"integer","toType":"long"}]}""")),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val schemaJson = wide.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$t/_delta_log").resolve(f"${1L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening-preview"],"writerFeatures":["typeWidening-preview"]}}
+         |{"metaData":{"id":"tw-test","schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"format":{"provider":"parquet","options":{}}}}"""
+        .stripMargin)
+    val got = DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+
+    // variantType remains behind the gate: refuse loudly, never misread
+    val t2 = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$t2/_delta_log").resolve(f"${1L}%020d.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""")
+    val e = intercept[UnsupportedOperationException](DeltaLog.read(spark, t2))
+    assert(e.getMessage.contains("variantType"))
+  }
 }
