@@ -245,35 +245,38 @@ object EventOps {
 
     // Time-series gap fill + forward fill — regularize each user's event
     // stream onto an hourly grid (the feature-engineering step before
-    // any windowed model input). Distributed shape: the hourly rollup is
-    // one (user, hour) exchange with map-side combine; per-user bounds
-    // reuse that rollup (tiny second agg); the grid materializes IN-ROW
-    // via explode(sequence(min, max, 1 hour)) — never a driver loop or a
-    // cross join against a calendar table; the forward fill is one
-    // last(ignoreNulls) window on the user partitioning already in
-    // place. Grid size scales with users × span, not events, and the
-    // output re-aggregates to one row per user so only aggregates leave
-    // the window stage.
+    // any windowed model input). The grid itself NEVER materializes:
+    // a forward-filled grid hour always carries the value of the last
+    // PRESENT hour at-or-before it, so the grid-sum telescopes to
+    // Σ hv_i × weight_i where weight_i is the whole-hour distance to the
+    // user's next present hour (1 for the last row — it only covers
+    // itself). One (user, hour) rollup exchange, one lead() window on
+    // the user key, and the final per-user agg rides the window's
+    // partitioning — grid size (users × span) drops out of the cost
+    // entirely, which at 100 TB is the difference between work
+    // proportional to EVENTS and work proportional to users × years of
+    // wall-clock hours. The decimal weight product keeps the money rule
+    // exact: hv × integer-hours is exact in decimal, so fill_sum equals
+    // the grid-summed oracle bit-for-bit after the final double cast.
     GraftQuery("q107_gap_fill",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val hourly = ev(s, d)
           .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
           .agg(sum(col("value").cast(DecimalType(18, 2))).as("hv"))
-        val bounds = hourly.groupBy("user_id")
-          .agg(min("h").as("mn"), max("h").as("mx"))
-        val grid = bounds.select(col("user_id"),
-          explode(sequence(col("mn"), col("mx"),
-            expr("INTERVAL 1 HOUR"))).as("h"))
         val w = Window.partitionBy("user_id").orderBy("h")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        grid.join(hourly, Seq("user_id", "h"), "left")
-          .withColumn("fv", last("hv", ignoreNulls = true).over(w))
+        hourly
+          .withColumn("weight", coalesce(
+            ((unix_timestamp(lead("h", 1).over(w)) -
+              unix_timestamp(col("h"))) / 3600L).cast("long"),
+            lit(1L)))
           .groupBy("user_id")
-          .agg(count(lit(1)).as("n_hours"),
-            sum(when(col("hv").isNull, 1L).otherwise(0L)).cast("long")
-              .as("n_gaps"),
-            sum("fv").cast("double").as("fill_sum"))
+          .agg(
+            ((unix_timestamp(max("h")) - unix_timestamp(min("h"))) / 3600L + 1L)
+              .cast("long").as("n_hours"),
+            (((unix_timestamp(max("h")) - unix_timestamp(min("h"))) / 3600L + 1L)
+              - count(lit(1))).cast("long").as("n_gaps"),
+            sum(col("hv") * col("weight")).cast("double").as("fill_sum"))
           .orderBy("user_id")
       },
       Some("WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h, " +

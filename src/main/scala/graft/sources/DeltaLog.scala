@@ -723,7 +723,10 @@ object DeltaLog {
     // writer obligations hold: new files are written with the table's
     // CURRENT (widest) logical schema, and DeltaSchema.widenColumnType
     // records `delta.typeChanges` at ALTER time
-    "typeWidening", "typeWidening-preview")
+    "typeWidening", "typeWidening-preview",
+    // variant writes use Spark's native parquet variant layout — the
+    // encoding the feature mandates (createProtocolAction declares it)
+    "variantType", "variantType-preview")
 
   private[sources] def checkWritable(snap: Snapshot): Unit = {
     val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -832,12 +835,17 @@ object DeltaLog {
     // protocol allows (byte→short→int→long, float→double, int→double,
     // date→TIMESTAMP_NTZ, int→decimal, decimal precision growth) to the
     // requested wider type. Both the stable and preview feature names
-    // appear in the wild; `variantType` stays refused.
-    "typeWidening", "typeWidening-preview")
+    // appear in the wild.
+    "typeWidening", "typeWidening-preview",
+    // Variant needs no bespoke path either: the feature mandates exactly
+    // Spark's own parquet variant encoding (struct<metadata,value>
+    // binary pair), which the scan reads natively once the declared
+    // schema says `variant`.
+    "variantType", "variantType-preview")
 
   /** Protocol gate for reader version 3 TABLE FEATURES: the spec requires
     * a reader to refuse the table when `readerFeatures` names a feature it
-    * does not implement (e.g. `variantType`, `typeWidening`) — reading on
+    * does not implement (e.g. a future format revision) — reading on
     * anyway would silently misinterpret data. Version gating alone
     * (checkProtocol) cannot catch this: every feature table sits at
     * reader 3. Validated once per snapshot, after the replay settles on

@@ -834,40 +834,55 @@ object DeltaWrite {
     * protocol's `timestampNtz` reader+writer feature is then REQUIRED:
     * a reader that does not know the feature would decode the column
     * with session-local semantics instead of refusing the table. */
-  private[sources] def containsNtz(
-      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-    case org.apache.spark.sql.types.TimestampNTZType => true
+  /** Table features a schema's TYPES require (protocol: both are
+    * reader+writer features, declared whenever the type appears at any
+    * nesting depth): `timestampNtz` for TIMESTAMP_NTZ, `variantType`
+    * for VARIANT. Spark's parquet writer already lays variant out as
+    * the spec's struct<metadata,value> binary pair — the same encoding
+    * the Delta feature mandates — so declaring the feature is the whole
+    * writer obligation. */
+  private[sources] def schemaFeatures(
+      dt: org.apache.spark.sql.types.DataType): Set[String] = dt match {
+    case org.apache.spark.sql.types.TimestampNTZType => Set("timestampNtz")
+    case _: org.apache.spark.sql.types.VariantType => Set("variantType")
     case s: org.apache.spark.sql.types.StructType =>
-      s.fields.exists(f => containsNtz(f.dataType))
-    case a: org.apache.spark.sql.types.ArrayType => containsNtz(a.elementType)
+      s.fields.iterator.flatMap(f => schemaFeatures(f.dataType)).toSet
+    case a: org.apache.spark.sql.types.ArrayType =>
+      schemaFeatures(a.elementType)
     case m: org.apache.spark.sql.types.MapType =>
-      containsNtz(m.keyType) || containsNtz(m.valueType)
-    case _ => false
+      schemaFeatures(m.keyType) ++ schemaFeatures(m.valueType)
+    case _ => Set.empty
   }
 
+  private[sources] def containsNtz(
+      dt: org.apache.spark.sql.types.DataType): Boolean =
+    schemaFeatures(dt).contains("timestampNtz")
+
   /** Protocol action for a FRESH table with `schema`: the legacy base
-    * (1,2) unless the schema requires the timestampNtz feature. */
+    * (1,2) unless the schema's types require features. */
   private[sources] def createProtocolAction(
-      schema: org.apache.spark.sql.types.StructType): ObjectNode =
-    if (containsNtz(schema))
+      schema: org.apache.spark.sql.types.StructType): ObjectNode = {
+    val feats = schemaFeatures(schema).toSeq.sorted
+    if (feats.nonEmpty)
       featureProtocolAction(DeltaLog.TableProtocol(1, 2),
-        newWriterFeatures = Seq("timestampNtz"),
-        newReaderFeatures = Seq("timestampNtz"))
+        newWriterFeatures = feats, newReaderFeatures = feats)
     else protocolAction()
+  }
 
   /** Protocol upgrade needed (if any) when a commit introduces a
-    * TIMESTAMP_NTZ column into an existing table — overwrite,
-    * mergeSchema widening, or ADD COLUMNS. Merges over the current
-    * protocol so no recorded feature is dropped. */
+    * feature-requiring type (TIMESTAMP_NTZ, VARIANT) into an existing
+    * table — overwrite, mergeSchema widening, or ADD COLUMNS. Merges
+    * over the current protocol so no recorded feature is dropped. */
   private[sources] def ntzUpgradeAction(
       current: DeltaLog.TableProtocol,
-      newSchema: org.apache.spark.sql.types.StructType): Option[ObjectNode] =
-    if (containsNtz(newSchema) &&
-        !current.readerFeatures.contains("timestampNtz"))
+      newSchema: org.apache.spark.sql.types.StructType): Option[ObjectNode] = {
+    val need = schemaFeatures(newSchema).toSeq.sorted
+      .filterNot(current.readerFeatures.contains)
+    if (need.nonEmpty)
       Some(featureProtocolAction(current,
-        newWriterFeatures = Seq("timestampNtz"),
-        newReaderFeatures = Seq("timestampNtz")))
+        newWriterFeatures = need, newReaderFeatures = need))
     else None
+  }
 
   private[sources] def protocolAction(): ObjectNode = protocolAction(1, 2)
 

@@ -276,13 +276,13 @@ class DeltaDvSpec extends AnyFunSuite {
     // reader-3 TABLE FEATURE gate: an unimplemented reader feature must
     // refuse the table (version gating alone passes every feature table);
     // no-read-behavior features (vacuumProtocolCheck) must NOT refuse it
-    val variant = writeTable(Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""",
+    val unknownFeature = writeTable(Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["collations"],"writerFeatures":["collations"]}}""",
       s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))
     val e = intercept[UnsupportedOperationException] {
-      DeltaLog.snapshot(spark, variant)
+      DeltaLog.snapshot(spark, unknownFeature)
     }
-    assert(e.getMessage.contains("variantType"), e.getMessage)
+    assert(e.getMessage.contains("collations"), e.getMessage)
     val vacuumOk = writeTable(Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["vacuumProtocolCheck","timestampNtz"],"writerFeatures":["vacuumProtocolCheck","timestampNtz"]}}""",
       s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))

@@ -1229,8 +1229,44 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(DeltaMaintenance.dispatchHistory(spark, "SELECT 1").isEmpty)
   }
 
+  test("variant columns round-trip through write, scan, and DML; the " +
+    "feature is declared at create") {
+    import spark.implicits._
+    val t = tmpTable()
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1, parse_json('{"a": 1, "tags": ["x", "y"]}')),
+        |  (2, parse_json('{"a": 2, "tags": []}')),
+        |  (3, parse_json('null'))
+        |AS v(id, payload)""".stripMargin)
+    DeltaWrite.write(df, t)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.protocol.readerFeatures.contains("variantType"))
+    assert(snap.protocol.writerFeatures.contains("variantType"))
+    assert(snap.schema("payload").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    val got = DeltaLog.read(spark, t)
+      .selectExpr("id", "variant_get(payload, '$.a', 'int') AS a",
+        "to_json(payload) AS js")
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1, Some(1), """{"a":1,"tags":["x","y"]}"""),
+      (2, Some(2), """{"a":2,"tags":[]}"""),
+      (3, None, "null")))
+    // DML on a variant table: the rewrite path carries the column
+    DeltaDml.delete(spark, t, col("id") === 2)
+    assert(DeltaLog.read(spark, t).count() == 2)
+    // a foreign table declaring the preview feature name reads too
+    val dir = java.nio.file.Paths.get(s"$t/_delta_log")
+    val last = DeltaLog.snapshot(spark, t).version
+    java.nio.file.Files.writeString(dir.resolve(f"${last + 1}%020d.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType-preview"],"writerFeatures":["variantType-preview"]}}""")
+    assert(DeltaLog.read(spark, t).count() == 2)
+  }
+
   test("foreign typeWidening table: narrow files promote under the " +
-    "declared wide schema; variantType stays refused") {
+    "declared wide schema; unknown reader features stay refused") {
     import spark.implicits._
     val t = tmpTable()
     DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t) // INT files
@@ -1253,13 +1289,15 @@ class DeltaSourceSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((1L, "a"), (2L, "b")))
 
-    // variantType remains behind the gate: refuse loudly, never misread
+    // a feature this engine does NOT implement: refuse loudly, never
+    // misread (the gate itself must keep working as the supported set
+    // grows)
     val t2 = tmpTable()
     DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t2)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$t2/_delta_log").resolve(f"${1L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["collations"],"writerFeatures":["collations"]}}""")
     val e = intercept[UnsupportedOperationException](DeltaLog.read(spark, t2))
-    assert(e.getMessage.contains("variantType"))
+    assert(e.getMessage.contains("collations"))
   }
 }
