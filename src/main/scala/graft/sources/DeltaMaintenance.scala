@@ -141,6 +141,11 @@ object DeltaMaintenance {
     require(props.keys.forall(!_.startsWith(DeltaConstraints.Prefix)),
       "use ALTER TABLE ... ADD CONSTRAINT for CHECK constraints " +
         "(SET TBLPROPERTIES would skip existing-row validation)")
+    // delta.enableRowTracking=true is Delta's user-facing switch: run
+    // the protocol upgrade + dataChange=false backfill FIRST (its own
+    // commit, like Delta's own enablement), then record the property.
+    if (props.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true")))
+      RowTracking.enable(spark, tablePath)
     val snap = DeltaLog.snapshot(spark, tablePath)
     val ictOn = (k: Map[String, String]) =>
       k.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))

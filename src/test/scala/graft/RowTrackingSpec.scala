@@ -168,6 +168,27 @@ class RowTrackingSpec extends AnyFunSuite {
     }
   }
 
+  test("delta.enableRowTracking=true via SET TBLPROPERTIES enables and " +
+    "backfills (the user-facing switch)") {
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq(1, 2, 3).toDF("id"), t)
+    DeltaMaintenance.setTblProperties(spark, t,
+      Map("delta.enableRowTracking" -> "true"))
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(RowTracking.supported(snap))
+    assert(snap.configuration("delta.enableRowTracking") == "true")
+    assert(snap.files.forall(_.baseRowId.isDefined))
+    assert(idMap(t).values.toSeq.sorted == Seq(0L, 1L, 2L))
+    // the REPL statement form routes through the same switch
+    val t2 = tmpTable()
+    DeltaWrite.write(Seq(7).toDF("id"), t2)
+    assert(DeltaDml.dispatchMaintenance(spark,
+      s"ALTER TABLE `$t2` SET TBLPROPERTIES (delta.enableRowTracking = true)")
+      .isDefined)
+    assert(RowTracking.supported(DeltaLog.snapshot(spark, t2)))
+  }
+
   test("files written before enable read back null ids, not a failure") {
     import spark.implicits._
     val t = tmpTable()
