@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, MapType, StringType, StructField, StructType, TimestampType}
 
 /** Table-maintenance operations completing the Delta lifecycle (public
   * protocol semantics):
@@ -266,8 +266,38 @@ object DeltaMaintenance {
   def dispatchHistory(spark: SparkSession, sql: String): Option[DataFrame] =
     sql match {
       case HistoryRe(target) => Some(history(spark, DeltaDml.unquote(target)))
+      case DetailRe(target) => Some(describeDetail(spark, DeltaDml.unquote(target)))
       case _ => None
     }
+
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+?)\s*;?\s*""".r
+
+  /** DESCRIBE DETAIL — Delta's one-row table summary (format, id,
+    * partitioning, live-file count/bytes, properties, protocol). All
+    * metadata-scale: one snapshot replay, no data file is opened. */
+  def describeDetail(spark: SparkSession, tablePath: String): DataFrame = {
+    val snap = DeltaLog.snapshot(spark, tablePath)
+    val schema = StructType(Seq(
+      StructField("format", StringType),
+      StructField("id", StringType),
+      StructField("location", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("numFiles", LongType),
+      StructField("sizeInBytes", LongType),
+      StructField("properties", MapType(StringType, StringType)),
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("tableFeatures", ArrayType(StringType))))
+    val row = Row("delta", snap.metaDataId.orNull, snap.tablePath,
+      snap.partitionColumns, snap.files.size.toLong,
+      snap.files.map(_.size).sum, snap.configuration,
+      snap.protocol.minReader, snap.protocol.minWriter,
+      (snap.protocol.readerFeatures ++ snap.protocol.writerFeatures)
+        .distinct.sorted)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
 
   /** Compact live files smaller than `smallFileBytes` into bin-packed
     * rewritten files. Returns (filesCompacted, version) — version is

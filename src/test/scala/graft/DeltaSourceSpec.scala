@@ -1227,6 +1227,16 @@ class DeltaSourceSpec extends AnyFunSuite {
     val df = DeltaMaintenance.dispatchHistory(spark, s"DESCRIBE HISTORY $t")
     assert(df.isDefined && df.get.count() == 3)
     assert(DeltaMaintenance.dispatchHistory(spark, "SELECT 1").isEmpty)
+
+    // DESCRIBE DETAIL: one metadata-scale summary row
+    val detail = DeltaMaintenance.dispatchHistory(spark, s"DESCRIBE DETAIL $t")
+    assert(detail.isDefined)
+    val r = detail.get.collect().head
+    assert(r.getAs[String]("format") == "delta")
+    assert(r.getAs[Long]("numFiles") ==
+      DeltaLog.snapshot(spark, t).files.size.toLong)
+    assert(r.getAs[Long]("sizeInBytes") > 0L)
+    assert(r.getAs[Int]("minReaderVersion") >= 1)
   }
 
   test("variant columns round-trip through write, scan, and DML; the " +

@@ -42,11 +42,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unpivot grew extra exchanges:\n$p")
   }
 
-  test("q107: forward-fill window reuses the bounds partitioning") {
+  test("q107: grid-free gap fill — one lead window, no join, no explode") {
     val p = plan("q107_gap_fill")
     assert(p.contains("Window"), "forward fill must be a window")
-    assert(exchanges(p) <= 3, // hourly rollup, per-user bounds, final sort
-      s"gap fill grew extra exchanges (window no longer reuses):\n$p")
+    assert(!p.contains("Join"),
+      s"the grid join is gone by design — it came back:\n$p")
+    assert(!p.contains("Generate"),
+      s"the grid explode is gone by design — it came back:\n$p")
+    assert(exchanges(p) <= 3, // (user, hour) rollup, user window, final sort
+      s"gap fill grew extra exchanges:\n$p")
   }
 
   test("q108: centroid sums combine map-side, one agg exchange") {

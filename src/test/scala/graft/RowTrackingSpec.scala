@@ -189,6 +189,32 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(RowTracking.supported(DeltaLog.snapshot(spark, t2)))
   }
 
+  test("streaming sink batches mint monotone fresh ids (the last " +
+    "add-producing path, stamped by the same commit hook)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = tmpTable()
+    DeltaWrite.write(Seq(0).toDF("id"), t)
+    RowTracking.enable(spark, t)
+    val ckpt = Files.createTempDirectory("graft-rt-ckpt").toString
+    val ms = MemoryStream[Int]
+    val q = ms.toDF().toDF("id").writeStream
+      .format("graft-delta").option("path", t)
+      .option("checkpointLocation", ckpt).start()
+    ms.addData(1, 2)
+    q.processAllAvailable()
+    ms.addData(3)
+    q.processAllAvailable()
+    q.stop()
+    val ids = idMap(t)
+    assert(ids.keySet == Set(0, 1, 2, 3))
+    assert(ids.values.toSet.size == 4, "streamed batches must not collide")
+    assert(ids(3) > ids(0), "later batches mint above the mark")
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.forall(_.baseRowId.isDefined))
+  }
+
   test("files written before enable read back null ids, not a failure") {
     import spark.implicits._
     val t = tmpTable()
