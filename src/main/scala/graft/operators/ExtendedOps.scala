@@ -52,6 +52,34 @@ object ExtendedOps {
         |FROM rj FULL JOIN cn ON rj.n_nationkey = cn.c_nationkey
         |ORDER BY k""".stripMargin.replace("\n", " "))),
 
+    // Runtime-filter join as an ORACLED query: a bloom filter built over
+    // the selective dim side's join keys ships into the fact scan as a
+    // codegen literal probe (BloomFilterMightContain), dropping fact
+    // rows that cannot join BEFORE the fact side moves — at 100 TB the
+    // difference between shuffling the whole fact table and its
+    // join-selective fraction. Bloom filters have NO false negatives
+    // (false positives only pass extra rows into the join, which still
+    // filters exactly), so the result is bit-identical to the plain
+    // join and DuckDB's plain join is a valid oracle — the scale
+    // pattern itself is correctness-gated, not just spec'd.
+    GraftQuery("q125_bloom_join",
+      (s, d) => {
+        val dim = T(s, d, "part").filter(col("p_brand") === "Brand#1")
+          .select("p_partkey", "p_type")
+        val li = T(s, d, "lineitem").select("l_partkey", "l_quantity")
+        ScaleOps.bloomPrefilteredJoin(li, dim, "l_partkey", "p_partkey",
+            expectedDimRows = 100000L)
+          .groupBy("p_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast("double").as("sq"))
+          .orderBy("p_type")
+      },
+      Some("SELECT p_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand = 'Brand#1' GROUP BY p_type ORDER BY p_type")),
+
     // CUBE over (returnflag, linestatus): all four grouping combinations
     // in one pass. NULLS FIRST pinned — Spark/DuckDB defaults differ.
     GraftQuery("q69_cube",

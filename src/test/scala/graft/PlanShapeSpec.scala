@@ -53,6 +53,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"gap fill grew extra exchanges:\n$p")
   }
 
+  test("q125: bloom probe sits in the fact-side filter before the join") {
+    val p = plan("q125_bloom_join")
+    assert(p.contains("might_contain"),
+      "the bloom runtime filter must survive planning as a scan-side probe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("q108: centroid sums combine map-side, one agg exchange") {
     val p = plan("q108_label_centroids")
     assert(exchanges(p) <= 2, // (label, pos) agg + final sort
