@@ -186,7 +186,8 @@ object DeltaDv {
             Some(snap.schema))
             .map(DeltaCdf.cdcAction)
         val v = DeltaWrite.commit(spark, tablePath,
-          DeltaWrite.dvProtocolAction(snap.protocol) +: (dvActions ++ cdcs), "DELETE")
+          DeltaWrite.dvProtocolAction(snap.protocol) +: (dvActions ++ cdcs),
+          "DELETE", snapHint = Some(snap))
         DmlResult(v, 0, affected)
     }
   }
@@ -239,7 +240,8 @@ object DeltaDv {
             .map(DeltaCdf.cdcAction)
         val v = DeltaWrite.commit(spark, tablePath,
           DeltaWrite.dvProtocolAction(snap.protocol) +:
-            (dvActions ++ adds.map(DeltaWrite.addAction) ++ cdcs), "UPDATE")
+            (dvActions ++ adds.map(DeltaWrite.addAction) ++ cdcs),
+          "UPDATE", snapHint = Some(snap))
         DmlResult(v, 0, affected)
     }
   }

@@ -237,13 +237,45 @@ object DeltaWrite {
           }
         } else !f.exists(target) && f.rename(tmp, target)
       f.delete(tmp, false) // the link carries the commit; tmp goes either way
-      if (won) return version
+      if (won) {
+        autoCheckpoint(spark, tablePath, version, actions, snapHint)
+        return version
+      }
       attempt += 1
       if (attempt > maxRetries)
         throw new IllegalStateException(
           s"concurrent Delta commit conflict at version $version for $tablePath")
     }
     -1L // unreachable
+  }
+
+  /** Automatic checkpoint cadence (`delta.checkpointInterval`, Delta's
+    * own property): after a landed commit whose version is a multiple
+    * of the interval, write a classic checkpoint so replay stays
+    * bounded WITHOUT manual CHECKPOINT calls — on a 100 TB table fed by
+    * a streaming sink, an uncheckpointed log grows one JSON replay per
+    * batch forever. The property is read from THIS commit's metaData
+    * action (it may be the commit that sets it) or the caller's
+    * snapshot hint — never from an extra log replay, which would tax
+    * every commit for a cadence check. Best-effort by contract: the
+    * commit has already landed; a checkpoint failure (e.g. a concurrent
+    * writer checkpointing the same version) must not fail it. */
+  private def autoCheckpoint(spark: SparkSession, tablePath: String,
+      version: Long, actions: Seq[ObjectNode],
+      snapHint: Option[DeltaLog.Snapshot]): Unit = {
+    val fromActions = actions.reverseIterator
+      .flatMap(a => Option(a.get("metaData")))
+      .flatMap(md => Option(md.get("configuration")))
+      .flatMap(c => Option(c.get("delta.checkpointInterval")))
+      .map(_.asText()).nextOption()
+    val interval = fromActions
+      .orElse(snapHint.flatMap(_.configuration.get("delta.checkpointInterval")))
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+    interval.foreach { n =>
+      if (n > 0 && version > 0 && version % n == 0)
+        try checkpoint(spark, tablePath)
+        catch { case _: Exception => } // cadence is an optimization
+    }
   }
 
   /** Write a parquet checkpoint of the current snapshot plus the

@@ -1239,6 +1239,32 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(r.getAs[Int]("minReaderVersion") >= 1)
   }
 
+  test("delta.checkpointInterval: commits auto-checkpoint on the cadence " +
+    "without manual CHECKPOINT calls") {
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t) // v0
+    DeltaMaintenance.setTblProperties(spark, t,
+      Map("delta.checkpointInterval" -> "2")) // v1
+    def ckpts() = new java.io.File(s"$t/_delta_log").listFiles()
+      .map(_.getName).filter(_.matches("""\d{20}\.checkpoint\.parquet"""))
+      .toSeq.sorted
+    assert(ckpts().isEmpty)
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append) // v2
+    assert(ckpts() == Seq(f"${2L}%020d.checkpoint.parquet"),
+      "version 2 is on the cadence")
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append) // v3
+    assert(ckpts().size == 1, "version 3 is off the cadence")
+    DeltaDml.delete(spark, t, col("id") === 1) // v4 — DML path too
+    assert(ckpts().last == f"${4L}%020d.checkpoint.parquet")
+    // the auto-checkpoint is a real bootstrap: cleaned log still reads
+    DeltaMaintenance.cleanupLog(spark, t)
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((2, "b"), (3, "c")))
+  }
+
   test("variant columns round-trip through write, scan, and DML; the " +
     "feature is declared at create") {
     import spark.implicits._
