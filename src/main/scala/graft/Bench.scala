@@ -9,7 +9,20 @@ import org.apache.spark.sql.SparkSession
   * not JVM startup — a warmup query runs first), queries in name order,
   * full materialization through the `noop` sink (forces every operator,
   * streams results nowhere — unlike count(), which lets Catalyst prune
-  * the plan to nothing for scan-shaped queries). */
+  * the plan to nothing for scan-shaped queries).
+  *
+  * Per-query codegen warm-up: before the timed pass, every query runs
+  * once against SPARK_GRAFT_WARM_DIR (default sf0.001; set empty to
+  * disable). Whole-stage-codegen classes are a function of the plan
+  * SHAPE, not the data, so the tiny-SF pass fills Spark's generated-code
+  * cache and the timed run measures execution rather than javac. This
+  * mirrors the DuckDB baseline's protocol (`duck_bench.py` reports
+  * best-of-2, i.e. warm) — without it every Spark figure carries a
+  * 0.3–2 s one-time compile constant that a real session pays once,
+  * which at sf0.1 is the LARGEST term for half the corpus. Stages whose
+  * sf0.1 plan differs structurally (AQE broadcast↔shuffle flips) still
+  * compile in the timed run — the warm-up is an upper bound removed, not
+  * a measurement bypass. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,6 +55,20 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
       else SparkEntry.queries.keys.toSeq.sorted
+
+    // Codegen pre-compile pass (see Scaladoc). Failures are ignored here —
+    // the timed pass reports them as -1 with the real message.
+    val warmDir =
+      sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty && warmDir != sfDir &&
+        new java.io.File(warmDir).isDirectory) {
+      names.foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        finally spark.catalog.clearCache()
+      }
+    }
     val results = names.map(n => n -> materialize(n))
     // ONE compact JSON line for the driver. Keys are the short query ids
     // ("q45" for "q45_dedup_ngram_jaccard" — unique by construction) and

@@ -331,5 +331,57 @@ object EventOps {
         "CAST(1 + CAST(f >= ft[1] AS INT) + CAST(f >= ft[2] AS INT) + CAST(f >= ft[3] AS INT) + CAST(f >= ft[4] AS INT) AS BIGINT) AS f_q, " +
         "CAST(1 + CAST(m >= mt[1] AS INT) + CAST(m >= mt[2] AS INT) + CAST(m >= mt[3] AS INT) + CAST(m >= mt[4] AS INT) AS BIGINT) AS m_q " +
         "FROM per, t ORDER BY user_id"))
+    ,
+
+    // Hourly anomaly detection — the observability workload over the
+    // event stream: per event type, the 20 most anomalous hours by
+    // z-score of the hourly event count against that type's own
+    // hourly distribution. Population stats come from EXACT integer
+    // sums (Σn, Σn² are int64 aggregates; hourly counts are far below
+    // 2^26 so Σn² fits 2^53 — both engines see identical integers) and
+    // the mean/σ/z chain is a fixed-order double multiply/divide with a
+    // correctly-rounded sqrt (IEEE-exact cross-engine, q114's
+    // precedent — no libm transcendentals). σ=0 groups are filtered
+    // rather than risking engine-specific 0/0. Scale shape: one
+    // (type, hour) exchange with map-side combine collapses the stream
+    // to aggregate scale; per-type stats are a ~|types|-row broadcast
+    // back onto it; top-k is a TakeOrdered. The hourly rollup is
+    // persisted — it feeds both the stats and the probe side, and
+    // recomputing it would re-scan events twice.
+    GraftQuery("q127_anomaly_hours",
+      (s, d) => {
+        val hourly = ev(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+          .persist()
+        val stats = hourly.groupBy("event_type")
+          .agg(count(lit(1)).as("hours"), sum("n").as("sn"),
+            sum(col("n") * col("n")).as("sn2"))
+        val mean = col("sn").cast("double") / col("hours").cast("double")
+        val variance = col("sn2").cast("double") / col("hours").cast("double") -
+          (col("sn").cast("double") / col("hours").cast("double")) *
+            (col("sn").cast("double") / col("hours").cast("double"))
+        hourly.join(broadcast(stats), "event_type")
+          .filter(sqrt(variance) > lit(0.0))
+          .select(col("event_type"), col("h"), col("n"),
+            ((col("n").cast("double") - mean) / sqrt(variance)).as("z"))
+          .orderBy(col("z").desc, col("event_type"), col("h"))
+          .limit(20)
+      },
+      Some("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+        "COUNT(*) AS n FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT event_type, COUNT(*) AS hours, SUM(n) AS sn, " +
+        "SUM(n * n) AS sn2 FROM hourly GROUP BY 1), " +
+        "z AS (SELECT hourly.event_type, h, n, " +
+        "(CAST(n AS DOUBLE) - CAST(sn AS DOUBLE) / CAST(hours AS DOUBLE)) / " +
+        "sqrt(CAST(sn2 AS DOUBLE) / CAST(hours AS DOUBLE) - " +
+        "(CAST(sn AS DOUBLE) / CAST(hours AS DOUBLE)) * " +
+        "(CAST(sn AS DOUBLE) / CAST(hours AS DOUBLE))) AS z, " +
+        "sqrt(CAST(sn2 AS DOUBLE) / CAST(hours AS DOUBLE) - " +
+        "(CAST(sn AS DOUBLE) / CAST(hours AS DOUBLE)) * " +
+        "(CAST(sn AS DOUBLE) / CAST(hours AS DOUBLE))) AS sd " +
+        "FROM hourly JOIN st ON hourly.event_type = st.event_type) " +
+        "SELECT event_type, h, n, z FROM z WHERE sd > 0.0 " +
+        "ORDER BY z DESC, event_type, h LIMIT 20"))
   )
 }

@@ -827,5 +827,70 @@ object TextAnalysis {
         "SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
         "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
         "FROM sh GROUP BY shard ORDER BY shard"))
+    ,
+
+    // BM25 keyword retrieval — top-20 documents for a fixed 3-term query,
+    // the lexical-search half of a retrieval pipeline (q49/q58 are the
+    // dense half). Okapi saturation (k1=1.2, b=0.75) with the RATIONAL
+    // idf (N−df+0.5)/(df+0.5): ln() is libm-dependent and breaks
+    // cross-engine exactness (q115's precedent), and the rational form
+    // keeps the whole score a fixed-order multiply/divide chain over
+    // exact integers — bit-identical across engines. Per-doc scores
+    // combine via per-term conditional aggregates added in WRITTEN
+    // order (a double SUM over a shuffled stream would be
+    // order-nondeterministic). Scale shape: two narrow scans (corpus
+    // stats collapse to ONE row with map-side combine; the token
+    // explode is filtered to the |Q|=3 query terms BEFORE the exchange,
+    // so the only data-sized shuffle carries ≤|Q| rows per matching
+    // doc), df/stats ride in as broadcasts, top-k is a TakeOrdered.
+    GraftQuery("q126_bm25_search",
+      (s, d) => {
+        val terms = Seq("spark", "join", "window")
+        val toks = docs(s, d).select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)).as("ws"))
+        val stats = toks
+          .select(size(col("ws")).cast("long").as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        val tfc = toks
+          .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+            explode(col("ws")).as("word"))
+          .filter(col("word").isin(terms: _*))
+          .groupBy("doc_id", "dl", "word")
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val dfc = tfc.groupBy("word").agg(count(lit(1)).as("df"))
+        val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+        val scored = tfc.join(broadcast(dfc), "word")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("word"),
+            ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+              .as("s"))
+        def termScore(t: String) =
+          coalesce(max(when(col("word") === lit(t), col("s"))), lit(0.0))
+        scored.groupBy("doc_id")
+          .agg((termScore(terms(0)) + termScore(terms(1)) + termScore(terms(2)))
+            .as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\p{L}+') AS ws FROM documents), " +
+        "d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w), " +
+        "st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d), " +
+        "tfc AS (SELECT doc_id, dl, word, CAST(COUNT(*) AS DOUBLE) AS tf " +
+        "  FROM (SELECT doc_id, dl, unnest(ws) AS word FROM d) " +
+        "  WHERE word IN ('spark', 'join', 'window') GROUP BY 1, 2, 3), " +
+        "dfc AS (SELECT word, COUNT(*) AS df FROM tfc GROUP BY 1), " +
+        "sc AS (SELECT doc_id, word, " +
+        "  (st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) * (tf * 2.2) / " +
+        "  (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / " +
+        "    (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS s " +
+        "  FROM tfc JOIN dfc USING (word), st) " +
+        "SELECT doc_id, " +
+        "  COALESCE(MAX(CASE WHEN word = 'spark' THEN s END), 0.0) " +
+        "  + COALESCE(MAX(CASE WHEN word = 'join' THEN s END), 0.0) " +
+        "  + COALESCE(MAX(CASE WHEN word = 'window' THEN s END), 0.0) AS score " +
+        "FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"))
   )
 }

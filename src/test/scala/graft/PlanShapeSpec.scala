@@ -60,6 +60,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("q126: df/stats broadcast; term filter precedes the tf exchange") {
+    val p = plan("q126_bm25_search")
+    assert(!p.contains("SortMergeJoin"),
+      s"df and corpus stats must ride in as broadcasts:\n$p")
+    assert(p.contains("TakeOrdered"), "top-k must plan as TakeOrdered")
+    // the only data-sized exchanges: (doc,word) tf agg + doc-level combine
+    assert(exchanges(p) <= 2, s"bm25 grew extra exchanges:\n$p")
+    // the isin() term filter must sit under the Generate's output, before
+    // any exchange — the exploded token stream never shuffles unfiltered
+    val gen = p.linesIterator.indexWhere(_.contains("Generate explode"))
+    val filt = p.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("word#"))
+    assert(gen >= 0 && filt >= 0 && filt < gen,
+      s"term filter must apply directly above the explode:\n$p")
+  }
+
+  test("q127: hourly rollup persisted once; stats broadcast; top-k TakeOrdered") {
+    val p = plan("q127_anomaly_hours")
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      "the hourly rollup must be persisted — it feeds both stats and probe")
+    assert(p.contains("BroadcastHashJoin"), "per-type stats must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"the hourly stream must not shuffle for the stats join:\n$p")
+    assert(p.contains("TakeOrdered"), "top-k must plan as TakeOrdered")
+  }
+
   test("q108: centroid sums combine map-side, one agg exchange") {
     val p = plan("q108_label_centroids")
     assert(exchanges(p) <= 2, // (label, pos) agg + final sort
