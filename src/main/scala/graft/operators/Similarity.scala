@@ -439,6 +439,60 @@ object Similarity {
         |r AS (SELECT vec_id, bench_id, cos, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rnk FROM p)
         |SELECT vec_id, bench_id, cos FROM r WHERE rnk = 1 AND cos >= $ContamTau ORDER BY vec_id"""
         .stripMargin.replace("\n", " ")),
+    ),
+
+    // Scalar int8 quantization audit — the storage-compression step of
+    // an embedding pipeline (4× smaller than float32): per vector,
+    // symmetric per-vector scale s = max|x|/127, q_i = round(x_i/s),
+    // and the report is per-label relative reconstruction error
+    // Σ(x−x̂)²/Σx². Determinism: every per-element term is a fixed-order
+    // double chain (float→double casts are exact; round() is
+    // half-away-from-zero in BOTH engines, and a double can never sit
+    // exactly on a decimal tie, so the per-term doubles are
+    // bit-identical); each term is then fixed-point quantized at 2⁻⁵⁰ —
+    // ×2⁵⁰ is a pure exponent shift (exact in double) and floor() is
+    // IEEE-exact, so the summands are identical INTEGERS and the sums
+    // are order-independent (a DECIMAL(s>0) quantizer would NOT be:
+    // DuckDB's double→decimal cast multiplies by 10^s in double, which
+    // re-rounds differently than Spark's exact BigDecimal expansion —
+    // measured one-ulp drift at sf0.01). The one final division happens
+    // in double on identical integers. Scale shape: posexplode keeps
+    // everything columnar-codegen (no CodegenFallback fold in the hot
+    // path); partial aggregation collapses the 64-per-vector element
+    // rows to per-label partials BEFORE the exchange, so the shuffle
+    // carries per-group decimal partials, not elements.
+    GraftQuery("q128_int8_quant",
+      (s, d) => {
+        val xd = col("x").cast("double")
+        val scale = col("m").cast("double") / lit(127.0)
+        val dq = round(xd / scale) * scale
+        val fp = lit(1125899906842624.0) // 2^50, exact
+        emb(s, d)
+          .select(col("vec_id"), col("label"),
+            array_max(transform(col("embedding"), e => abs(e))).as("m"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .filter(col("m").cast("double") > lit(0.0))
+          .select(col("label"),
+            floor((xd - dq) * (xd - dq) * fp).cast("decimal(38,0)").as("e2"),
+            floor(xd * xd * fp).cast("decimal(38,0)").as("n2"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_elems"),
+            (sum("e2").cast("double") / sum("n2").cast("double"))
+              .as("rel_err"))
+          .orderBy("label")
+      },
+      Some("WITH e AS (SELECT vec_id, label, " +
+        "CAST(list_max(list_transform(embedding, v -> abs(v))) AS DOUBLE) AS m, " +
+        "UNNEST(embedding) AS x FROM embeddings), " +
+        "t AS (SELECT label, " +
+        "CAST(floor((CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / (m / 127.0)) * (m / 127.0)) " +
+        " * (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / (m / 127.0)) * (m / 127.0)) " +
+        " * 1125899906842624.0) AS BIGINT) AS e2, " +
+        "CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1125899906842624.0) AS BIGINT) AS n2 " +
+        "FROM e WHERE m > 0.0) " +
+        "SELECT label, COUNT(*) AS n_elems, " +
+        "CAST(SUM(e2) AS DOUBLE) / CAST(SUM(n2) AS DOUBLE) AS rel_err " +
+        "FROM t GROUP BY label ORDER BY label")
     )
   )
 

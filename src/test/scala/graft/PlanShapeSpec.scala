@@ -86,6 +86,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrdered"), "top-k must plan as TakeOrdered")
   }
 
+  test("q128: element rows combine map-side; no join; one agg exchange") {
+    val p = plan("q128_int8_quant")
+    assert(!p.contains("Join"), s"quantization audit must not join:\n$p")
+    assert(exchanges(p) <= 2, // label agg + final sort
+      s"quant audit grew extra exchanges:\n$p")
+    assert(p.contains("HashAggregate"),
+      "expected partial aggregation to collapse element rows pre-exchange")
+  }
+
   test("q108: centroid sums combine map-side, one agg exchange") {
     val p = plan("q108_label_centroids")
     assert(exchanges(p) <= 2, // (label, pos) agg + final sort
