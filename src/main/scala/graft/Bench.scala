@@ -38,14 +38,25 @@ object Bench {
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      finally spark.catalog.clearCache() // sketch persists don't outlive their query
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9 // clock stops BEFORE cleanup
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      spark.catalog.clearCache() // sketch persists don't outlive their query
+      // ContextCleaner frees dead shuffle files / broadcasts only when the
+      // JVM GCs; over 123 queries × 2 passes the leftovers build real
+      // memory pressure that lands on whichever heavy query runs next
+      // (measured: q120 4→23 s run-to-run on the same build). Collect
+      // between queries so each starts from a clean executor heap — the
+      // pause sits outside the timed window (the old finally-block
+      // clearCache was INSIDE it).
+      System.gc()
+      elapsed
     }
 
     materialize("q02_count") // warmup: session + codegen + parquet footers
