@@ -493,6 +493,56 @@ object Similarity {
         "SELECT label, COUNT(*) AS n_elems, " +
         "CAST(SUM(e2) AS DOUBLE) / CAST(SUM(n2) AS DOUBLE) AS rel_err " +
         "FROM t GROUP BY label ORDER BY label")
+    ),
+
+    // Per-dimension embedding statistics — the whitening/normalization
+    // diagnostic of an embedding pipeline (means far from 0 or wildly
+    // uneven variances say "normalize before indexing"; a near-zero
+    // variance says the dimension is dead). Same dyadic 2⁻⁵⁰
+    // fixed-point discipline as q128: Σx and Σx² aggregate identical
+    // INTEGERS on both engines (exponent shift + floor, then exact
+    // decimal sums), min/max are order-independent exact floats, and
+    // the mean/variance arithmetic is a fixed-order double chain on
+    // identical inputs. Scale shape: one posexplode (columnar), partial
+    // agg collapses to 64 per-dimension partials before the single
+    // exchange — the shuffle is dimension-cardinality, not data-sized.
+    GraftQuery("q129_dim_stats",
+      (s, d) => {
+        val xd = col("x").cast("double")
+        val fp = lit(1125899906842624.0) // 2^50, exact
+        val nD = col("n").cast("double")
+        emb(s, d)
+          .select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("i").cast("long").as("i"),
+            col("x"),
+            floor(xd * fp).cast("decimal(38,0)").as("x1"),
+            floor(xd * xd * fp).cast("decimal(38,0)").as("x2"))
+          .groupBy("i")
+          .agg(count(lit(1)).as("n"),
+            sum("x1").as("s1"), sum("x2").as("s2"),
+            min("x").as("mn"), max("x").as("mx"))
+          .select(col("i"), col("n"),
+            (col("s1").cast("double") / fp / nD).as("mean"),
+            (col("s2").cast("double") / fp / nD -
+              (col("s1").cast("double") / fp / nD) *
+                (col("s1").cast("double") / fp / nD)).as("variance"),
+            col("mn"), col("mx"))
+          .orderBy("i")
+      },
+      Some("WITH e AS (SELECT UNNEST(generate_series(0, len(embedding) - 1)) AS i, " +
+        "UNNEST(embedding) AS x FROM embeddings), " +
+        "t AS (SELECT CAST(i AS BIGINT) AS i, x, " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1125899906842624.0) AS BIGINT) AS x1, " +
+        "CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1125899906842624.0) AS BIGINT) AS x2 " +
+        "FROM e), " +
+        "a AS (SELECT i, COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2, " +
+        "MIN(x) AS mn, MAX(x) AS mx FROM t GROUP BY i) " +
+        "SELECT i, n, " +
+        "CAST(s1 AS DOUBLE) / 1125899906842624.0 / CAST(n AS DOUBLE) AS mean, " +
+        "CAST(s2 AS DOUBLE) / 1125899906842624.0 / CAST(n AS DOUBLE) - " +
+        "(CAST(s1 AS DOUBLE) / 1125899906842624.0 / CAST(n AS DOUBLE)) * " +
+        "(CAST(s1 AS DOUBLE) / 1125899906842624.0 / CAST(n AS DOUBLE)) AS variance, " +
+        "mn, mx FROM a ORDER BY i")
     )
   )
 

@@ -892,5 +892,41 @@ object TextAnalysis {
         "  + COALESCE(MAX(CASE WHEN word = 'join' THEN s END), 0.0) " +
         "  + COALESCE(MAX(CASE WHEN word = 'window' THEN s END), 0.0) AS score " +
         "FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"))
+    ,
+
+    // BPE merge-candidate counting — the first iteration of byte-pair
+    // encoding vocabulary induction: corpus-weighted counts of adjacent
+    // symbol (character) pairs inside words, the statistic whose argmax
+    // IS the first BPE merge (q59 counts tokens with a FIXED
+    // tokenizer; this is how the tokenizer itself gets built). Scale
+    // shape — the reason this works at 100 TB: the corpus-sized stream
+    // collapses FIRST (word-frequency rollup, map-side combine, one
+    // exchange of distinct-word rows); pair generation then explodes
+    // only the VOCABULARY table (distinct words ≪ corpus) and the
+    // weighted pair rollup aggregates vocabulary-scale rows. Real BPE
+    // iterates this loop; each pass is this same plan with a re-encoded
+    // vocabulary, so linear-in-corpus cost is paid once, not per merge.
+    // Integer-exact everywhere.
+    GraftQuery("q130_bpe_merges",
+      (s, d) => {
+        val words = docs(s, d)
+          .select(explode(regexp_extract_all(lower(col("text")),
+            lit("\\p{L}+"), lit(0))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        words.filter(length(col("word")) >= 2)
+          .select(col("word"), col("freq"),
+            explode(sequence(lit(1), length(col("word")) - 1)).as("off"))
+          .select(expr("substring(word, off, 2)").as("pair"), col("freq"))
+          .groupBy("pair").agg(sum("freq").cast("long").as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      Some("WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '\\p{L}+')) AS word FROM documents), " +
+        "wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1), " +
+        "p AS (SELECT substr(word, CAST(off AS INT), 2) AS pair, freq " +
+        "  FROM (SELECT word, freq, UNNEST(generate_series(1, len(word) - 1)) AS off " +
+        "        FROM wf WHERE len(word) >= 2)) " +
+        "SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p " +
+        "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"))
   )
 }

@@ -95,6 +95,27 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected partial aggregation to collapse element rows pre-exchange")
   }
 
+  test("q129: dimension stats — no join, one dimension-cardinality exchange") {
+    val p = plan("q129_dim_stats")
+    assert(!p.contains("Join"), s"dim stats must not join:\n$p")
+    assert(exchanges(p) <= 2, // dim agg + final sort
+      s"dim stats grew extra exchanges:\n$p")
+  }
+
+  test("q130: corpus collapses to word frequencies before pair explode") {
+    val p = plan("q130_bpe_merges")
+    // the Generate over char offsets must sit ABOVE the word-frequency
+    // aggregate: pair explosion happens on vocabulary-scale rows only
+    val lines = p.linesIterator.toIndexedSeq
+    val gen = lines.indexWhere(l =>
+      l.contains("Generate explode(sequence"))
+    val agg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(gen >= 0, s"expected the offset explode:\n$p")
+    assert(agg > gen,
+      s"word-frequency rollup must run under the pair explode:\n$p")
+    assert(p.contains("TakeOrdered"), "top-k must plan as TakeOrdered")
+  }
+
   test("q108: centroid sums combine map-side, one agg exchange") {
     val p = plan("q108_label_centroids")
     assert(exchanges(p) <= 2, // (label, pos) agg + final sort
