@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-corpus physical-plan audit — the scale guard that catches a
+  * NEW query (or an edit to an old one) silently planning the join
+  * shapes that do not survive 100 TB:
+  *
+  *   - `CartesianProduct` (unbroadcast cross join): never acceptable —
+  *     the corpus currently plans ZERO and must stay there.
+  *   - `BroadcastNestedLoopJoin`: acceptable ONLY where the broadcast
+  *     side is bounded by construction (single-row stats frames,
+  *     fixed-size eval panels, the q48 quadratic-by-design oracle
+  *     baseline) — whitelisted per query below; anything new fails.
+  *   - `SortMergeJoin`: legitimate for data×data joins (full outer,
+  *     component resolution), but each occurrence is a real shuffle,
+  *     so new ones must be justified here rather than slipping in.
+  *
+  * The whitelists are the audited state of round 6 (see PlanAudit, the
+  * dev main that regenerates them).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // BNLJ with a bounded broadcast side: 1-row aggregate frames
+  // (q27/q35/q109/q113/q115/q121/q126), fixed-size panels/codebooks
+  // (q58/q91/q92), quadratic-by-design baseline (q48).
+  private val bnljOk = Set(
+    "q27_scalar_subquery", "q35_setops", "q48_dedup_embedding",
+    "q58_ann_ivf", "q91_decontamination", "q92_ann_pq",
+    "q109_quality_percentile_filter", "q113_rfm",
+    "q115_distinctive_terms", "q121_vocab_overlap_sketch",
+    "q126_bm25_search")
+
+  // SMJ on genuinely data-sized both-sides joins: full outer (q68),
+  // bench-prefix range resolution (q91), component → doc resolution
+  // (q97).
+  private val smjOk = Set(
+    "q68_outer_joins", "q91_decontamination", "q97_clean_corpus")
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-audit-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("corpus plans: no cartesian products; NLJ/SMJ only where audited") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val p = q(spark, sf).queryExecution.executedPlan.toString
+        val cart =
+          if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct")
+          else Nil
+        val bnlj =
+          if (p.contains("BroadcastNestedLoopJoin") && !bnljOk(name))
+            Seq(s"$name: unaudited BroadcastNestedLoopJoin") else Nil
+        val smj =
+          if (p.contains("SortMergeJoin") && !smjOk(name))
+            Seq(s"$name: unaudited SortMergeJoin") else Nil
+        cart ++ bnlj ++ smj
+    }
+    assert(offenders.isEmpty,
+      s"plan audit failures (justify + whitelist, or fix the plan):\n" +
+        offenders.mkString("\n"))
+  }
+}
