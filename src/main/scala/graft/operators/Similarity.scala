@@ -456,28 +456,24 @@ object Similarity {
     // DuckDB's double→decimal cast multiplies by 10^s in double, which
     // re-rounds differently than Spark's exact BigDecimal expansion —
     // measured one-ulp drift at sf0.01). The one final division happens
-    // in double on identical integers. Scale shape: posexplode keeps
-    // everything columnar-codegen (no CodegenFallback fold in the hot
-    // path); partial aggregation collapses the 64-per-vector element
-    // rows to per-label partials BEFORE the exchange, so the shuffle
-    // carries per-group decimal partials, not elements.
+    // in double on identical integers. Scale shape: the whole
+    // per-vector computation is ONE fused native codegen loop
+    // ([[graft.functions.Int8QuantStats]] — per-element summands are
+    // identical integers, so in-row long addition is order-free and
+    // bit-equal to the exploded form); the exchange carries per-label
+    // decimal partials, never element rows.
     GraftQuery("q128_int8_quant",
       (s, d) => {
-        val xd = col("x").cast("double")
-        val scale = col("m").cast("double") / lit(127.0)
-        val dq = round(xd / scale) * scale
-        val fp = lit(1125899906842624.0) // 2^50, exact
+        graft.functions.Int8QuantStats.register(s)
         emb(s, d)
-          .select(col("vec_id"), col("label"),
-            array_max(transform(col("embedding"), e => abs(e))).as("m"),
-            posexplode(col("embedding")).as(Seq("i", "x")))
-          .filter(col("m").cast("double") > lit(0.0))
           .select(col("label"),
-            floor((xd - dq) * (xd - dq) * fp).cast("decimal(38,0)").as("e2"),
-            floor(xd * xd * fp).cast("decimal(38,0)").as("n2"))
+            graft.functions.Int8QuantStats.int8Stats(col("embedding"))
+              .as("st"))
+          .filter(col("st").isNotNull)
           .groupBy("label")
-          .agg(count(lit(1)).as("n_elems"),
-            (sum("e2").cast("double") / sum("n2").cast("double"))
+          .agg(sum(col("st.n").cast("long")).cast("long").as("n_elems"),
+            (sum(col("st.e2").cast("decimal(38,0)")).cast("double") /
+              sum(col("st.n2").cast("decimal(38,0)")).cast("double"))
               .as("rel_err"))
           .orderBy("label")
       },

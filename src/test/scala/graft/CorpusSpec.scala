@@ -290,6 +290,45 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("Int8QuantStats matches the declarative explode form bit-exactly " +
+    "(incl. negative values and round ties), and nulls the zero vector") {
+    import graft.functions.Int8QuantStats
+    Int8QuantStats.register(spark)
+    val fp = lit(1125899906842624.0) // 2^50
+    // real corpus vectors + adversarial rows: negatives, a value sitting
+    // exactly on a round() tie (x = m/254 → x/s = 0.5), and a zero vector
+    val extra = Seq(
+      Array(-1.5f, 2.54f, 0.01f, 2.54f / 254f, -2.54f / 254f),
+      Array(0.0f, 0.0f, 0.0f))
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings").limit(50)
+      .select(col("embedding"))
+      .union(extra.toDF("embedding").select(col("embedding")))
+    val native = e.select(Int8QuantStats.int8Stats(col("embedding")).as("st"))
+      .select(col("st.n"), col("st.e2"), col("st.n2")).collect()
+    val xd = col("x").cast("double")
+    val scale = col("m").cast("double") / lit(127.0)
+    val dq = round(xd / scale) * scale
+    val decl = e
+      .select(col("embedding"), monotonically_increasing_id().as("rid"))
+      .select(col("rid"),
+        array_max(transform(col("embedding"), v => abs(v))).as("m"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .filter(col("m").cast("double") > lit(0.0))
+      .groupBy("rid")
+      .agg(count(lit(1)).cast("int").as("n"),
+        sum(floor((xd - dq) * (xd - dq) * fp)).as("e2"),
+        sum(floor(xd * xd * fp)).as("n2"))
+      .collect()
+    // the zero vector must be null on the native side and absent here
+    assert(native.count(_.isNullAt(0)) == 1)
+    assert(decl.length == native.length - 1)
+    val ns = native.filterNot(_.isNullAt(0))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    val ds = decl.map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    assert(ns.toSeq == ds.toSeq)
+  }
+
   test("CosineAll scores a panel bit-identically to per-pair CosineSim") {
     import graft.functions.{CosineAll, CosineSim}
     CosineAll.register(spark)
