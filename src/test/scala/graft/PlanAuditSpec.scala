@@ -32,13 +32,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "q58_ann_ivf", "q91_decontamination", "q92_ann_pq",
     "q109_quality_percentile_filter", "q113_rfm",
     "q115_distinctive_terms", "q121_vocab_overlap_sketch",
-    "q126_bm25_search")
+    "q126_bm25_search", "q131_hybrid_rrf")
 
   // SMJ on genuinely data-sized both-sides joins: full outer (q68),
   // bench-prefix range resolution (q91), component → doc resolution
-  // (q97).
+  // (q97), the 100×100-row bounded RRF fuse (q131 — full outer cannot
+  // broadcast).
   private val smjOk = Set(
-    "q68_outer_joins", "q91_decontamination", "q97_clean_corpus")
+    "q68_outer_joins", "q91_decontamination", "q97_clean_corpus",
+    "q131_hybrid_rrf")
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
