@@ -17,6 +17,17 @@ final case class SessionState(sessions: Long, lastTs: Long, events: Long)
 
 final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+/** Per-event-type anomaly state: the OPEN hourly bucket (hour, n) plus
+  * running moments over CLOSED buckets (hours, Σn, Σn²) — fixed size. */
+final case class TypeHourState(
+    hour: Long, n: Long, hours: Long, sn: Long, sn2: Long)
+
+/** One closed hourly bucket: its count, the post-fold running moments,
+  * and its z-score against the PRIOR hours' moments (NaN if < 2). */
+final case class HourAnomaly(
+    event_type: String, h: Timestamp, n: Long,
+    hours: Long, sn: Long, sn2: Long, z: Double)
+
 /** Structured Streaming forms of the event operators: the same windowed
   * aggregation as EventOps.q54 running incrementally, and stateful
   * sessionization via mapGroupsWithState.
@@ -115,6 +126,65 @@ object EventsStreaming {
             state.update(st)
             state.setTimeoutDuration(idleEvictionMs)
             Iterator.single(UserSessions(uid, st.sessions, st.events))
+          }
+      }
+  }
+
+  /** Streaming twin of EventOps.q127 (hourly anomaly z-scores): one
+    * state cell per event type holds the OPEN hourly bucket plus the
+    * running moments (hours, Σn, Σn²) of every closed bucket — fixed
+    * size per key, the 100 TB/day shape. When an event for a later hour
+    * arrives, the open bucket closes: its count is z-scored against the
+    * moments of the PRIOR closed hours (the prefix semantics — a stream
+    * cannot see the future hours batch q127 uses), then folded in, and
+    * the record emits with the post-fold moments so a consumer (and the
+    * equivalence spec) can audit Σ exactly. z is NaN until 2 prior
+    * hours exist or while σ=0. Ordering contract = sessionize's: events
+    * sort by (ts, event_id) within a batch; a late event for an
+    * already-closed hour merges into the OPEN bucket — it never reopens
+    * history, so moments stay exact over what was counted even when
+    * bucket boundaries smear. Idle types evict on processing-time
+    * timeout, same silent-drop rationale as sessionize. */
+  def anomalyStats(
+      events: Dataset[Event],
+      idleEvictionMs: Long = 24L * 3600 * 1000): Dataset[HourAnomaly] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600000L
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[TypeHourState, HourAnomaly](
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (tpe, it, state: GroupState[TypeHourState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption
+              .getOrElse(TypeHourState(Long.MinValue, 0L, 0L, 0L, 0L))
+            val out = scala.collection.mutable.Buffer[HourAnomaly]()
+            def close(): Unit = {
+              val z =
+                if (st.hours >= 2) {
+                  val mean = st.sn.toDouble / st.hours
+                  val v = st.sn2.toDouble / st.hours - mean * mean
+                  if (v > 0) (st.n.toDouble - mean) / math.sqrt(v)
+                  else Double.NaN
+                } else Double.NaN
+              val folded = st.copy(hours = st.hours + 1,
+                sn = st.sn + st.n, sn2 = st.sn2 + st.n * st.n)
+              out += HourAnomaly(tpe, new Timestamp(st.hour), st.n,
+                folded.hours, folded.sn, folded.sn2, z)
+              st = folded
+            }
+            sorted.foreach { e =>
+              val h = Math.floorDiv(e.ts.getTime, hourMs) * hourMs
+              if (st.hour == Long.MinValue) st = st.copy(hour = h)
+              else if (h > st.hour) { close(); st = st.copy(hour = h, n = 0L) }
+              st = st.copy(n = st.n + 1L)
+            }
+            state.update(st)
+            state.setTimeoutDuration(idleEvictionMs)
+            out.iterator
           }
       }
   }

@@ -151,6 +151,51 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("anomalyStats moments equal the batch hourly rollup exactly; " +
+    "z-scores are prefix-consistent") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val events = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    // one sentinel per type, 2h past the corpus, flushes the last real
+    // bucket through close(); its own (open) bucket never emits
+    val maxTs = events.agg(max(col("ts"))).as[Timestamp].head()
+    val sentinels = events.select("event_type").distinct().as[String]
+      .collect().toSeq.map(t =>
+        Event(Long.MaxValue, new Timestamp(maxTs.getTime + 2 * 3600000L),
+          0L, t, 0.0))
+    val got = EventsStreaming
+      .anomalyStats(events.union(sentinels.toDS())).collect()
+
+    // final moments per type == exact batch rollup over ALL real hours
+    val last = got.groupBy(_.event_type).map { case (t, rows) =>
+      val r = rows.maxBy(_.h.getTime); (t, r.hours, r.sn, r.sn2)
+    }.toSet
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("hours"), sum("n").as("sn"),
+        sum(col("n") * col("n")).as("sn2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(last == batch)
+
+    // each bucket's z matches recomputation from the PRIOR moments
+    got.groupBy(_.event_type).foreach { case (_, rows) =>
+      rows.sortBy(_.h.getTime).foreach { r =>
+        val (ph, psn, psn2) = (r.hours - 1, r.sn - r.n, r.sn2 - r.n * r.n)
+        if (ph >= 2) {
+          val mean = psn.toDouble / ph
+          val v = psn2.toDouble / ph - mean * mean
+          if (v > 0)
+            assert(r.z == (r.n.toDouble - mean) / math.sqrt(v))
+          else assert(r.z.isNaN)
+        } else assert(r.z.isNaN)
+      }
+    }
+  }
+
   test("stateful sessionization agrees with the batch window form") {
     import spark.implicits._
     val events = Tables.load(spark, sf, "events")
