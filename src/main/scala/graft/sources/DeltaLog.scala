@@ -276,6 +276,14 @@ object DeltaLog {
 
   private val mapper = new ObjectMapper()
   private val VersionRe = """(\d{20})\.json""".r
+  private val CompactedRe = """(\d{20})\.(\d{20})\.compacted\.json""".r
+
+  /** Log-compaction files by (startVersion, endVersion). */
+  private def listCompacted(fs: FileSystem, dir: Path): Map[(Long, Long), Path] =
+    fs.listStatus(dir).map(_.getPath).flatMap(p => p.getName match {
+      case CompactedRe(s, e) => Some((s.toLong, e.toLong) -> p)
+      case _ => None
+    }).toMap
   private val SinglePartRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
   private val V2Re = """(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.parquet""".r
@@ -559,9 +567,30 @@ object DeltaLog {
     }
 
     val from = ckptVersion.map(_ + 1).getOrElse(0L)
-    (from to target).foreach { v =>
-      val commit = commits.getOrElse(v,
-        throw new IllegalStateException(s"missing Delta commit $v under $tablePath"))
+    // Log-compaction files (`<s>.<e>.compacted.json`, protocol-optional)
+    // hold the action reconciliation of their whole range in commit-JSON
+    // form. Replay prefers the LONGEST compacted file starting at the
+    // cursor whose end fits the target — on a long tail past the last
+    // checkpoint that's one file open instead of e−s+1 (the individual
+    // commits stay authoritative for time travel INSIDE the range and
+    // for CDF/ICT reads, which always address exact versions).
+    val compacted = listCompacted(fs, logDir(tablePath))
+    val replayFiles = mutable.Buffer[Path]()
+    var cursor = from
+    while (cursor <= target) {
+      val jump = compacted.collect {
+        case ((s, e), p) if s == cursor && e <= target => (e, p)
+      }
+      jump.maxByOption(_._1) match {
+        case Some((e, p)) => replayFiles += p; cursor = e + 1
+        case None =>
+          replayFiles += commits.getOrElse(cursor,
+            throw new IllegalStateException(
+              s"missing Delta commit $cursor under $tablePath"))
+          cursor += 1
+      }
+    }
+    replayFiles.foreach { commit =>
       val in = fs.open(commit)
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, "UTF-8"))

@@ -365,6 +365,74 @@ object DeltaMaintenance {
     }
   }
 
+  /** Log compaction (protocol-optional `<s>.<e>.compacted.json`): write
+    * the action reconciliation of commits [start, end] as one JSON-lines
+    * file next to them. Individual commits stay authoritative (time
+    * travel inside the range, CDF, ICT all address exact versions); the
+    * compacted file lets snapshot replay open ONE file for the range —
+    * on a long log tail past the last checkpoint that's the difference
+    * between e−s+1 small reads and one. Reconciliation per the
+    * protocol: latest metaData/protocol, latest txn per appId, latest
+    * domainMetadata per domain, adds that survive the range, and the
+    * range's remove tombstones (paths added then removed inside the
+    * range keep only the tombstone; paths re-added after a remove keep
+    * only the add). Returns the compacted file's path. */
+  def compactLog(spark: SparkSession, tablePath: String,
+      start: Long, end: Long): String = {
+    require(start <= end, s"compactLog: start $start > end $end")
+    val dir = DeltaLog.logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // LinkedHashMap: reconciled actions keep last-writer order per key,
+    // which keeps the output deterministic and replay-order-safe
+    val adds = scala.collection.mutable.LinkedHashMap[String, String]()
+    val removes = scala.collection.mutable.LinkedHashMap[String, String]()
+    val txns = scala.collection.mutable.LinkedHashMap[String, String]()
+    val domains = scala.collection.mutable.LinkedHashMap[String, String]()
+    var metaData: Option[String] = None
+    var protocol: Option[String] = None
+    (start to end).foreach { v =>
+      val p = new Path(dir, f"$v%020d.json")
+      if (!fs.exists(p)) throw new IllegalStateException(
+        s"compactLog: missing commit $v under $tablePath")
+      val in = fs.open(p)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      try {
+        Iterator.continually(reader.readLine()).takeWhile(_ != null)
+          .filter(_.trim.nonEmpty).foreach { line =>
+            val node = mapper.readTree(line)
+            if (node.hasNonNull("add")) {
+              val path = node.get("add").get("path").asText()
+              removes.remove(path)
+              adds(path) = line
+            }
+            if (node.hasNonNull("remove")) {
+              val path = node.get("remove").get("path").asText()
+              adds.remove(path)
+              removes(path) = line
+            }
+            if (node.hasNonNull("metaData")) metaData = Some(line)
+            if (node.hasNonNull("protocol")) protocol = Some(line)
+            if (node.hasNonNull("txn"))
+              txns(node.get("txn").get("appId").asText()) = line
+            if (node.hasNonNull("domainMetadata"))
+              domains(node.get("domainMetadata").get("domain").asText()) = line
+          }
+      } finally reader.close()
+    }
+    val out = new Path(dir, f"$start%020d.$end%020d.compacted.json")
+    val os = fs.create(out, true)
+    try {
+      val w = new java.io.OutputStreamWriter(os, "UTF-8")
+      (protocol.toSeq ++ metaData.toSeq ++ txns.values ++ domains.values ++
+        removes.values ++ adds.values)
+        .foreach { l => w.write(l); w.write("\n") }
+      w.flush()
+    } finally os.close()
+    out.toString
+  }
+
   /** Z-order clustering rewrite (OPTIMIZE ZORDER BY): re-layout the
     * whole table into `numFiles` files range-partitioned by the Morton
     * interleave of two keys, so file [min,max] ranges are tight in BOTH

@@ -1336,4 +1336,45 @@ class DeltaSourceSpec extends AnyFunSuite {
     val e = intercept[UnsupportedOperationException](DeltaLog.read(spark, t2))
     assert(e.getMessage.contains("collations"))
   }
+
+  test("log compaction: replay prefers <s>.<e>.compacted.json; individual " +
+    "commits stay authoritative for in-range time travel") {
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t) // v0
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append) // v1
+    DeltaWrite.write(Seq((4, "d")).toDF("id", "s"), t, SaveMode.Append) // v2
+    DeltaDml.delete(spark, t, col("id") === 2) // v3: remove + rewrite
+    DeltaWrite.write(Seq((5, "e")).toDF("id", "s"), t, SaveMode.Append) // v4
+
+    def rows() = DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    val before = rows()
+    val atV2 = DeltaLog.read(spark, t, versionAsOf = Some(2L))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+
+    val written = DeltaMaintenance.compactLog(spark, t, 0L, 3L)
+    assert(written.endsWith(
+      f"${0L}%020d.${3L}%020d.compacted.json"))
+    assert(rows() == before, "compacted replay must reconcile identically")
+    // in-range time travel (target 2 < end 3) must NOT use the compacted
+    // file — it reconciles to the range END, not to intermediate states
+    assert(DeltaLog.read(spark, t, versionAsOf = Some(2L))
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == atV2)
+
+    // prove the reader actually prefers the compacted file: with the
+    // range's individual commits gone, the snapshot still reconstructs
+    val log = new java.io.File(s"$t/_delta_log")
+    (0L to 3L).foreach { v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete())
+    }
+    assert(rows() == before,
+      "replay must bootstrap from the compacted range + v4")
+    // and in-range time travel now fails loudly (its commit is gone)
+    intercept[Exception] {
+      DeltaLog.read(spark, t, versionAsOf = Some(2L)).collect()
+    }
+  }
 }
