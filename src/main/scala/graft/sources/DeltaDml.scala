@@ -365,6 +365,8 @@ object DeltaDml {
     """(?is)\s*CHECKPOINT\s+(\S+?)(?:\s+(V2)(?:\s+SIDECARS\s+(\d+))?|\s+PARTS\s+(\d+))?\s*;?\s*""".r
   private val CleanupRe =
     """(?is)\s*CLEANUP\s+LOG\s+(\S+?)\s*;?\s*""".r
+  private val CompactLogRe =
+    """(?is)\s*COMPACT\s+LOG\s+(\S+?)\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*;?\s*""".r
 
   /** Dispatch Delta maintenance / constraint statements against a table
     * path (the REPL's non-SELECT surface beyond DML): OPTIMIZE, VACUUM
@@ -421,6 +423,10 @@ object DeltaDml {
     case CleanupRe(target) =>
       val n = DeltaMaintenance.cleanupLog(spark, unquote(target))
       Some(s"cleaned $n commit files behind the checkpoint horizon")
+    case CompactLogRe(target, s, e) =>
+      val p = DeltaMaintenance.compactLog(spark, unquote(target),
+        s.toLong, e.toLong)
+      Some(s"log range [$s, $e] compacted to $p")
     case SetPropsRe(target, propList) =>
       val props = splitTopLevel(propList).map { kv =>
         val Array(k, v) = kv.split("=", 2)

@@ -55,7 +55,7 @@ class DeltaPropertySpec extends AnyFunSuite {
 
     var txnBatch = 0L // monotone batch counter for the streaming-sink path
     (1 to 40).foreach { step =>
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 => // append
           val b = freshBatch(1 + rnd.nextInt(3))
           val v = DeltaWrite.write(b.toDF("id", "v"), t, SaveMode.Append)
@@ -123,6 +123,14 @@ class DeltaPropertySpec extends AnyFunSuite {
           val replay = DeltaWrite.transactionalAppend(
             Seq((-1, -1.0)).toDF("id", "v"), t, "prop-app", txnBatch)
           assert(replay.isEmpty, "replayed txn batch must not commit")
+        case 10 => // log compaction over a random range: replay must be
+          // byte-for-byte indistinguishable to every subsequent check()
+          // and time-travel spot-check (cleanupLog is not in this op
+          // mix, so every commit JSON in the range exists)
+          val latest = DeltaLog.latestVersion(spark, t)
+          val a = rnd.nextLong(latest + 1)
+          val b = a + rnd.nextLong(latest - a + 1)
+          DeltaMaintenance.compactLog(spark, t, a, b)
       }
       check()
       // spot-check one retained historical version per step
