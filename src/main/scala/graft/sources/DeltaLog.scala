@@ -286,7 +286,8 @@ object DeltaLog {
     }).toMap
   private val SinglePartRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
-  private val V2Re = """(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.parquet""".r
+  private val V2Re =
+    """(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(?:parquet|json)""".r
 
   def logDir(tablePath: String): Path = new Path(tablePath, "_delta_log")
 
@@ -462,6 +463,71 @@ object DeltaLog {
     var mdId: Option[String] = None
     var protocolInfo: TableProtocol = TableProtocol()
 
+    // One JSON action line (commit, compacted-log, or V2 JSON-manifest
+    // form) applied to the accumulating state. `sidecarSink` collects
+    // sidecar references — only manifests carry them.
+    def processNode(node: com.fasterxml.jackson.databind.JsonNode,
+        sidecarSink: Option[mutable.Buffer[String]] = None): Unit = {
+      val add = node.get("add"); val rm = node.get("remove")
+      val md = node.get("metaData"); val proto = node.get("protocol")
+      if (add != null) {
+        val p = add.get("path").asText()
+        val stats =
+          if (add.hasNonNull("stats")) Some(add.get("stats").asText())
+          else None
+        val dv =
+          if (add.hasNonNull("deletionVector")) {
+            val d = add.get("deletionVector")
+            val st = d.get("storageType").asText()
+            checkDvStorage(st)
+            Some(DvDescriptor(
+              dvPathOf(st, d.get("pathOrInlineDv").asText()),
+              d.get("cardinality").asLong(),
+              if (d.hasNonNull("offset")) d.get("offset").asLong() else 1L,
+              if (d.hasNonNull("sizeInBytes")) d.get("sizeInBytes").asLong()
+              else 0L,
+              st, d.get("pathOrInlineDv").asText()))
+          } else None
+        def optLong(n: String): Option[Long] =
+          if (add.hasNonNull(n)) Some(add.get(n).asLong()) else None
+        live(p) = AddEntry(p, add.get("size").asLong(), stats, dv,
+          optLong("baseRowId"), optLong("defaultRowCommitVersion"))
+      }
+      if (rm != null) live.remove(rm.get("path").asText())
+      if (md != null) {
+        schemaString = md.get("schemaString").asText()
+        partCols = jsonArray(md.get("partitionColumns")).map(_.asText())
+        val c = md.get("configuration")
+        config =
+          if (c == null || !c.isObject) Map.empty
+          else c.properties().iterator().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        mdId = Option(md.get("id")).map(_.asText())
+      }
+      if (proto != null) {
+        checkProtocol(proto.get("minReaderVersion").asInt())
+        protocolInfo = TableProtocol(
+          proto.get("minReaderVersion").asInt(),
+          proto.get("minWriterVersion").asInt(),
+          if (proto.hasNonNull("readerFeatures"))
+            jsonArray(proto.get("readerFeatures")).map(_.asText()) else Nil,
+          if (proto.hasNonNull("writerFeatures"))
+            jsonArray(proto.get("writerFeatures")).map(_.asText()) else Nil)
+      }
+      val txn = node.get("txn")
+      if (txn != null)
+        txns(txn.get("appId").asText()) = txn.get("version").asLong()
+      val dm = node.get("domainMetadata")
+      if (dm != null) {
+        if (dm.hasNonNull("removed") && dm.get("removed").asBoolean())
+          domains.remove(dm.get("domain").asText())
+        else domains(dm.get("domain").asText()) =
+          dm.get("configuration").asText()
+      }
+      val sc = node.get("sidecar")
+      if (sc != null) sidecarSink.foreach(_ += sc.get("path").asText())
+    }
+
     // Start from the newest checkpoint at-or-before the target: its rows
     // are the complete live state at that version (removes in it are
     // vacuum tombstones, not pending deletes).
@@ -495,11 +561,24 @@ object DeltaLog {
         live(path) = AddEntry(path, a.getAs[Long]("size"), stats, dv,
           optLong("baseRowId"), optLong("defaultRowCommitVersion"))
       }
-      val rows = spark.read.parquet(checkpoints(v).map(_.toString): _*)
+      val paths = checkpoints(v)
+      val sidecarFiles = mutable.Buffer[String]()
+      if (paths.size == 1 && paths.head.getName.endsWith(".json")) {
+        // V2 JSON-manifest form (`<v>.checkpoint.<uuid>.json`): the same
+        // actions as the parquet manifest, one JSON per line — foreign
+        // writers may emit either; sidecars are always parquet.
+        val in = fs.open(paths.head)
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+          .filter(_.trim.nonEmpty)
+          .foreach(l => processNode(mapper.readTree(l), Some(sidecarFiles)))
+        finally reader.close()
+      } else {
+      val rows = spark.read.parquet(paths.map(_.toString): _*)
       val cols = rows.columns.toSet
       val wanted = Seq("add", "metaData", "protocol", "txn", "sidecar",
         "domainMetadata").filter(cols)
-      val sidecarFiles = mutable.Buffer[String]()
       rows.select(wanted.map(org.apache.spark.sql.functions.col): _*)
         .collect() // checkpoint = table METADATA; size is O(#files), not data
         .foreach { r =>
@@ -543,6 +622,7 @@ object DeltaLog {
             case _ =>
           }
         }
+      }
       // V2 checkpoints keep the file actions in sidecar parquet under
       // _delta_log/_sidecars/ (relative names per the protocol). A
       // referenced-but-missing sidecar is a HARD error — bootstrapping
@@ -596,65 +676,8 @@ object DeltaLog {
         new java.io.InputStreamReader(in, "UTF-8"))
       try {
         Iterator.continually(reader.readLine()).takeWhile(_ != null)
-          .filter(_.trim.nonEmpty).foreach { line =>
-            val node = mapper.readTree(line)
-            val add = node.get("add"); val rm = node.get("remove")
-            val md = node.get("metaData"); val proto = node.get("protocol")
-            if (add != null) {
-              val p = add.get("path").asText()
-              val stats =
-                if (add.hasNonNull("stats")) Some(add.get("stats").asText())
-                else None
-              val dv =
-                if (add.hasNonNull("deletionVector")) {
-                  val d = add.get("deletionVector")
-                  val st = d.get("storageType").asText()
-                  checkDvStorage(st)
-                  Some(DvDescriptor(
-                    dvPathOf(st, d.get("pathOrInlineDv").asText()),
-                    d.get("cardinality").asLong(),
-                    if (d.hasNonNull("offset")) d.get("offset").asLong() else 1L,
-                    if (d.hasNonNull("sizeInBytes")) d.get("sizeInBytes").asLong()
-                    else 0L,
-                    st, d.get("pathOrInlineDv").asText()))
-                } else None
-              def optLong(n: String): Option[Long] =
-                if (add.hasNonNull(n)) Some(add.get(n).asLong()) else None
-              live(p) = AddEntry(p, add.get("size").asLong(), stats, dv,
-                optLong("baseRowId"), optLong("defaultRowCommitVersion"))
-            }
-            if (rm != null) live.remove(rm.get("path").asText())
-            if (md != null) {
-              schemaString = md.get("schemaString").asText()
-              partCols = jsonArray(md.get("partitionColumns")).map(_.asText())
-              val c = md.get("configuration")
-              config =
-                if (c == null || !c.isObject) Map.empty
-                else c.properties().iterator().asScala
-                  .map(e => e.getKey -> e.getValue.asText()).toMap
-              mdId = Option(md.get("id")).map(_.asText())
-            }
-            if (proto != null) {
-              checkProtocol(proto.get("minReaderVersion").asInt())
-              protocolInfo = TableProtocol(
-                proto.get("minReaderVersion").asInt(),
-                proto.get("minWriterVersion").asInt(),
-                if (proto.hasNonNull("readerFeatures"))
-                  jsonArray(proto.get("readerFeatures")).map(_.asText()) else Nil,
-                if (proto.hasNonNull("writerFeatures"))
-                  jsonArray(proto.get("writerFeatures")).map(_.asText()) else Nil)
-            }
-            val txn = node.get("txn")
-            if (txn != null)
-              txns(txn.get("appId").asText()) = txn.get("version").asLong()
-            val dm = node.get("domainMetadata")
-            if (dm != null) {
-              if (dm.hasNonNull("removed") && dm.get("removed").asBoolean())
-                domains.remove(dm.get("domain").asText())
-              else domains(dm.get("domain").asText()) =
-                dm.get("configuration").asText()
-            }
-          }
+          .filter(_.trim.nonEmpty)
+          .foreach(line => processNode(mapper.readTree(line)))
       } finally reader.close()
     }
 

@@ -433,7 +433,9 @@ object DeltaWrite {
     * staged before the manifest publishes, and the reader refuses a
     * manifest whose sidecar is missing. */
   def checkpointV2(spark: SparkSession, tablePath: String,
-      sidecars: Int = 1): Long = {
+      sidecars: Int = 1, manifestFormat: String = "parquet"): Long = {
+    require(manifestFormat == "parquet" || manifestFormat == "json",
+      s"manifestFormat must be parquet or json, got $manifestFormat")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     require(sidecars >= 1, s"sidecars must be >= 1, got $sidecars")
@@ -536,23 +538,38 @@ object DeltaWrite {
     // so byte-equal buckets are referenced instead of rewritten.
     val priorSidecars: Map[Set[(String, Long, String, String, Long, Long)], (String, Long)] = {
       val priors = f.listStatus(dir).map(_.getPath).flatMap(p => p.getName match {
-        case v2 if v2.matches("""\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.parquet""") =>
+        case v2 if v2.matches("""\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.(?:parquet|json)""") =>
           Some(v2.take(20).toLong -> p)
         case _ => None
       })
       priors.sortBy(-_._1).headOption match {
         case None => Map.empty
         case Some((_, manifest)) =>
-          val refs = spark.read.parquet(manifest.toString)
-          if (!refs.columns.contains("sidecar")) Map.empty
+          // prior manifest may be either form; only its sidecar refs matter
+          val named: Map[String, Long] =
+            (if (manifest.getName.endsWith(".json")) {
+              val in = f.open(manifest)
+              val reader = new java.io.BufferedReader(
+                new java.io.InputStreamReader(in, "UTF-8"))
+              try Iterator.continually(reader.readLine())
+                .takeWhile(_ != null).filter(_.trim.nonEmpty)
+                .map(mapper.readTree)
+                .flatMap(n => Option(n.get("sidecar")))
+                .map(sc => sc.get("path").asText() ->
+                  sc.get("sizeInBytes").asLong())
+                .toMap
+              finally reader.close()
+            } else {
+              val refs = spark.read.parquet(manifest.toString)
+              if (!refs.columns.contains("sidecar")) Map.empty[String, Long]
+              else refs.select("sidecar").collect()
+                .filter(!_.isNullAt(0)).map(_.getStruct(0))
+                .map(sc => sc.getAs[String]("path") ->
+                  sc.getAs[Long]("sizeInBytes"))
+                .toMap
+            }).filter { case (name, _) => f.exists(new Path(scDir, name)) }
+          if (named.isEmpty) Map.empty
           else {
-            val named = refs.select("sidecar").collect()
-              .filter(!_.isNullAt(0)).map(_.getStruct(0))
-              .map(sc => sc.getAs[String]("path") -> sc.getAs[Long]("sizeInBytes"))
-              .filter { case (name, _) => f.exists(new Path(scDir, name)) }
-              .toMap
-            if (named.isEmpty) Map.empty
-            else {
               // ONE read over every prior sidecar, grouped back by file —
               // a per-sidecar read would launch N driver jobs per checkpoint
               val rows = spark.read
@@ -588,12 +605,11 @@ object DeltaWrite {
                   Set.empty[(String, Long, String, String, Long, Long)]) -> (n, sz)
               }
             }
-          }
       }
     }
     // unchanged buckets are referenced; changed ones land (fully
     // written) BEFORE the manifest that names them
-    val sidecarRows = buckets.map { bucket =>
+    val sidecarRefs: Seq[(String, Long)] = buckets.map { bucket =>
       // key on the SERIALIZED descriptor fields (rawOrPath + the
       // offset form the sidecar row stores) — keying on the resolved
       // d.path/d.offset never matches what reads back from a prior
@@ -604,8 +620,7 @@ object DeltaWrite {
           (if (d.inline) "i" else d.offset.toString) + "+" + d.sizeInBytes),
         a.dv.map(_.cardinality), a.baseRowId)).toSet
       priorSidecars.get(ks) match {
-        case Some((name, sz)) =>
-          Row(null, null, null, null, Row(name, sz, 0L), null)
+        case Some((name, sz)) => (name, sz)
         case None =>
           val rows = bucket.map(a =>
             Row(Row(a.path, a.size, false, 0L, a.stats.orNull,
@@ -615,8 +630,11 @@ object DeltaWrite {
               a.defaultRowCommitVersion.map(Long.box).orNull)))
           val name = s"${java.util.UUID.randomUUID()}.parquet"
           val size = writeOne(new Path(scDir, name), rows, sidecarSchema)
-          Row(null, null, null, null, Row(name, size, 0L), null)
+          (name, size)
       }
+    }
+    val sidecarRows = sidecarRefs.map { case (n, sz) =>
+      Row(null, null, null, null, Row(n, sz, 0L), null)
     }
     val proto = snap.protocol
     val manifest: Seq[Row] =
@@ -636,7 +654,58 @@ object DeltaWrite {
         snap.domainMetadata.toSeq.sortBy(_._1).map { case (dom, cfg) =>
           Row(null, null, null, null, null, Row(dom, cfg, false))
         } ++ sidecarRows
-    writeOne(new Path(dir,
+    if (manifestFormat == "json") {
+      // V2 JSON-manifest form: same actions, one JSON object per line.
+      // Sidecars stay parquet (the protocol fixes their format).
+      val proto2 = mapper.createObjectNode()
+      val pn = proto2.putObject("protocol")
+      pn.put("minReaderVersion", proto.minReader)
+      pn.put("minWriterVersion", proto.minWriter)
+      if (proto.readerFeatures.nonEmpty) {
+        val a = pn.putArray("readerFeatures")
+        proto.readerFeatures.foreach(a.add)
+      }
+      if (proto.writerFeatures.nonEmpty) {
+        val a = pn.putArray("writerFeatures")
+        proto.writerFeatures.foreach(a.add)
+      }
+      val mdN = mapper.createObjectNode()
+      val m = mdN.putObject("metaData")
+      m.put("id", snap.metaDataId.getOrElse(java.util.UUID.randomUUID().toString))
+      m.put("schemaString", snap.schema.json)
+      val pc = m.putArray("partitionColumns")
+      snap.partitionColumns.foreach(pc.add)
+      val cfg = m.putObject("configuration")
+      snap.configuration.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+      val fmtN = m.putObject("format")
+      fmtN.put("provider", "parquet"); fmtN.putObject("options")
+      val ckN = mapper.createObjectNode()
+      ckN.putObject("checkpointMetadata").put("version", snap.version)
+      val txnNs = snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        val n = mapper.createObjectNode()
+        val t = n.putObject("txn"); t.put("appId", app); t.put("version", v); n
+      }
+      val domNs = snap.domainMetadata.toSeq.sortBy(_._1).map { case (dom, c) =>
+        val n = mapper.createObjectNode()
+        val d = n.putObject("domainMetadata")
+        d.put("domain", dom); d.put("configuration", c); d.put("removed", false); n
+      }
+      val scNs = sidecarRefs.map { case (name, sz) =>
+        val n = mapper.createObjectNode()
+        val s = n.putObject("sidecar")
+        s.put("path", name); s.put("sizeInBytes", sz); s.put("modificationTime", 0L); n
+      }
+      val target = new Path(dir,
+        f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.json")
+      val os = f.create(target, true)
+      try {
+        val w = new java.io.OutputStreamWriter(os, "UTF-8")
+        (Seq(proto2, mdN, ckN) ++ txnNs ++ domNs ++ scNs).foreach { n =>
+          w.write(mapper.writeValueAsString(n)); w.write("\n")
+        }
+        w.flush()
+      } finally os.close()
+    } else writeOne(new Path(dir,
       f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"),
       manifest, manifestSchema)
     val lc = f.create(new Path(dir, "_last_checkpoint"), true)

@@ -168,6 +168,46 @@ class V2CheckpointSpec extends AnyFunSuite {
     assert(m2.exists(m => m.contains("checkpointed") && !m.contains("(v2)")))
   }
 
+  test("JSON-manifest v2 checkpoints bootstrap, reuse sidecars across " +
+    "forms, and interoperate with DML + cleaned logs") {
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s").coalesce(1), t)
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s").coalesce(1), t,
+      mode = SaveMode.Append)
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s").coalesce(1), t,
+      mode = SaveMode.Append)
+    DeltaDml.delete(spark, t, col("id") === 2)
+
+    DeltaWrite.checkpointV2(spark, t, sidecars = 3, manifestFormat = "json")
+    assert(logNames(t).exists(
+      _.matches("""\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.json""")),
+      s"expected a JSON v2 manifest, got ${logNames(t)}")
+    val scDir = new java.io.File(s"$t/_delta_log/_sidecars")
+    def sidecarNames(): Set[String] =
+      scDir.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val after1 = sidecarNames()
+
+    // a cleaned log bootstraps purely from the JSON manifest + sidecars
+    DeltaMaintenance.cleanupLog(spark, t)
+    assert(DeltaLog.read(spark, t).as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (3, "c")))
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.protocol.readerFeatures.contains("v2Checkpoint"))
+
+    // the table stays writable; the NEXT checkpoint (parquet form this
+    // time) reuses the JSON manifest's unchanged sidecars
+    DeltaWrite.write(Seq((4, "d")).toDF("id", "s").coalesce(1), t,
+      mode = SaveMode.Append)
+    DeltaWrite.checkpointV2(spark, t, sidecars = 3)
+    val fresh = sidecarNames() -- after1
+    assert(fresh.size <= 1,
+      s"cross-form sidecar reuse failed, rewrote $fresh")
+    DeltaMaintenance.cleanupLog(spark, t)
+    assert(DeltaLog.read(spark, t).as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (3, "c"), (4, "d")))
+  }
+
   test("a manifest referencing a missing sidecar is refused loudly") {
     import spark.implicits._
     val t = tmpTable()
