@@ -1354,9 +1354,12 @@ class DeltaSourceSpec extends AnyFunSuite {
     val atV2 = DeltaLog.read(spark, t, versionAsOf = Some(2L))
       .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
 
-    val written = DeltaMaintenance.compactLog(spark, t, 0L, 3L)
-    assert(written.endsWith(
-      f"${0L}%020d.${3L}%020d.compacted.json"))
+    val msg = DeltaDml.dispatchMaintenance(spark,
+      s"COMPACT LOG '$t' FROM 0 TO 3")
+    assert(msg.exists(_.contains("compacted")), s"dispatch failed: $msg")
+    val written = new java.io.File(s"$t/_delta_log",
+      f"${0L}%020d.${3L}%020d.compacted.json")
+    assert(written.isFile)
     assert(rows() == before, "compacted replay must reconcile identically")
     // in-range time travel (target 2 < end 3) must NOT use the compacted
     // file — it reconciles to the range END, not to intermediate states
