@@ -928,5 +928,110 @@ object TextAnalysis {
         "        FROM wf WHERE len(word) >= 2)) " +
         "SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"))
+    ,
+
+    // Collocation mining — top word bigrams by PMI lift
+    // c(ab)·U²/(B·c(a)·c(b)), the multi-word-expression detector of a
+    // phrase/tokenizer pipeline (q130 ranks CHARACTER merges; this
+    // ranks WORD merges). Rational lift instead of log-PMI (q115's
+    // libm rule); the multiply/divide chain runs in one mirrored order
+    // on exact integer counts, so it is bit-identical cross-engine.
+    // Scale shape: adjacent pairs come from an in-row arrays_zip of two
+    // slices (no self-join, no window); the (a,b) rollup map-side
+    // combines into a vocabulary²-bounded exchange; unigram counts and
+    // totals ride in as broadcasts; top-k is a TakeOrdered.
+    GraftQuery("q132_pmi_bigrams",
+      (s, d) => {
+        val toks = docs(s, d).select(
+          regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0))
+            .as("ws"))
+        val uni = toks.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val uniTot = uni.agg(sum("c").cast("long").as("u"))
+        val bi = toks.filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "arrays_zip(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1))"))
+            .as("p"))
+          .select(col("p").getField("0").as("a"),
+            col("p").getField("1").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        val biTot = bi.agg(sum("n").cast("long").as("t"))
+        bi.filter(col("n") >= 5)
+          .join(broadcast(uni.select(col("w").as("a"), col("c").as("ca"))), "a")
+          .join(broadcast(uni.select(col("w").as("b"), col("c").as("cb"))), "b")
+          .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
+          .select(col("a"), col("b"), col("n"),
+            (col("n").cast("double") * col("u").cast("double") /
+              col("t").cast("double") *
+              (col("u").cast("double") / col("ca").cast("double")) /
+              col("cb").cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+      },
+      Some("WITH w AS (SELECT regexp_extract_all(lower(text), '\\p{L}+') AS ws FROM documents), " +
+        "uc AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1), " +
+        "ut AS (SELECT CAST(SUM(c) AS BIGINT) AS u FROM uc), " +
+        "bc AS (SELECT a, b, COUNT(*) AS n FROM " +
+        "  (SELECT unnest(ws[1:len(ws)-1]) AS a, unnest(ws[2:len(ws)]) AS b " +
+        "   FROM w WHERE len(ws) >= 2) GROUP BY 1, 2), " +
+        "bt AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM bc) " +
+        "SELECT a, b, n, " +
+        "CAST(n AS DOUBLE) * CAST(u AS DOUBLE) / CAST(t AS DOUBLE) * " +
+        "(CAST(u AS DOUBLE) / CAST(ca.c AS DOUBLE)) / CAST(cb.c AS DOUBLE) AS lift " +
+        "FROM bc JOIN uc ca ON bc.a = ca.w JOIN uc cb ON bc.b = cb.w, ut, bt " +
+        "WHERE n >= 5 ORDER BY lift DESC, a, b LIMIT 20"))
+    ,
+
+    // Per-source distribution drift — the chi-square statistic of each
+    // source's word distribution against the corpus distribution, the
+    // domain-shift monitor of a mixture pipeline (which source stopped
+    // looking like the corpus?). Chi-square, not KL: KL needs log
+    // (libm-banned), while Σ(o−e)²/e is a rational chain. Zero-count
+    // cells still contribute e, so the statistic sums over the FULL
+    // source×vocabulary grid (both engines enumerate it via a cross
+    // join of two aggregate-scale frames). Per-cell terms are dyadically
+    // quantized at 2⁻³⁰ (exponent shift + floor, IEEE-exact) so the
+    // per-source sums aggregate identical integers in any order.
+    // Scale shape: ONE corpus-sized rollup exchange; everything after
+    // is vocabulary×sources-bounded.
+    GraftQuery("q133_source_drift",
+      (s, d) => {
+        val fp = lit(1073741824.0) // 2^30, exact
+        val wc = docs(s, d).select(col("source"),
+            explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"),
+              lit(0))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("o"))
+          .persist()
+        val srcTot = wc.groupBy("source").agg(sum("o").cast("long").as("st"))
+        val wordTot = wc.groupBy("w").agg(sum("o").cast("long").as("cw"))
+        val tot = wc.agg(sum("o").cast("long").as("tt"))
+        val grid = srcTot.crossJoin(broadcast(wordTot))
+          .crossJoin(broadcast(tot))
+          .join(wc, Seq("source", "w"), "left")
+          .select(col("source"), col("st"), col("cw"), col("tt"),
+            coalesce(col("o"), lit(0L)).as("o"))
+        val expd = col("st").cast("double") * col("cw").cast("double") /
+          col("tt").cast("double")
+        val dev = col("o").cast("double") - expd
+        grid.select(col("source"), floor(dev * dev / expd * fp).as("q"))
+          .groupBy("source")
+          .agg((sum(col("q").cast("decimal(38,0)")).cast("double") / fp)
+            .as("chi2"))
+          .orderBy("source")
+      },
+      Some("WITH wfull AS (SELECT source, unnest(regexp_extract_all(lower(text), '\\p{L}+')) AS w FROM documents), " +
+        "wc AS (SELECT source, w, COUNT(*) AS o FROM wfull GROUP BY 1, 2), " +
+        "st AS (SELECT source, CAST(SUM(o) AS BIGINT) AS st FROM wc GROUP BY 1), " +
+        "cw AS (SELECT w, CAST(SUM(o) AS BIGINT) AS cw FROM wc GROUP BY 1), " +
+        "tt AS (SELECT CAST(SUM(o) AS BIGINT) AS tt FROM wc), " +
+        "grid AS (SELECT st.source, st.st, cw.w, cw.cw, tt.tt, " +
+        "  COALESCE(wc.o, 0) AS o FROM st CROSS JOIN cw CROSS JOIN tt " +
+        "  LEFT JOIN wc ON wc.source = st.source AND wc.w = cw.w), " +
+        "t AS (SELECT source, CAST(floor(" +
+        "  (CAST(o AS DOUBLE) - CAST(st AS DOUBLE) * CAST(cw AS DOUBLE) / CAST(tt AS DOUBLE)) * " +
+        "  (CAST(o AS DOUBLE) - CAST(st AS DOUBLE) * CAST(cw AS DOUBLE) / CAST(tt AS DOUBLE)) / " +
+        "  (CAST(st AS DOUBLE) * CAST(cw AS DOUBLE) / CAST(tt AS DOUBLE)) " +
+        "  * 1073741824.0) AS BIGINT) AS q FROM grid) " +
+        "SELECT source, CAST(SUM(q) AS DOUBLE) / 1073741824.0 AS chi2 " +
+        "FROM t GROUP BY source ORDER BY source"))
   )
 }

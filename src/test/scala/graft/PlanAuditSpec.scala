@@ -25,14 +25,16 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   // BNLJ with a bounded broadcast side: 1-row aggregate frames
-  // (q27/q35/q109/q113/q115/q121/q126), fixed-size panels/codebooks
-  // (q58/q91/q92), quadratic-by-design baseline (q48).
+  // (q27/q35/q109/q113/q115/q121/q126/q132 totals, q133 corpus total),
+  // fixed-size panels/codebooks (q58/q91/q92), quadratic-by-design
+  // baseline (q48).
   private val bnljOk = Set(
     "q27_scalar_subquery", "q35_setops", "q48_dedup_embedding",
     "q58_ann_ivf", "q91_decontamination", "q92_ann_pq",
     "q109_quality_percentile_filter", "q113_rfm",
     "q115_distinctive_terms", "q121_vocab_overlap_sketch",
-    "q126_bm25_search", "q131_hybrid_rrf")
+    "q126_bm25_search", "q131_hybrid_rrf", "q132_pmi_bigrams",
+    "q133_source_drift")
 
   // SMJ on genuinely data-sized both-sides joins: full outer (q68),
   // bench-prefix range resolution (q91), component → doc resolution

@@ -116,6 +116,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrdered"), "top-k must plan as TakeOrdered")
   }
 
+  test("q132: in-row bigram zip (no self-join); unigram stats broadcast") {
+    val p = plan("q132_pmi_bigrams")
+    assert(!p.contains("SortMergeJoin"),
+      s"unigram counts and totals must broadcast:\n$p")
+    assert(p.contains("TakeOrdered"), "top-k must plan as TakeOrdered")
+    // pairs come from arrays_zip in the row, not a join or window
+    assert(p.contains("Generate explode"), "expected the zip explode")
+  }
+
+  test("q133: one corpus rollup; drift grid is aggregate-scale only") {
+    val p = plan("q133_source_drift")
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      "the (source, word) rollup must be persisted — three consumers")
+    assert(p.contains("TakeOrdered") || p.contains("Sort"),
+      "output must be ordered")
+  }
+
   test("q108: centroid sums combine map-side, one agg exchange") {
     val p = plan("q108_label_centroids")
     assert(exchanges(p) <= 2, // (label, pos) agg + final sort
