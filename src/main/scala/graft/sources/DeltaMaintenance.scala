@@ -360,8 +360,14 @@ object DeltaMaintenance {
             n.dropRight(5).forall(_.isDigit) &&
             n.dropRight(5).toLong <= horizon => n
         }
-        old.foreach(n => fs.delete(new Path(dir, n), false))
-        old.length
+        // compacted ranges wholly behind the horizon serve no replay
+        // (bootstrap starts past them) — trim them with their commits
+        val compactedRe = """(\d{20})\.(\d{20})\.compacted\.json""".r
+        val oldCompacted = entries.collect {
+          case n @ compactedRe(_, e) if e.toLong <= horizon => n
+        }
+        (old ++ oldCompacted).foreach(n => fs.delete(new Path(dir, n), false))
+        old.length + oldCompacted.length
     }
   }
 

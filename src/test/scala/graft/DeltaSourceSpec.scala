@@ -1380,4 +1380,22 @@ class DeltaSourceSpec extends AnyFunSuite {
       DeltaLog.read(spark, t, versionAsOf = Some(2L)).collect()
     }
   }
+
+  test("cleanup trims compacted ranges wholly behind the checkpoint horizon") {
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t) // v0
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append) // v1
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append) // v2
+    DeltaMaintenance.compactLog(spark, t, 0L, 2L)
+    DeltaWrite.checkpoint(spark, t) // horizon = 2
+    DeltaMaintenance.cleanupLog(spark, t)
+    val names = new java.io.File(s"$t/_delta_log").listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".compacted.json")),
+      s"dead compacted range must be trimmed: ${names.toSeq}")
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+  }
 }
