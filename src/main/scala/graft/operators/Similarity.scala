@@ -509,7 +509,7 @@ object Similarity {
       (s, d) => {
         graft.functions.CosineSim.register(s)
         import org.apache.spark.sql.expressions.Window
-        val terms = Seq("spark", "join", "window")
+        val terms = TextAnalysis.QueryTerms
         val qv = emb(s, d).filter(col("vec_id") === 0)
           .select(col("embedding").cast("array<double>")).collect()
           .headOption.map(_.getSeq[Double](0)).getOrElse(Seq.empty)
@@ -528,33 +528,7 @@ object Similarity {
             .select(col("doc_id"), row_number()
               .over(Window.orderBy(col("cos").desc, col("doc_id")))
               .cast("long").as("r_dense"))
-          val toks = cand.select(col("doc_id"),
-            regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0))
-              .as("ws"))
-          val stats = toks.select(size(col("ws")).cast("long").as("dl"))
-            .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-          val tfc = toks
-            .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
-              explode(col("ws")).as("word"))
-            .filter(col("word").isin(terms: _*))
-            .groupBy("doc_id", "dl", "word")
-            .agg(count(lit(1)).cast("double").as("tf"))
-          val dfc = tfc.groupBy("word").agg(count(lit(1)).as("df"))
-          val avgdl =
-            col("sum_dl").cast("double") / col("n_docs").cast("double")
-          val scored = tfc.join(broadcast(dfc), "word")
-            .crossJoin(broadcast(stats))
-            .select(col("doc_id"), col("word"),
-              ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
-                (col("tf") * lit(2.2)) /
-                (col("tf") + lit(1.2) *
-                  (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
-                .as("sc"))
-          def termScore(t: String) =
-            coalesce(max(when(col("word") === lit(t), col("sc"))), lit(0.0))
-          val lex = scored.groupBy("doc_id")
-            .agg((termScore(terms(0)) + termScore(terms(1)) + termScore(terms(2)))
-              .as("score"))
+          val lex = TextAnalysis.bm25Scores(cand, terms)
             .orderBy(col("score").desc, col("doc_id")).limit(100)
             .select(col("doc_id"), row_number()
               .over(Window.orderBy(col("score").desc, col("doc_id")))
@@ -574,25 +548,9 @@ object Similarity {
         "dense AS (SELECT c.doc_id, " + cosSql + " AS cos FROM cand c, q), " +
         "dtop AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_dense " +
         "  FROM (SELECT * FROM dense ORDER BY cos DESC, doc_id LIMIT 100)), " +
-        "w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\p{L}+') AS ws FROM cand), " +
-        "dd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w), " +
-        "st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dd), " +
-        "tfc AS (SELECT doc_id, dl, word, CAST(COUNT(*) AS DOUBLE) AS tf " +
-        "  FROM (SELECT doc_id, dl, unnest(ws) AS word FROM dd) " +
-        "  WHERE word IN ('spark', 'join', 'window') GROUP BY 1, 2, 3), " +
-        "dfc AS (SELECT word, COUNT(*) AS df FROM tfc GROUP BY 1), " +
-        "sc AS (SELECT doc_id, word, " +
-        "  (st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) * (tf * 2.2) / " +
-        "  (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / " +
-        "    (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS sc " +
-        "  FROM tfc JOIN dfc USING (word), st), " +
-        "lsc AS (SELECT doc_id, " +
-        "  COALESCE(MAX(CASE WHEN word = 'spark' THEN sc END), 0.0) " +
-        "  + COALESCE(MAX(CASE WHEN word = 'join' THEN sc END), 0.0) " +
-        "  + COALESCE(MAX(CASE WHEN word = 'window' THEN sc END), 0.0) AS score " +
-        "  FROM sc GROUP BY doc_id), " +
+        TextAnalysis.bm25SqlCtes("cand", TextAnalysis.QueryTerms) + ", " +
         "ltop AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex " +
-        "  FROM (SELECT * FROM lsc ORDER BY score DESC, doc_id LIMIT 100)) " +
+        "  FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id LIMIT 100)) " +
         "SELECT COALESCE(ltop.doc_id, dtop.doc_id) AS doc_id, r_lex, r_dense, " +
         "COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0) " +
         "+ COALESCE(1.0 / (60.0 + CAST(r_dense AS DOUBLE)), 0.0) AS rrf " +

@@ -37,6 +37,68 @@ object TextAnalysis {
   private def reCount(c: Column, re: String): Column =
     regexp_count(c, lit(re)).cast("long")
 
+  /** The fixed 3-term query q126 and q131's lexical branch share. */
+  private[operators] val QueryTerms = Seq("spark", "join", "window")
+
+  /** Shared rational-idf Okapi BM25 core (k1=1.2, b=0.75) over a frame
+    * carrying (doc_id, text): per-doc score for `terms`, conditional
+    * aggregates added in WRITTEN term order (the determinism contract —
+    * see q126's Scaladoc). ONE implementation + one oracle fragment
+    * ([[bm25SqlCtes]]) serve both q126 and q131, so the scoring chain
+    * cannot drift between them. */
+  private[operators] def bm25Scores(src: DataFrame, terms: Seq[String])
+      : DataFrame = {
+    require(terms.size == 3, "bm25Scores: fixed 3-term query shape")
+    val toks = src.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)).as("ws"))
+    val stats = toks.select(size(col("ws")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tfc = toks
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "dl", "word")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfc = tfc.groupBy("word").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val scored = tfc.join(broadcast(dfc), "word")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("word"),
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+          .as("s"))
+    def termScore(t: String) =
+      coalesce(max(when(col("word") === lit(t), col("s"))), lit(0.0))
+    scored.groupBy("doc_id")
+      .agg((termScore(terms(0)) + termScore(terms(1)) + termScore(terms(2)))
+        .as("score"))
+  }
+
+  /** DuckDB mirror of [[bm25Scores]] as a CTE chain ending in
+    * `bm25(doc_id, score)`; `srcRel` must expose (doc_id, text). */
+  private[operators] def bm25SqlCtes(srcRel: String,
+      terms: Seq[String]): String = {
+    val in = terms.map("'" + _ + "'").mkString(", ")
+    s"bw AS (SELECT doc_id, regexp_extract_all(lower(text), '\\p{L}+') AS ws FROM $srcRel), " +
+      "bd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM bw), " +
+      "bst AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM bd), " +
+      "btfc AS (SELECT doc_id, dl, word, CAST(COUNT(*) AS DOUBLE) AS tf " +
+      "  FROM (SELECT doc_id, dl, unnest(ws) AS word FROM bd) " +
+      s"  WHERE word IN ($in) GROUP BY 1, 2, 3), " +
+      "bdfc AS (SELECT word, COUNT(*) AS df FROM btfc GROUP BY 1), " +
+      "bsc AS (SELECT doc_id, word, " +
+      "  (bst.n_docs - bdfc.df + 0.5) / (bdfc.df + 0.5) * (tf * 2.2) / " +
+      "  (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / " +
+      "    (CAST(bst.sum_dl AS DOUBLE) / CAST(bst.n_docs AS DOUBLE))))) AS s " +
+      "  FROM btfc JOIN bdfc USING (word), bst), " +
+      "bm25 AS (SELECT doc_id, " +
+      terms.map(t => s"COALESCE(MAX(CASE WHEN word = '$t' THEN s END), 0.0)")
+        .mkString(" + ") +
+      " AS score FROM bsc GROUP BY doc_id)"
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery("q40_text_tokens",
@@ -844,54 +906,12 @@ object TextAnalysis {
     // so the only data-sized shuffle carries ≤|Q| rows per matching
     // doc), df/stats ride in as broadcasts, top-k is a TakeOrdered.
     GraftQuery("q126_bm25_search",
-      (s, d) => {
-        val terms = Seq("spark", "join", "window")
-        val toks = docs(s, d).select(col("doc_id"),
-          regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)).as("ws"))
-        val stats = toks
-          .select(size(col("ws")).cast("long").as("dl"))
-          .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-        val tfc = toks
-          .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
-            explode(col("ws")).as("word"))
-          .filter(col("word").isin(terms: _*))
-          .groupBy("doc_id", "dl", "word")
-          .agg(count(lit(1)).cast("double").as("tf"))
-        val dfc = tfc.groupBy("word").agg(count(lit(1)).as("df"))
-        val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-        val scored = tfc.join(broadcast(dfc), "word")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"), col("word"),
-            ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
-              (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
-              .as("s"))
-        def termScore(t: String) =
-          coalesce(max(when(col("word") === lit(t), col("s"))), lit(0.0))
-        scored.groupBy("doc_id")
-          .agg((termScore(terms(0)) + termScore(terms(1)) + termScore(terms(2)))
-            .as("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
-      },
-      Some("WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\p{L}+') AS ws FROM documents), " +
-        "d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w), " +
-        "st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d), " +
-        "tfc AS (SELECT doc_id, dl, word, CAST(COUNT(*) AS DOUBLE) AS tf " +
-        "  FROM (SELECT doc_id, dl, unnest(ws) AS word FROM d) " +
-        "  WHERE word IN ('spark', 'join', 'window') GROUP BY 1, 2, 3), " +
-        "dfc AS (SELECT word, COUNT(*) AS df FROM tfc GROUP BY 1), " +
-        "sc AS (SELECT doc_id, word, " +
-        "  (st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) * (tf * 2.2) / " +
-        "  (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / " +
-        "    (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS s " +
-        "  FROM tfc JOIN dfc USING (word), st) " +
-        "SELECT doc_id, " +
-        "  COALESCE(MAX(CASE WHEN word = 'spark' THEN s END), 0.0) " +
-        "  + COALESCE(MAX(CASE WHEN word = 'join' THEN s END), 0.0) " +
-        "  + COALESCE(MAX(CASE WHEN word = 'window' THEN s END), 0.0) AS score " +
-        "FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"))
+      (s, d) => bm25Scores(docs(s, d), QueryTerms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20),
+      Some("WITH " + bm25SqlCtes("documents", QueryTerms) +
+        " SELECT doc_id, score FROM bm25 " +
+        "ORDER BY score DESC, doc_id LIMIT 20"))
     ,
 
     // BPE merge-candidate counting — the first iteration of byte-pair

@@ -422,7 +422,7 @@ object DeltaDml {
         (if (v2 != null) " (v2)" else ""))
     case CleanupRe(target) =>
       val n = DeltaMaintenance.cleanupLog(spark, unquote(target))
-      Some(s"cleaned $n commit files behind the checkpoint horizon")
+      Some(s"cleaned $n log files behind the checkpoint horizon")
     case CompactLogRe(target, s, e) =>
       val p = DeltaMaintenance.compactLog(spark, unquote(target),
         s.toLong, e.toLong)

@@ -278,12 +278,6 @@ object DeltaLog {
   private val VersionRe = """(\d{20})\.json""".r
   private val CompactedRe = """(\d{20})\.(\d{20})\.compacted\.json""".r
 
-  /** Log-compaction files by (startVersion, endVersion). */
-  private def listCompacted(fs: FileSystem, dir: Path): Map[(Long, Long), Path] =
-    fs.listStatus(dir).map(_.getPath).flatMap(p => p.getName match {
-      case CompactedRe(s, e) => Some((s.toLong, e.toLong) -> p)
-      case _ => None
-    }).toMap
   private val SinglePartRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
   private val V2Re =
@@ -301,7 +295,7 @@ object DeltaLog {
     * checkpoint + log cleanup a valid table may have no commit JSON at
     * its current version (mirrors snapshot()'s own horizon). */
   def latestVersion(spark: SparkSession, tablePath: String): Long = {
-    val (_, commits, checkpoints) = listLog(spark, tablePath)
+    val (_, commits, checkpoints, _) = listLog(spark, tablePath)
     (commits.keys ++ checkpoints.keys).maxOption.getOrElse(
       throw new IllegalStateException(s"no Delta commits under $tablePath"))
   }
@@ -315,7 +309,8 @@ object DeltaLog {
     * error. Incomplete checkpoints are simply invisible; replay falls
     * back to the next older complete checkpoint or the full commit log. */
   private[sources] def listLog(spark: SparkSession, tablePath: String)
-      : (FileSystem, Map[Long, Path], Map[Long, Seq[Path]]) = {
+      : (FileSystem, Map[Long, Path], Map[Long, Seq[Path]],
+         Map[(Long, Long), Path]) = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir))
@@ -325,6 +320,13 @@ object DeltaLog {
       case VersionRe(v) => Some(v.toLong -> p)
       case _ => None
     }).toMap
+    // log-compaction files, from the SAME listing (LIST is a metered
+    // high-latency RPC on object stores — one call serves all shapes)
+    val compacted: Map[(Long, Long), Path] = entries.flatMap(p =>
+      p.getName match {
+        case CompactedRe(s, e) => Some((s.toLong, e.toLong) -> p)
+        case _ => None
+      }).toMap
     val singles = entries.flatMap(p => p.getName match {
       case SinglePartRe(v) => Some(v.toLong -> p)
       case _ => None
@@ -370,7 +372,7 @@ object DeltaLog {
           }
         case _ => Map.empty
       }
-    (fs, commits, listed ++ pointed)
+    (fs, commits, listed ++ pointed, compacted)
   }
 
   /** Parse `_delta_log/_last_checkpoint`: (version, parts). None when
@@ -400,7 +402,7 @@ object DeltaLog {
     * checkpoint file's mtime. */
   def versionAt(spark: SparkSession, tablePath: String,
       ts: java.sql.Timestamp): Long = {
-    val (fs, commits, checkpoints) = listLog(spark, tablePath)
+    val (fs, commits, checkpoints, _) = listLog(spark, tablePath)
     val times: Map[Long, Long] =
       (checkpoints.map { case (v, ps) =>
         v -> ps.map(p => fs.getFileStatus(p).getModificationTime).max
@@ -448,7 +450,7 @@ object DeltaLog {
   /** Replay the log to `versionAsOf` (default: latest). */
   def snapshot(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Snapshot = {
-    val (fs, commits, checkpoints) = listLog(spark, tablePath)
+    val (fs, commits, checkpoints, compacted) = listLog(spark, tablePath)
     val latest = (commits.keys ++ checkpoints.keys).maxOption.getOrElse(
       throw new IllegalStateException(s"empty _delta_log under $tablePath"))
     val target = versionAsOf.getOrElse(latest)
@@ -654,7 +656,6 @@ object DeltaLog {
     // checkpoint that's one file open instead of e−s+1 (the individual
     // commits stay authoritative for time travel INSIDE the range and
     // for CDF/ICT reads, which always address exact versions).
-    val compacted = listCompacted(fs, logDir(tablePath))
     val replayFiles = mutable.Buffer[Path]()
     var cursor = from
     while (cursor <= target) {

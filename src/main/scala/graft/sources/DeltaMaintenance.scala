@@ -342,7 +342,8 @@ object DeltaMaintenance {
     * retention). Replay correctness is untouched — snapshot() bootstraps
     * from the checkpoint — but time travel to versions BEFORE the kept
     * horizon stops working, exactly like Delta's logRetentionDuration.
-    * Returns the number of commit files deleted. */
+    * Returns the number of LOG files deleted — commit JSONs plus any
+    * compacted-range files wholly behind the horizon. */
   def cleanupLog(spark: SparkSession, tablePath: String): Int = {
     val dir = DeltaLog.logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -428,7 +429,12 @@ object DeltaMaintenance {
       } finally reader.close()
     }
     val out = new Path(dir, f"$start%020d.$end%020d.compacted.json")
-    val os = fs.create(out, true)
+    // stage + rename: snapshot replay prefers a compacted file the
+    // moment its FINAL name lists, so the publish must be atomic — a
+    // reader racing a truncated write would silently drop the tail of
+    // the range (dot-tmp names match no lister pattern)
+    val tmp = new Path(dir, s".tmp-compact-${java.util.UUID.randomUUID()}.json")
+    val os = fs.create(tmp, true)
     try {
       val w = new java.io.OutputStreamWriter(os, "UTF-8")
       (protocol.toSeq ++ metaData.toSeq ++ txns.values ++ domains.values ++
@@ -436,6 +442,8 @@ object DeltaMaintenance {
         .foreach { l => w.write(l); w.write("\n") }
       w.flush()
     } finally os.close()
+    if (!fs.rename(tmp, out))
+      throw new IllegalStateException(s"could not place $out")
     out.toString
   }
 
@@ -496,7 +504,7 @@ object DeltaMaintenance {
     // cleaned past its remove) falls back to file mtime — conservative
     // for fresh writes, best-effort for ancient orphans.
     val tombstones: Map[String, Long] = {
-      val (lfs, commits, _) = DeltaLog.listLog(spark, tablePath)
+      val (lfs, commits, _, _) = DeltaLog.listLog(spark, tablePath)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val acc = scala.collection.mutable.Map[String, Long]()
       commits.values.foreach { c =>

@@ -697,7 +697,12 @@ object DeltaWrite {
       }
       val target = new Path(dir,
         f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.json")
-      val os = f.create(target, true)
+      // stage + rename: listLog's V2 pattern matches the FINAL name, so
+      // a racing reader must never see a half-written manifest (dot-tmp
+      // names match no lister pattern; rename is the atomic publish,
+      // same discipline as writeOne and the commit writer)
+      val tmp = new Path(dir, s".tmp-ckpt-${java.util.UUID.randomUUID()}.json")
+      val os = f.create(tmp, true)
       try {
         val w = new java.io.OutputStreamWriter(os, "UTF-8")
         (Seq(proto2, mdN, ckN) ++ txnNs ++ domNs ++ scNs).foreach { n =>
@@ -705,6 +710,8 @@ object DeltaWrite {
         }
         w.flush()
       } finally os.close()
+      if (!f.rename(tmp, target))
+        throw new IllegalStateException(s"could not place $target")
     } else writeOne(new Path(dir,
       f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"),
       manifest, manifestSchema)
@@ -1065,8 +1072,12 @@ object DeltaWrite {
         n.dropRight(5).forall(_.isDigit) => n.dropRight(5).toLong
     }
     val checkpointVersions = names.collect {
+      // .parquet covers classic/multi-part/v2-parquet; .json is the v2
+      // JSON-manifest form — missing it would let a cleaned log with a
+      // lost pointer re-issue version 0 (silent data loss)
       case n if n.length >= 20 && n.contains(".checkpoint") &&
-        n.endsWith(".parquet") && n.take(20).forall(_.isDigit) => n.take(20).toLong
+        (n.endsWith(".parquet") || n.endsWith(".json")) &&
+        n.take(20).forall(_.isDigit) => n.take(20).toLong
     }
     // _last_checkpoint can outlive its checkpoint file mid-rewrite; read
     // it too so the claimed horizon survives either artifact vanishing.
