@@ -117,7 +117,8 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
         |    $n2 += (long) java.lang.Math.floor($x * $x * $Fp);
         |  }
         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        |    new Object[] { $n, $e2, $n2 });
+        |    new Object[] { java.lang.Integer.valueOf($n),
+        |      java.lang.Long.valueOf($e2), java.lang.Long.valueOf($n2) });
         |}
       """.stripMargin
     })

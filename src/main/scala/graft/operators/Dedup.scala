@@ -48,18 +48,18 @@ object Dedup {
   val MaxBandBucket = 256
 
   /** Ordered in-group pair expansion: rows of sorted id-arrays →
-    * (a, b) with a < b, via two `posexplode`s and an index inequality.
-    * Both Generates stay in whole-stage codegen — the round-1 nested
-    * `transform(slice(...))` form computed the same pairs through
-    * interpreted higher-order functions and was 5× the DuckDB baseline.
-    * Callers bound the group size (df / bucket caps), so the n² expansion
-    * this produces before the filter is capped per group. */
-  private def pairExpand(grouped: DataFrame): DataFrame =
-    grouped
-      .select(col("ids"), posexplode(col("ids")).as(Seq("pi", "a")))
-      .select(col("pi"), col("a"), posexplode(col("ids")).as(Seq("pj", "b")))
-      .filter(col("pj") > col("pi"))
-      .select("a", "b")
+    * (a, b) with a < b, via the native [[graft.functions.OrderedPairs]]
+    * loop under a codegen `inline`. History: round 1's nested
+    * `transform(slice(...))` ran interpreted (5× DuckDB); rounds 2–6
+    * used two `posexplode`s + `pj > pi`, whose second Generate
+    * materializes n² rows and discards half. The native form emits
+    * exactly C(n,2) in one compiled pass. Callers bound the group size
+    * (df / bucket caps), so the quadratic expansion is capped per group. */
+  private def pairExpand(grouped: DataFrame): DataFrame = {
+    graft.functions.OrderedPairs.register(grouped.sparkSession)
+    grouped.select(
+      inline(graft.functions.OrderedPairs.orderedPairs(col("ids"))))
+  }
 
   /** Rare-shingle Jaccard pairs (q45's body; also feeds q81's
     * component clustering): one inverted-list shuffle, df∈[2,20] cap

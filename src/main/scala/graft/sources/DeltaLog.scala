@@ -295,9 +295,14 @@ object DeltaLog {
     * checkpoint + log cleanup a valid table may have no commit JSON at
     * its current version (mirrors snapshot()'s own horizon). */
   def latestVersion(spark: SparkSession, tablePath: String): Long = {
-    val (_, commits, checkpoints, _) = listLog(spark, tablePath)
-    (commits.keys ++ checkpoints.keys).maxOption.getOrElse(
-      throw new IllegalStateException(s"no Delta commits under $tablePath"))
+    val (_, commits, checkpoints, compacted) = listLog(spark, tablePath)
+    // Compacted range ends count too: a compacted file legitimizes
+    // deleting the commit JSONs it covers, so a log tail of the shape
+    // [compact 0..e, commits deleted, no newer checkpoint] is still a
+    // fully replayable table at version e.
+    (commits.keys ++ checkpoints.keys ++ compacted.keys.map(_._2))
+      .maxOption.getOrElse(
+        throw new IllegalStateException(s"no Delta commits under $tablePath"))
   }
 
   /** List the log: commit JSONs by version, plus COMPLETE checkpoints by
@@ -451,7 +456,10 @@ object DeltaLog {
   def snapshot(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Snapshot = {
     val (fs, commits, checkpoints, compacted) = listLog(spark, tablePath)
-    val latest = (commits.keys ++ checkpoints.keys).maxOption.getOrElse(
+    // compacted ends participate (see latestVersion): replay can serve a
+    // tail whose commit JSONs were deleted behind a compacted range.
+    val latest = (commits.keys ++ checkpoints.keys ++
+      compacted.keys.map(_._2)).maxOption.getOrElse(
       throw new IllegalStateException(s"empty _delta_log under $tablePath"))
     val target = versionAsOf.getOrElse(latest)
     require(target <= latest, s"version $target > latest $latest for $tablePath")
@@ -467,9 +475,16 @@ object DeltaLog {
 
     // One JSON action line (commit, compacted-log, or V2 JSON-manifest
     // form) applied to the accumulating state. `sidecarSink` collects
-    // sidecar references — only manifests carry them.
+    // sidecar references — only manifests carry them; its presence also
+    // marks checkpoint-bootstrap context, where `remove` lines are
+    // vacuum tombstones (not pending deletes) and must be IGNORED —
+    // mirroring the parquet manifest branch, which never selects the
+    // remove column. A spec-reconciled manifest carries no add+remove
+    // conflict, but a foreign non-reconciled one must not produce a
+    // different live set depending on manifest form.
     def processNode(node: com.fasterxml.jackson.databind.JsonNode,
         sidecarSink: Option[mutable.Buffer[String]] = None): Unit = {
+      val bootstrapCtx = sidecarSink.isDefined
       val add = node.get("add"); val rm = node.get("remove")
       val md = node.get("metaData"); val proto = node.get("protocol")
       if (add != null) {
@@ -495,7 +510,7 @@ object DeltaLog {
         live(p) = AddEntry(p, add.get("size").asLong(), stats, dv,
           optLong("baseRowId"), optLong("defaultRowCommitVersion"))
       }
-      if (rm != null) live.remove(rm.get("path").asText())
+      if (rm != null && !bootstrapCtx) live.remove(rm.get("path").asText())
       if (md != null) {
         schemaString = md.get("schemaString").asText()
         partCols = jsonArray(md.get("partitionColumns")).map(_.asText())

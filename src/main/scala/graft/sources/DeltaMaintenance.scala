@@ -361,11 +361,15 @@ object DeltaMaintenance {
             n.dropRight(5).forall(_.isDigit) &&
             n.dropRight(5).toLong <= horizon => n
         }
-        // compacted ranges wholly behind the horizon serve no replay
-        // (bootstrap starts past them) — trim them with their commits
+        // Compacted ranges behind OR straddling the horizon serve no
+        // replay: bootstrap starts at horizon+1 and a jump needs
+        // s == cursor, so a straddler (s <= horizon < e) can never
+        // match — any future target >= e bootstraps from this (newest)
+        // checkpoint past s, and any target < e fails the e <= target
+        // guard. Trim both with their commits.
         val compactedRe = """(\d{20})\.(\d{20})\.compacted\.json""".r
         val oldCompacted = entries.collect {
-          case n @ compactedRe(_, e) if e.toLong <= horizon => n
+          case n @ compactedRe(s, _) if s.toLong <= horizon => n
         }
         (old ++ oldCompacted).foreach(n => fs.delete(new Path(dir, n), false))
         old.length + oldCompacted.length
@@ -387,6 +391,11 @@ object DeltaMaintenance {
   def compactLog(spark: SparkSession, tablePath: String,
       start: Long, end: Long): String = {
     require(start <= end, s"compactLog: start $start > end $end")
+    // User error (range past the log tail) must read as such, not as the
+    // "missing commit N" corruption signal the per-version loop raises.
+    val latest = DeltaLog.latestVersion(spark, tablePath)
+    require(end <= latest,
+      s"compactLog: range end $end exceeds latest version $latest of $tablePath")
     val dir = DeltaLog.logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
