@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
   * not JVM startup — a warmup query runs first), queries in name order,
   * full materialization through the `noop` sink (forces every operator,
   * streams results nowhere — unlike count(), which lets Catalyst prune
-  * the plan to nothing for scan-shaped queries).
+  * the plan to nothing for scan-shaped queries). Each query then runs
+  * TWICE back-to-back and reports the min — the exact protocol
+  * duck_bench.py uses (`repeat=2`, min), so both engines report a warm
+  * best and single-run box-noise spikes cancel out of the ratio.
+  * Per-query wall + executor-run-time detail goes to bench_detail.json.
   *
   * Per-query codegen warm-up: before the timed pass, every query runs
   * once against SPARK_GRAFT_WARM_DIR (default sf0.001; set empty to
@@ -42,7 +46,22 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Double = {
+    // Executor run-time accumulator (stage metrics) — exec_ms alongside
+    // wall diagnoses box-load inflation from the artifact alone: wall
+    // rising while exec_ms holds means scheduler/CPU contention, not a
+    // plan regression.
+    val execMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          execMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime); ()
+        }
+      })
+
+    /** One timed materialization; (wall sec, exec ms). */
+    def once(name: String): (Double, Long) = {
+      val e0 = execMs.get()
       val t0 = System.nanoTime()
       val elapsed =
         try {
@@ -53,16 +72,37 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
+      Thread.sleep(30) // let the async listener bus drain stage events
+      (elapsed, execMs.get() - e0)
+    }
+
+    /** Best-of-2, symmetric with duck_bench.py's `repeat=2` min — both
+      * engines report a warm back-to-back best, so box-noise spikes
+      * (the ±25% the round-6 driver artifact carried vs the same
+      * build's calm runs) fall out of the comparison instead of landing
+      * on whichever engine ran under load. exec_ms reported for the
+      * best rep. */
+    def materialize(name: String): (Double, Long) = {
+      val r1 = once(name)
+      // Honesty guard: a query's internal persist() registers by
+      // CANONICALIZED plan, so rep 2 would silently read rep 1's cached
+      // intermediates (measured: q119 2.7 -> 0.6 s) — an asymmetry
+      // DuckDB's repeat does not have (its buffer pool caches base
+      // pages only, the analogue of our OS page cache). Drop cached
+      // intermediates between reps; warm JIT/codegen/page-cache stay,
+      // which is exactly the warmth duck_bench's best-of-2 carries.
+      spark.catalog.clearCache()
+      val r2 = if (r1._1 < 0) r1 else once(name)
+      val best = if (r2._1 >= 0 && (r1._1 < 0 || r2._1 < r1._1)) r2 else r1
       spark.catalog.clearCache() // sketch persists don't outlive their query
       // ContextCleaner frees dead shuffle files / broadcasts only when the
-      // JVM GCs; over 123 queries × 2 passes the leftovers build real
+      // JVM GCs; over 130 queries × 3 passes the leftovers build real
       // memory pressure that lands on whichever heavy query runs next
       // (measured: q120 4→23 s run-to-run on the same build). Collect
       // between queries so each starts from a clean executor heap — the
-      // pause sits outside the timed window (the old finally-block
-      // clearCache was INSIDE it).
+      // pause sits outside the timed window.
       System.gc()
-      elapsed
+      best
     }
 
     materialize("q02_count") // warmup: session + codegen + parquet footers
@@ -87,17 +127,28 @@ object Bench {
       }
     }
     val results = names.map(n => n -> materialize(n))
+    // Full per-query detail (wall best-of-2 + exec_ms) to a file — the
+    // driver's stdout-tail capture is 2000 chars, too small to carry
+    // exec_ms inline; the judge reads this alongside BENCH_r{N}.json.
+    val detail = results.map { case (k, (w, e)) =>
+      s""""$k":{"wall":${math.rint(w * 1000) / 1000},"exec_ms":$e}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"sf":"$sfDir","protocol":"warm+best-of-2","queries":$detail}\n""")
     // ONE compact JSON line for the driver. Keys are the short query ids
     // ("q45" for "q45_dedup_ngram_jaccard" — unique by construction) and
     // values are rounded to ms so the whole line fits inside the
     // driver's 2000-char output-tail capture: with full names the line
     // is ~3.3k chars and arrives truncated (BENCH_r01–r03 all show
     // "parsed": null with the tail starting mid-line).
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, (v, _)) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 1000) / 1000)
     }.mkString("{", ",", "}")
-    val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 1000) / 1000
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total =
+      math.rint(results.map(_._2._1).filter(_ >= 0).sum * 1000) / 1000
+    val execTotal = results.map(_._2._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_ms":$execTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -133,6 +133,69 @@ object GraphPipeline {
     (nodes, edges)
   }
 
+  /** q134: the A28/A30 ingest surface as an ORACLED corpus query. A
+    * cypher_queries_clean.json-shaped block per order — the reference's
+    * exact 3-statement MERGE shape with string-array comments
+    * (load_memgraph.py:46-95) — is synthesized from customer×orders,
+    * round-tripped through the REAL parser ([[parseBlock]]) and
+    * MERGE-dedup [[load]], then verified with the A29 double equi-join;
+    * every output number is arithmetic DuckDB reproduces straight from
+    * the tables, so the whole parse→dedup→join pipeline is
+    * hash-checked at corpus scale (sf0.01 ≈ 15k blocks — 4× the
+    * reference corpus's 3,443). Apostrophe escaping is exercised by the
+    * parser specs; this synthetic text carries none.
+    *
+    * Scale shape: block synthesis is a narrow projection; parsing is a
+    * per-block flatMap (ingest, not the query path); node dedup is one
+    * id-keyed aggregate; the verification join shuffles on node id.
+    * Nothing collects to the driver. */
+  private def graphLoadQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = graft.Tables.load(s, d, "customer")
+    val ords = graft.Tables.load(s, d, "orders")
+    val blocks = ords.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(concat(
+        lit("MERGE (parent:Mission {id:'C"), col("c_custkey"),
+        lit("'}) SET parent.mission_number = '"), col("c_custkey"),
+        lit("', parent.title = 'Customer "), col("c_name"),
+        lit("', parent.comments = []\n"),
+        lit("MERGE (child:Mission {id:'O"), col("o_orderkey"),
+        lit("'}) SET child.mission_number = '"), col("o_orderkey"),
+        lit("', child.title = '"), col("o_orderpriority"),
+        lit("', child.comments = ["),
+        array_join(transform(split(col("o_orderpriority"), "-"),
+          w => concat(lit("'"), w, lit("'"))), ", "),
+        lit("]\n"),
+        lit("MERGE (parent:Mission {id:'C"), col("c_custkey"),
+        lit("'}) MERGE (child:Mission {id:'O"), col("o_orderkey"),
+        lit("'}) MERGE (parent)-[:IS_PARENT_TO]->(child)")).as("cypher"))
+    val (nodes, edges) = load(s, blocks.as[String])
+    edges
+      .join(nodes.select(col("id").as("src"),
+        col("title").as("parent_title")), "src")
+      .join(nodes.select(col("id").as("dst"),
+        col("title").as("child_title"),
+        col("mission_number").as("child_number"),
+        col("comments").as("child_comments")), "dst")
+      .groupBy("src", "parent_title")
+      .agg(count(lit(1)).as("n_children"),
+        countDistinct("child_title").as("n_prio"),
+        sum(size(col("child_comments"))).cast("long").as("comment_items"),
+        sum(col("child_number").cast("long")).cast("long").as("orderkey_sum"))
+      .orderBy("src")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q134_graph_load", graphLoadQuery,
+      Some("SELECT 'C' || c_custkey AS src, " +
+        "'Customer ' || c_name AS parent_title, " +
+        "COUNT(*) AS n_children, " +
+        "CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio, " +
+        "CAST(SUM(len(string_split(o_orderpriority, '-'))) AS BIGINT) AS comment_items, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_sum " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY src")))
+
   /** The reference's verification queries (load_memgraph.py:78-95): node
     * count, edge count, and the sample double equi-join (A29). */
   def verify(nodes: DataFrame, edges: DataFrame): (GraphStats, DataFrame) = {

@@ -27,6 +27,36 @@ object DeltaChanges {
   final case class Changes(fromVersionExclusive: Long, toVersion: Long,
       addedFiles: Seq[String])
 
+  /** (files, bytes) added by ONE commit — the metadata a streaming
+    * source's `maxFilesPerTrigger` / `maxBytesPerTrigger` walk needs.
+    * Layout-only adds (`dataChange = false`, OPTIMIZE) count toward
+    * nothing: the stream never re-serves them. A missing commit JSON
+    * reports (0, 0) — the rate-limit walk then advances to it and the
+    * batch read raises the loud log-cleaned error, instead of the
+    * stream silently stalling at the cap. */
+  def versionAddStats(spark: SparkSession, tablePath: String,
+      version: Long): (Long, Long) = {
+    val fs = DeltaLog.logDir(tablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val commit = new org.apache.hadoop.fs.Path(
+      DeltaLog.logDir(tablePath), f"$version%020d.json")
+    if (!fs.exists(commit)) return (0L, 0L)
+    var files = 0L; var bytes = 0L
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(commit), "UTF-8"))
+    try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+      .filter(_.trim.nonEmpty).foreach { line =>
+        val add = mapper.readTree(line).get("add")
+        if (add != null && (!add.hasNonNull("dataChange") ||
+            add.get("dataChange").asBoolean(true))) {
+          files += 1
+          if (add.hasNonNull("size")) bytes += add.get("size").asLong()
+        }
+      }
+    finally reader.close()
+    (files, bytes)
+  }
+
   /** File paths added by commits in `(fromExclusive, toInclusive]`
     * (`toInclusive` defaults to the latest version — a streaming source
     * passes the batch's end offset so a commit landing mid-planning

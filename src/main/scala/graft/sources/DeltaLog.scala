@@ -894,6 +894,11 @@ object DeltaLog {
     * costs nothing extra (Spark's schema JSON and parquet reader handle
     * TIMESTAMP_NTZ natively); `vacuumProtocolCheck` requires no read-path
     * behavior by definition — it exists to gate vacuum implementations. */
+  /** Whether `delta.feature.<name>=supported` enablement must declare
+    * the feature on the READER side too (reader-writer features). */
+  private[sources] def isReaderFeature(name: String): Boolean =
+    SupportedReaderFeatures.contains(name)
+
   private val SupportedReaderFeatures: Set[String] = Set(
     "columnMapping", "deletionVectors", "v2Checkpoint",
     "timestampNtz", "vacuumProtocolCheck",

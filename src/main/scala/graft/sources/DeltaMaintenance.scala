@@ -146,7 +146,32 @@ object DeltaMaintenance {
     // commit, like Delta's own enablement), then record the property.
     if (props.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true")))
       RowTracking.enable(spark, tablePath)
+    // `delta.feature.<name> = supported` — Delta's own enablement
+    // convention: record the feature in the protocol (reader side too
+    // when the feature is a reader-writer one), NOT in the table
+    // configuration. Unknown names are refused up front: declaring a
+    // feature this writer can't honor would poison the table for
+    // everyone downstream.
+    val featureKeys = props.collect {
+      case (k, v) if k.startsWith("delta.feature.") &&
+        v.equalsIgnoreCase("supported") => k.stripPrefix("delta.feature.")
+    }.toSeq
+    featureKeys.foreach { f =>
+      if (!DeltaLog.SupportedWriterFeatures.contains(f))
+        throw new UnsupportedOperationException(
+          s"cannot declare delta.feature.$f: feature not supported by this writer")
+    }
+    if (featureKeys.nonEmpty) {
+      val snap0 = DeltaLog.snapshot(spark, tablePath)
+      DeltaWrite.commit(spark, tablePath,
+        Seq(DeltaWrite.featureProtocolAction(snap0.protocol, featureKeys,
+          featureKeys.filter(DeltaLog.isReaderFeature))),
+        operation = "UPGRADE PROTOCOL")
+    }
     val snap = DeltaLog.snapshot(spark, tablePath)
+    // feature-enablement keys live in the PROTOCOL (above), never in the
+    // table configuration — mirroring Delta's own handling
+    val cfgProps = props.filterNot(_._1.startsWith("delta.feature."))
     val ictOn = (k: Map[String, String]) =>
       k.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
     if (ictOn(props) && !ictOn(snap.configuration)) {
@@ -157,7 +182,7 @@ object DeltaMaintenance {
       // for readers (and this writer's monotonicity re-seed after log
       // cleanup removes the predecessor commit).
       val now = System.currentTimeMillis()
-      val all = props ++ Map(
+      val all = cfgProps ++ Map(
         "delta.inCommitTimestampEnablementVersion" -> (snap.version + 1).toString,
         "delta.inCommitTimestampEnablementTimestamp" -> now.toString)
       DeltaWrite.commit(spark, tablePath,
@@ -168,7 +193,7 @@ object DeltaMaintenance {
     } else
       DeltaWrite.commit(spark, tablePath,
         Seq(DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
-          snap.configuration ++ props, snap.metaDataId)),
+          snap.configuration ++ cfgProps, snap.metaDataId)),
         operation = "SET TBLPROPERTIES")
   }
 
@@ -496,6 +521,15 @@ object DeltaMaintenance {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val snap = DeltaLog.snapshot(spark, tablePath)
+    // The `vacuumProtocolCheck` writer feature's whole contract: a
+    // vacuum implementation must run the full protocol gate before
+    // deleting files — an implementation ignorant of some writer
+    // feature (say, a DV layout it doesn't know) could otherwise delete
+    // files that feature still references. checkWritable refuses any
+    // writer feature outside the supported set, on every table (the
+    // feature flag exists to force this on implementations that
+    // wouldn't; we simply always comply).
+    DeltaLog.checkWritable(snap)
     // Live set covers data files AND the deletion-vector sidecars their
     // descriptors reference — a vacuumed live sidecar would silently
     // resurrect deleted rows. Superseded sidecars (no live descriptor)

@@ -293,6 +293,12 @@ object DeltaWrite {
     import org.apache.spark.sql.types._
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val snap = DeltaLog.snapshot(spark, tablePath)
+    // `delta.checkpointPolicy = v2` (protocol property): the TABLE
+    // chooses its checkpoint form — every checkpoint, including the
+    // automatic delta.checkpointInterval cadence, must then be the V2
+    // manifest+sidecar form, not the classic one-shot parquet.
+    if (snap.configuration.get("delta.checkpointPolicy").contains("v2"))
+      return checkpointV2(spark, tablePath, sidecars = math.max(1, parts))
     val ckptSchema = StructType(Seq(
       StructField("add", StructType(Seq(
         StructField("path", StringType), StructField("size", LongType),

@@ -56,6 +56,49 @@ object JdbcUpsertSink {
     }
   }
 
+  /** Upsert statement dialect: the SQL text plus the per-row parameter
+    * expansion (placeholder order is dialect-specific — postgres binds
+    * each column once; Derby's MERGE form binds key columns in the ON
+    * clause and again in the INSERT branch). */
+  trait UpsertDialect extends Serializable {
+    def sql(table: String, cols: Seq[String], keys: Seq[String]): String
+    /** Parameter values for one row, in placeholder order. */
+    def params(row: Seq[Any], cols: Seq[String], keys: Seq[String]): Seq[Any] = row
+  }
+
+  /** The reference's target dialect (delta_to_postgres_scd.py:242-252). */
+  object PostgresDialect extends UpsertDialect {
+    override def sql(table: String, cols: Seq[String], keys: Seq[String]): String =
+      postgresUpsertSql(table, cols, keys)
+  }
+
+  /** ANSI MERGE form for Apache Derby (which has no ON CONFLICT) — the
+    * dialect the live-connection spec drives against embedded Derby,
+    * proving statement flow / batch flush / rollback on a real
+    * `java.sql.Connection` (the only JDBC engine shipped in the Spark
+    * distribution). Single-row MERGE against SYSIBM.SYSDUMMY1: key
+    * placeholders appear in the ON clause, non-keys in the UPDATE
+    * branch, then every column again in the INSERT branch. */
+  object DerbyMergeDialect extends UpsertDialect {
+    override def sql(table: String, cols: Seq[String], keys: Seq[String]): String = {
+      require(keys.nonEmpty && keys.forall(cols.contains), s"keys $keys must be in $cols")
+      val nonKeys = cols.filterNot(keys.contains)
+      val on = keys.map(k => s"$table.$k = ?").mkString(" AND ")
+      val upd =
+        if (nonKeys.isEmpty) ""
+        else "WHEN MATCHED THEN UPDATE SET " +
+          nonKeys.map(c => s"$c = ?").mkString(", ") + " "
+      s"MERGE INTO $table USING SYSIBM.SYSDUMMY1 ON $on " + upd +
+        s"WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    }
+    override def params(row: Seq[Any], cols: Seq[String], keys: Seq[String]): Seq[Any] = {
+      val byName = cols.zip(row).toMap
+      val nonKeys = cols.filterNot(keys.contains)
+      keys.map(byName) ++ nonKeys.map(byName) ++ row
+    }
+  }
+
   /** PostgreSQL upsert statement for `cols` keyed on `keys` — the exact
     * dialect form the reference emits (delta_to_postgres_scd.py:242-252). */
   def postgresUpsertSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
@@ -71,15 +114,17 @@ object JdbcUpsertSink {
 
   /** Upsert `df` into `table` keyed on `keys`. Returns rows written. */
   def write(df: DataFrame, factory: UpsertConnectionFactory, table: String,
-      keys: Seq[String], batchSize: Int = 500): Long = {
+      keys: Seq[String], batchSize: Int = 500,
+      dialect: UpsertDialect = PostgresDialect): Long = {
     val cols = df.columns.toSeq
-    val sql = postgresUpsertSql(table, cols, keys)
+    val sql = dialect.sql(table, cols, keys)
     val written = df.sparkSession.sparkContext.longAccumulator("graft.upserted")
     df.foreachPartition { it: Iterator[Row] =>
       if (it.hasNext) {
         val conn = factory.connect()
         try it.grouped(batchSize).foreach { g =>
-          conn.executeBatch(sql, g.map(r => cols.indices.map(r.get)))
+          conn.executeBatch(sql,
+            g.map(r => dialect.params(cols.indices.map(r.get), cols, keys)))
           written.add(g.size)
         } finally conn.close()
       }

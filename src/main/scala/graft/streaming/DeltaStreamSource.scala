@@ -37,7 +37,9 @@ class DeltaStreamSource(
     ignoreChanges: Boolean,
     ignoreDeletes: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
-    readChangeFeed: Boolean = false) extends Source {
+    readChangeFeed: Boolean = false,
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   private val tableSchema: StructType =
     DeltaLog.snapshot(spark, tablePath).schema
@@ -56,14 +58,48 @@ class DeltaStreamSource(
     * committed offset. */
   @volatile private var served: Option[Long] = None
 
+  /** (files, bytes) added by each commit, cached — commits are immutable,
+    * so a version's stats never change; entries behind the high-water
+    * mark are dropped to keep the cache O(one trigger's walk). */
+  private val addStatsCache =
+    scala.collection.mutable.Map[Long, (Long, Long)]()
+
+  private def addStats(v: Long): (Long, Long) =
+    addStatsCache.getOrElseUpdate(v,
+      DeltaChanges.versionAddStats(spark, tablePath, v))
+
   override def getOffset: Option[Offset] = {
     val latest = DeltaLog.latestVersion(spark, tablePath)
-    val capped = (maxVersionsPerTrigger, served) match {
-      // Cap applies only once we know where the stream stands; the very
+    val capped = served match {
+      // Caps apply only once we know where the stream stands; the very
       // first batch (snapshot bootstrap / restart recovery) is served
       // whole regardless — it is one consistent snapshot either way.
-      case (Some(max), Some(base)) => math.min(latest, base + max)
-      case _ => latest
+      case Some(base) =>
+        val vCap = maxVersionsPerTrigger
+          .map(max => math.min(latest, base + max)).getOrElse(latest)
+        // File/byte caps walk commit metadata version-by-version. The
+        // batch ALWAYS advances at least one version when data exists
+        // (progress guarantee) and a version never splits across
+        // batches — the offset stays version-granular, so restart
+        // replay re-reads exactly the committed version range
+        // regardless of rate limits (a 100 TB backfill with
+        // maxBytesPerTrigger catches up in bounded batches without
+        // ever bisecting a commit's exactly-once unit).
+        if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) vCap
+        else {
+          var v = base; var files = 0L; var bytes = 0L; var stop = false
+          while (!stop && v < vCap) {
+            val (f, b) = addStats(v + 1)
+            val over =
+              maxFilesPerTrigger.exists(m => files + f > m) ||
+                maxBytesPerTrigger.exists(m => bytes + b > m)
+            if (over && v > base) stop = true
+            else { files += f; bytes += b; v += 1 }
+          }
+          addStatsCache.filterInPlace { case (k, _) => k > v }
+          v
+        }
+      case None => latest
     }
     served = Some(served.fold(capped)(math.max(_, capped)))
     Some(LongOffset(capped))
@@ -173,7 +209,10 @@ class DeltaStreamSink(
   *     `partitionBy` comma-separated) through [[DeltaWrite.write]];
   *   - streaming: `readStream`/`writeStream`. Source options: `path`
   *     (required), `ignoreChanges`, `ignoreDeletes`,
-  *     `maxVersionsPerTrigger` (rate limit after the bootstrap batch),
+  *     `maxVersionsPerTrigger` / `maxFilesPerTrigger` /
+  *     `maxBytesPerTrigger` (rate limits after the bootstrap batch;
+  *     version-granular — a commit never splits across batches, and at
+  *     least one version advances per trigger),
   *     `readChangeFeed` (emit the CDF row-level feed — table columns +
   *     `_change_type` + `_commit_version` — instead of append rows).
   *     Sink options: `path` (required), `txnAppId` (optional —
@@ -233,7 +272,9 @@ class DeltaSourceProvider extends StreamSourceProvider
       ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean),
       maxVersionsPerTrigger =
         parameters.get("maxVersionsPerTrigger").map(_.toLong),
-      readChangeFeed = cdfMode(parameters))
+      readChangeFeed = cdfMode(parameters),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong))
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],

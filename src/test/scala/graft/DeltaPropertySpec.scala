@@ -84,9 +84,36 @@ class DeltaPropertySpec extends AnyFunSuite {
           history += (DeltaLog.latestVersion(spark, t) -> model)
         case 4 => // compact everything (tiny files)
           DeltaMaintenance.compact(spark, t, smallFileBytes = 32 * 1024 * 1024)
-        case 5 => // checkpoint
+        case 5 => // checkpoint — sometimes through the table's
+          // delta.checkpointPolicy=v2 property (once set it sticks, so
+          // later checkpoints in this run take the V2 manifest path)
+          if (rnd.nextBoolean() && !DeltaLog.snapshot(spark, t)
+              .configuration.get("delta.checkpointPolicy").contains("v2"))
+            DeltaMaintenance.setTblProperties(spark, t,
+              Map("delta.checkpointPolicy" -> "v2"))
           DeltaWrite.checkpoint(spark, t)
-        case 6 => // vacuum: kills time travel for pre-vacuum versions
+          if (DeltaLog.snapshot(spark, t).configuration
+              .get("delta.checkpointPolicy").contains("v2")) {
+            val names = new java.io.File(s"$t/_delta_log").listFiles()
+              .map(_.getName)
+            assert(names.exists(_.matches(
+              """\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.(parquet|json)""")),
+              "v2 policy must produce the V2 checkpoint form")
+          }
+        case 6 => // vacuum: kills time travel for pre-vacuum versions.
+          // Sometimes under a declared vacuumProtocolCheck writer gate —
+          // vacuum must run the protocol check and still proceed (the
+          // feature is in the supported set; an UNKNOWN writer feature
+          // refusing vacuum is covered by the foreign-protocol test).
+          if (rnd.nextBoolean() && !DeltaLog.snapshot(spark, t)
+              .protocol.writerFeatures.contains("vacuumProtocolCheck")) {
+            DeltaMaintenance.setTblProperties(spark, t,
+              Map("delta.feature.vacuumProtocolCheck" -> "supported"))
+            val p = DeltaLog.snapshot(spark, t).protocol
+            assert(p.writerFeatures.contains("vacuumProtocolCheck") &&
+              p.readerFeatures.contains("vacuumProtocolCheck"),
+              "delta.feature enablement must land in the protocol")
+          }
           DeltaMaintenance.vacuum(spark, t, retainMs = 0L)
           history = Map.empty
         case 7 => // MERGE: update a residue class + insert fresh rows

@@ -1398,4 +1398,80 @@ class DeltaSourceSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1))).toSeq ==
       Seq((1, "a"), (2, "b"), (3, "c")))
   }
+
+  test("cleanup also trims a compacted range STRADDLING the horizon " +
+    "(unreachable by the replay cursor)") {
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t) // v0
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append) // v1
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append) // v2
+    DeltaWrite.checkpoint(spark, t) // horizon = 2
+    DeltaWrite.write(Seq((4, "d")).toDF("id", "s"), t, SaveMode.Append) // v3
+    DeltaMaintenance.compactLog(spark, t, 1L, 3L) // s=1 <= 2 < e=3
+    DeltaMaintenance.cleanupLog(spark, t)
+    val names = new java.io.File(s"$t/_delta_log").listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".compacted.json")),
+      s"straddling compacted range must be trimmed: ${names.toSeq}")
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+  }
+
+  test("a log tail covered only by a compacted range stays replayable: " +
+    "commits deleted, no checkpoint, latestVersion = range end") {
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t) // v0
+    DeltaWrite.write(Seq((2, "b")).toDF("id", "s"), t, SaveMode.Append) // v1
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append) // v2
+    DeltaMaintenance.compactLog(spark, t, 0L, 2L)
+    val log = new java.io.File(s"$t/_delta_log")
+    (0L to 2L).foreach { v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete())
+    }
+    assert(DeltaLog.latestVersion(spark, t) == 2L)
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("compactLog range past the log tail fails as user error, " +
+    "not as a missing-commit corruption signal") {
+    import spark.implicits._
+    import graft.sources.DeltaMaintenance
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t) // v0
+    val e = intercept[IllegalArgumentException](
+      DeltaMaintenance.compactLog(spark, t, 0L, 7L))
+    assert(e.getMessage.contains("exceeds latest version"))
+  }
+
+  test("V2 JSON-manifest bootstrap ignores remove tombstones, matching " +
+    "the parquet manifest's vacuum semantics") {
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), t) // v0
+    DeltaWrite.write(Seq((3, "c")).toDF("id", "s"), t, SaveMode.Append) // v1
+    DeltaWrite.checkpointV2(spark, t, manifestFormat = "json")
+    val log = new java.io.File(s"$t/_delta_log")
+    val manifest = log.listFiles().map(_.getName)
+      .find(_.matches("""\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.json""")).get
+    // a non-reconciled foreign manifest may carry a remove for a path it
+    // also adds — checkpoint rows are the complete live state, so the
+    // tombstone is vacuum metadata and must NOT shrink the live set
+    val livePath = graft.sources.DeltaLog.snapshot(spark, t).files.head.path
+    val mf = java.nio.file.Paths.get(log.toString, manifest)
+    java.nio.file.Files.writeString(mf,
+      java.nio.file.Files.readString(mf) +
+        s"""\n{"remove":{"path":"$livePath","dataChange":true}}""")
+    // the out-of-band edit invalidates RawLocalFileSystem's crc sidecar
+    new java.io.File(log, s".$manifest.crc").delete()
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")),
+      "manifest-form remove must not drop live files at bootstrap")
+  }
 }

@@ -39,10 +39,12 @@ class PlanAuditSpec extends AnyFunSuite {
   // SMJ on genuinely data-sized both-sides joins: full outer (q68),
   // bench-prefix range resolution (q91), component → doc resolution
   // (q97), the 100×100-row bounded RRF fuse (q131 — full outer cannot
-  // broadcast).
+  // broadcast), and q134's A29 verification join (edges ⋈ nodes, both
+  // sides corpus-sized products of the same parse — a node-id shuffle
+  // join IS the scale plan for graph verification).
   private val smjOk = Set(
     "q68_outer_joins", "q91_decontamination", "q97_clean_corpus",
-    "q131_hybrid_rrf")
+    "q131_hybrid_rrf", "q134_graph_load")
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")

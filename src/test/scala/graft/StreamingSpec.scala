@@ -350,6 +350,75 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the backlog split across batches, saw ${progress.mkString(", ")}")
   }
 
+  test("graft-delta source rate limiting: maxFilesPerTrigger bounds the " +
+    "batch in files, never splits a version, and restart replay stays " +
+    "exactly-once") {
+    import graft.sources.DeltaWrite
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_ds_frate").resolve("t").toString
+    DeltaWrite.write(Seq((0L, "v0")).toDF("id", "s"), t)
+    val out = Files.createTempDirectory("graft_ds_frate_out").toString
+    val ckpt = Files.createTempDirectory("graft_ds_frate_ckpt").toString
+    def start() = spark.readStream.format("graft-delta").option("path", t)
+      .option("maxFilesPerTrigger", "3").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    val q = start()
+    q.processAllAvailable()
+    // backlog: 4 commits x 2 files x 2 rows — a 3-file cap fits exactly
+    // one 2-file version per batch (two would be 4 > 3), so the cap can
+    // only be honored by NOT splitting versions: every non-empty batch
+    // after bootstrap must carry a whole version's 2 rows.
+    (1 to 4).foreach(i => DeltaWrite.write(
+      Seq((i * 10L, "a"), (i * 10L + 1, "b")).toDF("id", "s").repartition(2),
+      t, SaveMode.Append))
+    q.processAllAvailable()
+    q.stop()
+    val afterBootstrap = q.recentProgress.map(_.numInputRows)
+      .filter(_ > 0).drop(1)
+    assert(afterBootstrap.length == 4 && afterBootstrap.forall(_ == 2),
+      s"each capped batch must be one whole version: ${afterBootstrap.toSeq}")
+    // restart from the checkpoint: new commits only, no re-serve
+    (5 to 6).foreach(i => DeltaWrite.write(
+      Seq((i * 10L, "a"), (i * 10L + 1, "b")).toDF("id", "s").repartition(2),
+      t, SaveMode.Append))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(out).count() == 1 + 4 * 2 + 2 * 2,
+      "rate-limited restart must neither lose nor duplicate rows")
+  }
+
+  test("graft-delta source rate limiting: maxBytesPerTrigger=1 degrades " +
+    "to one-version-per-batch (progress guarantee past an oversized " +
+    "version)") {
+    import graft.sources.DeltaWrite
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_ds_brate").resolve("t").toString
+    DeltaWrite.write(Seq((0L, "v0")).toDF("id", "s"), t)
+    val out = Files.createTempDirectory("graft_ds_brate_out").toString
+    val q = spark.readStream.format("graft-delta").option("path", t)
+      .option("maxBytesPerTrigger", "1").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ds_brate_ckpt").toString).start()
+    q.processAllAvailable()
+    (1 to 3).foreach(i => DeltaWrite.write(
+      Seq((i.toLong, s"v$i")).toDF("id", "s"), t, SaveMode.Append))
+    q.processAllAvailable()
+    q.stop()
+    // every version's parquet exceeds 1 byte, so the progress guarantee
+    // must advance exactly one version per batch — never zero (stall),
+    // never a partial version
+    val afterBootstrap = q.recentProgress.map(_.numInputRows)
+      .filter(_ > 0).drop(1)
+    assert(afterBootstrap.length == 3 && afterBootstrap.forall(_ == 1),
+      s"one whole version per batch expected: ${afterBootstrap.toSeq}")
+    assert(spark.read.parquet(out).count() == 4)
+  }
+
   test("Delta-to-Delta streaming pipeline: source -> transform -> txn " +
     "sink survives a restart with exactly-once end to end") {
     import graft.sources.{DeltaLog, DeltaWrite}

@@ -228,6 +228,67 @@ class TierASpec extends AnyFunSuite {
     assert(nodes.filter(col("id") === "M1").head.getAs[String]("title") == "Alpha v2")
   }
 
+  test("graph load parity: the q134 synthesized corpus round-trips " +
+    "identically through the JSON and CSV file forms") {
+    import spark.implicits._
+    // same block synthesis as q134_graph_load, at sf0.001 (~1.5k blocks)
+    val q = SparkEntry.queries("q134_graph_load")
+    val direct = q(spark, sf).collect()
+    // file forms: the reference's JSON array shape and the CSV
+    // cypher_json shape, written from the same synthesized blocks
+    val cust = Tables.load(spark, sf, "customer")
+    val ords = Tables.load(spark, sf, "orders")
+    val blocks = ords.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(concat(
+        lit("MERGE (parent:Mission {id:'C"), col("c_custkey"),
+        lit("'}) SET parent.mission_number = '"), col("c_custkey"),
+        lit("', parent.title = 'Customer "), col("c_name"),
+        lit("', parent.comments = []\n"),
+        lit("MERGE (child:Mission {id:'O"), col("o_orderkey"),
+        lit("'}) SET child.mission_number = '"), col("o_orderkey"),
+        lit("', child.title = '"), col("o_orderpriority"),
+        lit("', child.comments = ["),
+        array_join(org.apache.spark.sql.functions.transform(
+          split(col("o_orderpriority"), "-"),
+          w => concat(lit("'"), w, lit("'"))), ", "),
+        lit("]\n"),
+        lit("MERGE (parent:Mission {id:'C"), col("c_custkey"),
+        lit("'}) MERGE (child:Mission {id:'O"), col("o_orderkey"),
+        lit("'}) MERGE (parent)-[:IS_PARENT_TO]->(child)")).as("cypher"))
+      .as[String].collect()
+    def esc(s: String): String = s.replace("\\", "\\\\")
+      .replace("\"", "\\\"").replace("\n", "\\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-g134")
+    val jf = dir.resolve("blocks.json")
+    java.nio.file.Files.write(jf,
+      blocks.map(b => s"""{"cypher": "${esc(b)}"}""")
+        .mkString("[", ",\n", "]").getBytes("UTF-8"))
+    val cf = dir.resolve("blocks.csv")
+    java.nio.file.Files.write(cf,
+      (Seq("cypher_json") ++ blocks.map { b =>
+        val json = s"""{"cypher": "${esc(b)}"}"""
+        "\"" + json.replace("\"", "\"\"") + "\""
+      }).mkString("\n").getBytes("UTF-8"))
+    for ((path, via) <- Seq((jf, "json"), (cf, "csv"))) {
+      val (n, e) = if (via == "json") GraphPipeline.loadFromJson(spark, path.toString)
+        else GraphPipeline.loadFromCsv(spark, path.toString)
+      val fromFile = e
+        .join(n.select(col("id").as("src"), col("title").as("parent_title")), "src")
+        .join(n.select(col("id").as("dst"), col("title").as("child_title"),
+          col("mission_number").as("child_number"),
+          col("comments").as("child_comments")), "dst")
+        .groupBy("src", "parent_title")
+        .agg(count(lit(1)).as("n_children"),
+          countDistinct("child_title").as("n_prio"),
+          sum(size(col("child_comments"))).cast("long").as("comment_items"),
+          sum(col("child_number").cast("long")).cast("long").as("orderkey_sum"))
+        .orderBy("src")
+        .collect()
+      assert(fromFile.sameElements(direct),
+        s"$via file form must reproduce the in-memory q134 result")
+    }
+  }
+
   // ---- DDL/DML through spark.sql (A26/A27 surface) ----
 
   test("CREATE SCHEMA + USE qualification (A24 surface)") {
@@ -360,5 +421,46 @@ class TierASpec extends AnyFunSuite {
       again.select("media_id", "features")).count() == 0)
     val pruned = Multimodal.filterByMeta(media.toDF(), 100, 100)
     assert(pruned.count() > 0 && pruned.count() < 500)
+  }
+
+  test("multimodal: REAL PNG payloads decode through javax.imageio — " +
+    "pixel-exact grid features, header dims match metadata, stub only " +
+    "for non-image kinds") {
+    // solid-color hand check: encode a PNG of known gray, decode, and
+    // every grid cell must be exactly that luminance, normalized
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(y => (0 until 8).foreach(x =>
+      img.setRGB(x, y, 0x808080))) // r=g=b=128 -> luma 128.0 exactly
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val gray = Multimodal.decodeImage(bos.toByteArray, dim = 16).get
+    val expected = ((128.0 / 127.5) - 1.0).toFloat
+    assert(gray.forall(v => math.abs(v - expected) < 1e-6f),
+      s"solid gray must decode to uniform $expected: ${gray.toSeq}")
+
+    // distributed path: 60 real PNG fixtures through extractFeatures
+    val media = Multimodal.syntheticImageMedia(spark, 60).cache()
+    assert(media.filter(r =>
+      Multimodal.imageDims(r.payload) != Some((r.meta.width, r.meta.height)))
+      .count() == 0, "header dims must verify declared metadata")
+    val feats = Multimodal.extractFeatures(media).cache()
+    assert(feats.count() == 60)
+    assert(feats.filter(f => f.features.length != 16).count() == 0)
+    // real decode, not the stub: the stub on the same bytes differs
+    val viaStub = media.collect()
+      .map(r => r.media_id -> Multimodal.decodeStub(r.payload)).toMap
+    val real = feats.collect().map(f => f.media_id -> f.features).toMap
+    assert(real.keySet.forall(id => !real(id).sameElements(viaStub(id))),
+      "image kind must take the imageio path")
+    // deterministic across re-generation and distinct across images
+    val again = Multimodal.extractFeatures(
+      Multimodal.syntheticImageMedia(spark, 60)).collect()
+      .map(f => f.media_id -> f.features).toMap
+    assert(real.forall { case (id, v) => v.sameElements(again(id)) })
+    assert(real.values.map(_.toSeq).toSet.size == 60,
+      "distinct images must embed distinctly")
+    // and the vectors feed the ANN ops unchanged (same Array[Float] shape)
+    assert(real.values.forall(_.forall(v => v >= -1.0f && v <= 1.0f)))
   }
 }
