@@ -76,6 +76,98 @@ object WordShingles {
     call_function(FnName, text, lit(n))
 }
 
+/** Distinct word-n-gram shingle HASHES of a document — the fusion of
+  * `transform(graft_shingles(text, n), s -> xxhash64(s))` into ONE
+  * compiled pass, bit-identical by construction: tokenization replicates
+  * [[WordShingles]] exactly (trim → lower → `\s+` split semantics,
+  * including the leading-empty-token artifact of `String.split` when a
+  * non-space whitespace leads), each shingle's UTF-8 bytes are assembled
+  * once into a reusable buffer joined by 0x20, and hashed with Spark's
+  * own XXH64 at the `xxhash64` default seed 42 — so downstream
+  * df-counting and inverted-list keys are unchanged to the bit. What it
+  * saves over the two-step form: no per-shingle UTF8String/String
+  * materialization, no LinkedHashSet of strings, no interpreted
+  * higher-order `transform`, and the exploded stream starts as longs.
+  * The shingle-dominated scans (q45/q101/q104 cores) are map-stage
+  * CPU-bound; this is the lever that speeds them without shuffling text.
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects string, got ${other.simpleString(10)}")
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].trim().toLowerCase().getBytes
+    // token spans replicating String.split("\\s+"): a leading separator
+    // yields one empty token; trailing empties are dropped
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    if (bytes.length > 0 && isWs(bytes(0))) { starts.add(0); ends.add(0) }
+    while (i < bytes.length) {
+      if (isWs(bytes(i))) i += 1
+      else {
+        val s = i
+        while (i < bytes.length && !isWs(bytes(i))) i += 1
+        starts.add(s); ends.add(i)
+      }
+    }
+    val nt = starts.size()
+    // mirror WordShingles' degenerate-input contract exactly
+    if (nt < n || (nt == 1 && starts.get(0) == ends.get(0)))
+      return new GenericArrayData(Array.empty[Any])
+    val buf = new Array[Byte](bytes.length) // shingle bytes upper bound
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[Any]()
+    var t = 0
+    while (t <= nt - n) {
+      var len = 0
+      var j = 0
+      while (j < n) {
+        if (j > 0) { buf(len) = ' '; len += 1 }
+        val s = starts.get(t + j); val e = ends.get(t + j)
+        System.arraycopy(bytes, s, buf, len, e - s)
+        len += e - s
+        j += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          len, 42L)
+      if (seen.add(h)) out.add(h)
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  private val FnName = "graft_shingle_hashes"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => WordShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+
+  /** Column API: requires register(spark) once per session. */
+  def shingleHashes(text: Column, n: Int): Column =
+    call_function(FnName, text, lit(n))
+}
+
 /** ALL consecutive character n-grams of `lower(trim(text))`, duplicates
   * kept (unlike [[WordShingles]], which dedups word n-grams) — the unit
   * stream a character-level LM model/scorer consumes. One compiled pass;

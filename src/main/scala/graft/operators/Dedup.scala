@@ -64,19 +64,21 @@ object Dedup {
   /** Rare-shingle Jaccard pairs (q45's body; also feeds q81's
     * component clustering): one inverted-list shuffle, df∈[2,20] cap
     * bounding every group, in-group pair expansion, broadcast cardinality
-    * joins. Shingles are hashed to 64-bit keys post-explode (codegen
-    * xxhash64) so the inverted-list shuffle carries (long, int) instead
-    * of 3-word strings — same intersection counts modulo a vanishing
-    * 64-bit collision probability, and the oracle's string-keyed form
+    * joins. Shingles are hashed to 64-bit keys IN the shingling loop
+    * ([[graft.functions.WordShingleHashes]], r7 — one compiled pass,
+    * bit-identical to the old post-explode xxhash64) so the
+    * inverted-list shuffle carries (long, int) instead of 3-word
+    * strings — same intersection counts modulo a vanishing 64-bit
+    * collision probability, and the oracle's string-keyed form
     * verifies no collision bites this corpus. Both `grouped` consumers
     * (per-doc cardinalities and the pair expansion) share the physical
     * Exchange via ReuseExchange — measurably cheaper than persist(),
     * which paid cache serialization for a subplan read only twice. */
   private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    graft.functions.WordShingles.register(s)
+    graft.functions.WordShingleHashes.register(s)
     val sh = docs(s, d).select(col("doc_id"),
-      explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("s3"))
-      .select(col("doc_id"), xxhash64(col("s3")).as("s"))
+      explode(graft.functions.WordShingleHashes
+        .shingleHashes(col("text"), 3)).as("s"))
     // ONE shuffle builds the inverted lists; the df∈[2,20] filter is a
     // size predicate on the list (shingles are distinct per doc, so
     // list length == document frequency).
@@ -108,9 +110,8 @@ object Dedup {
     * and the output is a fixed ~1 KB signature regardless of doc size. */
   def signatures(d: DataFrame): DataFrame = {
     graft.functions.MinHashSig.register(d.sparkSession)
-    graft.functions.WordShingles.register(d.sparkSession)
-    val hs = transform(
-      graft.functions.WordShingles.wordShingles(col("text"), 3), t => xxhash64(t))
+    graft.functions.WordShingleHashes.register(d.sparkSession)
+    val hs = graft.functions.WordShingleHashes.shingleHashes(col("text"), 3)
     d.select(col("doc_id"), hs.as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), graft.functions.MinHashSig.minhashSig(col("hs")).as("sig"))
@@ -405,15 +406,15 @@ object Dedup {
     // shingles (no posting lists).
     GraftQuery("q101_dup_passages",
       (s, d) => {
-        graft.functions.WordShingles.register(s)
+        graft.functions.WordShingleHashes.register(s)
         val shingled = docs(s, d).select(col("doc_id"),
-          graft.functions.WordShingles.wordShingles(col("text"), 5).as("arr"))
+          graft.functions.WordShingleHashes
+            .shingleHashes(col("text"), 5).as("arr"))
         // totals come straight off the shingle array — no shuffle
         val total = shingled
           .select(col("doc_id"), size(col("arr")).cast("long").as("total_ngrams"))
           .filter(col("total_ngrams") > 0)
-        val sh = shingled.select(col("doc_id"), explode(col("arr")).as("s5"))
-          .select(col("doc_id"), xxhash64(col("s5")).as("s"))
+        val sh = shingled.select(col("doc_id"), explode(col("arr")).as("s"))
         val uniq = sh.groupBy("s")
           .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
           .filter(col("df") === 1)

@@ -121,6 +121,99 @@ object Similarity {
       |   * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), z -> z*z))))"""
       .stripMargin.replace("\n", " ")
 
+  // ---- shared RRF fusion core (q131 + its q135 rerank successor) ----
+
+  /** Fused retrieval candidates: doc_id, r_lex, r_dense (nullable ranks
+    * from the two top-100 lists), the dense cosine, and the RRF score.
+    * Both branches end in TakeOrdered; the fuse join is 100×100-row
+    * bounded. Empty (with schema) when the query vector is absent. */
+  private def rrfFused(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val terms = TextAnalysis.QueryTerms
+    val qv = emb(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()
+      .headOption.map(_.getSeq[Double](0)).getOrElse(Seq.empty)
+    if (qv.isEmpty)
+      emptyResult(s, "doc_id BIGINT, r_lex BIGINT, r_dense BIGINT, " +
+        "cos DOUBLE, rrf DOUBLE")
+    else {
+      val cand = Tables.load(s, d, "documents")
+        .join(emb(s, d).filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"))
+      val dense = cand
+        .select(col("doc_id"),
+          graft.functions.CosineSim
+            .cosineSim(typedLit(qv), col("embedding")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), col("cos"), row_number()
+          .over(Window.orderBy(col("cos").desc, col("doc_id")))
+          .cast("long").as("r_dense"))
+      val lex = TextAnalysis.bm25Scores(cand, terms)
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("r_lex"))
+      lex.join(dense, Seq("doc_id"), "outer")
+        .select(col("doc_id"), col("r_lex"), col("r_dense"), col("cos"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")),
+            lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_dense").cast("double")),
+              lit(0.0))).as("rrf"))
+    }
+  }
+
+  /** DuckDB CTE chain ending in `fused(doc_id, r_lex, r_dense, cos,
+    * rrf)` — the oracle twin of [[rrfFused]]. */
+  private def rrfFusedSqlCtes: String =
+    "cand AS (SELECT d.doc_id, d.text, c.embedding FROM documents d " +
+      "  JOIN embeddings c ON d.doc_id = c.vec_id AND c.vec_id <> 0), " +
+      "q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), " +
+      "dense AS (SELECT c.doc_id, " + cosSql + " AS cos FROM cand c, q), " +
+      "dtop AS (SELECT doc_id, cos, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_dense " +
+      "  FROM (SELECT * FROM dense ORDER BY cos DESC, doc_id LIMIT 100)), " +
+      TextAnalysis.bm25SqlCtes("cand", TextAnalysis.QueryTerms) + ", " +
+      "ltop AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex " +
+      "  FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id LIMIT 100)), " +
+      "fused AS (SELECT COALESCE(ltop.doc_id, dtop.doc_id) AS doc_id, " +
+      "r_lex, r_dense, cos, " +
+      "COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0) " +
+      "+ COALESCE(1.0 / (60.0 + CAST(r_dense AS DOUBLE)), 0.0) AS rrf " +
+      "FROM ltop FULL OUTER JOIN dtop ON ltop.doc_id = dtop.doc_id)"
+
+  // ---- q136 nDCG constants (identical literal strings both engines) ----
+
+  /** 1/log2(i+1) for ranks 1..10 as DOUBLES, emitted through Java's
+    * shortest-round-trip repr — both engines parse the literal to the
+    * same bits. (A DECIMAL formulation was tried first and failed by
+    * one ulp: DuckDB's decimal→double conversion divides the scaled
+    * integer in floating point, which is not correctly rounded the way
+    * Java's BigDecimal.doubleValue is.) Computed once at class init —
+    * driver-side libm on constants, not per-row. */
+  private val Gains: IndexedSeq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** Ideal-DCG prefixes: sequential left-to-right double sums of the
+    * gains — the same fold order both engines' list_sum/aggregate use. */
+  private val GainPrefix: IndexedSeq[Double] =
+    Gains.scanLeft(0.0)(_ + _).tail
+
+  /** CASE over a rank column yielding the double gain literal — in
+    * SCIENTIFIC notation (`...e0`): both engines parse an exponent
+    * literal directly as DOUBLE (correctly rounded), whereas a plain
+    * literal parses as DECIMAL first, and DuckDB's decimal→double hop
+    * is off by an ulp for some 17-digit values (measured:
+    * 0.38685280723454163 → the neighboring double). */
+  private def gainCaseSql(rnkCol: String): String =
+    s"CASE $rnkCol " + (1 to 10).map(i =>
+      s"WHEN $i THEN ${Gains(i - 1)}e0").mkString(" ") + " ELSE 0.0e0 END"
+
+  /** CASE over LEAST(n_rel, 10) yielding the ideal-DCG prefix. */
+  private def idcgCaseSql(nRelCol: String): String =
+    s"CASE LEAST($nRelCol, 10) " + (1 to 10).map(i =>
+      s"WHEN $i THEN ${GainPrefix(i - 1)}e0").mkString(" ") + " ELSE 1.0e0 END"
+
   val all: Seq[GraftQuery] = Seq(
 
     // Brute-force ANN baseline. The query panel scores IN-ROW via
@@ -506,56 +599,148 @@ object Similarity {
     // 100×100 rows, bounded by construction; the query-vector collect
     // is a 1-row documented exception.
     GraftQuery("q131_hybrid_rrf",
+      (s, d) => rrfFused(s, d)
+        .select(col("doc_id"), col("r_lex"), col("r_dense"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20),
+      Some("WITH " + rrfFusedSqlCtes +
+        " SELECT doc_id, r_lex, r_dense, rrf FROM fused " +
+        "ORDER BY rrf DESC, doc_id LIMIT 20")
+    ),
+
+    // Cross-encoder-style RERANKING over the RRF candidates — q131's
+    // natural successor in a retrieval stack: first-stage retrieval
+    // fuses cheap rankings, then a (here: deterministic) scorer with
+    // richer per-(query,doc) features reorders the SHORT list. The
+    // stand-in scorer is a fixed-weight feature dot-product — inverse
+    // lexical rank, inverse dense rank, the raw dense cosine, and a
+    // rational length prior — evaluated as one left-associated double
+    // chain on inputs both engines compute identically (ranks are
+    // integers, cos is the q48/q49-established bit-exact expression,
+    // the length prior is a rational in BIGINT n_chars). The 100 TB
+    // shape is the point: the expensive model runs on ≤200 fused rows
+    // regardless of corpus size — the candidates frame broadcasts into
+    // the documents join, the corpus streams only in the first stage.
+    GraftQuery("q135_rerank",
       (s, d) => {
-        graft.functions.CosineSim.register(s)
+        val fused = rrfFused(s, d)
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        broadcast(fused).join(docs, Seq("doc_id"))
+          .select(col("doc_id"), col("r_lex"), col("r_dense"),
+            (lit(2.0) * coalesce(lit(1.0) /
+                (lit(1.0) + col("r_lex").cast("double")), lit(0.0)) +
+              lit(1.5) * coalesce(lit(1.0) /
+                (lit(1.0) + col("r_dense").cast("double")), lit(0.0)) +
+              lit(1.0) * coalesce(col("cos"), lit(0.0)) +
+              lit(0.25) * (lit(1000.0) /
+                (lit(1000.0) + col("n_chars").cast("double"))))
+              .as("ce_score"))
+          .orderBy(col("ce_score").desc, col("doc_id")).limit(10)
+      },
+      Some("WITH " + rrfFusedSqlCtes +
+        " SELECT f.doc_id, r_lex, r_dense, " +
+        "2.0 * COALESCE(1.0 / (1.0 + CAST(r_lex AS DOUBLE)), 0.0) " +
+        "+ 1.5 * COALESCE(1.0 / (1.0 + CAST(r_dense AS DOUBLE)), 0.0) " +
+        "+ 1.0 * COALESCE(cos, 0.0) " +
+        "+ 0.25 * (1000.0 / (1000.0 + CAST(n_chars AS DOUBLE))) AS ce_score " +
+        "FROM fused f JOIN documents dd ON f.doc_id = dd.doc_id " +
+        "ORDER BY ce_score DESC, f.doc_id LIMIT 10")
+    ),
+
+    // Retrieval-quality EVAL vs a fixed qrels panel — MRR and nDCG@10,
+    // the metrics a retrieval pipeline reports before its index config
+    // ships. Queries are the fixed panel vec_id < 16; qrels are
+    // label-derived (a candidate is relevant iff it shares the query's
+    // label — deterministic, corpus-intrinsic ground truth). Scoring
+    // reuses q49's in-row CosineAll shape (corpus streams ONCE against
+    // the broadcast panel matrix; no NLJ row blowup), ranks are
+    // per-query row_numbers over the bounded panel×corpus stream, and
+    // the top-10 cut feeds the metric arithmetic. Determinism: DCG
+    // gains 1/log2(i+1) are 16-digit DECIMAL literals (identical
+    // strings both engines, exact decimal sums — double addition order
+    // would be engine-dependent); ideal-DCG prefix sums are BigDecimal
+    // literals computed once at plan build; rr is an exact rational.
+    // Per-query rows, no cross-query mean: the output IS the eval
+    // table, and a mean would reintroduce unordered double summation.
+    GraftQuery("q136_retrieval_eval",
+      (s, d) => {
+        graft.functions.CosineAll.register(s)
         import org.apache.spark.sql.expressions.Window
-        val terms = TextAnalysis.QueryTerms
-        val qv = emb(s, d).filter(col("vec_id") === 0)
-          .select(col("embedding").cast("array<double>")).collect()
-          .headOption.map(_.getSeq[Double](0)).getOrElse(Seq.empty)
-        if (qv.isEmpty)
-          emptyResult(s, "doc_id BIGINT, r_lex BIGINT, r_dense BIGINT, rrf DOUBLE")
+        val panel = emb(s, d).filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("label").cast("long"),
+            col("embedding").cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+          .sortBy(_._1)
+        if (panel.isEmpty)
+          emptyResult(s, "qid BIGINT, n_rel BIGINT, first_rank BIGINT, " +
+            "rr DOUBLE, dcg DOUBLE, ndcg DOUBLE")
         else {
-          val cand = Tables.load(s, d, "documents")
-            .join(emb(s, d).filter(col("vec_id") =!= 0)
-              .select(col("vec_id"), col("embedding")),
-              col("doc_id") === col("vec_id"))
-          val dense = cand
-            .select(col("doc_id"),
-              graft.functions.CosineSim
-                .cosineSim(typedLit(qv), col("embedding")).as("cos"))
-            .orderBy(col("cos").desc, col("doc_id")).limit(100)
-            .select(col("doc_id"), row_number()
-              .over(Window.orderBy(col("cos").desc, col("doc_id")))
-              .cast("long").as("r_dense"))
-          val lex = TextAnalysis.bm25Scores(cand, terms)
-            .orderBy(col("score").desc, col("doc_id")).limit(100)
-            .select(col("doc_id"), row_number()
-              .over(Window.orderBy(col("score").desc, col("doc_id")))
-              .cast("long").as("r_lex"))
-          lex.join(dense, Seq("doc_id"), "outer")
-            .select(col("doc_id"), col("r_lex"), col("r_dense"),
-              (coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")),
-                lit(0.0)) +
-                coalesce(lit(1.0) / (lit(60.0) + col("r_dense").cast("double")),
-                  lit(0.0))).as("rrf"))
-            .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+          val qIds = typedLit(panel.map(_._1).toSeq)
+          val qLabels = typedLit(panel.map(_._2).toSeq)
+          val cands = emb(s, d).filter(col("vec_id") >= 16)
+            .select(col("vec_id").as("n"), col("label").cast("long").as("nl"),
+              col("embedding"))
+          val ranked = cands
+            .select(col("n"), col("nl"),
+              posexplode(graft.functions.CosineAll.cosineAll(col("embedding"),
+                panel.map(_._3).toIndexedSeq)).as(Seq("aidx", "cos")))
+            .select(element_at(qIds, col("aidx") + 1).as("qid"),
+              element_at(qLabels, col("aidx") + 1).as("ql"),
+              col("n"), col("nl"), col("cos"))
+            .withColumn("rnk", row_number().over(
+              Window.partitionBy("qid").orderBy(col("cos").desc, col("n")))
+              .cast("long"))
+            .filter(col("rnk") <= 10)
+          val nRel = cands.groupBy("nl").agg(count(lit(1)).as("cnt"))
+            .join(
+              s.createDataFrame(panel.map(p => (p._1, p._2)).toSeq)
+                .toDF("qid", "ql"),
+              col("ql") === col("nl"), "right")
+            .select(col("qid"), coalesce(col("cnt"), lit(0L)).as("n_rel"))
+          // DCG: fold the per-rank gains in RANK ORDER — double
+          // addition is order-dependent, so the fold order is pinned to
+          // match DuckDB's list_sum over a rank-ordered list exactly
+          // (10-element arrays over |panel| rows: trivially bounded).
+          val agg = ranked.groupBy("qid")
+            .agg(min(when(col("nl") === col("ql"), col("rnk"))).as("fr"),
+              sort_array(collect_list(struct(col("rnk"),
+                when(col("nl") === col("ql"), expr(gainCaseSql("rnk")))
+                  .otherwise(lit(0.0)).as("g")))).as("gs"))
+            .select(col("qid"), col("fr"),
+              aggregate(col("gs"), lit(0.0), (a, x) =>
+                a + x.getField("g")).as("dcgd"))
+          nRel.join(agg, Seq("qid"), "left")
+            .select(col("qid"), col("n_rel"),
+              coalesce(col("fr"), lit(0L)).cast("long").as("first_rank"),
+              when(col("fr").isNull, lit(0.0))
+                .otherwise(lit(1.0) / col("fr").cast("double")).as("rr"),
+              coalesce(col("dcgd"), lit(0.0)).as("dcg"),
+              when(col("n_rel") === 0, lit(0.0))
+                .otherwise(coalesce(col("dcgd"), lit(0.0)) /
+                  expr(idcgCaseSql("n_rel"))).as("ndcg"))
+            .orderBy("qid")
         }
       },
-      Some("WITH cand AS (SELECT d.doc_id, d.text, c.embedding FROM documents d " +
-        "  JOIN embeddings c ON d.doc_id = c.vec_id AND c.vec_id <> 0), " +
-        "q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), " +
-        "dense AS (SELECT c.doc_id, " + cosSql + " AS cos FROM cand c, q), " +
-        "dtop AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_dense " +
-        "  FROM (SELECT * FROM dense ORDER BY cos DESC, doc_id LIMIT 100)), " +
-        TextAnalysis.bm25SqlCtes("cand", TextAnalysis.QueryTerms) + ", " +
-        "ltop AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex " +
-        "  FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id LIMIT 100)) " +
-        "SELECT COALESCE(ltop.doc_id, dtop.doc_id) AS doc_id, r_lex, r_dense, " +
-        "COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0) " +
-        "+ COALESCE(1.0 / (60.0 + CAST(r_dense AS DOUBLE)), 0.0) AS rrf " +
-        "FROM ltop FULL OUTER JOIN dtop ON ltop.doc_id = dtop.doc_id " +
-        "ORDER BY rrf DESC, doc_id LIMIT 20")
+      Some("WITH q AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS ql, " +
+        "embedding FROM embeddings WHERE vec_id < 16), " +
+        "c AS (SELECT vec_id AS n, CAST(label AS BIGINT) AS nl, embedding " +
+        "FROM embeddings WHERE vec_id >= 16), " +
+        "p AS (SELECT q.qid, q.ql, c.n, c.nl, " + cosSql + " AS cos FROM c, q), " +
+        "t AS (SELECT * FROM (SELECT qid, ql, n, nl, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, n) AS BIGINT) AS rnk " +
+        "FROM p) WHERE rnk <= 10), " +
+        "nr AS (SELECT q.qid, CAST(COUNT(c.n) AS BIGINT) AS n_rel " +
+        "FROM q LEFT JOIN c ON q.ql = c.nl GROUP BY q.qid), " +
+        "agg AS (SELECT qid, MIN(CASE WHEN nl = ql THEN rnk END) AS fr, " +
+        "list_sum(list(CASE WHEN nl = ql THEN " + gainCaseSql("rnk") +
+        " ELSE 0.0 END ORDER BY rnk)) AS dcgd FROM t GROUP BY qid) " +
+        "SELECT nr.qid, n_rel, CAST(COALESCE(fr, 0) AS BIGINT) AS first_rank, " +
+        "CASE WHEN fr IS NULL THEN 0.0 ELSE 1.0 / CAST(fr AS DOUBLE) END AS rr, " +
+        "COALESCE(dcgd, 0.0) AS dcg, " +
+        "CASE WHEN n_rel = 0 THEN 0.0 ELSE " +
+        "COALESCE(dcgd, 0.0) / " + idcgCaseSql("n_rel") + " END AS ndcg " +
+        "FROM nr LEFT JOIN agg ON nr.qid = agg.qid ORDER BY nr.qid")
     ),
 
     // Per-dimension embedding statistics — the whitening/normalization

@@ -546,10 +546,10 @@ object TextAnalysis {
     // result proportional to the contamination, not the corpus.
     GraftQuery("q104_ngram_decontamination",
       (s, d) => {
-        graft.functions.WordShingles.register(s)
+        graft.functions.WordShingleHashes.register(s)
         val sh = docs(s, d).select(col("doc_id"),
-          explode(graft.functions.WordShingles.wordShingles(col("text"), 5)).as("s5"))
-          .select(col("doc_id"), xxhash64(col("s5")).as("s"))
+          explode(graft.functions.WordShingleHashes
+            .shingleHashes(col("text"), 5)).as("s"))
         val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
           .select("s").distinct().withColumn("hit", lit(1L))
         sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)

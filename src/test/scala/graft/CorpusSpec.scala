@@ -238,6 +238,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("WordShingleHashes ≡ transform(WordShingles, xxhash64) bit-exactly " +
+    "over the corpus (the r7 fused shingle-hash loop changes nothing)") {
+    import graft.functions.{WordShingleHashes, WordShingles}
+    WordShingles.register(spark)
+    WordShingleHashes.register(spark)
+    for (n <- Seq(1, 3, 5)) {
+      val mismatch = Tables.load(spark, sf, "documents")
+        .select(col("doc_id"),
+          WordShingleHashes.shingleHashes(col("text"), n).as("fused"),
+          transform(WordShingles.wordShingles(col("text"), n),
+            t => xxhash64(t)).as("twoStep"))
+        .filter(col("fused") =!= col("twoStep"))
+        .count()
+      assert(mismatch == 0, s"n=$n: fused hashes diverge from two-step")
+    }
+    // whitespace edge semantics follow String.split: leading non-space
+    // whitespace yields the empty first token; dup shingles dedup
+    import spark.implicits._
+    val edge = Seq("\tlead tab  double  space", "", " ", "one",
+      "a a a a", "xé café xé café").toDF("text")
+    val bad = edge.select(
+        WordShingleHashes.shingleHashes(col("text"), 2).as("fused"),
+        transform(WordShingles.wordShingles(col("text"), 2),
+          t => xxhash64(t)).as("twoStep"))
+      .filter(col("fused") =!= col("twoStep")).count()
+    assert(bad == 0)
+  }
+
   test("minhash estimates track exact jaccard on shared candidate pairs") {
     // q46's signature estimate vs true FULL-shingle-set jaccard for its
     // candidate pairs (not q45's df-filtered variant — minhash signatures

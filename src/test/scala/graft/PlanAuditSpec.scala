@@ -33,18 +33,20 @@ class PlanAuditSpec extends AnyFunSuite {
     "q58_ann_ivf", "q91_decontamination", "q92_ann_pq",
     "q109_quality_percentile_filter", "q113_rfm",
     "q115_distinctive_terms", "q121_vocab_overlap_sketch",
-    "q126_bm25_search", "q131_hybrid_rrf", "q132_pmi_bigrams",
+    "q126_bm25_search", "q131_hybrid_rrf", "q135_rerank",
+    "q132_pmi_bigrams",
     "q133_source_drift")
 
   // SMJ on genuinely data-sized both-sides joins: full outer (q68),
   // bench-prefix range resolution (q91), component → doc resolution
   // (q97), the 100×100-row bounded RRF fuse (q131 — full outer cannot
-  // broadcast), and q134's A29 verification join (edges ⋈ nodes, both
+  // broadcast; q135 inherits the fused frame), and q134's A29
+  // verification join (edges ⋈ nodes, both
   // sides corpus-sized products of the same parse — a node-id shuffle
   // join IS the scale plan for graph verification).
   private val smjOk = Set(
     "q68_outer_joins", "q91_decontamination", "q97_clean_corpus",
-    "q131_hybrid_rrf", "q134_graph_load")
+    "q131_hybrid_rrf", "q134_graph_load", "q135_rerank")
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")

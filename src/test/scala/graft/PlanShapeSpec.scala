@@ -95,6 +95,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected partial aggregation to collapse element rows pre-exchange")
   }
 
+  test("q128: the Int8QuantStats projection stays inside whole-stage " +
+    "codegen (a Janino rejection would silently fall back to " +
+    "interpreted eval with identical results — only the plan shows it)") {
+    val df = SparkEntry.queries("q128_int8_quant")(spark, sf)
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count() // finalize THIS plan's AQE stages
+    val p = qe.executedPlan.toString
+    // codegen membership shows as the `*(n)` stage marker on the node
+    assert("""\*\(\d+\) Project \[[^\n]*graft_int8_stats""".r
+      .findFirstIn(p).isDefined,
+      s"graft_int8_stats projection must carry the *(n) codegen marker:\n$p")
+  }
+
   test("q129: dimension stats — no join, one dimension-cardinality exchange") {
     val p = plan("q129_dim_stats")
     assert(!p.contains("Join"), s"dim stats must not join:\n$p")

@@ -238,7 +238,8 @@ class TierASpec extends AnyFunSuite {
     // cypher_json shape, written from the same synthesized blocks
     val cust = Tables.load(spark, sf, "customer")
     val ords = Tables.load(spark, sf, "orders")
-    val blocks = ords.join(cust, col("o_custkey") === col("c_custkey"))
+    val blocks = ords.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(concat(
         lit("MERGE (parent:Mission {id:'C"), col("c_custkey"),
         lit("'}) SET parent.mission_number = '"), col("c_custkey"),
