@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, DeltaQueries, EventOps, ExtendedOps, GraftQuery, GraphPipeline, JoinHeavy, Multimodal, Relational, ScalarOps, Similarity, Skyline, SubqueryOps, TextAnalysis}
+import graft.operators.{Dedup, DeltaQueries, EvalMetrics, EventOps, ExtendedOps, GraftQuery, GraphPipeline, JoinHeavy, Multimodal, Relational, ScalarOps, Similarity, Skyline, SubqueryOps, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
     Relational.all ++ JoinHeavy.all ++ ScalarOps.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ EventOps.all ++ ExtendedOps.all ++
       DeltaQueries.all ++ SubqueryOps.all ++ Skyline.all ++ Multimodal.all ++
-      GraphPipeline.all
+      GraphPipeline.all ++ EvalMetrics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → filter → partial/final hash agg → sort. */

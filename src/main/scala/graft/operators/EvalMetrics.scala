@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.CosineAll
+import graft.functions.TextFunctions.tokenCount
+
+/** Model-evaluation metrics over the synthetic corpus — the measurement
+  * half of a training-data pipeline (SURVEY §4.3: the reference has no
+  * eval surface; this extends the q118/q136 axis). Every metric is exact
+  * versus the DuckDB oracle: scores are bit-identical doubles (the
+  * [[CosineAll]] fixed-order arithmetic contract), every accumulation
+  * happens in integers (counts, fixed-point score sums), and the final
+  * ratios are single mirrored double-op chains.
+  *
+  * Scale notes (the 100 TB brief):
+  *   - q137's ROC accumulation is the distributed-prefix-sum shape: scores
+  *     quantize to ≤2²³+1 fixed-point levels, coarse-bucket totals (≤2049
+  *     rows — model metadata, a bounded collect) broadcast the cross-bucket
+  *     offsets, and the per-level prefix sum runs as a window PARTITIONED
+  *     by coarse bucket — no global single-partition window anywhere.
+  *   - q138/q140 are one hash-aggregation each; q139's confusion matrix is
+  *     ≤|labels|² rows after one agg exchange.
+  *   - The label-0-prototype "classifier" is deliberately deterministic
+  *     (a literal weight vector / per-label exemplar vectors) so the
+  *     metrics are reproducible fixtures, the same discipline as q122's
+  *     benchmark panel.
+  */
+object EvalMetrics {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  private val Dim = 64
+
+  /** Deterministic dyadic probe weights (k/256 with k ∈ [-128,127]) — the
+    * "model" whose score we evaluate. Dyadic rationals make w, w², and Σw²
+    * exact in double on both engines; the SQL literal renders each weight
+    * as `(<k>e0/256)` (e-notation keeps DuckDB in DOUBLE — bare decimal
+    * literals parse as DECIMAL and can convert one ulp off, the q136
+    * lesson). */
+  private val proto: IndexedSeq[Double] =
+    (0 until Dim).map(i => (((i * 2654435761L) & 0xFFL) - 128L) / 256.0)
+
+  private val protoSqlList: String =
+    proto.map(w => s"(${(w * 256).toLong}e0/256)").mkString("[", ", ", "]")
+
+  /** Bit-exact SQL mirror of `CosineAll(embedding, Seq(proto))`: dot and
+    * both norms accumulate in index order; denominator is
+    * sqrt(child)*sqrt(row), the expression's own order. */
+  private val scoreSql: String =
+    s"""list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), $protoSqlList), z -> z[1]*z[2]))
+       | / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), z -> z*z)))
+       |    * sqrt(list_sum(list_transform($protoSqlList, z -> z*z))))"""
+      .stripMargin.replace("\n", " ")
+
+  private def scoreCol = element_at(
+    CosineAll.cosineAll(col("embedding"), Seq(proto)), 1)
+
+  // score ∈ [-1,1] → fixed-point level ∈ [0, 2²³]; 2⁻²² granularity is the
+  // documented tie-quantization of the ROC sweep (analogous to the money
+  // DECIMAL contract — deterministic, engine-identical).
+  private val LevelScale = 4194304.0 // 2^22
+  private val CoarseShift = 12       // 2^23 levels → ≤2^11+1 coarse buckets
+
+  // calibration confidence accumulates at 2⁻²⁶ fixed point: exact integer
+  // sums, and a per-bin BIGINT holds ~1.4e11 rows before overflow.
+  private val ConfScale = 67108864.0 // 2^26
+
+  // Cohen-kappa rater thresholds (fixed, corpus-independent fixtures).
+  private val KappaChars = 306L
+  private val KappaToks = 60L
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Exact ROC-AUC of the probe score against the label=0 class, via the
+    // Mann-Whitney U statistic: U2 = Σ_levels (2·pos·neg_below + pos·neg)
+    // (the +pos·neg term is the ½-credit for ties), AUC = U2 / (2·P·N).
+    // All integer until the one final division.
+    GraftQuery("q137_auc",
+      (s, d) => {
+        import s.implicits._
+        CosineAll.register(s)
+        val fine = emb(s, d)
+          .select((col("label") === 0).cast("long").as("pos"),
+            floor((scoreCol + 1.0d) * lit(LevelScale)).cast("long").as("lvl"))
+          .groupBy("lvl")
+          .agg(sum("pos").as("p"), (count(lit(1)) - sum("pos")).as("n"))
+          .withColumn("cb", shiftright(col("lvl"), CoarseShift))
+          .persist() // bounded: ≤2²³ level rows; feeds two jobs
+        // distributed prefix sum: coarse totals (≤2049 rows, bounded by
+        // construction) collect → cumulative offsets broadcast back
+        val coarseTotals = fine.groupBy("cb").agg(sum("n").as("cn"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val offsets = coarseTotals
+          .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (cb, cn)) => (cb, acc + cn) }
+          .sliding(2).collect { case Array((_, below), (cb, _)) => (cb, below) }
+          .toSeq
+        val offDf = offsets.toDF("cb", "off")
+        val w = Window.partitionBy("cb").orderBy("lvl")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        fine.join(broadcast(offDf), Seq("cb"))
+          .withColumn("nb", col("off") + coalesce(sum("n").over(w), lit(0L)))
+          .agg(sum("p").as("np"), sum("n").as("nn"),
+            sum(lit(2L) * col("p") * col("nb") + col("p") * col("n")).as("u2"))
+          .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+            (col("u2").cast("double") /
+              (lit(2.0d) * col("np") * col("nn"))).as("auc"))
+      },
+      Some(s"""WITH s AS (SELECT CAST(label = 0 AS BIGINT) AS pos,
+        |CAST(floor(($scoreSql + 1.0) * 4194304.0) AS BIGINT) AS lvl FROM embeddings),
+        |f AS (SELECT lvl, SUM(pos) AS p, COUNT(*) - SUM(pos) AS n FROM s GROUP BY lvl),
+        |w AS (SELECT p, n, COALESCE(SUM(n) OVER (ORDER BY lvl ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb FROM f)
+        |SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg,
+        |CAST(SUM(2*p*nb + p*n) AS DOUBLE) / (2e0 * SUM(p) * SUM(n)) AS auc FROM w"""
+        .stripMargin.replace("\n", " "))),
+
+    // Reliability diagram + ECE terms: probe score → probability
+    // (score+1)/2, 10 fixed-width bins; per bin the mean confidence
+    // accumulates as a 2⁻²⁶ fixed-point integer so the bin mean is exact,
+    // and accuracy/confidence/|gap| are mirrored double chains.
+    GraftQuery("q138_calibration",
+      (s, d) => {
+        CosineAll.register(s)
+        val prob = (scoreCol + 1.0d) / 2.0d
+        emb(s, d)
+          .select((col("label") === 0).cast("long").as("pos"),
+            least(floor(prob * 10.0d), lit(9.0d)).cast("long").as("bin"),
+            floor(prob * lit(ConfScale)).cast("long").as("cfp"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("pos").as("np"), sum("cfp").as("sfp"))
+          .select(col("bin"), col("n"), col("np"),
+            (col("np").cast("double") / col("n").cast("double")).as("acc"),
+            (col("sfp").cast("double") /
+              (col("n").cast("double") * lit(ConfScale))).as("conf"))
+          .withColumn("gap", abs(col("acc") - col("conf")))
+          .orderBy("bin")
+      },
+      Some(s"""WITH s AS (SELECT CAST(label = 0 AS BIGINT) AS pos, ($scoreSql + 1.0) / 2.0 AS prob FROM embeddings),
+        |b AS (SELECT pos, CAST(LEAST(floor(prob * 10.0), 9.0) AS BIGINT) AS bin,
+        |CAST(floor(prob * 67108864.0) AS BIGINT) AS cfp FROM s),
+        |g AS (SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS np, SUM(cfp) AS sfp FROM b GROUP BY bin)
+        |SELECT bin, n, np, CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+        |CAST(sfp AS DOUBLE) / (CAST(n AS DOUBLE) * 67108864e0) AS conf,
+        |abs(CAST(np AS DOUBLE) / CAST(n AS DOUBLE) - CAST(sfp AS DOUBLE) / (CAST(n AS DOUBLE) * 67108864e0)) AS gap
+        |FROM g ORDER BY bin"""
+        .stripMargin.replace("\n", " "))),
+
+    // Per-class precision/recall/F1 of a nearest-prototype classifier
+    // (per-label exemplar = the min-vec_id vector of each label: a K×d
+    // bounded collect, model metadata like the IVF centroids). Prediction
+    // is an in-row argmax over the literal prototype matrix — the corpus
+    // streams once, no join; the confusion matrix is ≤|labels|² rows.
+    GraftQuery("q139_class_metrics",
+      (s, d) => {
+        CosineAll.register(s)
+        val e = emb(s, d)
+        val protos = e.groupBy("label").agg(min("vec_id").as("pid"))
+          .select("pid").as("p")
+          .join(e.as("e"), col("p.pid") === col("e.vec_id"))
+          .select(col("e.label").cast("long").as("plabel"),
+            col("e.embedding").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_._1)
+        if (protos.isEmpty)
+          s.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "label BIGINT, support BIGINT, tp BIGINT, predicted BIGINT, " +
+                "prec DOUBLE, rec DOUBLE, f1 DOUBLE"))
+        else {
+          val pLabels = typedLit(protos.map(_._1).toSeq)
+          val cs = CosineAll.cosineAll(col("embedding"),
+            protos.map(_._2).toIndexedSeq)
+          // array_position returns the FIRST max ⇒ ties break to the
+          // smaller label, mirroring ORDER BY cos DESC, plabel.
+          val cm = e.select(col("label").cast("long").as("label"),
+              element_at(pLabels,
+                array_position(cs, array_max(cs)).cast("int")).as("pred"))
+            .groupBy("label", "pred").agg(count(lit(1)).as("cnt"))
+          val byTrue = cm.groupBy("label").agg(
+            sum("cnt").as("support"),
+            sum(when(col("pred") === col("label"), col("cnt"))
+              .otherwise(0L)).as("tp"))
+          val byPred = cm.groupBy(col("pred").as("label"))
+            .agg(sum("cnt").as("predicted"))
+          val p = col("tp").cast("double") / col("predicted").cast("double")
+          val r = col("tp").cast("double") / col("support").cast("double")
+          byTrue.join(byPred, Seq("label"), "left")
+            .withColumn("predicted", coalesce(col("predicted"), lit(0L)))
+            .select(col("label"), col("support"), col("tp"), col("predicted"),
+              when(col("predicted") > 0, p).otherwise(0.0d).as("prec"),
+              r.as("rec"))
+            .withColumn("f1",
+              when(col("prec") + col("rec") > 0,
+                lit(2.0d) * col("prec") * col("rec") / (col("prec") + col("rec")))
+                .otherwise(0.0d))
+            .orderBy("label")
+        }
+      },
+      Some("""WITH proto AS (SELECT label AS plabel, min(vec_id) AS pid FROM embeddings GROUP BY label),
+        |pv AS (SELECT p.plabel, e.embedding FROM proto p JOIN embeddings e ON e.vec_id = p.pid),
+        |sc AS (SELECT c.vec_id, c.label, p.plabel,
+        |list_sum(list_transform(list_zip(CAST(c.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])), z -> z[1]*z[2]))
+        | / (sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), z -> z*z)))
+        |    * sqrt(list_sum(list_transform(CAST(p.embedding AS DOUBLE[]), z -> z*z)))) AS cos
+        |FROM embeddings c CROSS JOIN pv p),
+        |pr AS (SELECT vec_id, label, plabel, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, plabel) AS rnk FROM sc),
+        |cm AS (SELECT CAST(label AS BIGINT) AS label, CAST(plabel AS BIGINT) AS pred, COUNT(*) AS cnt FROM pr WHERE rnk = 1 GROUP BY 1, 2),
+        |bt AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS support,
+        |CAST(SUM(CASE WHEN pred = label THEN cnt ELSE 0 END) AS BIGINT) AS tp FROM cm GROUP BY label),
+        |bp AS (SELECT pred AS label, CAST(SUM(cnt) AS BIGINT) AS predicted FROM cm GROUP BY pred),
+        |j AS (SELECT bt.label, bt.support, bt.tp, COALESCE(bp.predicted, 0) AS predicted FROM bt LEFT JOIN bp USING (label)),
+        |m AS (SELECT label, support, tp, predicted,
+        |CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) ELSE 0e0 END AS prec,
+        |CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) AS rec FROM j)
+        |SELECT label, support, tp, predicted, prec, rec,
+        |CASE WHEN prec + rec > 0 THEN 2e0 * prec * rec / (prec + rec) ELSE 0e0 END AS f1
+        |FROM m ORDER BY label"""
+        .stripMargin.replace("\n", " "))),
+
+    // Cohen's kappa between two deterministic raters (char-length vs
+    // token-count quality thresholds) — inter-annotator agreement, the
+    // labeling-QA step of a data pipeline. One aggregation; marginals stay
+    // integer, po/pe/kappa are mirrored double chains (rates first, so
+    // nothing overflows at any corpus size).
+    GraftQuery("q140_rater_agreement",
+      (s, d) => {
+        val base = docs(s, d).select(
+          (col("n_chars") >= KappaChars).cast("long").as("ra"),
+          (tokenCount(col("text")) >= KappaToks).cast("long").as("rb"))
+        val agg = base.agg(
+          count(lit(1)).as("n"),
+          sum(col("ra") * col("rb")).as("n11"),
+          sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("n00"),
+          sum("ra").as("na"), sum("rb").as("nb"))
+        val nD = col("n").cast("double")
+        val pA = col("na").cast("double") / nD
+        val pB = col("nb").cast("double") / nD
+        val po = (col("n11") + col("n00")).cast("double") / nD
+        val pe = pA * pB + (lit(1.0d) - pA) * (lit(1.0d) - pB)
+        agg.select(col("n"), col("n11"), col("n00"),
+            po.as("po"), pe.as("pe"))
+          .withColumn("kappa",
+            (col("po") - col("pe")) / (lit(1.0d) - col("pe")))
+      },
+      Some(s"""WITH r AS (SELECT CAST(n_chars >= $KappaChars AS BIGINT) AS ra,
+        |CAST(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) >= $KappaToks AS BIGINT) AS rb FROM documents),
+        |a AS (SELECT COUNT(*) AS n, CAST(SUM(ra * rb) AS BIGINT) AS n11,
+        |CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00,
+        |CAST(SUM(ra) AS BIGINT) AS na, CAST(SUM(rb) AS BIGINT) AS nb FROM r),
+        |m AS (SELECT n, n11, n00,
+        |CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |(CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+        | + (1e0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * (1e0 - CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+        |FROM a)
+        |SELECT n, n11, n00, po, pe, (po - pe) / (1e0 - pe) AS kappa FROM m"""
+        .stripMargin.replace("\n", " "))),
+
+    // Zipf head coverage: what fraction of the total token mass the 100
+    // most frequent terms carry — the vocabulary-concentration diagnostic
+    // behind tokenizer/vocab sizing. Term counts partial-aggregate before
+    // the one exchange; the head is a TakeOrdered(100), not a global sort.
+    GraftQuery("q141_zipf_coverage",
+      (s, d) => {
+        val terms = docs(s, d)
+          .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+        val total = terms.agg(sum("cnt").as("total_tokens"))
+        val head = terms.orderBy(col("cnt").desc, col("term")).limit(100)
+          .agg(sum("cnt").as("top100_tokens"))
+        total.crossJoin(head)
+          .select(col("total_tokens"), col("top100_tokens"),
+            (col("top100_tokens").cast("double") /
+              col("total_tokens").cast("double")).as("coverage"))
+      },
+      Some("""WITH t AS (SELECT term, COUNT(*) AS cnt FROM (
+        |SELECT unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents) WHERE len(term) > 0 GROUP BY term),
+        |h AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top100_tokens FROM (
+        |SELECT cnt FROM t ORDER BY cnt DESC, term LIMIT 100)),
+        |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM t)
+        |SELECT tt.total_tokens, h.top100_tokens,
+        |CAST(h.top100_tokens AS DOUBLE) / CAST(tt.total_tokens AS DOUBLE) AS coverage FROM tt, h"""
+        .stripMargin.replace("\n", " ")))
+  )
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant specs for the q137–q141 eval-metrics family (the exactness
+  * vs the DuckDB oracle is the driver's gate; these pin the metric
+  * semantics themselves). */
+class EvalMetricsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.01"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-eval-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def q(name: String, dir: String = sf) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("q137 AUC ∈ [0,1]; counts partition the corpus; AUC matches a " +
+    "direct quadratic computation at sf0.001") {
+    val row = q("q137_auc").head()
+    val (np, nn, auc) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val total = Tables.load(spark, sf, "embeddings").count()
+    assert(np + nn == total && np > 0 && nn > 0)
+    assert(auc >= 0.0 && auc <= 1.0)
+
+    // quadratic reference: score every vector against the same probe via
+    // the same expression, then count concordant/tied pairs directly
+    graft.functions.CosineAll.register(spark)
+    val lvl = Tables.load(spark, sf, "embeddings").select(
+      (col("label") === 0).cast("int").as("pos"),
+      floor((element_at(call_function("graft_cosine_all", col("embedding"),
+        typedLit(Seq((0 until 64).map(i =>
+          (((i * 2654435761L) & 0xFFL) - 128L) / 256.0)))), 1)
+        + 1.0d) * lit(4194304.0d)).cast("long").as("lvl"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val posL = lvl.filter(_._1 == 1).map(_._2)
+    val negL = lvl.filter(_._1 == 0).map(_._2)
+    var u2 = 0L
+    for (p <- posL; n <- negL) {
+      if (p > n) u2 += 2L else if (p == n) u2 += 1L
+    }
+    val expected = u2.toDouble / (2.0 * posL.length * negL.length)
+    assert(math.abs(auc - expected) < 1e-12, s"auc=$auc expected=$expected")
+  }
+
+  test("q138 calibration: bins cover the corpus, acc/conf ∈ [0,1], " +
+    "gap = |acc − conf|") {
+    val rows = q("q138_calibration").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.load(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val (bin, acc, conf, gap) =
+        (r.getLong(0), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(bin >= 0 && bin <= 9)
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(conf >= 0.0 && conf <= 1.0)
+      assert(math.abs(gap - math.abs(acc - conf)) == 0.0)
+      // fixed-point conf sits within one 2^-26 step of the bin's range
+      assert(conf > bin / 10.0 - 1e-6 && conf < (bin + 1) / 10.0 + 1e-6)
+    }
+  }
+
+  test("q139 class metrics: one row per label, support sums to corpus, " +
+    "prototypes classify themselves (tp ≥ 1), f1 is the harmonic mean") {
+    val rows = q("q139_class_metrics", sf01).collect()
+    val e = Tables.load(spark, sf01, "embeddings")
+    assert(rows.length == e.select("label").distinct().count())
+    assert(rows.map(_.getLong(1)).sum == e.count())
+    assert(rows.map(_.getLong(3)).sum == e.count()) // predictions partition too
+    rows.foreach { r =>
+      val (support, tp, predicted) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (p, rec, f1) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(tp >= 1, s"label ${r.getLong(0)}: prototype must self-classify")
+      assert(tp <= support && tp <= predicted)
+      if (p + rec > 0)
+        assert(math.abs(f1 - 2 * p * rec / (p + rec)) < 1e-15)
+    }
+  }
+
+  test("q140 kappa: marginals consistent, kappa ≤ 1, and agreement " +
+    "rebuilt from a direct cross-tab") {
+    val r = q("q140_rater_agreement").head()
+    val (n, n11, n00, po, pe, kappa) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(n11 + n00 <= n)
+    assert(math.abs(po - (n11 + n00).toDouble / n) < 1e-15)
+    assert(kappa <= 1.0 && pe > 0.0 && pe < 1.0)
+    // direct recount of the 2x2 table
+    val d = Tables.load(spark, sf, "documents").select(
+      (col("n_chars") >= 306).as("ra"),
+      (regexp_count(col("text"), lit("\\S+")) >= 60).as("rb"))
+      .groupBy("ra", "rb").count().collect()
+      .map(x => (x.getBoolean(0), x.getBoolean(1)) -> x.getLong(2)).toMap
+    assert(n11 == d.getOrElse((true, true), 0L))
+    assert(n00 == d.getOrElse((false, false), 0L))
+  }
+
+  test("q141 zipf coverage: top-100 mass ≤ total, coverage consistent, " +
+    "and equals a direct recount") {
+    val r = q("q141_zipf_coverage").head()
+    val (total, top, cov) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(top <= total && cov > 0.0 && cov <= 1.0)
+    assert(math.abs(cov - top.toDouble / total) < 1e-15)
+    val counts = Tables.load(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").count().collect().map(_.getLong(1)).sortBy(-_)
+    assert(total == counts.sum)
+    assert(top == counts.take(100).sum)
+  }
+}

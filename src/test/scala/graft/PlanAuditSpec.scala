@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   // BNLJ with a bounded broadcast side: 1-row aggregate frames
-  // (q27/q35/q109/q113/q115/q121/q126/q132 totals, q133 corpus total),
+  // (q27/q35/q109/q113/q115/q121/q126/q132 totals, q133 corpus total,
+  //  q141's total×head 1-row×1-row cross),
   // fixed-size panels/codebooks (q58/q91/q92), quadratic-by-design
   // baseline (q48).
   private val bnljOk = Set(
@@ -35,7 +36,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q115_distinctive_terms", "q121_vocab_overlap_sketch",
     "q126_bm25_search", "q131_hybrid_rrf", "q135_rerank",
     "q132_pmi_bigrams",
-    "q133_source_drift")
+    "q133_source_drift", "q141_zipf_coverage")
 
   // SMJ on genuinely data-sized both-sides joins: full outer (q68),
   // bench-prefix range resolution (q91), component → doc resolution
