@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -8,9 +8,10 @@ import graft.Tables
 import graft.functions.CosineAll
 import graft.functions.TextFunctions.tokenCount
 
-/** Model-evaluation metrics over the synthetic corpus — the measurement
-  * half of a training-data pipeline (SURVEY §4.3: the reference has no
-  * eval surface; this extends the q118/q136 axis). Every metric is exact
+/** Model-evaluation and governance metrics over the synthetic corpus —
+  * the measurement half of a training-data pipeline (SURVEY §4.3: the
+  * reference has no eval surface; this extends the q118/q136 axis) plus
+  * the release-audit side (k-anonymity, cluster quality). Every metric is exact
   * versus the DuckDB oracle: scores are bit-identical doubles (the
   * [[CosineAll]] fixed-order arithmetic contract), every accumulation
   * happens in integers (counts, fixed-point score sums), and the final
@@ -260,6 +261,207 @@ object EvalMetrics {
         | + (1e0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) * (1e0 - CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
         |FROM a)
         |SELECT n, n11, n00, po, pe, (po - pe) / (1e0 - pe) AS kappa FROM m"""
+        .stripMargin.replace("\n", " "))),
+
+    // k-anonymity / l-diversity audit — the privacy-governance gate a
+    // dataset release runs before publication: quasi-identifier groups
+    // (lang, source, coarse length bucket) smaller than k, or carrying
+    // fewer than l distinct sensitive values (the text itself), violate
+    // the release policy. One hash aggregation on the natural QI key —
+    // the same shuffle a 100 TB release audit pays; the distinct count
+    // runs over md5 digests (identical in both engines) so document
+    // bodies never shuffle, the Dedup.scala discipline.
+    GraftQuery("q142_k_anonymity",
+      (s, d) => docs(s, d)
+        .groupBy(col("lang"), col("source"),
+          floor(col("n_chars") / lit(50)).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(md5(col("text"))).as("l_div"))
+        .filter(col("n") < 5 || col("l_div") < 2)
+        .orderBy("lang", "source", "len_bucket"),
+      Some("""SELECT lang, source, CAST(floor(n_chars / 50) AS BIGINT) AS len_bucket,
+        |COUNT(*) AS n, COUNT(DISTINCT md5(text)) AS l_div
+        |FROM documents GROUP BY 1, 2, 3
+        |HAVING COUNT(*) < 5 OR COUNT(DISTINCT md5(text)) < 2
+        |ORDER BY lang, source, len_bucket"""
+        .stripMargin.replace("\n", " "))),
+
+    // Cluster-quality separation — are the label clusters actually
+    // separated in embedding space? Per label: mean cosine of members to
+    // their OWN label centroid vs the mean over all OTHER centroids (the
+    // synthetic labels are weak clusters — own ≈ 0.14 vs other ≈ 0.00 —
+    // so a best-other max would drown in max-of-9 noise). Centroids come
+    // from the q108 dyadic 2⁻³⁰ grid (bit-identical across engines), ride
+    // as a K×d literal matrix, and scoring is in-row CosineAll — corpus
+    // streams once, no explode, no row-id shuffle. Every per-pair score
+    // quantizes to the 2⁻³⁰ grid BEFORE summing (integer-valued doubles:
+    // the in-row fold and the oracle's group aggregation sum the same
+    // integers, so summation order cannot matter), then accumulates
+    // through DECIMAL(38,0).
+    GraftQuery("q143_cluster_quality",
+      (s, d) => {
+        CosineAll.register(s)
+        val cents = emb(s, d)
+          .select(col("label").cast("long").as("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg((sum(floor(col("v").cast("double") * 1073741824.0d + 0.5d)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / 1073741824.0d / count(lit(1))).as("c"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (l, rows) =>
+            (l, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq)
+          }.toSeq.sortBy(_._1)
+        if (cents.size < 2)
+          s.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "label BIGINT, n BIGINT, mean_own DOUBLE, mean_other DOUBLE, " +
+                "separation DOUBLE"))
+        else {
+          val k = cents.size
+          val labelsLit = typedLit(cents.map(_._1))
+          val cs = CosineAll.cosineAll(col("embedding"), cents.map(_._2))
+          val idx = array_position(labelsLit,
+            col("label").cast("long")).cast("int")
+          // per-pair scores onto the 2^-30 integer grid, in-row: the fold
+          // sums integer-valued doubles (≤ K·2³⁰ ≪ 2⁵³ — exact, order-free)
+          val fpArr = transform(cs,
+            x => floor(x * lit(1073741824.0d) + lit(0.5d)))
+          val totFp = aggregate(fpArr, lit(0.0d), (acc, x) => acc + x)
+          val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+          emb(s, d)
+            .select(col("label").cast("long").as("label"),
+              element_at(fpArr, idx).as("own_fp"),
+              (totFp - element_at(fpArr, idx)).as("other_fp"))
+            .groupBy("label")
+            .agg(count(lit(1)).as("n"),
+              (sum(col("own_fp").cast(dec)).cast("double")
+                / 1073741824.0d / count(lit(1))).as("mean_own"),
+              (sum(col("other_fp").cast(dec)).cast("double")
+                / 1073741824.0d / (count(lit(1)) * lit((k - 1).toLong)))
+                .as("mean_other"))
+            .withColumn("separation", col("mean_own") - col("mean_other"))
+            .orderBy("label")
+        }
+      },
+      Some("""WITH e AS (SELECT label, unnest(embedding) AS v,
+        |unnest(generate_series(0, len(embedding)-1)) AS pos FROM embeddings),
+        |cent AS (SELECT label AS clabel, pos,
+        |CAST(SUM(CAST(floor(CAST(v AS DOUBLE)*1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)/1073741824.0/COUNT(*) AS c
+        |FROM e GROUP BY 1, 2),
+        |cl AS (SELECT clabel, list(c ORDER BY pos) AS cv FROM cent GROUP BY clabel),
+        |sc AS (SELECT m.vec_id, m.label, l.clabel = m.label AS is_own,
+        |CAST(floor((list_sum(list_transform(list_zip(CAST(m.embedding AS DOUBLE[]), l.cv), z -> z[1]*z[2]))
+        | / (sqrt(list_sum(list_transform(CAST(m.embedding AS DOUBLE[]), z -> z*z)))
+        |    * sqrt(list_sum(list_transform(l.cv, z -> z*z)))))*1073741824.0 + 0.5) AS BIGINT) AS fp
+        |FROM embeddings m CROSS JOIN cl l),
+        |g AS (SELECT CAST(label AS BIGINT) AS label,
+        |CAST(COUNT(CASE WHEN is_own THEN 1 END) AS BIGINT) AS n,
+        |CAST(SUM(CASE WHEN is_own THEN fp END) AS DOUBLE)/1073741824.0/COUNT(CASE WHEN is_own THEN 1 END) AS mean_own,
+        |CAST(SUM(CASE WHEN NOT is_own THEN fp END) AS DOUBLE)/1073741824.0/COUNT(CASE WHEN NOT is_own THEN 1 END) AS mean_other
+        |FROM sc GROUP BY 1)
+        |SELECT label, n, mean_own, mean_other, mean_own - mean_other AS separation
+        |FROM g ORDER BY label"""
+        .stripMargin.replace("\n", " "))),
+
+    // Cross-split n-gram contamination — the leakage audit q89's hash
+    // split needs: an eval-split document whose 3-gram shingles also
+    // appear in SOME train document carries memorizable supervision
+    // across the boundary. Unlike q91/q104 (external benchmark, broadcast
+    // panel), the eval split is CORPUS-SIZED, so this is the inverted-list
+    // shape: one shingle-keyed aggregation (df ≤ 20 cap — ubiquitous
+    // shingles are not leakage evidence, the q45 universe), eval members
+    // of train-containing groups explode back out as narrow (long) rows,
+    // and the denominator is a doc-keyed count of the eval shingle
+    // stream. Shingles hash in-row (WordShingleHashes); the string-keyed
+    // oracle doubles as the 64-bit collision check, exactly as q45.
+    GraftQuery("q144_split_contamination",
+      (s, d) => {
+        graft.functions.WordShingleHashes.register(s)
+        val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+        val split = when(h2 < "cd", "train").when(h2 < "e6", "val")
+          .otherwise("test")
+        val sh = docs(s, d).select(col("doc_id"), split.as("split"),
+          explode(graft.functions.WordShingleHashes
+            .shingleHashes(col("text"), 3)).as("s"))
+        val grouped = sh.groupBy("s")
+          .agg(sum((col("split") === "train").cast("long")).as("nt"),
+            count(lit(1)).as("df"),
+            collect_list(when(col("split") =!= "train", col("doc_id")))
+              .as("evals"))
+          .filter(col("nt") >= 1 && col("df") <= 20)
+        val leaked = grouped.select(explode(col("evals")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+        val totals = sh.filter(col("split") =!= "train")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        totals.join(leaked, Seq("doc_id"))
+          .select(col("doc_id"), col("n_shingles"), col("n_leaked"),
+            (col("n_leaked").cast("double") /
+              col("n_shingles").cast("double")).as("leak_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split
+        |FROM documents),
+        |b AS (SELECT doc_id, split, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  FOR i IN generate_series(1, len(toks)-2)])) AS s FROM t),
+        |g AS (SELECT s, SUM(CAST(split = 'train' AS BIGINT)) AS nt, COUNT(*) AS df FROM b GROUP BY s),
+        |lk AS (SELECT b.doc_id, COUNT(*) AS n_leaked FROM b JOIN g ON b.s = g.s
+        |  WHERE b.split != 'train' AND g.nt >= 1 AND g.df <= 20 GROUP BY 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM b WHERE split != 'train' GROUP BY 1)
+        |SELECT tot.doc_id AS doc_id, tot.n_shingles, lk.n_leaked,
+        |CAST(lk.n_leaked AS DOUBLE) / CAST(tot.n_shingles AS DOUBLE) AS leak_ratio
+        |FROM tot JOIN lk ON tot.doc_id = lk.doc_id ORDER BY tot.doc_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // Leak-proof split — the FIX for q144: split assignment follows the
+    // near-dup COMPONENT representative (q81's canonical; singletons are
+    // their own rep), so an entire duplicate cluster lands in one split
+    // by construction. The q89 hash rule runs on the rep key; summary is
+    // groups/docs per split. Reuses the jaccardPairs/union-find machinery
+    // — one extra doc-keyed left join over q81's cost.
+    GraftQuery("q145_leakproof_split",
+      (s, d) => {
+        val comp = Dedup.nearDupComponents(s, d)
+        val rep = docs(s, d).select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canonical"), col("doc_id")).as("rep"))
+        val h2 = substring(md5(col("rep").cast("string")), 1, 2)
+        rep.select(when(h2 < "cd", "train").when(h2 < "e6", "val")
+            .otherwise("test").as("split"), col("rep"))
+          .groupBy("split")
+          .agg(countDistinct("rep").as("n_groups"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("split")
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  FOR i IN generate_series(1, len(toks)-2)])) AS s FROM t),
+        |df AS (SELECT s FROM (SELECT s, COUNT(*) AS d FROM sh GROUP BY s) WHERE d BETWEEN 2 AND 20),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s),
+        |card AS (SELECT doc_id, COUNT(*) AS c FROM shf GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i FROM shf x
+        |  JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT a, b FROM (
+        |  SELECT inter.a, inter.b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
+        |  FROM inter JOIN card ca ON inter.a = ca.doc_id JOIN card cb ON inter.b = cb.doc_id)
+        |  WHERE jaccard >= 0.1),
+        |und AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+        |comp AS (SELECT src AS doc_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+        |asg AS (SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |a AS (SELECT CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split, rep
+        |FROM asg)
+        |SELECT split, COUNT(DISTINCT rep) AS n_groups, COUNT(*) AS n_docs
+        |FROM a GROUP BY split ORDER BY split"""
         .stripMargin.replace("\n", " "))),
 
     // Zipf head coverage: what fraction of the total token mass the 100

@@ -24,10 +24,13 @@ final case class MediaFeatures(
   * ship in the JDK): [[decodeImage]] decodes payload bytes to pixels and
   * grid-downsampled luminance features, [[imageDims]] verifies declared
   * metadata against the byte header, and [[syntheticPng]] writes real
-  * PNG fixtures through the JDK encoder. Audio/video stay STUBBED (the
-  * container has no such codecs): `decodeStub` produces a deterministic
-  * fake feature vector from the payload bytes. Everything around the
-  * codec seam is real Spark:
+  * PNG fixtures through the JDK encoder. The AUDIO codec is REAL too
+  * (`javax.sound.sampled` — WAV/AIFF/AU ship in the JDK): [[decodeAudio]]
+  * → dim-bucket RMS envelope, [[audioInfo]] header verification,
+  * [[syntheticWav]] hand-assembled RIFF/PCM16 fixtures. Only VIDEO stays
+  * STUBBED (no video codec exists in the JDK): `decodeStub` produces a
+  * deterministic fake feature vector from the payload bytes. Everything
+  * around the codec seam is real Spark:
   * the schema (`binary` + struct metadata), the partition-batched
   * `mapPartitions` execution shape (one codec init per partition, not per
   * row — the same shape a vectorized/Arrow-batched UDF gives), and the
@@ -107,6 +110,129 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode — `javax.sound.sampled` (the WAV/AIFF/AU codec
+    * ships in the JDK): payload bytes → PCM frames → a dim-bucket RMS
+    * envelope normalized to [-1, 1] — the fixed-dim audio-embedding
+    * baseline, the acoustic analogue of [[decodeImage]]'s luminance
+    * grid. Handles 8/16-bit PCM, mono or multi-channel (channels
+    * average). None when the JDK recognises no audio container in the
+    * bytes (caller falls back to [[decodeStub]] — after this only VIDEO
+    * remains stubbed; no video codec exists in the JDK). */
+  def decodeAudio(payload: Array[Byte], dim: Int = 16): Option[Array[Float]] = {
+    val ais = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+    }
+    if (ais == null) None
+    else try {
+      val fmt = ais.getFormat
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      val ch = fmt.getChannels
+      if (bytesPerSample < 1 || bytesPerSample > 2 || ch < 1) None
+      else {
+        val raw = ais.readAllBytes()
+        val frameBytes = bytesPerSample * ch
+        val nFrames = raw.length / frameBytes
+        if (nFrames == 0) None
+        else {
+          val out = new Array[Float](dim)
+          var b = 0
+          while (b < dim) {
+            val f0 = (b.toLong * nFrames / dim).toInt
+            val f1 = math.max(f0 + 1, ((b + 1).toLong * nFrames / dim).toInt)
+            var sumSq = 0.0; var n = 0
+            var f = f0
+            while (f < f1 && f < nFrames) {
+              // average channels, sample scaled to [-1, 1]
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = f * frameBytes + c * bytesPerSample
+                val s =
+                  if (bytesPerSample == 2) {
+                    val lo = raw(off + (if (fmt.isBigEndian) 1 else 0)) & 0xff
+                    val hi = raw(off + (if (fmt.isBigEndian) 0 else 1)).toInt
+                    ((hi << 8) | lo).toShort / 32768.0
+                  } else if (fmt.getEncoding ==
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                    ((raw(off) & 0xff) - 128) / 128.0
+                  else raw(off).toDouble / 128.0
+                acc += s; c += 1
+              }
+              val v = acc / ch
+              sumSq += v * v; n += 1; f += 1
+            }
+            out(b) = if (n == 0) 0.0f
+              else (math.sqrt(sumSq / n) * 2.0 - 1.0).toFloat
+            b += 1
+          }
+          Some(out)
+        }
+      }
+    } finally ais.close()
+  }
+
+  /** (sampleRate, nFrames, durationMs) from the payload's audio header —
+    * the audio analogue of [[imageDims]]' metadata verification. */
+  def audioInfo(payload: Array[Byte]): Option[(Int, Long, Long)] = {
+    val ais = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+    }
+    if (ais == null) None
+    else try {
+      val rate = ais.getFormat.getSampleRate.toInt
+      val frames = ais.getFrameLength
+      Some((rate, frames, frames * 1000L / math.max(1, rate)))
+    } finally ais.close()
+  }
+
+  /** Deterministic real WAV fixture (RIFF/PCM16 mono, hand-assembled
+    * 44-byte canonical header + hash-noise samples — no codec needed to
+    * WRITE; the JDK codec proves itself by READING these bytes back). */
+  def syntheticWav(id: Long, sampleRate: Int = 8000,
+      ms: Int = 125): Array[Byte] = {
+    val n = sampleRate * ms / 1000
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      var v = id * 6364136223846793005L + i * 1442695040888963407L
+      v ^= v >>> 29; v *= 0xbf58476d1ce4e5b9L; v ^= v >>> 32
+      val s = (v & 0xffff).toShort
+      data(i * 2) = (s & 0xff).toByte          // little-endian PCM16
+      data(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(44 + data.length)
+    def le32(x: Int): Unit = { bos.write(x & 0xff); bos.write((x >> 8) & 0xff)
+      bos.write((x >> 16) & 0xff); bos.write((x >> 24) & 0xff) }
+    def le16(x: Int): Unit = { bos.write(x & 0xff); bos.write((x >> 8) & 0xff) }
+    bos.write("RIFF".getBytes("US-ASCII")); le32(36 + data.length)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1) /* PCM */ ; le16(1) /* mono */ ; le32(sampleRate)
+    le32(sampleRate * 2) /* byte rate */ ; le16(2) /* block align */
+    le16(16) /* bits */
+    bos.write("data".getBytes("US-ASCII")); le32(data.length)
+    bos.write(data)
+    bos.toByteArray
+  }
+
+  /** Media table whose audio-kind payloads are REAL WAVs (distributed
+    * encode, one clip per row) — the fixture [[decodeAudio]] is spec'd
+    * on, mirroring [[syntheticImageMedia]]. */
+  def syntheticAudioMedia(spark: SparkSession, n: Int,
+      sampleRate: Int = 8000, ms: Int = 125): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n).map(id => MediaRecord(id, "audio",
+      syntheticWav(id, sampleRate, ms),
+      MediaMeta("audio/wav", 0, 0, ms.toLong)))
+  }
+
   /** Actual (width, height) read from the payload's image header — the
     * metadata-verification step a real ingest runs (declared meta vs
     * bytes). None when no JDK reader accepts the bytes. */
@@ -158,10 +284,13 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition: ImageIO's reader registry lookup is cached per JVM
       it.map { r =>
-        val feats =
-          if (r.kind == "image") decodeImage(r.payload, dim)
+        val feats = r.kind match {
+          case "image" => decodeImage(r.payload, dim)
             .getOrElse(decodeStub(r.payload, dim))
-          else decodeStub(r.payload, dim)
+          case "audio" => decodeAudio(r.payload, dim)
+            .getOrElse(decodeStub(r.payload, dim))
+          case _ => decodeStub(r.payload, dim) // video: no JDK codec
+        }
         MediaFeatures(r.media_id, r.kind, dim, feats)
       }
     }

@@ -104,6 +104,75 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(n00 == d.getOrElse((false, false), 0L))
   }
 
+  test("q142 k-anonymity: every reported group violates k or l; l_div ≤ n; " +
+    "matches a direct recount") {
+    val rows = q("q142_k_anonymity").collect()
+    rows.foreach { r =>
+      val (n, l) = (r.getLong(3), r.getLong(4))
+      assert(n < 5 || l < 2)
+      assert(l >= 1 && l <= n)
+    }
+    val direct = Tables.load(spark, sf, "documents")
+      .groupBy(col("lang"), col("source"),
+        floor(col("n_chars") / lit(50)).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("l"))
+      .filter(col("n") < 5 || col("l") < 2).count()
+    assert(rows.length == direct)
+  }
+
+  test("q143 cluster quality: one row per label, n sums to corpus, " +
+    "means ∈ [-1,1], separation = mean_own − mean_other and is positive " +
+    "on average (labels are genuine clusters)") {
+    val rows = q("q143_cluster_quality", sf01).collect()
+    val e = Tables.load(spark, sf01, "embeddings")
+    assert(rows.length == e.select("label").distinct().count())
+    assert(rows.map(_.getLong(1)).sum == e.count())
+    rows.foreach { r =>
+      val (own, other, sep) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(own >= -1.0 && own <= 1.0 && other >= -1.0 && other <= 1.0)
+      assert(math.abs(sep - (own - other)) < 1e-12)
+    }
+    assert(rows.map(_.getDouble(4)).sum > 0.0,
+      "clustered synthetic labels must be closer to their own centroid on average")
+  }
+
+  test("q144 split contamination: only eval docs, 0 < n_leaked ≤ n_shingles, " +
+    "ratio consistent; a leaked shingle really exists in some train doc") {
+    val rows = q("q144_split_contamination").collect()
+    assert(rows.nonEmpty, "shared 3-grams must straddle the hash split")
+    def split(id: Long): String = {
+      val h2 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      if (h2 < "cd") "train" else if (h2 < "e6") "val" else "test"
+    }
+    rows.foreach { r =>
+      val (id, tot, lk, ratio) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(split(id) != "train", s"doc $id is a train doc")
+      assert(lk >= 1 && lk <= tot)
+      assert(math.abs(ratio - lk.toDouble / tot) < 1e-15)
+    }
+  }
+
+  test("q145 leak-proof split: docs partition exactly, train is the " +
+    "majority, and NO near-dup component straddles splits") {
+    val rows = q("q145_leakproof_split").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+    assert(rows.values.map(_._2).sum == docs.count())
+    assert(rows("train")._2 > rows.getOrElse("val", (0L, 0L))._2)
+    assert(rows("train")._2 > rows.getOrElse("test", (0L, 0L))._2)
+    // group counts: every doc follows its component rep, so total groups
+    // = singletons + components
+    val comp = graft.operators.Dedup.nearDupComponents(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val inGraph = comp.map(_._1).toSet
+    val nComponents = comp.map(_._2).distinct.length
+    val expectedGroups = (docs.count() - inGraph.size) + nComponents
+    assert(rows.values.map(_._1).sum == expectedGroups)
+  }
+
   test("q141 zipf coverage: top-100 mass ≤ total, coverage consistent, " +
     "and equals a direct recount") {
     val r = q("q141_zipf_coverage").head()

@@ -45,9 +45,12 @@ class PlanAuditSpec extends AnyFunSuite {
   // verification join (edges ⋈ nodes, both
   // sides corpus-sized products of the same parse — a node-id shuffle
   // join IS the scale plan for graph verification).
+  // q145 inherits q97's component → doc resolution join (left join of
+  // the corpus onto the near-dup component labels, both doc_id-keyed).
   private val smjOk = Set(
     "q68_outer_joins", "q91_decontamination", "q97_clean_corpus",
-    "q131_hybrid_rrf", "q134_graph_load", "q135_rerank")
+    "q131_hybrid_rrf", "q134_graph_load", "q135_rerank",
+    "q145_leakproof_split")
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")

@@ -464,4 +464,45 @@ class TierASpec extends AnyFunSuite {
     // and the vectors feed the ANN ops unchanged (same Array[Float] shape)
     assert(real.values.forall(_.forall(v => v >= -1.0f && v <= 1.0f)))
   }
+
+  test("multimodal: REAL WAV payloads decode through javax.sound.sampled — " +
+    "header info verifies, silence → exact -1 envelope, stub only for video") {
+    // silence hand-check: a zero-sample WAV has RMS 0 in every bucket →
+    // normalized envelope exactly -1
+    val silent = {
+      val w = Multimodal.syntheticWav(0L, 8000, 125)
+      // zero out the PCM data, keep the valid RIFF header
+      java.util.Arrays.fill(w, 44, w.length, 0.toByte); w
+    }
+    val env = Multimodal.decodeAudio(silent, dim = 16).get
+    assert(env.forall(_ == -1.0f), s"silence must be exactly -1: ${env.toSeq}")
+
+    // header verification: the JDK codec reads back exactly what the
+    // hand-assembled RIFF header declares
+    val clip = Multimodal.syntheticWav(7L, 8000, 125)
+    assert(Multimodal.audioInfo(clip) == Some((8000, 1000L, 125L)))
+
+    // garbage bytes are rejected (fallback seam), not crashed on
+    assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+
+    // distributed path: 40 real WAV fixtures through extractFeatures
+    val media = Multimodal.syntheticAudioMedia(spark, 40).cache()
+    val feats = Multimodal.extractFeatures(media).cache()
+    assert(feats.count() == 40)
+    assert(feats.filter(f => f.features.length != 16).count() == 0)
+    // real decode, not the stub
+    val viaStub = media.collect()
+      .map(r => r.media_id -> Multimodal.decodeStub(r.payload)).toMap
+    val real = feats.collect().map(f => f.media_id -> f.features).toMap
+    assert(real.keySet.forall(id => !real(id).sameElements(viaStub(id))),
+      "audio kind must take the javax.sound path")
+    // deterministic across re-generation, distinct across clips, bounded
+    val again = Multimodal.extractFeatures(
+      Multimodal.syntheticAudioMedia(spark, 40)).collect()
+      .map(f => f.media_id -> f.features).toMap
+    assert(real.forall { case (id, v) => v.sameElements(again(id)) })
+    assert(real.values.map(_.toSeq).toSet.size == 40,
+      "distinct clips must embed distinctly")
+    assert(real.values.forall(_.forall(v => v >= -1.0f && v <= 1.0f)))
+  }
 }
