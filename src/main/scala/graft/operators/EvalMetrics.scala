@@ -45,7 +45,7 @@ object EvalMetrics {
     * as `(<k>e0/256)` (e-notation keeps DuckDB in DOUBLE — bare decimal
     * literals parse as DECIMAL and can convert one ulp off, the q136
     * lesson). */
-  private val proto: IndexedSeq[Double] =
+  private[graft] val proto: IndexedSeq[Double] =
     (0 until Dim).map(i => (((i * 2654435761L) & 0xFFL) - 128L) / 256.0)
 
   private val protoSqlList: String =
@@ -60,18 +60,18 @@ object EvalMetrics {
        |    * sqrt(list_sum(list_transform($protoSqlList, z -> z*z))))"""
       .stripMargin.replace("\n", " ")
 
-  private def scoreCol = element_at(
+  private[graft] def scoreCol = element_at(
     CosineAll.cosineAll(col("embedding"), Seq(proto)), 1)
 
   // score ∈ [-1,1] → fixed-point level ∈ [0, 2²³]; 2⁻²² granularity is the
   // documented tie-quantization of the ROC sweep (analogous to the money
   // DECIMAL contract — deterministic, engine-identical).
-  private val LevelScale = 4194304.0 // 2^22
+  private[graft] val LevelScale = 4194304.0 // 2^22
   private val CoarseShift = 12       // 2^23 levels → ≤2^11+1 coarse buckets
 
   // calibration confidence accumulates at 2⁻²⁶ fixed point: exact integer
   // sums, and a per-bin BIGINT holds ~1.4e11 rows before overflow.
-  private val ConfScale = 67108864.0 // 2^26
+  private[graft] val ConfScale = 67108864.0 // 2^26
 
   // Cohen-kappa rater thresholds (fixed, corpus-independent fixtures).
   private val KappaChars = 306L

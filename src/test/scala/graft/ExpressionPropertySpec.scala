@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based pins for the native-expression algebra — the claims
+  * the operator Scaladocs lean on, checked over seeded random inputs
+  * (deterministic across runs, ScdPropertySpec's style):
+  *
+  *   - OrderedPairs emits exactly the naive C(n,2) ordered pairs;
+  *   - MinHash signatures satisfy sig(A ∪ B) = elementwise-min(sig A,
+  *     sig B) — the property LSH banding's recall math rests on;
+  *   - KMV sketches are partition-invariant (the mergeability claim:
+  *     map-side combine cannot change the result);
+  *   - CosineAll rows are bit-equal to pairwise CosineSim (the
+  *     fixed-order arithmetic contract the differential oracles use);
+  *   - dyadic 2⁻³⁰ grid sums are partition-invariant (the determinism
+  *     discipline behind q108/q128/q129/q143).
+  */
+class ExpressionPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-expr-prop-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("OrderedPairs ≡ naive C(n,2) expansion over random id arrays") {
+    import spark.implicits._
+    graft.functions.OrderedPairs.register(spark)
+    val gen = Gen.chooseNum(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000000L, 1000000L)))
+    (1 to 40).foreach { i =>
+      val ids = sample(gen, 1000L + i).distinct
+      val got = Seq(Tuple1(ids)).toDF("ids")
+        .select(inline(graft.functions.OrderedPairs.orderedPairs(
+          array_sort(col("ids")))))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val sorted = ids.sorted
+      val expected = for {
+        a <- sorted.indices; b <- (a + 1) until sorted.size
+      } yield (sorted(a), sorted(b))
+      assert(got == expected, s"case $i: ids=$ids")
+    }
+  }
+
+  test("MinHash: sig(A ∪ B) = elementwise min(sig(A), sig(B))") {
+    import spark.implicits._
+    graft.functions.MinHashSig.register(spark)
+    val gen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)))
+    def sig(hs: Seq[Long]): Seq[Long] =
+      Seq(Tuple1(hs)).toDF("hs")
+        .select(graft.functions.MinHashSig.minhashSig(col("hs")))
+        .head().getSeq[Long](0)
+    (1 to 15).foreach { i =>
+      val a = sample(gen, 2000L + i)
+      val b = sample(gen, 3000L + i)
+      val (sa, sb, su) = (sig(a), sig(b), sig(a ++ b))
+      assert(su == sa.zip(sb).map { case (x, y) => math.min(x, y) },
+        s"case $i")
+    }
+  }
+
+  test("KMV sketch is partition-invariant: 1 vs 7 partitions, shuffled " +
+    "input order — identical sketch") {
+    import spark.implicits._
+    graft.functions.KmvSketch.register(spark)
+    val gen = Gen.listOfN(5000, Gen.chooseNum(0L, 800L)) // heavy dups
+    (1 to 5).foreach { i =>
+      val vs = sample(gen, 4000L + i)
+      def sketch(part: Int, seq: Seq[Long]): Seq[Long] =
+        seq.toDF("v").repartition(part)
+          .agg(graft.functions.KmvSketch.kmv(col("v"), 256))
+          .head().getSeq[Long](0)
+      val s1 = sketch(1, vs)
+      assert(sketch(7, vs) == s1, s"case $i: partitioning changed the sketch")
+      assert(sketch(7, new scala.util.Random(i).shuffle(vs)) == s1,
+        s"case $i: input order changed the sketch")
+    }
+  }
+
+  test("CosineAll row k is bit-equal to pairwise CosineSim against " +
+    "matrix row k") {
+    import spark.implicits._
+    graft.functions.CosineAll.register(spark)
+    graft.functions.CosineSim.register(spark)
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_ / 16.0))
+    (1 to 15).foreach { i =>
+      val v = sample(vecGen, 5000L + i)
+      val rows = (0 until 5).map(j => sample(vecGen, 6000L + 10 * i + j))
+      val all = Seq(Tuple1(v)).toDF("v")
+        .select(graft.functions.CosineAll.cosineAll(col("v"),
+          rows.map(_.toSeq)))
+        .head().getSeq[Double](0)
+      rows.zipWithIndex.foreach { case (r, j) =>
+        val pair = Seq((v, r)).toDF("a", "b")
+          .select(graft.functions.CosineSim.cosineSim(col("a"), col("b")))
+          .head().getDouble(0)
+        assert(java.lang.Double.doubleToRawLongBits(all(j)) ==
+          java.lang.Double.doubleToRawLongBits(pair), s"case $i row $j")
+      }
+    }
+  }
+
+  test("dyadic 2⁻³⁰ grid sums are partition-invariant") {
+    import spark.implicits._
+    val gen = Gen.listOfN(4000, Gen.chooseNum(-1.0e6, 1.0e6))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    (1 to 5).foreach { i =>
+      val vs = sample(gen, 7000L + i)
+      def gridSum(part: Int): BigDecimal =
+        vs.toDF("v").repartition(part)
+          .agg(sum(floor(col("v") * 1073741824.0d + 0.5d).cast(dec)))
+          .head().getDecimal(0)
+      assert(gridSum(1) == gridSum(7), s"case $i")
+    }
+  }
+}
