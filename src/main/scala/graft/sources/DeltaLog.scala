@@ -699,9 +699,14 @@ object DeltaLog {
 
     require(schemaString != null, s"no metaData action in log of $tablePath")
     checkReaderFeatures(protocolInfo, tablePath)
-    Snapshot(target, DataType.fromJson(schemaString).asInstanceOf[StructType],
+    val snap = Snapshot(target,
+      DataType.fromJson(schemaString).asInstanceOf[StructType],
       partCols, live.values.toSeq, tablePath, txns.toMap, config, mdId,
       protocolInfo, domains.toMap)
+    // version-checksum tripwire: replayed totals must match the crc the
+    // committer recorded for this version, when one exists
+    DeltaChecksum.verify(spark, snap)
+    snap
   }
 
   /** Read a Delta table as a DataFrame (optionally time-traveled). The

@@ -396,8 +396,16 @@ object DeltaMaintenance {
         val oldCompacted = entries.collect {
           case n @ compactedRe(s, _) if s.toLong <= horizon => n
         }
-        (old ++ oldCompacted).foreach(n => fs.delete(new Path(dir, n), false))
-        old.length + oldCompacted.length
+        // version checksums travel with their commits: a crc whose
+        // version is gone can never be verified again, only mislead
+        val oldCrcs = entries.collect {
+          case n if n.length == 24 && n.endsWith(".crc") &&
+            n.dropRight(4).forall(_.isDigit) &&
+            n.dropRight(4).toLong < horizon => n
+        }
+        (old ++ oldCompacted ++ oldCrcs)
+          .foreach(n => fs.delete(new Path(dir, n), false))
+        old.length + oldCompacted.length // crc trims are side hygiene
     }
   }
 

@@ -239,6 +239,7 @@ object DeltaWrite {
       f.delete(tmp, false) // the link carries the commit; tmp goes either way
       if (won) {
         autoCheckpoint(spark, tablePath, version, actions, snapHint)
+        DeltaChecksum.write(spark, tablePath, version)
         return version
       }
       attempt += 1
