@@ -36,6 +36,8 @@ object EvalMetrics {
     Tables.load(s, d, "embeddings")
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
 
   private val Dim = 64
 
@@ -462,6 +464,66 @@ object EvalMetrics {
         |FROM asg)
         |SELECT split, COUNT(DISTINCT rep) AS n_groups, COUNT(*) AS n_docs
         |FROM a GROUP BY split ORDER BY split"""
+        .stripMargin.replace("\n", " "))),
+
+    // Brier score — the squared-error companion of q138's reliability
+    // bins (log-loss needs ln(), which is libm-dependent and breaks
+    // cross-engine exactness — q126's rational-idf precedent; the Brier
+    // decomposition carries the same calibration signal with pure
+    // arithmetic). Per-row (prob − y)² is a deterministic double chain;
+    // each term quantizes to the 2⁻³⁰ grid BEFORE summing (the q143
+    // discipline), so accumulation order cannot matter.
+    GraftQuery("q146_brier",
+      (s, d) => {
+        CosineAll.register(s)
+        val prob = (scoreCol + 1.0d) / 2.0d
+        val err = prob - (col("label") === 0).cast("double")
+        emb(s, d)
+          .select(floor(err * err * lit(1073741824.0d) + 0.5d)
+            .cast("long").as("t"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("t").cast(
+              org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("double") / 1073741824.0d / count(lit(1))).as("brier"))
+      },
+      Some(s"""WITH s AS (SELECT CAST(floor(
+        |(($scoreSql + 1.0) / 2.0 - CAST(label = 0 AS DOUBLE))
+        | * (($scoreSql + 1.0) / 2.0 - CAST(label = 0 AS DOUBLE))
+        | * 1073741824.0 + 0.5) AS BIGINT) AS t FROM embeddings)
+        |SELECT COUNT(*) AS n,
+        |CAST(SUM(t) AS DOUBLE) / 1073741824.0 / COUNT(*) AS brier FROM s"""
+        .stripMargin.replace("\n", " "))),
+
+    // Forecast-quality evaluation — MAE/RMSE of the lag-1 persistence
+    // forecast on hourly event counts, the baseline every traffic
+    // forecaster is judged against (and the drift monitor a 100 TB
+    // event pipeline runs hourly). Errors are INTEGER (count − previous
+    // count), so Σ|e| and Σe² are exact; one hourly rollup, one
+    // per-type lag window over ≤ hours-per-type rows, one aggregate.
+    GraftQuery("q147_forecast_eval",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("h")
+        ev(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("e", col("n") - lag("n", 1).over(w))
+          .filter(col("e").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"),
+            (sum(abs(col("e"))).cast("double") /
+              count(lit(1)).cast("double")).as("mae"),
+            sqrt(sum(col("e") * col("e")).cast("double") /
+              count(lit(1)).cast("double")).as("rmse"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |e AS (SELECT event_type, n - lag(n) OVER (PARTITION BY event_type ORDER BY h) AS e FROM hourly)
+        |SELECT event_type, COUNT(*) AS n_hours,
+        |CAST(SUM(abs(e)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+        |sqrt(CAST(SUM(e * e) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS rmse
+        |FROM e WHERE e IS NOT NULL GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " "))),
 
     // Zipf head coverage: what fraction of the total token mass the 100

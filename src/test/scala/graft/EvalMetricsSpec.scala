@@ -173,6 +173,43 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(rows.values.map(_._1).sum == expectedGroups)
   }
 
+  test("q146 brier: n = corpus size, 0 ≤ brier ≤ 1, and matches a direct " +
+    "per-row recount on the same grid") {
+    val r = q("q146_brier").head()
+    val (n, brier) = (r.getLong(0), r.getDouble(1))
+    assert(n == Tables.load(spark, sf, "embeddings").count())
+    assert(brier >= 0.0 && brier <= 1.0)
+    graft.functions.CosineAll.register(spark)
+    val proto = (0 until 64).map(i => (((i * 2654435761L) & 0xFFL) - 128L) / 256.0)
+    val terms = Tables.load(spark, sf, "embeddings").select(
+      floor((((element_at(call_function("graft_cosine_all",
+        col("embedding"), typedLit(Seq(proto))), 1) + 1.0d) / 2.0d
+        - (col("label") === 0).cast("double"))
+        * ((element_at(call_function("graft_cosine_all",
+          col("embedding"), typedLit(Seq(proto))), 1) + 1.0d) / 2.0d
+          - (col("label") === 0).cast("double"))
+        * lit(1073741824.0d)) + 0.5d).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(brier == terms.sum.toDouble / 1073741824.0 / terms.length)
+  }
+
+  test("q147 forecast eval: one row per event type, rmse ≥ mae ≥ 0, " +
+    "n_hours = hours minus one per type") {
+    val rows = q("q147_forecast_eval").collect()
+    assert(rows.nonEmpty)
+    val hoursPerType = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")))
+      .count().groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == hoursPerType.size)
+    rows.foreach { r =>
+      val (tpe, n, mae, rmse) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n == hoursPerType(tpe) - 1)
+      assert(mae >= 0.0 && rmse >= mae) // RMS ≥ mean of |e| always
+    }
+  }
+
   test("q141 zipf coverage: top-100 mass ≤ total, coverage consistent, " +
     "and equals a direct recount") {
     val r = q("q141_zipf_coverage").head()
