@@ -647,6 +647,92 @@ object Similarity {
         "ORDER BY ce_score DESC, f.doc_id LIMIT 10")
     ),
 
+    // MMR diversified rerank — the third reranking shape of the stack
+    // (q131 fuses rankings, q135 rescores pointwise, MMR selects a SET):
+    // greedy Maximal Marginal Relevance over the top-100 RRF candidates,
+    // score(d) = λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s), λ = 0.7 — the
+    // near-duplicate suppression step a RAG context builder runs so 10
+    // slots aren't spent on 10 copies of one passage. The greedy loop is
+    // BOUNDED model-side compute (≤100 candidates × k=10 picks, like the
+    // centroid training and eval panels — a documented-exception driver
+    // collect; the corpus streamed only in the first stage), and every
+    // pick is deterministic: rel is q131's bit-exact RRF double, the
+    // pairwise cosine replicates CosineSim's index-order arithmetic, the
+    // λ-chain is the same double ops both engines run, ties break by
+    // doc_id. The oracle replays the identical greedy via a recursive
+    // CTE with a LATERAL argmax, carrying the selected embeddings as
+    // list-typed state.
+    GraftQuery("q148_mmr_rerank",
+      (s, d) => {
+        val outSchema = "rnk BIGINT, doc_id BIGINT, rel DOUBLE, mmr DOUBLE"
+        val cands = rrfFused(s, d)
+          .join(emb(s, d).select(col("vec_id").as("doc_id"),
+            col("embedding").cast("array<double>").as("emb")), Seq("doc_id"))
+          .select(col("doc_id"), col("rrf"), col("emb"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(100)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2)))
+        if (cands.isEmpty) emptyResult(s, outSchema)
+        else {
+          // CosineSim's exact arithmetic order (dot over min length,
+          // each norm in index order, dot / (sqrt·sqrt))
+          def cosPair(a: Seq[Double], b: Seq[Double]): Double = {
+            val n = math.min(a.length, b.length)
+            var dot = 0.0; var i = 0
+            while (i < n) { dot += a(i) * b(i); i += 1 }
+            var na = 0.0; i = 0
+            while (i < a.length) { na += a(i) * a(i); i += 1 }
+            var nb = 0.0; i = 0
+            while (i < b.length) { nb += b(i) * b(i); i += 1 }
+            dot / (math.sqrt(na) * math.sqrt(nb))
+          }
+          val sel = scala.collection.mutable.Buffer[(Long, Double, Double)]()
+          val selEmb = scala.collection.mutable.Buffer[Seq[Double]]()
+          val remaining = scala.collection.mutable.Buffer(cands: _*)
+          while (sel.size < 10 && remaining.nonEmpty) {
+            val scored = remaining.map { case (id, rel, e) =>
+              var maxSim = 0.0
+              if (selEmb.nonEmpty) {
+                maxSim = cosPair(e, selEmb.head)
+                selEmb.tail.foreach(se =>
+                  maxSim = math.max(maxSim, cosPair(e, se)))
+              }
+              (id, rel, e, 0.7 * rel - 0.3 * maxSim)
+            }
+            val best = scored.minBy { case (id, _, _, sc) => (-sc, id) }
+            sel += ((best._1, best._2, best._4))
+            selEmb += best._3
+            remaining.remove(remaining.indexWhere(_._1 == best._1))
+          }
+          import s.implicits._
+          sel.zipWithIndex.map { case ((id, rel, mmr), i) =>
+            ((i + 1).toLong, id, rel, mmr)
+          }.toSeq.toDF("rnk", "doc_id", "rel", "mmr")
+        }
+      },
+      Some("WITH RECURSIVE " + rrfFusedSqlCtes + ", " +
+        "cembs AS (SELECT f.doc_id, f.rrf, CAST(c.embedding AS DOUBLE[]) AS emb " +
+        "  FROM fused f JOIN embeddings c ON f.doc_id = c.vec_id), " +
+        "top AS (SELECT * FROM cembs ORDER BY rrf DESC, doc_id LIMIT 100), " +
+        "sel(step, docs, embs, doc_id, rel, mmr) AS ( " +
+        "  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS DOUBLE[][]), " +
+        "    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) " +
+        "  UNION ALL " +
+        "  SELECT s.step + 1, list_append(s.docs, p.doc_id), " +
+        "    list_append(s.embs, p.emb), p.doc_id, p.rrf, p.score " +
+        "  FROM sel s, LATERAL ( " +
+        "    SELECT t.doc_id, t.rrf, t.emb, " +
+        "      0.7e0 * t.rrf - 0.3e0 * COALESCE(list_max(list_transform(s.embs, e -> " +
+        "        list_sum(list_transform(list_zip(t.emb, e), z -> z[1]*z[2])) " +
+        "        / (sqrt(list_sum(list_transform(t.emb, z -> z*z))) " +
+        "           * sqrt(list_sum(list_transform(e, z -> z*z)))))), 0.0e0) AS score " +
+        "    FROM top t WHERE NOT list_contains(s.docs, t.doc_id) " +
+        "    ORDER BY score DESC, t.doc_id LIMIT 1) p " +
+        "  WHERE s.step < 10) " +
+        "SELECT CAST(step AS BIGINT) AS rnk, doc_id, rel, mmr FROM sel " +
+        "WHERE step >= 1 ORDER BY step")
+    ),
+
     // Retrieval-quality EVAL vs a fixed qrels panel — MRR and nDCG@10,
     // the metrics a retrieval pipeline reports before its index config
     // ships. Queries are the fixed panel vec_id < 16; qrels are

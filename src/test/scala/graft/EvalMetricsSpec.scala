@@ -210,6 +210,25 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("q148 MMR rerank: 10 distinct picks from the RRF candidates; " +
+    "first pick is the top-RRF doc with mmr = 0.7·rel; every pick's mmr " +
+    "≤ 0.7·rel (the diversity penalty only subtracts when sims ≥ 0)") {
+    val rows = q("q148_mmr_rerank", sf01).collect()
+    assert(rows.length == 10)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length == 10)
+    val byRank = rows.sortBy(_.getLong(0))
+    val first = byRank.head
+    assert(first.getDouble(3) == 0.7 * first.getDouble(2))
+    // rank-1 = argmax rel (maxSim term is zero on the first pick)
+    assert(byRank.forall(r => first.getDouble(2) >= r.getDouble(2)))
+    // the candidate pool is the q131 fusion: every pick appears there
+    val fusedIds = SparkEntry.queries("q131_hybrid_rrf")(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    assert(fusedIds.contains(byRank.head.getLong(1)),
+      "the first (undiversified) pick must be q131's rrf argmax head")
+  }
+
   test("q141 zipf coverage: top-100 mass ≤ total, coverage consistent, " +
     "and equals a direct recount") {
     val r = q("q141_zipf_coverage").head()
