@@ -526,6 +526,40 @@ object EvalMetrics {
         |FROM e WHERE e IS NOT NULL GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " "))),
 
+    // Dataset card — the one-row datasheet a corpus release ships with
+    // (docs/tokens/chars, language & source spread, exact-dup rate,
+    // English share). One scan, one aggregate (the distinct count over
+    // md5 digests is the only expand); every figure is integer-exact
+    // with mirrored double ratios.
+    GraftQuery("q149_dataset_card",
+      (s, d) => {
+        val agg = docs(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          sum(tokenCount(col("text"))).as("total_tokens"),
+          countDistinct(md5(col("text"))).as("distinct_texts"),
+          sum((col("lang") === "en").cast("long")).as("n_en"))
+        val nD = col("n_docs").cast("double")
+        agg.select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("total_chars"), col("total_tokens"), col("distinct_texts"),
+          (lit(1.0d) - col("distinct_texts").cast("double") / nD)
+            .as("dup_rate"),
+          (col("total_chars").cast("double") / nD).as("mean_chars"),
+          (col("n_en").cast("double") / nD).as("pct_en"))
+      },
+      Some(s"""SELECT COUNT(*) AS n_docs,
+        |COUNT(DISTINCT source) AS n_sources, COUNT(DISTINCT lang) AS n_langs,
+        |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |CAST(SUM(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS BIGINT) AS total_tokens,
+        |COUNT(DISTINCT md5(text)) AS distinct_texts,
+        |1e0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+        |CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+        |CAST(SUM(CAST(lang = 'en' AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pct_en
+        |FROM documents"""
+        .stripMargin.replace("\n", " "))),
+
     // Zipf head coverage: what fraction of the total token mass the 100
     // most frequent terms carry — the vocabulary-concentration diagnostic
     // behind tokenizer/vocab sizing. Term counts partial-aggregate before

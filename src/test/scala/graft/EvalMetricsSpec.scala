@@ -229,6 +229,20 @@ class EvalMetricsSpec extends AnyFunSuite {
       "the first (undiversified) pick must be q131's rrf argmax head")
   }
 
+  test("q149 dataset card: figures recount from the raw table; " +
+    "ratios consistent") {
+    val r = q("q149_dataset_card").head()
+    val docs = Tables.load(spark, sf, "documents")
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(1) == docs.select("source").distinct().count())
+    assert(r.getLong(2) == docs.select("lang").distinct().count())
+    assert(r.getLong(3) == docs.agg(sum("n_chars")).head.getLong(0))
+    assert(r.getLong(5) == docs.select("text").distinct().count())
+    assert(math.abs(r.getDouble(6) -
+      (1.0 - r.getLong(5).toDouble / r.getLong(0))) == 0.0)
+    assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0)
+  }
+
   test("q141 zipf coverage: top-100 mass ≤ total, coverage consistent, " +
     "and equals a direct recount") {
     val r = q("q141_zipf_coverage").head()
