@@ -52,6 +52,37 @@ object EventOps {
     // previous one opens a new session — the same half-open-interval
     // semantics as session_window (q86), so the two formulations (and
     // their shared oracle) stay row-identical on boundary data.
+    // Session-path transition matrix — the Markov view of user journeys
+    // (which event typically follows which): per (prev_type, type) pair,
+    // the transition count and probability. One lag window on the
+    // (user_id, ts, event_id) ordering the whole events family shares,
+    // then a |types|²-bounded aggregate; the probability divides by the
+    // prev-type row total via a second tiny aggregate joined back
+    // (broadcast — ≤|types| rows). Exact integers; mirrored division.
+    GraftQuery("q150_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = ev(s, d)
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("prev_type").agg(sum("n").as("tot"))
+        pairs.join(broadcast(totals), Seq("prev_type"))
+          .select(col("prev_type"), col("event_type"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double")).as("p"))
+          .orderBy("prev_type", "event_type")
+      },
+      Some("WITH x AS (SELECT user_id, event_type, LAG(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+        "pr AS (SELECT prev_type, event_type, COUNT(*) AS n FROM x " +
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot FROM pr GROUP BY 1) " +
+        "SELECT pr.prev_type, pr.event_type, pr.n, " +
+        "CAST(pr.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p " +
+        "FROM pr JOIN t ON pr.prev_type = t.prev_type " +
+        "ORDER BY pr.prev_type, pr.event_type")),
+
     GraftQuery("q52_sessionize",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

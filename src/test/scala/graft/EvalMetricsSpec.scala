@@ -243,6 +243,18 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0)
   }
 
+  test("q150 event transitions: probabilities sum to 1 per prev_type; " +
+    "pair counts sum to events minus one per user") {
+    val rows = q("q150_event_transitions").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(math.abs(g.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    }
+    val e = Tables.load(spark, sf, "events")
+    val expectedPairs = e.count() - e.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expectedPairs)
+  }
+
   test("q141 zipf coverage: top-100 mass ≤ total, coverage consistent, " +
     "and equals a direct recount") {
     val r = q("q141_zipf_coverage").head()
