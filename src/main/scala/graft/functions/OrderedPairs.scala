@@ -40,18 +40,28 @@ case class OrderedPairs(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val ids = input.asInstanceOf[ArrayData]
-    val n = ids.numElements()
+    val total = ids.numElements()
+    // null ELEMENTS are skipped (the type-check admits containsNull
+    // arrays — collect_list over a nullable column types that way even
+    // though it drops nulls — and getLong on a null slot would crash)
+    val vals = new Array[Long](total)
+    var n = 0
+    var t = 0
+    while (t < total) {
+      if (!ids.isNullAt(t)) { vals(n) = ids.getLong(t); n += 1 }
+      t += 1
+    }
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
     var i = 0
     while (i < n) {
-      val a = ids.getLong(i)
+      val a = vals(i)
       var j = i + 1
       while (j < n) {
         val row = new GenericInternalRow(2)
         row.setLong(0, a)
-        row.setLong(1, ids.getLong(j))
+        row.setLong(1, vals(j))
         out(k) = row.asInstanceOf[InternalRow]
         k += 1
         j += 1

@@ -107,10 +107,18 @@ object EvalMetrics {
         val offDf = offsets.toDF("cb", "off")
         val w = Window.partitionBy("cb").orderBy("lvl")
           .rowsBetween(Window.unboundedPreceding, -1)
+        // u2 terms accumulate through DECIMAL(38,0): at 100 TB scale
+        // u2 ≈ n²/4 overflows BIGINT (~6e9 rows) where the oracle's
+        // HUGEINT sums do not — the q143/q146 wide-accumulator
+        // discipline applies here too. p·(2·nb+n) ≡ 2·p·nb + p·n
+        // exactly in integer arithmetic; the per-term factors stay in
+        // BIGINT range (p, n, nb ≤ corpus size).
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
         fine.join(broadcast(offDf), Seq("cb"))
           .withColumn("nb", col("off") + coalesce(sum("n").over(w), lit(0L)))
           .agg(sum("p").as("np"), sum("n").as("nn"),
-            sum(lit(2L) * col("p") * col("nb") + col("p") * col("n")).as("u2"))
+            sum(col("p").cast(dec38) *
+              (lit(2L) * col("nb") + col("n")).cast(dec38)).as("u2"))
           .select(col("np").as("n_pos"), col("nn").as("n_neg"),
             (col("u2").cast("double") /
               (lit(2.0d) * col("np") * col("nn"))).as("auc"))

@@ -130,7 +130,15 @@ object Multimodal {
       val fmt = ais.getFormat
       val bytesPerSample = fmt.getSampleSizeInBits / 8
       val ch = fmt.getChannels
-      if (bytesPerSample < 1 || bytesPerSample > 2 || ch < 1) None
+      // only LINEAR PCM is decodable with this math — companded
+      // encodings the JDK also parses (µ-law/A-law WAVs) must fall
+      // through to the stub, not be misread as linear samples
+      val enc = fmt.getEncoding
+      val linearPcm =
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if (!linearPcm || bytesPerSample < 1 || bytesPerSample > 2 || ch < 1)
+        None
       else {
         val raw = ais.readAllBytes()
         val frameBytes = bytesPerSample * ch

@@ -672,6 +672,11 @@ object Similarity {
           .orderBy(col("rrf").desc, col("doc_id")).limit(100)
           .collect()
           .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2)))
+          // a zero-norm embedding makes every cosine NaN, and NaN
+          // ordering DIVERGES between engines (Scala total order sorts
+          // it last, SQL DESC sorts it first) — excluded identically on
+          // both sides so the greedy argmax stays comparable
+          .filter(_._3.exists(_ != 0.0))
         if (cands.isEmpty) emptyResult(s, outSchema)
         else {
           // CosineSim's exact arithmetic order (dot over min length,
@@ -713,7 +718,8 @@ object Similarity {
       Some("WITH RECURSIVE " + rrfFusedSqlCtes + ", " +
         "cembs AS (SELECT f.doc_id, f.rrf, CAST(c.embedding AS DOUBLE[]) AS emb " +
         "  FROM fused f JOIN embeddings c ON f.doc_id = c.vec_id), " +
-        "top AS (SELECT * FROM cembs ORDER BY rrf DESC, doc_id LIMIT 100), " +
+        "top AS (SELECT * FROM (SELECT * FROM cembs ORDER BY rrf DESC, doc_id LIMIT 100) " +
+        "  WHERE list_sum(list_transform(emb, z -> z*z)) > 0), " +
         "sel(step, docs, embs, doc_id, rel, mmr) AS ( " +
         "  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS DOUBLE[][]), " +
         "    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) " +
@@ -742,10 +748,11 @@ object Similarity {
     // the broadcast panel matrix; no NLJ row blowup), ranks are
     // per-query row_numbers over the bounded panel×corpus stream, and
     // the top-10 cut feeds the metric arithmetic. Determinism: DCG
-    // gains 1/log2(i+1) are 16-digit DECIMAL literals (identical
-    // strings both engines, exact decimal sums — double addition order
-    // would be engine-dependent); ideal-DCG prefix sums are BigDecimal
-    // literals computed once at plan build; rr is an exact rational.
+    // gains 1/log2(i+1) are shared e-notation DOUBLE literals folded in
+    // rank order on both sides (see [[Gains]]/[[gainCaseSql]] — a
+    // DECIMAL formulation was tried and is off by one ulp through
+    // DuckDB's decimal→double hop); ideal-DCG prefixes are the same
+    // literals pre-summed left-to-right; rr is an exact rational.
     // Per-query rows, no cross-query mean: the output IS the eval
     // table, and a mean would reintroduce unordered double summation.
     GraftQuery("q136_retrieval_eval",

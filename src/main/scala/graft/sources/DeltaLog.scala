@@ -666,16 +666,25 @@ object DeltaLog {
     val from = ckptVersion.map(_ + 1).getOrElse(0L)
     // Log-compaction files (`<s>.<e>.compacted.json`, protocol-optional)
     // hold the action reconciliation of their whole range in commit-JSON
-    // form. Replay prefers the LONGEST compacted file starting at the
-    // cursor whose end fits the target — on a long tail past the last
-    // checkpoint that's one file open instead of e−s+1 (the individual
-    // commits stay authoritative for time travel INSIDE the range and
-    // for CDF/ICT reads, which always address exact versions).
+    // form. Replay prefers the LONGEST compacted file COVERING the
+    // cursor whose end fits the target (s ≤ cursor ≤ e) — on a long
+    // tail past the last checkpoint that's one file open instead of
+    // e−s+1. A cursor strictly inside the range (a checkpoint landed
+    // mid-range before compaction) is fine: re-applying the range's
+    // already-checkpointed prefix is idempotent — adds/removes re-apply
+    // onto the same live map and metaData/protocol/txn/domain carry
+    // latest-wins semantics — and without the covering jump a tail
+    // whose commit JSONs were deleted behind the compaction (which
+    // latestVersion explicitly advertises as replayable) would throw
+    // 'missing commit'. The individual commits stay authoritative for
+    // time travel INSIDE the range and for CDF/ICT reads, which always
+    // address exact versions.
     val replayFiles = mutable.Buffer[Path]()
     var cursor = from
     while (cursor <= target) {
       val jump = compacted.collect {
-        case ((s, e), p) if s == cursor && e <= target => (e, p)
+        case ((s, e), p) if s <= cursor && e >= cursor && e <= target =>
+          (e, p)
       }
       jump.maxByOption(_._1) match {
         case Some((e, p)) => replayFiles += p; cursor = e + 1

@@ -141,15 +141,12 @@ object DeltaMaintenance {
     require(props.keys.forall(!_.startsWith(DeltaConstraints.Prefix)),
       "use ALTER TABLE ... ADD CONSTRAINT for CHECK constraints " +
         "(SET TBLPROPERTIES would skip existing-row validation)")
-    // delta.enableRowTracking=true is Delta's user-facing switch: run
-    // the protocol upgrade + dataChange=false backfill FIRST (its own
-    // commit, like Delta's own enablement), then record the property.
-    if (props.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true")))
-      RowTracking.enable(spark, tablePath)
     // `delta.feature.<name> = supported` — Delta's own enablement
     // convention: record the feature in the protocol (reader side too
     // when the feature is a reader-writer one), NOT in the table
-    // configuration. Unknown names are refused up front: declaring a
+    // configuration. Unknown names are refused BEFORE any commit lands
+    // (a row-tracking backfill used to run first, leaving a half-applied
+    // property change when a later feature key was invalid): declaring a
     // feature this writer can't honor would poison the table for
     // everyone downstream.
     val featureKeys = props.collect {
@@ -161,6 +158,11 @@ object DeltaMaintenance {
         throw new UnsupportedOperationException(
           s"cannot declare delta.feature.$f: feature not supported by this writer")
     }
+    // delta.enableRowTracking=true is Delta's user-facing switch: run
+    // the protocol upgrade + dataChange=false backfill FIRST (its own
+    // commit, like Delta's own enablement), then record the property.
+    if (props.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true")))
+      RowTracking.enable(spark, tablePath)
     if (featureKeys.nonEmpty) {
       val snap0 = DeltaLog.snapshot(spark, tablePath)
       DeltaWrite.commit(spark, tablePath,
@@ -190,11 +192,14 @@ object DeltaMaintenance {
           DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
             snap.configuration ++ all, snap.metaDataId)),
         operation = "SET TBLPROPERTIES", ictExplicit = Some(now))
-    } else
+    } else if (cfgProps.nonEmpty)
       DeltaWrite.commit(spark, tablePath,
         Seq(DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
           snap.configuration ++ cfgProps, snap.metaDataId)),
         operation = "SET TBLPROPERTIES")
+    else snap.version // feature-only props: the protocol commit above
+                      // (or the row-tracking enablement) was the change;
+                      // no spurious unchanged-metaData commit
   }
 
   /** SHALLOW CLONE: create a NEW table at `targetPath` whose `add`
@@ -386,15 +391,16 @@ object DeltaMaintenance {
             n.dropRight(5).forall(_.isDigit) &&
             n.dropRight(5).toLong <= horizon => n
         }
-        // Compacted ranges behind OR straddling the horizon serve no
-        // replay: bootstrap starts at horizon+1 and a jump needs
-        // s == cursor, so a straddler (s <= horizon < e) can never
-        // match — any future target >= e bootstraps from this (newest)
-        // checkpoint past s, and any target < e fails the e <= target
-        // guard. Trim both with their commits.
+        // Compacted ranges WHOLLY behind the horizon serve no replay
+        // (bootstrap starts at horizon+1 > e) and trim with their
+        // commits. A STRADDLER (s ≤ horizon < e) is kept: the covering
+        // jump (DeltaLog.snapshot: s ≤ cursor ≤ e) replays the tail
+        // (horizon, e] from it, and under the compaction doctrine those
+        // tail commits may already have been deleted — trimming the
+        // straddler would orphan the advertised latest version.
         val compactedRe = """(\d{20})\.(\d{20})\.compacted\.json""".r
         val oldCompacted = entries.collect {
-          case n @ compactedRe(s, _) if s.toLong <= horizon => n
+          case n @ compactedRe(_, e) if e.toLong <= horizon => n
         }
         // version checksums travel with their commits: a crc whose
         // version is gone can never be verified again, only mislead

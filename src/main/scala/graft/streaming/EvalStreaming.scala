@@ -51,9 +51,13 @@ object EvalStreaming {
     * Returns (n_pos, n_neg, auc). */
   def aucOf(levels: Seq[(Long, Long, Long)]): (Long, Long, Double) = {
     val sorted = levels.sortBy(_._1)
-    var below = 0L; var u2 = 0L; var np = 0L; var nn = 0L
+    // u2 in BigInt — the streaming mirror of batch q137's DECIMAL(38,0)
+    // accumulator (a Long wraps at ~6e9 total rows); BigInt.toDouble
+    // rounds to nearest like the Decimal→double cast, so bit-equality
+    // with the batch AUC survives the widening
+    var below = 0L; var u2 = BigInt(0); var np = 0L; var nn = 0L
     sorted.foreach { case (_, p, n) =>
-      u2 += 2L * p * below + p * n
+      u2 += BigInt(p) * (2L * below + n)
       below += n; np += p; nn += n
     }
     (np, nn, u2.toDouble / (2.0d * np * nn))

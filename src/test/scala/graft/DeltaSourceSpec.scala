@@ -1399,8 +1399,9 @@ class DeltaSourceSpec extends AnyFunSuite {
       Seq((1, "a"), (2, "b"), (3, "c")))
   }
 
-  test("cleanup also trims a compacted range STRADDLING the horizon " +
-    "(unreachable by the replay cursor)") {
+  test("cleanup KEEPS a compacted range straddling the horizon, and the " +
+    "covering jump replays the tail from it after the tail commits are " +
+    "deleted (checkpoint strictly inside the range)") {
     import spark.implicits._
     import graft.sources.DeltaMaintenance
     val t = tmpTable()
@@ -1412,8 +1413,18 @@ class DeltaSourceSpec extends AnyFunSuite {
     DeltaMaintenance.compactLog(spark, t, 1L, 3L) // s=1 <= 2 < e=3
     DeltaMaintenance.cleanupLog(spark, t)
     val names = new java.io.File(s"$t/_delta_log").listFiles().map(_.getName)
-    assert(!names.exists(_.endsWith(".compacted.json")),
-      s"straddling compacted range must be trimmed: ${names.toSeq}")
+    assert(names.exists(_.endsWith(".compacted.json")),
+      s"straddling compacted range must be KEPT (it can serve the tail): " +
+        s"${names.toSeq}")
+    // the compaction doctrine legitimizes deleting covered commits —
+    // including the tail past the mid-range checkpoint; replay then
+    // bootstraps at cursor=3 and the covering jump (s=1 ≤ 3 ≤ e=3)
+    // serves v3 from the compacted file
+    val fsys = DeltaLog.logDir(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.delete(new org.apache.hadoop.fs.Path(
+      DeltaLog.logDir(t), f"${3L}%020d.json"), false)
+    assert(DeltaLog.latestVersion(spark, t) == 3L)
     assert(DeltaLog.read(spark, t).orderBy("id").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq ==
       Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))

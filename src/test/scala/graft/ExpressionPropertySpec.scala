@@ -50,6 +50,14 @@ class ExpressionPropertySpec extends AnyFunSuite {
       } yield (sorted(a), sorted(b))
       assert(got == expected, s"case $i: ids=$ids")
     }
+    // null ELEMENTS are skipped, not crashed on (the registered SQL
+    // function admits containsNull array types)
+    val withNulls = Seq(Tuple1(Seq[java.lang.Long](5L, null, 1L, 3L)))
+      .toDF("ids")
+      .select(inline(graft.functions.OrderedPairs.orderedPairs(
+        array_sort(col("ids")))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(withNulls == Seq((1L, 3L), (1L, 5L), (3L, 5L)))
   }
 
   test("MinHash: sig(A ∪ B) = elementwise min(sig(A), sig(B))") {

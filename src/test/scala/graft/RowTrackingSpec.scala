@@ -223,4 +223,30 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(df.count() == 2)
     assert(df.filter(col("_row_id").isNotNull).count() == 0)
   }
+
+  test("setTblProperties is atomic wrt validation: an invalid feature " +
+    "key rejects BEFORE the row-tracking enablement commits; and a " +
+    "feature-only props map issues no spurious metaData commit") {
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq(1, 2).toDF("id"), t)
+    val v0 = DeltaLog.latestVersion(spark, t)
+    intercept[UnsupportedOperationException] {
+      DeltaMaintenance.setTblProperties(spark, t, Map(
+        "delta.enableRowTracking" -> "true",
+        "delta.feature.bogus" -> "supported"))
+    }
+    assert(DeltaLog.latestVersion(spark, t) == v0,
+      "no commit may land when part of the property set is invalid")
+    val snap0 = DeltaLog.snapshot(spark, t)
+    assert(!snap0.protocol.writerFeatures.contains("rowTracking"))
+
+    // feature-only set: exactly ONE commit (the protocol upgrade), no
+    // unchanged-metaData commit behind it
+    DeltaMaintenance.setTblProperties(spark, t,
+      Map("delta.feature.appendOnly" -> "supported"))
+    assert(DeltaLog.latestVersion(spark, t) == v0 + 1)
+    assert(DeltaLog.snapshot(spark, t)
+      .protocol.writerFeatures.contains("appendOnly"))
+  }
 }

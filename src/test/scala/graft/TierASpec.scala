@@ -485,6 +485,24 @@ class TierASpec extends AnyFunSuite {
     // garbage bytes are rejected (fallback seam), not crashed on
     assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
 
+    // a µ-law WAV parses in the JDK but is NOT linear PCM — it must
+    // fall through to the stub, not be misread as linear samples
+    val ulaw = Multimodal.syntheticWav(1L, 8000, 125).clone()
+    def le16(off: Int, v: Int): Unit = {
+      ulaw(off) = (v & 0xff).toByte; ulaw(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(off: Int, v: Int): Unit = { le16(off, v & 0xffff); le16(off + 2, v >>> 16) }
+    le16(20, 7)        // wFormatTag: µ-law
+    le32(28, 8000)     // byte rate: 1 byte/sample mono
+    le16(32, 1)        // block align
+    le16(34, 8)        // bits per sample
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(ulaw)).getFormat
+    assert(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.ULAW,
+      s"fixture must parse as µ-law, got ${fmt.getEncoding}")
+    assert(Multimodal.decodeAudio(ulaw).isEmpty,
+      "companded audio must fall back to the stub, not decode as linear")
+
     // distributed path: 40 real WAV fixtures through extractFeatures
     val media = Multimodal.syntheticAudioMedia(spark, 40).cache()
     val feats = Multimodal.extractFeatures(media).cache()
