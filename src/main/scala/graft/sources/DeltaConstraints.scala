@@ -31,6 +31,7 @@ object DeltaConstraints {
   def addCheck(spark: SparkSession, tablePath: String, name: String,
       expression: String): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap) // metadata commits are writes too
     val key = Prefix + name
     require(!snap.configuration.contains(key),
       s"constraint '$name' already exists on $tablePath")
@@ -39,15 +40,29 @@ object DeltaConstraints {
     if (bad > 0) throw new IllegalStateException(
       s"cannot add CHECK constraint $name ($expression): $bad existing " +
         s"row(s) of $tablePath violate it")
+    // the protocol gate for CHECK constraints is writer version 3 (or
+    // the checkConstraints feature on a table-features table): without
+    // raising the floor, a protocol-compliant legacy writer at v2 would
+    // append rows that violate the constraint it never evaluates
+    val proto = snap.protocol
+    val protoUpgrade: Seq[com.fasterxml.jackson.databind.node.ObjectNode] =
+      if (proto.minWriter >= 7 &&
+          !proto.writerFeatures.contains("checkConstraints"))
+        Seq(DeltaWrite.featureProtocolAction(proto, Seq("checkConstraints")))
+      else if (proto.minWriter < 3)
+        Seq(DeltaWrite.protocolAction(proto.minReader, 3))
+      else Nil
     DeltaWrite.commit(spark, tablePath,
-      Seq(DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
-        snap.configuration + (key -> expression), snap.metaDataId)),
+      protoUpgrade ++
+        Seq(DeltaWrite.metaDataAction(snap.schema, snap.partitionColumns,
+          snap.configuration + (key -> expression), snap.metaDataId)),
       operation = "ADD CONSTRAINT")
   }
 
   /** Drop a CHECK constraint (a metaData commit). */
   def dropCheck(spark: SparkSession, tablePath: String, name: String): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap)
     val key = Prefix + name
     require(snap.configuration.contains(key),
       s"no constraint '$name' on $tablePath")

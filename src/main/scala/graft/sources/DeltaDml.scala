@@ -28,7 +28,7 @@ object DeltaDml {
     if (DeltaDv.enabled(snap0.configuration))
       DeltaDv.delete(spark, tablePath, condition)
     else rewrite(spark, tablePath, condition, df => df.filter(not(condition)),
-      operation = "DELETE",
+      operation = "DELETE", snapHint = Some(snap0),
       cdcOf = hit => hit.filter(condition)
         .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
   }
@@ -73,6 +73,7 @@ object DeltaDml {
       }.drop("__hit")
     }
     rewrite(spark, tablePath, condition, applied, operation = "UPDATE",
+      snapHint = Some(snap0),
       cdcOf = { hit =>
         import org.apache.spark.sql.functions.lit
         val matched = hit.filter(condition)
@@ -87,8 +88,13 @@ object DeltaDml {
     * table has [[DeltaCdf.Property]] enabled. */
   private def rewrite(spark: SparkSession, tablePath: String, condition: Column,
       transform: DataFrame => DataFrame, operation: String,
-      cdcOf: DataFrame => DataFrame): DmlResult = {
-    val snap = DeltaLog.snapshot(spark, tablePath)
+      cdcOf: DataFrame => DataFrame,
+      snapHint: Option[DeltaLog.Snapshot] = None): DmlResult = {
+    // reuse the caller's snapshot: a second full log replay per
+    // statement doubles the driver's log RPCs AND opens a TOCTOU window
+    // where the appendOnly/DV decision was made against different state
+    // than the one rewritten
+    val snap = snapHint.getOrElse(DeltaLog.snapshot(spark, tablePath))
     DeltaLog.checkWritable(snap)
 
     // Map absolute scan URIs back to the log's relative paths.

@@ -60,13 +60,9 @@ object DeltaDv {
     * directory move/copy with no descriptor rewrite (an absolute 'p'
     * reference would dangle). */
   private def writeDescriptors(spark: SparkSession, tablePath: String,
-      perFile: Seq[(String, Array[Long])])
+      perFile: Seq[(String, Array[Byte], Long)])
       : Map[String, DeltaLog.DvDescriptor] = {
     val ordered = perFile.sortBy(_._1)
-      .map { case (f, ps) =>
-        val distinct = ps.distinct
-        (f, RoaringDv.serialize(ps), distinct.length.toLong)
-      }
     val (small, big) = ordered.partition(_._2.length <= InlineMaxBytes)
     val inlined = small.map { case (f, data, card) =>
       f -> DeltaLog.DvDescriptor("", card, 1L, data.length.toLong,
@@ -137,18 +133,36 @@ object DeltaDv {
       throw new IllegalStateException(s"scanned file not in snapshot: $f")))
 
     // New positions ∪ the hit files' existing vectors → each descriptor
-    // stays the file's COMPLETE deletion set. The collect is bounded by
-    // THIS COMMIT's deletion sets (the DV writer's working set, as in
-    // Delta's own bitmap builder), never by table size.
-    val newByFile: Map[String, Array[Long]] = matched
+    // stays the file's COMPLETE deletion set. The bitmaps SERIALIZE ON
+    // THE EXECUTORS (one group per hit file); the driver collects only
+    // the compressed per-file DV payloads — the very bytes this commit
+    // must write into the log/sidecar anyway (log metadata, the
+    // documented bounded-collect class) — never one row per deleted
+    // row. Files that already carry a vector merge driver-side, bounded
+    // by that file's deletion set.
+    import spark.implicits._
+    val newSerByFile: Map[String, (Array[Byte], Long)] = matched
       .select(col("__file"), col("__pos"))
-      .collect().groupBy(_.getString(0))
-      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
-    val perFile: Seq[(String, Array[Long])] = hitEntries.map { case (f, a) =>
-      val old = a.dv.map(existingPositions(spark, tablePath, _))
-        .getOrElse(Array.empty[Long])
-      f -> (newByFile.getOrElse(f, Array.empty[Long]) ++ old).distinct.sorted
-    }
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val ps = it.map(_._2).toArray
+        java.util.Arrays.sort(ps)
+        (f, RoaringDv.serialize(ps), ps.length.toLong)
+      }
+      .collect().map { case (f, bytes, card) => f -> (bytes, card) }.toMap
+    val perFile: Seq[(String, Array[Byte], Long)] =
+      hitEntries.map { case (f, a) =>
+        val (newBytes, newCard) =
+          newSerByFile.getOrElse(f, (RoaringDv.serialize(Array.empty), 0L))
+        a.dv match {
+          case None => (f, newBytes, newCard)
+          case Some(d) =>
+            val merged = (RoaringDv.deserialize(newBytes) ++
+              existingPositions(spark, tablePath, d)).distinct.sorted
+            (f, RoaringDv.serialize(merged), merged.length.toLong)
+        }
+      }
 
     val descs = writeDescriptors(spark, tablePath, perFile)
     val oldCards = hitEntries.map(_._2.dv.map(_.cardinality).getOrElse(0L)).sum

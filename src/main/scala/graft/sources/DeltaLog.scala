@@ -418,8 +418,16 @@ object DeltaLog {
       }).toMap
     val at = times.filter(_._2 <= ts.getTime).keys.maxOption
     at.getOrElse(throw new IllegalArgumentException(
-      s"timestamp $ts is before the earliest retained version of " +
-        s"$tablePath (earliest commit at ${new java.sql.Timestamp(times.values.min)})"))
+      if (times.isEmpty)
+        // compacted-only log: per-version timestamps left with the
+        // deleted commits, so TIMESTAMP AS OF cannot resolve (use
+        // VERSION AS OF — snapshot replays the compacted range fine)
+        s"no timestamped log artifacts under $tablePath (commits " +
+          "compacted away?) — use VERSION AS OF"
+      else
+        s"timestamp $ts is before the earliest retained version of " +
+          s"$tablePath (earliest commit at " +
+          s"${new java.sql.Timestamp(times.values.min)})"))
   }
 
   /** The `commitInfo.inCommitTimestamp` of a commit file, if stamped —

@@ -141,6 +141,9 @@ object DeltaMaintenance {
     require(props.keys.forall(!_.startsWith(DeltaConstraints.Prefix)),
       "use ALTER TABLE ... ADD CONSTRAINT for CHECK constraints " +
         "(SET TBLPROPERTIES would skip existing-row validation)")
+    // metadata commits are writes too: refuse tables whose writer
+    // features this engine cannot honor BEFORE committing anything
+    DeltaLog.checkWritable(DeltaLog.snapshot(spark, tablePath))
     // `delta.feature.<name> = supported` — Delta's own enablement
     // convention: record the feature in the protocol (reader side too
     // when the feature is a reader-writer one), NOT in the table

@@ -41,6 +41,7 @@ object DeltaSchema {
     * column's bytes) and the next column id. */
   def addColumns(spark: SparkSession, tablePath: String, ddl: String): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap) // metadata commits are writes too
     val incoming = StructType.fromDDL(ddl)
     val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
     val dup = incoming.fieldNames.find(n => existing(n.toLowerCase))
@@ -75,6 +76,7 @@ object DeltaSchema {
   def renameColumn(spark: SparkSession, tablePath: String,
       from: String, to: String): Long = {
     val snap = mappedSnapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap)
     val f = fieldOf(snap, from)
     require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"column $to already exists in $tablePath")
@@ -94,6 +96,7 @@ object DeltaSchema {
     * rename does: without it the physical schema IS the logical one. */
   def dropColumn(spark: SparkSession, tablePath: String, name: String): Long = {
     val snap = mappedSnapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap)
     val f = fieldOf(snap, name)
     require(snap.schema.fields.length > 1,
       s"cannot drop the only column of $tablePath")
@@ -111,6 +114,7 @@ object DeltaSchema {
     * protocol is raised to reader 2 / writer 5 in the same commit. */
   def enableColumnMapping(spark: SparkSession, tablePath: String): Long = {
     val snap = DeltaLog.snapshot(spark, tablePath)
+    DeltaLog.checkWritable(snap)
     snap.columnMappingMode match {
       case "name" => return snap.version
       case "none" =>
@@ -255,5 +259,18 @@ object DeltaSchema {
         s"cannot $op column $col: CHECK constraint $n ($e) references it " +
           "(drop the constraint first)")
     }
+    // generation expressions are stored as SQL text against CURRENT
+    // names (same fragility as CHECK constraints): renaming/dropping a
+    // referenced base column would leave every future append failing on
+    // an unresolvable expression
+    snap.schema.fields.find(f =>
+      f.metadata.contains(DeltaGenerated.ExprKey) &&
+        re.findFirstIn(f.metadata.getString(DeltaGenerated.ExprKey)).isDefined)
+      .foreach { f =>
+        throw new IllegalStateException(
+          s"cannot $op column $col: generated column ${f.name} " +
+            s"(${f.metadata.getString(DeltaGenerated.ExprKey)}) references " +
+            "it (drop the generated column first)")
+      }
   }
 }

@@ -322,6 +322,12 @@ object DeltaWrite {
         StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType), StructField("schemaString", StringType),
+        // format is part of the protocol's metaData action; foreign
+        // readers bootstrapping from this checkpoint expect it (the V2
+        // JSON manifest branch always wrote it)
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("configuration", MapType(StringType, StringType))))),
       StructField("txn", StructType(Seq(
@@ -355,7 +361,8 @@ object DeltaWrite {
         null, null, null),
         Row(null, null, Row(
           snap.metaDataId.getOrElse(java.util.UUID.randomUUID().toString),
-          snap.schema.json, snap.partitionColumns, snap.configuration),
+          snap.schema.json, Row("parquet", Map.empty[String, String]),
+          snap.partitionColumns, snap.configuration),
           null, null)) ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           Row(null, null, null, Row(app, v), null)
@@ -477,6 +484,9 @@ object DeltaWrite {
         StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType), StructField("schemaString", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("configuration", MapType(StringType, StringType))))),
       StructField("txn", StructType(Seq(
@@ -652,7 +662,8 @@ object DeltaWrite {
           null, null, null, null, null),
         Row(null, Row(
           snap.metaDataId.getOrElse(java.util.UUID.randomUUID().toString),
-          snap.schema.json, snap.partitionColumns, snap.configuration),
+          snap.schema.json, Row("parquet", Map.empty[String, String]),
+          snap.partitionColumns, snap.configuration),
           null, null, null, null),
         Row(null, null, null, Row(snap.version), null, null)) ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
@@ -981,6 +992,12 @@ object DeltaWrite {
     if (feats.nonEmpty)
       featureProtocolAction(DeltaLog.TableProtocol(1, 2),
         newWriterFeatures = feats, newReaderFeatures = feats)
+    // identity-column metadata in the schema demands writer version 6:
+    // a legacy foreign writer below it would append without advancing
+    // delta.identity.highWaterMark and void the uniqueness guarantee
+    else if (schema.fields.exists(
+        _.metadata.contains("delta.identity.start")))
+      protocolAction(1, 6)
     else protocolAction()
   }
 
@@ -1086,6 +1103,13 @@ object DeltaWrite {
         (n.endsWith(".parquet") || n.endsWith(".json")) &&
         n.take(20).forall(_.isDigit) => n.take(20).toLong
     }
+    // log-compaction files claim their END version too: the compaction
+    // doctrine legitimizes deleting the covered commit JSONs, and a
+    // commit re-issued inside a compacted range would be skipped by the
+    // replay jump forever — the same silent-loss mode as the checkpoint
+    // case above
+    val compactedRe = """(\d{20})\.(\d{20})\.compacted\.json""".r
+    val compactedEnds = names.collect { case compactedRe(_, e) => e.toLong }
     // _last_checkpoint can outlive its checkpoint file mid-rewrite; read
     // it too so the claimed horizon survives either artifact vanishing.
     val pointerVersion = {
@@ -1100,7 +1124,8 @@ object DeltaWrite {
         finally in.close()
       } else None
     }
-    val claimed = commitVersions ++ checkpointVersions ++ pointerVersion
+    val claimed = commitVersions ++ checkpointVersions ++ compactedEnds ++
+      pointerVersion
     if (claimed.isEmpty) 0L else claimed.max + 1
   }
 }

@@ -1447,6 +1447,14 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(DeltaLog.read(spark, t).orderBy("id").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq ==
       Seq((1, "a"), (2, "b"), (3, "c")))
+    // a NEW commit on this compacted-only log must claim version e+1,
+    // not re-issue an already-claimed version the replay jump would
+    // silently skip forever (durable data loss)
+    val v = DeltaWrite.write(Seq((4, "d")).toDF("id", "s"), t, SaveMode.Append)
+    assert(v == 3L, s"append on a compacted-only log must land at e+1, got $v")
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
   }
 
   test("compactLog range past the log tail fails as user error, " +
