@@ -103,19 +103,15 @@ object DeltaCdf {
     val cdcs = scala.collection.mutable.Buffer[String]()
     val adds = scala.collection.mutable.Buffer[String]()
     var dataRemove = false
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(commit), "UTF-8"))
-    try Iterator.continually(reader.readLine()).takeWhile(_ != null)
-      .filter(_.trim.nonEmpty).foreach { line =>
-        val node = mapper.readTree(line)
-        val cdc = node.get("cdc"); val add = node.get("add"); val rm = node.get("remove")
-        def changes(n: com.fasterxml.jackson.databind.JsonNode) =
-          !n.hasNonNull("dataChange") || n.get("dataChange").asBoolean(true)
-        if (cdc != null) cdcs += cdc.get("path").asText()
-        if (add != null && changes(add)) adds += add.get("path").asText()
-        if (rm != null && changes(rm)) dataRemove = true
-      }
-    finally reader.close()
+    DeltaLog.withLogLines(fs, commit)(_.foreach { line =>
+      val node = mapper.readTree(line)
+      val cdc = node.get("cdc"); val add = node.get("add"); val rm = node.get("remove")
+      def changes(n: com.fasterxml.jackson.databind.JsonNode) =
+        !n.hasNonNull("dataChange") || n.get("dataChange").asBoolean(true)
+      if (cdc != null) cdcs += cdc.get("path").asText()
+      if (add != null && changes(add)) adds += add.get("path").asText()
+      if (rm != null && changes(rm)) dataRemove = true
+    })
 
     if (cdcs.nonEmpty) {
       // protocol: cdc actions are the commit's complete change record

@@ -42,18 +42,14 @@ object DeltaChanges {
       DeltaLog.logDir(tablePath), f"$version%020d.json")
     if (!fs.exists(commit)) return (0L, 0L)
     var files = 0L; var bytes = 0L
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(commit), "UTF-8"))
-    try Iterator.continually(reader.readLine()).takeWhile(_ != null)
-      .filter(_.trim.nonEmpty).foreach { line =>
-        val add = mapper.readTree(line).get("add")
-        if (add != null && (!add.hasNonNull("dataChange") ||
-            add.get("dataChange").asBoolean(true))) {
-          files += 1
-          if (add.hasNonNull("size")) bytes += add.get("size").asLong()
-        }
+    DeltaLog.withLogLines(fs, commit)(_.foreach { line =>
+      val add = mapper.readTree(line).get("add")
+      if (add != null && (!add.hasNonNull("dataChange") ||
+          add.get("dataChange").asBoolean(true))) {
+        files += 1
+        if (add.hasNonNull("size")) bytes += add.get("size").asLong()
       }
-    finally reader.close()
+    })
     (files, bytes)
   }
 
@@ -81,25 +77,21 @@ object DeltaChanges {
           s"commit $v of $tablePath no longer exists (log cleaned past " +
             "this consumer's offset) — full snapshot refresh required")
       } else {
-        val reader = new java.io.BufferedReader(
-          new java.io.InputStreamReader(fs.open(commit), "UTF-8"))
         val adds = scala.collection.mutable.Buffer[String]()
         var dataChangingRemove = false
         var dataChangingAdd = false
-        try Iterator.continually(reader.readLine()).takeWhile(_ != null)
-          .filter(_.trim.nonEmpty).foreach { line =>
-            val node = mapper.readTree(line)
-            val add = node.get("add"); val rm = node.get("remove")
-            if (add != null) {
-              val changes = !add.hasNonNull("dataChange") ||
-                add.get("dataChange").asBoolean(true)
-              if (changes) { dataChangingAdd = true; adds += add.get("path").asText() }
-            }
-            if (rm != null && (!rm.hasNonNull("dataChange") ||
-                rm.get("dataChange").asBoolean(true)))
-              dataChangingRemove = true
+        DeltaLog.withLogLines(fs, commit)(_.foreach { line =>
+          val node = mapper.readTree(line)
+          val add = node.get("add"); val rm = node.get("remove")
+          if (add != null) {
+            val changes = !add.hasNonNull("dataChange") ||
+              add.get("dataChange").asBoolean(true)
+            if (changes) { dataChangingAdd = true; adds += add.get("path").asText() }
           }
-        finally reader.close()
+          if (rm != null && (!rm.hasNonNull("dataChange") ||
+              rm.get("dataChange").asBoolean(true)))
+            dataChangingRemove = true
+        })
         // ANY data-changing remove breaks the append contract — including
         // a remove-ONLY commit (a DELETE whose rewrite produced no part
         // files). Treating that as a no-op would silently drop the
@@ -155,18 +147,14 @@ object DeltaChanges {
       s"commit $version of $tablePath no longer exists (log cleaned)")
     val added = scala.collection.mutable.Buffer[String]()
     val removed = scala.collection.mutable.Buffer[String]()
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(commit), "UTF-8"))
-    try Iterator.continually(reader.readLine()).takeWhile(_ != null)
-      .filter(_.trim.nonEmpty).foreach { line =>
-        val node = mapper.readTree(line)
-        val add = node.get("add"); val rm = node.get("remove")
-        def changes(n: com.fasterxml.jackson.databind.JsonNode) =
-          !n.hasNonNull("dataChange") || n.get("dataChange").asBoolean(true)
-        if (add != null && changes(add)) added += add.get("path").asText()
-        if (rm != null && changes(rm)) removed += rm.get("path").asText()
-      }
-    finally reader.close()
+    DeltaLog.withLogLines(fs, commit)(_.foreach { line =>
+      val node = mapper.readTree(line)
+      val add = node.get("add"); val rm = node.get("remove")
+      def changes(n: com.fasterxml.jackson.databind.JsonNode) =
+        !n.hasNonNull("dataChange") || n.get("dataChange").asBoolean(true)
+      if (add != null && changes(add)) added += add.get("path").asText()
+      if (rm != null && changes(rm)) removed += rm.get("path").asText()
+    })
 
     val snap = DeltaLog.snapshot(spark, tablePath, Some(version))
     val schema = snap.schema

@@ -435,18 +435,23 @@ object DeltaLog {
     * file mtimes (which rewrites, copies, and object-store migrations
     * all corrupt). Scans the commit's action lines for commitInfo; a
     * pre-feature commit returns None and falls back to mtime. */
-  private def readIct(fs: FileSystem, commit: Path): Option[Long] = {
-    val in = fs.open(commit)
+  private def readIct(fs: FileSystem, commit: Path): Option[Long] =
+    withLogLines(fs, commit)(_.map(mapper.readTree)
+      .collectFirst { case n if n.hasNonNull("commitInfo") => n.get("commitInfo") }
+      .filter(_.hasNonNull("inCommitTimestamp"))
+      .map(_.get("inCommitTimestamp").asLong()))
+
+  /** Stream a log file's non-empty lines through `f` — the ONE
+    * JSON-lines reading idiom (commit JSONs, compacted files, V2 JSON
+    * manifests, CDC files) so charset/close handling lives in a single
+    * place. The iterator is only valid inside `f`. */
+  private[sources] def withLogLines[A](fs: FileSystem, p: Path)
+      (f: Iterator[String] => A): A = {
     val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(in, "UTF-8"))
-    try {
-      Iterator.continually(reader.readLine()).takeWhile(_ != null)
-        .filter(_.trim.nonEmpty)
-        .map(mapper.readTree)
-        .collectFirst { case n if n.hasNonNull("commitInfo") => n.get("commitInfo") }
-        .filter(_.hasNonNull("inCommitTimestamp"))
-        .map(_.get("inCommitTimestamp").asLong())
-    } finally reader.close()
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try f(Iterator.continually(reader.readLine()).takeWhile(_ != null)
+      .filter(_.trim.nonEmpty))
+    finally reader.close()
   }
 
   /** [[readIct]] by table path + version; None when the commit JSON no
@@ -592,13 +597,8 @@ object DeltaLog {
         // V2 JSON-manifest form (`<v>.checkpoint.<uuid>.json`): the same
         // actions as the parquet manifest, one JSON per line — foreign
         // writers may emit either; sidecars are always parquet.
-        val in = fs.open(paths.head)
-        val reader = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, "UTF-8"))
-        try Iterator.continually(reader.readLine()).takeWhile(_ != null)
-          .filter(_.trim.nonEmpty)
-          .foreach(l => processNode(mapper.readTree(l), Some(sidecarFiles)))
-        finally reader.close()
+        withLogLines(fs, paths.head)(_.foreach(l =>
+          processNode(mapper.readTree(l), Some(sidecarFiles))))
       } else {
       val rows = spark.read.parquet(paths.map(_.toString): _*)
       val cols = rows.columns.toSet
@@ -703,16 +703,8 @@ object DeltaLog {
           cursor += 1
       }
     }
-    replayFiles.foreach { commit =>
-      val in = fs.open(commit)
-      val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, "UTF-8"))
-      try {
-        Iterator.continually(reader.readLine()).takeWhile(_ != null)
-          .filter(_.trim.nonEmpty)
-          .foreach(line => processNode(mapper.readTree(line)))
-      } finally reader.close()
-    }
+    replayFiles.foreach(commit => withLogLines(fs, commit)(
+      _.foreach(line => processNode(mapper.readTree(line)))))
 
     require(schemaString != null, s"no metaData action in log of $tablePath")
     checkReaderFeatures(protocolInfo, tablePath)

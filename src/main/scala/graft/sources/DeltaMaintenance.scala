@@ -264,22 +264,18 @@ object DeltaMaintenance {
         val v = st.getPath.getName.dropRight(5).toLong
         var op: String = null; var engine: String = null
         var ts: Long = st.getModificationTime
-        val reader = new java.io.BufferedReader(
-          new java.io.InputStreamReader(fs.open(st.getPath), "UTF-8"))
-        try Iterator.continually(reader.readLine()).takeWhile(_ != null)
-          .filter(_.trim.nonEmpty).foreach { line =>
-            val ci = mapper.readTree(line).get("commitInfo")
-            if (ci != null) {
-              if (ci.hasNonNull("operation")) op = ci.get("operation").asText()
-              if (ci.hasNonNull("engineInfo")) engine = ci.get("engineInfo").asText()
-              if (ci.hasNonNull("timestamp")) ts = ci.get("timestamp").asLong()
-              // the feature's commit timestamp IS the table's time axis —
-              // history must agree with TIMESTAMP AS OF resolution
-              if (ci.hasNonNull("inCommitTimestamp"))
-                ts = ci.get("inCommitTimestamp").asLong()
-            }
+        DeltaLog.withLogLines(fs, st.getPath)(_.foreach { line =>
+          val ci = mapper.readTree(line).get("commitInfo")
+          if (ci != null) {
+            if (ci.hasNonNull("operation")) op = ci.get("operation").asText()
+            if (ci.hasNonNull("engineInfo")) engine = ci.get("engineInfo").asText()
+            if (ci.hasNonNull("timestamp")) ts = ci.get("timestamp").asLong()
+            // the feature's commit timestamp IS the table's time axis —
+            // history must agree with TIMESTAMP AS OF resolution
+            if (ci.hasNonNull("inCommitTimestamp"))
+              ts = ci.get("inCommitTimestamp").asLong()
           }
-        finally reader.close()
+        })
         Row(v, new java.sql.Timestamp(ts), op, engine)
       }
       .sortBy(-_.getLong(0))
@@ -453,31 +449,25 @@ object DeltaMaintenance {
       val p = new Path(dir, f"$v%020d.json")
       if (!fs.exists(p)) throw new IllegalStateException(
         s"compactLog: missing commit $v under $tablePath")
-      val in = fs.open(p)
-      val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, "UTF-8"))
-      try {
-        Iterator.continually(reader.readLine()).takeWhile(_ != null)
-          .filter(_.trim.nonEmpty).foreach { line =>
-            val node = mapper.readTree(line)
-            if (node.hasNonNull("add")) {
-              val path = node.get("add").get("path").asText()
-              removes.remove(path)
-              adds(path) = line
-            }
-            if (node.hasNonNull("remove")) {
-              val path = node.get("remove").get("path").asText()
-              adds.remove(path)
-              removes(path) = line
-            }
-            if (node.hasNonNull("metaData")) metaData = Some(line)
-            if (node.hasNonNull("protocol")) protocol = Some(line)
-            if (node.hasNonNull("txn"))
-              txns(node.get("txn").get("appId").asText()) = line
-            if (node.hasNonNull("domainMetadata"))
-              domains(node.get("domainMetadata").get("domain").asText()) = line
-          }
-      } finally reader.close()
+      DeltaLog.withLogLines(fs, p)(_.foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.hasNonNull("add")) {
+          val path = node.get("add").get("path").asText()
+          removes.remove(path)
+          adds(path) = line
+        }
+        if (node.hasNonNull("remove")) {
+          val path = node.get("remove").get("path").asText()
+          adds.remove(path)
+          removes(path) = line
+        }
+        if (node.hasNonNull("metaData")) metaData = Some(line)
+        if (node.hasNonNull("protocol")) protocol = Some(line)
+        if (node.hasNonNull("txn"))
+          txns(node.get("txn").get("appId").asText()) = line
+        if (node.hasNonNull("domainMetadata"))
+          domains(node.get("domainMetadata").get("domain").asText()) = line
+      })
     }
     val out = new Path(dir, f"$start%020d.$end%020d.compacted.json")
     // stage + rename: snapshot replay prefers a compacted file the
@@ -568,20 +558,16 @@ object DeltaMaintenance {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val acc = scala.collection.mutable.Map[String, Long]()
       commits.values.foreach { c =>
-        val reader = new java.io.BufferedReader(
-          new java.io.InputStreamReader(lfs.open(c), "UTF-8"))
-        try Iterator.continually(reader.readLine()).takeWhile(_ != null)
-          .filter(_.trim.nonEmpty).foreach { line =>
-            val rm = mapper.readTree(line).get("remove")
-            if (rm != null) {
-              val p = fs.makeQualified(new Path(tablePath,
-                java.net.URLDecoder.decode(rm.get("path").asText(), "UTF-8"))).toString
-              val ts = if (rm.hasNonNull("deletionTimestamp"))
-                rm.get("deletionTimestamp").asLong() else 0L
-              acc(p) = math.max(acc.getOrElse(p, 0L), ts)
-            }
+        DeltaLog.withLogLines(lfs, c)(_.foreach { line =>
+          val rm = mapper.readTree(line).get("remove")
+          if (rm != null) {
+            val p = fs.makeQualified(new Path(tablePath,
+              java.net.URLDecoder.decode(rm.get("path").asText(), "UTF-8"))).toString
+            val ts = if (rm.hasNonNull("deletionTimestamp"))
+              rm.get("deletionTimestamp").asLong() else 0L
+            acc(p) = math.max(acc.getOrElse(p, 0L), ts)
           }
-        finally reader.close()
+        })
       }
       acc.toMap
     }

@@ -565,17 +565,11 @@ object DeltaWrite {
           // prior manifest may be either form; only its sidecar refs matter
           val named: Map[String, Long] =
             (if (manifest.getName.endsWith(".json")) {
-              val in = f.open(manifest)
-              val reader = new java.io.BufferedReader(
-                new java.io.InputStreamReader(in, "UTF-8"))
-              try Iterator.continually(reader.readLine())
-                .takeWhile(_ != null).filter(_.trim.nonEmpty)
-                .map(mapper.readTree)
+              DeltaLog.withLogLines(f, manifest)(_.map(mapper.readTree)
                 .flatMap(n => Option(n.get("sidecar")))
                 .map(sc => sc.get("path").asText() ->
                   sc.get("sizeInBytes").asLong())
-                .toMap
-              finally reader.close()
+                .toMap)
             } else {
               val refs = spark.read.parquet(manifest.toString)
               if (!refs.columns.contains("sidecar")) Map.empty[String, Long]
