@@ -218,6 +218,37 @@ object Dedup {
     labels.select(col("n").as("doc_id"), col("lbl").as("canonical"))
   }
 
+  /** q48's all-pairs input gate: the exact cosine pair join is quadratic
+    * BY CONSTRUCTION — it exists as the oracle-checkable baseline the
+    * sub-quadratic twins (q46 MinHash-LSH, q102 SemDeDup) are judged
+    * against, never as a production path. Above the cap a 100× run must
+    * refuse loudly instead of planning an n² BroadcastNestedLoopJoin that
+    * cannot finish — the same explicit-bound contract as q81's
+    * `driverEdgeCap` (an exceeded bound is an error, not a silent fall
+    * back to an unbounded plan). The probe is `limit(cap+1).count()`:
+    * metadata-cheap, never a full count of a 100 TB table. */
+  private val MaxExactPairVectors = 1 << 16
+
+  private[graft] def exactEmbeddingPairs(s: SparkSession, d: String,
+      vectorCap: Int = MaxExactPairVectors): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = emb(s, d)
+    val probed = e.select("vec_id").limit(vectorCap + 1).count()
+    if (probed > vectorCap)
+      throw new IllegalStateException(
+        s"q48_dedup_embedding is an exact all-pairs join (quadratic by " +
+          s"construction) and its input exceeds the $vectorCap-vector gate; " +
+          "refusing to plan an n^2 join at this scale. Use the scale-safe " +
+          "twins instead: q46_dedup_minhash_lsh or q102_dedup_semantic.")
+    val x = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val y = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    x.join(y, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy("a", "b")
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // Exact dedup: group on a content digest, keep the smallest doc_id as
@@ -283,17 +314,10 @@ object Dedup {
 
     // Embedding near-dup, exact pair join (oracle-checkable form; the
     // sub-quadratic path for vectors is Similarity's LSH variant).
+    // GATED: refuses loudly above the vector cap — see
+    // [[exactEmbeddingPairs]].
     GraftQuery("q48_dedup_embedding",
-      (s, d) => {
-        graft.functions.CosineSim.register(s)
-        val x = emb(s, d).select(col("vec_id").as("a"), col("embedding").as("va"))
-        val y = emb(s, d).select(col("vec_id").as("b"), col("embedding").as("vb"))
-        x.join(y, col("a") < col("b"))
-          .select(col("a"), col("b"),
-            VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
-          .filter(col("cos") >= 0.3)
-          .orderBy("a", "b")
-      },
+      (s, d) => exactEmbeddingPairs(s, d),
       Some("""SELECT a, b, cos FROM (
         |SELECT x.vec_id AS a, y.vec_id AS b,
         |list_sum(list_transform(list_zip(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), z -> z[1]*z[2]))

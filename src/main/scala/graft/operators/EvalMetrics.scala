@@ -114,7 +114,7 @@ object EvalMetrics {
         // exactly in integer arithmetic; the per-term factors stay in
         // BIGINT range (p, n, nb ≤ corpus size).
         val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-        fine.join(broadcast(offDf), Seq("cb"))
+        val result = fine.join(broadcast(offDf), Seq("cb"))
           .withColumn("nb", col("off") + coalesce(sum("n").over(w), lit(0L)))
           .agg(sum("p").as("np"), sum("n").as("nn"),
             sum(col("p").cast(dec38) *
@@ -122,6 +122,12 @@ object EvalMetrics {
           .select(col("np").as("n_pos"), col("nn").as("n_neg"),
             (col("u2").cast("double") /
               (lit(2.0d) * col("np") * col("nn"))).as("auc"))
+        // materialize the single summary row so the cached level frame can
+        // be released NOW — a lazy return would pin it across the whole
+        // 150-query corpus run (ADVICE r7)
+        val rows = result.collect().toSeq
+        fine.unpersist()
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), result.schema)
       },
       Some(s"""WITH s AS (SELECT CAST(label = 0 AS BIGINT) AS pos,
         |CAST(floor(($scoreSql + 1.0) * 4194304.0) AS BIGINT) AS lvl FROM embeddings),
@@ -395,13 +401,19 @@ object EvalMetrics {
         val sh = docs(s, d).select(col("doc_id"), split.as("split"),
           explode(graft.functions.WordShingleHashes
             .shingleHashes(col("text"), 3)).as("s"))
-        val grouped = sh.groupBy("s")
+        // Two-phase (the oracle's own shape): aggregate (s → nt, df) with
+        // O(1) group state, filter, THEN join the survivors back to the
+        // eval shingle stream. A collect_list before the df cap would
+        // buffer every eval holder of a ubiquitous shingle — unbounded at
+        // the 100 TB design point; here the join groups are bounded by the
+        // df ≤ 20 cap on the survivor side.
+        val survivors = sh.groupBy("s")
           .agg(sum((col("split") === "train").cast("long")).as("nt"),
-            count(lit(1)).as("df"),
-            collect_list(when(col("split") =!= "train", col("doc_id")))
-              .as("evals"))
+            count(lit(1)).as("df"))
           .filter(col("nt") >= 1 && col("df") <= 20)
-        val leaked = grouped.select(explode(col("evals")).as("doc_id"))
+          .select("s")
+        val leaked = sh.filter(col("split") =!= "train")
+          .join(survivors, Seq("s"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
         val totals = sh.filter(col("split") =!= "train")
           .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

@@ -134,10 +134,16 @@ object Multimodal {
       // encodings the JDK also parses (µ-law/A-law WAVs) must fall
       // through to the stub, not be misread as linear samples
       val enc = fmt.getEncoding
-      val linearPcm =
+      // only LINEAR PCM variants this decode loop actually implements:
+      // 8-bit signed/unsigned, 16-bit SIGNED. 16-bit PCM_UNSIGNED exists
+      // (nonstandard) but the 16-bit branch below decodes signed — admit
+      // it and the samples are silently misread, so it falls through to
+      // the stub instead (ADVICE r7).
+      val decodable =
         enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-      if (!linearPcm || bytesPerSample < 1 || bytesPerSample > 2 || ch < 1)
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+            bytesPerSample == 1)
+      if (!decodable || bytesPerSample < 1 || bytesPerSample > 2 || ch < 1)
         None
       else {
         val raw = ais.readAllBytes()
@@ -195,7 +201,10 @@ object Multimodal {
     else try {
       val rate = ais.getFormat.getSampleRate.toInt
       val frames = ais.getFrameLength
-      Some((rate, frames, frames * 1000L / math.max(1, rate)))
+      // getFrameLength is AudioSystem.NOT_SPECIFIED (-1) for streams with
+      // unknown length — don't report negative frames/duration (ADVICE r7)
+      if (frames < 0) None
+      else Some((rate, frames, frames * 1000L / math.max(1, rate)))
     } finally ais.close()
   }
 
@@ -239,6 +248,27 @@ object Multimodal {
     spark.range(n).map(id => MediaRecord(id, "audio",
       syntheticWav(id, sampleRate, ms),
       MediaMeta("audio/wav", 0, 0, ms.toLong)))
+  }
+
+  /** Container magic sniff for REAL video payloads: Some(container) when
+    * the bytes start with a known video-container signature (MP4/QuickTime
+    * `ftyp` at offset 4, RIFF/AVI, Matroska/WebM EBML header), None
+    * otherwise. The stub decoder is only honest for *fake* payloads — a
+    * real video reaching it would get a deterministic-garbage embedding
+    * that looks valid downstream, so [[extractFeatures]] uses this to
+    * refuse real containers explicitly (dim = -1, empty features) instead
+    * of silently mis-embedding them. No JDK video codec exists; a real
+    * deployment swaps the stub for its codec and drops the refusal. */
+  def videoContainerMagic(payload: Array[Byte]): Option[String] = {
+    def ascii(off: Int, s: String): Boolean =
+      payload.length >= off + s.length &&
+        s.indices.forall(i => (payload(off + i) & 0xff) == s.charAt(i).toInt)
+    if (ascii(4, "ftyp")) Some("mp4")
+    else if (ascii(0, "RIFF") && ascii(8, "AVI ")) Some("avi")
+    else if (payload.length >= 4 && (payload(0) & 0xff) == 0x1a &&
+      (payload(1) & 0xff) == 0x45 && (payload(2) & 0xff) == 0xdf &&
+      (payload(3) & 0xff) == 0xa3) Some("mkv/webm")
+    else None
   }
 
   /** Actual (width, height) read from the payload's image header — the
@@ -292,14 +322,17 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition: ImageIO's reader registry lookup is cached per JVM
       it.map { r =>
-        val feats = r.kind match {
-          case "image" => decodeImage(r.payload, dim)
-            .getOrElse(decodeStub(r.payload, dim))
-          case "audio" => decodeAudio(r.payload, dim)
-            .getOrElse(decodeStub(r.payload, dim))
-          case _ => decodeStub(r.payload, dim) // video: no JDK codec
+        r.kind match {
+          case "image" => MediaFeatures(r.media_id, r.kind, dim,
+            decodeImage(r.payload, dim).getOrElse(decodeStub(r.payload, dim)))
+          case "audio" => MediaFeatures(r.media_id, r.kind, dim,
+            decodeAudio(r.payload, dim).getOrElse(decodeStub(r.payload, dim)))
+          case _ => // video: no JDK codec — stub, but REFUSE real containers
+            if (videoContainerMagic(r.payload).isDefined)
+              MediaFeatures(r.media_id, r.kind, -1, Array.empty[Float])
+            else MediaFeatures(r.media_id, r.kind, dim,
+              decodeStub(r.payload, dim))
         }
-        MediaFeatures(r.media_id, r.kind, dim, feats)
       }
     }
   }

@@ -146,9 +146,21 @@ object DeltaDv {
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (f, it) =>
-        val ps = it.map(_._2).toArray
-        java.util.Arrays.sort(ps)
-        (f, RoaringDv.serialize(ps), ps.length.toLong)
+        // dedup after the sort: a duplicate (file,pos) pair reaching the
+        // matched frame must not inflate cardinality past the bitmap's
+        // true distinct-position count — the descriptor contract
+        // (cardinality == bitmap cardinality) is what replay trusts
+        val sorted = it.map(_._2).toArray
+        java.util.Arrays.sort(sorted)
+        val ps = new Array[Long](sorted.length)
+        var n = 0
+        var i = 0
+        while (i < sorted.length) {
+          if (n == 0 || ps(n - 1) != sorted(i)) { ps(n) = sorted(i); n += 1 }
+          i += 1
+        }
+        val uniq = java.util.Arrays.copyOf(ps, n)
+        (f, RoaringDv.serialize(uniq), n.toLong)
       }
       .collect().map { case (f, bytes, card) => f -> (bytes, card) }.toMap
     val perFile: Seq[(String, Array[Byte], Long)] =

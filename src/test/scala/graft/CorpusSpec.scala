@@ -145,6 +145,18 @@ class CorpusSpec extends AnyFunSuite {
       "the two component paths must agree row-for-row")
   }
 
+  test("q48 gate: the exact all-pairs join refuses inputs above the " +
+    "vector cap instead of planning the n^2 join") {
+    val ex = intercept[IllegalStateException] {
+      graft.operators.Dedup.exactEmbeddingPairs(spark, sf, vectorCap = 1)
+    }
+    assert(ex.getMessage.contains("q46_dedup_minhash_lsh") &&
+      ex.getMessage.contains("q102_dedup_semantic"),
+      "the refusal must point at the scale-safe twins")
+    // under the cap, the gated form still serves as the oracle baseline
+    assert(graft.operators.Dedup.exactEmbeddingPairs(spark, sf).count() > 0)
+  }
+
   test("q49 brute-force ANN returns exactly top-5 per query, ranks 1..5") {
     val r = SparkEntry.queries("q49_ann_brute")(spark, sf)
       .groupBy("q").agg(count(lit(1)).as("c"),

@@ -28,7 +28,9 @@ class PlanAuditSpec extends AnyFunSuite {
   // (q27/q35/q109/q113/q115/q121/q126/q132 totals, q133 corpus total,
   //  q141's total×head 1-row×1-row cross),
   // fixed-size panels/codebooks (q58/q91/q92), quadratic-by-design
-  // baseline (q48).
+  // baseline (q48 — since r8 gated behind Dedup.exactEmbeddingPairs'
+  // 2^16-vector cap: above it the query REFUSES instead of planning
+  // the n^2 join, so the whitelisted BNLJ side is bounded by the gate).
   private val bnljOk = Set(
     "q27_scalar_subquery", "q35_setops", "q48_dedup_embedding",
     "q58_ann_ivf", "q91_decontamination", "q92_ann_pq",

@@ -208,6 +208,104 @@ class V2CheckpointSpec extends AnyFunSuite {
       Seq((1, "a"), (3, "c"), (4, "d")))
   }
 
+  test("foreign non-reconciled manifests: JSON and parquet forms yield " +
+    "the SAME live set (checkpoint removes are vacuum tombstones, not " +
+    "pending deletes — ADVICE r6 interop hole)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def freshTable(): (String, Seq[(String, Long)], String, String) = {
+      import spark.implicits._
+      val t = tmpTable()
+      DeltaWrite.write(Seq((1, "a")).toDF("id", "s").coalesce(1), t)
+      DeltaWrite.write(Seq((2, "b")).toDF("id", "s").coalesce(1), t,
+        mode = SaveMode.Append)
+      val files = DeltaLog.snapshot(spark, t).files.map(f => (f.path, f.size))
+        .sortBy(_._1)
+      val v0 = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        t, "_delta_log", "00000000000000000000.json")).asScala
+      val md = v0.find(_.contains("\"metaData\"")).get
+      val proto = v0.find(_.contains("\"protocol\"")).get
+      (t, files, md, proto)
+    }
+    def wipeLog(t: String): java.io.File = {
+      val d = new java.io.File(s"$t/_delta_log")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      d.listFiles().foreach(rm)
+      d
+    }
+    def liveAndRows(t: String): (Set[String], Set[(Int, String)]) = {
+      import spark.implicits._
+      val snap = DeltaLog.snapshot(spark, t)
+      (snap.files.map(_.path).toSet,
+        DeltaLog.read(spark, t).as[(Int, String)].collect().toSet)
+    }
+
+    // ---- JSON-manifest form: add A, add B, remove B (a foreign writer
+    // that kept B's tombstone without reconciling it against B's add)
+    val (tj, filesJ, mdJ, protoJ) = freshTable()
+    val Seq((fa, sa), (fb, sb)) = filesJ
+    val dirJ = wipeLog(tj)
+    val manifestJ = new java.io.File(dirJ,
+      f"${1L}%020d.checkpoint.${java.util.UUID.randomUUID()}.json")
+    val linesJ = Seq(protoJ, mdJ,
+      s"""{"add":{"path":"$fa","size":$sa,"dataChange":false}}""",
+      s"""{"add":{"path":"$fb","size":$sb,"dataChange":false}}""",
+      s"""{"remove":{"path":"$fb","dataChange":false,"deletionTimestamp":0}}""")
+    java.nio.file.Files.write(manifestJ.toPath,
+      linesJ.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val (liveJson, rowsJson) = liveAndRows(tj)
+
+    // ---- parquet-manifest form: the SAME action set
+    val (tp, filesP, mdP, protoP) = freshTable()
+    val Seq((pa, psa), (pb, psb)) = filesP
+    val dirP = wipeLog(tp)
+    val mdNode = mapper.readTree(mdP).get("metaData")
+    val protoNode = mapper.readTree(protoP).get("protocol")
+    val addT = StructType(Seq(StructField("path", StringType),
+      StructField("size", LongType), StructField("stats", StringType)))
+    val rmT = StructType(Seq(StructField("path", StringType)))
+    val mdT = StructType(Seq(StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val protoT = StructType(Seq(StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val ckptT = StructType(Seq(StructField("add", addT),
+      StructField("remove", rmT), StructField("metaData", mdT),
+      StructField("protocol", protoT)))
+    val rows = Seq(
+      Row(null, null, null, Row(protoNode.get("minReaderVersion").asInt(),
+        protoNode.get("minWriterVersion").asInt())),
+      Row(null, null, Row(mdNode.get("id").asText(),
+        mdNode.get("schemaString").asText(), Seq.empty[String],
+        Map.empty[String, String]), null),
+      Row(Row(pa, psa, null), null, null, null),
+      Row(Row(pb, psb, null), null, null, null),
+      Row(null, Row(pb), null, null))
+    val stage = Files.createTempDirectory("graft-foreign-ckpt").toString
+    spark.createDataFrame(rows.asJava, ckptT).repartition(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, new java.io.File(dirP,
+      f"${1L}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet").toPath)
+    val (liveParq, rowsParq) = liveAndRows(tp)
+
+    // both forms: the remove tombstone must NOT shrink the live set
+    assert(liveJson == Set(fa, fb),
+      s"JSON manifest applied the tombstone: $liveJson")
+    assert(liveParq == Set(pa, pb),
+      s"parquet manifest applied the tombstone: $liveParq")
+    assert(rowsJson == Set((1, "a"), (2, "b")) && rowsParq == rowsJson,
+      s"divergent data: json=$rowsJson parquet=$rowsParq")
+  }
+
   test("a manifest referencing a missing sidecar is refused loudly") {
     import spark.implicits._
     val t = tmpTable()
