@@ -65,7 +65,12 @@ final class DeltaScanner(
     *   - `$TABLE` is a GLOBAL replace, so self-joins resolve
     *     (delta-unity-duckdb.js:331-335);
     *   - `limit` is IGNORED when sql is given (documented quirk,
-    *     delta-unity-duckdb.js:331 never reads options.limit). */
+    *     delta-unity-duckdb.js:331 never reads options.limit);
+    *   - the reference accepts DuckDB-dialect SQL (delta-unity-duckdb.js:
+    *     330-339): valid Spark SQL runs untouched, and on a parse/analysis
+    *     failure the [[DuckDialect]] rewrite (list_* names, `//`,
+    *     double-quoted identifiers, literal backslashes, …) is tried once
+    *     before failing with the divergence table. */
   def query(tablePath: String, sql: Option[String] = None, limit: Int = 10): DataFrame = {
     val df = resolver.resolve(spark, tablePath)
     sql match {
@@ -73,7 +78,25 @@ final class DeltaScanner(
       case Some(text) =>
         val view = s"graft_table_${viewCounter.incrementAndGet()}"
         df.createOrReplaceTempView(view)
-        spark.sql(text.replace("$TABLE", view))
+        val sparkSql = text.replace("$TABLE", view)
+        try spark.sql(sparkSql)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException => // incl. parse
+            val rewritten = DuckDialect.rewrite(sparkSql)
+            if (rewritten == sparkSql) {
+              if (DuckDialect.unbridgeable(sparkSql))
+                throw new IllegalArgumentException(
+                  DuckDialect.guidance(text, e.getMessage, "(not retried: " +
+                    "contains a construct with no direct Spark twin)"), e)
+              throw e
+            }
+            try spark.sql(rewritten)
+            catch {
+              case e2: org.apache.spark.sql.AnalysisException =>
+                throw new IllegalArgumentException(
+                  DuckDialect.guidance(text, e.getMessage, e2.getMessage), e2)
+            }
+        }
     }
   }
 

@@ -19,6 +19,21 @@ object ExtendedOps {
   private def T(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
+  // q151's text — declared BEFORE `all` (object vals initialize in
+  // declaration order; `Some(DuckDialectSql)` would capture null below)
+  private val DuckDialectSql: String =
+    """SELECT source,
+      |CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |arg_max(doc_id, n_chars * 1000000 + doc_id) AS longest_doc,
+      |quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med_chars,
+      |CAST(SUM(CAST(list_contains(string_split_regex(lower(text), '\s+'), 'the') AS BIGINT)) AS BIGINT) AS docs_with_the,
+      |CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+      |CAST(MAX("doc_id") // 7 AS BIGINT) AS id_bucket,
+      |CAST(SUM(CAST(regexp_matches(text, '[0-9]+') AS BIGINT)) AS BIGINT) AS docs_with_digit,
+      |MAX(array_to_string(list_sort(list_distinct(list_value(lang, source))), '|')) AS tag
+      |FROM documents GROUP BY source ORDER BY source"""
+      .stripMargin.replace("\n", " ")
+
   val all: Seq[GraftQuery] = Seq(
 
     // Right outer (all nations survive a filtered region dim) feeding a
@@ -167,6 +182,21 @@ object ExtendedOps {
         .orderBy("event_id"),
       Some("SELECT event_id, value AS mv, CAST(user_id AS DOUBLE) AS mu, " +
         "CAST(2 AS BIGINT) AS nk FROM events WHERE event_id <= 100 " +
-        "ORDER BY event_id"))
+        "ORDER BY event_id")),
+
+    // A6 DuckDB-dialect parity (VERDICT r7 item 2): ONE query written in
+    // DuckDB's OWN dialect — list_* names, arg_max, quantile_cont, `//`
+    // division, "double-quoted" identifiers, strlen, regexp_matches,
+    // escape-free '\s+' literals — run through DuckDialect.rewrite on the
+    // Spark side while the oracle executes the SAME text natively in
+    // DuckDB. A hash match here certifies the whole shim end-to-end, not
+    // just name-by-name. arg_max keys on n_chars*1000000+doc_id (unique)
+    // so the argmax is deterministic in both engines.
+    GraftQuery("q151_duckdb_dialect",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        s.sql(graft.DuckDialect.rewrite(DuckDialectSql))
+      },
+      Some(DuckDialectSql))
   )
 }

@@ -112,7 +112,23 @@ object JdbcUpsertSink {
       s"ON CONFLICT (${keys.mkString(", ")}) $updates"
   }
 
-  /** Upsert `df` into `table` keyed on `keys`. Returns rows written. */
+  /** Upsert `df` into `table` keyed on `keys`. Returns rows written.
+    *
+    * Delivery semantics (what the reference's PG production sink gives,
+    * delta_to_postgres_scd.py:242-261, made explicit): each
+    * `executeBatch` call is ONE atomic upsert statement — a batch either
+    * commits whole or not at all. A task that dies mid-partition (some
+    * batches committed, some not) is replayed by Spark as a FULL
+    * partition re-run, so statements execute AT-LEAST-ONCE; because the
+    * statement is a keyed idempotent upsert and a replay re-sends the
+    * identical rows, the EFFECT is exactly-once per key. Two caveats the
+    * caller owns: keys should be unique within `df` (duplicate keys race
+    * across partitions, last-writer-wins), and the rows-written
+    * accumulator counts attempts, so it can over-count under replay —
+    * it is a progress signal, not a ledger (Spark de-dups accumulator
+    * updates from successful task attempts only, so in practice it
+    * over-counts only when a FAILED attempt had committed batches).
+    * JdbcSinkSpec's property test drives exactly these interleavings. */
   def write(df: DataFrame, factory: UpsertConnectionFactory, table: String,
       keys: Seq[String], batchSize: Int = 500,
       dialect: UpsertDialect = PostgresDialect): Long = {

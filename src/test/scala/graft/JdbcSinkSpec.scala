@@ -37,6 +37,38 @@ object FakeDb {
   }
 }
 
+/** Fault-injecting fake for the delivery-semantics property test: every
+  * executeBatch applies its rows ATOMICALLY (batch = one statement, the
+  * contract the real sink gets from JDBC batching in a transaction),
+  * then the configured statement COMMITS-BUT-THROWS exactly once — the
+  * worst-case interleaving, where the failure lands after the commit. */
+object FlakyDb {
+  val store: TrieMap[(String, Seq[Any]), Seq[Any]] = TrieMap.empty
+  private val statements = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var failAfter = Int.MaxValue
+  private val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  def reset(failAfterStatements: Int): Unit = {
+    store.clear(); statements.set(0); failed.set(false)
+    failAfter = failAfterStatements
+  }
+
+  final class Factory(table: String, cols: Seq[String], keys: Seq[String])
+      extends UpsertConnectionFactory {
+    private val keyIdx = keys.map(cols.indexOf)
+    override def connect(): UpsertConnection = new UpsertConnection {
+      override def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit = {
+        // atomic apply: whole batch lands before any failure is raised
+        batch.foreach(row => store.put((table, keyIdx.map(row)), row))
+        if (statements.incrementAndGet() >= failAfter &&
+          failed.compareAndSet(false, true))
+          throw new RuntimeException("injected post-commit connection loss")
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
 class JdbcSinkSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -100,6 +132,69 @@ class JdbcSinkSpec extends AnyFunSuite {
     val currentIds = FakeDb.store.values
       .filter(r => r(curIdx) == true).map(r => r(idIdx)).toSet
     assert(currentIds == Set(1L, 2L, 3L))
+  }
+
+  test("property: upsert effect is exactly-once per key under partition " +
+    "replay (crash AFTER a batch committed) and under concurrent writers " +
+    "— seeded interleavings") {
+    import spark.implicits._
+    val cols = Seq("id", "name")
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + rnd.nextInt(50)
+      val batchSize = 1 + rnd.nextInt(6)
+      val parts = 1 + rnd.nextInt(4)
+
+      // -- replay interleaving: the fake commits `failAfter` statements,
+      // then dies once. write() fails; the caller's retry (Spark's own
+      // task replay in production — same re-execution, wider blast
+      // radius here) must converge on the clean-run state even though
+      // some batches had already committed.
+      FlakyDb.reset(failAfterStatements = 1 + rnd.nextInt(1 + n / batchSize))
+      val table = s"t_replay_$seed"
+      val rows = (0 until n).map(i => (i.toLong, s"s$seed-v$i"))
+      val df = rows.toDF("id", "name").repartition(parts)
+      val factory = new FlakyDb.Factory(table, cols, Seq("id"))
+      intercept[org.apache.spark.SparkException] {
+        JdbcUpsertSink.write(df, factory, table, Seq("id"), batchSize)
+      } // some batches committed before the crash; some partitions may not
+      val n2 = JdbcUpsertSink.write(df, factory, table, Seq("id"), batchSize)
+      assert(n2 == n)
+      assert(FlakyDb.store.size == n)
+      rows.foreach { case (id, v) =>
+        assert(FlakyDb.store((table, Seq(id))) == Seq(id, v),
+          s"replayed state diverged at key $id")
+      }
+
+      // -- concurrent writers on overlapping key ranges: per-key puts
+      // are atomic, so every key must end as EXACTLY one writer's full
+      // row (no torn rows mixing w1's and w2's values).
+      FlakyDb.reset(failAfterStatements = Int.MaxValue)
+      val ct = s"t_conc_$seed"
+      val overlap = rnd.nextInt(n)
+      val w1 = (0 until n).map(i => (i.toLong, s"w1-$i"))
+      val w2 = (overlap until overlap + n).map(i => (i.toLong, s"w2-$i"))
+      val f2 = new FlakyDb.Factory(ct, cols, Seq("id"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fut = Seq(w1, w2).zipWithIndex.map { case (rs, i) =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = JdbcUpsertSink.write(
+              rs.toDF("id", "name").repartition(parts), f2, ct,
+              Seq("id"), batchSize)
+          })
+        }
+        assert(fut.map(_.get()).sum == 2L * n)
+      } finally pool.shutdown()
+      val keys = (w1.map(_._1) ++ w2.map(_._1)).distinct
+      assert(FlakyDb.store.size == keys.size)
+      keys.foreach { id =>
+        val got = FlakyDb.store((ct, Seq(id)))
+        val legal = Seq(w1, w2).flatMap(_.find(_._1 == id))
+          .map { case (k, v) => Seq[Any](k, v) }
+        assert(legal.contains(got), s"key $id holds a torn/foreign row: $got")
+      }
+    }
   }
 
   // ---- live-connection tests: embedded Derby (the one JDBC engine the

@@ -54,6 +54,82 @@ class TierASpec extends AnyFunSuite {
     assert(n > 3)
   }
 
+  // ---- A6 DuckDB-dialect shim (VERDICT r7 item 2) ----
+
+  test("DuckDialect.rewrite: the text-level divergence table") {
+    import graft.DuckDialect.rewrite
+    // function renames fire at call sites only
+    assert(rewrite("SELECT list_contains(list_value(1,2), 2)") ==
+      "SELECT array_contains(array(1,2), 2)")
+    assert(rewrite("SELECT quantile_cont(x, 0.5), arg_max(a, b) FROM t") ==
+      "SELECT percentile(x, 0.5), max_by(a, b) FROM t")
+    // NOT a call site: bare word and dot-qualified stay untouched
+    assert(rewrite("SELECT strlen FROM t") == "SELECT strlen FROM t")
+    assert(rewrite("SELECT s.list_value(1)") == "SELECT s.list_value(1)")
+    // `//` floor division -> div; untouched inside literals and comments
+    assert(rewrite("SELECT a // b").contains(" div "))
+    assert(rewrite("SELECT 'a // b'") == "SELECT 'a // b'")
+    assert(rewrite("-- list_value(\nSELECT 1") == "-- list_value(\nSELECT 1")
+    assert(rewrite("/* list_value( */ SELECT 1") == "/* list_value( */ SELECT 1")
+    // double-quoted identifiers (always identifiers in DuckDB) -> backticks
+    assert(rewrite("SELECT \"col name\" FROM t") == "SELECT `col name` FROM t")
+    // DuckDB literals are escape-free: backslashes double for Spark
+    assert(rewrite("SELECT '\\s+'") == "SELECT '\\\\s+'")
+    assert(rewrite("SELECT 'it''s \\n'") == "SELECT 'it''s \\\\n'")
+  }
+
+  test("DuckDialect: rewritten snippets evaluate to DuckDB's answers") {
+    def one(duck: String): Any =
+      spark.sql(graft.DuckDialect.rewrite(duck)).head.get(0)
+    assert(one("SELECT list_contains(list_value(1,2,3), 2)") == true)
+    assert(one("SELECT list_transform(list_value(1,2), x -> x + 1)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 3))
+    assert(one("SELECT list_filter(list_value(1,2,3), x -> x > 1)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 3))
+    assert(one("SELECT list_sort(list_distinct(list_value(3,1,3)))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 3))
+    assert(one("SELECT array_to_string(list_value('a','b'), '|')") == "a|b")
+    assert(one("SELECT list_position(list_value(7,8,9), 8)") == 2)
+    assert(one("SELECT list_has_any(list_value(1,2), list_value(2,9))") == true)
+    assert(one("SELECT list_max(list_value(4,9,2)) + list_min(list_value(4,9,2))") == 11)
+    assert(one("SELECT list_append(list_value(0, 1), 2)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(0, 1, 2))
+    assert(one("SELECT list_concat(list_value(1), list_value(2))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2))
+    assert(one("SELECT strlen('héllo')") == 6) // octet semantics, not chars
+    assert(one("SELECT 17 // 5") == 3)
+    assert(one("SELECT quantile_cont(CAST(v AS DOUBLE), 0.5) " +
+      "FROM VALUES (1),(2),(3),(4) AS t(v)") == 2.5)
+    assert(one("SELECT arg_max(k, v) FROM VALUES ('a',1),('b',9) AS t(k,v)") == "b")
+    assert(one("SELECT arg_min(k, v) FROM VALUES ('a',1),('b',9) AS t(k,v)") == "a")
+    assert(one("SELECT regexp_matches('ab12', '[0-9]+')") == true)
+    assert(one("SELECT string_agg(k, ',') FROM VALUES ('x') AS t(k)") == "x")
+    assert(one("SELECT epoch_ms(TIMESTAMP '1970-01-01 00:00:01')") == 1000L)
+  }
+
+  test("A6 fallback: DuckDB-dialect SQL runs through query() after the " +
+    "Spark parse fails; unbridgeable SQL fails WITH the divergence table") {
+    // fails Spark analysis (list_contains unknown), succeeds rewritten
+    val n = scanner.query("documents", Some(
+      "SELECT CAST(SUM(CAST(list_contains(" +
+        "string_split_regex(lower(text), '\\s+'), 'the') AS BIGINT)) AS BIGINT) " +
+        "AS n FROM $TABLE")).head.getLong(0)
+    val want = Tables.load(spark, sf, "documents")
+      .select(array_contains(split(lower(col("text")), "\\s+"), "the")
+        .cast("long").as("x"))
+      .agg(sum("x")).head.getLong(0)
+    assert(n == want && n > 0)
+    // valid Spark SQL is never rewritten (backslash escapes intact)
+    assert(scanner.query("documents",
+      Some("SELECT 'a\\tb' AS s FROM $TABLE LIMIT 1")).head.getString(0) == "a\tb")
+    // unbridgeable: struct_pack's := syntax — error carries the guidance
+    val e = intercept[IllegalArgumentException] {
+      scanner.query("documents", Some("SELECT struct_pack(a := 1) FROM $TABLE"))
+    }
+    assert(e.getMessage.contains("struct_pack") &&
+      e.getMessage.contains("named_struct"))
+  }
+
   test("stats and schema mirror count()/schema") {
     assert(scanner.getTableStats("region") ==
       Tables.load(spark, sf, "region").count())
