@@ -3,7 +3,7 @@
 
 Usage: python3 scripts/duck_bench.py <sfDir> <oracle_sql.json> [repeat]
 """
-import json, sys, time
+import json, os, sys, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -13,8 +13,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def main(sf_dir, oracle_path, repeat=2):
     con = duckdb.connect()
     for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # BenchStage multi-file layout
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(oracle_path))
     out = {}
     for name in sorted(oracle):

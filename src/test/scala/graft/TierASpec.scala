@@ -500,6 +500,30 @@ class TierASpec extends AnyFunSuite {
     assert(pruned.count() > 0 && pruned.count() < 500)
   }
 
+  test("multimodal: REAL video containers are refused by the stub path " +
+    "(dim = -1), never silently mis-embedded") {
+    import spark.implicits._
+    def mp4(n: Int): Array[Byte] = // ISO-BMFF: size box then 'ftyp'
+      Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII") ++
+        Array.fill[Byte](n)(7)
+    val avi = "RIFF0000AVI ".getBytes("US-ASCII") ++ Array.fill[Byte](16)(3)
+    val mkv = Array[Byte](0x1a, 0x45.toByte, 0xdf.toByte, 0xa3.toByte, 1, 2)
+    assert(Multimodal.videoContainerMagic(mp4(4)).contains("mp4"))
+    assert(Multimodal.videoContainerMagic(avi).contains("avi"))
+    assert(Multimodal.videoContainerMagic(mkv).contains("mkv/webm"))
+    assert(Multimodal.videoContainerMagic("plain text".getBytes).isEmpty)
+    val media = spark.createDataset(Seq(
+      operators.MediaRecord(1L, "video", mp4(8),
+        operators.MediaMeta("video/mp4", 0, 0, 1000L)),
+      operators.MediaRecord(2L, "video", "fake payload".getBytes,
+        operators.MediaMeta("application/x-graft-fake", 0, 0, 1000L))))
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f(0).dim == -1 && f(0).features.isEmpty,
+      "a real MP4 must be refused, not stub-embedded")
+    assert(f(1).dim == 16 && f(1).features.length == 16,
+      "fake payloads still flow through the stub")
+  }
+
   test("multimodal: REAL PNG payloads decode through javax.imageio — " +
     "pixel-exact grid features, header dims match metadata, stub only " +
     "for non-image kinds") {
