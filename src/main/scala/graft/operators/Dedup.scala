@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -359,6 +360,63 @@ object Dedup {
         |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)
         |SELECT src AS doc_id, MIN(dst) AS canonical FROM reach
         |GROUP BY src ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+    ,
+
+    // Incremental dedup — the shape a GROWING 100 TB corpus actually
+    // needs: dedup the NEW batch against the existing corpus without
+    // recomputing the corpus×corpus pair graph. The new batch here is
+    // the deterministic doc_id % 10 = 7 slice (≈10%); each new doc
+    // reports its best near-dup match (highest Jaccard, ties to the
+    // smallest old id) among EXISTING docs only. Same df∈[2,20]
+    // inverted-list discipline as q45 — the pair expansion is bounded
+    // per shingle group, and only mixed (new, old) pairs survive, so
+    // candidate count ∝ batch size, not corpus². In production the
+    // corpus side is a MATERIALIZED shingle index (a Delta table this
+    // engine can maintain incrementally); the batch's shingles are the
+    // only new shuffle — incremental cost scales with the batch.
+    GraftQuery("q152_incremental_dedup",
+      (s, d) => {
+        graft.functions.WordShingleHashes.register(s)
+        val sh = docs(s, d).select(col("doc_id"),
+          explode(graft.functions.WordShingleHashes
+            .shingleHashes(col("text"), 3)).as("s"))
+        val grouped = sh.groupBy("s")
+          .agg(sort_array(collect_list("doc_id")).as("ids"))
+          .filter(size(col("ids")).between(2, 20))
+        val card = grouped.select(explode(col("ids")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("c"))
+        def isNew(c: Column) = pmod(c, lit(10)) === 7
+        val pairs = pairExpand(grouped)
+          .filter(isNew(col("a")) =!= isNew(col("b")))
+          .select(when(isNew(col("a")), col("a")).otherwise(col("b")).as("n"),
+            when(isNew(col("a")), col("b")).otherwise(col("a")).as("o"))
+        val scored = pairs.groupBy("n", "o").agg(count(lit(1)).as("i"))
+          .join(card.select(col("doc_id").as("n"), col("c").as("cn")), "n")
+          .join(card.select(col("doc_id").as("o"), col("c").as("co")), "o")
+          .select(col("n"), col("o"), col("i"),
+            (col("i").cast("double") / (col("cn") + col("co") - col("i")))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.1)
+        val w = Window.partitionBy("n").orderBy(col("jaccard").desc, col("o"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("n").as("doc_id"), col("o").as("match_id"),
+            col("i").as("shared_shingles"), col("jaccard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  FOR i IN generate_series(1, len(toks)-2)])) AS s FROM t),
+        |df AS (SELECT s FROM (SELECT s, COUNT(*) AS d FROM sh GROUP BY s) WHERE d BETWEEN 2 AND 20),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s),
+        |card AS (SELECT doc_id, COUNT(*) AS c FROM shf GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS n, y.doc_id AS o, COUNT(*) AS i FROM shf x
+        |  JOIN shf y ON x.s = y.s WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 != 7 GROUP BY 1, 2),
+        |sc AS (SELECT n, o, i, CAST(i AS DOUBLE)/(cn.c + co.c - i) AS jaccard
+        |  FROM inter JOIN card cn ON inter.n = cn.doc_id JOIN card co ON inter.o = co.doc_id),
+        |rk AS (SELECT n, o, i, jaccard, ROW_NUMBER() OVER (PARTITION BY n ORDER BY jaccard DESC, o) AS rn
+        |  FROM sc WHERE jaccard >= 0.1)
+        |SELECT n AS doc_id, o AS match_id, i AS shared_shingles, jaccard
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")))
     ,
 
     // The dedup family's END USE: materialize the cleaned corpus. A doc

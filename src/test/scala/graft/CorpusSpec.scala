@@ -145,6 +145,23 @@ class CorpusSpec extends AnyFunSuite {
       "the two component paths must agree row-for-row")
   }
 
+  test("q152 incremental dedup: every new-batch doc reports exactly its " +
+    "best old-corpus match from the q45 pair graph (jaccard desc, id asc)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val pairs = SparkEntry.queries("q45_dedup_ngram_jaccard")(spark, sf01)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val inc = SparkEntry.queries("q152_incremental_dedup")(spark, sf01)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3))))
+    def isNew(id: Long) = id % 10 == 7
+    val best = pairs.flatMap { case ((a, b), j) => Seq((a, b, j), (b, a, j)) }
+      .filter { case (n, o, _) => isNew(n) && !isNew(o) }
+      .groupBy(_._1).map { case (n, ms) =>
+        val m = ms.minBy(t => (-t._3, t._2)); n -> ((m._2, m._3))
+      }
+    assert(inc.nonEmpty, "needs near-dups straddling the batch boundary")
+    assert(inc.toMap == best, s"got ${inc.length}, want ${best.size}")
+  }
+
   test("q48 gate: the exact all-pairs join refuses inputs above the " +
     "vector cap instead of planning the n^2 join") {
     val ex = intercept[IllegalStateException] {
