@@ -129,7 +129,8 @@ object Cli {
                     graft.sources.DeltaMaintenance.dispatchHistory(spark, sql)
                       .orElse(graft.sources.DeltaCdf.dispatchSql(spark, sql)) match {
                       case Some(df) => df.show(100, truncate = false)
-                      case None => spark.sql(sql).show(100, truncate = false)
+                      case None => // dialect-tolerant: DuckDB-isms rewrite
+                        DuckDialect.sql(spark, sql).show(100, truncate = false)
                     }
                 }
             }

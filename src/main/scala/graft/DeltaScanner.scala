@@ -78,25 +78,7 @@ final class DeltaScanner(
       case Some(text) =>
         val view = s"graft_table_${viewCounter.incrementAndGet()}"
         df.createOrReplaceTempView(view)
-        val sparkSql = text.replace("$TABLE", view)
-        try spark.sql(sparkSql)
-        catch {
-          case e: org.apache.spark.sql.AnalysisException => // incl. parse
-            val rewritten = DuckDialect.rewrite(sparkSql)
-            if (rewritten == sparkSql) {
-              if (DuckDialect.unbridgeable(sparkSql))
-                throw new IllegalArgumentException(
-                  DuckDialect.guidance(text, e.getMessage, "(not retried: " +
-                    "contains a construct with no direct Spark twin)"), e)
-              throw e
-            }
-            try spark.sql(rewritten)
-            catch {
-              case e2: org.apache.spark.sql.AnalysisException =>
-                throw new IllegalArgumentException(
-                  DuckDialect.guidance(text, e.getMessage, e2.getMessage), e2)
-            }
-        }
+        DuckDialect.sql(spark, text.replace("$TABLE", view))
     }
   }
 

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** DuckDB-dialect acceptance shim for the A6 surface (VERDICT r7 item 2).
   *
   * The reference's `query()` accepts ANY DuckDB SQL
@@ -133,6 +135,31 @@ object DuckDialect {
     }
     sb.toString
   }
+
+  /** The dialect-tolerant `spark.sql`: valid Spark SQL runs untouched;
+    * on a parse/analysis failure the rewrite is tried once; a still-
+    * failing (or unbridgeable) statement raises [[guidance]]. Shared by
+    * [[DeltaScanner.query]] and the REPL's SQL fallthrough — every
+    * user-facing SQL entry point accepts the reference's dialect. */
+  def sql(spark: SparkSession, text: String): DataFrame =
+    try spark.sql(text)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException => // incl. parse
+        val rewritten = rewrite(text)
+        if (rewritten == text) {
+          if (unbridgeable(text))
+            throw new IllegalArgumentException(
+              guidance(text, e.getMessage, "(not retried: contains a " +
+                "construct with no direct Spark twin)"), e)
+          throw e
+        }
+        try spark.sql(rewritten)
+        catch {
+          case e2: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              guidance(text, e.getMessage, e2.getMessage), e2)
+        }
+    }
 
   /** DuckDB-isms this shim deliberately does NOT bridge (arg shapes or
     * semantics differ) — when one appears in failing SQL the user gets
