@@ -169,8 +169,11 @@ object Bench {
     // driver's 2000-char output-tail capture: with full names the line
     // is ~3.3k chars and arrives truncated (BENCH_r01–r03 all show
     // "parsed": null with the tail starting mid-line).
+    // 2-decimal per-query values: at 150 queries the 3-decimal line is
+    // ~1.96k chars, brushing the driver's 2000-char tail capture — 10 ms
+    // granularity here is plenty (bench_detail.json keeps 3 decimals)
     val qs = results.map { case (k, (v, _)) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 1000) / 1000)
+      "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 100) / 100)
     }.mkString("{", ",", "}")
     val total =
       math.rint(results.map(_._2._1).filter(_ >= 0).sum * 1000) / 1000

@@ -128,12 +128,50 @@ object DuckDialect {
         while (j < n && Character.isWhitespace(sql.charAt(j))) j += 1
         val isCall = j < n && sql.charAt(j) == '('
         val qualified = start > 0 && sql.charAt(start - 1) == '.'
-        sb.append(
+        // read_parquet('one/path') table function → Spark's
+        // parquet.`one/path` identifier form. Only the single-literal
+        // shape translates; globs work in both, file LISTS do not (they
+        // stay untouched and fail into guidance).
+        val asScan =
+          if (isCall && !qualified && word.toLowerCase == "read_parquet")
+            parseSingleLiteralCall(sql, j).map { case (path, after) =>
+              sb.append("parquet.`").append(path).append('`')
+              i = after
+            }
+          else None
+        if (asScan.isEmpty) sb.append(
           if (isCall && !qualified) renames.getOrElse(word.toLowerCase, word)
           else word)
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** `(path, indexAfterCloseParen)` when sql at `open` is exactly
+    * `('literal')` with no commas/options — the only read_parquet shape
+    * that maps 1:1 onto Spark's `parquet.` identifier. */
+  private def parseSingleLiteralCall(sql: String, open: Int)
+      : Option[(String, Int)] = {
+    val n = sql.length
+    var i = open + 1 // past '('
+    while (i < n && Character.isWhitespace(sql.charAt(i))) i += 1
+    if (i >= n || sql.charAt(i) != '\'') return None
+    i += 1
+    val p = new StringBuilder
+    var closed = false
+    while (i < n && !closed) {
+      sql.charAt(i) match {
+        case '\'' if i + 1 < n && sql.charAt(i + 1) == '\'' =>
+          p.append('\''); i += 2
+        case '\'' => closed = true; i += 1
+        case ch => p.append(ch); i += 1
+      }
+    }
+    if (!closed) return None
+    while (i < n && Character.isWhitespace(sql.charAt(i))) i += 1
+    if (i < n && sql.charAt(i) == ')' && !p.toString.contains('`'))
+      Some((p.toString, i + 1))
+    else None
   }
 
   /** The dialect-tolerant `spark.sql`: valid Spark SQL runs untouched;
@@ -165,7 +203,7 @@ object DuckDialect {
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(struct_pack|list_slice|list_prepend|quantile_disc|strftime|strptime|string_split|str_split)\s*\(|\*\s+(?i:EXCLUDE|REPLACE)\s*\(""".r
+    """(?i)\b(struct_pack|list_slice|list_prepend|quantile_disc|strftime|strptime|string_split|str_split|delta_scan|read_csv|read_json)\s*\(|\*\s+(?i:EXCLUDE|REPLACE)\s*\(""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined
@@ -187,6 +225,11 @@ object DuckDialect {
        |  struct_pack (use named_struct('k', v, ...)), quantile_disc
        |  (use percentile_approx or an explicit window), strftime/strptime
        |  (use date_format/to_timestamp with JDK patterns),
-       |  SELECT * EXCLUDE/REPLACE (enumerate columns).
+       |  SELECT * EXCLUDE/REPLACE (enumerate columns),
+       |  delta_scan('p') (query the table through DeltaScanner/$$TABLE —
+       |  the engine's Delta reader is not a SQL table function),
+       |  read_csv/read_json (auto-detection differs; use spark.read with
+       |  explicit options). read_parquet('one path') IS translated to
+       |  parquet.`path`; file LISTS and option args are not.
        |Original SQL: $original""".stripMargin
 }

@@ -739,6 +739,51 @@ object Similarity {
         "WHERE step >= 1 ORDER BY step")
     ),
 
+    // RAG context assembly under a token budget — the step AFTER
+    // reranking: the top candidates fill the prompt's context window in
+    // rank order until the next document would overflow the budget
+    // (prefix semantics — cumulative tokens are monotone, so the
+    // cum ≤ 512 filter IS the greedy prefix). Token counts use q40's
+    // \S+ tokenizer; candidates are q131's fused ranking. Scale shape:
+    // the corpus streams only inside rrfFused's first stage; the
+    // packing window runs on the bounded ≤20-row candidate frame
+    // (single-partition by construction, like q131's rank windows), and
+    // the text join BROADCASTS the candidate list into the documents
+    // scan — document bodies never shuffle.
+    GraftQuery("q153_context_packing",
+      (s, d) => {
+        val ranked = rrfFused(s, d)
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        val bodies = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val withTok = broadcast(ranked).join(bodies, Seq("doc_id"))
+          .select(col("doc_id"), col("rrf"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .as("n_tokens"))
+        val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+        withTok
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .withColumn("cum_tokens", sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cum_tokens") <= 512)
+          .select(col("pos"), col("doc_id"), col("n_tokens"),
+            col("cum_tokens"))
+          .orderBy("pos")
+      },
+      Some("WITH " + rrfFusedSqlCtes + ", " +
+        "ranked AS (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20), " +
+        "tok AS (SELECT r.doc_id, r.rrf, " +
+        "  CAST(len(regexp_extract_all(dd.text, '\\S+')) AS BIGINT) AS n_tokens " +
+        "  FROM ranked r JOIN documents dd ON r.doc_id = dd.doc_id), " +
+        "packed AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS pos, " +
+        "  doc_id, n_tokens, " +
+        "  CAST(SUM(n_tokens) OVER (ORDER BY rrf DESC, doc_id " +
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens " +
+        "  FROM tok) " +
+        "SELECT pos, doc_id, n_tokens, cum_tokens FROM packed " +
+        "WHERE cum_tokens <= 512 ORDER BY pos")
+    ),
+
     // Retrieval-quality EVAL vs a fixed qrels panel — MRR and nDCG@10,
     // the metrics a retrieval pipeline reports before its index config
     // ships. Queries are the fixed panel vec_id < 16; qrels are

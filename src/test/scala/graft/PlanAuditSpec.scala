@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q115_distinctive_terms", "q121_vocab_overlap_sketch",
     "q126_bm25_search", "q131_hybrid_rrf", "q135_rerank",
     "q132_pmi_bigrams",
-    "q133_source_drift", "q141_zipf_coverage")
+    "q133_source_drift", "q141_zipf_coverage",
+    // q153 inherits q131's fused chain (1-row corpus-stats broadcast)
+    "q153_context_packing")
 
   // SMJ on genuinely data-sized both-sides joins: full outer (q68),
   // bench-prefix range resolution (q91), component → doc resolution
@@ -52,7 +54,9 @@ class PlanAuditSpec extends AnyFunSuite {
   private val smjOk = Set(
     "q68_outer_joins", "q91_decontamination", "q97_clean_corpus",
     "q131_hybrid_rrf", "q134_graph_load", "q135_rerank",
-    "q145_leakproof_split")
+    "q145_leakproof_split",
+    // q153 inherits q131's 100×100-row bounded full-outer RRF fuse
+    "q153_context_packing")
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")

@@ -76,6 +76,19 @@ class TierASpec extends AnyFunSuite {
     // DuckDB literals are escape-free: backslashes double for Spark
     assert(rewrite("SELECT '\\s+'") == "SELECT '\\\\s+'")
     assert(rewrite("SELECT 'it''s \\n'") == "SELECT 'it''s \\\\n'")
+    // read_parquet single-literal form -> Spark's parquet.`path` scan;
+    // list/option forms stay untouched (they fail into guidance)
+    assert(rewrite("SELECT * FROM read_parquet('/data/t.parquet') x") ==
+      "SELECT * FROM parquet.`/data/t.parquet` x")
+    assert(rewrite("SELECT * FROM read_parquet(['a','b'])") ==
+      "SELECT * FROM read_parquet(['a','b'])")
+  }
+
+  test("DuckDialect: read_parquet('path') runs as a Spark parquet scan") {
+    val n = spark.sql(graft.DuckDialect.rewrite(
+      s"SELECT COUNT(*) AS n FROM read_parquet('$sf/region.parquet')"))
+      .head.getLong(0)
+    assert(n == Tables.load(spark, sf, "region").count())
   }
 
   test("DuckDialect: rewritten snippets evaluate to DuckDB's answers") {
