@@ -105,6 +105,11 @@ object Cli {
           println("Enter SQL over: " + Tables.names.mkString(", "))
         case "tables" =>
           spark.catalog.listTables().show(truncate = false)
+        case sql if sql.toUpperCase.startsWith("SUMMARIZE ") =>
+          // DuckDB's SUMMARIZE <table> — Spark's summary() profile
+          try spark.table(sql.drop("SUMMARIZE ".length).trim)
+            .summary().show(100, truncate = false)
+          catch { case e: Exception => println(s"error: ${e.getMessage}") }
         case sql =>
           // UPDATE/DELETE on Delta table paths route to the copy-on-write
           // DML engine (the reference REPL's non-SELECT dispatch,

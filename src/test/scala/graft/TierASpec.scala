@@ -84,6 +84,18 @@ class TierASpec extends AnyFunSuite {
       "SELECT * FROM read_parquet(['a','b'])")
   }
 
+  test("SUMMARIZE (DuckDB's profile statement) returns the per-column " +
+    "summary; non-$TABLE targets are refused") {
+    val s = scanner.query("region", Some("SUMMARIZE"))
+    assert(s.columns.head == "summary" && s.columns.contains("r_name"))
+    val stats = s.collect().map(_.getString(0)).toSet
+    assert(Set("count", "mean", "min", "max").subsetOf(stats))
+    assert(scanner.query("region", Some("SUMMARIZE $TABLE")).count() == s.count())
+    intercept[IllegalArgumentException] {
+      scanner.query("region", Some("SUMMARIZE other_table"))
+    }
+  }
+
   test("DuckDialect: read_parquet('path') runs as a Spark parquet scan") {
     val n = spark.sql(graft.DuckDialect.rewrite(
       s"SELECT COUNT(*) AS n FROM read_parquet('$sf/region.parquet')"))
