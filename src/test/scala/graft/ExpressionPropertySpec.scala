@@ -132,4 +132,21 @@ class ExpressionPropertySpec extends AnyFunSuite {
       assert(gridSum(1) == gridSum(7), s"case $i")
     }
   }
+
+  test("DuckDialect literal translation: a random DuckDB literal, " +
+    "rewritten, evaluates in Spark to the SAME raw characters " +
+    "(DuckDB literals are escape-free; Spark's process C escapes)") {
+    val chars = Gen.oneOf('a', 'z', '\\', 'n', 't', 's', ' ', '\'',
+      '"', '`', '/', '-', '%', '$')
+    val gen = Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, chars).map(_.mkString))
+    (1 to 60).foreach { i =>
+      val raw = sample(gen, 7000L + i)
+      // DuckDB quoting: only '' needs escaping; everything else is raw
+      val duck = "SELECT '" + raw.replace("'", "''") + "' AS x"
+      val got = spark.sql(graft.DuckDialect.rewrite(duck)).head.getString(0)
+      assert(got == raw,
+        s"case $i: raw=${raw.toList} got=${got.toList} sql=$duck")
+    }
+  }
 }
