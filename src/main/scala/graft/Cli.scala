@@ -87,9 +87,12 @@ object Cli {
         }
         val df = sc.query(table, opts.get("query"),
           opts.get("limit").map(_.toInt).getOrElse(10))
-        opts.getOrElse("format", "table") match {
-          case "json" => sc.toJsonLines(df).foreach(println)
-          case _ => df.show(100, truncate = false)
+        // Reference parity: JSON is the DEFAULT; --format=table opts into
+        // the table rendering (delta-unity-duckdb.js:577,621 — "Display
+        // results as table (default: JSON)")
+        opts.getOrElse("format", "json") match {
+          case "table" => df.show(100, truncate = false)
+          case _ => sc.toJsonLines(df).foreach(println)
         }
     }
     spark.stop()
