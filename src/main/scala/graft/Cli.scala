@@ -108,9 +108,9 @@ object Cli {
           println("Enter SQL over: " + Tables.names.mkString(", "))
         case "tables" =>
           spark.catalog.listTables().show(truncate = false)
-        case sql if sql.toUpperCase.startsWith("SUMMARIZE ") =>
+        case sql if DuckDialect.summarizeTarget(sql).exists(_.nonEmpty) =>
           // DuckDB's SUMMARIZE <table> — Spark's summary() profile
-          try spark.table(sql.drop("SUMMARIZE ".length).trim)
+          try spark.table(DuckDialect.summarizeTarget(sql).get)
             .summary().show(100, truncate = false)
           catch { case e: Exception => println(s"error: ${e.getMessage}") }
         case sql =>

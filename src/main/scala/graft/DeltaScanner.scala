@@ -75,13 +75,13 @@ final class DeltaScanner(
     val df = resolver.resolve(spark, tablePath)
     sql match {
       case None => df.limit(limit)
-      case Some(text) if text.trim.toUpperCase.startsWith("SUMMARIZE") =>
+      case Some(text) if DuckDialect.summarizeTarget(text).isDefined =>
         // DuckDB's SUMMARIZE statement (per-column profile) — the one
         // dialect statement that is not an expression rewrite; Spark's
         // summary() is the same per-column count/mean/stddev/min/
         // quartiles/max profile, transposed. Accepts `SUMMARIZE` and
         // `SUMMARIZE $TABLE` (the scanner's one-table surface).
-        val rest = text.trim.drop("SUMMARIZE".length).trim
+        val rest = DuckDialect.summarizeTarget(text).get
         require(rest.isEmpty || rest == "$TABLE",
           s"SUMMARIZE supports the scanner's table ($$TABLE), got: $rest")
         df.summary()

@@ -46,8 +46,13 @@ object DuckDialect {
     "list_transform" -> "transform",
     "list_apply" -> "transform",
     "list_filter" -> "filter",
+    // list_distinct gets the ARG-AWARE path below (DuckDB's drops NULL
+    // elements; Spark's array_distinct keeps one) — this entry is the
+    // fallback for an unparseable call span only
     "list_distinct" -> "array_distinct",
-    "list_sort" -> "sort_array",
+    // array_sort, NOT sort_array: Spark's array_sort places NULLs LAST
+    // ascending, matching DuckDB's list_sort; sort_array puts them first
+    "list_sort" -> "array_sort",
     "list_value" -> "array",
     "list_pack" -> "array",
     "list_append" -> "array_append",
@@ -70,6 +75,9 @@ object DuckDialect {
     "argmax" -> "max_by",
     "arg_min" -> "min_by",
     "argmin" -> "min_by",
+    // string_agg/group_concat get the ARG-AWARE path below (DuckDB's
+    // one-arg form defaults the separator to ',' where Spark's listagg
+    // concatenates bare) — fallback-only entries here
     "string_agg" -> "listagg",
     "group_concat" -> "listagg",
     // scalars
@@ -118,7 +126,9 @@ object DuckDialect {
         val end = if (e < 0) n else e + 2
         sb.append(sql.substring(i, end)); i = end
       } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '/') {
-        sb.append(" div "); i += 2 // integer floor division
+        // integer division — DuckDB's `//` TRUNCATES toward zero
+        // (-7 // 2 = -3, verified), exactly Spark's `div`
+        sb.append(" div "); i += 2
       } else if (Character.isLetter(c) || c == '_') {
         val start = i
         while (i < n && (Character.isLetterOrDigit(sql.charAt(i)) ||
@@ -128,23 +138,93 @@ object DuckDialect {
         while (j < n && Character.isWhitespace(sql.charAt(j))) j += 1
         val isCall = j < n && sql.charAt(j) == '('
         val qualified = start > 0 && sql.charAt(start - 1) == '.'
-        // read_parquet('one/path') table function → Spark's
-        // parquet.`one/path` identifier form. Only the single-literal
-        // shape translates; globs work in both, file LISTS do not (they
-        // stay untouched and fail into guidance).
-        val asScan =
-          if (isCall && !qualified && word.toLowerCase == "read_parquet")
-            parseSingleLiteralCall(sql, j).map { case (path, after) =>
-              sb.append("parquet.`").append(path).append('`')
-              i = after
-            }
-          else None
-        if (asScan.isEmpty) sb.append(
-          if (isCall && !qualified) renames.getOrElse(word.toLowerCase, word)
+        // Arg-aware translations (a bare rename would change semantics):
+        //  - read_parquet('one/path') → parquet.`one/path` (single
+        //    literal only; globs work in both, file LISTS fail into
+        //    guidance);
+        //  - string_agg/group_concat 1-arg → listagg(x, ',') (DuckDB
+        //    defaults the separator to ',', Spark's listagg to '');
+        //  - list_distinct(x) → array_distinct(filter(x, NOT NULL))
+        //    (DuckDB's REMOVES null elements, Spark's keeps one).
+        // Inner argument text is rewritten RECURSIVELY so nested
+        // duckisms still translate.
+        val lower = word.toLowerCase(java.util.Locale.ROOT)
+        val special =
+          if (!isCall || qualified) None
+          else lower match {
+            case "read_parquet" =>
+              parseSingleLiteralCall(sql, j).map { case (path, after) =>
+                sb.append("parquet.`").append(path).append('`')
+                i = after
+              }
+            case "string_agg" | "group_concat" =>
+              scanCall(sql, j).map { case (after, topComma) =>
+                sb.append("listagg(")
+                  .append(rewrite(sql.substring(j + 1, after - 1)))
+                if (!topComma) sb.append(", ','")
+                sb.append(')')
+                i = after
+              }
+            case "list_distinct" =>
+              scanCall(sql, j).map { case (after, _) =>
+                sb.append("array_distinct(filter(")
+                  .append(rewrite(sql.substring(j + 1, after - 1)))
+                  .append(", _graft_e -> _graft_e IS NOT NULL))")
+                i = after
+              }
+            case _ => None
+          }
+        if (special.isEmpty) sb.append(
+          if (isCall && !qualified) renames.getOrElse(lower, word)
           else word)
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** Scan from the '(' at `open` to its MATCHING ')' (quoted regions
+    * skipped): `(indexAfterCloseParen, sawTopLevelComma)`, or None when
+    * unbalanced — callers then fall back to the plain rename. */
+  private def scanCall(sql: String, open: Int): Option[(Int, Boolean)] = {
+    val n = sql.length
+    var i = open + 1
+    var depth = 1
+    var topComma = false
+    while (i < n && depth > 0) {
+      sql.charAt(i) match {
+        case '\'' =>
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            if (sql.charAt(i) == '\'') {
+              if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+              else { closed = true; i += 1 }
+            } else i += 1
+          }
+        case '"' =>
+          i += 1
+          while (i < n && sql.charAt(i) != '"') i += 1
+          if (i < n) i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 1 => topComma = true; i += 1
+        case _ => i += 1
+      }
+    }
+    if (depth == 0) Some((i, topComma)) else None
+  }
+
+  /** Some(target) when `sql` is DuckDB's `SUMMARIZE [target]` statement
+    * (Locale.ROOT casing, any whitespace) — the one dialect STATEMENT,
+    * shared by DeltaScanner.query and the REPL so both surfaces parse it
+    * identically; each resolves the target on its own terms. */
+  def summarizeTarget(sql: String): Option[String] = {
+    val t = sql.trim
+    val up = t.toUpperCase(java.util.Locale.ROOT)
+    if (up == "SUMMARIZE") Some("")
+    else if (up.startsWith("SUMMARIZE") && t.length > 9 &&
+      Character.isWhitespace(t.charAt(9))) Some(t.drop(9).trim)
+    else None
   }
 
   /** `(path, indexAfterCloseParen)` when sql at `open` is exactly
@@ -203,7 +283,7 @@ object DuckDialect {
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(struct_pack|list_slice|list_prepend|quantile_disc|strftime|strptime|string_split|str_split|delta_scan|read_csv|read_json)\s*\(|\*\s+(?i:EXCLUDE|REPLACE)\s*\(""".r
+    """(?i)\b(struct_pack|list_slice|list_prepend|quantile_disc|strftime|strptime|string_split|str_split|delta_scan|read_csv|read_json)\s*\(|\*\s+(?i:EXCLUDE|REPLACE)\b""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined

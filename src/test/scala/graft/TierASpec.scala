@@ -82,6 +82,21 @@ class TierASpec extends AnyFunSuite {
       "SELECT * FROM parquet.`/data/t.parquet` x")
     assert(rewrite("SELECT * FROM read_parquet(['a','b'])") ==
       "SELECT * FROM read_parquet(['a','b'])")
+    // arg-aware forms (bare renames would change semantics):
+    // 1-arg string_agg gets DuckDB's ',' default separator injected
+    assert(rewrite("SELECT string_agg(x)") == "SELECT listagg(x, ',')")
+    assert(rewrite("SELECT string_agg(x, '-')") == "SELECT listagg(x, '-')")
+    // list_distinct drops NULL elements in DuckDB — filter injected
+    assert(rewrite("SELECT list_distinct(x)") ==
+      "SELECT array_distinct(filter(x, _graft_e -> _graft_e IS NOT NULL))")
+    // nested duckisms inside arg-aware calls still rewrite (recursion)
+    assert(rewrite("SELECT string_agg(array_to_string(list_value('a'), '-'))")
+      == "SELECT listagg(array_join(array('a'), '-'), ',')")
+    // list_sort -> array_sort (NULLs LAST, matching DuckDB), not sort_array
+    assert(rewrite("SELECT list_sort(x)") == "SELECT array_sort(x)")
+    // paren-free EXCLUDE/REPLACE forms are recognized as unbridgeable
+    assert(graft.DuckDialect.unbridgeable("SELECT * EXCLUDE city FROM t"))
+    assert(graft.DuckDialect.unbridgeable("SELECT * REPLACE (a AS b) FROM t"))
   }
 
   test("SUMMARIZE (DuckDB's profile statement) returns the per-column " +
@@ -129,6 +144,15 @@ class TierASpec extends AnyFunSuite {
     assert(one("SELECT arg_min(k, v) FROM VALUES ('a',1),('b',9) AS t(k,v)") == "a")
     assert(one("SELECT regexp_matches('ab12', '[0-9]+')") == true)
     assert(one("SELECT string_agg(k, ',') FROM VALUES ('x') AS t(k)") == "x")
+    // 1-arg form: DuckDB's default ',' separator must appear
+    assert(Set("a,b", "b,a")(one(
+      "SELECT string_agg(k) FROM VALUES ('a'),('b') AS t(k)").asInstanceOf[String]))
+    // NULL semantics: list_distinct drops NULLs; list_sort puts them LAST
+    assert(one("SELECT list_sort(list_distinct(list_value(1, NULL, 1, 2)))")
+      .asInstanceOf[scala.collection.Seq[Integer]].toSeq == Seq(1, 2))
+    assert(one("SELECT list_sort(list_value(3, NULL, 1))")
+      .asInstanceOf[scala.collection.Seq[Integer]].toSeq ==
+      Seq[Integer](1, 3, null))
     assert(one("SELECT epoch_ms(TIMESTAMP '1970-01-01 00:00:01')") == 1000L)
   }
 
