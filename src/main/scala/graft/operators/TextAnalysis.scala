@@ -53,12 +53,16 @@ object TextAnalysis {
       regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)).as("ws"))
     val stats = toks.select(size(col("ws")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    // Persisted: the 3-term posting lists feed df-counts AND scoring —
+    // without it each consumer re-tokenizes the whole corpus (the frame
+    // is bounded by the matched posting lists, not the corpus).
     val tfc = toks
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
         explode(col("ws")).as("word"))
       .filter(col("word").isin(terms: _*))
       .groupBy("doc_id", "dl", "word")
       .agg(count(lit(1)).cast("double").as("tf"))
+      .persist()
     val dfc = tfc.groupBy("word").agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val scored = tfc.join(broadcast(dfc), "word")
@@ -611,8 +615,10 @@ object TextAnalysis {
     // Quality filtering at a GLOBAL percentile threshold — drop the
     // bottom decile by token count (the corpus-relative form of q41's
     // absolute-ratio filters). The threshold is a one-row aggregate
-    // broadcast back over the corpus (scalar-subquery shape, q27), so
-    // the corpus streams once and only (doc_id, tok) pairs move. The
+    // broadcast back over the corpus (scalar-subquery shape, q27): the
+    // corpus streams twice — once to learn the threshold, once to apply
+    // it (inherent to any global-percentile filter; DuckDB's CTE form
+    // does the same) — and only (doc_id, tok) pairs move. The
     // exact global percentile buffers the value column on one reducer —
     // fine for a threshold over a numeric column, and q74's
     // approx_percentile is the documented sketch twin at 100 TB.
@@ -670,6 +676,7 @@ object TextAnalysis {
             explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
               .as("word"))
           .groupBy("source", "word").agg(count(lit(1)).as("c"))
+          .persist() // vocab×sources-bounded; 3 consumers, 1 corpus pass
         val norms = wc.groupBy("source")
           .agg(sum(col("c") * col("c")).as("n2"))
         val dots = wc.select(col("source").as("sa"), col("word"), col("c").as("ca"))
@@ -712,6 +719,7 @@ object TextAnalysis {
             explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
               .as("word"))
           .groupBy("source", "word").agg(count(lit(1)).as("tf"))
+          .persist() // vocab×sources-bounded; 4 consumers, 1 corpus pass
         val srcTot = wc.groupBy("source").agg(sum("tf").as("st"))
         val wordTot = wc.groupBy("word").agg(sum("tf").as("ctf"))
         val corpusTot = wc.agg(sum("tf").as("ct"))
@@ -965,8 +973,13 @@ object TextAnalysis {
         val toks = docs(s, d).select(
           regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0))
             .as("ws"))
+        // Both count frames persist (vocabulary- / vocabulary²-bounded):
+        // uni feeds its total + two broadcast sides, bi feeds its total +
+        // the scored stream — unpersisted, each consumer would re-run the
+        // full corpus tokenization (6 passes instead of 2).
         val uni = toks.select(explode(col("ws")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("c"))
+          .persist()
         val uniTot = uni.agg(sum("c").cast("long").as("u"))
         val bi = toks.filter(size(col("ws")) >= 2)
           .select(explode(expr(
@@ -975,6 +988,7 @@ object TextAnalysis {
           .select(col("p").getField("0").as("a"),
             col("p").getField("1").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .persist()
         val biTot = bi.agg(sum("n").cast("long").as("t"))
         bi.filter(col("n") >= 5)
           .join(broadcast(uni.select(col("w").as("a"), col("c").as("ca"))), "a")
