@@ -710,6 +710,35 @@ object Dedup {
         "i3 AS (SELECT und.a AS n, SUM(r2.r // deg.d) AS s FROM und JOIN r2 ON und.b = r2.n JOIN deg ON und.b = deg.n GROUP BY 1), " +
         "r3 AS (SELECT deg.n, CAST(161061274 + (COALESCE(i3.s, 0) * 17) // 20 AS BIGINT) AS r FROM deg LEFT JOIN i3 ON deg.n = i3.n) " +
         "SELECT n AS doc_id, r AS pr_grid FROM r3 ORDER BY doc_id"))
+    ,
+
+    // Cross-source duplication matrix — which sources copy from which:
+    // q45's near-dup pairs rolled up to (source_a, source_b, n_pairs),
+    // the provenance report a corpus curator reads before deciding which
+    // crawl to drop (a hot off-diagonal cell = one source republishing
+    // another). The pair set is the already-bounded q45 machinery; the
+    // only additions are two doc_id-keyed joins to the (doc_id, source)
+    // projection — the natural key, one shuffle each at scale — and a
+    // 20×20-bounded rollup. Cell keys are (least, greatest)-normalized
+    // so each unordered source pair lands in ONE cell.
+    GraftQuery("q154_source_overlap",
+      (s, d) => {
+        val p = jaccardPairs(s, d).select("a", "b")
+        val src = docs(s, d).select(col("doc_id"), col("source"))
+        p.join(src.select(col("doc_id").as("a"), col("source").as("src_a")), "a")
+          .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), "b")
+          .select(least(col("src_a"), col("src_b")).as("sa"),
+            greatest(col("src_a"), col("src_b")).as("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("sa", "sb")
+      },
+      Some("WITH pairs AS (" + JaccardPairsSql + "), " +
+        "lab AS (SELECT LEAST(da.source, db.source) AS sa, " +
+        "GREATEST(da.source, db.source) AS sb FROM pairs " +
+        "JOIN documents da ON pairs.a = da.doc_id " +
+        "JOIN documents db ON pairs.b = db.doc_id) " +
+        "SELECT sa, sb, COUNT(*) AS n_pairs FROM lab " +
+        "GROUP BY sa, sb ORDER BY sa, sb"))
   )
 
   /** The q45 rare-shingle Jaccard pair SQL (no ORDER BY) — shared by the

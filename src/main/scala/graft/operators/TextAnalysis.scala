@@ -1067,5 +1067,60 @@ object TextAnalysis {
         "  * 1073741824.0) AS BIGINT) AS q FROM grid) " +
         "SELECT source, CAST(SUM(q) AS DOUBLE) / 1073741824.0 AS chi2 " +
         "FROM t GROUP BY source ORDER BY source"))
+    ,
+
+    // Importance weighting against a target distribution (DSIR-shaped):
+    // score every document by how much its unigrams look like the
+    // TARGET slice (here lang='en') relative to the whole corpus — the
+    // data-selection step that upsamples in-domain text before training.
+    // Laplace-smoothed rate ratio instead of log-likelihood (the
+    // libm-ban rule): per-token lift
+    //   (tw+1)(ct+V) / ((cw+1)(tt+V)),
+    // dyadically quantized at 2^-30 (q133's grid trick) so the per-doc
+    // mean aggregates exact integers in any order; the doc score is the
+    // token-mean lift. Scale shape: word stats are one vocabulary-
+    // bounded rollup riding in as a broadcast; the corpus token stream
+    // passes twice (learn stats, apply them — inherent to any
+    // corpus-relative scorer, q109's pattern); top-k is a TakeOrdered.
+    GraftQuery("q155_importance_weights",
+      (s, d) => {
+        val fp = lit(1073741824.0) // 2^30, exact
+        val tok = docs(s, d).select(col("doc_id"), col("lang"),
+          explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"),
+            lit(0))).as("w"))
+        val ws = tok.groupBy("w").agg(count(lit(1)).as("cw"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long")
+            .as("tw"))
+          .persist() // vocab-bounded; feeds totals + the scoring join
+        val tot = ws.agg(sum("cw").cast("long").as("ct"),
+          sum("tw").cast("long").as("tt"), count(lit(1)).as("v"))
+        val lift = (col("tw").cast("double") + lit(1.0)) *
+          (col("ct").cast("double") + col("v").cast("double")) /
+          ((col("cw").cast("double") + lit(1.0)) *
+            (col("tt").cast("double") + col("v").cast("double")))
+        tok.join(broadcast(ws), "w")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), floor(lift * fp).as("q"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            (sum(col("q").cast("decimal(38,0)")).cast("double") / fp /
+              count(lit(1)).cast("double")).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("WITH tok AS (SELECT doc_id, lang, " +
+        "unnest(regexp_extract_all(lower(text), '\\p{L}+')) AS w FROM documents), " +
+        "ws AS (SELECT w, COUNT(*) AS cw, " +
+        "SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tw FROM tok GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS ct, " +
+        "CAST(SUM(tw) AS BIGINT) AS tt, COUNT(*) AS v FROM ws), " +
+        "q AS (SELECT doc_id, CAST(floor(" +
+        "(CAST(tw AS DOUBLE) + 1.0) * (CAST(ct AS DOUBLE) + CAST(v AS DOUBLE)) / " +
+        "((CAST(cw AS DOUBLE) + 1.0) * (CAST(tt AS DOUBLE) + CAST(v AS DOUBLE))) " +
+        "* 1073741824.0) AS BIGINT) AS q " +
+        "FROM tok JOIN ws ON tok.w = ws.w CROSS JOIN tot) " +
+        "SELECT doc_id, COUNT(*) AS n_tok, " +
+        "CAST(SUM(q) AS DOUBLE) / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS score " +
+        "FROM q GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"))
   )
 }

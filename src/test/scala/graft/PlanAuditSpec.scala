@@ -40,7 +40,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q132_pmi_bigrams",
     "q133_source_drift", "q141_zipf_coverage",
     // q153 inherits q131's fused chain (1-row corpus-stats broadcast)
-    "q153_context_packing")
+    "q153_context_packing",
+    // q155: 1-row (ct, tt, v) totals frame crossed into the scorer
+    "q155_importance_weights")
 
   // SMJ on genuinely data-sized both-sides joins: full outer (q68),
   // bench-prefix range resolution (q91), component → doc resolution
