@@ -66,9 +66,16 @@ object DuckDialect {
     "list_has_any" -> "arrays_overlap",
     "list_max" -> "array_max",
     "list_min" -> "array_min",
+    // try_element_at, NOT element_at: DuckDB's list_extract returns NULL
+    // out of range where Spark's element_at throws under ANSI; both are
+    // 1-based with negative-from-end. (DuckDB also allows these on
+    // STRINGS — that form fails into guidance; use substring.)
+    "list_extract" -> "try_element_at",
+    "array_extract" -> "try_element_at",
     "array_to_string" -> "array_join",
     "string_split_regex" -> "split",
     "str_split_regex" -> "split",
+    "regexp_split_to_array" -> "split",
     // aggregates
     "quantile_cont" -> "percentile",
     "arg_max" -> "max_by",
@@ -83,6 +90,9 @@ object DuckDialect {
     // scalars
     "strlen" -> "octet_length",
     "epoch_ms" -> "unix_millis",
+    "strpos" -> "instr",
+    "starts_with" -> "startswith",
+    "ends_with" -> "endswith",
     "regexp_matches" -> "regexp_like")
 
   /** Rewrite DuckDB-dialect SQL to Spark SQL. A pure text function — no
@@ -170,6 +180,15 @@ object DuckDialect {
                 sb.append("array_distinct(filter(")
                   .append(rewrite(sql.substring(j + 1, after - 1)))
                   .append(", _graft_e -> _graft_e IS NOT NULL))")
+                i = after
+              }
+            case "array_length" =>
+              // 1-arg form only — the 2-arg (list, dim) form has no
+              // Spark twin and falls through untouched into guidance
+              scanCall(sql, j).collect { case (after, false) =>
+                sb.append("array_size(")
+                  .append(rewrite(sql.substring(j + 1, after - 1)))
+                  .append(')')
                 i = after
               }
             case _ => None
@@ -283,7 +302,7 @@ object DuckDialect {
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(struct_pack|list_slice|list_prepend|quantile_disc|strftime|strptime|string_split|str_split|delta_scan|read_csv|read_json)\s*\(|\*\s+(?i:EXCLUDE|REPLACE)\b""".r
+    """(?i)\b(struct_pack|list_slice|list_prepend|quantile_disc|strftime|strptime|string_split|str_split|delta_scan|read_csv|read_json|len|list_sum|list_aggregate|list_reduce|regexp_full_match|epoch)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:EXCLUDE|REPLACE)\b""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined
@@ -305,6 +324,13 @@ object DuckDialect {
        |  struct_pack (use named_struct('k', v, ...)), quantile_disc
        |  (use percentile_approx or an explicit window), strftime/strptime
        |  (use date_format/to_timestamp with JDK patterns),
+       |  len (type-ambiguous: length for strings, size for lists),
+       |  list_sum/list_aggregate/list_reduce (use aggregate/reduce with an
+       |  explicit zero), date_diff('part', a, b) (DuckDB counts boundary
+       |  crossings; use timestampdiff(PART, a, b) and check the edge
+       |  semantics), epoch (fractional seconds; use unix_micros(ts)/1e6),
+       |  regexp_full_match (anchor the pattern: regexp_like(s, '^...$$')),
+       |  list_extract/array_extract on STRINGS (use substring),
        |  SELECT * EXCLUDE/REPLACE (enumerate columns),
        |  delta_scan('p') (query the table through DeltaScanner/$$TABLE —
        |  the engine's Delta reader is not a SQL table function),

@@ -94,9 +94,25 @@ class TierASpec extends AnyFunSuite {
       == "SELECT listagg(array_join(array('a'), '-'), ',')")
     // list_sort -> array_sort (NULLs LAST, matching DuckDB), not sort_array
     assert(rewrite("SELECT list_sort(x)") == "SELECT array_sort(x)")
+    // r8 additions: try_element_at (NULL out of range like DuckDB, where
+    // ANSI element_at throws), 1-arg array_length, string positioning
+    assert(rewrite("SELECT list_extract(x, -1)") ==
+      "SELECT try_element_at(x, -1)")
+    assert(rewrite("SELECT array_length(x)") == "SELECT array_size(x)")
+    // 2-arg (list, dim) array_length has no Spark twin: untouched
+    assert(rewrite("SELECT array_length(x, 1)") == "SELECT array_length(x, 1)")
+    assert(rewrite("SELECT strpos(s, 'll'), starts_with(s, 'a')") ==
+      "SELECT instr(s, 'll'), startswith(s, 'a')")
     // paren-free EXCLUDE/REPLACE forms are recognized as unbridgeable
     assert(graft.DuckDialect.unbridgeable("SELECT * EXCLUDE city FROM t"))
     assert(graft.DuckDialect.unbridgeable("SELECT * REPLACE (a AS b) FROM t"))
+    // type-ambiguous / semantics-divergent names route to guidance …
+    assert(graft.DuckDialect.unbridgeable("SELECT len(x) FROM t"))
+    assert(graft.DuckDialect.unbridgeable("SELECT list_sum(x) FROM t"))
+    assert(graft.DuckDialect.unbridgeable(
+      "SELECT date_diff('day', a, b) FROM t"))
+    // … but Spark's own 2-arg datediff shape is NOT flagged
+    assert(!graft.DuckDialect.unbridgeable("SELECT datediff(a, b) FROM t"))
   }
 
   test("SUMMARIZE (DuckDB's profile statement) returns the per-column " +
@@ -154,6 +170,16 @@ class TierASpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[Integer]].toSeq ==
       Seq[Integer](1, 3, null))
     assert(one("SELECT epoch_ms(TIMESTAMP '1970-01-01 00:00:01')") == 1000L)
+    // r8 additions, expected values verified against DuckDB 1.x:
+    assert(one("SELECT regexp_split_to_array('a1b2c', '[0-9]')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b", "c"))
+    assert(one("SELECT strpos('hello', 'll')") == 3)
+    assert(one("SELECT strpos('hello', 'zz')") == 0)
+    assert(one("SELECT list_extract(list_value(1,2,3), -1)") == 3)
+    assert(one("SELECT list_extract(list_value(1,2,3), 9)") == null)
+    assert(one("SELECT array_length(list_value(1,2,3))") == 3)
+    assert(one("SELECT starts_with('abc', 'ab')") == true)
+    assert(one("SELECT ends_with('abc', 'bc')") == true)
   }
 
   test("A6 fallback: DuckDB-dialect SQL runs through query() after the " +
