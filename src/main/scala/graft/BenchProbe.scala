@@ -41,11 +41,26 @@ object BenchProbe {
 
     val execMs = new AtomicLong; val jobs = new AtomicInteger
     val stages = new AtomicInteger; val tasks = new AtomicInteger
+    // Per-stage timeline (enabled with SPARK_GRAFT_PROBE_STAGES=1): for
+    // each stage, when it was SUBMITTED relative to the run's t0, how
+    // long it ran, and its task count — separates in-stage time (task
+    // run) from the dead time between stages (planning, broadcast
+    // collection, job-boundary scheduling), which aggregate counters
+    // can't distinguish.
+    val stageLog = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, Long, Long, Int)]())
+    val probeStages = sys.env.get("SPARK_GRAFT_PROBE_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         execMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
         stages.incrementAndGet()
         tasks.addAndGet(sc.stageInfo.numTasks)
+        if (probeStages)
+          stageLog.add((sc.stageInfo.stageId,
+            sc.stageInfo.submissionTime.getOrElse(0L),
+            sc.stageInfo.completionTime.getOrElse(0L),
+            sc.stageInfo.numTasks))
+        ()
       }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); ()
@@ -54,6 +69,8 @@ object BenchProbe {
 
     for (name <- names; i <- 0 until reps) {
       execMs.set(0); jobs.set(0); stages.set(0); tasks.set(0)
+      stageLog.clear()
+      val wall0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val tBuilt = System.nanoTime()
@@ -68,6 +85,13 @@ object BenchProbe {
       println(f"[probe] $name run=$i wall=$wall%.3f build=$build%.3f " +
         f"execMs=${execMs.get} jobs=${jobs.get} stages=${stages.get} " +
         f"tasks=${tasks.get} $phases")
+      if (probeStages) {
+        import scala.jdk.CollectionConverters._
+        stageLog.asScala.sortBy(_._2).foreach { case (id, sub, done, nt) =>
+          println(f"[stage] $name run=$i id=$id at=+${sub - wall0}%4dms " +
+            f"dur=${done - sub}%4dms tasks=$nt")
+        }
+      }
       spark.catalog.clearCache()
       System.gc()
     }
