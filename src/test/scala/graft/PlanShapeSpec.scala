@@ -171,4 +171,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
       "oriented edge list must come from the persisted cache")
   }
+
+  test("single-corpus-pass rollups (r8): every consumer reads the cached " +
+    "count frame — no direct corpus re-scan in the final plan") {
+    // q132/q115: all consumers (totals, broadcasts, the scored stream)
+    // derive from the persisted vocabulary-bounded rollups, so the FINAL
+    // plan contains cache scans and ZERO file scans; the corpus is read
+    // only inside the cache-build subplans (once per rollup). A file
+    // scan reappearing here means a consumer silently fell off the
+    // cache and re-tokenizes the corpus — the 6-passes-at-100TB defect
+    // this round removed.
+    Seq("q132_pmi_bigrams", "q115_distinctive_terms").foreach { n =>
+      // the OPTIMIZED LOGICAL plan (stable under AQE wrapping): cached
+      // subtrees appear as InMemoryRelation, direct reads as
+      // LogicalRelation — the latter must all live INSIDE cache builds,
+      // i.e. none in the consuming plan itself
+      val p = SparkEntry.queries(n)(spark, sf).queryExecution.optimizedPlan
+      val cached = p.collectWithSubqueries {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      val direct = p.collectWithSubqueries {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      assert(cached.nonEmpty, s"$n: expected cached rollup reads")
+      assert(direct.isEmpty,
+        s"$n: a consumer re-scans the corpus directly:\n$p")
+    }
+  }
 }
