@@ -29,11 +29,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * form still fails raises an error carrying [[guidance]] — the divergence
   * table — instead of a bare unresolved-function message.
   *
+  * Conditionally translated (the common shapes bridge, the rest fall to
+  * [[guidance]]): `SELECT * EXCLUDE` → Spark's `* EXCEPT`;
+  * `strftime`/`strptime` with a LITERAL format whose `%` codes all have
+  * JDK-pattern twins → `date_format`/`to_timestamp`; `list_slice` with
+  * integer-literal bounds (both ≥0 or both <0 — DuckDB's inclusive end
+  * becomes Spark `slice`'s length, and both engines clamp/empty the same
+  * way); `struct_pack(k := v, …)` → `named_struct('k', v, …)`;
+  * `epoch(ts)` → `unix_micros(ts)/1e6` (fractional seconds preserved).
+  *
   * Deliberately NOT translated (arg shapes or semantics differ; listed in
   * [[guidance]]): `string_split` (literal separator vs Spark's regex
-  * `split`), `list_slice` (inclusive 1-based end vs Spark's length arg),
-  * `struct_pack` (`:=` syntax), `quantile_disc`, `strftime`/`strptime`
-  * (C format strings vs JDK patterns), `SELECT * EXCLUDE/REPLACE`.
+  * `split`), `quantile_disc`, `SELECT * REPLACE`, non-literal
+  * `list_slice`/`strftime` forms, `list_*` on STRINGS.
   */
 object DuckDialect {
 
@@ -159,6 +167,19 @@ object DuckDialect {
         // Inner argument text is rewritten RECURSIVELY so nested
         // duckisms still translate.
         val lower = word.toLowerCase(java.util.Locale.ROOT)
+        // `* EXCLUDE …` (DuckDB's star modifier) → Spark's `* EXCEPT (…)`.
+        // Recognized only directly after a `*`, mirroring DuckDB's own
+        // grammar; both the parenthesized list and the bare-single-column
+        // forms map (Spark's EXCEPT always takes the parenthesized list).
+        if (lower == "exclude" && lastNonWs(sb) == '*') {
+          if (isCall) { sb.append("EXCEPT") } // `EXCLUDE (a, b)` — list copies through
+          else parseIdentChain(sql, j) match {
+            case Some((ident, after))
+                if !Keywords(ident.toLowerCase(java.util.Locale.ROOT)) =>
+              sb.append("EXCEPT (").append(ident).append(')'); i = after
+            case _ => sb.append(word) // not followed by a column — leave it
+          }
+        } else {
         val special =
           if (!isCall || qualified) None
           else lower match {
@@ -191,14 +212,256 @@ object DuckDialect {
                   .append(')')
                 i = after
               }
+            case "strftime" | "strptime" =>
+              // Bridged only for a LITERAL format whose % codes all have
+              // JDK twins (strftime accepts either arg order — the format
+              // is whichever literal contains a '%'); non-literal or
+              // unsupported-code formats fall through into guidance.
+              scanCall(sql, j).flatMap { case (after, _) =>
+                splitTop(sql.substring(j + 1, after - 1))
+                  .filter(_.length == 2).flatMap { args =>
+                    val li = args.indexWhere(a =>
+                      bareLiteral(a).exists(_.contains('%')))
+                    if (li < 0) None
+                    else bareLiteral(args(li)).flatMap(cFormatToJdk).map { p =>
+                      val fn = if (lower == "strftime") "date_format"
+                               else "to_timestamp"
+                      sb.append(fn).append('(')
+                        .append(rewrite(args(1 - li)).trim)
+                        .append(", ").append(sqlLit(p)).append(')')
+                      i = after
+                    }
+                  }
+              }
+            case "list_slice" | "array_slice" =>
+              // Integer-literal bounds only: DuckDB's inclusive 1-based
+              // end → Spark slice()'s length. Verified equivalences:
+              // in-range, end-clamped, both-negative, start>end (empty),
+              // start-past-end-of-list (empty). Mixed-sign bounds and the
+              // string/step forms have no Spark twin → guidance.
+              scanCall(sql, j).flatMap { case (after, _) =>
+                splitTop(sql.substring(j + 1, after - 1))
+                  .filter(_.length == 3).flatMap { args =>
+                    (intLit(args(1)), intLit(args(2))) match {
+                      case (Some(b), Some(e))
+                          if (b >= 1 && e >= 0) || (b <= e && e <= -1) =>
+                        Some {
+                          sb.append("slice(")
+                            .append(rewrite(args(0)).trim).append(", ")
+                            .append(b).append(", ")
+                            .append(math.max(e - b + 1, 0L)).append(')')
+                          i = after
+                        }
+                      case _ => None
+                    }
+                  }
+              }
+            case "struct_pack" =>
+              // struct_pack(k := v, …) → named_struct('k', v, …); every
+              // top-level arg must be an `ident := expr` pair.
+              scanCall(sql, j).flatMap { case (after, _) =>
+                splitTop(sql.substring(j + 1, after - 1)).flatMap { args =>
+                  val pairs = args.map { a =>
+                    val at = a.indexOf(":=")
+                    if (at < 0) None
+                    else {
+                      val k = a.substring(0, at).trim
+                      val ok = k.nonEmpty &&
+                        (Character.isLetter(k.head) || k.head == '_') &&
+                        k.forall(ch =>
+                          Character.isLetterOrDigit(ch) || ch == '_')
+                      if (ok) Some((k, a.substring(at + 2))) else None
+                    }
+                  }
+                  if (pairs.isEmpty || pairs.exists(_.isEmpty)) None
+                  else Some {
+                    sb.append("named_struct(")
+                    pairs.flatten.zipWithIndex.foreach { case ((k, v), ix) =>
+                      if (ix > 0) sb.append(", ")
+                      sb.append('\'').append(k).append("', ")
+                        .append(rewrite(v).trim)
+                    }
+                    sb.append(')')
+                    i = after
+                  }
+                }
+              }
+            case "epoch" =>
+              // epoch(ts) returns FRACTIONAL seconds in DuckDB (verified:
+              // epoch(… 11:59:44.123456) = 1627991984.123456), so the
+              // bridge goes through unix_micros, not unix_timestamp.
+              scanCall(sql, j).collect { case (after, false) =>
+                sb.append("(unix_micros(")
+                  .append(rewrite(sql.substring(j + 1, after - 1)).trim)
+                  .append(") / 1e6)") // 1e6 is a DOUBLE literal in Spark —
+                // the result type matches DuckDB's epoch() DOUBLE
+                // (1000000.0 would parse as DECIMAL and change the type)
+                i = after
+              }
             case _ => None
           }
         if (special.isEmpty) sb.append(
           if (isCall && !qualified) renames.getOrElse(lower, word)
           else word)
+        }
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  // Clause keywords that can follow an expression — a bare `* exclude`
+  // where `exclude` is a real COLUMN (multiplication) must not swallow
+  // the next clause head as the excluded-column name.
+  private val Keywords = Set(
+    "from", "where", "group", "order", "having", "limit", "offset",
+    "union", "except", "intersect", "join", "inner", "left", "right",
+    "full", "cross", "on", "as", "select", "when", "then", "else", "end",
+    "and", "or", "not", "between", "in", "is", "like", "case", "window",
+    "qualify", "distinct", "all")
+
+  private def lastNonWs(sb: StringBuilder): Char = {
+    var k = sb.length - 1
+    while (k >= 0 && Character.isWhitespace(sb.charAt(k))) k -= 1
+    if (k >= 0) sb.charAt(k) else ' '
+  }
+
+  /** Parse `ident(.ident)*` starting at `start` (each part bare or
+    * "double-quoted"), returning the Spark-backticked text and the index
+    * after the chain. None when `start` is not at an identifier. */
+  private def parseIdentChain(sql: String, start: Int)
+      : Option[(String, Int)] = {
+    val n = sql.length
+    val out = new StringBuilder
+    var i = start
+    def one(): Boolean =
+      if (i < n && sql.charAt(i) == '"') {
+        i += 1; out.append('`')
+        while (i < n && sql.charAt(i) != '"') { out.append(sql.charAt(i)); i += 1 }
+        if (i >= n) false else { i += 1; out.append('`'); true }
+      } else if (i < n && (Character.isLetter(sql.charAt(i)) ||
+        sql.charAt(i) == '_')) {
+        while (i < n && (Character.isLetterOrDigit(sql.charAt(i)) ||
+          sql.charAt(i) == '_')) { out.append(sql.charAt(i)); i += 1 }
+        true
+      } else false
+    if (!one()) return None
+    while (i < n && sql.charAt(i) == '.') {
+      out.append('.'); i += 1
+      if (!one()) return None
+    }
+    Some((out.toString, i))
+  }
+
+  /** Split an argument list on TOP-LEVEL commas (parens, brackets and
+    * both quote kinds respected). None on unbalanced text. */
+  private def splitTop(s: String): Option[Seq[String]] = {
+    val n = s.length
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      s.charAt(i) match {
+        case '\'' =>
+          cur.append('\''); i += 1
+          var closed = false
+          while (i < n && !closed) {
+            if (s.charAt(i) == '\'') {
+              if (i + 1 < n && s.charAt(i + 1) == '\'') { cur.append("''"); i += 2 }
+              else { cur.append('\''); closed = true; i += 1 }
+            } else { cur.append(s.charAt(i)); i += 1 }
+          }
+          if (!closed) return None
+        case '"' =>
+          cur.append('"'); i += 1
+          while (i < n && s.charAt(i) != '"') { cur.append(s.charAt(i)); i += 1 }
+          if (i >= n) return None
+          cur.append('"'); i += 1
+        case c @ ('(' | '[') => depth += 1; cur.append(c); i += 1
+        case c @ (')' | ']') => depth -= 1; cur.append(c); i += 1
+        case ',' if depth == 0 => parts += cur.toString; cur.setLength(0); i += 1
+        case c => cur.append(c); i += 1
+      }
+    }
+    if (depth != 0) None
+    else { parts += cur.toString; Some(parts.toSeq) }
+  }
+
+  /** Some(unescaped value) when the trimmed arg is exactly one
+    * single-quoted literal (interior quotes '' only). */
+  private def bareLiteral(arg: String): Option[String] = {
+    val t = arg.trim
+    if (t.length < 2 || t.head != '\'' || t.last != '\'') return None
+    val inner = t.substring(1, t.length - 1)
+    val out = new StringBuilder
+    var i = 0
+    while (i < inner.length) {
+      if (inner.charAt(i) == '\'') {
+        if (i + 1 < inner.length && inner.charAt(i + 1) == '\'') {
+          out.append('\''); i += 2
+        } else return None // a bare quote ⇒ not ONE literal
+      } else { out.append(inner.charAt(i)); i += 1 }
+    }
+    Some(out.toString)
+  }
+
+  private def intLit(arg: String): Option[Long] = {
+    val t = arg.trim
+    val digits = if (t.startsWith("-")) t.drop(1) else t
+    if (digits.nonEmpty && digits.length <= 18 && digits.forall(_.isDigit))
+      Some(t.toLong)
+    else None
+  }
+
+  /** Re-quote a string as a Spark SQL literal (Spark's default literals
+    * process C escapes, so backslashes double). */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+  // C strftime code → JDK DateTimeFormatter pattern, zero-padded and
+  // `%-` no-pad variants. Codes verified against the installed DuckDB:
+  // %I/%H pad to 2, %j to 3, %p = AM/PM, %f = 6-digit microseconds.
+  private val CPad = Map(
+    'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'h' -> "MMM", 'B' -> "MMMM",
+    'd' -> "dd", 'H' -> "HH", 'I' -> "hh", 'j' -> "DDD", 'm' -> "MM",
+    'M' -> "mm", 'p' -> "a", 'S' -> "ss", 'y' -> "yy", 'Y' -> "yyyy",
+    'f' -> "SSSSSS")
+  private val CNoPad = Map(
+    'd' -> "d", 'H' -> "H", 'I' -> "h", 'j' -> "D", 'm' -> "M",
+    'M' -> "m", 'S' -> "s")
+
+  /** C format string → JDK pattern; literal text is JDK-quoted (every
+    * letter run — JDK treats bare letters as pattern codes). None when
+    * any % code has no JDK twin (locale/%U weeks/%Z zones/…). */
+  def cFormatToJdk(fmt: String): Option[String] = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(Character.isLetter) || s.contains('\''))
+        out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s)
+      lit.setLength(0)
+    }
+    var i = 0
+    while (i < fmt.length) {
+      fmt.charAt(i) match {
+        case '%' if i + 1 < fmt.length =>
+          val c1 = fmt.charAt(i + 1)
+          if (c1 == '%') { lit.append('%'); i += 2 }
+          else if (c1 == '-' && i + 2 < fmt.length &&
+            CNoPad.contains(fmt.charAt(i + 2))) {
+            flush(); out.append(CNoPad(fmt.charAt(i + 2))); i += 3
+          } else CPad.get(c1) match {
+            case Some(jdk) => flush(); out.append(jdk); i += 2
+            case None => return None
+          }
+        case '%' => return None // trailing bare %
+        case c => lit.append(c); i += 1
+      }
+    }
+    flush()
+    Some(out.toString)
   }
 
   /** Scan from the '(' at `open` to its MATCHING ')' (quoted regions
@@ -302,7 +565,7 @@ object DuckDialect {
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(struct_pack|list_slice|list_prepend|quantile_disc|strftime|strptime|string_split|str_split|delta_scan|read_csv|read_json|len|list_sum|list_aggregate|list_reduce|regexp_full_match|epoch)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:EXCLUDE|REPLACE)\b""".r
+    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|strftime|strptime|string_split|str_split|delta_scan|read_csv|read_json|len|list_sum|list_aggregate|list_reduce|regexp_full_match)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined
@@ -316,22 +579,27 @@ object DuckDialect {
        |The rewrite bridges: ${renames.keys.toSeq.sorted.mkString(", ")};
        |`//` -> `div`; "double-quoted" identifiers -> `backticks`;
        |backslashes in '...' literals.
+       |Conditionally bridged (this statement used an unbridged form):
+       |  strftime/strptime (bridged for LITERAL formats whose % codes have
+       |  JDK twins; otherwise use date_format/to_timestamp with JDK
+       |  patterns), list_slice (bridged for integer-LITERAL bounds of one
+       |  sign; otherwise use slice(l, start, length); the STRING form has
+       |  no twin — use substring), struct_pack (bridged for k := v args),
+       |  epoch (1-arg form; = unix_micros(ts)/1e6, fractional seconds).
        |Known DuckDB-isms with NO direct Spark twin (rewrite by hand):
        |  string_split (literal sep; use split(s, regexp) and quote the
        |  separator), list_prepend (args are (elem, list) in DuckDB but
        |  (array, elem) in Spark's array_prepend — swap them),
-       |  list_slice (use slice(l, start, length)),
-       |  struct_pack (use named_struct('k', v, ...)), quantile_disc
-       |  (use percentile_approx or an explicit window), strftime/strptime
-       |  (use date_format/to_timestamp with JDK patterns),
+       |  quantile_disc (use percentile_approx or an explicit window),
        |  len (type-ambiguous: length for strings, size for lists),
        |  list_sum/list_aggregate/list_reduce (use aggregate/reduce with an
        |  explicit zero), date_diff('part', a, b) (DuckDB counts boundary
        |  crossings; use timestampdiff(PART, a, b) and check the edge
-       |  semantics), epoch (fractional seconds; use unix_micros(ts)/1e6),
+       |  semantics),
        |  regexp_full_match (anchor the pattern: regexp_like(s, '^...$$')),
        |  list_extract/array_extract on STRINGS (use substring),
-       |  SELECT * EXCLUDE/REPLACE (enumerate columns),
+       |  SELECT * REPLACE (enumerate columns; * EXCLUDE IS bridged to
+       |  Spark's * EXCEPT),
        |  delta_scan('p') (query the table through DeltaScanner/$$TABLE —
        |  the engine's Delta reader is not a SQL table function),
        |  read_csv/read_json (auto-detection differs; use spark.read with

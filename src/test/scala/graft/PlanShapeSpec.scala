@@ -24,9 +24,36 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
-  private def exchanges(p: String): Int =
+  /** Drop InMemoryRelation build subtrees from a plan string: the tree
+    * printer repeats the cached BUILD plan under every consumer's
+    * InMemoryTableScan, so counting raw Exchange lines would (a) count
+    * the one-per-corpus build shuffle as if it ran per query and
+    * (b) count it once PER CONSUMER. Depth = offset of the first
+    * non-tree-art character; a build subtree is everything deeper than
+    * its InMemoryRelation line. */
+  private def stripCachedBuilds(p: String): String = {
+    def depth(l: String): Int = {
+      val d = l.indexWhere(c => c != ' ' && c != ':' && c != '+' && c != '-')
+      if (d < 0) Int.MaxValue else d
+    }
+    val out = new StringBuilder
+    var skipDeeperThan = -1
+    for (l <- p.linesIterator) {
+      val d = depth(l)
+      if (skipDeeperThan >= 0 && d > skipDeeperThan) ()
+      else {
+        skipDeeperThan = if (l.contains("InMemoryRelation")) d else -1
+        out.append(l).append('\n')
+      }
+    }
+    out.toString
+  }
+
+  private def exchanges(p: String): Int = {
+    val q = stripCachedBuilds(p)
     "(?m)^\\s*(?:\\+- |:- )?Exchange hashpartitioning".r
-      .findAllIn(p).length + "Exchange rangepartitioning".r.findAllIn(p).length
+      .findAllIn(q).length + "Exchange rangepartitioning".r.findAllIn(q).length
+  }
 
   test("q104: bench n-grams broadcast; corpus text never shuffles") {
     val p = plan("q104_ngram_decontamination")
@@ -65,7 +92,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"df and corpus stats must ride in as broadcasts:\n$p")
     assert(p.contains("TakeOrdered"), "top-k must plan as TakeOrdered")
-    // the only data-sized exchanges: (doc,word) tf agg + doc-level combine
+    // per-QUERY data-sized exchanges only (the (doc,word) tf rollup build
+    // is cached and amortized across q126/q131/q153 — stripCachedBuilds):
+    // the df word agg over the cache read + the doc-level combine
     assert(exchanges(p) <= 2, s"bm25 grew extra exchanges:\n$p")
     // the isin() term filter must sit under the Generate's output, before
     // any exchange — the exploded token stream never shuffles unfiltered

@@ -103,9 +103,40 @@ class TierASpec extends AnyFunSuite {
     assert(rewrite("SELECT array_length(x, 1)") == "SELECT array_length(x, 1)")
     assert(rewrite("SELECT strpos(s, 'll'), starts_with(s, 'a')") ==
       "SELECT instr(s, 'll'), startswith(s, 'a')")
-    // paren-free EXCLUDE/REPLACE forms are recognized as unbridgeable
-    assert(graft.DuckDialect.unbridgeable("SELECT * EXCLUDE city FROM t"))
+    // * EXCLUDE (both forms) bridges to Spark's * EXCEPT; REPLACE doesn't
+    assert(rewrite("SELECT * EXCLUDE city FROM t") ==
+      "SELECT * EXCEPT (city) FROM t")
+    assert(rewrite("SELECT * EXCLUDE (a, b) FROM t") ==
+      "SELECT * EXCEPT (a, b) FROM t")
+    assert(rewrite("SELECT t.* EXCLUDE t.\"a b\" FROM t") ==
+      "SELECT t.* EXCEPT (t.`a b`) FROM t")
+    // NOT after a star: a column actually named exclude stays a column
+    assert(rewrite("SELECT exclude FROM t") == "SELECT exclude FROM t")
     assert(graft.DuckDialect.unbridgeable("SELECT * REPLACE (a AS b) FROM t"))
+    // strftime/strptime: literal C formats translate (letter runs get
+    // JDK-quoted); unsupported codes (%U week-of-year) stay untouched
+    assert(rewrite("SELECT strftime(ts, '%Y-%m-%dT%H:%M')") ==
+      "SELECT date_format(ts, 'yyyy-MM-dd''T''HH:mm')")
+    assert(rewrite("SELECT strftime('%-H h', ts)") == // either arg order
+      "SELECT date_format(ts, 'H'' h''')")
+    assert(rewrite("SELECT strptime(s, '%d/%m/%Y')") ==
+      "SELECT to_timestamp(s, 'dd/MM/yyyy')")
+    assert(rewrite("SELECT strftime(ts, '%U')") == "SELECT strftime(ts, '%U')")
+    assert(graft.DuckDialect.unbridgeable("SELECT strftime(ts, '%U')"))
+    // list_slice: literal bounds of one sign become slice()'s length form
+    assert(rewrite("SELECT list_slice(x, 2, 4)") == "SELECT slice(x, 2, 3)")
+    assert(rewrite("SELECT list_slice(x, -2, -1)") == "SELECT slice(x, -2, 2)")
+    assert(rewrite("SELECT list_slice(x, 4, 2)") == "SELECT slice(x, 4, 0)")
+    assert(rewrite("SELECT list_slice(x, 2, -1)") == // mixed signs: no twin
+      "SELECT list_slice(x, 2, -1)")
+    assert(rewrite("SELECT list_slice(x, i, j)") == "SELECT list_slice(x, i, j)")
+    // struct_pack's := pairs become named_struct; nested duckisms rewrite
+    assert(rewrite("SELECT struct_pack(a := 1, b := list_value(2))") ==
+      "SELECT named_struct('a', 1, 'b', array(2))")
+    assert(rewrite("SELECT struct_pack(x)") == "SELECT struct_pack(x)")
+    // epoch keeps DuckDB's fractional seconds via unix_micros
+    assert(rewrite("SELECT epoch(ts)") ==
+      "SELECT (unix_micros(ts) / 1e6)")
     // type-ambiguous / semantics-divergent names route to guidance …
     assert(graft.DuckDialect.unbridgeable("SELECT len(x) FROM t"))
     assert(graft.DuckDialect.unbridgeable("SELECT list_sum(x) FROM t"))
@@ -180,6 +211,26 @@ class TierASpec extends AnyFunSuite {
     assert(one("SELECT array_length(list_value(1,2,3))") == 3)
     assert(one("SELECT starts_with('abc', 'ab')") == true)
     assert(one("SELECT ends_with('abc', 'bc')") == true)
+    // r8 conditional bridges — expected values are the installed DuckDB's:
+    assert(one("SELECT strftime(TIMESTAMP '2021-08-03 14:05:04', " +
+      "'%Y-%m-%dT%H:%M')") == "2021-08-03T14:05")
+    assert(one("SELECT strftime(TIMESTAMP '2021-08-03 14:05:04', " +
+      "'at %-H h on %A')") == "at 14 h on Tuesday")
+    assert(one("SELECT strptime('03/08/2021', '%d/%m/%Y')").toString
+      .startsWith("2021-08-03"))
+    assert(one("SELECT list_slice(list_value(1,2,3,4,5), 2, 4)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 3, 4))
+    assert(one("SELECT list_slice(list_value(1,2,3,4,5), 2, 10)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 3, 4, 5))
+    assert(one("SELECT list_slice(list_value(1,2,3,4,5), -2, -1)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(4, 5))
+    assert(one("SELECT list_slice(list_value(1,2,3,4,5), 4, 2)")
+      .asInstanceOf[scala.collection.Seq[Int]].isEmpty)
+    assert(one("SELECT struct_pack(a := 1, b := 'x').b") == "x")
+    assert(one("SELECT epoch(TIMESTAMP '2021-08-03 11:59:44.123456')")
+      == 1627991984.123456) // a DOUBLE, as DuckDB returns
+    assert(one("SELECT * EXCLUDE a FROM (SELECT 1 AS a, 2 AS b)") == 2)
+    assert(one("SELECT * EXCLUDE (a, c) FROM (SELECT 1 a, 2 b, 3 c)") == 2)
   }
 
   test("A6 fallback: DuckDB-dialect SQL runs through query() after the " +
@@ -197,12 +248,17 @@ class TierASpec extends AnyFunSuite {
     // valid Spark SQL is never rewritten (backslash escapes intact)
     assert(scanner.query("documents",
       Some("SELECT 'a\\tb' AS s FROM $TABLE LIMIT 1")).head.getString(0) == "a\tb")
-    // unbridgeable: struct_pack's := syntax — error carries the guidance
+    // struct_pack's := syntax is bridged since r8 — runs through query()
+    assert(scanner.query("documents",
+      Some("SELECT struct_pack(a := 1, b := 'x').b AS b FROM $TABLE LIMIT 1"))
+      .head.getString(0) == "x")
+    // unbridgeable: list_sum's zero type is ambiguous — guidance raised
     val e = intercept[IllegalArgumentException] {
-      scanner.query("documents", Some("SELECT struct_pack(a := 1) FROM $TABLE"))
+      scanner.query("documents",
+        Some("SELECT list_sum(list_value(n_chars)) FROM $TABLE"))
     }
-    assert(e.getMessage.contains("struct_pack") &&
-      e.getMessage.contains("named_struct"))
+    assert(e.getMessage.contains("list_sum") &&
+      e.getMessage.contains("aggregate/reduce"))
   }
 
   test("stats and schema mirror count()/schema") {
