@@ -75,9 +75,16 @@ object Dedup {
     * (per-doc cardinalities and the pair expansion) share the physical
     * Exchange via ReuseExchange — measurably cheaper than persist(),
     * which paid cache serialization for a subplan read only twice. */
-  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsOf(s, docs(s, d))
+
+  /** [[jaccardPairs]] over an arbitrary (doc_id, text) frame — the
+    * manifest pipeline (q156/q157) dedups its QUALITY-FILTERED survivors,
+    * not the raw corpus, so df caps and Jaccard denominators are computed
+    * on the filtered population (the oracle mirrors this). */
+  private[graft] def jaccardPairsOf(s: SparkSession, docsDf: DataFrame): DataFrame = {
     graft.functions.WordShingleHashes.register(s)
-    val sh = docs(s, d).select(col("doc_id"),
+    val sh = docsDf.select(col("doc_id"),
       explode(graft.functions.WordShingleHashes
         .shingleHashes(col("text"), 3)).as("s"))
     // ONE shuffle builds the inverted lists; the df∈[2,20] filter is a
@@ -163,10 +170,14 @@ object Dedup {
   // driverEdgeCap is a parameter so the spec can force the distributed
   // branch (cap = 0) on the small test corpus and prove both paths agree
   private[graft] def nearDupComponents(s: SparkSession, d: String,
+      driverEdgeCap: Int = MaxDriverEdges): DataFrame =
+    nearDupComponentsOf(s, docs(s, d), driverEdgeCap)
+
+  private[graft] def nearDupComponentsOf(s: SparkSession, docsDf: DataFrame,
       driverEdgeCap: Int = MaxDriverEdges): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val pairs0 = jaccardPairs(s, d).select("a", "b").persist()
+    val pairs0 = jaccardPairsOf(s, docsDf).select("a", "b").persist()
     val head = pairs0.limit(driverEdgeCap + 1).collect()
     if (head.length <= driverEdgeCap) {
       pairs0.unpersist()
@@ -739,7 +750,181 @@ object Dedup {
         "JOIN documents db ON pairs.b = db.doc_id) " +
         "SELECT sa, sb, COUNT(*) AS n_pairs FROM lab " +
         "GROUP BY sa, sb ORDER BY sa, sb"))
+    ,
+
+    // ---- The CAPSTONE: materialize the training set end-to-end ----
+    //
+    // Every corpus-build stage this library implements, composed in
+    // production order over one population — the query a data-pipeline
+    // owner actually ships, not the per-stage diagnostics:
+    //
+    //   raw → quality filter (q41's integer signals: ≥12 tokens, ≥1
+    //   stopword, mean token length ≤15) → dedup on the SURVIVORS
+    //   (q97's rule: exact sha256 canonical ∧ near-dup component
+    //   canonical — df caps and Jaccard denominators computed on the
+    //   filtered population, which is what a staged pipeline sees) →
+    //   benchmark decontamination (q91's panel: drop any doc containing
+    //   a bench prefix — including the bench members themselves, which
+    //   trivially contain their own prefix) → per-source cap (q110's
+    //   md5-ordered deterministic sample, 15/source) → split assignment
+    //   (q89's md5 buckets).
+    //
+    // Scale shape, stage by stage: the quality filter is a narrow
+    // predicate on the scan; dedup reuses the df-capped inverted-list
+    // machinery (one shingle shuffle, bounded groups) and the digest
+    // groupBy (text never shuffles — only (digest, doc_id)); the ≤207
+    // bench prefixes broadcast into a single anti-join pass; the cap's
+    // rank≤15 plans as WindowGroupLimit (per-partition partial limit
+    // BEFORE the source-keyed exchange, so a billion-doc source ships
+    // 15 rows per map task, not its whole partition); the manifest
+    // rollup is a (split, source)-keyed aggregate over survivor
+    // metadata only. Document text leaves the scan node exactly twice
+    // (shingles, bench contains) and never enters an exchange.
+    GraftQuery("q156_training_manifest",
+      (s, d) => {
+        val (_, _, _, _, capped) = manifestStages(s, d)
+        val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+        capped
+          .select(when(h2 < "cd", "train").when(h2 < "e6", "val")
+            .otherwise("test").as("split"),
+            col("source"), col("n_chars"), col("n_tokens"))
+          .groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("total_chars"),
+            sum("n_tokens").cast("long").as("total_tokens"))
+          .orderBy("split", "source")
+      },
+      Some("WITH RECURSIVE " + ManifestCtes +
+        ", fin AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split, " +
+        "source, n_chars, n_tokens FROM cap) " +
+        "SELECT split, source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
+        "FROM fin GROUP BY split, source ORDER BY split, source"))
+    ,
+
+    // The pipeline FUNNEL — q156's observability twin: how many
+    // documents (and chars) survive each stage. The numbers a corpus
+    // report leads with, and the regression signal when a filter starts
+    // eating the corpus. Five bounded aggregates over the shared stage
+    // frames; each is one linear pass (the component labels compute
+    // once — the label frame is built a single time and reused by the
+    // later stage frames' lineage).
+    GraftQuery("q157_pipeline_funnel",
+      (s, d) => {
+        val (base, quality, deduped, decon, capped) = manifestStages(s, d)
+        def stageAgg(df: DataFrame, ord: Int, name: String): DataFrame =
+          df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("n_chars"), lit(0L)).cast("long").as("total_chars"))
+            .select(lit(ord.toLong).as("stage"), lit(name).as("stage_name"),
+              col("n_docs"), col("total_chars"))
+        stageAgg(base, 1, "raw")
+          .unionAll(stageAgg(quality, 2, "quality"))
+          .unionAll(stageAgg(deduped, 3, "dedup"))
+          .unionAll(stageAgg(decon, 4, "decontaminated"))
+          .unionAll(stageAgg(capped, 5, "capped"))
+          .orderBy("stage")
+      },
+      Some("WITH RECURSIVE " + ManifestCtes + " " +
+        "SELECT * FROM (" +
+        "SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs, CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS total_chars FROM b " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), 'quality', COUNT(*), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM q " +
+        "UNION ALL SELECT CAST(3 AS BIGINT), 'dedup', COUNT(*), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM dd " +
+        "UNION ALL SELECT CAST(4 AS BIGINT), 'decontaminated', COUNT(*), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM dec " +
+        "UNION ALL SELECT CAST(5 AS BIGINT), 'capped', COUNT(*), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM cap" +
+        ") ORDER BY stage"))
   )
+
+  /** Stage frames of the q156/q157 manifest pipeline, in application
+    * order: (raw, quality, deduped, decontaminated, capped). Shared so
+    * the manifest and the funnel agree by construction. */
+  private def manifestStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = docs(s, d).select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"),
+      tokenCount(col("text")).as("n_tokens"),
+      regexp_count(lower(col("text")), lit(TextAnalysis.StopRe)).cast("long")
+        .as("n_stop"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+        .as("n_glyphs"))
+    // integer-only predicates: both engines compare exact BIGINTs
+    val quality = base.filter(col("n_tokens") >= 12 && col("n_stop") >= 1 &&
+      col("n_glyphs") <= col("n_tokens") * 15)
+    // q97's keep rule over the FILTERED population (deliberately not
+    // persisted: the later stages re-run the narrow filter off the scan
+    // — recomputing a predicate is cheaper than caching corpus text)
+    val exactKeep = quality
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val labels = nearDupComponentsOf(s, quality)
+    val deduped = quality.join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(labels, Seq("doc_id"), "left")
+      .filter(col("canonical").isNull || col("canonical") === col("doc_id"))
+      .drop("canonical")
+    // q91's bench panel (fixed-size by construction) — any doc
+    // CONTAINING a bench prefix leaves, bench members included
+    val bench = docs(s, d)
+      .filter(pmod(col("doc_id"), lit(97)) === 0 &&
+        col("doc_id") < TextAnalysis.BenchCap)
+      .select(substring(col("text"), 1, 60).as("prefix"))
+    val decon = deduped.join(broadcast(bench),
+      contains(col("text"), col("prefix")), "left_anti")
+    // the cap hash is SALTED ('cap:' prefix): q89's split buckets hash
+    // the bare doc_id, and ordering the cap by that same hash would
+    // correlate the two decisions — taking each source's 15 lowest
+    // md5(doc_id) values selects almost only split-hash prefixes
+    // < 'cd', i.e. the whole capped corpus lands in 'train' (observed
+    // on the fixture: 20 of 22 manifest cells were train). Independent
+    // hash decisions need independent salts.
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    val capped = decon.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 15)
+    (base, quality, deduped, decon, capped)
+  }
+
+  /** The q156/q157 oracle CTE chain (b → q → … → cap), mirroring
+    * [[manifestStages]] stage for stage; q97's recursive-reachability
+    * component fragment runs over the quality survivors `q`. */
+  private def ManifestCtes: String =
+    ("""b AS (SELECT doc_id, text, lang, source, n_chars,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS n_stop,
+      |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_glyphs
+      |  FROM documents),
+      |q AS (SELECT * FROM b WHERE n_tokens >= 12 AND n_stop >= 1 AND n_glyphs <= n_tokens * 15),
+      |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM q),
+      |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+      |  FOR i IN generate_series(1, len(toks)-2)])) AS s FROM t),
+      |sdf AS (SELECT s FROM (SELECT s, COUNT(*) AS d FROM sh GROUP BY s) WHERE d BETWEEN 2 AND 20),
+      |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN sdf ON sh.s = sdf.s),
+      |card AS (SELECT doc_id, COUNT(*) AS c FROM shf GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b2, COUNT(*) AS i FROM shf x
+      |  JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      |jp AS (SELECT a, b2 FROM (
+      |  SELECT inter.a, inter.b2, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
+      |  FROM inter JOIN card ca ON inter.a = ca.doc_id JOIN card cb ON inter.b2 = cb.doc_id)
+      |  WHERE jaccard >= 0.1),
+      |und AS (SELECT a, b2 FROM jp UNION SELECT b2, a FROM jp),
+      |reach(src, dst) AS (
+      |  SELECT DISTINCT a, a FROM und
+      |  UNION
+      |  SELECT r.src, u.b2 FROM reach r JOIN und u ON r.dst = u.a),
+      |comp AS (SELECT src AS doc_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+      |ek AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY sha256(text)),
+      |dd AS (SELECT q.* FROM q JOIN ek ON q.doc_id = ek.doc_id
+      |  LEFT JOIN comp ON q.doc_id = comp.doc_id
+      |  WHERE comp.canonical IS NULL OR comp.canonical = q.doc_id),
+      |bench AS (SELECT substr(text, 1, 60) AS prefix FROM documents
+      |  WHERE doc_id % 97 = 0 AND doc_id < 20000),
+      |dec AS (SELECT * FROM dd WHERE NOT EXISTS (
+      |  SELECT 1 FROM bench WHERE contains(dd.text, bench.prefix))),
+      |cap AS (SELECT * FROM (SELECT dec.*,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM dec) WHERE rn <= 15)""").stripMargin.replace("\n", " ")
 
   /** The q45 rare-shingle Jaccard pair SQL (no ORDER BY) — shared by the
     * q45 oracle and graph-shaped consumers (q119) as a CTE body. */

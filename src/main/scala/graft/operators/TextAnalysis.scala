@@ -23,7 +23,7 @@ object TextAnalysis {
     Tables.load(s, d, "documents")
 
   // Marker regexes shared verbatim (RE2 ∩ Java syntax) with the oracle.
-  private val StopRe = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+  private[operators] val StopRe = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
   private val EnRe = "\\b(the|and|of|to|is)\\b"
   private val DeRe = "\\b(der|die|das|und|ist)\\b"
   private val EsRe = "\\b(el|la|los|de|y|es)\\b"
@@ -32,7 +32,7 @@ object TextAnalysis {
   // q91's bench panel: every 97th doc_id below this — ≤ 207 prefixes at
   // ANY corpus size (all test corpora sit below the cap, so results are
   // unchanged there; an external eval suite is fixed-size by nature).
-  private val BenchCap = 20000
+  private[operators] val BenchCap = 20000
 
   private def reCount(c: Column, re: String): Column =
     regexp_count(c, lit(re)).cast("long")

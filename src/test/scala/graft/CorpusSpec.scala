@@ -89,6 +89,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(recall >= 0.65, f"recall $recall%.3f below floor")
   }
 
+  test("q156/q157 manifest pipeline: the funnel is monotone, every stage " +
+    "bites on the fixture, the manifest is the funnel's final stage, and " +
+    "no source exceeds its cap") {
+    // sf0.01: at sf0.001 (~50 docs over 20 sources) the 15-per-source
+    // cap never binds and the stage-bites assertions would be vacuous
+    val sf = "/root/testdata/sf0.01"
+    val funnel = SparkEntry.queries("q157_pipeline_funnel")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(funnel.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // stages only remove documents, and on this fixture each one does
+    funnel.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 < a._3, s"stage ${b._2} did not shrink ${a._2}")
+      assert(b._4 < a._4)
+    }
+    val manifest = SparkEntry.queries("q156_training_manifest")(spark, sf)
+      .collect()
+    val Some((_, _, nCapped, charsCapped)) = funnel.find(_._2 == "capped")
+    assert(manifest.map(_.getLong(2)).sum == nCapped,
+      "manifest cells must partition the capped set")
+    assert(manifest.map(_.getLong(3)).sum == charsCapped)
+    // per-source totals (across splits) respect the 15-doc cap
+    manifest.groupBy(_.getString(1)).foreach { case (src, cells) =>
+      assert(cells.map(_.getLong(2)).sum <= 15, s"$src exceeds the cap")
+    }
+    // both splits present beyond train — the salted cap hash must not
+    // correlate with the split hash (the bug this pipeline fixes)
+    val splits = manifest.map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"),
+      s"split correlation regression: only $splits present")
+  }
+
   test("q119 degree orientation enumerates the same per-node triangle " +
     "counts as the id orientation (sf0.1 — skew-safe plan, same answer)") {
     val sf01 = "/root/testdata/sf0.1"

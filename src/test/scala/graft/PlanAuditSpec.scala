@@ -42,7 +42,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q153 inherits q131's fused chain (1-row corpus-stats broadcast)
     "q153_context_packing",
     // q155: 1-row (ct, tt, v) totals frame crossed into the scorer
-    "q155_importance_weights")
+    "q155_importance_weights",
+    // q156/q157: the ≤207-row bench-prefix panel broadcasts into the
+    // decontamination anti-join (q91's bounded panel, LeftAnti form)
+    "q156_training_manifest", "q157_pipeline_funnel")
 
   // SMJ on genuinely data-sized both-sides joins: full outer (q68),
   // bench-prefix range resolution (q91), component → doc resolution
@@ -58,7 +61,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q131_hybrid_rrf", "q134_graph_load", "q135_rerank",
     "q145_leakproof_split",
     // q153 inherits q131's 100×100-row bounded full-outer RRF fuse
-    "q153_context_packing")
+    "q153_context_packing",
+    // q156/q157 inherit q97's component → doc resolution left join
+    // (survivors ⋈ near-dup labels, both doc_id-keyed)
+    "q156_training_manifest", "q157_pipeline_funnel")
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
