@@ -40,7 +40,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Deliberately NOT translated (arg shapes or semantics differ; listed in
   * [[guidance]]): `string_split` (literal separator vs Spark's regex
-  * `split`), `quantile_disc`, `SELECT * REPLACE`, non-literal
+  * `split`), `SELECT * REPLACE`, non-literal
   * `list_slice`/`strftime` forms, `list_*` on STRINGS.
   */
 object DuckDialect {
@@ -286,6 +286,25 @@ object DuckDialect {
                   }
                 }
               }
+            case "quantile_disc" | "quantile" =>
+              // DuckDB's call form → the ANSI WITHIN GROUP form; the
+              // 1-arg form is DuckDB's median. Values verified equal on
+              // both engines ("smallest value with cume_dist ≥ p") —
+              // the one divergence is TYPE: Spark's percentile_disc
+              // returns DOUBLE where DuckDB preserves the input type.
+              scanCall(sql, j).flatMap { case (after, _) =>
+                splitTop(sql.substring(j + 1, after - 1)).flatMap { args =>
+                  if (args.length < 1 || args.length > 2) None
+                  else Some {
+                    val p =
+                      if (args.length == 2) rewrite(args(1)).trim else "0.5"
+                    sb.append("percentile_disc(").append(p)
+                      .append(") WITHIN GROUP (ORDER BY ")
+                      .append(rewrite(args(0)).trim).append(')')
+                    i = after
+                  }
+                }
+              }
             case "epoch" =>
               // epoch(ts) returns FRACTIONAL seconds in DuckDB (verified:
               // epoch(… 11:59:44.123456) = 1627991984.123456), so the
@@ -322,7 +341,7 @@ object DuckDialect {
   private def lastNonWs(sb: StringBuilder): Char = {
     var k = sb.length - 1
     while (k >= 0 && Character.isWhitespace(sb.charAt(k))) k -= 1
-    if (k >= 0) sb.charAt(k) else ' '
+    if (k >= 0) sb.charAt(k) else '\u0000'
   }
 
   /** Parse `ident(.ident)*` starting at `start` (each part bare or
@@ -565,7 +584,7 @@ object DuckDialect {
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|strftime|strptime|string_split|str_split|delta_scan|read_csv|read_json|len|list_sum|list_aggregate|list_reduce|regexp_full_match)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b""".r
+    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|quantile|strftime|strptime|string_split|str_split|delta_scan|read_csv|read_json|len|list_sum|list_aggregate|list_reduce|regexp_full_match)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined
@@ -585,12 +604,13 @@ object DuckDialect {
        |  patterns), list_slice (bridged for integer-LITERAL bounds of one
        |  sign; otherwise use slice(l, start, length); the STRING form has
        |  no twin — use substring), struct_pack (bridged for k := v args),
-       |  epoch (1-arg form; = unix_micros(ts)/1e6, fractional seconds).
+       |  epoch (1-arg form; = unix_micros(ts)/1e6, fractional seconds),
+       |  quantile_disc/quantile (→ percentile_disc WITHIN GROUP — same
+       |  values, but the result type widens to DOUBLE).
        |Known DuckDB-isms with NO direct Spark twin (rewrite by hand):
        |  string_split (literal sep; use split(s, regexp) and quote the
        |  separator), list_prepend (args are (elem, list) in DuckDB but
        |  (array, elem) in Spark's array_prepend — swap them),
-       |  quantile_disc (use percentile_approx or an explicit window),
        |  len (type-ambiguous: length for strings, size for lists),
        |  list_sum/list_aggregate/list_reduce (use aggregate/reduce with an
        |  explicit zero), date_diff('part', a, b) (DuckDB counts boundary

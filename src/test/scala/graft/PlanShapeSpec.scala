@@ -201,6 +201,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "oriented edge list must come from the persisted cache")
   }
 
+  test("q156: the source cap plans as WindowGroupLimit with a partial " +
+    "below the exchange (15 rows per source leave each map task, not " +
+    "the whole partition); bench panel broadcasts, corpus never " +
+    "cartesians") {
+    val p = plan("q156_training_manifest")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"expected partial+final WindowGroupLimit pair:\n$p")
+    assert("BroadcastNestedLoopJoin [^\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      "the ≤207-prefix decontamination panel must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("single-corpus-pass rollups (r8): every consumer reads the cached " +
     "count frame — no direct corpus re-scan in the final plan") {
     // q132/q115: all consumers (totals, broadcasts, the scored stream)

@@ -137,6 +137,12 @@ class TierASpec extends AnyFunSuite {
     // epoch keeps DuckDB's fractional seconds via unix_micros
     assert(rewrite("SELECT epoch(ts)") ==
       "SELECT (unix_micros(ts) / 1e6)")
+    // quantile_disc/quantile → the ANSI WITHIN GROUP form (same values;
+    // the type widens to DOUBLE — documented in guidance)
+    assert(rewrite("SELECT quantile_disc(x, 0.25) FROM t") ==
+      "SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY x) FROM t")
+    assert(rewrite("SELECT quantile(x) FROM t") ==
+      "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x) FROM t")
     // type-ambiguous / semantics-divergent names route to guidance …
     assert(graft.DuckDialect.unbridgeable("SELECT len(x) FROM t"))
     assert(graft.DuckDialect.unbridgeable("SELECT list_sum(x) FROM t"))
@@ -231,6 +237,11 @@ class TierASpec extends AnyFunSuite {
       == 1627991984.123456) // a DOUBLE, as DuckDB returns
     assert(one("SELECT * EXCLUDE a FROM (SELECT 1 AS a, 2 AS b)") == 2)
     assert(one("SELECT * EXCLUDE (a, c) FROM (SELECT 1 a, 2 b, 3 c)") == 2)
+    // quantile_disc: DuckDB's values are 1,2,3,3 at p=0.25/0.5/0.51/0.75
+    // over (1,2,3,4) — the smallest value with cume_dist ≥ p
+    assert(one("SELECT quantile_disc(v, 0.5) FROM VALUES (1),(2),(3),(4) AS t(v)") == 2.0)
+    assert(one("SELECT quantile_disc(v, 0.51) FROM VALUES (1),(2),(3),(4) AS t(v)") == 3.0)
+    assert(one("SELECT quantile(v) FROM VALUES (10),(20),(30),(40),(50) AS t(v)") == 30.0)
   }
 
   test("A6 fallback: DuckDB-dialect SQL runs through query() after the " +
