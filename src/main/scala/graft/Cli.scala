@@ -143,7 +143,14 @@ object Cli {
                 }
             }
           }
-          catch { case e: Exception => println(s"error: ${e.getMessage}") }
+          catch { case e: Exception =>
+            println(s"error: ${e.getMessage}")
+            // the --query surface substitutes $TABLE; the REPL (like the
+            // reference's, query_sync_table.py:189-203) uses table names
+            if (sql.contains("$TABLE"))
+              println("hint: $TABLE belongs to the --query surface; in " +
+                "the REPL reference tables by name (see `tables`)")
+          }
       }
   }
 }
