@@ -38,10 +38,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * way); `struct_pack(k := v, …)` → `named_struct('k', v, …)`;
   * `epoch(ts)` → `unix_micros(ts)/1e6` (fractional seconds preserved).
   *
-  * Deliberately NOT translated (arg shapes or semantics differ; listed in
-  * [[guidance]]): `string_split` (literal separator vs Spark's regex
-  * `split`), `SELECT * REPLACE`, non-literal
-  * `list_slice`/`strftime` forms, `list_*` on STRINGS.
+  * Deliberately NOT translated (arg shapes or semantics differ; listed
+  * in [[guidance]]): `SELECT * REPLACE`, non-literal
+  * `list_slice`/`strftime`/`string_split` forms, `list_*` on STRINGS.
   */
 object DuckDialect {
 
@@ -285,6 +284,28 @@ object DuckDialect {
                     i = after
                   }
                 }
+              }
+            case "string_split" | "str_split" | "string_to_array" =>
+              // DuckDB splits on a LITERAL separator; Spark's split takes
+              // a regex — bridged by regex-escaping a literal separator.
+              // Verified equal on every edge: trailing/leading/adjacent
+              // empties kept ('a,b,' → [a,b,'']), no-match → [whole],
+              // '' input → [''], multi-char separators. The empty
+              // separator (DuckDB: per-char explode) and non-literal
+              // separators fall to guidance.
+              scanCall(sql, j).flatMap { case (after, _) =>
+                splitTop(sql.substring(j + 1, after - 1))
+                  .filter(_.length == 2).flatMap { args =>
+                    bareLiteral(args(1)).filter(_.nonEmpty).map { sep =>
+                      val escaped = sep.flatMap { ch =>
+                        if (Character.isLetterOrDigit(ch)) ch.toString
+                        else "\\" + ch
+                      }
+                      sb.append("split(").append(rewrite(args(0)).trim)
+                        .append(", ").append(sqlLit(escaped)).append(')')
+                      i = after
+                    }
+                  }
               }
             case "quantile_disc" | "quantile" =>
               // DuckDB's call form → the ANSI WITHIN GROUP form; the
@@ -584,7 +605,7 @@ object DuckDialect {
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|quantile|strftime|strptime|string_split|str_split|delta_scan|read_csv|read_json|len|list_sum|list_aggregate|list_reduce|regexp_full_match)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b""".r
+    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|quantile|strftime|strptime|string_split|str_split|string_to_array|delta_scan|read_csv|read_json|len|list_sum|list_aggregate|list_reduce|regexp_full_match)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined
@@ -599,6 +620,9 @@ object DuckDialect {
        |`//` -> `div`; "double-quoted" identifiers -> `backticks`;
        |backslashes in '...' literals.
        |Conditionally bridged (this statement used an unbridged form):
+       |  string_split/str_split/string_to_array (bridged for a non-empty
+       |  LITERAL separator, regex-escaped into split(); the empty-separator
+       |  per-char form and expression separators have no direct twin),
        |  strftime/strptime (bridged for LITERAL formats whose % codes have
        |  JDK twins; otherwise use date_format/to_timestamp with JDK
        |  patterns), list_slice (bridged for integer-LITERAL bounds of one
@@ -608,8 +632,7 @@ object DuckDialect {
        |  quantile_disc/quantile (→ percentile_disc WITHIN GROUP — same
        |  values, but the result type widens to DOUBLE).
        |Known DuckDB-isms with NO direct Spark twin (rewrite by hand):
-       |  string_split (literal sep; use split(s, regexp) and quote the
-       |  separator), list_prepend (args are (elem, list) in DuckDB but
+       |  list_prepend (args are (elem, list) in DuckDB but
        |  (array, elem) in Spark's array_prepend — swap them),
        |  len (type-ambiguous: length for strings, size for lists),
        |  list_sum/list_aggregate/list_reduce (use aggregate/reduce with an

@@ -137,6 +137,17 @@ class TierASpec extends AnyFunSuite {
     // epoch keeps DuckDB's fractional seconds via unix_micros
     assert(rewrite("SELECT epoch(ts)") ==
       "SELECT (unix_micros(ts) / 1e6)")
+    // string_split: literal separators regex-escape into split()
+    assert(rewrite("SELECT string_split(s, '.')") ==
+      "SELECT split(s, '\\\\.')") // the regex \. as a Spark literal
+    assert(rewrite("SELECT string_to_array(s, ',')") ==
+      "SELECT split(s, '\\\\,')")
+    assert(rewrite("SELECT string_split(s, 'xx')") ==
+      "SELECT split(s, 'xx')")
+    assert(rewrite("SELECT string_split(s, '')") == // per-char: no twin
+      "SELECT string_split(s, '')")
+    assert(rewrite("SELECT string_split(s, sep)") == // expression sep
+      "SELECT string_split(s, sep)")
     // quantile_disc/quantile → the ANSI WITHIN GROUP form (same values;
     // the type widens to DOUBLE — documented in guidance)
     assert(rewrite("SELECT quantile_disc(x, 0.25) FROM t") ==
@@ -237,6 +248,16 @@ class TierASpec extends AnyFunSuite {
       == 1627991984.123456) // a DOUBLE, as DuckDB returns
     assert(one("SELECT * EXCLUDE a FROM (SELECT 1 AS a, 2 AS b)") == 2)
     assert(one("SELECT * EXCLUDE (a, c) FROM (SELECT 1 a, 2 b, 3 c)") == 2)
+    // string_split edge semantics — DuckDB's values, verified: trailing/
+    // leading/adjacent empties kept, no-match → whole, multi-char sep
+    assert(one("SELECT string_split('a,b,', ',')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b", ""))
+    assert(one("SELECT string_split('a.b.c', '.')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b", "c"))
+    assert(one("SELECT string_split('a,,b', ',')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "", "b"))
+    assert(one("SELECT string_to_array('axxbxxc', 'xx')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b", "c"))
     // quantile_disc: DuckDB's values are 1,2,3,3 at p=0.25/0.5/0.51/0.75
     // over (1,2,3,4) — the smallest value with cume_dist ≥ p
     assert(one("SELECT quantile_disc(v, 0.5) FROM VALUES (1),(2),(3),(4) AS t(v)") == 2.0)
