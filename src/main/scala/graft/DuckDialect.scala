@@ -97,6 +97,7 @@ object DuckDialect {
     // scalars
     "strlen" -> "octet_length",
     "epoch_ms" -> "unix_millis",
+    "epoch_us" -> "unix_micros",
     "strpos" -> "instr",
     "starts_with" -> "startswith",
     "ends_with" -> "endswith",
@@ -303,6 +304,36 @@ object DuckDialect {
                       }
                       sb.append("split(").append(rewrite(args(0)).trim)
                         .append(", ").append(sqlLit(escaped)).append(')')
+                      i = after
+                    }
+                  }
+              }
+            case "list_prepend" =>
+              // DuckDB's args are (element, list); Spark's array_prepend
+              // is (array, element) — a plain rename would silently swap
+              // them, so this path swaps them back (verified equal:
+              // list_prepend(0,[1,2]) = array_prepend([1,2],0) = [0,1,2])
+              scanCall(sql, j).flatMap { case (after, _) =>
+                splitTop(sql.substring(j + 1, after - 1))
+                  .filter(_.length == 2).map { args =>
+                    sb.append("array_prepend(")
+                      .append(rewrite(args(1)).trim).append(", ")
+                      .append(rewrite(args(0)).trim).append(')')
+                    i = after
+                  }
+              }
+            case "regexp_full_match" =>
+              // whole-string match → regexp_like with the pattern wrapped
+              // in ^(?:…)$ — verified equal, incl. patterns carrying their
+              // own anchors. Literal patterns only (the wrap must happen
+              // inside the literal).
+              scanCall(sql, j).flatMap { case (after, _) =>
+                splitTop(sql.substring(j + 1, after - 1))
+                  .filter(_.length == 2).flatMap { args =>
+                    bareLiteral(args(1)).map { pat =>
+                      sb.append("regexp_like(")
+                        .append(rewrite(args(0)).trim).append(", ")
+                        .append(sqlLit("^(?:" + pat + ")$")).append(')')
                       i = after
                     }
                   }
@@ -629,17 +660,17 @@ object DuckDialect {
        |  sign; otherwise use slice(l, start, length); the STRING form has
        |  no twin — use substring), struct_pack (bridged for k := v args),
        |  epoch (1-arg form; = unix_micros(ts)/1e6, fractional seconds),
+       |  list_prepend (args swapped into array_prepend),
+       |  regexp_full_match (LITERAL patterns wrapped ^(?:…)$$ into
+       |  regexp_like; expression patterns: anchor by hand),
        |  quantile_disc/quantile (→ percentile_disc WITHIN GROUP — same
        |  values, but the result type widens to DOUBLE).
        |Known DuckDB-isms with NO direct Spark twin (rewrite by hand):
-       |  list_prepend (args are (elem, list) in DuckDB but
-       |  (array, elem) in Spark's array_prepend — swap them),
        |  len (type-ambiguous: length for strings, size for lists),
        |  list_sum/list_aggregate/list_reduce (use aggregate/reduce with an
        |  explicit zero), date_diff('part', a, b) (DuckDB counts boundary
        |  crossings; use timestampdiff(PART, a, b) and check the edge
        |  semantics),
-       |  regexp_full_match (anchor the pattern: regexp_like(s, '^...$$')),
        |  list_extract/array_extract on STRINGS (use substring),
        |  SELECT * REPLACE (enumerate columns; * EXCLUDE IS bridged to
        |  Spark's * EXCEPT),

@@ -137,6 +137,15 @@ class TierASpec extends AnyFunSuite {
     // epoch keeps DuckDB's fractional seconds via unix_micros
     assert(rewrite("SELECT epoch(ts)") ==
       "SELECT (unix_micros(ts) / 1e6)")
+    // list_prepend: DuckDB's (elem, list) args swap into array_prepend
+    assert(rewrite("SELECT list_prepend(0, list_value(1,2))") ==
+      "SELECT array_prepend(array(1,2), 0)")
+    // regexp_full_match: literal patterns wrap into anchored regexp_like
+    assert(rewrite("SELECT regexp_full_match(s, '[0-9]+')") ==
+      "SELECT regexp_like(s, '^(?:[0-9]+)$')")
+    assert(rewrite("SELECT regexp_full_match(s, p)") == // non-literal
+      "SELECT regexp_full_match(s, p)")
+    assert(rewrite("SELECT epoch_us(ts)") == "SELECT unix_micros(ts)")
     // string_split: literal separators regex-escape into split()
     assert(rewrite("SELECT string_split(s, '.')") ==
       "SELECT split(s, '\\\\.')") // the regex \. as a Spark literal
@@ -248,6 +257,11 @@ class TierASpec extends AnyFunSuite {
       == 1627991984.123456) // a DOUBLE, as DuckDB returns
     assert(one("SELECT * EXCLUDE a FROM (SELECT 1 AS a, 2 AS b)") == 2)
     assert(one("SELECT * EXCLUDE (a, c) FROM (SELECT 1 a, 2 b, 3 c)") == 2)
+    assert(one("SELECT list_prepend(0, list_value(1,2))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(0, 1, 2))
+    assert(one("SELECT regexp_full_match('ab12', '[a-z]+[0-9]+')") == true)
+    assert(one("SELECT regexp_full_match('ab12x', '[a-z]+[0-9]+')") == false)
+    assert(one("SELECT epoch_us(TIMESTAMP '1970-01-01 00:00:01.5')") == 1500000L)
     // string_split edge semantics — DuckDB's values, verified: trailing/
     // leading/adjacent empties kept, no-match → whole, multi-char sep
     assert(one("SELECT string_split('a,b,', ',')")
