@@ -34,6 +34,31 @@ object ExtendedOps {
       |FROM documents GROUP BY source ORDER BY source"""
       .stripMargin.replace("\n", " ")
 
+  // q158's text — every r8 CONDITIONAL bridge in one statement: the
+  // oracle executes this natively in DuckDB while the Spark side goes
+  // through DuckDialect.rewrite, so the hash match certifies each
+  // translation against the real engine (not just unit probes):
+  // * EXCLUDE wrap, string_split literal-space separator, list_slice
+  // literal bounds, quantile_disc (DOUBLE input so the type widening is
+  // a no-op), struct_pack field access, list_prepend arg swap via
+  // list_extract (NOT bracket indexing — DuckDB's [i] is 1-based,
+  // Spark's 0-based), regexp_full_match literal pattern, and the
+  // strftime / epoch / epoch_us constants.
+  private val DuckDialect2Sql: String =
+    """SELECT * EXCLUDE (dummy) FROM (SELECT source,
+      |CAST(COUNT(*) AS BIGINT) AS dummy,
+      |CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS med_disc,
+      |CAST(SUM(CAST(regexp_full_match(lang, '[a-z]{2}') AS BIGINT)) AS BIGINT) AS two_letter_langs,
+      |CAST(SUM(CAST(list_contains(list_slice(string_split(text, ' '), 1, 3), 'the') AS BIGINT)) AS BIGINT) AS the_in_first3,
+      |MAX(struct_pack(a := lang, b := source).a) AS max_lang,
+      |CAST(SUM(list_extract(list_prepend(CAST(n_chars AS BIGINT), list_value(CAST(0 AS BIGINT))), 1)) AS BIGINT) AS total_chars,
+      |strftime(TIMESTAMP '2021-08-03 14:05:04', '%Y/%m') AS stamp,
+      |CAST(epoch(TIMESTAMP '1970-01-01 00:02:00') AS DOUBLE) AS ep,
+      |CAST(epoch_us(TIMESTAMP '1970-01-01 00:00:01') AS BIGINT) AS epus
+      |FROM documents GROUP BY source) ORDER BY source"""
+      .stripMargin.replace("\n", " ")
+
   val all: Seq[GraftQuery] = Seq(
 
     // Right outer (all nations survive a filtered region dim) feeding a
@@ -198,5 +223,17 @@ object ExtendedOps {
         s.sql(graft.DuckDialect.rewrite(DuckDialectSql))
       },
       Some(DuckDialectSql))
+    ,
+
+    // q151's round-8 sibling: the CONDITIONAL bridges (see
+    // DuckDialect2Sql's comment for the construct list). Same contract —
+    // the oracle runs the identical text natively; a hash mismatch means
+    // a translation changed semantics.
+    GraftQuery("q158_duckdb_dialect2",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        s.sql(graft.DuckDialect.rewrite(DuckDialect2Sql))
+      },
+      Some(DuckDialect2Sql))
   )
 }
