@@ -24,8 +24,14 @@ object JdbcUpsertSink {
 
   trait UpsertConnection {
     /** Execute one prepared upsert statement for a batch of parameter
-      * rows (each row's values in statement-placeholder order). */
-    def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit
+      * rows (each row's values in statement-placeholder order). Returns
+      * the number of rows the DATABASE acknowledged affecting — the sum
+      * of JDBC update counts (`SUCCESS_NO_INFO` counts as 1). The
+      * written-row metric is built from this, NOT from the input batch
+      * size: a driver that silently affects 0 rows (a no-op MERGE, a
+      * lost session) must surface as a count mismatch at the caller,
+      * not as a claimed success. */
+    def executeBatch(sql: String, batch: Seq[Seq[Any]]): Long
     def close(): Unit
   }
 
@@ -42,14 +48,16 @@ object JdbcUpsertSink {
       private val p = new java.util.Properties()
       props.foreach { case (k, v) => p.setProperty(k, v) }
       private val conn = java.sql.DriverManager.getConnection(url, p)
-      override def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit = {
+      override def executeBatch(sql: String, batch: Seq[Seq[Any]]): Long = {
         val ps = conn.prepareStatement(sql)
         try {
           batch.foreach { row =>
             row.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
             ps.addBatch()
           }
-          ps.executeBatch()
+          ps.executeBatch().map { c =>
+            if (c == java.sql.Statement.SUCCESS_NO_INFO) 1L else c.toLong
+          }.sum
         } finally ps.close()
       }
       override def close(): Unit = conn.close()
@@ -124,10 +132,13 @@ object JdbcUpsertSink {
     * identical rows, the EFFECT is exactly-once per key. Two caveats the
     * caller owns: keys should be unique within `df` (duplicate keys race
     * across partitions, last-writer-wins), and the rows-written
-    * accumulator counts attempts, so it can over-count under replay —
-    * it is a progress signal, not a ledger (Spark de-dups accumulator
-    * updates from successful task attempts only, so in practice it
-    * over-counts only when a FAILED attempt had committed batches).
+    * accumulator counts DATABASE-ACKNOWLEDGED update counts per attempt
+    * (not input rows — a driver that silently affects 0 rows shows up as
+    * a shortfall here instead of a claimed success), so it can
+    * over-count under replay — a progress signal, not a ledger (Spark
+    * de-dups accumulator updates from successful task attempts only, so
+    * in practice it over-counts only when a FAILED attempt had
+    * committed batches).
     * JdbcSinkSpec's property test drives exactly these interleavings. */
   def write(df: DataFrame, factory: UpsertConnectionFactory, table: String,
       keys: Seq[String], batchSize: Int = 500,
@@ -139,9 +150,9 @@ object JdbcUpsertSink {
       if (it.hasNext) {
         val conn = factory.connect()
         try it.grouped(batchSize).foreach { g =>
-          conn.executeBatch(sql,
+          val acked = conn.executeBatch(sql,
             g.map(r => dialect.params(cols.indices.map(r.get), cols, keys)))
-          written.add(g.size)
+          written.add(acked)
         } finally conn.close()
       }
     }

@@ -26,11 +26,12 @@ object FakeDb {
       extends UpsertConnectionFactory {
     private val keyIdx = keys.map(cols.indexOf)
     override def connect(): UpsertConnection = new UpsertConnection {
-      override def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit = {
+      override def executeBatch(sql: String, batch: Seq[Seq[Any]]): Long = {
         require(sql == JdbcUpsertSink.postgresUpsertSql(table, cols, keys),
           "writer must emit the statement it declared")
         batches.incrementAndGet()
         batch.foreach(row => store.put((table, keyIdx.map(row)), row))
+        batch.size.toLong // every row acked, like postgres ON CONFLICT
       }
       override def close(): Unit = ()
     }
@@ -57,12 +58,13 @@ object FlakyDb {
       extends UpsertConnectionFactory {
     private val keyIdx = keys.map(cols.indexOf)
     override def connect(): UpsertConnection = new UpsertConnection {
-      override def executeBatch(sql: String, batch: Seq[Seq[Any]]): Unit = {
+      override def executeBatch(sql: String, batch: Seq[Seq[Any]]): Long = {
         // atomic apply: whole batch lands before any failure is raised
         batch.foreach(row => store.put((table, keyIdx.map(row)), row))
         if (statements.incrementAndGet() >= failAfter &&
           failed.compareAndSet(false, true))
           throw new RuntimeException("injected post-commit connection loss")
+        batch.size.toLong
       }
       override def close(): Unit = ()
     }
@@ -212,6 +214,12 @@ class JdbcSinkSpec extends AnyFunSuite {
     finally c.close()
   }
 
+  // Observed once (r8, full-suite run under concurrent box load): the
+  // final SELECT saw only batch 2's rows while n1 == 3 had passed —
+  // i.e. batch 1 was acknowledged but not visible. The sink now counts
+  // DATABASE-ACKED update counts (not input rows), so a recurrence
+  // fails at the n1 assertion with the precise shortfall instead of
+  // a downstream row diff. Not reproducible in isolation (6/6 green).
   test("live Derby: insert-then-upsert through the real DriverManager " +
     "factory and MERGE dialect") {
     import spark.implicits._
