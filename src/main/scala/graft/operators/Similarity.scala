@@ -29,6 +29,9 @@ object Similarity {
 
   private val QueryCount = 20 // vec_id < 20 are the query vectors
   private val TopK = 5
+  // q159's prefix-truncation levels (of the fixture's 64 dims); a
+  // literal constant — the per-level corpus pass count is fixed
+  private val TruncDims = Seq(4, 8, 16)
   // q118's anchor panel: every 10th vec_id below this — ≤ 2000 anchors
   // at ANY corpus size (all test corpora sit below the cap, so results
   // are unchanged there; beyond it the panel stays fixed and the eval
@@ -929,7 +932,91 @@ object Similarity {
         "(CAST(s1 AS DOUBLE) / 1125899906842624.0 / CAST(n AS DOUBLE)) * " +
         "(CAST(s1 AS DOUBLE) / 1125899906842624.0 / CAST(n AS DOUBLE)) AS variance, " +
         "mn, mx FROM a ORDER BY i")
-    )
+    ),
+
+    // Dimension-truncation recall — the Matryoshka-representation
+    // question: how much of the full-dimension neighborhood survives if
+    // vectors are cut to their first 4 / 8 / 16 of 64 dims? The scorer a
+    // storage-budget decision reads before shipping truncated embeddings
+    // (prefix-truncation IS the deployment mechanism for MRL-trained
+    // models; for non-MRL embeddings this measures the damage). Exact,
+    // not a sketch: recall@k of the truncated top-k against the q49
+    // full-dimension top-k over the same bounded query panel, as an
+    // integer hit count and its ratio. Scale shape = q49 × levels: the
+    // panel broadcasts (truncated per level), the corpus streams once
+    // per level through the same in-row CosineAll codegen scoring, each
+    // level's top-k is a bounded per-query window, and the hit join is
+    // (panel × k)-sized. Levels are a literal constant — the multi-pass
+    // is a fixed factor, not a data-dependent one.
+    GraftQuery("q159_dim_truncation_recall",
+      (s, d) => {
+        graft.functions.CosineAll.register(s)
+        val panel = emb(s, d).filter(col("vec_id") < QueryCount)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_._1)
+        if (panel.isEmpty)
+          emptyResult(s,
+            "trunc_dim BIGINT, n_hits BIGINT, n_possible BIGINT, recall DOUBLE")
+        else {
+          val qIds = typedLit(panel.map(_._1).toSeq)
+          def topIds(trunc: Option[Int]): DataFrame = {
+            val pv = panel.map(t => trunc.fold(t._2)(k => t._2.take(k)))
+              .toIndexedSeq
+            val nv = trunc.fold(col("embedding").cast("array<double>"))(k =>
+              slice(col("embedding").cast("array<double>"), 1, k))
+            topkPerQuery(emb(s, d)
+              .select(col("vec_id").as("n"),
+                posexplode(graft.functions.CosineAll.cosineAll(nv, pv))
+                  .as(Seq("aidx", "cos")))
+              .select(element_at(qIds, col("aidx") + 1).as("q"), col("n"),
+                col("cos"))
+              .filter(col("q") =!= col("n")))
+              .select("q", "n")
+          }
+          // panel×k rows; consumed once per level, then the 3-number
+          // result is driver-local (bounded-collect class, like the
+          // panel itself) so downstream re-executions replay nothing
+          val full = topIds(None).persist()
+          val possible = full.count()
+          val levels = TruncDims.map { k =>
+            val hits = topIds(Some(k))
+              .join(full, Seq("q", "n"), "left_semi").count()
+            (k.toLong, hits, possible,
+              if (possible == 0) 0.0 else hits.toDouble / possible.toDouble)
+          }
+          full.unpersist()
+          import s.implicits._
+          levels.toDF("trunc_dim", "n_hits", "n_possible", "recall")
+            .orderBy("trunc_dim")
+        }
+      },
+      Some {
+        def cosT(k: String) =
+          (s"""list_sum(list_transform(list_zip(q.v[1:$k], c.v[1:$k]), z -> z[1]*z[2]))
+            |/ (sqrt(list_sum(list_transform(q.v[1:$k], z -> z*z)))
+            |   * sqrt(list_sum(list_transform(c.v[1:$k], z -> z*z))))"""
+            ).stripMargin.replace("\n", " ")
+        def level(k: Int) =
+          s"t$k AS (SELECT q.vec_id AS q, c.vec_id AS n, ${cosT(k.toString)} AS cos " +
+            s"FROM e q JOIN e c ON q.vec_id < $QueryCount AND q.vec_id != c.vec_id), " +
+            s"r$k AS (SELECT q, n FROM (SELECT q, n, ROW_NUMBER() OVER " +
+            s"(PARTITION BY q ORDER BY cos DESC, n) AS rnk FROM t$k) WHERE rnk <= $TopK), " +
+            s"h$k AS (SELECT COUNT(*) AS c FROM r$k JOIN fullr USING (q, n))"
+        def row(k: Int) =
+          s"SELECT CAST($k AS BIGINT) AS trunc_dim, CAST(h$k.c AS BIGINT) AS n_hits, " +
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM fullr) AS n_possible, " +
+            s"CAST(h$k.c AS DOUBLE) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM fullr) AS recall " +
+            s"FROM h$k"
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+          s"fullp AS (SELECT q.vec_id AS q, c.vec_id AS n, ${cosT("len(q.v)")} AS cos " +
+          s"FROM e q JOIN e c ON q.vec_id < $QueryCount AND q.vec_id != c.vec_id), " +
+          "fullr AS (SELECT q, n FROM (SELECT q, n, ROW_NUMBER() OVER " +
+          s"(PARTITION BY q ORDER BY cos DESC, n) AS rnk FROM fullp) WHERE rnk <= $TopK), " +
+          TruncDims.map(level).mkString(", ") + " " +
+          "SELECT * FROM (" + TruncDims.map(row).mkString(" UNION ALL ") +
+          ") ORDER BY trunc_dim"
+      })
   )
 
   /** Quantizer quality probes for the CorpusSpec training assertion:
