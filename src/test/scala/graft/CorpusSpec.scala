@@ -121,6 +121,23 @@ class CorpusSpec extends AnyFunSuite {
       s"split correlation regression: only $splits present")
   }
 
+  test("q159 truncation recall: three levels, hit counts bounded by the " +
+    "possible set, and the full-dim baseline is the q49 panel top-k") {
+    val rows = SparkEntry.queries("q159_dim_truncation_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 16L))
+    val possible = rows.head._3
+    assert(possible > 0 && rows.forall(_._3 == possible))
+    rows.foreach { case (_, hits, p, recall) =>
+      assert(hits >= 0 && hits <= p)
+      assert(math.abs(recall - hits.toDouble / p.toDouble) < 1e-12)
+    }
+    // the denominator IS the q49 full-dim top-k row count
+    val q49 = SparkEntry.queries("q49_ann_brute")(spark, sf).count()
+    assert(possible == q49)
+  }
+
   test("q119 degree orientation enumerates the same per-node triangle " +
     "counts as the id orientation (sf0.1 — skew-safe plan, same answer)") {
     val sf01 = "/root/testdata/sf0.1"
