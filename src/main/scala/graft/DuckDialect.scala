@@ -34,8 +34,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `strftime`/`strptime` with a LITERAL format whose `%` codes all have
   * JDK-pattern twins → `date_format`/`to_timestamp`; `list_slice` with
   * integer-literal bounds (both ≥0 or both <0 — DuckDB's inclusive end
-  * becomes Spark `slice`'s length, and both engines clamp/empty the same
-  * way); `struct_pack(k := v, …)` → `named_struct('k', v, …)`;
+  * becomes Spark `slice`'s length; both-negative bounds emit a runtime
+  * start-clamp because DuckDB clamps a start past the list head where
+  * Spark's `slice` returns []); `struct_pack(k := v, …)` →
+  * `named_struct('k', v, …)`;
   * `epoch(ts)` → `unix_micros(ts)/1e6` (fractional seconds preserved).
   *
   * Deliberately NOT translated (arg shapes or semantics differ; listed
@@ -236,20 +238,41 @@ object DuckDialect {
             case "list_slice" | "array_slice" =>
               // Integer-literal bounds only: DuckDB's inclusive 1-based
               // end → Spark slice()'s length. Verified equivalences:
-              // in-range, end-clamped, both-negative, start>end (empty),
+              // in-range, end-clamped, start>end (empty),
               // start-past-end-of-list (empty). Mixed-sign bounds and the
               // string/step forms have no Spark twin → guidance.
+              //
+              // Both-negative bounds need a runtime CLAMP: DuckDB clamps
+              // a start past the list head (list_slice([1,2,3],-5,-1) =
+              // [1,2,3]; even list_slice([x],-2,-1) = [x] — verified
+              // against the installed DuckDB) while Spark's slice returns
+              // [] for a negative start beyond the head. The emitted form
+              //   S = least(greatest(B, -size(x)), -1)
+              //   slice(x, S, greatest(E - S + 1, 0))
+              // clamps the start to the head (the least(…,-1) guard keeps
+              // the start legal for EMPTY lists, where greatest(B,0)=0
+              // would make Spark's slice throw) and recomputes the
+              // inclusive-end length against the clamped start, floored
+              // at 0 so an end still past the head yields [] not an error.
               scanCall(sql, j).flatMap { case (after, _) =>
                 splitTop(sql.substring(j + 1, after - 1))
                   .filter(_.length == 3).flatMap { args =>
                     (intLit(args(1)), intLit(args(2))) match {
-                      case (Some(b), Some(e))
-                          if (b >= 1 && e >= 0) || (b <= e && e <= -1) =>
+                      case (Some(b), Some(e)) if b >= 1 && e >= 0 =>
                         Some {
                           sb.append("slice(")
                             .append(rewrite(args(0)).trim).append(", ")
                             .append(b).append(", ")
                             .append(math.max(e - b + 1, 0L)).append(')')
+                          i = after
+                        }
+                      case (Some(b), Some(e)) if b <= e && e <= -1 =>
+                        Some {
+                          val x = rewrite(args(0)).trim
+                          val s = s"least(greatest($b, -size($x)), -1)"
+                          sb.append("slice(").append(x).append(", ")
+                            .append(s).append(", ")
+                            .append(s"greatest($e - $s + 1, 0)").append(')')
                           i = after
                         }
                       case _ => None
@@ -324,16 +347,19 @@ object DuckDialect {
               }
             case "regexp_full_match" =>
               // whole-string match → regexp_like with the pattern wrapped
-              // in ^(?:…)$ — verified equal, incl. patterns carrying their
-              // own anchors. Literal patterns only (the wrap must happen
-              // inside the literal).
+              // in \A(?:…)\z — verified equal, incl. patterns carrying
+              // their own anchors. NOT ^(?:…)$: Java's $ matches before a
+              // final line terminator, so ^(?:ab)$ accepts "ab\n" where
+              // DuckDB's regexp_full_match('ab\n','ab') is false (both
+              // verified) — \z admits no trailing terminator. Literal
+              // patterns only (the wrap must happen inside the literal).
               scanCall(sql, j).flatMap { case (after, _) =>
                 splitTop(sql.substring(j + 1, after - 1))
                   .filter(_.length == 2).flatMap { args =>
                     bareLiteral(args(1)).map { pat =>
                       sb.append("regexp_like(")
                         .append(rewrite(args(0)).trim).append(", ")
-                        .append(sqlLit("^(?:" + pat + ")$")).append(')')
+                        .append(sqlLit("\\A(?:" + pat + ")\\z")).append(')')
                       i = after
                     }
                   }
@@ -661,7 +687,7 @@ object DuckDialect {
        |  no twin — use substring), struct_pack (bridged for k := v args),
        |  epoch (1-arg form; = unix_micros(ts)/1e6, fractional seconds),
        |  list_prepend (args swapped into array_prepend),
-       |  regexp_full_match (LITERAL patterns wrapped ^(?:…)$$ into
+       |  regexp_full_match (LITERAL patterns wrapped \\A(?:…)\\z into
        |  regexp_like; expression patterns: anchor by hand),
        |  quantile_disc/quantile (→ percentile_disc WITHIN GROUP — same
        |  values, but the result type widens to DOUBLE).

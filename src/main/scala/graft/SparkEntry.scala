@@ -25,7 +25,20 @@ object SparkEntry {
     Relational.all.find(_.name == "q25_tpch_q1").get
       .run(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Caller contract (cache lifecycle): some queries `.persist()`
+    * bounded intermediate frames (vocabulary/posting-list sized — e.g.
+    * the BM25/PMI token-count frames in [[operators.TextAnalysis]]) that
+    * only materialize when the RETURNED DataFrame is consumed, so the
+    * query function cannot unpersist them itself. A caller running many
+    * queries in one session should `spark.catalog.clearCache()` between
+    * them, as Verify and Bench do; one-shot sessions (DeltaScanner CLI)
+    * end with `spark.stop()` and need nothing. The REPL deliberately
+    * does NOT auto-clear — it would silently drop a user's own
+    * `CACHE TABLE` pins — and these frames are vocabulary-bounded, not
+    * data-sized, so a session accumulates at most a few MB per distinct
+    * query family. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     corpus.map(q => q.name -> q.run).toMap
 

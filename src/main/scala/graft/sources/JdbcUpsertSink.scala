@@ -55,8 +55,17 @@ object JdbcUpsertSink {
             row.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
             ps.addBatch()
           }
+          // SUCCESS_NO_INFO (-2) counts as one delivered row; any OTHER
+          // negative code (EXECUTE_FAILED -3, or a vendor-specific
+          // negative) must not be SUMMED — a driver that reports per-row
+          // failures without throwing would otherwise DECREMENT the
+          // rows-written accumulator instead of surfacing a shortfall.
+          // Clamping to 0 keeps the count an honest lower bound; the
+          // delivery-semantics check (acknowledged < attempted) then
+          // flags the batch instead of silently passing.
           ps.executeBatch().map { c =>
-            if (c == java.sql.Statement.SUCCESS_NO_INFO) 1L else c.toLong
+            if (c == java.sql.Statement.SUCCESS_NO_INFO) 1L
+            else math.max(c.toLong, 0L)
           }.sum
         } finally ps.close()
       }

@@ -125,7 +125,12 @@ class TierASpec extends AnyFunSuite {
     assert(graft.DuckDialect.unbridgeable("SELECT strftime(ts, '%U')"))
     // list_slice: literal bounds of one sign become slice()'s length form
     assert(rewrite("SELECT list_slice(x, 2, 4)") == "SELECT slice(x, 2, 3)")
-    assert(rewrite("SELECT list_slice(x, -2, -1)") == "SELECT slice(x, -2, 2)")
+    // both-negative bounds clamp the start at runtime (ADVICE r8: DuckDB
+    // clamps a start past the list head; a bare slice(x,-5,5) would
+    // return [] where DuckDB returns the whole list)
+    assert(rewrite("SELECT list_slice(x, -2, -1)") ==
+      "SELECT slice(x, least(greatest(-2, -size(x)), -1), " +
+        "greatest(-1 - least(greatest(-2, -size(x)), -1) + 1, 0))")
     assert(rewrite("SELECT list_slice(x, 4, 2)") == "SELECT slice(x, 4, 0)")
     assert(rewrite("SELECT list_slice(x, 2, -1)") == // mixed signs: no twin
       "SELECT list_slice(x, 2, -1)")
@@ -142,7 +147,7 @@ class TierASpec extends AnyFunSuite {
       "SELECT array_prepend(array(1,2), 0)")
     // regexp_full_match: literal patterns wrap into anchored regexp_like
     assert(rewrite("SELECT regexp_full_match(s, '[0-9]+')") ==
-      "SELECT regexp_like(s, '^(?:[0-9]+)$')")
+      "SELECT regexp_like(s, '\\\\A(?:[0-9]+)\\\\z')")
     assert(rewrite("SELECT regexp_full_match(s, p)") == // non-literal
       "SELECT regexp_full_match(s, p)")
     assert(rewrite("SELECT epoch_us(ts)") == "SELECT unix_micros(ts)")
@@ -252,6 +257,16 @@ class TierASpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(4, 5))
     assert(one("SELECT list_slice(list_value(1,2,3,4,5), 4, 2)")
       .asInstanceOf[scala.collection.Seq[Int]].isEmpty)
+    // both-negative start-clamp edges (ADVICE r8, values = installed
+    // DuckDB's): start past the head clamps, not empties; a 1-element
+    // list still yields its element for the 'last two' idiom; both
+    // bounds past the head → []
+    assert(one("SELECT list_slice(list_value(1,2,3), -5, -1)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2, 3))
+    assert(one("SELECT list_slice(list_value(1), -2, -1)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1))
+    assert(one("SELECT list_slice(list_value(1,2,3), -5, -4)")
+      .asInstanceOf[scala.collection.Seq[Int]].isEmpty)
     assert(one("SELECT struct_pack(a := 1, b := 'x').b") == "x")
     assert(one("SELECT epoch(TIMESTAMP '2021-08-03 11:59:44.123456')")
       == 1627991984.123456) // a DOUBLE, as DuckDB returns
@@ -261,6 +276,9 @@ class TierASpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(0, 1, 2))
     assert(one("SELECT regexp_full_match('ab12', '[a-z]+[0-9]+')") == true)
     assert(one("SELECT regexp_full_match('ab12x', '[a-z]+[0-9]+')") == false)
+    // trailing-newline edge (ADVICE r8): DuckDB's full match rejects
+    // "ab\n" for pattern 'ab'; Java's $ would accept it, \z does not
+    assert(one("SELECT regexp_full_match('ab' || chr(10), 'ab')") == false)
     assert(one("SELECT epoch_us(TIMESTAMP '1970-01-01 00:00:01.5')") == 1500000L)
     // string_split edge semantics — DuckDB's values, verified: trailing/
     // leading/adjacent empties kept, no-match → whole, multi-char sep
