@@ -383,6 +383,35 @@ object DuckDialect {
                   }
                 }
               }
+            case "date_diff" | "datediff" =>
+              // DuckDB's 3-arg form counts PART-BOUNDARY CROSSINGS from a
+              // to b (verified: ('month', Jan-31, Feb-01) = 1 where
+              // complete months = 0; sign follows b−a). Spark's
+              // timestampdiff counts complete intervals — but between two
+              // part-TRUNCATED instants the two coincide, so the bridge is
+              //   timestampdiff(P, date_trunc('P', a), date_trunc('P', b))
+              // This must be a TEXT bridge: Spark's parser grammar-matches
+              // 3-arg date_diff into timestampdiff and rejects the quoted
+              // unit before any registered function could catch it. The
+              // 2-arg Spark form and unmapped parts (century/decade/…)
+              // pass through untouched (the 2-arg one is valid Spark).
+              scanCall(sql, j).flatMap { case (after, _) =>
+                splitTop(sql.substring(j + 1, after - 1))
+                  .filter(_.length == 3).flatMap { args =>
+                    bareLiteral(args(0))
+                      .flatMap(graft.functions.DuckCompat.partUnit)
+                      .map { unit =>
+                        val a = rewrite(args(1)).trim
+                        val b = rewrite(args(2)).trim
+                        sb.append("timestampdiff(").append(unit)
+                          .append(", date_trunc('").append(unit)
+                          .append("', ").append(a)
+                          .append("), date_trunc('").append(unit)
+                          .append("', ").append(b).append("))")
+                        i = after
+                      }
+                  }
+              }
             case "epoch" =>
               // epoch(ts) returns FRACTIONAL seconds in DuckDB (verified:
               // epoch(… 11:59:44.123456) = 1627991984.123456), so the
@@ -637,8 +666,20 @@ object DuckDialect {
     * on a parse/analysis failure the rewrite is tried once; a still-
     * failing (or unbridgeable) statement raises [[guidance]]. Shared by
     * [[DeltaScanner.query]] and the REPL's SQL fallthrough — every
-    * user-facing SQL entry point accepts the reference's dialect. */
-  def sql(spark: SparkSession, text: String): DataFrame =
+    * user-facing SQL entry point accepts the reference's dialect.
+    *
+    * Before the first attempt the [[graft.functions.DuckCompat]] names
+    * register into the session (idempotent map-puts): the constructs a
+    * TEXT rewrite cannot bridge — type-ambiguous `len`, `list_sum`/
+    * `list_avg`/`list_aggregate`, 3-arg `date_diff`, 2-arg
+    * `array_length`, non-literal `regexp_full_match` patterns — resolve
+    * as analysis-time expressions instead (VERDICT r8 item 1). */
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    graft.functions.DuckCompat.register(spark)
+    sqlNoCompat(spark, text)
+  }
+
+  private def sqlNoCompat(spark: SparkSession, text: String): DataFrame =
     try spark.sql(text)
     catch {
       case e: org.apache.spark.sql.AnalysisException => // incl. parse
@@ -662,7 +703,7 @@ object DuckDialect {
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|quantile|strftime|strptime|string_split|str_split|string_to_array|delta_scan|read_csv|read_json|len|list_sum|list_aggregate|list_reduce|regexp_full_match)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b""".r
+    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|quantile|strftime|strptime|string_split|str_split|string_to_array|delta_scan|read_csv|read_json|list_reduce)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined
@@ -688,15 +729,24 @@ object DuckDialect {
        |  epoch (1-arg form; = unix_micros(ts)/1e6, fractional seconds),
        |  list_prepend (args swapped into array_prepend),
        |  regexp_full_match (LITERAL patterns wrapped \\A(?:…)\\z into
-       |  regexp_like; expression patterns: anchor by hand),
+       |  regexp_like; non-literal patterns via the registered function),
        |  quantile_disc/quantile (→ percentile_disc WITHIN GROUP — same
        |  values, but the result type widens to DOUBLE).
+       |Registered as session functions on this surface (DuckDB semantics,
+       |  so they cannot be the failure here): len (strings AND lists,
+       |  BIGINT), list_sum/list_avg/list_aggregate('sum'/'avg'/'min'/
+       |  'max'/'count') (integer sums are BIGINT not HUGEINT; DECIMAL
+       |  sums widen to DOUBLE), 1- and 2-arg array_length.
+       |date_diff('part', a, b) (boundary crossings) is text-bridged to
+       |  timestampdiff over part-truncated operands for parts year …
+       |  microsecond; century/decade/millennium have no timestampdiff
+       |  twin — derive from extract(year …).
        |Known DuckDB-isms with NO direct Spark twin (rewrite by hand):
-       |  len (type-ambiguous: length for strings, size for lists),
-       |  list_sum/list_aggregate/list_reduce (use aggregate/reduce with an
-       |  explicit zero), date_diff('part', a, b) (DuckDB counts boundary
-       |  crossings; use timestampdiff(PART, a, b) and check the edge
-       |  semantics),
+       |  list_reduce (no-seed fold: use aggregate/reduce with an explicit
+       |  zero), date_sub('part', a, b) (DuckDB counts complete intervals
+       |  WITH month-end clamping — Jan-31→Feb-28 is 1 month; java.time
+       |  disagrees, so check your edge semantics against
+       |  timestampdiff(PART, a, b)),
        |  list_extract/array_extract on STRINGS (use substring),
        |  SELECT * REPLACE (enumerate columns; * EXCLUDE IS bridged to
        |  Spark's * EXCEPT),

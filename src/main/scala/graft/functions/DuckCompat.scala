@@ -1,0 +1,314 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DuckDB-compat functions that a TEXT rewrite cannot bridge (VERDICT r8
+  * item 1): the blockers are type-ambiguity (`len` means `length` on
+  * strings but `size` on lists — undecidable without the schema) and
+  * part-literal dispatch (`date_diff('month', …)` counts boundary
+  * crossings, a composition with no single Spark twin). Registering
+  * session functions solves both: analysis-time expressions see child
+  * dataTypes, and function builders see literal arguments at parse time.
+  *
+  * [[DuckDialect.sql]] registers these (idempotently) before its first
+  * parse attempt, so a reference user's `len(col)` — the single most
+  * common DuckDB spelling (reference surface: delta-unity-duckdb.js
+  * :330-339 accepts arbitrary DuckDB SQL) — resolves directly instead of
+  * landing in the guidance table.
+  *
+  * Semantics verified against the installed DuckDB (values noted per
+  * function). Documented type divergences, mirroring the quantile_disc
+  * precedent: DuckDB's `list_sum` over integers returns HUGEINT (int128)
+  * — here it is BIGINT, overflowing at ±2⁶³ instead of ±2¹²⁷; DECIMAL
+  * element sums widen to DOUBLE.
+  *
+  * Scale note: every expression here is a per-row scalar over an
+  * already-materialized array column — no shuffle, no driver state; all
+  * are whole-stage-codegen'd (no CodegenFallback in the set except the
+  * composed ArrayFilter for `list_aggregate('count')`, which Spark
+  * itself ships as CodegenFallback — acceptable for a dialect-compat
+  * path that is never inside a graft operator's hot loop).
+  */
+object DuckCompat {
+
+  /** DuckDB `len(x)`: BIGINT character count for strings (len('héllo')=5
+    * — CHARS, where strlen is octets), element count for lists. DuckDB
+    * rejects MAP and numeric inputs (verified) — so does this. */
+  case class DuckLen(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      // NullType: a bare len(NULL) is NULL in DuckDB too
+      case _: StringType | _: ArrayType | NullType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"len expects STRING or ARRAY, got ${t.sql} (DuckDB's len is " +
+          "undefined there too; use length/size/cardinality)")
+    }
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = child.dataType match {
+      case _: StringType => v.asInstanceOf[UTF8String].numChars().toLong
+      case _ => v.asInstanceOf[ArrayData].numElements().toLong
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      child.dataType match {
+        case _: StringType =>
+          defineCodeGen(ctx, ev, c => s"(long) $c.numChars()")
+        case _ =>
+          defineCodeGen(ctx, ev, c => s"(long) $c.numElements()")
+      }
+    override def prettyName: String = "len"
+    override protected def withNewChildInternal(c: Expression): DuckLen =
+      copy(child = c)
+  }
+
+  /** Shared numeric-array fold: NULL elements are SKIPPED (DuckDB:
+    * list_sum([1,NULL,3])=4) and an empty / all-NULL list yields NULL
+    * (list_sum([])=NULL, verified) — hence nullable and nullSafeCodeGen
+    * with an explicit isNull store. */
+  sealed abstract class ListFold extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects ARRAY of numeric, got ${t.sql}")
+    }
+    override def nullable: Boolean = true
+    protected lazy val elemType: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+    /** Java source reading element `$i` of ArrayData `$c` as double/long. */
+    protected def getter(c: String, i: String): String = elemType match {
+      case ByteType => s"(long) $c.getByte($i)"
+      case ShortType => s"(long) $c.getShort($i)"
+      case IntegerType => s"(long) $c.getInt($i)"
+      case LongType => s"$c.getLong($i)"
+      case FloatType => s"(double) $c.getFloat($i)"
+      case DoubleType => s"$c.getDouble($i)"
+      case d: DecimalType =>
+        s"$c.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+      case t => throw new IllegalStateException(s"unreachable: $t")
+    }
+    protected def elemAsDouble(a: ArrayData, i: Int): Double = elemType match {
+      case ByteType => a.getByte(i).toDouble
+      case ShortType => a.getShort(i).toDouble
+      case IntegerType => a.getInt(i).toDouble
+      case LongType => a.getLong(i).toDouble
+      case FloatType => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+      case t => throw new IllegalStateException(s"unreachable: $t")
+    }
+  }
+
+  /** DuckDB `list_sum(x)` / `list_aggregate(x, 'sum')`. Integral
+    * elements sum as BIGINT (DuckDB: HUGEINT — divergence documented
+    * above), fractional/decimal as DOUBLE. */
+  case class DuckListSum(child: Expression) extends ListFold {
+    override def dataType: DataType = elemType match {
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case _ => DoubleType
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var i = 0
+      var seen = false
+      if (dataType == LongType) {
+        var s = 0L
+        while (i < n) {
+          if (!arr.isNullAt(i)) { seen = true; s += elemAsLong(arr, i) }
+          i += 1
+        }
+        if (seen) s else null
+      } else {
+        var s = 0.0
+        while (i < n) {
+          if (!arr.isNullAt(i)) { seen = true; s += elemAsDouble(arr, i) }
+          i += 1
+        }
+        if (seen) s else null
+      }
+    }
+    private def elemAsLong(a: ArrayData, i: Int): Long = elemType match {
+      case ByteType => a.getByte(i).toLong
+      case ShortType => a.getShort(i).toLong
+      case IntegerType => a.getInt(i).toLong
+      case LongType => a.getLong(i)
+      case t => throw new IllegalStateException(s"unreachable: $t")
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val jt = if (dataType == LongType) "long" else "double"
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val seen = ctx.freshName("seen")
+        s"""
+          |int $n = $c.numElements();
+          |$jt $s = ($jt) 0; boolean $seen = false;
+          |for (int $i = 0; $i < $n; $i++) {
+          |  if (!$c.isNullAt($i)) { $seen = true; $s += ${getter(c, i)}; }
+          |}
+          |if ($seen) { ${ev.value} = $s; } else { ${ev.isNull} = true; }
+        """.stripMargin
+      })
+    override def prettyName: String = "list_sum"
+    override protected def withNewChildInternal(c: Expression): DuckListSum =
+      copy(child = c)
+  }
+
+  /** DuckDB `list_avg(x)` / `list_aggregate(x, 'avg')`: DOUBLE mean of
+    * the non-NULL elements; NULL when there are none (verified:
+    * list_avg([1,NULL,2])=1.5, list_avg([])=NULL). */
+  case class DuckListAvg(child: Expression) extends ListFold {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var i = 0
+      var cnt = 0L
+      var s = 0.0
+      while (i < n) {
+        if (!arr.isNullAt(i)) { cnt += 1; s += elemAsDouble(arr, i) }
+        i += 1
+      }
+      if (cnt > 0) s / cnt else null
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val cnt = ctx.freshName("cnt")
+        s"""
+          |int $n = $c.numElements();
+          |double $s = 0.0; long $cnt = 0L;
+          |for (int $i = 0; $i < $n; $i++) {
+          |  if (!$c.isNullAt($i)) { $cnt++; $s += (double) (${getter(c, i)}); }
+          |}
+          |if ($cnt > 0) { ${ev.value} = $s / $cnt; } else { ${ev.isNull} = true; }
+        """.stripMargin
+      })
+    override def prettyName: String = "list_avg"
+    override protected def withNewChildInternal(c: Expression): DuckListAvg =
+      copy(child = c)
+  }
+
+  // ---- builder-time compositions (dispatch on literal args) ----
+
+  /** DuckDB part spelling → Spark unit name, shared by timestampdiff and
+    * date_trunc (the same names are valid trunc formats). DuckDB accepts
+    * singular/plural/abbreviated, case-insensitive (verified: 'months',
+    * 'MONTH', 'mon' all work). century/decade/millennium/era have no
+    * timestampdiff twin → None, caller falls to guidance.
+    *
+    * Used by [[graft.DuckDialect]]'s TEXT bridge for `date_diff` — a
+    * registered function cannot intercept that name: Spark's PARSER
+    * grammar-matches 3-arg date_diff into timestampdiff and rejects a
+    * quoted unit before the function registry is ever consulted. */
+  private val Parts: Map[String, String] = Map(
+    "year" -> "YEAR", "years" -> "YEAR", "yr" -> "YEAR", "yrs" -> "YEAR",
+    "y" -> "YEAR",
+    "quarter" -> "QUARTER", "quarters" -> "QUARTER",
+    "month" -> "MONTH", "months" -> "MONTH", "mon" -> "MONTH",
+    "mons" -> "MONTH",
+    "week" -> "WEEK", "weeks" -> "WEEK",
+    "day" -> "DAY", "days" -> "DAY", "d" -> "DAY",
+    "hour" -> "HOUR", "hours" -> "HOUR", "hr" -> "HOUR", "hrs" -> "HOUR",
+    "h" -> "HOUR",
+    "minute" -> "MINUTE", "minutes" -> "MINUTE", "min" -> "MINUTE",
+    "mins" -> "MINUTE",
+    "second" -> "SECOND", "seconds" -> "SECOND", "sec" -> "SECOND",
+    "secs" -> "SECOND", "s" -> "SECOND",
+    "millisecond" -> "MILLISECOND", "milliseconds" -> "MILLISECOND",
+    "ms" -> "MILLISECOND",
+    "microsecond" -> "MICROSECOND", "microseconds" -> "MICROSECOND",
+    "us" -> "MICROSECOND")
+
+  /** Spark unit name for a DuckDB date-part spelling, or None (→ the
+    * caller's guidance path). */
+  def partUnit(part: String): Option[String] =
+    Parts.get(part.trim.toLowerCase(java.util.Locale.ROOT))
+
+  private def strLit(e: Expression): Option[String] = e match {
+    case Literal(s: UTF8String, _: StringType) => Some(s.toString)
+    case _ => None
+  }
+
+  /** DuckDB `list_aggregate(x, 'fn')`: the function name must be a
+    * LITERAL (as in DuckDB, where it binds at plan time too). count
+    * skips NULL elements (verified: ([1,NULL,3],'count') = 2). */
+  private def listAggregate(l: Expression, fn: Expression): Expression = {
+    val name = strLit(fn).getOrElse(throw new IllegalArgumentException(
+      "list_aggregate: the aggregate name must be a string literal"))
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "sum" => DuckListSum(l)
+      case "avg" | "mean" => DuckListAvg(l)
+      case "min" => ArrayMin(l)
+      case "max" => ArrayMax(l)
+      case "count" =>
+        val x = UnresolvedNamedLambdaVariable(Seq("_duck_x"))
+        Cast(Size(ArrayFilter(l, LambdaFunction(IsNotNull(x), Seq(x))),
+          legacySizeOfNull = false), LongType)
+      case other => throw new IllegalArgumentException(
+        s"list_aggregate: '$other' is not bridged (supported: sum, avg, " +
+          "min, max, count); use aggregate(x, zero, (acc, e) -> …)")
+    }
+  }
+
+  /** Idempotent per-session registration of the DuckDB-compat names.
+    * NOTE: `len` SHADOWS a Spark builtin alias inside the session —
+    * deliberately: it keeps Spark's semantics for strings (widened to
+    * DuckDB's BIGINT) and gains DuckDB's for arrays. Applied only on the
+    * dialect-tolerant surfaces ([[graft.DuckDialect.sql]] → CLI/REPL/
+    * DeltaScanner) — operator-module sessions never see these. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def put(name: String)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    def arity(name: String, n: Int, es: Seq[Expression]): Unit =
+      require(es.length == n, s"$name expects $n arguments, got ${es.length}")
+
+    put("len") { es => arity("len", 1, es); DuckLen(es.head) }
+    put("list_sum") { es => arity("list_sum", 1, es); DuckListSum(es.head) }
+    put("list_avg") { es => arity("list_avg", 1, es); DuckListAvg(es.head) }
+    put("list_aggregate") { es =>
+      arity("list_aggregate", 2, es); listAggregate(es.head, es(1))
+    }
+    put("list_aggr") { es =>
+      arity("list_aggr", 2, es); listAggregate(es.head, es(1))
+    }
+    // array_length: DuckDB's 1-arg form, plus the Postgres-style 2-arg
+    // (list, dimension) form for dimension 1 — its nested LISTs are
+    // jagged, so dimension > 1 is not well-defined on ArrayType either.
+    put("array_length") { es =>
+      require(es.length == 1 || es.length == 2,
+        s"array_length expects 1 or 2 arguments, got ${es.length}")
+      if (es.length == 2 && !es(1).semanticEquals(Literal(1)))
+        throw new IllegalArgumentException(
+          "array_length: only dimension 1 is supported (nested lists are " +
+            "jagged; map over the outer list for inner lengths)")
+      Cast(Size(es.head, legacySizeOfNull = false), LongType)
+    }
+    // regexp_full_match for ARBITRARY (non-literal) patterns — the text
+    // bridge only reaches literals because the \A…\z wrap must land
+    // inside the literal; as an expression the wrap is a runtime concat.
+    // \A/\z (not ^/$): Java's $ admits a trailing line terminator that
+    // DuckDB's full match rejects (ADVICE r8, both engines verified).
+    put("regexp_full_match") { es =>
+      arity("regexp_full_match", 2, es)
+      RLike(es.head, Concat(Seq(
+        Literal(UTF8String.fromString("\\A(?:"), StringType), es(1),
+        Literal(UTF8String.fromString(")\\z"), StringType))))
+    }
+    // NOTE deliberately absent: date_diff. Spark's parser grammar-matches
+    // the 3-arg form into timestampdiff and rejects DuckDB's quoted unit
+    // BEFORE function resolution, so no registered function can catch it
+    // — it is a TEXT bridge in DuckDialect.rewrite instead (the part is
+    // always a literal in the text), and the 2-arg Spark form never
+    // reaches the parser special-case.
+  }
+}

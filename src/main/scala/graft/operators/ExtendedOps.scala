@@ -59,6 +59,34 @@ object ExtendedOps {
       |FROM documents GROUP BY source) ORDER BY source"""
       .stripMargin.replace("\n", " ")
 
+  // q160's text — the r9 ANALYZE-LEVEL bridges in one statement, the
+  // constructs a text rewrite cannot reach (VERDICT r8 item 1): len on
+  // a STRING and a LIST in the same expression tree, list_sum/list_avg/
+  // list_aggregate over lambda-derived BIGINT lists, 2-arg array_length,
+  // a NON-LITERAL regexp_full_match pattern ('[a-z]{' || len(lang) ||
+  // '}'), plus the date_diff('part',…) boundary-crossing text bridge
+  // (month AND hour parts — the month case is where complete-interval
+  // semantics would differ) and the ADVICE-r8 clamped both-negative
+  // list_slice. The Spark side goes through DuckDialect.sql — the REAL
+  // entry (register DuckCompat, parse, rewrite-retry) — while the oracle
+  // executes the same text natively in DuckDB; every aggregate is pinned
+  // to BIGINT (the one FP value goes through FLOOR(x * 64), a power-of-2
+  // scale that keeps the double exact) so the hash match is bit-sharp.
+  private val DuckDialect3Sql: String =
+    """SELECT source,
+      |CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+      |CAST(SUM(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT)))) AS BIGINT) AS sum_wordlen,
+      |CAST(SUM(CAST(FLOOR(list_avg(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))) * 64) AS BIGINT)) AS BIGINT) AS avg64,
+      |CAST(SUM(list_aggregate(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT)), 'max')) AS BIGINT) AS max_wordlen,
+      |CAST(SUM(len(list_slice(string_split(text, ' '), -2, -1))) AS BIGINT) AS last2,
+      |CAST(SUM(array_length(string_split(text, ' '), 1)) AS BIGINT) AS words2,
+      |CAST(SUM(date_diff('month', DATE '2021-06-15', make_date(2021, CAST(doc_id % 12 AS INT) + 1, CAST(n_chars % 28 AS INT) + 1))) AS BIGINT) AS mdiff,
+      |CAST(SUM(date_diff('hour', TIMESTAMP '2021-01-01 05:30:00', make_timestamp(2021, 1, 1, CAST(doc_id % 24 AS INT), 59, 30.0))) AS BIGINT) AS hdiff,
+      |CAST(SUM(CAST(regexp_full_match(lang, '[a-z]{' || CAST(len(lang) AS VARCHAR(8)) || '}') AS BIGINT)) AS BIGINT) AS full_langs
+      |FROM documents GROUP BY source ORDER BY source"""
+      .stripMargin.replace("\n", " ")
+
   val all: Seq[GraftQuery] = Seq(
 
     // Right outer (all nations survive a filtered region dim) feeding a
@@ -234,6 +262,18 @@ object ExtendedOps {
         T(s, d, "documents").createOrReplaceTempView("documents")
         s.sql(graft.DuckDialect.rewrite(DuckDialect2Sql))
       },
-      Some(DuckDialect2Sql))
+      Some(DuckDialect2Sql)),
+
+    // q151/q158's round-9 sibling: the ANALYZE-LEVEL bridges (see
+    // DuckDialect3Sql's comment). Unlike its siblings this one runs
+    // DuckDialect.sql — parse attempt, DuckCompat registration, rewrite
+    // retry — because the whole point of these constructs is that
+    // rewrite() alone CANNOT translate them.
+    GraftQuery("q160_duckdb_dialect3",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, DuckDialect3Sql)
+      },
+      Some(DuckDialect3Sql))
   )
 }
