@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StructField, StructType}
 
 /** All ordered pairs (a, b), a-index < b-index, of a long array — the
   * in-group pair-expansion core of the dedup family (q45 rare-shingle
@@ -23,13 +23,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * Callers bound n (df / band-bucket caps ≤ 256), so the quadratic
   * expansion is capped per group by construction — the same contract the
   * posexplode form relied on.
+  *
+  * `withSelf` additionally emits one (d, d) row per element: the r9 q45
+  * fold aggregates self-rows and pair-rows in ONE (a, b)-keyed shuffle —
+  * count of (d, d) = the element's group-membership cardinality, count
+  * of (a, b), a<b = the pair's intersection size — replacing the
+  * separate doc-keyed cardinality shuffle stage (same shuffled volume,
+  * one fewer stage in the chain). The third `self` field exists so the
+  * consumer can split cardinalities from intersections by filtering an
+  * AGGREGATED first(self) — a filter on the (a, b) KEYS (`a = b`) would
+  * be pushed below the aggregate, splitting the shared Exchange into
+  * two siblings that each re-run this expansion (observed: the split
+  * plan re-ran the whole reduce-side pipeline twice and erased the
+  * fold's gain).
   */
-case class OrderedPairs(child: Expression)
+case class OrderedPairs(child: Expression, withSelf: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("a", LongType, nullable = false),
-      StructField("b", LongType, nullable = false))), containsNull = false)
+    StructType(
+      Seq(StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false)) ++
+      (if (withSelf) Seq(StructField("self", BooleanType, nullable = false))
+       else Nil)), containsNull = false)
   override def prettyName: String = "graft_ordered_pairs"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -51,17 +67,27 @@ case class OrderedPairs(child: Expression)
       if (!ids.isNullAt(t)) { vals(n) = ids.getLong(t); n += 1 }
       t += 1
     }
-    if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](n * (n - 1) / 2)
+    if (n < 2 && !withSelf) return new GenericArrayData(Array.empty[Any])
+    val w = if (withSelf) 3 else 2
+    val out = new Array[Any](n * (n - 1) / 2 + (if (withSelf) n else 0))
     var k = 0
     var i = 0
     while (i < n) {
       val a = vals(i)
+      if (withSelf) {
+        val self = new GenericInternalRow(3)
+        self.setLong(0, a)
+        self.setLong(1, a)
+        self.setBoolean(2, true)
+        out(k) = self.asInstanceOf[InternalRow]
+        k += 1
+      }
       var j = i + 1
       while (j < n) {
-        val row = new GenericInternalRow(2)
+        val row = new GenericInternalRow(w)
         row.setLong(0, a)
         row.setLong(1, vals(j))
+        if (withSelf) row.setBoolean(2, false)
         out(k) = row.asInstanceOf[InternalRow]
         k += 1
         j += 1
@@ -80,8 +106,13 @@ object OrderedPairs {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => OrderedPairs(exprs.head), "built-in")
+      FnName, exprs => OrderedPairs(exprs.head,
+        exprs.length > 1 && exprs(1).eval() == true), "built-in")
 
   /** Column API: requires register(spark) once per session. */
   def orderedPairs(ids: Column): Column = call_function(FnName, ids)
+
+  /** Pairs PLUS one (d, d) self-row per element (see class doc). */
+  def orderedPairsWithSelf(ids: Column): Column =
+    call_function(FnName, ids, org.apache.spark.sql.functions.lit(true))
 }

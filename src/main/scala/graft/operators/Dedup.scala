@@ -71,10 +71,26 @@ object Dedup {
     * inverted-list shuffle carries (long, int) instead of 3-word
     * strings — same intersection counts modulo a vanishing 64-bit
     * collision probability, and the oracle's string-keyed form
-    * verifies no collision bites this corpus. Both `grouped` consumers
-    * (per-doc cardinalities and the pair expansion) share the physical
-    * Exchange via ReuseExchange — measurably cheaper than persist(),
-    * which paid cache serialization for a subplan read only twice. */
+    * verifies no collision bites this corpus.
+    *
+    * r9 fold (VERDICT r8 item 3): the pair expansion now emits one
+    * (d, d) SELF-ROW per group member alongside the (a, b) pairs, so a
+    * SINGLE (a, b)-keyed aggregate yields both the intersection counts
+    * (a < b rows) and the per-doc rare-shingle cardinalities (a = b
+    * rows) — the separate explode → doc-keyed groupBy cardinality stage
+    * is gone (it shuffled exactly the same sum-of-group-sizes rows the
+    * self-rows now carry, plus a whole extra stage of scheduling
+    * constant — the measured q45 bench loss, not the plan shape).
+    * `agg`'s two readers (cards, pairs) share the (a, b) Exchange via
+    * ReuseExchange, same as the old `grouped` sharing.
+    *
+    * The inverted lists aggregate through [[graft.functions
+    * .BoundedSortedList]] (cap dfMax+1 = 21), not collect_list: a hot
+    * shingle's group state is 21 longs instead of its document
+    * frequency — collect_list-then-filter materialized the FULL posting
+    * list of "the quick brown" (10⁹ docs at 100 TB) before dropping it;
+    * the bounded form is exact for every surviving group (≤ 20 < cap)
+    * and saturates at 21 for every dropped one. */
   private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsOf(s, docs(s, d))
 
@@ -84,29 +100,45 @@ object Dedup {
     * on the filtered population (the oracle mirrors this). */
   private[graft] def jaccardPairsOf(s: SparkSession, docsDf: DataFrame): DataFrame = {
     graft.functions.WordShingleHashes.register(s)
+    graft.functions.BoundedSortedList.register(s)
+    graft.functions.OrderedPairs.register(s)
     val sh = docsDf.select(col("doc_id"),
       explode(graft.functions.WordShingleHashes
         .shingleHashes(col("text"), 3)).as("s"))
     // ONE shuffle builds the inverted lists; the df∈[2,20] filter is a
     // size predicate on the list (shingles are distinct per doc, so
-    // list length == document frequency).
+    // list length == document frequency; the cap=21 bound saturates
+    // exactly the > 20 groups this filter drops).
     val grouped = sh.groupBy("s")
-      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .agg(graft.functions.BoundedSortedList
+        .boundedSortedList(col("doc_id"), 21).as("ids"))
       .filter(size(col("ids")).between(2, 20))
-    val card = grouped.select(explode(col("ids")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("c"))
-    // Pair generation via in-group expansion instead of a shingle
-    // self-join: the df ≤ 20 bound caps every group at C(20,2)=190
-    // pairs, so the expansion is tiny and the two SMJ sorts of the
-    // naive self-join disappear.
-    val inter = pairExpand(grouped)
+    // Pair + self-row generation via in-group expansion instead of a
+    // shingle self-join: the df ≤ 20 bound caps every group at
+    // C(20,2)+20 = 210 rows, so the expansion is tiny and the two SMJ
+    // sorts of the naive self-join disappear.
+    // The self/pair split filters the AGGREGATED first(self), not the
+    // keys: `a = b` would push below the aggregate and split the shared
+    // Exchange into two siblings, re-running the expansion twice (see
+    // OrderedPairs's Scaladoc) — with the aggregate-level marker both
+    // readers collapse onto ONE exchange via ReuseExchange.
+    val agg = grouped.select(
+        inline(graft.functions.OrderedPairs.orderedPairsWithSelf(col("ids"))))
       .groupBy("a", "b")
-      .agg(count(lit(1)).as("i"))
+      .agg(count(lit(1)).as("i"), first(col("self")).as("self"))
+    val card = agg.filter(col("self"))
+      .select(col("a").as("doc_id"), col("i").as("c"))
+    val inter = agg.filter(!col("self")).select("a", "b", "i")
+    // Both cardinality joins probe the SAME card frame (same expression
+    // ids, aliasing deferred to the post-join projection) so the two
+    // BroadcastExchanges canonicalize identically and the second is a
+    // ReusedExchange — one broadcast build instead of two.
     inter
-      .join(card.select(col("doc_id").as("a"), col("c").as("ca")), "a")
-      .join(card.select(col("doc_id").as("b"), col("c").as("cb")), "b")
+      .join(broadcast(card), col("a") === col("doc_id"))
+      .select(col("a"), col("b"), col("i"), col("c").as("ca"))
+      .join(broadcast(card), col("b") === col("doc_id"))
       .select(col("a"), col("b"),
-        (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+        (col("i").cast("double") / (col("ca") + col("c") - col("i")))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.1)
   }
@@ -139,10 +171,17 @@ object Dedup {
   /** LSH candidate pairs (a < b) from a signature frame: one shuffle on
     * the band hash, every bucket bounded by [[MaxBandBucket]], in-bucket
     * pair expansion instead of a bands⋈bands self-join (whose hottest
-    * bucket is unbounded-quadratic on a degenerate corpus). */
+    * bucket is unbounded-quadratic on a degenerate corpus). The bucket
+    * lists aggregate through the BOUNDED sorted-list (cap 257 — see
+    * [[jaccardPairs]]'s r9 note): a degenerate corpus of near-identical
+    * docs lands in ONE bucket per band, and collect_list would
+    * materialize that whole corpus as one aggregation buffer before the
+    * size filter could drop it. */
   def lshCandidates(sig: DataFrame): DataFrame = {
+    graft.functions.BoundedSortedList.register(sig.sparkSession)
     val buckets = bandRows(sig).groupBy("band", "bh")
-      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .agg(graft.functions.BoundedSortedList
+        .boundedSortedList(col("doc_id"), MaxBandBucket + 1).as("ids"))
       .filter(size(col("ids")).between(2, MaxBandBucket))
     pairExpand(buckets).distinct()
   }

@@ -60,6 +60,63 @@ class ExpressionPropertySpec extends AnyFunSuite {
     assert(withNulls == Seq((1L, 3L), (1L, 5L), (3L, 5L)))
   }
 
+  test("OrderedPairs withSelf: pairs plus one marked (d, d) row per " +
+    "element — the q45 single-shuffle cardinality fold's contract") {
+    import spark.implicits._
+    graft.functions.OrderedPairs.register(spark)
+    val gen = Gen.chooseNum(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000000L, 1000000L)))
+    (1 to 25).foreach { i =>
+      val ids = sample(gen, 7000L + i).distinct
+      val rows = Seq(Tuple1(ids)).toDF("ids")
+        .select(inline(graft.functions.OrderedPairs.orderedPairsWithSelf(
+          array_sort(col("ids")))))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      val selfs = rows.filter(_._3).map(_._1).toSeq
+      val pairs = rows.filterNot(_._3).map(t => (t._1, t._2)).toSeq
+      val sorted = ids.sorted
+      assert(selfs == sorted, s"case $i: self rows must be the elements")
+      assert(rows.filter(_._3).forall(t => t._1 == t._2))
+      val expected = for {
+        a <- sorted.indices; b <- (a + 1) until sorted.size
+      } yield (sorted(a), sorted(b))
+      assert(pairs == expected, s"case $i: pair rows must be C(n,2)")
+    }
+  }
+
+  test("BoundedSortedList ≡ sort_array(collect_list) below the cap; " +
+    "saturates AT the cap above it; partition-invariant merge") {
+    import spark.implicits._
+    graft.functions.BoundedSortedList.register(spark)
+    val gen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000000L, 1000000L)))
+    (1 to 25).foreach { i =>
+      val vals = sample(gen, 9000L + i).distinct
+      val cap = 21
+      // 1 vs 7 partitions: the mergeable-buffer claim (map-side combine
+      // cannot change the result), the same pin KMV carries
+      val got = Seq(1, 7).map { parts =>
+        vals.toDF("v").repartition(parts)
+          .agg(graft.functions.BoundedSortedList
+            .boundedSortedList(col("v"), cap).as("ids"))
+          .head.getSeq[Long](0).toSeq
+      }
+      assert(got(0) == got(1), s"case $i: partition-variant result")
+      val expected = vals.sorted.take(cap)
+      assert(got(0) == expected, s"case $i: vals=${vals.size}")
+      // the df-cap contract: ≤ dfMax (= cap-1) distinct values are kept
+      // EXACTLY; more saturate at cap so a size ≤ dfMax filter drops them
+      if (vals.size <= cap - 1) assert(got(0) == vals.sorted)
+      else assert(got(0).size == cap)
+    }
+    // null inputs are skipped (collect_list's behavior)
+    val withNull = Seq[java.lang.Long](5L, null, 1L).toDF("v")
+      .agg(graft.functions.BoundedSortedList
+        .boundedSortedList(col("v"), 4).as("ids"))
+      .head.getSeq[Long](0).toSeq
+    assert(withNull == Seq(1L, 5L))
+  }
+
   test("MinHash: sig(A ∪ B) = elementwise min(sig(A), sig(B))") {
     import spark.implicits._
     graft.functions.MinHashSig.register(spark)

@@ -64,7 +64,17 @@ class PlanAuditSpec extends AnyFunSuite {
     "q153_context_packing",
     // q156/q157 inherit q97's component → doc resolution left join
     // (survivors ⋈ near-dup labels, both doc_id-keyed)
-    "q156_training_manifest", "q157_pipeline_funnel")
+    "q156_training_manifest", "q157_pipeline_funnel",
+    // q119/q120 (r9): node-keyed graph joins — degree/rank dims are
+    // data-sized for a data-sized near-dup graph, so the node-id
+    // shuffle join IS the 100 TB plan. They planned as broadcast
+    // through r8 only because the pre-fold q45 subtree UNDER-estimated
+    // (the r9 self-row fold routes the cardinality branch through the
+    // (a,b) aggregate, whose honest size estimate exceeds the
+    // auto-broadcast threshold). Probed at the staged bench profile:
+    // SMJ is at parity or faster (q119 1.34-1.46 s vs 1.6, q120
+    // 1.71-1.81 s vs 2.34).
+    "q119_triangles", "q120_pagerank")
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
