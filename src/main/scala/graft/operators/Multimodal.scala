@@ -271,6 +271,29 @@ object Multimodal {
     else None
   }
 
+  /** Parsed video-container metadata — extracted WITHOUT frame decoding
+    * (the container headers are public specs: ISO/IEC 14496-12 box
+    * structure for MP4, the Matroska/WebM EBML element tree, the
+    * Microsoft RIFF/AVI main header). */
+  final case class VideoMeta(
+      container: String, durationMs: Long, width: Int, height: Int)
+
+  /** Container METADATA extraction for video payloads (VERDICT r8 item
+    * 4): duration and track dimensions from the MP4 `moov/mvhd` +
+    * `trak/tkhd` boxes, the Matroska `Segment/Info` (TimecodeScale ×
+    * Duration) + `Tracks/TrackEntry/Video` (PixelWidth/PixelHeight)
+    * elements, or the AVI `hdrl/avih` main header — no frame decode,
+    * which is exactly the part with no JDK codec. None on anything
+    * truncated, corrupt, or not a known container — the refusal path
+    * ([[extractFeatures]] dim = -1) is retained for those, so a
+    * malformed payload still cannot acquire a fake embedding. */
+  def videoContainerMeta(payload: Array[Byte]): Option[VideoMeta] =
+    videoContainerMagic(payload).flatMap {
+      case "mp4" => Mp4Meta.parse(payload)
+      case "avi" => AviMeta.parse(payload)
+      case _ => MkvMeta.parse(payload)
+    }
+
   /** Actual (width, height) read from the payload's image header — the
     * metadata-verification step a real ingest runs (declared meta vs
     * bytes). None when no JDK reader accepts the bytes. */
@@ -404,6 +427,29 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Media table whose video-kind payloads are REAL minimal containers
+    * (MP4 / Matroska / AVI by id % 3, written by the muxer-grade fixture
+    * writers in VideoContainers.scala) with closed-form duration and
+    * dimensions — the fixture [[videoContainerMeta]] is certified on.
+    * Built distributed, one container per row. */
+  def syntheticVideoMedia(spark: SparkSession, sfDir: String)
+      : Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "documents").select("doc_id").as[Long]
+      .map { id =>
+        val ms = 1000L + (id % 997) * 37
+        val w = (160 + (id % 64) * 4).toInt
+        val h = (120 + (id % 48) * 4).toInt
+        val payload = (id % 3) match {
+          case 0 => Mp4Meta.write(ms, w, h)
+          case 1 => MkvMeta.write(ms, w, h)
+          case _ => AviMeta.write(ms, w, h)
+        }
+        MediaRecord(id, "video", payload,
+          MediaMeta("video/x-container-fixture", w, h, ms))
+      }
+  }
+
   /** The multimodal pipeline's metadata surface as an ORACLED corpus
     * query: binary payloads flow through the real plumbing (encode →
     * byte length → digest; video frame sampling through the flatMap
@@ -438,5 +484,42 @@ object Multimodal {
         "CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_digests, " +
         "CAST(SUM(COALESCE(f.nf, 0)) AS BIGINT) AS total_frames " +
         "FROM m LEFT JOIN f USING (media_id) GROUP BY kind ORDER BY kind"))
+    ,
+
+    // Video container METADATA extraction (VERDICT r8 item 4): real
+    // minimal MP4/Matroska/AVI bytes are written distributed (one
+    // container per doc_id, closed-form duration/dims), then PARSED BACK
+    // from the payload bytes — moov/mvhd/tkhd boxes, EBML elements, the
+    // avih header — with no frame decode. The oracle recomputes the
+    // closed forms arithmetically from `documents`, so a hash match
+    // certifies the writer→parser round trip for every container kind
+    // at once; a parser that misread a box size, an EBML vint, or
+    // endianness would shift a sum. Narrow plan: payloads never
+    // shuffle — parse is a per-partition map and only the per-container
+    // aggregate rows move.
+    GraftQuery("q161_video_container_meta",
+      (s, d) => {
+        import s.implicits._
+        syntheticVideoMedia(s, d)
+          .mapPartitions(_.map { r =>
+            val m = videoContainerMeta(r.payload).getOrElse(
+              VideoMeta("REFUSED", -1L, -1, -1))
+            (m.container, m.durationMs, m.width, m.height)
+          })
+          .toDF("container", "ms", "w", "h")
+          .groupBy("container")
+          .agg(count(lit(1)).as("n"),
+            sum("ms").cast("long").as("total_ms"),
+            sum("w").cast("long").as("total_w"),
+            sum("h").cast("long").as("total_h"))
+          .orderBy("container")
+      },
+      Some("SELECT CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN " +
+        "'mkv/webm' ELSE 'avi' END AS container, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(1000 + (doc_id % 997) * 37) AS BIGINT) AS total_ms, " +
+        "CAST(SUM(160 + (doc_id % 64) * 4) AS BIGINT) AS total_w, " +
+        "CAST(SUM(120 + (doc_id % 48) * 4) AS BIGINT) AS total_h " +
+        "FROM documents GROUP BY 1 ORDER BY 1"))
   )
 }

@@ -52,14 +52,68 @@ object Skyline {
     out.iterator
   }
 
-  /** Distributed skyline: local sweep per partition, then one global
-    * sweep over the pruned candidates. */
-  def skyline2d(points: Dataset[SkyPoint]): Dataset[SkyPoint] = {
-    import points.sparkSession.implicits._
-    val local = points.mapPartitions(sweep) // narrow: prunes in place
-    // The candidate set is |skyline| × partitions — metadata-scale; one
-    // single-partition sweep finishes it (this is the plan's ONLY shuffle).
-    local.repartition(1).mapPartitions(sweep)
+  /** Distributed skyline: local sweep per partition, then a global
+    * merge over the pruned candidates — ADAPTIVE in the candidate count
+    * (VERDICT r8 item 5):
+    *
+    *   - candidates ≤ `mergeBound` (default 2²⁰ ≈ 20 MB of SkyPoints —
+    *     the q81 edge-gate discipline): one single-partition sweep.
+    *     This is the common case; real skylines are tiny.
+    *   - candidates > mergeBound (fully anti-correlated data, where the
+    *     skyline itself is O(n) and NO merge can shrink it): the final
+    *     task must not be O(n), so the merge goes distributed. Range-
+    *     partition candidates by price — equal prices land in ONE
+    *     partition (RangePartitioner boundary ties), so every point in
+    *     an EARLIER partition has STRICTLY smaller price, and dominance
+    *     against earlier partitions collapses to one scalar: p survives
+    *     its prefix iff p.size > max(size) over all earlier partitions
+    *     (strictly-cheaper q with q.size ≥ p.size dominates; the
+    *     coordinate-duplicate tie rule only exists WITHIN a partition,
+    *     where the sweep already applies it). Per-partition maxes are
+    *     one Int each — the collect is bounded by the partition count,
+    *     a documented metadata-scale exception — broadcast back as an
+    *     exclusive prefix-max array.
+    *
+    * The candidate frame is persisted because the adaptive branch needs
+    * its count; callers running many queries clear caches between them
+    * (SparkEntry.queries contract). */
+  def skyline2d(points: Dataset[SkyPoint],
+      mergeBound: Long = 1L << 20): Dataset[SkyPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cands = points.mapPartitions(sweep).persist() // narrow: prunes in place
+    val n = cands.count()
+    if (n <= mergeBound) {
+      // candidate set is |skyline| × partitions — metadata-scale; one
+      // single-partition sweep finishes it (the plan's only shuffle)
+      cands.repartition(1).mapPartitions(sweep)
+    } else {
+      // ~mergeBound/8 rows per final task, bounded partition count
+      val parts = math.min(2048L, 8L * ((n - 1) / mergeBound + 1)).toInt
+      val rr = cands.repartitionByRange(parts, col("price")).as[SkyPoint].rdd
+      // per-partition max size BEFORE sweeping (same max — the sweep
+      // keeps every partition's max-size point); collect is `parts` Ints
+      val maxes = rr.mapPartitionsWithIndex { (i, it) =>
+        var m = Int.MinValue
+        it.foreach(p => if (p.size > m) m = p.size)
+        Iterator.single((i, m))
+      }.collect().toMap
+      val prefix = Array.fill(parts)(Int.MinValue)
+      var run = Int.MinValue
+      var i = 0
+      while (i < parts) {
+        prefix(i) = run
+        run = math.max(run, maxes.getOrElse(i, Int.MinValue))
+        i += 1
+      }
+      val bc = spark.sparkContext.broadcast(prefix)
+      // reuses the range shuffle files from the maxes pass (same RDD
+      // lineage — the map stage is skipped on the second action)
+      spark.createDataset(rr.mapPartitionsWithIndex { (i, it) =>
+        val cut = bc.value(i)
+        sweep(it).filter(p => p.size > cut)
+      })
+    }
   }
 
   val all: Seq[GraftQuery] = Seq(

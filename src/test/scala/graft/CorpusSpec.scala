@@ -551,6 +551,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(dup == Seq(1L, 2L, 4L, 5L), s"got $dup")
   }
 
+  test("skyline distributed merge (VERDICT r8 item 5): anti-correlated " +
+    "data — where the skyline is O(n) — bypasses the single-task sweep " +
+    "and still returns the exact frontier") {
+    import graft.operators.{Skyline, SkyPoint}
+    import spark.implicits._
+    // fully anti-correlated for (min price, max size): price=i, size=i —
+    // every point pays more and gets more, so EVERY point is Pareto-
+    // optimal, no local sweeping shrinks the candidates, and the
+    // adaptive branch must range-partition the merge
+    val n = 5000
+    val anti = (0 until n).map(i => SkyPoint(i.toLong, i.toDouble, i))
+    val got = Skyline.skyline2d(
+        spark.createDataset(anti).repartition(13), mergeBound = 500)
+      .collect().map(_.key).sorted.toSeq
+    assert(got == (0L until n.toLong), s"lost ${n - got.size} frontier points")
+    // mixed fixture through the SAME forced-distributed path: dominated
+    // points must still die across range-partition boundaries (the
+    // prefix-max cut), coordinate duplicates must survive together
+    val mixed = anti ++ Seq(
+      SkyPoint(90001, 10.5, 8), // dominated by (10, 10.0, 10)
+      SkyPoint(90002, 2500.0, 2500), // duplicate of key 2500
+      SkyPoint(90003, 4999.5, 1)) // dominated by (e.g.) (2, 2.0, 2)
+    val got2 = Skyline.skyline2d(
+        spark.createDataset(mixed).repartition(11), mergeBound = 500)
+      .collect().map(_.key).sorted.toSeq
+    assert(got2 == ((0L until n.toLong) :+ 90002L), s"got ${got2.size}")
+    // the two branches agree on the same input (adaptive ≡ single-task)
+    val single = Skyline.skyline2d(spark.createDataset(mixed))
+      .collect().map(_.key).sorted.toSeq
+    assert(single == got2)
+  }
+
   test("q98 redaction finds every planted contact; q99 packing bins are " +
     "contiguous per shard and respect the budget start rule") {
     val pii = SparkEntry.queries("q98_pii_redaction")(spark, sf).collect()

@@ -789,6 +789,59 @@ class TierASpec extends AnyFunSuite {
       "fake payloads still flow through the stub")
   }
 
+  test("multimodal: container METADATA round-trips through the real " +
+    "MP4/Matroska/AVI headers; truncated or corrupt boxes are refused " +
+    "(VERDICT r8 item 4)") {
+    import graft.operators.{AviMeta, MkvMeta, Mp4Meta}
+    // writer → parser round trip, exact, for all three containers
+    for (id <- 0L until 24L) {
+      val ms = 1000L + (id % 997) * 37
+      val (w, h) = ((160 + id % 64 * 4).toInt, (120 + id % 48 * 4).toInt)
+      val bytes = (id % 3) match {
+        case 0 => Mp4Meta.write(ms, w, h)
+        case 1 => MkvMeta.write(ms, w, h)
+        case _ => AviMeta.write(ms, w, h)
+      }
+      val m = Multimodal.videoContainerMeta(bytes)
+      assert(m.isDefined, s"id=$id: parser refused its own writer")
+      assert(m.get.durationMs == ms && m.get.width == w && m.get.height == h,
+        s"id=$id: got ${m.get}")
+    }
+    // truncation at EVERY prefix length must refuse (None), never throw
+    // or fabricate — the refusal path the stub embedding relies on
+    for (full <- Seq(Mp4Meta.write(5000L, 320, 240),
+      MkvMeta.write(5000L, 320, 240), AviMeta.write(5000L, 320, 240))) {
+      for (cut <- 0 until full.length) {
+        val m = Multimodal.videoContainerMeta(full.take(cut))
+        assert(m.isEmpty, s"truncated at $cut of ${full.length}: got $m")
+      }
+    }
+    // corrupt interior size fields must refuse, not mis-parse: blow up
+    // the mvhd box's declared size / an EBML size byte / the avih size
+    val mp4c = Mp4Meta.write(5000L, 320, 240)
+    mp4c(mp4c.length - 205) = 0x7f // moov child box size corrupted
+    val mkvc = MkvMeta.write(5000L, 320, 240)
+    mkvc(5) = 0xff.toByte
+    val avic = AviMeta.write(5000L, 320, 240)
+    avic(16 + 4) = 0x7f // LIST size corrupted past EOF
+    assert(Multimodal.videoContainerMeta(mkvc).isEmpty ||
+      Multimodal.videoContainerMeta(mkvc).exists(_.durationMs == 5000L))
+    Seq(mp4c, avic).foreach { c =>
+      // either clean refusal or an unharmed parse — never an exception,
+      // never a wrong number
+      val m = Multimodal.videoContainerMeta(c)
+      assert(m.isEmpty || m.exists(v => v.durationMs == 5000L &&
+        v.width == 320 && v.height == 240), s"corrupt parse fabricated: $m")
+    }
+    // a refused payload in the feature path keeps dim = -1
+    val media = spark.createDataset(Seq(operators.MediaRecord(9L, "video",
+      Mp4Meta.write(5000L, 320, 240).take(30),
+      operators.MediaMeta("video/mp4", 0, 0, 0L))))(
+      org.apache.spark.sql.Encoders.product[operators.MediaRecord])
+    val ff = Multimodal.extractFeatures(media).collect()
+    assert(ff.head.dim == -1 && ff.head.features.isEmpty)
+  }
+
   test("multimodal: REAL PNG payloads decode through javax.imageio — " +
     "pixel-exact grid features, header dims match metadata, stub only " +
     "for non-image kinds") {
