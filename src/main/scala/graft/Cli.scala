@@ -40,14 +40,26 @@ object Cli {
 
     // Star-schema table names resolve directly; 3-part names map back to
     // the same loaders (so events keeps its nanos→timestamp handling on
-    // every resolution route); anything else is a raw path.
+    // every resolution route); anything else is a raw path. When the
+    // reference's UC env pair is present (delta-unity-duckdb.js:101-105),
+    // unmatched 3-part names go through the LIVE REST client instead of
+    // the path mapping — getTableInfo → temp-credential vending → SAS
+    // install → Delta read (graft.sources.UnityCatalogClient).
     val pathResolver = new PathResolver()
+    val ucResolver: Option[TableResolver] = for {
+      host <- sys.env.get("DATABRICKS_WORKSPACE_URL")
+      tok <- sys.env.get("DATABRICKS_TOKEN")
+    } yield new graft.sources.UnityCatalogResolver(
+      new graft.sources.UnityCatalogClient(host, tok))
     val resolver = new TableResolver {
       override def resolve(s: SparkSession, ref: String): DataFrame = {
         val short =
           if (pathResolver.isCatalogName(ref)) ref.split("\\.").last else ref
         if (Tables.names.contains(short)) Tables.load(s, sfDir, short)
-        else pathResolver.resolve(s, ref)
+        else ucResolver match {
+          case Some(uc) if pathResolver.isCatalogName(ref) => uc.resolve(s, ref)
+          case _ => pathResolver.resolve(s, ref)
+        }
       }
     }
     val scanner = new DeltaScanner(spark, resolver)

@@ -734,6 +734,101 @@ class TierASpec extends AnyFunSuite {
     }
   }
 
+  // ---- Unity Catalog REST client (A2/A3) against an in-process fake ----
+
+  test("UC REST client: 3-part resolution, credential POST body, account " +
+    "regex, error surface, per-call re-vending — certified end-to-end " +
+    "against an in-process HTTP fake serving the documented JSON shapes") {
+    import graft.sources.{UnityCatalogClient, UnityCatalogResolver}
+    // a real local Delta table standing in for the vended cloud path
+    val dir = java.nio.file.Files.createTempDirectory("graft-uc").toString
+    val fixture = s"$dir/t1"
+    graft.sources.DeltaWrite.write(
+      spark.range(5).toDF("id"), fixture)
+    val token = "test-token-123"
+    val vendCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lastPostBody = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: com.sun.net.httpserver.HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    }
+    server.createContext("/api/2.1/unity-catalog/tables/",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val auth = ex.getRequestHeaders.getFirst("Authorization")
+        val name = ex.getRequestURI.getPath.split("/").last
+        if (auth != s"Bearer $token") reply(ex, 401, """{"message":"bad token"}""")
+        else if (name == "main.sales.t1") reply(ex, 200,
+          """{"name":"t1","catalog_name":"main","schema_name":"sales",""" +
+            """"table_id":"tid-42",""" +
+            """"storage_location":"abfss://c@acct1.dfs.core.windows.net/t1"}""")
+        else reply(ex, 404, s"""{"message":"table $name not found"}""")
+      })
+    server.createContext("/api/2.1/unity-catalog/temporary-table-credentials",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        lastPostBody.set(body)
+        if (!body.contains("\"table_id\":\"tid-42\""))
+          reply(ex, 404, """{"message":"unknown table_id"}""")
+        else {
+          vendCount.incrementAndGet()
+          reply(ex, 200,
+            """{"url":"abfss://c@acct1.dfs.core.windows.net/t1",""" +
+              """"expiration_time":1893456000000,""" +
+              """"azure_user_delegation_sas":{"sas_token":"sig=abc%3D"}}""")
+        }
+      })
+    server.start()
+    try {
+      val host = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new UnityCatalogClient(host, token)
+      // A2: table info over the wire
+      val info = client.getTableInfo("main.sales.t1")
+      assert(info.tableId == "tid-42")
+      assert(info.storageLocation.contains(
+        "abfss://c@acct1.dfs.core.windows.net/t1"))
+      intercept[IllegalArgumentException](client.getTableInfo("just.two"))
+      val nf = intercept[IllegalStateException](
+        client.getTableInfo("main.sales.nope"))
+      assert(nf.getMessage.contains("404") && nf.getMessage.contains("not found"))
+      val bad = intercept[IllegalStateException](
+        new UnityCatalogClient(host, "wrong").getTableInfo("main.sales.t1"))
+      assert(bad.getMessage.contains("401"))
+      // A3: credential vending — POST body shape and the account regex
+      val cred = client.generateTempCredentials("tid-42", "read")
+      assert(lastPostBody.get.contains("\"table_id\":\"tid-42\"") &&
+        lastPostBody.get.contains("\"operation\":\"READ\""), lastPostBody.get)
+      assert(cred.storageAccountName == "acct1") // /@([^.]+)\.dfs\./
+      assert(cred.sasToken == "sig=abc%3D")
+      assert(cred.deltaPath == cred.url)
+      assert(cred.expirationTime == 1893456000000L)
+      // the resolver: HTTP -> parse -> Hadoop-conf install -> Delta read,
+      // with the vended cloud path located to the local fixture
+      val resolver = new UnityCatalogResolver(client, locate = _ => fixture)
+      val before = vendCount.get
+      val df1 = resolver.resolve(spark, "main.sales.t1")
+      assert(df1.count() == 5)
+      assert(spark.sparkContext.hadoopConfiguration.get(
+        "fs.azure.sas.fixed.token.acct1.dfs.core.windows.net") == "sig=abc%3D")
+      // per-call re-vending: temporary credentials expire, so resolve()
+      // must hit the vending endpoint EVERY time, never cache
+      val df2 = resolver.resolve(spark, "main.sales.t1")
+      assert(df2.count() == 5)
+      assert(vendCount.get == before + 2, s"vended ${vendCount.get - before}x")
+      // non-catalog refs bypass the client entirely (classification table)
+      assert(resolver.resolve(spark, fixture).count() == 5)
+      // a vended url the account regex cannot parse is an error, not a guess
+      val noMatch = new UnityCatalogClient(host, token,
+        httpCall = (_, _, _, _) => """{"url":"s3://bucket/t1",""" +
+          """"azure_user_delegation_sas":{"sas_token":"x"}}""")
+      val e2 = intercept[IllegalStateException](
+        noMatch.generateTempCredentials("tid-42"))
+      assert(e2.getMessage.contains("Could not extract storage account"))
+    } finally server.stop(0)
+  }
+
   // ---- Multimodal plumbing ----
 
   test("multimodal: resize bounds metadata; frame sampling bounds fan-out") {
