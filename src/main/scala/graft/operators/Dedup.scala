@@ -186,6 +186,49 @@ object Dedup {
     pairExpand(buckets).distinct()
   }
 
+  /** q102's operational pair frame (SemDeDup, Abbas et al. 2023):
+    * in-cluster exact-cosine pairs over the multi-probe k-means
+    * assignment. Persisted: BOTH join sides read the assignment —
+    * without the cache the K-way scoring subplan runs twice (aliased
+    * columns defeat ReuseExchange), which ScaleCheck measured as ~2× the
+    * whole assignment cost at 20k vectors. Scoring happens INSIDE the
+    * join projection and thresholds BEFORE the (a, b) collapse: a pair
+    * sharing several probed clusters gets re-scored (≤ probes× extra
+    * codegen flops on a minority of pairs), but the dedup exchange then
+    * carries only the rare surviving (a, b, cos) triples — the earlier
+    * collapse-first form shuffled every candidate WITH both 64-float
+    * vectors (~30× the bytes) just to avoid cheap recompute. */
+  private[graft] def semanticPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val assigned = Similarity.clusterAssign(s, d, trainIters = 2).persist()
+    val x = assigned.select(col("cid"), col("vec_id").as("a"),
+      col("v").as("va"))
+    val y = assigned.select(col("cid"), col("vec_id").as("b"),
+      col("v").as("vb"))
+    x.join(y, Seq("cid")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .dropDuplicates("a", "b")
+  }
+
+  /** q46's operational pair frame: LSH candidates with
+    * signature-estimated Jaccard, filtered at est ≥ 0.5. Signatures feed
+    * three consumers (banding + both sides of the candidate verification
+    * join); persist the fixed-size sketch (~1 KB/doc) instead of
+    * recomputing the shingle pipeline 3×. */
+  private[graft] def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(docs(s, d)).persist()
+    val cand = lshCandidates(sig)
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          v => v)).cast("double") / NumPerm).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
   /** Connected components of the near-dup (Jaccard ≥ 0.1) pair graph
     * (q81's body; also feeds q97's cleaned-corpus materialization).
     * Two execution paths, chosen by the PAIR GRAPH's size — the same
@@ -319,25 +362,35 @@ object Dedup {
       (s, d) => jaccardPairs(s, d).orderBy("a", "b"),
       Some(JaccardPairsSql + " ORDER BY a, b")),
 
-    // MinHash/LSH candidate pairs with signature-estimated Jaccard.
-    // Not SQL-oracle-expressible (xxhash64 sketch); driver rows-only check.
+    // MinHash/LSH near-dup as an ORACLED RECALL ROW (VERDICT r8 item 7):
+    // the sketch pairs themselves are not SQL-expressible (xxhash64
+    // signature seeds), but the recall arithmetic against a
+    // SQL-expressible truth set is — n_truth_pairs (rare-shingle Jaccard
+    // ≥ 0.5, the q45 machinery, DuckDB computes it independently) is a
+    // REAL differential column, and meets_floor certifies
+    // |found ∩ truth| / n_truth ≥ 0.80 (measured 1.00 at sf0.01 AND
+    // sf0.1 — 16-band/128-perm banding has essentially unit recall at
+    // this threshold; the floor leaves collision room). A recall
+    // regression breaks the hash, turning the old spec-only check into
+    // a CORRECTNESS row. The operational pair frame stays available as
+    // [[minhashLshPairs]] (specs consume it directly). Counts are
+    // driver-side scalars — two bounded aggregates, not data collects.
     GraftQuery("q46_dedup_minhash_lsh",
       (s, d) => {
-        // Signatures feed three consumers (banding + both sides of the
-        // candidate verification join); persist the fixed-size sketch
-        // (~1 KB/doc) instead of recomputing the shingle pipeline 3×.
-        val sig = signatures(docs(s, d)).persist()
-        val cand = lshCandidates(sig)
-        cand
-          .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
-          .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
-          .select(col("a"), col("b"),
-            (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
-              v => v)).cast("double") / NumPerm).as("est_jaccard"))
-          .filter(col("est_jaccard") >= 0.5)
-          .orderBy("a", "b")
+        import s.implicits._
+        val truth = jaccardPairs(s, d)
+          .filter(col("jaccard") >= 0.5).select("a", "b")
+        val found = minhashLshPairs(s, d).select("a", "b")
+        val n = truth.count()
+        val hit = truth.join(found, Seq("a", "b"), "left_semi").count()
+        val meets = if (n == 0 || hit * 100 >= n * 80) 1L else 0L
+        Seq((n, 80L, meets))
+          .toDF("n_truth_pairs", "recall_floor_pct", "meets_floor")
       },
-      None),
+      Some("SELECT CAST(n AS BIGINT) AS n_truth_pairs, " +
+        "CAST(80 AS BIGINT) AS recall_floor_pct, " +
+        "CAST(1 AS BIGINT) AS meets_floor FROM (SELECT COUNT(*) AS n " +
+        s"FROM ($JaccardPairsSql) WHERE jaccard >= 0.5)")),
 
     // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression),
     // pigeonhole blocking on 4×16-bit segments guarantees every pair with
@@ -587,36 +640,35 @@ object Dedup {
     // assignment is one narrow in-row pass against the literal centroid
     // matrix, and the pair join shuffles on cid — embeddings shuffle
     // probes× and nothing else.
+    // SemDeDup as an ORACLED RECALL ROW (VERDICT r8 item 7): the
+    // clustering is engine-specific, but n_truth_pairs — the exact
+    // quadratic cos ≥ 0.3 pair count — is DuckDB-computable (the q48
+    // SQL), and meets_floor certifies recall ≥ 0.65 vs that truth
+    // (measured 0.81 at sf0.01 with K=16/3 probes; precision is 1 by
+    // construction — every found pair is true-cosine-scored — so only
+    // the recall side needs the gate). The operational pair frame is
+    // [[semanticPairs]]; CorpusSpec keeps the subset/floor property
+    // tests on it.
     GraftQuery("q102_dedup_semantic",
       (s, d) => {
-        graft.functions.CosineSim.register(s)
-        // persisted: BOTH join sides read the assignment — without the
-        // cache the K-way scoring subplan runs twice (aliased columns
-        // defeat ReuseExchange), which ScaleCheck measured as ~2x the
-        // whole assignment cost at 20k vectors
-        val assigned = Similarity.clusterAssign(s, d, trainIters = 2).persist()
-        val x = assigned.select(col("cid"), col("vec_id").as("a"),
-          col("v").as("va"))
-        val y = assigned.select(col("cid"), col("vec_id").as("b"),
-          col("v").as("vb"))
-        x.join(y, Seq("cid")).filter(col("a") < col("b"))
-          // Score INSIDE the join projection and threshold BEFORE the
-          // (a, b) collapse: a pair sharing several probed clusters gets
-          // re-scored (≤ probes× extra codegen flops on a minority of
-          // pairs), but the dedup exchange then carries only the rare
-          // surviving (a, b, cos) triples — the earlier collapse-first
-          // form shuffled every candidate WITH both 64-float vectors
-          // (~30× the bytes) just to avoid cheap recompute.
-          .select(col("a"), col("b"),
-            VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
-          .filter(col("cos") >= 0.3)
-          .dropDuplicates("a", "b")
-          .orderBy("a", "b")
+        import s.implicits._
+        val truth = exactEmbeddingPairs(s, d).select("a", "b")
+        val found = semanticPairs(s, d).select("a", "b")
+        val n = truth.count()
+        val hit = truth.join(found, Seq("a", "b"), "left_semi").count()
+        val meets = if (n == 0 || hit * 100 >= n * 65) 1L else 0L
+        Seq((n, 65L, meets))
+          .toDF("n_truth_pairs", "recall_floor_pct", "meets_floor")
       },
-      // k-means assignment is engine-specific → rows-only check; the
-      // accuracy contract (subset of q48, recall floor) lives in
-      // CorpusSpec.
-      None)
+      Some("SELECT CAST(n AS BIGINT) AS n_truth_pairs, " +
+        "CAST(65 AS BIGINT) AS recall_floor_pct, " +
+        "CAST(1 AS BIGINT) AS meets_floor FROM (SELECT COUNT(*) AS n " +
+        "FROM (SELECT x.vec_id AS a, y.vec_id AS b, " +
+        "list_sum(list_transform(list_zip(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), z -> z[1]*z[2])) " +
+        "/ (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), z -> z*z))) " +
+        "* sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), z -> z*z)))) AS cos " +
+        "FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id) " +
+        "WHERE cos >= 0.3)"))
     ,
 
     // Incremental-ingest exact dedup — the ongoing-pipeline form of q44:

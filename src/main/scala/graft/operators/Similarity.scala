@@ -110,6 +110,118 @@ object Similarity {
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
+  /** q49's exact brute-force top-k (the recall ground truth): the query
+    * panel is a bounded collect (QueryCount rows), scored in-row against
+    * the whole corpus via the native CosineAll matrix loop. */
+  private[graft] def bruteTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineAll.register(s)
+    val panel = emb(s, d).filter(col("vec_id") < QueryCount)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    if (panel.isEmpty)
+      emptyResult(s, "q BIGINT, n BIGINT, rnk BIGINT, cos DOUBLE")
+    else {
+      val qIds = typedLit(panel.map(_._1).toSeq)
+      val pairs = emb(s, d)
+        .select(col("vec_id").as("n"),
+          posexplode(graft.functions.CosineAll.cosineAll(col("embedding"),
+            panel.map(_._2).toIndexedSeq)).as(Seq("aidx", "cos")))
+        .select(element_at(qIds, col("aidx") + 1).as("q"), col("n"),
+          col("cos"))
+        .filter(col("q") =!= col("n"))
+      topkPerQuery(pairs)
+    }
+  }
+
+  /** q50's operational top-k frame: hyperplane-LSH bucketed candidates
+    * (native multi-table expression, fused codegen over a constant
+    * matrix), deduplicated before the exact rerank. */
+  private[graft] def lshTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    graft.functions.HyperplaneLsh.register(s)
+    val sigs = emb(s, d)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(graft.functions.HyperplaneLsh.hplsh(col("embedding"))))
+      .toDF("vec_id", "embedding", "tb", "bkt")
+    val q = sigs.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q"), col("embedding").as("qv"),
+        col("tb"), col("bkt"))
+    val c = sigs.select(col("vec_id").as("n"), col("embedding").as("nv"),
+      col("tb"), col("bkt"))
+    val pairs = c.join(broadcast(q), Seq("tb", "bkt"))
+      .filter(col("q") =!= col("n"))
+      .dropDuplicates("q", "n")
+      .select(col("q"), col("n"), cosine(col("qv"), col("nv")).as("cos"))
+    topkPerQuery(pairs)
+  }
+
+  /** q92's operational top-k frame: product-quantization codes against a
+    * broadcast-literal codebook, ADC-scored candidates, exact rerank.
+    * The codebook collect is K=16 seed vectors — metadata, not data. */
+  private[graft] def pqTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    graft.functions.ProductQuant.register(s)
+    import graft.functions.ProductQuant.{pqAdcTable, pqEncode, pqScore}
+    val M = 8; val K = 16; val Cand = 60
+    val e = emb(s, d)
+    val norm = e.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => x / sqrt(norm2(col("embedding")))).as("nv"))
+    val seeds = norm.filter(col("vec_id") < K).orderBy("vec_id")
+      .select("nv").collect().map(_.getSeq[Double](0).toArray)
+    val sub = seeds(0).length / M
+    val flat = new Array[Double](M * K * sub)
+    for (j <- 0 until M; kk <- 0 until K; t <- 0 until sub)
+      flat((j * K + kk) * sub + t) = seeds(kk)(j * sub + t)
+    val cb = typedLit(flat.toSeq)
+    val codes = norm.select(col("vec_id").as("n"),
+      pqEncode(col("nv"), cb, M, K).as("codes"))
+    val queries = norm.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q"), pqAdcTable(col("nv"), cb, M, K).as("tbl"))
+    val scored = codes.join(broadcast(queries), col("q") =!= col("n"))
+      .select(col("q"), col("n"), pqScore(col("codes"), col("tbl"), K).as("approx"))
+    val wCand = Window.partitionBy("q").orderBy(col("approx").desc, col("n"))
+    val cands = scored.withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= Cand).select("q", "n")
+    val qv = norm.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q"), col("nv").as("qv"))
+    val pairs = norm.select(col("vec_id").as("n"), col("nv").as("cv"))
+      .join(broadcast(cands), Seq("n"))
+      .join(broadcast(qv), Seq("q"))
+      .select(col("q"), col("n"), cosine(col("qv"), col("cv")).as("cos"))
+    topkPerQuery(pairs)
+  }
+
+  /** The ANN sketch entries' ORACLED RECALL ROW (VERDICT r8 item 7):
+    * n_exact — the exact top-k row count — is a REAL differential column
+    * (DuckDB recomputes it from the q49 SQL), and meets_floor certifies
+    * recall@k = |approx ∩ exact| / n_exact ≥ floorPct/100. The sketch
+    * output itself stays engine-specific; a recall regression now breaks
+    * the CORRECTNESS hash instead of only a spec. Counts are driver
+    * scalars (two bounded aggregates). */
+  private def annRecallRow(s: SparkSession, d: String,
+      approx: DataFrame, floorPct: Int): DataFrame = {
+    import s.implicits._
+    val exact = bruteTopK(s, d).select("q", "n")
+    val n = exact.count()
+    val hit = exact.join(approx.select("q", "n"), Seq("q", "n"), "left_semi")
+      .count()
+    val meets = if (n == 0 || hit * 100 >= n * floorPct) 1L else 0L
+    Seq((n, floorPct.toLong, meets))
+      .toDF("n_exact", "recall_floor_pct", "meets_floor")
+  }
+
+  /** The matching oracle text: n_exact from the q49 SQL, gates literal. */
+  private def annRecallSql(floorPct: Int): String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |CAST($floorPct AS BIGINT) AS recall_floor_pct,
+       |CAST(1 AS BIGINT) AS meets_floor FROM (
+       |WITH p AS (SELECT q.vec_id AS q, c.vec_id AS n, $cosSql AS cos
+       |FROM embeddings q JOIN embeddings c ON q.vec_id < $QueryCount AND q.vec_id != c.vec_id)
+       |SELECT q, n FROM (SELECT q, n, ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rnk FROM p)
+       |WHERE rnk <= $TopK)""".stripMargin.replace("\n", " ")
+
   private def topkPerQuery(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
     pairs.withColumn("rnk", row_number().over(w).cast("long"))
@@ -224,26 +336,7 @@ object Similarity {
     // materialize corpus×panel rows each carrying both embeddings);
     // posexplode emits narrow (q, n, cos) rows into the top-k window.
     GraftQuery("q49_ann_brute",
-      (s, d) => {
-        graft.functions.CosineAll.register(s)
-        val panel = emb(s, d).filter(col("vec_id") < QueryCount)
-          .select(col("vec_id"), col("embedding").cast("array<double>"))
-          .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-          .sortBy(_._1)
-        if (panel.isEmpty)
-          emptyResult(s, "q BIGINT, n BIGINT, rnk BIGINT, cos DOUBLE")
-        else {
-          val qIds = typedLit(panel.map(_._1).toSeq)
-          val pairs = emb(s, d)
-            .select(col("vec_id").as("n"),
-              posexplode(graft.functions.CosineAll.cosineAll(col("embedding"),
-                panel.map(_._2).toIndexedSeq)).as(Seq("aidx", "cos")))
-            .select(element_at(qIds, col("aidx") + 1).as("q"), col("n"),
-              col("cos"))
-            .filter(col("q") =!= col("n"))
-          topkPerQuery(pairs)
-        }
-      },
+      (s, d) => bruteTopK(s, d),
       Some(s"""WITH p AS (SELECT q.vec_id AS q, c.vec_id AS n, $cosSql AS cos
         |FROM embeddings q JOIN embeddings c ON q.vec_id < $QueryCount AND q.vec_id != c.vec_id),
         |r AS (SELECT q, n, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, n) AS BIGINT) AS rnk FROM p)
@@ -370,8 +463,12 @@ object Similarity {
     // groupBy shuffle (broadcast cross-join keeps corpus partitioning), so
     // the shuffle carries |corpus| rows, not the K-fold blowup a
     // row_number window over the scored pairs would materialize.
-    GraftQuery("q58_ann_ivf", (s, d) => ivfQuery(s, d, trainIters = 2),
-      None),
+    // IVF recall row: the k-means-trained inverted-list probe must find
+    // ≥ 50% of the exact top-5 (CorpusSpec floor; 2/16 lists probed).
+    // Operational top-k frame: [[ivfQuery]].
+    GraftQuery("q58_ann_ivf",
+      (s, d) => annRecallRow(s, d, ivfQuery(s, d, trainIters = 2), 50),
+      Some(annRecallSql(50))),
 
     // Product-quantization ANN (Jégou et al. 2011): corpus vectors are
     // compressed to M=8 codeword indices against a broadcast-literal
@@ -383,44 +480,12 @@ object Similarity {
     // exact rerank joins the tiny candidate set back to the corpus.
     // Vectors are L2-normalized up front so approximate dot ≡
     // approximate cosine.
+    // PQ recall row: ADC-scored 60-candidate rerank must find ≥ 60% of
+    // the exact top-5 (measured 0.82 at sf0.01 / 0.65 at sf0.1 — the
+    // floor holds at both). Operational top-k frame: [[pqTopK]].
     GraftQuery("q92_ann_pq",
-      (s, d) => {
-        graft.functions.CosineSim.register(s)
-        graft.functions.ProductQuant.register(s)
-        import graft.functions.ProductQuant.{pqAdcTable, pqEncode, pqScore}
-        val M = 8; val K = 16; val Cand = 60
-        val e = emb(s, d)
-        val norm = e.select(col("vec_id"),
-          transform(col("embedding").cast("array<double>"),
-            x => x / sqrt(norm2(col("embedding")))).as("nv"))
-        // Codebook = bounded constant (M·K·sub doubles), shipped as a
-        // literal exactly like q50's hyperplane matrix — the collect is
-        // K=16 seed vectors of metadata, not data, through the driver.
-        val seeds = norm.filter(col("vec_id") < K).orderBy("vec_id")
-          .select("nv").collect().map(_.getSeq[Double](0).toArray)
-        val sub = seeds(0).length / M
-        val flat = new Array[Double](M * K * sub)
-        for (j <- 0 until M; kk <- 0 until K; t <- 0 until sub)
-          flat((j * K + kk) * sub + t) = seeds(kk)(j * sub + t)
-        val cb = typedLit(flat.toSeq)
-        val codes = norm.select(col("vec_id").as("n"),
-          pqEncode(col("nv"), cb, M, K).as("codes"))
-        val queries = norm.filter(col("vec_id") < QueryCount)
-          .select(col("vec_id").as("q"), pqAdcTable(col("nv"), cb, M, K).as("tbl"))
-        val scored = codes.join(broadcast(queries), col("q") =!= col("n"))
-          .select(col("q"), col("n"), pqScore(col("codes"), col("tbl"), K).as("approx"))
-        val wCand = Window.partitionBy("q").orderBy(col("approx").desc, col("n"))
-        val cands = scored.withColumn("crn", row_number().over(wCand))
-          .filter(col("crn") <= Cand).select("q", "n")
-        val qv = norm.filter(col("vec_id") < QueryCount)
-          .select(col("vec_id").as("q"), col("nv").as("qv"))
-        val pairs = norm.select(col("vec_id").as("n"), col("nv").as("cv"))
-          .join(broadcast(cands), Seq("n"))
-          .join(broadcast(qv), Seq("q"))
-          .select(col("q"), col("n"), cosine(col("qv"), col("cv")).as("cos"))
-        topkPerQuery(pairs)
-      },
-      None),
+      (s, d) => annRecallRow(s, d, pqTopK(s, d), 60),
+      Some(annRecallSql(60))),
 
     // LSH-bucketed ANN: same output shape as q49 so recall is directly
     // comparable; approximation is engine-specific → rows-only check
@@ -431,26 +496,12 @@ object Similarity {
     // 18 s AND had recall@5 of 0.02. A candidate qualifies by colliding
     // in ANY of the 12 tables; duplicates collapse before the exact
     // rerank so each surviving pair is scored once.
+    // LSH recall row: single-probe 12-table bucketing must find ≥ 25% of
+    // the exact top-5 (CorpusSpec floor; ~1/64 of the corpus per bucket
+    // at 6 bits). Operational top-k frame: [[lshTopK]].
     GraftQuery("q50_ann_lsh",
-      (s, d) => {
-        graft.functions.CosineSim.register(s)
-        graft.functions.HyperplaneLsh.register(s)
-        val sigs = emb(s, d)
-          .select(col("vec_id"), col("embedding"),
-            posexplode(graft.functions.HyperplaneLsh.hplsh(col("embedding"))))
-          .toDF("vec_id", "embedding", "tb", "bkt")
-        val q = sigs.filter(col("vec_id") < QueryCount)
-          .select(col("vec_id").as("q"), col("embedding").as("qv"),
-            col("tb"), col("bkt"))
-        val c = sigs.select(col("vec_id").as("n"), col("embedding").as("nv"),
-          col("tb"), col("bkt"))
-        val pairs = c.join(broadcast(q), Seq("tb", "bkt"))
-          .filter(col("q") =!= col("n"))
-          .dropDuplicates("q", "n")
-          .select(col("q"), col("n"), cosine(col("qv"), col("nv")).as("cos"))
-        topkPerQuery(pairs)
-      },
-      None)
+      (s, d) => annRecallRow(s, d, lshTopK(s, d), 25),
+      Some(annRecallSql(25)))
     ,
 
     // Per-label embedding centroids — class prototypes / topic vectors,

@@ -74,12 +74,12 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("q102 SemDeDup: found pairs are a subset of the exact q48 pairs " +
-    "(precision 1) with a recall floor") {
-    def pairs(name: String) =
-      SparkEntry.queries(name)(spark, sf).select("a", "b")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs("q48_dedup_embedding")
-    val sem = pairs("q102_dedup_semantic")
+    "(precision 1) with a recall floor; the corpus recall row agrees") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SparkEntry.queries("q48_dedup_embedding")(spark, sf))
+    val sem = pairs(graft.operators.Dedup.semanticPairs(spark, sf))
     assert(sem.nonEmpty)
     assert(sem.subsetOf(exact),
       s"${(sem -- exact).size} pairs not in the exact set")
@@ -87,6 +87,10 @@ class CorpusSpec extends AnyFunSuite {
     info(f"q102 recall vs exact q48: $recall%.3f (${sem.size}/${exact.size})")
     // measured 0.810 at sf0.01 with K=16, 3 probes; floor leaves noise room
     assert(recall >= 0.65, f"recall $recall%.3f below floor")
+    // the r9 ORACLED recall row must agree with this first-principles
+    // computation: n_truth = |exact|, gate green
+    val row = SparkEntry.queries("q102_dedup_semantic")(spark, sf).head()
+    assert(row.getLong(0) == exact.size && row.getLong(2) == 1L, row.toString)
   }
 
   test("q156/q157 manifest pipeline: the funnel is monotone, every stage " +
@@ -236,7 +240,7 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("q50 LSH ANN candidates are a subset-quality result: cos ∈ [-1,1]") {
-    val r = SparkEntry.queries("q50_ann_lsh")(spark, sf).collect()
+    val r = graft.operators.Similarity.lshTopK(spark, sf).collect()
     assert(r.nonEmpty)
     r.foreach(row => assert(math.abs(row.getDouble(3)) <= 1.0 + 1e-12))
   }
@@ -251,17 +255,24 @@ class CorpusSpec extends AnyFunSuite {
     // sf0.1).
     val exact = SparkEntry.queries("q49_ann_brute")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recall(name: String): Double = {
-      val approx = SparkEntry.queries(name)(spark, sf)
+    def recall(approx0: org.apache.spark.sql.DataFrame): Double = {
+      val approx = approx0
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       approx.intersect(exact).size.toDouble / exact.size
     }
-    val rLsh = recall("q50_ann_lsh")
-    val rIvf = recall("q58_ann_ivf")
-    val rPq = recall("q92_ann_pq")
+    val rLsh = recall(graft.operators.Similarity.lshTopK(spark, sf))
+    val rIvf = recall(graft.operators.Similarity.ivfQuery(spark, sf, 2))
+    val rPq = recall(graft.operators.Similarity.pqTopK(spark, sf))
     assert(rLsh >= 0.25, s"LSH recall@5 too low: $rLsh")
     assert(rIvf >= 0.5, s"IVF recall@5 too low: $rIvf")
     assert(rPq >= 0.7, s"PQ recall@5 too low: $rPq")
+    // the r9 ORACLED recall rows must agree with the first-principles
+    // numbers: n_exact matches, every gate green
+    for (name <- Seq("q50_ann_lsh", "q58_ann_ivf", "q92_ann_pq")) {
+      val row = SparkEntry.queries(name)(spark, sf).head()
+      assert(row.getLong(0) == exact.size && row.getLong(2) == 1L,
+        s"$name: $row")
+    }
     // k-means training must improve the quantizer objective (mean
     // assigned cosine — vectors sit closer to their list centroid) while
     // the worst-probe bound holds: no list may swallow the corpus
@@ -279,8 +290,8 @@ class CorpusSpec extends AnyFunSuite {
 
   test("q92 PQ is deterministic and well-formed: 5 ranked rows per query, " +
     "cosines in [-1,1]") {
-    val r1 = SparkEntry.queries("q92_ann_pq")(spark, sf).collect()
-    val r2 = SparkEntry.queries("q92_ann_pq")(spark, sf).collect()
+    val r1 = graft.operators.Similarity.pqTopK(spark, sf).collect()
+    val r2 = graft.operators.Similarity.pqTopK(spark, sf).collect()
     assert(r1.sameElements(r2), "PQ result must be run-to-run deterministic")
     val byQ = r1.groupBy(_.getLong(0))
     assert(byQ.values.forall(_.length == 5))
@@ -308,7 +319,7 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("q46 minhash estimates stay in [0.5, 1] and pairs are ordered") {
-    val r = SparkEntry.queries("q46_dedup_minhash_lsh")(spark, sf).collect()
+    val r = graft.operators.Dedup.minhashLshPairs(spark, sf).collect()
     r.foreach { row =>
       assert(row.getLong(0) < row.getLong(1))
       val est = row.getDouble(2)
@@ -350,7 +361,7 @@ class CorpusSpec extends AnyFunSuite {
     // sketch the complete set). Sketch theory: stderr ≈ 1/√128 ≈ 0.09.
     import graft.functions.WordShingles
     WordShingles.register(spark)
-    val est = SparkEntry.queries("q46_dedup_minhash_lsh")(spark, sf)
+    val est = graft.operators.Dedup.minhashLshPairs(spark, sf)
       .select(col("a"), col("b"), col("est_jaccard"))
     val sh = Tables.load(spark, sf, "documents").select(col("doc_id"),
       explode(WordShingles.wordShingles(col("text"), 3)).as("s"))
