@@ -40,9 +40,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `named_struct('k', v, …)`;
   * `epoch(ts)` → `unix_micros(ts)/1e6` (fractional seconds preserved).
   *
+  * `SELECT * REPLACE (expr AS col, …)` bridges to `* EXCEPT (col, …)`
+  * plus appended aliases (replaced columns move to the END of the
+  * projection — Spark has no in-place star modifier; values and names
+  * are identical). Non-literal `strftime`/`strptime` formats resolve
+  * through the [[graft.functions.DuckCompat]] registered expressions
+  * (DuckDialect.sql installs them), not this text rewrite.
+  *
   * Deliberately NOT translated (arg shapes or semantics differ; listed
-  * in [[guidance]]): `SELECT * REPLACE`, non-literal
-  * `list_slice`/`strftime`/`string_split` forms, `list_*` on STRINGS.
+  * in [[guidance]]): non-literal `list_slice`/`string_split` forms,
+  * `list_*` on STRINGS, `date_sub` (month-end clamping).
   */
 object DuckDialect {
 
@@ -181,6 +188,36 @@ object DuckDialect {
               sb.append("EXCEPT (").append(ident).append(')'); i = after
             case _ => sb.append(word) // not followed by a column — leave it
           }
+        } else if (lower == "replace" && lastNonWs(sb) == '*' && isCall) {
+          // DuckDB's `* REPLACE (expr AS col, …)` star modifier → Spark's
+          // `* EXCEPT (col, …), expr AS col, …`. Same columns and values;
+          // ONE documented divergence: the replaced columns move to the
+          // END of the projection (Spark has no in-place star modifier) —
+          // harmless to the oracle compare (column-name keyed) and to
+          // any by-name consumer. Every top-level arg must be
+          // `expr AS bare_ident`; anything else falls through to
+          // guidance. The replacement exprs rewrite recursively.
+          val handled = scanCall(sql, j).flatMap { case (after, _) =>
+            splitTop(sql.substring(j + 1, after - 1)).flatMap { args =>
+              val parsed = args.map { a =>
+                val t = a.trim
+                val m = AsIdentRe.findFirstMatchIn(t)
+                m.map(mm => (t.substring(0, mm.start), mm.group(1)))
+              }
+              if (parsed.isEmpty || parsed.exists(_.isEmpty)) None
+              else Some {
+                val ps = parsed.flatten
+                sb.append("EXCEPT (")
+                  .append(ps.map(_._2).mkString(", ")).append(')')
+                ps.foreach { case (e, n) =>
+                  sb.append(", ").append(rewrite(e).trim)
+                    .append(" AS ").append(n)
+                }
+                i = after
+              }
+            }
+          }
+          if (handled.isEmpty) sb.append(word)
         } else {
         val special =
           if (!isCall || qualified) None
@@ -445,6 +482,9 @@ object DuckDialect {
     "and", "or", "not", "between", "in", "is", "like", "case", "window",
     "qualify", "distinct", "all")
 
+  // trailing `AS ident` of a REPLACE item (group 1 = the bare ident)
+  private val AsIdentRe = """(?i)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+
   private def lastNonWs(sb: StringBuilder): Char = {
     var k = sb.length - 1
     while (k >= 0 && Character.isWhitespace(sb.charAt(k))) k -= 1
@@ -703,7 +743,7 @@ object DuckDialect {
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|quantile|strftime|strptime|string_split|str_split|string_to_array|delta_scan|read_csv|read_json|list_reduce)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b""".r
+    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|quantile|string_split|str_split|string_to_array|delta_scan|read_csv|read_json)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined
@@ -721,9 +761,10 @@ object DuckDialect {
        |  string_split/str_split/string_to_array (bridged for a non-empty
        |  LITERAL separator, regex-escaped into split(); the empty-separator
        |  per-char form and expression separators have no direct twin),
-       |  strftime/strptime (bridged for LITERAL formats whose % codes have
-       |  JDK twins; otherwise use date_format/to_timestamp with JDK
-       |  patterns), list_slice (bridged for integer-LITERAL bounds of one
+       |  strftime/strptime (registered functions — arbitrary formats,
+       |  either arg order for strftime; % codes without JDK twins
+       |  (%U weeks, %Z zones) raise — use date_format/to_timestamp with
+       |  JDK patterns there), list_slice (bridged for integer-LITERAL bounds of one
        |  sign; otherwise use slice(l, start, length); the STRING form has
        |  no twin — use substring), struct_pack (bridged for k := v args),
        |  epoch (1-arg form; = unix_micros(ts)/1e6, fractional seconds),
@@ -736,20 +777,23 @@ object DuckDialect {
        |  so they cannot be the failure here): len (strings AND lists,
        |  BIGINT), list_sum/list_avg/list_aggregate('sum'/'avg'/'min'/
        |  'max'/'count') (integer sums are BIGINT not HUGEINT; DECIMAL
-       |  sums widen to DOUBLE), 1- and 2-arg array_length.
+       |  sums widen to DOUBLE), 1- and 2-arg array_length,
+       |  list_reduce (seedless fold; empty lists raise, as DuckDB),
+       |  strftime/strptime (see above).
        |date_diff('part', a, b) (boundary crossings) is text-bridged to
        |  timestampdiff over part-truncated operands for parts year …
        |  microsecond; century/decade/millennium have no timestampdiff
        |  twin — derive from extract(year …).
        |Known DuckDB-isms with NO direct Spark twin (rewrite by hand):
-       |  list_reduce (no-seed fold: use aggregate/reduce with an explicit
-       |  zero), date_sub('part', a, b) (DuckDB counts complete intervals
+       |  date_sub('part', a, b) (DuckDB counts complete intervals
        |  WITH month-end clamping — Jan-31→Feb-28 is 1 month; java.time
        |  disagrees, so check your edge semantics against
        |  timestampdiff(PART, a, b)),
        |  list_extract/array_extract on STRINGS (use substring),
-       |  SELECT * REPLACE (enumerate columns; * EXCLUDE IS bridged to
-       |  Spark's * EXCEPT),
+       |  SELECT * REPLACE with a non-`expr AS bare_ident` item
+       |  (the `expr AS col` form IS bridged into * EXCEPT + appended
+       |  aliases — note the replaced columns move to the END of the
+       |  projection; * EXCLUDE bridges to Spark's * EXCEPT),
        |  delta_scan('p') (query the table through DeltaScanner/$$TABLE —
        |  the engine's Delta reader is not a SQL table function),
        |  read_csv/read_json (auto-detection differs; use spark.read with

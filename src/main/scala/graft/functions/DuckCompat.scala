@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -259,6 +259,135 @@ object DuckCompat {
     }
   }
 
+  /** DuckDB `strftime`/`strptime` with ARBITRARY (non-literal) C format
+    * strings — the text bridge only reaches literal formats because the
+    * %-code conversion must happen before Spark sees the pattern; as an
+    * expression the conversion happens per evaluated format (cached for
+    * the common constant-column case). DuckDB accepts either argument
+    * order for strftime (the engine dispatches on types; so does this —
+    * the temporal-typed argument is the value). Unsupported % codes
+    * raise, as DuckDB does, rather than formatting garbage. */
+  case class DuckStrftime(left: Expression, right: Expression,
+      timeZoneId: Option[String] = None)
+      extends BinaryExpression
+      with TimeZoneAwareExpression
+      with CodegenFallback {
+    override def withTimeZone(tz: String): DuckStrftime =
+      copy(timeZoneId = Some(tz))
+    private def temporalFirst: Boolean = left.dataType match {
+      case TimestampType | DateType | TimestampNTZType => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left.dataType, right.dataType)
+      def isTemporal(t: DataType) =
+        t == TimestampType || t == DateType || t == TimestampNTZType
+      def isStr(t: DataType) = t.isInstanceOf[StringType]
+      if ((isTemporal(ok.head) && isStr(ok(1))) ||
+        (isStr(ok.head) && isTemporal(ok(1))))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "strftime expects (timestamp/date, format) in either order, got " +
+          s"(${ok.head.sql}, ${ok(1).sql})")
+    }
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    @transient private var cachedFmt: String = _
+    @transient private var cachedFormatter: java.time.format.DateTimeFormatter = _
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val (vE, fE) = if (temporalFirst) (left, right) else (right, left)
+      val v = vE.eval(input)
+      val f = fE.eval(input)
+      if (v == null || f == null) return null
+      val cFmt = f.asInstanceOf[UTF8String].toString
+      if (cachedFormatter == null || cachedFmt != cFmt) {
+        val jdk = graft.DuckDialect.cFormatToJdk(cFmt).getOrElse(
+          throw new IllegalArgumentException(
+            s"strftime: format '$cFmt' carries a % code with no JDK " +
+              "twin (locale weeks/%U, zones/%Z, ...); use date_format " +
+              "with a JDK pattern"))
+        cachedFormatter = java.time.format.DateTimeFormatter.ofPattern(
+          jdk, java.util.Locale.US)
+        cachedFmt = cFmt
+      }
+      val ldt = vE.dataType match {
+        case DateType => java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Int].toLong).atStartOfDay()
+        case TimestampNTZType =>
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+            (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        case _ => java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochSecond(
+            Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+            Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L),
+          zoneId)
+      }
+      UTF8String.fromString(cachedFormatter.format(ldt))
+    }
+    override def prettyName: String = "strftime"
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DuckStrftime =
+      copy(left = l, right = r)
+  }
+
+  /** DuckDB `strptime(text, c_format)` → TIMESTAMP; raises on a parse
+    * failure (DuckDB does too). Non-literal formats supported — the
+    * text bridge cannot reach them. */
+  case class DuckStrptime(left: Expression, right: Expression,
+      timeZoneId: Option[String] = None)
+      extends BinaryExpression
+      with TimeZoneAwareExpression
+      with CodegenFallback {
+    override def withTimeZone(tz: String): DuckStrptime =
+      copy(timeZoneId = Some(tz))
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType.isInstanceOf[StringType] &&
+        right.dataType.isInstanceOf[StringType])
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"strptime expects (string, format), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    override def dataType: DataType = TimestampType
+    override def nullable: Boolean = true
+    @transient private var cachedFmt: String = _
+    @transient private var cachedFormatter: java.time.format.DateTimeFormatter = _
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = left.eval(input)
+      val f = right.eval(input)
+      if (v == null || f == null) return null
+      val cFmt = f.asInstanceOf[UTF8String].toString
+      if (cachedFormatter == null || cachedFmt != cFmt) {
+        val jdk = graft.DuckDialect.cFormatToJdk(cFmt).getOrElse(
+          throw new IllegalArgumentException(
+            s"strptime: format '$cFmt' carries a % code with no JDK " +
+              "twin; use to_timestamp with a JDK pattern"))
+        // defaults AFTER the pattern, and YEAR_OF_ERA (the 'y' pattern
+        // field) — defaulting the plain YEAR field alongside a parsed
+        // 'y' pattern makes resolution fail on the whole text
+        cachedFormatter = new java.time.format.DateTimeFormatterBuilder()
+          .appendPattern(jdk)
+          .parseDefaulting(java.time.temporal.ChronoField.YEAR_OF_ERA, 1970)
+          .parseDefaulting(java.time.temporal.ChronoField.MONTH_OF_YEAR, 1)
+          .parseDefaulting(java.time.temporal.ChronoField.DAY_OF_MONTH, 1)
+          .parseDefaulting(java.time.temporal.ChronoField.HOUR_OF_DAY, 0)
+          .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
+          .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
+          .toFormatter(java.util.Locale.US)
+        cachedFmt = cFmt
+      }
+      val ldt = java.time.LocalDateTime.parse(
+        v.asInstanceOf[UTF8String].toString, cachedFormatter)
+      val instant = ldt.atZone(zoneId).toInstant
+      instant.getEpochSecond * 1000000L + instant.getNano / 1000L
+    }
+    override def prettyName: String = "strptime"
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DuckStrptime =
+      copy(left = l, right = r)
+  }
+
   /** Idempotent per-session registration of the DuckDB-compat names.
     * NOTE: `len` SHADOWS a Spark builtin alias inside the session —
     * deliberately: it keeps Spark's semantics for strings (widened to
@@ -303,6 +432,37 @@ object DuckCompat {
       RLike(es.head, Concat(Seq(
         Literal(UTF8String.fromString("\\A(?:"), StringType), es(1),
         Literal(UTF8String.fromString(")\\z"), StringType))))
+    }
+    // strftime / strptime: arbitrary (non-literal) C formats — the text
+    // bridge stays for the pure-rewrite path; these make the FIRST parse
+    // attempt succeed and cover expression-valued formats.
+    put("strftime") { es =>
+      arity("strftime", 2, es); DuckStrftime(es.head, es(1))
+    }
+    put("strptime") { es =>
+      arity("strptime", 2, es); DuckStrptime(es.head, es(1))
+    }
+    // list_reduce(l, (acc, e) -> …): DuckDB's seedless fold — seed is the
+    // FIRST element, the lambda folds the rest (verified:
+    // list_reduce([1,2,3], (x,y) -> x - y) = (1-2)-3 = -4). Expressed as
+    // aggregate(slice(l, 2, size-1), l[1], lambda): the parser already
+    // produced a LambdaFunction with unresolved lambda variables, and
+    // ArrayAggregate is a real higher-order function the analyzer binds.
+    // DuckDB errors on an empty list; here element_at(l, 1) raises under
+    // ANSI the same way.
+    put("list_reduce") { es =>
+      arity("list_reduce", 2, es)
+      val l = es.head
+      val lam = es(1) match {
+        case f: LambdaFunction => f
+        case other => throw new IllegalArgumentException(
+          s"list_reduce expects a lambda as the second argument, got $other")
+      }
+      val rest = Slice(l, Literal(2),
+        Greatest(Seq(Subtract(Size(l, legacySizeOfNull = false), Literal(1)),
+          Literal(0))))
+      ArrayAggregate(rest, ElementAt(l, Literal(1)), lam,
+        LambdaFunction.identity)
     }
     // NOTE deliberately absent: date_diff. Spark's parser grammar-matches
     // the 3-arg form into timestampdiff and rejects DuckDB's quoted unit

@@ -395,23 +395,44 @@ object Dedup {
     // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression),
     // pigeonhole blocking on 4×16-bit segments guarantees every pair with
     // Hamming ≤ 3 shares at least one block key — no quadratic pass.
+    //
+    // r9 skew bound: the old x⋈y SEGMENT SELF-JOIN was the same
+    // unbounded-quadratic hazard the r9 LSH fix closed — a degenerate
+    // corpus of near-identical docs puts its whole population into one
+    // (k, seg) bucket and the join group goes |corpus|². Blocking now
+    // uses the q46 machinery: bounded bucket lists (cap 257) +
+    // in-bucket pair expansion, buckets > [[MaxBandBucket]] dropped.
+    // Dropping such a bucket narrows the pigeonhole guarantee for docs
+    // whose ONLY shared block is the hot one — deliberate: >256 docs
+    // sharing a 16-bit fingerprint block are near-identical en masse,
+    // which exact dedup (q44) and MinHash (q46) already handle, and the
+    // alternative is an unbounded join group. Fingerprints re-attach to
+    // the expanded pairs by two doc_id joins (the q45 cardinality-join
+    // shape) rather than riding the bucket lists.
     GraftQuery("q47_dedup_simhash",
       (s, d) => {
         SimHash64.register(s)
+        graft.functions.BoundedSortedList.register(s)
+        graft.functions.OrderedPairs.register(s)
         val f = docs(s, d).select(col("doc_id"),
           SimHash64.simhash64(tokenHashes(tokens(col("text")))).as("sh"))
         val segCols = (0 until 4).map(k =>
           shiftrightunsigned(col("sh"), k * 16).bitwiseAND(lit(0xFFFFL)))
-        val seg = f.select(col("doc_id"), col("sh"),
+        val seg = f.select(col("doc_id"),
           posexplode(array(segCols: _*)))
-          .toDF("doc_id", "sh", "k", "seg")
-        seg.as("x").join(seg.as("y"),
-            col("x.k") === col("y.k") && col("x.seg") === col("y.seg") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-            bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+          .toDF("doc_id", "k", "seg")
+        val buckets = seg.groupBy("k", "seg")
+          .agg(graft.functions.BoundedSortedList
+            .boundedSortedList(col("doc_id"), MaxBandBucket + 1).as("ids"))
+          .filter(size(col("ids")).between(2, MaxBandBucket))
+        val pairs = pairExpand(buckets).distinct()
+        pairs
+          .join(f.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+          .join(f.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+          .select(col("a"), col("b"),
+            bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long")
+              .as("hamming"))
           .filter(col("hamming") <= 3)
-          .distinct()
           .orderBy("a", "b")
       },
       None),

@@ -62,19 +62,25 @@ object ExtendedOps {
   // q160's text — the r9 ANALYZE-LEVEL bridges in one statement, the
   // constructs a text rewrite cannot reach (VERDICT r8 item 1): len on
   // a STRING and a LIST in the same expression tree, list_sum/list_avg/
-  // list_aggregate over lambda-derived BIGINT lists, 2-arg array_length,
-  // a NON-LITERAL regexp_full_match pattern ('[a-z]{' || len(lang) ||
-  // '}'), plus the date_diff('part',…) boundary-crossing text bridge
-  // (month AND hour parts — the month case is where complete-interval
-  // semantics would differ) and the ADVICE-r8 clamped both-negative
-  // list_slice. The Spark side goes through DuckDialect.sql — the REAL
-  // entry (register DuckCompat, parse, rewrite-retry) — while the oracle
-  // executes the same text natively in DuckDB; every aggregate is pinned
-  // to BIGINT (the one FP value goes through FLOOR(x * 64), a power-of-2
-  // scale that keeps the double exact) so the hash match is bit-sharp.
+  // list_aggregate over lambda-derived BIGINT lists, list_reduce's
+  // seedless fold, 2-arg array_length, a NON-LITERAL regexp_full_match
+  // pattern ('[a-z]{' || len(lang) || '}'), plus the date_diff('part',…)
+  // boundary-crossing text bridge (month AND hour parts — the month case
+  // is where complete-interval semantics would differ), the ADVICE-r8
+  // clamped both-negative list_slice, and the outer `* REPLACE
+  // (expr AS col)` star modifier (same values; the replaced column moves
+  // to the end of the projection, which the column-name-keyed oracle
+  // compare is insensitive to). The Spark side goes through
+  // DuckDialect.sql — the REAL entry (register DuckCompat, parse,
+  // rewrite-retry) — while the oracle executes the same text natively in
+  // DuckDB; every aggregate is pinned to BIGINT (the one FP value goes
+  // through FLOOR(x * 64), a power-of-2 scale that keeps the double
+  // exact) so the hash match is bit-sharp.
   private val DuckDialect3Sql: String =
-    """SELECT source,
+    """SELECT * REPLACE (CAST(n_docs * 2 AS BIGINT) AS n_docs) FROM (
+      |SELECT source,
       |CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |CAST(SUM(list_reduce(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b)) AS BIGINT) AS red_wordlen,
       |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
       |CAST(SUM(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT)))) AS BIGINT) AS sum_wordlen,
       |CAST(SUM(CAST(FLOOR(list_avg(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))) * 64) AS BIGINT)) AS BIGINT) AS avg64,
@@ -84,7 +90,7 @@ object ExtendedOps {
       |CAST(SUM(date_diff('month', DATE '2021-06-15', make_date(2021, CAST(doc_id % 12 AS INT) + 1, CAST(n_chars % 28 AS INT) + 1))) AS BIGINT) AS mdiff,
       |CAST(SUM(date_diff('hour', TIMESTAMP '2021-01-01 05:30:00', make_timestamp(2021, 1, 1, CAST(doc_id % 24 AS INT), 59, 30.0))) AS BIGINT) AS hdiff,
       |CAST(SUM(CAST(regexp_full_match(lang, '[a-z]{' || CAST(len(lang) AS VARCHAR(8)) || '}') AS BIGINT)) AS BIGINT) AS full_langs
-      |FROM documents GROUP BY source ORDER BY source"""
+      |FROM documents GROUP BY source) ORDER BY source"""
       .stripMargin.replace("\n", " ")
 
   val all: Seq[GraftQuery] = Seq(

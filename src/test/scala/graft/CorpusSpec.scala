@@ -383,9 +383,48 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
-  test("q47 simhash pairs respect the hamming threshold") {
+  test("q47 simhash pairs respect the hamming threshold AND the blocking " +
+    "is complete vs brute force (pigeonhole, sub-cap buckets)") {
+    import graft.functions.SimHash64
     val r = SparkEntry.queries("q47_dedup_simhash")(spark, sf).collect()
     r.foreach(row => assert(row.getLong(2) <= 3))
+    // completeness: at sf0.001 every bucket is far below the 256 cap, so
+    // the pigeonhole guarantee must hold exactly — brute-force all pairs
+    // with hamming ≤ 3 over the same fingerprints and compare sets
+    SimHash64.register(spark)
+    val fps = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), SimHash64.simhash64(
+        graft.functions.TextFunctions.tokenHashes(
+          graft.functions.TextFunctions.tokens(col("text")))).as("sh"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val brute = (for {
+      (a, sa) <- fps; (b, sb) <- fps if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val got = r.map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(got == brute,
+      s"missing ${(brute -- got).size}, extra ${(got -- brute).size}")
+  }
+
+  test("q47 blocking is BOUNDED on a degenerate near-identical corpus " +
+    "(the r9 skew cap): hot buckets saturate instead of going quadratic") {
+    import spark.implicits._
+    // 600 near-identical docs: every fingerprint block collides, so the
+    // old segment self-join would have planned 600² pair rows in ONE
+    // group; the capped form drops the hot buckets (≥ 2 docs per bucket
+    // > 256) and still completes. The r9 contract is the BOUND, not the
+    // pair count — such a corpus belongs to exact dedup (q44).
+    val dir = java.nio.file.Files.createTempDirectory("graft-q47").toString
+    (0 until 600).map(i => (i.toLong, "the same words repeated " * 10 +
+        (if (i % 2 == 0) "" else "x"), "en", s"src$i", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q47_dedup_simhash")(spark, dir).collect()
+    // every bucket is hot (> 256) -> dropped -> no pairs, but NO failure
+    // and no quadratic group; the exact-dup twin still catches these docs
+    assert(out.isEmpty)
+    val exact = SparkEntry.queries("q44_dedup_exact")(spark, dir).count()
+    assert(exact == 2, "exact dedup still collapses the degenerate corpus")
   }
 
   test("two CosineSim calls in one projection stay codegen-compatible " +

@@ -122,7 +122,9 @@ class TierASpec extends AnyFunSuite {
     assert(rewrite("SELECT strptime(s, '%d/%m/%Y')") ==
       "SELECT to_timestamp(s, 'dd/MM/yyyy')")
     assert(rewrite("SELECT strftime(ts, '%U')") == "SELECT strftime(ts, '%U')")
-    assert(graft.DuckDialect.unbridgeable("SELECT strftime(ts, '%U')"))
+    // %U no longer routes to guidance: the registered DuckStrftime
+    // resolves it and raises AT EVAL with the JDK-pattern hint (probed
+    // in the DuckCompat test below) — still loud, never silent garbage
     // list_slice: literal bounds of one sign become slice()'s length form
     assert(rewrite("SELECT list_slice(x, 2, 4)") == "SELECT slice(x, 2, 3)")
     // both-negative bounds clamp the start at runtime (ADVICE r8: DuckDB
@@ -188,8 +190,8 @@ class TierASpec extends AnyFunSuite {
       "SELECT date_diff('century', a, b)") // unmapped part → guidance
     assert(graft.DuckDialect.unbridgeable(
       "SELECT date_diff('century', a, b) FROM t"))
-    // semantics-divergent names still route to guidance
-    assert(graft.DuckDialect.unbridgeable("SELECT list_reduce(x, f) FROM t"))
+    // semantics-divergent names still route to guidance (list_reduce
+    // left this list in r9 — it is a registered seedless fold now)
     assert(graft.DuckDialect.unbridgeable(
       "SELECT date_sub('month', a, b) FROM t"))
   }
@@ -240,6 +242,44 @@ class TierASpec extends AnyFunSuite {
     val e = intercept[Exception](one(
       "SELECT list_aggregate(list_value(1), 'median')"))
     assert(e.getMessage.contains("not bridged"))
+    // list_reduce: seedless fold, seed = first element (DuckDB-verified:
+    // (x,y) -> x - y over [1,2,3] folds left to -4; singleton passes
+    // through)
+    assert(one("SELECT list_reduce(list_value(1,2,3), (x, y) -> x - y)") == -4)
+    assert(one("SELECT list_reduce(list_value(5), (x, y) -> x - y)") == 5)
+    // strftime/strptime with NON-LITERAL formats — beyond DuckDB itself,
+    // which raises 'format must be a constant' (verified); the
+    // registered expressions accept both orders and expression formats
+    assert(one("SELECT strftime(ts, f) FROM (SELECT TIMESTAMP " +
+      "'2021-08-03 14:05:04' AS ts, '%Y/%m' AS f)") == "2021/08")
+    assert(one("SELECT strftime(f, ts) FROM (SELECT TIMESTAMP " +
+      "'2021-08-03 14:05:04' AS ts, 'at %-H h' AS f)") == "at 14 h")
+    assert(one("SELECT strptime(s, f) FROM (SELECT '03/08/2021' AS s, " +
+      "'%d/%m/%Y' AS f)").toString.startsWith("2021-08-03"))
+    val badFmt = intercept[Exception](one("SELECT strftime(TIMESTAMP " +
+      "'2021-01-01 00:00:00', '%U')"))
+    assert(badFmt.getMessage.contains("JDK"))
+  }
+
+  test("DuckDialect: * REPLACE bridges to * EXCEPT + appended aliases " +
+    "(values match DuckDB; replaced columns move to the end)") {
+    import graft.DuckDialect.rewrite
+    assert(rewrite("SELECT * REPLACE (a + 1 AS a) FROM t") ==
+      "SELECT * EXCEPT (a), a + 1 AS a FROM t")
+    assert(rewrite("SELECT t.* REPLACE (upper(b) AS b, c // 2 AS c) FROM t") ==
+      "SELECT t.* EXCEPT (b, c), upper(b) AS b, c  div  2 AS c FROM t")
+    // non-`expr AS ident` items stay untouched → guidance
+    assert(rewrite("SELECT * REPLACE (a + 1) FROM t") ==
+      "SELECT * REPLACE (a + 1) FROM t")
+    assert(graft.DuckDialect.unbridgeable("SELECT * REPLACE (a + 1) FROM t"))
+    // executed values match the installed DuckDB's ((2,2) and (1,'X'))
+    val r1 = graft.DuckDialect.sql(spark,
+      "SELECT * REPLACE (a + 1 AS a) FROM (SELECT 1 AS a, 2 AS b)").head
+    assert(r1.getAs[Int]("a") == 2 && r1.getAs[Int]("b") == 2)
+    val r2 = graft.DuckDialect.sql(spark,
+      "SELECT t.* REPLACE (upper(b) AS b) FROM (SELECT 1 AS a, 'x' AS b) t")
+      .head
+    assert(r2.getAs[Int]("a") == 1 && r2.getAs[String]("b") == "X")
   }
 
   test("SUMMARIZE (DuckDB's profile statement) returns the per-column " +
@@ -385,14 +425,20 @@ class TierASpec extends AnyFunSuite {
     assert(scanner.query("documents",
       Some("SELECT CAST(SUM(list_sum(list_value(CAST(n_chars AS BIGINT))))" +
         " AS BIGINT) AS s FROM $TABLE")).head.getLong(0) > 0)
-    // still-unbridgeable: list_reduce has no seed — guidance raised
+    // list_reduce bridged in r9 too (registered seedless fold)
+    assert(scanner.query("documents",
+      Some("SELECT CAST(SUM(list_reduce(list_value(CAST(n_chars AS BIGINT)" +
+        ", 1), (a, b) -> a + b)) AS BIGINT) AS s FROM $TABLE"))
+      .head.getLong(0) > 0)
+    // still-unbridgeable: date_sub counts clamped complete intervals —
+    // guidance raised with the month-end-clamping explanation
     val e = intercept[IllegalArgumentException] {
       scanner.query("documents",
-        Some("SELECT list_reduce(list_value(n_chars), (a, b) -> a + b) " +
-          "FROM $TABLE"))
+        Some("SELECT date_sub('month', DATE '2021-01-31', " +
+          "DATE '2021-02-28') AS d FROM $TABLE"))
     }
-    assert(e.getMessage.contains("list_reduce") &&
-      e.getMessage.contains("aggregate/reduce"))
+    assert(e.getMessage.contains("date_sub") &&
+      e.getMessage.contains("clamping"))
   }
 
   test("stats and schema mirror count()/schema") {
