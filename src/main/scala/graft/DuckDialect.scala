@@ -743,7 +743,7 @@ object DuckDialect {
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|quantile|string_split|str_split|string_to_array|delta_scan|read_csv|read_json)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b""".r
+    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|quantile|string_split|str_split|string_to_array|read_csv|read_json)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined
@@ -779,7 +779,9 @@ object DuckDialect {
        |  'max'/'count') (integer sums are BIGINT not HUGEINT; DECIMAL
        |  sums widen to DOUBLE), 1- and 2-arg array_length,
        |  list_reduce (seedless fold; empty lists raise, as DuckDB),
-       |  strftime/strptime (see above).
+       |  strftime/strptime (see above), and the delta_scan('path') TABLE
+       |  function (graft's public-protocol Delta reader; non-Delta paths
+       |  fall back to a parquet scan).
        |date_diff('part', a, b) (boundary crossings) is text-bridged to
        |  timestampdiff over part-truncated operands for parts year …
        |  microsecond; century/decade/millennium have no timestampdiff
@@ -794,8 +796,6 @@ object DuckDialect {
        |  (the `expr AS col` form IS bridged into * EXCEPT + appended
        |  aliases — note the replaced columns move to the END of the
        |  projection; * EXCLUDE bridges to Spark's * EXCEPT),
-       |  delta_scan('p') (query the table through DeltaScanner/$$TABLE —
-       |  the engine's Delta reader is not a SQL table function),
        |  read_csv/read_json (auto-detection differs; use spark.read with
        |  explicit options). read_parquet('one path') IS translated to
        |  parquet.`path`; file LISTS and option args are not.

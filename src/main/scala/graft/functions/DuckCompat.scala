@@ -464,6 +464,29 @@ object DuckCompat {
       ArrayAggregate(rest, ElementAt(l, Literal(1)), lam,
         LambdaFunction.identity)
     }
+    // delta_scan('path') as a real TABLE FUNCTION (the reference's own
+    // SQL spells Delta reads this way — its $TABLE substitution emits
+    // delta_scan('<path>'), delta-unity-duckdb.js:331-335, and users
+    // paste it directly). Resolves through graft's public-protocol
+    // Delta reader (log replay + checkpoints + DVs); a non-Delta path
+    // falls back to a plain parquet scan, mirroring PathResolver. The
+    // path must be a literal — as in DuckDB, where table functions bind
+    // at plan time.
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "delta_scan", exprs => {
+        val path = exprs match {
+          case scala.collection.immutable.Seq(
+            Literal(p: UTF8String, _: StringType)) => p.toString
+          case _ => throw new IllegalArgumentException(
+            "delta_scan expects exactly one string-literal path")
+        }
+        val df =
+          if (graft.sources.DeltaLog.isDeltaTable(spark, path))
+            graft.sources.DeltaLog.read(spark, path)
+          else spark.read.parquet(path)
+        df.queryExecution.analyzed
+      }, "built-in")
+
     // NOTE deliberately absent: date_diff. Spark's parser grammar-matches
     // the 3-arg form into timestampdiff and rejects DuckDB's quoted unit
     // BEFORE function resolution, so no registered function can catch it

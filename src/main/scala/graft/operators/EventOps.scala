@@ -138,14 +138,25 @@ object EventOps {
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // HLL++ sketch — the 100 TB form of q55 (no per-key exact set, fixed
-    // sketch memory, single shuffle). Engine-specific sketch → rows-only.
+    // sketch memory, single shuffle). r9: ORACLED ERROR-BOUND ROW — the
+    // exact distinct counts are q55's own SQL, carried as real
+    // differential columns, and `approx_ok` certifies the HLL++ estimate
+    // within 10% of them (default rsd 0.05 — double headroom); an
+    // estimator regression now breaks the hash. Both aggregates run in
+    // the same single-shuffle groupBy.
     GraftQuery("q56_approx_distinct_users",
       (s, d) => ev(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_du"),
+        .agg(countDistinct(col("user_id")).as("du"),
+          approx_count_distinct(col("user_id")).as("adu"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("du"), col("n"),
+          (abs(col("adu") - col("du")) <= col("du") * 0.1)
+            .cast("long").as("approx_ok"))
         .orderBy("event_type"),
-      None),
+      Some("SELECT event_type, COUNT(DISTINCT user_id) AS du, COUNT(*) AS n, " +
+        "CAST(1 AS BIGINT) AS approx_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // Range join (theta-join row): events within the preceding 5 minutes
     // for the same user. The oracle states it as the inequality self-join;

@@ -174,17 +174,32 @@ object ExtendedOps {
     // not).
     // The 100 TB form of q39: approx_percentile's fixed-size QuantileSummaries
     // sketch replaces exact percentile's per-group value buffer (which is
-    // O(group size) memory — the VERDICT r01 flag). Engine-specific sketch
-    // → rows-only check; CorpusSpec bounds its error vs the exact form.
+    // O(group size) memory — the VERDICT r01 flag). r9: ORACLED
+    // ERROR-BOUND ROW — the exact percentiles are SQL-expressible
+    // (quantile_cont, the q39 precedent), so they ride along as REAL
+    // differential columns and `approx_ok` certifies the sketch within
+    // 1% of them (the CorpusSpec bound); a sketch regression now breaks
+    // the hash. Both aggregates compute in ONE groupBy pass.
     GraftQuery("q74_percentiles_approx",
       (s, d) => T(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
+          col("n"),
+          (abs(col("a50") - col("p50_exact")) <= col("p50_exact") * 0.01 &&
+            abs(col("a95") - col("p95_exact")) <= col("p95_exact") * 0.01)
+            .cast("long").as("approx_ok"))
         .orderBy("l_returnflag"),
-      None),
+      Some("SELECT l_returnflag, " +
+        "quantile_cont(l_extendedprice, 0.5) AS p50_exact, " +
+        "quantile_cont(l_extendedprice, 0.95) AS p95_exact, " +
+        "COUNT(*) AS n, CAST(1 AS BIGINT) AS approx_ok " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
     // Struct build + field access (Tier B map/struct row, struct half):
     // named_struct round-trips through projection; oracle states the

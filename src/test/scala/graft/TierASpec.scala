@@ -261,6 +261,32 @@ class TierASpec extends AnyFunSuite {
     assert(badFmt.getMessage.contains("JDK"))
   }
 
+  test("delta_scan('path') is a real SQL table function: Delta fixture " +
+    "through the public-protocol reader, parquet fallback, literal-only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dscan").toString
+    val t = s"$dir/t"
+    graft.sources.DeltaWrite.write(spark.range(7).toDF("id"), t)
+    // Delta path: log replay (incl. a DELETE so the scan is not a bare
+    // parquet glob — removed files must disappear)
+    graft.sources.DeltaDml.delete(spark, t, col("id") >= 5)
+    val n = graft.DuckDialect.sql(spark,
+      s"SELECT COUNT(*) AS n FROM delta_scan('$t')").head.getLong(0)
+    assert(n == 5, s"delta_scan read $n rows (DELETE not applied?)")
+    // the reference's own $TABLE emission shape: join/filter over it
+    val m = graft.DuckDialect.sql(spark,
+      s"SELECT CAST(SUM(id) AS BIGINT) AS s FROM delta_scan('$t') WHERE id >= 2")
+      .head.getLong(0)
+    assert(m == 2 + 3 + 4)
+    // non-Delta path: plain parquet fallback
+    spark.range(3).toDF("x").write.parquet(s"$dir/p")
+    assert(graft.DuckDialect.sql(spark,
+      s"SELECT COUNT(*) AS n FROM delta_scan('$dir/p')").head.getLong(0) == 3)
+    // non-literal path refuses loudly
+    val e = intercept[Exception](graft.DuckDialect.sql(spark,
+      "SELECT * FROM delta_scan(concat('a', 'b'))").collect())
+    assert(e.getMessage.contains("string-literal"))
+  }
+
   test("DuckDialect: * REPLACE bridges to * EXCEPT + appended aliases " +
     "(values match DuckDB; replaced columns move to the end)") {
     import graft.DuckDialect.rewrite
