@@ -164,10 +164,7 @@ final class UnityCatalogResolver(
     else {
       val info = client.getTableInfo(ref)
       val cred = client.generateTempCredentials(info.tableId)
-      spark.sparkContext.hadoopConfiguration.set(
-        s"fs.azure.sas.fixed.token.${cred.storageAccountName}" +
-          ".dfs.core.windows.net",
-        cred.sasToken)
+      AzureCredentials.installSas(spark, cred.storageAccountName, cred.sasToken)
       val path = locate(cred)
       if (graft.sources.DeltaLog.isDeltaTable(spark, path))
         graft.sources.DeltaLog.read(spark, path)

@@ -901,6 +901,100 @@ class TierASpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("direct ABFSS path + ambient SAS: account parse with the reference's " +
+    "regex, env-account fallback, conf install, original-path read (A4/A5)") {
+    import graft.sources.{AbfssSasResolver, AzureCredentials}
+    val dir = java.nio.file.Files.createTempDirectory("graft-abfss").toString
+    val fixture = s"$dir/t"
+    graft.sources.DeltaWrite.write(spark.range(4).toDF("id"), fixture)
+    // 1. account parsed from the path (delta-unity-duckdb.js:299-303)
+    val r1 = new AbfssSasResolver(Some("sig=sas1"), None, locate = _ => fixture)
+    assert(r1.resolve(spark,
+      "abfss://cont@acct9.dfs.core.windows.net/tables/t").count() == 4)
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.azure.account.auth.type.acct9.dfs.core.windows.net") == "SAS")
+    assert(hc.get("fs.azure.sas.fixed.token.acct9.dfs.core.windows.net") == "sig=sas1")
+    // 2. unparseable path falls back to the configured account name
+    //    (the reference's AZURE_STORAGE_ACCOUNT_NAME branch, :304-305)
+    val r2 = new AbfssSasResolver(Some("sig=sas2"), Some("envacct"),
+      locate = _ => fixture)
+    assert(r2.resolve(spark, "abfss://short-form-path").count() == 4)
+    assert(hc.get("fs.azure.sas.fixed.token.envacct.dfs.core.windows.net") == "sig=sas2")
+    // 3. neither parseable nor configured: error, not a guess (:306-308)
+    val e = intercept[IllegalStateException](
+      new AbfssSasResolver(Some("s"), None).resolve(spark, "abfss://nope"))
+    assert(e.getMessage.contains("storage account"))
+    // 4. re-resolution refreshes the installed token (expiry semantics)
+    val r3 = new AbfssSasResolver(Some("sig=sas3"), None, locate = _ => fixture)
+    r3.resolve(spark, "abfss://c@acct9.dfs.core.windows.net/t").count()
+    assert(hc.get("fs.azure.sas.fixed.token.acct9.dfs.core.windows.net") == "sig=sas3")
+    // 5. no ambient SAS, or a non-ABFSS ref: plain path resolution
+    assert(new AbfssSasResolver(None, None).resolve(spark, fixture).count() == 4)
+    assert(new AbfssSasResolver(Some("s"), None).resolve(spark, fixture)
+      .count() == 4)
+    // the classification predicate itself (reference :271)
+    assert(r1.isAbfssPath("abfss://a@b.dfs.core.windows.net/t"))
+    assert(r1.isAbfssPath("https://x.dfs.core.windows.net/c/t"))
+    assert(!r1.isAbfssPath("s3://bucket/t") && !r1.isAbfssPath("/local/p"))
+    assert(AzureCredentials.accountFromAbfss("s3://bucket/t").isEmpty)
+  }
+
+  test("database OAuth credential client: request shape, bearer auth, " +
+    "per-call re-vending into JDBC props (A22) — in-process HTTP fake") {
+    import graft.sources.DatabaseCredentialClient
+    val wsToken = "ws-token-9"
+    val vendCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lastBody = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: com.sun.net.httpserver.HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    }
+    server.createContext("/api/2.0/database/credentials",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val auth = ex.getRequestHeaders.getFirst("Authorization")
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        lastBody.set(body)
+        if (auth != s"Bearer $wsToken") reply(ex, 401, """{"message":"denied"}""")
+        else {
+          val n = vendCount.incrementAndGet()
+          reply(ex, 200,
+            s"""{"token":"oauth-tok-$n","expiration_time":"2026-09-01T00:00:00Z"}""")
+        }
+      })
+    server.start()
+    try {
+      val host = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new DatabaseCredentialClient(host, wsToken)
+      val cred = client.generateDatabaseCredential("req-uuid-1", Seq("pg-instance-1"))
+      assert(cred.token == "oauth-tok-1")
+      assert(cred.expirationTime == "2026-09-01T00:00:00Z")
+      // request body carries the id and the instance-name ARRAY
+      assert(lastBody.get.contains("\"request_id\":\"req-uuid-1\"") &&
+        lastBody.get.contains("\"instance_names\":[\"pg-instance-1\"]"),
+        lastBody.get)
+      // the token is the PG password (pg_connect.py:52), re-vended per call
+      val p1 = client.jdbcProps("svc@example.com", "pg-instance-1")
+      val p2 = client.jdbcProps("svc@example.com", "pg-instance-1")
+      assert(p1("user") == "svc@example.com")
+      assert(p1("password") == "oauth-tok-2" && p2("password") == "oauth-tok-3")
+      assert(lastBody.get.contains("\"instance_names\":[\"pg-instance-1\"]"))
+      // error surface: bad workspace token
+      val bad = intercept[IllegalStateException](
+        new DatabaseCredentialClient(host, "wrong")
+          .generateDatabaseCredential("r", Seq("i")))
+      assert(bad.getMessage.contains("401"))
+      // malformed response: no token field is an error, not a guess
+      val noTok = new DatabaseCredentialClient(host, wsToken,
+        httpCall = (_, _, _, _) => """{"expiration_time":"x"}""")
+      val e2 = intercept[IllegalStateException](
+        noTok.generateDatabaseCredential("r", Seq("i")))
+      assert(e2.getMessage.contains("no token"))
+    } finally server.stop(0)
+  }
+
   // ---- Multimodal plumbing ----
 
   test("multimodal: resize bounds metadata; frame sampling bounds fan-out") {
