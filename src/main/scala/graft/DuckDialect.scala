@@ -156,6 +156,95 @@ object DuckDialect {
         // integer division — DuckDB's `//` TRUNCATES toward zero
         // (-7 // 2 = -3, verified), exactly Spark's `div`
         sb.append(" div "); i += 2
+      } else if (c == '[' && (i == 0 || {
+        // a '[' IMMEDIATELY after an identifier/)/]/literal is postfix
+        // subscripting (`l[1]`, `f(x)[2]`, also DuckDB's `INT[]` type
+        // suffix) — passed through untouched. Anywhere else (after a
+        // keyword+space, '(', ',', an operator, …) it OPENS a DuckDB
+        // list literal or list comprehension, neither of which Spark
+        // parses, so both rewrite here:
+        //   [e1, e2, …]               → array(e1, e2, …)
+        //   [h FOR x IN l]            → transform(l, x -> h)
+        //   [h FOR x IN l IF p]       → transform(filter(l, x -> p), x -> h)
+        // Verified against the installed DuckDB: NULL elements flow
+        // through the head expression (transform semantics), a NULL/
+        // false IF predicate drops the row (filter semantics), a NULL
+        // list yields NULL, nesting and case-insensitive keywords work.
+        // An inner shape this parse cannot bind (non-identifier loop
+        // var, missing IN) leaves the text untouched → Spark fails →
+        // guidance, never a silent wrong answer.
+        val p = sql.charAt(i - 1)
+        !(Character.isLetterOrDigit(p) || p == '_' || p == ')' ||
+          p == ']' || p == '\'' || p == '"' || p == '`')
+      })) {
+        val handled = scanMatch(sql, i).flatMap { after =>
+          val inner = sql.substring(i + 1, after - 1)
+          val f = topKeyword(inner, "for")
+          if (f < 0) {
+            if (inner.trim.isEmpty) Some { sb.append("array()"); i = after }
+            else splitTop(inner).map { parts =>
+              sb.append("array(")
+              parts.zipWithIndex.foreach { case (p, ix) =>
+                if (ix > 0) sb.append(", ")
+                sb.append(rewrite(p).trim)
+              }
+              sb.append(')'); i = after
+            }
+          } else {
+            val head = inner.substring(0, f)
+            val rest = inner.substring(f + 3)
+            val inAt = topKeyword(rest, "in")
+            if (inAt < 0) None
+            else {
+              val v = rest.substring(0, inAt).trim
+              val vOk = v.nonEmpty &&
+                (Character.isLetter(v.head) || v.head == '_') &&
+                v.forall(ch => Character.isLetterOrDigit(ch) || ch == '_')
+              if (!vOk) None
+              else {
+                val tail = rest.substring(inAt + 2)
+                val ifAt = topKeyword(tail, "if")
+                val (lst, cond) =
+                  if (ifAt < 0) (tail, None)
+                  else (tail.substring(0, ifAt),
+                    Some(tail.substring(ifAt + 2)))
+                val lstR = rewrite(lst).trim
+                val src = cond match {
+                  case Some(cd) =>
+                    s"filter($lstR, $v -> ${rewrite(cd).trim})"
+                  case None => lstR
+                }
+                Some {
+                  sb.append("transform(").append(src).append(", ")
+                    .append(v).append(" -> ")
+                    .append(rewrite(head).trim).append(')')
+                  i = after
+                }
+              }
+            }
+          }
+        }
+        if (handled.isEmpty) { sb.append('['); i += 1 }
+      } else if (c == '{') {
+        // DuckDB struct literal {'k': v, …} (bare-identifier keys are
+        // also accepted — {a: 1} ≡ {'a': 1}, verified) → named_struct.
+        // Spark parses no '{' expression, so an entry this parse cannot
+        // bind leaves the text untouched → guidance.
+        val handled = scanMatch(sql, i).flatMap { after =>
+          splitTop(sql.substring(i + 1, after - 1)).flatMap { parts =>
+            val kvs = parts.map(structEntry)
+            if (kvs.isEmpty || kvs.exists(_.isEmpty)) None
+            else Some {
+              sb.append("named_struct(")
+              kvs.flatten.zipWithIndex.foreach { case ((k, ve), ix) =>
+                if (ix > 0) sb.append(", ")
+                sb.append(sqlLit(k)).append(", ").append(rewrite(ve).trim)
+              }
+              sb.append(')'); i = after
+            }
+          }
+        }
+        if (handled.isEmpty) { sb.append('{'); i += 1 }
       } else if (Character.isLetter(c) || c == '_') {
         val start = i
         while (i < n && (Character.isLetterOrDigit(sql.charAt(i)) ||
@@ -543,8 +632,8 @@ object DuckDialect {
           while (i < n && s.charAt(i) != '"') { cur.append(s.charAt(i)); i += 1 }
           if (i >= n) return None
           cur.append('"'); i += 1
-        case c @ ('(' | '[') => depth += 1; cur.append(c); i += 1
-        case c @ (')' | ']') => depth -= 1; cur.append(c); i += 1
+        case c @ ('(' | '[' | '{') => depth += 1; cur.append(c); i += 1
+        case c @ (')' | ']' | '}') => depth -= 1; cur.append(c); i += 1
         case ',' if depth == 0 => parts += cur.toString; cur.setLength(0); i += 1
         case c => cur.append(c); i += 1
       }
@@ -653,13 +742,113 @@ object DuckDialect {
           i += 1
           while (i < n && sql.charAt(i) != '"') i += 1
           if (i < n) i += 1
-        case '(' => depth += 1; i += 1
-        case ')' => depth -= 1; i += 1
+        case '(' | '[' | '{' => depth += 1; i += 1
+        case ')' | ']' | '}' => depth -= 1; i += 1
         case ',' if depth == 1 => topComma = true; i += 1
         case _ => i += 1
       }
     }
     if (depth == 0) Some((i, topComma)) else None
+  }
+
+  /** Index just past the close matching the `[`/`{`/`(` at `open`
+    * (quote-aware; all three bracket kinds count toward one nesting
+    * depth, so mixed nesting like `[f({'a': 1})]` scans correctly).
+    * None when unbalanced. */
+  private def scanMatch(sql: String, open: Int): Option[Int] = {
+    val n = sql.length
+    var i = open
+    var depth = 0
+    while (i < n) {
+      sql.charAt(i) match {
+        case '\'' =>
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            if (sql.charAt(i) == '\'') {
+              if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+              else { closed = true; i += 1 }
+            } else i += 1
+          }
+          if (!closed) return None
+        case '"' =>
+          i += 1
+          while (i < n && sql.charAt(i) != '"') i += 1
+          if (i >= n) return None
+          i += 1
+        case '(' | '[' | '{' => depth += 1; i += 1
+        case ')' | ']' | '}' =>
+          depth -= 1; i += 1
+          if (depth == 0) return Some(i)
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
+  /** Start index of the first TOP-LEVEL occurrence of word `kw` in `s`
+    * (word-bounded, case-insensitive, outside quotes and brackets), or
+    * -1. Used to spot the `FOR`/`IN`/`IF` of a list comprehension. */
+  private def topKeyword(s: String, kw: String): Int = {
+    val n = s.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            if (s.charAt(i) == '\'') {
+              if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2
+              else { closed = true; i += 1 }
+            } else i += 1
+          }
+        case '"' =>
+          i += 1
+          while (i < n && s.charAt(i) != '"') i += 1
+          if (i < n) i += 1
+        case '(' | '[' | '{' => depth += 1; i += 1
+        case ')' | ']' | '}' => depth -= 1; i += 1
+        case c if Character.isLetter(c) || c == '_' =>
+          val start = i
+          while (i < n && (Character.isLetterOrDigit(s.charAt(i)) ||
+            s.charAt(i) == '_')) i += 1
+          if (depth == 0 && s.substring(start, i)
+            .equalsIgnoreCase(kw)) return start
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
+  /** `Some((key, valueText))` when the trimmed part is a struct-literal
+    * entry: a single-quoted or bare-identifier key, then `:` (not `::`),
+    * then the value expression. */
+  private def structEntry(part: String): Option[(String, String)] = {
+    val t = part.trim
+    if (t.isEmpty) return None
+    var i = 0
+    val key = new StringBuilder
+    if (t.head == '\'') {
+      i = 1
+      var closed = false
+      while (i < t.length && !closed) {
+        if (t.charAt(i) == '\'') {
+          if (i + 1 < t.length && t.charAt(i + 1) == '\'') {
+            key.append('\''); i += 2
+          } else { closed = true; i += 1 }
+        } else { key.append(t.charAt(i)); i += 1 }
+      }
+      if (!closed) return None
+    } else if (Character.isLetter(t.head) || t.head == '_') {
+      while (i < t.length && (Character.isLetterOrDigit(t.charAt(i)) ||
+        t.charAt(i) == '_')) { key.append(t.charAt(i)); i += 1 }
+    } else return None
+    while (i < t.length && Character.isWhitespace(t.charAt(i))) i += 1
+    if (i >= t.length || t.charAt(i) != ':' ||
+      (i + 1 < t.length && t.charAt(i + 1) == ':')) return None
+    Some((key.toString, t.substring(i + 1)))
   }
 
   /** Some(target) when `sql` is DuckDB's `SUMMARIZE [target]` statement
@@ -756,7 +945,12 @@ object DuckDialect {
        |  after rewrite: $secondErr
        |The rewrite bridges: ${renames.keys.toSeq.sorted.mkString(", ")};
        |`//` -> `div`; "double-quoted" identifiers -> `backticks`;
-       |backslashes in '...' literals.
+       |backslashes in '...' literals; [a, b] list literals -> array();
+       |{'k': v} / {k: v} struct literals -> named_struct();
+       |list comprehensions [h FOR x IN l IF p] -> transform/filter
+       |  (subscripts l[i] pass through — NOTE Spark subscripts are
+       |  0-based where DuckDB's are 1-based; use list_extract for
+       |  DuckDB's 1-based NULL-safe indexing).
        |Conditionally bridged (this statement used an unbridged form):
        |  string_split/str_split/string_to_array (bridged for a non-empty
        |  LITERAL separator, regex-escaped into split(); the empty-separator

@@ -381,8 +381,14 @@ object Dedup {
         val truth = jaccardPairs(s, d)
           .filter(col("jaccard") >= 0.5).select("a", "b")
         val found = minhashLshPairs(s, d).select("a", "b")
-        val n = truth.count()
-        val hit = truth.join(found, Seq("a", "b"), "left_semi").count()
+        // ONE job: truth LEFT JOIN distinct(found) counts total and hits
+        // together — the two-count form ran the whole q45 truth pipeline
+        // twice (once per count); distinct() keeps the left join
+        // row-preserving (band collisions duplicate LSH pairs)
+        val r = truth.join(
+            found.distinct().withColumn("_hit", lit(1)), Seq("a", "b"), "left")
+          .agg(count(lit(1)).as("n"), count(col("_hit")).as("hits")).head
+        val (n, hit) = (r.getLong(0), r.getLong(1))
         val meets = if (n == 0 || hit * 100 >= n * 80) 1L else 0L
         Seq((n, 80L, meets))
           .toDF("n_truth_pairs", "recall_floor_pct", "meets_floor")
@@ -675,8 +681,12 @@ object Dedup {
         import s.implicits._
         val truth = exactEmbeddingPairs(s, d).select("a", "b")
         val found = semanticPairs(s, d).select("a", "b")
-        val n = truth.count()
-        val hit = truth.join(found, Seq("a", "b"), "left_semi").count()
+        // one job (see q46): the exact-quadratic truth pipeline runs
+        // once, not once per count
+        val r = truth.join(
+            found.distinct().withColumn("_hit", lit(1)), Seq("a", "b"), "left")
+          .agg(count(lit(1)).as("n"), count(col("_hit")).as("hits")).head
+        val (n, hit) = (r.getLong(0), r.getLong(1))
         val meets = if (n == 0 || hit * 100 >= n * 65) 1L else 0L
         Seq((n, 65L, meets))
           .toDF("n_truth_pairs", "recall_floor_pct", "meets_floor")

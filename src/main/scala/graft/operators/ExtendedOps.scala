@@ -93,6 +93,29 @@ object ExtendedOps {
       |FROM documents GROUP BY source) ORDER BY source"""
       .stripMargin.replace("\n", " ")
 
+  // q162's text — the r9 BRACKET bridges in one statement: list
+  // comprehensions with and without IF (→ transform/filter), list
+  // literals (→ array), a struct literal with field access
+  // (→ named_struct), composed with the registered list_sum/len and the
+  // bridged list_extract/string_split/regexp_full_match so the bracket
+  // output feeds every bridge family. The Spark side goes through
+  // DuckDialect.sql (the REAL entry point) while the oracle executes
+  // the same text natively in DuckDB; every aggregate is BIGINT-pinned
+  // so the hash match is bit-sharp. Scale shape: per-row lambda work
+  // and ONE groupBy shuffle on source — nothing quadratic, nothing
+  // collected. (Declared BEFORE `all`: a forward reference from the
+  // GraftQuery seq would read null during object init.)
+  private val DuckDialect4Sql: String =
+    """SELECT source,
+      |CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |CAST(SUM(list_sum([CAST(length(w) AS BIGINT) FOR w IN string_split(text, ' ') IF length(w) > 3])) AS BIGINT) AS long_wordlen,
+      |CAST(SUM(len([w FOR w IN string_split(text, ' ') IF regexp_full_match(w, '[a-z]+')])) AS BIGINT) AS alpha_words,
+      |CAST(SUM(list_extract([CAST(n_chars AS BIGINT), CAST(doc_id AS BIGINT)], 1)) AS BIGINT) AS chars_again,
+      |CAST(SUM({'a': CAST(n_chars AS BIGINT), 'b': CAST(doc_id % 7 AS BIGINT)}.b) AS BIGINT) AS b_sum,
+      |CAST(SUM(len([x*2 FOR x IN [CAST(doc_id % 5 AS BIGINT), CAST(n_chars % 3 AS BIGINT)]])) AS BIGINT) AS lit_len
+      |FROM documents GROUP BY source ORDER BY source"""
+      .stripMargin.replace("\n", " ")
+
   val all: Seq[GraftQuery] = Seq(
 
     // Right outer (all nations survive a filtered region dim) feeding a
@@ -184,15 +207,19 @@ object ExtendedOps {
       (s, d) => T(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"),
+          // ARRAY forms: one exact value-count buffer and one
+          // QuantileSummaries sketch serve both percentiles (separate
+          // per-percentile calls would double the partial-agg shuffle
+          // state — the dominant cost of the exact side at scale)
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("pex"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(10000)).as("pap"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
+        .select(col("l_returnflag"),
+          col("pex")(0).as("p50_exact"), col("pex")(1).as("p95_exact"),
           col("n"),
-          (abs(col("a50") - col("p50_exact")) <= col("p50_exact") * 0.01 &&
-            abs(col("a95") - col("p95_exact")) <= col("p95_exact") * 0.01)
+          (abs(col("pap")(0) - col("pex")(0)) <= col("pex")(0) * 0.01 &&
+            abs(col("pap")(1) - col("pex")(1)) <= col("pex")(1) * 0.01)
             .cast("long").as("approx_ok"))
         .orderBy("l_returnflag"),
       Some("SELECT l_returnflag, " +
@@ -295,6 +322,13 @@ object ExtendedOps {
         T(s, d, "documents").createOrReplaceTempView("documents")
         graft.DuckDialect.sql(s, DuckDialect3Sql)
       },
-      Some(DuckDialect3Sql))
+      Some(DuckDialect3Sql)),
+
+    GraftQuery("q162_duckdb_dialect4",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, DuckDialect4Sql)
+      },
+      Some(DuckDialect4Sql))
   )
 }

@@ -204,9 +204,13 @@ object Similarity {
       approx: DataFrame, floorPct: Int): DataFrame = {
     import s.implicits._
     val exact = bruteTopK(s, d).select("q", "n")
-    val n = exact.count()
-    val hit = exact.join(approx.select("q", "n"), Seq("q", "n"), "left_semi")
-      .count()
+    // one job (see q46): the exact brute-force pipeline runs once, not
+    // once per count; distinct() keeps the left join row-preserving
+    val r = exact.join(
+        approx.select("q", "n").distinct().withColumn("_hit", lit(1)),
+        Seq("q", "n"), "left")
+      .agg(count(lit(1)).as("n"), count(col("_hit")).as("hits")).head
+    val (n, hit) = (r.getLong(0), r.getLong(1))
     val meets = if (n == 0 || hit * 100 >= n * floorPct) 1L else 0L
     Seq((n, floorPct.toLong, meets))
       .toDF("n_exact", "recall_floor_pct", "meets_floor")

@@ -80,8 +80,10 @@ class TierASpec extends AnyFunSuite {
     // list/option forms stay untouched (they fail into guidance)
     assert(rewrite("SELECT * FROM read_parquet('/data/t.parquet') x") ==
       "SELECT * FROM parquet.`/data/t.parquet` x")
+    // the file LIST form keeps its unknown function name → guidance
+    // (the inner list literal itself now bridges to array())
     assert(rewrite("SELECT * FROM read_parquet(['a','b'])") ==
-      "SELECT * FROM read_parquet(['a','b'])")
+      "SELECT * FROM read_parquet(array('a', 'b'))")
     // arg-aware forms (bare renames would change semantics):
     // 1-arg string_agg gets DuckDB's ',' default separator injected
     assert(rewrite("SELECT string_agg(x)") == "SELECT listagg(x, ',')")
@@ -194,6 +196,39 @@ class TierASpec extends AnyFunSuite {
     // left this list in r9 — it is a registered seedless fold now)
     assert(graft.DuckDialect.unbridgeable(
       "SELECT date_sub('month', a, b) FROM t"))
+    // r9: bracket constructs. List literals → array(); comprehensions
+    // → transform/filter; struct literals (quoted OR bare keys) →
+    // named_struct. Subscripts (a '[' glued to an identifier/)/]/
+    // literal) and the INT[] type suffix pass through untouched.
+    assert(rewrite("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)")
+    assert(rewrite("SELECT []") == "SELECT array()")
+    assert(rewrite("SELECT [x*2 FOR x IN [1,2,3]]") ==
+      "SELECT transform(array(1, 2, 3), x -> x*2)")
+    assert(rewrite("SELECT [x FOR x IN l IF x > 1]") ==
+      "SELECT transform(filter(l, x -> x > 1), x -> x)")
+    assert(rewrite("SELECT [[y*x FOR y IN [1,2]] FOR x IN [1,2]]") ==
+      "SELECT transform(array(1, 2), x -> transform(array(1, 2), y -> y*x))")
+    // keywords case-insensitive; 'for' inside a literal is not a keyword
+    assert(rewrite("SELECT [x+1 for x in l]") == "SELECT transform(l, x -> x+1)")
+    assert(rewrite("SELECT ['for' FOR x IN [1]]") ==
+      "SELECT transform(array(1), x -> 'for')")
+    // malformed comprehensions (non-identifier var, missing IN) stay
+    // untouched → Spark fails → guidance, never silently misparsed
+    assert(rewrite("SELECT [x FOR x.y IN l]") == "SELECT [x FOR x.y IN l]")
+    assert(rewrite("SELECT [x FOR x]") == "SELECT [x FOR x]")
+    assert(rewrite("SELECT {'a': 1, 'b': 'x'}") ==
+      "SELECT named_struct('a', 1, 'b', 'x')")
+    assert(rewrite("SELECT {a: 1+1}") == "SELECT named_struct('a', 1+1)")
+    assert(rewrite("SELECT {'a b': [1]}") ==
+      "SELECT named_struct('a b', array(1))")
+    // NOT struct entries: empty braces / a `::` cast right after the key
+    assert(rewrite("SELECT {}") == "SELECT {}")
+    assert(rewrite("SELECT l[1] + f(x)[2] FROM t") ==
+      "SELECT l[1] + f(x)[2] FROM t") // subscripts untouched (0-based in
+    // Spark vs DuckDB's 1-based — documented in guidance; list_extract
+    // is the bridged 1-based spelling)
+    assert(rewrite("SELECT CAST(NULL AS INT[])") ==
+      "SELECT CAST(NULL AS INT[])") // type suffix untouched
   }
 
   test("DuckCompat registered functions: the analyze-level bridges " +
@@ -426,6 +461,29 @@ class TierASpec extends AnyFunSuite {
     assert(one("SELECT quantile_disc(v, 0.5) FROM VALUES (1),(2),(3),(4) AS t(v)") == 2.0)
     assert(one("SELECT quantile_disc(v, 0.51) FROM VALUES (1),(2),(3),(4) AS t(v)") == 3.0)
     assert(one("SELECT quantile(v) FROM VALUES (10),(20),(30),(40),(50) AS t(v)") == 30.0)
+    // r9 bracket constructs — every expected value is the installed
+    // DuckDB's: NULL elements flow through the head (transform), a
+    // NULL/false IF predicate drops the element (filter), a NULL list
+    // yields NULL, nesting and lowercase keywords work
+    assert(one("SELECT [x*2 FOR x IN [1,2,3]]")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 4, 6))
+    assert(one("SELECT [x FOR x IN [1,2,3,NULL] IF x > 1]")
+      .asInstanceOf[scala.collection.Seq[Integer]].toSeq ==
+      Seq[Integer](2, 3))
+    assert(one("SELECT [x+1 for x in [1,NULL,3]]")
+      .asInstanceOf[scala.collection.Seq[Integer]].toSeq ==
+      Seq[Integer](2, null, 4))
+    assert(one("SELECT [UPPER(s) FOR s IN ['a','b'] IF s <> 'b']")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("A"))
+    assert(one("SELECT [[y*x FOR y IN [1,2]] FOR x IN [1,2]]")
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[Int]]]
+      .map(_.toSeq).toSeq == Seq(Seq(1, 2), Seq(2, 4)))
+    assert(one("SELECT [1,2,3]")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2, 3))
+    assert(one("SELECT {'a': 1, 'b': 'x'}.b") == "x")
+    assert(one("SELECT {a: 1+1}.a") == 2) // bare keys: {a: 1} ≡ {'a': 1}
+    assert(one("SELECT {'k': [v FOR v IN [1,2] IF v > 1]}.k")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2))
   }
 
   test("A6 fallback: DuckDB-dialect SQL runs through query() after the " +
