@@ -110,12 +110,23 @@ object DuckDialect {
     "strpos" -> "instr",
     "starts_with" -> "startswith",
     "ends_with" -> "endswith",
-    "regexp_matches" -> "regexp_like")
+    "regexp_matches" -> "regexp_like",
+    // unnest(list) behaves as Spark's explode generator in BOTH DuckDB
+    // positions (verified on both engines): select-list (row-multiplying,
+    // zero rows for empty/NULL) and FROM (table function, `t(col)`
+    // aliases work). The struct-expansion and recursive:= forms fail
+    // Spark analysis → guidance, never a silently different shape.
+    "unnest" -> "explode")
 
   /** Rewrite DuckDB-dialect SQL to Spark SQL. A pure text function — no
     * session needed; quoted regions are handled by a real scan (never
-    * regex over the whole string), comments pass through untouched. */
-  def rewrite(sql: String): String = {
+    * regex over the whole string), comments pass through untouched.
+    * Statement-level clauses Spark lacks (QUALIFY, DISTINCT ON) bridge
+    * first; the char-scan then rewrites expression-level duckisms over
+    * the restructured text (so a bridged statement's predicate/keys can
+    * themselves carry list literals, renamed functions, …). */
+  def rewrite(sql0: String): String = {
+    val sql = bridgeDistinctOn(bridgeQualify(sql0))
     val n = sql.length
     val sb = new StringBuilder(n + 16)
     var i = 0
@@ -538,6 +549,36 @@ object DuckDialect {
                       }
                   }
               }
+            case "generate_series" =>
+              // DuckDB's INCLUSIVE-end series → Spark's sequence() (both
+              // ends inclusive in both engines; negative steps agree —
+              // verified). The 1-arg form is 0..stop inclusive (verified)
+              // → sequence(0, x). Directly after FROM/JOIN it is a table
+              // function → explode(sequence(…)) — Spark's TVF explode,
+              // verified incl. `t(col)` aliases and comma-laterals are
+              // NOT matched (a ',' is select-list-ambiguous; those fall
+              // to guidance). DuckDB's range() differs: EXCLUSIVE end —
+              // its TVF form matches Spark's native range() and passes
+              // through untouched; the scalar list form has no Spark
+              // twin → guidance.
+              scanCall(sql, j).flatMap { case (after, _) =>
+                splitTop(sql.substring(j + 1, after - 1)).flatMap { args =>
+                  val inner = args.map(a => rewrite(a).trim)
+                  if (inner.isEmpty || inner.length > 3 ||
+                    inner.exists(_.isEmpty)) None
+                  else Some {
+                    val core =
+                      if (inner.length == 1) s"sequence(0, ${inner.head})"
+                      else s"sequence(${inner.mkString(", ")})"
+                    val lw = lastWord(sb)
+                    sb.append(
+                      if (lw.equalsIgnoreCase("from") ||
+                        lw.equalsIgnoreCase("join")) s"explode($core)"
+                      else core)
+                    i = after
+                  }
+                }
+              }
             case "epoch" =>
               // epoch(ts) returns FRACTIONAL seconds in DuckDB (verified:
               // epoch(… 11:59:44.123456) = 1627991984.123456), so the
@@ -851,6 +892,161 @@ object DuckDialect {
     Some((key.toString, t.substring(i + 1)))
   }
 
+  /** The identifier/keyword word starting at `at` (empty when none). */
+  private def readWord(s: String, at: Int): String = {
+    var k = at
+    while (k < s.length && (Character.isLetterOrDigit(s.charAt(k)) ||
+      s.charAt(k) == '_')) k += 1
+    s.substring(at, k)
+  }
+
+  /** The last whole word already emitted to `sb` (empty when the tail is
+    * not a word) — the FROM/JOIN-position test for table functions. */
+  private def lastWord(sb: StringBuilder): String = {
+    var k = sb.length - 1
+    while (k >= 0 && Character.isWhitespace(sb.charAt(k))) k -= 1
+    val end = k
+    while (k >= 0 && (Character.isLetterOrDigit(sb.charAt(k)) ||
+      sb.charAt(k) == '_')) k -= 1
+    if (end < 0) "" else sb.substring(k + 1, end + 1)
+  }
+
+  /** True when the statement has a TOP-LEVEL set operation. `EXCEPT`
+    * counts only when NOT directly after `*` (that one is the star
+    * modifier, Spark's own spelling of DuckDB's EXCLUDE). */
+  private def hasTopSetOp(sql: String): Boolean = {
+    if (topKeyword(sql, "union") >= 0 ||
+      topKeyword(sql, "intersect") >= 0) return true
+    var off = 0
+    while (off < sql.length) {
+      val r = topKeyword(sql.substring(off), "except")
+      if (r < 0) return false
+      val at = off + r
+      var k = at - 1
+      while (k >= 0 && Character.isWhitespace(sql.charAt(k))) k -= 1
+      if (k < 0 || sql.charAt(k) != '*') return true
+      off = at + 6
+    }
+    false
+  }
+
+  /** Index in `s` where the statement's trailing clauses (top-level
+    * ORDER BY / LIMIT / OFFSET) begin, or `s.length` when none. */
+  private def tailCut(s: String): Int =
+    Seq("order", "limit", "offset").map(topKeyword(s, _)).filter(_ >= 0)
+      .reduceOption(_ min _).getOrElse(s.length)
+
+  /** DuckDB's QUALIFY clause (Spark 4 has none — parse error, verified)
+    * → a wrapped post-window filter:
+    *   [prefix] SELECT sel FROM rest QUALIFY pred [tail]
+    *   → [prefix] SELECT * EXCEPT (__graft_qualify) FROM (
+    *       SELECT sel, (pred) AS __graft_qualify FROM rest)
+    *     WHERE __graft_qualify [tail]
+    * The predicate computes in the INNER select list, where window
+    * functions are legal and references to sibling select aliases
+    * resolve laterally (both verified on Spark 4.1); the outer
+    * `* EXCEPT` drops the helper column, so projection, column
+    * positions (for a positional ORDER BY in the tail) and the
+    * DuckDB evaluation order (WHERE/GROUP/HAVING → windows → QUALIFY →
+    * ORDER/LIMIT, verified) are all preserved. The prefix (WITH ctes,
+    * INSERT INTO, CREATE … AS) passes through. Refused — left untouched
+    * so Spark's parse error routes to [[guidance]]: top-level set
+    * operations, SELECT DISTINCT (DuckDB dedups AFTER qualify; the wrap
+    * would dedup over the helper column too), QUALIFY inside a
+    * subquery (top level bridges only). */
+  private def bridgeQualify(sql: String): String = {
+    val q = topKeyword(sql, "qualify")
+    if (q < 0) return sql
+    if (hasTopSetOp(sql)) return sql
+    val sel = topKeyword(sql, "select")
+    if (sel < 0 || sel > q) return sql
+    var k = sel + 6
+    while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+    if (readWord(sql, k).equalsIgnoreCase("distinct")) return sql
+    val f = topKeyword(sql, "from")
+    if (f < sel || f > q) return sql
+    val after = sql.substring(q + 7)
+    val cut = tailCut(after)
+    val pred = after.substring(0, cut).trim
+    if (pred.isEmpty) return sql
+    val tailTxt = after.substring(cut).trim
+    sql.substring(0, sel) +
+      "SELECT * EXCEPT (__graft_qualify) FROM (SELECT " +
+      sql.substring(sel + 6, f).trim + ", (" + pred +
+      ") AS __graft_qualify " + sql.substring(f, q).trim +
+      ") WHERE __graft_qualify" +
+      (if (tailTxt.isEmpty) "" else " " + tailTxt)
+  }
+
+  /** DuckDB's `SELECT DISTINCT ON (keys) …` (Spark has none — verified)
+    * → one surviving row per key via row_number:
+    *   [prefix] SELECT DISTINCT ON (keys) sel FROM rest [ORDER BY ob] [t]
+    *   → [prefix] SELECT * EXCEPT (__graft_rn) FROM (
+    *       SELECT sel, row_number() OVER (PARTITION BY keys
+    *         ORDER BY ob-or-keys) AS __graft_rn FROM rest)
+    *     WHERE __graft_rn = 1 [ORDER BY ob] [t]
+    * DuckDB keeps the FIRST row per key of the ORDER BY stream
+    * (verified: ORDER BY y / y DESC pick min/max y per key); without an
+    * ORDER BY the surviving row is engine-arbitrary — the bridge orders
+    * by the keys, deterministic but equally arbitrary (documented).
+    * Refused → guidance: positional or ALL ORDER BY items (inside a
+    * window spec they would silently become constants), set ops, a
+    * co-occurring QUALIFY. An ORDER BY item naming a select ALIAS fails
+    * Spark analysis inside the window spec → guidance, never wrong. */
+  private def bridgeDistinctOn(sql: String): String = {
+    val sel = topKeyword(sql, "select")
+    if (sel < 0) return sql
+    var k = sel + 6
+    while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+    if (!readWord(sql, k).equalsIgnoreCase("distinct")) return sql
+    k += 8
+    while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+    if (!readWord(sql, k).equalsIgnoreCase("on")) return sql
+    k += 2
+    while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+    if (k >= sql.length || sql.charAt(k) != '(') return sql
+    val close = scanMatch(sql, k).getOrElse(return sql)
+    val keys = sql.substring(k + 1, close - 1).trim
+    if (keys.isEmpty) return sql
+    if (hasTopSetOp(sql) || topKeyword(sql, "qualify") >= 0) return sql
+    val f = topKeyword(sql, "from")
+    if (f < close) return sql
+    val afterFrom = sql.substring(f)
+    val cut = tailCut(afterFrom)
+    val tail = afterFrom.substring(cut)
+    val winOrder = {
+      val ot = tail.trim
+      if (ot.isEmpty || !readWord(ot, 0).equalsIgnoreCase("order")) keys
+      else {
+        var b = 5
+        while (b < ot.length && Character.isWhitespace(ot.charAt(b))) b += 1
+        if (!readWord(ot, b).equalsIgnoreCase("by")) return sql
+        val body = ot.substring(b + 2)
+        val obEnd = Seq("limit", "offset").map(topKeyword(body, _))
+          .filter(_ >= 0).reduceOption(_ min _).getOrElse(body.length)
+        val ob = body.substring(0, obEnd).trim
+        val items = splitTop(ob).getOrElse(return sql).map(_.trim)
+        // first token per item: a bare position (`2`, `2 DESC`) or ALL
+        // would become a constant/unresolvable inside the window spec
+        if (items.exists { it =>
+          val w0 = it.takeWhile(c => !Character.isWhitespace(c))
+          w0.isEmpty || w0.forall(Character.isDigit) ||
+            w0.equalsIgnoreCase("all")
+        }) return sql
+        ob
+      }
+    }
+    val tailTxt = tail.trim
+    sql.substring(0, sel) +
+      "SELECT * EXCEPT (__graft_rn) FROM (SELECT " +
+      sql.substring(close, f).trim +
+      ", row_number() OVER (PARTITION BY " + keys +
+      " ORDER BY " + winOrder + ") AS __graft_rn " +
+      afterFrom.substring(0, cut).trim +
+      ") WHERE __graft_rn = 1" +
+      (if (tailTxt.isEmpty) "" else " " + tailTxt)
+  }
+
   /** Some(target) when `sql` is DuckDB's `SUMMARIZE [target]` statement
     * (Locale.ROOT casing, any whitespace) — the one dialect STATEMENT,
     * shared by DeltaScanner.query and the REPL so both surfaces parse it
@@ -950,7 +1146,18 @@ object DuckDialect {
        |list comprehensions [h FOR x IN l IF p] -> transform/filter
        |  (subscripts l[i] pass through — NOTE Spark subscripts are
        |  0-based where DuckDB's are 1-based; use list_extract for
-       |  DuckDB's 1-based NULL-safe indexing).
+       |  DuckDB's 1-based NULL-safe indexing);
+       |QUALIFY -> a wrapped post-window filter (top-level only; not
+       |  under set ops or SELECT DISTINCT — rewrite those by hand);
+       |DISTINCT ON (keys) -> row_number() = 1 per keys (positional/ALL
+       |  ORDER BY items and ORDER BY on a select ALIAS are refused —
+       |  spell the alias's expression out in the ORDER BY instead);
+       |generate_series -> sequence() (explode(sequence()) after
+       |  FROM/JOIN; a comma-lateral `FROM t, generate_series(…)` is not
+       |  bridged — use an explicit JOIN); unnest -> explode (the STRUCT
+       |  expansion and recursive := forms have no Spark twin); scalar
+       |  range() has no twin (sequence() is inclusive-end) — the TVF
+       |  form FROM range(a, b) is valid Spark already.
        |Conditionally bridged (this statement used an unbridged form):
        |  string_split/str_split/string_to_array (bridged for a non-empty
        |  LITERAL separator, regex-escaped into split(); the empty-separator

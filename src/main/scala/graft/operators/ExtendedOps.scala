@@ -116,6 +116,39 @@ object ExtendedOps {
       |FROM documents GROUP BY source ORDER BY source"""
       .stripMargin.replace("\n", " ")
 
+  // q163–q165 — the r9 STATEMENT bridges, certified end-to-end: the
+  // Spark side goes through DuckDialect.sql (parse failure → rewrite)
+  // while the oracle executes the same text natively in DuckDB.
+  // q163 QUALIFY: the canonical top-k-per-group one-liner → bridged to
+  // a wrapped post-window filter; one window shuffle on the partition
+  // key, WindowGroupLimit prunes below the rank cap at scale.
+  private val QualifySql: String =
+    """SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+      |CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 2
+      |ORDER BY source, doc_id""".stripMargin.replace("\n", " ")
+
+  // q164 DISTINCT ON: keep the first row per key of the ORDER BY stream
+  // (DuckDB semantics, verified) → row_number()=1 per key. doc_id makes
+  // the pick deterministic; the outer ORDER BY is a total order.
+  private val DistinctOnSql: String =
+    """SELECT DISTINCT ON (source) source,
+      |CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY n_chars DESC, doc_id"""
+      .stripMargin.replace("\n", " ")
+
+  // q165 unnest + generate_series: row-multiplying unnest → explode,
+  // inclusive-end series → sequence; per-row fan-out is ≤3 (bounded by
+  // the %3), then ONE groupBy shuffle on the bucket.
+  private val SeriesUnnestSql: String =
+    """SELECT CAST(u AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+      |FROM (SELECT n_chars, unnest(generate_series(1,
+      |  CAST(n_chars % 3 AS INT) + 1)) AS u FROM documents)
+      |GROUP BY u ORDER BY u""".stripMargin.replace("\n", " ")
+
   val all: Seq[GraftQuery] = Seq(
 
     // Right outer (all nations survive a filtered region dim) feeding a
@@ -329,6 +362,27 @@ object ExtendedOps {
         T(s, d, "documents").createOrReplaceTempView("documents")
         graft.DuckDialect.sql(s, DuckDialect4Sql)
       },
-      Some(DuckDialect4Sql))
+      Some(DuckDialect4Sql)),
+
+    GraftQuery("q163_duckdb_qualify",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, QualifySql)
+      },
+      Some(QualifySql)),
+
+    GraftQuery("q164_duckdb_distinct_on",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, DistinctOnSql)
+      },
+      Some(DistinctOnSql)),
+
+    GraftQuery("q165_duckdb_series_unnest",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, SeriesUnnestSql)
+      },
+      Some(SeriesUnnestSql))
   )
 }

@@ -231,6 +231,77 @@ class TierASpec extends AnyFunSuite {
       "SELECT CAST(NULL AS INT[])") // type suffix untouched
   }
 
+  test("DuckDialect statement bridges: QUALIFY, DISTINCT ON, unnest, " +
+    "generate_series (r9)") {
+    import graft.DuckDialect.rewrite
+    // QUALIFY → wrapped post-window filter; pred computes in the inner
+    // select list, * EXCEPT drops the helper, ORDER/LIMIT stay outside
+    assert(rewrite("SELECT x, row_number() OVER (ORDER BY x) rn FROM t QUALIFY rn = 1") ==
+      "SELECT * EXCEPT (__graft_qualify) FROM (SELECT x, row_number() OVER (ORDER BY x) rn, " +
+        "(rn = 1) AS __graft_qualify FROM t) WHERE __graft_qualify")
+    assert(rewrite("SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x) <= 2 ORDER BY x DESC LIMIT 1") ==
+      "SELECT * EXCEPT (__graft_qualify) FROM (SELECT x, " +
+        "(row_number() OVER (ORDER BY x) <= 2) AS __graft_qualify FROM t) " +
+        "WHERE __graft_qualify ORDER BY x DESC LIMIT 1")
+    // WITH prefix passes through; the duckisms inside still rewrite
+    assert(rewrite("WITH c AS (SELECT 1 a) SELECT a FROM c QUALIFY len(list_value(a)) = 1") ==
+      "WITH c AS (SELECT 1 a) SELECT * EXCEPT (__graft_qualify) FROM (SELECT a, " +
+        "(len(array(a)) = 1) AS __graft_qualify FROM c) WHERE __graft_qualify")
+    // refusals → untouched → Spark error → guidance: set ops, DISTINCT
+    assert(rewrite("SELECT x FROM a QUALIFY rn = 1 UNION SELECT x FROM b")
+      .contains("QUALIFY"))
+    assert(rewrite("SELECT DISTINCT x FROM t QUALIFY rn = 1")
+      .contains("QUALIFY"))
+    // DISTINCT ON → row_number per key; ORDER BY drives the pick and is
+    // kept outside; without ORDER BY the keys order the window
+    assert(rewrite("SELECT DISTINCT ON (x) x, y FROM t ORDER BY y") ==
+      "SELECT * EXCEPT (__graft_rn) FROM (SELECT x, y, row_number() OVER " +
+        "(PARTITION BY x ORDER BY y) AS __graft_rn FROM t) " +
+        "WHERE __graft_rn = 1 ORDER BY y")
+    assert(rewrite("SELECT DISTINCT ON (k1, k2) v FROM t") ==
+      "SELECT * EXCEPT (__graft_rn) FROM (SELECT v, row_number() OVER " +
+        "(PARTITION BY k1, k2 ORDER BY k1, k2) AS __graft_rn FROM t) " +
+        "WHERE __graft_rn = 1")
+    // refusals: positional / ALL order items would become constants
+    assert(rewrite("SELECT DISTINCT ON (x) x, y FROM t ORDER BY 2")
+      .contains("DISTINCT ON"))
+    assert(rewrite("SELECT DISTINCT ON (x) x, y FROM t ORDER BY ALL")
+      .contains("DISTINCT ON"))
+    // plain DISTINCT is valid Spark — untouched
+    assert(rewrite("SELECT DISTINCT x FROM t") == "SELECT DISTINCT x FROM t")
+    // unnest → explode (select list and FROM); generate_series →
+    // sequence, explode(sequence(…)) after FROM/JOIN, 1-arg = 0..stop
+    assert(rewrite("SELECT unnest(l) FROM t") == "SELECT explode(l) FROM t")
+    assert(rewrite("SELECT * FROM unnest([10, 20]) t(u)") ==
+      "SELECT * FROM explode(array(10, 20)) t(u)")
+    assert(rewrite("SELECT generate_series(1, 7, 3)") ==
+      "SELECT sequence(1, 7, 3)")
+    assert(rewrite("SELECT generate_series(3)") == "SELECT sequence(0, 3)")
+    assert(rewrite("SELECT * FROM generate_series(1, 3) t(i)") ==
+      "SELECT * FROM explode(sequence(1, 3)) t(i)")
+    // engine-level: the bridged statements return DuckDB's answers
+    // (expected values verified against the installed DuckDB)
+    def rows(duck: String): Seq[Seq[Any]] =
+      graft.DuckDialect.sql(spark, duck).collect()
+        .map(r => (0 until r.length).map(r.get)).toSeq
+    assert(rows("SELECT x, count(*) c FROM (VALUES (1),(1),(2)) t(x) GROUP BY x " +
+      "QUALIFY rank() OVER (ORDER BY count(*) DESC) = 1") == Seq(Seq(1, 2L)))
+    assert(rows("SELECT x FROM (VALUES (3),(1),(2)) t(x) " +
+      "QUALIFY row_number() OVER (ORDER BY x) <= 2 ORDER BY x DESC LIMIT 1") ==
+      Seq(Seq(2)))
+    assert(rows("SELECT DISTINCT ON (x) x, y FROM (VALUES (1,5),(1,3),(2,7),(2,9)) " +
+      "t(x,y) ORDER BY y") == Seq(Seq(1, 3), Seq(2, 7)))
+    assert(rows("SELECT DISTINCT ON (x) x, y FROM (VALUES (1,5),(1,3),(2,7),(2,9)) " +
+      "t(x,y) ORDER BY y DESC") == Seq(Seq(2, 9), Seq(1, 5)))
+    assert(rows("SELECT x, unnest([1,2]) u FROM (VALUES (9)) t(x)") ==
+      Seq(Seq(9, 1), Seq(9, 2)))
+    assert(rows("SELECT i FROM generate_series(1, 3) t(i)") ==
+      Seq(Seq(1), Seq(2), Seq(3)))
+    assert(rows("SELECT generate_series(3)").head.head
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(0, 1, 2, 3))
+    assert(rows("SELECT * FROM range(2, 5)") == Seq(Seq(2L), Seq(3L), Seq(4L)))
+  }
+
   test("DuckCompat registered functions: the analyze-level bridges " +
     "(VERDICT r8 item 1) return the installed DuckDB's answers") {
     // through the REAL entry point (DuckDialect.sql registers + runs)
