@@ -126,7 +126,7 @@ object DuckDialect {
     * the restructured text (so a bridged statement's predicate/keys can
     * themselves carry list literals, renamed functions, …). */
   def rewrite(sql0: String): String = {
-    val sql = bridgeDistinctOn(bridgeQualify(sql0))
+    val sql = bridgeDistinctOn(bridgeQualify(bridgeUnpivot(sql0)))
     val n = sql.length
     val sb = new StringBuilder(n + 16)
     var i = 0
@@ -288,6 +288,31 @@ object DuckDialect {
               sb.append("EXCEPT (").append(ident).append(')'); i = after
             case _ => sb.append(word) // not followed by a column — leave it
           }
+        } else if (lower == "using" && !isCall &&
+          readWord(sql, j).equalsIgnoreCase("sample")) {
+          // DuckDB's `USING SAMPLE n% / n PERCENT` → Spark's
+          // `TABLESAMPLE (n PERCENT)` (both: per-row random sampling —
+          // inherently not comparable run-to-run, but the same intent).
+          // The ROWS form (`USING SAMPLE 10`) is NOT bridged: DuckDB
+          // draws a random reservoir where Spark's (n ROWS) is a plain
+          // limit — silently different rows; guidance explains. Method/
+          // seed parens likewise pass through. Join `USING (cols)` has
+          // a '(' lookahead, never the word `sample`.
+          var k = j + 6
+          while (k < n && Character.isWhitespace(sql.charAt(k))) k += 1
+          val numStart = k
+          while (k < n && (Character.isDigit(sql.charAt(k)) ||
+            sql.charAt(k) == '.')) k += 1
+          val num = sql.substring(numStart, k)
+          var k2 = k
+          while (k2 < n && Character.isWhitespace(sql.charAt(k2))) k2 += 1
+          val isPct = num.nonEmpty && num != "." && k2 < n &&
+            (sql.charAt(k2) == '%' ||
+              readWord(sql, k2).equalsIgnoreCase("percent"))
+          if (isPct) {
+            sb.append("TABLESAMPLE (").append(num).append(" PERCENT)")
+            i = if (sql.charAt(k2) == '%') k2 + 1 else k2 + 7
+          } else sb.append(word) // rows/method forms fall to guidance
         } else if (lower == "replace" && lastNonWs(sb) == '*' && isCall) {
           // DuckDB's `* REPLACE (expr AS col, …)` star modifier → Spark's
           // `* EXCEPT (col, …), expr AS col, …`. Same columns and values;
@@ -1047,6 +1072,208 @@ object DuckDialect {
       (if (tailTxt.isEmpty) "" else " " + tailTxt)
   }
 
+  /** DuckDB's UNPIVOT STATEMENT → Spark's UNPIVOT clause (pure text —
+    * the two agree exactly, verified on both engines: NULL values
+    * excluded, remaining columns kept, NAME column carries the source
+    * column names):
+    *   UNPIVOT <table> ON c1, c2, … INTO NAME <n> VALUE <v> [tail]
+    *   → SELECT * FROM <table> UNPIVOT (<v> FOR <n> IN (c1, c2, …)) [tail]
+    * Refused (→ guidance): `ON col AS 'label'` aliases, multiple VALUE
+    * columns, COLUMNS(*) — rewrite those as the Spark clause by hand. */
+  private def bridgeUnpivot(sql: String): String = {
+    if (!readWord(sql.trim, 0).equalsIgnoreCase("unpivot")) return sql
+    val t = sql.trim
+    var i = 7
+    def ws(): Unit =
+      while (i < t.length && Character.isWhitespace(t.charAt(i))) i += 1
+    ws()
+    val src = parseIdentChain(t, i) match {
+      case Some((ident, after)) => i = after; ident
+      case None => return sql
+    }
+    ws()
+    if (!readWord(t, i).equalsIgnoreCase("on")) return sql
+    i += 2
+    val rest = t.substring(i)
+    val into = topKeyword(rest, "into")
+    if (into < 0) return sql
+    val cols = rest.substring(0, into).trim
+    if (cols.isEmpty || topKeyword(cols, "as") >= 0) return sql
+    var j = into + 4
+    def wsj(): Unit =
+      while (j < rest.length && Character.isWhitespace(rest.charAt(j))) j += 1
+    wsj()
+    if (!readWord(rest, j).equalsIgnoreCase("name")) return sql
+    j += 4; wsj()
+    val name = parseIdentChain(rest, j) match {
+      case Some((ident, after)) if !ident.contains('.') => j = after; ident
+      case _ => return sql
+    }
+    wsj()
+    if (!readWord(rest, j).equalsIgnoreCase("value")) return sql
+    j += 5; wsj()
+    val value = parseIdentChain(rest, j) match {
+      case Some((ident, after)) if !ident.contains('.') => j = after; ident
+      case _ => return sql
+    }
+    val tail = rest.substring(j).trim
+    s"SELECT * FROM $src UNPIVOT ($value FOR $name IN ($cols))" +
+      (if (tail.isEmpty) "" else " " + tail)
+  }
+
+  /** Distinct-value cap for the dynamic PIVOT bridge: one BOUNDED
+    * collect (DuckDB materializes the same distinct set to plan its
+    * PIVOT); beyond this a pivot is a schema explosion, not a query. */
+  private val PivotValueCap = 1000
+
+  /** DuckDB's PIVOT STATEMENT (dynamic column discovery — Spark's
+    * PIVOT clause needs a literal IN list) → conditional aggregation:
+    *   PIVOT <table> ON <col> [IN (v, …)] [USING <agg> [AS alias]]
+    *     [GROUP BY g, …] [ORDER BY …] [LIMIT …]
+    *   → SELECT g…, <agg> FILTER (WHERE <col> = v) AS `v[_alias]`, …
+    *     FROM <table> [GROUP BY g…] [ORDER BY …] [LIMIT …]
+    * Matches the verified DuckDB semantics: pivot columns are the
+    * DISTINCT NON-NULL values of the ON column sorted ascending (or the
+    * IN list verbatim), named `str(value)` — `value_alias` with an
+    * aliased USING; absent combos are NULL for real aggregates and 0
+    * for the count(*) default (FILTER agrees on both); an omitted
+    * GROUP BY groups by every table column the ON col and the
+    * aggregate don't reference (live schema minus a parsed-expression
+    * attribute walk, preserving table column order — DuckDB's rule).
+    * The FILTER form keeps ONE shuffle on the group keys at any column
+    * count — the scale shape a pivot should have. Value discovery is
+    * one bounded collect (≤[[PivotValueCap]], refused loudly above).
+    * None → the caller raises guidance: multiple ON columns, multiple
+    * USING aggregates, subquery sources, unparseable aggregate text. */
+  def bridgePivot(spark: SparkSession, text0: String): Option[String] = {
+    val text = text0.trim.stripSuffix(";")
+    if (!readWord(text, 0).equalsIgnoreCase("pivot")) return None
+    var i = 5
+    def ws(): Unit = while (i < text.length &&
+      Character.isWhitespace(text.charAt(i))) i += 1
+    ws()
+    val src = parseIdentChain(text, i) match {
+      case Some((ident, after)) => i = after; ident
+      case None => return None
+    }
+    ws()
+    if (!readWord(text, i).equalsIgnoreCase("on")) return None
+    i += 2; ws()
+    val onCol = parseIdentChain(text, i) match {
+      case Some((ident, after)) => i = after; ident
+      case None => return None
+    }
+    ws()
+    // explicit IN (…) value list — no discovery collect needed
+    var inVals: Option[Seq[String]] = None
+    if (readWord(text, i).equalsIgnoreCase("in")) {
+      i += 2; ws()
+      if (i >= text.length || text.charAt(i) != '(') return None
+      val close = scanMatch(text, i).getOrElse(return None)
+      val items = splitTop(text.substring(i + 1, close - 1))
+        .getOrElse(return None).map(_.trim)
+      if (items.isEmpty || items.exists(_.isEmpty)) return None
+      inVals = Some(items)
+      i = close; ws()
+    }
+    if (i < text.length && text.charAt(i) == ',') return None // multi-ON
+    val rest = text.substring(i)
+    val cut = Seq("group", "order", "limit").map(topKeyword(rest, _))
+      .filter(_ >= 0).reduceOption(_ min _).getOrElse(rest.length)
+    var aggText = "count(*)"
+    var alias: Option[String] = None
+    val usingTxt = rest.substring(0, cut).trim
+    if (usingTxt.nonEmpty) {
+      if (!readWord(usingTxt, 0).equalsIgnoreCase("using")) return None
+      var a = usingTxt.substring(5).trim
+      if (splitTop(a).exists(_.length > 1)) return None // multiple aggs
+      AsIdentRe.findFirstMatchIn(a).foreach { m =>
+        alias = Some(m.group(1)); a = a.substring(0, m.start)
+      }
+      aggText = a.trim
+      if (aggText.isEmpty) return None
+    }
+    var tail = rest.substring(cut)
+    // the GROUP BY moves into the rebuilt SELECT; ORDER/LIMIT stay a tail
+    var groupsTxt: Option[String] = None
+    if (tail.nonEmpty && readWord(tail, 0).equalsIgnoreCase("group")) {
+      var b = 5
+      while (b < tail.length && Character.isWhitespace(tail.charAt(b))) b += 1
+      if (!readWord(tail, b).equalsIgnoreCase("by")) return None
+      val body = tail.substring(b + 2)
+      val gcut = Seq("order", "limit").map(topKeyword(body, _))
+        .filter(_ >= 0).reduceOption(_ min _).getOrElse(body.length)
+      groupsTxt = Some(body.substring(0, gcut).trim)
+      tail = body.substring(gcut)
+    }
+    val groups: Seq[String] = groupsTxt match {
+      case Some(g) =>
+        splitTop(g).getOrElse(return None).map(_.trim)
+          .filter(_.nonEmpty) match {
+          case s if s.isEmpty => return None
+          case s => s
+        }
+      case None =>
+        // DuckDB's implicit grouping: every table column the ON col and
+        // the aggregate don't use, in table order (verified)
+        val refs: Set[String] =
+          try spark.sessionState.sqlParser.parseExpression(aggText)
+            .collect {
+              case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute =>
+                a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+            }.toSet
+          catch { case scala.util.control.NonFatal(_) => return None }
+        val onLeaf = onCol.split('.').last.stripPrefix("`").stripSuffix("`")
+        val fields =
+          try spark.table(src).schema.fieldNames.toSeq
+          catch { case scala.util.control.NonFatal(_) => return None }
+        fields.filterNot { f =>
+          f.equalsIgnoreCase(onLeaf) ||
+            refs.contains(f.toLowerCase(java.util.Locale.ROOT))
+        }.map(f => "`" + f.replace("`", "``") + "`")
+    }
+    // (filter literal, output column name) per pivot value
+    val vals: Seq[(String, String)] = inVals match {
+      case Some(items) =>
+        items.map(it => bareLiteral(it) match {
+          case Some(s) => (sqlLit(s), s)
+          case None => (it, it)
+        })
+      case None =>
+        val rows = spark.sql(
+          s"SELECT DISTINCT $onCol AS __graft_pv FROM $src " +
+            s"WHERE $onCol IS NOT NULL ORDER BY __graft_pv " +
+            s"LIMIT ${PivotValueCap + 1}").collect()
+        if (rows.length > PivotValueCap)
+          throw new IllegalArgumentException(
+            s"PIVOT ON $onCol: more than $PivotValueCap distinct values " +
+              "— a pivot this wide is a schema explosion; aggregate by " +
+              "the column instead, or pass an explicit IN (…) list")
+        rows.toSeq.map { r =>
+          val v = r.get(0)
+          val lit = v match {
+            case s: String => sqlLit(s)
+            case d: java.sql.Date => s"DATE '$d'"
+            case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+            case other => String.valueOf(other)
+          }
+          (lit, String.valueOf(v))
+        }
+    }
+    val items = vals.map { case (lit, nm) =>
+      val col = nm + alias.map("_" + _).getOrElse("")
+      s"$aggText FILTER (WHERE $onCol = $lit) AS `" +
+        col.replace("`", "``") + "`"
+    }
+    val tailTxt = tail.trim
+    Some(rewrite(
+      s"SELECT ${(groups ++ items).mkString(", ")} FROM $src" +
+        (if (groups.nonEmpty) s" GROUP BY ${groups.mkString(", ")}"
+         else "") +
+        (if (tailTxt.isEmpty) "" else " " + tailTxt)))
+  }
+
   /** Some(target) when `sql` is DuckDB's `SUMMARIZE [target]` statement
     * (Locale.ROOT casing, any whitespace) — the one dialect STATEMENT,
     * shared by DeltaScanner.query and the REPL so both surfaces parse it
@@ -1107,6 +1334,22 @@ object DuckDialect {
   private def sqlNoCompat(spark: SparkSession, text: String): DataFrame =
     try spark.sql(text)
     catch {
+      case e: org.apache.spark.sql.AnalysisException // incl. parse
+          if readWord(text.trim, 0).equalsIgnoreCase("pivot") =>
+        bridgePivot(spark, text) match {
+          case Some(p) =>
+            try spark.sql(p)
+            catch {
+              case e2: org.apache.spark.sql.AnalysisException =>
+                throw new IllegalArgumentException(
+                  guidance(text, e.getMessage, e2.getMessage), e2)
+            }
+          case None =>
+            throw new IllegalArgumentException(
+              guidance(text, e.getMessage, "(PIVOT statement outside " +
+                "the bridged subset: one ON column, one USING " +
+                "aggregate, a table/view source)"), e)
+        }
       case e: org.apache.spark.sql.AnalysisException => // incl. parse
         val rewritten = rewrite(text)
         if (rewritten == text) {
@@ -1157,7 +1400,16 @@ object DuckDialect {
        |  bridged — use an explicit JOIN); unnest -> explode (the STRUCT
        |  expansion and recursive := forms have no Spark twin); scalar
        |  range() has no twin (sequence() is inclusive-end) — the TVF
-       |  form FROM range(a, b) is valid Spark already.
+       |  form FROM range(a, b) is valid Spark already;
+       |the PIVOT STATEMENT (dynamic column discovery) bridges for one
+       |  ON column + one USING aggregate over a table/view source
+       |  (columns = sorted distinct non-null values, capped at 1000;
+       |  IN (…) lists skip discovery; GROUP BY/ORDER BY/LIMIT pass
+       |  through) — multi-ON/multi-USING forms: rewrite as Spark's
+       |  PIVOT clause with an explicit IN list;
+       |the UNPIVOT STATEMENT bridges to Spark's UNPIVOT clause for the
+       |  ON c1, c2 INTO NAME n VALUE v form (NULLs excluded in both);
+       |  column aliases / multiple VALUE columns: use the clause.
        |Conditionally bridged (this statement used an unbridged form):
        |  string_split/str_split/string_to_array (bridged for a non-empty
        |  LITERAL separator, regex-escaped into split(); the empty-separator
@@ -1165,9 +1417,7 @@ object DuckDialect {
        |  strftime/strptime (registered functions — arbitrary formats,
        |  either arg order for strftime; % codes without JDK twins
        |  (%U weeks, %Z zones) raise — use date_format/to_timestamp with
-       |  JDK patterns there), list_slice (bridged for integer-LITERAL bounds of one
-       |  sign; otherwise use slice(l, start, length); the STRING form has
-       |  no twin — use substring), struct_pack (bridged for k := v args),
+       |  JDK patterns there), struct_pack (bridged for k := v args),
        |  epoch (1-arg form; = unix_micros(ts)/1e6, fractional seconds),
        |  list_prepend (args swapped into array_prepend),
        |  regexp_full_match (LITERAL patterns wrapped \\A(?:…)\\z into
@@ -1180,6 +1430,9 @@ object DuckDialect {
        |  'max'/'count') (integer sums are BIGINT not HUGEINT; DECIMAL
        |  sums widen to DOUBLE), 1- and 2-arg array_length,
        |  list_reduce (seedless fold; empty lists raise, as DuckDB),
+       |  list_slice/array_slice (3-arg LIST form, arbitrary mixed-sign
+       |  bounds with DuckDB's clamping; the STRING form has no twin —
+       |  use substring — and the 4-arg step form is unbridged),
        |  strftime/strptime (see above), and the delta_scan('path') TABLE
        |  function (graft's public-protocol Delta reader; non-Delta paths
        |  fall back to a parquet scan).
@@ -1200,5 +1453,15 @@ object DuckDialect {
        |  read_csv/read_json (auto-detection differs; use spark.read with
        |  explicit options). read_parquet('one path') IS translated to
        |  parquet.`path`; file LISTS and option args are not.
+       |  ASOF JOIN: no Spark twin — compose an equi+range join with a
+       |  row_number()=1 pick per left row (the q51_asof_join corpus
+       |  query is the reference shape). COPY (…) TO 'path': use
+       |  INSERT OVERWRITE DIRECTORY 'path' USING parquet (…) — note
+       |  Spark writes a directory of part files, not one file.
+       |  USING SAMPLE n ROWS: DuckDB draws a RANDOM reservoir sample
+       |  where Spark's TABLESAMPLE (n ROWS) is a plain limit — use
+       |  ORDER BY rand() LIMIT n for a true random-n; the PERCENT form
+       |  IS bridged (both engines: per-row random, not comparable
+       |  run-to-run).
        |Original SQL: $original""".stripMargin
 }

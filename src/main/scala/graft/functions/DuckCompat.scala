@@ -442,6 +442,37 @@ object DuckCompat {
     put("strptime") { es =>
       arity("strptime", 2, es); DuckStrptime(es.head, es(1))
     }
+    // list_slice / array_slice for ARBITRARY (non-literal, mixed-sign)
+    // bounds — the text bridge only reaches single-sign integer
+    // literals. DuckDB's 1-based inclusive bounds with clamping, the
+    // full matrix verified against the installed DuckDB (b=0 → 1,
+    // either end past either edge → clamp/empty, start>end → [],
+    // NULL list/bound → NULL):
+    //   B' = b < 0 ? sz+b+1 : b;   B = B' < 1 ? 1 : B'
+    //   E' = e < 0 ? sz+e+1 : e;   E = E' > sz ? sz : E'
+    //   slice(x, B, max(E-B+1, 0))
+    // CaseWhen, NOT Greatest/Least: a NULL CASE predicate falls to the
+    // ELSE operand (the bound itself, still NULL → Slice propagates),
+    // where Greatest/Least would IGNORE the null and fabricate a bound.
+    // Composed entirely from codegen'd built-ins. The STRING form stays
+    // unbridged (substring is the twin) — a string arg fails Slice's
+    // type check into guidance. The 4-arg step form has no Spark twin.
+    def duckSlice(es: Seq[Expression]): Expression = {
+      val (x, b, e) = (es.head, es(1), es(2))
+      val sz = Size(x, legacySizeOfNull = false)
+      val bp = CaseWhen(Seq((LessThan(b, Literal(0)),
+        Add(Add(sz, b), Literal(1)))), b)
+      val bc = CaseWhen(Seq((LessThan(bp, Literal(1)), Literal(1))), bp)
+      val ep = CaseWhen(Seq((LessThan(e, Literal(0)),
+        Add(Add(sz, e), Literal(1)))), e)
+      val ec = CaseWhen(Seq((GreaterThan(ep, sz), sz)), ep)
+      val len0 = Add(Subtract(ec, bc), Literal(1))
+      Slice(x, bc,
+        CaseWhen(Seq((LessThan(len0, Literal(0)), Literal(0))), len0))
+    }
+    put("list_slice") { es => arity("list_slice", 3, es); duckSlice(es) }
+    put("array_slice") { es => arity("array_slice", 3, es); duckSlice(es) }
+
     // list_reduce(l, (acc, e) -> …): DuckDB's seedless fold — seed is the
     // FIRST element, the lambda folds the rest (verified:
     // list_reduce([1,2,3], (x,y) -> x - y) = (1-2)-3 = -4). Expressed as

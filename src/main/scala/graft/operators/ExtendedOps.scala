@@ -149,6 +149,20 @@ object ExtendedOps {
       |  CAST(n_chars % 3 AS INT) + 1)) AS u FROM documents)
       |GROUP BY u ORDER BY u""".stripMargin.replace("\n", " ")
 
+  // q166 PIVOT statement (dynamic column discovery): the bridge
+  // resolves the lang columns with ONE bounded distinct collect then
+  // emits count(*) FILTER items — one shuffle on source at any column
+  // count. count(*) is BIGINT in both engines, so the hash is clean.
+  private val PivotSql: String =
+    "PIVOT documents ON lang GROUP BY source ORDER BY source"
+
+  // q167 UNPIVOT statement → Spark's UNPIVOT clause. ORDER BY (k, v,
+  // source, lang, text) is hash-total: the only possible ties are
+  // between rows identical in EVERY projected column.
+  private val UnpivotSql: String =
+    """UNPIVOT documents ON n_chars, doc_id INTO NAME k VALUE v
+      |ORDER BY k, v, source, lang, text""".stripMargin.replace("\n", " ")
+
   val all: Seq[GraftQuery] = Seq(
 
     // Right outer (all nations survive a filtered region dim) feeding a
@@ -383,6 +397,20 @@ object ExtendedOps {
         T(s, d, "documents").createOrReplaceTempView("documents")
         graft.DuckDialect.sql(s, SeriesUnnestSql)
       },
-      Some(SeriesUnnestSql))
+      Some(SeriesUnnestSql)),
+
+    GraftQuery("q166_duckdb_pivot",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, PivotSql)
+      },
+      Some(PivotSql)),
+
+    GraftQuery("q167_duckdb_unpivot",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, UnpivotSql)
+      },
+      Some(UnpivotSql))
   )
 }

@@ -300,6 +300,109 @@ class TierASpec extends AnyFunSuite {
     assert(rows("SELECT generate_series(3)").head.head
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(0, 1, 2, 3))
     assert(rows("SELECT * FROM range(2, 5)") == Seq(Seq(2L), Seq(3L), Seq(4L)))
+    // list_slice as a REGISTERED function (arbitrary/mixed-sign/
+    // expression bounds — the text bridge reaches only one-sign
+    // literals). Every expected value is the installed DuckDB's.
+    def sl(duck: String): Seq[Integer] =
+      rows(duck).head.head match {
+        case null => null
+        case s => s.asInstanceOf[scala.collection.Seq[Integer]].toSeq
+      }
+    assert(sl("SELECT list_slice([1,2,3,4,5], 2, 4)") == Seq(2, 3, 4))
+    assert(sl("SELECT list_slice([1,2,3,4,5], 2, -1)") == Seq(2, 3, 4, 5))
+    assert(sl("SELECT list_slice([1,2,3,4,5], -3, -2)") == Seq(3, 4))
+    assert(sl("SELECT list_slice([1,2,3,4,5], -10, 2)") == Seq(1, 2))
+    assert(sl("SELECT list_slice([1,2,3,4,5], 0, 3)") == Seq(1, 2, 3))
+    assert(sl("SELECT list_slice([1,2,3,4,5], 4, 2)") == Seq())
+    assert(sl("SELECT list_slice([1,2,3,4,5], 3, 99)") == Seq(3, 4, 5))
+    assert(sl("SELECT list_slice([1,2,3,4,5], -1, -5)") == Seq())
+    assert(sl("SELECT list_slice([1,2,3,4,5], 6, 8)") == Seq())
+    assert(sl("SELECT list_slice([1,2,3,4,5], -10, -7)") == Seq())
+    assert(sl("SELECT array_slice([1,2], 1, 2)") == Seq(1, 2))
+    // NULL list/bounds propagate (CaseWhen-else, not Greatest — a
+    // fabricated bound was the failure mode this form avoids)
+    assert(sl("SELECT list_slice([1,2,3,4,5], CAST(NULL AS INT), 3)") == null)
+    assert(sl("SELECT list_slice([1,2,3,4,5], 1, CAST(NULL AS INT))") == null)
+    assert(sl("SELECT list_slice(CAST(NULL AS ARRAY<INT>), 1, 2)") == null)
+    // expression bounds — the case the literal-only text bridge refused
+    assert(rows("SELECT list_slice(l, s, -1) FROM (VALUES (array(1,2,3), 2)) " +
+      "t(l, s)").head.head
+      .asInstanceOf[scala.collection.Seq[Integer]].toSeq == Seq(2, 3))
+    // USING SAMPLE: percent forms bridge to TABLESAMPLE; the rows form
+    // and join-USING stay untouched (rows would silently change from a
+    // random reservoir to a plain limit)
+    import graft.DuckDialect.rewrite
+    assert(rewrite("SELECT * FROM t USING SAMPLE 10%") ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(rewrite("SELECT * FROM t USING SAMPLE 2.5 PERCENT") ==
+      "SELECT * FROM t TABLESAMPLE (2.5 PERCENT)")
+    assert(rewrite("SELECT * FROM t USING SAMPLE 10") ==
+      "SELECT * FROM t USING SAMPLE 10")
+    assert(rewrite("SELECT * FROM a JOIN b USING (k)") ==
+      "SELECT * FROM a JOIN b USING (k)")
+    // and it executes (TABLESAMPLE attaches to named relations, not
+    // VALUES aliases): sampling 100 percent keeps every row
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW smp_t AS " +
+      "SELECT * FROM VALUES (1),(2),(3) t(x)")
+    assert(rows("SELECT count(*) c FROM (SELECT * FROM smp_t " +
+      "USING SAMPLE 100%)") == Seq(Seq(3L)))
+  }
+
+  test("DuckDialect statement bridges: the PIVOT and UNPIVOT statements " +
+    "(dynamic column discovery / INTO NAME-VALUE) — every expected " +
+    "answer is the installed DuckDB's") {
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW pv_tnull AS SELECT * FROM " +
+      "VALUES ('a', CAST(NULL AS STRING), 1),('a','x',2),('b','y',3) t(g, p, v)")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW pv_tint AS SELECT * FROM " +
+      "VALUES ('a', 1, 10),('a',2,20),('b',1,30) t(g, p, v)")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW up_w AS SELECT * FROM " +
+      "VALUES ('a', 1, 2, CAST(NULL AS INT)),('b',3,CAST(NULL AS INT),5) " +
+      "t(g, c1, c2, c3)")
+    def run(duck: String): (Seq[String], Seq[Seq[Any]]) = {
+      val df = graft.DuckDialect.sql(spark, duck)
+      (df.columns.toSeq,
+        df.collect().map(r => (0 until r.length).map(r.get)).toSeq)
+    }
+    // dynamic discovery: columns = sorted distinct non-null values;
+    // count(*) default fills absent combos with 0 (NULL p row dropped)
+    assert(run("PIVOT pv_tnull ON p GROUP BY g ORDER BY g") ==
+      (Seq("g", "x", "y"), Seq(Seq("a", 1L, 0L), Seq("b", 0L, 1L))))
+    // real aggregate: absent combos are NULL; alias → value_alias names
+    assert(run("PIVOT pv_tnull ON p USING sum(v) AS total GROUP BY g ORDER BY g") ==
+      (Seq("g", "x_total", "y_total"), Seq(Seq("a", 2L, null), Seq("b", null, 3L))))
+    // explicit IN list skips discovery and keeps the listed columns
+    assert(run("PIVOT pv_tnull ON p IN ('x') USING sum(v) GROUP BY g ORDER BY g") ==
+      (Seq("g", "x"), Seq(Seq("a", 2L), Seq("b", null))))
+    // non-string pivot values name their columns str(value)
+    assert(run("PIVOT pv_tint ON p USING sum(v) GROUP BY g ORDER BY g") ==
+      (Seq("g", "1", "2"), Seq(Seq("a", 10L, 20L), Seq("b", 30L, null))))
+    // omitted GROUP BY: DuckDB groups by every column the ON col and the
+    // aggregate don't use (here: g — v is consumed by sum)
+    assert(run("PIVOT pv_tnull ON p USING sum(v) ORDER BY g") ==
+      (Seq("g", "x", "y"), Seq(Seq("a", 2L, null), Seq("b", null, 3L))))
+    // refusals → guidance, never a silent subset: multi-agg, multi-ON
+    for (bad <- Seq("PIVOT pv_tnull ON p USING sum(v), count(*) GROUP BY g",
+      "PIVOT pv_tnull ON p, g USING sum(v)")) {
+      val e = intercept[IllegalArgumentException](
+        graft.DuckDialect.sql(spark, bad))
+      assert(e.getMessage.contains("PIVOT statement outside"))
+    }
+    // UNPIVOT statement → Spark's UNPIVOT clause (pure text rewrite)
+    assert(graft.DuckDialect.rewrite(
+      "UNPIVOT w ON c1, c2 INTO NAME k VALUE v ORDER BY g") ==
+      "SELECT * FROM w UNPIVOT (v FOR k IN (c1, c2)) ORDER BY g")
+    // NULL cells dropped, remaining columns kept — DuckDB's exact rows
+    assert(run("UNPIVOT up_w ON c1, c2, c3 INTO NAME k VALUE v ORDER BY g, k") ==
+      (Seq("g", "k", "v"), Seq(Seq("a", "c1", 1), Seq("a", "c2", 2),
+        Seq("b", "c1", 3), Seq("b", "c3", 5))))
+    assert(run("UNPIVOT up_w ON c1, c2 INTO NAME k VALUE v ORDER BY g, k") ==
+      (Seq("g", "c3", "k", "v"), Seq(Seq("a", null, "c1", 1),
+        Seq("a", null, "c2", 2), Seq("b", 5, "c1", 3))))
+    // aliased ON items are NOT bridged (no Spark twin in the clause's
+    // IN list) — untouched → guidance
+    assert(graft.DuckDialect.rewrite(
+      "UNPIVOT w ON c1 AS 'one' INTO NAME k VALUE v")
+      .startsWith("UNPIVOT"))
   }
 
   test("DuckCompat registered functions: the analyze-level bridges " +
