@@ -53,5 +53,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_kmv", 2,
       e => KmvSketch(e.head, e(1).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()))
+    ext.injectFunction(fn("graft_bloom_contains", 2,
+      e => BloomContains(e.head, e(1))))
   }
 }

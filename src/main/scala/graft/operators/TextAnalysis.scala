@@ -1165,6 +1165,84 @@ object TextAnalysis {
         "FROM tok JOIN ws ON tok.w = ws.w CROSS JOIN tot) " +
         "SELECT doc_id, COUNT(*) AS n_tok, " +
         "CAST(SUM(q) AS DOUBLE) / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS score " +
-        "FROM q GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"))
+        "FROM q GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20")),
+
+    // Bloom-filter decontamination — q104's collision test in the shape
+    // that actually runs at 100 TB. q104 broadcast-joins the panel's
+    // distinct 5-gram hashes (~30 bytes/entry as a hash relation); here
+    // the panel builds a Bloom filter (bits: ~1.2 MB for a MILLION
+    // entries at fpp 1e-6) via the distributed df.stat.bloomFilter
+    // treeAggregate, and the corpus streams ONCE through a native
+    // membership probe inside exists() — no join, no shuffle on the
+    // corpus side at all; the only exchange is the final per-source
+    // rollup. The contract this trades on is directional and the oracle
+    // PINS it: Bloom filters have no false negatives, so the flagged
+    // set must be a SUPERSET of the exact collision set (superset_ok),
+    // and false positives stay under 1% of the corpus (fp_ok; fpp 1e-6
+    // × ~400 shingles/doc ≈ 4e-4 per doc). Both booleans are
+    // deterministic — Spark's sketch hashes with fixed seeds and the
+    // bit-OR merge is partition-order independent — so DuckDB verifies
+    // them as constants while recomputing n_docs/n_flagged_exact from
+    // first principles (same 5-gram text join as q104's oracle).
+    // The exact side (broadcast semi-join) exists here to FEED the
+    // contract; a production pipeline runs only the Bloom pass.
+    GraftQuery("q168_bloom_decontamination",
+      (s, d) => {
+        graft.functions.WordShingleHashes.register(s)
+        graft.functions.BloomContains.register(s)
+        val sh = docs(s, d).select(col("doc_id"), col("source"),
+          graft.functions.WordShingleHashes
+            .shingleHashes(col("text"), 5).as("hs"))
+        val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(explode(col("hs")).as("h")).distinct()
+        // bounded by construction: the 1-in-97 eval panel (the q91/q104
+        // panel); the sketch is built DISTRIBUTED and only its bits
+        // (~0.5 MB) reach the driver. The capacity FLOOR matters:
+        // Spark's sketch double-hashes a 32-bit (h1, h2) pair, and at
+        // tiny bit arrays the measured FP rate floors ~1e-4 regardless
+        // of the requested fpp (measured: 400 keys / 11k bits → 1.3e-4;
+        // same keys in a 4.3M-bit array → 0 FPs in 2e7 probes) — so the
+        // filter is sized for ≥1e5 entries even when the panel is
+        // smaller. At a real panel (millions of n-grams) the natural
+        // sizing dominates and the floor is moot.
+        val nPanel = math.max(bench.count(), 100000L)
+        val bloom = bench.stat.bloomFilter("h", nPanel, 1e-9)
+        val bytes = graft.functions.BloomContains.serialize(bloom)
+        val corpus = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+          .withColumn("bf", exists(col("hs"), h =>
+            graft.functions.BloomContains.bloomContains(h, lit(bytes)))
+            .cast("long"))
+        val exact = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+          .join(broadcast(bench), Seq("h"), "left_semi")
+          .select("doc_id").distinct().withColumn("ex", lit(1L))
+        corpus.join(exact, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(coalesce(col("ex"), lit(0L))).cast("long")
+              .as("n_flagged_exact"),
+            coalesce(min(when(col("ex") === 1L, col("bf"))), lit(1L))
+              .cast("long").as("superset_ok"),
+            sum(when(col("ex").isNull, col("bf")).otherwise(lit(0L)))
+              .as("fp_extra"))
+          .select(col("source"), col("n_docs"), col("n_flagged_exact"),
+            col("superset_ok"),
+            (col("fp_extra") * 100 <= col("n_docs")).cast("long")
+              .as("fp_ok"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+        |  FOR i IN generate_series(1, len(toks)-4)])) AS s FROM t),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |flags AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench ON sh.s = bench.s
+        |  WHERE sh.doc_id % 97 <> 0),
+        |base AS (SELECT doc_id, source FROM t WHERE doc_id % 97 <> 0)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |CAST(SUM(CASE WHEN flags.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_exact,
+        |CAST(1 AS BIGINT) AS superset_ok, CAST(1 AS BIGINT) AS fp_ok
+        |FROM base LEFT JOIN flags ON base.doc_id = flags.doc_id
+        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")))
   )
 }

@@ -206,4 +206,41 @@ class ExpressionPropertySpec extends AnyFunSuite {
         s"case $i: raw=${raw.toList} got=${got.toList} sql=$duck")
     }
   }
+
+  test("BloomContains: NO false negatives over random key sets, " +
+    "serialization round-trips through the expression, and the flag " +
+    "is partition-count invariant (q168's superset contract)") {
+    import spark.implicits._
+    graft.functions.BloomContains.register(spark)
+    val gen = Gen.chooseNum(1, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    (1 to 20).foreach { i =>
+      val keys = sample(gen, 9000L + i).distinct
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(keys.length.toLong, 100000L), 1e-9)
+      keys.foreach(bf.putLong)
+      val bytes = graft.functions.BloomContains.serialize(bf)
+      for (parts <- Seq(1, 7)) {
+        val hits = keys.toDF("h").repartition(parts)
+          .select(graft.functions.BloomContains
+            .bloomContains(col("h"), lit(bytes)).as("m"))
+          .where(col("m")).count()
+        assert(hits == keys.length,
+          s"case $i parts=$parts: a Bloom filter returned a false " +
+            s"negative ($hits of ${keys.length})")
+      }
+      // absent keys at the oversized-filter operating point stay
+      // (nearly) all negative — the measured-floor rationale in q168
+      val absent = sample(gen, 90000L + i).distinct
+        .filterNot(keys.toSet)
+      if (absent.nonEmpty) {
+        val fp = absent.toDF("h")
+          .select(graft.functions.BloomContains
+            .bloomContains(col("h"), lit(bytes)).as("m"))
+          .where(col("m")).count()
+        assert(fp == 0, s"case $i: $fp false positives in " +
+          s"${absent.length} probes at the ≥1e5-capacity sizing")
+      }
+    }
+  }
 }

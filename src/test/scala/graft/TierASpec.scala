@@ -1032,6 +1032,15 @@ class TierASpec extends AnyFunSuite {
         "SELECT size(graft_kmv(x, 8)) AS n FROM VALUES (1), (2), (2) AS t(x)")
         .head
       assert(kr.getInt(0) == 2, "3 rows, 2 distinct -> 2 sketch entries")
+      // bloom membership through the extensions route: a driver-built
+      // filter embedded as a hex binary literal
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(4L, 0.01)
+      bf.putLong(42L)
+      val hex = graft.functions.BloomContains.serialize(bf)
+        .map(b => f"$b%02X").mkString
+      val br = s2.sql(
+        s"SELECT graft_bloom_contains(42L, X'$hex') AS hit").head
+      assert(br.getBoolean(0), "an inserted key must always hit")
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
