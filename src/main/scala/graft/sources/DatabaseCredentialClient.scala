@@ -61,9 +61,36 @@ final class DatabaseCredentialClient(
       java.util.UUID.randomUUID().toString, Seq(instanceName))
     Map("user" -> username, "password" -> cred.token)
   }
+
+  /** The reference's diagnostic instance listing
+    * (test_db_instances.py:17-24: `list_database_instances()`, printing
+    * name/id/state per instance) — the SDK wrapper over
+    * `GET {host}/api/2.0/database/instances` →
+    * `{"database_instances": [{"name": …, "id"?: …, "state"?: …}]}`.
+    * Driver-side metadata only; used to discover the instance name the
+    * credential call needs when it isn't configured. */
+  def listDatabaseInstances(): Seq[DatabaseCredentialClient.DbInstance] = {
+    val body = httpCall(s"$host/api/2.0/database/instances", "GET",
+      workspaceToken, None)
+    val node = mapper.readTree(body)
+    Option(node.get("database_instances")) match {
+      case None => Seq.empty
+      case Some(arr) =>
+        (0 until arr.size()).map { i =>
+          val n = arr.get(i)
+          DatabaseCredentialClient.DbInstance(
+            Option(n.get("name")).map(_.asText()).getOrElse(""),
+            Option(n.get("id")).map(_.asText()).getOrElse(""),
+            Option(n.get("state")).map(_.asText()).getOrElse(""))
+        }
+    }
+  }
 }
 
 object DatabaseCredentialClient {
   /** The reference's result shape (pg_connect.py:43-46). */
   final case class DbCredential(token: String, expirationTime: String)
+
+  /** One row of the diagnostic listing (test_db_instances.py:20-24). */
+  final case class DbInstance(name: String, id: String, state: String)
 }

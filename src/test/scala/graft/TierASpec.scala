@@ -1233,6 +1233,24 @@ class TierASpec extends AnyFunSuite {
       val e2 = intercept[IllegalStateException](
         noTok.generateDatabaseCredential("r", Seq("i")))
       assert(e2.getMessage.contains("no token"))
+      // the diagnostic instance LISTING (test_db_instances.py:17-24):
+      // name/id/state rows; an empty or field-less payload degrades to
+      // empty strings / no rows, never a crash
+      val lister = new DatabaseCredentialClient(host, wsToken,
+        httpCall = (url, method, _, _) => {
+          assert(url.endsWith("/api/2.0/database/instances") &&
+            method == "GET", s"$method $url")
+          """{"database_instances":[
+            |{"name":"lakebase-test","id":"i-1","state":"AVAILABLE"},
+            |{"name":"pg-2"}]}""".stripMargin
+        })
+      val insts = lister.listDatabaseInstances()
+      assert(insts.map(_.name) == Seq("lakebase-test", "pg-2"))
+      assert(insts.head.id == "i-1" && insts.head.state == "AVAILABLE")
+      assert(insts(1).id == "" && insts(1).state == "")
+      val none = new DatabaseCredentialClient(host, wsToken,
+        httpCall = (_, _, _, _) => "{}")
+      assert(none.listDatabaseInstances().isEmpty)
     } finally server.stop(0)
   }
 
