@@ -874,6 +874,14 @@ object DuckDialect {
           i += 1
           while (i < n && s.charAt(i) != '"') i += 1
           if (i < n) i += 1
+        // comments never carry clause keywords (a commented-out
+        // `-- qualify` must not trigger a statement bridge)
+        case '-' if i + 1 < n && s.charAt(i + 1) == '-' =>
+          val e = s.indexOf('\n', i)
+          i = if (e < 0) n else e + 1
+        case '/' if i + 1 < n && s.charAt(i + 1) == '*' =>
+          val e = s.indexOf("*/", i + 2)
+          i = if (e < 0) n else e + 2
         case '(' | '[' | '{' => depth += 1; i += 1
         case ')' | ']' | '}' => depth -= 1; i += 1
         case c if Character.isLetter(c) || c == '_' =>

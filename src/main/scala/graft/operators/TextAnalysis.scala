@@ -41,6 +41,24 @@ object TextAnalysis {
           .cast("double") / size(col("ku"))).as("jaccard_est"))
   }
 
+  /** Serialized Bloom bytes for a panel's distinct hash column `h`
+    * (q168's build; also the static side of the streaming
+    * decontamination twin). Bounded by construction: the panel is the
+    * eval set; the sketch builds DISTRIBUTED (df.stat.bloomFilter
+    * treeAggregate) and only its bits (~0.5 MB) reach the driver. The
+    * capacity FLOOR matters: Spark's sketch double-hashes a 32-bit
+    * (h1, h2) pair, and at tiny bit arrays the measured FP rate floors
+    * ~1e-4 regardless of the requested fpp (measured: 400 keys / 11k
+    * bits → 1.3e-4; same keys in a 4.3M-bit array → 0 FPs in 2e7
+    * probes) — so the filter is sized for ≥1e5 entries even when the
+    * panel is smaller. At a real panel (millions of n-grams) the
+    * natural sizing dominates and the floor is moot. */
+  def panelBloomBytes(panelHashes: DataFrame): Array[Byte] = {
+    val nPanel = math.max(panelHashes.count(), 100000L)
+    graft.functions.BloomContains.serialize(
+      panelHashes.stat.bloomFilter(panelHashes.columns.head, nPanel, 1e-9))
+  }
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
@@ -1195,19 +1213,7 @@ object TextAnalysis {
             .shingleHashes(col("text"), 5).as("hs"))
         val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
           .select(explode(col("hs")).as("h")).distinct()
-        // bounded by construction: the 1-in-97 eval panel (the q91/q104
-        // panel); the sketch is built DISTRIBUTED and only its bits
-        // (~0.5 MB) reach the driver. The capacity FLOOR matters:
-        // Spark's sketch double-hashes a 32-bit (h1, h2) pair, and at
-        // tiny bit arrays the measured FP rate floors ~1e-4 regardless
-        // of the requested fpp (measured: 400 keys / 11k bits → 1.3e-4;
-        // same keys in a 4.3M-bit array → 0 FPs in 2e7 probes) — so the
-        // filter is sized for ≥1e5 entries even when the panel is
-        // smaller. At a real panel (millions of n-grams) the natural
-        // sizing dominates and the floor is moot.
-        val nPanel = math.max(bench.count(), 100000L)
-        val bloom = bench.stat.bloomFilter("h", nPanel, 1e-9)
-        val bytes = graft.functions.BloomContains.serialize(bloom)
+        val bytes = panelBloomBytes(bench)
         val corpus = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
           .withColumn("bf", exists(col("hs"), h =>
             graft.functions.BloomContains.bloomContains(h, lit(bytes)))

@@ -252,6 +252,11 @@ class TierASpec extends AnyFunSuite {
       .contains("QUALIFY"))
     assert(rewrite("SELECT DISTINCT x FROM t QUALIFY rn = 1")
       .contains("QUALIFY"))
+    // a commented-out `qualify` is NOT a clause — no bridge triggers
+    assert(rewrite("SELECT x FROM t -- qualify rn = 1") ==
+      "SELECT x FROM t -- qualify rn = 1")
+    assert(rewrite("SELECT x /* qualify */ FROM t") ==
+      "SELECT x /* qualify */ FROM t")
     // DISTINCT ON → row_number per key; ORDER BY drives the pick and is
     // kept outside; without ORDER BY the keys order the window
     assert(rewrite("SELECT DISTINCT ON (x) x, y FROM t ORDER BY y") ==
