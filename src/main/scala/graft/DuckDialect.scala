@@ -1143,16 +1143,20 @@ object DuckDialect {
     * Matches the verified DuckDB semantics: pivot columns are the
     * DISTINCT NON-NULL values of the ON column sorted ascending (or the
     * IN list verbatim), named `str(value)` — `value_alias` with an
-    * aliased USING; absent combos are NULL for real aggregates and 0
+    * aliased USING; MULTIPLE aggregates are supported when every one is
+    * aliased (column order value-major, aggregates in declaration
+    * order, verified — unaliased multi-agg names are DuckDB's internal
+    * expression renderings, refused rather than guessed); absent combos
+    * are NULL for real aggregates and 0
     * for the count(*) default (FILTER agrees on both); an omitted
     * GROUP BY groups by every table column the ON col and the
-    * aggregate don't reference (live schema minus a parsed-expression
+    * aggregates don't reference (live schema minus a parsed-expression
     * attribute walk, preserving table column order — DuckDB's rule).
     * The FILTER form keeps ONE shuffle on the group keys at any column
     * count — the scale shape a pivot should have. Value discovery is
     * one bounded collect (≤[[PivotValueCap]], refused loudly above).
-    * None → the caller raises guidance: multiple ON columns, multiple
-    * USING aggregates, subquery sources, unparseable aggregate text. */
+    * None → the caller raises guidance: multiple ON columns, unaliased
+    * multi-agg USING, subquery sources, unparseable aggregate text. */
   def bridgePivot(spark: SparkSession, text0: String): Option[String] = {
     val text = text0.trim.stripSuffix(";")
     if (!readWord(text, 0).equalsIgnoreCase("pivot")) return None
@@ -1188,18 +1192,27 @@ object DuckDialect {
     val rest = text.substring(i)
     val cut = Seq("group", "order", "limit").map(topKeyword(rest, _))
       .filter(_ >= 0).reduceOption(_ min _).getOrElse(rest.length)
-    var aggText = "count(*)"
-    var alias: Option[String] = None
+    // (aggregate text, value-column suffix) — the count(*) default
+    // yields bare `value` names; a single unaliased agg likewise;
+    // MULTIPLE aggs must ALL be aliased (DuckDB then names columns
+    // `value_alias` — unaliased multi-agg names are DuckDB's internal
+    // expression renderings, which this bridge refuses to guess)
+    var aggs: Seq[(String, String)] = Seq(("count(*)", ""))
     val usingTxt = rest.substring(0, cut).trim
     if (usingTxt.nonEmpty) {
       if (!readWord(usingTxt, 0).equalsIgnoreCase("using")) return None
-      var a = usingTxt.substring(5).trim
-      if (splitTop(a).exists(_.length > 1)) return None // multiple aggs
-      AsIdentRe.findFirstMatchIn(a).foreach { m =>
-        alias = Some(m.group(1)); a = a.substring(0, m.start)
+      val items = splitTop(usingTxt.substring(5))
+        .getOrElse(return None).map(_.trim)
+      if (items.isEmpty || items.exists(_.isEmpty)) return None
+      val parsed = items.map { it =>
+        AsIdentRe.findFirstMatchIn(it) match {
+          case Some(m) => (it.substring(0, m.start).trim, "_" + m.group(1))
+          case None => (it, "")
+        }
       }
-      aggText = a.trim
-      if (aggText.isEmpty) return None
+      if (parsed.exists(_._1.isEmpty)) return None
+      if (parsed.length > 1 && parsed.exists(_._2.isEmpty)) return None
+      aggs = parsed
     }
     var tail = rest.substring(cut)
     // the GROUP BY moves into the rebuilt SELECT; ORDER/LIMIT stay a tail
@@ -1223,14 +1236,15 @@ object DuckDialect {
         }
       case None =>
         // DuckDB's implicit grouping: every table column the ON col and
-        // the aggregate don't use, in table order (verified)
+        // the aggregates don't use, in table order (verified)
         val refs: Set[String] =
-          try spark.sessionState.sqlParser.parseExpression(aggText)
-            .collect {
-              case a: org.apache.spark.sql.catalyst.analysis
-                .UnresolvedAttribute =>
-                a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
-            }.toSet
+          try aggs.flatMap(a =>
+            spark.sessionState.sqlParser.parseExpression(a._1)
+              .collect {
+                case u: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute =>
+                  u.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+              }).toSet
           catch { case scala.util.control.NonFatal(_) => return None }
         val onLeaf = onCol.split('.').last.stripPrefix("`").stripSuffix("`")
         val fields =
@@ -1269,10 +1283,13 @@ object DuckDialect {
           (lit, String.valueOf(v))
         }
     }
-    val items = vals.map { case (lit, nm) =>
-      val col = nm + alias.map("_" + _).getOrElse("")
-      s"$aggText FILTER (WHERE $onCol = $lit) AS `" +
-        col.replace("`", "``") + "`"
+    // value-major, aggregates in declaration order — DuckDB's column
+    // order for the multi-agg form (verified: x_s, x_c, y_s, y_c)
+    val items = vals.flatMap { case (lit, nm) =>
+      aggs.map { case (aggText, suffix) =>
+        s"$aggText FILTER (WHERE $onCol = $lit) AS `" +
+          (nm + suffix).replace("`", "``") + "`"
+      }
     }
     val tailTxt = tail.trim
     Some(rewrite(
@@ -1280,6 +1297,114 @@ object DuckDialect {
         (if (groups.nonEmpty) s" GROUP BY ${groups.mkString(", ")}"
          else "") +
         (if (tailTxt.isEmpty) "" else " " + tailTxt)))
+  }
+
+  /** DuckDB's `COLUMNS('regex')` / `COLUMNS(*)` star expression →
+    * the matching columns expanded from the LIVE schema (Spark has no
+    * schema-free twin — this runs session-aware, like [[bridgePivot]]).
+    * Supported subset: select-list items containing ONE `COLUMNS(…)`
+    * call, over a single plain table/view FROM source (no joins or
+    * comma sources). The regex matches DuckDB-style: a FIND anywhere in
+    * the column name, not a full match (verified: COLUMNS('a') on
+    * (aa, ab, ba) selects all three). Each item replicates per matching
+    * column — `max(COLUMNS('re'))` becomes one `max(col) AS col` per
+    * match, which reproduces DuckDB's naming exactly (it names wrapped
+    * forms by the SOURCE column, verified). Refused → guidance:
+    * aliased items (`COLUMNS(…) AS x` has no well-defined per-column
+    * name), lambda/EXCLUDE/REPLACE arguments, zero matches (DuckDB
+    * errors there too), multi-relation FROM. */
+  def bridgeColumns(spark: SparkSession, text: String): Option[String] = {
+    val sel = topKeyword(text, "select")
+    if (sel < 0) return None
+    val f = topKeyword(text, "from")
+    if (f < sel) return None
+    var k = f + 4
+    while (k < text.length && Character.isWhitespace(text.charAt(k))) k += 1
+    val tbl = parseIdentChain(text, k) match {
+      case Some((ident, _)) => ident
+      case None => return None
+    }
+    // single plain relation only: no top-level JOIN, no ',' inside the
+    // FROM clause (up to the next clause keyword)
+    val afterFrom = text.substring(f)
+    if (topKeyword(afterFrom, "join") >= 0) return None
+    val fCut = Seq("where", "group", "order", "having", "limit",
+      "offset", "qualify", "window").map(topKeyword(afterFrom, _))
+      .filter(_ >= 0).reduceOption(_ min _).getOrElse(afterFrom.length)
+    if (splitTop(afterFrom.substring(0, fCut)).exists(_.length > 1))
+      return None
+    var header = text.substring(sel + 6, f)
+    var prefix = ""
+    val hTrim = header.trim
+    val w0 = if (hTrim.nonEmpty) readWord(hTrim, 0) else ""
+    if (w0.equalsIgnoreCase("distinct") || w0.equalsIgnoreCase("all")) {
+      prefix = w0 + " "
+      header = hTrim.substring(w0.length)
+    }
+    val cols =
+      try spark.table(tbl).columns.toSeq
+      catch { case scala.util.control.NonFatal(_) => return None }
+    var any = false
+    val items = splitTop(header).getOrElse(return None)
+    val out = items.map { raw =>
+      val it = raw.trim
+      // locate the word `columns` followed by '(' — quote-aware scan
+      var at = -1
+      var ci = 0
+      while (at < 0 && ci < it.length) {
+        val c = it.charAt(ci)
+        if (c == '\'') { ci += 1
+          while (ci < it.length && it.charAt(ci) != '\'') ci += 1
+          ci += 1
+        } else if (Character.isLetter(c) || c == '_') {
+          val w = readWord(it, ci)
+          val boundary = ci == 0 || {
+            val p = it.charAt(ci - 1)
+            !(Character.isLetterOrDigit(p) || p == '_' || p == '.')
+          }
+          if (boundary && w.equalsIgnoreCase("columns")) {
+            var j2 = ci + w.length
+            while (j2 < it.length &&
+              Character.isWhitespace(it.charAt(j2))) j2 += 1
+            if (j2 < it.length && it.charAt(j2) == '(') at = ci
+          }
+          ci += w.length
+        } else ci += 1
+      }
+      if (at < 0) Seq(it)
+      else {
+        var open = at + 7
+        while (open < it.length &&
+          Character.isWhitespace(it.charAt(open))) open += 1
+        val close = scanMatch(it, open).getOrElse(return None)
+        val tail = it.substring(close)
+        // a second COLUMNS, or an explicit alias → refuse
+        if (tail.toLowerCase(java.util.Locale.ROOT).contains("columns")
+          || AsIdentRe.findFirstMatchIn(it).isDefined) return None
+        val arg = it.substring(open + 1, close - 1).trim
+        val matched: Seq[String] =
+          if (arg == "*") cols
+          else bareLiteral(arg) match {
+            case Some(re) =>
+              val p =
+                try java.util.regex.Pattern.compile(re)
+                catch { case scala.util.control.NonFatal(_) => return None }
+              cols.filter(c => p.matcher(c).find())
+            case None => return None
+          }
+        if (matched.isEmpty) return None
+        any = true
+        val bare = it.substring(0, at).trim.isEmpty && tail.trim.isEmpty
+        matched.map { c =>
+          val b = "`" + c.replace("`", "``") + "`"
+          val repl = it.substring(0, at) + b + tail
+          if (bare) repl else repl + " AS " + b
+        }
+      }
+    }
+    if (!any) return None
+    Some(text.substring(0, sel + 6) + " " + prefix +
+      out.flatten.mkString(", ") + " " + text.substring(f))
   }
 
   /** Some(target) when `sql` is DuckDB's `SUMMARIZE [target]` statement
@@ -1359,7 +1484,14 @@ object DuckDialect {
                 "aggregate, a table/view source)"), e)
         }
       case e: org.apache.spark.sql.AnalysisException => // incl. parse
-        val rewritten = rewrite(text)
+        // COLUMNS(…) star expressions need the live schema — expanded
+        // here (session-aware), then the text rewrite handles any other
+        // duckisms the statement carries
+        val expanded =
+          if ("""(?i)\bcolumns\s*\(""".r.findFirstIn(text).isDefined)
+            bridgeColumns(spark, text)
+          else None
+        val rewritten = rewrite(expanded.getOrElse(text))
         if (rewritten == text) {
           if (unbridgeable(text))
             throw new IllegalArgumentException(
@@ -1412,9 +1544,14 @@ object DuckDialect {
        |the PIVOT STATEMENT (dynamic column discovery) bridges for one
        |  ON column + one USING aggregate over a table/view source
        |  (columns = sorted distinct non-null values, capped at 1000;
-       |  IN (…) lists skip discovery; GROUP BY/ORDER BY/LIMIT pass
-       |  through) — multi-ON/multi-USING forms: rewrite as Spark's
-       |  PIVOT clause with an explicit IN list;
+       |  IN (…) lists skip discovery; aliased multi-agg USING gives
+       |  DuckDB's value_alias columns; GROUP BY/ORDER BY/LIMIT pass
+       |  through) — multi-ON / UNALIASED multi-agg forms: rewrite as
+       |  Spark's PIVOT clause with an explicit IN list;
+       |COLUMNS('regex') / COLUMNS(*) expand from the live schema for
+       |  single-table SELECTs (DuckDB's find-anywhere matching; wrapped
+       |  forms replicate per column and name by the source column) —
+       |  lambda/EXCLUDE args, aliased items, joins: expand by hand;
        |the UNPIVOT STATEMENT bridges to Spark's UNPIVOT clause for the
        |  ON c1, c2 INTO NAME n VALUE v form (NULLs excluded in both);
        |  column aliases / multiple VALUE columns: use the clause.

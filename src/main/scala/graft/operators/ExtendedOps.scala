@@ -163,6 +163,15 @@ object ExtendedOps {
     """UNPIVOT documents ON n_chars, doc_id INTO NAME k VALUE v
       |ORDER BY k, v, source, lang, text""".stripMargin.replace("\n", " ")
 
+  // q169 COLUMNS star expression: the wrapped-aggregate form replicates
+  // per matching column and names by the SOURCE column (DuckDB
+  // semantics, verified) — the bridge expands from the live schema with
+  // find-anywhere regex matching. One groupBy shuffle; the expansion
+  // itself is pure planning.
+  private val ColumnsSql: String =
+    """SELECT source, max(COLUMNS('n_chars|doc_id')) FROM documents
+      |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
   val all: Seq[GraftQuery] = Seq(
 
     // Right outer (all nations survive a filtered region dim) feeding a
@@ -411,6 +420,13 @@ object ExtendedOps {
         T(s, d, "documents").createOrReplaceTempView("documents")
         graft.DuckDialect.sql(s, UnpivotSql)
       },
-      Some(UnpivotSql))
+      Some(UnpivotSql)),
+
+    GraftQuery("q169_duckdb_columns",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, ColumnsSql)
+      },
+      Some(ColumnsSql))
   )
 }

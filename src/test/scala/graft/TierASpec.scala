@@ -385,13 +385,42 @@ class TierASpec extends AnyFunSuite {
     // aggregate don't use (here: g — v is consumed by sum)
     assert(run("PIVOT pv_tnull ON p USING sum(v) ORDER BY g") ==
       (Seq("g", "x", "y"), Seq(Seq("a", 2L, null), Seq("b", null, 3L))))
-    // refusals → guidance, never a silent subset: multi-agg, multi-ON
+    // aliased multi-agg: DuckDB's value_alias columns, value-major
+    assert(run("PIVOT pv_tnull ON p USING sum(v) AS s, count(*) AS c " +
+      "GROUP BY g ORDER BY g") ==
+      (Seq("g", "x_s", "x_c", "y_s", "y_c"),
+        Seq(Seq("a", 2L, 1L, null, 0L), Seq("b", null, 0L, 3L, 1L))))
+    // refusals → guidance, never a silent subset: UNALIASED multi-agg
+    // (DuckDB's names there are internal expression renderings), multi-ON
     for (bad <- Seq("PIVOT pv_tnull ON p USING sum(v), count(*) GROUP BY g",
       "PIVOT pv_tnull ON p, g USING sum(v)")) {
       val e = intercept[IllegalArgumentException](
         graft.DuckDialect.sql(spark, bad))
       assert(e.getMessage.contains("PIVOT statement outside"))
     }
+    // COLUMNS star expressions expand from the live schema — DuckDB's
+    // find-anywhere regex matching ('a' also matches 'ba', verified),
+    // wrapped forms replicate per column and NAME BY the source column
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cols_t AS " +
+      "SELECT 1 AS aa, 2 AS ab, 3 AS ba")
+    assert(run("SELECT COLUMNS('a.*') FROM cols_t") ==
+      (Seq("aa", "ab", "ba"), Seq(Seq(1, 2, 3))))
+    assert(run("SELECT COLUMNS('a') FROM cols_t") ==
+      (Seq("aa", "ab", "ba"), Seq(Seq(1, 2, 3))))
+    assert(run("SELECT COLUMNS('b') FROM cols_t") ==
+      (Seq("ab", "ba"), Seq(Seq(2, 3))))
+    assert(run("SELECT COLUMNS(*) FROM cols_t") ==
+      (Seq("aa", "ab", "ba"), Seq(Seq(1, 2, 3))))
+    assert(run("SELECT max(COLUMNS('a.*')) FROM cols_t") ==
+      (Seq("aa", "ab", "ba"), Seq(Seq(1, 2, 3))))
+    // other duckisms in the same statement still bridge after expansion
+    assert(run("SELECT len(list_value(COLUMNS('^a'))) FROM cols_t") ==
+      (Seq("aa", "ab"), Seq(Seq(1L, 1L))))
+    // refusals: zero matches (DuckDB errors too), joins, aliased items
+    intercept[Exception](graft.DuckDialect.sql(spark,
+      "SELECT COLUMNS('zzz') FROM cols_t"))
+    intercept[Exception](graft.DuckDialect.sql(spark,
+      "SELECT COLUMNS('a') AS x FROM cols_t"))
     // UNPIVOT statement → Spark's UNPIVOT clause (pure text rewrite)
     assert(graft.DuckDialect.rewrite(
       "UNPIVOT w ON c1, c2 INTO NAME k VALUE v ORDER BY g") ==
