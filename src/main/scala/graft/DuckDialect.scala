@@ -969,6 +969,60 @@ object DuckDialect {
     Seq("order", "limit", "offset").map(topKeyword(s, _)).filter(_ >= 0)
       .reduceOption(_ min _).getOrElse(s.length)
 
+  /** When `tail` starts with a top-level ORDER BY: its items prepared
+    * for a WRAPPED query — SQL resolves ORDER BY against the base
+    * relation (DuckDB: `SELECT a FROM t ORDER BY b` is legal), but a
+    * wrap projects first, so each expression item becomes a HIDDEN
+    * inner column (`expr AS __<tag>_obK`) the outer sorts by and then
+    * drops via `* EXCEPT`. Positional (`2 DESC`) and `ALL` items stay
+    * verbatim in the outer clause (positions/names are preserved by the
+    * wrap; hiding them would turn a position into a constant). Returns
+    * (hidden inner items, outer ORDER BY items, raw original items,
+    * rest-of-tail). */
+  private def wrapOrderBy(tail: String, tag: String)
+      : Option[(Seq[String], Seq[String], Seq[String], String)] = {
+    val t = tail.trim
+    if (t.isEmpty || !readWord(t, 0).equalsIgnoreCase("order")) return None
+    var b = 5
+    while (b < t.length && Character.isWhitespace(t.charAt(b))) b += 1
+    if (!readWord(t, b).equalsIgnoreCase("by")) return None
+    val body = t.substring(b + 2)
+    val cut = Seq("limit", "offset").map(topKeyword(body, _))
+      .filter(_ >= 0).reduceOption(_ min _).getOrElse(body.length)
+    val items = splitTop(body.substring(0, cut))
+      .getOrElse(return None).map(_.trim)
+    if (items.exists(_.isEmpty)) return None
+    val dirWords = Set("asc", "desc", "nulls", "first", "last")
+    var k = 0
+    val (hidden, outer) = items.map { it =>
+      val w0 = it.takeWhile(c => !Character.isWhitespace(c))
+      if (w0.forall(Character.isDigit) || w0.equalsIgnoreCase("all"))
+        (None, it)
+      else {
+        // strip the trailing direction keywords off the expression
+        var end = it.length
+        var go = true
+        while (go) {
+          var e2 = end
+          while (e2 > 0 && Character.isWhitespace(it.charAt(e2 - 1))) e2 -= 1
+          var s2 = e2
+          while (s2 > 0 && Character.isLetter(it.charAt(s2 - 1))) s2 -= 1
+          val w = it.substring(s2, e2)
+          if (w.nonEmpty && dirWords(w.toLowerCase(java.util.Locale.ROOT))
+            && s2 > 0 && Character.isWhitespace(it.charAt(s2 - 1))) end = s2
+          else go = false
+        }
+        val expr = it.substring(0, end).trim
+        val suffix = it.substring(end).trim
+        val name = s"__${tag}_ob$k"
+        k += 1
+        (Some(s"$expr AS $name"),
+          if (suffix.isEmpty) name else s"$name $suffix")
+      }
+    }.unzip
+    Some((hidden.flatten, outer, items, body.substring(cut).trim))
+  }
+
   /** DuckDB's QUALIFY clause (Spark 4 has none — parse error, verified)
     * → a wrapped post-window filter:
     *   [prefix] SELECT sel FROM rest QUALIFY pred [tail]
@@ -1003,12 +1057,25 @@ object DuckDialect {
     val pred = after.substring(0, cut).trim
     if (pred.isEmpty) return sql
     val tailTxt = after.substring(cut).trim
+    // an ORDER BY in the tail may reference base columns the projection
+    // drops (legal SQL; the wrap would lose them) — hide them as inner
+    // columns the outer sorts by then EXCEPTs away
+    val (hidden, outerTail) = wrapOrderBy(tailTxt, "graft_q") match {
+      case Some((h, items, _, rest)) =>
+        (h, ("ORDER BY " + items.mkString(", ") +
+          (if (rest.isEmpty) "" else " " + rest)).trim)
+      case None => (Seq.empty[String], tailTxt)
+    }
+    val dropCols = "__graft_qualify" +:
+      hidden.map(_.split(" AS ").last)
     sql.substring(0, sel) +
-      "SELECT * EXCEPT (__graft_qualify) FROM (SELECT " +
+      s"SELECT * EXCEPT (${dropCols.mkString(", ")}) FROM (SELECT " +
       sql.substring(sel + 6, f).trim + ", (" + pred +
-      ") AS __graft_qualify " + sql.substring(f, q).trim +
+      ") AS __graft_qualify" +
+      (if (hidden.isEmpty) "" else ", " + hidden.mkString(", ")) +
+      " " + sql.substring(f, q).trim +
       ") WHERE __graft_qualify" +
-      (if (tailTxt.isEmpty) "" else " " + tailTxt)
+      (if (outerTail.isEmpty) "" else " " + outerTail)
   }
 
   /** DuckDB's `SELECT DISTINCT ON (keys) …` (Spark has none — verified)
@@ -1047,37 +1114,33 @@ object DuckDialect {
     val afterFrom = sql.substring(f)
     val cut = tailCut(afterFrom)
     val tail = afterFrom.substring(cut)
-    val winOrder = {
-      val ot = tail.trim
-      if (ot.isEmpty || !readWord(ot, 0).equalsIgnoreCase("order")) keys
-      else {
-        var b = 5
-        while (b < ot.length && Character.isWhitespace(ot.charAt(b))) b += 1
-        if (!readWord(ot, b).equalsIgnoreCase("by")) return sql
-        val body = ot.substring(b + 2)
-        val obEnd = Seq("limit", "offset").map(topKeyword(body, _))
-          .filter(_ >= 0).reduceOption(_ min _).getOrElse(body.length)
-        val ob = body.substring(0, obEnd).trim
-        val items = splitTop(ob).getOrElse(return sql).map(_.trim)
-        // first token per item: a bare position (`2`, `2 DESC`) or ALL
-        // would become a constant/unresolvable inside the window spec
-        if (items.exists { it =>
-          val w0 = it.takeWhile(c => !Character.isWhitespace(c))
-          w0.isEmpty || w0.forall(Character.isDigit) ||
-            w0.equalsIgnoreCase("all")
-        }) return sql
-        ob
-      }
-    }
     val tailTxt = tail.trim
+    // the window ORDER needs REAL expressions (a position/ALL inside a
+    // window spec silently becomes a constant → refused), and the outer
+    // ORDER BY may reference base columns the projection drops — hide
+    // them as inner columns (see wrapOrderBy)
+    val (winOrder, hidden, outerTail) =
+      if (tailTxt.isEmpty) (keys, Seq.empty[String], "")
+      else wrapOrderBy(tailTxt, "graft_d") match {
+        case None => return sql
+        case Some((h, items, raw, rest)) =>
+          // every item must have produced a hidden expr — a position or
+          // ALL (which yield none) can't drive the window pick
+          if (h.length != items.length) return sql
+          (raw.mkString(", "), h,
+            ("ORDER BY " + items.mkString(", ") +
+              (if (rest.isEmpty) "" else " " + rest)).trim)
+      }
+    val dropCols = "__graft_rn" +: hidden.map(_.split(" AS ").last)
     sql.substring(0, sel) +
-      "SELECT * EXCEPT (__graft_rn) FROM (SELECT " +
+      s"SELECT * EXCEPT (${dropCols.mkString(", ")}) FROM (SELECT " +
       sql.substring(close, f).trim +
       ", row_number() OVER (PARTITION BY " + keys +
-      " ORDER BY " + winOrder + ") AS __graft_rn " +
-      afterFrom.substring(0, cut).trim +
+      " ORDER BY " + winOrder + ") AS __graft_rn" +
+      (if (hidden.isEmpty) "" else ", " + hidden.mkString(", ")) +
+      " " + afterFrom.substring(0, cut).trim +
       ") WHERE __graft_rn = 1" +
-      (if (tailTxt.isEmpty) "" else " " + tailTxt)
+      (if (outerTail.isEmpty) "" else " " + outerTail)
   }
 
   /** DuckDB's UNPIVOT STATEMENT → Spark's UNPIVOT clause (pure text —

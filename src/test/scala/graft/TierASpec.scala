@@ -239,10 +239,14 @@ class TierASpec extends AnyFunSuite {
     assert(rewrite("SELECT x, row_number() OVER (ORDER BY x) rn FROM t QUALIFY rn = 1") ==
       "SELECT * EXCEPT (__graft_qualify) FROM (SELECT x, row_number() OVER (ORDER BY x) rn, " +
         "(rn = 1) AS __graft_qualify FROM t) WHERE __graft_qualify")
+    // an ORDER BY expression becomes a HIDDEN inner column — outer
+    // ORDER BY may reference base columns the projection drops (DuckDB
+    // resolves those against the base relation; a plain wrap would not)
     assert(rewrite("SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x) <= 2 ORDER BY x DESC LIMIT 1") ==
-      "SELECT * EXCEPT (__graft_qualify) FROM (SELECT x, " +
-        "(row_number() OVER (ORDER BY x) <= 2) AS __graft_qualify FROM t) " +
-        "WHERE __graft_qualify ORDER BY x DESC LIMIT 1")
+      "SELECT * EXCEPT (__graft_qualify, __graft_q_ob0) FROM (SELECT x, " +
+        "(row_number() OVER (ORDER BY x) <= 2) AS __graft_qualify, " +
+        "x AS __graft_q_ob0 FROM t) " +
+        "WHERE __graft_qualify ORDER BY __graft_q_ob0 DESC LIMIT 1")
     // WITH prefix passes through; the duckisms inside still rewrite
     assert(rewrite("WITH c AS (SELECT 1 a) SELECT a FROM c QUALIFY len(list_value(a)) = 1") ==
       "WITH c AS (SELECT 1 a) SELECT * EXCEPT (__graft_qualify) FROM (SELECT a, " +
@@ -260,9 +264,10 @@ class TierASpec extends AnyFunSuite {
     // DISTINCT ON → row_number per key; ORDER BY drives the pick and is
     // kept outside; without ORDER BY the keys order the window
     assert(rewrite("SELECT DISTINCT ON (x) x, y FROM t ORDER BY y") ==
-      "SELECT * EXCEPT (__graft_rn) FROM (SELECT x, y, row_number() OVER " +
-        "(PARTITION BY x ORDER BY y) AS __graft_rn FROM t) " +
-        "WHERE __graft_rn = 1 ORDER BY y")
+      "SELECT * EXCEPT (__graft_rn, __graft_d_ob0) FROM (SELECT x, y, " +
+        "row_number() OVER (PARTITION BY x ORDER BY y) AS __graft_rn, " +
+        "y AS __graft_d_ob0 FROM t) " +
+        "WHERE __graft_rn = 1 ORDER BY __graft_d_ob0")
     assert(rewrite("SELECT DISTINCT ON (k1, k2) v FROM t") ==
       "SELECT * EXCEPT (__graft_rn) FROM (SELECT v, row_number() OVER " +
         "(PARTITION BY k1, k2 ORDER BY k1, k2) AS __graft_rn FROM t) " +
@@ -298,6 +303,14 @@ class TierASpec extends AnyFunSuite {
       "t(x,y) ORDER BY y") == Seq(Seq(1, 3), Seq(2, 7)))
     assert(rows("SELECT DISTINCT ON (x) x, y FROM (VALUES (1,5),(1,3),(2,7),(2,9)) " +
       "t(x,y) ORDER BY y DESC") == Seq(Seq(2, 9), Seq(1, 5)))
+    // the outer ORDER BY may reference a column the projection DROPS —
+    // DuckDB resolves it against the base relation (verified: picks the
+    // max-y row per x and orders the output by that hidden y)
+    assert(rows("SELECT DISTINCT ON (x) x FROM (VALUES (1,5),(1,3),(2,7),(2,9)) " +
+      "t(x,y) ORDER BY y DESC, x") == Seq(Seq(2), Seq(1)))
+    assert(rows("SELECT x FROM (VALUES (1,5),(2,3)) t(x,y) " +
+      "QUALIFY row_number() OVER (ORDER BY y) <= 2 ORDER BY y DESC") ==
+      Seq(Seq(1), Seq(2)))
     assert(rows("SELECT x, unnest([1,2]) u FROM (VALUES (9)) t(x)") ==
       Seq(Seq(9, 1), Seq(9, 2)))
     assert(rows("SELECT i FROM generate_series(1, 3) t(i)") ==
