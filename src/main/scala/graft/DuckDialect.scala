@@ -1217,8 +1217,11 @@ object DuckDialect {
     * attribute walk, preserving table column order — DuckDB's rule).
     * The FILTER form keeps ONE shuffle on the group keys at any column
     * count — the scale shape a pivot should have. Value discovery is
-    * one bounded collect (≤[[PivotValueCap]], refused loudly above).
-    * None → the caller raises guidance: multiple ON columns, unaliased
+    * one bounded collect per ON column (the cross-product width is
+    * capped at [[PivotValueCap]], refused loudly above). Multiple ON
+    * columns give DuckDB's CROSS PRODUCT columns `v1_v2` (verified —
+    * even for combos that never co-occur; rows with a NULL in any ON
+    * column drop). None → the caller raises guidance: unaliased
     * multi-agg USING, subquery sources, unparseable aggregate text. */
   def bridgePivot(spark: SparkSession, text0: String): Option[String] = {
     val text = text0.trim.stripSuffix(";")
@@ -1234,24 +1237,31 @@ object DuckDialect {
     ws()
     if (!readWord(text, i).equalsIgnoreCase("on")) return None
     i += 2; ws()
-    val onCol = parseIdentChain(text, i) match {
-      case Some((ident, after)) => i = after; ident
-      case None => return None
+    // one or more ON columns, each with an optional IN (…) value list
+    // (an IN list skips that column's discovery collect)
+    var onSpecs = Seq.empty[(String, Option[Seq[String]])]
+    var more = true
+    while (more) {
+      val col = parseIdentChain(text, i) match {
+        case Some((ident, after)) => i = after; ident
+        case None => return None
+      }
+      ws()
+      var inVals: Option[Seq[String]] = None
+      if (readWord(text, i).equalsIgnoreCase("in")) {
+        i += 2; ws()
+        if (i >= text.length || text.charAt(i) != '(') return None
+        val close = scanMatch(text, i).getOrElse(return None)
+        val items = splitTop(text.substring(i + 1, close - 1))
+          .getOrElse(return None).map(_.trim)
+        if (items.isEmpty || items.exists(_.isEmpty)) return None
+        inVals = Some(items)
+        i = close; ws()
+      }
+      onSpecs :+= (col, inVals)
+      if (i < text.length && text.charAt(i) == ',') { i += 1; ws() }
+      else more = false
     }
-    ws()
-    // explicit IN (…) value list — no discovery collect needed
-    var inVals: Option[Seq[String]] = None
-    if (readWord(text, i).equalsIgnoreCase("in")) {
-      i += 2; ws()
-      if (i >= text.length || text.charAt(i) != '(') return None
-      val close = scanMatch(text, i).getOrElse(return None)
-      val items = splitTop(text.substring(i + 1, close - 1))
-        .getOrElse(return None).map(_.trim)
-      if (items.isEmpty || items.exists(_.isEmpty)) return None
-      inVals = Some(items)
-      i = close; ws()
-    }
-    if (i < text.length && text.charAt(i) == ',') return None // multi-ON
     val rest = text.substring(i)
     val cut = Seq("group", "order", "limit").map(topKeyword(rest, _))
       .filter(_ >= 0).reduceOption(_ min _).getOrElse(rest.length)
@@ -1309,17 +1319,19 @@ object DuckDialect {
                   u.nameParts.last.toLowerCase(java.util.Locale.ROOT)
               }).toSet
           catch { case scala.util.control.NonFatal(_) => return None }
-        val onLeaf = onCol.split('.').last.stripPrefix("`").stripSuffix("`")
+        val onLeaves = onSpecs.map(_._1.split('.').last
+          .stripPrefix("`").stripSuffix("`"))
         val fields =
           try spark.table(src).schema.fieldNames.toSeq
           catch { case scala.util.control.NonFatal(_) => return None }
         fields.filterNot { f =>
-          f.equalsIgnoreCase(onLeaf) ||
+          onLeaves.exists(f.equalsIgnoreCase) ||
             refs.contains(f.toLowerCase(java.util.Locale.ROOT))
         }.map(f => "`" + f.replace("`", "``") + "`")
     }
-    // (filter literal, output column name) per pivot value
-    val vals: Seq[(String, String)] = inVals match {
+    // (filter literal, output name fragment) per ON column per value
+    def colVals(onCol: String, inVals: Option[Seq[String]])
+        : Seq[(String, String)] = inVals match {
       case Some(items) =>
         items.map(it => bareLiteral(it) match {
           case Some(s) => (sqlLit(s), s)
@@ -1346,11 +1358,31 @@ object DuckDialect {
           (lit, String.valueOf(v))
         }
     }
+    // multi-ON: DuckDB's columns are the CROSS PRODUCT of each column's
+    // independent distinct set (x_p..y_q even when a combo never
+    // co-occurs — verified), named v1_v2, each filter a conjunction;
+    // rows with a NULL in any ON column are dropped (the IS NOT NULL
+    // discovery and the = conjunction agree on that)
+    val perCol = onSpecs.map { case (c, iv) => colVals(c, iv).map { case (l, n) => (c, l, n) } }
+    if (perCol.map(_.size.toLong).product > PivotValueCap)
+      throw new IllegalArgumentException(
+        s"PIVOT ON ${onSpecs.map(_._1).mkString(", ")}: the value cross " +
+          s"product exceeds $PivotValueCap columns — a pivot this wide " +
+          "is a schema explosion; aggregate instead")
+    val vals: Seq[(String, String)] = perCol
+      .foldLeft(Seq(("", ""))) { (acc, cv) =>
+        acc.flatMap { case (cond, name) =>
+          cv.map { case (c, l, n) =>
+            (if (cond.isEmpty) s"$c = $l" else s"$cond AND $c = $l",
+              if (name.isEmpty) n else s"${name}_$n")
+          }
+        }
+      }
     // value-major, aggregates in declaration order — DuckDB's column
     // order for the multi-agg form (verified: x_s, x_c, y_s, y_c)
-    val items = vals.flatMap { case (lit, nm) =>
+    val items = vals.flatMap { case (cond, nm) =>
       aggs.map { case (aggText, suffix) =>
-        s"$aggText FILTER (WHERE $onCol = $lit) AS `" +
+        s"$aggText FILTER (WHERE $cond) AS `" +
           (nm + suffix).replace("`", "``") + "`"
       }
     }
@@ -1607,9 +1639,10 @@ object DuckDialect {
        |the PIVOT STATEMENT (dynamic column discovery) bridges for one
        |  ON column + one USING aggregate over a table/view source
        |  (columns = sorted distinct non-null values, capped at 1000;
-       |  IN (…) lists skip discovery; aliased multi-agg USING gives
+       |  IN (…) lists skip discovery; multiple ON columns give the
+       |  cross-product v1_v2 columns; aliased multi-agg USING gives
        |  DuckDB's value_alias columns; GROUP BY/ORDER BY/LIMIT pass
-       |  through) — multi-ON / UNALIASED multi-agg forms: rewrite as
+       |  through) — the UNALIASED multi-agg form: rewrite as
        |  Spark's PIVOT clause with an explicit IN list;
        |COLUMNS('regex') / COLUMNS(*) expand from the live schema for
        |  single-table SELECTs (DuckDB's find-anywhere matching; wrapped

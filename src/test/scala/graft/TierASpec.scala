@@ -403,10 +403,20 @@ class TierASpec extends AnyFunSuite {
       "GROUP BY g ORDER BY g") ==
       (Seq("g", "x_s", "x_c", "y_s", "y_c"),
         Seq(Seq("a", 2L, 1L, null, 0L), Seq("b", null, 0L, 3L, 1L))))
+    // multi-ON: DuckDB's CROSS-PRODUCT columns v1_v2 (even combos that
+    // never co-occur), NULL ON-values drop the row — all verified
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW pv_multi AS SELECT * FROM " +
+      "VALUES ('a','x','p',1),('a','y','q',2),('b','x','q',3)," +
+      "('b',CAST(NULL AS STRING),'p',4) t(g, k1, k2, v)")
+    assert(run("PIVOT pv_multi ON k1, k2 USING sum(v) GROUP BY g ORDER BY g") ==
+      (Seq("g", "x_p", "x_q", "y_p", "y_q"),
+        Seq(Seq("a", 1L, null, null, 2L), Seq("b", null, 3L, null, null))))
+    assert(run("PIVOT pv_multi ON k1, k2 GROUP BY g ORDER BY g") ==
+      (Seq("g", "x_p", "x_q", "y_p", "y_q"),
+        Seq(Seq("a", 1L, 0L, 0L, 1L), Seq("b", 0L, 1L, 0L, 0L))))
     // refusals → guidance, never a silent subset: UNALIASED multi-agg
-    // (DuckDB's names there are internal expression renderings), multi-ON
-    for (bad <- Seq("PIVOT pv_tnull ON p USING sum(v), count(*) GROUP BY g",
-      "PIVOT pv_tnull ON p, g USING sum(v)")) {
+    // (DuckDB's names there are internal expression renderings)
+    for (bad <- Seq("PIVOT pv_tnull ON p USING sum(v), count(*) GROUP BY g")) {
       val e = intercept[IllegalArgumentException](
         graft.DuckDialect.sql(spark, bad))
       assert(e.getMessage.contains("PIVOT statement outside"))
