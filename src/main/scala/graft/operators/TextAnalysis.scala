@@ -1249,6 +1249,49 @@ object TextAnalysis {
         |CAST(SUM(CASE WHEN flags.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_exact,
         |CAST(1 AS BIGINT) AS superset_ok, CAST(1 AS BIGINT) AS fp_ok
         |FROM base LEFT JOIN flags ON base.doc_id = flags.doc_id
-        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")))
+        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    // Count-Min heavy terms — the frequency member of the sketch family
+    // (HLL distincts, KMV set overlap, MinHash/SimHash similarity, Bloom
+    // membership, and now CMS counts). The sketch builds with the
+    // distributed df.stat.countMinSketch treeAggregate (counter-matrix
+    // ADDITION merge — partition-order invariant, verified) and is a
+    // fixed ~224 KB (depth 14 × width 2000 at eps 1e-3 / conf 0.9999)
+    // regardless of corpus size; at 100 TB it replaces the full-width
+    // term groupBy wherever an eps·N-accurate count suffices. The
+    // CONTRACT is one-sided and the oracle pins it: CMS never
+    // undercounts (hash collisions only ADD), and the top terms stay
+    // within eps·N over truth. Both booleans are deterministic (fixed
+    // seed, additive merge), so DuckDB verifies them as constants while
+    // recomputing the exact top-20 from first principles (q104's
+    // tokenization pairing). Bounded collects: the 20-row exact panel,
+    // one count scalar, and the fixed-size sketch.
+    GraftQuery("q170_countmin_heavy_terms",
+      (s, d) => {
+        import s.implicits._
+        val terms = docs(s, d)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+          .filter(length(col("t")) > 0)
+        val cms = terms.stat.countMinSketch("t", 0.001, 0.9999, 42)
+        // the sketch tracks its own stream length — no separate count()
+        // pass over the tokens (the corpus streams twice total: sketch
+        // build + the exact contract side)
+        val slack = math.ceil(0.001 * cms.totalCount()).toLong
+        val top = terms.groupBy("t").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), col("t")).limit(20).collect()
+        top.toSeq.map { r =>
+          val (t, c) = (r.getString(0), r.getLong(1))
+          val est = cms.estimateCount(t)
+          (t, c, if (est >= c) 1L else 0L,
+            if (est <= c + slack) 1L else 0L)
+        }.toDF("term", "true_cnt", "no_undercount", "eps_bound_ok")
+          .orderBy(desc("true_cnt"), col("term"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t FROM documents),
+        |tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM tok
+        |  WHERE len(t) > 0 GROUP BY t ORDER BY true_cnt DESC, t LIMIT 20)
+        |SELECT t AS term, true_cnt, CAST(1 AS BIGINT) AS no_undercount,
+        |CAST(1 AS BIGINT) AS eps_bound_ok
+        |FROM tc ORDER BY true_cnt DESC, term""".stripMargin.replace("\n", " ")))
   )
 }
