@@ -126,7 +126,8 @@ object DuckDialect {
     * the restructured text (so a bridged statement's predicate/keys can
     * themselves carry list literals, renamed functions, …). */
   def rewrite(sql0: String): String = {
-    val sql = bridgeDistinctOn(bridgeQualify(bridgeUnpivot(sql0)))
+    val sql = bridgeDistinctOn(bridgeQualify(
+      bridgeAsofJoin(bridgeUnpivot(sql0))))
     val n = sql.length
     val sb = new StringBuilder(n + 16)
     var i = 0
@@ -1078,6 +1079,192 @@ object DuckDialect {
       (if (outerTail.isEmpty) "" else " " + outerTail)
   }
 
+  /** Start indexes of every TOP-LEVEL occurrence of word `kw`. */
+  private def topKeywordAll(s: String, kw: String): Seq[Int] = {
+    var out = Seq.empty[Int]
+    var off = 0
+    while (off <= s.length) {
+      val r = topKeyword(s.substring(off), kw)
+      if (r < 0) return out
+      out :+= off + r
+      off = off + r + kw.length
+    }
+    out
+  }
+
+  /** DuckDB's ASOF JOIN (Spark has none — parse error) → an equi+range
+    * join with a row_number()=1 pick per LEFT row:
+    *   SELECT sel FROM l [la] ASOF [LEFT] JOIN r [ra] ON cond [tail]
+    *   → SELECT * EXCEPT (__graft_arn[, __graft_aid]) FROM (
+    *       SELECT sel, row_number() OVER (PARTITION BY __graft_aid
+    *         ORDER BY <right-expr> <dir>) AS __graft_arn
+    *       FROM (SELECT *, monotonically_increasing_id()
+    *             AS __graft_aid FROM l) la [LEFT] JOIN r ra ON cond)
+    *     WHERE __graft_arn = 1 [tail]
+    * The synthesized id gives each left row its own window partition
+    * (its VALUES are layout-dependent, but they only group — the id is
+    * dropped and the surviving rows are the per-left-row best matches,
+    * deterministic given a tie-free range column).
+    *
+    * SCALE NOTE: this is the GENERIC rewrite — the join streams every
+    * range-matching pair through a partial WindowGroupLimit (pruned
+    * before the exchange, so shuffle volume is ~1 row per left row),
+    * but pair GENERATION is O(left × matching-right) per equi group;
+    * DuckDB ships a dedicated sort-merge ASOF operator precisely
+    * because of that. Acceptable for moderate equi groups (the dialect
+    * surface's job); a pipeline at 100 TB should use the q51-style
+    * union+ordered-window composition, which is O(n log n).
+    *
+    * Direction from the
+    * single inequality, verified against DuckDB: right ≤/< left picks
+    * the LARGEST right value (DESC), right ≥/> the smallest (ASC);
+    * LEFT keeps unmatched rows (the lone NULL-right row is trivially
+    * rn=1). The left relation keeps its alias (or its leaf name), so
+    * qualified references in the select list survive; a bare `*` pulls
+    * the id through, so it joins the EXCEPT list. Refused → guidance:
+    * WHERE (DuckDB filters AFTER the asof pick; the wrap would filter
+    * candidate matches BEFORE it — silently different), GROUP BY/
+    * HAVING/QUALIFY, set ops, subquery relations, further joins, zero
+    * or multiple inequalities, an inequality that does not reference
+    * exactly one side's alias. */
+  private def bridgeAsofJoin(sql: String): String = {
+    val asofAt = topKeyword(sql, "asof")
+    if (asofAt < 0) return sql
+    if (hasTopSetOp(sql)) return sql
+    for (kw <- Seq("where", "group", "having", "qualify", "window"))
+      if (topKeyword(sql, kw) >= 0) return sql
+    if (topKeywordAll(sql, "join").length != 1) return sql
+    val sel = topKeyword(sql, "select")
+    val f = topKeyword(sql, "from")
+    if (sel < 0 || f < sel || asofAt < f) return sql
+    var k = sel + 6
+    while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+    if (readWord(sql, k).equalsIgnoreCase("distinct")) return sql
+    val selTxt = sql.substring(sel + 6, f).trim
+    // left relation [alias] between FROM and ASOF
+    var i = f + 4
+    def ws(): Unit =
+      while (i < sql.length && Character.isWhitespace(sql.charAt(i))) i += 1
+    ws()
+    val lrel = parseIdentChain(sql, i) match {
+      case Some((ident, after)) => i = after; ident
+      case None => return sql
+    }
+    ws()
+    var lalias = lrel.split('.').last
+    if (i < asofAt) {
+      val w = readWord(sql, i)
+      if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
+        return sql
+      lalias = w; i += w.length; ws()
+      if (i != asofAt) return sql
+    }
+    i = asofAt + 4; ws()
+    var leftJoin = false
+    if (readWord(sql, i).equalsIgnoreCase("left")) {
+      leftJoin = true; i += 4; ws()
+    }
+    if (!readWord(sql, i).equalsIgnoreCase("join")) return sql
+    i += 4; ws()
+    val rrel = parseIdentChain(sql, i) match {
+      case Some((ident, after)) => i = after; ident
+      case None => return sql
+    }
+    ws()
+    var ralias = rrel.split('.').last
+    if (!readWord(sql, i).equalsIgnoreCase("on")) {
+      val w = readWord(sql, i)
+      if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
+        return sql
+      ralias = w; i += w.length; ws()
+    }
+    if (!readWord(sql, i).equalsIgnoreCase("on")) return sql
+    i += 2
+    val after = sql.substring(i)
+    val cut = tailCut(after)
+    val cond = after.substring(0, cut).trim
+    if (cond.isEmpty) return sql
+    val tailTxt = after.substring(cut).trim
+    // split the conjunction; exactly ONE inequality conjunct
+    val andAts = topKeywordAll(cond, "and")
+    val bounds = (-3 +: andAts) :+ cond.length
+    val conjs = bounds.sliding(2).map { case Seq(a, b) =>
+      cond.substring(a + 3, b).trim
+    }.toSeq
+    def ineqOp(c: String): Option[(Int, String)] = {
+      var d = 0
+      var j = 0
+      while (j < c.length) {
+        c.charAt(j) match {
+          case '\'' => j += 1
+            while (j < c.length && c.charAt(j) != '\'') j += 1
+            j += 1
+          case '(' | '[' => d += 1; j += 1
+          case ')' | ']' => d -= 1; j += 1
+          case '<' | '>' if d == 0 =>
+            if (j + 1 < c.length && c.charAt(j + 1) == '>') return None
+            val op = if (j + 1 < c.length && c.charAt(j + 1) == '=')
+              c.substring(j, j + 2) else c.substring(j, j + 1)
+            return Some((j, op))
+          case _ => j += 1
+        }
+      }
+      None
+    }
+    val ineqs = conjs.zipWithIndex.flatMap { case (c, ix) =>
+      ineqOp(c).map(o => (ix, c, o._1, o._2))
+    }
+    if (ineqs.length != 1) return sql
+    val (_, ineqC, opAt, op) = ineqs.head
+    val lhs = ineqC.substring(0, opAt).trim
+    val rhs = ineqC.substring(opAt + op.length).trim
+    def refsAlias(e: String, a: String): Boolean =
+      topKeywordAll(e, a).exists(p =>
+        p + a.length < e.length && e.charAt(p + a.length) == '.')
+    val (rightExpr, normOp) =
+      (refsAlias(lhs, ralias), refsAlias(rhs, ralias)) match {
+        case (true, false) if refsAlias(rhs, lalias) => (lhs, op)
+        case (false, true) if refsAlias(lhs, lalias) =>
+          (rhs, op match {
+            case "<" => ">"; case "<=" => ">="
+            case ">" => "<"; case ">=" => "<="
+          })
+        case _ => return sql
+      }
+    val dir = if (normOp == "<" || normOp == "<=") "DESC" else "ASC"
+    val (hidden, outerTail) = wrapOrderBy(tailTxt, "graft_a") match {
+      case Some((h, items, _, rest)) =>
+        (h, ("ORDER BY " + items.mkString(", ") +
+          (if (rest.isEmpty) "" else " " + rest)).trim)
+      case None => (Seq.empty[String], tailTxt)
+    }
+    val selHasStar = {
+      var d = 0; var j = 0; var star = false
+      while (j < selTxt.length && !star) {
+        selTxt.charAt(j) match {
+          case '(' | '[' => d += 1
+          case ')' | ']' => d -= 1
+          case '*' if d == 0 => star = true
+          case _ =>
+        }
+        j += 1
+      }
+      star
+    }
+    val dropCols = (if (selHasStar) Seq("__graft_arn", "__graft_aid")
+      else Seq("__graft_arn")) ++ hidden.map(_.split(" AS ").last)
+    sql.substring(0, sel) +
+      s"SELECT * EXCEPT (${dropCols.mkString(", ")}) FROM (SELECT " +
+      selTxt + ", row_number() OVER (PARTITION BY __graft_aid ORDER BY " +
+      rightExpr + " " + dir + ") AS __graft_arn" +
+      (if (hidden.isEmpty) "" else ", " + hidden.mkString(", ")) +
+      " FROM (SELECT *, monotonically_increasing_id() AS __graft_aid " +
+      s"FROM $lrel) $lalias " +
+      (if (leftJoin) "LEFT JOIN " else "JOIN ") +
+      s"$rrel $ralias ON $cond) WHERE __graft_arn = 1" +
+      (if (outerTail.isEmpty) "" else " " + outerTail)
+  }
+
   /** DuckDB's `SELECT DISTINCT ON (keys) …` (Spark has none — verified)
     * → one surviving row per key via row_number:
     *   [prefix] SELECT DISTINCT ON (keys) sel FROM rest [ORDER BY ob] [t]
@@ -1606,7 +1793,7 @@ object DuckDialect {
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|quantile|string_split|str_split|string_to_array|read_csv|read_json)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b""".r
+    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|quantile|string_split|str_split|string_to_array|read_csv|read_json)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b|(?i)\basof\s+(?:left\s+)?join\b""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined
@@ -1694,7 +1881,11 @@ object DuckDialect {
        |  read_csv/read_json (auto-detection differs; use spark.read with
        |  explicit options). read_parquet('one path') IS translated to
        |  parquet.`path`; file LISTS and option args are not.
-       |  ASOF JOIN: no Spark twin — compose an equi+range join with a
+       |  ASOF [LEFT] JOIN IS bridged for the single-join two-table
+       |  form (equi conjuncts + ONE inequality naming both aliases;
+       |  no WHERE — DuckDB filters AFTER the asof pick, a wrap would
+       |  filter candidates BEFORE it; no GROUP BY/subquery relations).
+       |  Outside that subset, compose an equi+range join with a
        |  row_number()=1 pick per left row (the q51_asof_join corpus
        |  query is the reference shape). COPY (…) TO 'path': use
        |  INSERT OVERWRITE DIRECTORY 'path' USING parquet (…) — note

@@ -172,6 +172,18 @@ object ExtendedOps {
     """SELECT source, max(COLUMNS('n_chars|doc_id')) FROM documents
       |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // q171 ASOF JOIN statement: the self-asof "previous document in my
+  // source" shape — bridged to an equi+range join with a synthesized
+  // per-left-row id and a row_number()=1 pick (one shuffle on the equi
+  // key; the range side is tie-free on the unique doc_id, so the pick
+  // is deterministic). CAST(l.doc_id) keeps d BIGINT in both engines.
+  private val AsofSql: String =
+    """SELECT l.doc_id AS d, CAST(r.doc_id AS BIGINT) AS prev_doc,
+      |CAST(r.n_chars AS BIGINT) AS prev_chars
+      |FROM documents l ASOF JOIN documents r
+      |ON l.source = r.source AND l.doc_id > r.doc_id ORDER BY d"""
+      .stripMargin.replace("\n", " ")
+
   val all: Seq[GraftQuery] = Seq(
 
     // Right outer (all nations survive a filtered region dim) feeding a
@@ -427,6 +439,13 @@ object ExtendedOps {
         T(s, d, "documents").createOrReplaceTempView("documents")
         graft.DuckDialect.sql(s, ColumnsSql)
       },
-      Some(ColumnsSql))
+      Some(ColumnsSql)),
+
+    GraftQuery("q171_duckdb_asof",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, AsofSql)
+      },
+      Some(AsofSql))
   )
 }
