@@ -171,7 +171,13 @@ object Bench {
       val build = (System.nanoTime() - b0) / 1e9
       // construction launched jobs ⇒ the build is distributed work, not
       // driver analysis — drop to the in-window per-rep protocol (the
-      // frame built above is discarded along with its caches)
+      // frame built above is discarded along with its caches).
+      // SparkListenerJobStart arrives on the ASYNC listener bus: a
+      // build whose collect finished before the bus drained would read
+      // a stale jobCount and be misclassified as prepared-safe — the
+      // exact q137 tail-only artifact this guard exists to prevent
+      // (ADVICE r9). Drain before sampling, mirroring the per-rep drain.
+      if (built.isDefined) Thread.sleep(30)
       val eager = built.isDefined && jobCount.get() > j0
       if (eager) spark.catalog.clearCache()
       val prepared = if (eager) None else built
@@ -204,6 +210,7 @@ object Bench {
       val r2 = if (r1._1 < 0) r1 else rep()
       val best = if (r2._1 >= 0 && (r1._1 < 0 || r2._1 < r1._1)) r2 else r1
       spark.catalog.clearCache() // sketch persists don't outlive their query
+      SessionCaches.release(spark) // drain the tracked-persist queue too
       // ContextCleaner frees dead shuffle files / broadcasts only when the
       // JVM GCs; over 130 queries × 3 passes the leftovers build real
       // memory pressure that lands on whichever heavy query runs next

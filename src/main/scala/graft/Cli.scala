@@ -163,6 +163,12 @@ object Cli {
               println("hint: $TABLE belongs to the --query surface; in " +
                 "the REPL reference tables by name (see `tables`)")
           }
+          // graft-internal persists die at the statement boundary — the
+          // show() above consumed the frame, so the session never
+          // accumulates query-internal caches (ADVICE r9). User CACHE
+          // TABLE pins are NOT tracked and survive (the reason this is
+          // a targeted release, not catalog.clearCache).
+          finally SessionCaches.release(spark)
       }
   }
 }

@@ -31,14 +31,15 @@ object SparkEntry {
     * bounded intermediate frames (vocabulary/posting-list sized — e.g.
     * the BM25/PMI token-count frames in [[operators.TextAnalysis]]) that
     * only materialize when the RETURNED DataFrame is consumed, so the
-    * query function cannot unpersist them itself. A caller running many
-    * queries in one session should `spark.catalog.clearCache()` between
-    * them, as Verify and Bench do; one-shot sessions (DeltaScanner CLI)
-    * end with `spark.stop()` and need nothing. The REPL deliberately
-    * does NOT auto-clear — it would silently drop a user's own
-    * `CACHE TABLE` pins — and these frames are vocabulary-bounded, not
-    * data-sized, so a session accumulates at most a few MB per distinct
-    * query family. */
+    * query function cannot unpersist them itself. Every such persist is
+    * registered with [[graft.SessionCaches]] (r10): a caller that has
+    * consumed the result calls `SessionCaches.release(spark)` to drop
+    * exactly the query-internal caches — the REPL does so after every
+    * statement, and a user's own `CACHE TABLE` pins survive (the reason
+    * the pre-r10 REPL could not blanket-clearCache). Verify and Bench
+    * additionally `spark.catalog.clearCache()` between queries (their
+    * sessions have no user pins); one-shot sessions (DeltaScanner CLI)
+    * end with `spark.stop()` and need nothing. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     corpus.map(q => q.name -> q.run).toMap
 

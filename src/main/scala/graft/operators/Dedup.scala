@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.SessionCaches.TrackedPersist
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import graft.functions.SimHash64
@@ -130,13 +131,19 @@ object Dedup {
       .select(col("a").as("doc_id"), col("i").as("c"))
     val inter = agg.filter(!col("self")).select("a", "b", "i")
     // Both cardinality joins probe the SAME card frame (same expression
-    // ids, aliasing deferred to the post-join projection) so the two
-    // BroadcastExchanges canonicalize identically and the second is a
-    // ReusedExchange — one broadcast build instead of two.
+    // ids, aliasing deferred to the post-join projection) so whatever
+    // exchange the planner picks canonicalizes identically and the
+    // second is a ReusedExchange — one build instead of two. NO
+    // broadcast hint (r10, ADVICE r9): card has one row per document
+    // carrying a rare shingle — a data-proportional fact-side frame,
+    // not a bounded dim. Forcing it into a driver collect + executor
+    // broadcast violates the broadcast-dims-not-facts invariant at the
+    // 100 TB design point; the planner (stats, or AQE at runtime)
+    // decides from actual size instead.
     inter
-      .join(broadcast(card), col("a") === col("doc_id"))
+      .join(card, col("a") === col("doc_id"))
       .select(col("a"), col("b"), col("i"), col("c").as("ca"))
-      .join(broadcast(card), col("b") === col("doc_id"))
+      .join(card, col("b") === col("doc_id"))
       .select(col("a"), col("b"),
         (col("i").cast("double") / (col("ca") + col("c") - col("i")))
           .as("jaccard"))
@@ -200,7 +207,7 @@ object Dedup {
     * vectors (~30× the bytes) just to avoid cheap recompute. */
   private[graft] def semanticPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
-    val assigned = Similarity.clusterAssign(s, d, trainIters = 2).persist()
+    val assigned = Similarity.clusterAssign(s, d, trainIters = 2).persistTracked()
     val x = assigned.select(col("cid"), col("vec_id").as("a"),
       col("v").as("va"))
     val y = assigned.select(col("cid"), col("vec_id").as("b"),
@@ -218,7 +225,7 @@ object Dedup {
     * join); persist the fixed-size sketch (~1 KB/doc) instead of
     * recomputing the shingle pipeline 3×. */
   private[graft] def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(docs(s, d)).persist()
+    val sig = signatures(docs(s, d)).persistTracked()
     val cand = lshCandidates(sig)
     cand
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
@@ -753,7 +760,7 @@ object Dedup {
       (s, d) => {
         // persisted: the pair subplan feeds the degree build (twice,
         // via the undirected union) AND the orientation join
-        val e = jaccardPairs(s, d).select("a", "b").persist()
+        val e = jaccardPairs(s, d).select("a", "b").persistTracked()
         val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
         val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("dg"))
         // orient by (degree, id); carry the DESTINATION's rank so the
@@ -769,7 +776,7 @@ object Dedup {
               struct(col("b").as("s"), col("a").as("t"), col("da").as("dt")))
             .as("o"))
           .select(col("o.s").as("s"), col("o.t").as("t"), col("o.dt").as("dt"))
-          .persist()
+          .persistTracked()
         // wedges at the minimum-rank node: unordered out-neighbor pairs
         // (v ranked below w), closed by the oriented edge v -> w
         val w1 = oriented.select(col("s"), col("t").as("v"), col("dt").as("dv"))
@@ -814,7 +821,7 @@ object Dedup {
         // the "persist is not free" lesson) — fixed iteration depth
         // keeps the unpersisted chain shallow by construction.
         val und = pairs
-          .union(pairs.select(col("b").as("a"), col("a").as("b"))).persist()
+          .union(pairs.select(col("b").as("a"), col("a").as("b"))).persistTracked()
         val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("dg"))
         var r = deg.select(col("n"), lit(1073741824L).as("r"))
         for (_ <- 1 to 3) {

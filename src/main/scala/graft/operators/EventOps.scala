@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.SessionCaches.TrackedPersist
 
 /** Event-stream operators over the `events` table (SURVEY §2.2 window /
   * streaming rows; as-of/theta-join row): as-of join,
@@ -395,7 +396,7 @@ object EventOps {
         val hourly = ev(s, d)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
           .agg(count(lit(1)).as("n"))
-          .persist()
+          .persistTracked()
         val stats = hourly.groupBy("event_type")
           .agg(count(lit(1)).as("hours"), sum("n").as("sn"),
             sum(col("n") * col("n")).as("sn2"))

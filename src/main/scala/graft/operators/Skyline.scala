@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.SessionCaches.TrackedPersist
 
 /** A 2-attribute point in a skyline computation: minimize `price`,
   * maximize `size` (names follow the flagship part-table query; the
@@ -81,7 +82,7 @@ object Skyline {
       mergeBound: Long = 1L << 20): Dataset[SkyPoint] = {
     val spark = points.sparkSession
     import spark.implicits._
-    val cands = points.mapPartitions(sweep).persist() // narrow: prunes in place
+    val cands = points.mapPartitions(sweep).persistTracked() // narrow: prunes in place
     val n = cands.count()
     if (n <= mergeBound) {
       // candidate set is |skyline| × partitions — metadata-scale; one

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.SessionCaches.TrackedPersist
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators over the `documents` table: token statistics,
@@ -102,7 +103,7 @@ object TextAnalysis {
       .filter(col("word").isin(terms: _*))
       .groupBy("doc_id", "dl", "word")
       .agg(count(lit(1)).cast("double").as("tf"))
-      .persist()
+      .persistTracked()
     val dfc = tfc.groupBy("word").agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val scored = tfc.join(broadcast(dfc), "word")
@@ -716,7 +717,7 @@ object TextAnalysis {
             explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
               .as("word"))
           .groupBy("source", "word").agg(count(lit(1)).as("c"))
-          .persist() // vocab×sources-bounded; 3 consumers, 1 corpus pass
+          .persistTracked() // vocab×sources-bounded; 3 consumers, 1 corpus pass
         val norms = wc.groupBy("source")
           .agg(sum(col("c") * col("c")).as("n2"))
         val dots = wc.select(col("source").as("sa"), col("word"), col("c").as("ca"))
@@ -759,7 +760,7 @@ object TextAnalysis {
             explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
               .as("word"))
           .groupBy("source", "word").agg(count(lit(1)).as("tf"))
-          .persist() // vocab×sources-bounded; 4 consumers, 1 corpus pass
+          .persistTracked() // vocab×sources-bounded; 4 consumers, 1 corpus pass
         val srcTot = wc.groupBy("source").agg(sum("tf").as("st"))
         val wordTot = wc.groupBy("word").agg(sum("tf").as("ctf"))
         val corpusTot = wc.agg(sum("tf").as("ct"))
@@ -845,7 +846,7 @@ object TextAnalysis {
             explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
               .as("word"))
           .distinct()
-          .persist() // vocab×sources-bounded; two consumers
+          .persistTracked() // vocab×sources-bounded; two consumers
         val card = dw.groupBy("source").agg(count(lit(1)).as("c"))
         val inter = dw.select(col("source").as("sa"), col("word"))
           .join(dw.select(col("source").as("sb"), col("word")), "word")
@@ -1041,7 +1042,7 @@ object TextAnalysis {
         // full corpus tokenization (6 passes instead of 2).
         val uni = toks.select(explode(col("ws")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("c"))
-          .persist()
+          .persistTracked()
         val uniTot = uni.agg(sum("c").cast("long").as("u"))
         val bi = toks.filter(size(col("ws")) >= 2)
           .select(explode(expr(
@@ -1050,7 +1051,7 @@ object TextAnalysis {
           .select(col("p").getField("0").as("a"),
             col("p").getField("1").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("n"))
-          .persist()
+          .persistTracked()
         val biTot = bi.agg(sum("n").cast("long").as("t"))
         bi.filter(col("n") >= 5)
           .join(broadcast(uni.select(col("w").as("a"), col("c").as("ca"))), "a")
@@ -1096,7 +1097,7 @@ object TextAnalysis {
             explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"),
               lit(0))).as("w"))
           .groupBy("source", "w").agg(count(lit(1)).as("o"))
-          .persist()
+          .persistTracked()
         val srcTot = wc.groupBy("source").agg(sum("o").cast("long").as("st"))
         val wordTot = wc.groupBy("w").agg(sum("o").cast("long").as("cw"))
         val tot = wc.agg(sum("o").cast("long").as("tt"))
@@ -1153,7 +1154,7 @@ object TextAnalysis {
         val ws = tok.groupBy("w").agg(count(lit(1)).as("cw"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long")
             .as("tw"))
-          .persist() // vocab-bounded; feeds totals + the scoring join
+          .persistTracked() // vocab-bounded; feeds totals + the scoring join
         val tot = ws.agg(sum("cw").cast("long").as("ct"),
           sum("tw").cast("long").as("tt"), count(lit(1)).as("v"))
         val lift = (col("tw").cast("double") + lit(1.0)) *

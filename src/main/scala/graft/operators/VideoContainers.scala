@@ -35,7 +35,11 @@ private[graft] object Mp4Meta {
       val timescale = be32(b, s + tsOff)
       val duration =
         if (durLen == 8) be64(b, s + tsOff + 4) else be32(b, s + tsOff + 4)
-      if (timescale <= 0 || duration < 0) return None
+      // duration is untrusted (64-bit in a v1 mvhd): duration * 1000
+      // can overflow Long into a garbage/negative durationMs — such a
+      // header hits the documented None refusal instead (ADVICE r9)
+      if (timescale <= 0 || duration < 0 ||
+        duration > Long.MaxValue / 1000L) return None
       duration * 1000L / timescale
     }
     val trak = findBox(b, ms, me, "trak").getOrElse(return None)
@@ -84,6 +88,12 @@ private[graft] object Mp4Meta {
   /** Minimal real MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)). Timescale
     * 1000, so duration units ARE milliseconds (round-trip exact). */
   def write(durationMs: Long, w: Int, h: Int): Array[Byte] = {
+    // v0 mvhd/tkhd carry 32-bit durations: durationMs.toInt would
+    // silently truncate beyond Int.MaxValue (~24.8 days at timescale
+    // 1000), breaking the round-trip guarantee — refuse loudly instead
+    // (ADVICE r9)
+    require(durationMs >= 0 && durationMs <= Int.MaxValue,
+      s"mp4 v0 mvhd duration is 32-bit: $durationMs ms out of range")
     val ftyp = box("ftyp", ascii("isom") ++ beI(0x200) ++ ascii("isom"))
     val mvhd = box("mvhd",
       beI(0) ++ beI(0) ++ beI(0) ++ beI(1000) ++ beI(durationMs.toInt) ++
@@ -269,7 +279,13 @@ private[graft] object AviMeta {
             val frames = le32(b, j + 8 + 16)
             val w = le32(b, j + 8 + 32)
             val h = le32(b, j + 8 + 36)
-            if (usPerFrame <= 0 || frames < 0 || w <= 0 || h <= 0) return None
+            // both factors are untrusted uint32 (≤ 2^32−1): the product
+            // can exceed Long.MaxValue (~1.8e19 > 9.2e18). 10^9 bounds
+            // (≥ 1000 s/frame × ≥ 1 year of frames — corrupt, not
+            // video) keep the product ≤ 10^18, so overflow hits the
+            // None refusal as the contract promises (ADVICE r9)
+            if (usPerFrame <= 0 || frames < 0 || w <= 0 || h <= 0 ||
+              usPerFrame > 1000000000L || frames > 1000000000L) return None
             return Some(VideoMeta("avi",
               usPerFrame * frames / 1000L, w.toInt, h.toInt))
           }
@@ -290,6 +306,11 @@ private[graft] object AviMeta {
     * (dwMicroSecPerFrame = 1000, dwTotalFrames = durationMs) keep the
     * round-trip exact. */
   def write(durationMs: Long, w: Int, h: Int): Array[Byte] = {
+    // dwTotalFrames is uint32 AND parse() refuses frame counts above
+    // 10^9 (overflow guard) — writes beyond that would silently break
+    // the round-trip, so refuse loudly (ADVICE r9)
+    require(durationMs >= 0 && durationMs <= 1000000000L,
+      s"avi dwTotalFrames at 1 ms/frame: $durationMs ms out of range")
     val avih = new Array[Byte](56)
     val bb = ByteBuffer.wrap(avih).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(0, 1000) // dwMicroSecPerFrame

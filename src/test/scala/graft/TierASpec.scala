@@ -504,6 +504,35 @@ class TierASpec extends AnyFunSuite {
     assert(e.getMessage.contains("ASOF"))
   }
 
+  test("ASOF bridge scale gate (VERDICT r9): the probed equi-group pair " +
+    "count is exact, the refusal carries the q51 guidance, -1 disables") {
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW asof_l AS SELECT * FROM " +
+      "VALUES ('a', 10),('a', 20),('b', 15),('c', 5) t(k, ts)")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW asof_r AS SELECT * FROM " +
+      "VALUES ('a', 8, 100),('a', 10, 200),('a', 18, 300),('b', 20, 400) " +
+      "t(k, ts, v)")
+    val q = "SELECT l.k, l.ts, r.v FROM asof_l l ASOF JOIN asof_r r " +
+      "ON l.k = r.k AND l.ts >= r.ts ORDER BY l.k, l.ts"
+    // equi-group pair sum: k=a 2x3 + k=b 1x1 = 7 (c has no right group)
+    def withMax[T](v: String)(body: => T): T = {
+      spark.conf.set("spark.graft.asof.maxPairs", v)
+      try body finally spark.conf.unset("spark.graft.asof.maxPairs")
+    }
+    val e = intercept[IllegalArgumentException](
+      withMax("6")(graft.DuckDialect.sql(spark, q)))
+    assert(e.getMessage.contains("7 candidate pairs"), e.getMessage)
+    assert(e.getMessage.contains("q51_asof_join"))
+    assert(withMax("7")(graft.DuckDialect.sql(spark, q)).count() == 2)
+    // no clean equi conjunct -> |l| x |r| = 16 is the (over)estimate
+    val q2 = "SELECT l.ts, r.v FROM asof_l l ASOF JOIN asof_r r " +
+      "ON l.ts >= r.ts ORDER BY l.ts"
+    val e2 = intercept[IllegalArgumentException](
+      withMax("15")(graft.DuckDialect.sql(spark, q2)))
+    assert(e2.getMessage.contains("16 candidate pairs"), e2.getMessage)
+    // -1 disables the gate entirely
+    assert(withMax("-1")(graft.DuckDialect.sql(spark, q)).count() == 2)
+  }
+
   test("DuckCompat registered functions: the analyze-level bridges " +
     "(VERDICT r8 item 1) return the installed DuckDB's answers") {
     // through the REAL entry point (DuckDialect.sql registers + runs)
@@ -1459,6 +1488,56 @@ class TierASpec extends AnyFunSuite {
       org.apache.spark.sql.Encoders.product[operators.MediaRecord])
     val ff = Multimodal.extractFeatures(media).collect()
     assert(ff.head.dim == -1 && ff.head.features.isEmpty)
+  }
+
+  test("container duration arithmetic on untrusted headers never " +
+    "overflows Long — out-of-range values hit the None refusal, and the " +
+    "writers refuse durations their 32-bit fields would truncate " +
+    "(ADVICE r9)") {
+    import graft.operators.{AviMeta, Mp4Meta}
+    // ---- AVI: usPerFrame x frames, both uint32 from the wire ----
+    def aviWith(usPerFrame: Long, frames: Long): Array[Byte] = {
+      val b = AviMeta.write(1000L, 320, 240)
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(32, usPerFrame.toInt) // avih body offset 0
+      bb.putInt(32 + 16, frames.toInt) // dwTotalFrames
+      b
+    }
+    // boundary: both at the 10^9 bound -> product 10^15, parses fine
+    val ok = AviMeta.parse(aviWith(1000000000L, 1000000000L))
+    assert(ok.exists(_.durationMs == 1000000000000000L)) // 10^18 us / 1000
+    // one past the bound -> refusal (the raw product would be fine here,
+    // but the bound is the contract; 0xFFFFFFFF x 0xFFFFFFFF overflows)
+    assert(AviMeta.parse(aviWith(1000000001L, 1000L)).isEmpty)
+    assert(AviMeta.parse(aviWith(0xFFFFFFFFL, 0xFFFFFFFFL)).isEmpty)
+    // ---- MP4 v1 mvhd: 64-bit duration x 1000 ----
+    def beI(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .putInt(v).array()
+    def beL(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8)
+      .putLong(v).array()
+    def bx(name: String, body: Array[Byte]): Array[Byte] =
+      beI(8 + body.length) ++ name.getBytes("US-ASCII") ++ body
+    def mp4V1(duration: Long): Array[Byte] = {
+      val mvhd = bx("mvhd", Array[Byte](1, 0, 0, 0) ++ // version 1
+        new Array[Byte](16) ++ beI(1000) ++ beL(duration))
+      val tkhd = bx("tkhd", new Array[Byte](4) ++
+        beI(320 << 16) ++ beI(240 << 16))
+      bx("moov", mvhd ++ bx("trak", tkhd))
+    }
+    val lim = Long.MaxValue / 1000L
+    assert(Mp4Meta.parse(mp4V1(lim)).exists(_.durationMs == lim),
+      "at the bound the v1 header still parses")
+    assert(Mp4Meta.parse(mp4V1(lim + 1)).isEmpty,
+      "one past the bound must refuse, not wrap negative")
+    // ---- writers refuse what their 32-bit fields would truncate ----
+    intercept[IllegalArgumentException](
+      Mp4Meta.write(Int.MaxValue.toLong + 1, 320, 240))
+    intercept[IllegalArgumentException](
+      AviMeta.write(1000000001L, 320, 240))
+    // in-range writes still round-trip
+    assert(Mp4Meta.parse(Mp4Meta.write(Int.MaxValue.toLong, 320, 240))
+      .exists(_.durationMs == Int.MaxValue.toLong))
   }
 
   test("multimodal: REAL PNG payloads decode through javax.imageio — " +
