@@ -236,6 +236,49 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
   }
 
+  /** q47's operational pair frame: SimHash near-dup — 64-bit fingerprint
+    * (custom Catalyst expression), pigeonhole blocking on 4×16-bit
+    * segments guarantees every pair with Hamming ≤ 3 shares at least one
+    * block key — no quadratic pass.
+    *
+    * r9 skew bound: the old x⋈y SEGMENT SELF-JOIN was the same
+    * unbounded-quadratic hazard the r9 LSH fix closed — a degenerate
+    * corpus of near-identical docs puts its whole population into one
+    * (k, seg) bucket and the join group goes |corpus|². Blocking
+    * uses the q46 machinery: bounded bucket lists (cap 257) +
+    * in-bucket pair expansion, buckets > [[MaxBandBucket]] dropped.
+    * Dropping such a bucket narrows the pigeonhole guarantee for docs
+    * whose ONLY shared block is the hot one — deliberate: >256 docs
+    * sharing a 16-bit fingerprint block are near-identical en masse,
+    * which exact dedup (q44) and MinHash (q46) already handle, and the
+    * alternative is an unbounded join group. Fingerprints re-attach to
+    * the expanded pairs by two doc_id joins (the q45 cardinality-join
+    * shape) rather than riding the bucket lists. */
+  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    SimHash64.register(s)
+    graft.functions.BoundedSortedList.register(s)
+    graft.functions.OrderedPairs.register(s)
+    val f = docs(s, d).select(col("doc_id"),
+      SimHash64.simhash64(tokenHashes(tokens(col("text")))).as("sh"))
+    val segCols = (0 until 4).map(k =>
+      shiftrightunsigned(col("sh"), k * 16).bitwiseAND(lit(0xFFFFL)))
+    val seg = f.select(col("doc_id"),
+      posexplode(array(segCols: _*)))
+      .toDF("doc_id", "k", "seg")
+    val buckets = seg.groupBy("k", "seg")
+      .agg(graft.functions.BoundedSortedList
+        .boundedSortedList(col("doc_id"), MaxBandBucket + 1).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBandBucket))
+    val pairs = pairExpand(buckets).distinct()
+    pairs
+      .join(f.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(f.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   /** Connected components of the near-dup (Jaccard ≥ 0.1) pair graph
     * (q81's body; also feeds q97's cleaned-corpus materialization).
     * Two execution paths, chosen by the PAIR GRAPH's size — the same
@@ -405,50 +448,43 @@ object Dedup {
         "CAST(1 AS BIGINT) AS meets_floor FROM (SELECT COUNT(*) AS n " +
         s"FROM ($JaccardPairsSql) WHERE jaccard >= 0.5)")),
 
-    // SimHash near-dup: 64-bit fingerprint (custom Catalyst expression),
-    // pigeonhole blocking on 4×16-bit segments guarantees every pair with
-    // Hamming ≤ 3 shares at least one block key — no quadratic pass.
-    //
-    // r9 skew bound: the old x⋈y SEGMENT SELF-JOIN was the same
-    // unbounded-quadratic hazard the r9 LSH fix closed — a degenerate
-    // corpus of near-identical docs puts its whole population into one
-    // (k, seg) bucket and the join group goes |corpus|². Blocking now
-    // uses the q46 machinery: bounded bucket lists (cap 257) +
-    // in-bucket pair expansion, buckets > [[MaxBandBucket]] dropped.
-    // Dropping such a bucket narrows the pigeonhole guarantee for docs
-    // whose ONLY shared block is the hot one — deliberate: >256 docs
-    // sharing a 16-bit fingerprint block are near-identical en masse,
-    // which exact dedup (q44) and MinHash (q46) already handle, and the
-    // alternative is an unbounded join group. Fingerprints re-attach to
-    // the expanded pairs by two doc_id joins (the q45 cardinality-join
-    // shape) rather than riding the bucket lists.
+    // SimHash near-dup ([[simhashPairs]] — fingerprint, pigeonhole
+    // blocking, and the r9 skew bound are documented there), reported
+    // as an oracled recall row since r10.
     GraftQuery("q47_dedup_simhash",
       (s, d) => {
-        SimHash64.register(s)
-        graft.functions.BoundedSortedList.register(s)
-        graft.functions.OrderedPairs.register(s)
-        val f = docs(s, d).select(col("doc_id"),
-          SimHash64.simhash64(tokenHashes(tokens(col("text")))).as("sh"))
-        val segCols = (0 until 4).map(k =>
-          shiftrightunsigned(col("sh"), k * 16).bitwiseAND(lit(0xFFFFL)))
-        val seg = f.select(col("doc_id"),
-          posexplode(array(segCols: _*)))
-          .toDF("doc_id", "k", "seg")
-        val buckets = seg.groupBy("k", "seg")
-          .agg(graft.functions.BoundedSortedList
-            .boundedSortedList(col("doc_id"), MaxBandBucket + 1).as("ids"))
-          .filter(size(col("ids")).between(2, MaxBandBucket))
-        val pairs = pairExpand(buckets).distinct()
-        pairs
-          .join(f.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-          .join(f.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-          .select(col("a"), col("b"),
-            bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long")
-              .as("hamming"))
-          .filter(col("hamming") <= 3)
-          .orderBy("a", "b")
+        import s.implicits._
+        // ORACLED RECALL ROW (VERDICT r9 Missing #3 — the q46 pattern):
+        // the fingerprints are engine-seeded (not SQL-expressible), but
+        // the recall arithmetic against the SQL-expressible rare-shingle
+        // Jaccard truth is. Truth = q45 pairs at jaccard >= 0.9 (the
+        // near-identical band); found = the hamming<=3 blocked pairs.
+        // One left-join job counts total and hits together (the q46
+        // shape). Floor 0.50, NOT q46's 0.80: the two measures diverge
+        // by construction — Jaccard is over DISTINCT 3-gram shingles
+        // while SimHash weights token FREQUENCIES, so a doc and its
+        // copy-with-a-repeated-sentence are Jaccard-identical yet many
+        // Hamming bits apart (measured recall: 0.60 at sf0.01, 0.75 at
+        // sf0.1, both DETERMINISTIC — fixed corpus, fixed seeds). The
+        // row exists to catch regressions: broken blocking or
+        // fingerprints send recall to ~0, breaking the hash. The
+        // hamming<=3 completeness guarantee itself is certified by the
+        // brute-force spec over [[simhashPairs]] (CorpusSpec).
+        val truth = jaccardPairs(s, d)
+          .filter(col("jaccard") >= 0.9).select("a", "b")
+        val found = simhashPairs(s, d).select("a", "b")
+        val r = truth.join(
+            found.distinct().withColumn("_hit", lit(1)), Seq("a", "b"), "left")
+          .agg(count(lit(1)).as("n"), count(col("_hit")).as("hits")).head
+        val (n, hit) = (r.getLong(0), r.getLong(1))
+        val meets = if (n == 0 || hit * 100 >= n * 50) 1L else 0L
+        Seq((n, 50L, meets))
+          .toDF("n_truth_pairs", "recall_floor_pct", "meets_floor")
       },
-      None),
+      Some("SELECT CAST(n AS BIGINT) AS n_truth_pairs, " +
+        "CAST(50 AS BIGINT) AS recall_floor_pct, " +
+        "CAST(1 AS BIGINT) AS meets_floor FROM (SELECT COUNT(*) AS n " +
+        s"FROM ($JaccardPairsSql) WHERE jaccard >= 0.9)")),
 
     // Embedding near-dup, exact pair join (oracle-checkable form; the
     // sub-quadratic path for vectors is Similarity's LSH variant).

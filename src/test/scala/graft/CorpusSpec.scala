@@ -391,8 +391,12 @@ class CorpusSpec extends AnyFunSuite {
   test("q47 simhash pairs respect the hamming threshold AND the blocking " +
     "is complete vs brute force (pigeonhole, sub-cap buckets)") {
     import graft.functions.SimHash64
-    val r = SparkEntry.queries("q47_dedup_simhash")(spark, sf).collect()
+    val r = graft.operators.Dedup.simhashPairs(spark, sf)
+      .orderBy("a", "b").collect()
     r.foreach(row => assert(row.getLong(2) <= 3))
+    // the corpus entry is the r10 oracled recall row over these pairs
+    val rec = SparkEntry.queries("q47_dedup_simhash")(spark, sf).head()
+    assert(rec.getLong(2) == 1L, s"recall floor missed: $rec")
     // completeness: at sf0.001 every bucket is far below the 256 cap, so
     // the pigeonhole guarantee must hold exactly — brute-force all pairs
     // with hamming ≤ 3 over the same fingerprints and compare sets
@@ -424,7 +428,7 @@ class CorpusSpec extends AnyFunSuite {
         (if (i % 2 == 0) "" else "x"), "en", s"src$i", 200L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q47_dedup_simhash")(spark, dir).collect()
+    val out = graft.operators.Dedup.simhashPairs(spark, dir).collect()
     // every bucket is hot (> 256) -> dropped -> no pairs, but NO failure
     // and no quadratic group; the exact-dup twin still catches these docs
     assert(out.isEmpty)
