@@ -120,6 +120,12 @@ object Bench {
     //     hand-listed: the job counter is sampled around construction.
     val buildIsWork = Set("q73_delta_dml", "q100_delta_mor_dml")
 
+    // A/B knob (BENCH_NOTES r10): SPARK_GRAFT_PREPARED=0 forces the
+    // pre-r9 in-window per-rep builds for every query — one same-box
+    // run against the default isolates what the prepared protocol
+    // itself costs/saves, separating protocol drift from ambient load.
+    val preparedAllowed = sys.env.getOrElse("SPARK_GRAFT_PREPARED", "1") != "0"
+
     /** One timed materialization of an ALREADY-BUILT DataFrame;
       * (wall sec, exec ms). */
     def runOnce(name: String, df: org.apache.spark.sql.DataFrame)
@@ -162,7 +168,7 @@ object Bench {
       val j0 = jobCount.get()
       val built =
         try {
-          if (buildIsWork(name)) None // rebuilt inside each rep below
+          if (buildIsWork(name) || !preparedAllowed) None // in-window builds
           else Some(SparkEntry.queries(name)(spark, benchDir))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed to build: ${e.getMessage}")

@@ -127,7 +127,7 @@ object DuckDialect {
     * themselves carry list literals, renamed functions, …). */
   def rewrite(sql0: String): String = {
     val sql = bridgeDistinctOn(bridgeQualify(
-      bridgeAsofJoin(bridgeUnpivot(sql0))))
+      bridgeAsofJoin(bridgeUnpivot(bridgeSampleRowsDeep(sql0)))))
     val n = sql.length
     val sb = new StringBuilder(n + 16)
     var i = 0
@@ -360,6 +360,28 @@ object DuckDialect {
                 if (!topComma) sb.append(", ','")
                 sb.append(')')
                 i = after
+              }
+            case "read_csv" | "read_csv_auto" | "read_json" |
+                 "read_json_auto" =>
+              // DuckDB's named options (`header = true`) parse as
+              // attribute-equality predicates, which the analyzer
+              // rejects BEFORE the table-function builder runs — so the
+              // FIRST parse only succeeds for option-free calls; this
+              // rewrite flattens each `ident = expr` argument into a
+              // ('ident', expr) literal pair that DuckCompat's builder
+              // re-pairs (values and bracket lists rewrite recursively).
+              scanCall(sql, j).flatMap { case (after, _) =>
+                splitTop(sql.substring(j + 1, after - 1)).map { args =>
+                  val OptRe =
+                    """(?s)^\s*([A-Za-z_][A-Za-z_0-9]*)\s*=\s*(?!=)(.*)$""".r
+                  val flat = args.map {
+                    case OptRe(k, v) => sqlLit(k) + ", " + rewrite(v).trim
+                    case other => rewrite(other).trim
+                  }
+                  sb.append(lower).append('(')
+                    .append(flat.mkString(", ")).append(')')
+                  i = after
+                }
               }
             case "list_distinct" =>
               scanCall(sql, j).map { case (after, _) =>
@@ -1090,6 +1112,120 @@ object DuckDialect {
       off = off + r + kw.length
     }
     out
+  }
+
+  /** [[bridgeSampleRows]] applied at EVERY nesting depth: the top-level
+    * statement first, then each parenthesized segment recursively (a
+    * sampled subquery — `SELECT count(*) FROM (SELECT * FROM t USING
+    * SAMPLE 7 ROWS)` — is the common aggregate-contract shape). Quoted
+    * regions are skipped by the same scan the rest of the shim uses. */
+  private def bridgeSampleRowsDeep(sql: String): String = {
+    val top = bridgeSampleRows(sql)
+    if (topKeywordAll(top, "using").isEmpty &&
+      !top.toLowerCase(java.util.Locale.ROOT).contains("using")) return top
+    val n = top.length
+    val sb = new StringBuilder(n + 16)
+    var i = 0
+    while (i < n) top.charAt(i) match {
+      case '\'' =>
+        sb.append('\''); i += 1
+        var closed = false
+        while (i < n && !closed) {
+          top.charAt(i) match {
+            case '\'' if i + 1 < n && top.charAt(i + 1) == '\'' =>
+              sb.append("''"); i += 2
+            case '\'' => sb.append('\''); closed = true; i += 1
+            case ch => sb.append(ch); i += 1
+          }
+        }
+      case '(' => scanCall(top, i) match {
+        case Some((after, _)) =>
+          sb.append('(')
+            .append(bridgeSampleRowsDeep(top.substring(i + 1, after - 1)))
+            .append(')')
+          i = after
+        case None => sb.append(top.substring(i)); i = n
+      }
+      case ch => sb.append(ch); i += 1
+    }
+    sb.toString
+  }
+
+  /** DuckDB's `USING SAMPLE n [ROWS]` — a RANDOM RESERVOIR of exactly
+    * min(n, |input|) rows (verified), applied BEFORE the WHERE clause
+    * (verified: `FROM range(100) WHERE range>49 USING SAMPLE 5 ROWS`
+    * filters the 5 sampled rows, returning ~2.5). Spark's
+    * `TABLESAMPLE (n ROWS)` is a plain LIMIT — silently different rows
+    * — so the bridge rewrites the FROM relation into
+    *   FROM (SELECT * FROM rel ORDER BY rand() LIMIT n) alias
+    * a true uniform-n (every row equally likely, like the reservoir):
+    * Spark plans ORDER BY+LIMIT as TakeOrderedAndProject — an O(n)
+    * per-partition bounded heap, no full sort, no extra shuffle — the
+    * 100 TB-safe shape. Both engines draw DIFFERENT random rows (as two
+    * DuckDB runs do), so only aggregate contracts (counts) are
+    * oracle-comparable — q173 pins the row-count semantics.
+    *
+    * Bridged subset: single ident relation [alias], optional WHERE
+    * between relation and the sample clause (kept OUTSIDE the sampled
+    * subquery — sample-before-WHERE, as DuckDB), optional ORDER BY /
+    * LIMIT tail after it. Refused → guidance: the PERCENT form (the
+    * char-scan bridges it to TABLESAMPLE), method/seed parens,
+    * REPEATABLE, joins/subqueries in FROM, GROUP BY (DuckDB's own
+    * parser rejects sample-then-group anyway). */
+  private def bridgeSampleRows(sql: String): String = {
+    val usingAt = topKeyword(sql, "using")
+    if (usingAt < 0) return sql
+    var i = usingAt + 5
+    def ws(): Unit =
+      while (i < sql.length && Character.isWhitespace(sql.charAt(i))) i += 1
+    ws()
+    if (!readWord(sql, i).equalsIgnoreCase("sample")) return sql
+    i += 6; ws()
+    val numStart = i
+    while (i < sql.length && Character.isDigit(sql.charAt(i))) i += 1
+    val num = sql.substring(numStart, i)
+    if (num.isEmpty) return sql // method-first forms -> guidance
+    ws()
+    if (i < sql.length && (sql.charAt(i) == '%' ||
+      readWord(sql, i).equalsIgnoreCase("percent"))) return sql
+    if (readWord(sql, i).equalsIgnoreCase("rows")) { i += 4; ws() }
+    if (i < sql.length && sql.charAt(i) == '(') return sql // method/seed
+    if (readWord(sql, i).equalsIgnoreCase("repeatable")) return sql
+    val tail = sql.substring(i).trim
+    if (tail.nonEmpty) {
+      val w = readWord(tail, 0).toLowerCase(java.util.Locale.ROOT)
+      if (w != "order" && w != "limit" && w != "offset") return sql
+    }
+    if (hasTopSetOp(sql)) return sql
+    for (kw <- Seq("group", "having", "qualify", "window", "join"))
+      if (topKeyword(sql, kw) >= 0) return sql
+    val ord = topKeyword(sql, "order")
+    if (ord >= 0 && ord < usingAt) return sql // ORDER before sample
+    val f = topKeyword(sql, "from")
+    if (f < 0 || f > usingAt) return sql
+    var j = f + 4
+    while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+    val rel = parseIdentChain(sql, j) match {
+      case Some((ident, after)) => j = after; ident
+      case None => return sql
+    }
+    while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+    var alias = rel.split('.').last
+    if (j < usingAt) {
+      val w = readWord(sql, j)
+      if (w.nonEmpty && !Keywords(w.toLowerCase(java.util.Locale.ROOT))) {
+        alias = w; j += w.length
+        while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+      }
+    }
+    // between the relation and USING only whitespace or a WHERE clause
+    // may sit (commas/joins -> guidance); it stays OUTSIDE the sample
+    val between = sql.substring(j, usingAt)
+    if (between.trim.nonEmpty &&
+      !readWord(between.trim, 0).equalsIgnoreCase("where")) return sql
+    sql.substring(0, f) +
+      s"FROM (SELECT * FROM $rel ORDER BY rand() LIMIT $num) $alias " +
+      between.trim + (if (between.trim.isEmpty) "" else " ") + tail
   }
 
   /** DuckDB's ASOF JOIN (Spark has none — parse error) → an equi+range
@@ -1846,6 +1982,116 @@ object DuckDialect {
     else None
   }
 
+  /** DuckDB `COPY (query) TO 'path' [(options)]` / `COPY table TO …`
+    * (reference surface: arbitrary DuckDB SQL through `query()`), the
+    * r10 statement bridge — previously guidance-only. Executes the
+    * source (the inner query runs through [[sqlNoCompat]], so it may
+    * itself carry duckisms), writes it, and returns DuckDB's result
+    * shape: one row, one BIGINT column named `Count` (verified).
+    *
+    * Options bridged: FORMAT PARQUET|CSV|JSON (default: by path
+    * extension, else CSV), HEADER [true|false] (CSV; DuckDB default
+    * true — verified), DELIMITER/DELIM/SEP 'c'. Other options raise
+    * with the supported list.
+    *
+    * DOCUMENTED DIVERGENCE: Spark writes a DIRECTORY of part files
+    * where DuckDB writes one file — the scale-correct choice (a single
+    * 100 TB output file serializes the whole job through one writer);
+    * readers glob the directory exactly like every other Spark output.
+    * Existing output is overwritten (DuckDB overwrites too — verified).
+    * The returned Count is taken from the WRITTEN data (parquet: a
+    * metadata-only read; csv/json: one linear scan of what was just
+    * written) so the source query executes exactly once. */
+  private def bridgeCopyTo(
+      spark: SparkSession, text: String): Option[DataFrame] = {
+    val t = text.trim.stripSuffix(";").trim
+    if (!readWord(t, 0).equalsIgnoreCase("copy")) return None
+    var i = 4
+    def ws(): Unit =
+      while (i < t.length && Character.isWhitespace(t.charAt(i))) i += 1
+    ws()
+    if (i >= t.length) return None
+    val source: org.apache.spark.sql.DataFrame =
+      if (t.charAt(i) == '(') scanCall(t, i) match {
+        case Some((after, _)) =>
+          val inner = t.substring(i + 1, after - 1)
+          i = after
+          sqlNoCompat(spark, inner)
+        case None => return None
+      } else parseIdentChain(t, i) match {
+        case Some((ident, after)) =>
+          i = after
+          if (i < t.length && t.charAt(i) == '(') return None // col list
+          spark.table(ident)
+        case None => return None
+      }
+    ws()
+    if (!readWord(t, i).equalsIgnoreCase("to")) return None
+    i += 2; ws()
+    if (i >= t.length || t.charAt(i) != '\'') return None
+    i += 1
+    val pathSb = new StringBuilder
+    var closed = false
+    while (i < t.length && !closed) t.charAt(i) match {
+      case '\'' if i + 1 < t.length && t.charAt(i + 1) == '\'' =>
+        pathSb.append('\''); i += 2
+      case '\'' => closed = true; i += 1
+      case ch => pathSb.append(ch); i += 1
+    }
+    if (!closed) return None
+    val path = pathSb.toString
+    ws()
+    var fmt = ""
+    var header = true
+    var delim = ","
+    if (i < t.length && t.charAt(i) == '(') scanCall(t, i) match {
+      case Some((after, _)) =>
+        val opts = t.substring(i + 1, after - 1)
+        i = after
+        for (o <- opts.split(',').map(_.trim).filter(_.nonEmpty)) {
+          val k = readWord(o, 0).toLowerCase(java.util.Locale.ROOT)
+          val v = o.drop(k.length).trim
+            .stripPrefix("'").stripSuffix("'")
+            .toLowerCase(java.util.Locale.ROOT)
+          k match {
+            case "format" => fmt = v
+            case "header" => header = v.isEmpty || v == "true" || v == "1"
+            case "delimiter" | "delim" | "sep" =>
+              delim = o.drop(k.length).trim.stripPrefix("'").stripSuffix("'")
+            case other => throw new IllegalArgumentException(
+              s"COPY option '$other' is not bridged (supported: FORMAT " +
+                "PARQUET|CSV|JSON, HEADER, DELIMITER) — use " +
+                "df.write options for the rest")
+          }
+        }
+      case None => return None
+    }
+    ws()
+    if (i < t.length) return None // trailing junk -> guidance
+    if (fmt.isEmpty) {
+      val lower = path.toLowerCase(java.util.Locale.ROOT)
+      fmt = if (lower.endsWith(".parquet")) "parquet"
+      else if (lower.endsWith(".json") || lower.endsWith(".ndjson")) "json"
+      else "csv"
+    }
+    val w = source.write.mode("overwrite")
+    fmt match {
+      case "parquet" => w.parquet(path)
+      case "json" => w.json(path)
+      case "csv" => w.option("header", header).option("sep", delim).csv(path)
+      case other => throw new IllegalArgumentException(
+        s"COPY FORMAT '$other' is not bridged (parquet, csv, json)")
+    }
+    val n = fmt match {
+      case "parquet" => spark.read.parquet(path).count()
+      case "json" => spark.read.json(path).count()
+      case _ => spark.read.option("header", header).option("sep", delim)
+        .csv(path).count()
+    }
+    import spark.implicits._
+    Some(Seq(n).toDF("Count"))
+  }
+
   /** The dialect-tolerant `spark.sql`: valid Spark SQL runs untouched;
     * on a parse/analysis failure the rewrite is tried once; a still-
     * failing (or unbridgeable) statement raises [[guidance]]. Shared by
@@ -1863,7 +2109,17 @@ object DuckDialect {
     sqlNoCompat(spark, text)
   }
 
-  private def sqlNoCompat(spark: SparkSession, text: String): DataFrame =
+  private def sqlNoCompat(spark: SparkSession, text: String): DataFrame = {
+    // COPY … TO never parses as Spark SQL — dispatch the statement
+    // bridge first; an unbridgeable COPY shape gets the guidance table
+    if (readWord(text.trim, 0).equalsIgnoreCase("copy"))
+      return bridgeCopyTo(spark, text).getOrElse(
+        throw new IllegalArgumentException(guidance(text,
+          "(COPY is not Spark SQL)",
+          "(COPY statement outside the bridged subset: COPY (query)|" +
+            "table TO 'path' [(FORMAT PARQUET|CSV|JSON, HEADER, " +
+            "DELIMITER)] — COPY FROM and column lists are not bridged; " +
+            "use spark.read/INSERT instead)")))
     try spark.sql(text)
     catch {
       case e: org.apache.spark.sql.AnalysisException // incl. parse
@@ -1908,12 +2164,13 @@ object DuckDialect {
               guidance(text, e.getMessage, e2.getMessage), e2)
         }
     }
+  }
 
   /** DuckDB-isms this shim deliberately does NOT bridge (arg shapes or
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(struct_pack|list_slice|array_slice|list_prepend|quantile_disc|quantile|string_split|str_split|string_to_array|read_csv|read_json)\s*\(|(?i)\b(?:date_diff|datediff|date_sub|datesub)\s*\(\s*'|\*\s+(?i:REPLACE)\b|(?i)\basof\s+(?:left\s+)?join\b""".r
+    """(?i)\b(list_prepend|quantile_disc|quantile|string_split|str_split|string_to_array)\s*\(|(?i)\b(?:date_diff|datediff)\s*\(\s*'|\*\s+(?i:REPLACE)\b|(?i)\basof\s+(?:left\s+)?join\b|(?i)\busing\s+sample\b""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined
@@ -1978,9 +2235,18 @@ object DuckDialect {
        |  'max'/'count') (integer sums are BIGINT not HUGEINT; DECIMAL
        |  sums widen to DOUBLE), 1- and 2-arg array_length,
        |  list_reduce (seedless fold; empty lists raise, as DuckDB),
-       |  list_slice/array_slice (3-arg LIST form, arbitrary mixed-sign
-       |  bounds with DuckDB's clamping; the STRING form has no twin —
-       |  use substring — and the 4-arg step form is unbridged),
+       |  list_slice/array_slice (LIST and STRING forms, arbitrary
+       |  mixed-sign bounds with DuckDB's clamping, 4-arg step walks;
+       |  string+step raises as DuckDB itself does),
+       |  list_extract/array_extract (lists AND strings — 1-based
+       |  character access, '' out of range, as DuckDB),
+       |  date_sub('part', a, b) (complete clamped intervals, the
+       |  start-anchored walk DuckDB uses; 2-arg stays Spark's),
+       |  read_csv/read_json [+_auto] table functions (literal path or
+       |  path list; header/delim/quote/escape/nullstr/names/
+       |  all_varchar, json format auto|newline_delimited|array; DuckDB
+       |  names headerless columns column0..N — so does this; inferred
+       |  INT widths can differ, cast where width matters),
        |  strftime/strptime (see above), and the delta_scan('path') TABLE
        |  function (graft's public-protocol Delta reader; non-Delta paths
        |  fall back to a parquet scan).
@@ -1989,18 +2255,12 @@ object DuckDialect {
        |  microsecond; century/decade/millennium have no timestampdiff
        |  twin — derive from extract(year …).
        |Known DuckDB-isms with NO direct Spark twin (rewrite by hand):
-       |  date_sub('part', a, b) (DuckDB counts complete intervals
-       |  WITH month-end clamping — Jan-31→Feb-28 is 1 month; java.time
-       |  disagrees, so check your edge semantics against
-       |  timestampdiff(PART, a, b)),
-       |  list_extract/array_extract on STRINGS (use substring),
        |  SELECT * REPLACE with a non-`expr AS bare_ident` item
        |  (the `expr AS col` form IS bridged into * EXCEPT + appended
        |  aliases — note the replaced columns move to the END of the
-       |  projection; * EXCLUDE bridges to Spark's * EXCEPT),
-       |  read_csv/read_json (auto-detection differs; use spark.read with
-       |  explicit options). read_parquet('one path') IS translated to
-       |  parquet.`path`; file LISTS and option args are not.
+       |  projection; * EXCLUDE bridges to Spark's * EXCEPT).
+       |  read_parquet('one path') IS translated to parquet.`path`;
+       |  for file LISTS and options use read_csv-style table functions.
        |  ASOF [LEFT] JOIN IS bridged for the single-join two-table
        |  form (equi conjuncts + ONE inequality naming both aliases;
        |  no WHERE — DuckDB filters AFTER the asof pick, a wrap would
@@ -2012,13 +2272,16 @@ object DuckDialect {
        |  union+ordered-window composition as guidance.
        |  Outside that subset, compose an equi+range join with a
        |  row_number()=1 pick per left row (the q51_asof_join corpus
-       |  query is the reference shape). COPY (…) TO 'path': use
-       |  INSERT OVERWRITE DIRECTORY 'path' USING parquet (…) — note
-       |  Spark writes a directory of part files, not one file.
-       |  USING SAMPLE n ROWS: DuckDB draws a RANDOM reservoir sample
-       |  where Spark's TABLESAMPLE (n ROWS) is a plain limit — use
-       |  ORDER BY rand() LIMIT n for a true random-n; the PERCENT form
-       |  IS bridged (both engines: per-row random, not comparable
-       |  run-to-run).
+       |  query is the reference shape). COPY (query)|table TO 'path'
+       |  [(FORMAT PARQUET|CSV|JSON, HEADER, DELIMITER)] IS bridged —
+       |  returns DuckDB's Count row; Spark writes a DIRECTORY of part
+       |  files, not one file (the scale-correct divergence). COPY FROM
+       |  and column lists are not bridged.
+       |  USING SAMPLE n [ROWS] IS bridged for a single-relation FROM
+       |  [+ WHERE]: a true uniform random-n via ORDER BY rand() LIMIT n
+       |  (TakeOrdered — no full sort), applied BEFORE the WHERE as
+       |  DuckDB does; both engines draw different random rows, so only
+       |  aggregate contracts compare. The PERCENT form bridges to
+       |  TABLESAMPLE; method/seed/REPEATABLE forms are not bridged.
        |Original SQL: $original""".stripMargin
 }

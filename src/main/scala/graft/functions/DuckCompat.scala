@@ -388,6 +388,279 @@ object DuckCompat {
       copy(left = l, right = r)
   }
 
+  /** DuckDB `list_extract(x, i)` / `array_extract(x, i)` — TYPE-AMBIGUOUS
+    * like `len` (the r10 reason it moved from a text rename to an
+    * analysis-time expression): 1-based element access on LISTS, but
+    * 1-based CHARACTER access on STRINGS. Verified against the installed
+    * DuckDB: lists — negative i from the end, i = 0 and out-of-range →
+    * NULL; strings — negative i from the end, i = 0 / out-of-range →
+    * EMPTY STRING (not NULL); NULL input or index → NULL (both forms).
+    *
+    * RuntimeReplaceable: the replacement is composed AFTER the children
+    * resolve (the dataType dispatch needs the schema), from fully-typed
+    * resolved nodes — explicit casts, typed literals — because
+    * ReplaceExpressions swaps it in post-analysis where no coercion
+    * runs. Array access is TryEval(ElementAt) (try_element_at), exactly
+    * the text rename this replaces, so array behavior is unchanged. */
+  case class DuckListExtract(left: Expression, right: Expression)
+      extends Expression with RuntimeReplaceable {
+    override def children: Seq[Expression] = Seq(left, right)
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (_: StringType | _: ArrayType | NullType,
+          ByteType | ShortType | IntegerType | LongType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (_: StringType | _: ArrayType | NullType, NullType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"list_extract expects (STRING|ARRAY, INTEGER), got " +
+            s"(${l.sql}, ${r.sql})")
+      }
+    override lazy val replacement: Expression = left.dataType match {
+      case _: StringType =>
+        val idx = Cast(right, IntegerType)
+        If(EqualTo(idx, Literal(0)),
+          Literal(UTF8String.fromString(""), StringType),
+          Substring(left, idx, Literal(1)))
+      case ArrayType(et, _) =>
+        val idx = Cast(right, IntegerType)
+        // index 0 → NULL in DuckDB, but Spark's try_element_at THROWS
+        // INVALID_INDEX_OF_ZERO (deliberately uncaught — a usage error,
+        // not a data error, and constant folding evaluates the branch
+        // bottom-up even under the If guard) — so ElementAt only ever
+        // sees a substitute non-zero index; the outer If discards it
+        val safeIdx = If(EqualTo(idx, Literal(0)), Literal(1), idx)
+        If(EqualTo(idx, Literal(0)), Literal.create(null, et),
+          TryEval(ElementAt(left, safeIdx, None, failOnError = true)))
+      case _ => Literal.create(null, NullType)
+    }
+    override def prettyName: String = "list_extract"
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): DuckListExtract =
+      copy(left = cs(0), right = cs(1))
+  }
+
+  /** DuckDB `list_slice(x, b, e[, step])` / `array_slice` — the r10
+    * superset of the r9 parse-time composition (which only knew the
+    * 3-arg LIST form): TYPE-DISPATCHED like [[DuckListExtract]], so the
+    * STRING form and the 4-arg STEP form resolve instead of landing in
+    * guidance. All clamp semantics verified against the installed
+    * DuckDB:
+    *   - 3-arg, lists: 1-based inclusive bounds, negatives from the end
+    *     (sz+i+1), begin clamped up to 1, end clamped down to sz,
+    *     begin > end → empty — unchanged from r9.
+    *   - 3-arg, strings: the SAME clamp formula over characters,
+    *     'DuckDB'[2..4] = 'uck', (4,2) → '', (-100,100) → whole string.
+    *   - 4-arg, lists: inclusive bounds walked by step. step > 0: begin
+    *     clamped up to 1, end down to sz, begin > end → empty. step < 0
+    *     walks DOWNWARD from begin to end: begin < 1 → empty, else
+    *     begin clamped down to sz, end clamped up to 1, begin < end →
+    *     empty ((5,1,-2) → [5,3,1], (3,0,-1) → [3,2,1], (0,5,-1) → [],
+    *     (100,-100,-2) → [5,3,1]). step = 0 raises (DuckDB: Invalid
+    *     Input; here Sequence's step check raises the same way).
+    *   - 4-arg on STRINGS: refused — DuckDB itself ships "Not
+    *     implemented" for string step slicing.
+    *   - NULL in any argument → NULL (both engines).
+    * The step walk composes sequence(B, E, step) → transform(i → x[i])
+    * over indices the clamps already bounded to [1, sz] — ArrayTransform
+    * is CodegenFallback (as Spark ships it), acceptable on the dialect
+    * surface, never in an operator hot loop. */
+  case class DuckListSlice(args: Seq[Expression])
+      extends Expression with RuntimeReplaceable {
+    override def children: Seq[Expression] = args
+    private def x = args.head
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val boundsOk = args.tail.forall(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | NullType => true
+        case _ => false
+      })
+      if (!boundsOk) return TypeCheckResult.TypeCheckFailure(
+        "list_slice bounds/step must be integers")
+      x.dataType match {
+        case _: ArrayType | NullType => TypeCheckResult.TypeCheckSuccess
+        case _: StringType if args.length == 3 =>
+          TypeCheckResult.TypeCheckSuccess
+        case _: StringType => TypeCheckResult.TypeCheckFailure(
+          "list_slice with a step is not implemented for strings (DuckDB" +
+            " refuses it too); slice characters with substring instead")
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"list_slice expects a LIST or STRING, got ${t.sql}")
+      }
+    }
+    override lazy val replacement: Expression = {
+      val bi = Cast(args(1), IntegerType)
+      val ei = Cast(args(2), IntegerType)
+      x.dataType match {
+        case _: StringType =>
+          val sz = Length(x)
+          val bp = CaseWhen(Seq((LessThan(bi, Literal(0)),
+            Add(Add(sz, bi), Literal(1)))), bi)
+          val bc = CaseWhen(Seq((LessThan(bp, Literal(1)), Literal(1))), bp)
+          val ep = CaseWhen(Seq((LessThan(ei, Literal(0)),
+            Add(Add(sz, ei), Literal(1)))), ei)
+          val ec = CaseWhen(Seq((GreaterThan(ep, sz), sz)), ep)
+          val len0 = Add(Subtract(ec, bc), Literal(1))
+          Substring(x, bc,
+            CaseWhen(Seq((LessThan(len0, Literal(0)), Literal(0))), len0))
+        case at @ ArrayType(_, _) =>
+          val sz = Size(x, legacySizeOfNull = false)
+          def fromEnd(i: Expression) = CaseWhen(Seq((LessThan(i, Literal(0)),
+            Add(Add(sz, i), Literal(1)))), i)
+          if (args.length == 3) {
+            val bc = CaseWhen(
+              Seq((LessThan(fromEnd(bi), Literal(1)), Literal(1))),
+              fromEnd(bi))
+            val ec = CaseWhen(Seq((GreaterThan(fromEnd(ei), sz), sz)),
+              fromEnd(ei))
+            val len0 = Add(Subtract(ec, bc), Literal(1))
+            Slice(x, bc,
+              CaseWhen(Seq((LessThan(len0, Literal(0)), Literal(0))), len0))
+          } else {
+            val si = Cast(args(3), IntegerType)
+            val bp = fromEnd(bi)
+            val ep = fromEnd(ei)
+            // step > 0: B = max(bp, 1), E = min(ep, sz), empty when B > E
+            // step < 0: empty when bp < 1; B = min(bp, sz),
+            //           E = max(ep, 1), empty when B < E
+            val b2 = CaseWhen(Seq(
+              (GreaterThan(si, Literal(0)),
+                CaseWhen(Seq((LessThan(bp, Literal(1)), Literal(1))), bp)),
+              (LessThan(bp, Literal(1)), Literal(0)), // neg-step sentinel
+              (GreaterThan(bp, sz), sz)), bp)
+            val e2 = CaseWhen(Seq(
+              (GreaterThan(si, Literal(0)),
+                CaseWhen(Seq((GreaterThan(ep, sz), sz)), ep)),
+              (LessThan(ep, Literal(1)), Literal(1))), ep)
+            val empty = Or(
+              And(GreaterThan(si, Literal(0)), GreaterThan(b2, e2)),
+              And(LessThan(si, Literal(0)),
+                Or(EqualTo(b2, Literal(0)), LessThan(b2, e2))))
+            val lv = NamedLambdaVariable("i", IntegerType, nullable = false)
+            val walk = ArrayTransform(
+              new Sequence(b2, e2, Some(si), Some("UTC")),
+              LambdaFunction(ElementAt(x, lv, None, failOnError = true),
+                Seq(lv)))
+            If(IsNull(x), Literal.create(null, at),
+              CaseWhen(Seq((empty,
+                Literal(new org.apache.spark.sql.catalyst.util
+                  .GenericArrayData(Array.empty[Any]), at))), walk))
+          }
+        case _ => Literal.create(null, NullType)
+      }
+    }
+    override def prettyName: String = "list_slice"
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): DuckListSlice = copy(args = cs)
+  }
+
+  /** DuckDB `date_sub('part', a, b)`: complete-interval count from a
+    * START-ANCHORED walk — NOT boundary crossings (that is date_diff)
+    * and NOT java.time's month arithmetic. Verified against the
+    * installed DuckDB:
+    *   - month family (month/quarter/year/decade/century/millennium):
+    *     the count of whole units n such that a + n·unit ≤ b, where the
+    *     month-add CLAMPS to month-end (Jan-31 + 1 month = Feb-28, so
+    *     date_sub('month', Jan-31, Feb-28) = 1 where java.time's
+    *     MONTHS.between says 0); time-of-day rides along (Jan-31 05:00 →
+    *     Feb-28 04:59:59 is 0, … 05:00:00 is 1).
+    *   - fixed-width parts (week/day/hour/minute/second/ms/us): the
+    *     microsecond difference over the unit width, truncated toward
+    *     zero.
+    *   - backward ranges NEGATE the forward count (Feb-28 → Jan-31 =
+    *     −1, the mirror of Jan-31 → Feb-28 = 1) — verified, and NOT the
+    *     same as a floor (floor would give −2 for −1.98 hours; DuckDB
+    *     gives −1).
+    * java.time.plusMonths clamps exactly like DuckDB's month-add, so the
+    * walk is: raw month-diff / unit, minus at most one unit when the
+    * clamped landing overshoots b (proof in [[dateSubMonthFamily]]).
+    * Whole-stage codegen via static helper calls. */
+  case class DuckDateSub(part: String, left: Expression, right: Expression)
+      extends BinaryExpression {
+    private val unitMonths: Int = part match {
+      case "month" => 1; case "quarter" => 3; case "year" => 12
+      case "decade" => 120; case "century" => 1200
+      case "millennium" => 12000; case _ => 0
+    }
+    private val widthUs: Long = part match {
+      case "week" => 7L * 86400000000L
+      case "day" => 86400000000L
+      case "hour" => 3600000000L
+      case "minute" => 60000000L
+      case "second" => 1000000L
+      case "millisecond" => 1000L
+      case "microsecond" => 1L
+      case _ => 0L
+    }
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (unitMonths == 0 && widthUs == 0L)
+        return TypeCheckResult.TypeCheckFailure(
+          s"date_sub: unknown part '$part' (year/quarter/month/week/day/" +
+            "hour/minute/second/millisecond/microsecond and the " +
+            "decade/century/millennium month multiples)")
+      def ok(t: DataType) = t match {
+        case _: DateType | _: TimestampType | _: TimestampNTZType => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"date_sub expects DATE/TIMESTAMP operands, got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
+    override def dataType: DataType = LongType
+    private def micros(v: Any, t: DataType): Long = t match {
+      case _: DateType => v.asInstanceOf[Int] * 86400000000L
+      case _ => v.asInstanceOf[Long]
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (am, bm) = (micros(a, left.dataType), micros(b, right.dataType))
+      if (unitMonths > 0) dateSubMonthFamily(unitMonths, am, bm)
+      else (bm - am) / widthUs
+    }
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      def m(c: String, t: DataType): String = t match {
+        case _: DateType => s"($c * 86400000000L)"
+        case _ => c
+      }
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        if (unitMonths > 0)
+          s"${ev.value} = graft.functions.DuckCompat.dateSubMonthFamily(" +
+            s"$unitMonths, ${m(a, left.dataType)}, ${m(b, right.dataType)});"
+        else
+          s"${ev.value} = (${m(b, right.dataType)} - " +
+            s"${m(a, left.dataType)}) / ${widthUs}L;")
+    }
+    override def prettyName: String = "date_sub"
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DuckDateSub =
+      copy(left = l, right = r)
+  }
+
+  /** Static helper for [[DuckDateSub]]'s month family (called from
+    * generated code): whole clamped units from a start-anchored walk.
+    * raw/unit never UNDERshoots (plusMonths only clamps days downward,
+    * the landing month is exact), and overshoots by at most one unit
+    * (one decrement moves the landing a full month earlier than b's
+    * month) — so the "loop" is a single conditional. Backward ranges
+    * negate the forward walk (DuckDB-verified). */
+  def dateSubMonthFamily(unitMonths: Int, aMicros: Long, bMicros: Long): Long = {
+    if (aMicros > bMicros) return -dateSubMonthFamily(unitMonths, bMicros, aMicros)
+    val a = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(aMicros, 1000000L),
+      (Math.floorMod(aMicros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val b = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(bMicros, 1000000L),
+      (Math.floorMod(bMicros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val rawMonths = (b.getYear.toLong * 12 + b.getMonthValue) -
+      (a.getYear.toLong * 12 + a.getMonthValue)
+    var n = rawMonths / unitMonths
+    if (n > 0 && a.plusMonths(n * unitMonths).isAfter(b)) n -= 1
+    n
+  }
+
   /** Idempotent per-session registration of the DuckDB-compat names.
     * NOTE: `len` SHADOWS a Spark builtin alias inside the session —
     * deliberately: it keeps Spark's semantics for strings (widened to
@@ -442,36 +715,60 @@ object DuckCompat {
     put("strptime") { es =>
       arity("strptime", 2, es); DuckStrptime(es.head, es(1))
     }
-    // list_slice / array_slice for ARBITRARY (non-literal, mixed-sign)
-    // bounds — the text bridge only reaches single-sign integer
-    // literals. DuckDB's 1-based inclusive bounds with clamping, the
-    // full matrix verified against the installed DuckDB (b=0 → 1,
-    // either end past either edge → clamp/empty, start>end → [],
-    // NULL list/bound → NULL):
-    //   B' = b < 0 ? sz+b+1 : b;   B = B' < 1 ? 1 : B'
-    //   E' = e < 0 ? sz+e+1 : e;   E = E' > sz ? sz : E'
-    //   slice(x, B, max(E-B+1, 0))
-    // CaseWhen, NOT Greatest/Least: a NULL CASE predicate falls to the
-    // ELSE operand (the bound itself, still NULL → Slice propagates),
-    // where Greatest/Least would IGNORE the null and fabricate a bound.
-    // Composed entirely from codegen'd built-ins. The STRING form stays
-    // unbridged (substring is the twin) — a string arg fails Slice's
-    // type check into guidance. The 4-arg step form has no Spark twin.
-    def duckSlice(es: Seq[Expression]): Expression = {
-      val (x, b, e) = (es.head, es(1), es(2))
-      val sz = Size(x, legacySizeOfNull = false)
-      val bp = CaseWhen(Seq((LessThan(b, Literal(0)),
-        Add(Add(sz, b), Literal(1)))), b)
-      val bc = CaseWhen(Seq((LessThan(bp, Literal(1)), Literal(1))), bp)
-      val ep = CaseWhen(Seq((LessThan(e, Literal(0)),
-        Add(Add(sz, e), Literal(1)))), e)
-      val ec = CaseWhen(Seq((GreaterThan(ep, sz), sz)), ep)
-      val len0 = Add(Subtract(ec, bc), Literal(1))
-      Slice(x, bc,
-        CaseWhen(Seq((LessThan(len0, Literal(0)), Literal(0))), len0))
+    // list_slice / array_slice — [[DuckListSlice]] (r10: type-dispatched
+    // RuntimeReplaceable; the r9 parse-time composition only knew the
+    // 3-arg LIST form — the STRING form and the 4-arg STEP form now
+    // resolve instead of landing in guidance). CaseWhen clamp logic and
+    // its NULL rationale live in the expression's Scaladoc.
+    def slices(name: String)(es: Seq[Expression]): Expression = {
+      require(es.length == 3 || es.length == 4,
+        s"$name expects 3 or 4 arguments, got ${es.length}")
+      DuckListSlice(es)
     }
-    put("list_slice") { es => arity("list_slice", 3, es); duckSlice(es) }
-    put("array_slice") { es => arity("array_slice", 3, es); duckSlice(es) }
+    put("list_slice")(slices("list_slice"))
+    put("array_slice")(slices("array_slice"))
+    // list_extract / array_extract — type-ambiguous since the STRING
+    // form exists (character access); [[DuckListExtract]]. The array
+    // branch is try_element_at, exactly the text rename it supersedes.
+    put("list_extract") { es =>
+      arity("list_extract", 2, es); DuckListExtract(es.head, es(1))
+    }
+    put("array_extract") { es =>
+      arity("array_extract", 2, es); DuckListExtract(es.head, es(1))
+    }
+    // list_value: DuckDB's array constructor — registered so statements
+    // whose ONLY other duckism is list_value resolve on the FIRST parse
+    // and reach the analysis-time expressions above (the text rename to
+    // `array` still serves the pure-rewrite path)
+    put("list_value") { es => CreateArray(es) }
+    // date_sub: 3-arg DuckDB form (complete clamped intervals —
+    // [[DuckDateSub]]); the 2-arg form stays Spark's own date_sub(d, n)
+    // (this registration SHADOWS it, so the builder restores it).
+    def dateSub(name: String)(es: Seq[Expression]): Expression = {
+      require(es.length == 2 || es.length == 3,
+        s"$name expects (date, days) or ('part', a, b), got ${es.length}")
+      if (es.length == 2) DateSub(es.head, es(1))
+      else es.head match {
+        case Literal(p: UTF8String, _: StringType) =>
+          val part = p.toString.toLowerCase(java.util.Locale.ROOT) match {
+            case "months" => "month"; case "quarters" => "quarter"
+            case "years" => "year"; case "decades" => "decade"
+            case "centuries" => "century"
+            case "millennia" | "millenniums" => "millennium"
+            case "weeks" => "week"; case "days" => "day"
+            case "hours" => "hour"; case "minutes" | "min" | "mins" => "minute"
+            case "seconds" | "sec" | "secs" => "second"
+            case "milliseconds" | "ms" | "msec" => "millisecond"
+            case "microseconds" | "us" | "usec" => "microsecond"
+            case other => other
+          }
+          DuckDateSub(part, es(1), es(2))
+        case other => throw new IllegalArgumentException(
+          s"$name expects a literal part string, got $other")
+      }
+    }
+    put("date_sub")(dateSub("date_sub"))
+    put("datesub")(dateSub("datesub"))
 
     // list_reduce(l, (acc, e) -> …): DuckDB's seedless fold — seed is the
     // FIRST element, the lambda folds the rest (verified:
@@ -517,6 +814,140 @@ object DuckCompat {
           else spark.read.parquet(path)
         df.queryExecution.analyzed
       }, "built-in")
+
+    // read_csv / read_json as real TABLE FUNCTIONS (r10 — previously
+    // guidance-only): DuckDB's file readers with the option subset that
+    // maps 1:1 onto spark.read. Paths are literal strings or literal
+    // lists (a bracket list parses after the rewrite's bracket bridge —
+    // read_csv(['a','b']) arrives here as CreateArray). Named options
+    // arrive as the parser's `EqualTo(attr, literal)` (DuckDB's
+    // `header = true` spelling) or Spark's `name => value`. Supported:
+    //   csv — header (DuckDB default false; no-header columns are named
+    //   column0..N as DuckDB names them), delim/sep/delimiter, quote,
+    //   escape, nullstr, compression, names (list literal),
+    //   all_varchar (disables inference);
+    //   json — format 'auto'/'newline_delimited'/'nd' (NDJSON, the
+    //   spark.read.json default) or 'array' (multiLine).
+    // sample_size / maximum_object_size / auto_detect are accepted and
+    // ignored (sampling limits, not semantics). Anything else raises
+    // with the supported list — loud, never a silent divergence. Type
+    // inference runs like DuckDB's auto-detection (inferSchema; an
+    // extra sampling pass, same trade DuckDB makes) but the INFERRED
+    // WIDTHS can differ (DuckDB: BIGINT; Spark CSV: INT when values
+    // fit) — cast explicitly where width matters, as q175 does.
+    def readFileArgs(name: String, exprs: Seq[Expression])
+        : (Seq[String], Map[String, Any]) = {
+      def lit(e: Expression): Option[Any] = e match {
+        case Literal(p: UTF8String, _: StringType) => Some(p.toString)
+        case Literal(v, BooleanType | IntegerType | LongType) => Some(v)
+        case _ => None
+      }
+      val paths = exprs.headOption match {
+        case Some(Literal(p: UTF8String, _: StringType)) => Seq(p.toString)
+        case Some(CreateArray(items, _))
+            if items.nonEmpty && items.forall(lit(_).exists(_.isInstanceOf[String])) =>
+          items.map(i => lit(i).get.asInstanceOf[String])
+        case _ => throw new IllegalArgumentException(
+          s"$name expects a literal path or a literal list of paths as " +
+            "the first argument")
+      }
+      // named options arrive THREE ways: `name => value`
+      // (NamedArgumentExpression), `header = true` (EqualTo over an
+      // attribute — only when the analyzer let it through), or the
+      // rewrite's flattened ('header', true) literal PAIRS (the normal
+      // path — DuckDialect.rewrite flattens because the analyzer
+      // rejects unresolved attributes in table-function args before
+      // this builder runs)
+      val rest = exprs.tail
+      val pairs = scala.collection.mutable.ListBuffer.empty[(String, Expression)]
+      var pi = 0
+      while (pi < rest.length) {
+        rest(pi) match {
+          case EqualTo(
+              a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute,
+              v) =>
+            pairs += ((a.name.toLowerCase(java.util.Locale.ROOT), v)); pi += 1
+          case NamedArgumentExpression(key, v) =>
+            pairs += ((key.toLowerCase(java.util.Locale.ROOT), v)); pi += 1
+          case Literal(k: UTF8String, _: StringType) if pi + 1 < rest.length =>
+            pairs += ((k.toString.toLowerCase(java.util.Locale.ROOT),
+              rest(pi + 1))); pi += 2
+          case other => throw new IllegalArgumentException(
+            s"$name options must be named (`header = true`), got $other")
+        }
+      }
+      val opts = pairs.toSeq.map {
+        case (k, CreateArray(items, _))
+            if items.forall(lit(_).exists(_.isInstanceOf[String])) =>
+          k -> items.map(i => lit(i).get.asInstanceOf[String])
+        case (k, v) => k -> lit(v).getOrElse(
+          throw new IllegalArgumentException(
+            s"$name option $k must be a literal"))
+      }.toMap
+      (paths, opts)
+    }
+    val readCsvBuilder = (exprs: Seq[Expression]) => {
+        val (paths, opts) = readFileArgs("read_csv", exprs)
+        val ignored = Set("sample_size", "maximum_object_size", "auto_detect")
+        val r = spark.read.option("inferSchema",
+          !opts.get("all_varchar").contains(true))
+        var header = false
+        var names: Seq[String] = Nil
+        val withOpts = opts.filterNot(kv => ignored(kv._1)).foldLeft(r) {
+          case (acc, ("header", v: Boolean)) => header = v
+            acc.option("header", v)
+          case (acc, ("header", 1L | 1)) => header = true
+            acc.option("header", true)
+          case (acc, ("delim" | "sep" | "delimiter", v: String)) =>
+            acc.option("sep", v)
+          case (acc, ("quote", v: String)) => acc.option("quote", v)
+          case (acc, ("escape", v: String)) => acc.option("escape", v)
+          case (acc, ("nullstr", v: String)) => acc.option("nullValue", v)
+          case (acc, ("compression", v: String)) =>
+            acc.option("compression", v)
+          case (acc, ("names", v: Seq[_])) =>
+            names = v.map(_.toString); acc
+          case (acc, ("all_varchar", _)) => acc
+          case (_, (k, v)) => throw new IllegalArgumentException(
+            s"read_csv option '$k' = $v is not bridged (supported: " +
+              "header, delim/sep, quote, escape, nullstr, compression, " +
+              "names, all_varchar; sample_size/maximum_object_size/" +
+              "auto_detect are ignored) — use spark.read directly for " +
+              "the rest")
+        }
+        var df = withOpts.csv(paths: _*)
+        if (names.nonEmpty)
+          df = df.toDF(names ++
+            df.columns.drop(names.length): _*)
+        else if (!header)
+          // DuckDB names headerless columns column0..N; Spark _c0.._cN
+          df = df.toDF(df.columns.indices.map(i => s"column$i"): _*)
+        df.queryExecution.analyzed
+    }
+    val readJsonBuilder = (exprs: Seq[Expression]) => {
+        val (paths, opts) = readFileArgs("read_json", exprs)
+        val ignored = Set("sample_size", "maximum_object_size",
+          "auto_detect", "records")
+        val r = opts.filterNot(kv => ignored(kv._1)).foldLeft(spark.read) {
+          case (acc, ("format", "auto" | "newline_delimited" | "nd")) => acc
+          case (acc, ("format", "array")) => acc.option("multiLine", true)
+          case (acc, ("compression", v: String)) =>
+            acc.option("compression", v)
+          case (_, (k, v)) => throw new IllegalArgumentException(
+            s"read_json option '$k' = $v is not bridged (supported: " +
+              "format auto/newline_delimited/nd/array, compression) — " +
+              "use spark.read directly for the rest")
+        }
+        r.json(paths: _*).queryExecution.analyzed
+    }
+    // the _auto spellings are DuckDB's auto-detect aliases — same
+    // readers here (inference is already on)
+    for (n <- Seq("read_csv", "read_csv_auto"))
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(n, readCsvBuilder, "built-in")
+    for (n <- Seq("read_json", "read_json_auto"))
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(n, readJsonBuilder, "built-in")
 
     // NOTE deliberately absent: date_diff. Spark's parser grammar-matches
     // the 3-arg form into timestampdiff and rejects DuckDB's quoted unit

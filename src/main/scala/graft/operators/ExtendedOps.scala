@@ -184,6 +184,75 @@ object ExtendedOps {
       |ON l.source = r.source AND l.doc_id > r.doc_id ORDER BY d"""
       .stripMargin.replace("\n", " ")
 
+
+  // q172 — the r10 ANALYSIS-LEVEL bridges in one statement: date_sub
+  // (complete clamped intervals), list_extract on STRINGS (1-based
+  // character access, '' out of range), list_slice on STRINGS, the
+  // 4-arg STEP slice (negative step reverses), and list_value. The
+  // oracle runs the identical text natively in DuckDB — a hash match
+  // certifies every semantic edge (clamping, '' vs NULL, walk order)
+  // end-to-end, not constant-by-constant.
+  private val Dialect5Sql: String =
+    """SELECT event_id,
+      |CAST(date_sub('month', TIMESTAMP '2021-01-31 05:00:00', ts) AS BIGINT) AS m,
+      |CAST(date_sub('day', ts, TIMESTAMP '2022-01-01 00:00:00') AS BIGINT) AS d,
+      |list_extract(event_type, 2) AS c2,
+      |list_extract(event_type, -1) AS clast,
+      |list_extract(event_type, 99) AS cnone,
+      |list_slice(event_type, 2, -2) AS mid,
+      |list_slice(list_value(CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
+      |  CAST(event_id + user_id AS BIGINT), CAST(event_id * 2 AS BIGINT)), 4, 1, -2) AS rev,
+      |list_slice(list_value(CAST(user_id AS BIGINT), CAST(event_id AS BIGINT)), 1, 99, 1) AS walk
+      |FROM events ORDER BY event_id LIMIT 500"""
+      .stripMargin.replace("\n", " ")
+
+  // q173 — USING SAMPLE n [ROWS] (random reservoir, bridged to
+  // ORDER BY rand() LIMIT n — TakeOrdered, no full sort): both engines
+  // draw DIFFERENT random rows, so the oracled contract is the
+  // aggregate shape — exact counts (min(n, |input|)), distinctness
+  // (real rows, no duplication), and sample-before-WHERE bounds. All
+  // BIGINT-cast so the hash compares across engines.
+  private val SampleRowsSql: String =
+    """SELECT
+      |(SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM documents USING SAMPLE 40 ROWS)) AS n40,
+      |(SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM (SELECT * FROM documents USING SAMPLE 40 ROWS)) AS d40,
+      |(SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM documents USING SAMPLE 1000000 ROWS)) AS nall,
+      |(SELECT CAST(count(*) AS BIGINT) FROM documents) AS ntotal"""
+      .stripMargin.replace("\n", " ")
+
+  // q174 — COPY (query) TO 'path' (FORMAT PARQUET): the statement
+  // bridge executes the dialect-tolerant inner query, writes parquet,
+  // and returns DuckDB's one-row Count shape. Spark writes a DIRECTORY
+  // of part files where DuckDB writes one file (the documented
+  // scale-correct divergence) — both report the same Count, and the
+  // spec reads the written data back to prove the bytes landed. The
+  // engines write to DIFFERENT paths so the driver's DuckDB oracle run
+  // never collides with the Verify dump.
+  private val CopyToSparkSql: String =
+    """COPY (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+      |ORDER BY doc_id) TO '/tmp/graft_q174_spark_out' (FORMAT PARQUET)"""
+      .stripMargin.replace("\n", " ")
+  private val CopyToDuckSql: String =
+    """COPY (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+      |ORDER BY doc_id) TO '/tmp/graft_q174_duck_out.parquet' (FORMAT PARQUET)"""
+      .stripMargin.replace("\n", " ")
+
+  // q175 — read_csv / read_json table functions over a fixture BOTH
+  // engines read from the same path: the query builder materializes a
+  // deterministic CSV+NDJSON pair from the nation dim (25 rows —
+  // bounded by construction, a dim-table collect) and the statement
+  // round-trips them with options (header, delim) and a join. Every
+  // column is CAST explicitly: DuckDB infers BIGINT where Spark's CSV
+  // sampler picks INT — the documented width divergence the casts
+  // neutralize.
+  private val ReadFilesSql: String =
+    """SELECT CAST(c.k AS BIGINT) AS k, c.name AS cname, j.name AS jname,
+      |CAST(c.rk AS BIGINT) + CAST(j.rk AS BIGINT) AS rk2
+      |FROM read_csv('/tmp/graft_q175_fixture.csv', header = true, delim = '|') c
+      |JOIN read_json('/tmp/graft_q175_fixture.ndjson') j ON c.k = j.k
+      |ORDER BY k"""
+      .stripMargin.replace("\n", " ")
+
   val all: Seq[GraftQuery] = Seq(
 
     // Right outer (all nations survive a filtered region dim) feeding a
@@ -446,6 +515,52 @@ object ExtendedOps {
         T(s, d, "documents").createOrReplaceTempView("documents")
         graft.DuckDialect.sql(s, AsofSql)
       },
-      Some(AsofSql))
+      Some(AsofSql)),
+
+    GraftQuery("q172_duckdb_dialect5",
+      (s, d) => {
+        T(s, d, "events").createOrReplaceTempView("events")
+        graft.DuckDialect.sql(s, Dialect5Sql)
+      },
+      Some(Dialect5Sql)),
+
+    GraftQuery("q173_duckdb_sample_rows",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, SampleRowsSql)
+      },
+      Some(SampleRowsSql)),
+
+    GraftQuery("q174_duckdb_copy_to",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, CopyToSparkSql)
+      },
+      Some(CopyToDuckSql)),
+
+    GraftQuery("q175_duckdb_read_files",
+      (s, d) => {
+        // deterministic fixture from the nation DIM (25 rows — a
+        // bounded-by-construction driver collect, like the eval panels)
+        val rows = T(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect()
+        val csv = new StringBuilder("k|name|rk\n")
+        val nd = new StringBuilder
+        rows.foreach { r =>
+          val (k, nm, rk) = (r.getAs[Number](0).longValue,
+            r.getString(1), r.getAs[Number](2).longValue)
+          csv.append(s"$k|$nm|$rk\n")
+          nd.append(s"""{"k":$k,"name":"$nm","rk":$rk}\n""")
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("/tmp/graft_q175_fixture.csv"),
+          csv.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("/tmp/graft_q175_fixture.ndjson"),
+          nd.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.DuckDialect.sql(s, ReadFilesSql)
+      },
+      Some(ReadFilesSql))
   )
 }

@@ -110,4 +110,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"plan audit failures (justify + whitelist, or fix the plan):\n" +
         offenders.mkString("\n"))
   }
+
+  // FORCED broadcasts of data-proportional frames (ADVICE r9): a
+  // broadcast() hint on a per-document/per-row frame is an unbounded
+  // driver collect + executor broadcast at the 100 TB design point —
+  // the planner must decide from stats/AQE instead. Broadcast hints on
+  // genuinely bounded dims (eval panels, K-row stats, the ≤1000-row
+  // bench prefix frame) are fine, so the audit is a per-query hint
+  // CENSUS, not a blanket ban: the dedup/graph family whose hints r10
+  // removed must stay hint-free in the OPTIMIZED LOGICAL plan (physical
+  // broadcasts chosen by the planner from honest estimates are allowed
+  // and expected at small SF).
+  test("near-dup/graph family plans carry no broadcast HINTS — the " +
+    "planner, not the code, decides from size (ADVICE r9)") {
+    for (name <- Seq("q45_dedup_ngram_jaccard", "q81_dedup_components",
+      "q97_clean_corpus", "q119_triangles", "q120_pagerank")) {
+      val optimized = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      // ResolvedHint survives into the optimized plan until the join
+      // strategy consumes it — its PRESENCE in the analyzed plan is the
+      // authoritative hint census
+      val analyzed = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.analyzed
+      val hints = analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.isEmpty,
+        s"$name: forced join hint on a data-proportional frame: $hints")
+      assert(optimized != null)
+    }
+  }
 }

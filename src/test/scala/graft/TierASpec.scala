@@ -192,9 +192,9 @@ class TierASpec extends AnyFunSuite {
       "SELECT date_diff('century', a, b)") // unmapped part → guidance
     assert(graft.DuckDialect.unbridgeable(
       "SELECT date_diff('century', a, b) FROM t"))
-    // semantics-divergent names still route to guidance (list_reduce
-    // left this list in r9 — it is a registered seedless fold now)
-    assert(graft.DuckDialect.unbridgeable(
+    // date_sub left the unbridgeable list in r10 — it is a registered
+    // clamped-interval expression now; struct_pack still routes there
+    assert(!graft.DuckDialect.unbridgeable(
       "SELECT date_sub('month', a, b) FROM t"))
     // r9: bracket constructs. List literals → array(); comprehensions
     // → transform/filter; struct literals (quoted OR bare keys) →
@@ -354,8 +354,10 @@ class TierASpec extends AnyFunSuite {
       "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
     assert(rewrite("SELECT * FROM t USING SAMPLE 2.5 PERCENT") ==
       "SELECT * FROM t TABLESAMPLE (2.5 PERCENT)")
+    // the ROWS form bridges since r10: a true uniform random-n via
+    // ORDER BY rand() LIMIT n (TakeOrdered), never a plain limit
     assert(rewrite("SELECT * FROM t USING SAMPLE 10") ==
-      "SELECT * FROM t USING SAMPLE 10")
+      "SELECT * FROM (SELECT * FROM t ORDER BY rand() LIMIT 10) t ")
     assert(rewrite("SELECT * FROM a JOIN b USING (k)") ==
       "SELECT * FROM a JOIN b USING (k)")
     // and it executes (TABLESAMPLE attaches to named relations, not
@@ -533,6 +535,73 @@ class TierASpec extends AnyFunSuite {
     assert(withMax("-1")(graft.DuckDialect.sql(spark, q)).count() == 2)
   }
 
+  test("DuckDialect statement bridges r10: USING SAMPLE n ROWS, COPY TO, " +
+    "read_csv/read_json table functions") {
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW smp AS " +
+      "SELECT id AS k FROM range(100)")
+    def one(q: String): Long =
+      graft.DuckDialect.sql(spark, q).head.getLong(0)
+    // sample: exact n, real distinct rows, min(n, |input|)
+    val r = graft.DuckDialect.sql(spark, "SELECT count(*) AS n, " +
+      "count(DISTINCT k) AS d FROM (SELECT * FROM smp USING SAMPLE 10 ROWS)")
+      .head
+    assert(r.getLong(0) == 10 && r.getLong(1) == 10)
+    assert(one("SELECT count(*) FROM " +
+      "(SELECT * FROM smp USING SAMPLE 1000 ROWS)") == 100)
+    // sample BEFORE the WHERE (DuckDB-verified order): 50 sampled rows
+    // then k >= 90 keeps at most the 10 matching rows, never 50
+    assert(one("SELECT count(*) AS n FROM smp WHERE k >= 90 " +
+      "USING SAMPLE 50 ROWS") <= 10)
+    // alias survives the wrap; tail ORDER BY/LIMIT stays outer
+    assert(graft.DuckDialect.sql(spark, "SELECT s.k FROM smp s " +
+      "USING SAMPLE 5 ROWS ORDER BY s.k LIMIT 3").count() == 3)
+    // method/seed forms refuse into guidance
+    val se = intercept[Exception](graft.DuckDialect.sql(spark,
+      "SELECT * FROM smp USING SAMPLE reservoir(10 ROWS)"))
+    assert(se.getMessage.contains("SAMPLE"))
+    // COPY (query) TO: DuckDB's one-row Count shape, written data real
+    val out = "/tmp/graft_copy_spec"
+    val c = graft.DuckDialect.sql(spark,
+      s"COPY (SELECT k FROM smp WHERE k < 7) TO '$out' (FORMAT PARQUET)")
+    assert(c.columns.toSeq == Seq("Count") && c.head.getLong(0) == 7)
+    assert(spark.read.parquet(out).count() == 7)
+    // overwrite semantics (DuckDB overwrites too — verified)
+    assert(one(s"COPY (SELECT k FROM smp WHERE k < 3) TO '$out' " +
+      "(FORMAT PARQUET)") == 3)
+    assert(spark.read.parquet(out).count() == 3)
+    // COPY table TO csv + read_csv round trip with header and delim
+    assert(one("COPY smp TO '/tmp/graft_copy_spec_csv' " +
+      "(FORMAT CSV, HEADER, DELIMITER ';')") == 100)
+    assert(one("SELECT count(*) FROM read_csv('/tmp/graft_copy_spec_csv'," +
+      " header = true, delim = ';')") == 100)
+    // headerless CSV names columns column0..N as DuckDB does; the
+    // names= option overrides; list-of-paths parses via the bracket
+    // bridge
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_spec_nh.csv"),
+      "1,x\n2,y\n".getBytes("UTF-8"))
+    val nh = graft.DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/graft_spec_nh.csv', header = false)")
+    assert(nh.columns.toSeq == Seq("column0", "column1"))
+    val named = graft.DuckDialect.sql(spark, "SELECT * FROM read_csv(" +
+      "['/tmp/graft_spec_nh.csv'], header = false, names = ['a', 'b'])")
+    assert(named.columns.toSeq == Seq("a", "b"))
+    // read_json: NDJSON default and format='array' (multiLine)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_spec_arr.json"),
+      """[{"a": 1}, {"a": 2}]""".getBytes("UTF-8"))
+    assert(one("SELECT count(*) FROM read_json(" +
+      "'/tmp/graft_spec_arr.json', format = 'array')") == 2)
+    // loud refusals: unknown read option, unbridged COPY format,
+    // COPY FROM shapes
+    val oe = intercept[Exception](graft.DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/graft_spec_nh.csv', skip = 2)"))
+    assert(oe.getMessage.contains("not bridged"))
+    val fe = intercept[Exception](graft.DuckDialect.sql(spark,
+      "COPY (SELECT 1) TO '/tmp/x' (FORMAT ORC)"))
+    assert(fe.getMessage.contains("ORC") || fe.getMessage.contains("orc"))
+  }
+
   test("DuckCompat registered functions: the analyze-level bridges " +
     "(VERDICT r8 item 1) return the installed DuckDB's answers") {
     // through the REAL entry point (DuckDialect.sql registers + runs)
@@ -596,6 +665,102 @@ class TierASpec extends AnyFunSuite {
     val badFmt = intercept[Exception](one("SELECT strftime(TIMESTAMP " +
       "'2021-01-01 00:00:00', '%U')"))
     assert(badFmt.getMessage.contains("JDK"))
+  }
+
+  test("DuckCompat r10 bridges: date_sub / list_extract strings / " +
+    "list_slice string + step forms — every expected answer is the " +
+    "installed DuckDB's") {
+    def one(duck: String): Any =
+      graft.DuckDialect.sql(spark, duck).head.get(0)
+    // date_sub: COMPLETE CLAMPED INTERVALS, start-anchored (all values
+    // DuckDB-verified): Jan-31 + 1 clamped month = Feb-28
+    assert(one("SELECT date_sub('month', DATE '2021-01-31', " +
+      "DATE '2021-02-28')") == 1L)
+    assert(one("SELECT date_sub('month', DATE '2021-01-31', " +
+      "DATE '2021-02-27')") == 0L)
+    assert(one("SELECT date_sub('month', DATE '2021-01-31', " +
+      "DATE '2021-03-01')") == 1L)
+    assert(one("SELECT date_sub('year', DATE '2020-02-29', " +
+      "DATE '2021-02-28')") == 1L)
+    // backward = negated forward (NOT floor): -1, not -2
+    assert(one("SELECT date_sub('month', DATE '2021-02-28', " +
+      "DATE '2021-01-31')") == -1L)
+    assert(one("SELECT date_sub('month', DATE '2021-03-31', " +
+      "DATE '2021-01-31')") == -2L)
+    assert(one("SELECT date_sub('hour', TIMESTAMP '2021-01-01 12:29:00'," +
+      " TIMESTAMP '2021-01-01 10:30:00')") == -1L)
+    // time-of-day rides along the clamped month walk
+    assert(one("SELECT date_sub('month', TIMESTAMP '2021-01-31 05:00:00'," +
+      " TIMESTAMP '2021-02-28 04:59:59')") == 0L)
+    assert(one("SELECT date_sub('month', TIMESTAMP '2021-01-31 05:00:00'," +
+      " TIMESTAMP '2021-02-28 05:00:00')") == 1L)
+    // fixed-width parts truncate toward zero; month multiples clamp
+    assert(one("SELECT date_sub('day', TIMESTAMP '2021-01-01 12:00:00', " +
+      "TIMESTAMP '2021-01-03 11:59:59')") == 1L)
+    assert(one("SELECT date_sub('week', DATE '2021-01-01', " +
+      "DATE '2021-01-15')") == 2L)
+    assert(one("SELECT date_sub('quarter', DATE '2021-01-31', " +
+      "DATE '2021-04-30')") == 1L)
+    assert(one("SELECT date_sub('decade', DATE '2000-06-15', " +
+      "DATE '2021-06-14')") == 2L)
+    assert(one("SELECT date_sub('minute', TIMESTAMP '2021-01-01 00:00:30'," +
+      " TIMESTAMP '2021-01-01 00:02:29')") == 1L)
+    assert(one("SELECT date_sub('millisecond', " +
+      "TIMESTAMP '2021-01-01 00:00:00.0015', " +
+      "TIMESTAMP '2021-01-01 00:00:00.0041')") == 2L)
+    // 2-arg form keeps Spark's own date_sub(date, days)
+    assert(one("SELECT date_sub(DATE '2021-01-03', 2)").toString ==
+      "2021-01-01")
+    // list_extract: STRING form = 1-based character access, '' out of
+    // range / at 0 (NOT NULL); arrays keep try_element_at semantics
+    assert(one("SELECT list_extract('DuckDB', 2)") == "u")
+    assert(one("SELECT list_extract('DuckDB', -1)") == "B")
+    assert(one("SELECT list_extract('DuckDB', 0)") == "")
+    assert(one("SELECT list_extract('DuckDB', 99)") == "")
+    assert(one("SELECT list_extract('DuckDB', -99)") == "")
+    assert(one("SELECT array_extract('abc', 2)") == "b")
+    assert(one("SELECT list_extract('DuckDB', NULL)") == null)
+    assert(one("SELECT list_extract(list_value(1,2,3), -1)") == 3)
+    assert(one("SELECT list_extract(list_value(1,2,3), 0)") == null)
+    assert(one("SELECT list_extract(list_value(1,2,3), 5)") == null)
+    // list_slice STRING form: same clamp matrix over characters
+    assert(one("SELECT list_slice('DuckDB', 2, 4)") == "uck")
+    assert(one("SELECT list_slice('DuckDB', -3, -1)") == "kDB")
+    assert(one("SELECT list_slice('DuckDB', 0, 3)") == "Duc")
+    assert(one("SELECT list_slice('DuckDB', 4, 2)") == "")
+    assert(one("SELECT list_slice('DuckDB', -100, 100)") == "DuckDB")
+    assert(one("SELECT list_slice('DuckDB', 5, NULL)") == null)
+    // list_slice 4-arg STEP form (DuckDB-verified walk matrix)
+    def arr(duck: String): Seq[Any] =
+      one(duck).asInstanceOf[scala.collection.Seq[Any]].toSeq
+    assert(arr("SELECT list_slice(list_value(1,2,3,4,5), 1, 5, 2)") ==
+      Seq(1, 3, 5))
+    assert(arr("SELECT list_slice(list_value(1,2,3,4,5), 5, 1, -2)") ==
+      Seq(5, 3, 1))
+    assert(arr("SELECT list_slice(list_value(1,2,3,4,5), -100, 100, 2)") ==
+      Seq(1, 3, 5))
+    assert(arr("SELECT list_slice(list_value(1,2,3,4,5), 100, -100, -2)") ==
+      Seq(5, 3, 1))
+    assert(arr("SELECT list_slice(list_value(1,2,3,4,5), 3, 0, -1)") ==
+      Seq(3, 2, 1))
+    assert(arr("SELECT list_slice(list_value(1,2,3,4,5), 3, -100, -2)") ==
+      Seq(3, 1))
+    assert(arr("SELECT list_slice(list_value(1,2,3,4,5), 4, 2, 1)") ==
+      Seq())
+    assert(arr("SELECT list_slice(list_value(1,2,3,4,5), 2, 4, -1)") ==
+      Seq())
+    assert(arr("SELECT list_slice(list_value(1,2,3,4,5), 0, 5, -1)") ==
+      Seq())
+    assert(arr("SELECT list_slice(list_value(1,2,3,4,5), 2, -1, 1)") ==
+      Seq(2, 3, 4, 5))
+    assert(one("SELECT list_slice(list_value(1,2), NULL, 1, 1)") == null)
+    assert(one("SELECT list_slice(list_value(1,2), 1, 2, NULL)") == null)
+    // step 0 raises (DuckDB: Invalid Input), string+step refused
+    intercept[Exception](one(
+      "SELECT list_slice(list_value(1,2,3), 1, 3, 0)"))
+    val se = intercept[Exception](one(
+      "SELECT list_slice('DuckDB', 1, 5, 2)"))
+    assert(se.getMessage.toLowerCase.contains("string"))
   }
 
   test("delta_scan('path') is a real SQL table function: Delta fixture " +
@@ -816,15 +981,21 @@ class TierASpec extends AnyFunSuite {
       Some("SELECT CAST(SUM(list_reduce(list_value(CAST(n_chars AS BIGINT)" +
         ", 1), (a, b) -> a + b)) AS BIGINT) AS s FROM $TABLE"))
       .head.getLong(0) > 0)
-    // still-unbridgeable: date_sub counts clamped complete intervals —
-    // guidance raised with the month-end-clamping explanation
+    // date_sub bridged in r10 (clamped complete intervals): Jan-31 +
+    // one CLAMPED month = Feb-28, so the pair is 1 month apart — the
+    // value java.time's MONTHS.between disagrees with (it says 0)
+    assert(scanner.query("documents",
+      Some("SELECT date_sub('month', DATE '2021-01-31', " +
+        "DATE '2021-02-28') AS d FROM $TABLE LIMIT 1")).head.getLong(0) == 1L)
+    // still-unbridgeable constructs keep the guidance surface alive:
+    // date_diff's century part has no timestampdiff twin (the rewrite
+    // leaves it untouched -> guidance with the derive-from-extract hint)
     val e = intercept[IllegalArgumentException] {
       scanner.query("documents",
-        Some("SELECT date_sub('month', DATE '2021-01-31', " +
-          "DATE '2021-02-28') AS d FROM $TABLE"))
+        Some("SELECT date_diff('century', DATE '1900-01-01', " +
+          "DATE '2021-01-01') FROM $TABLE"))
     }
-    assert(e.getMessage.contains("date_sub") &&
-      e.getMessage.contains("clamping"))
+    assert(e.getMessage.contains("century"))
   }
 
   test("stats and schema mirror count()/schema") {
