@@ -283,6 +283,24 @@ object TextAnalysis {
         |FROM c GROUP BY sha256(canon) ORDER BY doc_id"""
         .stripMargin.replace("\n", " "))),
 
+    // Deterministic EXACT-n sampling — the bottom-k hash sketch
+    // ([[graft.streaming.ReservoirSampleStream]] holds the full design
+    // note): every doc's priority is md5(doc_id-as-string) and the
+    // sample IS the n smallest priorities. Uniform over the id space,
+    // reproducible across runs AND engines (the md5 determinism q89's
+    // splits use), mergeable (union-then-bottom-n == bottom-n of the
+    // union — the 1000-executor property), duplicate-safe. Contrast
+    // q173: DuckDB's USING SAMPLE draws a DIFFERENT random sample per
+    // run, so only its aggregate contracts can be oracled — this form
+    // is row-for-row hash-exact. Plan: one TakeOrdered pass (per-
+    // partition bounded heaps, no sort, no shuffle of the corpus).
+    GraftQuery("q176_deterministic_sample",
+      (s, d) => graft.streaming.ReservoirSampleStream.batchSample(
+        docs(s, d).select(col("doc_id"), col("text").as("payload")), 100),
+      Some("SELECT md5(CAST(doc_id AS VARCHAR)) AS priority, doc_id, " +
+        "text AS payload FROM documents ORDER BY priority, doc_id " +
+        "LIMIT 100")),
+
     // Deterministic stratified sampling: keep ~10% per language via a
     // residue predicate on a key-derived value — reproducible across
     // runs/engines (what rand() sampling can never give a pipeline),
