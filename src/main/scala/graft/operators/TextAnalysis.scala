@@ -146,6 +146,107 @@ object TextAnalysis {
 
   val all: Seq[GraftQuery] = Seq(
 
+    // The Gopher/MassiveWeb quality-rule set (Rae et al. 2021, table A1
+    // — the de-facto standard web-corpus filter battery, public): word
+    // count 50..100k, mean word length 3..10, symbol-to-word ratio
+    // ("#" or "...") <= 0.1, < 90% of lines bullet-led, <= 30% of lines
+    // ellipsis-ended, >= 80% of words with an alphabetic character,
+    // >= 2 distinct Gopher stop words. Every rule is INTEGER
+    // cross-multiplication (3*n <= chars <= 10*n, 10*sym <= n, ...) so
+    // the row is hash-exact cross-engine — no doubles, no libm. Pure
+    // per-row scalars in one projection: no shuffle, the filter runs at
+    // scan speed at any corpus size (the repetition-rule siblings are
+    // q87; q41 is the lightweight length/ratio panel). On THIS corpus
+    // the battery rejects everything via stops_ok (a bag of 31 jargon
+    // words contains only 'the' of the 8 stop words — correct: it is
+    // not English prose) while wc_ok still splits 277/500, so the
+    // oracle certifies discriminating columns, not constants.
+    GraftQuery("q177_gopher_rules",
+      (s, d) => {
+        val words = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+        val lines = split(col("text"), lit("\n"))
+        val stops = Seq("the", "be", "to", "of", "and", "that", "have",
+          "with")
+        def bool2l(c: org.apache.spark.sql.Column) = c.cast("long")
+        docs(s, d).select(col("doc_id"), words.as("ws"), lines.as("ls"),
+            lower(col("text")).as("lt"), col("text"))
+          .select(col("doc_id"),
+            size(col("ws")).cast("long").as("n_words"),
+            aggregate(col("ws"), lit(0L),
+              (acc, w) => acc + length(w).cast("long")).as("n_word_chars"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), lit("#"), lit(""))))
+              .cast("long").as("n_hash"),
+            ((length(col("text")) -
+              length(regexp_replace(col("text"), lit("\\.\\.\\."), lit(""))))
+              / 3).cast("long").as("n_ellipsis"),
+            size(col("ls")).cast("long").as("n_lines"),
+            size(filter(col("ls"), l =>
+              ltrim(l).startsWith("•") || ltrim(l).startsWith("-") ||
+                ltrim(l).startsWith("*"))).cast("long").as("n_bullet"),
+            size(filter(col("ls"), l => rtrim(l).endsWith("...")))
+              .cast("long").as("n_ell_lines"),
+            size(filter(col("ws"), w => w.rlike("[A-Za-z]")))
+              .cast("long").as("n_alpha_words"),
+            stops.map(t => bool2l(array_contains(
+              split(col("lt"), lit("\\s+")), t))).reduce(_ + _)
+              .as("n_stops"))
+          .select(col("doc_id"), col("n_words"),
+            bool2l(col("n_words").between(50L, 100000L)).as("wc_ok"),
+            bool2l(col("n_word_chars") >= col("n_words") * 3 &&
+              col("n_word_chars") <= col("n_words") * 10).as("mwl_ok"),
+            bool2l((col("n_hash") + col("n_ellipsis")) * 10 <=
+              col("n_words")).as("sym_ok"),
+            bool2l(col("n_bullet") * 10 < col("n_lines") * 9).as("bullet_ok"),
+            bool2l(col("n_ell_lines") * 10 <= col("n_lines") * 3).as("ell_ok"),
+            bool2l(col("n_alpha_words") * 5 >= col("n_words") * 4)
+              .as("alpha_ok"),
+            bool2l(col("n_stops") >= 2L).as("stops_ok"))
+          .withColumn("pass",
+            bool2l(col("wc_ok") + col("mwl_ok") + col("sym_ok") +
+              col("bullet_ok") + col("ell_ok") + col("alpha_ok") +
+              col("stops_ok") === 7L))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+        |  regexp_extract_all(text, '\S+') AS ws,
+        |  string_split(text, chr(10)) AS ls,
+        |  lower(text) AS lt, text FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS n_word_chars,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |  CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ellipsis,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(ls, l -> ltrim(l) LIKE '•%' OR ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS BIGINT) AS n_bullet,
+        |  CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS BIGINT) AS n_ell_lines,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |  CAST((CASE WHEN list_contains(regexp_extract_all(lt, '\S+'), 'the') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(regexp_extract_all(lt, '\S+'), 'be') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(regexp_extract_all(lt, '\S+'), 'to') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(regexp_extract_all(lt, '\S+'), 'of') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(regexp_extract_all(lt, '\S+'), 'and') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(regexp_extract_all(lt, '\S+'), 'that') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(regexp_extract_all(lt, '\S+'), 'have') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(regexp_extract_all(lt, '\S+'), 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stops
+        |  FROM b)
+        |SELECT doc_id, n_words,
+        |  CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS wc_ok,
+        |  CAST(n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10 AS BIGINT) AS mwl_ok,
+        |  CAST((n_hash + n_ellipsis) * 10 <= n_words AS BIGINT) AS sym_ok,
+        |  CAST(n_bullet * 10 < n_lines * 9 AS BIGINT) AS bullet_ok,
+        |  CAST(n_ell_lines * 10 <= n_lines * 3 AS BIGINT) AS ell_ok,
+        |  CAST(n_alpha_words * 5 >= n_words * 4 AS BIGINT) AS alpha_ok,
+        |  CAST(n_stops >= 2 AS BIGINT) AS stops_ok,
+        |  CAST(CAST(n_words BETWEEN 50 AND 100000 AS INT)
+        |     + CAST(n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10 AS INT)
+        |     + CAST((n_hash + n_ellipsis) * 10 <= n_words AS INT)
+        |     + CAST(n_bullet * 10 < n_lines * 9 AS INT)
+        |     + CAST(n_ell_lines * 10 <= n_lines * 3 AS INT)
+        |     + CAST(n_alpha_words * 5 >= n_words * 4 AS INT)
+        |     + CAST(n_stops >= 2 AS INT) = 7 AS BIGINT) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     GraftQuery("q40_text_tokens",
       (s, d) => docs(s, d)
         .select(col("source"), tokenCount(col("text")).as("tok"))
