@@ -126,6 +126,22 @@ object Bench {
     // itself costs/saves, separating protocol drift from ambient load.
     val preparedAllowed = sys.env.getOrElse("SPARK_GRAFT_PREPARED", "1") != "0"
 
+    /** Deterministic listener-bus drain (review follow-up): the three
+      * jobCount/execMs sample points each raced a fixed 30 ms sleep
+      * against the ASYNC bus — under ambient load delivery can exceed
+      * it and an eager build reads a stale count (the exact q137
+      * misclassification the guard exists for). LiveListenerBus's
+      * waitUntilEmpty is private[spark] (public in bytecode), so the
+      * drain goes through reflection with the old sleep as fallback. */
+    def drainBus(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+          .invoke(bus, java.lang.Long.valueOf(10000L))
+        ()
+      } catch { case _: Throwable => Thread.sleep(30) }
+
     /** One timed materialization of an ALREADY-BUILT DataFrame;
       * (wall sec, exec ms). */
     def runOnce(name: String, df: org.apache.spark.sql.DataFrame)
@@ -140,7 +156,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
-      Thread.sleep(30) // let the async listener bus drain stage events
+      drainBus() // stage events arrive on the async listener bus
       (elapsed, execMs.get() - e0)
     }
 
@@ -183,7 +199,7 @@ object Bench {
       // a stale jobCount and be misclassified as prepared-safe — the
       // exact q137 tail-only artifact this guard exists to prevent
       // (ADVICE r9). Drain before sampling, mirroring the per-rep drain.
-      if (built.isDefined) Thread.sleep(30)
+      if (built.isDefined) drainBus()
       val eager = built.isDefined && jobCount.get() > j0
       if (eager) spark.catalog.clearCache()
       val prepared = if (eager) None else built
@@ -201,7 +217,7 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               -1.0
             }
-          Thread.sleep(30)
+          drainBus()
           (elapsed, execMs.get() - e0)
       }
       val r1 = rep()

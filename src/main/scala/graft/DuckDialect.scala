@@ -2048,7 +2048,10 @@ object DuckDialect {
       case Some((after, _)) =>
         val opts = t.substring(i + 1, after - 1)
         i = after
-        for (o <- opts.split(',').map(_.trim).filter(_.nonEmpty)) {
+        // QUOTE-AWARE option split: DELIMITER ',' is valid DuckDB and a
+        // raw split(',') would shear it apart (ADVICE follow-up)
+        val items = splitTop(opts).getOrElse(return None)
+        for (o <- items.map(_.trim).filter(_.nonEmpty)) {
           val k = readWord(o, 0).toLowerCase(java.util.Locale.ROOT)
           val v = o.drop(k.length).trim
             .stripPrefix("'").stripSuffix("'")

@@ -34,8 +34,14 @@ object SessionCaches {
   private val reg =
     new ConcurrentHashMap[SparkSession, mutable.Queue[Dataset[_]]]()
 
-  /** Register an internally-persisted frame for later [[release]]. */
+  /** Register an internally-persisted frame for later [[release]].
+    * Each track() also evicts entries of STOPPED sessions (review
+    * follow-up): an embedding caller that never release()s and then
+    * spark.stop()s would otherwise leave the session and every tracked
+    * plan strongly reachable in this global map forever. */
   def track[T](ds: Dataset[T]): Dataset[T] = {
+    val it = reg.keySet.iterator
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
     val q = reg.computeIfAbsent(ds.sparkSession,
       _ => mutable.Queue.empty[Dataset[_]])
     q.synchronized { q.enqueue(ds) }

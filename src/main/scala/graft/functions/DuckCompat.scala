@@ -889,15 +889,23 @@ object DuckCompat {
     val readCsvBuilder = (exprs: Seq[Expression]) => {
         val (paths, opts) = readFileArgs("read_csv", exprs)
         val ignored = Set("sample_size", "maximum_object_size", "auto_detect")
+        // DuckDB accepts 0/1 wherever it accepts booleans (verified:
+        // header = 0, all_varchar = 1) — normalize before dispatch
+        def truthy(v: Any): Boolean = v match {
+          case b: Boolean => b
+          case 1L | 1 => true
+          case 0L | 0 => false
+          case other => throw new IllegalArgumentException(
+            s"read_csv expects a boolean (or 0/1), got $other")
+        }
         val r = spark.read.option("inferSchema",
-          !opts.get("all_varchar").contains(true))
+          !opts.get("all_varchar").exists(truthy))
         var header = false
         var names: Seq[String] = Nil
         val withOpts = opts.filterNot(kv => ignored(kv._1)).foldLeft(r) {
-          case (acc, ("header", v: Boolean)) => header = v
-            acc.option("header", v)
-          case (acc, ("header", 1L | 1)) => header = true
-            acc.option("header", true)
+          case (acc, ("header", v @ (_: Boolean | _: Long | _: Int))) =>
+            header = truthy(v)
+            acc.option("header", header)
           case (acc, ("delim" | "sep" | "delimiter", v: String)) =>
             acc.option("sep", v)
           case (acc, ("quote", v: String)) => acc.option("quote", v)
@@ -927,16 +935,23 @@ object DuckCompat {
     val readJsonBuilder = (exprs: Seq[Expression]) => {
         val (paths, opts) = readFileArgs("read_json", exprs)
         val ignored = Set("sample_size", "maximum_object_size",
-          "auto_detect", "records")
+          "auto_detect")
         val r = opts.filterNot(kv => ignored(kv._1)).foldLeft(spark.read) {
           case (acc, ("format", "auto" | "newline_delimited" | "nd")) => acc
           case (acc, ("format", "array")) => acc.option("multiLine", true)
+          // records = false changes the RESULT SHAPE (one STRUCT column
+          // per JSON value instead of unpacked fields — DuckDB-verified)
+          // and has no spark.read twin: refuse loudly rather than
+          // silently return a different schema
+          case (acc, ("records", true | "auto" | 1L | 1)) => acc
           case (acc, ("compression", v: String)) =>
             acc.option("compression", v)
           case (_, (k, v)) => throw new IllegalArgumentException(
             s"read_json option '$k' = $v is not bridged (supported: " +
-              "format auto/newline_delimited/nd/array, compression) — " +
-              "use spark.read directly for the rest")
+              "format auto/newline_delimited/nd/array, compression, " +
+              "records auto/true; records=false returns one STRUCT " +
+              "column per value in DuckDB and has no spark.read twin) " +
+              "— use spark.read directly for the rest")
         }
         r.json(paths: _*).queryExecution.analyzed
     }

@@ -228,10 +228,18 @@ object ExtendedOps {
   // spec reads the written data back to prove the bytes landed. The
   // engines write to DIFFERENT paths so the driver's DuckDB oracle run
   // never collides with the Verify dump.
-  private val CopyToSparkSql: String =
-    """COPY (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
-      |ORDER BY doc_id) TO '/tmp/graft_q174_spark_out' (FORMAT PARQUET)"""
+  // the SPARK-side output path carries an input-dir slug: concurrent
+  // graft processes (runjava probe + sbt verify — the documented
+  // workflow) at DIFFERENT SFs would otherwise overwrite each other's
+  // directory between this query's write and its read-back count. The
+  // oracle's DuckDB path stays static (only its Count column compares,
+  // computed by DuckDB's own COPY return, never a read-back).
+  private def copyToSparkSql(d: String): String = {
+    val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+    s"""COPY (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+      |ORDER BY doc_id) TO '/tmp/graft_q174_spark_out_$slug' (FORMAT PARQUET)"""
       .stripMargin.replace("\n", " ")
+  }
   private val CopyToDuckSql: String =
     """COPY (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
       |ORDER BY doc_id) TO '/tmp/graft_q174_duck_out.parquet' (FORMAT PARQUET)"""
@@ -534,7 +542,7 @@ object ExtendedOps {
     GraftQuery("q174_duckdb_copy_to",
       (s, d) => {
         T(s, d, "documents").createOrReplaceTempView("documents")
-        graft.DuckDialect.sql(s, CopyToSparkSql)
+        graft.DuckDialect.sql(s, copyToSparkSql(d))
       },
       Some(CopyToDuckSql)),
 
@@ -553,11 +561,24 @@ object ExtendedOps {
           csv.append(s"$k|$nm|$rk\n")
           nd.append(s"""{"k":$k,"name":"$nm","rk":$rk}\n""")
         }
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get("/tmp/graft_q175_fixture.csv"),
+        // ATOMIC writes at a STATIC path: the path is embedded in both
+        // engines' SQL so it cannot carry a run slug, but the content
+        // is SF-invariant (nation is identical at every SF — verified)
+        // and an atomic move means a concurrent graft process either
+        // sees the old complete file or the new complete file, both
+        // byte-identical — the collision is benign by construction.
+        def atomicWrite(path: String, bytes: Array[Byte]): Unit = {
+          val target = java.nio.file.Paths.get(path)
+          val tmp = java.nio.file.Files.createTempFile(
+            target.getParent, ".graft_q175_", ".tmp")
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        atomicWrite("/tmp/graft_q175_fixture.csv",
           csv.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get("/tmp/graft_q175_fixture.ndjson"),
+        atomicWrite("/tmp/graft_q175_fixture.ndjson",
           nd.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         graft.DuckDialect.sql(s, ReadFilesSql)
       },

@@ -72,12 +72,19 @@ object ReservoirSampleStream {
     * mode — the sink's latest rows per group are the live sample). */
   def sample(docs: Dataset[Doc], n: Int): Dataset[Sampled] = {
     import docs.sparkSession.implicits._
-    docs.groupByKey(d => salt(d.doc_id))
+    // hash ONCE per row (the md5 is the per-row hot cost): priority and
+    // its salt byte come from one narrow map; groupByKey keys on the
+    // precomputed salt (review follow-up — salt(id) re-hashed)
+    docs.map { d =>
+      val pr = priority(d.doc_id)
+      Sampled(Integer.parseInt(pr.substring(0, 2), 16) % Salts,
+        pr, d.doc_id, d.payload)
+    }
+      .groupByKey(_.salt)
       .flatMapGroupsWithState[Res, Sampled](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case (s, it, state) =>
-          val fresh = it.map(d =>
-            Sampled(s, priority(d.doc_id), d.doc_id, d.payload))
+        case (_, it, state) =>
+          val fresh = it
           val merged = (state.getOption.map(_.rows).getOrElse(Seq.empty)
             ++ fresh)
             .groupBy(_.doc_id).map(_._2.head).toSeq // duplicate-safe

@@ -592,6 +592,27 @@ class TierASpec extends AnyFunSuite {
       """[{"a": 1}, {"a": 2}]""".getBytes("UTF-8"))
     assert(one("SELECT count(*) FROM read_json(" +
       "'/tmp/graft_spec_arr.json', format = 'array')") == 2)
+    // review follow-ups, all DuckDB-verified spellings:
+    // header = 0 (numeric boolean) is valid and means no-header
+    assert(graft.DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/graft_spec_nh.csv', header = 0)")
+      .columns.toSeq == Seq("column0", "column1"))
+    // all_varchar = 1 disables inference — every column lands STRING
+    assert(graft.DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/graft_spec_nh.csv', header = false," +
+        " all_varchar = 1)").schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.StringType))
+    // COPY option values may CONTAIN commas — quote-aware split
+    assert(one("COPY (SELECT k FROM smp WHERE k < 4) TO " +
+      "'/tmp/graft_copy_spec_d' (FORMAT CSV, HEADER, DELIMITER ',')") == 4)
+    assert(one("SELECT count(*) FROM read_csv('/tmp/graft_copy_spec_d'," +
+      " header = true, delim = ',')") == 4)
+    // records = false changes DuckDB's result SHAPE (struct-per-value)
+    // and has no spark.read twin — must refuse, never silently unpack
+    val re = intercept[Exception](graft.DuckDialect.sql(spark,
+      "SELECT * FROM read_json('/tmp/graft_spec_arr.json', " +
+        "records = false)"))
+    assert(re.getMessage.contains("records"))
     // loud refusals: unknown read option, unbridged COPY format,
     // COPY FROM shapes
     val oe = intercept[Exception](graft.DuckDialect.sql(spark,
