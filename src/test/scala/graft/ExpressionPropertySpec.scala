@@ -243,4 +243,79 @@ class ExpressionPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("DuckDateSub month-walk invariant: a + n·unit <= b < a + (n+1)·unit " +
+    "for forward ranges, and backward ranges negate (random timestamps)") {
+    import spark.implicits._
+    graft.functions.DuckCompat.register(spark)
+    val parts = Seq("month" -> 1, "quarter" -> 3, "year" -> 12)
+    val genTs = for {
+      y <- Gen.chooseNum(1975, 2035); m <- Gen.chooseNum(1, 12)
+      d <- Gen.chooseNum(1, 31); h <- Gen.chooseNum(0, 23)
+      mi <- Gen.chooseNum(0, 59)
+    } yield java.time.LocalDateTime.of(y, m,
+      math.min(d, java.time.YearMonth.of(y, m).lengthOfMonth), h, mi, 0)
+    (1 to 60).foreach { i =>
+      val a = sample(genTs, 5000L + i)
+      val b = sample(genTs, 9000L + i)
+      val (pname, u) = parts(i % parts.length)
+      val n = Seq((a.toString, b.toString)).toDF("a", "b")
+        .select(expr(s"date_sub('$pname', CAST(a AS TIMESTAMP), " +
+          "CAST(b AS TIMESTAMP))")).head.getLong(0)
+      if (!a.isAfter(b)) {
+        // the defining inequality of "complete clamped units"
+        assert(!a.plusMonths(n * u).isAfter(b),
+          s"$pname: a+$n*$u months overshoots ($a -> $b)")
+        assert(a.plusMonths((n + 1) * u).isAfter(b),
+          s"$pname: $n undercounts ($a -> $b)")
+      } else {
+        val fwd = Seq((b.toString, a.toString)).toDF("a", "b")
+          .select(expr(s"date_sub('$pname', CAST(a AS TIMESTAMP), " +
+            "CAST(b AS TIMESTAMP))")).head.getLong(0)
+        assert(n == -fwd, s"$pname: backward != negated forward ($a -> $b)")
+      }
+    }
+  }
+
+  test("DuckListSlice 4-arg ≡ a reference walk model over random " +
+    "(list, bounds, step) inputs — beyond the fixed DuckDB matrix") {
+    import spark.implicits._
+    graft.functions.DuckCompat.register(spark)
+    // the DuckDB-verified walk model (TierASpec + the 80-case matrix
+    // certify the model itself equals DuckDB; this property extends the
+    // input space to sizes/bounds the matrix never drew)
+    def model(arr: Seq[Int], b: Int, e: Int, st: Int): Seq[Int] = {
+      val sz = arr.size
+      def fromEnd(i: Int) = if (i < 0) sz + i + 1 else i
+      if (st > 0) {
+        val bb = math.max(fromEnd(b), 1)
+        val ee = math.min(fromEnd(e), sz)
+        if (bb > ee) Seq.empty
+        else (bb to ee by st).map(i => arr(i - 1))
+      } else {
+        val bp = fromEnd(b)
+        if (bp < 1) Seq.empty
+        else {
+          val bb = math.min(bp, sz)
+          val ee = math.max(fromEnd(e), 1)
+          if (bb < ee) Seq.empty
+          else (bb to ee by st).map(i => arr(i - 1))
+        }
+      }
+    }
+    val gen = for {
+      n <- Gen.chooseNum(0, 12)
+      arr <- Gen.listOfN(n, Gen.chooseNum(-99, 99))
+      b <- Gen.chooseNum(-20, 20); e <- Gen.chooseNum(-20, 20)
+      st <- Gen.oneOf(-4, -3, -2, -1, 1, 2, 3, 4)
+    } yield (arr, b, e, st)
+    val cases = (1 to 200).map(i => sample(gen, 7700L + i))
+    val got = cases.toDF("arr", "b", "e", "st")
+      .select(expr("list_slice(arr, b, e, st)")).collect()
+      .map(_.getSeq[Int](0).toSeq)
+    cases.zip(got).foreach { case ((arr, b, e, st), g) =>
+      assert(g == model(arr, b, e, st),
+        s"list_slice($arr, $b, $e, $st): got $g, model ${model(arr, b, e, st)}")
+    }
+  }
 }
