@@ -659,6 +659,62 @@ object Dedup {
     // a doc-cardinality left join. Text never shuffles; (hash, doc_id)
     // pairs shuffle once. Count-only aggregates — immune to hot
     // shingles (no posting lists).
+    // Repeated-substring SPANS — the actionable form of Lee et al.
+    // 2022's exact-substring dedup ("Deduplicating Training Data Makes
+    // Language Models Better"): q101 reports per-doc dup-ngram COUNTS;
+    // this emits the merged maximal word-index regions [span_start,
+    // span_end] whose every 10-gram window recurs in the corpus — the
+    // exact ranges a curation pass cuts. Pipeline: one pass builds the
+    // per-position window keys IN-ROW (transform over sequence — no
+    // shuffle), ONE shuffle groups window keys to a COUNT (group state
+    // is O(1) — no posting lists, so a window repeated 10^6 times costs
+    // one counter, never a pair expansion; this operator is
+    // sub-quadratic by construction where naive substring dedup is
+    // suffix-array territory), an inner join marks repeated positions,
+    // and a per-doc gaps-and-islands window merges touching windows
+    // (break when p > prev + 10: [p, p+9] windows chain while they
+    // overlap or abut) into maximal spans. Keys are md5 of the 10-gram
+    // text so the DuckDB oracle matches bit-for-bit; a 100 TB run would
+    // swap in xxhash64 (same plan shape, 4x narrower shuffle keys).
+    GraftQuery("q178_repeated_spans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = docs(s, d).select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        val w = toks.filter(size(col("toks")) >= 10)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, size(toks) - 9), " +
+              "i -> md5(concat_ws(' ', slice(toks, i, 10))))")))
+          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("k"))
+        val rep = w.groupBy("k").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("k")
+        val m = w.join(rep, "k").select("doc_id", "p")
+        val ord = Window.partitionBy("doc_id").orderBy("p")
+        val isl = m
+          .withColumn("brk",
+            when(col("p") > lag("p", 1).over(ord) + 10, 1).otherwise(0))
+          .withColumn("island", sum("brk").over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        isl.groupBy("doc_id", "island")
+          .agg(min("p").cast("long").as("span_start"),
+            (max("p") + 9).cast("long").as("span_end"),
+            count(lit(1)).as("n_windows"))
+          .select("doc_id", "span_start", "span_end", "n_windows")
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |w AS (SELECT doc_id, CAST(i AS BIGINT) AS p, md5(array_to_string(toks[i:i+9], ' ')) AS k
+        |  FROM t, unnest(generate_series(1, len(toks) - 9)) AS u(i) WHERE len(toks) >= 10),
+        |r AS (SELECT k FROM w GROUP BY k HAVING COUNT(*) >= 2),
+        |m AS (SELECT w.doc_id, w.p FROM w JOIN r USING (k)),
+        |g AS (SELECT doc_id, p, CASE WHEN p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 10 THEN 1 ELSE 0 END AS brk FROM m),
+        |isl AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM g)
+        |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+        |  CAST(MAX(p) + 9 AS BIGINT) AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+        .stripMargin.replace("\n", " "))),
+
     GraftQuery("q101_dup_passages",
       (s, d) => {
         graft.functions.WordShingleHashes.register(s)
