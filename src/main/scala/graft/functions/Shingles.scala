@@ -310,3 +310,89 @@ object CharNgramCounts {
   def charNgramCounts(text: Column, n: Int): Column =
     call_function(FnName, text, lit(n))
 }
+
+/** Per-POSITION word n-gram window keys of a document, in one compiled
+  * pass: lower/trim → whitespace split → for each start position the
+  * md5 hex of the space-joined n-gram. Element i (0-based) is the key
+  * of the window starting at word i+1 — positions are the ARRAY INDEX,
+  * so callers posexplode and keep `pos`. Equivalent to the declarative
+  * `transform(sequence(1, size(toks)-n+1), i -> md5(concat_ws(' ',
+  * slice(toks, i, n))))` chain, but that is three nested INTERPRETED
+  * higher-order functions allocating per window — the same hot-loop
+  * shape [[WordShingles]] exists to replace (measured there as the
+  * multi-second shingling stage; q178's review flagged the identical
+  * regression). md5 (not xxhash64) because the q178 oracle needs
+  * bit-equality with DuckDB's md5 — a 100 TB run swaps the digest for
+  * xxhash64 inside this same expression, not for a different plan.
+  *
+  * Tokenization matches the built-in `split(lower(trim(text)), '\s+')`
+  * and DuckDB's `string_split_regex(lower(trim(text)), '\s+')` exactly
+  * (UTF8String trim/lower, Java `\s+` split — the [[WordShingles]]
+  * equivalence argument). */
+case class WindowKeyHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "window size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_window_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_window_md5 expects string, got ${other.simpleString(10)}")
+  }
+
+  // one digest per deserialized expression copy (per task) — eval is
+  // single-threaded within a task, tasks deserialize their own copies
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].trim().toLowerCase().toString
+    val toks = text.split("\\s+")
+    if (toks.length < n || (toks.length == 1 && toks(0).isEmpty))
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    val hex = new Array[Char](32)
+    val digits = "0123456789abcdef".toCharArray
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      md5.reset()
+      val d = md5.digest(sb.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = digits((d(b) >> 4) & 0xf)
+        hex(b * 2 + 1) = digits(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowKeyHashes =
+    copy(child = newChild)
+}
+
+object WindowKeyHashes {
+  private val FnName = "graft_window_md5"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => WindowKeyHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+
+  /** Column API: requires register(spark) once per session. */
+  def windowKeyHashes(text: Column, n: Int): Column =
+    call_function(FnName, text, lit(n))
+}

@@ -662,30 +662,38 @@ object Dedup {
     // Repeated-substring SPANS — the actionable form of Lee et al.
     // 2022's exact-substring dedup ("Deduplicating Training Data Makes
     // Language Models Better"): q101 reports per-doc dup-ngram COUNTS;
-    // this emits the merged maximal word-index regions [span_start,
-    // span_end] whose every 10-gram window recurs in the corpus — the
-    // exact ranges a curation pass cuts. Pipeline: one pass builds the
-    // per-position window keys IN-ROW (transform over sequence — no
-    // shuffle), ONE shuffle groups window keys to a COUNT (group state
-    // is O(1) — no posting lists, so a window repeated 10^6 times costs
-    // one counter, never a pair expansion; this operator is
-    // sub-quadratic by construction where naive substring dedup is
-    // suffix-array territory), an inner join marks repeated positions,
-    // and a per-doc gaps-and-islands window merges touching windows
-    // (break when p > prev + 10: [p, p+9] windows chain while they
-    // overlap or abut) into maximal spans. Keys are md5 of the 10-gram
-    // text so the DuckDB oracle matches bit-for-bit; a 100 TB run would
-    // swap in xxhash64 (same plan shape, 4x narrower shuffle keys).
+    // this emits merged maximal word-index regions in which EVERY WORD
+    // is covered by at least one corpus-repeated 10-gram window (union
+    // coverage — the merge chains windows that overlap or abut, so a
+    // straddling window INSIDE a span need not itself recur; that is
+    // the region an exact-substring curation pass cuts). Pipeline: the
+    // per-position window keys come from ONE compiled pass
+    // ([[graft.functions.WindowKeyHashes]] — the declarative
+    // transform/slice/concat_ws/md5 chain is three nested interpreted
+    // HOFs allocating per window, the exact hot-loop shape
+    // WordShingles replaced), the (doc_id, p, k) frame PERSISTS
+    // (executor-distributed cache, spills to disk, linear in the data,
+    // never driver-side; registry-released per the SessionCaches
+    // contract) because both the count side and the probe side of the
+    // repeated-key join read it — unpersisted, the corpus expansion
+    // would run twice. ONE shuffle groups window keys to a COUNT
+    // (group state is O(1) — no posting lists, so a window repeated
+    // 10^6 times costs one counter, never a pair expansion; this stays
+    // sub-quadratic where naive substring dedup is suffix-array
+    // territory), an inner join marks repeated positions, and a
+    // per-doc gaps-and-islands window (break when p > prev + 10)
+    // merges touching windows into maximal spans. Keys are md5 of the
+    // 10-gram text so the DuckDB oracle matches bit-for-bit; a 100 TB
+    // run swaps the digest for xxhash64 inside the same expression.
     GraftQuery("q178_repeated_spans",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = docs(s, d).select(col("doc_id"),
-          split(lower(trim(col("text"))), "\\s+").as("toks"))
-        val w = toks.filter(size(col("toks")) >= 10)
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(1, size(toks) - 9), " +
-              "i -> md5(concat_ws(' ', slice(toks, i, 10))))")))
+        graft.functions.WindowKeyHashes.register(s)
+        val w = docs(s, d)
+          .select(col("doc_id"), posexplode(
+            graft.functions.WindowKeyHashes.windowKeyHashes(col("text"), 10)))
           .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("k"))
+          .persistTracked()
         val rep = w.groupBy("k").agg(count(lit(1)).as("c"))
           .filter(col("c") >= 2).select("k")
         val m = w.join(rep, "k").select("doc_id", "p")
