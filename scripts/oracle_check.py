@@ -56,6 +56,15 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        # Harness-compat gate (r10 q174): the driver calls .df() on the
+        # statement result; anything non-SELECT-shaped returns None there.
+        head = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
+        if head not in ("SELECT", "WITH", "PIVOT", "UNPIVOT", "FROM",
+                        "VALUES", "DESCRIBE", "SUMMARIZE"):
+            print(f"FAIL {name}: [harness-gate] oracle SQL starts with "
+                  f"'{head}' — driver's .df() is None for non-SELECT")
+            n_bad += 1
+            continue
         try:
             d = con.execute(sql)
             dcols = [c[0] for c in d.description]
@@ -70,6 +79,23 @@ def main(sf_dir, out_dir):
             continue
         dc, dr = canon(drows, dcols)
         sc, sr = canon(srows, scols)
+        # Harness-compat gate (r10 q172): the driver canonicalizes through
+        # pandas, which cannot sort ndarray/dict cells — any LIST/STRUCT
+        # cell that survives to here fails at the driver even though the
+        # tuple-based compare below would pass it.
+        complex_cells = [
+            c for rows_side, cols_side in ((sr, sc), (dr, dc))
+            for row in rows_side
+            for c, v in zip(cols_side, row)
+            if isinstance(v, (tuple, list, dict))
+        ]
+        if complex_cells:
+            print(f"FAIL {name}: [harness-gate] non-scalar cells in columns "
+                  f"{sorted(set(complex_cells))} — driver's pandas sort "
+                  f"cannot handle array cells; serialize via "
+                  f"array_to_string/to_json on both sides")
+            n_bad += 1
+            continue
         if dc != sc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
             n_bad += 1

@@ -2088,8 +2088,12 @@ object DuckDialect {
     val n = fmt match {
       case "parquet" => spark.read.parquet(path).count()
       case "json" => spark.read.json(path).count()
+      // multiLine: a source cell with an embedded newline is written
+      // QUOTED by Spark CSV; the default line-split read-back would
+      // count it twice and the returned Count would diverge from the
+      // rows actually written (ADVICE r10)
       case _ => spark.read.option("header", header).option("sep", delim)
-        .csv(path).count()
+        .option("multiLine", true).csv(path).count()
     }
     import spark.implicits._
     Some(Seq(n).toDF("Count"))

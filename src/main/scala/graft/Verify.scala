@@ -18,15 +18,52 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Harness-compat gate (VERDICT r10 item 6): the DRIVER canonicalizes
+    // results through pandas, which cannot sort/hash ndarray cells — an
+    // ARRAY/MAP/STRUCT output column passes the local tuple-based
+    // oracle_check but errs at the driver's gate (the r10 q172 red row).
+    // Catch the divergence class HERE: a complex-typed output fails its
+    // dump loudly with the serialization fix spelled out.
+    def complexCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => f.name
+      }.toSeq
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        val bad = complexCols(df)
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"[harness-gate] output columns ${bad.mkString(", ")} are " +
+            "ARRAY/MAP/STRUCT — the driver's pandas canonicalizer cannot " +
+            "sort them; serialize via array_to_string(...)/to_json on BOTH " +
+            "the Spark and oracle sides (corpus outputs stay scalar)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally { spark.catalog.clearCache(); SessionCaches.release(spark) }
+    }
+    // Same gate, oracle side: the driver's duckdb call does .df() on the
+    // statement result — a non-SELECT-shaped oracle (bare COPY/DDL)
+    // returns None and errs (the r10 q174 red row).
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val head = sql.trim.takeWhile(!_.isWhitespace)
+        .toUpperCase(java.util.Locale.ROOT)
+      // result-set-returning heads: DuckDB's PIVOT/UNPIVOT/FROM-first/
+      // VALUES statements return relations (q166/q167 were driver-green
+      // in r10); the divergence class is COPY/DDL/DML, which return None
+      val ok = Set("SELECT", "WITH", "PIVOT", "UNPIVOT", "FROM",
+        "VALUES", "DESCRIBE", "SUMMARIZE")
+      if (!ok.contains(head))
+        System.err.println(s"[verify] $name failed: [harness-gate] oracle " +
+          s"SQL starts with '$head' — the driver calls .df() on the " +
+          "statement result, which is None for non-SELECT statements; " +
+          "oracle a SELECT computing the same contract instead")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -741,6 +741,21 @@ object DuckCompat {
     // and reach the analysis-time expressions above (the text rename to
     // `array` still serves the pure-rewrite path)
     put("list_value") { es => CreateArray(es) }
+    // array_to_string(list, sep): DuckDB defines it as the macro
+    // list_aggr(arr, 'string_agg', sep) — NULL elements are SKIPPED
+    // (string_agg semantics, same as Spark's array_join) and an EMPTY
+    // list yields NULL (string_agg over zero rows) where array_join
+    // yields '' — hence the size guard. Elements cast to string
+    // implicitly (DECIMAL keeps scale in both engines; verified).
+    // Registered so statements mixing it with the type-dispatched
+    // list_* natives resolve on the FIRST parse; the text rename to
+    // array_join stays as the pure-rewrite fallback for string lists.
+    put("array_to_string") { es =>
+      arity("array_to_string", 2, es)
+      If(EqualTo(Size(es.head, legacySizeOfNull = false), Literal(0)),
+        Literal.create(null, StringType),
+        ArrayJoin(Cast(es.head, ArrayType(StringType)), es(1), None))
+    }
     // date_sub: 3-arg DuckDB form (complete clamped intervals —
     // [[DuckDateSub]]); the 2-arg form stays Spark's own date_sub(d, n)
     // (this registration SHADOWS it, so the builder restores it).

@@ -191,7 +191,14 @@ object ExtendedOps {
   // 4-arg STEP slice (negative step reverses), and list_value. The
   // oracle runs the identical text natively in DuckDB — a hash match
   // certifies every semantic edge (clamping, '' vs NULL, walk order)
-  // end-to-end, not constant-by-constant.
+  // end-to-end, not constant-by-constant. The two LIST outputs (rev,
+  // walk) are serialized through array_to_string on BOTH sides: the
+  // driver's checker canonicalizes through pandas, which cannot sort
+  // ndarray cells (the r10 red row) — corpus outputs stay scalar.
+  // array_to_string is a DuckCompat NATIVE (implicit element cast,
+  // empty-list→NULL like DuckDB's string_agg macro), so the statement
+  // still resolves on the FIRST parse — a text-rewrite fallback would
+  // rename list_extract→try_element_at and break the STRING forms.
   private val Dialect5Sql: String =
     """SELECT event_id,
       |CAST(date_sub('month', TIMESTAMP '2021-01-31 05:00:00', ts) AS BIGINT) AS m,
@@ -200,9 +207,11 @@ object ExtendedOps {
       |list_extract(event_type, -1) AS clast,
       |list_extract(event_type, 99) AS cnone,
       |list_slice(event_type, 2, -2) AS mid,
-      |list_slice(list_value(CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
-      |  CAST(event_id + user_id AS BIGINT), CAST(event_id * 2 AS BIGINT)), 4, 1, -2) AS rev,
-      |list_slice(list_value(CAST(user_id AS BIGINT), CAST(event_id AS BIGINT)), 1, 99, 1) AS walk
+      |array_to_string(list_slice(list_value(CAST(event_id AS BIGINT),
+      |  CAST(user_id AS BIGINT), CAST(event_id + user_id AS BIGINT),
+      |  CAST(event_id * 2 AS BIGINT)), 4, 1, -2), ',') AS rev,
+      |array_to_string(list_slice(list_value(CAST(user_id AS BIGINT),
+      |  CAST(event_id AS BIGINT)), 1, 99, 1), ',') AS walk
       |FROM events ORDER BY event_id LIMIT 500"""
       .stripMargin.replace("\n", " ")
 
@@ -240,9 +249,16 @@ object ExtendedOps {
       |ORDER BY doc_id) TO '/tmp/graft_q174_spark_out_$slug' (FORMAT PARQUET)"""
       .stripMargin.replace("\n", " ")
   }
+  // The oracle is SELECT-shaped ON PURPOSE (r10 red row: the driver's
+  // duckdb harness calls .df() on the statement result, and a bare
+  // COPY returns None). The Spark side still executes the real COPY
+  // bridge — the thing under test — and its one-row Count return is
+  // certified against this SELECT computing the same count; the
+  // byte-level proof that the parquet landed is CopyToSpec's
+  // read-back, not the oracle.
   private val CopyToDuckSql: String =
-    """COPY (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
-      |ORDER BY doc_id) TO '/tmp/graft_q174_duck_out.parquet' (FORMAT PARQUET)"""
+    """SELECT CAST(count(*) AS BIGINT) AS Count FROM documents
+      |WHERE lang = 'en'"""
       .stripMargin.replace("\n", " ")
 
   // q175 — read_csv / read_json table functions over a fixture BOTH

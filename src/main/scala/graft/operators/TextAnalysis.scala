@@ -1328,9 +1328,17 @@ object TextAnalysis {
       (s, d) => {
         graft.functions.WordShingleHashes.register(s)
         graft.functions.BloomContains.register(s)
+        // persistTracked: sh feeds THREE consumers (the panel's Bloom
+        // build, the Bloom-probed corpus, and the exact contract side)
+        // — unpersisted, WordShingleHashes re-shingles the corpus three
+        // times per run (VERDICT r10; the q178 shared-frame lesson).
+        // The panelBloomBytes collect below is the materializing action,
+        // so all three consumers read the cached shingles. Released via
+        // SessionCaches at the caller's statement boundary.
         val sh = docs(s, d).select(col("doc_id"), col("source"),
           graft.functions.WordShingleHashes
             .shingleHashes(col("text"), 5).as("hs"))
+          .persistTracked()
         val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
           .select(explode(col("hs")).as("h")).distinct()
         val bytes = panelBloomBytes(bench)
