@@ -291,29 +291,82 @@ object DuckDialect {
           }
         } else if (lower == "using" && !isCall &&
           readWord(sql, j).equalsIgnoreCase("sample")) {
-          // DuckDB's `USING SAMPLE n% / n PERCENT` → Spark's
-          // `TABLESAMPLE (n PERCENT)` (both: per-row random sampling —
-          // inherently not comparable run-to-run, but the same intent).
-          // The ROWS form (`USING SAMPLE 10`) is NOT bridged: DuckDB
-          // draws a random reservoir where Spark's (n ROWS) is a plain
-          // limit — silently different rows; guidance explains. Method/
-          // seed parens likewise pass through. Join `USING (cols)` has
-          // a '(' lookahead, never the word `sample`.
+          // DuckDB's percent sampling → Spark's `TABLESAMPLE (n
+          // PERCENT)` (both: per-row random draw — inherently not
+          // comparable run-to-run, but the same contract). Bridged
+          // percent spellings (r11 adds the method/seed forms):
+          //   `n% | n PERCENT`                 → TABLESAMPLE (n PERCENT)
+          //   `n% (bernoulli|system[, seed])`  → + REPEATABLE (seed)
+          //   `bernoulli|system(n%[, seed])`   → same, method-first
+          // bernoulli IS Spark's TABLESAMPLE semantics; DuckDB's system
+          // differs only in draw granularity (per-2048-row vector vs
+          // per-row — both "≈n%, random"), and a SEED pins rows within
+          // ONE engine, never across engines, so the q173 aggregate-
+          // contract rule covers every seeded form. reservoir(n%) is
+          // NOT bridged: it returns exactly floor(n%·count) rows, which
+          // needs a count pass Spark's sample clause cannot express —
+          // guidance. The ROWS forms restructure in bridgeSampleRows
+          // (reservoir-n = ORDER BY rand LIMIT n, never Spark's plain-
+          // limit (n ROWS)). Join `USING (cols)` has a '(' lookahead,
+          // never the word `sample`.
           var k = j + 6
-          while (k < n && Character.isWhitespace(sql.charAt(k))) k += 1
-          val numStart = k
-          while (k < n && (Character.isDigit(sql.charAt(k)) ||
-            sql.charAt(k) == '.')) k += 1
-          val num = sql.substring(numStart, k)
-          var k2 = k
-          while (k2 < n && Character.isWhitespace(sql.charAt(k2))) k2 += 1
+          def skipWs(p0: Int): Int = {
+            var p = p0
+            while (p < n && Character.isWhitespace(sql.charAt(p))) p += 1
+            p
+          }
+          def readNum(p0: Int): (String, Int) = {
+            var p = p0
+            while (p < n && (Character.isDigit(sql.charAt(p)) ||
+              sql.charAt(p) == '.')) p += 1
+            (sql.substring(p0, p), p)
+          }
+          k = skipWs(k)
+          // method-first spelling: `bernoulli|system (` — the percent
+          // and optional seed sit INSIDE the parens
+          val mw = readWord(sql, k).toLowerCase(java.util.Locale.ROOT)
+          val methodFirst = (mw == "bernoulli" || mw == "system") &&
+            skipWs(k + mw.length) < n && sql.charAt(skipWs(k + mw.length)) == '('
+          val numStart = if (methodFirst) skipWs(skipWs(k + mw.length) + 1) else k
+          val (num, k1) = readNum(numStart)
+          val k2 = skipWs(k1)
           val isPct = num.nonEmpty && num != "." && k2 < n &&
             (sql.charAt(k2) == '%' ||
               readWord(sql, k2).equalsIgnoreCase("percent"))
-          if (isPct) {
-            sb.append("TABLESAMPLE (").append(num).append(" PERCENT)")
-            i = if (sql.charAt(k2) == '%') k2 + 1 else k2 + 7
-          } else sb.append(word) // rows/method forms fall to guidance
+          // parse `[, seed] )` from p0: Some((seed, afterParen))
+          def seedAndClose(p0: Int): Option[(String, Int)] = {
+            var p = skipWs(p0)
+            var seed = ""
+            if (p < n && sql.charAt(p) == ',') {
+              val (s, p1) = readNum(skipWs(p + 1))
+              if (s.isEmpty) return None
+              seed = s; p = skipWs(p1)
+            }
+            if (p < n && sql.charAt(p) == ')') Some((seed, p + 1)) else None
+          }
+          val bridged: Option[(String, Int)] = if (!isPct) None else {
+            val after = if (sql.charAt(k2) == '%') k2 + 1 else k2 + 7
+            if (methodFirst) seedAndClose(after)
+            else {
+              val t = skipWs(after)
+              if (t < n && sql.charAt(t) == '(') {
+                val m2 = readWord(sql, skipWs(t + 1))
+                  .toLowerCase(java.util.Locale.ROOT)
+                if (m2 == "bernoulli" || m2 == "system")
+                  seedAndClose(skipWs(t + 1) + m2.length)
+                else None // reservoir(n%) is exact-count — guidance
+              } else Some(("", after)) // plain percent, no method parens
+            }
+          }
+          bridged match {
+            case Some((seed, end)) =>
+              sb.append("TABLESAMPLE (").append(num).append(" PERCENT)")
+              if (seed.nonEmpty)
+                sb.append(" REPEATABLE (").append(seed).append(')')
+              i = end
+            case None =>
+              sb.append(word) // rows forms: bridgeSampleRows; rest: guidance
+          }
         } else if (lower == "replace" && lastNonWs(sb) == '*' && isCall) {
           // DuckDB's `* REPLACE (expr AS col, …)` star modifier → Spark's
           // `* EXCEPT (col, …), expr AS col, …`. Same columns and values;
@@ -1168,10 +1221,15 @@ object DuckDialect {
     * Bridged subset: single ident relation [alias], optional WHERE
     * between relation and the sample clause (kept OUTSIDE the sampled
     * subquery — sample-before-WHERE, as DuckDB), optional ORDER BY /
-    * LIMIT tail after it. Refused → guidance: the PERCENT form (the
-    * char-scan bridges it to TABLESAMPLE), method/seed parens,
-    * REPEATABLE, joins/subqueries in FROM, GROUP BY (DuckDB's own
-    * parser rejects sample-then-group anyway). */
+    * LIMIT tail after it. r11 adds the reservoir method/seed spellings
+    * — `n [ROWS] (reservoir[, seed])` and `reservoir(n ROWS)` (DuckDB's
+    * parser rejects a seed inside the method-first rows form) — where
+    * the seed pins the draw WITHIN Spark via rand(seed), never across
+    * engines (q173's aggregate-contract rule). Refused → guidance: the
+    * PERCENT forms (the char-scan bridges bernoulli/system, refuses
+    * exact-count reservoir %), bernoulli/system with a ROWS count
+    * (DuckDB itself errors), joins/subqueries in FROM, GROUP BY
+    * (DuckDB's own parser rejects sample-then-group anyway). */
   private def bridgeSampleRows(sql: String): String = {
     val usingAt = topKeyword(sql, "using")
     if (usingAt < 0) return sql
@@ -1181,15 +1239,44 @@ object DuckDialect {
     ws()
     if (!readWord(sql, i).equalsIgnoreCase("sample")) return sql
     i += 6; ws()
+    var seed = "" // rand() when empty, rand(seed) when pinned
+    // method-first rows form: reservoir( n ROWS )
+    var methodFirst = false
+    if (readWord(sql, i).equalsIgnoreCase("reservoir")) {
+      var t = i + 9
+      while (t < sql.length && Character.isWhitespace(sql.charAt(t))) t += 1
+      if (t < sql.length && sql.charAt(t) == '(') {
+        methodFirst = true; i = t + 1; ws()
+      } else return sql
+    }
     val numStart = i
     while (i < sql.length && Character.isDigit(sql.charAt(i))) i += 1
     val num = sql.substring(numStart, i)
-    if (num.isEmpty) return sql // method-first forms -> guidance
+    if (num.isEmpty) return sql // bernoulli/system-first % forms: char-scan
     ws()
     if (i < sql.length && (sql.charAt(i) == '%' ||
       readWord(sql, i).equalsIgnoreCase("percent"))) return sql
     if (readWord(sql, i).equalsIgnoreCase("rows")) { i += 4; ws() }
-    if (i < sql.length && sql.charAt(i) == '(') return sql // method/seed
+    if (methodFirst) {
+      if (i >= sql.length || sql.charAt(i) != ')') return sql
+      i += 1; ws()
+    } else if (i < sql.length && sql.charAt(i) == '(') {
+      // `n [ROWS] (reservoir[, seed])` — other methods cannot take a
+      // discrete count (DuckDB errors), so they fall to guidance
+      i += 1; ws()
+      if (!readWord(sql, i).equalsIgnoreCase("reservoir")) return sql
+      i += 9; ws()
+      if (i < sql.length && sql.charAt(i) == ',') {
+        i += 1; ws()
+        val ss = i
+        while (i < sql.length && Character.isDigit(sql.charAt(i))) i += 1
+        seed = sql.substring(ss, i)
+        if (seed.isEmpty) return sql
+        ws()
+      }
+      if (i >= sql.length || sql.charAt(i) != ')') return sql
+      i += 1; ws()
+    }
     if (readWord(sql, i).equalsIgnoreCase("repeatable")) return sql
     val tail = sql.substring(i).trim
     if (tail.nonEmpty) {
@@ -1224,7 +1311,7 @@ object DuckDialect {
     if (between.trim.nonEmpty &&
       !readWord(between.trim, 0).equalsIgnoreCase("where")) return sql
     sql.substring(0, f) +
-      s"FROM (SELECT * FROM $rel ORDER BY rand() LIMIT $num) $alias " +
+      s"FROM (SELECT * FROM $rel ORDER BY rand($seed) LIMIT $num) $alias " +
       between.trim + (if (between.trim.isEmpty) "" else " ") + tail
   }
 
@@ -2284,11 +2371,16 @@ object DuckDialect {
        |  returns DuckDB's Count row; Spark writes a DIRECTORY of part
        |  files, not one file (the scale-correct divergence). COPY FROM
        |  and column lists are not bridged.
-       |  USING SAMPLE n [ROWS] IS bridged for a single-relation FROM
-       |  [+ WHERE]: a true uniform random-n via ORDER BY rand() LIMIT n
-       |  (TakeOrdered — no full sort), applied BEFORE the WHERE as
-       |  DuckDB does; both engines draw different random rows, so only
-       |  aggregate contracts compare. The PERCENT form bridges to
-       |  TABLESAMPLE; method/seed/REPEATABLE forms are not bridged.
+       |  USING SAMPLE n [ROWS] [(reservoir[, seed])] and
+       |  reservoir(n ROWS) ARE bridged for a single-relation FROM
+       |  [+ WHERE]: a true uniform random-n via ORDER BY rand([seed])
+       |  LIMIT n (TakeOrdered — no full sort), applied BEFORE the WHERE
+       |  as DuckDB does. The PERCENT forms — n% | n PERCENT, with
+       |  (bernoulli|system[, seed]) in either spelling — bridge to
+       |  TABLESAMPLE (n PERCENT) [REPEATABLE (seed)]. A seed pins rows
+       |  within ONE engine, never across engines, so only aggregate
+       |  contracts compare. NOT bridged: reservoir(n%) (exact-count —
+       |  needs a count pass), bernoulli/system with a ROWS count
+       |  (DuckDB itself errors there).
        |Original SQL: $original""".stripMargin
 }

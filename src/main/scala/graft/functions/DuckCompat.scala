@@ -837,8 +837,11 @@ object DuckCompat {
     // read_csv(['a','b']) arrives here as CreateArray). Named options
     // arrive as the parser's `EqualTo(attr, literal)` (DuckDB's
     // `header = true` spelling) or Spark's `name => value`. Supported:
-    //   csv — header (DuckDB default false; no-header columns are named
-    //   column0..N as DuckDB names them), delim/sep/delimiter, quote,
+    //   csv — header (DuckDB AUTO-DETECTS header and delimiter when
+    //   not given, so the option-free form refuses below rather than
+    //   silently applying spark.read's no-header ',' defaults;
+    //   no-header columns are named column0..N as DuckDB names them),
+    //   delim/sep/delimiter, quote,
     //   escape, nullstr, compression, names (list literal),
     //   all_varchar (disables inference);
     //   json — format 'auto'/'newline_delimited'/'nd' (NDJSON, the
@@ -938,9 +941,28 @@ object DuckCompat {
               "auto_detect are ignored) — use spark.read directly for " +
               "the rest")
         }
+        // DEFAULT divergence guard (ADVICE r10, medium): DuckDB
+        // auto-detects BOTH header and delimiter when neither is given;
+        // spark.read's defaults (no header, ',') silently return raw
+        // one-column lines for a '|'-delimited headered file. No sniff
+        // here — a heuristic that disagrees with DuckDB's is the same
+        // silent divergence one layer down — so the option-free form
+        // refuses with the explicit-options guidance, like every other
+        // unbridged shape.
+        if (!opts.contains("header") &&
+            !Seq("delim", "sep", "delimiter").exists(opts.contains))
+          throw new IllegalArgumentException(
+            "read_csv without header/delim options is not bridged: DuckDB " +
+              "auto-detects both from the file where spark.read defaults " +
+              "to header=false, delim=',' — a silent divergence. Pass " +
+              "explicit options, e.g. read_csv('f.csv', header = true, " +
+              "delim = ',')")
         var df = withOpts.csv(paths: _*)
         if (names.nonEmpty)
-          df = df.toDF(names ++
+          // a names list LONGER than the file's column count truncates
+          // to the width, exactly as DuckDB does (verified; ADVICE r10 —
+          // the untruncated toDF raised an opaque arity error)
+          df = df.toDF(names.take(df.columns.length) ++
             df.columns.drop(names.length): _*)
         else if (!header)
           // DuckDB names headerless columns column0..N; Spark _c0.._cN

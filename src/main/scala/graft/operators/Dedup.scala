@@ -258,8 +258,14 @@ object Dedup {
     SimHash64.register(s)
     graft.functions.BoundedSortedList.register(s)
     graft.functions.OrderedPairs.register(s)
+    // persistTracked: f feeds the segment-bucket pass AND both pair
+    // re-attach joins — unpersisted, the tokenize+SimHash scan runs
+    // three times (VERDICT r10 item 8; the q178/q168 shared-frame
+    // pattern). The cached unit is (doc_id, 8-byte fingerprint), not
+    // text. Released via SessionCaches at the statement boundary.
     val f = docs(s, d).select(col("doc_id"),
       SimHash64.simhash64(tokenHashes(tokens(col("text")))).as("sh"))
+      .persistTracked()
     val segCols = (0 until 4).map(k =>
       shiftrightunsigned(col("sh"), k * 16).bitwiseAND(lit(0xFFFFL)))
     val seg = f.select(col("doc_id"),

@@ -39,7 +39,11 @@ object JoinHeavy {
           .select("c_custkey")
         val o = T(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
         val l = T(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // no broadcast hint on customer: it is SF-PROPORTIONAL (a 100 TB
+        // TPC-H run has billions of customers) — the planner broadcasts
+        // it at bench scale from honest size estimates and must be free
+        // to shuffle-join at scale (the q119/q120 r10 precedent)
+        o.join(c, col("o_custkey") === col("c_custkey"))
           .join(l, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderkey", "o_orderdate")
           .agg(sum(revenue).cast("double").as("rev"), count(lit(1)).as("n_lines"))
@@ -89,9 +93,12 @@ object JoinHeavy {
         val n = T(s, d, "nation").select("n_nationkey", "n_name")
         val l = T(s, d, "lineitem")
           .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(sup.join(broadcast(n),
-            col("s_nationkey") === col("n_nationkey"))),
+        // part and supplier are SF-PROPORTIONAL — no broadcast hints
+        // (see q29); nation is FIXED 25 rows, the one genuinely bounded
+        // dim in this snowflake, so its hint stays
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .join(sup.join(broadcast(n),
+            col("s_nationkey") === col("n_nationkey")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy("p_brand", "n_name")
           .agg(sum(col("l_quantity")).as("qty"),

@@ -154,9 +154,14 @@ object TextAnalysis {
     // >= 2 distinct Gopher stop words. Every rule is INTEGER
     // cross-multiplication (3*n <= chars <= 10*n, 10*sym <= n, ...) so
     // the row is hash-exact cross-engine — no doubles, no libm. Pure
-    // per-row scalars in one projection: no shuffle, the filter runs at
-    // scan speed at any corpus size (the repetition-rule siblings are
-    // q87; q41 is the lightweight length/ratio panel). On THIS corpus
+    // per-row scalars in ONE projection, no shuffle — per-row-linear at
+    // any corpus size, though the projection stacks interpreted HOFs
+    // (aggregate + filter lambdas) and several regex passes per row
+    // (ADVICE r10): acceptable while the wall stays sub-second; fold
+    // the word stats into a native expression (the WindowKeyHashes
+    // pattern) if this query ever grows multi-second. (The
+    // repetition-rule siblings are q87; q41 is the lightweight
+    // length/ratio panel.) On THIS corpus
     // the battery rejects everything via stops_ok (a bag of 31 jargon
     // words contains only 'the' of the 8 stop words — correct: it is
     // not English prose) while wc_ok still splits 277/500, so the
@@ -1002,23 +1007,27 @@ object TextAnalysis {
     // from the corpus (mojibake, binary spill, wrong-language noise)
     // scores low. Integer counts only, so the result is bit-identical to
     // the oracle; the ratio threshold (coverage < 0.9) is cross-
-    // multiplied to stay in integers. Scale shape: two linear scans of
-    // the text (model pass, scoring pass — train-then-apply is
-    // irreducibly two passes), but the unit that flows OUT of each scan
-    // is the per-doc bigram HISTOGRAM (CharNgramCounts, in-row), so the
-    // exploded stream is one row per distinct bigram per doc (bounded
-    // by charset², ~10² for text) instead of one row per character —
-    // the model aggregate and the scoring join see a ~100x smaller
-    // stream carrying the same exact counts. Model: map-side combine to
-    // the charset² before one tiny exchange, TakeOrdered for the top-K,
-    // BROADCAST to the scoring side; scoring pre-aggregates per doc
-    // before the one doc-keyed exchange. Document text never shuffles.
+    // multiplied to stay in integers. Scale shape: train-then-apply
+    // needs the bigram stream twice (model pass, scoring pass), so the
+    // per-doc bigram HISTOGRAM frame (CharNgramCounts, in-row — one row
+    // per doc, bounded charset² map) is persisted (r11, VERDICT r9/r10
+    // carry): the text is scanned and char-counted ONCE, and both
+    // consumers explode the cached histograms — one narrow row per
+    // distinct bigram per doc (~10² for text) instead of one per
+    // character. Model: map-side combine to the charset² before one
+    // tiny exchange, TakeOrdered for the top-K, BROADCAST to the
+    // scoring side; scoring pre-aggregates per doc before the one
+    // doc-keyed exchange. Document text never shuffles or caches —
+    // the cached unit is the histogram map, released via SessionCaches.
     GraftQuery("q123_char_bigram_quality",
       (s, d) => {
         graft.functions.CharNgramCounts.register(s)
         import graft.functions.CharNgramCounts.charNgramCounts
-        val bg = docs(s, d).select(col("doc_id"),
-          explode(charNgramCounts(col("text"), 2)).as(Seq("b", "cnt")))
+        val hist = docs(s, d).select(col("doc_id"),
+          charNgramCounts(col("text"), 2).as("h"))
+          .persistTracked()
+        val bg = hist.select(col("doc_id"),
+          explode(col("h")).as(Seq("b", "cnt")))
         val top = bg.groupBy("b").agg(sum("cnt").as("c"))
           .orderBy(col("c").desc, col("b").asc).limit(100)
           .select(col("b"), lit(1).as("hit"))

@@ -318,4 +318,33 @@ class ExpressionPropertySpec extends AnyFunSuite {
         s"list_slice($arr, $b, $e, $st): got $g, model ${model(arr, b, e, st)}")
     }
   }
+
+  test("TopKIdsByScore ≡ ROW_NUMBER()<=k window over random scored rows, " +
+    "and is partition-invariant (map-side partial merge cannot change it)") {
+    import spark.implicits._
+    graft.functions.TopKIdsByScore.register(spark)
+    // scores drawn from a SMALL grid so ties are common — the
+    // (score DESC, id ASC) tie-break is the claim under test; ids unique
+    // per group (the caller contract)
+    val gen = for {
+      nGroups <- Gen.chooseNum(1, 6)
+      rows <- Gen.listOfN(nGroups * 30, Gen.zip(
+        Gen.chooseNum(0, nGroups - 1),
+        Gen.chooseNum(0, 7).map(_ / 4.0)))
+    } yield rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+    (1 to 20).foreach { i =>
+      val rows = sample(gen, 4200L + i)
+      Seq(1, 7).foreach { parts =>
+        val df = rows.toDF("g", "s", "id").repartition(parts)
+        val got = df.groupBy("g")
+          .agg(graft.functions.TopKIdsByScore
+            .topkIds(col("s"), col("id"), 5).as("ids"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
+        val expected = rows.groupBy(_._1).map { case (g, rs) =>
+          g -> rs.sortBy(t => (-t._2, t._3)).take(5).map(_._3).sorted.toSeq
+        }
+        assert(got == expected, s"seed ${4200 + i} parts $parts")
+      }
+    }
+  }
 }

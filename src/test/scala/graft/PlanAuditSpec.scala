@@ -141,4 +141,60 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(optimized != null)
     }
   }
+
+  // Corpus-WIDE hint census (VERDICT r10 item 5): the test above pins
+  // the five queries whose r9 hints were removed, but a future forced
+  // broadcast() of a data-proportional frame anywhere ELSE would pass
+  // it. Every query carrying ANY join hint must be named here with its
+  // boundedness argument — a new hint-carrying query fails until its
+  // hinted frame is argued bounded by construction (panel / dim / K-row
+  // stats / capped prefix), the exact review the r9 jaccardPairsOf
+  // broadcast(card) bug skipped.
+  // The audited census (r11). Hinted frames by class:
+  //  - FIXED dims: region (5) / nation (25) / nation⋈region — q11, q30,
+  //    q31 (part/supplier hints REMOVED r11: SF-proportional), q71.
+  //  - 1-row / K-row stats frames crossed or joined in: q27, q35,
+  //    q109, q113, q127 (per-event-type stats — enum-typed key), q133,
+  //    q141-class totals inside q131/q135/q153/q155, q150 (per-type
+  //    totals), q156/q157 (≤207-row bench prefix).
+  //  - bounded panels / top-K sets: q91/q104/q168 (eval-benchmark
+  //    5-gram panels — fixed-size suites in production; the mod-97
+  //    slice is the test stand-in), q123 (top-100 bigrams), q126
+  //    (3-term query stats), q132 (top-K bigram sets), q135 (100-row
+  //    rerank frame).
+  //  - vocabulary-bounded aggregates (Heap's-law sublinear; the
+  //    documented stance of q154/q155's VERDICT r9 review): q114,
+  //    q115, q121.
+  // q29 is deliberately NOT whitelisted: its only former hint was the
+  // removed broadcast(customer) — re-adding it fails this census.
+  private val hintOk: Set[String] = Set(
+    "q11_two_hop_join", "q27_scalar_subquery",
+    "q30_tpch_q5_shape", "q31_part_supplier_profile", "q35_setops",
+    "q71_delta_scan", "q91_decontamination",
+    "q104_ngram_decontamination", "q109_quality_percentile_filter",
+    "q113_rfm", "q114_source_similarity", "q115_distinctive_terms",
+    "q121_vocab_overlap_sketch", "q123_char_bigram_quality",
+    "q126_bm25_search", "q127_anomaly_hours", "q131_hybrid_rrf",
+    "q132_pmi_bigrams", "q133_source_drift", "q135_rerank",
+    "q150_event_transitions", "q153_context_packing",
+    "q155_importance_weights", "q156_training_manifest",
+    "q157_pipeline_funnel", "q168_bloom_decontamination")
+
+  test("corpus-wide broadcast-hint census: every hint-carrying query is " +
+    "audited bounded (VERDICT r10 item 5)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val analyzed = q(spark, sf).queryExecution.analyzed
+        val hints = analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h.name
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+            h.hints.toString
+        }
+        if (hints.nonEmpty && !hintOk(name)) Seq(s"$name: ${hints.size} hint(s)")
+        else Nil
+    }
+    assert(offenders.isEmpty,
+      "unaudited join hints (argue the hinted frame bounded, then " +
+        s"whitelist in hintOk):\n${offenders.mkString("\n")}")
+  }
 }

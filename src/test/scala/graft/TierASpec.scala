@@ -555,9 +555,27 @@ class TierASpec extends AnyFunSuite {
     // alias survives the wrap; tail ORDER BY/LIMIT stays outer
     assert(graft.DuckDialect.sql(spark, "SELECT s.k FROM smp s " +
       "USING SAMPLE 5 ROWS ORDER BY s.k LIMIT 3").count() == 3)
-    // method/seed forms refuse into guidance
+    // method/seed spellings bridge since r11 (DuckDB-verified grammar:
+    // the paren forms below all parse there; bernoulli with a ROWS
+    // count is a DuckDB error and refuses here too)
+    assert(one("SELECT count(*) FROM (SELECT * FROM smp " +
+      "USING SAMPLE reservoir(10 ROWS))") == 10)
+    assert(one("SELECT count(*) FROM (SELECT * FROM smp " +
+      "USING SAMPLE 10 ROWS (reservoir, 42))") == 10)
+    // a SEED pins the draw within Spark: same seed twice = same rows
+    def seededSum() = one("SELECT sum(k) FROM (SELECT * FROM smp " +
+      "USING SAMPLE 10 ROWS (reservoir, 42))")
+    assert(seededSum() == seededSum())
+    // percent + method/seed → TABLESAMPLE REPEATABLE; seeded draws are
+    // stable within Spark, and counts stay within the population
+    def pctCount(q: String) = one(s"SELECT count(*) FROM (SELECT * FROM smp $q)")
+    val p1 = pctCount("USING SAMPLE 20% (bernoulli, 377)")
+    assert(p1 == pctCount("USING SAMPLE 20% (bernoulli, 377)") && p1 <= 100)
+    assert(pctCount("USING SAMPLE bernoulli(20%, 377)") == p1)
+    assert(pctCount("USING SAMPLE 20 PERCENT (system)") <= 100)
+    // reservoir(n%) is exact-count (needs a count pass) — guidance
     val se = intercept[Exception](graft.DuckDialect.sql(spark,
-      "SELECT * FROM smp USING SAMPLE reservoir(10 ROWS)"))
+      "SELECT * FROM smp USING SAMPLE reservoir(10%)"))
     assert(se.getMessage.contains("SAMPLE"))
     // COPY (query) TO: DuckDB's one-row Count shape, written data real
     val out = "/tmp/graft_copy_spec"
@@ -613,6 +631,17 @@ class TierASpec extends AnyFunSuite {
       "SELECT * FROM read_json('/tmp/graft_spec_arr.json', " +
         "records = false)"))
     assert(re.getMessage.contains("records"))
+    // option-free read_csv refuses (ADVICE r10 medium): DuckDB
+    // auto-detects header AND delimiter; spark.read's silent defaults
+    // (no header, ',') would diverge on any headered or non-comma file
+    val af = intercept[Exception](graft.DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/graft_spec_nh.csv')"))
+    assert(af.getMessage.contains("auto-detects"))
+    // names list LONGER than the file's width truncates to the width,
+    // exactly as DuckDB does (verified; was an opaque toDF arity error)
+    assert(graft.DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/graft_spec_nh.csv', header = false," +
+        " names = ['a', 'b', 'c', 'd'])").columns.toSeq == Seq("a", "b"))
     // loud refusals: unknown read option, unbridged COPY format,
     // COPY FROM shapes
     val oe = intercept[Exception](graft.DuckDialect.sql(spark,
