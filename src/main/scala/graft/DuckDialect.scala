@@ -374,14 +374,23 @@ object DuckDialect {
           // END of the projection (Spark has no in-place star modifier) —
           // harmless to the oracle compare (column-name keyed) and to
           // any by-name consumer. Every top-level arg must be
-          // `expr AS bare_ident`; anything else falls through to
-          // guidance. The replacement exprs rewrite recursively.
+          // `expr AS ident` — bare or "double-quoted" (r11; quoted
+          // names re-emit backticked, Spark's quoting); anything else
+          // falls through to guidance. The replacement exprs rewrite
+          // recursively.
           val handled = scanCall(sql, j).flatMap { case (after, _) =>
             splitTop(sql.substring(j + 1, after - 1)).flatMap { args =>
               val parsed = args.map { a =>
                 val t = a.trim
-                val m = AsIdentRe.findFirstMatchIn(t)
-                m.map(mm => (t.substring(0, mm.start), mm.group(1)))
+                val m = AsAnyIdentRe.findFirstMatchIn(t)
+                m.map { mm =>
+                  val raw = mm.group(1)
+                  val n =
+                    if (raw.startsWith("\""))
+                      "`" + raw.substring(1, raw.length - 1) + "`"
+                    else raw
+                  (t.substring(0, mm.start), n)
+                }
               }
               if (parsed.isEmpty || parsed.exists(_.isEmpty)) None
               else Some {
@@ -715,6 +724,13 @@ object DuckDialect {
 
   // trailing `AS ident` of a REPLACE item (group 1 = the bare ident)
   private val AsIdentRe = """(?i)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+
+  // the REPLACE bridge's wider form: bare ident OR "double-quoted"
+  // (DuckDB accepts quoted names there — verified; the quoted variant
+  // re-emits backticked). PIVOT/COLUMNS keep the bare-only AsIdentRe:
+  // their group(1) feeds suffix/refusal logic that assumes bare names.
+  private val AsAnyIdentRe =
+    """(?i)\s+AS\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*$""".r
 
   private def lastNonWs(sb: StringBuilder): Char = {
     var k = sb.length - 1
@@ -2186,6 +2202,125 @@ object DuckDialect {
     Some(Seq(n).toDF("Count"))
   }
 
+  /** `COPY <table> FROM 'path' [(FORMAT …, HEADER …, DELIMITER …)]` —
+    * the LOAD half of the COPY bridge (r11; the reference surface
+    * accepts it as arbitrary DuckDB SQL). The file is read WITH THE
+    * TARGET TABLE'S SCHEMA (positional load, exactly DuckDB's mapping)
+    * and appended via insertInto in ONE pass — the row count rides the
+    * write as an [[org.apache.spark.sql.Observation]], no re-read —
+    * returning DuckDB's one-row Count.
+    *
+    * Loud edges, never silent: the target must be a WRITABLE catalog
+    * table (a temp VIEW refuses with guidance — views are read-only
+    * here where DuckDB tables are not); CSV requires explicit HEADER
+    * and DELIMITER (DuckDB sniffs both — a wrong guessed delimiter
+    * under a forced schema would load whole lines into column 1 with
+    * NULL tails, the exact silent-corruption class the read_csv bridge
+    * refuses); reads run FAILFAST so an arity/type mismatch raises as
+    * DuckDB's sniffer does; column lists are not bridged. */
+  private def bridgeCopyFrom(
+      spark: SparkSession, text: String): Option[DataFrame] = {
+    val t = text.trim.stripSuffix(";").trim
+    if (!readWord(t, 0).equalsIgnoreCase("copy")) return None
+    var i = 4
+    def ws(): Unit =
+      while (i < t.length && Character.isWhitespace(t.charAt(i))) i += 1
+    ws()
+    if (i >= t.length || t.charAt(i) == '(') return None
+    val ident = parseIdentChain(t, i) match {
+      case Some((id, after)) => i = after; id
+      case None => return None
+    }
+    ws()
+    if (i < t.length && t.charAt(i) == '(') return None // column list
+    if (!readWord(t, i).equalsIgnoreCase("from")) return None
+    i += 4; ws()
+    if (i >= t.length || t.charAt(i) != '\'') return None
+    i += 1
+    val pathSb = new StringBuilder
+    var closed = false
+    while (i < t.length && !closed) t.charAt(i) match {
+      case '\'' if i + 1 < t.length && t.charAt(i + 1) == '\'' =>
+        pathSb.append('\''); i += 2
+      case '\'' => closed = true; i += 1
+      case ch => pathSb.append(ch); i += 1
+    }
+    if (!closed) return None
+    val path = pathSb.toString
+    ws()
+    var fmt = ""
+    var header: Option[Boolean] = None
+    var delim: Option[String] = None
+    if (i < t.length && t.charAt(i) == '(') scanCall(t, i) match {
+      case Some((after, _)) =>
+        val items = splitTop(t.substring(i + 1, after - 1))
+          .getOrElse(return None)
+        i = after
+        for (o <- items.map(_.trim).filter(_.nonEmpty)) {
+          val k = readWord(o, 0).toLowerCase(java.util.Locale.ROOT)
+          val v = o.drop(k.length).trim
+            .stripPrefix("'").stripSuffix("'")
+            .toLowerCase(java.util.Locale.ROOT)
+          k match {
+            case "format" => fmt = v
+            case "header" => header = Some(v.isEmpty || v == "true" || v == "1")
+            case "delimiter" | "delim" | "sep" =>
+              delim = Some(o.drop(k.length).trim
+                .stripPrefix("'").stripSuffix("'"))
+            case other => throw new IllegalArgumentException(
+              s"COPY FROM option '$other' is not bridged (supported: " +
+                "FORMAT PARQUET|CSV|JSON, HEADER, DELIMITER) — use " +
+                "spark.read + INSERT for the rest")
+          }
+        }
+      case None => return None
+    }
+    ws()
+    if (i < t.length) return None // trailing junk -> guidance
+    if (fmt.isEmpty) {
+      val lower = path.toLowerCase(java.util.Locale.ROOT)
+      fmt = if (lower.endsWith(".parquet")) "parquet"
+      else if (lower.endsWith(".json") || lower.endsWith(".ndjson")) "json"
+      else "csv"
+    }
+    val target = try spark.catalog.getTable(ident) catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"COPY FROM target '$ident' does not exist: ${e.getMessage}", e)
+    }
+    if (target.tableType == "TEMPORARY" || target.isTemporary)
+      throw new IllegalArgumentException(
+        s"COPY FROM target '$ident' is a temporary VIEW — views are " +
+          "read-only; load into a real table (CREATE TABLE … USING " +
+          "parquet/delta), or read the file directly with " +
+          "read_csv/read_parquet and INSERT")
+    val schema = spark.table(ident).schema
+    val src = fmt match {
+      case "parquet" => spark.read.parquet(path)
+      case "json" =>
+        spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+      case "csv" =>
+        if (header.isEmpty || delim.isEmpty)
+          throw new IllegalArgumentException(
+            "COPY FROM csv requires explicit HEADER and DELIMITER " +
+              "options: DuckDB auto-detects both from the file, and a " +
+              "wrong default under the table's forced schema would load " +
+              "corrupt rows silently — e.g. COPY t FROM 'f.csv' (FORMAT " +
+              "CSV, HEADER false, DELIMITER ',')")
+        spark.read.schema(schema).option("mode", "FAILFAST")
+          .option("header", header.get).option("sep", delim.get).csv(path)
+      case other => throw new IllegalArgumentException(
+        s"COPY FROM FORMAT '$other' is not bridged (parquet, csv, json)")
+    }
+    val obs = org.apache.spark.sql.Observation()
+    src.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.insertInto(ident)
+    val n = obs.get("n").asInstanceOf[Long]
+    import spark.implicits._
+    Some(Seq(n).toDF("Count"))
+  }
+
   /** The dialect-tolerant `spark.sql`: valid Spark SQL runs untouched;
     * on a parse/analysis failure the rewrite is tried once; a still-
     * failing (or unbridgeable) statement raises [[guidance]]. Shared by
@@ -2207,13 +2342,16 @@ object DuckDialect {
     // COPY … TO never parses as Spark SQL — dispatch the statement
     // bridge first; an unbridgeable COPY shape gets the guidance table
     if (readWord(text.trim, 0).equalsIgnoreCase("copy"))
-      return bridgeCopyTo(spark, text).getOrElse(
-        throw new IllegalArgumentException(guidance(text,
-          "(COPY is not Spark SQL)",
-          "(COPY statement outside the bridged subset: COPY (query)|" +
-            "table TO 'path' [(FORMAT PARQUET|CSV|JSON, HEADER, " +
-            "DELIMITER)] — COPY FROM and column lists are not bridged; " +
-            "use spark.read/INSERT instead)")))
+      return bridgeCopyTo(spark, text)
+        .orElse(bridgeCopyFrom(spark, text))
+        .getOrElse(
+          throw new IllegalArgumentException(guidance(text,
+            "(COPY is not Spark SQL)",
+            "(COPY statement outside the bridged subset: COPY (query)|" +
+              "table TO 'path' [(FORMAT PARQUET|CSV|JSON, HEADER, " +
+              "DELIMITER)] and COPY table FROM 'path' [(same options)] " +
+              "— column lists are not bridged; use spark.read/INSERT " +
+              "instead)")))
     try spark.sql(text)
     catch {
       case e: org.apache.spark.sql.AnalysisException // incl. parse
@@ -2369,8 +2507,12 @@ object DuckDialect {
        |  query is the reference shape). COPY (query)|table TO 'path'
        |  [(FORMAT PARQUET|CSV|JSON, HEADER, DELIMITER)] IS bridged —
        |  returns DuckDB's Count row; Spark writes a DIRECTORY of part
-       |  files, not one file (the scale-correct divergence). COPY FROM
-       |  and column lists are not bridged.
+       |  files, not one file (the scale-correct divergence). COPY
+       |  table FROM 'path' [(same options)] IS bridged for writable
+       |  catalog tables — positional load with the table's schema,
+       |  FAILFAST, Count returned; temp VIEWS refuse (read-only), CSV
+       |  needs explicit HEADER+DELIMITER (DuckDB sniffs both), column
+       |  lists are not bridged.
        |  USING SAMPLE n [ROWS] [(reservoir[, seed])] and
        |  reservoir(n ROWS) ARE bridged for a single-relation FROM
        |  [+ WHERE]: a true uniform random-n via ORDER BY rand([seed])
