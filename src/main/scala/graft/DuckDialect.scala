@@ -1392,17 +1392,29 @@ object DuckDialect {
     while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
     if (readWord(sql, k).equalsIgnoreCase("distinct")) return None
     val selTxt = sql.substring(sel + 6, f).trim
-    // left relation [alias] between FROM and ASOF
+    // left relation [alias] between FROM and ASOF. r11: a relation may
+    // be a GROUPED subquery `(SELECT …) alias` (alias mandatory — Spark
+    // requires one and there is no ident to default from); the inner
+    // text embeds verbatim and the whole rewritten statement flows
+    // through the char-scan afterwards, so duckisms inside the subquery
+    // still bridge (the same ordering every other statement bridge
+    // relies on).
     var i = f + 4
     def ws(): Unit =
       while (i < sql.length && Character.isWhitespace(sql.charAt(i))) i += 1
     ws()
-    val lrel = parseIdentChain(sql, i) match {
-      case Some((ident, after)) => i = after; ident
-      case None => return None
-    }
+    def parseRel(): Option[String] =
+      if (i < sql.length && sql.charAt(i) == '(')
+        scanCall(sql, i).map { case (after, _) =>
+          val r = sql.substring(i, after); i = after; r
+        }
+      else parseIdentChain(sql, i).map { case (ident, after) =>
+        i = after; ident
+      }
+    val lrel = parseRel().getOrElse(return None)
+    val lGrouped = lrel.startsWith("(")
     ws()
-    var lalias = lrel.split('.').last
+    var lalias = if (lGrouped) "" else lrel.split('.').last
     if (i < asofAt) {
       val w = readWord(sql, i)
       if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
@@ -1410,6 +1422,7 @@ object DuckDialect {
       lalias = w; i += w.length; ws()
       if (i != asofAt) return None
     }
+    if (lalias.isEmpty) return None // grouped relation without alias
     i = asofAt + 4; ws()
     var leftJoin = false
     if (readWord(sql, i).equalsIgnoreCase("left")) {
@@ -1417,18 +1430,17 @@ object DuckDialect {
     }
     if (!readWord(sql, i).equalsIgnoreCase("join")) return None
     i += 4; ws()
-    val rrel = parseIdentChain(sql, i) match {
-      case Some((ident, after)) => i = after; ident
-      case None => return None
-    }
+    val rrel = parseRel().getOrElse(return None)
+    val rGrouped = rrel.startsWith("(")
     ws()
-    var ralias = rrel.split('.').last
+    var ralias = if (rGrouped) "" else rrel.split('.').last
     if (!readWord(sql, i).equalsIgnoreCase("on")) {
       val w = readWord(sql, i)
       if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
         return None
       ralias = w; i += w.length; ws()
     }
+    if (ralias.isEmpty) return None // grouped relation without alias
     if (!readWord(sql, i).equalsIgnoreCase("on")) return None
     i += 2
     val after = sql.substring(i)
@@ -2493,10 +2505,12 @@ object DuckDialect {
        |  projection; * EXCLUDE bridges to Spark's * EXCEPT).
        |  read_parquet('one path') IS translated to parquet.`path`;
        |  for file LISTS and options use read_csv-style table functions.
-       |  ASOF [LEFT] JOIN IS bridged for the single-join two-table
-       |  form (equi conjuncts + ONE inequality naming both aliases;
-       |  no WHERE — DuckDB filters AFTER the asof pick, a wrap would
-       |  filter candidates BEFORE it; no GROUP BY/subquery relations).
+       |  ASOF [LEFT] JOIN IS bridged for the single-join two-relation
+       |  form — idents or (subquery) alias on either side (equi
+       |  conjuncts + ONE inequality naming both aliases; no WHERE —
+       |  DuckDB filters AFTER the asof pick, a wrap would filter
+       |  candidates BEFORE it; no outer GROUP BY; a grouped relation
+       |  needs an explicit alias; multi-join chains are not bridged).
        |  The bridge is pair-generating (DuckDB has a dedicated
        |  sort-merge ASOF operator) and SCALE-GATED: statements whose
        |  probed equi-group pair count exceeds spark.graft.asof.maxPairs

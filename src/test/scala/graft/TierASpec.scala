@@ -498,6 +498,22 @@ class TierASpec extends AnyFunSuite {
     assert(run("SELECT * FROM asof_l l ASOF JOIN asof_r r " +
       "ON l.k = r.k AND l.ts >= r.ts ORDER BY l.k, l.ts") ==
       Seq(Seq("a", 10, "a", 10, 200), Seq("a", 20, "a", 18, 300)))
+    // grouped (subquery) relations bridge since r11, on either side —
+    // both expected answers are the installed DuckDB's
+    assert(run("SELECT l.k, l.ts, r.v FROM (SELECT * FROM asof_l " +
+      "WHERE ts > 6) l ASOF JOIN asof_r r " +
+      "ON l.k = r.k AND l.ts >= r.ts ORDER BY l.k, l.ts") ==
+      Seq(Seq("a", 10, 200), Seq("a", 20, 300)))
+    assert(run("SELECT l.k, l.ts, r.v FROM asof_l l ASOF JOIN " +
+      "(SELECT k, ts, v*10 AS v FROM asof_r) r " +
+      "ON l.k = r.k AND l.ts >= r.ts ORDER BY l.k, l.ts") ==
+      Seq(Seq("a", 10, 2000), Seq("a", 20, 3000)))
+    // a grouped relation WITHOUT an alias refuses (Spark needs one and
+    // there is no ident to default from)
+    val ae = intercept[Exception](graft.DuckDialect.sql(spark,
+      "SELECT v FROM (SELECT * FROM asof_l WHERE ts > 6) ASOF JOIN " +
+        "asof_r r ON k = r.k AND ts >= r.ts"))
+    assert(ae.getMessage.contains("ASOF") || ae.getMessage.contains("asof"))
     // refusal: WHERE — DuckDB filters AFTER the asof pick, the wrap
     // would filter candidate matches BEFORE it (silently different)
     val e = intercept[Exception](graft.DuckDialect.sql(spark,
