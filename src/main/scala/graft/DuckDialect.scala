@@ -47,9 +47,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * through the [[graft.functions.DuckCompat]] registered expressions
   * (DuckDialect.sql installs them), not this text rewrite.
   *
-  * Deliberately NOT translated (arg shapes or semantics differ; listed
-  * in [[guidance]]): non-literal `list_slice`/`string_split` forms,
-  * `list_*` on STRINGS, `date_sub` (month-end clamping).
+  * Deliberately NOT translated by THIS text rewrite (arg shapes or
+  * semantics differ): non-literal `list_slice`/`string_split` forms,
+  * `list_*` on STRINGS, `date_sub` (month-end clamping) — all resolve
+  * as [[graft.functions.DuckCompat]] REGISTERED functions on the first
+  * parse instead (r10/r11); what neither layer covers lands in
+  * [[guidance]].
   */
 object DuckDialect {
 
@@ -77,6 +80,8 @@ object DuckDialect {
     // silently swap the arguments (it's in the guidance list instead)
     "list_position" -> "array_position",
     "list_indexof" -> "array_position",
+    // reverse works on arrays AND strings in both engines — safe rename
+    "list_reverse" -> "reverse",
     "list_concat" -> "concat",
     "list_cat" -> "concat",
     "list_has_any" -> "arrays_overlap",
@@ -88,7 +93,10 @@ object DuckDialect {
     // STRINGS — that form fails into guidance; use substring.)
     "list_extract" -> "try_element_at",
     "array_extract" -> "try_element_at",
-    "array_to_string" -> "array_join",
+    // array_to_string is NOT renamed to array_join: the registered
+    // DuckCompat native resolves it on BOTH paths and mirrors DuckDB's
+    // edges (implicit element cast, EMPTY list → NULL where array_join
+    // returns '') — a rename here would bypass those on the rewrite path
     "string_split_regex" -> "split",
     "str_split_regex" -> "split",
     "regexp_split_to_array" -> "split",
@@ -450,6 +458,16 @@ object DuckDialect {
                 sb.append("array_distinct(filter(")
                   .append(rewrite(sql.substring(j + 1, after - 1)))
                   .append(", _graft_e -> _graft_e IS NOT NULL))")
+                i = after
+              }
+            case "list_unique" =>
+              // DuckDB: the COUNT of distinct non-NULL elements
+              // (verified: list_unique([1,1,2,NULL,NULL]) = 2, [] = 0)
+              // — a BIGINT, not a list
+              scanCall(sql, j).map { case (after, _) =>
+                sb.append("CAST(size(array_distinct(filter(")
+                  .append(rewrite(sql.substring(j + 1, after - 1)))
+                  .append(", _graft_e -> _graft_e IS NOT NULL))) AS BIGINT)")
                 i = after
               }
             case "array_length" =>
@@ -2414,7 +2432,7 @@ object DuckDialect {
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(list_prepend|quantile_disc|quantile|string_split|str_split|string_to_array)\s*\(|(?i)\b(?:date_diff|datediff)\s*\(\s*'|\*\s+(?i:REPLACE)\b|(?i)\basof\s+(?:left\s+)?join\b|(?i)\busing\s+sample\b""".r
+    """(?i)\b(quantile_disc|quantile)\s*\(|(?i)\b(?:date_diff|datediff)\s*\(\s*'|\*\s+(?i:REPLACE)\b|(?i)\basof\s+(?:left\s+)?join\b|(?i)\busing\s+sample\b""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined
@@ -2499,6 +2517,13 @@ object DuckDialect {
        |  microsecond; century/decade/millennium have no timestampdiff
        |  twin — derive from extract(year …).
        |Known DuckDB-isms with NO direct Spark twin (rewrite by hand):
+       |  a SIMILAR TO p (full-string regex match — Spark has no such
+       |  operator): use regexp_full_match(a, p) (registered here).
+       |  list_intersect: element ORDER differs across engines (DuckDB
+       |  hash-set order vs Spark's first-list order) — use
+       |  array_intersect and list_sort the result if order matters.
+       |  list_zip: struct FIELD NAMES differ (DuckDB list_1/list_2 vs
+       |  Spark's positional names) — use arrays_zip and alias fields.
        |  SELECT * REPLACE with a non-`expr AS bare_ident` item
        |  (the `expr AS col` form IS bridged into * EXCEPT + appended
        |  aliases — note the replaced columns move to the END of the

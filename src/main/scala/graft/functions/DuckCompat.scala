@@ -741,6 +741,52 @@ object DuckCompat {
     // and reach the analysis-time expressions above (the text rename to
     // `array` still serves the pure-rewrite path)
     put("list_value") { es => CreateArray(es) }
+    // list_prepend(elem, list): DuckDB's argument order is (element,
+    // list) — the REVERSE of Spark's array_prepend — which is exactly
+    // why the text rename table refuses it (a rename would silently
+    // swap the arguments); as a registered builder the swap is
+    // explicit. DuckDB edge mirrored: a NULL LIST yields [elem]
+    // (verified) where array_prepend yields NULL.
+    put("list_prepend") { es =>
+      arity("list_prepend", 2, es)
+      If(IsNull(es(1)), CreateArray(Seq(es.head)),
+        ArrayPrepend(es(1), es.head))
+    }
+    // string_split / str_split / string_to_array (s, sep): DuckDB
+    // splits on the LITERAL separator where Spark's split() takes a
+    // REGEX — the rename table refuses them for that reason; here the
+    // literal separator is Pattern-quoted so metacharacters ('||',
+    // '.') split literally, and limit -1 keeps trailing empties as
+    // DuckDB does ('a,b,,' → [a, b, '', '']; verified). A NULL literal
+    // separator mirrors DuckDB's no-split [s]. Refused loudly: an
+    // EMPTY separator (DuckDB splits per character and keeps [''] for
+    // '' — Spark's empty regex appends a trailing ''; use
+    // regexp_extract_all(s, '(?s).') for per-char) and non-literal
+    // separators (quote-at-eval needs a custom expression; use split()
+    // with a regex).
+    def strSplit(name: String)(es: Seq[Expression]): Expression = {
+      arity(name, 2, es)
+      es(1) match {
+        case Literal(null, _) => CreateArray(Seq(es.head))
+        case Literal(sep: UTF8String, _: StringType)
+            if sep.toString.nonEmpty =>
+          StringSplit(es.head, Literal(UTF8String.fromString(
+            java.util.regex.Pattern.quote(sep.toString)), StringType),
+            Literal(-1))
+        case Literal(s: UTF8String, _: StringType) if s.toString.isEmpty =>
+          throw new IllegalArgumentException(
+            s"$name with an EMPTY separator is not bridged (DuckDB " +
+              "splits per character; Spark's empty-regex split appends " +
+              "a trailing '') — use regexp_extract_all(s, '(?s).')")
+        case _ => throw new IllegalArgumentException(
+          s"$name needs a LITERAL separator (DuckDB splits on the " +
+            "literal; Spark's split() is regex) — for an expression " +
+            "separator use split(s, <regex>) and quote it yourself")
+      }
+    }
+    put("string_split")(strSplit("string_split"))
+    put("str_split")(strSplit("str_split"))
+    put("string_to_array")(strSplit("string_to_array"))
     // array_to_string(list, sep): DuckDB defines it as the macro
     // list_aggr(arr, 'string_agg', sep) — NULL elements are SKIPPED
     // (string_agg semantics, same as Spark's array_join) and an EMPTY

@@ -1068,7 +1068,51 @@ object Dedup {
         "UNION ALL SELECT CAST(3 AS BIGINT), 'dedup', COUNT(*), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM dd " +
         "UNION ALL SELECT CAST(4 AS BIGINT), 'decontaminated', COUNT(*), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM dec " +
         "UNION ALL SELECT CAST(5 AS BIGINT), 'capped', COUNT(*), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM cap" +
-        ") ORDER BY stage"))
+        ") ORDER BY stage")),
+
+    // Edit-distance verification of near-dup candidates (r11) — the
+    // CONFIRM stage a production dedup runs between candidate
+    // generation (MinHash/Jaccard are shingle-set proxies) and
+    // deletion: candidates whose character-level similarity does not
+    // hold are kept, not deleted. Both engines share the levenshtein
+    // primitive bit-for-bit (verified), so the row is hash-exact. The
+    // distance runs on a FIXED 200-char prefix: levenshtein is O(m·n)
+    // per pair — prefix-capping bounds every comparison at 200² cell
+    // ops regardless of document size (the df-capped candidate frame
+    // already bounds the PAIR count; this bounds the per-pair cost),
+    // and near-dup prefixes are where the signal lives. confirm is the
+    // integer cross-multiplication dist·4 ≤ maxlen (normalized edit
+    // distance ≤ 0.25) — no doubles. Scale shape: the bounded pair
+    // frame re-attaches prefixes by two doc_id joins (the q45/q47
+    // cardinality-join shape); document text beyond 200 chars never
+    // moves.
+    GraftQuery("q180_editdist_verify",
+      (s, d) => {
+        val cand = jaccardPairs(s, d)
+          .filter(col("jaccard") >= 0.5).select("a", "b")
+        val pref = docs(s, d).select(col("doc_id"),
+          substring(col("text"), 1, 200).as("p"))
+        cand
+          .join(pref.select(col("doc_id").as("a"), col("p").as("pa")), "a")
+          .join(pref.select(col("doc_id").as("b"), col("p").as("pb")), "b")
+          .select(col("a"), col("b"),
+            levenshtein(col("pa"), col("pb")).cast("long").as("dist"),
+            greatest(length(col("pa")), length(col("pb"))).cast("long")
+              .as("maxlen"))
+          .withColumn("confirm",
+            (col("dist") * 4 <= col("maxlen")).cast("long"))
+          .orderBy("a", "b")
+      },
+      Some("WITH pairs AS (" + JaccardPairsSql + "), " +
+        """cand AS (SELECT a, b FROM pairs WHERE jaccard >= 0.5),
+          |pref AS (SELECT doc_id, substr(text, 1, 200) AS p FROM documents)
+          |SELECT a, b,
+          |CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS dist,
+          |CAST(greatest(length(pa.p), length(pb.p)) AS BIGINT) AS maxlen,
+          |CAST(levenshtein(pa.p, pb.p) * 4 <= greatest(length(pa.p), length(pb.p)) AS BIGINT) AS confirm
+          |FROM cand JOIN pref pa ON cand.a = pa.doc_id
+          |JOIN pref pb ON cand.b = pb.doc_id
+          |ORDER BY a, b""".stripMargin.replace("\n", " ")))
   )
 
   /** Stage frames of the q156/q157 manifest pipeline, in application

@@ -1429,6 +1429,61 @@ object TextAnalysis {
         |  WHERE len(t) > 0 GROUP BY t ORDER BY true_cnt DESC, t LIMIT 20)
         |SELECT t AS term, true_cnt, CAST(1 AS BIGINT) AS no_undercount,
         |CAST(1 AS BIGINT) AS eps_bound_ok
-        |FROM tc ORDER BY true_cnt DESC, term""".stripMargin.replace("\n", " ")))
+        |FROM tc ORDER BY true_cnt DESC, term""".stripMargin.replace("\n", " "))),
+
+    // Unigram-LM surprise scoring (r11) — the word-level sibling of
+    // q123's char-bigram gibberish filter and the CCNet quality-bucket
+    // idea: score each document by how SURPRISING its words are under
+    // the corpus's own unigram model. The log2 is INTEGER-EXACT on both
+    // engines: floor(log2(x)) = length(bin(x)) - 1 for x > 0 (bit
+    // length, no libm — the q115 rational-idf lesson applied to logs),
+    // so per-word surprise = flog2(N) - flog2(count(w)) is a BIGINT and
+    // the whole row hash-compares; the one double is the final mean
+    // (single IEEE division, the money-AVG precedent). High mean
+    // surprise = rare-word-dense text (jargon spill, wrong-language
+    // noise, mojibake); low = stopword soup. Scale shape: one token
+    // explode feeds a vocabulary-bounded groupBy (map-side combine to
+    // the vocab before the exchange) broadcast back over the SAME
+    // stream; per-doc aggregate pre-combines before the doc-keyed
+    // exchange; top-20 is TakeOrdered. Document text never shuffles.
+    GraftQuery("q179_unigram_surprise",
+      (s, d) => {
+        def flog2(c: org.apache.spark.sql.Column) =
+          (length(bin(c)) - 1).cast("long")
+        val tok = docs(s, d).select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("\\p{L}+"), lit(0))).as("w"))
+        // persistTracked: vocab feeds BOTH the broadcast model and the
+        // 1-row total — unpersisted, the total re-runs the whole token
+        // scan + vocab aggregate (a third corpus pass). Vocab-bounded
+        // cache (the q155 stance); released via SessionCaches.
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+          .persistTracked()
+        val tot = vocab.agg(sum("c").cast("long").as("n"))
+        tok.join(broadcast(vocab), "w")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            (flog2(col("n")) - flog2(col("c"))).as("sbits"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum("sbits").cast("long").as("surprise"))
+          .select(col("doc_id"), col("n_tok"), col("surprise"),
+            (col("surprise").cast("double") / col("n_tok").cast("double"))
+              .as("mean_surprise"))
+          .orderBy(col("mean_surprise").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '\p{L}+')) AS w FROM documents),
+        |v AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM v),
+        |s AS (SELECT doc_id,
+        |  CAST((length(bin(n)) - 1) - (length(bin(c)) - 1) AS BIGINT) AS sbits
+        |  FROM tok JOIN v USING (w) CROSS JOIN t)
+        |SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(sbits) AS BIGINT) AS surprise,
+        |CAST(SUM(sbits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_surprise
+        |FROM s GROUP BY doc_id
+        |ORDER BY mean_surprise DESC, doc_id LIMIT 20"""
+        .stripMargin.replace("\n", " ")))
   )
 }

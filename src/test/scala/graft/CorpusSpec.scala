@@ -719,4 +719,65 @@ class CorpusSpec extends AnyFunSuite {
     val (mn, mx) = (r.map(_._2).min, r.map(_._2).max)
     assert(mx <= 8 * mn, s"shard skew $mn..$mx")
   }
+
+  test("q179 unigram surprise: bit-length log2 is exact, surprise bounds " +
+    "hold, mean ordering is correct") {
+    // the integer-log2 identity the whole row rests on
+    (1L to 4097L).foreach { x =>
+      val got = java.lang.Long.toBinaryString(x).length - 1
+      assert(got == math.floor(math.log(x.toDouble) / math.log(2.0)).toInt,
+        s"flog2($x)")
+    }
+    val r = SparkEntry.queries("q179_unigram_surprise")(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3)))
+    assert(r.nonEmpty && r.length <= 20)
+    // per-word surprise ∈ [0, flog2(N)] ⇒ 0 ≤ surprise ≤ n_tok·flog2(N)
+    val nTotal = Tables.load(spark, sf, "documents")
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("\\p{L}+"), lit(0))).as("w")).count()
+    val maxBits = java.lang.Long.toBinaryString(nTotal).length - 1
+    r.foreach { case (id, nTok, s, m) =>
+      assert(nTok > 0 && s >= 0 && s <= nTok * maxBits, s"doc $id bounds")
+      assert(math.abs(m - s.toDouble / nTok) < 1e-12, s"doc $id mean")
+    }
+    // descending mean with doc_id tie-break (the oracle's total order)
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1), "ordering")
+    case _ => }
+  }
+
+  test("q180 edit-distance verify: dist is a metric on the prefixes, " +
+    "confirm matches the cross-multiplied threshold") {
+    val rows = SparkEntry.queries("q180_editdist_verify")(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(rows.nonEmpty, "fixture has near-dup candidates")
+    val pref = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("p"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    // reference implementation (classic DP) — independent of both engines
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val t = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = t
+        }
+      }
+      prev(b.length)
+    }
+    rows.foreach { case (a, b, d, ml, cf) =>
+      assert(d == lev(pref(a), pref(b)), s"($a,$b) distance")
+      assert(ml == math.max(pref(a).length, pref(b).length), s"($a,$b) maxlen")
+      assert(cf == (if (d * 4 <= ml) 1L else 0L), s"($a,$b) confirm")
+    }
+    // candidates are genuinely similar text: the fixture's near-dups
+    // must confirm at a majority rate (a broken prefix join would zero it)
+    assert(rows.count(_._5 == 1L) * 2 >= rows.length,
+      s"confirm rate ${rows.count(_._5 == 1L)}/${rows.length}")
+  }
 }

@@ -43,6 +43,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q153_context_packing",
     // q155: 1-row (ct, tt, v) totals frame crossed into the scorer
     "q155_importance_weights",
+    // q179: 1-row token-total frame crossed into the surprise scorer
+    // (the q155 shape; the vocab side is a hash join, not this BNLJ)
+    "q179_unigram_surprise",
     // q156/q157: the ≤207-row bench-prefix panel broadcasts into the
     // decontamination anti-join (q91's bounded panel, LeftAnti form)
     "q156_training_manifest", "q157_pipeline_funnel")
@@ -164,7 +167,7 @@ class PlanAuditSpec extends AnyFunSuite {
   //    rerank frame).
   //  - vocabulary-bounded aggregates (Heap's-law sublinear; the
   //    documented stance of q154/q155's VERDICT r9 review): q114,
-  //    q115, q121.
+  //    q115, q121, q179 (vocab counts + 1-row total).
   // q29 is deliberately NOT whitelisted: its only former hint was the
   // removed broadcast(customer) — re-adding it fails this census.
   private val hintOk: Set[String] = Set(
@@ -178,7 +181,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q132_pmi_bigrams", "q133_source_drift", "q135_rerank",
     "q150_event_transitions", "q153_context_packing",
     "q155_importance_weights", "q156_training_manifest",
-    "q157_pipeline_funnel", "q168_bloom_decontamination")
+    "q157_pipeline_funnel", "q168_bloom_decontamination",
+    "q179_unigram_surprise")
 
   test("corpus-wide broadcast-hint census: every hint-carrying query is " +
     "audited bounded (VERDICT r10 item 5)") {

@@ -91,11 +91,22 @@ class TierASpec extends AnyFunSuite {
     // list_distinct drops NULL elements in DuckDB — filter injected
     assert(rewrite("SELECT list_distinct(x)") ==
       "SELECT array_distinct(filter(x, _graft_e -> _graft_e IS NOT NULL))")
-    // nested duckisms inside arg-aware calls still rewrite (recursion)
+    // nested duckisms inside arg-aware calls still rewrite (recursion);
+    // array_to_string is deliberately NOT renamed (r11: the registered
+    // native carries DuckDB's empty-list→NULL edge on both paths)
     assert(rewrite("SELECT string_agg(array_to_string(list_value('a'), '-'))")
-      == "SELECT listagg(array_join(array('a'), '-'), ',')")
+      == "SELECT listagg(array_to_string(array('a'), '-'), ',')")
     // list_sort -> array_sort (NULLs LAST, matching DuckDB), not sort_array
     assert(rewrite("SELECT list_sort(x)") == "SELECT array_sort(x)")
+    // list_unique (r11): DuckDB's COUNT of distinct non-NULL elements
+    assert(rewrite("SELECT list_unique(x)") ==
+      "SELECT CAST(size(array_distinct(filter(x, " +
+        "_graft_e -> _graft_e IS NOT NULL))) AS BIGINT)")
+    assert(graft.DuckDialect.sql(spark,
+      "SELECT list_unique(list_value(1, 1, 2, NULL, NULL)) AS x")
+      .head.getLong(0) == 2L) // DuckDB-verified
+    // list_reverse (r11): safe rename — reverse covers arrays in both
+    assert(rewrite("SELECT list_reverse(x)") == "SELECT reverse(x)")
     // r8 additions: try_element_at (NULL out of range like DuckDB, where
     // ANSI element_at throws), 1-arg array_length, string positioning
     assert(rewrite("SELECT list_extract(x, -1)") ==
@@ -732,6 +743,27 @@ class TierASpec extends AnyFunSuite {
     // as DuckDB), element count for lists; both in ONE statement (the
     // analyze-retry cascade the VERDICT sketched cannot do this)
     assert(one("SELECT len('héllo') + len(list_value(1,2,3))") == 8L)
+    // r11 registered natives — every expected value DuckDB-verified:
+    // list_prepend swaps (elem, list) into array_prepend and mirrors
+    // the NULL-list → [elem] edge (array_prepend returns NULL there)
+    assert(one("SELECT array_to_string(list_prepend(0, list_value(1,2)), '-')")
+      == "0-1-2")
+    assert(one("SELECT array_to_string(list_prepend(9, " +
+      "CAST(NULL AS ARRAY<INT>)), '-')") == "9")
+    // string_split: literal separator splits LITERALLY (metachars too),
+    // trailing empties kept; NULL separator = no split
+    assert(one("SELECT array_to_string(string_split('a,b,,', ','), '|')")
+      == "a|b||")
+    assert(one("SELECT array_to_string(string_split('a.b', '.'), '|')")
+      == "a|b")
+    assert(one("SELECT array_to_string(string_to_array('x||y', '||'), '-')")
+      == "x-y")
+    assert(one("SELECT array_to_string(string_split('x', NULL), '|')") == "x")
+    // array_to_string itself (r11): NULL elements skipped, empty → NULL
+    assert(one("SELECT array_to_string(list_value(1, NULL, 3), ',')")
+      == "1,3")
+    assert(one("SELECT array_to_string(list_filter(list_value(1), x -> x > 9), ',')")
+      == null)
     assert(one("SELECT len(NULL)") == null)
     // list_sum / list_avg / list_aggregate: NULL elements skipped,
     // empty/all-NULL → NULL (DuckDB-verified values)
