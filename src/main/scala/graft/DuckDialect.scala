@@ -460,6 +460,27 @@ object DuckDialect {
                   .append(", _graft_e -> _graft_e IS NOT NULL))")
                 i = after
               }
+            case "array_to_string" =>
+              // DuckDB-exact on the PURE-rewrite path too (r11): a plain
+              // array_join rename loses the empty-list→NULL edge and the
+              // implicit element cast; the guarded CASE mirrors the
+              // registered native (q151/q158 exercise rewrite() alone,
+              // so the text form must stand without the session natives).
+              // The list argument is duplicated textually — the size()
+              // probe is cheap next to any real list expression.
+              scanCall(sql, j).flatMap { case (after, _) =>
+                splitTop(sql.substring(j + 1, after - 1))
+                  .filter(_.length == 2).map { args =>
+                    val x = rewrite(args(0)).trim
+                    val sep = rewrite(args(1)).trim
+                    sb.append("(CASE WHEN size(").append(x)
+                      .append(") = 0 THEN CAST(NULL AS STRING) ELSE ")
+                      .append("array_join(CAST(").append(x)
+                      .append(" AS ARRAY<STRING>), ").append(sep)
+                      .append(") END)")
+                    i = after
+                  }
+              }
             case "list_unique" =>
               // DuckDB: the COUNT of distinct non-NULL elements
               // (verified: list_unique([1,1,2,NULL,NULL]) = 2, [] = 0)

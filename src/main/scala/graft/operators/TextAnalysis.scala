@@ -1331,19 +1331,25 @@ object TextAnalysis {
     // bit-OR merge is partition-order independent — so DuckDB verifies
     // them as constants while recomputing n_docs/n_flagged_exact from
     // first principles (same 5-gram text join as q104's oracle).
-    // The exact side (broadcast semi-join) exists here to FEED the
-    // contract; a production pipeline runs only the Bloom pass.
+    // The exact side exists here to FEED the contract; a production
+    // pipeline runs only the Bloom pass. r11 shape: the exact probe is
+    // a [[graft.functions.SortedLongsContain]] set-literal expression in
+    // the SAME in-row exists() as the Bloom probe — the r10 form's
+    // explode + broadcast semi-join + distinct + doc-keyed re-join are
+    // gone; the corpus makes ONE pass and the only exchange left is the
+    // per-source rollup. The exact set is the SAME bounded panel the
+    // Bloom bits already embed (8 B/entry vs ~1.2 B/entry — same
+    // eval-suite boundedness class, both collected once).
     GraftQuery("q168_bloom_decontamination",
       (s, d) => {
         graft.functions.WordShingleHashes.register(s)
         graft.functions.BloomContains.register(s)
-        // persistTracked: sh feeds THREE consumers (the panel's Bloom
-        // build, the Bloom-probed corpus, and the exact contract side)
-        // — unpersisted, WordShingleHashes re-shingles the corpus three
-        // times per run (VERDICT r10; the q178 shared-frame lesson).
-        // The panelBloomBytes collect below is the materializing action,
-        // so all three consumers read the cached shingles. Released via
-        // SessionCaches at the caller's statement boundary.
+        graft.functions.SortedLongsContain.register(s)
+        // persistTracked: sh feeds the panel build and the corpus pass
+        // — unpersisted, WordShingleHashes would re-shingle the corpus
+        // per consumer (VERDICT r10; the q178 shared-frame lesson). The
+        // panelBloomBytes collect is the materializing action.
+        // Released via SessionCaches at the caller's statement boundary.
         val sh = docs(s, d).select(col("doc_id"), col("source"),
           graft.functions.WordShingleHashes
             .shingleHashes(col("text"), 5).as("hs"))
@@ -1351,23 +1357,21 @@ object TextAnalysis {
         val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
           .select(explode(col("hs")).as("h")).distinct()
         val bytes = panelBloomBytes(bench)
-        val corpus = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-          .withColumn("bf", exists(col("hs"), h =>
-            graft.functions.BloomContains.bloomContains(h, lit(bytes)))
-            .cast("long"))
-        val exact = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-          .select(col("doc_id"), explode(col("hs")).as("h"))
-          .join(broadcast(bench), Seq("h"), "left_semi")
-          .select("doc_id").distinct().withColumn("ex", lit(1L))
-        corpus.join(exact, Seq("doc_id"), "left")
-          .groupBy("source")
+        val exactBytes = graft.functions.SortedLongsContain.serialize(
+          bench.collect().map(_.getLong(0))) // panel-bounded, as bytes is
+        val flags = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+          .select(col("doc_id"), col("source"),
+            exists(col("hs"), h => graft.functions.BloomContains
+              .bloomContains(h, lit(bytes))).cast("long").as("bf"),
+            exists(col("hs"), h => graft.functions.SortedLongsContain
+              .sortedContains(h, lit(exactBytes))).cast("long").as("ex"))
+        flags.groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),
-            sum(coalesce(col("ex"), lit(0L))).cast("long")
-              .as("n_flagged_exact"),
+            sum(col("ex")).cast("long").as("n_flagged_exact"),
             coalesce(min(when(col("ex") === 1L, col("bf"))), lit(1L))
               .cast("long").as("superset_ok"),
-            sum(when(col("ex").isNull, col("bf")).otherwise(lit(0L)))
+            sum(when(col("ex") === 0L, col("bf")).otherwise(lit(0L)))
               .as("fp_extra"))
           .select(col("source"), col("n_docs"), col("n_flagged_exact"),
             col("superset_ok"),

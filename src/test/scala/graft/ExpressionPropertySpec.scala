@@ -319,6 +319,32 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SortedLongsContain: EXACT membership over random key sets — no " +
+    "false positives, no false negatives (the Bloom sibling's missing " +
+    "half), duplicate-tolerant serialize") {
+    import spark.implicits._
+    graft.functions.SortedLongsContain.register(spark)
+    val gen = for {
+      n <- Gen.chooseNum(0, 400)
+      members <- Gen.listOfN(n, Gen.chooseNum(-100000L, 100000L))
+      probes <- Gen.listOfN(300, Gen.chooseNum(-100000L, 100000L))
+    } yield (members, probes)
+    (1 to 15).foreach { i =>
+      val (members, probes) = sample(gen, 9100L + i)
+      // serialize tolerates duplicates and any order
+      val bytes = graft.functions.SortedLongsContain.serialize(
+        (members ++ members.reverse).toArray)
+      val truth = members.toSet
+      val got = (probes ++ members).toDF("k")
+        .select(col("k"), graft.functions.SortedLongsContain
+          .sortedContains(col("k"), lit(bytes)).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+      got.foreach { case (k, m) =>
+        assert(m == truth(k), s"seed ${9100 + i} key $k")
+      }
+    }
+  }
+
   test("TopKIdsByScore ≡ ROW_NUMBER()<=k window over random scored rows, " +
     "and is partition-invariant (map-side partial merge cannot change it)") {
     import spark.implicits._

@@ -179,9 +179,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q121_vocab_overlap_sketch", "q123_char_bigram_quality",
     "q126_bm25_search", "q127_anomaly_hours", "q131_hybrid_rrf",
     "q132_pmi_bigrams", "q133_source_drift", "q135_rerank",
+    // q168 left this census in r11: its exact side is now a
+    // SortedLongsContain set-literal probe in the corpus scan — the
+    // broadcast semi-join (and its hint) is gone
     "q150_event_transitions", "q153_context_packing",
     "q155_importance_weights", "q156_training_manifest",
-    "q157_pipeline_funnel", "q168_bloom_decontamination",
+    "q157_pipeline_funnel",
     "q179_unigram_surprise")
 
   test("corpus-wide broadcast-hint census: every hint-carrying query is " +

@@ -92,10 +92,14 @@ class TierASpec extends AnyFunSuite {
     assert(rewrite("SELECT list_distinct(x)") ==
       "SELECT array_distinct(filter(x, _graft_e -> _graft_e IS NOT NULL))")
     // nested duckisms inside arg-aware calls still rewrite (recursion);
-    // array_to_string is deliberately NOT renamed (r11: the registered
-    // native carries DuckDB's empty-list→NULL edge on both paths)
+    // array_to_string gets the GUARDED arg-aware form, not an
+    // array_join rename (r11: DuckDB's empty-list→NULL edge and
+    // implicit element cast must hold on the pure-rewrite path too —
+    // q151/q158 exercise rewrite() without the session natives)
     assert(rewrite("SELECT string_agg(array_to_string(list_value('a'), '-'))")
-      == "SELECT listagg(array_to_string(array('a'), '-'), ',')")
+      == "SELECT listagg((CASE WHEN size(array('a')) = 0 THEN " +
+        "CAST(NULL AS STRING) ELSE array_join(CAST(array('a') AS " +
+        "ARRAY<STRING>), '-') END), ',')")
     // list_sort -> array_sort (NULLs LAST, matching DuckDB), not sort_array
     assert(rewrite("SELECT list_sort(x)") == "SELECT array_sort(x)")
     // list_unique (r11): DuckDB's COUNT of distinct non-NULL elements
