@@ -520,6 +520,53 @@ object Multimodal {
         "CAST(SUM(1000 + (doc_id % 997) * 37) AS BIGINT) AS total_ms, " +
         "CAST(SUM(160 + (doc_id % 64) * 4) AS BIGINT) AS total_w, " +
         "CAST(SUM(120 + (doc_id % 48) * 4) AS BIGINT) AS total_h " +
-        "FROM documents GROUP BY 1 ORDER BY 1"))
+        "FROM documents GROUP BY 1 ORDER BY 1")),
+
+    // FRAME EXTRACTION via the real MP4 sample tables (r11) — the
+    // demuxer half of frame sampling, still zero pixel decode: each
+    // payload is a REAL mp4 whose trak carries mdia/minf/stbl (trivial
+    // stsc, per-sample stsz, absolute stco) plus an mdat holding the
+    // frame bytes; the operator parses the SAMPLE TABLES back from the
+    // payload ([[Mp4Meta.frameTable]]) and SLICES each frame's bytes at
+    // the parsed (offset, size) — emitting one row per frame with the
+    // frame's size and first payload byte. Every output is closed-form
+    // in (doc_id, frame_idx), so the DuckDB oracle certifies each
+    // individual offset and size: a one-byte table error reads a zero
+    // filler or a neighbor's first byte and shifts first_byte. A
+    // payload whose tables refuse (None) drops its rows — caught as a
+    // row-count mismatch, never a guessed frame. Scale shape: build +
+    // parse + slice are one per-partition map (payloads never
+    // shuffle); the output is frame-table rows, and the only exchange
+    // is the oracle's total ORDER BY.
+    GraftQuery("q181_mp4_frame_extract",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.load(s, d, "documents").select("doc_id").as[Long]
+          .filter((id: Long) => id % 3 == 0)
+          .flatMap { id =>
+            val ms = 1000L + (id % 997) * 37
+            val w = (160 + (id % 64) * 4).toInt
+            val h = (120 + (id % 48) * 4).toInt
+            val n = (1 + id % 7).toInt
+            val frames = (0 until n).map { i =>
+              val fb = new Array[Byte]((10 + (id + i) % 13).toInt)
+              fb(0) = ((id * 7 + i) % 251).toByte
+              fb
+            }
+            val payload = Mp4Meta.writeWithSamples(ms, w, h, frames)
+            Mp4Meta.frameTable(payload).getOrElse(Seq.empty)
+              .zipWithIndex.map { case ((off, sz), i) =>
+                (id, i.toLong, sz, (payload(off.toInt) & 0xff).toLong)
+              }
+          }
+          .toDF("doc_id", "frame_idx", "n_bytes", "first_byte")
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0), " +
+        "f AS (SELECT doc_id, unnest(generate_series(0, doc_id % 7)) AS i FROM v) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, " +
+        "CAST(10 + (doc_id + i) % 13 AS BIGINT) AS n_bytes, " +
+        "CAST((doc_id * 7 + i) % 251 AS BIGINT) AS first_byte " +
+        "FROM f ORDER BY doc_id, frame_idx"))
   )
 }

@@ -107,6 +107,85 @@ private[graft] object Mp4Meta {
     ftyp ++ moov
   }
 
+  /** Per-frame (absoluteByteOffset, byteSize) from the SAMPLE TABLES —
+    * the real frame-extraction index every MP4 demuxer reads (stsz
+    * sizes + stco chunk offsets), no pixel decode anywhere. Defensive
+    * like [[parse]]: anything outside the subset this engine writes —
+    * a non-trivial stsc (samples packed into shared chunks), count
+    * mismatches, offsets/sizes past the file end — returns None and
+    * the caller refuses rather than mis-slicing frame bytes. */
+  def frameTable(b: Array[Byte]): Option[Seq[(Long, Long)]] = {
+    val (ms, me) = findBox(b, 0, b.length, "moov").getOrElse(return None)
+    val trak = findBox(b, ms, me, "trak").getOrElse(return None)
+    val mdia = findBox(b, trak._1, trak._2, "mdia").getOrElse(return None)
+    val minf = findBox(b, mdia._1, mdia._2, "minf").getOrElse(return None)
+    val stbl = findBox(b, minf._1, minf._2, "stbl").getOrElse(return None)
+    val (ss, se) = stbl
+    // stsc must be the trivial 1:1 mapping (one sample per chunk) —
+    // that is what [[writeWithSamples]] emits; shared chunks would
+    // need the full chunk-run walk, refused loudly via None
+    val stsc = findBox(b, ss, se, "stsc").getOrElse(return None)
+    if (stsc._2 - stsc._1 != 4 + 4 + 12 ||
+      be32(b, stsc._1 + 4) != 1L ||
+      be32(b, stsc._1 + 8) != 1L || be32(b, stsc._1 + 12) != 1L)
+      return None
+    val stsz = findBox(b, ss, se, "stsz").getOrElse(return None)
+    if (stsz._2 - stsz._1 < 12) return None
+    val fixedSize = be32(b, stsz._1 + 4)
+    val n = be32(b, stsz._1 + 8)
+    if (n < 0 || n > (1 << 20)) return None // fixture-scale sanity bound
+    val sizes: Seq[Long] =
+      if (fixedSize != 0L) Seq.fill(n.toInt)(fixedSize)
+      else {
+        if (stsz._1 + 12 + 4 * n > stsz._2) return None
+        (0 until n.toInt).map(i => be32(b, stsz._1 + 12 + 4 * i))
+      }
+    val stco = findBox(b, ss, se, "stco").getOrElse(return None)
+    if (stco._2 - stco._1 < 8 || be32(b, stco._1 + 4) != n) return None
+    if (stco._1 + 8 + 4 * n > stco._2) return None
+    val offsets = (0 until n.toInt).map(i => be32(b, stco._1 + 8 + 4 * i))
+    val table = offsets.zip(sizes)
+    if (table.exists { case (o, s) => o < 0 || s < 0 || o + s > b.length })
+      return None
+    Some(table)
+  }
+
+  /** [[write]]'s sibling carrying a REAL sample table + mdat: the trak
+    * gains mdia/minf/stbl with the trivial stsc (one sample per chunk),
+    * per-sample stsz, and ABSOLUTE stco offsets into the appended mdat
+    * — the moov is built twice (lengths don't depend on offset VALUES)
+    * so the offsets are exact. [[frameTable]] + byte-slicing round-trip
+    * these, which is what q181's closed-form oracle certifies. */
+  def writeWithSamples(durationMs: Long, w: Int, h: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(durationMs >= 0 && durationMs <= Int.MaxValue,
+      s"mp4 v0 mvhd duration is 32-bit: $durationMs ms out of range")
+    val ftyp = box("ftyp", ascii("isom") ++ beI(0x200) ++ ascii("isom"))
+    def moovFor(offsets: Seq[Int]): Array[Byte] = {
+      val mvhd = box("mvhd",
+        beI(0) ++ beI(0) ++ beI(0) ++ beI(1000) ++ beI(durationMs.toInt) ++
+          beI(0x00010000) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+          identityMatrix ++ new Array[Byte](24) ++ beI(2))
+      val tkhd = box("tkhd",
+        beI(7) ++ beI(0) ++ beI(0) ++ beI(1) ++ beI(0) ++
+          beI(durationMs.toInt) ++ new Array[Byte](8) ++
+          new Array[Byte](8) ++ identityMatrix ++ beI(w << 16) ++ beI(h << 16))
+      val stsc = box("stsc", beI(0) ++ beI(1) ++ beI(1) ++ beI(1) ++ beI(1))
+      val stsz = box("stsz", beI(0) ++ beI(0) ++ beI(frames.length) ++
+        frames.flatMap(f => beI(f.length)).toArray)
+      val stco = box("stco", beI(0) ++ beI(offsets.length) ++
+        offsets.flatMap(beI).toArray)
+      val stbl = box("stbl", stsc ++ stsz ++ stco)
+      box("moov", mvhd ++ box("trak",
+        tkhd ++ box("mdia", box("minf", stbl))))
+    }
+    val moovLen = moovFor(Seq.fill(frames.length)(0)).length
+    val mdatBody = frames.flatten.toArray
+    val base = ftyp.length + moovLen + 8 // first frame byte inside mdat
+    val offsets = frames.scanLeft(base)(_ + _.length).init
+    ftyp ++ moovFor(offsets) ++ box("mdat", mdatBody)
+  }
+
   private def identityMatrix: Array[Byte] =
     beI(0x00010000) ++ beI(0) ++ beI(0) ++
       beI(0) ++ beI(0x00010000) ++ beI(0) ++

@@ -1826,6 +1826,45 @@ class TierASpec extends AnyFunSuite {
     assert(ff.head.dim == -1 && ff.head.features.isEmpty)
   }
 
+  test("multimodal: MP4 SAMPLE TABLES round-trip — frameTable returns " +
+    "the exact (offset, size) per frame, slicing reconstructs the frame " +
+    "bytes, refusals stay loud (r11)") {
+    import graft.operators.Mp4Meta
+    for (id <- 0L until 12L) {
+      val frames = (0 until (1 + id % 5).toInt).map { i =>
+        Array.tabulate[Byte]((3 + (id + i) % 9).toInt)(k =>
+          ((id * 31 + i * 7 + k) % 251).toByte)
+      }
+      val bytes = Mp4Meta.writeWithSamples(1000L + id, 320, 240, frames)
+      // metadata parse still works on the sampled layout
+      val m = Multimodal.videoContainerMeta(bytes)
+      assert(m.exists(v => v.durationMs == 1000L + id && v.width == 320),
+        s"id=$id meta: $m")
+      val table = Mp4Meta.frameTable(bytes)
+      assert(table.isDefined, s"id=$id: parser refused its own writer")
+      assert(table.get.length == frames.length)
+      table.get.zip(frames).foreach { case ((off, sz), want) =>
+        assert(sz == want.length, s"id=$id size")
+        val got = bytes.slice(off.toInt, (off + sz).toInt)
+        assert(got.sameElements(want), s"id=$id frame bytes at $off")
+      }
+    }
+    // truncation at every prefix refuses (None), never throws
+    val full = Mp4Meta.writeWithSamples(5000L, 320, 240,
+      Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5)))
+    for (cut <- 0 until full.length)
+      assert(Mp4Meta.frameTable(full.take(cut)).isEmpty, s"cut $cut")
+    // a NON-TRIVIAL stsc (samples packed into shared chunks) refuses
+    // instead of mis-slicing: flip the samples-per-chunk entry
+    val idx = full.indexOfSlice("stsc".getBytes("US-ASCII"))
+    val packed = full.clone()
+    // body = idx+4 (after the type): ver/flags(4) count(4) first_chunk(4)
+    // samples_per_chunk(4) — flip samples_per_chunk's low byte 1 → 2
+    packed(idx + 4 + 4 + 4 + 4 + 3) = 2
+    assert(Mp4Meta.frameTable(packed).isEmpty,
+      "shared-chunk stsc must refuse, not guess offsets")
+  }
+
   test("container duration arithmetic on untrusted headers never " +
     "overflows Long — out-of-range values hit the None refusal, and the " +
     "writers refuse durations their 32-bit fields would truncate " +
