@@ -473,8 +473,12 @@ object DuckDialect {
                   .filter(_.length == 2).map { args =>
                     val x = rewrite(args(0)).trim
                     val sep = rewrite(args(1)).trim
-                    sb.append("(CASE WHEN size(").append(x)
-                      .append(") = 0 THEN CAST(NULL AS STRING) ELSE ")
+                    // zero NON-NULL elements → NULL (string_agg over
+                    // zero rows; a bare size()=0 missed all-NULL lists
+                    // — r11 matrix, DuckDB-verified [NULL] → NULL)
+                    sb.append("(CASE WHEN size(filter(").append(x)
+                      .append(", _graft_a2s -> _graft_a2s IS NOT NULL))")
+                      .append(" = 0 THEN CAST(NULL AS STRING) ELSE ")
                       .append("array_join(CAST(").append(x)
                       .append(" AS ARRAY<STRING>), ").append(sep)
                       .append(") END)")

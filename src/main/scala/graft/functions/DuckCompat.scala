@@ -789,16 +789,22 @@ object DuckCompat {
     put("string_to_array")(strSplit("string_to_array"))
     // array_to_string(list, sep): DuckDB defines it as the macro
     // list_aggr(arr, 'string_agg', sep) — NULL elements are SKIPPED
-    // (string_agg semantics, same as Spark's array_join) and an EMPTY
-    // list yields NULL (string_agg over zero rows) where array_join
-    // yields '' — hence the size guard. Elements cast to string
-    // implicitly (DECIMAL keeps scale in both engines; verified).
-    // Registered so statements mixing it with the type-dispatched
-    // list_* natives resolve on the FIRST parse; the text rename to
-    // array_join stays as the pure-rewrite fallback for string lists.
+    // (string_agg semantics, same as Spark's array_join) and a list
+    // with ZERO NON-NULL elements yields NULL (string_agg over zero
+    // rows) where array_join yields '' — hence the filtered-size guard
+    // (a bare size()=0 check missed the all-NULL case; caught by the
+    // r11 random matrix, DuckDB-verified: [NULL] → NULL, [''] → '').
+    // Elements cast to string implicitly (DECIMAL keeps scale in both
+    // engines; verified). Registered so statements mixing it with the
+    // type-dispatched list_* natives resolve on the FIRST parse; the
+    // guarded CASE in DuckDialect's char-scan is the pure-rewrite twin.
     put("array_to_string") { es =>
       arity("array_to_string", 2, es)
-      If(EqualTo(Size(es.head, legacySizeOfNull = false), Literal(0)),
+      val lv = org.apache.spark.sql.catalyst.expressions
+        .UnresolvedNamedLambdaVariable(Seq("_graft_a2s"))
+      val nonNull = ArrayFilter(es.head,
+        LambdaFunction(IsNotNull(lv), Seq(lv)))
+      If(EqualTo(Size(nonNull, legacySizeOfNull = false), Literal(0)),
         Literal.create(null, StringType),
         ArrayJoin(Cast(es.head, ArrayType(StringType)), es(1), None))
     }

@@ -97,7 +97,8 @@ class TierASpec extends AnyFunSuite {
     // implicit element cast must hold on the pure-rewrite path too —
     // q151/q158 exercise rewrite() without the session natives)
     assert(rewrite("SELECT string_agg(array_to_string(list_value('a'), '-'))")
-      == "SELECT listagg((CASE WHEN size(array('a')) = 0 THEN " +
+      == "SELECT listagg((CASE WHEN size(filter(array('a'), " +
+        "_graft_a2s -> _graft_a2s IS NOT NULL)) = 0 THEN " +
         "CAST(NULL AS STRING) ELSE array_join(CAST(array('a') AS " +
         "ARRAY<STRING>), '-') END), ',')")
     // list_sort -> array_sort (NULLs LAST, matching DuckDB), not sort_array
