@@ -43,6 +43,13 @@ object Similarity {
   // contamination threshold, tuned to the synthetic embeddings the
   // same way q48's 0.3 near-dup threshold is
   private val ContamTau = 0.35
+  // q182's power-iteration depth: a LITERAL constant (the oracle unrolls
+  // it), so both engines compute the identical fixed-length trajectory.
+  // 12 rounds pin the top component to cos ≈ 1 - 1e-13 of the double
+  // eigenvector whenever a dominant direction exists (SimilaritySpec's
+  // anisotropic construction); on a near-isotropic corpus the result is
+  // simply "12 exact steps from ones" — still hash-identical cross-engine.
+  private val Pc1Iters = 12
 
   /** Lloyd's output is deterministic in (corpus dir, K, iters,
     * sampleMod), so the trained quantizer is cached like any model
@@ -1086,7 +1093,139 @@ object Similarity {
           "SELECT * FROM (" + TruncDims.map(row).mkString(" UNION ALL ") +
           ") ORDER BY trunc_dim"
       })
+    ,
+
+    // Input PCA on the integer grid (r11) — the "all-but-the-top"
+    // preprocessing step (Mu & Viswanath 2018, arXiv:1702.01417):
+    // embedding corpora carry a large common mean/dominant direction
+    // that washes out cosine contrast, and the standard fix is to
+    // center and remove the top principal component before indexing.
+    // This query computes the two model artifacts that step needs —
+    // the per-dimension grid sums (the mean, undivided) and the top
+    // covariance eigenvector — EXACTLY, with the eval-metric trick
+    // applied to linear algebra: quantize to the 2²⁰ grid, keep every
+    // moment and every power-iteration step in integer arithmetic, and
+    // both engines walk bit-identical trajectories (float PCA never
+    // hash-matches across engines: per-partition sum order differs).
+    //
+    // Scale shape: ONE narrow corpus pass ([[graft.functions.GridGram]]
+    // emits the row's d + d(d+1)/2 moment entries in a compiled loop),
+    // one groupBy(idx) whose map-side partials bound the exchange at
+    // partitions × 2,144 rows, one bounded collect (the moment matrix
+    // is K×d-class model metadata — the documented collect exception),
+    // then d×d BigInt power iteration on the driver: the iteration's
+    // work is d² = 4,096 multiplies × 12 rounds, microseconds — running
+    // it distributed would spend 12 job rounds of pure scheduler
+    // constant on a 64-row frame (the q81 adaptive-path lesson).
+    // DECIMAL(38,0) sums carry the n·2⁴⁰-magnitude second moments
+    // exactly at any corpus size (the 100 TB overflow case).
+    GraftQuery("q182_embedding_pca",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+        graft.functions.GridGram.register(s)
+        val moments = emb(s, d)
+          .select(posexplode(
+            graft.functions.GridGram.gridGram(col("embedding")))
+            .as(Seq("idx", "v")))
+          .groupBy("idx")
+          .agg(sum(col("v").cast(DecimalType(38, 0))).as("sv"),
+            count(lit(1)).as("cnt"))
+          .collect() // bounded by construction: d + d(d+1)/2 rows
+        val schema = StructType(Seq(
+          StructField("dim", LongType, nullable = false),
+          StructField("sum_grid", LongType, nullable = false),
+          StructField("pc1_grid", LongType, nullable = false)))
+        if (moments.isEmpty) {
+          s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+        } else {
+          val total = moments.length
+          val dDim = ((math.sqrt(9.0 + 8.0 * total) - 3) / 2).round.toInt
+          require(dDim + dDim * (dDim + 1) / 2 == total,
+            s"q182: $total moment indices do not form d + d(d+1)/2 — " +
+              "ragged embedding column")
+          val cnts = moments.map(_.getLong(2)).distinct
+          require(cnts.length == 1,
+            s"q182: per-index row counts differ (${cnts.toSeq}) — " +
+              "ragged embedding column")
+          val n = BigInt(cnts.head)
+          val sums = new Array[BigInt](total)
+          moments.foreach(r =>
+            sums(r.getInt(0)) = BigInt(r.getDecimal(1).toBigIntegerExact))
+          val S = Array.tabulate(dDim)(sums(_))
+          // covariance × n (stays integer): C = n·G − S·Sᵀ
+          val C = Array.ofDim[BigInt](dDim, dDim)
+          var k = dDim
+          for (i <- 0 until dDim; j <- i until dDim) {
+            val cij = n * sums(k) - S(i) * S(j)
+            C(i)(j) = cij; C(j)(i) = cij; k += 1
+          }
+          val grid = BigInt(graft.functions.GridGram.Scale)
+          var v = Array.fill(dDim)(grid)
+          for (_ <- 1 to Pc1Iters) {
+            val w = Array.tabulate(dDim) { i =>
+              var acc = BigInt(0); var j = 0
+              while (j < dDim) { acc += C(i)(j) * v(j); j += 1 }
+              acc
+            }
+            val m = w.map(_.abs).max
+            // sign-split division: both engines divide NON-NEGATIVE
+            // integers (trunc ≡ floor), so DuckDB `//` and BigInt `/`
+            // agree; the sign is re-applied after
+            v = if (m == 0) Array.fill(dDim)(BigInt(0))
+            else w.map { x =>
+              val q = x.abs * grid / m
+              if (x < 0) -q else q
+            }
+          }
+          // longValueExact: a silent BigInt.toLong truncation would be a
+          // wrong answer; overflow must refuse loudly
+          val rows = (0 until dDim).map(i => Row(
+            (i + 1).toLong,
+            S(i).bigInteger.longValueExact(),
+            v(i).bigInteger.longValueExact()))
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+            .orderBy("dim")
+        }
+      },
+      Some(pc1OracleSql))
   )
+
+  /** The q182 oracle: the SAME grid moments and 12-step integer power
+    * iteration, stated in DuckDB SQL. HUGEINT carries what the Spark
+    * side carries in DECIMAL(38,0)/BigInt; `ABS(w)*grid // m` mirrors
+    * the sign-split division. The per-iteration CTEs are MATERIALIZED:
+    * `v_k` feeds both `w_{k+1}` and `m_k`-via-`w_k`, and DuckDB's
+    * default inlining re-expands the whole chain per reference —
+    * measured 88 s inlined vs 0.27 s materialized at sf0.01. The n·d²
+    * self-join Gram is fine AT ORACLE SCALE; the Spark side's GridGram
+    * aggregate is the form that survives 100 TB. */
+  private def pc1OracleSql: String = {
+    def iter(k: Int): String = {
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"w$k AS MATERIALIZED (SELECT c.i, SUM(c.c * $prev.v) AS w " +
+        s"FROM c JOIN $prev ON c.j = $prev.i GROUP BY 1), " +
+        s"m$k AS (SELECT MAX(ABS(w)) AS m FROM w$k), " +
+        s"v$k AS MATERIALIZED (SELECT i, CASE WHEN m.m = 0 THEN CAST(0 AS HUGEINT) " +
+        s"WHEN w < 0 THEN -((ABS(w)*1048576)//m.m) " +
+        s"ELSE (ABS(w)*1048576)//m.m END AS v FROM w$k CROSS JOIN m$k AS m)"
+    }
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+      "g AS (SELECT vec_id, CAST(i AS BIGINT) AS i, " +
+      "CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS g " +
+      "FROM e, unnest(generate_series(1, len(embedding))) AS u(i)), " +
+      "n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e), " +
+      "s AS (SELECT i, CAST(SUM(g) AS HUGEINT) AS s FROM g GROUP BY i), " +
+      "gr AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.g*b.g) AS HUGEINT) AS p " +
+      "FROM g AS a JOIN g AS b USING (vec_id) GROUP BY 1, 2), " +
+      "c AS MATERIALIZED (SELECT gr.i, gr.j, n.n * gr.p - sa.s * sb.s AS c " +
+      "FROM gr CROSS JOIN n JOIN s AS sa ON gr.i = sa.i JOIN s AS sb ON gr.j = sb.i), " +
+      "v0 AS (SELECT i, CAST(1048576 AS HUGEINT) AS v FROM s), " +
+      (1 to Pc1Iters).map(iter).mkString(", ") + " " +
+      s"SELECT CAST(s.i AS BIGINT) AS dim, CAST(s.s AS BIGINT) AS sum_grid, " +
+      s"CAST(v$Pc1Iters.v AS BIGINT) AS pc1_grid " +
+      s"FROM s JOIN v$Pc1Iters USING (i) ORDER BY dim"
+  }
 
   /** Quantizer quality probes for the CorpusSpec training assertion:
     * (largest-list corpus fraction, mean assigned cosine). The fraction

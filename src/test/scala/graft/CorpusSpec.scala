@@ -142,6 +142,54 @@ class CorpusSpec extends AnyFunSuite {
     assert(possible == q49)
   }
 
+  test("q182 integer-grid PCA recovers a PLANTED dominant direction: " +
+    "|cos| vs the converged double eigenvector ≥ 0.999") {
+    import spark.implicits._
+    // x = 0.05·noise + s·u with s ~ N(0, 3): one strong direction, so
+    // 12 power-iteration rounds converge (the fixture corpus is
+    // near-isotropic — there the contract is trajectory-exactness vs
+    // the oracle, which Verify certifies; THIS pins usefulness)
+    val rnd = new scala.util.Random(421)
+    val d = 16
+    val u0 = Array.tabulate(d)(i => math.sin(1.7 * i + 0.3))
+    val un = { val n = math.sqrt(u0.map(x => x * x).sum); u0.map(_ / n) }
+    val vecs = (0 until 300).map { id =>
+      val strength = rnd.nextGaussian() * 3.0
+      (id.toLong,
+        Array.tabulate(d)(i =>
+          (rnd.nextGaussian() * 0.05 + strength * un(i)).toFloat).toSeq,
+        0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-q182").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val res = SparkEntry.queries("q182_embedding_pca")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(res.length == d && res.map(_.getLong(0)).toSeq == (1 to d).map(_.toLong))
+    val pc = res.map(_.getLong(2).toDouble)
+    // converged double reference on the same rows (300 rounds)
+    val x = vecs.map(_._2.map(_.toDouble).toArray).toArray
+    val mu = Array.tabulate(d)(i => x.map(_(i)).sum / x.length)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      x.map(r => (r(i) - mu(i)) * (r(j) - mu(j))).sum)
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 300) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val n = math.sqrt(w.map(y => y * y).sum)
+      v = w.map(_ / n)
+    }
+    val dot = (0 until d).map(i => pc(i) * v(i)).sum
+    val cos = math.abs(dot) /
+      (math.sqrt(pc.map(y => y * y).sum) * math.sqrt(v.map(y => y * y).sum))
+    assert(cos >= 0.999, s"cos=$cos")
+    // grid sums are the exact first moments of the grid vectors
+    val gs = res.map(_.getLong(1))
+    val expect = Array.tabulate(d)(i => vecs.map(r =>
+      graft.functions.GridGram.toGrid(r._2(i).toDouble)).sum)
+    assert(gs.toSeq == expect.toSeq)
+  }
+
   test("q119 degree orientation enumerates the same per-node triangle " +
     "counts as the id orientation (sf0.1 — skew-safe plan, same answer)") {
     val sf01 = "/root/testdata/sf0.1"

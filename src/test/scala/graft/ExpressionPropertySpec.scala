@@ -18,7 +18,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - CosineAll rows are bit-equal to pairwise CosineSim (the
   *     fixed-order arithmetic contract the differential oracles use);
   *   - dyadic 2⁻³⁰ grid sums are partition-invariant (the determinism
-  *     discipline behind q108/q128/q129/q143).
+  *     discipline behind q108/q128/q129/q143);
+  *   - GridGram rows are the naive grid products and their sums are
+  *     partition-invariant (q182's exact-covariance contract).
   */
 class ExpressionPropertySpec extends AnyFunSuite {
 
@@ -188,6 +190,37 @@ class ExpressionPropertySpec extends AnyFunSuite {
           .head().getDecimal(0)
       assert(gridSum(1) == gridSum(7), s"case $i")
     }
+  }
+
+  test("GridGram ≡ naive toGrid products over random float vectors, " +
+    "and its moment sums are partition-invariant") {
+    import spark.implicits._
+    graft.functions.GridGram.register(spark)
+    val vecGen = Gen.chooseNum(1, 12).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-2.0, 2.0).map(_.toFloat)))
+    (1 to 5).foreach { i =>
+      val v = sample(vecGen, 9100L + i).toArray
+      val got = Seq(Tuple1(v)).toDF("e")
+        .select(graft.functions.GridGram.gridGram(col("e")))
+        .head().getSeq[Long](0)
+      val g = v.map(x => graft.functions.GridGram.toGrid(x.toDouble))
+      val d = g.length
+      val ref = g.toSeq ++ (for (a <- 0 until d; b <- a until d)
+        yield g(a) * g(b))
+      assert(got == ref, s"case $i")
+    }
+    // partition invariance of the aggregated moments (the property the
+    // q182 collect depends on): integer sums commute
+    val frameGen = Gen.listOfN(200,
+      Gen.listOfN(8, Gen.chooseNum(-2.0, 2.0).map(_.toFloat)))
+    val rows = sample(frameGen, 9200L)
+    def moments(part: Int): Map[Int, Long] =
+      rows.toDF("e").repartition(part)
+        .select(posexplode(graft.functions.GridGram.gridGram(col("e")))
+          .as(Seq("idx", "v")))
+        .groupBy("idx").agg(sum("v").as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(moments(1) == moments(7))
   }
 
   test("DuckDialect literal translation: a random DuckDB literal, " +
