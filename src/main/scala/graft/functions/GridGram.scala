@@ -88,6 +88,105 @@ case class GridGram(child: Expression)
     copy(child = newChild)
 }
 
+/** The APPLY half of all-but-the-top (q183): project one grid-quantized
+  * vector on the literal PC1 grid vector and emit `[dot, ‖residual‖²]`
+  * as two longs — `dot = Σ gᵢvᵢ`, `rᵢ = gᵢ − trunc(dot·vᵢ / Σv²)`
+  * (sign-split division, the trajectory rule), `‖r‖² = Σ rᵢ²`.
+  *
+  * The model rides as a literal ([[CosineAll]]'s broadcast pattern:
+  * K×d-class metadata), so the corpus streams once with no join. The
+  * inner arithmetic runs in BigInteger — `dot·vᵢ` can reach 2⁶⁶ for
+  * unit-scale d = 64 inputs, past long — and converts out through
+  * `longValueExact`, so an overflowing corpus refuses loudly instead
+  * of wrapping (outputs themselves are grid-scale and fit). Elements
+  * beyond the literal's length project on zero (residual keeps gᵢ);
+  * a zero model (isotropic m = 0 collapse) means dot = 0 and the
+  * residual is the vector itself — same as the oracle's vv = 0 CASE. */
+case class GridResidual(child: Expression, model: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_grid_residual"
+
+  private def elemType: Option[DataType] = child.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = elemType match {
+    case Some(_) => TypeCheckResult.TypeCheckSuccess
+    case None => TypeCheckResult.TypeCheckFailure(
+      s"graft_grid_residual expects array<float|double>, got " +
+        child.dataType.simpleString(10))
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val v: Array[java.math.BigInteger] =
+    model.map(java.math.BigInteger.valueOf).toArray
+  @transient private lazy val vv: java.math.BigInteger =
+    v.foldLeft(java.math.BigInteger.ZERO)((a, x) => a.add(x.multiply(x)))
+
+  override def nullSafeEval(input: Any): Any = {
+    import java.math.BigInteger
+    val a = input.asInstanceOf[ArrayData]
+    val d = a.numElements()
+    val g = new Array[BigInteger](d)
+    var i = 0
+    var dot = BigInteger.ZERO
+    while (i < d) {
+      if (a.isNullAt(i)) return null
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      g(i) = BigInteger.valueOf(GridGram.toGrid(x))
+      if (i < v.length) dot = dot.add(g(i).multiply(v(i)))
+      i += 1
+    }
+    var norm2 = BigInteger.ZERO
+    i = 0
+    while (i < d) {
+      val proj =
+        if (vv.signum == 0 || i >= v.length) BigInteger.ZERO
+        else {
+          val p = dot.multiply(v(i))
+          // sign-split: divide non-negative, re-apply the sign (BigInteger
+          // divide already truncates toward zero — stated for the oracle's
+          // `//`-on-ABS mirror)
+          val q = p.abs.divide(vv)
+          if (p.signum < 0) q.negate else q
+        }
+      val r = g(i).subtract(proj)
+      norm2 = norm2.add(r.multiply(r))
+      i += 1
+    }
+    new GenericArrayData(Array(dot.longValueExact, norm2.longValueExact))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GridResidual =
+    copy(child = newChild)
+}
+
+object GridResidual {
+  private val FnName = "graft_grid_residual"
+
+  private def decodeModel(e: Expression): Seq[Long] = {
+    val m = e.eval().asInstanceOf[ArrayData]
+    (0 until m.numElements()).map(m.getLong)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => GridResidual(exprs.head, decodeModel(exprs(1))),
+      "built-in")
+
+  /** Column API: requires register(spark) once per session. */
+  def gridResidual(vec: Column, model: Seq[Long]): Column =
+    call_function(FnName, vec,
+      org.apache.spark.sql.functions.typedLit(model))
+}
+
 object GridGram {
   private val FnName = "graft_grid_gram"
 

@@ -1122,74 +1122,117 @@ object Similarity {
     GraftQuery("q182_embedding_pca",
       (s, d) => {
         import org.apache.spark.sql.Row
-        import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
-        graft.functions.GridGram.register(s)
-        val moments = emb(s, d)
-          .select(posexplode(
-            graft.functions.GridGram.gridGram(col("embedding")))
-            .as(Seq("idx", "v")))
-          .groupBy("idx")
-          .agg(sum(col("v").cast(DecimalType(38, 0))).as("sv"),
-            count(lit(1)).as("cnt"))
-          .collect() // bounded by construction: d + d(d+1)/2 rows
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
         val schema = StructType(Seq(
           StructField("dim", LongType, nullable = false),
           StructField("sum_grid", LongType, nullable = false),
           StructField("pc1_grid", LongType, nullable = false)))
-        if (moments.isEmpty) {
-          s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-        } else {
-          val total = moments.length
-          val dDim = ((math.sqrt(9.0 + 8.0 * total) - 3) / 2).round.toInt
-          require(dDim + dDim * (dDim + 1) / 2 == total,
-            s"q182: $total moment indices do not form d + d(d+1)/2 — " +
-              "ragged embedding column")
-          val cnts = moments.map(_.getLong(2)).distinct
-          require(cnts.length == 1,
-            s"q182: per-index row counts differ (${cnts.toSeq}) — " +
-              "ragged embedding column")
-          val n = BigInt(cnts.head)
-          val sums = new Array[BigInt](total)
-          moments.foreach(r =>
-            sums(r.getInt(0)) = BigInt(r.getDecimal(1).toBigIntegerExact))
-          val S = Array.tabulate(dDim)(sums(_))
-          // covariance × n (stays integer): C = n·G − S·Sᵀ
-          val C = Array.ofDim[BigInt](dDim, dDim)
-          var k = dDim
-          for (i <- 0 until dDim; j <- i until dDim) {
-            val cij = n * sums(k) - S(i) * S(j)
-            C(i)(j) = cij; C(j)(i) = cij; k += 1
-          }
-          val grid = BigInt(graft.functions.GridGram.Scale)
-          var v = Array.fill(dDim)(grid)
-          for (_ <- 1 to Pc1Iters) {
-            val w = Array.tabulate(dDim) { i =>
-              var acc = BigInt(0); var j = 0
-              while (j < dDim) { acc += C(i)(j) * v(j); j += 1 }
-              acc
-            }
-            val m = w.map(_.abs).max
-            // sign-split division: both engines divide NON-NEGATIVE
-            // integers (trunc ≡ floor), so DuckDB `//` and BigInt `/`
-            // agree; the sign is re-applied after
-            v = if (m == 0) Array.fill(dDim)(BigInt(0))
-            else w.map { x =>
-              val q = x.abs * grid / m
-              if (x < 0) -q else q
-            }
-          }
-          // longValueExact: a silent BigInt.toLong truncation would be a
-          // wrong answer; overflow must refuse loudly
-          val rows = (0 until dDim).map(i => Row(
-            (i + 1).toLong,
-            S(i).bigInteger.longValueExact(),
-            v(i).bigInteger.longValueExact()))
-          s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
-            .orderBy("dim")
+        gridPc1Model(s, d) match {
+          case None =>
+            s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+          case Some((dDim, _, sS, v)) =>
+            // longValueExact: a silent BigInt.toLong truncation would be
+            // a wrong answer; overflow must refuse loudly
+            val rows = (0 until dDim).map(i => Row(
+              (i + 1).toLong,
+              sS(i).bigInteger.longValueExact(),
+              v(i).bigInteger.longValueExact()))
+            s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+              .orderBy("dim")
         }
       },
       Some(pc1OracleSql))
+    ,
+
+    // The APPLY half of all-but-the-top (r11): project every vector on
+    // the q182 eigenvector and emit (dot, residual-norm²) on the grid —
+    // the per-vector transform an indexing pipeline runs after training
+    // the artifacts. The model (v, vv) rides into
+    // [[graft.functions.GridResidual]] as a literal (K×d-class
+    // metadata, the CosineAll broadcast pattern), so the corpus
+    // streams ONCE through a compiled per-row loop — no join, no
+    // shuffle except the output ORDER BY. Residuals divide per element
+    // (sign-split, r_i = g_i − (dot·v_i)/vv) so every intermediate and
+    // output fits the integer grid; both engines compute the identical
+    // truncation.
+    GraftQuery("q183_abtt_transform",
+      (s, d) => {
+        graft.functions.GridResidual.register(s)
+        val model = gridPc1Model(s, d)
+        val v = model.map(_._4.map(_.bigInteger.longValueExact()).toSeq)
+          .getOrElse(Seq.empty)
+        emb(s, d)
+          .select(col("vec_id"), graft.functions.GridResidual
+            .gridResidual(col("embedding"), v).as("t"))
+          .select(col("vec_id"),
+            col("t").getItem(0).as("dot_grid"),
+            col("t").getItem(1).as("res_norm2"))
+          .orderBy("vec_id")
+      },
+      Some(abttOracleSql))
   )
+
+  /** The q182/q183 shared model: (d, n, grid sums S, PC1 grid vector v).
+    * ONE narrow corpus pass (GridGram), one partial-combined exchange,
+    * one bounded collect (d + d(d+1)/2 rows — K×d-class model metadata,
+    * the documented collect exception), then 12 rounds of d×d BigInt
+    * power iteration on the driver (distributing 4,096 multiplies would
+    * spend 12 job rounds of scheduler constant on a 64-row frame — the
+    * q81 adaptive-path lesson). None on an empty embeddings table. */
+  private[graft] def gridPc1Model(s: SparkSession, d: String)
+      : Option[(Int, BigInt, Array[BigInt], Array[BigInt])] = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.GridGram.register(s)
+    val moments = emb(s, d)
+      .select(posexplode(
+        graft.functions.GridGram.gridGram(col("embedding")))
+        .as(Seq("idx", "v")))
+      .groupBy("idx")
+      .agg(sum(col("v").cast(DecimalType(38, 0))).as("sv"),
+        count(lit(1)).as("cnt"))
+      .collect() // bounded by construction: d + d(d+1)/2 rows
+    if (moments.isEmpty) return None
+    val total = moments.length
+    val dDim = ((math.sqrt(9.0 + 8.0 * total) - 3) / 2).round.toInt
+    require(dDim + dDim * (dDim + 1) / 2 == total,
+      s"q182: $total moment indices do not form d + d(d+1)/2 — " +
+        "ragged embedding column")
+    val cnts = moments.map(_.getLong(2)).distinct
+    require(cnts.length == 1,
+      s"q182: per-index row counts differ (${cnts.toSeq}) — " +
+        "ragged embedding column")
+    val n = BigInt(cnts.head)
+    val sums = new Array[BigInt](total)
+    moments.foreach(r =>
+      sums(r.getInt(0)) = BigInt(r.getDecimal(1).toBigIntegerExact))
+    val S = Array.tabulate(dDim)(sums(_))
+    // covariance × n (stays integer): C = n·G − S·Sᵀ
+    val C = Array.ofDim[BigInt](dDim, dDim)
+    var k = dDim
+    for (i <- 0 until dDim; j <- i until dDim) {
+      val cij = n * sums(k) - S(i) * S(j)
+      C(i)(j) = cij; C(j)(i) = cij; k += 1
+    }
+    val grid = BigInt(graft.functions.GridGram.Scale)
+    var v = Array.fill(dDim)(grid)
+    for (_ <- 1 to Pc1Iters) {
+      val w = Array.tabulate(dDim) { i =>
+        var acc = BigInt(0); var j = 0
+        while (j < dDim) { acc += C(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = w.map(_.abs).max
+      // sign-split division: both engines divide NON-NEGATIVE integers
+      // (trunc ≡ floor), so DuckDB `//` and BigInt `/` agree; the sign
+      // is re-applied after
+      v = if (m == 0) Array.fill(dDim)(BigInt(0))
+      else w.map { x =>
+        val q = x.abs * grid / m
+        if (x < 0) -q else q
+      }
+    }
+    Some((dDim, n, S, v))
+  }
 
   /** The q182 oracle: the SAME grid moments and 12-step integer power
     * iteration, stated in DuckDB SQL. HUGEINT carries what the Spark
@@ -1200,7 +1243,7 @@ object Similarity {
     * measured 88 s inlined vs 0.27 s materialized at sf0.01. The n·d²
     * self-join Gram is fine AT ORACLE SCALE; the Spark side's GridGram
     * aggregate is the form that survives 100 TB. */
-  private def pc1OracleSql: String = {
+  private def pc1CteChain: String = {
     def iter(k: Int): String = {
       val prev = if (k == 1) "v0" else s"v${k - 1}"
       s"w$k AS MATERIALIZED (SELECT c.i, SUM(c.c * $prev.v) AS w " +
@@ -1221,11 +1264,31 @@ object Similarity {
       "c AS MATERIALIZED (SELECT gr.i, gr.j, n.n * gr.p - sa.s * sb.s AS c " +
       "FROM gr CROSS JOIN n JOIN s AS sa ON gr.i = sa.i JOIN s AS sb ON gr.j = sb.i), " +
       "v0 AS (SELECT i, CAST(1048576 AS HUGEINT) AS v FROM s), " +
-      (1 to Pc1Iters).map(iter).mkString(", ") + " " +
+      (1 to Pc1Iters).map(iter).mkString(", ")
+  }
+
+  private def pc1OracleSql: String =
+    pc1CteChain + " " +
       s"SELECT CAST(s.i AS BIGINT) AS dim, CAST(s.s AS BIGINT) AS sum_grid, " +
       s"CAST(v$Pc1Iters.v AS BIGINT) AS pc1_grid " +
       s"FROM s JOIN v$Pc1Iters USING (i) ORDER BY dim"
-  }
+
+  /** q183's oracle: extend the q182 chain with the per-vector apply —
+    * dot against v12, sign-split per-element residual, exact norm². */
+  private def abttOracleSql: String =
+    pc1CteChain + ", " +
+      s"vv AS (SELECT SUM(v*v) AS vv FROM v$Pc1Iters), " +
+      s"dotv AS (SELECT g.vec_id, SUM(g.g * v$Pc1Iters.v) AS dot " +
+      s"FROM g JOIN v$Pc1Iters ON g.i = v$Pc1Iters.i GROUP BY 1), " +
+      s"r AS (SELECT g.vec_id, g.g - (CASE WHEN vv.vv = 0 THEN CAST(0 AS HUGEINT) " +
+      s"WHEN dotv.dot * v$Pc1Iters.v < 0 THEN -((ABS(dotv.dot * v$Pc1Iters.v))//vv.vv) " +
+      s"ELSE (dotv.dot * v$Pc1Iters.v)//vv.vv END) AS r " +
+      s"FROM g JOIN v$Pc1Iters ON g.i = v$Pc1Iters.i " +
+      "JOIN dotv ON g.vec_id = dotv.vec_id CROSS JOIN vv) " +
+      "SELECT dotv.vec_id, CAST(dotv.dot AS BIGINT) AS dot_grid, " +
+      "CAST(rn.n AS BIGINT) AS res_norm2 " +
+      "FROM dotv JOIN (SELECT vec_id, SUM(r*r) AS n FROM r GROUP BY 1) AS rn " +
+      "USING (vec_id) ORDER BY vec_id"
 
   /** Quantizer quality probes for the CorpusSpec training assertion:
     * (largest-list corpus fraction, mean assigned cosine). The fraction

@@ -188,6 +188,26 @@ class CorpusSpec extends AnyFunSuite {
     val expect = Array.tabulate(d)(i => vecs.map(r =>
       graft.functions.GridGram.toGrid(r._2(i).toDouble)).sum)
     assert(gs.toSeq == expect.toSeq)
+
+    // q183 on the same fixture: dot is the exact grid inner product
+    // against q182's vector, and removing the planted direction kills
+    // almost all the energy (residual share ≈ (0.05/3)² — bound 5%)
+    val pcL = res.map(_.getLong(2))
+    val t = SparkEntry.queries("q183_abtt_transform")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(t.length == vecs.length)
+    var energy = BigInt(0); var residual = BigInt(0)
+    t.foreach { row =>
+      val id = row.getLong(0).toInt
+      val g = vecs(id)._2.map(x =>
+        graft.functions.GridGram.toGrid(x.toDouble)).toArray
+      val dotRef = (0 until d).map(i => BigInt(g(i)) * BigInt(pcL(i))).sum
+      assert(BigInt(row.getLong(1)) == dotRef, s"vec $id dot")
+      energy += g.map(x => BigInt(x) * BigInt(x)).sum
+      residual += BigInt(row.getLong(2))
+    }
+    assert(residual * 20 < energy,
+      s"residual share ${residual.toDouble / energy.toDouble}")
   }
 
   test("q119 degree orientation enumerates the same per-node triangle " +
