@@ -144,6 +144,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dim stats grew extra exchanges:\n$p")
   }
 
+  test("q183: the all-but-the-top apply is join-free — the model is a " +
+    "literal, the corpus streams once (agg exchange only in training)") {
+    val p = plan("q183_abtt_transform")
+    assert(!p.contains("Join"),
+      s"the abtt apply must carry its model as a literal, not a join:\n$p")
+    assert(exchanges(p) <= 1, // the output sort only
+      s"the abtt apply grew exchanges beyond the output sort:\n$p")
+  }
+
   test("q130: corpus collapses to word frequencies before pair explode") {
     val p = plan("q130_bpe_merges")
     // the Generate over char offsets must sit ABOVE the word-frequency
