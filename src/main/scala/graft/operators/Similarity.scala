@@ -46,9 +46,10 @@ object Similarity {
   // q182's power-iteration depth: a LITERAL constant (the oracle unrolls
   // it), so both engines compute the identical fixed-length trajectory.
   // 12 rounds pin the top component to cos ≈ 1 - 1e-13 of the double
-  // eigenvector whenever a dominant direction exists (SimilaritySpec's
-  // anisotropic construction); on a near-isotropic corpus the result is
-  // simply "12 exact steps from ones" — still hash-identical cross-engine.
+  // eigenvector whenever a dominant direction exists (CorpusSpec's
+  // planted-direction construction); on a near-isotropic corpus the
+  // result is simply "12 exact steps from ones" — still hash-identical
+  // cross-engine.
   private val Pc1Iters = 12
 
   /** Lloyd's output is deterministic in (corpus dir, K, iters,
