@@ -58,7 +58,22 @@ def main(sf_dir, out_dir):
         sql = oracle[name]
         # Harness-compat gate (r10 q174): the driver calls .df() on the
         # statement result; anything non-SELECT-shaped returns None there.
-        head = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
+        # Head extraction skips leading comments and '(' (ADVICE r11): a
+        # parenthesized SELECT/set-op or a leading -- / /* */ comment is
+        # result-returning and must not be misclassified.
+        s_head = sql.strip()
+        while True:
+            if s_head.startswith("--"):
+                nl = s_head.find("\n")
+                s_head = "" if nl < 0 else s_head[nl + 1:].lstrip()
+            elif s_head.startswith("/*"):
+                e = s_head.find("*/")
+                s_head = "" if e < 0 else s_head[e + 2:].lstrip()
+            elif s_head.startswith("("):
+                s_head = s_head[1:].lstrip()
+            else:
+                break
+        head = s_head.split(None, 1)[0].upper() if s_head else ""
         if head not in ("SELECT", "WITH", "PIVOT", "UNPIVOT", "FROM",
                         "VALUES", "DESCRIBE", "SUMMARIZE"):
             print(f"FAIL {name}: [harness-gate] oracle SQL starts with "

@@ -52,7 +52,23 @@ object Verify {
     // statement result — a non-SELECT-shaped oracle (bare COPY/DDL)
     // returns None and errs (the r10 q174 red row).
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val head = sql.trim.takeWhile(!_.isWhitespace)
+      // Head extraction skips leading comments and '(' (ADVICE r11): a
+      // parenthesized SELECT/set-op or a leading comment is result-
+      // returning and must not be misclassified by the gate.
+      var sHead = sql.trim
+      var scanning = true
+      while (scanning) {
+        if (sHead.startsWith("--")) {
+          val nl = sHead.indexOf('\n')
+          sHead = if (nl < 0) "" else sHead.substring(nl + 1).trim
+        } else if (sHead.startsWith("/*")) {
+          val e = sHead.indexOf("*/")
+          sHead = if (e < 0) "" else sHead.substring(e + 2).trim
+        } else if (sHead.startsWith("(")) {
+          sHead = sHead.substring(1).trim
+        } else scanning = false
+      }
+      val head = sHead.takeWhile(!_.isWhitespace)
         .toUpperCase(java.util.Locale.ROOT)
       // result-set-returning heads: DuckDB's PIVOT/UNPIVOT/FROM-first/
       // VALUES statements return relations (q166/q167 were driver-green

@@ -541,8 +541,11 @@ object Multimodal {
     GraftQuery("q181_mp4_frame_extract",
       (s, d) => {
         import s.implicits._
-        graft.Tables.load(s, d, "documents").select("doc_id").as[Long]
-          .filter((id: Long) => id % 3 == 0)
+        // Column predicate, not a typed lambda (VERDICT r11 item 5):
+        // `col % 3 === 0` stays visible to pushdown/codegen where a
+        // closure is opaque — the repo's Column-over-lambda rule.
+        graft.Tables.load(s, d, "documents").select("doc_id")
+          .filter(col("doc_id") % 3 === 0).as[Long]
           .flatMap { id =>
             val ms = 1000L + (id % 997) * 37
             val w = (160 + (id % 64) * 4).toInt

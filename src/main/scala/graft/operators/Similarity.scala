@@ -1203,6 +1203,17 @@ object Similarity {
       s"q182: per-index row counts differ (${cnts.toSeq}) — " +
         "ragged embedding column")
     val n = BigInt(cnts.head)
+    // NULL symmetry (ADVICE r11): GridGram nulls the WHOLE row on any
+    // NULL element, so a NULL-bearing vector silently leaves every
+    // moment AND this n while the oracle's `n AS (… COUNT(*) FROM e)`
+    // still counts it — the engines would hash-diverge without either
+    // side erring. Refuse loudly instead (count(*) here is the
+    // parquet-metadata count — no data pass).
+    val corpusN = emb(s, d).count()
+    require(n == BigInt(corpusN),
+      s"q182: $corpusN embedding rows but only $n contributed moments — " +
+        "NULL-bearing embedding vectors are unsupported (drop or impute " +
+        "them upstream; the DuckDB oracle counts them asymmetrically)")
     val sums = new Array[BigInt](total)
     moments.foreach(r =>
       sums(r.getInt(0)) = BigInt(r.getDecimal(1).toBigIntegerExact))

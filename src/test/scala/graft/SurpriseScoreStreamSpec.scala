@@ -30,19 +30,28 @@ class SurpriseScoreStreamSpec extends AnyFunSuite {
     val model = SurpriseScoreStream.modelBytes(docs)
 
     // independent truth: q179's join-based per-doc computation (no
-    // top-20 cut), flog2 via the same bit-length identity
+    // top-20 cut), flog2 via the same bit-length identity — including
+    // the r12 top-V cap: below-cap words take the OOV count-1 path
     val tok = docs.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")),
         lit("\\p{L}+"), lit(0))).as("w"))
     val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = vocab.agg(sum("c").cast("long").as("n"))
+    val topV = vocab.orderBy(col("c").desc, col("w"))
+      .limit(graft.operators.TextAnalysis.SurpriseVocabCap)
     def flog2(c: org.apache.spark.sql.Column) =
       (length(bin(c)) - 1).cast("long")
-    val want = tok.join(vocab, "w").crossJoin(broadcast(tot))
-      .select(col("doc_id"), (flog2(col("n")) - flog2(col("c"))).as("s"))
+    val want = tok.join(topV, Seq("w"), "left").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (flog2(col("n")) - flog2(coalesce(col("c"), lit(1L)))).as("s"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("s").cast("long").as("surprise"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // the cap must BIND here or the OOV arithmetic below is dead code
+    assert(vocab.count() > graft.operators.TextAnalysis.SurpriseVocabCap,
+      "corpus vocabulary no longer exceeds SurpriseVocabCap — the OOV " +
+        "path is untested")
 
     // the operator itself, batch-applied (same select as the stream)
     val got = SurpriseScoreStream.scored(docs, model)
