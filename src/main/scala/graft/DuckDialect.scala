@@ -135,7 +135,8 @@ object DuckDialect {
     * themselves carry list literals, renamed functions, …). */
   def rewrite(sql0: String): String = {
     val sql = bridgeDistinctOn(bridgeQualify(
-      bridgeAsofJoin(bridgeUnpivot(bridgeSampleRowsDeep(sql0)))))
+      bridgeAsofJoin(bridgeUnpivot(bridgeSampleRowsDeep(
+        bridgeCommaLateralSeries(sql0))))))
     val n = sql.length
     val sb = new StringBuilder(n + 16)
     var i = 0
@@ -393,9 +394,14 @@ object DuckDialect {
                 val m = AsAnyIdentRe.findFirstMatchIn(t)
                 m.map { mm =>
                   val raw = mm.group(1)
+                  // Quoted re-emit (ADVICE r11): collapse DuckDB's ""
+                  // escapes to " and double embedded backticks — an
+                  // ident containing a backtick must not produce an
+                  // unbalanced Spark ident.
                   val n =
                     if (raw.startsWith("\""))
-                      "`" + raw.substring(1, raw.length - 1) + "`"
+                      "`" + raw.substring(1, raw.length - 1)
+                        .replace("\"\"", "\"").replace("`", "``") + "`"
                     else raw
                   (t.substring(0, mm.start), n)
                 }
@@ -604,13 +610,16 @@ object DuckDialect {
               // a regex — bridged by regex-escaping a literal separator.
               // Verified equal on every edge: trailing/leading/adjacent
               // empties kept ('a,b,' → [a,b,'']), no-match → [whole],
-              // '' input → [''], multi-char separators. The empty
-              // separator (DuckDB: per-char explode) and non-literal
+              // '' input → [''], multi-char separators. The EMPTY
+              // separator is a per-char explode in DuckDB — and Spark's
+              // split('x','') is the identical per-char form (verified:
+              // both give ['h','é','l','l','o'] / [''] on '' / NULL
+              // propagation), so it bridges as-is (r12). Non-literal
               // separators fall to guidance.
               scanCall(sql, j).flatMap { case (after, _) =>
                 splitTop(sql.substring(j + 1, after - 1))
                   .filter(_.length == 2).flatMap { args =>
-                    bareLiteral(args(1)).filter(_.nonEmpty).map { sep =>
+                    bareLiteral(args(1)).map { sep =>
                       val escaped = sep.flatMap { ch =>
                         if (Character.isLetterOrDigit(ch)) ch.toString
                         else "\\" + ch
@@ -773,7 +782,7 @@ object DuckDialect {
   // re-emits backticked). PIVOT/COLUMNS keep the bare-only AsIdentRe:
   // their group(1) feeds suffix/refusal logic that assumes bare names.
   private val AsAnyIdentRe =
-    """(?i)\s+AS\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+    """(?i)\s+AS\s+("(?:[^"]|"")+"|[A-Za-z_][A-Za-z0-9_]*)\s*$""".r
 
   private def lastNonWs(sb: StringBuilder): Char = {
     var k = sb.length - 1
@@ -1409,6 +1418,158 @@ object DuckDialect {
     * HAVING/QUALIFY, set ops, subquery relations, further joins, zero
     * or multiple inequalities, an inequality that does not reference
     * exactly one side's alias. */
+  /** Comma-lateral series bridge (r12, VERDICT r11 item 4): DuckDB's
+    * `FROM t, generate_series(…) [[AS] g(i)]` — the most common
+    * remaining unbridged DuckDB idiom — and the correlated-argument
+    * spelling `FROM t, unnest(generate_series(…)) AS u(j)` (DuckDB 1.0
+    * itself refuses lateral column parameters on the bare TVF —
+    * verified: "does not support lateral join column parameters" — so
+    * real correlated usage writes the unnest form) have no comma twin
+    * in Spark; the twin is `LATERAL VIEW explode(sequence(…)) g AS i`.
+    *
+    * A quote/comment-aware scan tracks a per-paren-depth in-FROM flag
+    * and rewrites ONLY FROM-clause commas whose right-hand item is a
+    * series call; every other comma (select lists, call arguments,
+    * plain comma joins) passes through untouched. TRAILING-position
+    * only: a bridged item must be followed by a clause end, statement
+    * end, ')', or ANOTHER series item — Spark's LATERAL VIEW cannot
+    * precede a plain comma join or JOIN, so mid-list forms pass
+    * through to [[guidance]]. Alias mapping (verified on DuckDB 1.0):
+    * bare / `g` → column named `generate_series`; `[AS] g(i)` → `i`.
+    * The unaliased comma-unnest passes through (DuckDB names that
+    * column `unnest.generate_series(…)` — not meaningfully mappable),
+    * as do multi-column aliases. Emitted argument text is verbatim:
+    * the main scan afterwards rewrites duckisms inside it (including
+    * the scalar generate_series → sequence inside the unnest form). */
+  private def bridgeCommaLateralSeries(sql: String): String = {
+    val n = sql.length
+    val sb = new StringBuilder(n + 32)
+    var inFrom = List(false) // one flag per paren depth
+    var i = 0
+    def skipWs(j0: Int): Int = {
+      var j = j0
+      while (j < n && Character.isWhitespace(sql.charAt(j))) j += 1
+      j
+    }
+    // clause heads that END a FROM clause (JOIN/ON/USING keep it open —
+    // but a bridged item refuses a following JOIN via tailOk below)
+    val enders = Set("select", "where", "group", "having", "order",
+      "limit", "offset", "union", "except", "intersect", "qualify",
+      "window", "values")
+    // parse one series item starting AT the comma; None = pass through
+    def seriesItem(comma: Int): Option[(String, Int)] = {
+      val j = skipWs(comma + 1)
+      val w = readWord(sql, j).toLowerCase(java.util.Locale.ROOT)
+      val isSeries = w == "generate_series"
+      val isUnnest = w == "unnest"
+      if (!isSeries && !isUnnest) return None
+      val po = skipWs(j + w.length)
+      if (po >= n || sql.charAt(po) != '(') return None
+      val (after, _) = scanCall(sql, po).getOrElse(return None)
+      val inner = sql.substring(po + 1, after - 1)
+      val core =
+        if (isUnnest) {
+          if (inner.trim.isEmpty) return None
+          s"explode($inner)"
+        } else splitTop(inner) match {
+          case Some(args) if args.nonEmpty && args.length <= 3 &&
+            args.forall(_.trim.nonEmpty) =>
+            // DuckDB's 1-arg TVF is 0..stop INCLUSIVE (verified)
+            if (args.length == 1) s"explode(sequence(0, ${args.head.trim}))"
+            else s"explode(sequence(${args.map(_.trim).mkString(", ")}))"
+          case _ => return None
+        }
+      // optional [AS] tblAlias [(colAlias)]
+      var k = skipWs(after)
+      var hasAs = false
+      if (readWord(sql, k).equalsIgnoreCase("as")) {
+        hasAs = true; k = skipWs(k + 2)
+      }
+      var tbl = ""
+      var colA = ""
+      val aw = readWord(sql, k)
+      if (aw.nonEmpty && (hasAs ||
+        !Keywords(aw.toLowerCase(java.util.Locale.ROOT)))) {
+        tbl = aw
+        var k2 = skipWs(k + aw.length)
+        if (k2 < n && sql.charAt(k2) == '(') {
+          val (ca, _) = scanCall(sql, k2).getOrElse(return None)
+          val cols = splitTop(sql.substring(k2 + 1, ca - 1))
+            .getOrElse(return None).map(_.trim)
+          // one BARE column name only — a series yields one column
+          if (cols.length != 1 || readWord(cols.head, 0) != cols.head ||
+            cols.head.isEmpty) return None
+          colA = cols.head
+          k2 = ca
+        }
+        k = k2
+      } else if (hasAs) return None // `AS <keyword/nothing>` — pass
+      if (isUnnest && colA.isEmpty) return None // unreferenceable name
+      val tblName = if (tbl.nonEmpty) tbl else "generate_series"
+      val colName = if (colA.nonEmpty) colA else "generate_series"
+      Some((s" LATERAL VIEW $core $tblName AS $colName", k))
+    }
+    // after a bridged item the FROM list may only continue with another
+    // series item, a clause end, ')' / ';' or the statement end
+    def tailOk(afterItem: Int): Boolean = {
+      val k = skipWs(afterItem)
+      if (k >= n) return true
+      sql.charAt(k) match {
+        case ')' | ';' => true
+        case ',' =>
+          val j = skipWs(k + 1)
+          val w = readWord(sql, j).toLowerCase(java.util.Locale.ROOT)
+          w == "generate_series" || w == "unnest"
+        case _ =>
+          val w = readWord(sql, k).toLowerCase(java.util.Locale.ROOT)
+          w.nonEmpty && enders(w)
+      }
+    }
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // string literal: verbatim (incl. '' escapes)
+        sb.append(c); i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') {
+              sb.append("''"); i += 2
+            } else { sb.append('\''); i += 1; closed = true }
+          } else { sb.append(sql.charAt(i)); i += 1 }
+        }
+      } else if (c == '"') { // quoted ident: verbatim
+        sb.append(c); i += 1
+        while (i < n && sql.charAt(i) != '"') { sb.append(sql.charAt(i)); i += 1 }
+        if (i < n) { sb.append('"'); i += 1 }
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val e = sql.indexOf('\n', i)
+        val end = if (e < 0) n else e + 1
+        sb.append(sql.substring(i, end)); i = end
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2)
+        val end = if (e < 0) n else e + 2
+        sb.append(sql.substring(i, end)); i = end
+      } else if (c == '(') {
+        inFrom = false :: inFrom; sb.append(c); i += 1
+      } else if (c == ')') {
+        if (inFrom.lengthCompare(1) > 0) inFrom = inFrom.tail
+        sb.append(c); i += 1
+      } else if (c == ',' && inFrom.head) {
+        seriesItem(i).filter(t => tailOk(t._2)) match {
+          case Some((rep, after)) => sb.append(rep); i = after
+          case None => sb.append(c); i += 1
+        }
+      } else if (Character.isLetter(c) || c == '_') {
+        val w = readWord(sql, i)
+        val lw = w.toLowerCase(java.util.Locale.ROOT)
+        if (lw == "from") inFrom = true :: inFrom.tail
+        else if (enders(lw)) inFrom = false :: inFrom.tail
+        sb.append(w); i += w.length
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def bridgeAsofJoin(sql: String): String =
     asofBridge(sql).map(_._1).getOrElse(sql)
 
@@ -1741,14 +1902,28 @@ object DuckDialect {
       (if (outerTail.isEmpty) "" else " " + outerTail)
   }
 
-  /** DuckDB's UNPIVOT STATEMENT → Spark's UNPIVOT clause (pure text —
-    * the two agree exactly, verified on both engines: NULL values
-    * excluded, remaining columns kept, NAME column carries the source
-    * column names):
-    *   UNPIVOT <table> ON c1, c2, … INTO NAME <n> VALUE <v> [tail]
-    *   → SELECT * FROM <table> UNPIVOT (<v> FOR <n> IN (c1, c2, …)) [tail]
-    * Refused (→ guidance): `ON col AS 'label'` aliases, multiple VALUE
-    * columns, COLUMNS(*) — rewrite those as the Spark clause by hand. */
+  // trailing alias of an UNPIVOT ON item: AS 'label' | AS "ident" | AS bare
+  private val UnpivotAliasRe =
+    """(?i)\s+AS\s+('(?:[^']|'')*'|"[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+
+  /** DuckDB's UNPIVOT STATEMENT → Spark's UNPIVOT clause (pure text):
+    *   UNPIVOT <table> ON <item>, … INTO NAME <n> VALUE <v1>[, v2 …]
+    *   item := col [AS alias] | (c1, c2, …) [AS alias]
+    *   → SELECT * FROM <table>
+    *       UNPIVOT ((v1[, v2…]) FOR <n> IN (<item> AS `alias`, …)) [tail]
+    * Single-VALUE semantics agree exactly (verified on both engines:
+    * NULL values excluded, remaining columns kept, NAME carries the
+    * column name — or the alias when given; DuckDB's 'string' aliases
+    * re-emit backticked). r12 extends the bridge to the MULTI-VALUE
+    * form: DuckDB drops an emitted row when ANY of its values is NULL
+    * where Spark's EXCLUDE NULLS drops only ALL-NULL rows (verified:
+    * (3, NULL) dropped by DuckDB, kept by Spark) — so the multi-VALUE
+    * bridge wraps the clause in a `WHERE v1 IS NOT NULL AND …` filter.
+    * An unaliased multi-column item names its group by the columns
+    * joined with '_' (DuckDB's rule, verified: (x, z) → 'x_z').
+    * Refused (→ guidance): COLUMNS(*), ragged item widths, and a
+    * multi-VALUE statement with a WHERE tail (the null filter and the
+    * user predicate would need a merge this bridge doesn't attempt). */
   private def bridgeUnpivot(sql: String): String = {
     if (!readWord(sql.trim, 0).equalsIgnoreCase("unpivot")) return sql
     val t = sql.trim
@@ -1766,8 +1941,41 @@ object DuckDialect {
     val rest = t.substring(i)
     val into = topKeyword(rest, "into")
     if (into < 0) return sql
-    val cols = rest.substring(0, into).trim
-    if (cols.isEmpty || topKeyword(cols, "as") >= 0) return sql
+    val colsTxt = rest.substring(0, into).trim
+    if (colsTxt.isEmpty) return sql
+    // ON items: col | (c1, c2, …), optional trailing AS alias
+    val rawItems = splitTop(colsTxt).getOrElse(return sql).map(_.trim)
+    if (rawItems.isEmpty || rawItems.exists(_.isEmpty)) return sql
+    def oneIdent(s0: String): Option[String] = {
+      val s = s0.trim
+      parseIdentChain(s, 0) match {
+        case Some((ident, after)) if after == s.length &&
+          !ident.contains('.') => Some(ident)
+        case _ => None
+      }
+    }
+    // (re-emitted column list, column count, optional alias)
+    val items: Seq[(Seq[String], Option[String])] = rawItems.map { it0 =>
+      var it = it0
+      var alias: Option[String] = None
+      UnpivotAliasRe.findFirstMatchIn(it).foreach { m =>
+        val raw = m.group(1)
+        alias = Some(
+          if (raw.startsWith("'"))
+            raw.substring(1, raw.length - 1).replace("''", "'")
+          else if (raw.startsWith("\"")) raw.substring(1, raw.length - 1)
+          else raw)
+        it = it.substring(0, m.start).trim
+      }
+      val cols: Seq[String] =
+        if (it.startsWith("(")) {
+          if (!it.endsWith(")")) return sql
+          splitTop(it.substring(1, it.length - 1)).getOrElse(return sql)
+            .map(c => oneIdent(c).getOrElse(return sql))
+        } else Seq(oneIdent(it).getOrElse(return sql))
+      if (cols.isEmpty) return sql
+      (cols, alias)
+    }
     var j = into + 4
     def wsj(): Unit =
       while (j < rest.length && Character.isWhitespace(rest.charAt(j))) j += 1
@@ -1781,13 +1989,44 @@ object DuckDialect {
     wsj()
     if (!readWord(rest, j).equalsIgnoreCase("value")) return sql
     j += 5; wsj()
-    val value = parseIdentChain(rest, j) match {
-      case Some((ident, after)) if !ident.contains('.') => j = after; ident
-      case _ => return sql
+    var values = Seq.empty[String]
+    var more = true
+    while (more) {
+      parseIdentChain(rest, j) match {
+        case Some((ident, after)) if !ident.contains('.') =>
+          values :+= ident; j = after; wsj()
+          if (j < rest.length && rest.charAt(j) == ',') { j += 1; wsj() }
+          else more = false
+        case _ => return sql
+      }
     }
+    val arity = values.length
+    if (items.exists(_._1.length != arity)) return sql // ragged widths
     val tail = rest.substring(j).trim
-    s"SELECT * FROM $src UNPIVOT ($value FOR $name IN ($cols))" +
-      (if (tail.isEmpty) "" else " " + tail)
+    def bq(s: String) = "`" + s.replace("`", "``") + "`"
+    val itemsSql = items.map { case (cols, alias) =>
+      val colsPart =
+        if (arity == 1) cols.head else cols.mkString("(", ", ", ")")
+      if (arity == 1 && alias.isEmpty) colsPart
+      else {
+        // unaliased multi-col group: DuckDB names it c1_c2 (verified)
+        val nm = alias.getOrElse(
+          cols.map(_.stripPrefix("`").stripSuffix("`")).mkString("_"))
+        s"$colsPart AS ${bq(nm)}"
+      }
+    }
+    val valuesSql =
+      if (arity == 1) values.head else values.mkString("(", ", ", ")")
+    val core = s"SELECT * FROM $src UNPIVOT ($valuesSql FOR $name " +
+      s"IN (${itemsSql.mkString(", ")}))"
+    if (arity == 1) core + (if (tail.isEmpty) "" else " " + tail)
+    else {
+      if (tail.nonEmpty && readWord(tail, 0).equalsIgnoreCase("where"))
+        return sql // null-filter + user WHERE: not merged, guidance
+      s"SELECT * FROM ($core) WHERE " +
+        values.map(v => s"$v IS NOT NULL").mkString(" AND ") +
+        (if (tail.isEmpty) "" else " " + tail)
+    }
   }
 
   /** Distinct-value cap for the dynamic PIVOT bridge: one BOUNDED
@@ -1864,10 +2103,13 @@ object DuckDialect {
     val cut = Seq("group", "order", "limit").map(topKeyword(rest, _))
       .filter(_ >= 0).reduceOption(_ min _).getOrElse(rest.length)
     // (aggregate text, value-column suffix) — the count(*) default
-    // yields bare `value` names; a single unaliased agg likewise;
-    // MULTIPLE aggs must ALL be aliased (DuckDB then names columns
-    // `value_alias` — unaliased multi-agg names are DuckDB's internal
-    // expression renderings, which this bridge refuses to guess)
+    // yields bare `value` names; a single unaliased agg likewise.
+    // UNALIASED multi-agg names are DuckDB's internal expression
+    // renderings; the SIMPLE fn(ident) / count(*) forms are stable and
+    // mirrored here (r12, verified: SUM("Xcol") → sum(Xcol),
+    // COUNT( y ) → count(y), count(*) → count_star() — lowercase
+    // function, the TYPED identifier text, spaces stripped). Anything
+    // more complex (expressions, multi-arg) still refuses to guess.
     var aggs: Seq[(String, String)] = Seq(("count(*)", ""))
     val usingTxt = rest.substring(0, cut).trim
     if (usingTxt.nonEmpty) {
@@ -1875,10 +2117,21 @@ object DuckDialect {
       val items = splitTop(usingTxt.substring(5))
         .getOrElse(return None).map(_.trim)
       if (items.isEmpty || items.exists(_.isEmpty)) return None
+      val SimpleAgg =
+        """^([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*("[^"]+"|[A-Za-z_][A-Za-z0-9_]*|\*)\s*\)$""".r
       val parsed = items.map { it =>
         AsIdentRe.findFirstMatchIn(it) match {
           case Some(m) => (it.substring(0, m.start).trim, "_" + m.group(1))
-          case None => (it, "")
+          case None => it match {
+            case SimpleAgg(fn, arg) if items.length > 1 =>
+              val lf = fn.toLowerCase(java.util.Locale.ROOT)
+              val nm =
+                if (arg == "*") lf + "_star()"
+                else lf + "(" +
+                  arg.stripPrefix("\"").stripSuffix("\"") + ")"
+              (it, "_" + nm)
+            case _ => (it, "")
+          }
         }
       }
       if (parsed.exists(_._1.isEmpty)) return None
@@ -2075,15 +2328,40 @@ object DuckDialect {
         if (tail.toLowerCase(java.util.Locale.ROOT).contains("columns")
           || AsIdentRe.findFirstMatchIn(it).isDefined) return None
         val arg = it.substring(open + 1, close - 1).trim
+        // `* EXCLUDE (a, b)` (r12): all schema columns minus the listed
+        // ones, case-insensitively (DuckDB's binding, verified:
+        // EXCLUDE ("AA") removes aa); an EXCLUDE column absent from the
+        // schema raises DuckDB's binder error rather than silently
+        // keeping everything
+        val ExcludeRe = """(?is)^\*\s+EXCLUDE\s*\((.*)\)\s*$""".r
         val matched: Seq[String] =
           if (arg == "*") cols
-          else bareLiteral(arg) match {
-            case Some(re) =>
-              val p =
-                try java.util.regex.Pattern.compile(re)
-                catch { case scala.util.control.NonFatal(_) => return None }
-              cols.filter(c => p.matcher(c).find())
-            case None => return None
+          else arg match {
+            case ExcludeRe(body) =>
+              val ex = splitTop(body).getOrElse(return None)
+                .map(_.trim).map { e =>
+                  if (e.length >= 2 && e.startsWith("\"") &&
+                    e.endsWith("\"")) e.substring(1, e.length - 1)
+                  else if (e.nonEmpty && readWord(e, 0) == e) e
+                  else return None
+                }
+              if (ex.isEmpty) return None
+              val missing = ex.filterNot(e =>
+                cols.exists(_.equalsIgnoreCase(e)))
+              if (missing.nonEmpty) throw new IllegalArgumentException(
+                s"""COLUMNS(* EXCLUDE …): column "${missing.head}" in """ +
+                  "EXCLUDE list not found in FROM clause")
+              cols.filterNot(c => ex.exists(_.equalsIgnoreCase(c)))
+            case _ => bareLiteral(arg) match {
+              case Some(re) =>
+                val p =
+                  try java.util.regex.Pattern.compile(re)
+                  catch {
+                    case scala.util.control.NonFatal(_) => return None
+                  }
+                cols.filter(c => p.matcher(c).find())
+              case None => return None
+            }
           }
         if (matched.isEmpty) return None
         any = true
@@ -2338,6 +2616,14 @@ object DuckDialect {
       else if (lower.endsWith(".json") || lower.endsWith(".ndjson")) "json"
       else "csv"
     }
+    // Loud-edges doctrine (ADVICE r11): HEADER/DELIMITER are csv-only —
+    // silently ignoring them on a parquet/json load would accept an
+    // option the load does not honor.
+    if (fmt != "csv" && (header.nonEmpty || delim.nonEmpty))
+      throw new IllegalArgumentException(
+        s"COPY FROM option ${if (header.nonEmpty) "HEADER" else "DELIMITER"}" +
+          s" applies only to FORMAT CSV (resolved format here: '$fmt') — " +
+          "remove it or set FORMAT CSV")
     val target = try spark.catalog.getTable(ident) catch {
       case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
@@ -2482,8 +2768,14 @@ object DuckDialect {
        |  ORDER BY items and ORDER BY on a select ALIAS are refused —
        |  spell the alias's expression out in the ORDER BY instead);
        |generate_series -> sequence() (explode(sequence()) after
-       |  FROM/JOIN; a comma-lateral `FROM t, generate_series(…)` is not
-       |  bridged — use an explicit JOIN); unnest -> explode (the STRUCT
+       |  FROM/JOIN; the comma-lateral `FROM t, generate_series(…)
+       |  [AS g(i)]` and `FROM t, unnest(generate_series(…)) AS u(j)`
+       |  forms ARE bridged to LATERAL VIEW explode(sequence(…)) when
+       |  the series items are the LAST entries in the FROM list —
+       |  mid-list forms (a plain table or JOIN after the series) are
+       |  not: move the series items to the end; the unaliased
+       |  comma-unnest has no mappable column name — alias it u(j));
+       |  unnest -> explode (the STRUCT
        |  expansion and recursive := forms have no Spark twin); scalar
        |  range() has no twin (sequence() is inclusive-end) — the TVF
        |  form FROM range(a, b) is valid Spark already;
@@ -2492,20 +2784,27 @@ object DuckDialect {
        |  (columns = sorted distinct non-null values, capped at 1000;
        |  IN (…) lists skip discovery; multiple ON columns give the
        |  cross-product v1_v2 columns; aliased multi-agg USING gives
-       |  DuckDB's value_alias columns; GROUP BY/ORDER BY/LIMIT pass
-       |  through) — the UNALIASED multi-agg form: rewrite as
-       |  Spark's PIVOT clause with an explicit IN list;
-       |COLUMNS('regex') / COLUMNS(*) expand from the live schema for
-       |  single-table SELECTs (DuckDB's find-anywhere matching; wrapped
-       |  forms replicate per column and name by the source column) —
-       |  lambda/EXCLUDE args, aliased items, joins: expand by hand;
-       |the UNPIVOT STATEMENT bridges to Spark's UNPIVOT clause for the
-       |  ON c1, c2 INTO NAME n VALUE v form (NULLs excluded in both);
-       |  column aliases / multiple VALUE columns: use the clause.
+       |  DuckDB's value_alias columns; UNALIASED multi-agg bridges for
+       |  simple fn(ident)/count(*) aggregates — DuckDB's
+       |  value_fn(ident) names; expression aggregates: alias them;
+       |  GROUP BY/ORDER BY/LIMIT pass through);
+       |COLUMNS('regex') / COLUMNS(*) / COLUMNS(* EXCLUDE (a, b)) expand
+       |  from the live schema for single-table SELECTs (DuckDB's
+       |  find-anywhere matching; EXCLUDE binds case-insensitively and
+       |  raises on unknown columns; wrapped forms replicate per column
+       |  and name by the source column) — lambda args, aliased items,
+       |  joins: expand by hand;
+       |the UNPIVOT STATEMENT bridges to Spark's UNPIVOT clause —
+       |  single- and multi-VALUE forms, (c1, c2) AS 'alias' groups
+       |  (unaliased groups name c1_c2, DuckDB's rule; the multi-VALUE
+       |  bridge adds the any-NULL row filter DuckDB applies where Spark
+       |  drops only all-NULL rows); a multi-VALUE statement with a
+       |  WHERE tail: use the clause.
        |Conditionally bridged (this statement used an unbridged form):
-       |  string_split/str_split/string_to_array (bridged for a non-empty
-       |  LITERAL separator, regex-escaped into split(); the empty-separator
-       |  per-char form and expression separators have no direct twin),
+       |  string_split/str_split/string_to_array (bridged for LITERAL
+       |  separators, regex-escaped into split() — including the
+       |  empty-separator per-char form; expression separators have no
+       |  direct twin),
        |  strftime/strptime (registered functions — arbitrary formats,
        |  either arg order for strftime; % codes without JDK twins
        |  (%U weeks, %Z zones) raise — use date_format/to_timestamp with

@@ -758,12 +758,14 @@ object DuckCompat {
     // literal separator is Pattern-quoted so metacharacters ('||',
     // '.') split literally, and limit -1 keeps trailing empties as
     // DuckDB does ('a,b,,' → [a, b, '', '']; verified). A NULL literal
-    // separator mirrors DuckDB's no-split [s]. Refused loudly: an
-    // EMPTY separator (DuckDB splits per character and keeps [''] for
-    // '' — Spark's empty regex appends a trailing ''; use
-    // regexp_extract_all(s, '(?s).') for per-char) and non-literal
-    // separators (quote-at-eval needs a custom expression; use split()
-    // with a regex).
+    // separator mirrors DuckDB's no-split [s]. An EMPTY separator is
+    // DuckDB's per-char explode — and Spark's split(s, '', -1) is the
+    // IDENTICAL per-char form (r12, verified on both engines: unicode
+    // chars, [''] for '', NULL propagation; Spark's StringSplit does
+    // NOT append Java's raw trailing '' — the pre-r12 refusal here
+    // assumed it did). Refused loudly: non-literal separators
+    // (quote-at-eval needs a custom expression; use split() with a
+    // regex).
     def strSplit(name: String)(es: Seq[Expression]): Expression = {
       arity(name, 2, es)
       es(1) match {
@@ -774,10 +776,8 @@ object DuckCompat {
             java.util.regex.Pattern.quote(sep.toString)), StringType),
             Literal(-1))
         case Literal(s: UTF8String, _: StringType) if s.toString.isEmpty =>
-          throw new IllegalArgumentException(
-            s"$name with an EMPTY separator is not bridged (DuckDB " +
-              "splits per character; Spark's empty-regex split appends " +
-              "a trailing '') — use regexp_extract_all(s, '(?s).')")
+          StringSplit(es.head,
+            Literal(UTF8String.fromString(""), StringType), Literal(-1))
         case _ => throw new IllegalArgumentException(
           s"$name needs a LITERAL separator (DuckDB splits on the " +
             "literal; Spark's split() is regex) — for an expression " +

@@ -149,6 +149,24 @@ object ExtendedOps {
       |  CAST(n_chars % 3 AS INT) + 1)) AS u FROM documents)
       |GROUP BY u ORDER BY u""".stripMargin.replace("\n", " ")
 
+  // q186 comma-lateral generate_series (r12, VERDICT r11 item 4): the
+  // most common remaining DuckDB FROM idiom, in BOTH spellings — the
+  // constant-argument TVF `FROM t, generate_series(2, 4) AS g(i)` and
+  // the correlated `FROM t, unnest(generate_series(1, expr)) AS u(j)`
+  // (DuckDB 1.0 itself refuses lateral column params on the bare TVF).
+  // The bridge emits chained LATERAL VIEW explode(sequence(…)) items;
+  // per-row fan-out is ≤ 3×3 (bounded), the filter stays below the
+  // generators, and the only exchange is the total ORDER BY. CASTs pin
+  // BIGINT on both engines (Spark's constant sequence(2,4) is
+  // array<int> where DuckDB's TVF yields BIGINT).
+  private val CommaSeriesSql: String =
+    """SELECT d.doc_id, CAST(g.i AS BIGINT) AS series_i,
+      |CAST(u.j AS BIGINT) AS rep_j
+      |FROM documents d, generate_series(2, 4) AS g(i),
+      |  unnest(generate_series(1, d.doc_id % 3 + 1)) AS u(j)
+      |WHERE d.doc_id < 7 ORDER BY d.doc_id, series_i, rep_j"""
+      .stripMargin.replace("\n", " ")
+
   // q166 PIVOT statement (dynamic column discovery): the bridge
   // resolves the lang columns with ONE bounded distinct collect then
   // emits count(*) FILTER items — one shuffle on source at any column
@@ -598,6 +616,13 @@ object ExtendedOps {
           nd.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         graft.DuckDialect.sql(s, ReadFilesSql)
       },
-      Some(ReadFilesSql))
+      Some(ReadFilesSql)),
+
+    GraftQuery("q186_duckdb_comma_series",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, CommaSeriesSql)
+      },
+      Some(CommaSeriesSql))
   )
 }

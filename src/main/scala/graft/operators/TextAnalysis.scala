@@ -90,6 +90,11 @@ object TextAnalysis {
     * constant. */
   val SurpriseVocabCap = 16
 
+  /** Merge rounds trained by q184/q185 — the model is K-bounded by
+    * construction (K pairs of short strings). Declared above `all`:
+    * the oracle-SQL builders read it during `all`'s initialization. */
+  private[graft] val BpeMergeRounds = 12
+
   private def reCount(c: Column, re: String): Column =
     regexp_count(c, lit(re)).cast("long")
 
@@ -1526,5 +1531,169 @@ object TextAnalysis {
         |FROM s GROUP BY doc_id
         |ORDER BY mean_surprise DESC, doc_id LIMIT 20"""
         .stripMargin.replace("\n", " ")))
+    ,
+
+    // BPE tokenizer TRAINING (r12, VERDICT r11 item 2) — the full
+    // iterative byte-pair-encoding vocabulary induction (Sennrich 2016,
+    // arXiv:1508.07909) whose FIRST round q130 computes: K rounds of
+    // (count adjacent symbol pairs weighted by word frequency → merge
+    // the argmax), integer-exact with a deterministic tie-break on the
+    // pair bytes (count DESC, pair ASC — binary UTF-8 order in both
+    // engines). Scale shape: the corpus-sized stream collapses ONCE
+    // (word-frequency rollup, map-side combine); each round then runs
+    // entirely on the DISTRIBUTED vocabulary frame — re-segment via a
+    // chain of `replace` calls (leftmost non-overlapping in both
+    // engines = Sennrich's greedy apply), explode adjacent pairs,
+    // aggregate, and collect ONE row (the argmax — bounded by
+    // construction). The vocab frame itself never broadcasts and never
+    // collects (the q114/q115 shuffle-side stance); the trained model
+    // is K pairs — a bounded literal, the CosineAll class. The oracle
+    // unrolls the same K rounds as MATERIALIZED per-level CTEs (the
+    // q182 precedent) and was validated round-by-round against a
+    // direct Sennrich implementation.
+    GraftQuery("q184_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        bpeMerges(s, d, BpeMergeRounds).zipWithIndex
+          .map { case ((a, b, n), i) => ((i + 1).toLong, a, b, n) }
+          .toDF("merge_rank", "lhs", "rhs", "n")
+          .orderBy("merge_rank")
+      },
+      Some(bpeTrainOracleSql))
+    ,
+
+    // BPE ENCODE (r12) — the apply half: re-segment the corpus with the
+    // q184 merges and emit the resulting token (symbol) frequencies —
+    // what a tokenizer-build pipeline ships alongside the merge table.
+    // The merges ride as K-bounded literals in a replace chain (the
+    // VocabSurprise model-as-literal pattern); the corpus-sized word
+    // rollup is the SAME plan q184 cached, so training + encode pay one
+    // corpus pass total. Top-30 is a TakeOrdered.
+    GraftQuery("q185_bpe_encode",
+      (s, d) => {
+        val ms = bpeMerges(s, d, BpeMergeRounds).map(m => (m._1, m._2))
+        bpeWordFreq(s, d)
+          .select(explode(bpeSyms(bpeSeg(col("word"), ms))).as("token"),
+            col("freq"))
+          .groupBy("token").agg(sum("freq").cast("long").as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(30)
+      },
+      Some(bpeEncodeOracleSql))
   )
+
+  // ---- BPE tokenizer induction (r12, VERDICT r11 item 2) ----
+  // (BpeMergeRounds itself is declared ABOVE `all`: the oracle builders
+  // run during `all`'s initialization, and a constant declared below it
+  // would still read 0 there — object vals initialize in declaration
+  // order.)
+
+  /** The corpus word-frequency table — the ONLY corpus-sized pass of
+    * the BPE family. q184's trainer persists this plan; q185's encoder
+    * rebuilds the identical plan, so Spark's cache manager serves both
+    * from one materialization. */
+  private def bpeWordFreq(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("\\p{L}+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Boundary-form segmentation with `merges` applied in learned order:
+    * every char wrapped `|c|` (so "he" → "|h||e|"), then each merge
+    * (a,b) is ONE `replace` of `|a||b|` → `|ab|`. `replace` is leftmost
+    * non-overlapping in both engines (verified: "|b||a||b||a||b|" with
+    * (b,a) → "|ba||ba||b|") — exactly Sennrich's greedy apply — and
+    * symbols are \p{L} chars, so '|' can never occur inside one.
+    * Rebuilding from scratch with merges 1..r replays the exact
+    * training state: a later merge's symbols cannot appear in an
+    * earlier round's segmentation. */
+  private[graft] def bpeSeg(word: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(regexp_replace(word, "(.)", "|$1|")) {
+      case (c, (a, b)) =>
+        replace(c, lit("|" + a + "||" + b + "|"), lit("|" + a + b + "|"))
+    }
+
+  /** Symbol array of a boundary-form segmentation. */
+  private[graft] def bpeSyms(seg: Column): Column =
+    split(trim(seg, "|"), "\\|\\|")
+
+  /** Sennrich BPE training: K argmax rounds over the distributed
+    * word-frequency frame; each round collects exactly ONE row (the
+    * best pair — bounded by construction). Stops early when no pair is
+    * left (all words fully merged). Returns (lhs, rhs, weighted count)
+    * in merge order. */
+  private[graft] def bpeMerges(s: SparkSession, d: String, k: Int)
+      : Seq[(String, String, Long)] = {
+    val wf = bpeWordFreq(s, d).persistTracked()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (!done && merges.length < k) {
+      val best = wf
+        .select(bpeSyms(bpeSeg(col("word"),
+          merges.toSeq.map(m => (m._1, m._2)))).as("a"), col("freq"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), size(col("a")) - 1))).as("p"),
+          col("freq"))
+        .select(concat_ws(" ", col("p").getField("0"),
+          col("p").getField("1")).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").cast("long").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect() // ONE row per round — the argmax
+      if (best.isEmpty) done = true
+      else {
+        val sp = best(0).getString(0).split(" ", 2)
+        merges += ((sp(0), sp(1), best(0).getLong(1)))
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The q184/q185 oracle chain: the SAME K-round induction unrolled as
+    * MATERIALIZED per-level CTEs — DuckDB's default CTE inlining
+    * re-expands the whole chain per reference and goes exponential in K
+    * without MATERIALIZED (the q182 lesson; see BENCH_NOTES). `range`
+    * is DuckDB's EXCLUSIVE-end list constructor, so range(1, len(a))
+    * indexes exactly the adjacent-pair starts of the 1-based array. */
+  private def bpeCteChain(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH wf AS MATERIALIZED (SELECT word, COUNT(*) AS freq ")
+      .append("FROM (SELECT unnest(regexp_extract_all(lower(text), ")
+      .append("'\\p{L}+')) AS word FROM documents) GROUP BY 1), ")
+      .append("l0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', ")
+      .append("'|\\1|', 'g') AS seg, freq FROM wf)")
+    for (i <- 1 to k) {
+      val prev = s"l${i - 1}"
+      sb.append(s", p$i AS (SELECT unnest(list_transform(range(1, len(a)), ")
+        .append("x -> a[x] || ' ' || a[x+1])) AS pair, freq ")
+        .append("FROM (SELECT string_split(trim(seg, '|'), '||') AS a, ")
+        .append(s"freq FROM $prev)), ")
+        .append(s"m$i AS MATERIALIZED (SELECT pair, CAST(SUM(freq) AS BIGINT) ")
+        .append(s"AS n FROM p$i GROUP BY 1 ORDER BY n DESC, pair LIMIT 1), ")
+        .append(s"l$i AS MATERIALIZED (SELECT replace(seg, ")
+        .append("'|' || replace(m.pair, ' ', '||') || '|', ")
+        .append("'|' || replace(m.pair, ' ', '') || '|') AS seg, freq ")
+        .append(s"FROM $prev CROSS JOIN m$i AS m)")
+    }
+    sb.toString
+  }
+
+  private def bpeTrainOracleSql: String =
+    bpeCteChain(BpeMergeRounds) + " " +
+      (1 to BpeMergeRounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, " +
+          s"split_part(pair, ' ', 1) AS lhs, " +
+          s"split_part(pair, ' ', 2) AS rhs, n FROM m$i")
+        .mkString(" UNION ALL ") +
+      " ORDER BY merge_rank"
+
+  private def bpeEncodeOracleSql: String =
+    bpeCteChain(BpeMergeRounds) +
+      " SELECT sym AS token, CAST(SUM(freq) AS BIGINT) AS n " +
+      "FROM (SELECT unnest(string_split(trim(seg, '|'), '||')) AS sym, " +
+      s"freq FROM l$BpeMergeRounds) " +
+      "GROUP BY 1 ORDER BY n DESC, token LIMIT 30"
 }

@@ -178,8 +178,11 @@ class TierASpec extends AnyFunSuite {
       "SELECT split(s, '\\\\,')")
     assert(rewrite("SELECT string_split(s, 'xx')") ==
       "SELECT split(s, 'xx')")
-    assert(rewrite("SELECT string_split(s, '')") == // per-char: no twin
-      "SELECT string_split(s, '')")
+    // empty separator bridges too (r12): Spark's split(s, '') is the
+    // identical per-char form (verified on both engines — unicode
+    // chars, [''] on '', NULL propagation)
+    assert(rewrite("SELECT string_split(s, '')") ==
+      "SELECT split(s, '')")
     assert(rewrite("SELECT string_split(s, sep)") == // expression sep
       "SELECT string_split(s, sep)")
     // quantile_disc/quantile → the ANSI WITHIN GROUP form (same values;
@@ -305,6 +308,47 @@ class TierASpec extends AnyFunSuite {
     assert(rewrite("SELECT generate_series(3)") == "SELECT sequence(0, 3)")
     assert(rewrite("SELECT * FROM generate_series(1, 3) t(i)") ==
       "SELECT * FROM explode(sequence(1, 3)) t(i)")
+    // comma-lateral series (r12): FROM-clause commas whose right item is
+    // a series call become LATERAL VIEW explode(sequence(…)); DuckDB's
+    // default column name is `generate_series` (bare and bare-alias
+    // forms), `AS g(i)` maps to g AS i, the 1-arg TVF is 0..stop
+    assert(rewrite("SELECT * FROM t, generate_series(1, 3)") ==
+      "SELECT * FROM t LATERAL VIEW explode(sequence(1, 3)) " +
+        "generate_series AS generate_series")
+    assert(rewrite("SELECT * FROM t, generate_series(1, 3) g") ==
+      "SELECT * FROM t LATERAL VIEW explode(sequence(1, 3)) " +
+        "g AS generate_series")
+    assert(rewrite("SELECT * FROM t, generate_series(2) AS g(i) WHERE i > 0") ==
+      "SELECT * FROM t LATERAL VIEW explode(sequence(0, 2)) g AS i " +
+        "WHERE i > 0")
+    // correlated spelling: unnest(generate_series(expr)) — the inner
+    // series rewrites scalar (DuckDB 1.0 refuses lateral column params
+    // on the bare TVF, so this IS the correlated form in the wild)
+    assert(rewrite("SELECT k, j FROM t, unnest(generate_series(1, t.n)) AS u(j)") ==
+      "SELECT k, j FROM t LATERAL VIEW explode(sequence(1, t.n)) u AS j")
+    // chained series items bridge in turn
+    assert(rewrite("SELECT * FROM t, generate_series(1, 2) AS a(i), " +
+      "unnest(generate_series(1, t.n)) AS b(j) WHERE i = j") ==
+      "SELECT * FROM t LATERAL VIEW explode(sequence(1, 2)) a AS i " +
+        "LATERAL VIEW explode(sequence(1, t.n)) b AS j WHERE i = j")
+    // NOT bridged (pass through → Spark error → guidance): select-list
+    // commas, mid-list series (a plain table or JOIN follows), the
+    // unaliased comma-unnest (its DuckDB name is unreferenceable), and
+    // multi-column aliases
+    assert(rewrite("SELECT a, generate_series(1, 3) FROM t") ==
+      "SELECT a, sequence(1, 3) FROM t")
+    assert(rewrite("SELECT * FROM t, generate_series(1, 3) g(i), u")
+      .contains(", sequence(1, 3) g(i), u"))
+    assert(rewrite("SELECT * FROM t, generate_series(1, 3) JOIN u ON x = y")
+      .contains(", sequence(1, 3) JOIN"))
+    assert(rewrite("SELECT * FROM t, unnest(generate_series(1, t.n))")
+      .contains(", explode(sequence(1, t.n))"))
+    assert(rewrite("SELECT * FROM t, generate_series(1, 3) AS g(i, j)")
+      .contains(", sequence(1, 3) AS g(i, j)"))
+    // a FROM inside a subquery gets its own depth-scoped bridge
+    assert(rewrite("SELECT * FROM (SELECT 1 AS k FROM u, generate_series(1, 2) g(i)) s") ==
+      "SELECT * FROM (SELECT 1 AS k FROM u LATERAL VIEW " +
+        "explode(sequence(1, 2)) g AS i) s")
     // engine-level: the bridged statements return DuckDB's answers
     // (expected values verified against the installed DuckDB)
     def rows(duck: String): Seq[Seq[Any]] =
@@ -334,6 +378,18 @@ class TierASpec extends AnyFunSuite {
     assert(rows("SELECT generate_series(3)").head.head
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(0, 1, 2, 3))
     assert(rows("SELECT * FROM range(2, 5)") == Seq(Seq(2L), Seq(3L), Seq(4L)))
+    // comma-lateral series end-to-end (r12): constant TVF, correlated
+    // unnest spelling, and the chained form — expected rows are the
+    // installed DuckDB 1.0's own answers
+    assert(rows("SELECT x, generate_series FROM (VALUES (9)) t(x), " +
+      "generate_series(1, 2)") == Seq(Seq(9, 1), Seq(9, 2)))
+    assert(rows("SELECT x, j FROM (VALUES (2), (3)) t(x), " +
+      "unnest(generate_series(1, x)) AS u(j) WHERE j >= x - 1 " +
+      "ORDER BY x, j") ==
+      Seq(Seq(2, 1), Seq(2, 2), Seq(3, 2), Seq(3, 3)))
+    assert(rows("SELECT x, i, j FROM (VALUES (1)) t(x), " +
+      "generate_series(4, 5) AS a(i), unnest(generate_series(1, x)) AS b(j)") ==
+      Seq(Seq(1, 4, 1), Seq(1, 5, 1)))
     // list_slice as a REGISTERED function (arbitrary/mixed-sign/
     // expression bounds — the text bridge reaches only one-sign
     // literals). Every expected value is the installed DuckDB's.
@@ -432,13 +488,38 @@ class TierASpec extends AnyFunSuite {
     assert(run("PIVOT pv_multi ON k1, k2 GROUP BY g ORDER BY g") ==
       (Seq("g", "x_p", "x_q", "y_p", "y_q"),
         Seq(Seq("a", 1L, 0L, 0L, 1L), Seq("b", 0L, 1L, 0L, 0L))))
-    // refusals → guidance, never a silent subset: UNALIASED multi-agg
-    // (DuckDB's names there are internal expression renderings)
-    for (bad <- Seq("PIVOT pv_tnull ON p USING sum(v), count(*) GROUP BY g")) {
+    // UNALIASED multi-agg (r12): simple fn(ident)/count(*) aggregates
+    // bridge with DuckDB's value_fn(ident)/value_count_star() names
+    assert(run("PIVOT pv_tnull ON p USING sum(v), count(*) GROUP BY g ORDER BY g") ==
+      (Seq("g", "x_sum(v)", "x_count_star()", "y_sum(v)", "y_count_star()"),
+        Seq(Seq("a", 2L, 1L, null, 0L), Seq("b", null, 0L, 3L, 1L))))
+    // refusals → guidance, never a silent subset: unaliased multi-agg
+    // with an EXPRESSION argument (DuckDB's name there is an internal
+    // expression rendering this bridge refuses to guess)
+    for (bad <- Seq("PIVOT pv_tnull ON p USING sum(v + 1), count(*) GROUP BY g")) {
       val e = intercept[IllegalArgumentException](
         graft.DuckDialect.sql(spark, bad))
       assert(e.getMessage.contains("PIVOT statement outside"))
     }
+    // UNPIVOT ON aliases (r12): AS 'label' renames the NAME entry
+    // (expected rows are DuckDB's: NULL values excluded, c3 kept)
+    assert(run("UNPIVOT up_w ON c1 AS 'one', c2 INTO NAME k VALUE v ORDER BY g, k") ==
+      (Seq("g", "c3", "k", "v"),
+        Seq(Seq("a", null, "c2", 2), Seq("a", null, "one", 1),
+          Seq("b", 5, "one", 3))))
+    // UNPIVOT multi-VALUE (r12): grouped items, unaliased group names
+    // c1_c2, and DuckDB's ANY-null row drop — ('a', 3, 30, NULL, 7)'s
+    // (z, w) = (NULL, 7) group is dropped even though w is present
+    // (Spark's EXCLUDE NULLS alone would keep it; the bridge filters)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW up_m AS SELECT * FROM " +
+      "VALUES ('a', 1, 10, 100, 5), ('b', 2, 20, 200, 6), " +
+      "('a', 3, 30, CAST(NULL AS INT), 7) t(g, x, y, z, w)")
+    assert(run("UNPIVOT up_m ON (x, y) AS 'xy', (z, w) INTO NAME k " +
+      "VALUE v1, v2 ORDER BY g, k, v1") ==
+      (Seq("g", "k", "v1", "v2"),
+        Seq(Seq("a", "xy", 1, 10), Seq("a", "xy", 3, 30),
+          Seq("a", "z_w", 100, 5), Seq("b", "xy", 2, 20),
+          Seq("b", "z_w", 200, 6))))
     // COLUMNS star expressions expand from the live schema — DuckDB's
     // find-anywhere regex matching ('a' also matches 'ba', verified),
     // wrapped forms replicate per column and NAME BY the source column
@@ -457,11 +538,23 @@ class TierASpec extends AnyFunSuite {
     // other duckisms in the same statement still bridge after expansion
     assert(run("SELECT len(list_value(COLUMNS('^a'))) FROM cols_t") ==
       (Seq("aa", "ab"), Seq(Seq(1L, 1L))))
-    // refusals: zero matches (DuckDB errors too), joins, aliased items
+    // COLUMNS(* EXCLUDE (…)) (r12): schema minus the listed columns,
+    // case-insensitive binding (DuckDB verified: EXCLUDE ("AA") → ab, ba)
+    assert(run("SELECT COLUMNS(* EXCLUDE (ab)) FROM cols_t") ==
+      (Seq("aa", "ba"), Seq(Seq(1, 3))))
+    assert(run("SELECT max(COLUMNS(* EXCLUDE (ab, ba))) FROM cols_t") ==
+      (Seq("aa"), Seq(Seq(1))))
+    assert(run("SELECT COLUMNS(* EXCLUDE (\"AA\")) FROM cols_t") ==
+      (Seq("ab", "ba"), Seq(Seq(2, 3))))
+    // refusals: zero matches (DuckDB errors too), joins, aliased items,
+    // and an EXCLUDE column absent from the schema (DuckDB binder error)
     intercept[Exception](graft.DuckDialect.sql(spark,
       "SELECT COLUMNS('zzz') FROM cols_t"))
     intercept[Exception](graft.DuckDialect.sql(spark,
       "SELECT COLUMNS('a') AS x FROM cols_t"))
+    val exMiss = intercept[IllegalArgumentException](graft.DuckDialect.sql(
+      spark, "SELECT COLUMNS(* EXCLUDE (zz)) FROM cols_t"))
+    assert(exMiss.getMessage.contains("EXCLUDE list not found"))
     // UNPIVOT statement → Spark's UNPIVOT clause (pure text rewrite)
     assert(graft.DuckDialect.rewrite(
       "UNPIVOT w ON c1, c2 INTO NAME k VALUE v ORDER BY g") ==
@@ -473,10 +566,18 @@ class TierASpec extends AnyFunSuite {
     assert(run("UNPIVOT up_w ON c1, c2 INTO NAME k VALUE v ORDER BY g, k") ==
       (Seq("g", "c3", "k", "v"), Seq(Seq("a", null, "c1", 1),
         Seq("a", null, "c2", 2), Seq("b", 5, "c1", 3))))
-    // aliased ON items are NOT bridged (no Spark twin in the clause's
-    // IN list) — untouched → guidance
+    // aliased ON items bridge into the clause's IN-list aliases (r12)
     assert(graft.DuckDialect.rewrite(
-      "UNPIVOT w ON c1 AS 'one' INTO NAME k VALUE v")
+      "UNPIVOT w ON c1 AS 'one' INTO NAME k VALUE v") ==
+      "SELECT * FROM w UNPIVOT (v FOR k IN (c1 AS `one`))")
+    // still refused (→ untouched → guidance): ragged item widths, and
+    // a multi-VALUE statement with a WHERE tail (null filter + user
+    // predicate would need a merge)
+    assert(graft.DuckDialect.rewrite(
+      "UNPIVOT w ON (c1, c2), c3 INTO NAME k VALUE v1, v2")
+      .startsWith("UNPIVOT"))
+    assert(graft.DuckDialect.rewrite(
+      "UNPIVOT w ON (c1, c2) INTO NAME k VALUE v1, v2 WHERE v1 > 0")
       .startsWith("UNPIVOT"))
   }
 
