@@ -2378,6 +2378,70 @@ object DuckDialect {
       out.flatten.mkString(", ") + " " + text.substring(f))
   }
 
+  /** DuckDB's STRUCT-expanding `unnest(struct_col)` select item →
+    * Spark's `struct_col.*` (r12; verified identical on both engines:
+    * the fields expand IN PLACE — `SELECT k, unnest(s)` → k, a, b —
+    * and other items keep their positions). Session-aware, like
+    * [[bridgeColumns]]: the LIST form of unnest must keep rewriting to
+    * explode, and telling a struct arg from a list arg needs the live
+    * schema. Supported subset: single plain-relation FROM, select
+    * items that are EXACTLY `unnest(<colref>)` where the colref's leaf
+    * resolves to a StructType column; non-struct args leave their item
+    * untouched for the explode rename, and the `recursive := true` /
+    * aliased / nested-expression forms fall through to guidance. */
+  private def bridgeStructUnnest(
+      spark: SparkSession, text: String): Option[String] = {
+    val sel = topKeyword(text, "select")
+    if (sel < 0) return None
+    val f = topKeyword(text, "from")
+    if (f < sel) return None
+    var k = f + 4
+    while (k < text.length && Character.isWhitespace(text.charAt(k))) k += 1
+    val tbl = parseIdentChain(text, k) match {
+      case Some((ident, _)) => ident
+      case None => return None
+    }
+    val afterFrom = text.substring(f)
+    if (topKeyword(afterFrom, "join") >= 0) return None
+    val fCut = Seq("where", "group", "order", "having", "limit",
+      "offset", "qualify", "window").map(topKeyword(afterFrom, _))
+      .filter(_ >= 0).reduceOption(_ min _).getOrElse(afterFrom.length)
+    if (splitTop(afterFrom.substring(0, fCut)).exists(_.length > 1))
+      return None
+    val structCols: Set[String] =
+      try spark.table(tbl).schema.fields.collect {
+        case fd if fd.dataType
+          .isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          fd.name.toLowerCase(java.util.Locale.ROOT)
+      }.toSet
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (structCols.isEmpty) return None
+    var header = text.substring(sel + 6, f)
+    var prefix = ""
+    val hTrim = header.trim
+    val w0 = if (hTrim.nonEmpty) readWord(hTrim, 0) else ""
+    if (w0.equalsIgnoreCase("distinct") || w0.equalsIgnoreCase("all")) {
+      prefix = w0 + " "
+      header = hTrim.substring(w0.length)
+    }
+    val UnnestItem =
+      """(?is)^unnest\s*\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*\)$""".r
+    var any = false
+    val out = splitTop(header).getOrElse(return None).map { raw =>
+      raw.trim match {
+        case UnnestItem(ref)
+            if structCols(ref.split('.').last
+              .toLowerCase(java.util.Locale.ROOT)) =>
+          any = true
+          s"$ref.*"
+        case other => other
+      }
+    }
+    if (!any) return None
+    Some(text.substring(0, sel + 6) + " " + prefix +
+      out.mkString(", ") + " " + text.substring(f))
+  }
+
   /** Some(target) when `sql` is DuckDB's `SUMMARIZE [target]` statement
     * (Locale.ROOT casing, any whitespace) — the one dialect STATEMENT,
     * shared by DeltaScanner.query and the REPL so both surfaces parse it
@@ -2550,7 +2614,10 @@ object DuckDialect {
     * under a forced schema would load whole lines into column 1 with
     * NULL tails, the exact silent-corruption class the read_csv bridge
     * refuses); reads run FAILFAST so an arity/type mismatch raises as
-    * DuckDB's sniffer does; column lists are not bridged. */
+    * DuckDB's sniffer does. Column lists (r12) bridge for CSV —
+    * positional file→list mapping, NULL-filled unlisted columns
+    * (default-carrying / non-nullable unlisted columns refuse: DuckDB
+    * applies the default there). */
   private def bridgeCopyFrom(
       spark: SparkSession, text: String): Option[DataFrame] = {
     val t = text.trim.stripSuffix(";").trim
@@ -2565,7 +2632,26 @@ object DuckDialect {
       case None => return None
     }
     ws()
-    if (i < t.length && t.charAt(i) == '(') return None // column list
+    // optional column list (r12): `COPY t (b, a) FROM …` — DuckDB maps
+    // FILE columns to the LISTED columns POSITIONALLY (header names are
+    // ignored — verified with a mismatching header) and fills unlisted
+    // columns with their DEFAULT (NULL when none)
+    var colList: Seq[String] = Seq.empty
+    if (i < t.length && t.charAt(i) == '(') {
+      val close = scanCall(t, i).getOrElse(return None)._1
+      colList = splitTop(t.substring(i + 1, close - 1))
+        .getOrElse(return None).map(_.trim)
+        .map { c =>
+          val p = parseIdentChain(c, 0)
+          p match {
+            case Some((ident, after)) if after == c.length &&
+              !ident.contains('.') => ident.stripPrefix("`").stripSuffix("`")
+            case _ => return None
+          }
+        }
+      if (colList.isEmpty) return None
+      i = close; ws()
+    }
     if (!readWord(t, i).equalsIgnoreCase("from")) return None
     i += 4; ws()
     if (i >= t.length || t.charAt(i) != '\'') return None
@@ -2636,10 +2722,47 @@ object DuckDialect {
           "parquet/delta), or read the file directly with " +
           "read_csv/read_parquet and INSERT")
     val schema = spark.table(ident).schema
-    val src = fmt match {
+    // column-list resolution (r12): listed names must be table columns
+    // (case-insensitive, DuckDB's binding); unlisted columns fill NULL —
+    // DuckDB fills their DEFAULT, so a default-carrying or non-nullable
+    // unlisted column refuses rather than silently diverging. CSV only:
+    // the positional file→list mapping is what spark.read's
+    // enforced-schema CSV does; parquet/json column subsets have
+    // by-name/positional ambiguity this bridge does not guess at.
+    val listed: Seq[org.apache.spark.sql.types.StructField] =
+      colList.map { c =>
+        schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"COPY FROM column list: '$c' is not a column of $ident"))
+      }
+    if (colList.nonEmpty) {
+      if (fmt != "csv")
+        throw new IllegalArgumentException(
+          "COPY FROM with a column list is bridged for FORMAT CSV only " +
+            "— load the file with spark.read + INSERT for " +
+            s"FORMAT ${fmt.toUpperCase(java.util.Locale.ROOT)}")
+      if (listed.map(_.name.toLowerCase(java.util.Locale.ROOT))
+        .distinct.length != listed.length)
+        throw new IllegalArgumentException(
+          "COPY FROM column list repeats a column")
+      schema.fields.filterNot(f => listed.exists(_.name == f.name))
+        .foreach { f =>
+          if (!f.nullable || f.metadata.contains("CURRENT_DEFAULT"))
+            throw new IllegalArgumentException(
+              s"COPY FROM column list: unlisted column '${f.name}' is " +
+                "non-nullable or carries a DEFAULT — this bridge fills " +
+                "unlisted columns with NULL only (DuckDB applies the " +
+                "default); list the column or load with spark.read + " +
+                "INSERT")
+        }
+    }
+    val readSchema =
+      if (colList.isEmpty) schema
+      else org.apache.spark.sql.types.StructType(listed)
+    val src0 = fmt match {
       case "parquet" => spark.read.parquet(path)
       case "json" =>
-        spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+        spark.read.schema(readSchema).option("mode", "FAILFAST").json(path)
       case "csv" =>
         if (header.isEmpty || delim.isEmpty)
           throw new IllegalArgumentException(
@@ -2648,11 +2771,20 @@ object DuckDialect {
               "wrong default under the table's forced schema would load " +
               "corrupt rows silently — e.g. COPY t FROM 'f.csv' (FORMAT " +
               "CSV, HEADER false, DELIMITER ',')")
-        spark.read.schema(schema).option("mode", "FAILFAST")
+        spark.read.schema(readSchema).option("mode", "FAILFAST")
           .option("header", header.get).option("sep", delim.get).csv(path)
       case other => throw new IllegalArgumentException(
         s"COPY FROM FORMAT '$other' is not bridged (parquet, csv, json)")
     }
+    // project into FULL table order; unlisted columns ride as NULLs
+    val src =
+      if (colList.isEmpty) src0
+      else src0.select(schema.fields.toSeq.map { f =>
+        if (listed.exists(_.name == f.name))
+          org.apache.spark.sql.functions.col(f.name)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+      }: _*)
     val obs = org.apache.spark.sql.Observation()
     src.observe(obs, org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("n"))
@@ -2690,9 +2822,9 @@ object DuckDialect {
             "(COPY is not Spark SQL)",
             "(COPY statement outside the bridged subset: COPY (query)|" +
               "table TO 'path' [(FORMAT PARQUET|CSV|JSON, HEADER, " +
-              "DELIMITER)] and COPY table FROM 'path' [(same options)] " +
-              "— column lists are not bridged; use spark.read/INSERT " +
-              "instead)")))
+              "DELIMITER)] and COPY table [(col, …)] FROM 'path' " +
+              "[(same options)] — CSV column lists NULL-fill unlisted " +
+              "columns; use spark.read/INSERT for the rest)")))
     try spark.sql(text)
     catch {
       case e: org.apache.spark.sql.AnalysisException // incl. parse
@@ -2712,13 +2844,20 @@ object DuckDialect {
                 "aggregate, a table/view source)"), e)
         }
       case e: org.apache.spark.sql.AnalysisException => // incl. parse
-        // COLUMNS(…) star expressions need the live schema — expanded
-        // here (session-aware), then the text rewrite handles any other
-        // duckisms the statement carries
-        val expanded =
+        // COLUMNS(…) star expressions and STRUCT-expanding unnest need
+        // the live schema — expanded here (session-aware), then the
+        // text rewrite handles any other duckisms the statement
+        // carries (incl. the LIST unnest → explode rename on the items
+        // the struct pass left alone)
+        val colsExpanded =
           if ("""(?i)\bcolumns\s*\(""".r.findFirstIn(text).isDefined)
             bridgeColumns(spark, text)
           else None
+        val base1 = colsExpanded.getOrElse(text)
+        val expanded =
+          (if ("""(?i)\bunnest\s*\(""".r.findFirstIn(base1).isDefined)
+            bridgeStructUnnest(spark, base1)
+          else None).orElse(colsExpanded)
         val rewritten = rewrite(expanded.getOrElse(text))
         // the ASOF bridge is the one rewrite whose output can be
         // quadratic in the input — gate it BEFORE execution
@@ -2775,8 +2914,10 @@ object DuckDialect {
        |  mid-list forms (a plain table or JOIN after the series) are
        |  not: move the series items to the end; the unaliased
        |  comma-unnest has no mappable column name — alias it u(j));
-       |  unnest -> explode (the STRUCT
-       |  expansion and recursive := forms have no Spark twin); scalar
+       |  unnest -> explode for LISTS; unnest(struct_col) expands to
+       |  struct_col.* from the live schema for single-table SELECTs
+       |  (whole select items only) — the recursive := form, aliased
+       |  items, and joined sources have no bridged twin; scalar
        |  range() has no twin (sequence() is inclusive-end) — the TVF
        |  form FROM range(a, b) is valid Spark already;
        |the PIVOT STATEMENT (dynamic column discovery) bridges for one
@@ -2874,8 +3015,11 @@ object DuckDialect {
        |  table FROM 'path' [(same options)] IS bridged for writable
        |  catalog tables — positional load with the table's schema,
        |  FAILFAST, Count returned; temp VIEWS refuse (read-only), CSV
-       |  needs explicit HEADER+DELIMITER (DuckDB sniffs both), column
-       |  lists are not bridged.
+       |  needs explicit HEADER+DELIMITER (DuckDB sniffs both); CSV
+       |  column lists map the file positionally onto the listed
+       |  columns and NULL-fill the rest (unlisted columns with a
+       |  DEFAULT or NOT NULL refuse — DuckDB applies the default);
+       |  parquet/json column lists are not bridged.
        |  USING SAMPLE n [ROWS] [(reservoir[, seed])] and
        |  reservoir(n ROWS) ARE bridged for a single-relation FROM
        |  [+ WHERE]: a true uniform random-n via ORDER BY rand([seed])

@@ -538,6 +538,16 @@ class TierASpec extends AnyFunSuite {
     // other duckisms in the same statement still bridge after expansion
     assert(run("SELECT len(list_value(COLUMNS('^a'))) FROM cols_t") ==
       (Seq("aa", "ab"), Seq(Seq(1L, 1L))))
+    // unnest(struct_col) (r12): expands the fields IN PLACE — DuckDB's
+    // verified shape (SELECT k, unnest(s) → k, a, b); the LIST form in
+    // the same session keeps exploding (q165's path)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW su_t AS " +
+      "SELECT 1 AS k, named_struct('a', 10, 'b', 'x') AS s " +
+      "UNION ALL SELECT 2, named_struct('a', 20, 'b', 'y')")
+    assert(run("SELECT unnest(s) FROM su_t ORDER BY a") ==
+      (Seq("a", "b"), Seq(Seq(10, "x"), Seq(20, "y"))))
+    assert(run("SELECT k, unnest(s) FROM su_t ORDER BY k") ==
+      (Seq("k", "a", "b"), Seq(Seq(1, 10, "x"), Seq(2, 20, "y"))))
     // COLUMNS(* EXCLUDE (…)) (r12): schema minus the listed columns,
     // case-insensitive binding (DuckDB verified: EXCLUDE ("AA") → ab, ba)
     assert(run("SELECT COLUMNS(* EXCLUDE (ab)) FROM cols_t") ==
@@ -824,10 +834,32 @@ class TierASpec extends AnyFunSuite {
     val he = intercept[Exception](graft.DuckDialect.sql(spark,
       "COPY graft_cf_t FROM '/tmp/graft_cf1.csv' (FORMAT CSV)"))
     assert(he.getMessage.contains("HEADER"))
-    // column lists fall to the COPY guidance table
-    val ce = intercept[Exception](graft.DuckDialect.sql(spark,
-      "COPY graft_cf_t (k) FROM '/tmp/graft_cf1.csv' (FORMAT CSV, HEADER)"))
-    assert(ce.getMessage.contains("column lists"))
+    // column lists (r12): file columns map POSITIONALLY onto the listed
+    // columns (header names are IGNORED — DuckDB-verified with a
+    // mismatching header), unlisted columns fill NULL
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_cf4.csv"),
+      "zz,ww\ndelta,4\n".getBytes("UTF-8"))
+    assert(one("COPY graft_cf_t (name, k) FROM '/tmp/graft_cf4.csv' " +
+      "(FORMAT CSV, HEADER true, DELIMITER ',')") == 1)
+    assert(spark.table("graft_cf_t").filter("k = 4")
+      .head.getString(1) == "delta")
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_cf5.csv"),
+      "5\n".getBytes("UTF-8"))
+    assert(one("COPY graft_cf_t (k) FROM '/tmp/graft_cf5.csv' " +
+      "(FORMAT CSV, HEADER false, DELIMITER ',')") == 1)
+    assert(spark.table("graft_cf_t").filter("k = 5").head.isNullAt(1))
+    // column-list refusals: non-CSV formats, unknown and repeated names
+    val pe = intercept[Exception](graft.DuckDialect.sql(spark,
+      "COPY graft_cf_t (k) FROM '/tmp/graft_cf_p' (FORMAT PARQUET)"))
+    assert(pe.getMessage.contains("FORMAT CSV only"))
+    val ue = intercept[Exception](graft.DuckDialect.sql(spark,
+      "COPY graft_cf_t (zz) FROM '/tmp/graft_cf5.csv' " +
+        "(FORMAT CSV, HEADER false, DELIMITER ',')"))
+    assert(ue.getMessage.contains("not a column"))
+    val de = intercept[Exception](graft.DuckDialect.sql(spark,
+      "COPY graft_cf_t (k, k) FROM '/tmp/graft_cf5.csv' " +
+        "(FORMAT CSV, HEADER false, DELIMITER ',')"))
+    assert(de.getMessage.contains("repeats"))
     // arity mismatch raises (FAILFAST), never loads nulls silently
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_cf3.csv"),
       "7,x,extra\n".getBytes("UTF-8"))
@@ -836,7 +868,7 @@ class TierASpec extends AnyFunSuite {
         "'/tmp/graft_cf3.csv' (FORMAT CSV, HEADER false, DELIMITER ',')")
         .collect()
     }
-    assert(spark.table("graft_cf_t").count() == 4) // nothing half-loaded
+    assert(spark.table("graft_cf_t").count() == 6) // nothing half-loaded
     spark.sql("DROP TABLE graft_cf_t")
   }
 
