@@ -1383,6 +1383,89 @@ object DuckDialect {
       between.trim + (if (between.trim.isEmpty) "" else " ") + tail
   }
 
+  /** DuckDB's EXACT-COUNT percent reservoir (r12) — `USING SAMPLE
+    * reservoir(p%)` / `p% | p PERCENT (reservoir[, seed])` — needs the
+    * relation's cardinality: k = round-half-up(|rel| · p/100)
+    * (DuckDB-verified: 10% of 95 → 10, 25% of 90 → 23, 0.5-at-odd
+    * 1.5 → 2, decimal percents allowed). It therefore bridges
+    * SESSION-aware — one bounded count job on the PRE-WHERE relation
+    * (DuckDB samples before the WHERE; q173's rule) — into the ROWS
+    * form the text bridge already handles. Top-level statements only;
+    * the structural pre-check runs the ROWS bridge on a placeholder
+    * first, so the count job is only paid for statements that will
+    * actually bridge. */
+  private def bridgeReservoirPercent(
+      spark: SparkSession, sql: String): Option[String] = {
+    val usingAt = topKeyword(sql, "using")
+    if (usingAt < 0) return None
+    var i = usingAt + 5
+    def ws(): Unit =
+      while (i < sql.length && Character.isWhitespace(sql.charAt(i))) i += 1
+    ws()
+    if (!readWord(sql, i).equalsIgnoreCase("sample")) return None
+    i += 6; ws()
+    var seed = ""
+    var pct = ""
+    def readPct(): Boolean = {
+      val s = i
+      while (i < sql.length && (Character.isDigit(sql.charAt(i)) ||
+        sql.charAt(i) == '.')) i += 1
+      pct = sql.substring(s, i)
+      pct.matches("""\d+(\.\d+)?""") && {
+        ws()
+        if (i < sql.length && sql.charAt(i) == '%') { i += 1; true }
+        else if (readWord(sql, i).equalsIgnoreCase("percent")) {
+          i += 7; true
+        } else false
+      }
+    }
+    if (readWord(sql, i).equalsIgnoreCase("reservoir")) {
+      // reservoir( p% ) — DuckDB's parser rejects a seed in this form
+      i += 9; ws()
+      if (i >= sql.length || sql.charAt(i) != '(') return None
+      i += 1; ws()
+      if (!readPct()) return None
+      ws()
+      if (i >= sql.length || sql.charAt(i) != ')') return None
+      i += 1
+    } else {
+      if (!readPct()) return None
+      ws()
+      if (i >= sql.length || sql.charAt(i) != '(') return None
+      i += 1; ws()
+      if (!readWord(sql, i).equalsIgnoreCase("reservoir")) return None
+      i += 9; ws()
+      if (i < sql.length && sql.charAt(i) == ',') {
+        i += 1; ws()
+        val ss = i
+        while (i < sql.length && Character.isDigit(sql.charAt(i))) i += 1
+        seed = sql.substring(ss, i)
+        if (seed.isEmpty) return None
+        ws()
+      }
+      if (i >= sql.length || sql.charAt(i) != ')') return None
+      i += 1
+    }
+    val tailAfter = sql.substring(i)
+    def emitted(k: String): String =
+      sql.substring(0, usingAt) + s"USING SAMPLE $k ROWS" +
+        (if (seed.isEmpty) "" else s" (reservoir, $seed)") + tailAfter
+    val probe = emitted("0")
+    if (bridgeSampleRows(probe) == probe) return None
+    val f = topKeyword(sql, "from")
+    if (f < 0) return None
+    var j = f + 4
+    while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+    val rel = parseIdentChain(sql, j).map(_._1).getOrElse(return None)
+    val total =
+      try spark.table(rel).count()
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val k = (BigDecimal(total) * BigDecimal(pct) / 100)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toBigInt.toString
+    Some(emitted(k))
+  }
+
   /** DuckDB's ASOF JOIN (Spark has none — parse error) → an equi+range
     * join with a row_number()=1 pick per LEFT row:
     *   SELECT sel FROM l [la] ASOF [LEFT] JOIN r [ra] ON cond [tail]
@@ -2854,10 +2937,16 @@ object DuckDialect {
             bridgeColumns(spark, text)
           else None
         val base1 = colsExpanded.getOrElse(text)
-        val expanded =
+        val structExpanded =
           (if ("""(?i)\bunnest\s*\(""".r.findFirstIn(base1).isDefined)
             bridgeStructUnnest(spark, base1)
           else None).orElse(colsExpanded)
+        val base2 = structExpanded.getOrElse(text)
+        val expanded =
+          (if ("""(?i)\breservoir\b""".r.findFirstIn(base2).isDefined &&
+            """(?i)\busing\s+sample\b""".r.findFirstIn(base2).isDefined)
+            bridgeReservoirPercent(spark, base2)
+          else None).orElse(structExpanded)
         val rewritten = rewrite(expanded.getOrElse(text))
         // the ASOF bridge is the one rewrite whose output can be
         // quadratic in the input — gate it BEFORE execution
@@ -3028,8 +3117,12 @@ object DuckDialect {
        |  (bernoulli|system[, seed]) in either spelling — bridge to
        |  TABLESAMPLE (n PERCENT) [REPEATABLE (seed)]. A seed pins rows
        |  within ONE engine, never across engines, so only aggregate
-       |  contracts compare. NOT bridged: reservoir(n%) (exact-count —
-       |  needs a count pass), bernoulli/system with a ROWS count
-       |  (DuckDB itself errors there).
+       |  contracts compare. reservoir(p%) / p% (reservoir[, seed])
+       |  bridges session-aware (one bounded count job on the pre-WHERE
+       |  relation; k = round-half-up(count·p/100), DuckDB's exact-count
+       |  rule) for TOP-LEVEL single-relation statements — subquery
+       |  placements: compute the count and use the ROWS form. NOT
+       |  bridged: bernoulli/system with a ROWS count (DuckDB itself
+       |  errors there).
        |Original SQL: $original""".stripMargin
 }

@@ -1580,6 +1580,43 @@ object TextAnalysis {
           .limit(30)
       },
       Some(bpeEncodeOracleSql))
+    ,
+
+    // Tokenizer fertility by language (r12) — the standard tokenizer
+    // EVAL metric (tokens-per-word and chars-per-token) computed with
+    // the TRAINED q184 merges, per the corpus's lang label: a tokenizer
+    // trained on mixed text compresses its majority languages best, and
+    // this is the table a tokenizer-build pipeline reports (q59's
+    // regex-fertility is the pre-tokenizer estimate; this is the real
+    // thing). Scale shape: ONE corpus pass to the (lang, word) rollup
+    // (map-side combine; lang×vocab-bounded, the q114 shuffle-side
+    // stance), the K-bounded merge chain applied per DISTINCT
+    // (lang, word) row — never per token — and a lang-keyed final
+    // aggregate. All counts integer-exact; the two ratios are single
+    // IEEE divisions (the money-AVG precedent).
+    GraftQuery("q187_bpe_fertility",
+      (s, d) => {
+        val ms = bpeMerges(s, d, BpeMergeRounds).map(m => (m._1, m._2))
+        docs(s, d)
+          .select(col("lang"), explode(regexp_extract_all(
+            lower(col("text")), lit("\\p{L}+"), lit(0))).as("word"))
+          .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+          .select(col("lang"), col("freq"),
+            size(bpeSyms(bpeSeg(col("word"), ms))).cast("long").as("tok"),
+            length(col("word")).cast("long").as("nch"))
+          .groupBy("lang")
+          .agg(sum("freq").cast("long").as("n_words"),
+            sum(col("freq") * col("tok")).cast("long").as("n_tokens"),
+            sum(col("freq") * col("nch")).cast("long").as("n_chars"))
+          .select(col("lang"), col("n_words"), col("n_tokens"),
+            col("n_chars"),
+            (col("n_tokens").cast("double") / col("n_words").cast("double"))
+              .as("fertility"),
+            (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+              .as("chars_per_token"))
+          .orderBy("lang")
+      },
+      Some(bpeFertilityOracleSql))
   )
 
   // ---- BPE tokenizer induction (r12, VERDICT r11 item 2) ----
@@ -1696,4 +1733,35 @@ object TextAnalysis {
       "FROM (SELECT unnest(string_split(trim(seg, '|'), '||')) AS sym, " +
       s"freq FROM l$BpeMergeRounds) " +
       "GROUP BY 1 ORDER BY n DESC, token LIMIT 30"
+
+  /** q187's oracle: the q184 training chain (merges m1..mK), then the
+    * SAME replace chain applied to the (lang, word) rollup — a second
+    * unrolled chain a0..aK — and the per-lang totals. */
+  private def bpeFertilityOracleSql: String = {
+    val k = BpeMergeRounds
+    val apply = (1 to k).map { i =>
+      val prev = if (i == 1) "a0" else s"a${i - 1}"
+      s"a$i AS MATERIALIZED (SELECT lang, replace(seg, " +
+        "'|' || replace(m.pair, ' ', '||') || '|', " +
+        "'|' || replace(m.pair, ' ', '') || '|') AS seg, freq, nch " +
+        s"FROM $prev CROSS JOIN m$i AS m)"
+    }.mkString(", ")
+    bpeCteChain(k) +
+      ", wfl AS MATERIALIZED (SELECT lang, word, COUNT(*) AS freq " +
+      "FROM (SELECT lang, unnest(regexp_extract_all(lower(text), " +
+      "'\\p{L}+')) AS word FROM documents) GROUP BY 1, 2), " +
+      "a0 AS (SELECT lang, regexp_replace(word, '(.)', '|\\1|', 'g') " +
+      "AS seg, freq, CAST(len(word) AS BIGINT) AS nch FROM wfl), " +
+      apply + ", " +
+      s"ft AS (SELECT lang, freq, CAST(len(string_split(trim(seg, '|'), " +
+      s"'||')) AS BIGINT) AS tok, nch FROM a$k) " +
+      "SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_words, " +
+      "CAST(SUM(freq * tok) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(freq * nch) AS BIGINT) AS n_chars, " +
+      "CAST(CAST(SUM(freq * tok) AS BIGINT) AS DOUBLE) / " +
+      "CAST(SUM(freq) AS BIGINT) AS fertility, " +
+      "CAST(CAST(SUM(freq * nch) AS BIGINT) AS DOUBLE) / " +
+      "CAST(SUM(freq * tok) AS BIGINT) AS chars_per_token " +
+      "FROM ft GROUP BY lang ORDER BY lang"
+  }
 }

@@ -716,9 +716,24 @@ class TierASpec extends AnyFunSuite {
     assert(p1 == pctCount("USING SAMPLE 20% (bernoulli, 377)") && p1 <= 100)
     assert(pctCount("USING SAMPLE bernoulli(20%, 377)") == p1)
     assert(pctCount("USING SAMPLE 20 PERCENT (system)") <= 100)
-    // reservoir(n%) is exact-count (needs a count pass) — guidance
+    // reservoir(p%) bridges session-aware since r12: exact-count via
+    // one bounded count job, k = round-half-up(count·p/100) (DuckDB-
+    // verified: 10% of 95 → 10, 1.5 → 2, decimal percents allowed)
+    assert(graft.DuckDialect.sql(spark,
+      "SELECT * FROM smp USING SAMPLE reservoir(10%)").count() == 10)
+    assert(graft.DuckDialect.sql(spark,
+      "SELECT * FROM smp USING SAMPLE 12.5% (reservoir, 7)").count() == 13)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW smp10 AS " +
+      "SELECT id AS k FROM range(10)")
+    assert(graft.DuckDialect.sql(spark,
+      "SELECT * FROM smp10 USING SAMPLE reservoir(15%)").count() == 2)
+    // sample-before-WHERE holds for the percent form too
+    assert(one("SELECT count(*) AS n FROM smp WHERE k >= 90 " +
+      "USING SAMPLE reservoir(50%)") <= 10)
+    // subquery placement still refuses (top-level-only bridge: the
+    // count pass needs the session; guidance says use the ROWS form)
     val se = intercept[Exception](graft.DuckDialect.sql(spark,
-      "SELECT * FROM smp USING SAMPLE reservoir(10%)"))
+      "SELECT count(*) FROM (SELECT * FROM smp USING SAMPLE reservoir(10%))"))
     assert(se.getMessage.contains("SAMPLE"))
     // COPY (query) TO: DuckDB's one-row Count shape, written data real
     val out = "/tmp/graft_copy_spec"
