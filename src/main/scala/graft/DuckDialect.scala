@@ -1639,7 +1639,15 @@ object DuckDialect {
         sb.append(c); i += 1
       } else if (c == ',' && inFrom.head) {
         seriesItem(i).filter(t => tailOk(t._2)) match {
-          case Some((rep, after)) => sb.append(rep); i = after
+          case Some((rep, after)) =>
+            sb.append(rep)
+            // the alias/keyword lookahead skipWs'd past the whitespace
+            // the scanner would otherwise re-emit — restore ONE space
+            // when the next token would glue on ("…AS seriesORDER BY")
+            if (after < n && !Character.isWhitespace(sql.charAt(after)) &&
+              sql.charAt(after) != ')' && sql.charAt(after) != ',' &&
+              sql.charAt(after) != ';') sb.append(' ')
+            i = after
           case None => sb.append(c); i += 1
         }
       } else if (Character.isLetter(c) || c == '_') {

@@ -1655,12 +1655,26 @@ object TextAnalysis {
   private[graft] def bpeSyms(seg: Column): Column =
     split(trim(seg, "|"), "\\|\\|")
 
+  /** Training output is deterministic in (corpus dir, K), so the merge
+    * table is cached like any model artifact — q184, q185 and q187
+    * share ONE training run per corpus instead of each re-paying the K
+    * argmax rounds (the centroidCache precedent in Similarity: a
+    * production tokenizer is versioned corpus-adjacent metadata,
+    * trained once). The cached value is K pairs — bounded. */
+  private val mergesCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int), Seq[(String, String, Long)]]
+
   /** Sennrich BPE training: K argmax rounds over the distributed
     * word-frequency frame; each round collects exactly ONE row (the
     * best pair — bounded by construction). Stops early when no pair is
     * left (all words fully merged). Returns (lhs, rhs, weighted count)
     * in merge order. */
   private[graft] def bpeMerges(s: SparkSession, d: String, k: Int)
+      : Seq[(String, String, Long)] =
+    mergesCache.getOrElseUpdate((d, k), bpeMergesUncached(s, d, k))
+
+  private def bpeMergesUncached(s: SparkSession, d: String, k: Int)
       : Seq[(String, String, Long)] = {
     val wf = bpeWordFreq(s, d).persistTracked()
     val merges =
