@@ -155,11 +155,20 @@ private[graft] object Mp4Meta {
     * per-sample stsz, and ABSOLUTE stco offsets into the appended mdat
     * — the moov is built twice (lengths don't depend on offset VALUES)
     * so the offsets are exact. [[frameTable]] + byte-slicing round-trip
-    * these, which is what q181's closed-form oracle certifies. */
+    * these, which is what q181's closed-form oracle certifies.
+    *
+    * `codec` (r12): when set, stbl additionally leads with a full
+    * 86-byte VisualSampleEntry in stsd declaring the sample format
+    * fourcc — e.g. "png " (the registered QuickTime/MP4 codec FFmpeg's
+    * `-c:v png` writes), which q190 uses to carry REAL decodable frame
+    * payloads. [[frameTable]] looks boxes up by name, so the extra stsd
+    * is transparent to it; q181's closed-form outputs (sizes, first
+    * frame bytes) don't read offsets and stay byte-for-byte valid. */
   def writeWithSamples(durationMs: Long, w: Int, h: Int,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames: Seq[Array[Byte]], codec: Option[String] = None): Array[Byte] = {
     require(durationMs >= 0 && durationMs <= Int.MaxValue,
       s"mp4 v0 mvhd duration is 32-bit: $durationMs ms out of range")
+    require(codec.forall(_.length == 4), s"codec fourcc must be 4 chars")
     val ftyp = box("ftyp", ascii("isom") ++ beI(0x200) ++ ascii("isom"))
     def moovFor(offsets: Seq[Int]): Array[Byte] = {
       val mvhd = box("mvhd",
@@ -170,12 +179,26 @@ private[graft] object Mp4Meta {
         beI(7) ++ beI(0) ++ beI(0) ++ beI(1) ++ beI(0) ++
           beI(durationMs.toInt) ++ new Array[Byte](8) ++
           new Array[Byte](8) ++ identityMatrix ++ beI(w << 16) ++ beI(h << 16))
+      // full ISO 14496-12 VisualSampleEntry (86 bytes): fourcc,
+      // 6 reserved + data_reference_index 1, 16 pre_defined/reserved,
+      // width, height, 72 dpi ×2, reserved, frame_count 1, 32-byte
+      // compressorname, depth 24, pre_defined -1
+      val stsd = codec.map { fcc =>
+        val entry = beI(86) ++ ascii(fcc) ++
+          new Array[Byte](6) ++ Array[Byte](0, 1) ++
+          new Array[Byte](16) ++
+          Array[Byte]((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++
+          beI(0x00480000) ++ beI(0x00480000) ++ beI(0) ++
+          Array[Byte](0, 1) ++ new Array[Byte](32) ++
+          Array[Byte](0, 24) ++ Array[Byte](-1, -1)
+        box("stsd", beI(0) ++ beI(1) ++ entry)
+      }.getOrElse(Array.emptyByteArray)
       val stsc = box("stsc", beI(0) ++ beI(1) ++ beI(1) ++ beI(1) ++ beI(1))
       val stsz = box("stsz", beI(0) ++ beI(0) ++ beI(frames.length) ++
         frames.flatMap(f => beI(f.length)).toArray)
       val stco = box("stco", beI(0) ++ beI(offsets.length) ++
         offsets.flatMap(beI).toArray)
-      val stbl = box("stbl", stsc ++ stsz ++ stco)
+      val stbl = box("stbl", stsd ++ stsc ++ stsz ++ stco)
       box("moov", mvhd ++ box("trak",
         tkhd ++ box("mdia", box("minf", stbl))))
     }
@@ -184,6 +207,24 @@ private[graft] object Mp4Meta {
     val base = ftyp.length + moovLen + 8 // first frame byte inside mdat
     val offsets = frames.scanLeft(base)(_ + _.length).init
     ftyp ++ moovFor(offsets) ++ box("mdat", mdatBody)
+  }
+
+  /** The declared sample-format fourcc from stsd — how a demuxer picks
+    * the frame decoder. None when no stsd is present (the pre-r12
+    * metadata-only fixtures) or the box is malformed; q190 requires
+    * "png " here BEFORE handing frame bytes to the PNG decoder, the
+    * real dispatch step (a codec this engine cannot decode refuses
+    * loudly instead of mis-decoding). */
+  def sampleCodec(b: Array[Byte]): Option[String] = {
+    val (ms, me) = findBox(b, 0, b.length, "moov").getOrElse(return None)
+    val trak = findBox(b, ms, me, "trak").getOrElse(return None)
+    val mdia = findBox(b, trak._1, trak._2, "mdia").getOrElse(return None)
+    val minf = findBox(b, mdia._1, mdia._2, "minf").getOrElse(return None)
+    val stbl = findBox(b, minf._1, minf._2, "stbl").getOrElse(return None)
+    val (sd, sdEnd) = findBox(b, stbl._1, stbl._2, "stsd").getOrElse(return None)
+    // version/flags(4) + entry_count(4) + entry size(4) + fourcc(4)
+    if (sd + 16 > sdEnd || be32(b, sd + 4) < 1) return None
+    Some(new String(b, sd + 12, 4, java.nio.charset.StandardCharsets.US_ASCII))
   }
 
   private def identityMatrix: Array[Byte] =

@@ -2012,6 +2012,31 @@ class TierASpec extends AnyFunSuite {
     packed(idx + 4 + 4 + 4 + 4 + 3) = 2
     assert(Mp4Meta.frameTable(packed).isEmpty,
       "shared-chunk stsc must refuse, not guess offsets")
+
+    // r12: the stsd codec declaration round-trips; absent stsd (the
+    // metadata-only layout above) reads None; the codec-carrying
+    // layout leaves frameTable, metadata parse, and frame bytes intact
+    assert(Mp4Meta.sampleCodec(full).isEmpty, "no stsd → no codec")
+    val pngFrames = Seq(Array[Byte](9, 8, 7), Array[Byte](6, 5))
+    val withCodec = Mp4Meta.writeWithSamples(7000L, 64, 48, pngFrames,
+      codec = Some("png "))
+    assert(Mp4Meta.sampleCodec(withCodec).contains("png "))
+    assert(Multimodal.videoContainerMeta(withCodec)
+      .exists(v => v.durationMs == 7000L && v.width == 64 && v.height == 48))
+    val ct = Mp4Meta.frameTable(withCodec)
+    assert(ct.isDefined && ct.get.length == 2)
+    ct.get.zip(pngFrames).foreach { case ((off, sz), want) =>
+      assert(withCodec.slice(off.toInt, (off + sz).toInt).sameElements(want))
+    }
+    // and the q190 frame payload: a gray-ramp PNG decodes to exactly
+    // base + 31x + 17y through the JDK reader (luma == gray channel)
+    val png = Multimodal.grayRampPng(37, 4, 4)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = 37 + 31 * x + 17 * y
+      assert((img.getRGB(x, y) & 0xffffff) == ((v << 16) | (v << 8) | v),
+        s"pixel ($x,$y)")
+    }
   }
 
   test("container duration arithmetic on untrusted headers never " +
