@@ -520,25 +520,43 @@ object Dedup {
     // iterative form IS the 100 TB algorithm.
     GraftQuery("q81_dedup_components",
       (s, d) => nearDupComponents(s, d).orderBy("doc_id"),
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-        |  FOR i IN generate_series(1, len(toks)-2)])) AS s FROM t),
-        |df AS (SELECT s FROM (SELECT s, COUNT(*) AS d FROM sh GROUP BY s) WHERE d BETWEEN 2 AND 20),
-        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s),
-        |card AS (SELECT doc_id, COUNT(*) AS c FROM shf GROUP BY doc_id),
-        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i FROM shf x
-        |  JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
-        |jp AS (SELECT a, b FROM (
-        |  SELECT inter.a, inter.b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
-        |  FROM inter JOIN card ca ON inter.a = ca.doc_id JOIN card cb ON inter.b = cb.doc_id)
-        |  WHERE jaccard >= 0.1),
-        |und AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
-        |reach(src, dst) AS (
-        |  SELECT DISTINCT a, a FROM und
-        |  UNION
-        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)
-        |SELECT src AS doc_id, MIN(dst) AS canonical FROM reach
-        |GROUP BY src ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+      Some(componentCtes + " SELECT src AS doc_id, MIN(dst) AS canonical " +
+        "FROM reach GROUP BY src ORDER BY doc_id"))
+    ,
+
+    // CLUSTER-BEST SELECTION (r12) — the step after components that a
+    // production dedup actually ships: inside every near-dup cluster,
+    // KEEP the highest-quality member (the FineWeb/SlimPajama policy —
+    // the canonical-by-min-id of q81/q97 is the determinism baseline;
+    // this is the quality-aware variant), quality being the TRAINED
+    // q188 classifier score. Composition of two model-backed families
+    // with zero new machinery: components from the q81 engine (adaptive
+    // union-find / min-label propagation), scores from the q189
+    // compiled literal-model expression. Scale shape: the component
+    // frame is duplication-proportional (pairs-scale, not corpus-scale)
+    // and joins the score projection on doc_id — one shuffle, planner
+    // decides the strategy (hint-free, the census rule); the argmax is
+    // a partial-aggregating max_by per cluster, never a window over the
+    // corpus. Ties (equal scores) break to the smallest doc_id — exact
+    // integer scores make the tie-break oracle-stable.
+    GraftQuery("q191_dedup_cluster_best",
+      (s, d) => {
+        graft.functions.HashedBowScore.register(s)
+        val w = TextAnalysis.bowModel(s, d).map(_._3)
+        val scored = docs(s, d).select(col("doc_id"),
+          graft.functions.HashedBowScore.bowScore(
+            coalesce(lower(col("text")), lit("")), w).as("score_grid"))
+        nearDupComponents(s, d)
+          .join(scored, "doc_id")
+          .groupBy(col("canonical").as("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            max_by(col("doc_id"),
+              struct(col("score_grid"), (-col("doc_id")).as("nid")))
+              .as("keep_id"),
+            max("score_grid").as("best_score"))
+          .orderBy("cluster")
+      },
+      Some(clusterBestOracleSql))
     ,
 
     // Incremental dedup — the shape a GROWING 100 TB corpus actually
@@ -1220,4 +1238,50 @@ object Dedup {
       |  SELECT inter.a, inter.b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
       |  FROM inter JOIN card ca ON inter.a = ca.doc_id JOIN card cb ON inter.b = cb.doc_id)
       |WHERE jaccard >= 0.1""".stripMargin.replace("\n", " ")
+
+  /** The q81 transitive-closure CTE chain through `reach` (no final
+    * SELECT) — ONE statement of the component semantics shared by q81's
+    * oracle and q191's (the bm25SqlCtes no-drift rule). */
+  private def componentCtes: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+      |  FOR i IN generate_series(1, len(toks)-2)])) AS s FROM t),
+      |df AS (SELECT s FROM (SELECT s, COUNT(*) AS d FROM sh GROUP BY s) WHERE d BETWEEN 2 AND 20),
+      |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s),
+      |card AS (SELECT doc_id, COUNT(*) AS c FROM shf GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i FROM shf x
+      |  JOIN shf y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      |jp AS (SELECT a, b FROM (
+      |  SELECT inter.a, inter.b, CAST(i AS DOUBLE)/(ca.c + cb.c - i) AS jaccard
+      |  FROM inter JOIN card ca ON inter.a = ca.doc_id JOIN card cb ON inter.b = cb.doc_id)
+      |  WHERE jaccard >= 0.1),
+      |und AS (SELECT a, b FROM jp UNION SELECT b, a FROM jp),
+      |reach(src, dst) AS (
+      |  SELECT DISTINCT a, a FROM und
+      |  UNION
+      |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)""".stripMargin
+      .replace("\n", " ")
+
+  /** q191's oracle: q81's components + the q188/q189 classifier chain
+    * (shared verbatim from TextAnalysis — the trained weights and the
+    * per-doc scores), then a per-cluster argmax with the (score DESC,
+    * doc_id) tie-break. */
+  private def clusterBestOracleSql: String = {
+    val wK = s"w${TextAnalysis.BowGdRounds}"
+    componentCtes +
+      ", comp AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach " +
+      "GROUP BY src), " +
+      TextAnalysis.bowCteBody +
+      s", sc AS (SELECT x.doc_id, SUM(x.x * w.w) AS s FROM xs x " +
+      s"JOIN $wK w ON x.i = w.i GROUP BY 1), " +
+      "r AS (SELECT comp.cluster, sc.doc_id, sc.s, row_number() OVER " +
+      "(PARTITION BY comp.cluster ORDER BY sc.s DESC, sc.doc_id) AS rn " +
+      "FROM comp JOIN sc USING (doc_id)), " +
+      "g AS (SELECT cluster, COUNT(*) AS n_members, MAX(s) AS best " +
+      "FROM r GROUP BY 1) " +
+      "SELECT g.cluster, g.n_members, r.doc_id AS keep_id, " +
+      "CAST(g.best AS BIGINT) AS best_score " +
+      "FROM g JOIN r ON g.cluster = r.cluster AND r.rn = 1 " +
+      "ORDER BY g.cluster"
+  }
 }

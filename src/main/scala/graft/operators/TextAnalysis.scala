@@ -2013,6 +2013,10 @@ object TextAnalysis {
     sb.toString
   }
 
+  /** The chain WITHOUT the leading `WITH ` — for composition into
+    * another query's CTE list (q191 in Dedup). */
+  private[graft] def bowCteBody: String = bowCteChain.stripPrefix("WITH ")
+
   private def bowTrainOracleSql: String =
     bowCteChain + " " +
       "SELECT d.i AS dim, CAST(COALESCE(xty.b, 0) AS BIGINT) AS xty, " +
