@@ -2346,10 +2346,44 @@ object DuckDialect {
     * (aa, ab, ba) selects all three). Each item replicates per matching
     * column — `max(COLUMNS('re'))` becomes one `max(col) AS col` per
     * match, which reproduces DuckDB's naming exactly (it names wrapped
-    * forms by the SOURCE column, verified). Refused → guidance:
-    * aliased items (`COLUMNS(…) AS x` has no well-defined per-column
-    * name), lambda/EXCLUDE/REPLACE arguments, zero matches (DuckDB
-    * errors there too), multi-relation FROM. */
+    * forms by the SOURCE column, verified). `* EXCLUDE (…)` and the
+    * LAMBDA form `COLUMNS(c -> pred)` are bridged (r12 — see the cases
+    * below). Refused → guidance: aliased items (`COLUMNS(…) AS x` has
+    * no well-defined per-column name), REPLACE arguments, zero matches
+    * (DuckDB errors there too), multi-relation FROM. */
+  private val ColumnsLambdaRe =
+    """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*->\s*(.+)$""".r
+
+  /** Standalone (boundary-checked, quote-aware) occurrences of the
+    * lambda param in `body` → the column name as a SQL string literal.
+    * Qualified refs (`x.f`, `f.x`) and quoted spans pass through. */
+  private def substIdent(body: String, param: String, name: String)
+      : String = {
+    val lit = "'" + name.replace("'", "''") + "'"
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val ch = body.charAt(i)
+      if (ch == '\'' || ch == '"') {
+        val j = body.indexOf(ch, i + 1)
+        val end = if (j < 0) body.length else j + 1
+        sb.append(body.substring(i, end)); i = end
+      } else if (Character.isLetter(ch) || ch == '_') {
+        val w = readWord(body, i)
+        val prevOk = i == 0 || {
+          val p = body.charAt(i - 1)
+          !(Character.isLetterOrDigit(p) || p == '_' || p == '.')
+        }
+        val after = i + w.length
+        val nextOk = after >= body.length || body.charAt(after) != '.'
+        if (prevOk && nextOk && w.equalsIgnoreCase(param)) sb.append(lit)
+        else sb.append(w)
+        i = after
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
   def bridgeColumns(spark: SparkSession, text: String): Option[String] = {
     val sel = topKeyword(text, "select")
     if (sel < 0) return None
@@ -2443,6 +2477,26 @@ object DuckDialect {
                 s"""COLUMNS(* EXCLUDE …): column "${missing.head}" in """ +
                   "EXCLUDE list not found in FROM clause")
               cols.filterNot(c => ex.exists(_.equalsIgnoreCase(c)))
+            // `COLUMNS(c -> predicate)` (r12): the lambda binds each
+            // column NAME as VARCHAR (verified); evaluate the predicate
+            // per name in ONE schema-sized probe SELECT — through the
+            // dialect entry, so DuckDB-isms in the body (SIMILAR TO,
+            // len, …) resolve — with DuckDB's truthiness mirrored via
+            // CAST(… AS BOOLEAN) (verified: a nonzero-int lambda keeps
+            // the column). NULL reads as no-match. A body naming
+            // `columns` refuses (no nested stars, and it would recurse).
+            case ColumnsLambdaRe(param, body)
+                if !body.toLowerCase(java.util.Locale.ROOT)
+                  .contains("columns") =>
+              val probes = cols.zipWithIndex.map { case (c, pi) =>
+                s"CAST((${substIdent(body, param, c)}) AS BOOLEAN) AS m$pi"
+              }
+              val row =
+                try sql(spark, "SELECT " + probes.mkString(", ")).head()
+                catch { case scala.util.control.NonFatal(_) => return None }
+              cols.zipWithIndex.collect {
+                case (c, pi) if !row.isNullAt(pi) && row.getBoolean(pi) => c
+              }
             case _ => bareLiteral(arg) match {
               case Some(re) =>
                 val p =
@@ -2979,7 +3033,7 @@ object DuckDialect {
     * semantics differ) — when one appears in failing SQL the user gets
     * [[guidance]] instead of a bare unresolved-function error. */
   private val Unbridgeable =
-    """(?i)\b(quantile_disc|quantile)\s*\(|(?i)\b(?:date_diff|datediff)\s*\(\s*'|\*\s+(?i:REPLACE)\b|(?i)\basof\s+(?:left\s+)?join\b|(?i)\busing\s+sample\b""".r
+    """(?i)\b(quantile_disc|quantile)\s*\(|(?i)\b(?:date_diff|datediff)\s*\(\s*'|\*\s+(?i:REPLACE)\b|(?i)\basof\s+(?:left\s+)?join\b|(?i)\busing\s+sample\b|(?i)\bsimilar\s+to\b""".r
 
   def unbridgeable(sql: String): Boolean =
     Unbridgeable.findFirstIn(sql).isDefined
@@ -3026,12 +3080,14 @@ object DuckDialect {
        |  simple fn(ident)/count(*) aggregates — DuckDB's
        |  value_fn(ident) names; expression aggregates: alias them;
        |  GROUP BY/ORDER BY/LIMIT pass through);
-       |COLUMNS('regex') / COLUMNS(*) / COLUMNS(* EXCLUDE (a, b)) expand
-       |  from the live schema for single-table SELECTs (DuckDB's
-       |  find-anywhere matching; EXCLUDE binds case-insensitively and
-       |  raises on unknown columns; wrapped forms replicate per column
-       |  and name by the source column) — lambda args, aliased items,
-       |  joins: expand by hand;
+       |COLUMNS('regex') / COLUMNS(*) / COLUMNS(* EXCLUDE (a, b)) /
+       |  COLUMNS(c -> predicate) expand from the live schema for
+       |  single-table SELECTs (DuckDB's find-anywhere matching; EXCLUDE
+       |  binds case-insensitively and raises on unknown columns; the
+       |  lambda binds each column NAME as VARCHAR with DuckDB's
+       |  nonzero-int truthiness; wrapped forms replicate per column
+       |  and name by the source column) — aliased items, joins:
+       |  expand by hand;
        |the UNPIVOT STATEMENT bridges to Spark's UNPIVOT clause —
        |  single- and multi-VALUE forms, (c1, c2) AS 'alias' groups
        |  (unaliased groups name c1_c2, DuckDB's rule; the multi-VALUE

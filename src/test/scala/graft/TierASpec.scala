@@ -556,6 +556,26 @@ class TierASpec extends AnyFunSuite {
       (Seq("aa"), Seq(Seq(1))))
     assert(run("SELECT COLUMNS(* EXCLUDE (\"AA\")) FROM cols_t") ==
       (Seq("ab", "ba"), Seq(Seq(2, 3))))
+    // COLUMNS(c -> predicate) (r12): the lambda binds each column NAME
+    // as VARCHAR — every expectation below is DuckDB-verified verbatim
+    assert(run("SELECT COLUMNS(c -> c LIKE 'a%') FROM cols_t") ==
+      (Seq("aa", "ab"), Seq(Seq(1, 2))))
+    assert(run("SELECT max(COLUMNS(c -> regexp_full_match(c, '[ab]a'))) FROM cols_t") ==
+      (Seq("aa", "ba"), Seq(Seq(1, 3))))
+    // a SIMILAR TO lambda body refuses with guidance (the operator has
+    // no Spark twin — same stance as bare SIMILAR TO statements)
+    intercept[IllegalArgumentException](
+      run("SELECT COLUMNS(c -> c SIMILAR TO '[ab]a') FROM cols_t"))
+    // DuckDB truthiness: a nonzero-int lambda keeps the column (len-1
+    // is 1 for every 2-char name → all three survive, verified)
+    assert(run("SELECT COLUMNS(c -> len(c) - 1) FROM cols_t") ==
+      (Seq("aa", "ab", "ba"), Seq(Seq(1, 2, 3))))
+    // duckisms in the surrounding item AND in the lambda body both
+    // bridge (list_value/len outside, LIKE on the bound name inside)
+    assert(run("SELECT len(list_value(COLUMNS(c -> c LIKE '%b%'))) FROM cols_t") ==
+      (Seq("ab", "ba"), Seq(Seq(1L, 1L))))
+    // zero lambda matches refuse like zero regex matches (DuckDB errors)
+    intercept[Exception](run("SELECT COLUMNS(c -> c LIKE 'z%') FROM cols_t"))
     // refusals: zero matches (DuckDB errors too), joins, aliased items,
     // and an EXCLUDE column absent from the schema (DuckDB binder error)
     intercept[Exception](graft.DuckDialect.sql(spark,
