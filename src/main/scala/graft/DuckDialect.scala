@@ -2530,10 +2530,13 @@ object DuckDialect {
     * [[bridgeColumns]]: the LIST form of unnest must keep rewriting to
     * explode, and telling a struct arg from a list arg needs the live
     * schema. Supported subset: single plain-relation FROM, select
-    * items that are EXACTLY `unnest(<colref>)` where the colref's leaf
-    * resolves to a StructType column; non-struct args leave their item
-    * untouched for the explode rename, and the `recursive := true` /
-    * aliased / nested-expression forms fall through to guidance. */
+    * items that are EXACTLY `unnest(<colref>[, recursive := bool])`
+    * where the colref's leaf resolves to a StructType column (the
+    * recursive form expands nested structs depth-first by leaf name
+    * with `_N` collision suffixes — DuckDB-verified); non-struct args
+    * leave their item untouched for the explode rename, and aliased /
+    * nested-expression / LIST-recursive forms fall through to
+    * guidance. */
   private def bridgeStructUnnest(
       spark: SparkSession, text: String): Option[String] = {
     val sel = topKeyword(text, "select")
@@ -2553,14 +2556,18 @@ object DuckDialect {
       .filter(_ >= 0).reduceOption(_ min _).getOrElse(afterFrom.length)
     if (splitTop(afterFrom.substring(0, fCut)).exists(_.length > 1))
       return None
-    val structCols: Set[String] =
-      try spark.table(tbl).schema.fields.collect {
+    val schema =
+      try spark.table(tbl).schema
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val structFields
+        : Map[String, org.apache.spark.sql.types.StructType] =
+      schema.fields.collect {
         case fd if fd.dataType
           .isInstanceOf[org.apache.spark.sql.types.StructType] =>
-          fd.name.toLowerCase(java.util.Locale.ROOT)
-      }.toSet
-      catch { case scala.util.control.NonFatal(_) => return None }
-    if (structCols.isEmpty) return None
+          fd.name.toLowerCase(java.util.Locale.ROOT) ->
+            fd.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      }.toMap
+    if (structFields.isEmpty) return None
     var header = text.substring(sel + 6, f)
     var prefix = ""
     val hTrim = header.trim
@@ -2571,15 +2578,53 @@ object DuckDialect {
     }
     val UnnestItem =
       """(?is)^unnest\s*\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*\)$""".r
+    // `recursive := true|false` (r12): the struct form expands NESTED
+    // structs depth-first in declaration order, naming by LEAF field
+    // with `_N` suffixes on collisions (DuckDB-verified: {'a',{'a'}} →
+    // a, a_1). recursive := false is the one-level form. LIST recursive
+    // flattening stays guidance (Spark: explode(flatten(l))).
+    val UnnestRecItem =
+      ("""(?is)^unnest\s*\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*,\s*""" +
+        """recursive\s*:=\s*(true|false)\s*\)$""").r
+    def leafName(used: scala.collection.mutable.Map[String, Int],
+        name: String): String = {
+      val n = used.getOrElse(name.toLowerCase(java.util.Locale.ROOT), 0)
+      used(name.toLowerCase(java.util.Locale.ROOT)) = n + 1
+      if (n == 0) name else s"${name}_$n"
+    }
+    def bq(s: String) = "`" + s.replace("`", "``") + "`"
+    def expandRec(ref: String,
+        st: org.apache.spark.sql.types.StructType): Seq[String] = {
+      val used = scala.collection.mutable.Map.empty[String, Int]
+      def walk(path: String,
+          t: org.apache.spark.sql.types.StructType): Seq[String] =
+        t.fields.toSeq.flatMap { fd =>
+          fd.dataType match {
+            case nested: org.apache.spark.sql.types.StructType =>
+              walk(path + "." + bq(fd.name), nested)
+            case _ =>
+              Seq(s"$path.${bq(fd.name)} AS ${bq(leafName(used, fd.name))}")
+          }
+        }
+      walk(ref, st)
+    }
     var any = false
-    val out = splitTop(header).getOrElse(return None).map { raw =>
+    val out = splitTop(header).getOrElse(return None).flatMap { raw =>
       raw.trim match {
         case UnnestItem(ref)
-            if structCols(ref.split('.').last
+            if structFields.contains(ref.split('.').last
               .toLowerCase(java.util.Locale.ROOT)) =>
           any = true
-          s"$ref.*"
-        case other => other
+          Seq(s"$ref.*")
+        case UnnestRecItem(ref, rec)
+            if structFields.contains(ref.split('.').last
+              .toLowerCase(java.util.Locale.ROOT)) =>
+          any = true
+          if (rec.equalsIgnoreCase("false")) Seq(s"$ref.*")
+          else expandRec(ref,
+            structFields(ref.split('.').last
+              .toLowerCase(java.util.Locale.ROOT)))
+        case other => Seq(other)
       }
     }
     if (!any) return None
@@ -3065,10 +3110,12 @@ object DuckDialect {
        |  mid-list forms (a plain table or JOIN after the series) are
        |  not: move the series items to the end; the unaliased
        |  comma-unnest has no mappable column name — alias it u(j));
-       |  unnest -> explode for LISTS; unnest(struct_col) expands to
-       |  struct_col.* from the live schema for single-table SELECTs
-       |  (whole select items only) — the recursive := form, aliased
-       |  items, and joined sources have no bridged twin; scalar
+       |  unnest -> explode for LISTS; unnest(struct_col[, recursive :=
+       |  bool]) expands from the live schema for single-table SELECTs
+       |  (whole select items only; recursive expands nested structs
+       |  depth-first by leaf name with _N collision suffixes) — aliased
+       |  items and joined sources have no bridged twin, and recursive
+       |  LIST flattening is explode(flatten(l)) by hand; scalar
        |  range() has no twin (sequence() is inclusive-end) — the TVF
        |  form FROM range(a, b) is valid Spark already;
        |the PIVOT STATEMENT (dynamic column discovery) bridges for one

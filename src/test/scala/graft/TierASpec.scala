@@ -548,6 +548,26 @@ class TierASpec extends AnyFunSuite {
       (Seq("a", "b"), Seq(Seq(10, "x"), Seq(20, "y"))))
     assert(run("SELECT k, unnest(s) FROM su_t ORDER BY k") ==
       (Seq("k", "a", "b"), Seq(Seq(1, 10, "x"), Seq(2, 20, "y"))))
+    // unnest(s, recursive := true) (r12): nested structs expand
+    // depth-first by LEAF name, collisions suffix _N — both shapes
+    // DuckDB-verified ({'x', 'n':{'a','b'}} → x, a, b; {'a', 'n':{'a'}}
+    // → a, a_1); recursive := false is the one-level form
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW sur_t AS " +
+      "SELECT 1 AS k, named_struct('x', 10, 'n', " +
+      "named_struct('a', 1, 'b', 'p')) AS s " +
+      "UNION ALL SELECT 2, named_struct('x', 20, 'n', " +
+      "named_struct('a', 2, 'b', 'q'))")
+    assert(run("SELECT k, unnest(s, recursive := true) FROM sur_t ORDER BY k") ==
+      (Seq("k", "x", "a", "b"),
+        Seq(Seq(1, 10, 1, "p"), Seq(2, 20, 2, "q"))))
+    assert(run("SELECT k, unnest(s, recursive := false) FROM sur_t ORDER BY k") ==
+      (Seq("k", "x", "n"),
+        Seq(Seq(1, 10, org.apache.spark.sql.Row(1, "p")),
+          Seq(2, 20, org.apache.spark.sql.Row(2, "q")))))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW suc_t AS " +
+      "SELECT named_struct('a', 1, 'n', named_struct('a', 9)) AS s")
+    assert(run("SELECT unnest(s, recursive := true) FROM suc_t") ==
+      (Seq("a", "a_1"), Seq(Seq(1, 9))))
     // COLUMNS(* EXCLUDE (…)) (r12): schema minus the listed columns,
     // case-insensitive binding (DuckDB verified: EXCLUDE ("AA") → ab, ba)
     assert(run("SELECT COLUMNS(* EXCLUDE (ab)) FROM cols_t") ==
