@@ -1706,6 +1706,47 @@ object TextAnalysis {
           .orderBy("doc_id")
       },
       Some(bowApplyOracleSql))
+    ,
+
+    // HELD-OUT classifier evaluation (r12) — the ML-hygiene row: train
+    // the q188 model on the md5 TRAIN split only (q89's deterministic
+    // split rule) and report rule agreement per split. Train vs
+    // val/test accuracy is the generalization check a filtering
+    // pipeline reads before trusting the classifier on unseen data —
+    // with hashed-count features and a deterministic rule the gap is
+    // small, and the whole table is hash-exact because training stays
+    // on the integer grid (same trajectory both engines, just a
+    // filtered base relation). Scale shape: the training pass scans the
+    // train slice once (the q188 shape), scoring + label + split are
+    // one join-free corpus pass, and the aggregate is 3 rows.
+    GraftQuery("q192_classifier_holdout",
+      (s, d) => {
+        graft.functions.HashedBowScore.register(s)
+        val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+        // trained on the SPLIT, not the corpus — bowModelOf directly
+        // (the per-dir cache holds the full-corpus q188 model)
+        val w = bowModelOf(docs(s, d).filter(h2 < lit("cd"))).map(_._3)
+        val t = coalesce(lower(col("text")), lit(""))
+        docs(s, d)
+          .select(
+            when(h2 < "cd", "train").when(h2 < "e6", "val")
+              .otherwise("test").as("split"),
+            graft.functions.HashedBowScore.bowScore(t, w).as("sc"),
+            reCount(t, "\\p{L}+").as("nt"), reCount(t, StopRe).as("ns"))
+          .select(col("split"),
+            (col("sc") >= lit(BowGrid / 2)).cast("long").as("pred"),
+            when(col("nt") > 0 && col("ns") * lit(BowStopMul) >= col("nt"),
+              1L).otherwise(0L).as("y"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"),
+            sum((col("pred") === col("y")).cast("long")).cast("long")
+              .as("n_correct"))
+          .select(col("split"), col("n"), col("n_correct"),
+            (col("n_correct").cast("double") / col("n").cast("double"))
+              .as("accuracy"))
+          .orderBy("split")
+      },
+      Some(bowHoldoutOracleSql))
   )
 
   // ---- BPE tokenizer induction (r12, VERDICT r11 item 2) ----
@@ -1964,26 +2005,41 @@ object TextAnalysis {
     * LEFT JOINs + COALESCE keep never-fired features at gradient 0, and
     * `COALESCE(SUM(x*x), 0)` keeps the empty corpus on the zero-model
     * path instead of NULL-poisoning the chain. */
-  private def bowCteChain: String = {
+  /** The per-doc label + sparse clipped-feature CTEs over `base`
+    * (a relation SQL snippet), names suffixed `sfx` — the feature map
+    * stated ONCE and reused by the training chain (sfx "", base
+    * `documents`), q192's train-split chain, and q192's all-docs
+    * scoring pass (the fertility-oracle second-chain precedent). */
+  private def bowFeatureCtes(sfx: String, base: String): String = {
     val sb = new StringBuilder
-    sb.append("WITH lb AS (SELECT doc_id, ")
+    sb.append(s"lb$sfx AS (SELECT doc_id, ")
       .append("CAST(len(regexp_extract_all(lower(coalesce(text,'')), ")
       .append("'\\p{L}+')) AS BIGINT) AS nt, ")
       .append("CAST(len(regexp_extract_all(lower(coalesce(text,'')), ")
       .append("'\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS BIGINT) AS ns ")
-      .append("FROM documents), ")
-      .append("lbl AS MATERIALIZED (SELECT doc_id, CASE WHEN nt > 0 AND ")
-      .append(s"$BowStopMul*ns >= nt THEN 1 ELSE 0 END AS y FROM lb), ")
-      .append("tok AS (SELECT doc_id, unnest(regexp_extract_all(")
-      .append("lower(coalesce(text,'')), '\\p{L}+')) AS w FROM documents), ")
-      .append("fc AS (SELECT doc_id, CAST(((strpos('0123456789abcdef', ")
+      .append(s"FROM $base), ")
+      .append(s"lbl$sfx AS MATERIALIZED (SELECT doc_id, CASE WHEN nt > 0 AND ")
+      .append(s"$BowStopMul*ns >= nt THEN 1 ELSE 0 END AS y FROM lb$sfx), ")
+      .append(s"tok$sfx AS (SELECT doc_id, unnest(regexp_extract_all(")
+      .append(s"lower(coalesce(text,'')), '\\p{L}+')) AS w FROM $base), ")
+      .append(s"fc$sfx AS (SELECT doc_id, CAST(((strpos('0123456789abcdef', ")
       .append("substr(md5(w),1,1))-1)*16 + strpos('0123456789abcdef', ")
       .append("substr(md5(w),2,1))-1) % 64 + 1 AS BIGINT) AS i, ")
       .append(s"LEAST(COUNT(*), ${graft.functions.HashedBow.CountCap}) ")
-      .append("AS x FROM tok GROUP BY 1, 2), ")
-      .append("xs AS MATERIALIZED (SELECT doc_id, CAST(0 AS BIGINT) AS i, ")
-      .append("CAST(1 AS HUGEINT) AS x FROM documents ")
-      .append("UNION ALL SELECT doc_id, i, CAST(x AS HUGEINT) FROM fc), ")
+      .append(s"AS x FROM tok$sfx GROUP BY 1, 2), ")
+      .append(s"xs$sfx AS MATERIALIZED (SELECT doc_id, CAST(0 AS BIGINT) AS i, ")
+      .append(s"CAST(1 AS HUGEINT) AS x FROM $base ")
+      .append(s"UNION ALL SELECT doc_id, i, CAST(x AS HUGEINT) FROM fc$sfx)")
+    sb.toString
+  }
+
+  private def bowCteChain: String = bowCteChainFor("documents")
+
+  /** The training chain over an arbitrary base relation (q192 trains
+    * on the md5 train split; everything else trains on `documents`). */
+  private def bowCteChainFor(base: String): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(bowFeatureCtes("", base)).append(", ")
       .append("a AS MATERIALIZED (SELECT p.i, q.i AS j, SUM(p.x*q.x) AS v ")
       .append("FROM xs p JOIN xs q USING (doc_id) GROUP BY 1, 2), ")
       .append("xty AS MATERIALIZED (SELECT xs.i, SUM(xs.x * lbl.y) AS b ")
@@ -2016,6 +2072,31 @@ object TextAnalysis {
   /** The chain WITHOUT the leading `WITH ` — for composition into
     * another query's CTE list (q191 in Dedup). */
   private[graft] def bowCteBody: String = bowCteChain.stripPrefix("WITH ")
+
+  /** q192's oracle: the SAME training chain over the md5 train split,
+    * then a SECOND feature pass (suffix 2) over ALL documents for
+    * scoring + labels, the split tag, and the 3-row accuracy rollup. */
+  private def bowHoldoutOracleSql: String = {
+    val wK = s"w$BowGdRounds"
+    bowCteChainFor("(SELECT * FROM documents WHERE " +
+      "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd')") + ", " +
+      bowFeatureCtes("2", "documents") + ", " +
+      s"sc AS (SELECT x.doc_id, SUM(x.x * w.w) AS s FROM xs2 x " +
+      s"JOIN $wK w ON x.i = w.i GROUP BY 1), " +
+      "j AS (SELECT CASE " +
+      "WHEN substr(md5(CAST(sc.doc_id AS VARCHAR)), 1, 2) < 'cd' " +
+      "THEN 'train' " +
+      "WHEN substr(md5(CAST(sc.doc_id AS VARCHAR)), 1, 2) < 'e6' " +
+      "THEN 'val' ELSE 'test' END AS split, " +
+      s"CASE WHEN sc.s >= ${BowGrid / 2} THEN 1 ELSE 0 END AS pred, " +
+      "lbl2.y AS y FROM sc JOIN lbl2 USING (doc_id)) " +
+      "SELECT split, COUNT(*) AS n, " +
+      "CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_correct, " +
+      "CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS DOUBLE) / " +
+      "COUNT(*) AS accuracy " +
+      "FROM j GROUP BY 1 ORDER BY 1"
+  }
 
   private def bowTrainOracleSql: String =
     bowCteChain + " " +
