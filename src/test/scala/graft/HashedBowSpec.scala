@@ -85,6 +85,41 @@ class HashedBowSpec extends AnyFunSuite {
     assert(got(1).isNullAt(0))
   }
 
+  test("property: 200 seeded random texts — gram equals the brute-force " +
+    "moment vector of features(), score equals the hand dot product") {
+    import spark.implicits._
+    HashedBowGram.register(spark)
+    HashedBowScore.register(spark)
+    val rnd = new scala.util.Random(188)
+    val alphabets = Seq("abcdefgh", "the a of to in", "αβγδ", "日本語漢字",
+      "x1 y2 z3 !?", "  ", "ÄÖÜäöü", "mixed 语言 text")
+    val texts = (1 to 200).map { _ =>
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      (1 to rnd.nextInt(40)).map { _ =>
+        val n = 1 + rnd.nextInt(8)
+        (1 to n).map(_ => alpha.charAt(rnd.nextInt(alpha.length))).mkString
+      }.mkString(" ").toLowerCase
+    }
+    val w = (0 until HashedBow.Dims).map(i => ((i * 131) % 97 - 48).toLong)
+    val rows = texts.zipWithIndex.map { case (t, i) => (t, (i % 2).toLong) }
+      .toDF("t", "y")
+      .select(col("t"), col("y"),
+        HashedBowGram.bowGram(col("t"), col("y")).as("g"),
+        HashedBowScore.bowScore(col("t"), w).as("s"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0); val y = r.getLong(1)
+      val x = HashedBow.features(t)
+      val z = x :+ y
+      val d = z.length
+      val wantG = z.toIndexedSeq ++
+        (for (i <- 0 until d; j <- i until d) yield z(i) * z(j))
+      assert(r.getSeq[Long](2) == wantG, s"gram mismatch on '$t'")
+      val wantS = x.indices.map(i => w(i) * x(i)).sum
+      assert(r.getLong(3) == wantS, s"score mismatch on '$t'")
+    }
+  }
+
   test("model shorter than Dims scores the missing tail as zero " +
     "(the empty-corpus degenerate)") {
     import spark.implicits._
