@@ -2359,7 +2359,9 @@ object DuckDialect {
     * Qualified refs (`x.f`, `f.x`) and quoted spans pass through. */
   private def substIdent(body: String, param: String, name: String)
       : String = {
-    val lit = "'" + name.replace("'", "''") + "'"
+    // Spark string literals treat backslash as an escape (DuckDB does
+    // not) — double them so a column named a\b probes as itself
+    val lit = "'" + name.replace("\\", "\\\\").replace("'", "''") + "'"
     val sb = new StringBuilder
     var i = 0
     while (i < body.length) {
