@@ -1513,11 +1513,18 @@ object DuckDialect {
     * A quote/comment-aware scan tracks a per-paren-depth in-FROM flag
     * and rewrites ONLY FROM-clause commas whose right-hand item is a
     * series call; every other comma (select lists, call arguments,
-    * plain comma joins) passes through untouched. TRAILING-position
-    * only: a bridged item must be followed by a clause end, statement
-    * end, ')', or ANOTHER series item — Spark's LATERAL VIEW cannot
-    * precede a plain comma join or JOIN, so mid-list forms pass
-    * through to [[guidance]]. Alias mapping (verified on DuckDB 1.0):
+    * plain comma joins) passes through untouched. Trailing items emit
+    * IN PLACE; MID-LIST items (r12, second session) DEFER to the end
+    * of their FROM clause — Spark's LATERAL VIEW cannot precede a
+    * plain comma join, but a comma-join is an inner cross product
+    * (relations commute) and DuckDB's lateral scoping means series
+    * args reference only PRECEDING items, all still visible after the
+    * move; relative order among deferred items is preserved (chained
+    * correlation stays bound). A JOIN anywhere in the remaining FROM
+    * tail refuses to guidance: DuckDB can bind the series as the
+    * join's LEFT OPERAND, and moving it past an outer join would
+    * change the null-extension side. Alias mapping (verified on
+    * DuckDB 1.0):
     * bare / `g` → column named `generate_series`; `[AS] g(i)` → `i`.
     * The unaliased comma-unnest passes through (DuckDB names that
     * column `unnest.generate_series(…)` — not meaningfully mappable),
@@ -1528,6 +1535,14 @@ object DuckDialect {
     val n = sql.length
     val sb = new StringBuilder(n + 32)
     var inFrom = List(false) // one flag per paren depth
+    // mid-list series items DEFER to the end of their FROM clause (r12,
+    // second session): `FROM t, gs(…) AS g(i), u` → `FROM t, u LATERAL
+    // VIEW …` — legal because a comma-join is an inner cross product
+    // (relations commute) and DuckDB's own lateral scoping means the
+    // series args can only reference PRECEDING items, all still visible
+    // after the move. One pending list per paren depth, flushed before
+    // the clause-ending keyword / ')' / ';' / end of statement.
+    var pending = List(List.empty[String])
     var i = 0
     def skipWs(j0: Int): Int = {
       var j = j0
@@ -1535,10 +1550,15 @@ object DuckDialect {
       j
     }
     // clause heads that END a FROM clause (JOIN/ON/USING keep it open —
-    // but a bridged item refuses a following JOIN via tailOk below)
+    // a bridged item refuses a following JOIN via noJoinAhead below)
     val enders = Set("select", "where", "group", "having", "order",
       "limit", "offset", "union", "except", "intersect", "qualify",
       "window", "values")
+    def flush(): Unit = if (pending.head.nonEmpty) {
+      pending.head.foreach(sb.append)
+      sb.append(' ')
+      pending = Nil :: pending.tail
+    }
     // parse one series item starting AT the comma; None = pass through
     def seriesItem(comma: Int): Option[(String, Int)] = {
       val j = skipWs(comma + 1)
@@ -1593,7 +1613,8 @@ object DuckDialect {
       Some((s" LATERAL VIEW $core $tblName AS $colName", k))
     }
     // after a bridged item the FROM list may only continue with another
-    // series item, a clause end, ')' / ';' or the statement end
+    // series item, a clause end, ')' / ';' or the statement end —
+    // then the LATERAL VIEW emits IN PLACE (the trailing form)
     def tailOk(afterItem: Int): Boolean = {
       val k = skipWs(afterItem)
       if (k >= n) return true
@@ -1607,6 +1628,36 @@ object DuckDialect {
           val w = readWord(sql, k).toLowerCase(java.util.Locale.ROOT)
           w.nonEmpty && enders(w)
       }
+    }
+    // mid-list deferral is legal only over plain comma items: a JOIN in
+    // the tail could have bound the series as ITS left operand (DuckDB
+    // accepts `…, gs(…) LEFT JOIN v ON …`), and moving the series past
+    // an outer join changes the null-extension side — refuse those to
+    // guidance rather than risk a silently different shape
+    def noJoinAhead(from: Int): Boolean = {
+      var k = from
+      var depth = 0
+      while (k < n) {
+        val c = sql.charAt(k)
+        if (c == '\'') { k += 1
+          while (k < n && sql.charAt(k) != '\'') k += 1
+          k += 1
+        } else if (c == '"') { k += 1
+          while (k < n && sql.charAt(k) != '"') k += 1
+          k += 1
+        } else if (c == '(') { depth += 1; k += 1 }
+        else if (c == ')') { if (depth == 0) return true; depth -= 1; k += 1 }
+        else if (c == ';' && depth == 0) return true
+        else if ((Character.isLetter(c) || c == '_') && depth == 0) {
+          val w = readWord(sql, k).toLowerCase(java.util.Locale.ROOT)
+          if (enders(w)) return true
+          if (w == "join" || w == "inner" || w == "left" || w == "right"
+            || w == "full" || w == "cross" || w == "natural" ||
+            w == "lateral" || w == "asof") return false
+          k += w.length
+        } else k += 1
+      }
+      true
     }
     while (i < n) {
       val c = sql.charAt(i)
@@ -1633,13 +1684,28 @@ object DuckDialect {
         val end = if (e < 0) n else e + 2
         sb.append(sql.substring(i, end)); i = end
       } else if (c == '(') {
-        inFrom = false :: inFrom; sb.append(c); i += 1
-      } else if (c == ')') {
-        if (inFrom.lengthCompare(1) > 0) inFrom = inFrom.tail
+        inFrom = false :: inFrom; pending = Nil :: pending
         sb.append(c); i += 1
+      } else if (c == ')') {
+        flush()
+        if (inFrom.lengthCompare(1) > 0) inFrom = inFrom.tail
+        if (pending.lengthCompare(1) > 0) pending = pending.tail
+        sb.append(c); i += 1
+      } else if (c == ';') {
+        flush(); sb.append(c); i += 1
       } else if (c == ',' && inFrom.head) {
-        seriesItem(i).filter(t => tailOk(t._2)) match {
+        seriesItem(i) match {
+          case Some((rep, after)) if !tailOk(after) &&
+              noJoinAhead(after) =>
+            // mid-list: stash, drop the comma, resume after the item
+            pending = (pending.head :+ rep) :: pending.tail
+            if (after < n && !Character.isWhitespace(sql.charAt(after)) &&
+              sql.charAt(after) != ')' && sql.charAt(after) != ',' &&
+              sql.charAt(after) != ';') sb.append(' ')
+            i = after
+          case other => other.filter(t => tailOk(t._2)) match {
           case Some((rep, after)) =>
+            flush() // earlier mid-list items keep their original order
             sb.append(rep)
             // the alias/keyword lookahead skipWs'd past the whitespace
             // the scanner would otherwise re-emit — restore ONE space
@@ -1649,15 +1715,17 @@ object DuckDialect {
               sql.charAt(after) != ';') sb.append(' ')
             i = after
           case None => sb.append(c); i += 1
+          }
         }
       } else if (Character.isLetter(c) || c == '_') {
         val w = readWord(sql, i)
         val lw = w.toLowerCase(java.util.Locale.ROOT)
         if (lw == "from") inFrom = true :: inFrom.tail
-        else if (enders(lw)) inFrom = false :: inFrom.tail
+        else if (enders(lw)) { flush(); inFrom = false :: inFrom.tail }
         sb.append(w); i += w.length
       } else { sb.append(c); i += 1 }
     }
+    flush() // statement-final FROM list
     sb.toString
   }
 
@@ -3107,11 +3175,13 @@ object DuckDialect {
        |generate_series -> sequence() (explode(sequence()) after
        |  FROM/JOIN; the comma-lateral `FROM t, generate_series(…)
        |  [AS g(i)]` and `FROM t, unnest(generate_series(…)) AS u(j)`
-       |  forms ARE bridged to LATERAL VIEW explode(sequence(…)) when
-       |  the series items are the LAST entries in the FROM list —
-       |  mid-list forms (a plain table or JOIN after the series) are
-       |  not: move the series items to the end; the unaliased
-       |  comma-unnest has no mappable column name — alias it u(j));
+       |  forms ARE bridged to LATERAL VIEW explode(sequence(…)) —
+       |  trailing items in place, mid-list items deferred to the
+       |  FROM-clause end (comma items commute; order among series
+       |  items is preserved). A JOIN after a series item refuses
+       |  (DuckDB may bind the series as the join's left operand —
+       |  rewrite by hand); the unaliased comma-unnest has no mappable
+       |  column name — alias it u(j));
        |  unnest -> explode for LISTS; unnest(struct_col[, recursive :=
        |  bool]) expands from the live schema for single-table SELECTs
        |  (whole select items only; recursive expands nested structs

@@ -58,7 +58,18 @@ class DuckCompatMatrixR12bSpec extends AnyFunSuite {
       "k;x;a;b#3,5,81,q"),
     ("CREATE OR REPLACE TEMPORARY VIEW mxsc AS SELECT named_struct('b', 5, 'n', named_struct('b', 7, 'x', named_struct('b', 9))) AS s",
       "SELECT unnest(s, recursive := true) FROM mxsc",
-      "b;b_1;b_2#5,7,9"))
+      "b;b_1;b_2#5,7,9"),
+    // mid-list comma-lateral series (r12, second session): the series
+    // item defers to the FROM-clause end — DuckDB-verified rows
+    ("",
+      "SELECT x, i, y FROM (VALUES (3), (5)) t(x), generate_series(1, 3) AS g(i), (VALUES (7)) u(y) ORDER BY x, i, y",
+      "x;i;y#3,1,7|3,2,7|3,3,7|5,1,7|5,2,7|5,3,7"),
+    ("",
+      "SELECT x, j, y FROM (VALUES (2), (3)) t(x), unnest(generate_series(1, x)) AS u(j), (VALUES (9)) v(y) ORDER BY x, j",
+      "x;j;y#2,1,9|2,2,9|3,1,9|3,2,9|3,3,9"),
+    ("",
+      "SELECT x, i, j FROM (VALUES (2)) t(x), generate_series(1, 2) AS g(i), (VALUES (0)) z(w), unnest(generate_series(1, i)) AS u(j) ORDER BY i, j",
+      "x;i;j#2,1,1|2,2,1|2,2,2"))
 
   test("r12b bridge matrix: every bridged answer equals DuckDB's") {
     Cases.foreach { case (setup, query, want) =>

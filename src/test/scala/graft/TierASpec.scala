@@ -331,16 +331,36 @@ class TierASpec extends AnyFunSuite {
       "unnest(generate_series(1, t.n)) AS b(j) WHERE i = j") ==
       "SELECT * FROM t LATERAL VIEW explode(sequence(1, 2)) a AS i " +
         "LATERAL VIEW explode(sequence(1, t.n)) b AS j WHERE i = j")
+    // mid-list series (r12, second session): DEFERRED to the
+    // FROM-clause end — comma items commute, series order preserved
+    assert(rewrite("SELECT * FROM t, generate_series(1, 3) g(i), u").trim ==
+      "SELECT * FROM t, u LATERAL VIEW explode(sequence(1, 3)) g AS i")
+    assert(rewrite("SELECT * FROM t, generate_series(2) AS g(i), u WHERE i > 0")
+      .replaceAll("\\s+", " ") ==
+      "SELECT * FROM t, u LATERAL VIEW explode(sequence(0, 2)) g AS i " +
+        "WHERE i > 0")
+    // mixed mid + trailing: the deferred item flushes FIRST, so the
+    // trailing item's correlation on it stays bound
+    assert(rewrite("SELECT * FROM t, generate_series(1, 3) AS g(i), u, " +
+      "unnest(generate_series(1, i)) AS w(j)").replaceAll("\\s+", " ").trim ==
+      "SELECT * FROM t, u LATERAL VIEW explode(sequence(1, 3)) g AS i " +
+        "LATERAL VIEW explode(sequence(1, i)) w AS j")
+    assert(rewrite("SELECT * FROM (SELECT 1 AS k FROM u, " +
+      "generate_series(1, 2) g(i), v) s WHERE k > 0")
+      .replaceAll("\\s+", " ") ==
+      "SELECT * FROM (SELECT 1 AS k FROM u, v LATERAL VIEW " +
+        "explode(sequence(1, 2)) g AS i ) s WHERE k > 0")
     // NOT bridged (pass through → Spark error → guidance): select-list
-    // commas, mid-list series (a plain table or JOIN follows), the
-    // unaliased comma-unnest (its DuckDB name is unreferenceable), and
-    // multi-column aliases
+    // commas, a JOIN after the series (DuckDB can bind the series as
+    // the join's LEFT operand — moving it past an outer join would
+    // change the null-extension side), the unaliased comma-unnest
+    // (its DuckDB name is unreferenceable), and multi-column aliases
     assert(rewrite("SELECT a, generate_series(1, 3) FROM t") ==
       "SELECT a, sequence(1, 3) FROM t")
-    assert(rewrite("SELECT * FROM t, generate_series(1, 3) g(i), u")
-      .contains(", sequence(1, 3) g(i), u"))
     assert(rewrite("SELECT * FROM t, generate_series(1, 3) JOIN u ON x = y")
       .contains(", sequence(1, 3) JOIN"))
+    assert(rewrite("SELECT * FROM t, generate_series(1, 3) g(i), u " +
+      "LEFT JOIN v ON a = b").contains(", sequence(1, 3) g(i), u"))
     assert(rewrite("SELECT * FROM t, unnest(generate_series(1, t.n))")
       .contains(", explode(sequence(1, t.n))"))
     assert(rewrite("SELECT * FROM t, generate_series(1, 3) AS g(i, j)")
