@@ -2414,11 +2414,18 @@ object DuckDialect {
     * (aa, ab, ba) selects all three). Each item replicates per matching
     * column — `max(COLUMNS('re'))` becomes one `max(col) AS col` per
     * match, which reproduces DuckDB's naming exactly (it names wrapped
-    * forms by the SOURCE column, verified). `* EXCLUDE (…)` and the
-    * LAMBDA form `COLUMNS(c -> pred)` are bridged (r12 — see the cases
-    * below). Refused → guidance: aliased items (`COLUMNS(…) AS x` has
-    * no well-defined per-column name), REPLACE arguments, zero matches
-    * (DuckDB errors there too), multi-relation FROM. */
+    * forms by the SOURCE column, verified). `* EXCLUDE (…)`, the
+    * LAMBDA form `COLUMNS(c -> pred)` and trailing ALIASES (`AS z` →
+    * z, z_1, …; 'template' with \N regex groups) are bridged (r12 —
+    * see the cases below). Refused → guidance: REPLACE arguments,
+    * templates on non-regex args, zero matches (DuckDB errors there
+    * too), multi-relation FROM. */
+  // trailing alias of a COLUMNS item: bare ident, "quoted", or a
+  // 'single-quoted' \N template
+  private val ColumnsAliasRe =
+    ("""(?i)\s+AS\s+('(?:[^']|'')*'|"(?:[^"]|"")+"|""" +
+      """[A-Za-z_][A-Za-z0-9_]*)\s*$""").r
+
   private val ColumnsLambdaRe =
     """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*->\s*(.+)$""".r
 
@@ -2518,10 +2525,30 @@ object DuckDialect {
         while (open < it.length &&
           Character.isWhitespace(it.charAt(open))) open += 1
         val close = scanMatch(it, open).getOrElse(return None)
-        val tail = it.substring(close)
-        // a second COLUMNS, or an explicit alias → refuse
-        if (tail.toLowerCase(java.util.Locale.ROOT).contains("columns")
-          || AsIdentRe.findFirstMatchIn(it).isDefined) return None
+        var tail = it.substring(close)
+        // a second COLUMNS → refuse (no nested stars)
+        if (tail.toLowerCase(java.util.Locale.ROOT).contains("columns"))
+          return None
+        // trailing alias (r12, second session): `AS z` (bare or
+        // "quoted") names the expansion z, z_1, z_2 … (DuckDB's _N
+        // dedup, verified — the recursive-unnest rule); a
+        // single-quoted alias is a REGEX TEMPLATE where \N substitutes
+        // match group N of the find (verified: COLUMNS('^a(.)') AS
+        // 'x_\1' → x_a, x_b). The alias is stripped off the tail so
+        // wrapped forms replicate the wrapper only.
+        var aliasBase: Option[String] = None
+        var aliasTemplate: Option[String] = None
+        ColumnsAliasRe.findFirstMatchIn(tail).foreach { m =>
+          val raw = m.group(1)
+          if (raw.startsWith("'"))
+            aliasTemplate =
+              Some(raw.substring(1, raw.length - 1).replace("''", "'"))
+          else if (raw.startsWith("\""))
+            aliasBase =
+              Some(raw.substring(1, raw.length - 1).replace("\"\"", "\""))
+          else aliasBase = Some(raw)
+          tail = tail.substring(0, m.start)
+        }
         val arg = it.substring(open + 1, close - 1).trim
         // `* EXCLUDE (a, b)` (r12): all schema columns minus the listed
         // ones, case-insensitively (DuckDB's binding, verified:
@@ -2579,12 +2606,56 @@ object DuckDialect {
             }
           }
         if (matched.isEmpty) return None
+        // the \N template binds regex groups — only the regex arg form
+        // has a match to template from
+        val templPattern: Option[java.util.regex.Pattern] =
+          if (aliasTemplate.isEmpty) None
+          else bareLiteral(arg) match {
+            case Some(re) =>
+              try Some(java.util.regex.Pattern.compile(re))
+              catch { case scala.util.control.NonFatal(_) => return None }
+            case None => return None // template on * / EXCLUDE / lambda
+          }
         any = true
         val bare = it.substring(0, at).trim.isEmpty && tail.trim.isEmpty
+        val used = scala.collection.mutable.Map.empty[String, Int]
+        def dedup(base: String): String = {
+          val nUsed = used.getOrElse(base, 0)
+          used(base) = nUsed + 1
+          if (nUsed == 0) base else s"${base}_$nUsed"
+        }
         matched.map { c =>
           val b = "`" + c.replace("`", "``") + "`"
           val repl = it.substring(0, at) + b + tail
-          if (bare) repl else repl + " AS " + b
+          val outName: Option[String] =
+            (aliasBase, templPattern) match {
+              case (Some(base), _) => Some(dedup(base))
+              case (None, Some(p)) =>
+                val m = p.matcher(c)
+                if (!m.find()) return None // unreachable: c matched
+                val t = aliasTemplate.get
+                val sb2 = new StringBuilder
+                var ti = 0
+                while (ti < t.length) {
+                  val tc = t.charAt(ti)
+                  if (tc == '\\' && ti + 1 < t.length &&
+                    Character.isDigit(t.charAt(ti + 1))) {
+                    val g = t.charAt(ti + 1) - '0'
+                    if (g > m.groupCount()) return None
+                    val gv = m.group(g)
+                    if (gv == null) return None // non-participating group
+                    sb2.append(gv); ti += 2
+                  } else { sb2.append(tc); ti += 1 }
+                }
+                Some(sb2.toString)
+              case (None, None) => None
+            }
+          outName match {
+            case Some(nm) =>
+              repl + " AS `" + nm.replace("`", "``") + "`"
+            case None =>
+              if (bare) repl else repl + " AS " + b
+          }
         }
       }
     }
@@ -3205,8 +3276,10 @@ object DuckDialect {
        |  binds case-insensitively and raises on unknown columns; the
        |  lambda binds each column NAME as VARCHAR with DuckDB's
        |  nonzero-int truthiness; wrapped forms replicate per column
-       |  and name by the source column) — aliased items, joins:
-       |  expand by hand;
+       |  and name by the source column; `AS z` aliases name the
+       |  expansion z, z_1, … and a 'single-quoted' alias is a regex
+       |  template where \\N is match group N — templates on */EXCLUDE/
+       |  lambda args refuse) — joins: expand by hand;
        |the UNPIVOT STATEMENT bridges to Spark's UNPIVOT clause —
        |  single- and multi-VALUE forms, (c1, c2) AS 'alias' groups
        |  (unaliased groups name c1_c2, DuckDB's rule; the multi-VALUE

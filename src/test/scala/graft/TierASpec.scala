@@ -616,12 +616,27 @@ class TierASpec extends AnyFunSuite {
       (Seq("ab", "ba"), Seq(Seq(1L, 1L))))
     // zero lambda matches refuse like zero regex matches (DuckDB errors)
     intercept[Exception](run("SELECT COLUMNS(c -> c LIKE 'z%') FROM cols_t"))
-    // refusals: zero matches (DuckDB errors too), joins, aliased items,
-    // and an EXCLUDE column absent from the schema (DuckDB binder error)
+    // aliased COLUMNS (r12, second session): `AS z` names the expansion
+    // z, z_1, z_2 (DuckDB's _N dedup); a 'single-quoted' alias is a
+    // regex template where \N substitutes match group N — every
+    // expectation DuckDB-verified
+    assert(run("SELECT COLUMNS('a') AS z FROM cols_t") ==
+      (Seq("z", "z_1", "z_2"), Seq(Seq(1, 2, 3))))
+    assert(run("SELECT COLUMNS(*) AS z FROM cols_t") ==
+      (Seq("z", "z_1", "z_2"), Seq(Seq(1, 2, 3))))
+    assert(run("SELECT max(COLUMNS('^a')) AS m FROM cols_t") ==
+      (Seq("m", "m_1"), Seq(Seq(1, 2))))
+    assert(run("SELECT COLUMNS(c -> c LIKE 'a%') AS q FROM cols_t") ==
+      (Seq("q", "q_1"), Seq(Seq(1, 2))))
+    assert(run("SELECT COLUMNS('^a(.)') AS 'x_\\1' FROM cols_t") ==
+      (Seq("x_a", "x_b"), Seq(Seq(1, 2))))
+    // a template alias needs a regex match to template from — * and
+    // lambda args refuse
+    intercept[Exception](run("SELECT COLUMNS(*) AS 'x_\\0' FROM cols_t"))
+    // refusals: zero matches (DuckDB errors too), joins, and an
+    // EXCLUDE column absent from the schema (DuckDB binder error)
     intercept[Exception](graft.DuckDialect.sql(spark,
       "SELECT COLUMNS('zzz') FROM cols_t"))
-    intercept[Exception](graft.DuckDialect.sql(spark,
-      "SELECT COLUMNS('a') AS x FROM cols_t"))
     val exMiss = intercept[IllegalArgumentException](graft.DuckDialect.sql(
       spark, "SELECT COLUMNS(* EXCLUDE (zz)) FROM cols_t"))
     assert(exMiss.getMessage.contains("EXCLUDE list not found"))
