@@ -2708,7 +2708,26 @@ object DuckDialect {
           fd.name.toLowerCase(java.util.Locale.ROOT) ->
             fd.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
       }.toMap
-    if (structFields.isEmpty) return None
+    // ARRAY columns for the aliased list-recursive form: name →
+    // nesting depth, refused when any level's element is a struct
+    // (DuckDB expands those by FIELD name, ignoring the alias —
+    // verified — so an aliased bridge would mis-name them)
+    val arrayDepth: Map[String, Int] = schema.fields.flatMap { fd =>
+      def depth(t: org.apache.spark.sql.types.DataType, d: Int)
+          : Option[Int] = t match {
+        case a: org.apache.spark.sql.types.ArrayType =>
+          depth(a.elementType, d + 1)
+        case _: org.apache.spark.sql.types.StructType => None
+        case _ => Some(d)
+      }
+      fd.dataType match {
+        case a: org.apache.spark.sql.types.ArrayType =>
+          depth(a, 0).map(dep =>
+            fd.name.toLowerCase(java.util.Locale.ROOT) -> dep)
+        case _ => None
+      }
+    }.toMap
+    if (structFields.isEmpty && arrayDepth.isEmpty) return None
     var header = text.substring(sel + 6, f)
     var prefix = ""
     val hTrim = header.trim
@@ -2749,22 +2768,33 @@ object DuckDialect {
         }
       walk(ref, st)
     }
+    // aliased LIST-recursive form (second session): DuckDB fully
+    // flattens nested lists then unnests, and an `AS v` names the one
+    // output column v (verified incl. triple nesting) — Spark's twin
+    // is explode(flatten^(depth-1)(col)) AS v
+    val UnnestRecAliasItem =
+      ("""(?is)^unnest\s*\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*,\s*""" +
+        """recursive\s*:=\s*true\s*\)\s+(?:AS\s+)?""" +
+        """([A-Za-z_][A-Za-z0-9_]*)$""").r
+    def leafOf(ref: String): String =
+      ref.split('.').last.toLowerCase(java.util.Locale.ROOT)
     var any = false
     val out = splitTop(header).getOrElse(return None).flatMap { raw =>
       raw.trim match {
-        case UnnestItem(ref)
-            if structFields.contains(ref.split('.').last
-              .toLowerCase(java.util.Locale.ROOT)) =>
+        case UnnestItem(ref) if structFields.contains(leafOf(ref)) =>
           any = true
           Seq(s"$ref.*")
         case UnnestRecItem(ref, rec)
-            if structFields.contains(ref.split('.').last
-              .toLowerCase(java.util.Locale.ROOT)) =>
+            if structFields.contains(leafOf(ref)) =>
           any = true
           if (rec.equalsIgnoreCase("false")) Seq(s"$ref.*")
-          else expandRec(ref,
-            structFields(ref.split('.').last
-              .toLowerCase(java.util.Locale.ROOT)))
+          else expandRec(ref, structFields(leafOf(ref)))
+        case UnnestRecAliasItem(ref, alias)
+            if arrayDepth.contains(leafOf(ref)) =>
+          any = true
+          val flat = (1 until arrayDepth(leafOf(ref)))
+            .foldLeft(ref)((e, _) => s"flatten($e)")
+          Seq(s"explode($flat) AS ${bq(alias)}")
         case other => Seq(other)
       }
     }
@@ -3256,9 +3286,11 @@ object DuckDialect {
        |  unnest -> explode for LISTS; unnest(struct_col[, recursive :=
        |  bool]) expands from the live schema for single-table SELECTs
        |  (whole select items only; recursive expands nested structs
-       |  depth-first by leaf name with _N collision suffixes) — aliased
-       |  items and joined sources have no bridged twin, and recursive
-       |  LIST flattening is explode(flatten(l)) by hand; scalar
+       |  depth-first by leaf name with _N collision suffixes); the
+       |  ALIASED list form unnest(list_col, recursive := true) AS v
+       |  fully flattens then explodes (struct-bearing lists refuse —
+       |  DuckDB names those by field, ignoring the alias) — other
+       |  aliased items and joined sources have no bridged twin; scalar
        |  range() has no twin (sequence() is inclusive-end) — the TVF
        |  form FROM range(a, b) is valid Spark already;
        |the PIVOT STATEMENT (dynamic column discovery) bridges for one

@@ -588,6 +588,24 @@ class TierASpec extends AnyFunSuite {
       "SELECT named_struct('a', 1, 'n', named_struct('a', 9)) AS s")
     assert(run("SELECT unnest(s, recursive := true) FROM suc_t") ==
       (Seq("a", "a_1"), Seq(Seq(1, 9))))
+    // aliased LIST-recursive unnest: full flatten + explode (DuckDB
+    // verified incl. triple nesting); struct-bearing lists refuse —
+    // DuckDB names those by FIELD, ignoring the alias
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW lur_t AS " +
+      "SELECT 1 AS k, array(array(1, 2), array(3)) AS l " +
+      "UNION ALL SELECT 2, array(array(4))")
+    assert(run("SELECT k, unnest(l, recursive := true) AS v FROM lur_t " +
+      "ORDER BY k, v") ==
+      (Seq("k", "v"), Seq(Seq(1, 1), Seq(1, 2), Seq(1, 3), Seq(2, 4))))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW lur3_t AS " +
+      "SELECT array(array(array(1, 2), array(3)), array(array(4))) AS l")
+    assert(run("SELECT unnest(l, recursive := true) AS v FROM lur3_t " +
+      "ORDER BY v") ==
+      (Seq("v"), Seq(Seq(1), Seq(2), Seq(3), Seq(4))))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW lus_t AS " +
+      "SELECT array(named_struct('a', 1)) AS l")
+    intercept[Exception](
+      run("SELECT unnest(l, recursive := true) AS v FROM lus_t"))
     // COLUMNS(* EXCLUDE (…)) (r12): schema minus the listed columns,
     // case-insensitive binding (DuckDB verified: EXCLUDE ("AA") → ab, ba)
     assert(run("SELECT COLUMNS(* EXCLUDE (ab)) FROM cols_t") ==
