@@ -1935,7 +1935,7 @@ object TextAnalysis {
     import org.apache.spark.sql.types.DecimalType
     val s = docsDf.sparkSession
     graft.functions.HashedBowGram.register(s)
-    val dDim = graft.functions.HashedBow.Dims // 17: bias + 16 buckets
+    val dDim = graft.functions.HashedBow.Dims // 65: bias + 64 buckets
     val zDim = dDim + 1                       // + the label
     val t = coalesce(lower(col("text")), lit(""))
     val labeled = docsDf
