@@ -2736,8 +2736,12 @@ object DuckDialect {
       prefix = w0 + " "
       header = hTrim.substring(w0.length)
     }
+    // a trailing alias on the STRUCT forms is accepted and DISCARDED —
+    // DuckDB ignores it and names by field (verified: unnest(s) AS v →
+    // a, b), so matching without it would refuse a legal statement
     val UnnestItem =
-      """(?is)^unnest\s*\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*\)$""".r
+      ("""(?is)^unnest\s*\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*\)""" +
+        """(?:\s+(?:AS\s+)?[A-Za-z_][A-Za-z0-9_]*)?$""").r
     // `recursive := true|false` (r12): the struct form expands NESTED
     // structs depth-first in declaration order, naming by LEAF field
     // with `_N` suffixes on collisions (DuckDB-verified: {'a',{'a'}} →
@@ -2745,7 +2749,8 @@ object DuckDialect {
     // flattening stays guidance (Spark: explode(flatten(l))).
     val UnnestRecItem =
       ("""(?is)^unnest\s*\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*,\s*""" +
-        """recursive\s*:=\s*(true|false)\s*\)$""").r
+        """recursive\s*:=\s*(true|false)\s*\)""" +
+        """(?:\s+(?:AS\s+)?[A-Za-z_][A-Za-z0-9_]*)?$""").r
     def leafName(used: scala.collection.mutable.Map[String, Int],
         name: String): String = {
       val n = used.getOrElse(name.toLowerCase(java.util.Locale.ROOT), 0)

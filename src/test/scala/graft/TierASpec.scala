@@ -606,6 +606,12 @@ class TierASpec extends AnyFunSuite {
       "SELECT array(named_struct('a', 1)) AS l")
     intercept[Exception](
       run("SELECT unnest(l, recursive := true) AS v FROM lus_t"))
+    // an alias on the STRUCT forms is accepted and DISCARDED — DuckDB
+    // ignores it and names by field (verified)
+    assert(run("SELECT unnest(s) AS v FROM su_t ORDER BY a") ==
+      (Seq("a", "b"), Seq(Seq(10, "x"), Seq(20, "y"))))
+    assert(run("SELECT unnest(s, recursive := true) AS v FROM suc_t") ==
+      (Seq("a", "a_1"), Seq(Seq(1, 9))))
     // COLUMNS(* EXCLUDE (…)) (r12): schema minus the listed columns,
     // case-insensitive binding (DuckDB verified: EXCLUDE ("AA") → ab, ba)
     assert(run("SELECT COLUMNS(* EXCLUDE (ab)) FROM cols_t") ==
