@@ -83,6 +83,26 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    /** Ambient-load calibration (VERDICT r12 item 5): one fixed
+      * CPU-bound loop — no I/O, no Spark, single thread — timed at bench
+      * start and end. On a calm box this constant is stable run-to-run;
+      * under contention it inflates with the same scheduler pressure the
+      * query walls absorb, so a cross-round wall comparison starts by
+      * ratioing the calibration constants instead of re-litigating box
+      * load (r12 burned a full investigation proving q46's 13.8x and a
+      * uniform 1.41x shift were ambient). 60M xorshift64 steps ≈ 60-90 ms
+      * idle on this box. */
+    def calibMs(): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 60000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      val ms = (System.nanoTime() - t0) / 1000000
+      if (x == 0L) System.err.print("") // keep the loop live (x is never 0)
+      ms
+    }
+    val calibPre = calibMs()
+
     // Multi-row-group restage (BenchStage Scaladoc): both engines read
     // the staged layout; staging cost sits outside every timed window.
     val benchDir =
@@ -178,8 +198,11 @@ object Bench {
       * re-planning of the prepared frame's logical plan, which both
       * reps still pay (optimizer + physical planning + codegen LOOKUP
       * run per execution; only operator-tree CONSTRUCTION is hoisted).
-      * `buildIsWork` queries keep construction in-window (see above). */
-    def materialize(name: String): (Double, Long, Double) = {
+      * `buildIsWork` queries keep construction in-window (see above).
+      *
+      * Returns (best wall, best exec_ms, signed build, rep-1 wall) — the
+      * rep-1 wall feeds `first_build_wall` for eager rows (below). */
+    def materialize(name: String): (Double, Long, Double, Double) = {
       val b0 = System.nanoTime()
       val j0 = jobCount.get()
       val built =
@@ -188,7 +211,7 @@ object Bench {
           else Some(SparkEntry.queries(name)(spark, benchDir))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed to build: ${e.getMessage}")
-          return (-1.0, 0L, -1.0)
+          return (-1.0, 0L, -1.0, -1.0)
         }
       val build = (System.nanoTime() - b0) / 1e9
       // construction launched jobs ⇒ the build is distributed work, not
@@ -240,7 +263,7 @@ object Bench {
       // between queries so each starts from a clean executor heap — the
       // pause sits outside the timed window.
       System.gc()
-      (best._1, best._2, if (prepared.isDefined) build else -build)
+      (best._1, best._2, if (prepared.isDefined) build else -build, r1._1)
     }
 
     materialize("q02_count") // warmup: session + codegen + parquet footers
@@ -265,17 +288,28 @@ object Bench {
       }
     }
     val results = names.map(n => n -> materialize(n))
+    val calibPost = calibMs()
     // Full per-query detail (wall best-of-2 + exec_ms) to a file — the
     // driver's stdout-tail capture is 2000 chars, too small to carry
     // exec_ms inline; the judge reads this alongside BENCH_r{N}.json.
     // build < 0 encodes "eager build, per-rep in-window protocol" — the
-    // detail carries the magnitude plus the prepared flag
-    val detail = results.map { case (k, (w, e, b)) =>
-      s""""$k":{"wall":${math.rint(w * 1000) / 1000},"exec_ms":$e,"build":${math.rint(math.abs(b) * 1000) / 1000},"prepared":${b >= 0}}"""
+    // detail carries the magnitude plus the prepared flag. Eager rows
+    // additionally carry `first_build_wall` = |build| + rep-1 wall: the
+    // cold end-to-end cost a first-time session pays. For cached-model
+    // queries (q188-class, per-dir TrieMap caches) the |build| term IS
+    // the training run, so the 0.0x cached wall never reads as the train
+    // cost (VERDICT r12 item 6).
+    val detail = results.map { case (k, (w, e, b, w1)) =>
+      val base = s""""$k":{"wall":${math.rint(w * 1000) / 1000},"exec_ms":$e,"build":${math.rint(math.abs(b) * 1000) / 1000},"prepared":${b >= 0}"""
+      val cold =
+        if (b < 0 && w1 >= 0)
+          s""","first_build_wall":${math.rint((math.abs(b) + w1) * 1000) / 1000}"""
+        else ""
+      base + cold + "}"
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","staged":"${if (benchDir == sfDir) "" else benchDir}","protocol":"warm+prepared+best-of-2","queries":$detail}\n""")
+      s"""{"sf":"$sfDir","staged":"${if (benchDir == sfDir) "" else benchDir}","protocol":"warm+prepared+best-of-2","calib_ms_pre":$calibPre,"calib_ms_post":$calibPost,"queries":$detail}\n""")
     // ONE compact JSON line for the driver. Keys are the short query ids
     // ("q45" for "q45_dedup_ngram_jaccard" — unique by construction) and
     // values are rounded to ms so the whole line fits inside the
@@ -285,13 +319,18 @@ object Bench {
     // 2-decimal per-query values: at 150 queries the 3-decimal line is
     // ~1.96k chars, brushing the driver's 2000-char tail capture — 10 ms
     // granularity here is plenty (bench_detail.json keeps 3 decimals)
-    val qs = results.map { case (k, (v, _, _)) =>
+    val qs = results.map { case (k, (v, _, _, _)) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 100) / 100)
     }.mkString("{", ",", "}")
     val total =
       math.rint(results.map(_._2._1).filter(_ >= 0).sum * 1000) / 1000
     val execTotal = results.map(_._2._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_ms":$execTotal,"sf":"$sfDir","staged":${benchDir != sfDir}}""")
+    // At 189 queries the line exceeds the driver's 2000-char stdout-TAIL
+    // capture, which keeps the END of output — so the headline fields
+    // (value/exec_ms/calib/sf) go AFTER the queries map: a truncated
+    // capture loses the head of the per-query list (fully mirrored in
+    // bench_detail.json), never the totals.
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"exec_ms":$execTotal,"calib_ms_pre":$calibPre,"calib_ms_post":$calibPost,"sf":"$sfDir","staged":${benchDir != sfDir},"value":$total}""")
     spark.stop()
   }
 }

@@ -63,7 +63,7 @@ object HashedBow {
     md.digest(word.getBytes(StandardCharsets.UTF_8))(0) & 0x3F
   }
 
-  /** The clipped feature vector `[1, c_0 .. c_15]` of one text. */
+  /** The clipped feature vector `[1, c_0 .. c_63]` of one text. */
   def features(text: String): Array[Long] = {
     val c = new Array[Long](Dims)
     c(0) = 1L

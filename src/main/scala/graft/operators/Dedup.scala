@@ -225,14 +225,15 @@ object Dedup {
     * join); persist the fixed-size sketch (~1 KB/doc) instead of
     * recomputing the shingle pipeline 3×. */
   private[graft] def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SigAgree.register(s)
     val sig = signatures(docs(s, d)).persistTracked()
     val cand = lshCandidates(sig)
     cand
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
       .select(col("a"), col("b"),
-        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
-          v => v)).cast("double") / NumPerm).as("est_jaccard"))
+        (graft.functions.SigAgree.sigAgree(col("sa"), col("sb"))
+          .cast("double") / NumPerm).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
   }
 

@@ -406,4 +406,38 @@ class ExpressionPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("SigAgree ≡ size(filter(zip_with(a,b,===),id)) over ragged/null " +
+      "random signature arrays (the q46 est_jaccard contract)") {
+    import spark.implicits._
+    graft.functions.SigAgree.register(spark)
+    // Ragged lengths and null elements exercise the zip_with padding
+    // semantics (pad-null → === null → filtered); values drawn from a
+    // SMALL domain so equal positions actually occur.
+    val arrGen = for {
+      n <- Gen.chooseNum(0, 12)
+      xs <- Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.chooseNum(0L, 5L).map(java.lang.Long.valueOf),
+        1 -> Gen.const(null: java.lang.Long)))
+    } yield xs
+    (1 to 60).foreach { i =>
+      val a = sample(arrGen, 5200L + i)
+      val b = sample(arrGen, 9300L + i)
+      val df = Seq((a, b)).toDF("sa", "sb")
+      val got = df.select(
+        graft.functions.SigAgree.sigAgree(col("sa"), col("sb")).as("g"),
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          v => v)).as("e")).collect().head
+      assert(got.getInt(0) == got.getInt(1),
+        s"case $i: a=$a b=$b native=${got.getInt(0)} hof=${got.getInt(1)}")
+    }
+    // null ARRAY operand → null result on both forms
+    val nulls = Seq((null: Seq[java.lang.Long], Seq[java.lang.Long](1L)))
+      .toDF("sa", "sb")
+      .select(
+        graft.functions.SigAgree.sigAgree(col("sa"), col("sb")).as("g"),
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          v => v)).as("e")).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
 }
