@@ -1526,9 +1526,12 @@ object DuckDialect {
     * change the null-extension side. Alias mapping (verified on
     * DuckDB 1.0):
     * bare / `g` → column named `generate_series`; `[AS] g(i)` → `i`.
-    * The unaliased comma-unnest passes through (DuckDB names that
-    * column `unnest.generate_series(…)` — not meaningfully mappable),
-    * as do multi-column aliases. Emitted argument text is verbatim:
+    * The unaliased comma-unnest of a PLAIN COLUMN bridges (r13): DuckDB
+    * names the column after the argument's leaf, qualified by the table
+    * alias (default `unnest`) — `FROM t, unnest(tags)` → `LATERAL VIEW
+    * explode(tags) unnest AS tags`. Expression arguments (DuckDB's
+    * rendered-expression name) and multi-column aliases still pass
+    * through to guidance. Emitted argument text is verbatim:
     * the main scan afterwards rewrites duckisms inside it (including
     * the scalar generate_series → sequence inside the unnest form). */
   private def bridgeCommaLateralSeries(sql: String): String = {
@@ -1607,23 +1610,52 @@ object DuckDialect {
         }
         k = k2
       } else if (hasAs) return None // `AS <keyword/nothing>` — pass
-      if (isUnnest && colA.isEmpty) return None // unreferenceable name
-      val tblName = if (tbl.nonEmpty) tbl else "generate_series"
-      val colName = if (colA.nonEmpty) colA else "generate_series"
+      // column-alias-free unnest (VERDICT r12 item 8): DuckDB names the
+      // column after the ARGUMENT — for a plain column ref the leaf
+      // name, qualified by the table alias (default `unnest`); verified:
+      // `FROM t, unnest(tags) [u]` → column `tags`, referenced as
+      // `unnest.tags` / `u.tags`. Bridged for the simple-column case
+      // only; an EXPRESSION argument gets DuckDB's rendered-expression
+      // name (`(tags || main.list_value(5))`) — not meaningfully
+      // mappable, refuse to guidance.
+      val unnestCol: String =
+        if (isUnnest && colA.isEmpty) {
+          val a = inner.trim
+          if (a.nonEmpty && a.matches(
+            """[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*"""))
+            a.substring(a.lastIndexOf('.') + 1)
+          else return None
+        } else ""
+      val tblName =
+        if (tbl.nonEmpty) tbl
+        else if (isUnnest) "unnest"
+        else "generate_series"
+      val colName =
+        if (colA.nonEmpty) colA
+        else if (isUnnest) unnestCol
+        else "generate_series"
       Some((s" LATERAL VIEW $core $tblName AS $colName", k))
     }
     // after a bridged item the FROM list may only continue with another
     // series item, a clause end, ')' / ';' or the statement end —
-    // then the LATERAL VIEW emits IN PLACE (the trailing form)
+    // then the LATERAL VIEW emits IN PLACE (the trailing form). A
+    // following series item does NOT settle it by itself: in-place vs
+    // deferred is decided by the end of the whole series CHAIN (ADVICE
+    // r12 — `…, gs(…) g(i), gs(…) h(j), u` must defer BOTH items, or
+    // the first LATERAL VIEW lands before the `, u` comma join), so
+    // recurse through consecutive bridgeable items; a series-looking
+    // item the bridge REFUSES also answers false (deferring keeps the
+    // refused TVF in comma position, where the guidance names it).
     def tailOk(afterItem: Int): Boolean = {
       val k = skipWs(afterItem)
       if (k >= n) return true
       sql.charAt(k) match {
         case ')' | ';' => true
         case ',' =>
-          val j = skipWs(k + 1)
-          val w = readWord(sql, j).toLowerCase(java.util.Locale.ROOT)
-          w == "generate_series" || w == "unnest"
+          seriesItem(k) match {
+            case Some((_, after2)) => tailOk(after2)
+            case None => false
+          }
         case _ =>
           val w = readWord(sql, k).toLowerCase(java.util.Locale.ROOT)
           w.nonEmpty && enders(w)
@@ -2494,6 +2526,24 @@ object DuckDialect {
       catch { case scala.util.control.NonFatal(_) => return None }
     var any = false
     val items = splitTop(header).getOrElse(return None)
+    // Output-name dedup is GLOBAL across the statement in positional
+    // order: duckdb's .df() (the harness canonicalization the bridge
+    // mirrors) renames every repeated output name with ONE
+    // statement-wide _N counter — verified: `SELECT COLUMNS('^a') AS z,
+    // COLUMNS('b') AS z` → z,z_1,z_2,z_3,z_4; a plain `ba AS z`
+    // participates identically (ADVICE r12). So one map spans all
+    // select items; plain items with derivable names (trailing alias,
+    // bare column ref, `*`) register and re-alias on collision; a
+    // computed item without an alias stays verbatim and unregistered
+    // (its engine-derived name is not knowable here — pre-r13 class).
+    val used = scala.collection.mutable.Map.empty[String, Int]
+    def dedup(base: String): String = {
+      val nUsed = used.getOrElse(base, 0)
+      used(base) = nUsed + 1
+      if (nUsed == 0) base else s"${base}_$nUsed"
+    }
+    val BareIdentChain =
+      """^[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*$""".r
     val out = items.map { raw =>
       val it = raw.trim
       // locate the word `columns` followed by '(' — quote-aware scan
@@ -2519,7 +2569,32 @@ object DuckDialect {
           ci += w.length
         } else ci += 1
       }
-      if (at < 0) Seq(it)
+      if (at < 0) {
+        // plain select item: feed its output name into the global dedup
+        if (it == "*") { cols.foreach(dedup); Seq(it) }
+        else ColumnsAliasRe.findFirstMatchIn(it) match {
+          case Some(m) =>
+            val rawA = m.group(1)
+            val nm =
+              if (rawA.startsWith("'")) null // string-literal alias: skip
+              else if (rawA.startsWith("\""))
+                rawA.substring(1, rawA.length - 1).replace("\"\"", "\"")
+              else rawA
+            if (nm == null) Seq(it)
+            else {
+              val nm2 = dedup(nm)
+              if (nm2 == nm) Seq(it)
+              else Seq(it.substring(0, m.start) +
+                " AS `" + nm2.replace("`", "``") + "`")
+            }
+          case None if BareIdentChain.matches(it) =>
+            val leaf = it.substring(it.lastIndexOf('.') + 1)
+            val nm2 = dedup(leaf)
+            if (nm2 == leaf) Seq(it)
+            else Seq(it + " AS `" + nm2.replace("`", "``") + "`")
+          case None => Seq(it)
+        }
+      }
       else {
         var open = at + 7
         while (open < it.length &&
@@ -2618,12 +2693,6 @@ object DuckDialect {
           }
         any = true
         val bare = it.substring(0, at).trim.isEmpty && tail.trim.isEmpty
-        val used = scala.collection.mutable.Map.empty[String, Int]
-        def dedup(base: String): String = {
-          val nUsed = used.getOrElse(base, 0)
-          used(base) = nUsed + 1
-          if (nUsed == 0) base else s"${base}_$nUsed"
-        }
         matched.map { c =>
           val b = "`" + c.replace("`", "``") + "`"
           val repl = it.substring(0, at) + b + tail
@@ -2647,14 +2716,19 @@ object DuckDialect {
                     sb2.append(gv); ti += 2
                   } else { sb2.append(tc); ti += 1 }
                 }
-                Some(sb2.toString)
+                Some(dedup(sb2.toString)) // templates collide globally too
               case (None, None) => None
             }
           outName match {
             case Some(nm) =>
               repl + " AS `" + nm.replace("`", "``") + "`"
             case None =>
-              if (bare) repl else repl + " AS " + b
+              // unaliased expansion keeps source names — which still
+              // participate in the global dedup (`SELECT aa,
+              // COLUMNS('^a')` → aa, aa_1, ab via duckdb .df())
+              val nm2 = dedup(c)
+              if (nm2 != c) repl + " AS `" + nm2.replace("`", "``") + "`"
+              else if (bare) repl else repl + " AS " + b
           }
         }
       }

