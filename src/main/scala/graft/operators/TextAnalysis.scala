@@ -195,48 +195,37 @@ object TextAnalysis {
     // >= 2 distinct Gopher stop words. Every rule is INTEGER
     // cross-multiplication (3*n <= chars <= 10*n, 10*sym <= n, ...) so
     // the row is hash-exact cross-engine — no doubles, no libm. Pure
-    // per-row scalars in ONE projection, no shuffle — per-row-linear at
-    // any corpus size, though the projection stacks interpreted HOFs
-    // (aggregate + filter lambdas) and several regex passes per row
-    // (ADVICE r10): acceptable while the wall stays sub-second; fold
-    // the word stats into a native expression (the WindowKeyHashes
-    // pattern) if this query ever grows multi-second. (The
-    // repetition-rule siblings are q87; q41 is the lightweight
-    // length/ratio panel.) On THIS corpus
-    // the battery rejects everything via stops_ok (a bag of 31 jargon
-    // words contains only 'the' of the 8 stop words — correct: it is
-    // not English prose) while wc_ok still splits 277/500, so the
-    // oracle certifies discriminating columns, not constants.
+    // per-row scalars, no shuffle — per-row-linear at any corpus size.
+    // r13: the nine counters compute in ONE compiled byte pass
+    // ([[graft.functions.GopherStats]], semantics-equivalence proof in
+    // its Scaladoc, property-pinned against the original column stack)
+    // — the former projection stacked regexp_extract_all, two
+    // regexp_replace passes, three interpreted filter() lambdas, an
+    // aggregate() lambda, a per-word rlike and eight array_contains,
+    // which measured 3.7x the oracle at bench scale (the ADVICE-r10
+    // "fold when it matters" note, cashed). (The repetition-rule
+    // siblings are q87; q41 is the lightweight length/ratio panel.) On
+    // THIS corpus the battery rejects everything via stops_ok (a bag of
+    // 31 jargon words contains only 'the' of the 8 stop words —
+    // correct: it is not English prose) while wc_ok still splits
+    // 277/500, so the oracle certifies discriminating columns, not
+    // constants.
     GraftQuery("q177_gopher_rules",
       (s, d) => {
-        val words = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
-        val lines = split(col("text"), lit("\n"))
-        val stops = Seq("the", "be", "to", "of", "and", "that", "have",
-          "with")
+        graft.functions.GopherStats.register(s)
         def bool2l(c: org.apache.spark.sql.Column) = c.cast("long")
-        docs(s, d).select(col("doc_id"), words.as("ws"), lines.as("ls"),
-            lower(col("text")).as("lt"), col("text"))
+        docs(s, d).select(col("doc_id"),
+            graft.functions.GopherStats.gopherStats(col("text")).as("g"))
           .select(col("doc_id"),
-            size(col("ws")).cast("long").as("n_words"),
-            aggregate(col("ws"), lit(0L),
-              (acc, w) => acc + length(w).cast("long")).as("n_word_chars"),
-            (length(col("text")) -
-              length(regexp_replace(col("text"), lit("#"), lit(""))))
-              .cast("long").as("n_hash"),
-            ((length(col("text")) -
-              length(regexp_replace(col("text"), lit("\\.\\.\\."), lit(""))))
-              / 3).cast("long").as("n_ellipsis"),
-            size(col("ls")).cast("long").as("n_lines"),
-            size(filter(col("ls"), l =>
-              ltrim(l).startsWith("•") || ltrim(l).startsWith("-") ||
-                ltrim(l).startsWith("*"))).cast("long").as("n_bullet"),
-            size(filter(col("ls"), l => rtrim(l).endsWith("...")))
-              .cast("long").as("n_ell_lines"),
-            size(filter(col("ws"), w => w.rlike("[A-Za-z]")))
-              .cast("long").as("n_alpha_words"),
-            stops.map(t => bool2l(array_contains(
-              split(col("lt"), lit("\\s+")), t))).reduce(_ + _)
-              .as("n_stops"))
+            col("g").getItem(0).as("n_words"),
+            col("g").getItem(1).as("n_word_chars"),
+            col("g").getItem(2).as("n_hash"),
+            col("g").getItem(3).as("n_ellipsis"),
+            col("g").getItem(4).as("n_lines"),
+            col("g").getItem(5).as("n_bullet"),
+            col("g").getItem(6).as("n_ell_lines"),
+            col("g").getItem(7).as("n_alpha_words"),
+            col("g").getItem(8).as("n_stops"))
           .select(col("doc_id"), col("n_words"),
             bool2l(col("n_words").between(50L, 100000L)).as("wc_ok"),
             bool2l(col("n_word_chars") >= col("n_words") * 3 &&
@@ -1048,39 +1037,40 @@ object TextAnalysis {
     // from the corpus (mojibake, binary spill, wrong-language noise)
     // scores low. Integer counts only, so the result is bit-identical to
     // the oracle; the ratio threshold (coverage < 0.9) is cross-
-    // multiplied to stay in integers. Scale shape: train-then-apply
-    // needs the bigram stream twice (model pass, scoring pass), so the
-    // per-doc bigram HISTOGRAM frame (CharNgramCounts, in-row — one row
-    // per doc, bounded charset² map) is persisted (r11, VERDICT r9/r10
-    // carry): the text is scanned and char-counted ONCE, and both
-    // consumers explode the cached histograms — one narrow row per
-    // distinct bigram per doc (~10² for text) instead of one per
-    // character. Model: map-side combine to the charset² before one
-    // tiny exchange, TakeOrdered for the top-K, BROADCAST to the
-    // scoring side; scoring pre-aggregates per doc before the one
-    // doc-keyed exchange. Document text never shuffles or caches —
-    // the cached unit is the histogram map, released via SessionCaches.
+    // multiplied to stay in integers. Scale shape (r13 — replaces the
+    // r11 persist + explode + broadcast-join + doc-keyed re-aggregate,
+    // whose scoring exchange carried one row per distinct bigram per
+    // document and whose wall sat 6.8x over the oracle at bench scale;
+    // bigrams are PACKED code-point pairs throughout, see BigramWalk's
+    // order-equivalence proof):
+    //   - MODEL pass: one scan; TopBigramsByCount walks each document's
+    //     characters straight into a per-partition count map (state
+    //     bounded by charset², the same bound the old explode-form hash
+    //     aggregate carried) with map-side combine, so the exchange
+    //     moves one histogram per partition; eval applies the
+    //     (count DESC, bigram ASC) cut in-place. The 100-key collect is
+    //     the documented K-bounded model class (the SurpriseVocabCap /
+    //     centroid-matrix precedent).
+    //   - SCORING pass: one scan; BigramModelScore computes each doc's
+    //     (n_bigrams, n_common) against the 100-key literal in one
+    //     compiled walk with a binary search per position — no map, no
+    //     join, no cache, no data-sized exchange; only the final
+    //     (doc_id, 2 longs) triple reaches the output sort.
+    // Document text never shuffles; nothing persists across the passes.
     GraftQuery("q123_char_bigram_quality",
       (s, d) => {
-        graft.functions.CharNgramCounts.register(s)
-        import graft.functions.CharNgramCounts.charNgramCounts
-        val hist = docs(s, d).select(col("doc_id"),
-          charNgramCounts(col("text"), 2).as("h"))
-          .persistTracked()
-        val bg = hist.select(col("doc_id"),
-          explode(col("h")).as(Seq("b", "cnt")))
-        val top = bg.groupBy("b").agg(sum("cnt").as("c"))
-          .orderBy(col("c").desc, col("b").asc).limit(100)
-          .select(col("b"), lit(1).as("hit"))
-        val scored = bg.join(broadcast(top), Seq("b"), "left")
-          .groupBy("doc_id")
-          .agg(sum("cnt").as("n_bigrams"),
-            sum(when(col("hit").isNotNull, col("cnt")).otherwise(lit(0L)))
-              .as("n_common"))
-        docs(s, d).select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        graft.functions.TopBigramsByCount.register(s)
+        graft.functions.BigramModelScore.register(s)
+        val model: Seq[Long] = docs(s, d)
+          .agg(graft.functions.TopBigramsByCount
+            .topBigrams(col("text"), 100).as("ks"))
+          .head().getSeq[Long](0)
+        val sc = graft.functions.BigramModelScore.score(
+          col("text"), typedLit(model))
+        docs(s, d).select(col("doc_id"), sc.as("sc"))
           .select(col("doc_id"),
-            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-            coalesce(col("n_common"), lit(0L)).as("n_common"))
+            coalesce(col("sc").getItem(0), lit(0L)).as("n_bigrams"),
+            coalesce(col("sc").getItem(1), lit(0L)).as("n_common"))
           .withColumn("gibberish", col("n_common") * 10 < col("n_bigrams") * 9)
           .orderBy("doc_id")
       },

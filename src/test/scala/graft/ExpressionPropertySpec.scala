@@ -407,6 +407,107 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packed bigram model ≡ string histogram model: TopBigramsByCount's " +
+      "cut equals the explode+groupBy+(count DESC, bigram ASC)+limit cut, " +
+      "and BigramModelScore's [total, common] equals the histogram sums " +
+      "(the q123 r13 contract, incl. pack-order ≡ UTF8-binary-order)") {
+    import spark.implicits._
+    graft.functions.CharNgramCounts.register(spark)
+    graft.functions.TopBigramsByCount.register(spark)
+    graft.functions.BigramModelScore.register(spark)
+    import graft.functions.CharNgramCounts.charNgramCounts
+    def unpack(p: Long): String =
+      new String(Character.toChars((p >> 21).toInt)) +
+        new String(Character.toChars((p & 0x1FFFFF).toInt))
+    // mixed-width code points: ASCII, accents, CJK, astral (emoji) —
+    // the widths where a pack-vs-UTF8 order divergence would hide
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", " ", "\t"),
+      2 -> Gen.oneOf("é", "ß", "ñ", "ü"),
+      1 -> Gen.oneOf("中", "文", "は"),
+      1 -> Gen.oneOf("😀", "🍎"),
+      1 -> Gen.oneOf("A", "Z", "É"))
+    val textGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    (1 to 12).foreach { i =>
+      val texts = sample(Gen.listOfN(25, textGen), 6100L + i)
+      val df = texts.toDF("text")
+      val k = 5 + (i % 7)
+      // model: packed cut vs string cut
+      val packed = df.agg(graft.functions.TopBigramsByCount
+        .topBigrams(col("text"), k)).collect().head.getSeq[Long](0)
+      val strings = df
+        .select(explode(charNgramCounts(col("text"), 2)).as(Seq("b", "c")))
+        .groupBy("b").agg(sum("c").as("c"))
+        .orderBy(col("c").desc, col("b").asc).limit(k)
+        .collect().map(_.getString(0)).toSeq
+      assert(packed.map(unpack) == strings,
+        s"case $i: packed cut ${packed.map(unpack)} != string cut $strings")
+      // scoring: walk-with-binary-search vs histogram sums
+      val got = df.select(graft.functions.BigramModelScore
+        .score(col("text"), typedLit(packed)).as("s"))
+        .collect().map(_.getSeq[Long](0)).map(s => (s(0), s(1)))
+      val modelSet = strings.toSet
+      val want = df.select(charNgramCounts(col("text"), 2).as("h"))
+        .collect().map(_.getMap[String, Long](0)).map { h =>
+          (h.values.sum, h.filter(e => modelSet(e._1)).values.sum)
+        }
+      assert(got.toSeq == want.toSeq, s"case $i scoring")
+    }
+  }
+
+  test("GopherStats ≡ the original declarative counter stack over seeded " +
+      "random text (bullets, ellipses, hashes, tabs, unicode, stops — " +
+      "the q177 r13 contract)") {
+    import spark.implicits._
+    graft.functions.GopherStats.register(spark)
+    val tokenGen = Gen.frequency(
+      5 -> Gen.alphaStr.map(_.take(8)),
+      2 -> Gen.oneOf(graft.functions.GopherStats.Stops),
+      2 -> Gen.oneOf("THE", "The", "Be", "WITH", "that."),
+      1 -> Gen.oneOf("#", "##", "...", "....", ".....", "#..."),
+      1 -> Gen.oneOf("•", "-", "*", "• x", "-x", "héllo", "中文", "😀"),
+      1 -> Gen.oneOf("", " ", "  "))
+    val sepGen = Gen.frequency(6 -> Gen.const(" "), 2 -> Gen.const("\n"),
+      1 -> Gen.const("\t"), 1 -> Gen.const("\n  "), 1 -> Gen.const(" \n"),
+      1 -> Gen.const("...\n"))
+    val textGen = for {
+      k <- Gen.chooseNum(0, 30)
+      ts <- Gen.listOfN(k, tokenGen)
+      ss <- Gen.listOfN(k, sepGen)
+    } yield ts.zip(ss).map { case (t, s) => t + s }.mkString
+    val texts = (1 to 120).map(i => sample(textGen, 7300L + i)) ++
+      Seq("", " ", "\n", "...", "  • x\n* y\nz ...  ", "a#b...c")
+    val df = texts.toDF("text")
+    val words = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val lines = split(col("text"), lit("\n"))
+    val declarative = df.select(
+      size(words).cast("long"),
+      aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long")),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), lit("#"), lit("")))).cast("long"),
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), lit("\\.\\.\\."), lit("")))) / 3)
+        .cast("long"),
+      size(lines).cast("long"),
+      size(filter(lines, l => ltrim(l).startsWith("•") ||
+        ltrim(l).startsWith("-") || ltrim(l).startsWith("*"))).cast("long"),
+      size(filter(lines, l => rtrim(l).endsWith("..."))).cast("long"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long"),
+      graft.functions.GopherStats.Stops.map(t =>
+        array_contains(split(lower(col("text")), lit("\\s+")), t)
+          .cast("long")).reduce(_ + _)).collect()
+      .map(r => (0 until 9).map(r.getLong))
+    val native = df.select(graft.functions.GopherStats
+      .gopherStats(col("text"))).collect().map(_.getSeq[Long](0))
+    texts.indices.foreach { i =>
+      assert(native(i).toSeq == declarative(i).toSeq,
+        s"text ${texts(i).replace("\n", "\\n")}: " +
+          s"native=${native(i)} declarative=${declarative(i)}")
+    }
+  }
+
   test("SigAgree ≡ size(filter(zip_with(a,b,===),id)) over ragged/null " +
       "random signature arrays (the q46 est_jaccard contract)") {
     import spark.implicits._

@@ -162,9 +162,11 @@ class PlanAuditSpec extends AnyFunSuite {
   //    totals), q156/q157 (≤207-row bench prefix).
   //  - bounded panels / top-K sets: q91/q104/q168 (eval-benchmark
   //    5-gram panels — fixed-size suites in production; the mod-97
-  //    slice is the test stand-in), q123 (top-100 bigrams), q126
-  //    (3-term query stats), q132 (top-K bigram sets), q135 (100-row
-  //    rerank frame).
+  //    slice is the test stand-in), q126 (3-term query stats), q132
+  //    (top-K bigram sets), q135 (100-row rerank frame). q123 left
+  //    this census in r13: its top-100 bigram model is now a packed
+  //    LITERAL scored in-scan (BigramModelScore) — the broadcast join
+  //    (and its hint) is gone.
   //  - vocabulary-bounded aggregates (Heap's-law sublinear; the
   //    documented stance of q154/q155's VERDICT r9 review): q114,
   //    q115, q121 — all SHUFFLE-side aggregates, no hint broadcasts a
@@ -184,7 +186,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q71_delta_scan", "q91_decontamination",
     "q104_ngram_decontamination", "q109_quality_percentile_filter",
     "q113_rfm", "q114_source_similarity", "q115_distinctive_terms",
-    "q121_vocab_overlap_sketch", "q123_char_bigram_quality",
+    "q121_vocab_overlap_sketch",
     "q126_bm25_search", "q127_anomaly_hours", "q131_hybrid_rrf",
     "q132_pmi_bigrams", "q133_source_drift", "q135_rerank",
     // q168 left this census in r11: its exact side is now a
