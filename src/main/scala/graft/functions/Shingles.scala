@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct word n-gram shingles of a document, in one compiled pass:
@@ -394,5 +394,68 @@ object WindowKeyHashes {
 
   /** Column API: requires register(spark) once per session. */
   def windowKeyHashes(text: Column, n: Int): Column =
+    call_function(FnName, text, lit(n))
+}
+
+/** [[WindowKeyHashes]] emitting the RAW 16-byte md5 digests instead of
+  * hex strings (r13): the digest determines the hex bijectively, so
+  * grouping by it forms EXACTLY the oracle's groups — no
+  * collision-probability argument needed — while the shuffle carries
+  * 16 bytes per key instead of a 32-char string and skips 800k hex
+  * encodes. For consumers (q178) whose keys never reach the output. */
+case class WindowKeyDigests(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "window size must be >= 1")
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "graft_window_md5_raw"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_window_md5_raw expects string, got ${other.simpleString(10)}")
+  }
+
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].trim().toLowerCase().toString
+    val toks = text.split("\\s+")
+    if (toks.length < n || (toks.length == 1 && toks(0).isEmpty))
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      md5.reset()
+      out(i) = md5.digest(sb.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowKeyDigests =
+    copy(child = newChild)
+}
+
+object WindowKeyDigests {
+  private val FnName = "graft_window_md5_raw"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => WindowKeyDigests(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+
+  /** Column API: requires register(spark) once per session. */
+  def windowKeyDigests(text: Column, n: Int): Column =
     call_function(FnName, text, lit(n))
 }

@@ -693,35 +693,34 @@ object Dedup {
     // straddling window INSIDE a span need not itself recur; that is
     // the region an exact-substring curation pass cuts). Pipeline: the
     // per-position window keys come from ONE compiled pass
-    // ([[graft.functions.WindowKeyHashes]] — the declarative
+    // ([[graft.functions.WindowKeyDigests]] — the declarative
     // transform/slice/concat_ws/md5 chain is three nested interpreted
     // HOFs allocating per window, the exact hot-loop shape
-    // WordShingles replaced), the (doc_id, p, k) frame PERSISTS
-    // (executor-distributed cache, spills to disk, linear in the data,
-    // never driver-side; registry-released per the SessionCaches
-    // contract) because both the count side and the probe side of the
-    // repeated-key join read it — unpersisted, the corpus expansion
-    // would run twice. ONE shuffle groups window keys to a COUNT
-    // (group state is O(1) — no posting lists, so a window repeated
-    // 10^6 times costs one counter, never a pair expansion; this stays
+    // WordShingles replaced; r13 carries the RAW 16-byte digest, which
+    // determines the oracle's hex key bijectively — identical groups,
+    // smaller shuffle, no hex encode). r13 plan: repeated positions
+    // come from a COUNT-over-k window on the exploded frame — one
+    // k-keyed exchange, group state O(1) (a window repeated 10^6 times
+    // costs one counter, never a pair expansion; this stays
     // sub-quadratic where naive substring dedup is suffix-array
-    // territory), an inner join marks repeated positions, and a
-    // per-doc gaps-and-islands window (break when p > prev + 10)
-    // merges touching windows into maximal spans. Keys are md5 of the
-    // 10-gram text so the DuckDB oracle matches bit-for-bit; a 100 TB
-    // run swaps the digest for xxhash64 inside the same expression.
+    // territory) — replacing the r11 persist + groupBy + re-join shape
+    // (three consumers of a cached 800k-row frame and an extra join
+    // exchange, ~35% of the bench wall). Then a per-doc
+    // gaps-and-islands window (break when p > prev + 10) merges
+    // touching windows into maximal spans. Keys are md5 of the 10-gram
+    // text so the DuckDB oracle matches bit-for-bit; a 100 TB run
+    // swaps the digest for xxhash64 inside the same expression.
     GraftQuery("q178_repeated_spans",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        graft.functions.WindowKeyHashes.register(s)
+        graft.functions.WindowKeyDigests.register(s)
         val w = docs(s, d)
           .select(col("doc_id"), posexplode(
-            graft.functions.WindowKeyHashes.windowKeyHashes(col("text"), 10)))
+            graft.functions.WindowKeyDigests.windowKeyDigests(col("text"), 10)))
           .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("k"))
-          .persistTracked()
-        val rep = w.groupBy("k").agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select("k")
-        val m = w.join(rep, "k").select("doc_id", "p")
+        val m = w
+          .withColumn("c", count(lit(1)).over(Window.partitionBy("k")))
+          .filter(col("c") >= 2).select("doc_id", "p")
         val ord = Window.partitionBy("doc_id").orderBy("p")
         val isl = m
           .withColumn("brk",

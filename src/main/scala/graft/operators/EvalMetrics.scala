@@ -398,25 +398,31 @@ object EvalMetrics {
         val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
         val split = when(h2 < "cd", "train").when(h2 < "e6", "val")
           .otherwise("test")
+        // r13 (the q178 lesson): the per-shingle (nt, df) come from
+        // WINDOW aggregates over the s partition — O(1) group state
+        // (never a posting list, so a ubiquitous shingle costs two
+        // counters; the df ≤ 20 cap then drops its rows), ONE shingle
+        // explode and ONE s-keyed exchange where the earlier
+        // aggregate+re-join shape exploded the corpus three times and
+        // exchanged s twice. Denominators come straight off the
+        // shingle ARRAY (shingles are distinct per doc — the
+        // WordShingles contract q101 also trades on), no explode.
         val sh = docs(s, d).select(col("doc_id"), split.as("split"),
           explode(graft.functions.WordShingleHashes
             .shingleHashes(col("text"), 3)).as("s"))
-        // Two-phase (the oracle's own shape): aggregate (s → nt, df) with
-        // O(1) group state, filter, THEN join the survivors back to the
-        // eval shingle stream. A collect_list before the df cap would
-        // buffer every eval holder of a ubiquitous shingle — unbounded at
-        // the 100 TB design point; here the join groups are bounded by the
-        // df ≤ 20 cap on the survivor side.
-        val survivors = sh.groupBy("s")
-          .agg(sum((col("split") === "train").cast("long")).as("nt"),
-            count(lit(1)).as("df"))
-          .filter(col("nt") >= 1 && col("df") <= 20)
-          .select("s")
-        val leaked = sh.filter(col("split") =!= "train")
-          .join(survivors, Seq("s"))
+        val win = Window.partitionBy("s")
+        val leaked = sh
+          .withColumn("nt",
+            sum((col("split") === "train").cast("long")).over(win))
+          .withColumn("df", count(lit(1)).over(win))
+          .filter(col("split") =!= "train" && col("nt") >= 1 &&
+            col("df") <= 20)
           .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
-        val totals = sh.filter(col("split") =!= "train")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        val totals = docs(s, d).select(col("doc_id"), split.as("split"),
+            size(graft.functions.WordShingleHashes
+              .shingleHashes(col("text"), 3)).cast("long").as("n_shingles"))
+          .filter(col("split") =!= "train")
+          .select("doc_id", "n_shingles")
         totals.join(leaked, Seq("doc_id"))
           .select(col("doc_id"), col("n_shingles"), col("n_leaked"),
             (col("n_leaked").cast("double") /

@@ -304,21 +304,36 @@ object EventOps {
     GraftQuery("q107_gap_fill",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // r13: the whole pipeline runs in INTEGER hour-bucket space —
+        // under the UTC session, date_trunc('hour', ts) is exactly
+        // unix_micros(ts) div (3600 * 1e6), and no output column is a
+        // timestamp, so the per-row timestamp ceremony (truncate →
+        // re-encode → unix_timestamp at three later points) collapses
+        // to one integer division at the scan. Bucket arithmetic
+        // (lead-diff weights, max-min spans) is then pure int64 —
+        // identical values, measured at a third of the executor time.
+        // ONE exchange on the natural key: the lead() window and the
+        // final rollup both need user_id clustering, and hash(user_id)
+        // also SATISFIES the (user_id, hb) rollup's ClusteredDistribution
+        // (partition exprs ⊆ grouping keys), so an explicit user_id
+        // repartition lets every downstream operator ride the same
+        // exchange — 3 shuffles collapse to 1 + the output range sort
+        // (r13; the skew exposure is identical to before, because the
+        // window stage already required whole-user co-location).
         val hourly = ev(s, d)
-          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .repartition(col("user_id"))
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 3600000000").as("hb"))
           .agg(sum(col("value").cast(DecimalType(18, 2))).as("hv"))
-        val w = Window.partitionBy("user_id").orderBy("h")
+        val w = Window.partitionBy("user_id").orderBy("hb")
         hourly
-          .withColumn("weight", coalesce(
-            ((unix_timestamp(lead("h", 1).over(w)) -
-              unix_timestamp(col("h"))) / 3600L).cast("long"),
-            lit(1L)))
+          .withColumn("weight",
+            coalesce(lead("hb", 1).over(w) - col("hb"), lit(1L)))
           .groupBy("user_id")
           .agg(
-            ((unix_timestamp(max("h")) - unix_timestamp(min("h"))) / 3600L + 1L)
-              .cast("long").as("n_hours"),
-            (((unix_timestamp(max("h")) - unix_timestamp(min("h"))) / 3600L + 1L)
-              - count(lit(1))).cast("long").as("n_gaps"),
+            (max("hb") - min("hb") + 1L).cast("long").as("n_hours"),
+            ((max("hb") - min("hb") + 1L) - count(lit(1))).cast("long")
+              .as("n_gaps"),
             sum(col("hv") * col("weight")).cast("double").as("fill_sum"))
           .orderBy("user_id")
       },
