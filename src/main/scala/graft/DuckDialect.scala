@@ -3427,9 +3427,12 @@ object DuckDialect {
        |  start-anchored walk DuckDB uses; 2-arg stays Spark's),
        |  read_csv/read_json [+_auto] table functions (literal path or
        |  path list; header/delim/quote/escape/nullstr/names/
-       |  all_varchar, json format auto|newline_delimited|array; DuckDB
-       |  names headerless columns column0..N — so does this; inferred
-       |  INT widths can differ, cast where width matters),
+       |  all_varchar, json format auto|newline_delimited|array; the
+       |  OPTION-FREE csv form sniffs delimiter+header like DuckDB's
+       |  auto-detection — ambiguous dialects and compressed files
+       |  refuse to explicit options; DuckDB names headerless columns
+       |  column0..N — so does this; inferred INT widths can differ,
+       |  cast where width matters),
        |  strftime/strptime (see above), and the delta_scan('path') TABLE
        |  function (graft's public-protocol Delta reader; non-Delta paths
        |  fall back to a parquet scan).

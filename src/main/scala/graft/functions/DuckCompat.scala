@@ -37,6 +37,125 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DuckCompat {
 
+  /** Bytes sampled from the head of the first file by the CSV sniffer. */
+  private val SniffSampleBytes: Int = 64 * 1024
+
+  /** DuckDB-style CSV dialect sniffer (r13, VERDICT r12 item 3) over a
+    * head sample of the file: returns Some((delimiter, header)) when the
+    * dialect is UNAMBIGUOUS, None otherwise (the caller refuses with
+    * guidance — a mis-sniffable input must never get a silently
+    * different parse). The accepted subset mirrors the installed
+    * DuckDB's observed behavior, pinned by DuckCompatMatrixR13b:
+    *
+    *  - DELIMITER: candidates , ; | \t parsed RFC-quote-aware ('"'
+    *    quote, '""' escape, quote honored at field start). A candidate
+    *    is viable when every sampled line parses cleanly to the SAME
+    *    field count >= 2. Exactly one viable -> chosen. None viable ->
+    *    single-column mode when every candidate consistently yields one
+    *    field per line (DuckDB's own fallback — a ','-ragged file reads
+    *    as one VARCHAR column); otherwise None. MULTIPLE viable -> None:
+    *    DuckDB breaks such ties by candidate order (verified: ','
+    *    beats ';' on `a,b;c`), but any file hitting the tie is
+    *    delimiter-junk and a refusal is safer than a coin-flip parse.
+    *  - HEADER (DuckDB's documented rule, all branches verified):
+    *    column classes are probed over the data rows (rows 2+; the
+    *    sole row of a one-line file probes itself); if every column is
+    *    VARCHAR the first row is the header (verified: `foo;bar\nbaz;
+    *    qux` -> header foo/bar, and a one-line `foo,bar` file is ALL
+    *    header); otherwise the first row is the header iff some typed
+    *    column's first-row value does not conform to the class
+    *    (verified: `1,alice,3.5` rows -> headerless column0..N).
+    *    Conformance classes mirror DuckDB's sniffer on sane values
+    *    (trimmed; BIGINT without '+' — `+4` is VARCHAR there, verified
+    *    — DOUBLE with ./exponent forms, DATE/TIME/TIMESTAMP digit
+    *    shapes, BOOLEAN true/false/t/f); exotic tokens (Infinity,
+    *    underscore groups) may class differently and can flip the
+    *    header guess on adversarial files — the same residual-risk
+    *    class as the documented inferSchema width divergence. */
+  private[graft] def sniffCsv(sample: Array[Byte]): Option[(String, Boolean)] = {
+    val raw = new String(sample, java.nio.charset.StandardCharsets.UTF_8)
+    // a full sample buffer likely cut mid-line — drop the partial tail
+    val cut =
+      if (sample.length >= SniffSampleBytes && !raw.endsWith("\n")) {
+        val k = raw.lastIndexOf('\n'); if (k < 0) return None else k
+      } else raw.length
+    val lines = raw.substring(0, cut).split("\r\n|\n|\r", -1).toSeq
+      .filter(_.nonEmpty).take(100)
+    if (lines.isEmpty) return None
+    def fields(line: String, d: Char): Option[Seq[String]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new java.lang.StringBuilder
+      var inQ = false
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (inQ) {
+          if (c == '"') {
+            if (i + 1 < line.length && line.charAt(i + 1) == '"') {
+              cur.append('"'); i += 1
+            } else inQ = false
+          } else cur.append(c)
+        } else if (c == '"' && cur.length == 0) inQ = true
+        else if (c == d) { out += cur.toString; cur.setLength(0) }
+        else cur.append(c)
+        i += 1
+      }
+      if (inQ) None else { out += cur.toString; Some(out.toSeq) }
+    }
+    val cands = Seq(',', ';', '|', '\t').flatMap { d =>
+      val parsed = lines.map(fields(_, d))
+      if (parsed.exists(_.isEmpty)) Nil
+      else {
+        val counts = parsed.map(_.get.length).distinct
+        if (counts.length == 1) Seq((d, counts.head, parsed.map(_.get)))
+        else Nil
+      }
+    }
+    val (delim, ncols, rows) = cands.filter(_._2 >= 2) match {
+      case Seq(one) => one
+      case Seq() if cands.nonEmpty && cands.forall(_._2 == 1) =>
+        // single-column fallback (DuckDB's own: a file no dialect splits
+        // consistently reads as one VARCHAR column of whole lines) —
+        // the reader needs a separator that CANNOT occur, or Spark
+        // would split what DuckDB didn't
+        val d = "\u0001\u0007\u001f".find(c => !raw.contains(c))
+          .getOrElse(return None)
+        (d, 1, lines.map(Seq(_)))
+      case _ => return None // ambiguous tie or ragged under every dialect
+    }
+    val LongRe = """-?\d+""".r
+    val DoubleRe = """-?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?""".r
+    val DateRe = """\d{4}-\d{1,2}-\d{1,2}""".r
+    val TsRe = """\d{4}-\d{1,2}-\d{1,2}[ T]\d{1,2}:\d{2}(:\d{2}(\.\d+)?)?""".r
+    val TimeRe = """\d{1,2}:\d{2}(:\d{2}(\.\d+)?)?""".r
+    val BoolRe = """(?i)(true|false|t|f)""".r
+    def conforms(v0: String, cls: Int): Boolean = {
+      val v = v0.trim
+      if (v.isEmpty) true // null conforms to every class
+      else cls match {
+        case 0 => LongRe.matches(v)
+        case 1 => DoubleRe.matches(v) // plain ints cast to DOUBLE too;
+        // class order (long before double) keeps pure-int columns BIGINT
+        case 2 => DateRe.matches(v)
+        case 3 => TsRe.matches(v)
+        case 4 => TimeRe.matches(v)
+        case 5 => BoolRe.matches(v)
+        case _ => true // 6 = varchar
+      }
+    }
+    val dataRows = if (rows.length >= 2) rows.tail else rows
+    val classes = (0 until ncols).map { c =>
+      val vs = dataRows.map(r => r(c).trim).filter(_.nonEmpty)
+      if (vs.isEmpty) 6
+      else (0 to 5).find(k => vs.forall(conforms(_, k))).getOrElse(6)
+    }
+    val header =
+      if (classes.forall(_ == 6)) true
+      else (0 until ncols).exists(c =>
+        classes(c) != 6 && !conforms(rows.head(c), classes(c)))
+    Some((delim.toString, header))
+  }
+
   /** DuckDB `len(x)`: BIGINT character count for strings (len('héllo')=5
     * — CHARS, where strlen is octets), element count for lists. DuckDB
     * rejects MAP and numeric inputs (verified) — so does this. */
@@ -968,8 +1087,13 @@ object DuckCompat {
           case other => throw new IllegalArgumentException(
             s"read_csv expects a boolean (or 0/1), got $other")
         }
+        // escape defaults to '"' (DuckDB's default — RFC `""` doubling;
+        // Spark's backslash default mis-reads `"c""d"` as literal
+        // quotes, r13 matrix); an explicit escape option still wins in
+        // the fold below
         val r = spark.read.option("inferSchema",
           !opts.get("all_varchar").exists(truthy))
+          .option("escape", "\"")
         var header = false
         var names: Seq[String] = Nil
         val withOpts = opts.filterNot(kv => ignored(kv._1)).foldLeft(r) {
@@ -993,23 +1117,53 @@ object DuckCompat {
               "auto_detect are ignored) — use spark.read directly for " +
               "the rest")
         }
-        // DEFAULT divergence guard (ADVICE r10, medium): DuckDB
-        // auto-detects BOTH header and delimiter when neither is given;
-        // spark.read's defaults (no header, ',') silently return raw
-        // one-column lines for a '|'-delimited headered file. No sniff
-        // here — a heuristic that disagrees with DuckDB's is the same
-        // silent divergence one layer down — so the option-free form
-        // refuses with the explicit-options guidance, like every other
-        // unbridged shape.
+        // Option-free / delimiter-free form (r13, VERDICT r12 item 3):
+        // DuckDB auto-detects header and delimiter where spark.read
+        // defaults to header=false + ',' — the r10 guard refused this
+        // form outright; now [[sniffCsv]] reproduces DuckDB's detection
+        // on a head sample of the FIRST file (matrix-pinned against the
+        // installed DuckDB) and only an AMBIGUOUS dialect still refuses.
+        // Compressed files can't be head-sampled as text — refuse those
+        // to explicit options as before.
+        var sniffed: Option[(String, Boolean)] = None
         if (!opts.contains("header") &&
-            !Seq("delim", "sep", "delimiter").exists(opts.contains))
-          throw new IllegalArgumentException(
-            "read_csv without header/delim options is not bridged: DuckDB " +
-              "auto-detects both from the file where spark.read defaults " +
-              "to header=false, delim=',' — a silent divergence. Pass " +
-              "explicit options, e.g. read_csv('f.csv', header = true, " +
-              "delim = ',')")
-        var df = withOpts.csv(paths: _*)
+            !Seq("delim", "sep", "delimiter").exists(opts.contains)) {
+          def refuse(why: String): Nothing = throw new IllegalArgumentException(
+            s"read_csv without header/delim options: $why. DuckDB " +
+              "auto-detects both from the file; this bridge sniffs the " +
+              "unambiguous cases and refuses the rest rather than risk a " +
+              "silently different parse. Pass explicit options, e.g. " +
+              "read_csv('f.csv', header = true, delim = ',')")
+          if (opts.contains("compression") ||
+            paths.head.matches("(?i).*\\.(gz|zst|bz2|lz4|snappy)$"))
+            refuse("cannot head-sample a compressed file")
+          val p = java.nio.file.Paths.get(
+            paths.head.stripPrefix("file:"))
+          if (!java.nio.file.Files.isRegularFile(p))
+            refuse(s"cannot sample $p (not a readable plain file)")
+          val ch = java.nio.file.Files.newByteChannel(p)
+          val sample =
+            try {
+              val buf = java.nio.ByteBuffer.allocate(SniffSampleBytes)
+              var n = 0
+              var r = 0
+              while (n < SniffSampleBytes && r >= 0) {
+                r = ch.read(buf); if (r > 0) n += r
+              }
+              java.util.Arrays.copyOf(buf.array(), n)
+            } finally ch.close()
+          sniffed = sniffCsv(sample)
+          if (sniffed.isEmpty)
+            refuse("the sample's dialect is ambiguous (no single " +
+              "delimiter parses every line to one consistent width)")
+        }
+        val sniffApplied = sniffed match {
+          case Some((d, h)) =>
+            header = h
+            withOpts.option("sep", d).option("header", h)
+          case None => withOpts
+        }
+        var df = sniffApplied.csv(paths: _*)
         if (names.nonEmpty)
           // a names list LONGER than the file's column count truncates
           // to the width, exactly as DuckDB does (verified; ADVICE r10 —

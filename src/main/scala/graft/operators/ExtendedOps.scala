@@ -295,6 +295,20 @@ object ExtendedOps {
       |ORDER BY k"""
       .stripMargin.replace("\n", " ")
 
+  // q194 — the SNIFFED (option-free) read_csv form (r13, VERDICT r12
+  // item 3): the fixture is ';'-delimited WITH a header, and neither
+  // engine is told either fact — DuckDB runs its own auto-detection,
+  // the bridge runs [[graft.functions.DuckCompat.sniffCsv]], and the
+  // row is green only when both detect (';', header) AND parse the
+  // quoted fields identically (names are quoted and one embeds the
+  // delimiter — the dialect case a wrong sniff corrupts first). Same
+  // width-divergence casts as q175.
+  private val SniffedCsvSql: String =
+    """SELECT CAST(k AS BIGINT) AS k, name, CAST(rk AS BIGINT) AS rk
+      |FROM read_csv('/tmp/graft_q194_fixture.csv')
+      |ORDER BY k"""
+      .stripMargin.replace("\n", " ")
+
   val all: Seq[GraftQuery] = Seq(
 
     // Right outer (all nations survive a filtered region dim) feeding a
@@ -617,6 +631,35 @@ object ExtendedOps {
         graft.DuckDialect.sql(s, ReadFilesSql)
       },
       Some(ReadFilesSql)),
+
+    GraftQuery("q194_duckdb_sniffed_csv",
+      (s, d) => {
+        // the q175 fixture discipline: deterministic 25-row nation dim,
+        // atomic write at a static path embedded in both engines' SQL.
+        // ';' delimiter, quoted name field (one value embeds a ';') —
+        // the shapes a wrong sniff corrupts first.
+        val rows = T(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect()
+        val csv = new StringBuilder("k;name;rk\n")
+        rows.foreach { r =>
+          val (k, nm, rk) = (r.getAs[Number](0).longValue,
+            r.getString(1), r.getAs[Number](2).longValue)
+          val quoted = "\"" + nm.replace("\"", "\"\"") +
+            (if (k % 5 == 0) ";x" else "") + "\""
+          csv.append(s"$k;$quoted;$rk\n")
+        }
+        val target = java.nio.file.Paths.get("/tmp/graft_q194_fixture.csv")
+        val tmp = java.nio.file.Files.createTempFile(
+          target.getParent, ".graft_q194_", ".tmp")
+        java.nio.file.Files.write(tmp,
+          csv.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        graft.DuckDialect.sql(s, SniffedCsvSql)
+      },
+      Some(SniffedCsvSql)),
 
     GraftQuery("q186_duckdb_comma_series",
       (s, d) => {

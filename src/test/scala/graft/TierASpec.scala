@@ -2184,6 +2184,47 @@ class TierASpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: MJPEG ('jpeg' fourcc) frames round-trip pixel-exact " +
+    "for the solid-gray class — all 256 levels — and foreign fourccs " +
+    "still refuse the q190/q193 dispatch (r13)") {
+    import graft.operators.{Mp4Meta, Multimodal}
+    // exhaustive: every gray level survives the JDK JPEG encode→decode
+    // round-trip bit-exact (single DC-only MCU; the closed-form oracle
+    // contract q193 rests on)
+    for (v <- 0 until 256) {
+      val jb = Multimodal.graySolidJpeg(v, 8, 8)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jb))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert((img.getRGB(x, y) & 0xffffff) == ((v << 16) | (v << 8) | v),
+          s"gray $v pixel ($x,$y) -> ${img.getRGB(x, y) & 0xffffff}")
+    }
+    // full container: 'jpeg' stsd declaration + frame slices decode
+    val frames = Seq(Multimodal.graySolidJpeg(17, 8, 8),
+      Multimodal.graySolidJpeg(201, 8, 8))
+    val payload = Mp4Meta.writeWithSamples(1234L, 8, 8, frames,
+      codec = Some("jpeg"))
+    assert(Mp4Meta.sampleCodec(payload).contains("jpeg"))
+    val tbl = Mp4Meta.frameTable(payload).get
+    tbl.zip(Seq(17, 201)).foreach { case ((off, sz), want) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        payload.slice(off.toInt, (off + sz).toInt)))
+      assert((img.getRGB(3, 5) & 0xff) == want)
+    }
+    // the dispatch gate: a codec this engine cannot decode (h264's
+    // 'avc1') is DECLARED, detected, and refused by the q190/q193
+    // require — never handed to an image decoder
+    val foreign = Mp4Meta.writeWithSamples(99L, 8, 8,
+      Seq(Array[Byte](0, 0, 0, 1)), codec = Some("avc1"))
+    assert(Mp4Meta.sampleCodec(foreign).contains("avc1"))
+    intercept[IllegalArgumentException] {
+      val fcc = Mp4Meta.sampleCodec(foreign)
+      require(fcc.contains("jpeg"),
+        s"stsd declares ${fcc.orNull}, not a decodable codec")
+    }
+  }
+
   test("container duration arithmetic on untrusted headers never " +
     "overflows Long — out-of-range values hit the None refusal, and the " +
     "writers refuse durations their 32-bit fields would truncate " +
