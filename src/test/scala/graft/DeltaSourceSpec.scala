@@ -1337,6 +1337,49 @@ class DeltaSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collations"))
   }
 
+  test("foreign clustered table (liquid clustering): DML is admitted, the " +
+    "delta.clustering domain survives our commits AND our checkpoint, " +
+    "and unknown writer features still refuse (r13)") {
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"), t)
+    // a foreign writer enables liquid clustering: writer feature +
+    // the delta.clustering domain naming the clustering columns (the
+    // spelling delta-spark writes; PROTOCOL.md names the feature
+    // clusteredTable — the gate admits both)
+    val dir = java.nio.file.Paths.get(s"$t/_delta_log")
+    java.nio.file.Files.writeString(dir.resolve(f"${1L}%020d.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["clustering","domainMetadata"]}}
+        |{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"id\"]]}","removed":false}}"""
+        .stripMargin)
+    // the gate admits the feature: DML runs (clustering the data is
+    // best-effort per the protocol — preserving the domain is the
+    // obligation)
+    DeltaDml.delete(spark, t, col("id") === 2)
+    val afterDml = DeltaLog.snapshot(spark, t)
+    assert(afterDml.domainMetadata.get("delta.clustering")
+      .exists(_.contains("clusteringColumns")),
+      s"domain lost after DML: ${afterDml.domainMetadata}")
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    // the domain survives a checkpoint (replay from checkpoint alone)
+    DeltaWrite.checkpoint(spark, t)
+    val afterCp = DeltaLog.snapshot(spark, t)
+    assert(afterCp.domainMetadata.get("delta.clustering")
+      .exists(_.contains("clusteringColumns")),
+      s"domain lost after checkpoint: ${afterCp.domainMetadata}")
+    assert(afterCp.protocol.writerFeatures.contains("clustering"))
+    // an unimplemented writer feature alongside still refuses
+    val t2 = tmpTable()
+    DeltaWrite.write(Seq((1, "a")).toDF("id", "s"), t2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$t2/_delta_log").resolve(f"${1L}%020d.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["clustering","icebergCompatV2"]}}""")
+    val e = intercept[UnsupportedOperationException](
+      DeltaDml.delete(spark, t2, col("id") === 1))
+    assert(e.getMessage.contains("icebergCompatV2"))
+  }
+
   test("log compaction: replay prefers <s>.<e>.compacted.json; individual " +
     "commits stay authoritative for in-range time travel") {
     import spark.implicits._
