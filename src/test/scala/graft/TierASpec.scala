@@ -934,12 +934,14 @@ class TierASpec extends AnyFunSuite {
       "SELECT * FROM read_json('/tmp/graft_spec_arr.json', " +
         "records = false)"))
     assert(re.getMessage.contains("records"))
-    // option-free read_csv refuses (ADVICE r10 medium): DuckDB
-    // auto-detects header AND delimiter; spark.read's silent defaults
-    // (no header, ',') would diverge on any headered or non-comma file
-    val af = intercept[Exception](graft.DuckDialect.sql(spark,
-      "SELECT * FROM read_csv('/tmp/graft_spec_nh.csv')"))
-    assert(af.getMessage.contains("auto-detects"))
+    // option-free read_csv SNIFFS since r13 (DuckCompatMatrixR13b pins
+    // the dialect rules against the installed DuckDB): this fixture is
+    // ','-delimited with a type-conforming first row → headerless,
+    // exactly DuckDB's detection; ambiguous dialects still refuse
+    val af = graft.DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/graft_spec_nh.csv')")
+    assert(af.columns.toSeq == Seq("column0", "column1"))
+    assert(af.count() == 2)
     // names list LONGER than the file's width truncates to the width,
     // exactly as DuckDB does (verified; was an opaque toDF arity error)
     assert(graft.DuckDialect.sql(spark,
