@@ -54,10 +54,22 @@ object TextAnalysis {
     * probes) — so the filter is sized for ≥1e5 entries even when the
     * panel is smaller. At a real panel (millions of n-grams) the
     * natural sizing dominates and the floor is moot. */
-  def panelBloomBytes(panelHashes: DataFrame): Array[Byte] = {
-    val nPanel = math.max(panelHashes.count(), 100000L)
-    graft.functions.BloomContains.serialize(
-      panelHashes.stat.bloomFilter(panelHashes.columns.head, nPanel, 1e-9))
+  def panelBloomBytes(panelHashes: DataFrame): Array[Byte] =
+    panelBloomBytesOf(panelHashes.collect().map(_.getLong(0)))
+
+  /** Driver-side twin of [[panelBloomBytes]] over an ALREADY-COLLECTED
+    * panel (r13): `BloomFilter.create(n, fpp)` + putLong yields
+    * bit-identical filters to `df.stat.bloomFilter` (same parameters →
+    * same numBits/numHashes; putLong's hashing is deterministic and the
+    * merge is a bit-OR, so partitioning never mattered) — letting q168
+    * build the Bloom AND the exact set literal from ONE bounded collect
+    * instead of three jobs (count + treeAggregate + collect) over the
+    * same panel frame. */
+  def panelBloomBytesOf(hashes: Array[Long]): Array[Byte] = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(
+      math.max(hashes.length.toLong, 100000L), 1e-9)
+    hashes.foreach(bf.putLong)
+    graft.functions.BloomContains.serialize(bf)
   }
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -1387,9 +1399,14 @@ object TextAnalysis {
           .persistTracked()
         val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
           .select(explode(col("hs")).as("h")).distinct()
-        val bytes = panelBloomBytes(bench)
-        val exactBytes = graft.functions.SortedLongsContain.serialize(
-          bench.collect().map(_.getLong(0))) // panel-bounded, as bytes is
+        // ONE bounded collect feeds BOTH probe literals (r13): the
+        // driver-built Bloom is bit-identical to the old
+        // df.stat.bloomFilter (see panelBloomBytesOf), and the former
+        // count + treeAggregate + collect trio re-ran the panel
+        // subplan three times per rep
+        val panel = bench.collect().map(_.getLong(0)) // panel-bounded
+        val bytes = panelBloomBytesOf(panel)
+        val exactBytes = graft.functions.SortedLongsContain.serialize(panel)
         // Explicit byte bound on the set literal (ADVICE r11): the Bloom
         // bits are fixed-size but this exact set is 8 B/panel-shingle —
         // bounded only by the "panel is a fixed eval suite" stance. A
