@@ -1561,6 +1561,89 @@ object TextAnalysis {
         .stripMargin.replace("\n", " ")))
     ,
 
+    // Bigram-LM perplexity scoring (r13) — the CONDITIONAL sibling of
+    // q179 and the integer-grid form of CCNet's KenLM perplexity
+    // filter (Wenzek et al. 2020): train a bigram language model over
+    // the capped vocabulary (words outside the top-V fold into ONE
+    // '#unk' class — the SurpriseVocabCap stance, so the model is
+    // ≤ (V+1)² rows BOUNDED BY CONSTRUCTION) and score each document
+    // by the mean -log2 of its word-to-word transitions under add-1
+    // smoothing: bits(u→v) = flog2(c(u) + (V+1)) - flog2(c(u,v) + 1),
+    // integer-exact via bit length on both engines (the q179 rule).
+    // High mean = transitions the corpus LM finds improbable (shuffled
+    // text, wrong-language runs, template spill) — exactly what a
+    // perplexity bucket cut removes. Scale shape: TWO passes over the
+    // token stream (model, score — recomputing the lag window beats
+    // caching a corpus-sized pair frame, the q123 stance), each one
+    // doc-keyed window exchange; the model collects ≤ (V+1)² rows and
+    // rides back as LITERAL maps (no joins, no broadcast of anything
+    // data-proportional); context counts c(u) derive from the same 289
+    // rows on the driver — no extra pass. Per-doc aggregate
+    // pre-combines before the doc exchange; top-20 is TakeOrdered.
+    GraftQuery("q195_bigram_perplexity",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def flog2(c: org.apache.spark.sql.Column) =
+          (length(bin(c)) - 1).cast("long")
+        val v1 = SurpriseVocabCap + 1 // classes incl. '#unk' (smoothing)
+        val tok = docs(s, d).select(col("doc_id"),
+          posexplode(regexp_extract_all(lower(col("text")),
+            lit("\\p{L}+"), lit(0))).as(Seq("pos", "w")))
+        // top-V vocab cut (count DESC, word ASC — the q179 boundary);
+        // V-row bounded collect, the capped-vocab literal class
+        val topV: Seq[String] = tok.groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(SurpriseVocabCap)
+          .collect().map(_.getString(0)).toSeq
+        def cls(c: org.apache.spark.sql.Column) =
+          when(c.isin(topV: _*), c).otherwise(lit("#unk"))
+        val win = Window.partitionBy("doc_id").orderBy("pos")
+        def pairs = tok
+          .select(col("doc_id"), col("pos"), cls(col("w")).as("v"))
+          .withColumn("u", lag("v", 1).over(win))
+          .filter(col("u").isNotNull)
+        // (V+1)²-bounded model collect; c(u) = Σ_v c(u,v) on the driver
+        val model = pairs.groupBy("u", "v")
+          .agg(count(lit(1)).as("cuv")).collect()
+        val cuv: Map[String, Long] = model.map(r =>
+          (r.getString(0) + "\u0001" + r.getString(1)) -> r.getLong(2)).toMap
+        val cu: Map[String, Long] = model.groupBy(_.getString(0))
+          .map { case (u, rs) => u -> rs.map(_.getLong(2)).sum }
+        pairs
+          .select(col("doc_id"),
+            (flog2(element_at(typedLit(cu), col("u")) + v1) -
+              flog2(coalesce(element_at(typedLit(cuv),
+                concat_ws("\u0001", col("u"), col("v"))), lit(0L)) + 1L))
+              .as("bits"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pairs"), sum("bits").cast("long").as("bits"))
+          .select(col("doc_id"), col("n_pairs"), col("bits"),
+            (col("bits").cast("double") / col("n_pairs").cast("double"))
+              .as("mean_bits"))
+          .orderBy(col("mean_bits").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\\p{L}+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INTEGER)] AS w
+        |  FROM t0, unnest(generate_series(1, len(toks))) AS un(i)),
+        |v AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+        |tv AS (SELECT w FROM v ORDER BY c DESC, w LIMIT $SurpriseVocabCap),
+        |ct AS (SELECT doc_id, pos, CASE WHEN tv.w IS NOT NULL THEN tok.w ELSE '#unk' END AS v
+        |  FROM tok LEFT JOIN tv ON tok.w = tv.w),
+        |pr AS (SELECT doc_id, lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS u, v FROM ct),
+        |pp AS (SELECT doc_id, u, v FROM pr WHERE u IS NOT NULL),
+        |bg AS (SELECT u, v, COUNT(*) AS cuv FROM pp GROUP BY 1, 2),
+        |cx AS (SELECT u, SUM(cuv) AS cu FROM bg GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |  CAST((length(bin(cx.cu + ${SurpriseVocabCap + 1})) - 1)
+        |    - (length(bin(bg.cuv + 1)) - 1) AS BIGINT) AS bits
+        |  FROM pp JOIN bg USING (u, v) JOIN cx USING (u))
+        |SELECT doc_id, COUNT(*) AS n_pairs, CAST(SUM(bits) AS BIGINT) AS bits,
+        |CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bits
+        |FROM sc GROUP BY doc_id
+        |ORDER BY mean_bits DESC, doc_id LIMIT 20"""
+        .stripMargin.replace("\n", " ")))
+    ,
+
     // BPE tokenizer TRAINING (r12, VERDICT r11 item 2) — the full
     // iterative byte-pair-encoding vocabulary induction (Sennrich 2016,
     // arXiv:1508.07909) whose FIRST round q130 computes: K rounds of

@@ -815,6 +815,39 @@ class CorpusSpec extends AnyFunSuite {
     case _ => }
   }
 
+  test("q195 bigram perplexity: smoothed bits are bounded, pair counts " +
+    "tie to token counts, mean ordering is total (r13)") {
+    val r = SparkEntry.queries("q195_bigram_perplexity")(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3)))
+    assert(r.nonEmpty && r.length <= 20)
+    // add-1 smoothing bounds: 0 ≤ bits(u→v) ≤ flog2(maxCu + V+1) per
+    // pair, where maxCu ≤ total pair count
+    val tok = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
+        lit("\\p{L}+"), lit(0))).as("w"))
+    val pairTotal = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .agg(sum(greatest(col("n") - 1L, lit(0L)))).collect()(0).getLong(0)
+    val maxBits = java.lang.Long.toBinaryString(
+      pairTotal + graft.operators.TextAnalysis.SurpriseVocabCap + 1).length - 1
+    r.foreach { case (id, nPairs, bits, m) =>
+      assert(nPairs > 0 && bits >= 0 && bits <= nPairs * maxBits,
+        s"doc $id bounds: $nPairs pairs, $bits bits")
+      assert(math.abs(m - bits.toDouble / nPairs) < 1e-12, s"doc $id mean")
+    }
+    // each reported doc's n_pairs equals its token count − 1 (docs in
+    // the top-20 have ≥ 1 pair so ≥ 2 tokens)
+    val nTok = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.foreach { case (id, nPairs, _, _) =>
+      assert(nPairs == nTok(id) - 1, s"doc $id pair count")
+    }
+    // descending mean with doc_id tie-break (the oracle's total order)
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1), "ordering")
+    case _ => }
+  }
+
   test("q180 edit-distance verify: dist is a metric on the prefixes, " +
     "confirm matches the cross-multiplied threshold") {
     val rows = SparkEntry.queries("q180_editdist_verify")(spark, sf)
