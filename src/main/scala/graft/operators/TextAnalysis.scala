@@ -54,6 +54,35 @@ object TextAnalysis {
     * probes) — so the filter is sized for ≥1e5 entries even when the
     * panel is smaller. At a real panel (millions of n-grams) the
     * natural sizing dominates and the floor is moot. */
+  /** q195's trained bigram-LM pieces over a (doc_id, text) frame:
+    * (top-V vocabulary words, class-transition count rows (u, v, c)) —
+    * both bounded by the [[SurpriseVocabCap]] construction (rows ≤
+    * (V+1)²). Shared by the batch query and the streaming twin
+    * ([[graft.streaming.BigramPerplexityStream]]) so both train on the
+    * identical code path. One token pass for the vocab cut, one lagged
+    * window pass for the transitions. */
+  private[graft] def bigramLmModel(docsDf: DataFrame)
+      : (Seq[String], Seq[(String, String, Long)]) = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docsDf.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit("\\p{L}+"), lit(0))).as(Seq("pos", "w")))
+    val topV: Seq[String] = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(SurpriseVocabCap)
+      .collect().map(_.getString(0)).toSeq
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val rows = tok
+      .select(col("doc_id"), col("pos"),
+        when(col("w").isin(topV: _*), col("w")).otherwise(lit("#unk"))
+          .as("v"))
+      .withColumn("u", lag("v", 1).over(win))
+      .filter(col("u").isNotNull)
+      .groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    (topV, rows)
+  }
+
   def panelBloomBytes(panelHashes: DataFrame): Array[Byte] =
     panelBloomBytesOf(panelHashes.collect().map(_.getLong(0)))
 
@@ -1586,28 +1615,23 @@ object TextAnalysis {
         def flog2(c: org.apache.spark.sql.Column) =
           (length(bin(c)) - 1).cast("long")
         val v1 = SurpriseVocabCap + 1 // classes incl. '#unk' (smoothing)
+        // training via the shared helper (the streaming twin trains on
+        // the identical code path — BigramPerplexityStream)
+        val (topV, model) = bigramLmModel(docs(s, d))
+        val cuv: Map[String, Long] = model.map { case (u, v, c) =>
+          (u + "\u0001" + v) -> c }.toMap
+        val cu: Map[String, Long] = model.groupBy(_._1)
+          .map { case (u, rs) => u -> rs.map(_._3).sum }
         val tok = docs(s, d).select(col("doc_id"),
           posexplode(regexp_extract_all(lower(col("text")),
             lit("\\p{L}+"), lit(0))).as(Seq("pos", "w")))
-        // top-V vocab cut (count DESC, word ASC — the q179 boundary);
-        // V-row bounded collect, the capped-vocab literal class
-        val topV: Seq[String] = tok.groupBy("w").agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("w")).limit(SurpriseVocabCap)
-          .collect().map(_.getString(0)).toSeq
         def cls(c: org.apache.spark.sql.Column) =
           when(c.isin(topV: _*), c).otherwise(lit("#unk"))
         val win = Window.partitionBy("doc_id").orderBy("pos")
-        def pairs = tok
+        val pairs = tok
           .select(col("doc_id"), col("pos"), cls(col("w")).as("v"))
           .withColumn("u", lag("v", 1).over(win))
           .filter(col("u").isNotNull)
-        // (V+1)²-bounded model collect; c(u) = Σ_v c(u,v) on the driver
-        val model = pairs.groupBy("u", "v")
-          .agg(count(lit(1)).as("cuv")).collect()
-        val cuv: Map[String, Long] = model.map(r =>
-          (r.getString(0) + "\u0001" + r.getString(1)) -> r.getLong(2)).toMap
-        val cu: Map[String, Long] = model.groupBy(_.getString(0))
-          .map { case (u, rs) => u -> rs.map(_.getLong(2)).sum }
         pairs
           .select(col("doc_id"),
             (flog2(element_at(typedLit(cu), col("u")) + v1) -
