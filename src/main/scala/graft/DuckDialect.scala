@@ -2449,7 +2449,11 @@ object DuckDialect {
     * forms by the SOURCE column, verified). `* EXCLUDE (…)`, the
     * LAMBDA form `COLUMNS(c -> pred)` and trailing ALIASES (`AS z` →
     * z, z_1, …; 'template' with \N regex groups) are bridged (r12 —
-    * see the cases below). Refused → guidance: REPLACE arguments,
+    * see the cases below), as is `* [EXCLUDE (…)] REPLACE (expr AS
+    * col, …)` for the BARE form (r13 — replaced columns keep position,
+    * named by the alias's spelling; wrapped REPLACE refuses: DuckDB
+    * derives `max(aa := …)` spellings this bridge does not reproduce).
+    * Refused → guidance: wrapped REPLACE,
     * templates on non-regex args, zero matches (DuckDB errors there
     * too), multi-relation FROM. */
   // trailing alias of a COLUMNS item: bare ident, "quoted", or a
@@ -2631,9 +2635,61 @@ object DuckDialect {
         // schema raises DuckDB's binder error rather than silently
         // keeping everything
         val ExcludeRe = """(?is)^\*\s+EXCLUDE\s*\((.*)\)\s*$""".r
+        // `* [EXCLUDE (…)] REPLACE (expr AS col, …)` (r13): replaced
+        // columns keep their POSITION, take the expression's value, and
+        // are NAMED by the alias's spelling (verified: `AS AA` over
+        // column aa outputs AA); binding is case-insensitive; a target
+        // absent from the schema raises DuckDB's binder error, and a
+        // column in both EXCLUDE and REPLACE raises its parser error.
+        // BARE form only — a wrapped `max(COLUMNS(* REPLACE …))` names
+        // the replaced column `max(aa := (aa + 10))` in DuckDB, a
+        // derived spelling this bridge does not reproduce → guidance.
+        val ReplaceRe =
+          """(?is)^\*(?:\s+EXCLUDE\s*\((.*?)\))?\s+REPLACE\s*\((.*)\)\s*$""".r
+        var replacements = Map.empty[String, (String, String)] // lc -> (expr, alias)
         val matched: Seq[String] =
           if (arg == "*") cols
           else arg match {
+            case ReplaceRe(exBody, repBody) =>
+              val RepItemRe =
+                ("""(?is)^(.*\S)\s+AS\s+("(?:[^"]|"")+"|""" +
+                  """[A-Za-z_][A-Za-z0-9_]*)\s*$""").r
+              val reps = splitTop(repBody).getOrElse(return None)
+                .map(_.trim).map {
+                  case RepItemRe(e, a) =>
+                    val alias =
+                      if (a.startsWith("\""))
+                        a.substring(1, a.length - 1).replace("\"\"", "\"")
+                      else a
+                    (e, alias)
+                  case _ => return None
+                }
+              if (reps.isEmpty) return None
+              val ex = Option(exBody).map { b =>
+                splitTop(b).getOrElse(return None).map(_.trim).map { e =>
+                  if (e.length >= 2 && e.startsWith("\"") &&
+                    e.endsWith("\"")) e.substring(1, e.length - 1)
+                  else if (e.nonEmpty && readWord(e, 0) == e) e
+                  else return None
+                }
+              }.getOrElse(Nil)
+              (reps.map(_._2) ++ ex)
+                .filterNot(t => cols.exists(_.equalsIgnoreCase(t)))
+                .headOption.foreach(t => throw new IllegalArgumentException(
+                  s"""COLUMNS(* … REPLACE …): column "$t" in the """ +
+                    "EXCLUDE/REPLACE list not found in FROM clause"))
+              reps.map(_._2).find(t => ex.exists(_.equalsIgnoreCase(t)))
+                .foreach(t => throw new IllegalArgumentException(
+                  s"""COLUMNS(*): column "$t" cannot occur in both """ +
+                    "EXCLUDE and REPLACE lists"))
+              replacements = reps.map { case (e, a) =>
+                a.toLowerCase(java.util.Locale.ROOT) -> (e, a)
+              }.toMap
+              // wrapped forms refuse (see Scaladoc above); the trailing
+              // alias / template paths compose as for plain expansions
+              if (!(it.substring(0, at).trim.isEmpty && tail.trim.isEmpty))
+                return None
+              cols.filterNot(c => ex.exists(_.equalsIgnoreCase(c)))
             case ExcludeRe(body) =>
               val ex = splitTop(body).getOrElse(return None)
                 .map(_.trim).map { e =>
@@ -2695,7 +2751,15 @@ object DuckDialect {
         val bare = it.substring(0, at).trim.isEmpty && tail.trim.isEmpty
         matched.map { c =>
           val b = "`" + c.replace("`", "``") + "`"
-          val repl = it.substring(0, at) + b + tail
+          val rep = replacements.get(c.toLowerCase(java.util.Locale.ROOT))
+          // a REPLACEd column keeps its position but emits the rewritten
+          // expression, named by the alias's spelling (always explicit —
+          // an expression has no derivable name)
+          val repl = rep match {
+            case Some((e, _)) => "(" + rewrite(e).trim + ")"
+            case None => it.substring(0, at) + b + tail
+          }
+          val srcName = rep.map(_._2).getOrElse(c)
           val outName: Option[String] =
             (aliasBase, templPattern) match {
               case (Some(base), _) => Some(dedup(base))
@@ -2723,11 +2787,13 @@ object DuckDialect {
             case Some(nm) =>
               repl + " AS `" + nm.replace("`", "``") + "`"
             case None =>
-              // unaliased expansion keeps source names — which still
+              // unaliased expansion keeps source names (REPLACEd
+              // columns: the alias's spelling) — which still
               // participate in the global dedup (`SELECT aa,
               // COLUMNS('^a')` → aa, aa_1, ab via duckdb .df())
-              val nm2 = dedup(c)
-              if (nm2 != c) repl + " AS `" + nm2.replace("`", "``") + "`"
+              val nm2 = dedup(srcName)
+              if (nm2 != srcName || rep.isDefined)
+                repl + " AS `" + nm2.replace("`", "``") + "`"
               else if (bare) repl else repl + " AS " + b
           }
         }

@@ -67,7 +67,25 @@ class DuckCompatMatrixR13Spec extends AnyFunSuite {
       "aa;aa_1;ab#11,11,22"),
     ("CREATE OR REPLACE TEMPORARY VIEW mcd AS SELECT 11 AS aa, 22 AS ab, 33 AS ba",
       "SELECT COLUMNS('^a') AS z, ab AS q, COLUMNS('^b') AS z FROM mcd",
-      "z;z_1;q;z_2#11,22,22,33"))
+      "z;z_1;q;z_2#11,22,22,33"),
+    // COLUMNS(* REPLACE …) (r13): replaced columns keep position, take
+    // the expression, and are named by the alias's SPELLING — every
+    // expectation duckdb-verified this round
+    ("CREATE OR REPLACE TEMPORARY VIEW mcd AS SELECT 11 AS aa, 22 AS ab, 33 AS ba",
+      "SELECT COLUMNS(* REPLACE (aa + 10 AS aa)) FROM mcd",
+      "aa;ab;ba#21,22,33"),
+    ("CREATE OR REPLACE TEMPORARY VIEW mcd AS SELECT 11 AS aa, 22 AS ab, 33 AS ba",
+      "SELECT COLUMNS(* REPLACE (aa + 10 AS aa, ba * 2 AS ba)) FROM mcd",
+      "aa;ab;ba#21,22,66"),
+    ("CREATE OR REPLACE TEMPORARY VIEW mcd AS SELECT 11 AS aa, 22 AS ab, 33 AS ba",
+      "SELECT COLUMNS(* REPLACE (aa + 10 AS AA)) FROM mcd",
+      "AA;ab;ba#21,22,33"),
+    ("CREATE OR REPLACE TEMPORARY VIEW mcd AS SELECT 11 AS aa, 22 AS ab, 33 AS ba",
+      "SELECT COLUMNS(* EXCLUDE (ab) REPLACE (aa + 10 AS aa)) FROM mcd",
+      "aa;ba#21,33"),
+    ("CREATE OR REPLACE TEMPORARY VIEW mcd AS SELECT 11 AS aa, 22 AS ab, 33 AS ba",
+      "SELECT COLUMNS(* REPLACE (aa + 10 AS aa)) AS z FROM mcd",
+      "z;z_1;z_2#21,22,33"))
 
   test("r13 bridge matrix: every bridged answer equals DuckDB's") {
     Cases.foreach { case (setup, query, want) =>
@@ -75,5 +93,23 @@ class DuckCompatMatrixR13Spec extends AnyFunSuite {
       val got = render(DuckDialect.sql(spark, query))
       assert(got == want, s"\nquery: $query\n want: $want\n  got: $got")
     }
+  }
+
+  test("COLUMNS REPLACE refusals mirror DuckDB's errors; wrapped forms " +
+      "stay guidance (r13)") {
+    spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW mcd AS SELECT 11 AS aa, 22 AS ab")
+    // unknown target → DuckDB binder error
+    val e1 = intercept[IllegalArgumentException](DuckDialect.sql(spark,
+      "SELECT COLUMNS(* REPLACE (aa + 1 AS zz)) FROM mcd"))
+    assert(e1.getMessage.contains("not found"), e1.getMessage)
+    // same column in EXCLUDE and REPLACE → DuckDB parser error
+    val e2 = intercept[IllegalArgumentException](DuckDialect.sql(spark,
+      "SELECT COLUMNS(* EXCLUDE (aa) REPLACE (aa + 1 AS aa)) FROM mcd"))
+    assert(e2.getMessage.contains("both"), e2.getMessage)
+    // wrapped REPLACE refuses to guidance (DuckDB names the replaced
+    // column `max(aa := (aa + 10))` — a derived spelling not reproduced)
+    intercept[Exception](DuckDialect.sql(spark,
+      "SELECT max(COLUMNS(* REPLACE (aa + 1 AS aa))) FROM mcd").collect())
   }
 }
