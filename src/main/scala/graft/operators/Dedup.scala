@@ -574,25 +574,51 @@ object Dedup {
     // only new shuffle — incremental cost scales with the batch.
     GraftQuery("q152_incremental_dedup",
       (s, d) => {
+        // r13: full q45 discipline — the old form aggregated posting
+        // lists through raw sort_array(collect_list) (the unbounded
+        // group-state hazard BoundedSortedList exists to close) and
+        // consumed the grouped frame TWICE (cardinalities via a second
+        // explode+groupBy, pairs via expansion), re-running the whole
+        // shingle pipeline per consumer. Now: bounded lists (cap 21 —
+        // exact for every df ≤ 20 survivor), ONE expansion emitting
+        // self-rows, so a single (a, b) aggregate yields cardinalities
+        // (self) AND mixed-pair intersections (the jaccardPairsOf r9
+        // fold), and the two cardinality joins probe the same frame
+        // (ReuseExchange). Values identical; one corpus pass.
         graft.functions.WordShingleHashes.register(s)
+        graft.functions.BoundedSortedList.register(s)
+        graft.functions.OrderedPairs.register(s)
         val sh = docs(s, d).select(col("doc_id"),
           explode(graft.functions.WordShingleHashes
             .shingleHashes(col("text"), 3)).as("s"))
         val grouped = sh.groupBy("s")
-          .agg(sort_array(collect_list("doc_id")).as("ids"))
+          .agg(graft.functions.BoundedSortedList
+            .boundedSortedList(col("doc_id"), 21).as("ids"))
           .filter(size(col("ids")).between(2, 20))
-        val card = grouped.select(explode(col("ids")).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("c"))
         def isNew(c: Column) = pmod(c, lit(10)) === 7
-        val pairs = pairExpand(grouped)
-          .filter(isNew(col("a")) =!= isNew(col("b")))
+        // old-old and new-new pairs can never reach the output — drop
+        // them BEFORE the (a, b) exchange (self rows stay: they carry
+        // every doc's cardinality, and both sides of a mixed pair need
+        // theirs), so the shuffle carries |docs| + mixed pairs instead
+        // of the full q45 pair set
+        val agg = grouped.select(
+            inline(graft.functions.OrderedPairs
+              .orderedPairsWithSelf(col("ids"))))
+          .filter(col("self") || (isNew(col("a")) =!= isNew(col("b"))))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("i"), first(col("self")).as("self"))
+        val card = agg.filter(col("self"))
+          .select(col("a").as("doc_id"), col("i").as("c"))
+        val inter = agg.filter(!col("self"))
           .select(when(isNew(col("a")), col("a")).otherwise(col("b")).as("n"),
-            when(isNew(col("a")), col("b")).otherwise(col("a")).as("o"))
-        val scored = pairs.groupBy("n", "o").agg(count(lit(1)).as("i"))
-          .join(card.select(col("doc_id").as("n"), col("c").as("cn")), "n")
-          .join(card.select(col("doc_id").as("o"), col("c").as("co")), "o")
+            when(isNew(col("a")), col("b")).otherwise(col("a")).as("o"),
+            col("i"))
+        val scored = inter
+          .join(card, col("n") === col("doc_id"))
+          .select(col("n"), col("o"), col("i"), col("c").as("cn"))
+          .join(card, col("o") === col("doc_id"))
           .select(col("n"), col("o"), col("i"),
-            (col("i").cast("double") / (col("cn") + col("co") - col("i")))
+            (col("i").cast("double") / (col("cn") + col("c") - col("i")))
               .as("jaccard"))
           .filter(col("jaccard") >= 0.1)
         val w = Window.partitionBy("n").orderBy(col("jaccard").desc, col("o"))
