@@ -116,11 +116,13 @@ object Bench {
     // plan regression.
     val execMs = new java.util.concurrent.atomic.AtomicLong
     val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val stageCount = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          execMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime); ()
+          execMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+          stageCount.incrementAndGet(); ()
         }
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -200,9 +202,16 @@ object Bench {
       * run per execution; only operator-tree CONSTRUCTION is hoisted).
       * `buildIsWork` queries keep construction in-window (see above).
       *
-      * Returns (best wall, best exec_ms, signed build, rep-1 wall) — the
-      * rep-1 wall feeds `first_build_wall` for eager rows (below). */
-    def materialize(name: String): (Double, Long, Double, Double) = {
+      * Returns (best wall, best exec_ms, signed build, rep-1 wall,
+      * rep-1 jobs, rep-1 stages) — the rep-1 wall feeds
+      * `first_build_wall` for eager rows; the rep-1 job/stage deltas
+      * (r14, VERDICT r13 item 2) make scheduler-floor arguments a
+      * lookup — a weak row's "wall is N jobs × launch constant" reads
+      * straight off bench_detail, and a rework that silently adds a
+      * job diffs across rounds. For eager-build queries the delta
+      * covers the in-window build too, i.e. exactly what `wall` (and a
+      * cold session) pays per rep. */
+    def materialize(name: String): (Double, Long, Double, Double, Int, Int) = {
       val b0 = System.nanoTime()
       val j0 = jobCount.get()
       val built =
@@ -211,7 +220,7 @@ object Bench {
           else Some(SparkEntry.queries(name)(spark, benchDir))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed to build: ${e.getMessage}")
-          return (-1.0, 0L, -1.0, -1.0)
+          return (-1.0, 0L, -1.0, -1.0, 0, 0)
         }
       val build = (System.nanoTime() - b0) / 1e9
       // construction launched jobs ⇒ the build is distributed work, not
@@ -243,7 +252,12 @@ object Bench {
           drainBus()
           (elapsed, execMs.get() - e0)
       }
+      val jq0 = jobCount.get()
+      val sq0 = stageCount.get()
       val r1 = rep()
+      // rep() ends with drainBus(), so the counters are settled here
+      val jobs1 = jobCount.get() - jq0
+      val stages1 = stageCount.get() - sq0
       // Honesty guard: a query's internal persist() registers by
       // CANONICALIZED plan, so rep 2 would silently read rep 1's cached
       // intermediates (measured: q119 2.7 -> 0.6 s) — an asymmetry
@@ -263,7 +277,8 @@ object Bench {
       // between queries so each starts from a clean executor heap — the
       // pause sits outside the timed window.
       System.gc()
-      (best._1, best._2, if (prepared.isDefined) build else -build, r1._1)
+      (best._1, best._2, if (prepared.isDefined) build else -build, r1._1,
+        jobs1, stages1)
     }
 
     // Pre-populate the Tables plan cache for the bench dir (r13):
@@ -314,8 +329,8 @@ object Bench {
     // queries (q188-class, per-dir TrieMap caches) the |build| term IS
     // the training run, so the 0.0x cached wall never reads as the train
     // cost (VERDICT r12 item 6).
-    val detail = results.map { case (k, (w, e, b, w1)) =>
-      val base = s""""$k":{"wall":${math.rint(w * 1000) / 1000},"exec_ms":$e,"build":${math.rint(math.abs(b) * 1000) / 1000},"prepared":${b >= 0}"""
+    val detail = results.map { case (k, (w, e, b, w1, j1, s1)) =>
+      val base = s""""$k":{"wall":${math.rint(w * 1000) / 1000},"exec_ms":$e,"build":${math.rint(math.abs(b) * 1000) / 1000},"prepared":${b >= 0},"jobs":$j1,"stages":$s1"""
       val cold =
         if (b < 0 && w1 >= 0)
           s""","first_build_wall":${math.rint((math.abs(b) + w1) * 1000) / 1000}"""
@@ -334,7 +349,7 @@ object Bench {
     // 2-decimal per-query values: at 150 queries the 3-decimal line is
     // ~1.96k chars, brushing the driver's 2000-char tail capture — 10 ms
     // granularity here is plenty (bench_detail.json keeps 3 decimals)
-    val qs = results.map { case (k, (v, _, _, _)) =>
+    val qs = results.map { case (k, (v, _, _, _, _, _)) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 100) / 100)
     }.mkString("{", ",", "}")
     val total =

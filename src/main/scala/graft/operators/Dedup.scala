@@ -725,13 +725,21 @@ object Dedup {
     // WordShingles replaced; r13 carries the RAW 16-byte digest, which
     // determines the oracle's hex key bijectively — identical groups,
     // smaller shuffle, no hex encode). r13 plan: repeated positions
-    // come from a COUNT-over-k window on the exploded frame — one
-    // k-keyed exchange, group state O(1) (a window repeated 10^6 times
-    // costs one counter, never a pair expansion; this stays
+    // come from a COUNT-over-k window on the exploded frame — ONE
+    // k-keyed exchange and never a pair expansion (this stays
     // sub-quadratic where naive substring dedup is suffix-array
     // territory) — replacing the r11 persist + groupBy + re-join shape
     // (three consumers of a cached 800k-row frame and an extra join
-    // exchange, ~35% of the bench wall). Then a per-doc
+    // exchange, ~35% of the bench wall). Honest scale tradeoff (r14):
+    // WindowExec BUFFERS each key group's rows in a spillable
+    // ExternalAppendOnlyUnsafeRowArray and loses map-side partial
+    // aggregation — a ubiquitous 10-gram's group is O(group) on disk in
+    // one task, where the aggregate+join shape kept O(1) in-memory
+    // state per key. It spills rather than OOMs, and the 100× sweep
+    // measured exponent 0.91, so this is the right default for
+    // natural-language corpora (10-gram df is long-tailed); for an
+    // unknown-skew corpus set spark.graft.windowCount=twoPhase
+    // ([[WindowCount.attach]]) to get the aggregate+join shape back. Then a per-doc
     // gaps-and-islands window (break when p > prev + 10) merges
     // touching windows into maximal spans. Keys are md5 of the 10-gram
     // text so the DuckDB oracle matches bit-for-bit; a 100 TB run
@@ -744,8 +752,7 @@ object Dedup {
           .select(col("doc_id"), posexplode(
             graft.functions.WindowKeyDigests.windowKeyDigests(col("text"), 10)))
           .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("k"))
-        val m = w
-          .withColumn("c", count(lit(1)).over(Window.partitionBy("k")))
+        val m = WindowCount.attach(w, Seq("k"), Seq((count(lit(1)), "c")))
           .filter(col("c") >= 2).select("doc_id", "p")
         val ord = Window.partitionBy("doc_id").orderBy("p")
         val isl = m

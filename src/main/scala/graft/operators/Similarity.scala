@@ -248,46 +248,121 @@ object Similarity {
       |   * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), z -> z*z))))"""
       .stripMargin.replace("\n", " ")
 
-  // ---- shared RRF fusion core (q131 + its q135 rerank successor) ----
+  // ---- shared RRF fusion core (q131 + its q135/q148/q153 successors) ----
 
-  /** Fused retrieval candidates: doc_id, r_lex, r_dense (nullable ranks
-    * from the two top-100 lists), the dense cosine, and the RRF score.
-    * Both branches end in TakeOrdered; the fuse join is 100×100-row
-    * bounded. Empty (with schema) when the query vector is absent. */
+  /** Fused retrieval candidates as a LOCAL literal frame: doc_id, r_lex,
+    * r_dense (nullable ranks from the two top-100 lists), the dense
+    * cosine, the RRF score — plus n_chars and n_tokens carried through
+    * so the q135 rerank prior and the q153 token budget need NO further
+    * corpus scan. Empty (with schema) when the query vector is absent.
+    *
+    * r14 floor rebuild (VERDICT r13 item 1): the r13 shape ran 4–6 jobs
+    * per query (qv collect, stats + df broadcasts off a persisted
+    * posting frame, two TakeOrdered branches, an outer fuse join, rank
+    * windows) — a ~1 s scheduler floor against DuckDB's 0.1 s. Now TWO
+    * bounded one-row collects (each may carry one planner-chosen
+    * broadcast-build job for the candidate join):
+    *
+    *  1. stats+qv — ONE job: a union of the BM25 stats aggregate over
+    *     the candidate join (one row: n_docs, sum_dl, per-term df) and
+    *     the vec_id=0 query-vector row.
+    *  2. both top-100 lists — ONE job: per-doc BM25 score (in-row, the
+    *     stats folded to literals — [[TextAnalysis.bm25InRowScore]])
+    *     and cosine in one codegen projection over the candidate join,
+    *     feeding two [[graft.functions.TopKRowsByScore]] aggregates
+    *     (map-side bounded: each partition ships ≤100 rows per list).
+    *
+    * Rank assignment and RRF fusion then run on ≤200 collected rows
+    * driver-side — the same bounded-by-construction class as the eval
+    * panels — with the oracle's exact double ops (1.0/(60.0+rank),
+    * missing branch → 0.0, summed lex+dense). Values are bit-identical
+    * to the r13 shape: same integers through the same IEEE chains, same
+    * (score DESC, doc_id) / (cos DESC, doc_id) comparators (NaN first,
+    * as both engines sort DESC). At 100 TB the corpus streams through
+    * two scans with constant-size aggregation state and nothing
+    * data-proportional ever reaches the driver. */
   private def rrfFused(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.TopKRowsByScore.register(s)
     val terms = TextAnalysis.QueryTerms
-    val qv = emb(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).collect()
-      .headOption.map(_.getSeq[Double](0)).getOrElse(Seq.empty)
+    val wideSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, r_lex BIGINT, r_dense BIGINT, cos DOUBLE, " +
+        "rrf DOUBLE, n_chars BIGINT, n_tokens BIGINT")
+    val cand = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .join(emb(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+    // job 1: BM25 stats over cand + the query vector, one union, one
+    // collect (≤2 rows)
+    val statsLeg = TextAnalysis.bm25StatsAgg(cand, terms)
+      .select(lit("s").as("tag"), col("n_docs").cast("long").as("n_docs"),
+        col("sum_dl").cast("long").as("sum_dl"),
+        col("df0").cast("long").as("df0"), col("df1").cast("long").as("df1"),
+        col("df2").cast("long").as("df2"),
+        lit(null).cast("array<double>").as("qv"))
+    val qvLeg = emb(s, d).filter(col("vec_id") === 0).limit(1)
+      .select(lit("q").as("tag"), lit(null).cast("long").as("n_docs"),
+        lit(null).cast("long").as("sum_dl"), lit(null).cast("long").as("df0"),
+        lit(null).cast("long").as("df1"), lit(null).cast("long").as("df2"),
+        col("embedding").cast("array<double>").as("qv"))
+    val pre = statsLeg.unionByName(qvLeg).collect()
+    val qv = pre.find(_.getString(0) == "q")
+      .map(_.getSeq[Double](6)).getOrElse(Seq.empty)
+    val st = pre.find(_.getString(0) == "s")
+      .map(r => TextAnalysis.Bm25Stats(
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2),
+        (3 to 5).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+          .toIndexedSeq))
+      .getOrElse(TextAnalysis.Bm25Stats(0L, 0L, IndexedSeq(0L, 0L, 0L)))
     if (qv.isEmpty)
-      emptyResult(s, "doc_id BIGINT, r_lex BIGINT, r_dense BIGINT, " +
-        "cos DOUBLE, rrf DOUBLE")
+      s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        wideSchema)
     else {
-      val cand = Tables.load(s, d, "documents")
-        .join(emb(s, d).filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), col("embedding")),
-          col("doc_id") === col("vec_id"))
-      val dense = cand
-        .select(col("doc_id"),
-          graft.functions.CosineSim
-            .cosineSim(typedLit(qv), col("embedding")).as("cos"))
-        .orderBy(col("cos").desc, col("doc_id")).limit(100)
-        .select(col("doc_id"), col("cos"), row_number()
-          .over(Window.orderBy(col("cos").desc, col("doc_id")))
-          .cast("long").as("r_dense"))
-      val lex = TextAnalysis.bm25Scores(cand, terms)
-        .orderBy(col("score").desc, col("doc_id")).limit(100)
-        .select(col("doc_id"), row_number()
-          .over(Window.orderBy(col("score").desc, col("doc_id")))
-          .cast("long").as("r_lex"))
-      lex.join(dense, Seq("doc_id"), "outer")
-        .select(col("doc_id"), col("r_lex"), col("r_dense"), col("cos"),
-          (coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")),
-            lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60.0) + col("r_dense").cast("double")),
-              lit(0.0))).as("rrf"))
+      // job 2: one codegen projection (score, cos, payload), two
+      // bounded top-100 aggregates, one one-row collect
+      val lowered = lower(col("text"))
+      val scored = cand.select(col("doc_id"),
+        (if (st.nDocs == 0L) lit(null).cast("double")
+         else TextAnalysis.bm25InRowScore(lowered, terms, st)).as("score"),
+        graft.functions.CosineSim
+          .cosineSim(typedLit(qv), col("embedding")).as("cos"),
+        col("n_chars").cast("long").as("nc"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+      val tops = scored.agg(
+        graft.functions.TopKRowsByScore.topkRows(
+          col("score"), col("doc_id"), col("nc"), col("nt"), 100).as("lex"),
+        graft.functions.TopKRowsByScore.topkRows(
+          col("cos"), col("doc_id"), col("nc"), col("nt"), 100).as("dense"))
+        .collect().head
+      val lex = tops.getSeq[org.apache.spark.sql.Row](0)
+      val dense = tops.getSeq[org.apache.spark.sql.Row](1)
+      // driver fusion on ≤200 rows: rank = 1-based position in each
+      // rank-ordered list; the oracle's exact RRF double chain
+      val lexRank = lex.zipWithIndex.map { case (r, i) =>
+        r.getLong(1) -> ((i + 1).toLong, r.getLong(2), r.getLong(3))
+      }.toMap
+      val denseRank = dense.zipWithIndex.map { case (r, i) =>
+        r.getLong(1) -> ((i + 1).toLong, r.getDouble(0), r.getLong(2),
+          r.getLong(3))
+      }.toMap
+      val rows = (lexRank.keySet ++ denseRank.keySet).toSeq.sorted.map { id =>
+        val l = lexRank.get(id)
+        val dn = denseRank.get(id)
+        val rrf = l.map(x => 1.0 / (60.0 + x._1.toDouble)).getOrElse(0.0) +
+          dn.map(x => 1.0 / (60.0 + x._1.toDouble)).getOrElse(0.0)
+        val nc = l.map(_._2).orElse(dn.map(_._3)).get
+        val nt = l.map(_._3).orElse(dn.map(_._4)).get
+        org.apache.spark.sql.Row(id,
+          l.map(x => java.lang.Long.valueOf(x._1)).orNull,
+          dn.map(x => java.lang.Long.valueOf(x._1)).orNull,
+          dn.map(x => java.lang.Double.valueOf(x._2)).orNull,
+          rrf, nc, nt)
+      }
+      s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, wideSchema)
     }
   }
 
@@ -684,14 +759,16 @@ object Similarity {
     // integers, cos is the q48/q49-established bit-exact expression,
     // the length prior is a rational in BIGINT n_chars). The 100 TB
     // shape is the point: the expensive model runs on ≤200 fused rows
-    // regardless of corpus size — the candidates frame broadcasts into
-    // the documents join, the corpus streams only in the first stage.
+    // regardless of corpus size — r14: the fused frame CARRIES n_chars
+    // out of the candidate scan (rrfFused's payload columns), so the
+    // rerank is pure local arithmetic on the ≤200-row literal frame;
+    // the former broadcast-join re-scan of documents is gone. (The
+    // oracle still spells the join — doc_id is unique in documents, so
+    // carrying the column is equivalent.)
     GraftQuery("q135_rerank",
       (s, d) => {
         val fused = rrfFused(s, d)
-        val docs = Tables.load(s, d, "documents")
-          .select(col("doc_id"), col("n_chars"))
-        broadcast(fused).join(docs, Seq("doc_id"))
+        fused
           .select(col("doc_id"), col("r_lex"), col("r_dense"),
             (lit(2.0) * coalesce(lit(1.0) /
                 (lit(1.0) + col("r_lex").cast("double")), lit(0.0)) +
@@ -811,21 +888,17 @@ object Similarity {
     // (prefix semantics — cumulative tokens are monotone, so the
     // cum ≤ 512 filter IS the greedy prefix). Token counts use q40's
     // \S+ tokenizer; candidates are q131's fused ranking. Scale shape:
-    // the corpus streams only inside rrfFused's first stage; the
-    // packing window runs on the bounded ≤20-row candidate frame
-    // (single-partition by construction, like q131's rank windows), and
-    // the text join BROADCASTS the candidate list into the documents
-    // scan — document bodies never shuffle.
+    // the corpus streams only inside rrfFused's two bounded jobs; r14:
+    // n_tokens is CARRIED on the fused literal frame (computed by the
+    // same \S+ tokenizer inside the candidate scan), so the packing is
+    // a window over the ≤20-row local frame — the former broadcast-join
+    // re-scan of document bodies is gone.
     GraftQuery("q153_context_packing",
       (s, d) => {
         val ranked = rrfFused(s, d)
           .orderBy(col("rrf").desc, col("doc_id")).limit(20)
-        val bodies = Tables.load(s, d, "documents")
-          .select(col("doc_id"), col("text"))
-        val withTok = broadcast(ranked).join(bodies, Seq("doc_id"))
-          .select(col("doc_id"), col("rrf"),
-            graft.functions.TextFunctions.tokenCount(col("text"))
-              .as("n_tokens"))
+        val withTok = ranked
+          .select(col("doc_id"), col("rrf"), col("n_tokens"))
         val w = Window.orderBy(col("rrf").desc, col("doc_id"))
         withTok
           .withColumn("pos", row_number().over(w).cast("long"))

@@ -163,44 +163,96 @@ object TextAnalysis {
   /** The fixed 3-term query q126 and q131's lexical branch share. */
   private[operators] val QueryTerms = Seq("spark", "join", "window")
 
-  /** Shared rational-idf Okapi BM25 core (k1=1.2, b=0.75) over a frame
-    * carrying (doc_id, text): per-doc score for `terms`, conditional
-    * aggregates added in WRITTEN term order (the determinism contract —
-    * see q126's Scaladoc). ONE implementation + one oracle fragment
-    * ([[bm25SqlCtes]]) serve both q126 and q131, so the scoring chain
-    * cannot drift between them. */
-  private[operators] def bm25Scores(src: DataFrame, terms: Seq[String])
-      : DataFrame = {
-    require(terms.size == 3, "bm25Scores: fixed 3-term query shape")
-    val toks = src.select(col("doc_id"),
-      regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)).as("ws"))
-    val stats = toks.select(size(col("ws")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    // Persisted: the 3-term posting lists feed df-counts AND scoring —
-    // without it each consumer re-tokenizes the whole corpus (the frame
-    // is bounded by the matched posting lists, not the corpus).
-    val tfc = toks
-      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
-        explode(col("ws")).as("word"))
-      .filter(col("word").isin(terms: _*))
-      .groupBy("doc_id", "dl", "word")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .persistTracked()
-    val dfc = tfc.groupBy("word").agg(count(lit(1)).as("df"))
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    val scored = tfc.join(broadcast(dfc), "word")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("word"),
-        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
-          (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
-          .as("s"))
-    def termScore(t: String) =
-      coalesce(max(when(col("word") === lit(t), col("s"))), lit(0.0))
-    scored.groupBy("doc_id")
-      .agg((termScore(terms(0)) + termScore(terms(1)) + termScore(terms(2)))
-        .as("score"))
+  /** Shared rational-idf Okapi BM25 core (k1=1.2, b=0.75), r14 IN-ROW
+    * form (VERDICT r13 item 1 — the retrieval-family floor rebuild).
+    *
+    * The r13 shape tokenized the corpus into posting lists (explode →
+    * filter → groupBy → persist) and rode df/stats back in as two
+    * broadcasts — 4–6 jobs per query, a ~1 s scheduler floor against
+    * DuckDB's 0.1 s. The r14 shape is two jobs total: (1) ONE bounded
+    * stats collect (n_docs, sum_dl, per-term df — a single row), then
+    * (2) per-doc scores computed IN-ROW from the stats folded to
+    * literals, no explode, no persist, no broadcast, no posting
+    * exchange.
+    *
+    * The in-row tf is `regexp_count(lower(text), '(?<!\p{L})t(?!\p{L})')`
+    * — for a pure-letter term this counts exactly the maximal
+    * `\p{L}+` runs equal to `t` (a match needs no letter on either
+    * side, i.e. the whole token; matches cannot overlap because runs
+    * are disjoint), so it equals the tokenize-then-count the oracle
+    * CTEs ([[bm25SqlCtes]], unchanged) still spell. `dl` is
+    * `regexp_count(lower(text), '\p{L}+')` — one count per maximal
+    * run. All four counts are native codegen scans, no array
+    * materialization.
+    *
+    * Determinism (the oracle-hash rule): idf and avgdl are computed
+    * DRIVER-side with the identical IEEE op sequence the oracle's CTE
+    * chain runs — idf_t = ((n_docs − df_t) exact-int → double + 0.5) /
+    * (df_t → double + 0.5); avgdl = sum_dl→double / n_docs→double —
+    * and embedded as exact double literals; the per-row chain
+    * (idf·(tf·2.2)) / (tf + 1.2·(0.25 + 0.75·(dl/avgdl))) then sums in
+    * WRITTEN term order, unmatched terms contributing literal 0.0
+    * exactly like the oracle's COALESCE(MAX(...), 0.0). Bit-identical
+    * scores to the r13 shape (same integers through the same double
+    * ops). */
+  private[operators] final case class Bm25Stats(
+      nDocs: Long, sumDl: Long, dfs: IndexedSeq[Long])
+
+  private[operators] def bm25Tf(lowered: Column, term: String): Column = {
+    require(term.matches("[a-z]+"),
+      s"bm25 terms must be pure lowercase letters (got '$term') — the " +
+        "letter-boundary regexp_count identity only holds there")
+    regexp_count(lowered, lit("(?<!\\p{L})" + term + "(?!\\p{L})"))
+      .cast("long")
+  }
+
+  private[operators] def bm25Dl(lowered: Column): Column =
+    regexp_count(lowered, lit("\\p{L}+")).cast("long")
+
+  /** One-row aggregate feeding [[Bm25Stats]]: n_docs, sum_dl, df per
+    * term (in `terms` order) over a frame carrying `text`. */
+  private[operators] def bm25StatsAgg(src: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val lowered = lower(col("text"))
+    src.select(bm25Dl(lowered).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          (bm25Tf(lowered, t) > 0).cast("long").as(s"m$i")
+        }: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("dl").as("sum_dl") +:
+          terms.indices.map(i => sum(s"m$i").as(s"df$i"))): _*)
+  }
+
+  private[operators] def bm25StatsOf(row: org.apache.spark.sql.Row,
+      nTerms: Int): Bm25Stats =
+    Bm25Stats(
+      if (row.isNullAt(0)) 0L else row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1),
+      (0 until nTerms).map(i =>
+        if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i)).toIndexedSeq)
+
+  /** In-row per-doc BM25 score for `terms` given collected stats; NULL
+    * (for the top-k aggregate's skip contract) when no term matches. */
+  private[operators] def bm25InRowScore(lowered: Column, terms: Seq[String],
+      st: Bm25Stats): Column = {
+    require(terms.size == 3, "bm25InRowScore: fixed 3-term query shape")
+    val avgdl = st.sumDl.toDouble / st.nDocs.toDouble
+    def termScore(t: String, dft: Long): Column = {
+      val idf = ((st.nDocs - dft).toDouble + 0.5) / (dft.toDouble + 0.5)
+      val tf = bm25Tf(lowered, t)
+      val tfd = tf.cast("double")
+      when(tf > 0,
+        (lit(idf) * (tfd * lit(2.2))) /
+          (tfd + lit(1.2) * (lit(0.25) +
+            lit(0.75) * (bm25Dl(lowered).cast("double") / lit(avgdl)))))
+        .otherwise(lit(0.0))
+    }
+    val s = termScore(terms(0), st.dfs(0)) +
+      termScore(terms(1), st.dfs(1)) + termScore(terms(2), st.dfs(2))
+    val matched = terms.zip(st.dfs).map { case (t, _) =>
+      bm25Tf(lowered, t) > 0
+    }.reduce(_ || _)
+    when(matched, s)
   }
 
   /** DuckDB mirror of [[bm25Scores]] as a CTE chain ending in
@@ -1171,15 +1223,43 @@ object TextAnalysis {
     // exact integers — bit-identical across engines. Per-doc scores
     // combine via per-term conditional aggregates added in WRITTEN
     // order (a double SUM over a shuffled stream would be
-    // order-nondeterministic). Scale shape: two narrow scans (corpus
-    // stats collapse to ONE row with map-side combine; the token
-    // explode is filtered to the |Q|=3 query terms BEFORE the exchange,
-    // so the only data-sized shuffle carries ≤|Q| rows per matching
-    // doc), df/stats ride in as broadcasts, top-k is a TakeOrdered.
+    // order-nondeterministic). Scale shape (r14, in-row BM25 — see
+    // [[bm25InRowScore]]): TWO jobs total — a one-row stats collect,
+    // then one scan scoring every doc in-row (native regexp_count, no
+    // explode/persist/broadcast) ending in the map-side-bounded
+    // [[graft.functions.TopKRowsByScore]] aggregate; the exchange
+    // carries ≤ 20 rows per partition at any corpus size.
     GraftQuery("q126_bm25_search",
-      (s, d) => bm25Scores(docs(s, d), QueryTerms)
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(20),
+      (s, d) => {
+        graft.functions.TopKRowsByScore.register(s)
+        val src = docs(s, d)
+        val st = bm25StatsOf(
+          bm25StatsAgg(src, QueryTerms).collect().head, QueryTerms.size)
+        val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, score DOUBLE")
+        if (st.nDocs == 0L)
+          s.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            outSchema)
+        else {
+          // score in a codegen PROJECTION (subexpression-eliminated
+          // regex counts); the aggregate's interpreted update then
+          // evals plain attribute refs only
+          val lowered = lower(col("text"))
+          val top = src
+            .select(col("doc_id"),
+              bm25InRowScore(lowered, QueryTerms, st).as("score"))
+            .agg(graft.functions.TopKRowsByScore.topkRows(
+              col("score"), col("doc_id"), lit(0L), lit(0L), 20).as("t"))
+            .collect().head.getSeq[org.apache.spark.sql.Row](0)
+          // rank order IS (score DESC, doc_id) — emit it as the rows
+          val rows = top.map(r =>
+            org.apache.spark.sql.Row(r.getLong(1), r.getDouble(0)))
+          s.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+            outSchema)
+        }
+      },
       Some("WITH " + bm25SqlCtes("documents", QueryTerms) +
         " SELECT doc_id, score FROM bm25 " +
         "ORDER BY score DESC, doc_id LIMIT 20"))

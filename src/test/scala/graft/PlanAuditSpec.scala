@@ -31,16 +31,19 @@ class PlanAuditSpec extends AnyFunSuite {
   // baseline (q48 — since r8 gated behind Dedup.exactEmbeddingPairs'
   // 2^16-vector cap: above it the query REFUSES instead of planning
   // the n^2 join, so the whitelisted BNLJ side is bounded by the gate).
+  // r14: q126/q131/q135/q153 left BOTH join censuses — the retrieval
+  // floor rebuild moved their BM25 stats/top-100 machinery into two
+  // bounded BUILD jobs (in-row scoring, TopKRowsByScore aggregates; see
+  // rrfFused's Scaladoc), so the returned frames are literal/local with
+  // no joins at all. The build jobs' one data×data join (documents ⋈
+  // embeddings on the unique key) is the scale plan and runs unhinted.
   private val bnljOk = Set(
     "q27_scalar_subquery", "q35_setops", "q48_dedup_embedding",
     "q58_ann_ivf", "q91_decontamination", "q92_ann_pq",
     "q109_quality_percentile_filter", "q113_rfm",
     "q115_distinctive_terms", "q121_vocab_overlap_sketch",
-    "q126_bm25_search", "q131_hybrid_rrf", "q135_rerank",
     "q132_pmi_bigrams",
     "q133_source_drift", "q141_zipf_coverage",
-    // q153 inherits q131's fused chain (1-row corpus-stats broadcast)
-    "q153_context_packing",
     // q155: 1-row (ct, tt, v) totals frame crossed into the scorer
     "q155_importance_weights",
     // q179: 1-row token-total frame crossed into the surprise scorer
@@ -61,10 +64,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // the corpus onto the near-dup component labels, both doc_id-keyed).
   private val smjOk = Set(
     "q68_outer_joins", "q91_decontamination", "q97_clean_corpus",
-    "q131_hybrid_rrf", "q134_graph_load", "q135_rerank",
+    "q134_graph_load",
     "q145_leakproof_split",
-    // q153 inherits q131's 100×100-row bounded full-outer RRF fuse
-    "q153_context_packing",
     // q156/q157 inherit q97's component → doc resolution left join
     // (survivors ⋈ near-dup labels, both doc_id-keyed)
     "q156_training_manifest", "q157_pipeline_funnel",
@@ -187,12 +188,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "q104_ngram_decontamination", "q109_quality_percentile_filter",
     "q113_rfm", "q114_source_similarity", "q115_distinctive_terms",
     "q121_vocab_overlap_sketch",
-    "q126_bm25_search", "q127_anomaly_hours", "q131_hybrid_rrf",
-    "q132_pmi_bigrams", "q133_source_drift", "q135_rerank",
+    "q127_anomaly_hours",
+    "q132_pmi_bigrams", "q133_source_drift",
     // q168 left this census in r11: its exact side is now a
     // SortedLongsContain set-literal probe in the corpus scan — the
-    // broadcast semi-join (and its hint) is gone
-    "q150_event_transitions", "q153_context_packing",
+    // broadcast semi-join (and its hint) is gone. q126/q131/q135/q153
+    // left in r14: the retrieval floor rebuild removed every hint the
+    // family carried (stats/df broadcasts, the q135/q153 candidate
+    // broadcasts) — see the r14 note above bnljOk.
+    "q150_event_transitions",
     "q155_importance_weights", "q156_training_manifest",
     "q157_pipeline_funnel",
     "q179_unigram_surprise")

@@ -87,22 +87,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
-  test("q126: df/stats broadcast; term filter precedes the tf exchange") {
+  test("q126: r14 in-row BM25 — the returned frame is the collected " +
+    "top-20 literal, no scan/join/exchange survives in it") {
     val p = plan("q126_bm25_search")
-    assert(!p.contains("SortMergeJoin"),
-      s"df and corpus stats must ride in as broadcasts:\n$p")
-    assert(p.contains("TakeOrdered"), "top-k must plan as TakeOrdered")
-    // per-QUERY data-sized exchanges only (the (doc,word) tf rollup build
-    // is cached and amortized across q126/q131/q153 — stripCachedBuilds):
-    // the df word agg over the cache read + the doc-level combine
-    assert(exchanges(p) <= 2, s"bm25 grew extra exchanges:\n$p")
-    // the isin() term filter must sit under the Generate's output, before
-    // any exchange — the exploded token stream never shuffles unfiltered
-    val gen = p.linesIterator.indexWhere(_.contains("Generate explode"))
-    val filt = p.linesIterator.indexWhere(l =>
-      l.contains("Filter") && l.contains("word#"))
-    assert(gen >= 0 && filt >= 0 && filt < gen,
-      s"term filter must apply directly above the explode:\n$p")
+    // the corpus work (one stats collect + one TopKRowsByScore job, both
+    // in-row regexp_count scoring — no explode, no posting persist, no
+    // df/stats broadcasts) happens in the BUILD's two bounded jobs; the
+    // frame handed back is a 20-row local relation
+    assert(p.contains("LocalTableScan"),
+      s"q126 must return the collected literal top-20:\n$p")
+    assert(!p.contains("FileScan") && !p.contains("Join") &&
+      exchanges(p) == 0,
+      s"q126's returned frame must be local:\n$p")
   }
 
   test("q127: hourly rollup persisted once; stats broadcast; top-k TakeOrdered") {

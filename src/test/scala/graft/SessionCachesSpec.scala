@@ -31,9 +31,11 @@ class SessionCachesSpec extends AnyFunSuite {
     spark.sql("CACHE TABLE sc_user_pin")
     assert(spark.catalog.isCached("sc_user_pin"))
 
-    // a query whose operator persists internal frames (BM25's
-    // posting-list rollups) — consume it, then the REPL-shaped release
-    val df = SparkEntry.queries("q126_bm25_search")(spark, sf)
+    // a query whose operator persists internal frames (q115's
+    // distinctive-terms word rollup; q126's former posting persist left
+    // with the r14 in-row BM25 rework) — consume it, then the
+    // REPL-shaped release
+    val df = SparkEntry.queries("q115_distinctive_terms")(spark, sf)
     assert(df.collect().nonEmpty)
     assert(SessionCaches.outstanding(spark) > 0,
       "the query's internal persists should be registered")
