@@ -165,6 +165,13 @@ object DuckDialect {
             case ch => sb.append(ch); i += 1
           }
         }
+      } else if (c == '`') {
+        // backtick identifier (emitted by the pre-bridges, e.g. the
+        // rendered-expression unnest column names — r14): verbatim, or
+        // the scan would rewrite duckisms INSIDE the quoted name
+        sb.append('`'); i += 1
+        while (i < n && sql.charAt(i) != '`') { sb.append(sql.charAt(i)); i += 1 }
+        if (i < n) { sb.append('`'); i += 1 }
       } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         val e = sql.indexOf('\n', i) // line comment: verbatim
         val end = if (e < 0) n else e + 1
@@ -1614,17 +1621,23 @@ object DuckDialect {
       // column after the ARGUMENT — for a plain column ref the leaf
       // name, qualified by the table alias (default `unnest`); verified:
       // `FROM t, unnest(tags) [u]` → column `tags`, referenced as
-      // `unnest.tags` / `u.tags`. Bridged for the simple-column case
-      // only; an EXPRESSION argument gets DuckDB's rendered-expression
-      // name (`(tags || main.list_value(5))`) — not meaningfully
-      // mappable, refuse to guidance.
+      // `unnest.tags` / `u.tags`. r14 (VERDICT r13 item 7): an
+      // EXPRESSION argument names by DuckDB's RENDERED expression text
+      // (verified: `unnest(list_sort( tags ))` → column
+      // `list_sort(tags)`) — reproduced via [[renderDuckAtom]] for the
+      // single-function-call-over-atoms case; spellings DuckDB
+      // re-renders through its own operators (`(tags ||
+      // main.list_value(5))`) still refuse to guidance.
       val unnestCol: String =
         if (isUnnest && colA.isEmpty) {
           val a = inner.trim
           if (a.nonEmpty && a.matches(
             """[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*"""))
             a.substring(a.lastIndexOf('.') + 1)
-          else return None
+          else renderDuckAtom(a) match {
+            case Some(r) if r.contains('(') => r
+            case _ => return None
+          }
         } else ""
       val tblName =
         if (tbl.nonEmpty) tbl
@@ -1634,7 +1647,11 @@ object DuckDialect {
         if (colA.nonEmpty) colA
         else if (isUnnest) unnestCol
         else "generate_series"
-      Some((s" LATERAL VIEW $core $tblName AS $colName", k))
+      // rendered-expression names carry parens/quotes — backtick them
+      val colOut =
+        if (colName.matches("[A-Za-z_][A-Za-z0-9_]*")) colName
+        else "`" + colName.replace("`", "``") + "`"
+      Some((s" LATERAL VIEW $core $tblName AS $colOut", k))
     }
     // after a bridged item the FROM list may only continue with another
     // series item, a clause end, ')' / ';' or the statement end —
@@ -1762,7 +1779,9 @@ object DuckDialect {
   }
 
   private def bridgeAsofJoin(sql: String): String =
-    asofBridge(sql).map(_._1).getOrElse(sql)
+    asofBridge(sql).map(_._1)
+      .orElse(asofChainBridge(sql).map(_._1))
+      .getOrElse(sql)
 
   /** Parsed pieces of a bridgeable ASOF statement the scale guard needs:
     * relations, their aliases, and the CLEAN equi conjuncts as
@@ -2025,6 +2044,256 @@ object DuckDialect {
               "source, then last_value(right-cols) IGNORE NULLS OVER " +
               "(PARTITION BY equi-keys ORDER BY range-col) picks each " +
               "left row's most recent right match in one shuffle.")
+      }
+    }
+
+  /** Multi-join ASOF CHAINS (r14, VERDICT r13 item 3):
+    *   SELECT sel FROM l [la] ASOF [LEFT] JOIN r1 [a1] ON c1
+    *     ASOF [LEFT] JOIN r2 [a2] ON c2 … [tail]
+    * DuckDB parses the chain left-deep: step i picks, per
+    * accumulated-left row, the single nearest r_i row satisfying c_i.
+    * Each step rewrites to a correlated LATERAL subquery —
+    *   [LEFT OUTER] JOIN LATERAL (SELECT * FROM r_i a_i WHERE c_i
+    *     ORDER BY <right-range-expr> <dir> LIMIT 1) a_i ON true
+    * — which preserves ALIAS SCOPING exactly (c_i may reference any
+    * earlier relation's alias; a_i keeps naming the picked row for
+    * later conds and the select list). The single-join rewrite's
+    * derived-table wrap loses those qualifications, which is why
+    * chains refused until r14. Spark decorrelates the LIMIT-1 lateral
+    * (DecorrelateInnerQuery) into the same equi+range join +
+    * per-left-row pick the single bridge spells by hand — verified on
+    * this build — so the scale story is unchanged and the pair gate
+    * applies per step ([[asofChainScaleGuard]]): every ASOF step
+    * yields ≤1 row per left row, so the accumulated left never exceeds
+    * |l| and |l| × max-right-equi-group bounds step i's generated
+    * pairs.
+    * Refusals (the single-bridge stance, per member): WHERE / GROUP BY
+    * / HAVING / QUALIFY / WINDOW / set ops, DISTINCT, a chain MIXING
+    * ASOF with plain joins (join count ≠ asof count), right-deep
+    * (parenthesized) chains and subquery relations (parseIdentChain
+    * only), and any ON whose single inequality does not split cleanly
+    * into a new-alias side vs an earlier-alias side. Ties on the range
+    * expression are nondeterministic in both engines — the documented
+    * single-bridge stance. */
+  private[graft] case class AsofChainJoin(rrel: String, ralias: String,
+    leftJoin: Boolean, cond: String, rightExpr: String, dir: String,
+    rightEquis: Seq[String])
+
+  private[graft] def asofChainBridge(sql: String)
+      : Option[(String, String, Seq[AsofChainJoin])] = {
+    val asofs = topKeywordAll(sql, "asof")
+    if (asofs.length < 2) return None
+    if (hasTopSetOp(sql)) return None
+    for (kw <- Seq("where", "group", "having", "qualify", "window"))
+      if (topKeyword(sql, kw) >= 0) return None
+    if (topKeywordAll(sql, "join").length != asofs.length) return None
+    val sel = topKeyword(sql, "select")
+    val f = topKeyword(sql, "from")
+    if (sel < 0 || f < sel || asofs.head < f) return None
+    var k = sel + 6
+    while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+    if (readWord(sql, k).equalsIgnoreCase("distinct")) return None
+    val selTxt = sql.substring(sel + 6, f).trim
+    var i = f + 4
+    def ws(): Unit =
+      while (i < sql.length && Character.isWhitespace(sql.charAt(i))) i += 1
+    ws()
+    val (lrel, afterL) = parseIdentChain(sql, i).getOrElse(return None)
+    i = afterL; ws()
+    var lalias = lrel.split('.').last
+    if (i < asofs.head) {
+      val w = readWord(sql, i)
+      if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
+        return None
+      lalias = w; i += w.length; ws()
+      if (i != asofs.head) return None
+    }
+    var known: List[String] = List(lalias)
+    val joins = scala.collection.mutable.ArrayBuffer.empty[AsofChainJoin]
+    var tailTxt = ""
+    var jx = 0
+    while (jx < asofs.length) {
+      if (i != asofs(jx)) return None
+      i += 4; ws()
+      var leftJoin = false
+      if (readWord(sql, i).equalsIgnoreCase("left")) {
+        leftJoin = true; i += 4; ws()
+      }
+      if (!readWord(sql, i).equalsIgnoreCase("join")) return None
+      i += 4; ws()
+      val (rrel, afterR) = parseIdentChain(sql, i).getOrElse(return None)
+      i = afterR; ws()
+      var ralias = rrel.split('.').last
+      if (!readWord(sql, i).equalsIgnoreCase("on")) {
+        val w = readWord(sql, i)
+        if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
+          return None
+        ralias = w; i += w.length; ws()
+      }
+      if (!readWord(sql, i).equalsIgnoreCase("on")) return None
+      i += 2
+      val after = sql.substring(i)
+      val condEnd =
+        if (jx + 1 < asofs.length) asofs(jx + 1) - i else tailCut(after)
+      if (condEnd <= 0) return None
+      val cond = after.substring(0, condEnd).trim
+      if (cond.isEmpty) return None
+      if (jx + 1 == asofs.length) tailTxt = after.substring(condEnd).trim
+      analyzeAsofCond(cond, ralias, known) match {
+        case Some((rightExpr, dir, rightEquis)) =>
+          joins += AsofChainJoin(rrel, ralias, leftJoin, cond, rightExpr,
+            dir, rightEquis)
+        case None => return None
+      }
+      known = ralias :: known
+      i += condEnd; ws()
+      jx += 1
+    }
+    val sb = new StringBuilder
+    sb.append(sql.substring(0, sel))
+    sb.append("SELECT ").append(selTxt).append(" FROM ")
+      .append(lrel).append(' ').append(lalias)
+    joins.foreach { j =>
+      sb.append(
+        if (j.leftJoin) " LEFT OUTER JOIN LATERAL " else " JOIN LATERAL ")
+      sb.append(s"(SELECT * FROM ${j.rrel} ${j.ralias} WHERE ${j.cond} ")
+      sb.append(s"ORDER BY ${j.rightExpr} ${j.dir} LIMIT 1) ${j.ralias}")
+      sb.append(" ON true")
+    }
+    if (tailTxt.nonEmpty) sb.append(' ').append(tailTxt)
+    Some((sb.toString, lrel, joins.toSeq))
+  }
+
+  /** One-inequality analysis for a chain step's ON: Some((rightExpr,
+    * dir, rightEquis)) when exactly one top-level inequality splits a
+    * pure new-alias side from an earlier-alias side; rightEquis are the
+    * new-alias sides of clean earlier=new equalities (scale probe). */
+  private def analyzeAsofCond(cond: String, ralias: String,
+      earlier: Seq[String]): Option[(String, String, Seq[String])] = {
+    // depth-INSENSITIVE alias search (unlike the single bridge's
+    // top-level scan): `CAST(e.ts AS DATE)` must count as referencing
+    // `e` — string literals are stripped first so 'e.g.' text can't
+    // false-positive
+    def refsAlias(e: String, a: String): Boolean = {
+      val noStr = e.replaceAll("'(?:[^']|'')*'", " ")
+      java.util.regex.Pattern.compile(
+        "(?i)(?<![A-Za-z0-9_.`\"])" +
+          java.util.regex.Pattern.quote(a) + "\\.").matcher(noStr).find()
+    }
+    def refsEarlier(e: String): Boolean = earlier.exists(refsAlias(e, _))
+    val andAts = topKeywordAll(cond, "and")
+    val bounds = (-3 +: andAts) :+ cond.length
+    val conjs = bounds.sliding(2).map { case Seq(a, b) =>
+      cond.substring(a + 3, b).trim
+    }.toSeq
+    def ineqOp(c: String): Option[(Int, String)] = {
+      var d = 0
+      var j = 0
+      while (j < c.length) {
+        c.charAt(j) match {
+          case '\'' => j += 1
+            while (j < c.length && c.charAt(j) != '\'') j += 1
+            j += 1
+          case '(' | '[' => d += 1; j += 1
+          case ')' | ']' => d -= 1; j += 1
+          case '<' | '>' if d == 0 =>
+            if (j + 1 < c.length && c.charAt(j + 1) == '>') return None
+            val op = if (j + 1 < c.length && c.charAt(j + 1) == '=')
+              c.substring(j, j + 2) else c.substring(j, j + 1)
+            return Some((j, op))
+          case _ => j += 1
+        }
+      }
+      None
+    }
+    val ineqs = conjs.zipWithIndex.flatMap { case (c, ix) =>
+      ineqOp(c).map(o => (ix, c, o._1, o._2))
+    }
+    if (ineqs.length != 1) return None
+    val (ineqIx, ineqC, opAt, op) = ineqs.head
+    val lhs = ineqC.substring(0, opAt).trim
+    val rhs = ineqC.substring(opAt + op.length).trim
+    val (rightExpr, normOp) =
+      (refsAlias(lhs, ralias), refsAlias(rhs, ralias)) match {
+        case (true, false) if refsEarlier(rhs) => (lhs, op)
+        case (false, true) if refsEarlier(lhs) =>
+          (rhs, op match {
+            case "<" => ">"; case "<=" => ">="
+            case ">" => "<"; case ">=" => "<="
+          })
+        case _ => return None
+      }
+    val rightEquis = conjs.zipWithIndex.filter(_._2 != ineqIx).flatMap {
+      case (c, _) =>
+        var d = 0
+        var j = 0
+        var eq = -1
+        while (j < c.length && eq < 0) {
+          c.charAt(j) match {
+            case '\'' => j += 1
+              while (j < c.length && c.charAt(j) != '\'') j += 1
+              j += 1
+            case '(' | '[' => d += 1; j += 1
+            case ')' | ']' => d -= 1; j += 1
+            case '=' if d == 0 &&
+              (j == 0 || "<>!".indexOf(c.charAt(j - 1)) < 0) &&
+              (j + 1 >= c.length || c.charAt(j + 1) != '=') => eq = j
+            case _ => j += 1
+          }
+        }
+        if (eq < 0) None
+        else {
+          val l0 = c.substring(0, eq).trim
+          val r0 = c.substring(eq + 1).trim
+          if (refsAlias(l0, ralias) && !refsEarlier(l0) &&
+            refsEarlier(r0) && !refsAlias(r0, ralias)) Some(l0)
+          else if (refsAlias(r0, ralias) && !refsEarlier(r0) &&
+            refsEarlier(l0) && !refsAlias(l0, ralias)) Some(r0)
+          else None
+        }
+    }
+    val dir = if (normOp == "<" || normOp == "<=") "DESC" else "ASC"
+    Some((rightExpr, dir, rightEquis))
+  }
+
+  /** Chain twin of [[asofScaleGuard]] — one cheap probe per step:
+    * |base left| × the largest right equi group (the accumulated left
+    * never exceeds |base left| because every ASOF step yields ≤1 row
+    * per left row, so this bounds the decorrelated join's generated
+    * pairs from above; no equi conjunct ⇒ the whole right relation is
+    * one group). */
+  private def asofChainScaleGuard(
+      spark: org.apache.spark.sql.SparkSession, text: String): Unit =
+    asofChainBridge(text).foreach { case (_, lrel, joins) =>
+      val maxPairs =
+        spark.conf.get("spark.graft.asof.maxPairs", "50000000").toDouble
+      if (maxPairs >= 0) {
+        val est =
+          try {
+            val nLeft = spark.sql(rewrite(
+              s"SELECT CAST(count(*) AS DOUBLE) FROM $lrel")).head().getDouble(0)
+            joins.map { j =>
+              val mg =
+                if (j.rightEquis.isEmpty)
+                  s"SELECT CAST(count(*) AS DOUBLE) FROM ${j.rrel} ${j.ralias}"
+                else
+                  "SELECT CAST(max(__gc) AS DOUBLE) FROM (SELECT count(*) " +
+                    s"AS __gc FROM ${j.rrel} ${j.ralias} GROUP BY " +
+                    j.rightEquis.mkString(", ") + ")"
+              val r = spark.sql(rewrite(mg)).head()
+              val m = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+              nLeft * m
+            }.max
+          } catch { case scala.util.control.NonFatal(_) => 0.0 }
+        if (est > maxPairs)
+          throw new IllegalArgumentException(
+            f"ASOF JOIN chain refused at this scale: a step of the " +
+              f"lateral bridge would generate ~$est%.0f candidate pairs " +
+              f"(spark.graft.asof.maxPairs = $maxPairs%.0f; raise it or " +
+              "set -1 to force). DuckDB executes ASOF with a dedicated " +
+              "sort-merge operator; at this group size compose the " +
+              "O(n log n) union+ordered-window form per step instead " +
+              "(the q51_asof_join corpus query is the reference shape).")
       }
     }
 
@@ -2451,9 +2720,13 @@ object DuckDialect {
     * z, z_1, …; 'template' with \N regex groups) are bridged (r12 —
     * see the cases below), as is `* [EXCLUDE (…)] REPLACE (expr AS
     * col, …)` for the BARE form (r13 — replaced columns keep position,
-    * named by the alias's spelling; wrapped REPLACE refuses: DuckDB
-    * derives `max(aa := …)` spellings this bridge does not reproduce).
-    * Refused → guidance: wrapped REPLACE,
+    * named by the alias's spelling) and (r14, VERDICT r13 item 6) for
+    * a SINGLE-FUNCTION wrap `fn(COLUMNS(* … REPLACE …))` whose derived
+    * names `fn(col := <rendered expr>)` are mechanically reproducible
+    * ([[duckDerivedName]] — DuckDB-pinned rendering; a bare ident-chain
+    * expression names by its leaf, non-replaced columns keep bare
+    * names, a trailing alias overrides everything).
+    * Refused → guidance: wrapped REPLACE outside that subset,
     * templates on non-regex args, zero matches (DuckDB errors there
     * too), multi-relation FROM. */
   // trailing alias of a COLUMNS item: bare ident, "quoted", or a
@@ -2495,6 +2768,87 @@ object DuckDialect {
       } else { sb.append(ch); i += 1 }
     }
     sb.toString
+  }
+
+  private val BareIdentChainRe =
+    """^[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*$""".r
+
+  /** DuckDB's rendered-expression spelling for the SAFE subset used in
+    * wrapped COLUMNS REPLACE derived names (r14, pinned against the
+    * installed DuckDB — DuckCompatMatrixR14Spec): ident chains, numeric
+    * literals and simple string literals render verbatim; a function
+    * call renders lowercase with ", "-joined atom args (`ABS( aa )` →
+    * `abs(aa)`); ONE top-level binary op renders parenthesized with
+    * single spaces (`aa+10` → `(aa + 10)`). None = not mechanically
+    * reproducible (nested binaries re-associate, unary minus renders
+    * `-(aa)`, casts re-case, …) → the caller refuses to guidance. */
+  private def renderDuckAtom(e0: String): Option[String] = {
+    val e = e0.trim
+    if (BareIdentChainRe.matches(e)) Some(e)
+    else if (e.matches("""\d+(\.\d+)?""")) Some(e)
+    else if (e.length >= 2 && e.head == '\'' && e.last == '\'' &&
+      !e.substring(1, e.length - 1).contains('\'')) Some(e)
+    else {
+      val po = e.indexOf('(')
+      if (po > 0 && e.endsWith(")") &&
+        e.substring(0, po).trim.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+        scanMatch(e, po).contains(e.length)) {
+        val body = e.substring(po + 1, e.length - 1)
+        if (body.trim.isEmpty) None
+        else splitTop(body) match {
+          case Some(args) if args.forall(_.trim.nonEmpty) =>
+            val rs = args.map(a => renderDuckAtom(a).getOrElse(return None))
+            Some(e.substring(0, po).trim.toLowerCase(java.util.Locale.ROOT) +
+              "(" + rs.mkString(", ") + ")")
+          case _ => None
+        }
+      } else None
+    }
+  }
+
+  private def renderDuckExpr(e0: String): Option[String] = {
+    var e = e0.trim
+    while (e.length >= 2 && e.head == '(' && scanMatch(e, 0).contains(e.length))
+      e = e.substring(1, e.length - 1).trim
+    renderDuckAtom(e).orElse {
+      var d = 0
+      var i = 0
+      var opAt = -1
+      var op = ""
+      while (i < e.length) {
+        val c = e.charAt(i)
+        if (c == '\'') {
+          i += 1
+          while (i < e.length && e.charAt(i) != '\'') i += 1
+          i += 1
+        } else if (c == '(') { d += 1; i += 1 }
+        else if (c == ')') { d -= 1; i += 1 }
+        else if (d == 0 && (c == '+' || c == '*' || c == '/' ||
+          (c == '-' && i > 0) ||
+          (c == '|' && i + 1 < e.length && e.charAt(i + 1) == '|'))) {
+          if (opAt >= 0) return None // two top-level ops: not mechanical
+          opAt = i
+          op = if (c == '|') "||" else c.toString
+          i += op.length
+        } else i += 1
+      }
+      if (opAt < 0) None
+      else for {
+        l <- renderDuckAtom(e.substring(0, opAt))
+        r <- renderDuckAtom(e.substring(opAt + op.length))
+      } yield s"($l $op $r)"
+    }
+  }
+
+  /** The output name DuckDB derives for a REPLACEd column inside a
+    * single-function wrap (verified): a bare ident-chain expression
+    * names by its LEAF spelling (no wrapper text); anything else names
+    * `fn(target := <rendered expr>)`. */
+  private def duckDerivedName(fnLower: String, expr: String,
+      target: String): Option[String] = {
+    val t = expr.trim
+    if (BareIdentChainRe.matches(t)) Some(t.substring(t.lastIndexOf('.') + 1))
+    else renderDuckExpr(t).map(r => s"$fnLower($target := $r)")
   }
 
   def bridgeColumns(spark: SparkSession, text: String): Option[String] = {
@@ -2647,6 +3001,8 @@ object DuckDialect {
         val ReplaceRe =
           """(?is)^\*(?:\s+EXCLUDE\s*\((.*?)\))?\s+REPLACE\s*\((.*)\)\s*$""".r
         var replacements = Map.empty[String, (String, String)] // lc -> (expr, alias)
+        var repWrapFn = "" // r14: lowercase fn of a single-function wrap
+        var repDerived = Map.empty[String, String] // lc target -> derived name
         val matched: Seq[String] =
           if (arg == "*") cols
           else arg match {
@@ -2685,10 +3041,29 @@ object DuckDialect {
               replacements = reps.map { case (e, a) =>
                 a.toLowerCase(java.util.Locale.ROOT) -> (e, a)
               }.toMap
-              // wrapped forms refuse (see Scaladoc above); the trailing
-              // alias / template paths compose as for plain expansions
-              if (!(it.substring(0, at).trim.isEmpty && tail.trim.isEmpty))
-                return None
+              // r14 (VERDICT r13 item 6): a SINGLE-FUNCTION wrap bridges
+              // when every derived output name is mechanically
+              // reproducible ([[duckDerivedName]], DuckDB-pinned) or a
+              // trailing alias names the expansion anyway; any other
+              // wrapper (operators around the call, multi-arg calls,
+              // unrenderable expressions) still refuses to guidance.
+              val prefixT = it.substring(0, at)
+              val FnWrapRe = """(?s)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*$""".r
+              if (!(prefixT.trim.isEmpty && tail.trim.isEmpty)) {
+                prefixT match {
+                  case FnWrapRe(fn) if tail.trim == ")" =>
+                    repWrapFn = fn.toLowerCase(java.util.Locale.ROOT)
+                    if (aliasBase.isEmpty) {
+                      if (aliasTemplate.nonEmpty) return None
+                      repDerived = reps.map { case (e, a) =>
+                        a.toLowerCase(java.util.Locale.ROOT) ->
+                          duckDerivedName(repWrapFn, e, a)
+                            .getOrElse(return None)
+                      }.toMap
+                    }
+                  case _ => return None
+                }
+              }
               cols.filterNot(c => ex.exists(_.equalsIgnoreCase(c)))
             case ExcludeRe(body) =>
               val ex = splitTop(body).getOrElse(return None)
@@ -2756,10 +3131,17 @@ object DuckDialect {
           // expression, named by the alias's spelling (always explicit —
           // an expression has no derivable name)
           val repl = rep match {
+            case Some((e, _)) if repWrapFn.nonEmpty =>
+              // wrapped REPLACE: the wrapper applies to the expression
+              it.substring(0, at) + "(" + rewrite(e).trim + ")" + tail
             case Some((e, _)) => "(" + rewrite(e).trim + ")"
             case None => it.substring(0, at) + b + tail
           }
-          val srcName = rep.map(_._2).getOrElse(c)
+          val srcName = rep.map { case (_, a) =>
+            if (repWrapFn.nonEmpty)
+              repDerived.getOrElse(a.toLowerCase(java.util.Locale.ROOT), a)
+            else a
+          }.getOrElse(c)
           val outName: Option[String] =
             (aliasBase, templPattern) match {
               case (Some(base), _) => Some(dedup(base))
@@ -3373,7 +3755,10 @@ object DuckDialect {
         val rewritten = rewrite(expanded.getOrElse(text))
         // the ASOF bridge is the one rewrite whose output can be
         // quadratic in the input — gate it BEFORE execution
-        if (rewritten != text) asofScaleGuard(spark, expanded.getOrElse(text))
+        if (rewritten != text) {
+          asofScaleGuard(spark, expanded.getOrElse(text))
+          asofChainScaleGuard(spark, expanded.getOrElse(text))
+        }
         if (rewritten == text) {
           if (unbridgeable(text))
             throw new IllegalArgumentException(
@@ -3525,7 +3910,11 @@ object DuckDialect {
        |  conjuncts + ONE inequality naming both aliases; no WHERE —
        |  DuckDB filters AFTER the asof pick, a wrap would filter
        |  candidates BEFORE it; no outer GROUP BY; a grouped relation
-       |  needs an explicit alias; multi-join chains are not bridged).
+       |  needs an explicit alias) — AND (r14) for left-deep ALL-ASOF
+       |  multi-join chains over plain relations (each step becomes a
+       |  correlated LATERAL LIMIT-1 pick; chains mixing ASOF with
+       |  plain joins, right-deep parenthesized chains, and subquery
+       |  members still refuse).
        |  The bridge is pair-generating (DuckDB has a dedicated
        |  sort-merge ASOF operator) and SCALE-GATED: statements whose
        |  probed equi-group pair count exceeds spark.graft.asof.maxPairs

@@ -72,7 +72,8 @@ object DuckCompat {
     *    underscore groups) may class differently and can flip the
     *    header guess on adversarial files — the same residual-risk
     *    class as the documented inferSchema width divergence. */
-  private[graft] def sniffCsv(sample: Array[Byte]): Option[(String, Boolean)] = {
+  private[graft] def sniffCsv(sample: Array[Byte],
+      restOfFile: Option[java.nio.file.Path] = None): Option[(String, Boolean)] = {
     val raw = new String(sample, java.nio.charset.StandardCharsets.UTF_8)
     // a full sample buffer likely cut mid-line — drop the partial tail
     val cut =
@@ -117,8 +118,23 @@ object DuckCompat {
         // single-column fallback (DuckDB's own: a file no dialect splits
         // consistently reads as one VARCHAR column of whole lines) —
         // the reader needs a separator that CANNOT occur, or Spark
-        // would split what DuckDB didn't
-        val d = "\u0001\u0007\u001f".find(c => !raw.contains(c))
+        // would split what DuckDB didn't. r14 (ADVICE): absence from
+        // the 64 KB head sample proves nothing about the rest of the
+        // file, so when the sample is partial the caller passes the
+        // path and we stream the WHOLE file before committing to a
+        // synthetic byte — a later occurrence would otherwise split
+        // lines DuckDB reads whole, silently.
+        def absentEverywhere(c: Char): Boolean =
+          !raw.contains(c) && restOfFile.forall { p =>
+            val in = new java.io.BufferedInputStream(
+              java.nio.file.Files.newInputStream(p))
+            try {
+              var b = in.read()
+              while (b >= 0 && b != c.toInt) b = in.read()
+              b < 0
+            } finally in.close()
+          }
+        val d = "\u0001\u0007\u001f".find(absentEverywhere)
           .getOrElse(return None)
         (d, 1, lines.map(Seq(_)))
       case _ => return None // ambiguous tie or ragged under every dialect
@@ -1135,27 +1151,44 @@ object DuckCompat {
               "silently different parse. Pass explicit options, e.g. " +
               "read_csv('f.csv', header = true, delim = ',')")
           if (opts.contains("compression") ||
-            paths.head.matches("(?i).*\\.(gz|zst|bz2|lz4|snappy)$"))
+            paths.exists(_.matches("(?i).*\\.(gz|zst|bz2|lz4|snappy)$")))
             refuse("cannot head-sample a compressed file")
-          val p = java.nio.file.Paths.get(
-            paths.head.stripPrefix("file:"))
-          if (!java.nio.file.Files.isRegularFile(p))
-            refuse(s"cannot sample $p (not a readable plain file)")
-          val ch = java.nio.file.Files.newByteChannel(p)
-          val sample =
-            try {
-              val buf = java.nio.ByteBuffer.allocate(SniffSampleBytes)
-              var n = 0
-              var r = 0
-              while (n < SniffSampleBytes && r >= 0) {
-                r = ch.read(buf); if (r > 0) n += r
-              }
-              java.util.Arrays.copyOf(buf.array(), n)
-            } finally ch.close()
-          sniffed = sniffCsv(sample)
-          if (sniffed.isEmpty)
+          // r14 (ADVICE): sniff EVERY resolved path and require the
+          // dialects to agree — DuckDB re-sniffs each file of a
+          // multi-file read, so parsing later files with the first
+          // file's dialect would silently diverge on mixed directories.
+          val perPath = paths.map { raw =>
+            val p = java.nio.file.Paths.get(raw.stripPrefix("file:"))
+            if (!java.nio.file.Files.isRegularFile(p))
+              refuse(s"cannot sample $p (not a readable plain file; " +
+                "globs are only bridged with explicit options)")
+            val ch = java.nio.file.Files.newByteChannel(p)
+            val sample =
+              try {
+                val buf = java.nio.ByteBuffer.allocate(SniffSampleBytes)
+                var n = 0
+                var r = 0
+                while (n < SniffSampleBytes && r >= 0) {
+                  r = ch.read(buf); if (r > 0) n += r
+                }
+                java.util.Arrays.copyOf(buf.array(), n)
+              } finally ch.close()
+            val partial =
+              if (java.nio.file.Files.size(p) > sample.length) Some(p)
+              else None
+            sniffCsv(sample, partial)
+          }
+          if (perPath.exists(_.isEmpty))
             refuse("the sample's dialect is ambiguous (no single " +
               "delimiter parses every line to one consistent width)")
+          if (perPath.distinct.length > 1)
+            refuse("the files disagree on dialect (" +
+              perPath.flatten.map { case (d, h) =>
+                s"delim=${if (d.head < ' ') "<none>" else d} header=$h"
+              }.distinct.mkString(" vs ") +
+              ") — DuckDB sniffs each file separately; one Spark read " +
+              "cannot")
+          sniffed = perPath.head
         }
         val sniffApplied = sniffed match {
           case Some((d, h)) =>

@@ -306,10 +306,16 @@ object EventOps {
         import org.apache.spark.sql.expressions.Window
         // r13: the whole pipeline runs in INTEGER hour-bucket space —
         // under the UTC session, date_trunc('hour', ts) is exactly
-        // unix_micros(ts) div (3600 * 1e6), and no output column is a
+        // FLOOR(unix_micros(ts) / 3600e6), and no output column is a
         // timestamp, so the per-row timestamp ceremony (truncate →
         // re-encode → unix_timestamp at three later points) collapses
-        // to one integer division at the scan. Bucket arithmetic
+        // to one integer division at the scan. r14: the division is a
+        // true floor in int64 — `x div d` truncates toward zero, which
+        // only equals date_trunc's floor for ts >= epoch; subtracting
+        // pmod (always non-negative) first makes the identity hold for
+        // pre-1970 timestamps too, with no double round-trip (micros
+        // exceed 2^53, so floor(x / 3.6e9) through double is NOT exact).
+        // Bucket arithmetic
         // (lead-diff weights, max-min spans) is then pure int64 —
         // identical values, measured at a third of the executor time.
         // ONE exchange on the natural key: the lead() window and the
@@ -323,7 +329,8 @@ object EventOps {
         val hourly = ev(s, d)
           .repartition(col("user_id"))
           .groupBy(col("user_id"),
-            expr("unix_micros(ts) div 3600000000").as("hb"))
+            expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000")
+              .as("hb"))
           .agg(sum(col("value").cast(DecimalType(18, 2))).as("hv"))
         val w = Window.partitionBy("user_id").orderBy("hb")
         hourly

@@ -203,6 +203,26 @@ object ExtendedOps {
       .stripMargin.replace("\n", " ")
 
 
+  // q196 ASOF multi-join CHAIN (r14, VERDICT r13 item 3): q171's
+  // tie-free self-asof extended one step — "previous document in my
+  // source, then the previous of THAT" — with the second join
+  // referencing the FIRST pick's alias (the chain property the
+  // single-join bridge could not scope) and spelled ASOF LEFT with the
+  // inequality flipped (q.doc_id < p.doc_id) to exercise side
+  // normalization and null-extension. Each step bridges to a
+  // correlated LATERAL LIMIT-1 pick (DuckDialect.asofChainBridge);
+  // doc_id is unique, so both picks are deterministic, and the oracle
+  // runs the identical text in DuckDB's native ASOF operator.
+  private val AsofChainSql: String =
+    """SELECT l.doc_id AS d, CAST(p.doc_id AS BIGINT) AS prev_doc,
+      |CAST(q.doc_id AS BIGINT) AS prev2_doc,
+      |CAST(q.n_chars AS BIGINT) AS prev2_chars
+      |FROM documents l
+      |ASOF JOIN documents p ON l.source = p.source AND l.doc_id > p.doc_id
+      |ASOF LEFT JOIN documents q ON p.source = q.source AND q.doc_id < p.doc_id
+      |ORDER BY d"""
+      .stripMargin.replace("\n", " ")
+
   // q172 — the r10 ANALYSIS-LEVEL bridges in one statement: date_sub
   // (complete clamped intervals), list_extract on STRINGS (1-based
   // character access, '' out of range), list_slice on STRINGS, the
@@ -279,6 +299,19 @@ object ExtendedOps {
       |WHERE lang = 'en'"""
       .stripMargin.replace("\n", " ")
 
+  // r14 (VERDICT r13 item 8): the q175/q194 fixture paths carry a
+  // PER-PROCESS suffix. Both engines read the path out of the same SQL
+  // string (the Spark side executes it through the bridge; Verify dumps
+  // the identical string into oracle_sql.json for the driver's DuckDB
+  // run), so a pid suffix stays consistent within one session while two
+  // concurrent sessions on one box can no longer race the same /tmp
+  // file name — the previous static-path design relied on the content
+  // being SF-invariant to make the race benign; now there is no race.
+  private val FixtureSlug: String = ProcessHandle.current().pid().toString
+  private val Q175CsvPath = s"/tmp/graft_q175_fixture_$FixtureSlug.csv"
+  private val Q175NdPath = s"/tmp/graft_q175_fixture_$FixtureSlug.ndjson"
+  private val Q194CsvPath = s"/tmp/graft_q194_fixture_$FixtureSlug.csv"
+
   // q175 — read_csv / read_json table functions over a fixture BOTH
   // engines read from the same path: the query builder materializes a
   // deterministic CSV+NDJSON pair from the nation dim (25 rows —
@@ -288,10 +321,10 @@ object ExtendedOps {
   // sampler picks INT — the documented width divergence the casts
   // neutralize.
   private val ReadFilesSql: String =
-    """SELECT CAST(c.k AS BIGINT) AS k, c.name AS cname, j.name AS jname,
+    s"""SELECT CAST(c.k AS BIGINT) AS k, c.name AS cname, j.name AS jname,
       |CAST(c.rk AS BIGINT) + CAST(j.rk AS BIGINT) AS rk2
-      |FROM read_csv('/tmp/graft_q175_fixture.csv', header = true, delim = '|') c
-      |JOIN read_json('/tmp/graft_q175_fixture.ndjson') j ON c.k = j.k
+      |FROM read_csv('$Q175CsvPath', header = true, delim = '|') c
+      |JOIN read_json('$Q175NdPath') j ON c.k = j.k
       |ORDER BY k"""
       .stripMargin.replace("\n", " ")
 
@@ -304,8 +337,8 @@ object ExtendedOps {
   // delimiter — the dialect case a wrong sniff corrupts first). Same
   // width-divergence casts as q175.
   private val SniffedCsvSql: String =
-    """SELECT CAST(k AS BIGINT) AS k, name, CAST(rk AS BIGINT) AS rk
-      |FROM read_csv('/tmp/graft_q194_fixture.csv')
+    s"""SELECT CAST(k AS BIGINT) AS k, name, CAST(rk AS BIGINT) AS rk
+      |FROM read_csv('$Q194CsvPath')
       |ORDER BY k"""
       .stripMargin.replace("\n", " ")
 
@@ -573,6 +606,13 @@ object ExtendedOps {
       },
       Some(AsofSql)),
 
+    GraftQuery("q196_duckdb_asof_chain",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, AsofChainSql)
+      },
+      Some(AsofChainSql)),
+
     GraftQuery("q172_duckdb_dialect5",
       (s, d) => {
         T(s, d, "events").createOrReplaceTempView("events")
@@ -609,12 +649,10 @@ object ExtendedOps {
           csv.append(s"$k|$nm|$rk\n")
           nd.append(s"""{"k":$k,"name":"$nm","rk":$rk}\n""")
         }
-        // ATOMIC writes at a STATIC path: the path is embedded in both
-        // engines' SQL so it cannot carry a run slug, but the content
-        // is SF-invariant (nation is identical at every SF — verified)
-        // and an atomic move means a concurrent graft process either
-        // sees the old complete file or the new complete file, both
-        // byte-identical — the collision is benign by construction.
+        // ATOMIC writes at the per-process path (r14): the atomic
+        // move still guards against a reader inside THIS session seeing
+        // a half-written file; cross-session collisions are gone with
+        // the pid suffix.
         def atomicWrite(path: String, bytes: Array[Byte]): Unit = {
           val target = java.nio.file.Paths.get(path)
           val tmp = java.nio.file.Files.createTempFile(
@@ -624,9 +662,9 @@ object ExtendedOps {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
-        atomicWrite("/tmp/graft_q175_fixture.csv",
+        atomicWrite(Q175CsvPath,
           csv.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        atomicWrite("/tmp/graft_q175_fixture.ndjson",
+        atomicWrite(Q175NdPath,
           nd.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         graft.DuckDialect.sql(s, ReadFilesSql)
       },
@@ -635,7 +673,8 @@ object ExtendedOps {
     GraftQuery("q194_duckdb_sniffed_csv",
       (s, d) => {
         // the q175 fixture discipline: deterministic 25-row nation dim,
-        // atomic write at a static path embedded in both engines' SQL.
+        // atomic write at the per-process path embedded in both
+        // engines' SQL (r14).
         // ';' delimiter, quoted name field (one value embeds a ';') —
         // the shapes a wrong sniff corrupts first.
         val rows = T(s, d, "nation")
@@ -649,7 +688,7 @@ object ExtendedOps {
             (if (k % 5 == 0) ";x" else "") + "\""
           csv.append(s"$k;$quoted;$rk\n")
         }
-        val target = java.nio.file.Paths.get("/tmp/graft_q194_fixture.csv")
+        val target = java.nio.file.Paths.get(Q194CsvPath)
         val tmp = java.nio.file.Files.createTempFile(
           target.getParent, ".graft_q194_", ".tmp")
         java.nio.file.Files.write(tmp,
