@@ -1779,9 +1779,7 @@ object DuckDialect {
   }
 
   private def bridgeAsofJoin(sql: String): String =
-    asofBridge(sql).map(_._1)
-      .orElse(asofChainBridge(sql).map(_._1))
-      .getOrElse(sql)
+    asofBridge(sql).map(_._1).getOrElse(sql)
 
   /** Parsed pieces of a bridgeable ASOF statement the scale guard needs:
     * relations, their aliases, and the CLEAN equi conjuncts as
@@ -2052,18 +2050,20 @@ object DuckDialect {
     *     ASOF [LEFT] JOIN r2 [a2] ON c2 … [tail]
     * DuckDB parses the chain left-deep: step i picks, per
     * accumulated-left row, the single nearest r_i row satisfying c_i.
-    * Each step rewrites to a correlated LATERAL subquery —
-    *   [LEFT OUTER] JOIN LATERAL (SELECT * FROM r_i a_i WHERE c_i
-    *     ORDER BY <right-range-expr> <dir> LIMIT 1) a_i ON true
-    * — which preserves ALIAS SCOPING exactly (c_i may reference any
-    * earlier relation's alias; a_i keeps naming the picked row for
-    * later conds and the select list). The single-join rewrite's
-    * derived-table wrap loses those qualifications, which is why
-    * chains refused until r14. Spark decorrelates the LIMIT-1 lateral
-    * (DecorrelateInnerQuery) into the same equi+range join +
-    * per-left-row pick the single bridge spells by hand — verified on
-    * this build — so the scale story is unchanged and the pair gate
-    * applies per step ([[asofChainScaleGuard]]): every ASOF step
+    * The bridge is SESSION-AWARE ([[asofChainExpand]], invoked from the
+    * dialect fallback like bridgeColumns): each step applies the
+    * single-join equi+range + row_number()=1 rewrite, nested as a
+    * derived table whose columns carry an `__<alias>__` prefix built
+    * from the live schema, and every `alias.col` reference in later ON
+    * conditions, the select list and the tail is textually remapped to
+    * the prefixed column — alias scoping survives the nesting without
+    * schema guesses. (A correlated LATERAL LIMIT-1 spelling was tried
+    * first and REJECTED: Spark decorrelates it through a domain join —
+    * a corpus-sized BroadcastNestedLoopJoin that replays the chain
+    * prefix per step, the exact plan class PlanAuditSpec bans; the
+    * iterated hand rewrite keeps each step one equi hash join + a
+    * WindowGroupLimit-pruned pick, q171's audited shape.) The pair
+    * gate applies per step ([[asofChainScaleGuard]]): every ASOF step
     * yields ≤1 row per left row, so the accumulated left never exceeds
     * |l| and |l| × max-right-equi-group bounds step i's generated
     * pairs.
@@ -2071,16 +2071,20 @@ object DuckDialect {
     * / HAVING / QUALIFY / WINDOW / set ops, DISTINCT, a chain MIXING
     * ASOF with plain joins (join count ≠ asof count), right-deep
     * (parenthesized) chains and subquery relations (parseIdentChain
-    * only), and any ON whose single inequality does not split cleanly
-    * into a new-alias side vs an earlier-alias side. Ties on the range
-    * expression are nondeterministic in both engines — the documented
-    * single-bridge stance. */
+    * only), any ON whose single inequality does not split cleanly into
+    * a new-alias side vs an earlier-alias side, a bare `*` select list
+    * (per-relation output names are not reconstructible through the
+    * prefixed nesting), and unaliased non-column select items. Ties on
+    * the range expression are nondeterministic in both engines — the
+    * documented single-bridge stance. */
   private[graft] case class AsofChainJoin(rrel: String, ralias: String,
     leftJoin: Boolean, cond: String, rightExpr: String, dir: String,
     rightEquis: Seq[String])
 
-  private[graft] def asofChainBridge(sql: String)
-      : Option[(String, String, Seq[AsofChainJoin])] = {
+  private[graft] case class AsofChainParts(prefix: String, selTxt: String,
+    lrel: String, lalias: String, joins: Seq[AsofChainJoin], tailTxt: String)
+
+  private[graft] def asofChainBridge(sql: String): Option[AsofChainParts] = {
     val asofs = topKeywordAll(sql, "asof")
     if (asofs.length < 2) return None
     if (hasTopSetOp(sql)) return None
@@ -2149,19 +2153,109 @@ object DuckDialect {
       i += condEnd; ws()
       jx += 1
     }
+    Some(AsofChainParts(sql.substring(0, sel), selTxt, lrel, lalias,
+      joins.toSeq, tailTxt))
+  }
+
+  /** Quote-aware textual remap of `alias.col` references for the
+    * aliases in `earlier` to the prefixed flattened names
+    * `` `__alias__col` ``; string literals and quoted idents pass
+    * through untouched. */
+  private def mapChainRefs(text: String, earlier: Seq[String]): String = {
+    val lower = earlier.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val sb = new StringBuilder
-    sb.append(sql.substring(0, sel))
-    sb.append("SELECT ").append(selTxt).append(" FROM ")
-      .append(lrel).append(' ').append(lalias)
-    joins.foreach { j =>
-      sb.append(
-        if (j.leftJoin) " LEFT OUTER JOIN LATERAL " else " JOIN LATERAL ")
-      sb.append(s"(SELECT * FROM ${j.rrel} ${j.ralias} WHERE ${j.cond} ")
-      sb.append(s"ORDER BY ${j.rightExpr} ${j.dir} LIMIT 1) ${j.ralias}")
-      sb.append(" ON true")
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val j = text.indexOf(c, i + 1)
+        val end = if (j < 0) n else j + 1
+        sb.append(text.substring(i, end)); i = end
+      } else if (Character.isLetter(c) || c == '_') {
+        val w = readWord(text, i)
+        val prevOk = i == 0 || {
+          val p = text.charAt(i - 1)
+          !(Character.isLetterOrDigit(p) || p == '_' || p == '.')
+        }
+        val after = i + w.length
+        if (prevOk && after < n && text.charAt(after) == '.' &&
+          lower(w.toLowerCase(java.util.Locale.ROOT)) &&
+          after + 1 < n && (Character.isLetter(text.charAt(after + 1)) ||
+            text.charAt(after + 1) == '_')) {
+          val col = readWord(text, after + 1)
+          sb.append("`__").append(w).append("__").append(col).append('`')
+          i = after + 1 + col.length
+        } else { sb.append(w); i = after }
+      } else { sb.append(c); i += 1 }
     }
-    if (tailTxt.nonEmpty) sb.append(' ').append(tailTxt)
-    Some((sb.toString, lrel, joins.toSeq))
+    sb.toString
+  }
+
+  /** Session-aware chain expansion (see the chain Scaladoc above):
+    * None when the statement is not a bridgeable chain or a relation's
+    * schema is unavailable. */
+  private[graft] def asofChainExpand(spark: SparkSession,
+      sql: String): Option[String] = asofChainBridge(sql).flatMap { p =>
+    def colsOf(rel: String): Option[Seq[String]] =
+      try Some(spark.table(rel.replace("`", "")).columns.toSeq)
+      catch { case scala.util.control.NonFatal(_) => None }
+    val baseCols = colsOf(p.lrel).getOrElse(return None)
+    def pref(a: String, c: String) = s"__${a}__$c"
+    // accumulated derived-table text; its output columns are the
+    // prefixed flattening of every relation joined so far
+    var acc = "(SELECT " + baseCols.map(c =>
+      s"${p.lalias}.`$c` AS `${pref(p.lalias, c)}`").mkString(", ") +
+      s" FROM ${p.lrel} ${p.lalias})"
+    var earlier: List[String] = List(p.lalias)
+    var accCols: Seq[String] = baseCols.map(c => pref(p.lalias, c))
+    for (j <- p.joins) {
+      val rCols = colsOf(j.rrel).getOrElse(return None)
+      val newCols = rCols.map(c =>
+        s"${j.ralias}.`$c` AS `${pref(j.ralias, c)}`")
+      val cond2 = mapChainRefs(j.cond, earlier)
+      val rexpr2 = mapChainRefs(j.rightExpr, earlier)
+      acc = "(SELECT " +
+        (accCols.map(c => s"`$c`") ++ rCols.map(c =>
+          s"`${pref(j.ralias, c)}`")).mkString(", ") +
+        " FROM (SELECT __L.*, " + newCols.mkString(", ") +
+        ", row_number() OVER (PARTITION BY __graft_cid ORDER BY " +
+        s"$rexpr2 ${j.dir}) AS __graft_crn" +
+        " FROM (SELECT *, monotonically_increasing_id() AS __graft_cid" +
+        s" FROM $acc) __L " +
+        (if (j.leftJoin) "LEFT JOIN " else "JOIN ") +
+        s"${j.rrel} ${j.ralias} ON $cond2) WHERE __graft_crn = 1)"
+      earlier = j.ralias :: earlier
+      accCols = accCols ++ rCols.map(c => pref(j.ralias, c))
+    }
+    // select list: remap references; synthesize DuckDB's leaf output
+    // name for unaliased qualified refs; refuse shapes whose output
+    // name would need engine-side rendering
+    val items = splitTop(p.selTxt).getOrElse(return None).map(_.trim)
+    if (items.exists(_.isEmpty) || items.exists(_.contains("*"))) return None
+    val QualRe = ("""(?s)^([A-Za-z_][A-Za-z0-9_]*)\.""" +
+      """([A-Za-z_][A-Za-z0-9_]*)$""").r
+    val earlierSet = earlier.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val outItems = items.map { it =>
+      ColumnsAliasRe.findFirstMatchIn(it) match {
+        case Some(m) if !m.group(1).startsWith("'") =>
+          mapChainRefs(it.substring(0, m.start), earlier) +
+            " AS " + (if (m.group(1).startsWith("\""))
+              "`" + m.group(1).substring(1, m.group(1).length - 1)
+                .replace("\"\"", "\"") + "`"
+            else m.group(1))
+        case _ => it match {
+          case QualRe(a, c)
+            if earlierSet(a.toLowerCase(java.util.Locale.ROOT)) =>
+            s"`${pref(a, c)}` AS `$c`"
+          case _ => return None // unaliased expression / string alias
+        }
+      }
+    }
+    val tail2 = mapChainRefs(p.tailTxt, earlier)
+    Some(p.prefix + "SELECT " + outItems.mkString(", ") +
+      " FROM " + acc + " __graft_chain" +
+      (if (tail2.isEmpty) "" else " " + tail2))
   }
 
   /** One-inequality analysis for a chain step's ON: Some((rightExpr,
@@ -2264,7 +2358,9 @@ object DuckDialect {
     * one group). */
   private def asofChainScaleGuard(
       spark: org.apache.spark.sql.SparkSession, text: String): Unit =
-    asofChainBridge(text).foreach { case (_, lrel, joins) =>
+    asofChainBridge(text).foreach { p =>
+      val lrel = p.lrel
+      val joins = p.joins
       val maxPairs =
         spark.conf.get("spark.graft.asof.maxPairs", "50000000").toDouble
       if (maxPairs >= 0) {
@@ -3747,18 +3843,26 @@ object DuckDialect {
             bridgeStructUnnest(spark, base1)
           else None).orElse(colsExpanded)
         val base2 = structExpanded.getOrElse(text)
-        val expanded =
+        val expanded0 =
           (if ("""(?i)\breservoir\b""".r.findFirstIn(base2).isDefined &&
             """(?i)\busing\s+sample\b""".r.findFirstIn(base2).isDefined)
             bridgeReservoirPercent(spark, base2)
           else None).orElse(structExpanded)
+        // ASOF chains are session-aware (schemas drive the prefixed
+        // flattening) — expand here, and GATE on the ORIGINAL text
+        // (the expansion destroys the chain shape the guard parses)
+        val base3 = expanded0.getOrElse(text)
+        val chainExpanded =
+          (if ("""(?i)\basof\b""".r.findAllIn(base3).size >= 2) {
+            asofChainScaleGuard(spark, base3)
+            asofChainExpand(spark, base3)
+          } else None).orElse(expanded0)
+        val expanded = chainExpanded
         val rewritten = rewrite(expanded.getOrElse(text))
         // the ASOF bridge is the one rewrite whose output can be
         // quadratic in the input — gate it BEFORE execution
-        if (rewritten != text) {
+        if (rewritten != text)
           asofScaleGuard(spark, expanded.getOrElse(text))
-          asofChainScaleGuard(spark, expanded.getOrElse(text))
-        }
         if (rewritten == text) {
           if (unbridgeable(text))
             throw new IllegalArgumentException(
@@ -3911,10 +4015,11 @@ object DuckDialect {
        |  DuckDB filters AFTER the asof pick, a wrap would filter
        |  candidates BEFORE it; no outer GROUP BY; a grouped relation
        |  needs an explicit alias) — AND (r14) for left-deep ALL-ASOF
-       |  multi-join chains over plain relations (each step becomes a
-       |  correlated LATERAL LIMIT-1 pick; chains mixing ASOF with
-       |  plain joins, right-deep parenthesized chains, and subquery
-       |  members still refuse).
+       |  multi-join chains over plain relations (each step nests the
+       |  same equi+range row_number pick, schema-aware; chains mixing
+       |  ASOF with plain joins, right-deep parenthesized chains,
+       |  subquery members, bare * select lists, and unaliased
+       |  expression items still refuse).
        |  The bridge is pair-generating (DuckDB has a dedicated
        |  sort-merge ASOF operator) and SCALE-GATED: statements whose
        |  probed equi-group pair count exceeds spark.graft.asof.maxPairs

@@ -196,28 +196,37 @@ object EvalMetrics {
             protos.map(_._2).toIndexedSeq)
           // array_position returns the FIRST max ⇒ ties break to the
           // smaller label, mirroring ORDER BY cos DESC, plabel.
+          // r14 floor rebuild (the q131 lesson): the confusion matrix is
+          // ≤|labels|² rows — collect it in ONE job and compose the
+          // per-class metrics driver-side instead of recomputing the cm
+          // subtree through two aggregate branches plus a join and sort
+          // (the r13 plan's extra exchanges were pure scheduler floor).
+          // The driver arithmetic replays the oracle's exact double
+          // chain: prec = tp/predicted (0 when unpredicted), rec =
+          // tp/support, f1 = ((2*prec)*rec)/(prec+rec) with the same
+          // left-associated IEEE ops.
           val cm = e.select(col("label").cast("long").as("label"),
               element_at(pLabels,
                 array_position(cs, array_max(cs)).cast("int")).as("pred"))
             .groupBy("label", "pred").agg(count(lit(1)).as("cnt"))
-          val byTrue = cm.groupBy("label").agg(
-            sum("cnt").as("support"),
-            sum(when(col("pred") === col("label"), col("cnt"))
-              .otherwise(0L)).as("tp"))
-          val byPred = cm.groupBy(col("pred").as("label"))
-            .agg(sum("cnt").as("predicted"))
-          val p = col("tp").cast("double") / col("predicted").cast("double")
-          val r = col("tp").cast("double") / col("support").cast("double")
-          byTrue.join(byPred, Seq("label"), "left")
-            .withColumn("predicted", coalesce(col("predicted"), lit(0L)))
-            .select(col("label"), col("support"), col("tp"), col("predicted"),
-              when(col("predicted") > 0, p).otherwise(0.0d).as("prec"),
-              r.as("rec"))
-            .withColumn("f1",
-              when(col("prec") + col("rec") > 0,
-                lit(2.0d) * col("prec") * col("rec") / (col("prec") + col("rec")))
-                .otherwise(0.0d))
-            .orderBy("label")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val labels = cm.map(_._1).distinct.sorted
+          val rows = labels.map { l =>
+            val support = cm.filter(_._1 == l).map(_._3).sum
+            val tp = cm.filter(c => c._1 == l && c._2 == l).map(_._3).sum
+            val predicted = cm.filter(_._2 == l).map(_._3).sum
+            val prec =
+              if (predicted > 0) tp.toDouble / predicted.toDouble else 0.0
+            val rec = tp.toDouble / support.toDouble
+            val f1 =
+              if (prec + rec > 0) 2.0 * prec * rec / (prec + rec) else 0.0
+            org.apache.spark.sql.Row(l, support, tp, predicted, prec, rec, f1)
+          }
+          s.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "label BIGINT, support BIGINT, tp BIGINT, predicted BIGINT, " +
+                "prec DOUBLE, rec DOUBLE, f1 DOUBLE"))
         }
       },
       Some("""WITH proto AS (SELECT label AS plabel, min(vec_id) AS pid FROM embeddings GROUP BY label),

@@ -306,6 +306,46 @@ class V2CheckpointSpec extends AnyFunSuite {
       s"divergent data: json=$rowsJson parquet=$rowsParq")
   }
 
+  test("a FOREIGN table declaring delta.checkpointPolicy=v2 gets the V2 " +
+    "manifest form from the CLASSIC checkpoint entry point — our " +
+    "maintenance on another writer's v2-policy table writes the form " +
+    "its other readers expect (VERDICT r13 item 9)") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val t = tmpTable()
+    DeltaWrite.write(Seq((1, "a"), (2, "b")).toDF("id", "s").coalesce(1), t)
+    // hand-rebuild version 0 as a foreign commit: protocol already
+    // carrying v2Checkpoint features, metaData configuration already
+    // carrying the policy — OUR writer never set either
+    val v0 = java.nio.file.Paths.get(t, "_delta_log", f"${0L}%020d.json")
+    val lines = java.nio.file.Files.readAllLines(v0).asScala.toSeq
+    val md = lines.find(_.contains("\"metaData\"")).get
+    assert(md.contains("\"configuration\":{}"),
+      "fixture drift: expected an empty configuration to inject into")
+    val md2 = md.replace("\"configuration\":{}",
+      "\"configuration\":{\"delta.checkpointPolicy\":\"v2\"}")
+    val proto2 = """{"protocol":{"minReaderVersion":3,""" +
+      """"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],""" +
+      """"writerFeatures":["v2Checkpoint"]}}"""
+    val rest = lines.filterNot(l =>
+      l.contains("\"metaData\"") || l.contains("\"protocol\""))
+    java.nio.file.Files.write(v0,
+      (proto2 +: md2 +: rest).mkString("", "\n", "\n").getBytes("UTF-8"))
+
+    DeltaWrite.checkpoint(spark, t) // the CLASSIC entry point
+    val names = logNames(t)
+    assert(names.exists(_.matches(
+      """\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.(parquet|json)""")),
+      s"v2 policy must route the classic entry point to the V2 form: $names")
+    assert(!names.exists(_.matches("""\d{20}\.checkpoint\.parquet""")),
+      s"a classic one-shot checkpoint would surprise the table's " +
+        s"other V2 readers: $names")
+    // and the checkpointed table still reads through the V2 path
+    DeltaMaintenance.cleanupLog(spark, t)
+    assert(DeltaLog.read(spark, t).as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
   test("a manifest referencing a missing sidecar is refused loudly") {
     import spark.implicits._
     val t = tmpTable()
