@@ -107,9 +107,14 @@ class DuckCompatMatrixR13Spec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](DuckDialect.sql(spark,
       "SELECT COLUMNS(* EXCLUDE (aa) REPLACE (aa + 1 AS aa)) FROM mcd"))
     assert(e2.getMessage.contains("both"), e2.getMessage)
-    // wrapped REPLACE refuses to guidance (DuckDB names the replaced
-    // column `max(aa := (aa + 10))` — a derived spelling not reproduced)
+    // r14: the single-function wrap BRIDGES with DuckDB's derived
+    // spelling (DuckCompatMatrixR14Spec pins the rendering matrix);
+    // a non-mechanical spelling (nested binary) still refuses
+    val w = DuckDialect.sql(spark,
+      "SELECT max(COLUMNS(* REPLACE (aa + 1 AS aa))) FROM mcd")
+    assert(w.columns.toSeq == Seq("max(aa := (aa + 1))", "ab"))
     intercept[Exception](DuckDialect.sql(spark,
-      "SELECT max(COLUMNS(* REPLACE (aa + 1 AS aa))) FROM mcd").collect())
+      "SELECT max(COLUMNS(* REPLACE (aa + 1 + ab AS aa))) FROM mcd")
+      .collect())
   }
 }

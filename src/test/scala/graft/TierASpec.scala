@@ -373,17 +373,20 @@ class TierASpec extends AnyFunSuite {
     // NOT bridged (pass through → Spark error → guidance): select-list
     // commas, a JOIN after the series (DuckDB can bind the series as
     // the join's LEFT operand — moving it past an outer join would
-    // change the null-extension side), the unaliased comma-unnest of an
-    // EXPRESSION (its DuckDB name is the rendered expression —
-    // unmappable), and multi-column aliases
+    // change the null-extension side), and multi-column aliases
     assert(rewrite("SELECT a, generate_series(1, 3) FROM t") ==
       "SELECT a, sequence(1, 3) FROM t")
     assert(rewrite("SELECT * FROM t, generate_series(1, 3) JOIN u ON x = y")
       .contains(", sequence(1, 3) JOIN"))
     assert(rewrite("SELECT * FROM t, generate_series(1, 3) g(i), u " +
       "LEFT JOIN v ON a = b").contains(", sequence(1, 3) g(i), u"))
-    assert(rewrite("SELECT * FROM t, unnest(generate_series(1, t.n))")
-      .contains(", explode(sequence(1, t.n))"))
+    // r14: the unaliased comma-unnest of a renderable EXPRESSION bridges
+    // with DuckDB's rendered-expression column name (duckdb-verified:
+    // `unnest(generate_series(1, t.n))` → column `generate_series(1,
+    // t.n)`); non-mechanical spellings still pass through to guidance
+    assert(rewrite("SELECT * FROM t, unnest(generate_series(1, t.n))") ==
+      "SELECT * FROM t LATERAL VIEW explode(sequence(1, t.n)) unnest " +
+        "AS `generate_series(1, t.n)`")
     assert(rewrite("SELECT * FROM t, generate_series(1, 3) AS g(i, j)")
       .contains(", sequence(1, 3) AS g(i, j)"))
     // a FROM inside a subquery gets its own depth-scoped bridge
