@@ -783,22 +783,22 @@ object Dedup {
     GraftQuery("q101_dup_passages",
       (s, d) => {
         graft.functions.WordShingleHashes.register(s)
-        val shingled = docs(s, d).select(col("doc_id"),
-          graft.functions.WordShingleHashes
-            .shingleHashes(col("text"), 5).as("arr"))
-        // totals come straight off the shingle array — no shuffle
-        val total = shingled
-          .select(col("doc_id"), size(col("arr")).cast("long").as("total_ngrams"))
-          .filter(col("total_ngrams") > 0)
-        val sh = shingled.select(col("doc_id"), explode(col("arr")).as("s"))
-        val uniq = sh.groupBy("s")
-          .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
-          .filter(col("df") === 1)
-          .groupBy("doc_id").agg(count(lit(1)).as("uniq"))
-        total.join(uniq, Seq("doc_id"), "left")
+        // r14 (the q144/q178 shape): per-shingle df comes from ONE
+        // s-keyed count-over-window ([[WindowCount]] — same spill-backed
+        // tradeoff and twoPhase escape hatch), and BOTH per-doc figures
+        // (total = row count, shingles are distinct per doc; uniq =
+        // df==1 count) fall out of one doc rollup — the former
+        // df-aggregate + re-join and its broadcast/persist are gone.
+        val sh = docs(s, d).select(col("doc_id"),
+          explode(graft.functions.WordShingleHashes
+            .shingleHashes(col("text"), 5)).as("s"))
+        WindowCount.attach(sh, Seq("s"), Seq((count(lit(1)), "df")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("total_ngrams"),
+            sum((col("df") === 1).cast("long")).as("uniq"))
           .select(col("doc_id"), col("total_ngrams"),
-            (col("total_ngrams") - coalesce(col("uniq"), lit(0L)))
-              .cast("long").as("dup_ngrams"))
+            (col("total_ngrams") - col("uniq")).cast("long")
+              .as("dup_ngrams"))
           .filter(col("dup_ngrams") > 0)
           .select(col("doc_id"), col("total_ngrams"), col("dup_ngrams"),
             (col("dup_ngrams").cast("double") / col("total_ngrams"))

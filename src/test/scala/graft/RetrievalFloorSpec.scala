@@ -125,9 +125,10 @@ class RetrievalFloorSpec extends AnyFunSuite {
     assert(q131.nonEmpty)
   }
 
-  test("WindowCount window == twoPhase on q178 and q144 (the skew " +
-    "escape hatch is value-identical)") {
-    for (q <- Seq("q178_repeated_spans", "q144_split_contamination")) {
+  test("WindowCount window == twoPhase on q178, q144 and q101 (the " +
+    "skew escape hatch is value-identical)") {
+    for (q <- Seq("q178_repeated_spans", "q144_split_contamination",
+      "q101_dup_passages")) {
       spark.conf.unset("spark.graft.windowCount")
       val dflt = SparkEntry.queries(q)(spark, sf).collect().map(_.toSeq).toSeq
       spark.conf.set("spark.graft.windowCount", "twoPhase")
