@@ -2067,36 +2067,88 @@ object DuckDialect {
     * yields ≤1 row per left row, so the accumulated left never exceeds
     * |l| and |l| × max-right-equi-group bounds step i's generated
     * pairs.
+    * MIXED chains (r14 second pass): plain [LEFT [OUTER]|INNER] JOIN
+    * steps interleave with ASOF steps — DuckDB's left-deep parse means
+    * a plain step simply joins the accumulated flattening (fan-out
+    * allowed; the scale guard multiplies its largest equi group into
+    * the running row bound that caps later ASOF steps). A plain step
+    * must carry at least one clean earlier=new equality — an equi-free
+    * product inside a chain would plan the nested-loop class the gate
+    * cannot bound.
     * Refusals (the single-bridge stance, per member): WHERE / GROUP BY
-    * / HAVING / QUALIFY / WINDOW / set ops, DISTINCT, a chain MIXING
-    * ASOF with plain joins (join count ≠ asof count), right-deep
+    * / HAVING / QUALIFY / WINDOW / set ops, DISTINCT,
+    * RIGHT/FULL/CROSS/NATURAL members, right-deep
     * (parenthesized) chains and subquery relations (parseIdentChain
-    * only), any ON whose single inequality does not split cleanly into
-    * a new-alias side vs an earlier-alias side, a bare `*` select list
-    * (per-relation output names are not reconstructible through the
-    * prefixed nesting), and unaliased non-column select items. Ties on
-    * the range expression are nondeterministic in both engines — the
+    * only), any ASOF ON whose single inequality does not split cleanly
+    * into a new-alias side vs an earlier-alias side, a bare `*` select
+    * list (per-relation output names are not reconstructible through
+    * the prefixed nesting), and unaliased non-column select items. Ties
+    * on the range expression are nondeterministic in both engines — the
     * documented single-bridge stance. */
   private[graft] case class AsofChainJoin(rrel: String, ralias: String,
-    leftJoin: Boolean, cond: String, rightExpr: String, dir: String,
-    rightEquis: Seq[String])
+    isAsof: Boolean, leftJoin: Boolean, cond: String, rightExpr: String,
+    dir: String, rightEquis: Seq[String])
 
   private[graft] case class AsofChainParts(prefix: String, selTxt: String,
     lrel: String, lalias: String, joins: Seq[AsofChainJoin], tailTxt: String)
 
   private[graft] def asofChainBridge(sql: String): Option[AsofChainParts] = {
     val asofs = topKeywordAll(sql, "asof")
-    if (asofs.length < 2) return None
+    if (asofs.isEmpty) return None
     if (hasTopSetOp(sql)) return None
     for (kw <- Seq("where", "group", "having", "qualify", "window"))
       if (topKeyword(sql, kw) >= 0) return None
-    if (topKeywordAll(sql, "join").length != asofs.length) return None
+    val joinsAt = topKeywordAll(sql, "join")
+    // single-join statements belong to the plain asofBridge
+    if (joinsAt.length < 2) return None
     val sel = topKeyword(sql, "select")
     val f = topKeyword(sql, "from")
-    if (sel < 0 || f < sel || asofs.head < f) return None
+    if (sel < 0 || f < sel || joinsAt.head < f) return None
     var k = sel + 6
     while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
     if (readWord(sql, k).equalsIgnoreCase("distinct")) return None
+    // classify each JOIN's step head by the keywords directly before it
+    // (r14 second pass — MIXED chains): [ASOF] [LEFT [OUTER]|INNER]
+    // JOIN; RIGHT/FULL/CROSS/NATURAL refuse (moving them through the
+    // flattening would change the null-extension side)
+    def prevWordBefore(pos: Int): (String, Int) = {
+      var e = pos
+      while (e > 0 && Character.isWhitespace(sql.charAt(e - 1))) e -= 1
+      var b = e
+      while (b > 0 && (Character.isLetterOrDigit(sql.charAt(b - 1)) ||
+        sql.charAt(b - 1) == '_')) b -= 1
+      (sql.substring(b, e).toLowerCase(java.util.Locale.ROOT), b)
+    }
+    case class Head(start: Int, joinPos: Int, isAsof: Boolean,
+      leftJoin: Boolean)
+    val heads = joinsAt.map { jp =>
+      var start = jp
+      var leftJoin = false
+      var isAsof = false
+      val (w1, s1) = prevWordBefore(jp)
+      w1 match {
+        case "outer" =>
+          val (w2, s2) = prevWordBefore(s1)
+          if (w2 != "left") return None
+          leftJoin = true; start = s2
+          val (w3, s3) = prevWordBefore(s2)
+          if (w3 == "asof") { isAsof = true; start = s3 }
+        case "left" =>
+          leftJoin = true; start = s1
+          val (w2, s2) = prevWordBefore(s1)
+          if (w2 == "asof") { isAsof = true; start = s2 }
+        case "inner" =>
+          start = s1
+          val (w2, _) = prevWordBefore(s1)
+          if (w2 == "asof") return None // DuckDB has no ASOF INNER JOIN
+        case "asof" => isAsof = true; start = s1
+        case "right" | "full" | "cross" | "natural" => return None
+        case _ => // bare JOIN: plain inner step
+      }
+      Head(start, jp, isAsof, leftJoin)
+    }
+    // every top-level ASOF keyword must be consumed as a step head
+    if (heads.count(_.isAsof) != asofs.length) return None
     val selTxt = sql.substring(sel + 6, f).trim
     var i = f + 4
     def ws(): Unit =
@@ -2105,26 +2157,19 @@ object DuckDialect {
     val (lrel, afterL) = parseIdentChain(sql, i).getOrElse(return None)
     i = afterL; ws()
     var lalias = lrel.split('.').last
-    if (i < asofs.head) {
+    if (i < heads.head.start) {
       val w = readWord(sql, i)
       if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
         return None
       lalias = w; i += w.length; ws()
-      if (i != asofs.head) return None
+      if (i != heads.head.start) return None
     }
     var known: List[String] = List(lalias)
     val joins = scala.collection.mutable.ArrayBuffer.empty[AsofChainJoin]
     var tailTxt = ""
-    var jx = 0
-    while (jx < asofs.length) {
-      if (i != asofs(jx)) return None
-      i += 4; ws()
-      var leftJoin = false
-      if (readWord(sql, i).equalsIgnoreCase("left")) {
-        leftJoin = true; i += 4; ws()
-      }
-      if (!readWord(sql, i).equalsIgnoreCase("join")) return None
-      i += 4; ws()
+    for ((h, hx) <- heads.zipWithIndex) {
+      if (i != h.start) return None
+      i = h.joinPos + 4; ws()
       val (rrel, afterR) = parseIdentChain(sql, i).getOrElse(return None)
       i = afterR; ws()
       var ralias = rrel.split('.').last
@@ -2138,23 +2183,84 @@ object DuckDialect {
       i += 2
       val after = sql.substring(i)
       val condEnd =
-        if (jx + 1 < asofs.length) asofs(jx + 1) - i else tailCut(after)
+        if (hx + 1 < heads.length) heads(hx + 1).start - i
+        else tailCut(after)
       if (condEnd <= 0) return None
       val cond = after.substring(0, condEnd).trim
       if (cond.isEmpty) return None
-      if (jx + 1 == asofs.length) tailTxt = after.substring(condEnd).trim
-      analyzeAsofCond(cond, ralias, known) match {
-        case Some((rightExpr, dir, rightEquis)) =>
-          joins += AsofChainJoin(rrel, ralias, leftJoin, cond, rightExpr,
-            dir, rightEquis)
-        case None => return None
+      if (hx + 1 == heads.length) tailTxt = after.substring(condEnd).trim
+      if (h.isAsof) {
+        analyzeAsofCond(cond, ralias, known) match {
+          case Some((rightExpr, dir, rightEquis)) =>
+            joins += AsofChainJoin(rrel, ralias, isAsof = true, h.leftJoin,
+              cond, rightExpr, dir, rightEquis)
+          case None => return None
+        }
+      } else {
+        // plain step: the ON passes through verbatim; at least one
+        // clean earlier=new equality is REQUIRED (an equi-free comma
+        // product inside a chain would plan the nested-loop class the
+        // pair gate cannot bound)
+        val equis = chainRightEquis(splitTopAnd(cond), ralias, known)
+        if (equis.isEmpty) return None
+        joins += AsofChainJoin(rrel, ralias, isAsof = false, h.leftJoin,
+          cond, "", "", equis)
       }
       known = ralias :: known
       i += condEnd; ws()
-      jx += 1
     }
     Some(AsofChainParts(sql.substring(0, sel), selTxt, lrel, lalias,
       joins.toSeq, tailTxt))
+  }
+
+  /** Top-level AND split shared by the chain analyzers. */
+  private def splitTopAnd(cond: String): Seq[String] = {
+    val andAts = topKeywordAll(cond, "and")
+    val bounds = (-3 +: andAts) :+ cond.length
+    bounds.sliding(2).map { case Seq(a, b) =>
+      cond.substring(a + 3, b).trim
+    }.toSeq
+  }
+
+  /** New-alias sides of clean earlier=new equality conjuncts (the
+    * chain scale probe's group keys). */
+  private def chainRightEquis(conjs: Seq[String], ralias: String,
+      earlier: Seq[String]): Seq[String] = {
+    def refsAlias(e: String, a: String): Boolean = {
+      val noStr = e.replaceAll("'(?:[^']|'')*'", " ")
+      java.util.regex.Pattern.compile(
+        "(?i)(?<![A-Za-z0-9_.`\"])" +
+          java.util.regex.Pattern.quote(a) + "\\.").matcher(noStr).find()
+    }
+    def refsEarlier(e: String): Boolean = earlier.exists(refsAlias(e, _))
+    conjs.flatMap { c =>
+      var d = 0
+      var j = 0
+      var eq = -1
+      while (j < c.length && eq < 0) {
+        c.charAt(j) match {
+          case '\'' => j += 1
+            while (j < c.length && c.charAt(j) != '\'') j += 1
+            j += 1
+          case '(' | '[' => d += 1; j += 1
+          case ')' | ']' => d -= 1; j += 1
+          case '=' if d == 0 &&
+            (j == 0 || "<>!".indexOf(c.charAt(j - 1)) < 0) &&
+            (j + 1 >= c.length || c.charAt(j + 1) != '=') => eq = j
+          case _ => j += 1
+        }
+      }
+      if (eq < 0) None
+      else {
+        val l0 = c.substring(0, eq).trim
+        val r0 = c.substring(eq + 1).trim
+        if (refsAlias(l0, ralias) && !refsEarlier(l0) &&
+          refsEarlier(r0) && !refsAlias(r0, ralias)) Some(l0)
+        else if (refsAlias(r0, ralias) && !refsEarlier(r0) &&
+          refsEarlier(l0) && !refsAlias(l0, ralias)) Some(r0)
+        else None
+      }
+    }
   }
 
   /** Quote-aware textual remap of `alias.col` references for the
@@ -2214,17 +2320,28 @@ object DuckDialect {
       val newCols = rCols.map(c =>
         s"${j.ralias}.`$c` AS `${pref(j.ralias, c)}`")
       val cond2 = mapChainRefs(j.cond, earlier)
-      val rexpr2 = mapChainRefs(j.rightExpr, earlier)
-      acc = "(SELECT " +
-        (accCols.map(c => s"`$c`") ++ rCols.map(c =>
-          s"`${pref(j.ralias, c)}`")).mkString(", ") +
-        " FROM (SELECT __L.*, " + newCols.mkString(", ") +
-        ", row_number() OVER (PARTITION BY __graft_cid ORDER BY " +
-        s"$rexpr2 ${j.dir}) AS __graft_crn" +
-        " FROM (SELECT *, monotonically_increasing_id() AS __graft_cid" +
-        s" FROM $acc) __L " +
-        (if (j.leftJoin) "LEFT JOIN " else "JOIN ") +
-        s"${j.rrel} ${j.ralias} ON $cond2) WHERE __graft_crn = 1)"
+      acc =
+        if (j.isAsof) {
+          val rexpr2 = mapChainRefs(j.rightExpr, earlier)
+          "(SELECT " +
+            (accCols.map(c => s"`$c`") ++ rCols.map(c =>
+              s"`${pref(j.ralias, c)}`")).mkString(", ") +
+            " FROM (SELECT __L.*, " + newCols.mkString(", ") +
+            ", row_number() OVER (PARTITION BY __graft_cid ORDER BY " +
+            s"$rexpr2 ${j.dir}) AS __graft_crn" +
+            " FROM (SELECT *, monotonically_increasing_id() AS __graft_cid" +
+            s" FROM $acc) __L " +
+            (if (j.leftJoin) "LEFT JOIN " else "JOIN ") +
+            s"${j.rrel} ${j.ralias} ON $cond2) WHERE __graft_crn = 1)"
+        } else
+          // plain step (r14 mixed chains): no pick, just the join over
+          // the flattened accumulator — fan-out allowed, the scale
+          // guard folds it into the running row bound
+          "(SELECT " +
+            (accCols.map(c => s"`$c`") ++ newCols).mkString(", ") +
+            s" FROM $acc __L " +
+            (if (j.leftJoin) "LEFT JOIN " else "JOIN ") +
+            s"${j.rrel} ${j.ralias} ON $cond2)"
       earlier = j.ralias :: earlier
       accCols = accCols ++ rCols.map(c => pref(j.ralias, c))
     }
@@ -2368,6 +2485,10 @@ object DuckDialect {
           try {
             val nLeft = spark.sql(rewrite(
               s"SELECT CAST(count(*) AS DOUBLE) FROM $lrel")).head().getDouble(0)
+            // running row bound: an ASOF step yields ≤1 row per
+            // accumulated row; a PLAIN step fans out by at most its
+            // largest equi group, so the bound multiplies through it
+            var bound = nLeft
             joins.map { j =>
               val mg =
                 if (j.rightEquis.isEmpty)
@@ -2378,7 +2499,9 @@ object DuckDialect {
                     j.rightEquis.mkString(", ") + ")"
               val r = spark.sql(rewrite(mg)).head()
               val m = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-              nLeft * m
+              val stepPairs = bound * m
+              if (!j.isAsof) bound = bound * math.max(m, 1.0)
+              stepPairs
             }.max
           } catch { case scala.util.control.NonFatal(_) => 0.0 }
         if (est > maxPairs)
@@ -3853,7 +3976,7 @@ object DuckDialect {
         // (the expansion destroys the chain shape the guard parses)
         val base3 = expanded0.getOrElse(text)
         val chainExpanded =
-          (if ("""(?i)\basof\b""".r.findAllIn(base3).size >= 2) {
+          (if ("""(?i)\basof\b""".r.findAllIn(base3).nonEmpty) {
             asofChainScaleGuard(spark, base3)
             asofChainExpand(spark, base3)
           } else None).orElse(expanded0)
@@ -4014,12 +4137,13 @@ object DuckDialect {
        |  conjuncts + ONE inequality naming both aliases; no WHERE —
        |  DuckDB filters AFTER the asof pick, a wrap would filter
        |  candidates BEFORE it; no outer GROUP BY; a grouped relation
-       |  needs an explicit alias) — AND (r14) for left-deep ALL-ASOF
-       |  multi-join chains over plain relations (each step nests the
-       |  same equi+range row_number pick, schema-aware; chains mixing
-       |  ASOF with plain joins, right-deep parenthesized chains,
-       |  subquery members, bare * select lists, and unaliased
-       |  expression items still refuse).
+       |  needs an explicit alias) — AND (r14) for left-deep multi-join
+       |  chains over plain relations containing at least one ASOF step
+       |  (ASOF steps nest the same equi+range row_number pick,
+       |  schema-aware; plain LEFT/INNER steps join the accumulated
+       |  flattening and need one clean equality; RIGHT/FULL/CROSS
+       |  members, right-deep parenthesized chains, subquery members,
+       |  bare * select lists, and unaliased expression items refuse).
        |  The bridge is pair-generating (DuckDB has a dedicated
        |  sort-merge ASOF operator) and SCALE-GATED: statements whose
        |  probed equi-group pair count exceeds spark.graft.asof.maxPairs

@@ -30,6 +30,8 @@ class DuckCompatMatrixR14Spec extends AnyFunSuite {
       .toDF("sym", "qts", "px").createOrReplaceTempView("quotes")
     Seq(("A", 4, 7), ("B", 5, 8))
       .toDF("sym", "fts", "f").createOrReplaceTempView("fills")
+    Seq(("A", "alpha"), ("A", "alpha2"), ("B", "beta"))
+      .toDF("sym", "nm").createOrReplaceTempView("dims")
     Seq((1, 2, "x")).toDF("aa", "ab", "c").createOrReplaceTempView("wr")
   }
 
@@ -68,14 +70,53 @@ class DuckCompatMatrixR14Spec extends AnyFunSuite {
     assert(got3.toSeq == Seq((2, 1, 4), (5, 3, 4), (7, 6, null)))
   }
 
-  test("ASOF chain refusals: mixed asof+plain chain and chain+WHERE " +
-    "go to guidance, never a silently different shape") {
+  test("MIXED asof+plain chains (r14 second pass): plain steps join " +
+    "the accumulated flattening with DuckDB's left-deep semantics " +
+    "(fan-out, plain-first, LEFT with an extra literal conjunct)") {
     fixtures()
-    val mixed = intercept[Exception](DuckDialect.sql(spark,
+    // asof then plain inner — the dim fan-out duplicates the pick
+    val got1 = DuckDialect.sql(spark,
+      "SELECT t.sym, t.tts, q.px, u.nm FROM trades t " +
+        "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+        "JOIN dims u ON u.sym = t.sym " +
+        "ORDER BY t.sym, t.tts, u.nm").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got1.toSeq == Seq(("A", 2, 10, "alpha"), ("A", 2, 10, "alpha2"),
+      ("A", 5, 12, "alpha"), ("A", 5, 12, "alpha2"), ("B", 7, 21, "beta")))
+    // plain FIRST, then an asof referencing the plain side's alias
+    val got2 = DuckDialect.sql(spark,
+      "SELECT t.tts, u.nm, q.qts FROM trades t " +
+        "JOIN dims u ON u.sym = t.sym " +
+        "ASOF JOIN quotes q ON q.sym = u.sym AND q.qts <= t.tts " +
+        "ORDER BY t.tts, u.nm").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(got2.toSeq == Seq((2, "alpha", 1), (2, "alpha2", 1),
+      (5, "alpha", 5), (5, "alpha2", 5), (7, "beta", 6)))
+    // asof then LEFT plain with a literal conjunct (null-extends B)
+    val got3 = DuckDialect.sql(spark,
+      "SELECT t.tts, q.px, u.nm FROM trades t " +
+        "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+        "LEFT JOIN dims u ON u.sym = t.sym AND u.nm = 'alpha' " +
+        "ORDER BY t.tts").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(got3.toSeq == Seq((2, 10, "alpha"), (5, 12, "alpha"),
+      (7, 21, null)))
+  }
+
+  test("ASOF chain refusals: equi-free plain step, RIGHT member, and " +
+    "chain+WHERE go to guidance, never a silently different shape") {
+    fixtures()
+    val equiFree = intercept[Exception](DuckDialect.sql(spark,
       "SELECT t.sym FROM trades t " +
         "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
-        "JOIN fills f ON f.sym = t.sym").collect())
-    assert(mixed.getMessage.contains("ASOF"))
+        "JOIN dims u ON u.nm > t.sym").collect())
+    assert(equiFree.getMessage.contains("ASOF"))
+    val rightMember = intercept[Exception](DuckDialect.sql(spark,
+      "SELECT t.sym FROM trades t " +
+        "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+        "RIGHT JOIN dims u ON u.sym = t.sym").collect())
+    assert(rightMember.getMessage.contains("ASOF"))
     val withWhere = intercept[Exception](DuckDialect.sql(spark,
       "SELECT t.sym, q.px, f.f FROM trades t " +
         "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
