@@ -209,10 +209,13 @@ object ExtendedOps {
   // referencing the FIRST pick's alias (the chain property the
   // single-join bridge could not scope) and spelled ASOF LEFT with the
   // inequality flipped (q.doc_id < p.doc_id) to exercise side
-  // normalization and null-extension. Each step bridges to a
-  // correlated LATERAL LIMIT-1 pick (DuckDialect.asofChainBridge);
-  // doc_id is unique, so both picks are deterministic, and the oracle
-  // runs the identical text in DuckDB's native ASOF operator.
+  // normalization and null-extension. Each step bridges to a nested
+  // equi+range row_number pick over a schema-prefixed flattening
+  // (DuckDialect.asofChainExpand — a LATERAL spelling was tried and
+  // rejected for planning a corpus-sized BNLJ domain join, see the
+  // chain Scaladoc); doc_id is unique, so both picks are
+  // deterministic, and the oracle runs the identical text in DuckDB's
+  // native ASOF operator.
   private val AsofChainSql: String =
     """SELECT l.doc_id AS d, CAST(p.doc_id AS BIGINT) AS prev_doc,
       |CAST(q.doc_id AS BIGINT) AS prev2_doc,
