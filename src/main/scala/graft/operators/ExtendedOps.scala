@@ -226,6 +226,22 @@ object ExtendedOps {
       |ORDER BY d"""
       .stripMargin.replace("\n", " ")
 
+  // q197 MIXED asof+plain chain (r14 second pass): the q196 self-asof
+  // followed by a PLAIN dimension join whose equality references the
+  // ASOF pick's alias (n_nationkey = p.doc_id % 25) — the
+  // "asof-enrich then dimension-join" statement shape the chain bridge
+  // now runs as written (plain steps join the accumulated flattening;
+  // DuckDialect.asofChainExpand). nation's key is unique and the pick
+  // is doc_id-tie-free, so the row set is deterministic; the oracle is
+  // DuckDB's native left-deep chain on the identical text.
+  private val AsofMixedSql: String =
+    """SELECT l.doc_id AS d, CAST(p.doc_id AS BIGINT) AS prev_doc, n.n_name
+      |FROM documents l
+      |ASOF JOIN documents p ON l.source = p.source AND l.doc_id > p.doc_id
+      |JOIN nation n ON n.n_nationkey = p.doc_id % 25
+      |ORDER BY d"""
+      .stripMargin.replace("\n", " ")
+
   // q172 — the r10 ANALYSIS-LEVEL bridges in one statement: date_sub
   // (complete clamped intervals), list_extract on STRINGS (1-based
   // character access, '' out of range), list_slice on STRINGS, the
@@ -615,6 +631,14 @@ object ExtendedOps {
         graft.DuckDialect.sql(s, AsofChainSql)
       },
       Some(AsofChainSql)),
+
+    GraftQuery("q197_duckdb_asof_mixed",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        T(s, d, "nation").createOrReplaceTempView("nation")
+        graft.DuckDialect.sql(s, AsofMixedSql)
+      },
+      Some(AsofMixedSql)),
 
     GraftQuery("q172_duckdb_dialect5",
       (s, d) => {
