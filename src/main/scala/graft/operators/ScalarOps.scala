@@ -126,21 +126,62 @@ object ScalarOps {
 
     // Exact interpolated percentiles: Spark `percentile` and DuckDB
     // `quantile_cont` share the (n-1)p interpolation definition.
+    // r14 SCALE rework: Spark's percentile() aggregate buffers a
+    // value→count OpenHashMap per group — for a CONTINUOUS column
+    // (l_extendedprice: distinct ≈ rows) that map is data-proportional
+    // EXECUTOR HEAP, the one aggregation state in the corpus that grew
+    // with the data (everything else is capped/sketched). The exact
+    // sort-based form instead ranks each group's rows in a window
+    // (WindowExec's buffer is disk-SPILLABLE — q178's documented
+    // tradeoff, here strictly better than an OOM), keeps only the two
+    // bracketing ranks per requested p, and interpolates with
+    // quantile_cont's exact double chain (v_lo + d·(v_hi − v_lo), d =
+    // (n−1)p − ⌊(n−1)p⌋ — duck-pinned, hash-exact). Same one group-key
+    // exchange; the flag groups sort in parallel. (The global
+    // single-threshold forms — q109/q113 — keep percentile(): an empty
+    // partitionBy window would serialize onto one task, trading an
+    // in-memory buffer for a worse bottleneck.)
     GraftQuery("q39_percentiles",
-      (s, d) => T(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          // the ARRAY form shares ONE value-count buffer per column per
-          // group where per-percentile calls would each build (and
-          // partial-serialize) their own — the dominant cost of exact
-          // percentiles at scale is that map's shuffle bytes, so this
-          // halves it; the interpolation arithmetic is identical
-          expr("percentile(l_quantity, array(0.5, 0.9))").as("pq"),
-          expr("percentile(l_extendedprice, 0.5)").as("med_price"))
-        .select(col("l_returnflag"),
-          col("pq")(0).as("med_qty"), col("pq")(1).as("p90_qty"),
-          col("med_price"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // both columns rank in ONE pass: every window shares the flag
+        // partitioning, so the plan is one exchange + three in-partition
+        // sorts, and the bracketing-row aggregate RIDES that
+        // partitioning (grouping key ⊇ partition exprs). lineitem's
+        // quantity/price are non-null by schema; a null-bearing column
+        // would need its own branch so its n excludes nulls per column.
+        val w = Window.partitionBy("l_returnflag")
+        val ps = Seq(("__q", 0.5, "med_qty"), ("__q", 0.9, "p90_qty"),
+          ("__p", 0.5, "med_price"))
+        val ranked = T(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("double").as("__q"),
+            col("l_extendedprice").cast("double").as("__p"))
+          .withColumn("__rnq", row_number().over(w.orderBy("__q")).cast("long"))
+          .withColumn("__rnp", row_number().over(w.orderBy("__p")).cast("long"))
+          .withColumn("__n", count(lit(1)).over(w))
+        def rn(v: String) = if (v == "__q") col("__rnq") else col("__rnp")
+        def idx(p: Double) = (col("__n") - 1L).cast("double") * lit(p)
+        def loRn(p: Double) = floor(idx(p)).cast("long") + 1L
+        def hiRn(p: Double) = least(loRn(p) + 1L, col("__n"))
+        val keep = ps.map { case (v, p, _) =>
+          rn(v) === loRn(p) || rn(v) === hiRn(p)
+        }.reduce(_ || _)
+        val aggs = ps.flatMap { case (v, p, nm) => Seq(
+          max(when(rn(v) === loRn(p), col(v))).as(s"__lo_$nm"),
+          max(when(rn(v) === hiRn(p), col(v))).as(s"__hi_$nm"))
+        } :+ max("__n").as("__n")
+        val outs = ps.map { case (_, p, nm) =>
+          val ix = (col("__n") - 1L).cast("double") * lit(p)
+          val fr = ix - floor(ix)
+          (col(s"__lo_$nm") + fr * (col(s"__hi_$nm") - col(s"__lo_$nm")))
+            .as(nm)
+        }
+        ranked.filter(keep).groupBy("l_returnflag")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("l_returnflag") +: outs: _*)
+          .orderBy("l_returnflag")
+      },
       Some("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty, " +
         "quantile_cont(l_quantity, 0.9) AS p90_qty, " +
         "quantile_cont(l_extendedprice, 0.5) AS med_price " +
