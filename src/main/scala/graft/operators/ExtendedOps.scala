@@ -440,7 +440,7 @@ object ExtendedOps {
     // keys. The oracle states the equivalent result without maps (DuckDB
     // map-extract returns lists in 1.0 — semantics differ, results must
     // not).
-    // The 100 TB form of q39: approx_percentile's fixed-size QuantileSummaries
+    // The sketch form of q39: approx_percentile's fixed-size QuantileSummaries
     // sketch replaces exact percentile's per-group value buffer (which is
     // O(group size) memory — the VERDICT r01 flag). r9: ORACLED
     // ERROR-BOUND ROW — the exact percentiles are SQL-expressible
@@ -449,24 +449,54 @@ object ExtendedOps {
     // 1% of them (the CorpusSpec bound); a sketch regression now breaks
     // the hash. Both aggregates compute in ONE groupBy pass.
     GraftQuery("q74_percentiles_approx",
-      (s, d) => T(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          // ARRAY forms: one exact value-count buffer and one
-          // QuantileSummaries sketch serve both percentiles (separate
-          // per-percentile calls would double the partial-agg shuffle
-          // state — the dominant cost of the exact side at scale)
-          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("pex"),
-          percentile_approx(col("l_extendedprice"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // r14: the exact DIFFERENTIAL side now uses q39's sort +
+        // bracketing-rank form (disk-spillable window buffer) instead
+        // of percentile()'s value→count map, whose entries ≈ rows for
+        // the continuous price column — the same data-proportional
+        // executor-heap state q39 shed. The sketch branch aggregates
+        // the raw scan (map-side-combined QuantileSummaries); the two
+        // 3-row flag frames join at the end.
+        val w = Window.partitionBy("l_returnflag")
+        val ps = Seq(0.5 -> "p50_exact", 0.95 -> "p95_exact")
+        val ranked = T(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast("double").as("__p"))
+          .withColumn("__rn", row_number().over(w.orderBy("__p")).cast("long"))
+          .withColumn("__n", count(lit(1)).over(w))
+        def idx(p: Double) = (col("__n") - 1L).cast("double") * lit(p)
+        def loRn(p: Double) = floor(idx(p)).cast("long") + 1L
+        def hiRn(p: Double) = least(loRn(p) + 1L, col("__n"))
+        val keep = ps.map { case (p, _) =>
+          col("__rn") === loRn(p) || col("__rn") === hiRn(p)
+        }.reduce(_ || _)
+        val aggs = ps.flatMap { case (p, nm) => Seq(
+          max(when(col("__rn") === loRn(p), col("__p"))).as(s"__lo_$nm"),
+          max(when(col("__rn") === hiRn(p), col("__p"))).as(s"__hi_$nm"))
+        } :+ max("__n").as("__n")
+        val exact = ranked.filter(keep).groupBy("l_returnflag")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("l_returnflag") +: ps.map { case (p, nm) =>
+            val ix = (col("__n") - 1L).cast("double") * lit(p)
+            val fr = ix - floor(ix)
+            (col(s"__lo_$nm") + fr * (col(s"__hi_$nm") - col(s"__lo_$nm")))
+              .as(nm)
+          }: _*)
+        val sketch = T(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(percentile_approx(col("l_extendedprice"),
             array(lit(0.5), lit(0.95)), lit(10000)).as("pap"),
-          count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-          col("pex")(0).as("p50_exact"), col("pex")(1).as("p95_exact"),
-          col("n"),
-          (abs(col("pap")(0) - col("pex")(0)) <= col("pex")(0) * 0.01 &&
-            abs(col("pap")(1) - col("pex")(1)) <= col("pex")(1) * 0.01)
-            .cast("long").as("approx_ok"))
-        .orderBy("l_returnflag"),
+            count(lit(1)).as("n"))
+        exact.join(sketch, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            col("p50_exact"), col("p95_exact"), col("n"),
+            (abs(col("pap")(0) - col("p50_exact")) <=
+              col("p50_exact") * 0.01 &&
+              abs(col("pap")(1) - col("p95_exact")) <=
+                col("p95_exact") * 0.01)
+              .cast("long").as("approx_ok"))
+          .orderBy("l_returnflag")
+      },
       Some("SELECT l_returnflag, " +
         "quantile_cont(l_extendedprice, 0.5) AS p50_exact, " +
         "quantile_cont(l_extendedprice, 0.95) AS p95_exact, " +
