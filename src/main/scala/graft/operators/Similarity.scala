@@ -292,11 +292,13 @@ object Similarity {
     * the per-query work that remains per execution is the real
     * retrieval scan (job 2). */
   private val rrfPreCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[Double], TextAnalysis.Bm25Stats)]
+    .empty[(String, Long, Long), (Seq[Double], TextAnalysis.Bm25Stats)]
 
   private def rrfPre(s: SparkSession, d: String)
       : (Seq[Double], TextAnalysis.Bm25Stats) =
-    rrfPreCache.getOrElseUpdate(d, {
+    rrfPreCache.getOrElseUpdate((d,
+      TextAnalysis.sourceStamp(d, "documents"),
+      TextAnalysis.sourceStamp(d, "embeddings")), {
       val terms = TextAnalysis.QueryTerms
       val cand = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"))

@@ -218,16 +218,25 @@ object TextAnalysis {
     * bench reports the cold cost through first_build_wall (the
     * q188-class convention). */
   private val bm25StatsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Bm25Stats]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Bm25Stats]
 
   /** q168's decontamination-panel shingle set, per corpus dir — the
     * same versioned-eval-suite class (bounded by the 16 MiB set-literal
     * refusal at the use site). */
   private val decontPanelCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Long]]
+
+  /** Cache keys carry the source's last-modified stamp (r14 review
+    * follow-up): a corpus dir REWRITTEN IN PLACE re-collects instead of
+    * serving stale index metadata — one metadata stat per call, far
+    * cheaper than the collect it guards. */
+  private[graft] def sourceStamp(d: String, table: String): Long =
+    try java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(d, s"$table.parquet")).toMillis
+    catch { case scala.util.control.NonFatal(_) => 0L }
 
   private[graft] def bm25DocStats(s: SparkSession, d: String): Bm25Stats =
-    bm25StatsCache.getOrElseUpdate(d,
+    bm25StatsCache.getOrElseUpdate((d, sourceStamp(d, "documents")),
       bm25StatsOf(bm25StatsAgg(docs(s, d), QueryTerms).collect().head,
         QueryTerms.size))
 
@@ -1528,7 +1537,8 @@ object TextAnalysis {
         // production), which also retires the r10 persistTracked
         // shared frame: the panel build no longer shares a subplan
         // with the corpus scan, so the warm path is ONE corpus pass.
-        val panel = decontPanelCache.getOrElseUpdate(d,
+        val panel = decontPanelCache.getOrElseUpdate(
+          (d, sourceStamp(d, "documents")),
           docs(s, d).filter(pmod(col("doc_id"), lit(97)) === 0)
             .select(explode(graft.functions.WordShingleHashes
               .shingleHashes(col("text"), 5)).as("h"))
