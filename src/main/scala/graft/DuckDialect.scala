@@ -3973,12 +3973,19 @@ object DuckDialect {
           else None).orElse(structExpanded)
         // ASOF chains are session-aware (schemas drive the prefixed
         // flattening) — expand here, and GATE on the ORIGINAL text
-        // (the expansion destroys the chain shape the guard parses)
+        // (the expansion destroys the chain shape the guard parses).
+        // The guard runs only AFTER a successful expansion (ADVICE
+        // r14): asofChainExpand can still refuse a statement the chain
+        // parser accepted (bare *, unresolvable schema, unaliased
+        // expression items) — such statements must reach the guidance
+        // path, not pay probe queries and die on a misleading
+        // 'refused at this scale'.
         val base3 = expanded0.getOrElse(text)
         val chainExpanded =
           (if ("""(?i)\basof\b""".r.findAllIn(base3).nonEmpty) {
-            asofChainScaleGuard(spark, base3)
-            asofChainExpand(spark, base3)
+            val ex = asofChainExpand(spark, base3)
+            if (ex.isDefined) asofChainScaleGuard(spark, base3)
+            ex
           } else None).orElse(expanded0)
         val expanded = chainExpanded
         val rewritten = rewrite(expanded.getOrElse(text))

@@ -44,6 +44,25 @@ case class TopKRowsByScore(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKRowsByScore.Buf] {
 
+  /** Analysis-time typing (ADVICE r14): registration goes through
+    * `call_function` with no coercion, so without a declared check a
+    * mistyped caller (int score, string id) died with a
+    * ClassCastException inside aggregation. Mistyped calls now fail
+    * at analysis with the expected signature spelled out. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val expect = Seq(("score", DoubleType), ("id", LongType),
+      ("p1", LongType), ("p2", LongType))
+    children.zip(expect).collectFirst {
+      case (c, (name, t)) if c.dataType != t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"graft_topk_rows expects $name: " +
+            s"${t.simpleString}, got ${c.dataType.simpleString} — cast " +
+            "the argument explicitly")
+    }.getOrElse(org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckSuccess)
+  }
+
   require(k > 0 && k <= (1 << 12), s"graft_topk_rows k out of range: $k")
 
   override def createAggregationBuffer(): TopKRowsByScore.Buf =

@@ -296,9 +296,9 @@ object Similarity {
 
   private def rrfPre(s: SparkSession, d: String)
       : (Seq[Double], TextAnalysis.Bm25Stats) =
-    rrfPreCache.getOrElseUpdate((d,
+    TextAnalysis.stampCached(rrfPreCache, (d,
       TextAnalysis.sourceStamp(d, "documents"),
-      TextAnalysis.sourceStamp(d, "embeddings")), {
+      TextAnalysis.sourceStamp(d, "embeddings")))(_._1 == d) {
       val terms = TextAnalysis.QueryTerms
       val cand = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"))
@@ -328,7 +328,7 @@ object Similarity {
             .toIndexedSeq))
         .getOrElse(TextAnalysis.Bm25Stats(0L, 0L, IndexedSeq(0L, 0L, 0L)))
       (qv, st)
-    })
+    }
 
   private def rrfFused(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)

@@ -227,16 +227,58 @@ object TextAnalysis {
     scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Long]]
 
   /** Cache keys carry the source's last-modified stamp (r14 review
-    * follow-up): a corpus dir REWRITTEN IN PLACE re-collects instead of
-    * serving stale index metadata — one metadata stat per call, far
-    * cheaper than the collect it guards. */
+    * follow-up, hardened r15 per ADVICE): a corpus dir REWRITTEN IN
+    * PLACE re-collects instead of serving stale index metadata — one
+    * metadata stat pass per call, far cheaper than the collect it
+    * guards. For a `<table>.parquet` DIRECTORY the stamp folds the max
+    * CHILD mtime and the child count: overwriting part files under the
+    * same names does not bump the directory's own mtime, and a part
+    * added or removed changes the count even when mtimes collide. A
+    * stat failure yields a fresh NEGATIVE stamp per call (never the
+    * old r14 constant 0L, which pinned the first entry forever) — the
+    * caller recomputes every time and caches nothing reusable. */
   private[graft] def sourceStamp(d: String, table: String): Long =
-    try java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(d, s"$table.parquet")).toMillis
-    catch { case scala.util.control.NonFatal(_) => 0L }
+    try {
+      val p = java.nio.file.Paths.get(d, s"$table.parquet")
+      if (java.nio.file.Files.isDirectory(p)) {
+        val children = java.nio.file.Files.list(p)
+        try {
+          var maxM = java.nio.file.Files.getLastModifiedTime(p).toMillis
+          var n = 0L
+          children.forEach { c =>
+            n += 1
+            val m = java.nio.file.Files.getLastModifiedTime(c).toMillis
+            if (m > maxM) maxM = m
+          }
+          maxM * 65537L + n
+        } finally children.close()
+      } else java.nio.file.Files.getLastModifiedTime(p).toMillis
+    } catch {
+      case scala.util.control.NonFatal(_) => StampFailures.getAndDecrement()
+    }
+
+  /** Distinct negative stamps for unstat-able sources: each failure
+    * misses the cache instead of aliasing onto one shared key. */
+  private val StampFailures =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Stamped-cache lookup shared by the per-dir metadata caches: builds
+    * BEFORE inserting (a build that throws — e.g. the q168 panel bound
+    * — pins nothing) and EVICTS superseded stamps of the same dir, so a
+    * long-lived session holds at most one model per (cache, dir). */
+  private[graft] def stampCached[K, V](
+      cache: scala.collection.concurrent.TrieMap[K, V], key: K)(
+      sameDir: K => Boolean)(build: => V): V =
+    cache.get(key) match {
+      case Some(v) => v
+      case None =>
+        val v = build
+        cache.keys.filter(k => k != key && sameDir(k)).foreach(cache.remove)
+        cache.putIfAbsent(key, v).getOrElse(v)
+    }
 
   private[graft] def bm25DocStats(s: SparkSession, d: String): Bm25Stats =
-    bm25StatsCache.getOrElseUpdate((d, sourceStamp(d, "documents")),
+    stampCached(bm25StatsCache, (d, sourceStamp(d, "documents")))(_._1 == d)(
       bm25StatsOf(bm25StatsAgg(docs(s, d), QueryTerms).collect().head,
         QueryTerms.size))
 
@@ -1537,24 +1579,29 @@ object TextAnalysis {
         // production), which also retires the r10 persistTracked
         // shared frame: the panel build no longer shares a subplan
         // with the corpus scan, so the warm path is ONE corpus pass.
-        val panel = decontPanelCache.getOrElseUpdate(
-          (d, sourceStamp(d, "documents")),
-          docs(s, d).filter(pmod(col("doc_id"), lit(97)) === 0)
+        val panel = stampCached(decontPanelCache,
+          (d, sourceStamp(d, "documents")))(_._1 == d) {
+          val p = docs(s, d).filter(pmod(col("doc_id"), lit(97)) === 0)
             .select(explode(graft.functions.WordShingleHashes
               .shingleHashes(col("text"), 5)).as("h"))
-            .distinct().collect().map(_.getLong(0))) // panel-bounded
+            .distinct().collect().map(_.getLong(0)) // panel-bounded
+          // Explicit byte bound on the set literal (ADVICE r11; moved
+          // INSIDE the cache build r15 — a panel that fails the bound
+          // must refuse WITHOUT staying pinned in driver memory): the
+          // Bloom bits are fixed-size but this exact set is
+          // 8 B/panel-shingle — bounded only by the "panel is a fixed
+          // eval suite" stance. A panel that grows with the corpus must
+          // refuse here, not inflate the serialized plan silently
+          // (16 MiB ≈ a 2M-shingle suite).
+          require(p.length * 8 <= (16 << 20),
+            s"q168: exact-probe set literal is ${p.length * 8} bytes " +
+              "(> 16 MiB) — the decontamination panel is no longer " +
+              "eval-suite-bounded; keep the exact side to a fixed panel " +
+              "or rely on the Bloom probe alone")
+          p
+        }
         val bytes = panelBloomBytesOf(panel)
         val exactBytes = graft.functions.SortedLongsContain.serialize(panel)
-        // Explicit byte bound on the set literal (ADVICE r11): the Bloom
-        // bits are fixed-size but this exact set is 8 B/panel-shingle —
-        // bounded only by the "panel is a fixed eval suite" stance. A
-        // panel that grows with the corpus must refuse here, not inflate
-        // the serialized plan silently (16 MiB ≈ a 2M-shingle suite).
-        require(exactBytes.length <= (16 << 20),
-          s"q168: exact-probe set literal is ${exactBytes.length} bytes " +
-            "(> 16 MiB) — the decontamination panel is no longer " +
-            "eval-suite-bounded; keep the exact side to a fixed panel " +
-            "or rely on the Bloom probe alone")
         val flags = docs(s, d)
           .filter(pmod(col("doc_id"), lit(97)) =!= 0)
           .select(col("doc_id"), col("source"),

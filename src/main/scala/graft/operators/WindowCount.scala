@@ -34,7 +34,17 @@ object WindowCount {
     mode match {
       case "twoPhase" =>
         val head +: tail = aggs.map { case (c, n) => c.as(n) }
-        df.join(df.groupBy(keys.map(col): _*).agg(head, tail: _*), keys)
+        // NULL-SAFE (<=>) join back (ADVICE r14): NULL is a valid
+        // PARTITION BY group in the window shape, so a plain equi join
+        // here would silently drop NULL-keyed rows — the keys are
+        // renamed on the aggregate side and joined with <=> per key,
+        // keeping the two shapes value-identical for nullable keys too.
+        val agg = keys.foldLeft(
+          df.groupBy(keys.map(col): _*).agg(head, tail: _*))(
+          (a, k) => a.withColumnRenamed(k, s"__wc_$k"))
+        df.join(agg, keys.map(k => col(k) <=> col(s"__wc_$k"))
+            .reduce(_ && _))
+          .drop(keys.map(k => s"__wc_$k"): _*)
       case _ =>
         val w = Window.partitionBy(keys.map(col): _*)
         aggs.foldLeft(df) { case (acc, (c, n)) =>

@@ -138,4 +138,26 @@ class RetrievalFloorSpec extends AnyFunSuite {
       } finally spark.conf.unset("spark.graft.windowCount")
     }
   }
+
+  test("WindowCount twoPhase keeps NULL-keyed rows (ADVICE r14: NULL is " +
+    "a valid PARTITION BY group; a plain equi join back dropped it)") {
+    import spark.implicits._
+    val df = Seq((Option("a"), 1L), (None, 2L), (None, 3L), (Option("b"), 4L))
+      .toDF("k", "v")
+    def run(): Seq[Seq[Any]] =
+      WindowCount.attach(df, Seq("k"),
+          Seq((count(lit(1)), "c"), (sum(col("v")), "sv")))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    spark.conf.unset("spark.graft.windowCount")
+    val win = run()
+    spark.conf.set("spark.graft.windowCount", "twoPhase")
+    try {
+      val two = run()
+      assert(two == win, "twoPhase diverged from window shape on NULL keys")
+      assert(two.count(r => r.head == null) == 2,
+        "NULL-keyed rows must survive the aggregate+join-back shape")
+      assert(two.filter(_.head == null).forall(r =>
+        r(2) == 2L && r(3) == 5L))
+    } finally spark.conf.unset("spark.graft.windowCount")
+  }
 }
