@@ -221,8 +221,10 @@ object TextAnalysis {
     scala.collection.concurrent.TrieMap.empty[(String, Long), Bm25Stats]
 
   /** q168's decontamination-panel shingle set, per corpus dir — the
-    * same versioned-eval-suite class (bounded by the 16 MiB set-literal
-    * refusal at the use site). */
+    * same versioned-eval-suite class, bounded BY CONSTRUCTION (r15):
+    * the panel docs are id-capped (mod-97 ∧ < [[BenchCap]], ≤207 docs
+    * at any SF) with the use site's 16 MiB set-literal refusal as a
+    * backstop. */
   private val decontPanelCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Long]]
 
@@ -915,7 +917,12 @@ object TextAnalysis {
         val sh = docs(s, d).select(col("doc_id"),
           explode(graft.functions.WordShingleHashes
             .shingleHashes(col("text"), 5)).as("s"))
-        val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
+        // Bench side bounded BY CONSTRUCTION (r15, VERDICT r14 item 2):
+        // the same id cap as q91's prefix panel — ≤207 docs at ANY SF,
+        // so the broadcast below is an eval-suite constant, not a
+        // corpus-proportional stance (PlanAuditSpec's hint census).
+        val bench = sh.filter(pmod(col("doc_id"), lit(97)) === 0 &&
+            col("doc_id") < BenchCap)
           .select("s").distinct().withColumn("hit", lit(1L))
         sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
           .join(broadcast(bench), Seq("s"), "left")
@@ -928,10 +935,10 @@ object TextAnalysis {
               .as("contamination"))
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
         |  FOR i IN generate_series(1, len(toks)-4)])) AS s FROM t),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0 AND doc_id < $BenchCap),
         |per AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
         |  CAST(SUM(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_ngrams
         |  FROM sh LEFT JOIN bench ON sh.s = bench.s WHERE sh.doc_id % 97 <> 0 GROUP BY sh.doc_id)
@@ -1581,18 +1588,21 @@ object TextAnalysis {
         // with the corpus scan, so the warm path is ONE corpus pass.
         val panel = stampCached(decontPanelCache,
           (d, sourceStamp(d, "documents")))(_._1 == d) {
-          val p = docs(s, d).filter(pmod(col("doc_id"), lit(97)) === 0)
+          // Panel bounded BY CONSTRUCTION (r15, VERDICT r14 item 2):
+          // q91's id cap joins the mod-97 slice — ≤207 docs at ANY SF,
+          // so the collect is an eval-suite constant like q122's
+          // ≤40-vector panel, not a corpus-proportional stance.
+          val p = docs(s, d).filter(pmod(col("doc_id"), lit(97)) === 0 &&
+              col("doc_id") < BenchCap)
             .select(explode(graft.functions.WordShingleHashes
               .shingleHashes(col("text"), 5)).as("h"))
             .distinct().collect().map(_.getLong(0)) // panel-bounded
           // Explicit byte bound on the set literal (ADVICE r11; moved
           // INSIDE the cache build r15 — a panel that fails the bound
-          // must refuse WITHOUT staying pinned in driver memory): the
-          // Bloom bits are fixed-size but this exact set is
-          // 8 B/panel-shingle — bounded only by the "panel is a fixed
-          // eval suite" stance. A panel that grows with the corpus must
-          // refuse here, not inflate the serialized plan silently
-          // (16 MiB ≈ a 2M-shingle suite).
+          // must refuse WITHOUT staying pinned in driver memory): with
+          // the id cap above this is a true BACKSTOP, not the primary
+          // bound. The Bloom bits are fixed-size but this exact set is
+          // 8 B/panel-shingle (16 MiB ≈ a 2M-shingle suite).
           require(p.length * 8 <= (16 << 20),
             s"q168: exact-probe set literal is ${p.length * 8} bytes " +
               "(> 16 MiB) — the decontamination panel is no longer " +
@@ -1626,10 +1636,10 @@ object TextAnalysis {
               .as("fp_ok"))
           .orderBy("source")
       },
-      Some("""WITH t AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
         |  FOR i IN generate_series(1, len(toks)-4)])) AS s FROM t),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0 AND doc_id < $BenchCap),
         |flags AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench ON sh.s = bench.s
         |  WHERE sh.doc_id % 97 <> 0),
         |base AS (SELECT doc_id, source FROM t WHERE doc_id % 97 <> 0)

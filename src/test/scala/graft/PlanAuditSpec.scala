@@ -162,8 +162,10 @@ class PlanAuditSpec extends AnyFunSuite {
   //    q141-class totals inside q131/q135/q153/q155, q150 (per-type
   //    totals), q156/q157 (≤207-row bench prefix).
   //  - bounded panels / top-K sets: q91/q104/q168 (eval-benchmark
-  //    5-gram panels — fixed-size suites in production; the mod-97
-  //    slice is the test stand-in), q126 (3-term query stats), q132
+  //    5-gram panels — since r15 ALL THREE are id-capped by
+  //    construction: mod-97 ∧ doc_id < TextAnalysis.BenchCap, ≤207
+  //    docs at any SF; no panel broadcast's boundedness is a stance
+  //    any more), q126 (3-term query stats), q132
   //    (top-K bigram sets), q135 (100-row rerank frame). q123 left
   //    this census in r13: its top-100 bigram model is now a packed
   //    LITERAL scored in-scan (BigramModelScore) — the broadcast join
