@@ -242,6 +242,29 @@ object ExtendedOps {
       |ORDER BY d"""
       .stripMargin.replace("\n", " ")
 
+  // q198 SUBQUERY MEMBERS in an ASOF chain (r15, VERDICT r14 item 4):
+  // the quote-stream-filtered-then-chained statement — the first ASOF
+  // member is a FILTERED subquery (even doc_ids), the second a
+  // differently-filtered subquery whose ON references the FIRST pick's
+  // alias. Each grouped member's schema comes from analyzing the
+  // rewritten subquery (DuckDialect.asofChainExpand.colsOf); the
+  // per-step pair gates probe the subqueries themselves. doc_id is
+  // unique so both picks are tie-free, and the oracle runs the
+  // identical text in DuckDB's native left-deep chain.
+  private val AsofSubqSql: String =
+    """SELECT l.doc_id AS d, CAST(p.doc_id AS BIGINT) AS prev_even,
+      |CAST(p.n_chars AS BIGINT) AS prev_chars,
+      |CAST(q.doc_id AS BIGINT) AS prev_small
+      |FROM documents l
+      |ASOF JOIN (SELECT doc_id, source, n_chars FROM documents
+      |  WHERE doc_id % 2 = 0) p
+      |  ON l.source = p.source AND l.doc_id > p.doc_id
+      |ASOF LEFT JOIN (SELECT doc_id, source FROM documents
+      |  WHERE n_chars < 500) q
+      |  ON p.source = q.source AND q.doc_id < p.doc_id
+      |ORDER BY d"""
+      .stripMargin.replace("\n", " ")
+
   // q172 — the r10 ANALYSIS-LEVEL bridges in one statement: date_sub
   // (complete clamped intervals), list_extract on STRINGS (1-based
   // character access, '' out of range), list_slice on STRINGS, the
@@ -669,6 +692,13 @@ object ExtendedOps {
         graft.DuckDialect.sql(s, AsofMixedSql)
       },
       Some(AsofMixedSql)),
+
+    GraftQuery("q198_duckdb_asof_subq",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, AsofSubqSql)
+      },
+      Some(AsofSubqSql)),
 
     GraftQuery("q172_duckdb_dialect5",
       (s, d) => {
