@@ -73,7 +73,8 @@ object DuckCompat {
     *    header guess on adversarial files — the same residual-risk
     *    class as the documented inferSchema width divergence. */
   private[graft] def sniffCsv(sample: Array[Byte],
-      restOfFile: Option[java.nio.file.Path] = None): Option[(String, Boolean)] = {
+      restOfFile: Option[() => java.io.InputStream] = None)
+      : Option[(String, Boolean)] = {
     val raw = new String(sample, java.nio.charset.StandardCharsets.UTF_8)
     // a full sample buffer likely cut mid-line — drop the partial tail
     val cut =
@@ -120,14 +121,13 @@ object DuckCompat {
         // the reader needs a separator that CANNOT occur, or Spark
         // would split what DuckDB didn't. r14 (ADVICE): absence from
         // the 64 KB head sample proves nothing about the rest of the
-        // file, so when the sample is partial the caller passes the
-        // path and we stream the WHOLE file before committing to a
-        // synthetic byte — a later occurrence would otherwise split
-        // lines DuckDB reads whole, silently.
+        // file, so when the sample is partial the caller passes an
+        // opener and we stream the WHOLE file (decompressed, for gz)
+        // before committing to a synthetic byte — a later occurrence
+        // would otherwise split lines DuckDB reads whole, silently.
         def absentEverywhere(c: Char): Boolean =
-          !raw.contains(c) && restOfFile.forall { p =>
-            val in = new java.io.BufferedInputStream(
-              java.nio.file.Files.newInputStream(p))
+          !raw.contains(c) && restOfFile.forall { mk =>
+            val in = mk()
             try {
               var b = in.read()
               while (b >= 0 && b != c.toInt) b = in.read()
@@ -1139,8 +1139,8 @@ object DuckCompat {
         // form outright; now [[sniffCsv]] reproduces DuckDB's detection
         // on a head sample of the FIRST file (matrix-pinned against the
         // installed DuckDB) and only an AMBIGUOUS dialect still refuses.
-        // Compressed files can't be head-sampled as text — refuse those
-        // to explicit options as before.
+        // gz head-samples decompressed (r15); other codecs can't be
+        // head-sampled as text — refuse those to explicit options.
         var sniffed: Option[(String, Boolean)] = None
         if (!opts.contains("header") &&
             !Seq("delim", "sep", "delimiter").exists(opts.contains)) {
@@ -1151,32 +1151,54 @@ object DuckCompat {
               "silently different parse. Pass explicit options, e.g. " +
               "read_csv('f.csv', header = true, delim = ',')")
           if (opts.contains("compression") ||
-            paths.exists(_.matches("(?i).*\\.(gz|zst|bz2|lz4|snappy)$")))
+            paths.exists(_.matches("(?i).*\\.(zst|bz2|lz4|snappy)$")))
             refuse("cannot head-sample a compressed file")
           // r14 (ADVICE): sniff EVERY resolved path and require the
           // dialects to agree — DuckDB re-sniffs each file of a
           // multi-file read, so parsing later files with the first
           // file's dialect would silently diverge on mixed directories.
+          // r15 (VERDICT r14 item 6): `.gz` sniffs like DuckDB does —
+          // transparently — by sampling DECOMPRESSED bytes through the
+          // JDK's GZIPInputStream (the whole-file separator scan of the
+          // single-column fallback decompresses too); other codecs have
+          // no JDK stream and keep the refusal above. Matrix-pinned:
+          // every gz dialect answer equals DuckDB's on the same bytes.
           val perPath = paths.map { raw =>
             val p = java.nio.file.Paths.get(raw.stripPrefix("file:"))
             if (!java.nio.file.Files.isRegularFile(p))
               refuse(s"cannot sample $p (not a readable plain file; " +
                 "globs are only bridged with explicit options)")
-            val ch = java.nio.file.Files.newByteChannel(p)
-            val sample =
+            val gz = raw.matches("(?i).*\\.gz$")
+            def open(): java.io.InputStream = {
+              val base = new java.io.BufferedInputStream(
+                java.nio.file.Files.newInputStream(p))
+              if (gz) new java.util.zip.GZIPInputStream(base) else base
+            }
+            // read one byte PAST the sample size: a gz stream's
+            // decompressed length is unknowable from metadata, so the
+            // overflow byte is the partial-sample signal for both forms
+            val (sample, partial) = {
+              val in =
+                try open()
+                catch { case e: java.io.IOException =>
+                  refuse(s"cannot decompress $p for sampling " +
+                    s"(${e.getMessage})")
+                }
               try {
-                val buf = java.nio.ByteBuffer.allocate(SniffSampleBytes)
+                val buf = new Array[Byte](SniffSampleBytes + 1)
                 var n = 0
                 var r = 0
-                while (n < SniffSampleBytes && r >= 0) {
-                  r = ch.read(buf); if (r > 0) n += r
+                while (n < buf.length && r >= 0) {
+                  r = in.read(buf, n, buf.length - n); if (r > 0) n += r
                 }
-                java.util.Arrays.copyOf(buf.array(), n)
-              } finally ch.close()
-            val partial =
-              if (java.nio.file.Files.size(p) > sample.length) Some(p)
-              else None
-            sniffCsv(sample, partial)
+                (java.util.Arrays.copyOf(buf,
+                  math.min(n, SniffSampleBytes)), n > SniffSampleBytes)
+              } catch { case e: java.io.IOException =>
+                refuse(s"cannot decompress $p for sampling " +
+                  s"(${e.getMessage})")
+              } finally in.close()
+            }
+            sniffCsv(sample, if (partial) Some(() => open()) else None)
           }
           if (perPath.exists(_.isEmpty))
             refuse("the sample's dialect is ambiguous (no single " +

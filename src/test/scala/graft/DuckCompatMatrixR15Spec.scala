@@ -98,6 +98,69 @@ class DuckCompatMatrixR15Spec extends AnyFunSuite {
     assert(noAlias.getMessage.contains("ASOF"))
   }
 
+  private def render(df: org.apache.spark.sql.DataFrame): String =
+    df.columns.mkString(";") + "#" + df.collect().map { r =>
+      (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "NULL" else String.valueOf(r.get(i)))
+        .mkString(",")
+    }.mkString("|")
+
+  private def writeGz(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(p))
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  test("gz CSV sniff (VERDICT r14 item 6): option-free read_csv on " +
+    ".csv.gz parses exactly as DuckDB's transparent gz sniff; " +
+    "ambiguous dialects keep today's refusal; other codecs refuse") {
+    graft.functions.DuckCompat.register(spark)
+    // every expected rendering pinned against the installed DuckDB on
+    // the same (decompressed) bytes — same dialect answers as the
+    // uncompressed R13b rows
+    val cases = Seq(
+      ("/tmp/sniffgz15/g1.csv.gz", "id,name\n54.8,795\n53.3,732\n11.3,525\n",
+        "id;name#54.8,795|53.3,732|11.3,525"),
+      ("/tmp/sniffgz15/g2.csv.gz",
+        "name;score;city\n420;alpha;kappa\n294;sigma;beta\n",
+        "name;score;city#420,alpha,kappa|294,sigma,beta"),
+      ("/tmp/sniffgz15/g3.csv.gz", "city\tqty\n136\t46\n669\t655\n",
+        "city;qty#136,46|669,655"),
+      ("/tmp/sniffgz15/g4.csv.gz", "77.7,64.3,20.7\n74.8,13.8,39.9\n",
+        "column0;column1;column2#77.7,64.3,20.7|74.8,13.8,39.9"))
+    cases.foreach { case (path, content, want) =>
+      writeGz(path, content)
+      val got = render(DuckDialect.sql(spark,
+        s"SELECT * FROM read_csv('$path')"))
+      assert(got == want, s"\nfile: $path\n want: $want\n  got: $got")
+    }
+    // single-column fallback with a PARTIAL (>64 KB decompressed)
+    // sample: the whole-file separator scan must read DECOMPRESSED
+    // bytes. DuckDB-pinned: ['w0'], 8999 rows, w1 first, w8999 last.
+    val big = (0 until 9000).map(i => s"w$i").mkString("", "\n", "\n")
+    writeGz("/tmp/sniffgz15/big_sc.csv.gz", big)
+    val df = DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/sniffgz15/big_sc.csv.gz')")
+    assert(df.columns.toSeq == Seq("w0"))
+    val vals = df.collect().map(_.getString(0))
+    assert(vals.length == 8999 && vals.head == "w1" && vals.last == "w8999")
+    // ambiguous dialect inside the gz: same refusal as the plain file
+    writeGz("/tmp/sniffgz15/amb.csv.gz", "a,b;c\nd,e;f\n")
+    val e1 = intercept[Exception](DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/sniffgz15/amb.csv.gz')").collect())
+    assert(e1.getMessage.contains("ambiguous"), e1.getMessage)
+    // a mislabeled .gz (plain bytes) refuses loudly, never misparses
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/sniffgz15/fake.csv.gz"),
+      "a,b\n1,2\n".getBytes("UTF-8"))
+    val e2 = intercept[Exception](DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/sniffgz15/fake.csv.gz')").collect())
+    assert(e2.getMessage.contains("cannot decompress"), e2.getMessage)
+  }
+
   test("guard ordering (ADVICE r14): an expand-refused chain reaches " +
     "guidance even under a tiny maxPairs — never 'refused at this " +
     "scale'") {
