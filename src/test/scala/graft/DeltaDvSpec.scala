@@ -412,4 +412,46 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(DeltaLog.snapshot(spark, t).files.exists(_.dv.nonEmpty),
       "update went merge-on-read")
   }
+
+  test("current-spec feature gates by NAME (r15, VERDICT r14 item 7): " +
+    "catalogOwned refuses reads; checkpointProtection is writer-only — " +
+    "reads pass through, writes refuse") {
+    val schemaJson = ("""{"type":"struct","fields":[{"name":"id",""" +
+      """"type":"long","nullable":true,"metadata":{}}]}""")
+      .replace("\"", "\\\"")
+    def writeTable(lines: Seq[String]): String = {
+      val p = tmpTable()
+      val dir = java.nio.file.Paths.get(p, "_delta_log")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(f"${0L}%020d.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      p
+    }
+    // catalogOwned (catalog-managed commits) is a READER-WRITER feature
+    // in the current Delta spec: commits may live in the catalog, not
+    // the _delta_log — filesystem replay would silently read a stale
+    // table, so the generic reader gate must refuse it by name
+    val catOwned = writeTable(Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["catalogOwned-preview"],"writerFeatures":["catalogOwned-preview"]}}""",
+      s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))
+    val e1 = intercept[UnsupportedOperationException] {
+      DeltaLog.snapshot(spark, catOwned)
+    }
+    assert(e1.getMessage.contains("catalogOwned-preview"), e1.getMessage)
+    // checkpointProtection is WRITER-ONLY (it constrains checkpoint
+    // creation and log cleanup): a reader needs no behavior, so reads
+    // pass through the gate; this engine's checkpoint writer does not
+    // honor the protected-version rule, so WRITES must refuse by name
+    val ckptProt = writeTable(Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[],"writerFeatures":["checkpointProtection"]}}""",
+      s"""{"metaData":{"id":"x","schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))
+    assert(DeltaLog.snapshot(spark, ckptProt).files.isEmpty,
+      "a writer-only feature must never block reads")
+    import spark.implicits._
+    val e2 = intercept[UnsupportedOperationException] {
+      DeltaWrite.write(Seq(1L).toDF("id").coalesce(1), ckptProt,
+        SaveMode.Append)
+    }
+    assert(e2.getMessage.contains("checkpointProtection"), e2.getMessage)
+  }
 }
