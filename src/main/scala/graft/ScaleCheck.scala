@@ -35,7 +35,17 @@ object ScaleCheck {
         sys.error(s"no corpus query starts with '$q'"))
     }.sorted
 
+    // SPARK_GRAFT_SCALE_COLD=1 (r15): drop the per-dir metadata caches
+    // (BM25 stats / decont panel / rrf pre-products) before EVERY rep,
+    // so the measured wall includes the stats first-build — the cold
+    // number is the one that scales with the corpus; the default warm
+    // path amortizes it across a session by design.
+    val cold = sys.env.getOrElse("SPARK_GRAFT_SCALE_COLD", "0") == "1"
     def once(name: String, dir: String): Double = {
+      if (cold) {
+        graft.operators.TextAnalysis.clearStampedCaches()
+        graft.operators.Similarity.clearStampedCaches()
+      }
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -294,6 +294,10 @@ object Similarity {
   private val rrfPreCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long, Long), (Seq[Double], TextAnalysis.Bm25Stats)]
 
+  /** Probe-only (graft.ScaleCheck cold mode): see
+    * [[TextAnalysis.clearStampedCaches]]. */
+  private[graft] def clearStampedCaches(): Unit = rrfPreCache.clear()
+
   private def rrfPre(s: SparkSession, d: String)
       : (Seq[Double], TextAnalysis.Bm25Stats) =
     TextAnalysis.stampCached(rrfPreCache, (d,

@@ -279,6 +279,12 @@ object TextAnalysis {
         cache.putIfAbsent(key, v).getOrElse(v)
     }
 
+  /** Probe-only (graft.ScaleCheck cold mode): drop the per-dir caches
+    * so a rep re-pays the stats first-build. */
+  private[graft] def clearStampedCaches(): Unit = {
+    bm25StatsCache.clear(); decontPanelCache.clear()
+  }
+
   private[graft] def bm25DocStats(s: SparkSession, d: String): Bm25Stats =
     stampCached(bm25StatsCache, (d, sourceStamp(d, "documents")))(_._1 == d)(
       bm25StatsOf(bm25StatsAgg(docs(s, d), QueryTerms).collect().head,
