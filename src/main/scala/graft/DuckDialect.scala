@@ -3033,15 +3033,48 @@ object DuckDialect {
     * literals and simple string literals render verbatim; a function
     * call renders lowercase with ", "-joined atom args (`ABS( aa )` →
     * `abs(aa)`); ONE top-level binary op renders parenthesized with
-    * single spaces (`aa+10` → `(aa + 10)`). None = not mechanically
-    * reproducible (nested binaries re-associate, unary minus renders
-    * `-(aa)`, casts re-case, …) → the caller refuses to guidance. */
+    * single spaces (`aa+10` → `(aa + 10)`); r15 (the VERDICT r14
+    * "non-mechanical spellings" edge, all DuckDB-pinned): CAST renders
+    * `CAST(<expr> AS <CANONICAL>)` for the type spellings BOTH engines
+    * accept with identical values (int/integer→INTEGER, bigint/long→
+    * BIGINT, smallint→SMALLINT, tinyint→TINYINT, double→DOUBLE,
+    * float→FLOAT, boolean→BOOLEAN — int4/float8/signed/DOUBLE
+    * PRECISION etc. still refuse: DuckDB canonicalizes them but Spark
+    * would not parse the injected expression), and unary minus renders
+    * `-5` verbatim on a numeric literal, `-(aa)` on an atom and
+    * `-((…))` on a parenthesized expression. None = not mechanically
+    * reproducible (nested binaries re-associate, …) → the caller
+    * refuses to guidance. */
+  private val DuckCastCanon: Map[String, String] = Map(
+    "int" -> "INTEGER", "integer" -> "INTEGER",
+    "bigint" -> "BIGINT", "long" -> "BIGINT",
+    "smallint" -> "SMALLINT", "tinyint" -> "TINYINT",
+    "double" -> "DOUBLE", "float" -> "FLOAT", "boolean" -> "BOOLEAN")
+
   private def renderDuckAtom(e0: String): Option[String] = {
     val e = e0.trim
     if (BareIdentChainRe.matches(e)) Some(e)
     else if (e.matches("""\d+(\.\d+)?""")) Some(e)
     else if (e.length >= 2 && e.head == '\'' && e.last == '\'' &&
       !e.substring(1, e.length - 1).contains('\'')) Some(e)
+    else if (e.startsWith("-")) {
+      val rest = e.substring(1).trim
+      if (rest.matches("""\d+(\.\d+)?""")) Some("-" + rest)
+      else if (rest.startsWith("(") && scanMatch(rest, 0).contains(rest.length))
+        renderDuckExpr(rest).map(r => s"-($r)")
+      else renderDuckAtom(rest).map(r => s"-($r)")
+    } else if (e.length > 4 && e.substring(0, 4).equalsIgnoreCase("cast") &&
+      e.indexOf('(') >= 4 && e.substring(4, e.indexOf('(')).trim.isEmpty &&
+      e.endsWith(")") && scanMatch(e, e.indexOf('(')).contains(e.length)) {
+      val body = e.substring(e.indexOf('(') + 1, e.length - 1)
+      topKeywordAll(body, "as").lastOption.flatMap { asAt =>
+        for {
+          a <- renderDuckExpr(body.substring(0, asAt))
+          t <- DuckCastCanon.get(body.substring(asAt + 2).trim
+            .toLowerCase(java.util.Locale.ROOT))
+        } yield s"CAST($a AS $t)"
+      }
+    }
     else {
       val po = e.indexOf('(')
       if (po > 0 && e.endsWith(")") &&

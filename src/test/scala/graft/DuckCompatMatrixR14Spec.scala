@@ -171,8 +171,10 @@ class DuckCompatMatrixR14Spec extends AnyFunSuite {
     for (q <- Seq(
       // ((aa + 10) + ab) — re-associated rendering, not mechanical
       "SELECT max(COLUMNS(* REPLACE (aa + 10 + ab AS aa))) FROM wr",
-      // CAST(aa AS DOUBLE) — DuckDB re-cases, our verbatim would drift
-      "SELECT max(COLUMNS(* REPLACE (cast(aa as double) AS aa))) FROM wr",
+      // CAST to a DuckDB-only type spelling — DuckDB canonicalizes
+      // int4→INTEGER but Spark would not parse the injected expression
+      // (the both-engine spellings bridge since r15, see R15Spec)
+      "SELECT max(COLUMNS(* REPLACE (cast(aa as int4) AS aa))) FROM wr",
       // wrapper is not a single function call
       "SELECT max(COLUMNS(* REPLACE (aa + 10 AS aa))) + 1 FROM wr"))
       intercept[Exception](DuckDialect.sql(spark, q).collect())

@@ -161,6 +161,47 @@ class DuckCompatMatrixR15Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("cannot decompress"), e2.getMessage)
   }
 
+  test("wrapped COLUMNS REPLACE: CAST and unary-minus spellings render " +
+    "DuckDB's derived names (r15 — every name and value DuckDB-pinned)") {
+    import spark.implicits._
+    Seq((1, 2, "x")).toDF("aa", "ab", "c").createOrReplaceTempView("wr")
+    def run(q: String): (Seq[String], Seq[Any]) = {
+      val df = DuckDialect.sql(spark, q)
+      (df.columns.toSeq, df.collect().head.toSeq)
+    }
+    // CAST re-rendering: lowercase/:: spellings canonicalize, the arg
+    // renders as an expression (parenthesized when binary)
+    assert(run("SELECT max(COLUMNS(* REPLACE (cast(aa as double) AS aa))) FROM wr") ==
+      ((Seq("max(aa := CAST(aa AS DOUBLE))", "ab", "c"), Seq(1.0, 2, "x"))))
+    assert(run("SELECT max(COLUMNS(* REPLACE (CAST(aa AS long) AS aa))) FROM wr") ==
+      ((Seq("max(aa := CAST(aa AS BIGINT))", "ab", "c"), Seq(1L, 2, "x"))))
+    assert(run("SELECT max(COLUMNS(* REPLACE (cast(aa + 1 as double) AS aa))) FROM wr") ==
+      ((Seq("max(aa := CAST((aa + 1) AS DOUBLE))", "ab", "c"),
+        Seq(2.0, 2, "x"))))
+    assert(run("SELECT max(COLUMNS(* REPLACE (abs(cast(aa as double)) AS aa))) FROM wr") ==
+      ((Seq("max(aa := abs(CAST(aa AS DOUBLE)))", "ab", "c"),
+        Seq(1.0, 2, "x"))))
+    assert(run("SELECT max(COLUMNS(* REPLACE (cast(aa as double) / 2 AS aa))) FROM wr") ==
+      ((Seq("max(aa := (CAST(aa AS DOUBLE) / 2))", "ab", "c"),
+        Seq(0.5, 2, "x"))))
+    // unary minus: verbatim on a literal, -(atom), -((expr)), and as a
+    // binary operand
+    assert(run("SELECT max(COLUMNS(* REPLACE (-5 AS aa))) FROM wr") ==
+      ((Seq("max(aa := -5)", "ab", "c"), Seq(-5, 2, "x"))))
+    assert(run("SELECT max(COLUMNS(* REPLACE (- aa AS aa))) FROM wr") ==
+      ((Seq("max(aa := -(aa))", "ab", "c"), Seq(-1, 2, "x"))))
+    assert(run("SELECT max(COLUMNS(* REPLACE (-(aa+1) AS aa))) FROM wr") ==
+      ((Seq("max(aa := -((aa + 1)))", "ab", "c"), Seq(-2, 2, "x"))))
+    assert(run("SELECT max(COLUMNS(* REPLACE (-aa + 1 AS aa))) FROM wr") ==
+      ((Seq("max(aa := (-(aa) + 1))", "ab", "c"), Seq(0, 2, "x"))))
+    // DuckDB-only type spellings keep refusing (Spark would not parse
+    // the injected expression): int4, float8, signed, DOUBLE PRECISION
+    for (t <- Seq("int4", "float8", "signed", "double precision"))
+      intercept[Exception](DuckDialect.sql(spark,
+        s"SELECT max(COLUMNS(* REPLACE (cast(aa as $t) AS aa))) FROM wr")
+        .collect())
+  }
+
   test("guard ordering (ADVICE r14): an expand-refused chain reaches " +
     "guidance even under a tiny maxPairs — never 'refused at this " +
     "scale'") {
