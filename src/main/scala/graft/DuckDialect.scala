@@ -2071,7 +2071,13 @@ object DuckDialect {
     * steps interleave with ASOF steps — DuckDB's left-deep parse means
     * a plain step simply joins the accumulated flattening (fan-out
     * allowed; the scale guard multiplies its largest equi group into
-    * the running row bound that caps later ASOF steps). A plain step
+    * the running row bound that caps later ASOF steps). r15: plain
+    * RIGHT/FULL [OUTER] members too — a left-deep RIGHT/FULL step
+    * null-extends the ACCUMULATED side, which is exactly what joining
+    * the flattened derived table gives (DuckDB-pinned: an ASOF step
+    * after one sees the NULLed columns, so it LEFT-null-extends or
+    * INNER-drops those rows just like DuckDB); the guard adds |r| to
+    * the running bound for the unmatched right rows. A plain step
     * must carry at least one clean earlier=new equality — an equi-free
     * product inside a chain would plan the nested-loop class the gate
     * cannot bound.
@@ -2082,8 +2088,8 @@ object DuckDialect {
     * and the scale guard's probes run against the subquery itself.
     * Refusals (the single-bridge stance, per member): WHERE / GROUP BY
     * / HAVING / QUALIFY / WINDOW / set ops, DISTINCT,
-    * RIGHT/FULL/CROSS/NATURAL members, right-deep
-    * (parenthesized JOIN-tree) chains,
+    * CROSS/NATURAL members and ASOF RIGHT/FULL/INNER (not DuckDB
+    * syntax), right-deep (parenthesized JOIN-tree) chains,
     * any ASOF ON whose single inequality does not split cleanly
     * into a new-alias side vs an earlier-alias side, a bare `*` select
     * list (per-relation output names are not reconstructible through
@@ -2091,7 +2097,7 @@ object DuckDialect {
     * on the range expression are nondeterministic in both engines — the
     * documented single-bridge stance. */
   private[graft] case class AsofChainJoin(rrel: String, ralias: String,
-    isAsof: Boolean, leftJoin: Boolean, cond: String, rightExpr: String,
+    isAsof: Boolean, joinSql: String, cond: String, rightExpr: String,
     dir: String, rightEquis: Seq[String])
 
   private[graft] case class AsofChainParts(prefix: String, selTxt: String,
@@ -2114,8 +2120,12 @@ object DuckDialect {
     if (readWord(sql, k).equalsIgnoreCase("distinct")) return None
     // classify each JOIN's step head by the keywords directly before it
     // (r14 second pass — MIXED chains): [ASOF] [LEFT [OUTER]|INNER]
-    // JOIN; RIGHT/FULL/CROSS/NATURAL refuse (moving them through the
-    // flattening would change the null-extension side)
+    // JOIN; r15: plain RIGHT/FULL [OUTER] members too (DuckDB-pinned:
+    // a left-deep RIGHT/FULL step null-extends the ACCUMULATED side,
+    // which is exactly what joining the flattened derived table gives —
+    // an ASOF step after one sees the NULLed columns and LEFT
+    // null-extends / INNER drops, matching DuckDB). CROSS/NATURAL and
+    // ASOF RIGHT/FULL/INNER (not DuckDB syntax) refuse.
     def prevWordBefore(pos: Int): (String, Int) = {
       var e = pos
       while (e > 0 && Character.isWhitespace(sql.charAt(e - 1))) e -= 1
@@ -2125,32 +2135,45 @@ object DuckDialect {
       (sql.substring(b, e).toLowerCase(java.util.Locale.ROOT), b)
     }
     case class Head(start: Int, joinPos: Int, isAsof: Boolean,
-      leftJoin: Boolean)
+      joinSql: String)
     val heads = joinsAt.map { jp =>
       var start = jp
-      var leftJoin = false
+      var joinSql = "JOIN"
       var isAsof = false
       val (w1, s1) = prevWordBefore(jp)
       w1 match {
         case "outer" =>
           val (w2, s2) = prevWordBefore(s1)
-          if (w2 != "left") return None
-          leftJoin = true; start = s2
+          w2 match {
+            case "left" => joinSql = "LEFT JOIN"
+            case "right" => joinSql = "RIGHT JOIN"
+            case "full" => joinSql = "FULL JOIN"
+            case _ => return None
+          }
+          start = s2
           val (w3, s3) = prevWordBefore(s2)
-          if (w3 == "asof") { isAsof = true; start = s3 }
+          if (w3 == "asof") {
+            if (w2 != "left") return None // no ASOF RIGHT/FULL in DuckDB
+            isAsof = true; start = s3
+          }
         case "left" =>
-          leftJoin = true; start = s1
+          joinSql = "LEFT JOIN"; start = s1
           val (w2, s2) = prevWordBefore(s1)
           if (w2 == "asof") { isAsof = true; start = s2 }
+        case "right" | "full" =>
+          joinSql = w1.toUpperCase(java.util.Locale.ROOT) + " JOIN"
+          start = s1
+          val (w2, _) = prevWordBefore(s1)
+          if (w2 == "asof") return None // no ASOF RIGHT/FULL in DuckDB
         case "inner" =>
           start = s1
           val (w2, _) = prevWordBefore(s1)
           if (w2 == "asof") return None // DuckDB has no ASOF INNER JOIN
         case "asof" => isAsof = true; start = s1
-        case "right" | "full" | "cross" | "natural" => return None
+        case "cross" | "natural" => return None
         case _ => // bare JOIN: plain inner step
       }
-      Head(start, jp, isAsof, leftJoin)
+      Head(start, jp, isAsof, joinSql)
     }
     // every top-level ASOF keyword must be consumed as a step head
     if (heads.count(_.isAsof) != asofs.length) return None
@@ -2218,7 +2241,7 @@ object DuckDialect {
       if (h.isAsof) {
         analyzeAsofCond(cond, ralias, known) match {
           case Some((rightExpr, dir, rightEquis)) =>
-            joins += AsofChainJoin(rrel, ralias, isAsof = true, h.leftJoin,
+            joins += AsofChainJoin(rrel, ralias, isAsof = true, h.joinSql,
               cond, rightExpr, dir, rightEquis)
           case None => return None
         }
@@ -2229,7 +2252,7 @@ object DuckDialect {
         // pair gate cannot bound)
         val equis = chainRightEquis(splitTopAnd(cond), ralias, known)
         if (equis.isEmpty) return None
-        joins += AsofChainJoin(rrel, ralias, isAsof = false, h.leftJoin,
+        joins += AsofChainJoin(rrel, ralias, isAsof = false, h.joinSql,
           cond, "", "", equis)
       }
       known = ralias :: known
@@ -2365,17 +2388,18 @@ object DuckDialect {
             s"$rexpr2 ${j.dir}) AS __graft_crn" +
             " FROM (SELECT *, monotonically_increasing_id() AS __graft_cid" +
             s" FROM $acc) __L " +
-            (if (j.leftJoin) "LEFT JOIN " else "JOIN ") +
-            s"${j.rrel} ${j.ralias} ON $cond2) WHERE __graft_crn = 1)"
+            s"${j.joinSql} ${j.rrel} ${j.ralias} ON $cond2)" +
+            " WHERE __graft_crn = 1)"
         } else
-          // plain step (r14 mixed chains): no pick, just the join over
-          // the flattened accumulator — fan-out allowed, the scale
-          // guard folds it into the running row bound
+          // plain step (r14 mixed chains; r15 adds RIGHT/FULL): no
+          // pick, just the join over the flattened accumulator —
+          // fan-out allowed, the scale guard folds it into the running
+          // row bound; RIGHT/FULL null-extend the accumulated side,
+          // DuckDB's left-deep semantics exactly
           "(SELECT " +
             (accCols.map(c => s"`$c`") ++ newCols).mkString(", ") +
             s" FROM $acc __L " +
-            (if (j.leftJoin) "LEFT JOIN " else "JOIN ") +
-            s"${j.rrel} ${j.ralias} ON $cond2)"
+            s"${j.joinSql} ${j.rrel} ${j.ralias} ON $cond2)"
       earlier = j.ralias :: earlier
       accCols = accCols ++ rCols.map(c => pref(j.ralias, c))
     }
@@ -2535,7 +2559,16 @@ object DuckDialect {
               val r = spark.sql(rewrite(mg)).head()
               val m = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
               val stepPairs = bound * m
-              if (!j.isAsof) bound = bound * math.max(m, 1.0)
+              if (!j.isAsof) {
+                bound = bound * math.max(m, 1.0)
+                // RIGHT/FULL (r15): unmatched right rows join the
+                // accumulation too — add |r| to the running bound
+                if (j.joinSql == "RIGHT JOIN" || j.joinSql == "FULL JOIN") {
+                  val c = spark.sql(rewrite("SELECT CAST(count(*) AS " +
+                    s"DOUBLE) FROM ${j.rrel} ${j.ralias}")).head()
+                  bound += (if (c.isNullAt(0)) 0.0 else c.getDouble(0))
+                }
+              }
               stepPairs
             }.max
           } catch { case scala.util.control.NonFatal(_) => 0.0 }

@@ -104,7 +104,7 @@ class DuckCompatMatrixR14Spec extends AnyFunSuite {
       (7, 21, null)))
   }
 
-  test("ASOF chain refusals: equi-free plain step, RIGHT member, and " +
+  test("ASOF chain refusals: equi-free plain step, CROSS member, and " +
     "chain+WHERE go to guidance, never a silently different shape") {
     fixtures()
     val equiFree = intercept[Exception](DuckDialect.sql(spark,
@@ -112,11 +112,13 @@ class DuckCompatMatrixR14Spec extends AnyFunSuite {
         "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
         "JOIN dims u ON u.nm > t.sym").collect())
     assert(equiFree.getMessage.contains("ASOF"))
-    val rightMember = intercept[Exception](DuckDialect.sql(spark,
+    // RIGHT members bridge since r15 (DuckCompatMatrixR15Spec); CROSS
+    // stays a refusal — an equi-free product the pair gate cannot bound
+    val crossMember = intercept[Exception](DuckDialect.sql(spark,
       "SELECT t.sym FROM trades t " +
         "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
-        "RIGHT JOIN dims u ON u.sym = t.sym").collect())
-    assert(rightMember.getMessage.contains("ASOF"))
+        "CROSS JOIN dims u").collect())
+    assert(crossMember.getMessage.contains("ASOF"))
     val withWhere = intercept[Exception](DuckDialect.sql(spark,
       "SELECT t.sym, q.px, f.f FROM trades t " +
         "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +

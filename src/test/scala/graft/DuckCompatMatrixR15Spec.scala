@@ -161,6 +161,68 @@ class DuckCompatMatrixR15Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("cannot decompress"), e2.getMessage)
   }
 
+  test("RIGHT/FULL plain members in mixed chains (r15): null-extension " +
+    "of the accumulated side equals DuckDB's left-deep chain") {
+    import spark.implicits._
+    fixtures()
+    Seq(("A", "alpha"), ("B", "beta"), ("C", "gamma"), ("D", "delta"))
+      .toDF("sym", "nm").createOrReplaceTempView("dims2")
+    Seq(("A", 4, 7), ("B", 5, 8), ("C", 9, 9))
+      .toDF("sym", "fts", "f").createOrReplaceTempView("fills2")
+    // RIGHT member after an ASOF step: unmatched dims rows surface with
+    // every accumulated column NULL (DuckDB-pinned)
+    val got1 = DuckDialect.sql(spark,
+      "SELECT t.sym, t.tts, q.qts, d.nm FROM trades t " +
+        "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+        "RIGHT JOIN dims2 d ON d.sym = t.sym " +
+        "ORDER BY d.nm, t.tts").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else r.getInt(1),
+        if (r.isNullAt(2)) null else r.getInt(2), r.getString(3)))
+    assert(got1.toSeq == Seq(("A", 2, 1, "alpha"), ("A", 5, 5, "alpha"),
+      ("B", 7, 6, "beta"), (null, null, null, "delta"),
+      (null, null, null, "gamma")))
+    // FULL member (DuckDB-pinned)
+    val got2 = DuckDialect.sql(spark,
+      "SELECT t.sym, t.tts, q.qts, f.f FROM trades t " +
+        "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+        "FULL JOIN fills2 f ON f.sym = t.sym " +
+        "ORDER BY t.tts NULLS LAST, f.f NULLS LAST").collect()
+      .map(r => (if (r.isNullAt(1)) null else r.getInt(1),
+        if (r.isNullAt(2)) null else r.getInt(2),
+        if (r.isNullAt(3)) null else r.getInt(3)))
+    assert(got2.toSeq == Seq((2, 1, 7), (5, 5, 7), (7, 6, 8),
+      (null, null, 9)))
+    // ASOF steps AFTER a RIGHT member see the NULLed accumulated
+    // columns: LEFT null-extends, INNER drops (both DuckDB-pinned)
+    Seq(("A", "alpha"), ("B", "beta"), ("C", "gamma"))
+      .toDF("sym", "nm").createOrReplaceTempView("dims3")
+    val got3 = DuckDialect.sql(spark,
+      "SELECT d.sym, d.nm, t.tts, q.qts FROM trades t " +
+        "RIGHT JOIN dims3 d ON d.sym = t.sym " +
+        "ASOF LEFT JOIN quotes q ON q.sym = d.sym AND q.qts <= t.tts " +
+        "ORDER BY d.nm, t.tts NULLS LAST, q.qts NULLS LAST").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getInt(2),
+        if (r.isNullAt(3)) null else r.getInt(3)))
+    assert(got3.toSeq == Seq(("A", "alpha", 2, 1), ("A", "alpha", 5, 5),
+      ("B", "beta", 7, 6), ("C", "gamma", null, null)))
+    val got4 = DuckDialect.sql(spark,
+      "SELECT d.sym, d.nm, t.tts, q.qts FROM trades t " +
+        "RIGHT JOIN dims3 d ON d.sym = t.sym " +
+        "ASOF JOIN quotes q ON q.sym = d.sym AND q.qts <= t.tts " +
+        "ORDER BY d.nm, t.tts").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(got4.toSeq == Seq(("A", "alpha", 2, 1), ("A", "alpha", 5, 5),
+      ("B", "beta", 7, 6)))
+    // ASOF RIGHT/FULL are not DuckDB syntax — refuse to guidance
+    for (k <- Seq("RIGHT", "FULL"))
+      intercept[Exception](DuckDialect.sql(spark,
+        s"SELECT t.sym FROM trades t " +
+          s"ASOF $k JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+          "JOIN dims3 d ON d.sym = t.sym").collect())
+  }
+
   test("wrapped COLUMNS REPLACE: CAST and unary-minus spellings render " +
     "DuckDB's derived names (r15 — every name and value DuckDB-pinned)") {
     import spark.implicits._
