@@ -265,6 +265,21 @@ object ExtendedOps {
       |ORDER BY d"""
       .stripMargin.replace("\n", " ")
 
+  // q199 RIGHT plain member in a mixed ASOF chain (r15): the asof pick
+  // feeds a RIGHT dimension join whose unmatched nation rows (keys
+  // 10-24 — the pick's %10 bucket never reaches them) must surface
+  // with every accumulated column NULL, exactly DuckDB's left-deep
+  // null-extension (the flattened-accumulator embedding gives it by
+  // construction — DuckDialect.asofChainExpand). doc_id unique ⇒ the
+  // pick is tie-free; ORDER BY (n_name, d NULLS LAST) is total.
+  private val AsofRightSql: String =
+    """SELECT n.n_name, l.doc_id AS d, CAST(p.doc_id AS BIGINT) AS prev_doc
+      |FROM documents l
+      |ASOF JOIN documents p ON l.source = p.source AND l.doc_id > p.doc_id
+      |RIGHT JOIN nation n ON n.n_nationkey = p.doc_id % 10
+      |ORDER BY n.n_name, d NULLS LAST"""
+      .stripMargin.replace("\n", " ")
+
   // q172 — the r10 ANALYSIS-LEVEL bridges in one statement: date_sub
   // (complete clamped intervals), list_extract on STRINGS (1-based
   // character access, '' out of range), list_slice on STRINGS, the
@@ -699,6 +714,14 @@ object ExtendedOps {
         graft.DuckDialect.sql(s, AsofSubqSql)
       },
       Some(AsofSubqSql)),
+
+    GraftQuery("q199_duckdb_asof_right",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        T(s, d, "nation").createOrReplaceTempView("nation")
+        graft.DuckDialect.sql(s, AsofRightSql)
+      },
+      Some(AsofRightSql)),
 
     GraftQuery("q172_duckdb_dialect5",
       (s, d) => {
