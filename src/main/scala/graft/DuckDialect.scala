@@ -2087,18 +2087,36 @@ object DuckDialect {
     * not a member), schemas come from analyzing the rewritten subquery,
     * and the scale guard's probes run against the subquery itself.
     * Refusals (the single-bridge stance, per member): WHERE / GROUP BY
+    * RIGHT-DEEP members (r15 second pass, DuckDB-pinned): an UNALIASED
+    * parenthesized inner ASOF join `(r1 [a1] ASOF [LEFT] JOIN r2 [a2]
+    * ON c)` is a chain member — DuckDB evaluates the INNER join first
+    * (per-r1 nearest r2, independent of the outer rows; provably
+    * different from any left-deep respelling) and leaks the inner
+    * aliases into the outer scope. The bridge synthesizes the inner
+    * pick as a prefixed-column subquery (through the single-join ASOF
+    * rewrite), joins it as one member exposing BOTH inner aliases, and
+    * bounds the outer step's pairs by |r1| (an inner ASOF yields ≤1
+    * row per r1 row — the guard's conservative m). Aliased trees
+    * `(…) x` (DuckDB mixes x- and inner-alias scoping), inner PLAIN
+    * joins (spell them left-deep), multi-join trees and nested parens
+    * keep refusing.
+    * Refusals (the single-bridge stance, per member): WHERE / GROUP BY
     * / HAVING / QUALIFY / WINDOW / set ops, DISTINCT,
     * CROSS/NATURAL members and ASOF RIGHT/FULL/INNER (not DuckDB
-    * syntax), right-deep (parenthesized JOIN-tree) chains,
+    * syntax),
     * any ASOF ON whose single inequality does not split cleanly
     * into a new-alias side vs an earlier-alias side, a bare `*` select
     * list (per-relation output names are not reconstructible through
     * the prefixed nesting), and unaliased non-column select items. Ties
     * on the range expression are nondeterministic in both engines — the
     * documented single-bridge stance. */
+  private[graft] case class AsofTreeMember(r1: String, a1: String,
+    innerLeft: Boolean, r2: String, a2: String, cond: String)
+
   private[graft] case class AsofChainJoin(rrel: String, ralias: String,
     isAsof: Boolean, joinSql: String, cond: String, rightExpr: String,
-    dir: String, rightEquis: Seq[String])
+    dir: String, rightEquis: Seq[String],
+    tree: Option[AsofTreeMember] = None)
 
   private[graft] case class AsofChainParts(prefix: String, selTxt: String,
     lrel: String, lalias: String, joins: Seq[AsofChainJoin], tailTxt: String)
@@ -2110,8 +2128,21 @@ object DuckDialect {
     for (kw <- Seq("where", "group", "having", "qualify", "window"))
       if (topKeyword(sql, kw) >= 0) return None
     val joinsAt = topKeywordAll(sql, "join")
-    // single-join statements belong to the plain asofBridge
-    if (joinsAt.length < 2) return None
+    // single-join statements belong to the plain asofBridge — EXCEPT
+    // when the lone member is a parenthesized ident group (a
+    // right-deep TREE, r15): its inner JOIN/ASOF are paren-hidden from
+    // the top-level counts, so only the chain machinery can see it
+    def identGroupAfter(jp: Int): Boolean = {
+      var k2 = jp + 4
+      while (k2 < sql.length && Character.isWhitespace(sql.charAt(k2))) k2 += 1
+      k2 < sql.length && sql.charAt(k2) == '(' && {
+        var k3 = k2 + 1
+        while (k3 < sql.length && Character.isWhitespace(sql.charAt(k3))) k3 += 1
+        val w0 = readWord(sql, k3).toLowerCase(java.util.Locale.ROOT)
+        w0.nonEmpty && w0 != "select" && w0 != "with"
+      }
+    }
+    if (joinsAt.length < 2 && !joinsAt.exists(identGroupAfter)) return None
     val sel = topKeyword(sql, "select")
     val f = topKeyword(sql, "from")
     if (sel < 0 || f < sel || joinsAt.head < f) return None
@@ -2201,6 +2232,53 @@ object DuckDialect {
       else parseIdentChain(sql, i).map { case (ident, after) =>
         i = after; ident
       }
+    // r15 second pass: an UNALIASED parenthesized inner ASOF join is a
+    // RIGHT-DEEP tree member (see the chain Scaladoc) — inner text
+    // `r1 [a1] ASOF [LEFT] JOIN r2 [a2] ON cond`, ident relations only,
+    // exactly one join, evaluated inner-first with both aliases leaking
+    // into the outer scope (DuckDB-pinned).
+    def parseTreeMember(): Option[AsofTreeMember] =
+      scanCall(sql, i).flatMap { case (after, _) =>
+        val inner = sql.substring(i + 1, after - 1).trim
+        if (topKeywordAll(inner, "join").length != 1) return None
+        var k = 0
+        def iws(): Unit =
+          while (k < inner.length && Character.isWhitespace(inner.charAt(k))) k += 1
+        val (r1, af1) = parseIdentChain(inner, 0).getOrElse(return None)
+        k = af1; iws()
+        var a1 = r1.split('.').last
+        var w = readWord(inner, k)
+        if (!w.equalsIgnoreCase("asof")) {
+          if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
+            return None
+          a1 = w; k += w.length; iws()
+          w = readWord(inner, k)
+        }
+        if (!w.equalsIgnoreCase("asof")) return None
+        k += 4; iws()
+        var innerLeft = false
+        if (readWord(inner, k).equalsIgnoreCase("left")) {
+          innerLeft = true; k += 4; iws()
+        }
+        if (!readWord(inner, k).equalsIgnoreCase("join")) return None
+        k += 4; iws()
+        val (r2, af2) = parseIdentChain(inner, k).getOrElse(return None)
+        k = af2; iws()
+        var a2 = r2.split('.').last
+        w = readWord(inner, k)
+        if (!w.equalsIgnoreCase("on")) {
+          if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
+            return None
+          a2 = w; k += w.length; iws()
+          w = readWord(inner, k)
+        }
+        if (!w.equalsIgnoreCase("on")) return None
+        k += 2
+        val cond = inner.substring(k).trim
+        if (cond.isEmpty) return None
+        i = after
+        Some(AsofTreeMember(r1, a1, innerLeft, r2, a2, cond))
+      }
     val lrel = parseRel().getOrElse(return None)
     ws()
     var lalias = if (lrel.startsWith("(")) "" else lrel.split('.').last
@@ -2218,16 +2296,46 @@ object DuckDialect {
     for ((h, hx) <- heads.zipWithIndex) {
       if (i != h.start) return None
       i = h.joinPos + 4; ws()
-      val rrel = parseRel().getOrElse(return None)
-      ws()
-      var ralias = if (rrel.startsWith("(")) "" else rrel.split('.').last
-      if (!readWord(sql, i).equalsIgnoreCase("on")) {
-        val w = readWord(sql, i)
-        if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
-          return None
-        ralias = w; i += w.length; ws()
+      // tree member? only when the group opens with an IDENT (a
+      // SELECT/WITH group is a subquery member, parseRel's job)
+      val treeStart = i < sql.length && sql.charAt(i) == '(' && {
+        var k2 = i + 1
+        while (k2 < sql.length && Character.isWhitespace(sql.charAt(k2))) k2 += 1
+        val w0 = readWord(sql, k2).toLowerCase(java.util.Locale.ROOT)
+        w0.nonEmpty && w0 != "select" && w0 != "with"
       }
-      if (ralias.isEmpty) return None // grouped relation without alias
+      val tree = if (treeStart) parseTreeMember() else None
+      if (treeStart && tree.isEmpty) return None
+      val (rrel, newAliases) = tree match {
+        case Some(t) =>
+          // an alias after the tree refuses: DuckDB then mixes
+          // member-alias and inner-alias scoping — not bridged
+          ws()
+          if (!readWord(sql, i).equalsIgnoreCase("on")) return None
+          val lowKnown = known.map(_.toLowerCase(java.util.Locale.ROOT))
+          for (a <- Seq(t.a1, t.a2))
+            if (a.isEmpty ||
+              lowKnown.contains(a.toLowerCase(java.util.Locale.ROOT)))
+              return None
+          if (t.a1.equalsIgnoreCase(t.a2)) return None
+          (sql.substring(h.joinPos + 4, i).trim, Seq(t.a1, t.a2))
+        case None =>
+          val r = parseRel().getOrElse(return None)
+          ws()
+          var ralias = if (r.startsWith("(")) "" else r.split('.').last
+          if (!readWord(sql, i).equalsIgnoreCase("on")) {
+            val w = readWord(sql, i)
+            if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
+              return None
+            ralias = w; i += w.length; ws()
+          }
+          if (ralias.isEmpty) return None // grouped relation w/o alias
+          (r, Seq(ralias))
+      }
+      val ralias = tree match {
+        case Some(_) => s"__graft_tm$hx"
+        case None => newAliases.head
+      }
       if (!readWord(sql, i).equalsIgnoreCase("on")) return None
       i += 2
       val after = sql.substring(i)
@@ -2239,10 +2347,10 @@ object DuckDialect {
       if (cond.isEmpty) return None
       if (hx + 1 == heads.length) tailTxt = after.substring(condEnd).trim
       if (h.isAsof) {
-        analyzeAsofCond(cond, ralias, known) match {
+        analyzeAsofCond(cond, newAliases, known) match {
           case Some((rightExpr, dir, rightEquis)) =>
             joins += AsofChainJoin(rrel, ralias, isAsof = true, h.joinSql,
-              cond, rightExpr, dir, rightEquis)
+              cond, rightExpr, dir, rightEquis, tree)
           case None => return None
         }
       } else {
@@ -2250,12 +2358,12 @@ object DuckDialect {
         // clean earlier=new equality is REQUIRED (an equi-free comma
         // product inside a chain would plan the nested-loop class the
         // pair gate cannot bound)
-        val equis = chainRightEquis(splitTopAnd(cond), ralias, known)
+        val equis = chainRightEquis(splitTopAnd(cond), newAliases, known)
         if (equis.isEmpty) return None
         joins += AsofChainJoin(rrel, ralias, isAsof = false, h.joinSql,
-          cond, "", "", equis)
+          cond, "", "", equis, tree)
       }
-      known = ralias :: known
+      known = newAliases.toList reverse_::: known
       i += condEnd; ws()
     }
     Some(AsofChainParts(sql.substring(0, sel), selTxt, lrel, lalias,
@@ -2272,8 +2380,10 @@ object DuckDialect {
   }
 
   /** New-alias sides of clean earlier=new equality conjuncts (the
-    * chain scale probe's group keys). */
-  private def chainRightEquis(conjs: Seq[String], ralias: String,
+    * chain scale probe's group keys). `newAliases` has one element for
+    * an ordinary member, two for a tree member (both inner aliases are
+    * "new"). */
+  private def chainRightEquis(conjs: Seq[String], newAliases: Seq[String],
       earlier: Seq[String]): Seq[String] = {
     def refsAlias(e: String, a: String): Boolean = {
       val noStr = e.replaceAll("'(?:[^']|'')*'", " ")
@@ -2281,6 +2391,7 @@ object DuckDialect {
         "(?i)(?<![A-Za-z0-9_.`\"])" +
           java.util.regex.Pattern.quote(a) + "\\.").matcher(noStr).find()
     }
+    def refsNew(e: String): Boolean = newAliases.exists(refsAlias(e, _))
     def refsEarlier(e: String): Boolean = earlier.exists(refsAlias(e, _))
     conjs.flatMap { c =>
       var d = 0
@@ -2303,10 +2414,10 @@ object DuckDialect {
       else {
         val l0 = c.substring(0, eq).trim
         val r0 = c.substring(eq + 1).trim
-        if (refsAlias(l0, ralias) && !refsEarlier(l0) &&
-          refsEarlier(r0) && !refsAlias(r0, ralias)) Some(l0)
-        else if (refsAlias(r0, ralias) && !refsEarlier(r0) &&
-          refsEarlier(l0) && !refsAlias(l0, ralias)) Some(r0)
+        if (refsNew(l0) && !refsEarlier(l0) &&
+          refsEarlier(r0) && !refsNew(r0)) Some(l0)
+        else if (refsNew(r0) && !refsEarlier(r0) &&
+          refsEarlier(l0) && !refsNew(l0)) Some(r0)
         else None
       }
     }
@@ -2373,22 +2484,53 @@ object DuckDialect {
     var earlier: List[String] = List(p.lalias)
     var accCols: Seq[String] = baseCols.map(c => pref(p.lalias, c))
     for (j <- p.joins) {
-      val rCols = colsOf(j.rrel).getOrElse(return None)
-      val newCols = rCols.map(c =>
-        s"${j.ralias}.`$c` AS `${pref(j.ralias, c)}`")
-      val cond2 = mapChainRefs(j.cond, earlier)
+      // member shape: (relation text to join, its projected output
+      // column NAMES — already prefixed, select-list text that
+      // introduces them, aliases the member exposes to later refs, and
+      // the alias set the step's ON must ALSO remap — a tree member's
+      // columns live unqualified on the joined subquery, so its inner
+      // aliases remap in the ON too)
+      val (memberSql, memberColNames, memberNewCols, newAliases,
+          condAliases) = j.tree match {
+        case Some(t) =>
+          // RIGHT-DEEP tree member (r15 second pass): synthesize the
+          // inner pick as a prefixed-column subquery and bridge its
+          // ASOF through the single-join rewrite — inner-first
+          // evaluation, exactly DuckDB's
+          val c1 = colsOf(t.r1).getOrElse(return None)
+          val c2 = colsOf(t.r2).getOrElse(return None)
+          val items = c1.map(c => s"${t.a1}.`$c` AS ${pref(t.a1, c)}") ++
+            c2.map(c => s"${t.a2}.`$c` AS ${pref(t.a2, c)}")
+          val synth = "SELECT " + items.mkString(", ") +
+            s" FROM ${t.r1} ${t.a1} ASOF " +
+            (if (t.innerLeft) "LEFT " else "") +
+            s"JOIN ${t.r2} ${t.a2} ON ${t.cond}"
+          val bridged = rewrite(synth)
+          if (bridged == synth) return None // inner ASOF didn't bridge
+          val names = c1.map(c => pref(t.a1, c)) ++
+            c2.map(c => pref(t.a2, c))
+          (s"($bridged) ${j.ralias}", names,
+            names.map(c => s"${j.ralias}.`$c`"),
+            Seq(t.a1, t.a2), Seq(t.a1, t.a2))
+        case None =>
+          val rCols = colsOf(j.rrel).getOrElse(return None)
+          (s"${j.rrel} ${j.ralias}",
+            rCols.map(c => pref(j.ralias, c)),
+            rCols.map(c => s"${j.ralias}.`$c` AS `${pref(j.ralias, c)}`"),
+            Seq(j.ralias), Seq.empty[String])
+      }
+      val cond2 = mapChainRefs(j.cond, earlier ++ condAliases)
       acc =
         if (j.isAsof) {
-          val rexpr2 = mapChainRefs(j.rightExpr, earlier)
+          val rexpr2 = mapChainRefs(j.rightExpr, earlier ++ condAliases)
           "(SELECT " +
-            (accCols.map(c => s"`$c`") ++ rCols.map(c =>
-              s"`${pref(j.ralias, c)}`")).mkString(", ") +
-            " FROM (SELECT __L.*, " + newCols.mkString(", ") +
+            (accCols ++ memberColNames).map(c => s"`$c`").mkString(", ") +
+            " FROM (SELECT __L.*, " + memberNewCols.mkString(", ") +
             ", row_number() OVER (PARTITION BY __graft_cid ORDER BY " +
             s"$rexpr2 ${j.dir}) AS __graft_crn" +
             " FROM (SELECT *, monotonically_increasing_id() AS __graft_cid" +
             s" FROM $acc) __L " +
-            s"${j.joinSql} ${j.rrel} ${j.ralias} ON $cond2)" +
+            s"${j.joinSql} $memberSql ON $cond2)" +
             " WHERE __graft_crn = 1)"
         } else
           // plain step (r14 mixed chains; r15 adds RIGHT/FULL): no
@@ -2397,11 +2539,11 @@ object DuckDialect {
           // row bound; RIGHT/FULL null-extend the accumulated side,
           // DuckDB's left-deep semantics exactly
           "(SELECT " +
-            (accCols.map(c => s"`$c`") ++ newCols).mkString(", ") +
+            (accCols.map(c => s"`$c`") ++ memberNewCols).mkString(", ") +
             s" FROM $acc __L " +
-            s"${j.joinSql} ${j.rrel} ${j.ralias} ON $cond2)"
-      earlier = j.ralias :: earlier
-      accCols = accCols ++ rCols.map(c => pref(j.ralias, c))
+            s"${j.joinSql} $memberSql ON $cond2)"
+      earlier = newAliases.toList reverse_::: earlier
+      accCols = accCols ++ memberColNames
     }
     // select list: remap references; synthesize DuckDB's leaf output
     // name for unaliased qualified refs; refuse shapes whose output
@@ -2437,7 +2579,7 @@ object DuckDialect {
     * dir, rightEquis)) when exactly one top-level inequality splits a
     * pure new-alias side from an earlier-alias side; rightEquis are the
     * new-alias sides of clean earlier=new equalities (scale probe). */
-  private def analyzeAsofCond(cond: String, ralias: String,
+  private def analyzeAsofCond(cond: String, newAliases: Seq[String],
       earlier: Seq[String]): Option[(String, String, Seq[String])] = {
     // depth-INSENSITIVE alias search (unlike the single bridge's
     // top-level scan): `CAST(e.ts AS DATE)` must count as referencing
@@ -2449,6 +2591,7 @@ object DuckDialect {
         "(?i)(?<![A-Za-z0-9_.`\"])" +
           java.util.regex.Pattern.quote(a) + "\\.").matcher(noStr).find()
     }
+    def refsNew(e: String): Boolean = newAliases.exists(refsAlias(e, _))
     def refsEarlier(e: String): Boolean = earlier.exists(refsAlias(e, _))
     val andAts = topKeywordAll(cond, "and")
     val bounds = (-3 +: andAts) :+ cond.length
@@ -2483,7 +2626,7 @@ object DuckDialect {
     val lhs = ineqC.substring(0, opAt).trim
     val rhs = ineqC.substring(opAt + op.length).trim
     val (rightExpr, normOp) =
-      (refsAlias(lhs, ralias), refsAlias(rhs, ralias)) match {
+      (refsNew(lhs), refsNew(rhs)) match {
         case (true, false) if refsEarlier(rhs) => (lhs, op)
         case (false, true) if refsEarlier(lhs) =>
           (rhs, op match {
@@ -2514,10 +2657,10 @@ object DuckDialect {
         else {
           val l0 = c.substring(0, eq).trim
           val r0 = c.substring(eq + 1).trim
-          if (refsAlias(l0, ralias) && !refsEarlier(l0) &&
-            refsEarlier(r0) && !refsAlias(r0, ralias)) Some(l0)
-          else if (refsAlias(r0, ralias) && !refsEarlier(r0) &&
-            refsEarlier(l0) && !refsAlias(l0, ralias)) Some(r0)
+          if (refsNew(l0) && !refsEarlier(l0) &&
+            refsEarlier(r0) && !refsNew(r0)) Some(l0)
+          else if (refsNew(r0) && !refsEarlier(r0) &&
+            refsEarlier(l0) && !refsNew(l0)) Some(r0)
           else None
         }
     }
@@ -2549,13 +2692,20 @@ object DuckDialect {
             // largest equi group, so the bound multiplies through it
             var bound = nLeft
             joins.map { j =>
-              val mg =
-                if (j.rightEquis.isEmpty)
+              val mg = j.tree match {
+                case Some(t) =>
+                  // tree member (r15): its inner ASOF yields ≤1 row
+                  // per r1 row, so |r1| bounds the member's output —
+                  // a conservative m (the equi keys reference inner
+                  // aliases the raw tree text cannot be probed with)
+                  s"SELECT CAST(count(*) AS DOUBLE) FROM ${t.r1}"
+                case None if j.rightEquis.isEmpty =>
                   s"SELECT CAST(count(*) AS DOUBLE) FROM ${j.rrel} ${j.ralias}"
-                else
+                case None =>
                   "SELECT CAST(max(__gc) AS DOUBLE) FROM (SELECT count(*) " +
                     s"AS __gc FROM ${j.rrel} ${j.ralias} GROUP BY " +
                     j.rightEquis.mkString(", ") + ")"
+              }
               val r = spark.sql(rewrite(mg)).head()
               val m = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
               val stepPairs = bound * m
@@ -2563,9 +2713,12 @@ object DuckDialect {
                 bound = bound * math.max(m, 1.0)
                 // RIGHT/FULL (r15): unmatched right rows join the
                 // accumulation too — add |r| to the running bound
+                // (a tree member's output is bounded by its r1)
                 if (j.joinSql == "RIGHT JOIN" || j.joinSql == "FULL JOIN") {
+                  val src = j.tree.map(_.r1)
+                    .getOrElse(s"${j.rrel} ${j.ralias}")
                   val c = spark.sql(rewrite("SELECT CAST(count(*) AS " +
-                    s"DOUBLE) FROM ${j.rrel} ${j.ralias}")).head()
+                    s"DOUBLE) FROM $src")).head()
                   bound += (if (c.isNullAt(0)) 0.0 else c.getDouble(0))
                 }
               }

@@ -161,6 +161,59 @@ class DuckCompatMatrixR15Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("cannot decompress"), e2.getMessage)
   }
 
+  test("right-deep tree members (r15 second pass): an unaliased " +
+    "parenthesized inner ASOF join evaluates INNER-FIRST and leaks its " +
+    "aliases — rows equal DuckDB's native right-deep chain") {
+    fixtures()
+    def run(q: String): Seq[Seq[Any]] =
+      DuckDialect.sql(spark, q).collect().map(_.toSeq).toSeq
+    // inner-first is provably different from left-deep: A@5 picks q3
+    // here because the inner (quote→fill) pick runs before the outer —
+    // a left-deep respelling would pick q5 and drop the row
+    assert(run("SELECT t.sym, t.tts, q.qts, f.fts FROM trades t " +
+      "ASOF JOIN (quotes q ASOF JOIN fills f ON f.sym = q.sym AND f.fts >= q.qts) " +
+      "ON q.sym = t.sym AND q.qts <= t.tts ORDER BY t.sym, t.tts") ==
+      Seq(Seq("A", 2, 1, 4), Seq("A", 5, 3, 4), Seq("B", 7, 2, 5)))
+    // inner ASOF LEFT keeps fill-less quotes (NULL fts)
+    assert(run("SELECT t.sym, t.tts, q.qts, f.fts FROM trades t " +
+      "ASOF JOIN (quotes q ASOF LEFT JOIN fills f ON f.sym = q.sym AND f.fts >= q.qts) " +
+      "ON q.sym = t.sym AND q.qts <= t.tts ORDER BY t.sym, t.tts") ==
+      Seq(Seq("A", 2, 1, 4), Seq("A", 5, 5, null), Seq("B", 7, 6, null)))
+    // outer ASOF LEFT over the tree
+    assert(run("SELECT t.sym, t.tts, q.qts, f.fts FROM trades t " +
+      "ASOF LEFT JOIN (quotes q ASOF JOIN fills f ON f.sym = q.sym AND f.fts >= q.qts) " +
+      "ON q.sym = t.sym AND q.qts <= t.tts ORDER BY t.sym, t.tts") ==
+      Seq(Seq("A", 2, 1, 4), Seq("A", 5, 3, 4), Seq("B", 7, 2, 5)))
+    // the outer range may bind the SECOND inner alias
+    assert(run("SELECT t.sym, t.tts, f.fts FROM trades t " +
+      "ASOF JOIN (quotes q ASOF JOIN fills f ON f.sym = q.sym AND f.fts >= q.qts) " +
+      "ON q.sym = t.sym AND f.fts >= t.tts ORDER BY t.sym, t.tts") ==
+      Seq(Seq("A", 2, 4)))
+    // a LATER chain step may reference the tree's inner aliases
+    assert(run("SELECT t.sym, t.tts, q.qts, f.fts, d.qts AS dq FROM trades t " +
+      "ASOF JOIN (quotes q ASOF JOIN fills f ON f.sym = q.sym AND f.fts >= q.qts) " +
+      "ON q.sym = t.sym AND q.qts <= t.tts " +
+      "ASOF LEFT JOIN quotes d ON d.sym = f.sym AND d.qts > f.fts " +
+      "ORDER BY t.sym, t.tts") ==
+      Seq(Seq("A", 2, 1, 4, 5), Seq("A", 5, 3, 4, 5), Seq("B", 7, 2, 5, 6)))
+    // refusals: aliased tree (DuckDB mixes member- and inner-alias
+    // scoping), inner PLAIN join (spell it left-deep), alias collision
+    for (q <- Seq(
+      "SELECT t.sym FROM trades t " +
+        "ASOF JOIN (quotes q2 ASOF JOIN fills f2 ON f2.sym = q2.sym AND f2.fts >= q2.qts) x " +
+        "ON q2.sym = t.sym AND q2.qts <= t.tts " +
+        "JOIN fills f3 ON f3.sym = t.sym",
+      "SELECT t.sym FROM trades t " +
+        "ASOF JOIN (quotes q2 JOIN fills f2 ON f2.sym = q2.sym) " +
+        "ON q2.sym = t.sym AND q2.qts <= t.tts " +
+        "JOIN fills f3 ON f3.sym = t.sym",
+      "SELECT t.sym FROM trades t " +
+        "ASOF JOIN (quotes t ASOF JOIN fills f ON f.sym = t.sym AND f.fts >= t.qts) " +
+        "ON t.sym = t.sym AND t.qts <= t.tts " +
+        "JOIN fills f3 ON f3.sym = t.sym"))
+      intercept[Exception](DuckDialect.sql(spark, q).collect())
+  }
+
   test("RIGHT/FULL plain members in mixed chains (r15): null-extension " +
     "of the accumulated side equals DuckDB's left-deep chain") {
     import spark.implicits._
