@@ -280,6 +280,25 @@ object ExtendedOps {
       |ORDER BY n.n_name, d NULLS LAST"""
       .stripMargin.replace("\n", " ")
 
+  // q200 RIGHT-DEEP tree member (r15 second pass): the inner
+  // (p ASOF LEFT r) pick runs FIRST — every p carries its own
+  // predecessor independent of l — then the outer ASOF picks the
+  // nearest enriched p per l. Provably different from the left-deep
+  // q196 spelling (there the r-pick runs per OUTER pick). The bridge
+  // synthesizes the inner pick as a prefixed subquery and exposes BOTH
+  // inner aliases (the select reads p and r); doc_id unique ⇒ tie-free;
+  // oracle = identical text in DuckDB's native right-deep plan.
+  private val AsofTreeSql: String =
+    """SELECT l.doc_id AS d, CAST(p.doc_id AS BIGINT) AS prev_doc,
+      |CAST(r.doc_id AS BIGINT) AS prev_prev,
+      |CAST(r.n_chars AS BIGINT) AS pp_chars
+      |FROM documents l
+      |ASOF JOIN (documents p ASOF LEFT JOIN documents r
+      |  ON r.source = p.source AND r.doc_id < p.doc_id)
+      |ON p.source = l.source AND p.doc_id < l.doc_id
+      |ORDER BY d"""
+      .stripMargin.replace("\n", " ")
+
   // q172 — the r10 ANALYSIS-LEVEL bridges in one statement: date_sub
   // (complete clamped intervals), list_extract on STRINGS (1-based
   // character access, '' out of range), list_slice on STRINGS, the
@@ -722,6 +741,13 @@ object ExtendedOps {
         graft.DuckDialect.sql(s, AsofRightSql)
       },
       Some(AsofRightSql)),
+
+    GraftQuery("q200_duckdb_asof_tree",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, AsofTreeSql)
+      },
+      Some(AsofTreeSql)),
 
     GraftQuery("q172_duckdb_dialect5",
       (s, d) => {
