@@ -214,6 +214,27 @@ class DuckCompatMatrixR15Spec extends AnyFunSuite {
       intercept[Exception](DuckDialect.sql(spark, q).collect())
   }
 
+  test("composed r15 chain: tree member + subquery member + RIGHT dim " +
+    "step in ONE statement equals DuckDB") {
+    import spark.implicits._
+    fixtures()
+    Seq(("A", "alpha"), ("B", "beta"), ("C", "gamma"))
+      .toDF("sym", "nm").createOrReplaceTempView("dimsc")
+    val got = DuckDialect.sql(spark,
+      "SELECT t.sym, t.tts, q.qts, f.fts, s.px AS spx, d.nm " +
+        "FROM trades t " +
+        "ASOF JOIN (quotes q ASOF JOIN fills f ON f.sym = q.sym AND f.fts >= q.qts) " +
+        "ON q.sym = t.sym AND q.qts <= t.tts " +
+        "ASOF LEFT JOIN (SELECT sym, qts, px FROM quotes WHERE px <> 11) s " +
+        "ON s.sym = f.sym AND s.qts > f.fts " +
+        "RIGHT JOIN dimsc d ON d.sym = t.sym " +
+        "ORDER BY d.nm, t.tts NULLS LAST").collect().map(_.toSeq).toSeq
+    assert(got == Seq(
+      Seq("A", 2, 1, 4, 12, "alpha"), Seq("A", 5, 3, 4, 12, "alpha"),
+      Seq("B", 7, 2, 5, 21, "beta"),
+      Seq(null, null, null, null, null, "gamma")))
+  }
+
   test("RIGHT/FULL plain members in mixed chains (r15): null-extension " +
     "of the accumulated side equals DuckDB's left-deep chain") {
     import spark.implicits._
