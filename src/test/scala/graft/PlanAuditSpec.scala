@@ -85,7 +85,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // plan (same argument as q114's similarity matrix; q121's persisted
     // frame reports honest IMR stats, which push it past the broadcast
     // threshold where q114's estimate-only subtree slips under)
-    "q121_vocab_overlap_sketch")
+    "q121_vocab_overlap_sketch",
+    // q199 (r15): the user-written RIGHT OUTER dim join — Spark can
+    // only broadcast the LEFT (build) side of a right-outer, and the
+    // left here is the corpus-sized asof accumulation, so the
+    // nationkey shuffle join IS the plan for this statement shape at
+    // any scale (25-row right side notwithstanding); the asof step
+    // itself stays the audited equi+WindowGroupLimit form
+    "q199_duckdb_asof_right")
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
