@@ -2708,7 +2708,23 @@ object DuckDialect {
               }
               val r = spark.sql(rewrite(mg)).head()
               val m = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-              val stepPairs = bound * m
+              // a tree member's INNER join generates its own pairs
+              // (|r1| × r2's largest inner-equi group) before the
+              // inner pick prunes — gate them like any ASOF step
+              val innerPairs = j.tree.fold(0.0) { t =>
+                val innerEquis = analyzeAsofCond(t.cond, Seq(t.a2),
+                  Seq(t.a1)).map(_._3).getOrElse(Nil)
+                val ig =
+                  if (innerEquis.isEmpty)
+                    s"SELECT CAST(count(*) AS DOUBLE) FROM ${t.r2} ${t.a2}"
+                  else
+                    "SELECT CAST(max(__gc) AS DOUBLE) FROM (SELECT " +
+                      s"count(*) AS __gc FROM ${t.r2} ${t.a2} GROUP BY " +
+                      innerEquis.mkString(", ") + ")"
+                val ir = spark.sql(rewrite(ig)).head()
+                m * (if (ir.isNullAt(0)) 0.0 else ir.getDouble(0))
+              }
+              val stepPairs = math.max(bound * m, innerPairs)
               if (!j.isAsof) {
                 bound = bound * math.max(m, 1.0)
                 // RIGHT/FULL (r15): unmatched right rows join the

@@ -198,6 +198,16 @@ class DuckCompatMatrixR15Spec extends AnyFunSuite {
       Seq(Seq("A", 2, 1, 4, 5), Seq("A", 5, 3, 4, 5), Seq("B", 7, 2, 5, 6)))
     // refusals: aliased tree (DuckDB mixes member- and inner-alias
     // scoping), inner PLAIN join (spell it left-deep), alias collision
+    // the INNER pair generation is gated too (|r1| × r2's largest
+    // inner-equi group), not just the outer step
+    spark.conf.set("spark.graft.asof.maxPairs", "1")
+    try {
+      val gated = intercept[IllegalArgumentException](DuckDialect.sql(spark,
+        "SELECT t.sym, f.fts FROM trades t " +
+          "ASOF JOIN (quotes q ASOF JOIN fills f ON f.sym = q.sym AND f.fts >= q.qts) " +
+          "ON q.sym = t.sym AND q.qts <= t.tts").collect())
+      assert(gated.getMessage.contains("refused at this scale"))
+    } finally spark.conf.unset("spark.graft.asof.maxPairs")
     for (q <- Seq(
       "SELECT t.sym FROM trades t " +
         "ASOF JOIN (quotes q2 ASOF JOIN fills f2 ON f2.sym = q2.sym AND f2.fts >= q2.qts) x " +
