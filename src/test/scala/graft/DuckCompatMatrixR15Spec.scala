@@ -196,6 +196,12 @@ class DuckCompatMatrixR15Spec extends AnyFunSuite {
       "ASOF LEFT JOIN quotes d ON d.sym = f.sym AND d.qts > f.fts " +
       "ORDER BY t.sym, t.tts") ==
       Seq(Seq("A", 2, 1, 4, 5), Seq("A", 5, 3, 4, 5), Seq("B", 7, 2, 5, 6)))
+    // keyword case-robustness: the classifier lowercases — an
+    // all-lowercase tree and a mixed-case head parse identically
+    assert(run("select t.sym, t.tts, q.qts, f.fts from trades t " +
+      "asof join (quotes q asof left join fills f on f.sym = q.sym and f.fts >= q.qts) " +
+      "on q.sym = t.sym and q.qts <= t.tts order by t.sym, t.tts") ==
+      Seq(Seq("A", 2, 1, 4), Seq("A", 5, 5, null), Seq("B", 7, 6, null)))
     // refusals: aliased tree (DuckDB mixes member- and inner-alias
     // scoping), inner PLAIN join (spell it left-deep), alias collision
     // the INNER pair generation is gated too (|r1| × r2's largest
