@@ -2123,7 +2123,6 @@ object DuckDialect {
 
   private[graft] def asofChainBridge(sql: String): Option[AsofChainParts] = {
     val asofs = topKeywordAll(sql, "asof")
-    if (asofs.isEmpty) return None
     if (hasTopSetOp(sql)) return None
     for (kw <- Seq("where", "group", "having", "qualify", "window"))
       if (topKeyword(sql, kw) >= 0) return None
@@ -2143,6 +2142,10 @@ object DuckDialect {
       }
     }
     if (joinsAt.length < 2 && !joinsAt.exists(identGroupAfter)) return None
+    // no top-level ASOF and no tree member → nothing chain-shaped here
+    // (a plain outer JOIN over a tree member is a chain with zero
+    // top-level ASOFs — the tree's own ASOF is paren-hidden)
+    if (asofs.isEmpty && !joinsAt.exists(identGroupAfter)) return None
     val sel = topKeyword(sql, "select")
     val f = topKeyword(sql, "from")
     if (sel < 0 || f < sel || joinsAt.head < f) return None

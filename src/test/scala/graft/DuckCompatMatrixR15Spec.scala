@@ -196,6 +196,17 @@ class DuckCompatMatrixR15Spec extends AnyFunSuite {
       "ASOF LEFT JOIN quotes d ON d.sym = f.sym AND d.qts > f.fts " +
       "ORDER BY t.sym, t.tts") ==
       Seq(Seq("A", 2, 1, 4, 5), Seq("A", 5, 3, 4, 5), Seq("B", 7, 2, 5, 6)))
+    // a PLAIN outer join over a tree member (zero top-level ASOFs —
+    // the tree's own ASOF is paren-hidden) — both kinds DuckDB-pinned
+    assert(run("SELECT t.sym, t.tts, q.qts, f.fts FROM trades t " +
+      "JOIN (quotes q ASOF JOIN fills f ON f.sym = q.sym AND f.fts >= q.qts) " +
+      "ON q.sym = t.sym AND q.qts + 1 = t.tts ORDER BY t.sym, t.tts") ==
+      Seq(Seq("A", 2, 1, 4)))
+    assert(run("SELECT t.sym, t.tts, q.qts, f.fts FROM trades t " +
+      "LEFT JOIN (quotes q ASOF JOIN fills f ON f.sym = q.sym AND f.fts >= q.qts) " +
+      "ON q.sym = t.sym AND q.qts + 1 = t.tts ORDER BY t.sym, t.tts") ==
+      Seq(Seq("A", 2, 1, 4), Seq("A", 5, null, null),
+        Seq("B", 7, null, null)))
     // keyword case-robustness: the classifier lowercases — an
     // all-lowercase tree and a mixed-case head parse identically
     assert(run("select t.sym, t.tts, q.qts, f.fts from trades t " +
