@@ -3957,7 +3957,25 @@ object DuckDialect {
       else if (lower.endsWith(".json") || lower.endsWith(".ndjson")) "json"
       else "csv"
     }
-    val w = source.write.mode("overwrite")
+    // DuckDB compresses COPY TO output by EXTENSION (pinned: .gz →
+    // gzip bytes, .zst → zstd bytes; .gzip/.zstd write PLAIN bytes).
+    // Spark's text writers take a compression OPTION and never look at
+    // the path: map .gz → gzip-compressed parts (both engines then emit
+    // gzip bytes; the directory-of-parts shape stays the documented
+    // divergence) and REFUSE .zst for text formats (Spark's text
+    // writers have no zstd codec — CODEC_NOT_AVAILABLE) rather than
+    // write plain bytes under a compressed name. .gzip/.zstd need no
+    // mapping: both engines write plain there.
+    val lowerPath = path.toLowerCase(java.util.Locale.ROOT)
+    val gzOut = (fmt == "csv" || fmt == "json") && lowerPath.endsWith(".gz")
+    if ((fmt == "csv" || fmt == "json") && lowerPath.endsWith(".zst"))
+      throw new IllegalArgumentException(
+        s"COPY TO '$path': DuckDB writes zstd-compressed text for the " +
+          ".zst extension but Spark's text writers have no zstd codec " +
+          "here — write .gz (bridged to gzip-compressed parts) or drop " +
+          "the extension")
+    val w0 = source.write.mode("overwrite")
+    val w = if (gzOut) w0.option("compression", "gzip") else w0
     fmt match {
       case "parquet" => w.parquet(path)
       case "json" => w.json(path)
@@ -4076,6 +4094,16 @@ object DuckDialect {
     }
     ws()
     if (i < t.length) return None // trailing junk -> guidance
+    // same divergence guard as the read_csv/read_json bridges (r15):
+    // Spark decompresses .gzip/.zstd by extension, DuckDB reads those
+    // extensions as raw bytes (it auto-detects only .gz/.zst) — a
+    // bridged load would parse different bytes, silently
+    if (path.matches("(?i).*\\.(gzip|zstd)$"))
+      throw new IllegalArgumentException(
+        s"COPY FROM '$path': Spark decompresses the .gzip/.zstd " +
+          "extensions but DuckDB reads them as plain bytes (it " +
+          "auto-detects only .gz/.zst) — rename the file to the " +
+          "matching extension")
     if (fmt.isEmpty) {
       val lower = path.toLowerCase(java.util.Locale.ROOT)
       fmt = if (lower.endsWith(".parquet")) "parquet"

@@ -1091,8 +1091,55 @@ object DuckCompat {
       }.toMap
       (paths, opts)
     }
+    // Spark's read path decompresses by EXTENSION only — .gz via Hadoop,
+    // .zst/.zstd via Spark 4's zstd-jni fallback (HadoopCodecStreams);
+    // the `compression` option is write-only and silently IGNORED on
+    // read. DuckDB (pinned) honors the OPTION over the extension and
+    // auto-detects only .gz/.zst. Two divergence classes follow, both
+    // refused rather than risked:
+    //   1. extensions Spark decompresses but DuckDB reads as raw bytes
+    //      (.gzip / .zstd — DuckDB-pinned raw-parse errors);
+    //   2. a compression option that is not redundant with what the
+    //      extension already implies (DuckDB decompresses a noext file
+    //      under compression='gzip' and reads a .zst raw under 'none';
+    //      Spark ignores the option either way).
+    // 'auto' is always redundant (both engines extension-detect);
+    // 'gzip'/'zstd' must match every path's extension; 'none' requires
+    // no decompressing extension; other spellings are DuckDB parser
+    // errors anyway ("Unrecognized file compression type").
+    def guardCompression(name: String, paths: Seq[String],
+        opts: Map[String, Any]): Map[String, Any] = {
+      def refuse(why: String): Nothing = throw new IllegalArgumentException(
+        s"$name: $why — Spark decompresses by file extension only " +
+          "(.gz/.zst) and ignores the compression option on read, " +
+          "while DuckDB honors the option; bridging would silently " +
+          "parse different bytes. Rename the file to the matching " +
+          "extension (or drop the option) and retry")
+      for (p <- paths)
+        if (p.matches("(?i).*\\.(gzip|zstd)$"))
+          refuse(s"'$p' has an extension Spark decompresses but DuckDB " +
+            "reads as plain bytes (.gzip/.zstd)")
+      opts.get("compression") match {
+        case None => opts
+        case Some(v: String) =>
+          val ok = v.toLowerCase(java.util.Locale.ROOT) match {
+            case "auto" => true
+            case "gzip" => paths.forall(_.matches("(?i).*\\.gz$"))
+            case "zstd" => paths.forall(_.matches("(?i).*\\.zst$"))
+            case "none" => paths.forall(!_.matches("(?i).*\\.(gz|zst)$"))
+            case other => refuse(s"compression '$other' is not a DuckDB " +
+              "compression type (auto/none/gzip/zstd)")
+          }
+          if (!ok) refuse(s"compression = '$v' is not redundant with " +
+            s"the path extension(s) of ${paths.mkString(", ")}")
+          opts - "compression"
+        case Some(other) =>
+          refuse(s"compression must be a string, got $other")
+      }
+    }
     val readCsvBuilder = (exprs: Seq[Expression]) => {
-        val (paths, opts) = readFileArgs("read_csv", exprs)
+        val (paths, opts0) = readFileArgs("read_csv", exprs)
+        val opts = guardCompression("read_csv", paths, opts0)
         val ignored = Set("sample_size", "maximum_object_size", "auto_detect")
         // DuckDB accepts 0/1 wherever it accepts booleans (verified:
         // header = 0, all_varchar = 1) — normalize before dispatch
@@ -1121,8 +1168,6 @@ object DuckCompat {
           case (acc, ("quote", v: String)) => acc.option("quote", v)
           case (acc, ("escape", v: String)) => acc.option("escape", v)
           case (acc, ("nullstr", v: String)) => acc.option("nullValue", v)
-          case (acc, ("compression", v: String)) =>
-            acc.option("compression", v)
           case (acc, ("names", v: Seq[_])) =>
             names = v.map(_.toString); acc
           case (acc, ("all_varchar", _)) => acc
@@ -1139,8 +1184,8 @@ object DuckCompat {
         // form outright; now [[sniffCsv]] reproduces DuckDB's detection
         // on a head sample of the FIRST file (matrix-pinned against the
         // installed DuckDB) and only an AMBIGUOUS dialect still refuses.
-        // gz head-samples decompressed (r15); other codecs can't be
-        // head-sampled as text — refuse those to explicit options.
+        // gz and zst head-sample decompressed (r15); bz2/lz4/snappy
+        // have no DuckDB auto-detect twin — refuse to explicit options.
         var sniffed: Option[(String, Boolean)] = None
         if (!opts.contains("header") &&
             !Seq("delim", "sep", "delimiter").exists(opts.contains)) {
@@ -1150,8 +1195,9 @@ object DuckCompat {
               "unambiguous cases and refuses the rest rather than risk a " +
               "silently different parse. Pass explicit options, e.g. " +
               "read_csv('f.csv', header = true, delim = ',')")
-          if (opts.contains("compression") ||
-            paths.exists(_.matches("(?i).*\\.(zst|bz2|lz4|snappy)$")))
+          // compression never reaches here: guardCompression stripped a
+          // redundant option or refused a non-redundant one already
+          if (paths.exists(_.matches("(?i).*\\.(bz2|lz4|snappy)$")))
             refuse("cannot head-sample a compressed file")
           // r14 (ADVICE): sniff EVERY resolved path and require the
           // dialects to agree — DuckDB re-sniffs each file of a
@@ -1160,19 +1206,26 @@ object DuckCompat {
           // r15 (VERDICT r14 item 6): `.gz` sniffs like DuckDB does —
           // transparently — by sampling DECOMPRESSED bytes through the
           // JDK's GZIPInputStream (the whole-file separator scan of the
-          // single-column fallback decompresses too); other codecs have
-          // no JDK stream and keep the refusal above. Matrix-pinned:
-          // every gz dialect answer equals DuckDB's on the same bytes.
+          // single-column fallback decompresses too). r15 second pass:
+          // `.zst` sniffs through zstd-jni's ZstdInputStream — the SAME
+          // library Spark 4's read fallback (HadoopCodecStreams) uses,
+          // so the sniffed bytes equal the read bytes by construction.
+          // bz2/lz4/snappy keep the refusal above (DuckDB does not
+          // auto-detect them either). Matrix-pinned: every gz/zst
+          // dialect answer equals DuckDB's on the same bytes.
           val perPath = paths.map { raw =>
             val p = java.nio.file.Paths.get(raw.stripPrefix("file:"))
             if (!java.nio.file.Files.isRegularFile(p))
               refuse(s"cannot sample $p (not a readable plain file; " +
                 "globs are only bridged with explicit options)")
             val gz = raw.matches("(?i).*\\.gz$")
+            val zst = raw.matches("(?i).*\\.zst$")
             def open(): java.io.InputStream = {
               val base = new java.io.BufferedInputStream(
                 java.nio.file.Files.newInputStream(p))
-              if (gz) new java.util.zip.GZIPInputStream(base) else base
+              if (gz) new java.util.zip.GZIPInputStream(base)
+              else if (zst) new com.github.luben.zstd.ZstdInputStream(base)
+              else base
             }
             // read one byte PAST the sample size: a gz stream's
             // decompressed length is unknowable from metadata, so the
@@ -1231,7 +1284,12 @@ object DuckCompat {
         df.queryExecution.analyzed
     }
     val readJsonBuilder = (exprs: Seq[Expression]) => {
-        val (paths, opts) = readFileArgs("read_json", exprs)
+        val (paths, opts0) = readFileArgs("read_json", exprs)
+        // same guard as read_csv: .gzip/.zstd extensions and
+        // non-redundant compression options refuse (Spark decompresses
+        // by extension only; a redundant option is dropped — .gz/.zst
+        // decompress identically in both engines)
+        val opts = guardCompression("read_json", paths, opts0)
         val ignored = Set("sample_size", "maximum_object_size",
           "auto_detect")
         val r = opts.filterNot(kv => ignored(kv._1)).foldLeft(spark.read) {
@@ -1242,8 +1300,6 @@ object DuckCompat {
           // and has no spark.read twin: refuse loudly rather than
           // silently return a different schema
           case (acc, ("records", true | "auto" | 1L | 1)) => acc
-          case (acc, ("compression", v: String)) =>
-            acc.option("compression", v)
           case (_, (k, v)) => throw new IllegalArgumentException(
             s"read_json option '$k' = $v is not bridged (supported: " +
               "format auto/newline_delimited/nd/array, compression, " +

@@ -387,6 +387,9 @@ object ExtendedOps {
   private val Q175CsvPath = s"/tmp/graft_q175_fixture_$FixtureSlug.csv"
   private val Q175NdPath = s"/tmp/graft_q175_fixture_$FixtureSlug.ndjson"
   private val Q194CsvPath = s"/tmp/graft_q194_fixture_$FixtureSlug.csv"
+  private val Q201CsvZstPath = s"/tmp/graft_q201_fixture_$FixtureSlug.csv.zst"
+  private val Q201NdZstPath =
+    s"/tmp/graft_q201_fixture_$FixtureSlug.ndjson.zst"
 
   // q175 — read_csv / read_json table functions over a fixture BOTH
   // engines read from the same path: the query builder materializes a
@@ -415,6 +418,22 @@ object ExtendedOps {
   private val SniffedCsvSql: String =
     s"""SELECT CAST(k AS BIGINT) AS k, name, CAST(rk AS BIGINT) AS rk
       |FROM read_csv('$Q194CsvPath')
+      |ORDER BY k"""
+      .stripMargin.replace("\n", " ")
+
+  // q201 — transparent zstd reads (r15 second pass): an OPTION-FREE
+  // read_csv over a '.csv.zst' (both engines must auto-detect the codec
+  // AND the dialect from the decompressed head — DuckDB natively, the
+  // bridge through sniffCsv over a zstd-jni stream, the same library
+  // Spark 4's HadoopCodecStreams read fallback decodes with) joined to
+  // a read_json over a '.ndjson.zst'. A wrong codec decision corrupts
+  // byte 1, a wrong dialect corrupts column 1 — the hash row certifies
+  // both ends. Same width-divergence casts as q175/q194.
+  private val ZstdReadSql: String =
+    s"""SELECT CAST(c.k AS BIGINT) AS k, c.name AS cname, j.name AS jname,
+      |CAST(c.rk AS BIGINT) + CAST(j.rk AS BIGINT) AS rk2
+      |FROM read_csv('$Q201CsvZstPath') c
+      |JOIN read_json('$Q201NdZstPath') j ON c.k = j.k
       |ORDER BY k"""
       .stripMargin.replace("\n", " ")
 
@@ -835,6 +854,44 @@ object ExtendedOps {
         graft.DuckDialect.sql(s, SniffedCsvSql)
       },
       Some(SniffedCsvSql)),
+
+    GraftQuery("q201_duckdb_zstd_read",
+      (s, d) => {
+        // q175/q194 fixture discipline: deterministic 25-row nation
+        // dim, atomic write at the per-process path embedded in both
+        // engines' SQL — compressed with zstd-jni, the same library
+        // Spark's read fallback decodes with. '|' delimiter, header,
+        // no options in the SQL: codec AND dialect are auto-detected
+        // end to end on both sides.
+        val rows = T(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect()
+        val csv = new StringBuilder("k|name|rk\n")
+        val nd = new StringBuilder
+        rows.foreach { r =>
+          val (k, nm, rk) = (r.getAs[Number](0).longValue,
+            r.getString(1), r.getAs[Number](2).longValue)
+          csv.append(s"$k|$nm|$rk\n")
+          nd.append(s"""{"k":$k,"name":"$nm","rk":$rk}\n""")
+        }
+        def atomicWriteZst(path: String, text: String): Unit = {
+          val target = java.nio.file.Paths.get(path)
+          val tmp = java.nio.file.Files.createTempFile(
+            target.getParent, ".graft_q201_", ".tmp")
+          val out = new com.github.luben.zstd.ZstdOutputStream(
+            java.nio.file.Files.newOutputStream(tmp))
+          try out.write(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        atomicWriteZst(Q201CsvZstPath, csv.toString)
+        atomicWriteZst(Q201NdZstPath, nd.toString)
+        graft.DuckDialect.sql(s, ZstdReadSql)
+      },
+      Some(ZstdReadSql)),
 
     GraftQuery("q186_duckdb_comma_series",
       (s, d) => {

@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential matrix for the r15 compression closure: transparent
+  * `.zst` CSV/JSON sniffing (DuckDB auto-detects gzip AND zstd; the gz
+  * half landed earlier in r15), the `.gzip`/`.zstd` extension guards
+  * (Spark decompresses those, DuckDB reads them as raw bytes — a
+  * silent-divergence class that previously slipped through with
+  * explicit options), and the read-side `compression` option policy
+  * (DuckDB honors the option over the extension; Spark IGNORES it on
+  * read — only redundant spellings bridge, everything else refuses).
+  * Every expected row/behavior was pinned against the installed DuckDB
+  * on identical fixture bytes while writing this spec. */
+class DuckCompatMatrixR15bSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-duckcompat-r15b-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def render(df: org.apache.spark.sql.DataFrame): String =
+    df.columns.mkString(";") + "#" + df.collect().map { r =>
+      (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "NULL" else String.valueOf(r.get(i)))
+        .mkString(",")
+    }.mkString("|")
+
+  private def writeZst(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    // zstd-jni — the SAME library Spark 4's read fallback
+    // (HadoopCodecStreams.createZstdInputStream) decodes with
+    val out = new com.github.luben.zstd.ZstdOutputStream(
+      java.nio.file.Files.newOutputStream(p))
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def writeGz(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(p))
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def writePlain(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  test("zst CSV sniff: option-free read_csv on .csv.zst parses exactly " +
+    "as DuckDB's transparent zstd sniff (dialects, headerless, " +
+    "partial-sample whole-file scan, ambiguity, mislabeled bytes)") {
+    graft.functions.DuckCompat.register(spark)
+    // DuckDB-pinned on the same decompressed bytes — identical answers
+    // to the plain/gz rows (the codec is transparent to the dialect)
+    val cases = Seq(
+      ("/tmp/sniffzst15/z1.csv.zst",
+        "id,name\n54.8,795\n53.3,732\n11.3,525\n",
+        "id;name#54.8,795|53.3,732|11.3,525"),
+      ("/tmp/sniffzst15/z3.csv.zst", "city\tqty\n136\t46\n669\t655\n",
+        "city;qty#136,46|669,655"),
+      ("/tmp/sniffzst15/z4.csv.zst", "77.7,64.3,20.7\n74.8,13.8,39.9\n",
+        "column0;column1;column2#77.7,64.3,20.7|74.8,13.8,39.9"))
+    cases.foreach { case (path, content, want) =>
+      writeZst(path, content)
+      val got = render(DuckDialect.sql(spark,
+        s"SELECT * FROM read_csv('$path')"))
+      assert(got == want, s"\nfile: $path\n want: $want\n  got: $got")
+    }
+    // single-column fallback with a PARTIAL (>64 KB decompressed)
+    // sample: the whole-file separator scan must stream DECOMPRESSED
+    // zstd bytes end to end. Same contract as the gz row: ['w0'],
+    // 8999 rows, w1 first, w8999 last.
+    val big = (0 until 9000).map(i => s"w$i").mkString("", "\n", "\n")
+    writeZst("/tmp/sniffzst15/big_sc.csv.zst", big)
+    val df = DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/sniffzst15/big_sc.csv.zst')")
+    assert(df.columns.toSeq == Seq("w0"))
+    val vals = df.collect().map(_.getString(0))
+    assert(vals.length == 8999 && vals.head == "w1" && vals.last == "w8999")
+    // ambiguous dialect inside the zst: same refusal as plain/gz
+    writeZst("/tmp/sniffzst15/amb.csv.zst", "a,b;c\nd,e;f\n")
+    val e1 = intercept[Exception](DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/sniffzst15/amb.csv.zst')").collect())
+    assert(e1.getMessage.contains("ambiguous"), e1.getMessage)
+    // mislabeled .zst (plain bytes) refuses loudly, never misparses —
+    // DuckDB-pinned twin: "IO Error: Unknown frame descriptor"
+    writePlain("/tmp/sniffzst15/fake.csv.zst", "a,b\n1,2\n")
+    val e2 = intercept[Exception](DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/sniffzst15/fake.csv.zst')").collect())
+    assert(e2.getMessage.contains("cannot decompress"), e2.getMessage)
+    // read_json on .ndjson.zst: Spark's zstd-jni read fallback and
+    // DuckDB's transparent sniff agree (DuckDB-pinned rows)
+    writeZst("/tmp/sniffzst15/j1.ndjson.zst",
+      "{\"k\":1,\"name\":\"a\"}\n{\"k\":2,\"name\":\"b\"}\n")
+    val j = DuckDialect.sql(spark,
+      "SELECT k, name FROM read_json('/tmp/sniffzst15/j1.ndjson.zst') " +
+        "ORDER BY k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(j.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test(".gzip/.zstd extension guard: Spark decompresses them, DuckDB " +
+    "reads raw bytes (pinned) — every bridged form refuses, even with " +
+    "explicit options") {
+    graft.functions.DuckCompat.register(spark)
+    writeGz("/tmp/sniffzst15/d.csv.gzip", "id,name\n1,a\n")
+    writeZst("/tmp/sniffzst15/d.csv.zstd", "id,name\n1,a\n")
+    writeZst("/tmp/sniffzst15/d.ndjson.zstd", "{\"k\":1}\n")
+    for (q <- Seq(
+      "SELECT * FROM read_csv('/tmp/sniffzst15/d.csv.gzip')",
+      "SELECT * FROM read_csv('/tmp/sniffzst15/d.csv.gzip', " +
+        "header = true, delim = ',')",
+      "SELECT * FROM read_csv('/tmp/sniffzst15/d.csv.zstd', " +
+        "header = true, delim = ',')",
+      "SELECT * FROM read_json('/tmp/sniffzst15/d.ndjson.zstd')")) {
+      val e = intercept[Exception](DuckDialect.sql(spark, q).collect())
+      assert(e.getMessage.contains(".gzip/.zstd"), s"$q -> ${e.getMessage}")
+    }
+    // COPY FROM carries the same guard
+    spark.sql("DROP TABLE IF EXISTS graft_r15b_t")
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, "graft_r15b_t")
+    if (wh.exists()) { def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }; rm(wh) }
+    spark.sql("CREATE TABLE graft_r15b_t (id BIGINT, name STRING) " +
+      "USING parquet")
+    val ce = intercept[Exception](DuckDialect.sql(spark,
+      "COPY graft_r15b_t FROM '/tmp/sniffzst15/d.csv.gzip' " +
+        "(FORMAT CSV, HEADER, DELIMITER ',')"))
+    assert(ce.getMessage.contains(".gzip/.zstd"), ce.getMessage)
+    // and a positive control: COPY FROM a real .gz loads (both engines
+    // decompress .gz transparently)
+    writeGz("/tmp/sniffzst15/load.csv.gz", "id,name\n7,eta\n8,theta\n")
+    val c = DuckDialect.sql(spark,
+      "COPY graft_r15b_t FROM '/tmp/sniffzst15/load.csv.gz' " +
+        "(FORMAT CSV, HEADER, DELIMITER ',')")
+    assert(c.head.getLong(0) == 2)
+    assert(spark.table("graft_r15b_t").count() == 2)
+  }
+
+  test("compression read option: redundant spellings bridge (DuckDB " +
+    "honors the option, Spark ignores it — same bytes either way); " +
+    "non-redundant ones refuse (DuckDB-pinned divergences)") {
+    graft.functions.DuckCompat.register(spark)
+    writeGz("/tmp/sniffzst15/c1.csv.gz", "id,name\n1,a\n2,b\n")
+    writeZst("/tmp/sniffzst15/c1.csv.zst", "id,name\n1,a\n2,b\n")
+    writePlain("/tmp/sniffzst15/c1.csv", "id,name\n1,a\n2,b\n")
+    writeGz("/tmp/sniffzst15/noext", "id,name\n1,a\n2,b\n")
+    def rows(q: String): Seq[(Long, String)] =
+      DuckDialect.sql(spark, q).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = Seq((1L, "a"), (2L, "b"))
+    // redundant: option matches what the extension already implies
+    assert(rows("SELECT CAST(id AS BIGINT) AS id, name FROM read_csv(" +
+      "'/tmp/sniffzst15/c1.csv.gz', compression = 'gzip', " +
+      "header = true, delim = ',')") == want)
+    assert(rows("SELECT CAST(id AS BIGINT) AS id, name FROM read_csv(" +
+      "'/tmp/sniffzst15/c1.csv.zst', compression = 'zstd', " +
+      "header = true, delim = ',')") == want)
+    assert(rows("SELECT CAST(id AS BIGINT) AS id, name FROM read_csv(" +
+      "'/tmp/sniffzst15/c1.csv', compression = 'none', " +
+      "header = true, delim = ',')") == want)
+    assert(rows("SELECT CAST(id AS BIGINT) AS id, name FROM read_csv(" +
+      "'/tmp/sniffzst15/c1.csv.gz', compression = 'auto', " +
+      "header = true, delim = ',')") == want)
+    // redundant option + OPTION-FREE dialect: the sniffer still runs
+    assert(rows("SELECT CAST(id AS BIGINT) AS id, name FROM read_csv(" +
+      "'/tmp/sniffzst15/c1.csv.zst', compression = 'zstd')") == want)
+    // non-redundant: DuckDB DECOMPRESSES a noext file under 'gzip'
+    // (pinned) — Spark would read raw gzip bytes; refuse
+    val e1 = intercept[Exception](DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/sniffzst15/noext', " +
+        "compression = 'gzip', header = true, delim = ',')").collect())
+    assert(e1.getMessage.contains("not redundant"), e1.getMessage)
+    // DuckDB reads a .zst RAW under 'none' (pinned) — Spark decompresses
+    val e2 = intercept[Exception](DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/sniffzst15/c1.csv.zst', " +
+        "compression = 'none', header = true, delim = ',')").collect())
+    assert(e2.getMessage.contains("not redundant"), e2.getMessage)
+    // DuckDB decompresses a .csv under 'zstd' (pinned) — Spark reads raw
+    val e3 = intercept[Exception](DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/sniffzst15/c1.csv', " +
+        "compression = 'zstd', header = true, delim = ',')").collect())
+    assert(e3.getMessage.contains("not redundant"), e3.getMessage)
+    // unknown spelling: DuckDB parser-errors on 'gz' (pinned) — so do we
+    val e4 = intercept[Exception](DuckDialect.sql(spark,
+      "SELECT * FROM read_csv('/tmp/sniffzst15/c1.csv.gz', " +
+        "compression = 'gz', header = true, delim = ',')").collect())
+    assert(e4.getMessage.contains("compression type"), e4.getMessage)
+    // read_json: same policy
+    writeZst("/tmp/sniffzst15/c1.ndjson.zst", "{\"id\":1}\n{\"id\":2}\n")
+    writePlain("/tmp/sniffzst15/c1.ndjson", "{\"id\":1}\n{\"id\":2}\n")
+    assert(DuckDialect.sql(spark,
+      "SELECT id FROM read_json('/tmp/sniffzst15/c1.ndjson.zst', " +
+        "compression = 'zstd') ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val e5 = intercept[Exception](DuckDialect.sql(spark,
+      "SELECT * FROM read_json('/tmp/sniffzst15/c1.ndjson', " +
+        "compression = 'zstd')").collect())
+    assert(e5.getMessage.contains("not redundant"), e5.getMessage)
+  }
+
+  test("COPY TO compressed extensions: .gz writes gzip-compressed " +
+    "parts (DuckDB writes gzip bytes for .gz — pinned); .zst refuses " +
+    "(no Spark text zstd codec); .gzip/.zstd write plain in BOTH " +
+    "engines and pass through") {
+    graft.functions.DuckCompat.register(spark)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete() }
+    rmTree(new java.io.File("/tmp/graft_r15b_copy"))
+    val c = DuckDialect.sql(spark,
+      "COPY (SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, 'b') TO " +
+        "'/tmp/graft_r15b_copy/out.csv.gz' (FORMAT CSV, HEADER)")
+    assert(c.head.getLong(0) == 2)
+    val parts = new java.io.File("/tmp/graft_r15b_copy/out.csv.gz")
+      .listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".csv.gz")))
+    // the parts carry REAL gzip bytes (magic 1f 8b), like DuckDB's file
+    val magic = java.nio.file.Files.readAllBytes(
+      parts.head.toPath).take(2).map(_ & 0xff)
+    assert(magic.sameElements(Array(0x1f, 0x8b)))
+    val back = spark.read.option("header", true)
+      .csv("/tmp/graft_r15b_copy/out.csv.gz")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq == Seq(("1", "a"), ("2", "b")))
+    // .zst text output refuses — DuckDB writes zstd bytes there and
+    // Spark's text writers cannot (CODEC_NOT_AVAILABLE); plain bytes
+    // under a compressed name would be the silent alternative
+    val e = intercept[Exception](DuckDialect.sql(spark,
+      "COPY (SELECT 1 AS k) TO '/tmp/graft_r15b_copy/out.csv.zst' " +
+        "(FORMAT CSV, HEADER)"))
+    assert(e.getMessage.contains("zstd"), e.getMessage)
+    // .gzip: BOTH engines write plain bytes under that name (pinned:
+    // DuckDB compresses only .gz/.zst) — passes through uncompressed
+    val c2 = DuckDialect.sql(spark,
+      "COPY (SELECT 1 AS k) TO '/tmp/graft_r15b_copy/out.csv.gzip' " +
+        "(FORMAT CSV, HEADER)")
+    assert(c2.head.getLong(0) == 1)
+    val parts2 = new java.io.File("/tmp/graft_r15b_copy/out.csv.gzip")
+      .listFiles().filter(_.getName.startsWith("part-"))
+    val head2 = java.nio.file.Files.readAllBytes(
+      parts2.head.toPath).take(2).map(_ & 0xff)
+    assert(!head2.sameElements(Array(0x1f, 0x8b))) // plain, not gzip
+  }
+}
