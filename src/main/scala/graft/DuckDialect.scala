@@ -2102,8 +2102,13 @@ object DuckDialect {
     * keep refusing.
     * Refusals (the single-bridge stance, per member): WHERE / GROUP BY
     * / HAVING / QUALIFY / WINDOW / set ops, DISTINCT,
-    * CROSS/NATURAL members and ASOF RIGHT/FULL/INNER (not DuckDB
-    * syntax),
+    * CROSS members (an explicit product is the nested-loop class the
+    * pair gate cannot bound) and ASOF RIGHT/FULL/INNER (not DuckDB
+    * syntax). NATURAL [INNER|LEFT|RIGHT|FULL] members bridge (r15
+    * second pass): the implied equalities are synthesized at expansion
+    * from live schemas — a member name matching more than one earlier
+    * alias or an empty intersection refuses, exactly where DuckDB
+    * binder-errors (pinned);
     * any ASOF ON whose single inequality does not split cleanly
     * into a new-alias side vs an earlier-alias side, a bare `*` select
     * list (per-relation output names are not reconstructible through
@@ -2116,7 +2121,7 @@ object DuckDialect {
   private[graft] case class AsofChainJoin(rrel: String, ralias: String,
     isAsof: Boolean, joinSql: String, cond: String, rightExpr: String,
     dir: String, rightEquis: Seq[String],
-    tree: Option[AsofTreeMember] = None)
+    tree: Option[AsofTreeMember] = None, natural: Boolean = false)
 
   private[graft] case class AsofChainParts(prefix: String, selTxt: String,
     lrel: String, lalias: String, joins: Seq[AsofChainJoin], tailTxt: String)
@@ -2158,8 +2163,9 @@ object DuckDialect {
     // a left-deep RIGHT/FULL step null-extends the ACCUMULATED side,
     // which is exactly what joining the flattened derived table gives —
     // an ASOF step after one sees the NULLed columns and LEFT
-    // null-extends / INNER drops, matching DuckDB). CROSS/NATURAL and
-    // ASOF RIGHT/FULL/INNER (not DuckDB syntax) refuse.
+    // null-extends / INNER drops, matching DuckDB). NATURAL members
+    // bridge with schema-synthesized equalities (r15 second pass);
+    // CROSS and ASOF RIGHT/FULL/INNER (not DuckDB syntax) refuse.
     def prevWordBefore(pos: Int): (String, Int) = {
       var e = pos
       while (e > 0 && Character.isWhitespace(sql.charAt(e - 1))) e -= 1
@@ -2169,11 +2175,16 @@ object DuckDialect {
       (sql.substring(b, e).toLowerCase(java.util.Locale.ROOT), b)
     }
     case class Head(start: Int, joinPos: Int, isAsof: Boolean,
-      joinSql: String)
+      joinSql: String, natural: Boolean = false)
     val heads = joinsAt.map { jp =>
       var start = jp
       var joinSql = "JOIN"
       var isAsof = false
+      // NATURAL [INNER|LEFT|RIGHT|FULL] members (r15 second pass): the
+      // implied equalities are synthesized from live schemas at
+      // expansion; NATURAL ASOF is a DuckDB parser error (pinned) and
+      // cannot arise from this classification
+      var natural = false
       val (w1, s1) = prevWordBefore(jp)
       w1 match {
         case "outer" =>
@@ -2189,25 +2200,29 @@ object DuckDialect {
           if (w3 == "asof") {
             if (w2 != "left") return None // no ASOF RIGHT/FULL in DuckDB
             isAsof = true; start = s3
-          }
+          } else if (w3 == "natural") { natural = true; start = s3 }
         case "left" =>
           joinSql = "LEFT JOIN"; start = s1
           val (w2, s2) = prevWordBefore(s1)
           if (w2 == "asof") { isAsof = true; start = s2 }
+          else if (w2 == "natural") { natural = true; start = s2 }
         case "right" | "full" =>
           joinSql = w1.toUpperCase(java.util.Locale.ROOT) + " JOIN"
           start = s1
-          val (w2, _) = prevWordBefore(s1)
+          val (w2, s2) = prevWordBefore(s1)
           if (w2 == "asof") return None // no ASOF RIGHT/FULL in DuckDB
+          if (w2 == "natural") { natural = true; start = s2 }
         case "inner" =>
           start = s1
-          val (w2, _) = prevWordBefore(s1)
+          val (w2, s2) = prevWordBefore(s1)
           if (w2 == "asof") return None // DuckDB has no ASOF INNER JOIN
+          if (w2 == "natural") { natural = true; start = s2 }
         case "asof" => isAsof = true; start = s1
-        case "cross" | "natural" => return None
+        case "natural" => natural = true; start = s1
+        case "cross" => return None
         case _ => // bare JOIN: plain inner step
       }
-      Head(start, jp, isAsof, joinSql)
+      Head(start, jp, isAsof, joinSql, natural)
     }
     // every top-level ASOF keyword must be consumed as a step head
     if (heads.count(_.isAsof) != asofs.length) return None
@@ -2339,6 +2354,21 @@ object DuckDialect {
         case Some(_) => s"__graft_tm$hx"
         case None => newAliases.head
       }
+      if (h.natural) {
+        // NATURAL member: no ON clause — the implied equalities are
+        // synthesized at expansion from live schemas (a shared name
+        // exposed by more than one earlier alias, or an empty
+        // intersection, refuses there; DuckDB binder-errors on both —
+        // pinned). A NATURAL over a tree member keeps refusing.
+        if (tree.nonEmpty) return None
+        if (hx + 1 < heads.length) {
+          if (i != heads(hx + 1).start) return None
+        } else tailTxt = sql.substring(i).trim
+        joins += AsofChainJoin(rrel, ralias, isAsof = false, h.joinSql,
+          "", "", "", Seq.empty, tree, natural = true)
+        known = newAliases.toList reverse_::: known
+        // i already sits at the next head (or the tail, consumed above)
+      } else {
       if (!readWord(sql, i).equalsIgnoreCase("on")) return None
       i += 2
       val after = sql.substring(i)
@@ -2368,6 +2398,7 @@ object DuckDialect {
       }
       known = newAliases.toList reverse_::: known
       i += condEnd; ws()
+      }
     }
     Some(AsofChainParts(sql.substring(0, sel), selTxt, lrel, lalias,
       joins.toSeq, tailTxt))
@@ -2461,22 +2492,35 @@ object DuckDialect {
     sb.toString
   }
 
+  /** A chain relation's output column names: a grouped member's schema
+    * comes from ANALYZING the subquery (through the char-scan rewrite,
+    * so duckisms inside it resolve) — no job runs, Catalyst only binds
+    * the plan. Unresolvable → None → guidance, never a guessed schema.
+    * Shared by [[asofChainExpand]] and [[asofChainScaleGuard]] (the
+    * guard re-derives NATURAL members' equi keys). */
+  private def chainColsOf(spark: SparkSession,
+      rel: String): Option[Seq[String]] =
+    try {
+      if (rel.startsWith("("))
+        Some(spark.sql(rewrite(rel.substring(1, rel.length - 1)))
+          .columns.toSeq)
+      else Some(spark.table(rel.replace("`", "")).columns.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A NATURAL member's shared column names: the member names exposed
+    * by EXACTLY ONE earlier alias (the expansion refuses ambiguity and
+    * empty intersections — DuckDB binder-errors on both). */
+  private def naturalSharedCols(memberCols: Seq[String],
+      aliasCols: Seq[(String, Seq[String])]): Seq[String] =
+    memberCols.filter(c =>
+      aliasCols.map(_._2.count(_.equalsIgnoreCase(c))).sum == 1)
+
   /** Session-aware chain expansion (see the chain Scaladoc above):
     * None when the statement is not a bridgeable chain or a relation's
     * schema is unavailable. */
   private[graft] def asofChainExpand(spark: SparkSession,
       sql: String): Option[String] = asofChainBridge(sql).flatMap { p =>
-    // A grouped member's schema comes from ANALYZING the subquery
-    // (through the char-scan rewrite, so duckisms inside it resolve) —
-    // no job runs, Catalyst only binds the plan. Unresolvable → None →
-    // guidance, never a guessed schema.
-    def colsOf(rel: String): Option[Seq[String]] =
-      try {
-        if (rel.startsWith("("))
-          Some(spark.sql(rewrite(rel.substring(1, rel.length - 1)))
-            .columns.toSeq)
-        else Some(spark.table(rel.replace("`", "")).columns.toSeq)
-      } catch { case scala.util.control.NonFatal(_) => None }
+    def colsOf(rel: String): Option[Seq[String]] = chainColsOf(spark, rel)
     val baseCols = colsOf(p.lrel).getOrElse(return None)
     def pref(a: String, c: String) = s"__${a}__$c"
     // accumulated derived-table text; its output columns are the
@@ -2486,6 +2530,11 @@ object DuckDialect {
       s" FROM ${p.lrel} ${p.lalias})"
     var earlier: List[String] = List(p.lalias)
     var accCols: Seq[String] = baseCols.map(c => pref(p.lalias, c))
+    // alias → ORIGINAL (unprefixed) column names of every relation
+    // joined so far — NATURAL members synthesize their equalities from
+    // this map (prefixed names cannot be split back: aliases may
+    // contain underscores)
+    var aliasCols: List[(String, Seq[String])] = List(p.lalias -> baseCols)
     for (j <- p.joins) {
       // member shape: (relation text to join, its projected output
       // column NAMES — already prefixed, select-list text that
@@ -2494,7 +2543,7 @@ object DuckDialect {
       // columns live unqualified on the joined subquery, so its inner
       // aliases remap in the ON too)
       val (memberSql, memberColNames, memberNewCols, newAliases,
-          condAliases) = j.tree match {
+          condAliases, newAliasCols) = j.tree match {
         case Some(t) =>
           // RIGHT-DEEP tree member (r15 second pass): synthesize the
           // inner pick as a prefixed-column subquery and bridge its
@@ -2514,15 +2563,42 @@ object DuckDialect {
             c2.map(c => pref(t.a2, c))
           (s"($bridged) ${j.ralias}", names,
             names.map(c => s"${j.ralias}.`$c`"),
-            Seq(t.a1, t.a2), Seq(t.a1, t.a2))
+            Seq(t.a1, t.a2), Seq(t.a1, t.a2),
+            Seq(t.a1 -> c1, t.a2 -> c2))
         case None =>
           val rCols = colsOf(j.rrel).getOrElse(return None)
           (s"${j.rrel} ${j.ralias}",
             rCols.map(c => pref(j.ralias, c)),
             rCols.map(c => s"${j.ralias}.`$c` AS `${pref(j.ralias, c)}`"),
-            Seq(j.ralias), Seq.empty[String])
+            Seq(j.ralias), Seq.empty[String],
+            Seq(j.ralias -> rCols))
       }
-      val cond2 = mapChainRefs(j.cond, earlier ++ condAliases)
+      // NATURAL member (r15 second pass): synthesize the implied
+      // equalities from the live schemas — DuckDB matches each of the
+      // member's names against the WHOLE accumulated flattening. A
+      // shared name exposed by more than one earlier alias is a DuckDB
+      // binder error ("Ambiguous reference"), and an empty intersection
+      // is too ("No columns found to join on") — both pinned, both
+      // refuse here. Non-identifier column names refuse (mapChainRefs
+      // remaps plain `alias.col` references only).
+      val condTxt =
+        if (j.natural) {
+          val ident = "^[A-Za-z_][A-Za-z0-9_]*$"
+          val parts = newAliasCols.head._2.flatMap { c =>
+            val owners = aliasCols.flatMap { case (a, cs) =>
+              cs.filter(_.equalsIgnoreCase(c)).map(a -> _) }
+            if (owners.isEmpty) None
+            else if (owners.length > 1) return None // ambiguous
+            else {
+              val (a, oc) = owners.head
+              if (!c.matches(ident) || !oc.matches(ident)) return None
+              Some(s"$a.$oc = ${j.ralias}.$c")
+            }
+          }
+          if (parts.isEmpty) return None // no columns to join on
+          parts.mkString(" AND ")
+        } else j.cond
+      val cond2 = mapChainRefs(condTxt, earlier ++ condAliases)
       acc =
         if (j.isAsof) {
           val rexpr2 = mapChainRefs(j.rightExpr, earlier ++ condAliases)
@@ -2547,6 +2623,7 @@ object DuckDialect {
             s"${j.joinSql} $memberSql ON $cond2)"
       earlier = newAliases.toList reverse_::: earlier
       accCols = accCols ++ memberColNames
+      aliasCols = newAliasCols.toList reverse_::: aliasCols
     }
     // select list: remap references; synthesize DuckDB's leaf output
     // name for unaliased qualified refs; refuse shapes whose output
@@ -2690,11 +2767,27 @@ object DuckDialect {
             val nLeft = spark.sql(rewrite(
               s"SELECT CAST(count(*) AS DOUBLE) FROM $lrel ${p.lalias}"))
               .head().getDouble(0)
+            // alias → column names, rebuilt as the expansion does —
+            // NATURAL members' equi keys are schema-derived, so the
+            // guard re-derives them here (an unavailable schema just
+            // degrades that member to the conservative whole-relation
+            // bound; it can never enlarge the equi set, because the
+            // expansion already refused every ambiguous shared name)
+            var aliasColsG: List[(String, Seq[String])] =
+              chainColsOf(spark, lrel).map(cs => List(p.lalias -> cs))
+                .getOrElse(Nil)
             // running row bound: an ASOF step yields ≤1 row per
             // accumulated row; a PLAIN step fans out by at most its
             // largest equi group, so the bound multiplies through it
             var bound = nLeft
             joins.map { j =>
+              val effEquis =
+                if (j.natural)
+                  chainColsOf(spark, j.rrel).map(rc =>
+                    naturalSharedCols(rc, aliasColsG)
+                      .map(c => s"${j.ralias}.$c"))
+                    .getOrElse(Seq.empty)
+                else j.rightEquis
               val mg = j.tree match {
                 case Some(t) =>
                   // tree member (r15): its inner ASOF yields ≤1 row
@@ -2702,13 +2795,20 @@ object DuckDialect {
                   // a conservative m (the equi keys reference inner
                   // aliases the raw tree text cannot be probed with)
                   s"SELECT CAST(count(*) AS DOUBLE) FROM ${t.r1}"
-                case None if j.rightEquis.isEmpty =>
+                case None if effEquis.isEmpty =>
                   s"SELECT CAST(count(*) AS DOUBLE) FROM ${j.rrel} ${j.ralias}"
                 case None =>
                   "SELECT CAST(max(__gc) AS DOUBLE) FROM (SELECT count(*) " +
                     s"AS __gc FROM ${j.rrel} ${j.ralias} GROUP BY " +
-                    j.rightEquis.mkString(", ") + ")"
+                    effEquis.mkString(", ") + ")"
               }
+              aliasColsG = (j.tree match {
+                case Some(t) =>
+                  chainColsOf(spark, t.r1).map(t.a1 -> _).toList ++
+                    chainColsOf(spark, t.r2).map(t.a2 -> _).toList
+                case None =>
+                  chainColsOf(spark, j.rrel).map(j.ralias -> _).toList
+              }) reverse_::: aliasColsG
               val r = spark.sql(rewrite(mg)).head()
               val m = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
               // a tree member's INNER join generates its own pairs

@@ -288,6 +288,26 @@ object ExtendedOps {
   // synthesizes the inner pick as a prefixed subquery and exposes BOTH
   // inner aliases (the select reads p and r); doc_id unique ⇒ tie-free;
   // oracle = identical text in DuckDB's native right-deep plan.
+  // q202 NATURAL member in an ASOF chain (r15 second pass): the
+  // implied equality (`source`, the one name shared between l and the
+  // derived per-source stats subquery) is synthesized from live
+  // schemas at expansion (DuckDialect.asofChainExpand) — the member
+  // must come BEFORE the self-asof step because afterwards `source`
+  // is exposed by two aliases and DuckDB binder-errors (the bridge
+  // refuses exactly there, matrix-pinned). doc_id unique ⇒ the asof
+  // pick is tie-free; the oracle runs the identical text in DuckDB's
+  // native NATURAL + ASOF chain.
+  private val AsofNaturalSql: String =
+    """SELECT l.doc_id AS d, CAST(sd.nsrc AS BIGINT) AS nsrc,
+      |CAST(p.doc_id AS BIGINT) AS prev_doc
+      |FROM documents l
+      |NATURAL JOIN (SELECT source, count(*) AS nsrc FROM documents
+      |  GROUP BY source) sd
+      |ASOF LEFT JOIN documents p
+      |  ON l.source = p.source AND l.doc_id > p.doc_id
+      |ORDER BY d"""
+      .stripMargin.replace("\n", " ")
+
   private val AsofTreeSql: String =
     """SELECT l.doc_id AS d, CAST(p.doc_id AS BIGINT) AS prev_doc,
       |CAST(r.doc_id AS BIGINT) AS prev_prev,
@@ -767,6 +787,13 @@ object ExtendedOps {
         graft.DuckDialect.sql(s, AsofTreeSql)
       },
       Some(AsofTreeSql)),
+
+    GraftQuery("q202_duckdb_asof_natural",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, AsofNaturalSql)
+      },
+      Some(AsofNaturalSql)),
 
     GraftQuery("q172_duckdb_dialect5",
       (s, d) => {

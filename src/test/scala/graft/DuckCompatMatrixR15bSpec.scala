@@ -210,6 +210,99 @@ class DuckCompatMatrixR15bSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("not redundant"), e5.getMessage)
   }
 
+  private def chainFixtures(): Unit = {
+    import spark.implicits._
+    Seq(("A", 2, 100), ("A", 5, 101), ("B", 7, 200))
+      .toDF("sym", "tts", "qty").createOrReplaceTempView("trades")
+    Seq(("A", 1, 10), ("A", 3, 11), ("A", 5, 12), ("B", 2, 20), ("B", 6, 21))
+      .toDF("sym", "qts", "px").createOrReplaceTempView("quotes")
+    Seq(("A", "tech"), ("B", "energy"))
+      .toDF("sym", "sector").createOrReplaceTempView("syminfo")
+    Seq(("A", "tech"))
+      .toDF("sym", "sector").createOrReplaceTempView("syminfo2")
+    Seq(("A", "tech"), ("C", "bio"))
+      .toDF("sym", "sector").createOrReplaceTempView("syminfo3")
+    Seq(Tuple1(9)).toDF("z").createOrReplaceTempView("nocommon")
+  }
+
+  test("NATURAL chain members (r15 second pass): implied equalities " +
+    "synthesized from live schemas — INNER/LEFT/RIGHT/FULL rows equal " +
+    "DuckDB's; ambiguity and empty intersections refuse where DuckDB " +
+    "binder-errors") {
+    chainFixtures()
+    def run(q: String): Seq[Seq[Any]] =
+      DuckDialect.sql(spark, q).collect().map(_.toSeq).toSeq
+    // NATURAL mid-chain before an ASOF step (DuckDB-pinned rows)
+    assert(run(
+      "SELECT t.sym, t.tts, si.sector, q.qts, q.px FROM trades t " +
+        "NATURAL JOIN syminfo si " +
+        "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+        "ORDER BY t.sym, t.tts") == Seq(
+      Seq("A", 2, "tech", 1, 10), Seq("A", 5, "tech", 5, 12),
+      Seq("B", 7, "energy", 6, 21)))
+    // NATURAL INNER spelling — same rows
+    assert(run(
+      "SELECT t.sym, t.tts, si.sector, q.qts, q.px FROM trades t " +
+        "NATURAL INNER JOIN syminfo si " +
+        "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+        "ORDER BY t.sym, t.tts") == Seq(
+      Seq("A", 2, "tech", 1, 10), Seq("A", 5, "tech", 5, 12),
+      Seq("B", 7, "energy", 6, 21)))
+    // NATURAL LEFT [OUTER]: unmatched left rows keep NULL sector
+    for (spelling <- Seq("NATURAL LEFT JOIN", "NATURAL LEFT OUTER JOIN"))
+      assert(run(
+        s"SELECT t.sym, t.tts, si.sector, q.qts FROM trades t " +
+          s"$spelling syminfo2 si " +
+          "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+          "ORDER BY t.sym, t.tts") == Seq(
+        Seq("A", 2, "tech", 1), Seq("A", 5, "tech", 5),
+        Seq("B", 7, null, 6)), spelling)
+    // qualified refs to BOTH sides of the natural join resolve (DuckDB
+    // keeps both; the prefixed flattening does too)
+    assert(run(
+      "SELECT t.sym, si.sym AS ssym, q.px FROM trades t " +
+        "NATURAL JOIN syminfo si " +
+        "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+        "ORDER BY t.sym, q.px") == Seq(
+      Seq("A", "A", 10), Seq("A", "A", 12), Seq("B", "B", 21)))
+    // NATURAL RIGHT: null-extends the accumulated side; the later ASOF
+    // LEFT sees the NULLed t.sym and null-extends those rows (pinned)
+    assert(run(
+      "SELECT t.sym, si.sym AS ssym, si.sector, q.px FROM trades t " +
+        "NATURAL RIGHT JOIN syminfo3 si " +
+        "ASOF LEFT JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+        "ORDER BY si.sym NULLS LAST, t.tts") == Seq(
+      Seq("A", "A", "tech", 10), Seq("A", "A", "tech", 12),
+      Seq(null, "C", "bio", null)))
+    // NATURAL FULL: rows on both sides survive (pinned)
+    assert(run(
+      "SELECT t.sym, si.sym AS ssym, si.sector FROM trades t " +
+        "NATURAL FULL JOIN syminfo3 si " +
+        "ASOF LEFT JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+        "ORDER BY t.sym NULLS LAST, si.sym NULLS LAST, t.tts NULLS LAST"
+    ) == Seq(
+      Seq("A", "A", "tech"), Seq("A", "A", "tech"),
+      Seq("B", null, null), Seq(null, "C", "bio")))
+    // no shared columns: DuckDB binder-errors ("No columns found to
+    // join on") — the bridge refuses to guidance, never a product
+    val e1 = intercept[Exception](run(
+      "SELECT t.sym, n.z FROM trades t NATURAL JOIN nocommon n " +
+        "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts"))
+    assert(e1.getMessage.contains("ASOF"), e1.getMessage)
+    // shared name under TWO earlier aliases (t.sym and q.sym): DuckDB
+    // binder-errors ("Ambiguous reference") — the bridge refuses
+    val e2 = intercept[Exception](run(
+      "SELECT t.sym FROM trades t " +
+        "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+        "NATURAL JOIN syminfo si ORDER BY t.sym"))
+    assert(e2.getMessage.contains("ASOF"), e2.getMessage)
+    // single (non-chain) NATURAL JOIN goes to Spark natively with the
+    // same semantics — pinned control row
+    assert(run("SELECT t.sym, si.sector FROM trades t " +
+      "NATURAL JOIN syminfo si ORDER BY t.sym, t.tts") == Seq(
+      Seq("A", "tech"), Seq("A", "tech"), Seq("B", "energy")))
+  }
+
   test("COPY TO compressed extensions: .gz writes gzip-compressed " +
     "parts (DuckDB writes gzip bytes for .gz — pinned); .zst refuses " +
     "(no Spark text zstd codec); .gzip/.zstd write plain in BOTH " +
