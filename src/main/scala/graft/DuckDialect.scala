@@ -2087,19 +2087,22 @@ object DuckDialect {
     * not a member), schemas come from analyzing the rewritten subquery,
     * and the scale guard's probes run against the subquery itself.
     * Refusals (the single-bridge stance, per member): WHERE / GROUP BY
-    * RIGHT-DEEP members (r15 second pass, DuckDB-pinned): an UNALIASED
+    * RIGHT-DEEP members (r15 second pass, DuckDB-pinned): a
     * parenthesized inner ASOF join `(r1 [a1] ASOF [LEFT] JOIN r2 [a2]
-    * ON c)` is a chain member — DuckDB evaluates the INNER join first
-    * (per-r1 nearest r2, independent of the outer rows; provably
-    * different from any left-deep respelling) and leaks the inner
-    * aliases into the outer scope. The bridge synthesizes the inner
-    * pick as a prefixed-column subquery (through the single-join ASOF
-    * rewrite), joins it as one member exposing BOTH inner aliases, and
-    * bounds the outer step's pairs by |r1| (an inner ASOF yields ≤1
-    * row per r1 row — the guard's conservative m). Aliased trees
-    * `(…) x` (DuckDB mixes x- and inner-alias scoping), inner PLAIN
-    * joins (spell them left-deep), multi-join trees and nested parens
-    * keep refusing.
+    * ON c) [x]` is a chain member — DuckDB evaluates the INNER join
+    * first (per-r1 nearest r2, independent of the outer rows; provably
+    * different from any left-deep respelling). UNALIASED, the inner
+    * aliases leak into the outer scope; ALIASED `(…) x`, the outer
+    * alias HIDES them entirely (pinned: the inner alias binder-errors
+    * outside) and a name duplicated across the inner relations
+    * resolves to its FIRST occurrence via x (later duplicates are
+    * reachable only through the refused bare `*`). The bridge
+    * synthesizes the inner pick as a prefixed-column subquery (through
+    * the single-join ASOF rewrite), joins it as one member exposing
+    * the visible alias(es), and bounds the outer step's pairs by |r1|
+    * (an inner ASOF yields ≤1 row per r1 row — the guard's
+    * conservative m). Inner PLAIN joins (spell them left-deep),
+    * multi-join trees and nested parens keep refusing.
     * Refusals (the single-bridge stance, per member): WHERE / GROUP BY
     * / HAVING / QUALIFY / WINDOW / set ops, DISTINCT,
     * CROSS members (an explicit product is the nested-loop class the
@@ -2116,7 +2119,8 @@ object DuckDialect {
     * on the range expression are nondeterministic in both engines — the
     * documented single-bridge stance. */
   private[graft] case class AsofTreeMember(r1: String, a1: String,
-    innerLeft: Boolean, r2: String, a2: String, cond: String)
+    innerLeft: Boolean, r2: String, a2: String, cond: String,
+    outer: Option[String] = None)
 
   private[graft] case class AsofChainJoin(rrel: String, ralias: String,
     isAsof: Boolean, joinSql: String, cond: String, rightExpr: String,
@@ -2322,21 +2326,45 @@ object DuckDialect {
         val w0 = readWord(sql, k2).toLowerCase(java.util.Locale.ROOT)
         w0.nonEmpty && w0 != "select" && w0 != "with"
       }
-      val tree = if (treeStart) parseTreeMember() else None
+      var tree = if (treeStart) parseTreeMember() else None
       if (treeStart && tree.isEmpty) return None
       val (rrel, newAliases) = tree match {
-        case Some(t) =>
-          // an alias after the tree refuses: DuckDB then mixes
-          // member-alias and inner-alias scoping — not bridged
+        case Some(t0) =>
           ws()
+          val parenEnd = i
+          // ALIASED tree member `(…) x` (r15 second pass): DuckDB's
+          // scoping is CLEAN — the outer alias HIDES the inner aliases
+          // entirely (pinned: referencing the inner alias afterwards is
+          // "Referenced table p not found") and a name duplicated
+          // across the inner relations resolves to its FIRST
+          // (leftmost) occurrence; the expansion mirrors both.
+          var t = t0
+          val w0 = readWord(sql, i)
+          if (!w0.equalsIgnoreCase("on") && w0.nonEmpty &&
+            !Keywords(w0.toLowerCase(java.util.Locale.ROOT))) {
+            t = t0.copy(outer = Some(w0))
+            tree = Some(t)
+            i += w0.length; ws()
+          }
           if (!readWord(sql, i).equalsIgnoreCase("on")) return None
           val lowKnown = known.map(_.toLowerCase(java.util.Locale.ROOT))
-          for (a <- Seq(t.a1, t.a2))
-            if (a.isEmpty ||
-              lowKnown.contains(a.toLowerCase(java.util.Locale.ROOT)))
-              return None
           if (t.a1.equalsIgnoreCase(t.a2)) return None
-          (sql.substring(h.joinPos + 4, i).trim, Seq(t.a1, t.a2))
+          t.outer match {
+            case Some(x) =>
+              // only the outer alias is visible — the inners may
+              // shadow anything (their scope is the synthesized
+              // subquery alone)
+              if (x.isEmpty ||
+                lowKnown.contains(x.toLowerCase(java.util.Locale.ROOT)))
+                return None
+            case None =>
+              for (a <- Seq(t.a1, t.a2))
+                if (a.isEmpty ||
+                  lowKnown.contains(a.toLowerCase(java.util.Locale.ROOT)))
+                  return None
+          }
+          (sql.substring(h.joinPos + 4, parenEnd).trim,
+            t.outer.map(Seq(_)).getOrElse(Seq(t.a1, t.a2)))
         case None =>
           val r = parseRel().getOrElse(return None)
           ws()
@@ -2351,7 +2379,7 @@ object DuckDialect {
           (r, Seq(ralias))
       }
       val ralias = tree match {
-        case Some(_) => s"__graft_tm$hx"
+        case Some(t) => t.outer.getOrElse(s"__graft_tm$hx")
         case None => newAliases.head
       }
       if (h.natural) {
@@ -2551,20 +2579,36 @@ object DuckDialect {
           // evaluation, exactly DuckDB's
           val c1 = colsOf(t.r1).getOrElse(return None)
           val c2 = colsOf(t.r2).getOrElse(return None)
-          val items = c1.map(c => s"${t.a1}.`$c` AS ${pref(t.a1, c)}") ++
-            c2.map(c => s"${t.a2}.`$c` AS ${pref(t.a2, c)}")
+          val (items, names, exposeAliases, aliasColAdds) = t.outer match {
+            case Some(x) =>
+              // ALIASED tree (r15 second pass): the outer alias hides
+              // the inners (DuckDB-pinned) and a duplicated inner name
+              // resolves FIRST-occurrence; later duplicates are
+              // unreachable through x (only x.* shows them, renamed —
+              // and bare * refuses), so the projection drops them
+              val ordered = c1.map((t.a1, _)) ++ c2.map((t.a2, _))
+              val seenN = scala.collection.mutable.Set.empty[String]
+              val kept = ordered.filter { case (_, c) =>
+                seenN.add(c.toLowerCase(java.util.Locale.ROOT)) }
+              (kept.map { case (a, c) => s"$a.`$c` AS ${pref(x, c)}" },
+                kept.map { case (_, c) => pref(x, c) },
+                Seq(x), Seq(x -> kept.map(_._2)))
+            case None =>
+              (c1.map(c => s"${t.a1}.`$c` AS ${pref(t.a1, c)}") ++
+                c2.map(c => s"${t.a2}.`$c` AS ${pref(t.a2, c)}"),
+                c1.map(c => pref(t.a1, c)) ++ c2.map(c => pref(t.a2, c)),
+                Seq(t.a1, t.a2), Seq(t.a1 -> c1, t.a2 -> c2))
+          }
           val synth = "SELECT " + items.mkString(", ") +
             s" FROM ${t.r1} ${t.a1} ASOF " +
             (if (t.innerLeft) "LEFT " else "") +
             s"JOIN ${t.r2} ${t.a2} ON ${t.cond}"
           val bridged = rewrite(synth)
           if (bridged == synth) return None // inner ASOF didn't bridge
-          val names = c1.map(c => pref(t.a1, c)) ++
-            c2.map(c => pref(t.a2, c))
           (s"($bridged) ${j.ralias}", names,
             names.map(c => s"${j.ralias}.`$c`"),
-            Seq(t.a1, t.a2), Seq(t.a1, t.a2),
-            Seq(t.a1 -> c1, t.a2 -> c2))
+            exposeAliases, exposeAliases,
+            aliasColAdds)
         case None =>
           val rCols = colsOf(j.rrel).getOrElse(return None)
           (s"${j.rrel} ${j.ralias}",

@@ -303,6 +303,45 @@ class DuckCompatMatrixR15bSpec extends AnyFunSuite {
       Seq("A", "tech"), Seq("A", "tech"), Seq("B", "energy")))
   }
 
+  test("ALIASED tree members (r15 second pass): `(r1 ASOF JOIN r2 ON c) x` " +
+    "— the outer alias hides the inners, duplicate names resolve " +
+    "first-occurrence, rows equal DuckDB's (pinned)") {
+    chainFixtures()
+    import spark.implicits._
+    // fills with only an A row: the B branch exercises the inner
+    // LEFT's null-extension AND the dup-name (sym) first-occurrence
+    // resolution (x.sym must be p.sym = 'B', not r.sym = NULL)
+    Seq(("A", 4, 7))
+      .toDF("sym", "fts", "f").createOrReplaceTempView("fills1")
+    def run(q: String): Seq[Seq[Any]] =
+      DuckDialect.sql(spark, q).collect().map(_.toSeq).toSeq
+    assert(run(
+      "SELECT t.sym, t.tts, x.qts, x.px, x.f, x.sym AS xs FROM trades t " +
+        "ASOF JOIN (quotes p ASOF LEFT JOIN fills1 r " +
+        "ON r.sym = p.sym AND r.fts >= p.qts) x " +
+        "ON x.sym = t.sym AND x.qts <= t.tts ORDER BY t.sym, t.tts"
+    ) == Seq(
+      Seq("A", 2, 1, 10, 7, "A"), Seq("A", 5, 5, 12, null, "A"),
+      Seq("B", 7, 6, 21, null, "B")))
+    // ASOF LEFT over an aliased INNER tree: the inner plain-ASOF drops
+    // quotes without a qualifying fill BEFORE the outer pick (pinned —
+    // A@5 picks px 11, not 12)
+    assert(run(
+      "SELECT t.sym, t.tts, x.px FROM trades t " +
+        "ASOF LEFT JOIN (quotes p ASOF JOIN fills1 r " +
+        "ON r.sym = p.sym AND r.fts >= p.qts) x " +
+        "ON x.sym = t.sym AND x.qts <= t.tts ORDER BY t.sym, t.tts"
+    ) == Seq(Seq("A", 2, 10), Seq("A", 5, 11), Seq("B", 7, null)))
+    // inner aliases are HIDDEN: referencing p through the outer scope
+    // fails loudly here exactly as DuckDB binder-errors
+    val e = intercept[Exception](run(
+      "SELECT t.sym, p.px FROM trades t " +
+        "ASOF JOIN (quotes p ASOF LEFT JOIN fills1 r " +
+        "ON r.sym = p.sym AND r.fts >= p.qts) x " +
+        "ON x.sym = t.sym AND x.qts <= t.tts"))
+    assert(e != null)
+  }
+
   test("COPY TO compressed extensions: .gz writes gzip-compressed " +
     "parts (DuckDB writes gzip bytes for .gz — pinned); .zst refuses " +
     "(no Spark text zstd codec); .gzip/.zstd write plain in BOTH " +
