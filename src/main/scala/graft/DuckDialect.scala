@@ -2101,8 +2101,15 @@ object DuckDialect {
     * the single-join ASOF rewrite), joins it as one member exposing
     * the visible alias(es), and bounds the outer step's pairs by |r1|
     * (an inner ASOF yields ≤1 row per r1 row — the guard's
-    * conservative m). Inner PLAIN joins (spell them left-deep),
-    * multi-join trees and nested parens keep refusing.
+    * conservative m). Inner PLAIN joins bridge too (r15 second pass):
+    * `(r1 [INNER|LEFT [OUTER]] JOIN r2 ON c) [x]` evaluates
+    * inner-first (pinned: an inner INNER join drops rows BEFORE the
+    * outer ASOF picks — different from any left-deep respelling), must
+    * carry one clean a1=a2 equality, and the guard bounds the member
+    * by |r1| × r2's largest inner-equi group; a plain tree with no
+    * ASOF anywhere in the statement stays with Spark's native parse.
+    * Inner RIGHT/FULL trees, multi-join trees and nested parens keep
+    * refusing.
     * Refusals (the single-bridge stance, per member): WHERE / GROUP BY
     * / HAVING / QUALIFY / WINDOW / set ops, DISTINCT,
     * CROSS members (an explicit product is the nested-loop class the
@@ -2120,7 +2127,7 @@ object DuckDialect {
     * documented single-bridge stance. */
   private[graft] case class AsofTreeMember(r1: String, a1: String,
     innerLeft: Boolean, r2: String, a2: String, cond: String,
-    outer: Option[String] = None)
+    outer: Option[String] = None, innerAsof: Boolean = true)
 
   private[graft] case class AsofChainJoin(rrel: String, ralias: String,
     isAsof: Boolean, joinSql: String, cond: String, rightExpr: String,
@@ -2153,8 +2160,18 @@ object DuckDialect {
     if (joinsAt.length < 2 && !joinsAt.exists(identGroupAfter)) return None
     // no top-level ASOF and no tree member → nothing chain-shaped here
     // (a plain outer JOIN over a tree member is a chain with zero
-    // top-level ASOFs — the tree's own ASOF is paren-hidden)
-    if (asofs.isEmpty && !joinsAt.exists(identGroupAfter)) return None
+    // top-level ASOFs — the tree's own ASOF is paren-hidden). r15
+    // second pass: the tree member must itself CONTAIN an asof —
+    // a statement with only plain parenthesized join trees and no
+    // ASOF anywhere parses natively in Spark and stays there.
+    def identGroupHasAsof(jp: Int): Boolean = identGroupAfter(jp) && {
+      var k2 = jp + 4
+      while (k2 < sql.length && Character.isWhitespace(sql.charAt(k2))) k2 += 1
+      scanCall(sql, k2).exists { case (after, _) =>
+        topKeyword(sql.substring(k2 + 1, after - 1), "asof") >= 0
+      }
+    }
+    if (asofs.isEmpty && !joinsAt.exists(identGroupHasAsof)) return None
     val sel = topKeyword(sql, "select")
     val f = topKeyword(sql, "from")
     if (sel < 0 || f < sel || joinsAt.head < f) return None
@@ -2256,9 +2273,12 @@ object DuckDialect {
       }
     // r15 second pass: an UNALIASED parenthesized inner ASOF join is a
     // RIGHT-DEEP tree member (see the chain Scaladoc) — inner text
-    // `r1 [a1] ASOF [LEFT] JOIN r2 [a2] ON cond`, ident relations only,
-    // exactly one join, evaluated inner-first with both aliases leaking
-    // into the outer scope (DuckDB-pinned).
+    // `r1 [a1] <join> r2 [a2] ON cond` where <join> is ASOF [LEFT]
+    // JOIN or (r15 second pass) a plain [INNER|LEFT [OUTER]] JOIN;
+    // ident relations only, exactly one join, evaluated inner-first.
+    // A plain inner join must carry one clean a1=a2 equality (an
+    // equi-free inner product is the nested-loop class the pair gate
+    // cannot bound). Inner RIGHT/FULL keep refusing.
     def parseTreeMember(): Option[AsofTreeMember] =
       scanCall(sql, i).flatMap { case (after, _) =>
         val inner = sql.substring(i + 1, after - 1).trim
@@ -2269,18 +2289,29 @@ object DuckDialect {
         val (r1, af1) = parseIdentChain(inner, 0).getOrElse(return None)
         k = af1; iws()
         var a1 = r1.split('.').last
+        val joinHeads = Set("asof", "left", "inner", "join")
         var w = readWord(inner, k)
-        if (!w.equalsIgnoreCase("asof")) {
+        if (!joinHeads(w.toLowerCase(java.util.Locale.ROOT))) {
           if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
             return None
           a1 = w; k += w.length; iws()
           w = readWord(inner, k)
         }
-        if (!w.equalsIgnoreCase("asof")) return None
-        k += 4; iws()
+        var innerAsof = false
         var innerLeft = false
-        if (readWord(inner, k).equalsIgnoreCase("left")) {
-          innerLeft = true; k += 4; iws()
+        w.toLowerCase(java.util.Locale.ROOT) match {
+          case "asof" =>
+            innerAsof = true; k += 4; iws()
+            if (readWord(inner, k).equalsIgnoreCase("left")) {
+              innerLeft = true; k += 4; iws()
+            }
+          case "left" =>
+            innerLeft = true; k += 4; iws()
+            if (readWord(inner, k).equalsIgnoreCase("outer")) {
+              k += 5; iws()
+            }
+          case "inner" => k += 5; iws()
+          case _ => // bare JOIN: plain inner
         }
         if (!readWord(inner, k).equalsIgnoreCase("join")) return None
         k += 4; iws()
@@ -2298,8 +2329,11 @@ object DuckDialect {
         k += 2
         val cond = inner.substring(k).trim
         if (cond.isEmpty) return None
+        if (!innerAsof && chainRightEquis(splitTopAnd(cond),
+          Seq(a2), Seq(a1)).isEmpty) return None
         i = after
-        Some(AsofTreeMember(r1, a1, innerLeft, r2, a2, cond))
+        Some(AsofTreeMember(r1, a1, innerLeft, r2, a2, cond,
+          innerAsof = innerAsof))
       }
     val lrel = parseRel().getOrElse(return None)
     ws()
@@ -2599,12 +2633,17 @@ object DuckDialect {
                 c1.map(c => pref(t.a1, c)) ++ c2.map(c => pref(t.a2, c)),
                 Seq(t.a1, t.a2), Seq(t.a1 -> c1, t.a2 -> c2))
           }
+          val joinTxt =
+            if (t.innerAsof)
+              "ASOF " + (if (t.innerLeft) "LEFT " else "") + "JOIN"
+            else if (t.innerLeft) "LEFT JOIN"
+            else "JOIN" // plain inner tree (r15 second pass)
           val synth = "SELECT " + items.mkString(", ") +
-            s" FROM ${t.r1} ${t.a1} ASOF " +
-            (if (t.innerLeft) "LEFT " else "") +
-            s"JOIN ${t.r2} ${t.a2} ON ${t.cond}"
+            s" FROM ${t.r1} ${t.a1} $joinTxt ${t.r2} ${t.a2} ON ${t.cond}"
           val bridged = rewrite(synth)
-          if (bridged == synth) return None // inner ASOF didn't bridge
+          // an inner ASOF must have bridged; a plain inner join needs
+          // no rewrite (the text may pass through unchanged)
+          if (t.innerAsof && bridged == synth) return None
           (s"($bridged) ${j.ralias}", names,
             names.map(c => s"${j.ralias}.`$c`"),
             exposeAliases, exposeAliases,
@@ -2834,10 +2873,9 @@ object DuckDialect {
                 else j.rightEquis
               val mg = j.tree match {
                 case Some(t) =>
-                  // tree member (r15): its inner ASOF yields ≤1 row
-                  // per r1 row, so |r1| bounds the member's output —
-                  // a conservative m (the equi keys reference inner
-                  // aliases the raw tree text cannot be probed with)
+                  // tree member (r15): |r1| is the base factor — an
+                  // inner ASOF yields ≤1 row per r1 row, a plain
+                  // inner multiplies in r2's largest group below
                   s"SELECT CAST(count(*) AS DOUBLE) FROM ${t.r1}"
                 case None if effEquis.isEmpty =>
                   s"SELECT CAST(count(*) AS DOUBLE) FROM ${j.rrel} ${j.ralias}"
@@ -2847,20 +2885,38 @@ object DuckDialect {
                     effEquis.mkString(", ") + ")"
               }
               aliasColsG = (j.tree match {
-                case Some(t) =>
-                  chainColsOf(spark, t.r1).map(t.a1 -> _).toList ++
-                    chainColsOf(spark, t.r2).map(t.a2 -> _).toList
+                case Some(t) => t.outer match {
+                  case Some(x) =>
+                    // aliased tree: x exposes the first-occurrence
+                    // dedup of the inner columns (mirrors the expand)
+                    val cs = chainColsOf(spark, t.r1).getOrElse(Nil) ++
+                      chainColsOf(spark, t.r2).getOrElse(Nil)
+                    val seenC = scala.collection.mutable.Set.empty[String]
+                    List(x -> cs.filter(c =>
+                      seenC.add(c.toLowerCase(java.util.Locale.ROOT))))
+                  case None =>
+                    chainColsOf(spark, t.r1).map(t.a1 -> _).toList ++
+                      chainColsOf(spark, t.r2).map(t.a2 -> _).toList
+                }
                 case None =>
                   chainColsOf(spark, j.rrel).map(j.ralias -> _).toList
               }) reverse_::: aliasColsG
               val r = spark.sql(rewrite(mg)).head()
-              val m = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+              val m0 = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
               // a tree member's INNER join generates its own pairs
-              // (|r1| × r2's largest inner-equi group) before the
-              // inner pick prunes — gate them like any ASOF step
+              // (|r1| × r2's largest inner-equi group) before any
+              // pick/filter prunes — gate them like any ASOF step.
+              // With an inner ASOF the member OUTPUT stays ≤ |r1|
+              // (one pick per r1 row); a PLAIN inner (r15 second
+              // pass) can fan out, so those same pairs also become
+              // the member's m
               val innerPairs = j.tree.fold(0.0) { t =>
-                val innerEquis = analyzeAsofCond(t.cond, Seq(t.a2),
-                  Seq(t.a1)).map(_._3).getOrElse(Nil)
+                val innerEquis =
+                  if (t.innerAsof)
+                    analyzeAsofCond(t.cond, Seq(t.a2), Seq(t.a1))
+                      .map(_._3).getOrElse(Nil)
+                  else chainRightEquis(splitTopAnd(t.cond),
+                    Seq(t.a2), Seq(t.a1))
                 val ig =
                   if (innerEquis.isEmpty)
                     s"SELECT CAST(count(*) AS DOUBLE) FROM ${t.r2} ${t.a2}"
@@ -2869,7 +2925,11 @@ object DuckDialect {
                       s"count(*) AS __gc FROM ${t.r2} ${t.a2} GROUP BY " +
                       innerEquis.mkString(", ") + ")"
                 val ir = spark.sql(rewrite(ig)).head()
-                m * (if (ir.isNullAt(0)) 0.0 else ir.getDouble(0))
+                m0 * (if (ir.isNullAt(0)) 0.0 else ir.getDouble(0))
+              }
+              val m = j.tree match {
+                case Some(t) if !t.innerAsof => innerPairs
+                case _ => m0
               }
               val stepPairs = math.max(bound * m, innerPairs)
               if (!j.isAsof) {
@@ -2878,11 +2938,15 @@ object DuckDialect {
                 // accumulation too — add |r| to the running bound
                 // (a tree member's output is bounded by its r1)
                 if (j.joinSql == "RIGHT JOIN" || j.joinSql == "FULL JOIN") {
-                  val src = j.tree.map(_.r1)
-                    .getOrElse(s"${j.rrel} ${j.ralias}")
-                  val c = spark.sql(rewrite("SELECT CAST(count(*) AS " +
-                    s"DOUBLE) FROM $src")).head()
-                  bound += (if (c.isNullAt(0)) 0.0 else c.getDouble(0))
+                  // tree members: m already bounds the member's output
+                  // (|r1| for an inner ASOF, |r1| × inner group for a
+                  // plain inner) — no extra probe
+                  if (j.tree.nonEmpty) bound += m
+                  else {
+                    val c = spark.sql(rewrite("SELECT CAST(count(*) AS " +
+                      s"DOUBLE) FROM ${j.rrel} ${j.ralias}")).head()
+                    bound += (if (c.isNullAt(0)) 0.0 else c.getDouble(0))
+                  }
                 }
               }
               stepPairs

@@ -81,14 +81,17 @@ class DuckCompatMatrixR15Spec extends AnyFunSuite {
   test("subquery-member refusals: parenthesized JOIN-tree member " +
     "(right-deep) and an unaliased group go to guidance") {
     fixtures()
-    // a parenthesized JOIN tree is NOT a subquery member — right-deep
-    // chains keep refusing (the group does not open with SELECT/WITH)
-    val rightDeep = intercept[Exception](DuckDialect.sql(spark,
-      "SELECT t.sym FROM trades t " +
+    // r15 second pass: an ALIASED PLAIN tree used to refuse here and
+    // now BRIDGES — the inner product joins first, the outer ASOF
+    // picks over it (DuckDB-pinned: only A@2 finds an fts >= tts;
+    // selected columns are tie-invariant under the fts tie)
+    val treeNow = DuckDialect.sql(spark,
+      "SELECT t.sym, x.fts, x.f FROM trades t " +
         "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
         "ASOF JOIN (fills f2 JOIN quotes q2 ON q2.sym = f2.sym) x " +
-        "ON x.sym = t.sym AND x.fts >= t.tts").collect())
-    assert(rightDeep.getMessage.contains("ASOF"))
+        "ON x.sym = t.sym AND x.fts >= t.tts").collect()
+      .map(_.toSeq).toSeq
+    assert(treeNow == Seq(Seq("A", 4, 7)))
     // grouped member without an alias: no ident to default from
     val noAlias = intercept[Exception](DuckDialect.sql(spark,
       "SELECT t.sym FROM trades t " +
@@ -225,20 +228,32 @@ class DuckCompatMatrixR15Spec extends AnyFunSuite {
           "ON q.sym = t.sym AND q.qts <= t.tts").collect())
       assert(gated.getMessage.contains("refused at this scale"))
     } finally spark.conf.unset("spark.graft.asof.maxPairs")
-    for (q <- Seq(
+    // an ALIASED tree hides its inner aliases (r15 second pass) — the
+    // outer ON referencing q2 through x's scope fails loudly, exactly
+    // DuckDB's "Referenced table q2 not found" binder error
+    intercept[Exception](DuckDialect.sql(spark,
       "SELECT t.sym FROM trades t " +
         "ASOF JOIN (quotes q2 ASOF JOIN fills f2 ON f2.sym = q2.sym AND f2.fts >= q2.qts) x " +
         "ON q2.sym = t.sym AND q2.qts <= t.tts " +
-        "JOIN fills f3 ON f3.sym = t.sym",
-      "SELECT t.sym FROM trades t " +
+        "JOIN fills f3 ON f3.sym = t.sym").collect())
+    // an UNALIASED PLAIN tree used to refuse here and now BRIDGES
+    // (r15 second pass) — inner product first, aliases leak
+    // (DuckDB-pinned rows)
+    val plainTree = DuckDialect.sql(spark,
+      "SELECT t.sym, q2.px, f3.fts FROM trades t " +
         "ASOF JOIN (quotes q2 JOIN fills f2 ON f2.sym = q2.sym) " +
         "ON q2.sym = t.sym AND q2.qts <= t.tts " +
-        "JOIN fills f3 ON f3.sym = t.sym",
+        "JOIN fills f3 ON f3.sym = t.sym " +
+        "ORDER BY t.sym, t.tts, q2.px").collect().map(_.toSeq).toSeq
+    assert(plainTree == Seq(Seq("A", 10, 4), Seq("A", 12, 4),
+      Seq("B", 21, 5)))
+    // an unaliased tree whose inner alias COLLIDES with an earlier
+    // one keeps refusing
+    intercept[Exception](DuckDialect.sql(spark,
       "SELECT t.sym FROM trades t " +
         "ASOF JOIN (quotes t ASOF JOIN fills f ON f.sym = t.sym AND f.fts >= t.qts) " +
         "ON t.sym = t.sym AND t.qts <= t.tts " +
-        "JOIN fills f3 ON f3.sym = t.sym"))
-      intercept[Exception](DuckDialect.sql(spark, q).collect())
+        "JOIN fills f3 ON f3.sym = t.sym").collect())
   }
 
   test("composed r15 chain: tree member + subquery member + RIGHT dim " +

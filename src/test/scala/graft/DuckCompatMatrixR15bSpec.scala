@@ -342,6 +342,44 @@ class DuckCompatMatrixR15bSpec extends AnyFunSuite {
     assert(e != null)
   }
 
+  test("PLAIN-join tree members (r15 second pass): `(r1 JOIN r2 ON c) " +
+    "[x]` evaluates inner-first — rows equal DuckDB's; equi-free inner " +
+    "products refuse; asof-free plain trees stay native") {
+    chainFixtures()
+    def run(q: String): Seq[Seq[Any]] =
+      DuckDialect.sql(spark, q).collect().map(_.toSeq).toSeq
+    // unaliased plain-inner tree: aliases leak, inner join runs first
+    assert(run(
+      "SELECT t.sym, t.tts, q.px, si.sector FROM trades t " +
+        "ASOF JOIN (quotes q JOIN syminfo si ON si.sym = q.sym) " +
+        "ON q.sym = t.sym AND q.qts <= t.tts ORDER BY t.sym, t.tts"
+    ) == Seq(Seq("A", 2, 10, "tech"), Seq("A", 5, 12, "tech"),
+      Seq("B", 7, 21, "energy")))
+    // aliased inner-LEFT tree: null-extended sector for B (syminfo2
+    // has only A), x hides the inners
+    assert(run(
+      "SELECT t.sym, t.tts, x.px, x.sector FROM trades t " +
+        "ASOF JOIN (quotes q LEFT JOIN syminfo2 si ON si.sym = q.sym) x " +
+        "ON x.sym = t.sym AND x.qts <= t.tts ORDER BY t.sym, t.tts"
+    ) == Seq(Seq("A", 2, 10, "tech"), Seq("A", 5, 12, "tech"),
+      Seq("B", 7, 21, null)))
+    // inner-first is observable: the inner INNER join drops B quotes
+    // (no B in syminfo2) BEFORE the outer ASOF LEFT picks — B
+    // null-extends where a left-deep respelling would still match
+    assert(run(
+      "SELECT t.sym, t.tts, q.px FROM trades t " +
+        "ASOF LEFT JOIN (quotes q JOIN syminfo2 si ON si.sym = q.sym) " +
+        "ON q.sym = t.sym AND q.qts <= t.tts ORDER BY t.sym, t.tts"
+    ) == Seq(Seq("A", 2, 10), Seq("A", 5, 12), Seq("B", 7, null)))
+    // equi-free plain inner tree: the nested-loop class the pair gate
+    // cannot bound — refuses to guidance
+    val e = intercept[Exception](run(
+      "SELECT t.sym FROM trades t " +
+        "ASOF JOIN (quotes q JOIN syminfo si ON si.sector <> q.sym) " +
+        "ON q.sym = t.sym AND q.qts <= t.tts"))
+    assert(e.getMessage.contains("ASOF"), e.getMessage)
+  }
+
   test("COPY TO compressed extensions: .gz writes gzip-compressed " +
     "parts (DuckDB writes gzip bytes for .gz — pinned); .zst refuses " +
     "(no Spark text zstd codec); .gzip/.zstd write plain in BOTH " +
