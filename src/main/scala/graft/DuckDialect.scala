@@ -3444,9 +3444,14 @@ object DuckDialect {
     * wrapped COLUMNS REPLACE derived names (r14, pinned against the
     * installed DuckDB — DuckCompatMatrixR14Spec): ident chains, numeric
     * literals and simple string literals render verbatim; a function
-    * call renders lowercase with ", "-joined atom args (`ABS( aa )` →
-    * `abs(aa)`); ONE top-level binary op renders parenthesized with
-    * single spaces (`aa+10` → `(aa + 10)`); r15 (the VERDICT r14
+    * call renders lowercase with ", "-joined args (`ABS( aa )` →
+    * `abs(aa)`, binary args keep their node parens: `abs(bb*2)` →
+    * `abs((bb * 2))`); binary operator TREES render one paren pair per
+    * node under standard precedence (|| lowest, then + -, then the
+    * multiplicative ops) and left associativity (`aa+10` →
+    * `(aa + 10)`, `aa+10*2` → `(aa + (10 * 2))`, `2-aa-bb` →
+    * `((2 - aa) - bb)` — the r15 second-pass closure of the "nested
+    * binaries" refusal, every shape DuckDB-pinned); r15 (the VERDICT r14
     * "non-mechanical spellings" edge, all DuckDB-pinned): CAST renders
     * `CAST(<expr> AS <CANONICAL>)` for the type spellings BOTH engines
     * accept with identical values (int/integer→INTEGER, bigint/long→
@@ -3497,7 +3502,10 @@ object DuckDialect {
         if (body.trim.isEmpty) None
         else splitTop(body) match {
           case Some(args) if args.forall(_.trim.nonEmpty) =>
-            val rs = args.map(a => renderDuckAtom(a).getOrElse(return None))
+            // args render through the full expression renderer: a
+            // binary arg keeps its node parens INSIDE the call —
+            // `aa + abs(bb*2)` derives `(aa + abs((bb * 2)))`, pinned
+            val rs = args.map(a => renderDuckExpr(a).getOrElse(return None))
             Some(e.substring(0, po).trim.toLowerCase(java.util.Locale.ROOT) +
               "(" + rs.mkString(", ") + ")")
           case _ => None
@@ -3511,32 +3519,51 @@ object DuckDialect {
     while (e.length >= 2 && e.head == '(' && scanMatch(e, 0).contains(e.length))
       e = e.substring(1, e.length - 1).trim
     renderDuckAtom(e).orElse {
+      // NESTED binaries (r15 second pass, all DuckDB-pinned): the
+      // engine renders its parse TREE with one paren pair per binary
+      // node under standard precedence (|| < +- < */%) and LEFT
+      // associativity — `aa+10*2` → `(aa + (10 * 2))`, `2-aa-bb` →
+      // `((2 - aa) - bb)` — so the top node is the RIGHTMOST operator
+      // of the LOWEST precedence and both sides recurse. A leading or
+      // post-operator +/- is UNARY, not a split point (`aa*-2` →
+      // `(aa * -2)`).
+      case class TopOp(at: Int, op: String, prec: Int)
+      val ops = scala.collection.mutable.ArrayBuffer.empty[TopOp]
       var d = 0
       var i = 0
-      var opAt = -1
-      var op = ""
+      var prev = ' ' // last non-whitespace char seen
+      val unaryAfter = "+-*/%|(,="
       while (i < e.length) {
         val c = e.charAt(i)
         if (c == '\'') {
           i += 1
           while (i < e.length && e.charAt(i) != '\'') i += 1
           i += 1
-        } else if (c == '(') { d += 1; i += 1 }
-        else if (c == ')') { d -= 1; i += 1 }
-        else if (d == 0 && (c == '+' || c == '*' || c == '/' ||
-          (c == '-' && i > 0) ||
-          (c == '|' && i + 1 < e.length && e.charAt(i + 1) == '|'))) {
-          if (opAt >= 0) return None // two top-level ops: not mechanical
-          opAt = i
-          op = if (c == '|') "||" else c.toString
-          i += op.length
-        } else i += 1
+          prev = '\''
+        } else if (c == '(') { d += 1; i += 1; prev = c }
+        else if (c == ')') { d -= 1; i += 1; prev = c }
+        else if (d == 0 && c == '|' && i + 1 < e.length &&
+          e.charAt(i + 1) == '|') {
+          ops += TopOp(i, "||", 1); i += 2; prev = '|'
+        } else if (d == 0 && (c == '+' || c == '-') &&
+          prev != ' ' && unaryAfter.indexOf(prev) < 0) {
+          ops += TopOp(i, c.toString, 2); i += 1; prev = c
+        } else if (d == 0 && (c == '*' || c == '/' || c == '%')) {
+          ops += TopOp(i, c.toString, 3); i += 1; prev = c
+        } else {
+          if (!Character.isWhitespace(c)) prev = c
+          i += 1
+        }
       }
-      if (opAt < 0) None
-      else for {
-        l <- renderDuckAtom(e.substring(0, opAt))
-        r <- renderDuckAtom(e.substring(opAt + op.length))
-      } yield s"($l $op $r)"
+      if (ops.isEmpty) None
+      else {
+        val minPrec = ops.map(_.prec).min
+        val top = ops.filter(_.prec == minPrec).last
+        for {
+          l <- renderDuckExpr(e.substring(0, top.at))
+          r <- renderDuckExpr(e.substring(top.at + top.op.length))
+        } yield s"($l ${top.op} $r)"
+      }
     }
   }
 

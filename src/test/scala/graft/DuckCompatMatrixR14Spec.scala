@@ -167,12 +167,18 @@ class DuckCompatMatrixR14Spec extends AnyFunSuite {
   }
 
   test("wrapped COLUMNS REPLACE refusals: spellings DuckDB re-renders " +
-    "(nested binaries, CAST re-casing, operators around the wrap) " +
-    "refuse to guidance") {
+    "(CAST re-casing, operators around the wrap) refuse to guidance; " +
+    "nested binaries bridge since the r15 second pass (see R15bSpec)") {
     fixtures()
+    // r15 second pass: the nested-binary rendering IS mechanical
+    // (precedence tree, one paren pair per node) — this row used to
+    // refuse and now carries DuckDB's derived name
+    val nested = DuckDialect.sql(spark,
+      "SELECT max(COLUMNS(* REPLACE (aa + 10 + ab AS aa))) FROM wr")
+    assert(nested.columns.toSeq ==
+      Seq("max(aa := ((aa + 10) + ab))", "ab", "c"))
+    assert(nested.collect().head.toSeq == Seq(13, 2, "x"))
     for (q <- Seq(
-      // ((aa + 10) + ab) — re-associated rendering, not mechanical
-      "SELECT max(COLUMNS(* REPLACE (aa + 10 + ab AS aa))) FROM wr",
       // CAST to a DuckDB-only type spelling — DuckDB canonicalizes
       // int4→INTEGER but Spark would not parse the injected expression
       // (the both-engine spellings bridge since r15, see R15Spec)

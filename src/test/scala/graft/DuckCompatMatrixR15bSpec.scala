@@ -380,6 +380,45 @@ class DuckCompatMatrixR15bSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ASOF"), e.getMessage)
   }
 
+  test("wrapped COLUMNS REPLACE nested binaries (r15 second pass): " +
+    "DuckDB renders its parse tree — precedence, left associativity, " +
+    "one paren pair per node, unary minus — every name and value " +
+    "DuckDB-pinned") {
+    import spark.implicits._
+    Seq((1, 2, "x")).toDF("aa", "ab", "c").createOrReplaceTempView("wrb")
+    def run(q: String): (Seq[String], Seq[Any]) = {
+      val df = DuckDialect.sql(spark, q)
+      (df.columns.toSeq, df.collect().head.toSeq)
+    }
+    val rows = Seq(
+      // precedence: * binds under + on the right
+      ("aa+ab*2", "max(aa := (aa + (ab * 2)))", 5),
+      // left associativity: - chains from the left
+      ("2-aa-ab", "max(aa := ((2 - aa) - ab))", -1),
+      // leading unary minus renders -(aa)
+      ("-aa+ab", "max(aa := (-(aa) + ab))", 1),
+      // post-operator minus is a literal sign, not a split point
+      ("aa*-2", "max(aa := (aa * -2))", -2),
+      // function arg keeps its node parens inside the call
+      ("aa + abs(ab*2)", "max(aa := (aa + abs((ab * 2))))", 5),
+      // explicit parens collapse to the same tree spelling
+      ("(aa+1)*(ab-2)", "max(aa := ((aa + 1) * (ab - 2)))", 0))
+    rows.foreach { case (expr, wantName, wantVal) =>
+      val (names, vals) = run(
+        s"SELECT max(COLUMNS(* REPLACE ($expr AS aa))) FROM wrb")
+      assert(names == Seq(wantName, "ab", "c"), expr)
+      assert(vals == Seq(wantVal, 2, "x"), expr)
+    }
+    // || chain (lowest precedence, left-assoc; DuckDB-pinned '1yx')
+    val (n2, v2) = run(
+      "SELECT max(COLUMNS(* EXCLUDE (ab) REPLACE (aa || 'y' || c AS aa))) FROM wrb")
+    assert(n2 == Seq("max(aa := ((aa || 'y') || c))", "c"))
+    assert(v2 == Seq("1yx", "x"))
+    // comparison operators stay outside the mechanical subset
+    intercept[Exception](DuckDialect.sql(spark,
+      "SELECT max(COLUMNS(* REPLACE (aa > 1 AS aa))) FROM wrb").collect())
+  }
+
   test("COPY TO compressed extensions: .gz writes gzip-compressed " +
     "parts (DuckDB writes gzip bytes for .gz — pinned); .zst refuses " +
     "(no Spark text zstd codec); .gzip/.zstd write plain in BOTH " +
