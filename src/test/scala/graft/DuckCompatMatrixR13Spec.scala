@@ -109,12 +109,13 @@ class DuckCompatMatrixR13Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("both"), e2.getMessage)
     // r14: the single-function wrap BRIDGES with DuckDB's derived
     // spelling (DuckCompatMatrixR14Spec pins the rendering matrix);
-    // a non-mechanical spelling (nested binary) still refuses
+    // r15 second pass: NESTED binaries render the parse tree too
+    // (DuckCompatMatrixR15bSpec pins the shapes)
     val w = DuckDialect.sql(spark,
       "SELECT max(COLUMNS(* REPLACE (aa + 1 AS aa))) FROM mcd")
     assert(w.columns.toSeq == Seq("max(aa := (aa + 1))", "ab"))
-    intercept[Exception](DuckDialect.sql(spark,
+    val w2 = DuckDialect.sql(spark,
       "SELECT max(COLUMNS(* REPLACE (aa + 1 + ab AS aa))) FROM mcd")
-      .collect())
+    assert(w2.columns.toSeq == Seq("max(aa := ((aa + 1) + ab))", "ab"))
   }
 }

@@ -91,11 +91,11 @@ class DuckCompatMatrixR13bSpec extends AnyFunSuite {
       DuckDialect.sql(spark, "SELECT * FROM read_csv('/tmp/sniffm/amb.csv')")
         .collect())
     assert(e1.getMessage.contains("ambiguous"), e1.getMessage)
-    // r15: `.gz` now sniffs through a decompressing sample read (see
-    // DuckCompatMatrixR15Spec); the no-JDK-codec extensions keep the
-    // compressed-file refusal
+    // r15: `.gz` and (third pass) `.zst` now sniff through a
+    // decompressing sample read (DuckCompatMatrixR15Spec / R15bSpec);
+    // the no-DuckDB-twin extensions keep the compressed-file refusal
     val e2 = intercept[Exception](
-      DuckDialect.sql(spark, "SELECT * FROM read_csv('/tmp/sniffm/x.csv.zst')")
+      DuckDialect.sql(spark, "SELECT * FROM read_csv('/tmp/sniffm/x.csv.bz2')")
         .collect())
     assert(e2.getMessage.contains("compressed"), e2.getMessage)
     // explicit options still take the pre-r13 path untouched
