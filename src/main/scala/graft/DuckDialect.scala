@@ -1948,19 +1948,16 @@ object DuckDialect {
           (if (rest.isEmpty) "" else " " + rest)).trim)
       case None => (Seq.empty[String], tailTxt)
     }
-    val selHasStar = {
-      var d = 0; var j = 0; var star = false
-      while (j < selTxt.length && !star) {
-        selTxt.charAt(j) match {
-          case '(' | '[' => d += 1
-          case ')' | ']' => d -= 1
-          case '*' if d == 0 => star = true
-          case _ =>
-        }
-        j += 1
-      }
-      star
-    }
+    // a select ITEM is a star when it IS `*` (optionally with EXCLUDE/
+    // REPLACE trailing) or an `alias.*` — a bare depth-0 '*' character
+    // is NOT enough: `px * 2 AS x` carries a top-level multiplication,
+    // and treating it as a star made the EXCEPT list reference the
+    // never-propagated __graft_aid (r15 third pass — surfaced by the
+    // nested-asof matrix, a latent single-bridge bug)
+    val selHasStar = splitTop(selTxt).getOrElse(Seq(selTxt))
+      .map(_.trim).exists(it =>
+        it.startsWith("*") ||
+          it.matches("""(?s)(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`|"[^"]+")\s*\.\s*\*(?:\s.*)?"""))
     val dropCols = (if (selHasStar) Seq("__graft_arn", "__graft_aid")
       else Seq("__graft_arn")) ++ hidden.map(_.split(" AS ").last)
     val out = sql.substring(0, sel) +
@@ -4454,6 +4451,79 @@ object DuckDialect {
     sqlNoCompat(spark, text)
   }
 
+  /** Session-aware NESTED-ASOF pre-pass (r15 third pass): expand ASOF
+    * statements living INSIDE a parenthesized `(SELECT …)` /
+    * `(WITH …)` group — derived tables, CTE bodies, scalar subqueries,
+    * chain subquery members — which neither the statement-level chain
+    * bridge (top-level shapes only) nor the textual rewrite (the
+    * single bridge anchors at the statement's FROM) could reach; the
+    * shape a user who wraps an as-of join in a derived table and
+    * aggregates over it hits first. Deepest-first recursion; each
+    * group's body tries the chain expansion (multi-join, session
+    * schemas) and then the textual single-join rewrite, and the usual
+    * per-shape scale gates run against the ORIGINAL body text. A body
+    * that still carries a top-level ASOF after both passes embeds
+    * unchanged — the outer flow raises guidance, never a partial
+    * rewrite. */
+  private[graft] def expandNestedAsof(
+      spark: SparkSession, text: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'') {
+        val j = {
+          var k = i + 1
+          var closed = false
+          while (k < n && !closed) {
+            if (text.charAt(k) == '\'') {
+              if (k + 1 < n && text.charAt(k + 1) == '\'') k += 2
+              else { closed = true; k += 1 }
+            } else k += 1
+          }
+          k
+        }
+        sb.append(text.substring(i, math.min(j, n))); i = j
+      } else if (c == '(') {
+        scanMatch(text, i) match {
+          case Some(close) =>
+            val body0 = text.substring(i + 1, close - 1)
+            val body1 = expandNestedAsof(spark, body0) // deepest-first
+            val w0 = readWord(body1.trim, 0)
+              .toLowerCase(java.util.Locale.ROOT)
+            val body2 =
+              if ((w0 == "select" || w0 == "with") &&
+                topKeyword(body1, "asof") >= 0) {
+                val cand = asofChainExpand(spark, body1) match {
+                  case Some(ex) =>
+                    asofChainScaleGuard(spark, body1)
+                    ex
+                  case None =>
+                    val r = rewrite(body1)
+                    if (r != body1 && topKeyword(r, "asof") < 0) {
+                      asofScaleGuard(spark, body1); r
+                    } else body1
+                }
+                // VALIDATE by analysis (no job runs): a body the
+                // single bridge cannot host — an AGGREGATE select
+                // over the asof join mixes with the pick's
+                // row_number and fails MISSING_GROUP_BY — must embed
+                // unchanged and reach guidance, not a broken rewrite
+                if (cand != body1) {
+                  try { spark.sql(cand); cand }
+                  catch { case scala.util.control.NonFatal(_) => body1 }
+                } else body1
+              } else body1
+            sb.append('(').append(body2).append(')')
+            i = close
+          case None => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def sqlNoCompat(spark: SparkSession, text: String): DataFrame = {
     // COPY … TO never parses as Spark SQL — dispatch the statement
     // bridge first; an unbridgeable COPY shape gets the guidance table
@@ -4517,12 +4587,22 @@ object DuckDialect {
         // path, not pay probe queries and die on a misleading
         // 'refused at this scale'.
         val base3 = expanded0.getOrElse(text)
-        val chainExpanded =
-          (if ("""(?i)\basof\b""".r.findAllIn(base3).nonEmpty) {
-            val ex = asofChainExpand(spark, base3)
-            if (ex.isDefined) asofChainScaleGuard(spark, base3)
-            ex
+        // NESTED asof pre-pass (r15 third pass) runs BEFORE the
+        // top-level chain bridge so derived tables / CTE bodies /
+        // chain subquery members whose own bodies carry ASOF arrive
+        // already expanded (their scale gates fire inside the pass)
+        val nestedExpanded =
+          (if ("""(?i)\basof\b""".r.findFirstIn(base3).isDefined) {
+            val nx = expandNestedAsof(spark, base3)
+            if (nx != base3) Some(nx) else None
           } else None).orElse(expanded0)
+        val base4 = nestedExpanded.getOrElse(text)
+        val chainExpanded =
+          (if ("""(?i)\basof\b""".r.findAllIn(base4).nonEmpty) {
+            val ex = asofChainExpand(spark, base4)
+            if (ex.isDefined) asofChainScaleGuard(spark, base4)
+            ex
+          } else None).orElse(nestedExpanded)
         val expanded = chainExpanded
         val rewritten = rewrite(expanded.getOrElse(text))
         // the ASOF bridge is the one rewrite whose output can be

@@ -308,6 +308,23 @@ object ExtendedOps {
       |ORDER BY d"""
       .stripMargin.replace("\n", " ")
 
+  // q203 NESTED asof (r15 third pass): the wrap-then-aggregate shape —
+  // an ASOF join inside a DERIVED TABLE with a GROUP BY outside. The
+  // session-aware pre-pass (DuckDialect.expandNestedAsof) expands the
+  // subquery body before the outer statement parses; previously this
+  // died on a raw Spark parse error (the chain bridge sees only
+  // top-level shapes and the textual single bridge anchors at the
+  // statement's FROM). doc_id unique ⇒ the pick is tie-free; the
+  // oracle runs the identical text natively.
+  private val AsofNestedSql: String =
+    """SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n,
+      |CAST(SUM(s.prev) AS BIGINT) AS sum_prev
+      |FROM (SELECT l.source, p.doc_id AS prev FROM documents l
+      |  ASOF JOIN documents p
+      |  ON l.source = p.source AND l.doc_id > p.doc_id) s
+      |GROUP BY s.source ORDER BY s.source"""
+      .stripMargin.replace("\n", " ")
+
   private val AsofTreeSql: String =
     """SELECT l.doc_id AS d, CAST(p.doc_id AS BIGINT) AS prev_doc,
       |CAST(r.doc_id AS BIGINT) AS prev_prev,
@@ -794,6 +811,13 @@ object ExtendedOps {
         graft.DuckDialect.sql(s, AsofNaturalSql)
       },
       Some(AsofNaturalSql)),
+
+    GraftQuery("q203_duckdb_asof_nested",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, AsofNestedSql)
+      },
+      Some(AsofNestedSql)),
 
     GraftQuery("q172_duckdb_dialect5",
       (s, d) => {

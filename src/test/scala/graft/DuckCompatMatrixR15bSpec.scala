@@ -380,6 +380,60 @@ class DuckCompatMatrixR15bSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ASOF"), e.getMessage)
   }
 
+  test("NESTED asof pre-pass (r15 third pass): ASOF inside derived " +
+    "tables, CTE bodies, scalar subqueries and chain subquery members " +
+    "bridges — rows equal DuckDB's (pinned)") {
+    chainFixtures()
+    import spark.implicits._
+    Seq(("A", 4, 7), ("B", 5, 8))
+      .toDF("sym", "fts", "f").createOrReplaceTempView("fills")
+    def run(q: String): Seq[Seq[Any]] =
+      DuckDialect.sql(spark, q).collect().map(_.toSeq).toSeq
+    // derived table over a single asof, aggregated outside — the
+    // wrap-then-aggregate shape that previously died on a raw parse
+    assert(run(
+      "SELECT s.sym, CAST(SUM(s.px) AS BIGINT) AS spx FROM " +
+        "(SELECT t.sym, q.px FROM trades t ASOF JOIN quotes q " +
+        "ON q.sym = t.sym AND q.qts <= t.tts) s " +
+        "GROUP BY s.sym ORDER BY s.sym"
+    ) == Seq(Seq("A", 22L), Seq("B", 21L)))
+    // CTE body carrying a full asof CHAIN
+    assert(run(
+      "WITH c AS (SELECT t.sym, t.tts, q.px, f.fts FROM trades t " +
+        "ASOF JOIN quotes q ON q.sym = t.sym AND q.qts <= t.tts " +
+        "ASOF LEFT JOIN fills f ON f.sym = q.sym AND f.fts >= q.qts) " +
+        "SELECT sym, tts, px, fts FROM c ORDER BY sym, tts"
+    ) == Seq(Seq("A", 2, 10, 4), Seq("A", 5, 12, null),
+      Seq("B", 7, 21, null)))
+    // a chain subquery MEMBER whose own body contains an asof: the
+    // pre-pass expands the member body first, then the outer chain
+    // bridges over the clean subquery
+    assert(run(
+      "SELECT t.sym, t.tts, m.px2 FROM trades t " +
+        "ASOF JOIN (SELECT t2.sym, t2.tts AS mts, q2.px * 2 AS px2 " +
+        "FROM trades t2 ASOF JOIN quotes q2 " +
+        "ON q2.sym = t2.sym AND q2.qts <= t2.tts) m " +
+        "ON m.sym = t.sym AND m.mts <= t.tts ORDER BY t.sym, t.tts"
+    ) == Seq(Seq("A", 2, 20), Seq("A", 5, 24), Seq("B", 7, 42)))
+    // scalar subquery with a ROW-WISE asof inside (pinned)
+    assert(run(
+      "SELECT t.sym, t.tts, (SELECT q3.px FROM trades t3 " +
+        "ASOF JOIN quotes q3 ON q3.sym = t3.sym AND q3.qts <= t3.tts " +
+        "ORDER BY t3.sym, t3.tts LIMIT 1) AS firstpx " +
+        "FROM trades t ORDER BY t.sym, t.tts"
+    ) == Seq(Seq("A", 2, 10), Seq("A", 5, 10), Seq("B", 7, 10)))
+    // an AGGREGATE select over the inner asof is a shape the single
+    // bridge cannot host (the pick's row_number would mix with the
+    // aggregate — MISSING_GROUP_BY): the pre-pass validates by
+    // analysis and falls back to guidance, never a broken rewrite
+    val e = intercept[Exception](run(
+      "SELECT t.sym, (SELECT CAST(COUNT(*) AS BIGINT) FROM trades t3 " +
+        "ASOF JOIN quotes q3 ON q3.sym = t3.sym AND q3.qts <= t3.tts) " +
+        "AS nasof FROM trades t"))
+    assert(e.getMessage.contains("ASOF") || e.getMessage.contains("asof"),
+      e.getMessage)
+  }
+
   test("wrapped COLUMNS REPLACE nested binaries (r15 second pass): " +
     "DuckDB renders its parse tree — precedence, left associativity, " +
     "one paren pair per node, unary minus — every name and value " +
