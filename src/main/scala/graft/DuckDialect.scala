@@ -2105,8 +2105,12 @@ object DuckDialect {
     * carry one clean a1=a2 equality, and the guard bounds the member
     * by |r1| × r2's largest inner-equi group; a plain tree with no
     * ASOF anywhere in the statement stays with Spark's native parse.
-    * Inner RIGHT/FULL trees, multi-join trees and nested parens keep
-    * refusing.
+    * MULTI-JOIN trees bridge as well (r15 third pass, see
+    * [[AsofMultiTree]]): a group whose inner text is itself a
+    * chain-shaped sequence with an ASOF recurses through the chain
+    * expansion and the guard's pairs-and-bound walk. Inner RIGHT/FULL
+    * trees, no-ASOF multi-join groups and multi-trees nested inside
+    * multi-trees keep refusing.
     * Refusals (the single-bridge stance, per member): WHERE / GROUP BY
     * / HAVING / QUALIFY / WINDOW / set ops, DISTINCT,
     * CROSS members (an explicit product is the nested-loop class the
@@ -2126,13 +2130,47 @@ object DuckDialect {
     innerLeft: Boolean, r2: String, a2: String, cond: String,
     outer: Option[String] = None, innerAsof: Boolean = true)
 
+  /** MULTI-JOIN tree member (r15 third pass): a parenthesized group
+    * whose inner text is itself a chain-shaped join sequence with ≥2
+    * joins and an ASOF somewhere — `(a ASOF JOIN b ON … JOIN c ON …)
+    * [x]`. The inner chain evaluates FIRST (independent of the outer
+    * rows); its exposure follows the single-join tree rules: UNALIASED
+    * leaks every inner alias, ALIASED `x` hides them with
+    * first-occurrence duplicate resolution. The expansion synthesizes
+    * a prefixed select over the inner text and recurses through
+    * [[asofChainExpand]]; the guard recurses through the same
+    * pairs-and-bound walk, taking the inner chain's FINAL row bound as
+    * the member's m. Plain multi-join groups with no ASOF anywhere in
+    * them keep refusing (Spark parses those natively when the whole
+    * statement has no ASOF; inside an ASOF chain they stay guidance). */
+  private[graft] case class AsofMultiTree(inner: String,
+    outer: Option[String] = None)
+
   private[graft] case class AsofChainJoin(rrel: String, ralias: String,
     isAsof: Boolean, joinSql: String, cond: String, rightExpr: String,
     dir: String, rightEquis: Seq[String],
-    tree: Option[AsofTreeMember] = None, natural: Boolean = false)
+    tree: Option[AsofTreeMember] = None, natural: Boolean = false,
+    multi: Option[AsofMultiTree] = None)
 
   private[graft] case class AsofChainParts(prefix: String, selTxt: String,
     lrel: String, lalias: String, joins: Seq[AsofChainJoin], tailTxt: String)
+
+  /** The aliases a parsed chain exposes to an enclosing scope, in
+    * order — base alias, then per member: its ralias, a tree's leaked
+    * or outer alias(es), a multi-tree's outer alias or its inner
+    * chain's own exposure (recursively). */
+  private[graft] def chainExposedAliases(p: AsofChainParts): Seq[String] =
+    p.lalias +: p.joins.flatMap { j =>
+      j.multi match {
+        case Some(mt) => mt.outer.map(Seq(_)).getOrElse(
+          asofChainBridge("SELECT __graft_d FROM " + mt.inner)
+            .map(chainExposedAliases).getOrElse(Seq.empty))
+        case None => j.tree match {
+          case Some(t) => t.outer.map(Seq(_)).getOrElse(Seq(t.a1, t.a2))
+          case None => Seq(j.ralias)
+        }
+      }
+    }
 
   private[graft] def asofChainBridge(sql: String): Option[AsofChainParts] = {
     val asofs = topKeywordAll(sql, "asof")
@@ -2332,6 +2370,26 @@ object DuckDialect {
         Some(AsofTreeMember(r1, a1, innerLeft, r2, a2, cond,
           innerAsof = innerAsof))
       }
+    // MULTI-JOIN tree member (r15 third pass, see [[AsofMultiTree]]):
+    // the inner text must be chain-shaped — the self-parse below is
+    // the gate — and carry an ASOF somewhere (a no-ASOF multi-join
+    // group keeps refusing)
+    def parseMultiTree(): Option[AsofMultiTree] =
+      scanCall(sql, i).flatMap { case (after, _) =>
+        val inner = sql.substring(i + 1, after - 1).trim
+        if (topKeyword(inner, "asof") < 0 &&
+          !topKeywordAll(inner, "join").exists { jp =>
+            // tree-in-multi: asof may hide inside a nested group
+            var k2 = jp + 4
+            while (k2 < inner.length &&
+              Character.isWhitespace(inner.charAt(k2))) k2 += 1
+            k2 < inner.length && inner.charAt(k2) == '('
+          }) return None
+        if (asofChainBridge("SELECT __graft_d FROM " + inner).isEmpty)
+          return None
+        i = after
+        Some(AsofMultiTree(inner))
+      }
     val lrel = parseRel().getOrElse(return None)
     ws()
     var lalias = if (lrel.startsWith("(")) "" else lrel.split('.').last
@@ -2357,9 +2415,43 @@ object DuckDialect {
         val w0 = readWord(sql, k2).toLowerCase(java.util.Locale.ROOT)
         w0.nonEmpty && w0 != "select" && w0 != "with"
       }
-      var tree = if (treeStart) parseTreeMember() else None
-      if (treeStart && tree.isEmpty) return None
-      val (rrel, newAliases) = tree match {
+      // one inner join → single tree; two or more → multi tree
+      val groupJoins =
+        if (!treeStart) 0
+        else scanCall(sql, i).map { case (after, _) =>
+          topKeywordAll(sql.substring(i + 1, after - 1), "join").length
+        }.getOrElse(0)
+      var multi =
+        if (treeStart && groupJoins >= 2) parseMultiTree() else None
+      var tree =
+        if (treeStart && multi.isEmpty) parseTreeMember() else None
+      if (treeStart && tree.isEmpty && multi.isEmpty) return None
+      val (rrel, newAliases) = if (multi.nonEmpty) {
+        ws()
+        val parenEnd = i
+        var mt = multi.get
+        val w0 = readWord(sql, i)
+        if (!w0.equalsIgnoreCase("on") && w0.nonEmpty &&
+          !Keywords(w0.toLowerCase(java.util.Locale.ROOT))) {
+          mt = mt.copy(outer = Some(w0))
+          multi = Some(mt)
+          i += w0.length; ws()
+        }
+        if (!readWord(sql, i).equalsIgnoreCase("on")) return None
+        val exposed = mt.outer.map(Seq(_)).getOrElse {
+          asofChainBridge("SELECT __graft_d FROM " + mt.inner)
+            .map(chainExposedAliases).getOrElse(return None)
+        }
+        if (exposed.isEmpty) return None
+        val lowKnown = known.map(_.toLowerCase(java.util.Locale.ROOT))
+        for (a <- exposed)
+          if (a.isEmpty ||
+            lowKnown.contains(a.toLowerCase(java.util.Locale.ROOT)))
+            return None
+        if (exposed.map(_.toLowerCase(java.util.Locale.ROOT))
+          .distinct.length != exposed.length) return None
+        (sql.substring(h.joinPos + 4, parenEnd).trim, exposed)
+      } else tree match {
         case Some(t0) =>
           ws()
           val parenEnd = i
@@ -2409,9 +2501,12 @@ object DuckDialect {
           if (ralias.isEmpty) return None // grouped relation w/o alias
           (r, Seq(ralias))
       }
-      val ralias = tree match {
-        case Some(t) => t.outer.getOrElse(s"__graft_tm$hx")
-        case None => newAliases.head
+      val ralias = multi match {
+        case Some(mt) => mt.outer.getOrElse(s"__graft_mt$hx")
+        case None => tree match {
+          case Some(t) => t.outer.getOrElse(s"__graft_tm$hx")
+          case None => newAliases.head
+        }
       }
       if (h.natural) {
         // NATURAL member: no ON clause — the implied equalities are
@@ -2419,12 +2514,12 @@ object DuckDialect {
         // exposed by more than one earlier alias, or an empty
         // intersection, refuses there; DuckDB binder-errors on both —
         // pinned). A NATURAL over a tree member keeps refusing.
-        if (tree.nonEmpty) return None
+        if (tree.nonEmpty || multi.nonEmpty) return None
         if (hx + 1 < heads.length) {
           if (i != heads(hx + 1).start) return None
         } else tailTxt = sql.substring(i).trim
         joins += AsofChainJoin(rrel, ralias, isAsof = false, h.joinSql,
-          "", "", "", Seq.empty, tree, natural = true)
+          "", "", "", Seq.empty, tree, natural = true, multi = multi)
         known = newAliases.toList reverse_::: known
         // i already sits at the next head (or the tail, consumed above)
       } else {
@@ -2442,7 +2537,7 @@ object DuckDialect {
         analyzeAsofCond(cond, newAliases, known) match {
           case Some((rightExpr, dir, rightEquis)) =>
             joins += AsofChainJoin(rrel, ralias, isAsof = true, h.joinSql,
-              cond, rightExpr, dir, rightEquis, tree)
+              cond, rightExpr, dir, rightEquis, tree, multi = multi)
           case None => return None
         }
       } else {
@@ -2453,7 +2548,7 @@ object DuckDialect {
         val equis = chainRightEquis(splitTopAnd(cond), newAliases, known)
         if (equis.isEmpty) return None
         joins += AsofChainJoin(rrel, ralias, isAsof = false, h.joinSql,
-          cond, "", "", equis, tree)
+          cond, "", "", equis, tree, multi = multi)
       }
       known = newAliases.toList reverse_::: known
       i += condEnd; ws()
@@ -2602,7 +2697,67 @@ object DuckDialect {
       // columns live unqualified on the joined subquery, so its inner
       // aliases remap in the ON too)
       val (memberSql, memberColNames, memberNewCols, newAliases,
-          condAliases, newAliasCols) = j.tree match {
+          condAliases, newAliasCols) = j.multi match {
+        case Some(mt) =>
+          // MULTI-JOIN tree member (r15 third pass): enumerate the
+          // inner chain's alias → column map from live schemas, build
+          // a prefixed select over the inner text, and recurse through
+          // the chain expansion — inner-first evaluation by
+          // construction. Exposure mirrors single trees: UNALIASED
+          // leaks every inner alias; ALIASED dedups first-occurrence
+          // under x. Non-identifier column names refuse (the synth's
+          // qualified refs must survive the inner expand's remap).
+          val ip = asofChainBridge("SELECT __graft_d FROM " + mt.inner)
+            .getOrElse(return None)
+          val identRe = "^[A-Za-z_][A-Za-z0-9_]*$"
+          val innerAliasCols: Seq[(String, Seq[String])] = {
+            val base = colsOf(ip.lrel).getOrElse(return None)
+            var acc: List[(String, Seq[String])] = List(ip.lalias -> base)
+            for (ij <- ip.joins) {
+              if (ij.multi.nonEmpty) return None // nested multi: refuse
+              val adds: Seq[(String, Seq[String])] = ij.tree match {
+                case Some(t) =>
+                  val c1 = colsOf(t.r1).getOrElse(return None)
+                  val c2 = colsOf(t.r2).getOrElse(return None)
+                  t.outer match {
+                    case Some(x) =>
+                      val seen = scala.collection.mutable.Set.empty[String]
+                      Seq(x -> (c1 ++ c2).filter(c =>
+                        seen.add(c.toLowerCase(java.util.Locale.ROOT))))
+                    case None => Seq(t.a1 -> c1, t.a2 -> c2)
+                  }
+                case None =>
+                  Seq(ij.ralias -> colsOf(ij.rrel).getOrElse(return None))
+              }
+              acc = adds.toList reverse_::: acc
+            }
+            acc.reverse
+          }
+          val ordered: Seq[(String, String)] =
+            innerAliasCols.flatMap { case (a, cs) => cs.map(a -> _) }
+          if (ordered.exists { case (_, c) => !c.matches(identRe) })
+            return None
+          val (items, names, exposed, aliasColAdds) = mt.outer match {
+            case Some(x) =>
+              val seen = scala.collection.mutable.Set.empty[String]
+              val kept = ordered.filter { case (_, c) =>
+                seen.add(c.toLowerCase(java.util.Locale.ROOT)) }
+              (kept.map { case (a, c) => s"$a.$c AS ${pref(x, c)}" },
+                kept.map { case (_, c) => pref(x, c) },
+                Seq(x), Seq(x -> kept.map(_._2)))
+            case None =>
+              (ordered.map { case (a, c) => s"$a.$c AS ${pref(a, c)}" },
+                ordered.map { case (a, c) => pref(a, c) },
+                innerAliasCols.map(_._1), innerAliasCols)
+          }
+          val innerSynth =
+            "SELECT " + items.mkString(", ") + " FROM " + mt.inner
+          val expandedInner =
+            asofChainExpand(spark, innerSynth).getOrElse(return None)
+          (s"($expandedInner) ${j.ralias}", names,
+            names.map(c => s"${j.ralias}.`$c`"),
+            exposed, exposed, aliasColAdds)
+        case None => j.tree match {
         case Some(t) =>
           // RIGHT-DEEP tree member (r15 second pass): synthesize the
           // inner pick as a prefixed-column subquery and bridge its
@@ -2652,7 +2807,7 @@ object DuckDialect {
             rCols.map(c => s"${j.ralias}.`$c` AS `${pref(j.ralias, c)}`"),
             Seq(j.ralias), Seq.empty[String],
             Seq(j.ralias -> rCols))
-      }
+      } }
       // NATURAL member (r15 second pass): synthesize the implied
       // equalities from the live schemas — DuckDB matches each of the
       // member's names against the WHOLE accumulated flattening. A
@@ -2834,121 +2989,147 @@ object DuckDialect {
     * per left row, so this bounds the decorrelated join's generated
     * pairs from above; no equi conjunct ⇒ the whole right relation is
     * one group). */
+  /** The guard's core walk, reusable RECURSIVELY (r15 third pass —
+    * multi-join tree members take their inner chain's final row bound
+    * as m): returns (max candidate pairs any step generates, final
+    * accumulated row bound) for a parsed chain against live tables.
+    * Probe failures throw — the guard wrapper treats that as
+    * pass-through. */
+  private def chainPairsAndBound(
+      spark: org.apache.spark.sql.SparkSession,
+      p: AsofChainParts): (Double, Double) = {
+    val lrel = p.lrel
+    def probe(q: String): Double = {
+      val r = spark.sql(rewrite(q)).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    val nLeft = probe(
+      s"SELECT CAST(count(*) AS DOUBLE) FROM $lrel ${p.lalias}")
+    // alias -> column names, rebuilt as the expansion does -- NATURAL
+    // members' equi keys are schema-derived, so the guard re-derives
+    // them here (an unavailable schema just degrades that member to
+    // the conservative whole-relation bound; it can never enlarge the
+    // equi set, because the expansion already refused every ambiguous
+    // shared name)
+    var aliasColsG: List[(String, Seq[String])] =
+      chainColsOf(spark, lrel).map(cs => List(p.lalias -> cs))
+        .getOrElse(Nil)
+    // running row bound: an ASOF step yields <=1 row per accumulated
+    // row; a PLAIN step fans out by at most its largest equi group, so
+    // the bound multiplies through it
+    var bound = nLeft
+    val maxStep = p.joins.map { j =>
+      j.multi match {
+        case Some(mt) =>
+          // multi-join tree member: recurse -- the inner chain's own
+          // step pairs gate too, and its FINAL row bound is this
+          // member's m (its output cannot exceed what the inner walk
+          // accumulates). aliasColsG gets no entries for the inner
+          // aliases: a later NATURAL member then degrades to its
+          // conservative whole-relation bound, never a smaller one.
+          val ip = asofChainBridge("SELECT __graft_d FROM " + mt.inner)
+            .getOrElse(sys.error("unparseable multi-tree inner"))
+          val (imax, ibound) = chainPairsAndBound(spark, ip)
+          val m = ibound
+          val stepPairs = math.max(bound * m, imax)
+          if (!j.isAsof) {
+            bound = bound * math.max(m, 1.0)
+            if (j.joinSql == "RIGHT JOIN" || j.joinSql == "FULL JOIN")
+              bound += m
+          }
+          stepPairs
+        case None =>
+      val effEquis =
+        if (j.natural)
+          chainColsOf(spark, j.rrel).map(rc =>
+            naturalSharedCols(rc, aliasColsG)
+              .map(c => s"${j.ralias}.$c"))
+            .getOrElse(Seq.empty)
+        else j.rightEquis
+      val mg = j.tree match {
+        case Some(t) =>
+          // tree member (r15): |r1| is the base factor -- an inner
+          // ASOF yields <=1 row per r1 row, a plain inner multiplies
+          // in r2's largest group below
+          s"SELECT CAST(count(*) AS DOUBLE) FROM ${t.r1}"
+        case None if effEquis.isEmpty =>
+          s"SELECT CAST(count(*) AS DOUBLE) FROM ${j.rrel} ${j.ralias}"
+        case None =>
+          "SELECT CAST(max(__gc) AS DOUBLE) FROM (SELECT count(*) " +
+            s"AS __gc FROM ${j.rrel} ${j.ralias} GROUP BY " +
+            effEquis.mkString(", ") + ")"
+      }
+      aliasColsG = (j.tree match {
+        case Some(t) => t.outer match {
+          case Some(x) =>
+            // aliased tree: x exposes the first-occurrence dedup of
+            // the inner columns (mirrors the expand)
+            val cs = chainColsOf(spark, t.r1).getOrElse(Nil) ++
+              chainColsOf(spark, t.r2).getOrElse(Nil)
+            val seenC = scala.collection.mutable.Set.empty[String]
+            List(x -> cs.filter(c =>
+              seenC.add(c.toLowerCase(java.util.Locale.ROOT))))
+          case None =>
+            chainColsOf(spark, t.r1).map(t.a1 -> _).toList ++
+              chainColsOf(spark, t.r2).map(t.a2 -> _).toList
+        }
+        case None =>
+          chainColsOf(spark, j.rrel).map(j.ralias -> _).toList
+      }) reverse_::: aliasColsG
+      val m0 = probe(mg)
+      // a tree member's INNER join generates its own pairs (|r1| x
+      // r2's largest inner-equi group) before any pick/filter prunes
+      // -- gate them like any ASOF step. With an inner ASOF the
+      // member OUTPUT stays <=1 per r1 row; a PLAIN inner (r15 second
+      // pass) can fan out, so those same pairs also become the
+      // member's m
+      val innerPairs = j.tree.fold(0.0) { t =>
+        val innerEquis =
+          if (t.innerAsof)
+            analyzeAsofCond(t.cond, Seq(t.a2), Seq(t.a1))
+              .map(_._3).getOrElse(Nil)
+          else chainRightEquis(splitTopAnd(t.cond),
+            Seq(t.a2), Seq(t.a1))
+        val ig =
+          if (innerEquis.isEmpty)
+            s"SELECT CAST(count(*) AS DOUBLE) FROM ${t.r2} ${t.a2}"
+          else
+            "SELECT CAST(max(__gc) AS DOUBLE) FROM (SELECT " +
+              s"count(*) AS __gc FROM ${t.r2} ${t.a2} GROUP BY " +
+              innerEquis.mkString(", ") + ")"
+        m0 * probe(ig)
+      }
+      val m = j.tree match {
+        case Some(t) if !t.innerAsof => innerPairs
+        case _ => m0
+      }
+      val stepPairs = math.max(bound * m, innerPairs)
+      if (!j.isAsof) {
+        bound = bound * math.max(m, 1.0)
+        // RIGHT/FULL (r15): unmatched right rows join the
+        // accumulation too -- add |r| to the running bound (a tree
+        // member's output is bounded by its m)
+        if (j.joinSql == "RIGHT JOIN" || j.joinSql == "FULL JOIN") {
+          if (j.tree.nonEmpty) bound += m
+          else bound += probe("SELECT CAST(count(*) AS DOUBLE) " +
+            s"FROM ${j.rrel} ${j.ralias}")
+        }
+      }
+      stepPairs
+      }
+    }.max
+    (maxStep, bound)
+  }
+
   private def asofChainScaleGuard(
       spark: org.apache.spark.sql.SparkSession, text: String): Unit =
     asofChainBridge(text).foreach { p =>
-      val lrel = p.lrel
-      val joins = p.joins
       val maxPairs =
         spark.conf.get("spark.graft.asof.maxPairs", "50000000").toDouble
       if (maxPairs >= 0) {
         val est =
-          try {
-            val nLeft = spark.sql(rewrite(
-              s"SELECT CAST(count(*) AS DOUBLE) FROM $lrel ${p.lalias}"))
-              .head().getDouble(0)
-            // alias → column names, rebuilt as the expansion does —
-            // NATURAL members' equi keys are schema-derived, so the
-            // guard re-derives them here (an unavailable schema just
-            // degrades that member to the conservative whole-relation
-            // bound; it can never enlarge the equi set, because the
-            // expansion already refused every ambiguous shared name)
-            var aliasColsG: List[(String, Seq[String])] =
-              chainColsOf(spark, lrel).map(cs => List(p.lalias -> cs))
-                .getOrElse(Nil)
-            // running row bound: an ASOF step yields ≤1 row per
-            // accumulated row; a PLAIN step fans out by at most its
-            // largest equi group, so the bound multiplies through it
-            var bound = nLeft
-            joins.map { j =>
-              val effEquis =
-                if (j.natural)
-                  chainColsOf(spark, j.rrel).map(rc =>
-                    naturalSharedCols(rc, aliasColsG)
-                      .map(c => s"${j.ralias}.$c"))
-                    .getOrElse(Seq.empty)
-                else j.rightEquis
-              val mg = j.tree match {
-                case Some(t) =>
-                  // tree member (r15): |r1| is the base factor — an
-                  // inner ASOF yields ≤1 row per r1 row, a plain
-                  // inner multiplies in r2's largest group below
-                  s"SELECT CAST(count(*) AS DOUBLE) FROM ${t.r1}"
-                case None if effEquis.isEmpty =>
-                  s"SELECT CAST(count(*) AS DOUBLE) FROM ${j.rrel} ${j.ralias}"
-                case None =>
-                  "SELECT CAST(max(__gc) AS DOUBLE) FROM (SELECT count(*) " +
-                    s"AS __gc FROM ${j.rrel} ${j.ralias} GROUP BY " +
-                    effEquis.mkString(", ") + ")"
-              }
-              aliasColsG = (j.tree match {
-                case Some(t) => t.outer match {
-                  case Some(x) =>
-                    // aliased tree: x exposes the first-occurrence
-                    // dedup of the inner columns (mirrors the expand)
-                    val cs = chainColsOf(spark, t.r1).getOrElse(Nil) ++
-                      chainColsOf(spark, t.r2).getOrElse(Nil)
-                    val seenC = scala.collection.mutable.Set.empty[String]
-                    List(x -> cs.filter(c =>
-                      seenC.add(c.toLowerCase(java.util.Locale.ROOT))))
-                  case None =>
-                    chainColsOf(spark, t.r1).map(t.a1 -> _).toList ++
-                      chainColsOf(spark, t.r2).map(t.a2 -> _).toList
-                }
-                case None =>
-                  chainColsOf(spark, j.rrel).map(j.ralias -> _).toList
-              }) reverse_::: aliasColsG
-              val r = spark.sql(rewrite(mg)).head()
-              val m0 = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-              // a tree member's INNER join generates its own pairs
-              // (|r1| × r2's largest inner-equi group) before any
-              // pick/filter prunes — gate them like any ASOF step.
-              // With an inner ASOF the member OUTPUT stays ≤ |r1|
-              // (one pick per r1 row); a PLAIN inner (r15 second
-              // pass) can fan out, so those same pairs also become
-              // the member's m
-              val innerPairs = j.tree.fold(0.0) { t =>
-                val innerEquis =
-                  if (t.innerAsof)
-                    analyzeAsofCond(t.cond, Seq(t.a2), Seq(t.a1))
-                      .map(_._3).getOrElse(Nil)
-                  else chainRightEquis(splitTopAnd(t.cond),
-                    Seq(t.a2), Seq(t.a1))
-                val ig =
-                  if (innerEquis.isEmpty)
-                    s"SELECT CAST(count(*) AS DOUBLE) FROM ${t.r2} ${t.a2}"
-                  else
-                    "SELECT CAST(max(__gc) AS DOUBLE) FROM (SELECT " +
-                      s"count(*) AS __gc FROM ${t.r2} ${t.a2} GROUP BY " +
-                      innerEquis.mkString(", ") + ")"
-                val ir = spark.sql(rewrite(ig)).head()
-                m0 * (if (ir.isNullAt(0)) 0.0 else ir.getDouble(0))
-              }
-              val m = j.tree match {
-                case Some(t) if !t.innerAsof => innerPairs
-                case _ => m0
-              }
-              val stepPairs = math.max(bound * m, innerPairs)
-              if (!j.isAsof) {
-                bound = bound * math.max(m, 1.0)
-                // RIGHT/FULL (r15): unmatched right rows join the
-                // accumulation too — add |r| to the running bound
-                // (a tree member's output is bounded by its r1)
-                if (j.joinSql == "RIGHT JOIN" || j.joinSql == "FULL JOIN") {
-                  // tree members: m already bounds the member's output
-                  // (|r1| for an inner ASOF, |r1| × inner group for a
-                  // plain inner) — no extra probe
-                  if (j.tree.nonEmpty) bound += m
-                  else {
-                    val c = spark.sql(rewrite("SELECT CAST(count(*) AS " +
-                      s"DOUBLE) FROM ${j.rrel} ${j.ralias}")).head()
-                    bound += (if (c.isNullAt(0)) 0.0 else c.getDouble(0))
-                  }
-                }
-              }
-              stepPairs
-            }.max
-          } catch { case scala.util.control.NonFatal(_) => 0.0 }
+          try chainPairsAndBound(spark, p)._1
+          catch { case scala.util.control.NonFatal(_) => 0.0 }
         if (est > maxPairs)
           throw new IllegalArgumentException(
             f"ASOF JOIN chain refused at this scale: a step of the " +

@@ -325,6 +325,26 @@ object ExtendedOps {
       |GROUP BY s.source ORDER BY s.source"""
       .stripMargin.replace("\n", " ")
 
+  // q204 MULTI-JOIN tree member (r15 third pass): the parenthesized
+  // group is itself a CHAIN — per-p predecessor pick (inner ASOF LEFT)
+  // then a plain dimension join — evaluated inner-first, then the
+  // outer ASOF picks the nearest enriched p per l. The bridge
+  // enumerates the inner chain's alias→column map from live schemas,
+  // synthesizes a prefixed select over the inner text and recurses
+  // through asofChainExpand; the pair gate recurses the same walk and
+  // takes the inner chain's final row bound as the member's m. doc_id
+  // unique ⇒ both picks tie-free; oracle = identical text natively.
+  private val AsofMultiTreeSql: String =
+    """SELECT l.doc_id AS d, CAST(p.doc_id AS BIGINT) AS prev_doc,
+      |CAST(r.doc_id AS BIGINT) AS prev_prev, n.n_name
+      |FROM documents l
+      |ASOF JOIN (documents p ASOF LEFT JOIN documents r
+      |  ON r.source = p.source AND r.doc_id < p.doc_id
+      |  JOIN nation n ON n.n_nationkey = p.doc_id % 25)
+      |ON p.source = l.source AND p.doc_id < l.doc_id
+      |ORDER BY d"""
+      .stripMargin.replace("\n", " ")
+
   private val AsofTreeSql: String =
     """SELECT l.doc_id AS d, CAST(p.doc_id AS BIGINT) AS prev_doc,
       |CAST(r.doc_id AS BIGINT) AS prev_prev,
@@ -818,6 +838,14 @@ object ExtendedOps {
         graft.DuckDialect.sql(s, AsofNestedSql)
       },
       Some(AsofNestedSql)),
+
+    GraftQuery("q204_duckdb_asof_multitree",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        T(s, d, "nation").createOrReplaceTempView("nation")
+        graft.DuckDialect.sql(s, AsofMultiTreeSql)
+      },
+      Some(AsofMultiTreeSql)),
 
     GraftQuery("q172_duckdb_dialect5",
       (s, d) => {

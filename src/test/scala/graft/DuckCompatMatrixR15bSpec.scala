@@ -380,6 +380,45 @@ class DuckCompatMatrixR15bSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ASOF"), e.getMessage)
   }
 
+  test("MULTI-JOIN tree members (r15 third pass): a parenthesized " +
+    "inner CHAIN (asof + plain steps) evaluates inner-first, aliased " +
+    "or unaliased — rows equal DuckDB's (pinned); no-asof groups " +
+    "keep refusing") {
+    chainFixtures()
+    import spark.implicits._
+    Seq(("A", 4, 7), ("B", 5, 8))
+      .toDF("sym", "fts", "f").createOrReplaceTempView("fills")
+    def run(q: String): Seq[Seq[Any]] =
+      DuckDialect.sql(spark, q).collect().map(_.toSeq).toSeq
+    // unaliased: every inner alias leaks (q, f, si all referenced)
+    assert(run(
+      "SELECT t.sym, t.tts, q.px, f.fts, si.sector FROM trades t " +
+        "ASOF JOIN (quotes q ASOF LEFT JOIN fills f " +
+        "ON f.sym = q.sym AND f.fts >= q.qts " +
+        "JOIN syminfo si ON si.sym = q.sym) " +
+        "ON q.sym = t.sym AND q.qts <= t.tts ORDER BY t.sym, t.tts"
+    ) == Seq(Seq("A", 2, 10, 4, "tech"), Seq("A", 5, 12, null, "tech"),
+      Seq("B", 7, 21, null, "energy")))
+    // aliased: x hides the inners, first-occurrence dedup on sym
+    assert(run(
+      "SELECT t.sym, t.tts, x.px, x.fts, x.sector FROM trades t " +
+        "ASOF JOIN (quotes q ASOF LEFT JOIN fills f " +
+        "ON f.sym = q.sym AND f.fts >= q.qts " +
+        "JOIN syminfo si ON si.sym = q.sym) x " +
+        "ON x.sym = t.sym AND x.qts <= t.tts ORDER BY t.sym, t.tts"
+    ) == Seq(Seq("A", 2, 10, 4, "tech"), Seq("A", 5, 12, null, "tech"),
+      Seq("B", 7, 21, null, "energy")))
+    // a multi-join group with NO asof inside keeps refusing when the
+    // statement needs the chain machinery
+    val e = intercept[Exception](run(
+      "SELECT t.sym FROM trades t " +
+        "ASOF JOIN (quotes q JOIN syminfo si ON si.sym = q.sym " +
+        "JOIN fills f ON f.sym = q.sym) " +
+        "ON q.sym = t.sym AND q.qts <= t.tts"))
+    assert(e.getMessage.contains("ASOF") || e.getMessage.contains("asof"),
+      e.getMessage)
+  }
+
   test("NESTED asof pre-pass (r15 third pass): ASOF inside derived " +
     "tables, CTE bodies, scalar subqueries and chain subquery members " +
     "bridges — rows equal DuckDB's (pinned)") {
