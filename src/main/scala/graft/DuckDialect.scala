@@ -2109,8 +2109,10 @@ object DuckDialect {
     * [[AsofMultiTree]]): a group whose inner text is itself a
     * chain-shaped sequence with an ASOF recurses through the chain
     * expansion and the guard's pairs-and-bound walk. Inner RIGHT/FULL
-    * trees, no-ASOF multi-join groups and multi-trees nested inside
-    * multi-trees keep refusing.
+    * trees bridge too (r15 third pass, pinned — the inner join
+    * null-extends INSIDE the member; the guard adds |r2| for the
+    * unmatched rights). No-ASOF multi-join groups and multi-trees
+    * nested inside multi-trees keep refusing.
     * Refusals (the single-bridge stance, per member): WHERE / GROUP BY
     * / HAVING / QUALIFY / WINDOW / set ops, DISTINCT,
     * CROSS members (an explicit product is the nested-loop class the
@@ -2128,7 +2130,8 @@ object DuckDialect {
     * documented single-bridge stance. */
   private[graft] case class AsofTreeMember(r1: String, a1: String,
     innerLeft: Boolean, r2: String, a2: String, cond: String,
-    outer: Option[String] = None, innerAsof: Boolean = true)
+    outer: Option[String] = None, innerAsof: Boolean = true,
+    innerRightFull: Option[String] = None)
 
   /** MULTI-JOIN tree member (r15 third pass): a parenthesized group
     * whose inner text is itself a chain-shaped join sequence with ≥2
@@ -2324,7 +2327,8 @@ object DuckDialect {
         val (r1, af1) = parseIdentChain(inner, 0).getOrElse(return None)
         k = af1; iws()
         var a1 = r1.split('.').last
-        val joinHeads = Set("asof", "left", "inner", "join")
+        val joinHeads = Set("asof", "left", "right", "full", "inner",
+          "join")
         var w = readWord(inner, k)
         if (!joinHeads(w.toLowerCase(java.util.Locale.ROOT))) {
           if (w.isEmpty || Keywords(w.toLowerCase(java.util.Locale.ROOT)))
@@ -2334,6 +2338,7 @@ object DuckDialect {
         }
         var innerAsof = false
         var innerLeft = false
+        var innerRightFull: Option[String] = None
         w.toLowerCase(java.util.Locale.ROOT) match {
           case "asof" =>
             innerAsof = true; k += 4; iws()
@@ -2342,6 +2347,19 @@ object DuckDialect {
             }
           case "left" =>
             innerLeft = true; k += 4; iws()
+            if (readWord(inner, k).equalsIgnoreCase("outer")) {
+              k += 5; iws()
+            }
+          case "right" =>
+            // inner RIGHT/FULL trees (r15 third pass): null-extend
+            // inside the member before the outer step sees it —
+            // DuckDB-pinned; the guard adds |r2| for unmatched rights
+            innerRightFull = Some("RIGHT JOIN"); k += 5; iws()
+            if (readWord(inner, k).equalsIgnoreCase("outer")) {
+              k += 5; iws()
+            }
+          case "full" =>
+            innerRightFull = Some("FULL JOIN"); k += 4; iws()
             if (readWord(inner, k).equalsIgnoreCase("outer")) {
               k += 5; iws()
             }
@@ -2368,7 +2386,7 @@ object DuckDialect {
           Seq(a2), Seq(a1)).isEmpty) return None
         i = after
         Some(AsofTreeMember(r1, a1, innerLeft, r2, a2, cond,
-          innerAsof = innerAsof))
+          innerAsof = innerAsof, innerRightFull = innerRightFull))
       }
     // MULTI-JOIN tree member (r15 third pass, see [[AsofMultiTree]]):
     // the inner text must be chain-shaped — the self-parse below is
@@ -2788,8 +2806,9 @@ object DuckDialect {
           val joinTxt =
             if (t.innerAsof)
               "ASOF " + (if (t.innerLeft) "LEFT " else "") + "JOIN"
-            else if (t.innerLeft) "LEFT JOIN"
-            else "JOIN" // plain inner tree (r15 second pass)
+            else t.innerRightFull.getOrElse(
+              if (t.innerLeft) "LEFT JOIN"
+              else "JOIN") // plain inner tree (r15 second pass)
           val synth = "SELECT " + items.mkString(", ") +
             s" FROM ${t.r1} ${t.a1} $joinTxt ${t.r2} ${t.a2} ON ${t.cond}"
           val bridged = rewrite(synth)
@@ -3100,7 +3119,11 @@ object DuckDialect {
         m0 * probe(ig)
       }
       val m = j.tree match {
-        case Some(t) if !t.innerAsof => innerPairs
+        case Some(t) if !t.innerAsof =>
+          // inner RIGHT/FULL (r15 third pass): unmatched r2 rows
+          // survive the inner join too — add |r2| to the member bound
+          innerPairs + t.innerRightFull.fold(0.0)(_ =>
+            probe(s"SELECT CAST(count(*) AS DOUBLE) FROM ${t.r2} ${t.a2}"))
         case _ => m0
       }
       val stepPairs = math.max(bound * m, innerPairs)

@@ -380,6 +380,37 @@ class DuckCompatMatrixR15bSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ASOF"), e.getMessage)
   }
 
+  test("inner RIGHT/FULL tree members (r15 third pass): the inner " +
+    "join null-extends INSIDE the member before the outer step — " +
+    "rows equal DuckDB's (pinned)") {
+    chainFixtures()
+    import spark.implicits._
+    Seq(("A", "tech"), ("C", "bio"))
+      .toDF("sym", "sector").createOrReplaceTempView("syminfo2b")
+    def run(q: String): Seq[Seq[Any]] =
+      DuckDialect.sql(spark, q).collect().map(_.toSeq).toSeq
+    // inner RIGHT: all syminfo2b rows survive inside the member (C has
+    // no quotes — its member rows carry NULL q cols, so the outer ASOF
+    // equi never matches them and B's trades null-extend)
+    assert(run(
+      "SELECT t.sym, t.tts, q.px, si.sym AS ssym, si.sector " +
+        "FROM trades t " +
+        "ASOF LEFT JOIN (quotes q RIGHT JOIN syminfo2b si " +
+        "ON si.sym = q.sym) " +
+        "ON q.sym = t.sym AND q.qts <= t.tts ORDER BY t.sym, t.tts"
+    ) == Seq(Seq("A", 2, 10, "A", "tech"), Seq("A", 5, 12, "A", "tech"),
+      Seq("B", 7, null, null, null)))
+    // inner FULL: both unmatched sides survive inside the member —
+    // B's quotes (no syminfo2b row) still reach the outer pick
+    assert(run(
+      "SELECT t.sym, t.tts, q.px, si.sector FROM trades t " +
+        "ASOF LEFT JOIN (quotes q FULL JOIN syminfo2b si " +
+        "ON si.sym = q.sym) " +
+        "ON q.sym = t.sym AND q.qts <= t.tts ORDER BY t.sym, t.tts"
+    ) == Seq(Seq("A", 2, 10, "tech"), Seq("A", 5, 12, "tech"),
+      Seq("B", 7, 21, null)))
+  }
+
   test("MULTI-JOIN tree members (r15 third pass): a parenthesized " +
     "inner CHAIN (asof + plain steps) evaluates inner-first, aliased " +
     "or unaliased — rows equal DuckDB's (pinned); no-asof groups " +
