@@ -431,6 +431,30 @@ object DuckDialect {
         val special =
           if (!isCall || qualified) None
           else lower match {
+            case "cast" =>
+              // DuckDB-only CAST TYPE spellings → Spark-parseable
+              // equivalents with identical values (r15 third pass,
+              // DuckDB-pinned canonicalizations: int4/signed→INTEGER,
+              // int8→BIGINT, float4/real→FLOAT, float8/double
+              // precision→DOUBLE, text/bare varchar→VARCHAR semantics
+              // = Spark STRING, bare numeric/decimal→DuckDB's default
+              // DECIMAL(18,3)). A spelling outside the map passes
+              // through untouched — Spark-native types need nothing,
+              // engine-specific ones (hugeint, …) fail loudly there.
+              scanCall(sql, j).flatMap { case (after, _) =>
+                val body = sql.substring(j + 1, after - 1)
+                topKeywordAll(body, "as").lastOption.flatMap { asAt =>
+                  val ty = body.substring(asAt + 2).trim
+                    .toLowerCase(java.util.Locale.ROOT)
+                    .replaceAll("\\s+", " ")
+                  SparkCastSpellings.get(ty).map { st =>
+                    sb.append("CAST(")
+                      .append(rewrite(body.substring(0, asAt)).trim)
+                      .append(" AS ").append(st).append(')')
+                    i = after
+                  }
+                }
+              }
             case "read_parquet" =>
               parseSingleLiteralCall(sql, j).map { case (path, after) =>
                 sb.append("parquet.`").append(path).append('`')
@@ -3668,7 +3692,29 @@ object DuckDialect {
     "int" -> "INTEGER", "integer" -> "INTEGER",
     "bigint" -> "BIGINT", "long" -> "BIGINT",
     "smallint" -> "SMALLINT", "tinyint" -> "TINYINT",
-    "double" -> "DOUBLE", "float" -> "FLOAT", "boolean" -> "BOOLEAN")
+    "double" -> "DOUBLE", "float" -> "FLOAT", "boolean" -> "BOOLEAN",
+    // r15 third pass: the DuckDB-only spellings bridge too — the NAME
+    // uses DuckDB's canonicalization (pinned) while the EXECUTED
+    // expression goes through [[SparkCastSpellings]] in the rewrite
+    "int4" -> "INTEGER", "signed" -> "INTEGER", "int8" -> "BIGINT",
+    "int2" -> "SMALLINT", "int1" -> "TINYINT",
+    "float4" -> "FLOAT", "real" -> "FLOAT", "float8" -> "DOUBLE",
+    "double precision" -> "DOUBLE",
+    "varchar" -> "VARCHAR", "text" -> "VARCHAR", "string" -> "VARCHAR",
+    "numeric" -> "DECIMAL(18,3)", "decimal" -> "DECIMAL(18,3)")
+
+  /** Execution-side twins of the DuckDB-only cast spellings: what the
+    * REWRITTEN statement says so Spark parses it, value-identical to
+    * DuckDB's canonical type (bare numeric/decimal default to DuckDB's
+    * DECIMAL(18,3) — Spark's bare NUMERIC is DECIMAL(10,0) and would
+    * silently differ). Spellings Spark already parses are absent. */
+  private val SparkCastSpellings: Map[String, String] = Map(
+    "int4" -> "INT", "signed" -> "INT", "int8" -> "BIGINT",
+    "int2" -> "SMALLINT", "int1" -> "TINYINT",
+    "float4" -> "FLOAT", "real" -> "FLOAT", "float8" -> "DOUBLE",
+    "double precision" -> "DOUBLE",
+    "varchar" -> "STRING", "text" -> "STRING",
+    "numeric" -> "DECIMAL(18,3)", "decimal" -> "DECIMAL(18,3)")
 
   private def renderDuckAtom(e0: String): Option[String] = {
     val e = e0.trim
@@ -3687,10 +3733,18 @@ object DuckDialect {
       e.endsWith(")") && scanMatch(e, e.indexOf('(')).contains(e.length)) {
       val body = e.substring(e.indexOf('(') + 1, e.length - 1)
       topKeywordAll(body, "as").lastOption.flatMap { asAt =>
+        val ty = body.substring(asAt + 2).trim
+          .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+        val DecRe = """^(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$""".r
+        val canon = ty match {
+          // parameterized decimal/numeric: DuckDB renders
+          // DECIMAL(p,s) (pinned, no space after the comma)
+          case DecRe(pp, ss) => Some(s"DECIMAL($pp,$ss)")
+          case _ => DuckCastCanon.get(ty)
+        }
         for {
           a <- renderDuckExpr(body.substring(0, asAt))
-          t <- DuckCastCanon.get(body.substring(asAt + 2).trim
-            .toLowerCase(java.util.Locale.ROOT))
+          t <- canon
         } yield s"CAST($a AS $t)"
       }
     }
@@ -3720,20 +3774,27 @@ object DuckDialect {
     while (e.length >= 2 && e.head == '(' && scanMatch(e, 0).contains(e.length))
       e = e.substring(1, e.length - 1).trim
     renderDuckAtom(e).orElse {
-      // NESTED binaries (r15 second pass, all DuckDB-pinned): the
-      // engine renders its parse TREE with one paren pair per binary
-      // node under standard precedence (|| < +- < */%) and LEFT
-      // associativity — `aa+10*2` → `(aa + (10 * 2))`, `2-aa-bb` →
-      // `((2 - aa) - bb)` — so the top node is the RIGHTMOST operator
-      // of the LOWEST precedence and both sides recurse. A leading or
-      // post-operator +/- is UNARY, not a split point (`aa*-2` →
-      // `(aa * -2)`).
-      case class TopOp(at: Int, op: String, prec: Int)
+      // NESTED binaries (r15 second/third pass, all DuckDB-pinned):
+      // the engine renders its parse TREE with one paren pair per
+      // binary node under standard precedence (OR lowest, then AND,
+      // then ONE comparison, then ||, then + -, then the
+      // multiplicative ops) and LEFT associativity -- so the top node
+      // is the RIGHTMOST operator of the LOWEST precedence and both
+      // sides recurse. `<>` renders as DuckDB's canonical `!=`. A
+      // leading or post-operator +/- is UNARY, not a split point
+      // (`aa*-2` and `aa > -1` keep the literal sign). CHAINED
+      // comparisons are a DuckDB PARSER error -- more than one
+      // top-level comparison refuses; NOT / BETWEEN / IN / IS / LIKE
+      // / CASE re-render semantically in DuckDB and refuse too.
+      case class TopOp(at: Int, op: String, len: Int, prec: Int)
       val ops = scala.collection.mutable.ArrayBuffer.empty[TopOp]
       var d = 0
       var i = 0
-      var prev = ' ' // last non-whitespace char seen
-      val unaryAfter = "+-*/%|(,="
+      var prev = ' ' // last non-whitespace char seen ('=' after word ops)
+      val unaryAfter = "+-*/%|(,=<>!"
+      val refuseWords = Set("not", "between", "in", "is", "like",
+        "case", "when", "then", "else", "end", "ilike", "similar",
+        "exists", "any", "all", "distinct", "collate", "glob")
       while (i < e.length) {
         val c = e.charAt(i)
         if (c == '\'') {
@@ -3743,14 +3804,39 @@ object DuckDialect {
           prev = '\''
         } else if (c == '(') { d += 1; i += 1; prev = c }
         else if (c == ')') { d -= 1; i += 1; prev = c }
-        else if (d == 0 && c == '|' && i + 1 < e.length &&
+        else if (Character.isLetter(c) || c == '_') {
+          val w = readWord(e, i)
+          val lw = w.toLowerCase(java.util.Locale.ROOT)
+          val bound = i == 0 || {
+            val pch = e.charAt(i - 1)
+            !(Character.isLetterOrDigit(pch) || pch == '_' || pch == '.')
+          }
+          if (d == 0 && bound && refuseWords(lw)) return None
+          if (d == 0 && bound && lw == "or") {
+            ops += TopOp(i, "OR", 2, 0); prev = '='
+          } else if (d == 0 && bound && lw == "and") {
+            ops += TopOp(i, "AND", 3, 1); prev = '='
+          } else prev = w.last
+          i += w.length
+        } else if (d == 0 && c == '|' && i + 1 < e.length &&
           e.charAt(i + 1) == '|') {
-          ops += TopOp(i, "||", 1); i += 2; prev = '|'
+          ops += TopOp(i, "||", 2, 3); i += 2; prev = '|'
+        } else if (d == 0 && (c == '<' || c == '>' || c == '=' ||
+          c == '!')) {
+          val two = if (i + 1 < e.length) e.substring(i, i + 2) else ""
+          val (render, len) = two match {
+            case "<>" => ("!=", 2) // DuckDB's canonical spelling
+            case "<=" | ">=" | "!=" => (two, 2)
+            case _ if c == '!' => ("", 0) // lone '!': not an operator
+            case _ => (c.toString, 1)
+          }
+          if (len == 0) { prev = c; i += 1 }
+          else { ops += TopOp(i, render, len, 2); i += len; prev = '=' }
         } else if (d == 0 && (c == '+' || c == '-') &&
-          prev != ' ' && unaryAfter.indexOf(prev) < 0) {
-          ops += TopOp(i, c.toString, 2); i += 1; prev = c
+          prev != ' ' && unaryAfter.indexOf(prev.toInt) < 0) {
+          ops += TopOp(i, c.toString, 1, 4); i += 1; prev = c
         } else if (d == 0 && (c == '*' || c == '/' || c == '%')) {
-          ops += TopOp(i, c.toString, 3); i += 1; prev = c
+          ops += TopOp(i, c.toString, 1, 5); i += 1; prev = c
         } else {
           if (!Character.isWhitespace(c)) prev = c
           i += 1
@@ -3759,11 +3845,17 @@ object DuckDialect {
       if (ops.isEmpty) None
       else {
         val minPrec = ops.map(_.prec).min
-        val top = ops.filter(_.prec == minPrec).last
-        for {
-          l <- renderDuckExpr(e.substring(0, top.at))
-          r <- renderDuckExpr(e.substring(top.at + top.op.length))
-        } yield s"($l ${top.op} $r)"
+        // chained comparisons (`a < b < 2`) are a DuckDB parser error —
+        // but ONLY when the comparison is the TOP split; comparisons
+        // separated by AND/OR recurse into distinct operands
+        if (minPrec == 2 && ops.count(_.prec == 2) > 1) None
+        else {
+          val top = ops.filter(_.prec == minPrec).last
+          for {
+            l <- renderDuckExpr(e.substring(0, top.at))
+            r <- renderDuckExpr(e.substring(top.at + top.len))
+          } yield s"($l ${top.op} $r)"
+        }
       }
     }
   }

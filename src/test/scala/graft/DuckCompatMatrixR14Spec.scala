@@ -178,11 +178,13 @@ class DuckCompatMatrixR14Spec extends AnyFunSuite {
     assert(nested.columns.toSeq ==
       Seq("max(aa := ((aa + 10) + ab))", "ab", "c"))
     assert(nested.collect().head.toSeq == Seq(13, 2, "x"))
+    // r15 third pass: DuckDB-only cast spellings bridge too (name from
+    // DuckDB's canonicalization, execution through the Spark twin)
+    val i4 = DuckDialect.sql(spark,
+      "SELECT max(COLUMNS(* REPLACE (cast(aa as int4) AS aa))) FROM wr")
+    assert(i4.columns.toSeq ==
+      Seq("max(aa := CAST(aa AS INTEGER))", "ab", "c"))
     for (q <- Seq(
-      // CAST to a DuckDB-only type spelling — DuckDB canonicalizes
-      // int4→INTEGER but Spark would not parse the injected expression
-      // (the both-engine spellings bridge since r15, see R15Spec)
-      "SELECT max(COLUMNS(* REPLACE (cast(aa as int4) AS aa))) FROM wr",
       // wrapper is not a single function call
       "SELECT max(COLUMNS(* REPLACE (aa + 10 AS aa))) + 1 FROM wr"))
       intercept[Exception](DuckDialect.sql(spark, q).collect())

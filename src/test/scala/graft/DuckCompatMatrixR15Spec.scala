@@ -372,12 +372,17 @@ class DuckCompatMatrixR15Spec extends AnyFunSuite {
       ((Seq("max(aa := -((aa + 1)))", "ab", "c"), Seq(-2, 2, "x"))))
     assert(run("SELECT max(COLUMNS(* REPLACE (-aa + 1 AS aa))) FROM wr") ==
       ((Seq("max(aa := (-(aa) + 1))", "ab", "c"), Seq(0, 2, "x"))))
-    // DuckDB-only type spellings keep refusing (Spark would not parse
-    // the injected expression): int4, float8, signed, DOUBLE PRECISION
-    for (t <- Seq("int4", "float8", "signed", "double precision"))
-      intercept[Exception](DuckDialect.sql(spark,
-        s"SELECT max(COLUMNS(* REPLACE (cast(aa as $t) AS aa))) FROM wr")
-        .collect())
+    // r15 third pass: the DuckDB-only type spellings BRIDGE now — the
+    // derived NAME uses DuckDB's canonicalization and the EXECUTED
+    // expression rewrites to a Spark-parseable twin
+    // (DuckCompatMatrixR15bSpec pins the full matrix); the old refusal
+    // rows assert the bridged behavior instead
+    assert(run("SELECT max(COLUMNS(* REPLACE (cast(aa as int4) AS aa))) FROM wr") ==
+      ((Seq("max(aa := CAST(aa AS INTEGER))", "ab", "c"), Seq(1, 2, "x"))))
+    assert(run("SELECT max(COLUMNS(* REPLACE (cast(aa as float8) AS aa))) FROM wr") ==
+      ((Seq("max(aa := CAST(aa AS DOUBLE))", "ab", "c"), Seq(1.0, 2, "x"))))
+    assert(run("SELECT max(COLUMNS(* REPLACE (cast(aa as double precision) AS aa))) FROM wr") ==
+      ((Seq("max(aa := CAST(aa AS DOUBLE))", "ab", "c"), Seq(1.0, 2, "x"))))
   }
 
   test("guard ordering (ADVICE r14): an expand-refused chain reaches " +

@@ -538,9 +538,83 @@ class DuckCompatMatrixR15bSpec extends AnyFunSuite {
       "SELECT max(COLUMNS(* EXCLUDE (ab) REPLACE (aa || 'y' || c AS aa))) FROM wrb")
     assert(n2 == Seq("max(aa := ((aa || 'y') || c))", "c"))
     assert(v2 == Seq("1yx", "x"))
-    // comparison operators stay outside the mechanical subset
-    intercept[Exception](DuckDialect.sql(spark,
-      "SELECT max(COLUMNS(* REPLACE (aa > 1 AS aa))) FROM wrb").collect())
+    // comparisons joined the mechanical subset in the third pass —
+    // the dedicated renderer test below pins the matrix
+    val (n3, _) = run(
+      "SELECT max(COLUMNS(* EXCLUDE (ab, c) REPLACE (aa > 1 AS aa))) FROM wrb")
+    assert(n3 == Seq("max(aa := (aa > 1))"))
+  }
+
+  test("derived-name renderer third pass: comparisons/AND/OR render " +
+    "the precedence tree (<> canonicalizes to !=), DuckDB-only cast " +
+    "spellings bridge with canonical names and Spark-twin execution — " +
+    "all DuckDB-pinned; NOT/BETWEEN/chained comparisons keep refusing") {
+    import spark.implicits._
+    Seq((1, 2, "x")).toDF("aa", "ab", "c").createOrReplaceTempView("wrc")
+    def run(q: String): (Seq[String], Seq[Any]) = {
+      val df = DuckDialect.sql(spark, q)
+      (df.columns.toSeq, df.collect().head.toSeq)
+    }
+    val rows = Seq(
+      ("aa > 1", "max(aa := (aa > 1))", false),
+      ("aa <> ab", "max(aa := (aa != ab))", true),
+      ("aa < 2 AND ab > 1", "max(aa := ((aa < 2) AND (ab > 1)))", true),
+      ("aa < 2 AND ab > 1 OR aa = 9",
+        "max(aa := (((aa < 2) AND (ab > 1)) OR (aa = 9)))", true),
+      ("aa = 9 OR aa < 2 AND ab > 1",
+        "max(aa := ((aa = 9) OR ((aa < 2) AND (ab > 1))))", true),
+      ("aa + 1 > ab * 2", "max(aa := ((aa + 1) > (ab * 2)))", false),
+      ("aa > -1", "max(aa := (aa > -1))", true))
+    rows.foreach { case (expr, wantName, wantVal) =>
+      val (names, vals) = run(
+        s"SELECT max(COLUMNS(* EXCLUDE (ab, c) REPLACE ($expr AS aa))) " +
+          "FROM wrc")
+      assert(names == Seq(wantName), expr)
+      assert(vals == Seq(wantVal), expr)
+    }
+    // string comparison operand
+    val (n1, v1) = run("SELECT min(COLUMNS(* EXCLUDE (ab) REPLACE " +
+      "(c = 'x' AND aa <= ab AS aa))) FROM wrc")
+    assert(n1 == Seq("min(aa := ((c = 'x') AND (aa <= ab)))", "c"))
+    assert(v1 == Seq(true, "x"))
+    // cast spellings: canonical NAME + value-identical execution
+    val casts = Seq(
+      ("cast(aa as int4)", "CAST(aa AS INTEGER)", 1),
+      ("cast(aa as int8)", "CAST(aa AS BIGINT)", 1L),
+      ("cast(aa as signed)", "CAST(aa AS INTEGER)", 1),
+      ("cast(aa as float4)", "CAST(aa AS FLOAT)", 1.0f),
+      ("cast(aa as real)", "CAST(aa AS FLOAT)", 1.0f),
+      ("cast(aa as float8)", "CAST(aa AS DOUBLE)", 1.0),
+      ("cast(aa as double precision)", "CAST(aa AS DOUBLE)", 1.0),
+      ("cast(c as text)", "CAST(c AS VARCHAR)", "x"),
+      ("cast(c as varchar)", "CAST(c AS VARCHAR)", "x"),
+      ("cast(aa as decimal(10,2))", "CAST(aa AS DECIMAL(10,2))",
+        new java.math.BigDecimal("1.00")),
+      // bare numeric: DuckDB defaults to DECIMAL(18,3) — Spark's bare
+      // NUMERIC is DECIMAL(10,0) and would silently differ without
+      // the execution-side mapping
+      ("cast(aa as numeric)", "CAST(aa AS DECIMAL(18,3))",
+        new java.math.BigDecimal("1.000")))
+    casts.foreach { case (expr, wantName, wantVal) =>
+      val (names, vals) = run(
+        s"SELECT min(COLUMNS(* EXCLUDE (ab, c) REPLACE ($expr AS aa))) " +
+          "FROM wrc")
+      assert(names == Seq(s"min(aa := $wantName)"), expr)
+      assert(vals == Seq(wantVal), s"$expr -> ${vals.head} (${
+        vals.head.getClass})")
+    }
+    // plain-statement execution of a DuckDB-only spelling (aliased —
+    // only the VALUE is contracted here)
+    val plain = DuckDialect.sql(spark,
+      "SELECT CAST(aa AS int4) AS x, CAST(aa AS numeric) AS y FROM wrc")
+      .collect().head
+    assert(plain.getInt(0) == 1 &&
+      plain.getDecimal(1) == new java.math.BigDecimal("1.000"))
+    // semantic re-renders and chained comparisons keep refusing
+    for (expr <- Seq("NOT aa > 1", "aa BETWEEN 1 AND 2", "aa < ab < 2"))
+      intercept[Exception](DuckDialect.sql(spark,
+        s"SELECT max(COLUMNS(* REPLACE ($expr AS aa))) FROM wrc")
+        .collect())
   }
 
   test("COPY TO compressed extensions: .gz writes gzip-compressed " +
