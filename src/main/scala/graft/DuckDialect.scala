@@ -1877,13 +1877,40 @@ object DuckDialect {
       ralias = w; i += w.length; ws()
     }
     if (ralias.isEmpty) return None // grouped relation without alias
-    if (!readWord(sql, i).equalsIgnoreCase("on")) return None
-    i += 2
-    val after = sql.substring(i)
-    val cut = tailCut(after)
-    val cond = after.substring(0, cut).trim
+    // r15 third pass: `ASOF [LEFT] JOIN r USING (c1, …, ck)` — DuckDB's
+    // shorthand (pinned): equality on every column but the LAST, and
+    // the last is the inequality right.ck <= left.ck. Both qualified
+    // spellings stay referenceable after the join in DuckDB, exactly
+    // what the synthesized ON gives (the coalescing `*` output is
+    // refused upstream anyway). Columns must be plain identifiers.
+    var usingCond: Option[String] = None
+    if (readWord(sql, i).equalsIgnoreCase("using")) {
+      var k2 = i + 5
+      while (k2 < sql.length && Character.isWhitespace(sql.charAt(k2)))
+        k2 += 1
+      if (k2 >= sql.length || sql.charAt(k2) != '(') return None
+      val close = scanMatch(sql, k2).getOrElse(return None)
+      val colsU = splitTop(sql.substring(k2 + 1, close - 1))
+        .getOrElse(return None).map(_.trim)
+      if (colsU.isEmpty ||
+        colsU.exists(!_.matches("[A-Za-z_][A-Za-z0-9_]*"))) return None
+      val eqs = colsU.dropRight(1).map(c => s"$ralias.$c = $lalias.$c")
+      usingCond = Some(
+        (eqs :+ s"$ralias.${colsU.last} <= $lalias.${colsU.last}")
+          .mkString(" AND "))
+      i = close
+    }
+    if (usingCond.isEmpty && !readWord(sql, i).equalsIgnoreCase("on"))
+      return None
+    val (cond, tailTxt) = usingCond match {
+      case Some(c0) => (c0, sql.substring(i).trim)
+      case None =>
+        i += 2
+        val after = sql.substring(i)
+        val cut = tailCut(after)
+        (after.substring(0, cut).trim, after.substring(cut).trim)
+    }
     if (cond.isEmpty) return None
-    val tailTxt = after.substring(cut).trim
     // split the conjunction; exactly ONE inequality conjunct
     val andAts = topKeywordAll(cond, "and")
     val bounds = (-3 +: andAts) :+ cond.length
@@ -2102,6 +2129,11 @@ object DuckDialect {
     * must carry at least one clean earlier=new equality — an equi-free
     * product inside a chain would plan the nested-loop class the gate
     * cannot bound.
+    * Members may carry `USING (c1, …, ck)` instead of ON (r15 third
+    * pass, pinned): an ASOF step reads equality on every column but
+    * the last plus the INCLUSIVE inequality right.ck <= left.ck (a row
+    * matches itself); a plain step equality on all; left owners
+    * resolve at expansion like NATURAL (one earlier alias per column).
     * Chain members may be GROUPED subqueries `(SELECT …) alias` (r15,
     * VERDICT r14 item 4): alias mandatory, the group must open with
     * SELECT/WITH (a parenthesized JOIN tree — a right-deep chain — is
@@ -2177,7 +2209,7 @@ object DuckDialect {
     isAsof: Boolean, joinSql: String, cond: String, rightExpr: String,
     dir: String, rightEquis: Seq[String],
     tree: Option[AsofTreeMember] = None, natural: Boolean = false,
-    multi: Option[AsofMultiTree] = None)
+    multi: Option[AsofMultiTree] = None, usingCols: Seq[String] = Nil)
 
   private[graft] case class AsofChainParts(prefix: String, selTxt: String,
     lrel: String, lalias: String, joins: Seq[AsofChainJoin], tailTxt: String)
@@ -2564,6 +2596,39 @@ object DuckDialect {
           "", "", "", Seq.empty, tree, natural = true, multi = multi)
         known = newAliases.toList reverse_::: known
         // i already sits at the next head (or the tail, consumed above)
+      } else if (readWord(sql, i).equalsIgnoreCase("using")) {
+        // `USING (c1, …, ck)` member (r15 third pass, DuckDB-pinned):
+        // an ASOF step reads it as equality on every column but the
+        // last plus the inequality right.ck <= left.ck (INCLUSIVE —
+        // a row matches itself); a plain step as equality on all.
+        // The right-side keys are textual; the LEFT owners resolve at
+        // expansion like NATURAL (one earlier alias per column, else
+        // refuse). Tree/multi members with USING keep refusing.
+        if (tree.nonEmpty || multi.nonEmpty) return None
+        var k2 = i + 5
+        while (k2 < sql.length && Character.isWhitespace(sql.charAt(k2)))
+          k2 += 1
+        if (k2 >= sql.length || sql.charAt(k2) != '(') return None
+        val close = scanMatch(sql, k2).getOrElse(return None)
+        val colsU = splitTop(sql.substring(k2 + 1, close - 1))
+          .getOrElse(return None).map(_.trim)
+        if (colsU.isEmpty ||
+          colsU.exists(!_.matches("[A-Za-z_][A-Za-z0-9_]*"))) return None
+        i = close; ws()
+        if (hx + 1 < heads.length) {
+          if (i != heads(hx + 1).start) return None
+        } else tailTxt = sql.substring(i).trim
+        if (h.isAsof) {
+          if (colsU.length < 1) return None
+          joins += AsofChainJoin(rrel, ralias, isAsof = true, h.joinSql,
+            "", s"$ralias.${colsU.last}", "DESC",
+            colsU.dropRight(1).map(c => s"$ralias.$c"),
+            usingCols = colsU)
+        } else
+          joins += AsofChainJoin(rrel, ralias, isAsof = false, h.joinSql,
+            "", "", "", colsU.map(c => s"$ralias.$c"),
+            usingCols = colsU)
+        known = newAliases.toList reverse_::: known
       } else {
       if (!readWord(sql, i).equalsIgnoreCase("on")) return None
       i += 2
@@ -2874,6 +2939,23 @@ object DuckDialect {
             }
           }
           if (parts.isEmpty) return None // no columns to join on
+          parts.mkString(" AND ")
+        } else if (j.usingCols.nonEmpty) {
+          // USING member (r15 third pass): owners resolve like NATURAL
+          // (exactly one earlier alias per column); an ASOF step's
+          // last column becomes the INCLUSIVE inequality, everything
+          // else an equality — DuckDB-pinned
+          val parts = j.usingCols.zipWithIndex.map { case (c, ix) =>
+            if (!newAliasCols.head._2.exists(_.equalsIgnoreCase(c)))
+              return None // member lacks the USING column
+            val owners = aliasCols.flatMap { case (a, cs) =>
+              cs.filter(_.equalsIgnoreCase(c)).map(a -> _) }
+            if (owners.length != 1) return None
+            val (a, oc) = owners.head
+            if (j.isAsof && ix == j.usingCols.length - 1)
+              s"${j.ralias}.$c <= $a.$oc"
+            else s"$a.$oc = ${j.ralias}.$c"
+          }
           parts.mkString(" AND ")
         } else j.cond
       val cond2 = mapChainRefs(condTxt, earlier ++ condAliases)

@@ -545,6 +545,45 @@ class DuckCompatMatrixR15bSpec extends AnyFunSuite {
     assert(n3 == Seq("max(aa := (aa > 1))"))
   }
 
+  test("ASOF USING (r15 third pass): equality on all but the last " +
+    "column, INCLUSIVE inequality on the last — single joins and " +
+    "chain members, rows equal DuckDB's (pinned)") {
+    import spark.implicits._
+    Seq(("A", 2, 100), ("A", 5, 101), ("B", 7, 200))
+      .toDF("sym", "ts", "qty").createOrReplaceTempView("utrades")
+    Seq(("A", 1, 10), ("A", 3, 11), ("A", 5, 12), ("B", 2, 20), ("B", 6, 21))
+      .toDF("sym", "ts", "px").createOrReplaceTempView("uquotes")
+    Seq(("A", 4, 7), ("B", 5, 8))
+      .toDF("sym", "ts", "f").createOrReplaceTempView("ufills")
+    def run(q: String): Seq[Seq[Any]] =
+      DuckDialect.sql(spark, q).collect().map(_.toSeq).toSeq
+    // two-column USING: sym equality + ts inclusive inequality —
+    // A@5 matches the ts=5 quote (inclusive, pinned)
+    assert(run(
+      "SELECT t.sym, t.ts, q.ts AS qts, q.px FROM utrades t " +
+        "ASOF JOIN uquotes q USING (sym, ts) ORDER BY t.sym, t.ts"
+    ) == Seq(Seq("A", 2, 1, 10), Seq("A", 5, 5, 12), Seq("B", 7, 6, 21)))
+    // ASOF LEFT USING
+    assert(run(
+      "SELECT t.sym, t.ts, q.px FROM utrades t " +
+        "ASOF LEFT JOIN uquotes q USING (sym, ts) ORDER BY t.sym, t.ts"
+    ) == Seq(Seq("A", 2, 10), Seq("A", 5, 12), Seq("B", 7, 21)))
+    // ONE-column USING: pure inequality, cross-sym (pinned — t@2 picks
+    // B's ts=2 quote)
+    assert(run(
+      "SELECT t.ts, q.ts AS qts, q.px FROM utrades t " +
+        "ASOF JOIN uquotes q USING (ts) ORDER BY t.ts"
+    ) == Seq(Seq(2, 2, 20), Seq(5, 5, 12), Seq(7, 6, 21)))
+    // USING member inside a CHAIN (owners resolve against the base;
+    // DuckDB-pinned single row)
+    assert(run(
+      "SELECT t.sym, t.ts, q.ts AS qts FROM utrades t " +
+        "ASOF LEFT JOIN uquotes q USING (sym, ts) " +
+        "ASOF JOIN ufills f ON f.sym = t.sym AND f.ts >= t.ts " +
+        "ORDER BY t.sym, t.ts"
+    ) == Seq(Seq("A", 2, 1)))
+  }
+
   test("derived-name renderer third pass: comparisons/AND/OR render " +
     "the precedence tree (<> canonicalizes to !=), DuckDB-only cast " +
     "spellings bridge with canonical names and Spark-twin execution — " +
