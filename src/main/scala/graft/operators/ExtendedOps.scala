@@ -345,6 +345,22 @@ object ExtendedOps {
       |ORDER BY d"""
       .stripMargin.replace("\n", " ")
 
+  // q205 ASOF USING (r15 third pass): DuckDB's USING shorthand —
+  // equality on every column but the last, INCLUSIVE inequality on the
+  // last — over a SHIFTED subquery member (doc_id + 1), so the pick is
+  // each document's per-source predecessor: the meaningful composition
+  // of the USING bridge (textual right-side keys, owners resolved at
+  // expansion) with a subquery member. doc_id unique ⇒ tie-free;
+  // oracle = identical text natively.
+  private val AsofUsingSql: String =
+    """SELECT l.doc_id AS d, CAST(p.pd AS BIGINT) AS prev_doc,
+      |CAST(p.doc_id AS BIGINT) AS shifted
+      |FROM documents l
+      |ASOF JOIN (SELECT source, doc_id + 1 AS doc_id, doc_id AS pd
+      |  FROM documents) p USING (source, doc_id)
+      |ORDER BY d"""
+      .stripMargin.replace("\n", " ")
+
   private val AsofTreeSql: String =
     """SELECT l.doc_id AS d, CAST(p.doc_id AS BIGINT) AS prev_doc,
       |CAST(r.doc_id AS BIGINT) AS prev_prev,
@@ -846,6 +862,13 @@ object ExtendedOps {
         graft.DuckDialect.sql(s, AsofMultiTreeSql)
       },
       Some(AsofMultiTreeSql)),
+
+    GraftQuery("q205_duckdb_asof_using",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents")
+        graft.DuckDialect.sql(s, AsofUsingSql)
+      },
+      Some(AsofUsingSql)),
 
     GraftQuery("q172_duckdb_dialect5",
       (s, d) => {
