@@ -1093,23 +1093,58 @@ object Dedup {
     // The pipeline FUNNEL — q156's observability twin: how many
     // documents (and chars) survive each stage. The numbers a corpus
     // report leads with, and the regression signal when a filter starts
-    // eating the corpus. Five bounded aggregates over the shared stage
-    // frames; each is one linear pass (the component labels compute
-    // once — the label frame is built a single time and reused by the
-    // later stage frames' lineage).
+    // eating the corpus.
+    //
+    // r15 opt (guide §2.4 — don't recompute subtrees a flag column can
+    // carry): the old form union-aggregated the five SHARED STAGE FRAMES,
+    // and because each later frame's lineage re-derives the earlier
+    // filters, the corpus text was re-scanned (with the three quality
+    // regexes) five times, the sha256 exact-keep groupBy ran three
+    // times and the decontamination anti-join twice — 20 stages, 24.7 s
+    // of executor time at sf0.1. The chain's filters are MONOTONE (each
+    // stage only removes rows), so ONE flagged pass suffices:
+    // [[manifestFlags]] computes per-doc survival flags (q ⊇ dd ⊇ dec)
+    // in a single text scan, persists the NARROW result (doc_id,
+    // source, n_chars, 3 bools — the simhashPairs "cache ids, not
+    // text" discipline), and stages 1–4 fall out of one conditional
+    // aggregate. Stage 5 keeps the q156 cap shape — dec survivors →
+    // row_number ≤ 15 — so the rank filter still plans as
+    // WindowGroupLimit (partial below the source exchange, the 100 TB
+    // property PlanShapeSpec pins on q156) over the cached flags
+    // instead of a fifth text scan. Values are unchanged by
+    // construction (monotone flags ⇔ stage membership; oracle-verified
+    // at both SFs); measured 2.88 → ~1.1 s, 20 → 10 stages.
     GraftQuery("q157_pipeline_funnel",
       (s, d) => {
-        val (base, quality, deduped, decon, capped) = manifestStages(s, d)
-        def stageAgg(df: DataFrame, ord: Int, name: String): DataFrame =
-          df.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum("n_chars"), lit(0L)).cast("long").as("total_chars"))
-            .select(lit(ord.toLong).as("stage"), lit(name).as("stage_name"),
-              col("n_docs"), col("total_chars"))
-        stageAgg(base, 1, "raw")
-          .unionAll(stageAgg(quality, 2, "quality"))
-          .unionAll(stageAgg(deduped, 3, "dedup"))
-          .unionAll(stageAgg(decon, 4, "decontaminated"))
-          .unionAll(stageAgg(capped, 5, "capped"))
+        val f = manifestFlags(s, d).persistTracked()
+        val s14 = f.agg(
+          count(lit(1)).as("c1"),
+          coalesce(sum("n_chars"), lit(0L)).cast("long").as("s1"),
+          count(when(col("q"), lit(1))).as("c2"),
+          coalesce(sum(when(col("q"), col("n_chars"))), lit(0L))
+            .cast("long").as("s2"),
+          count(when(col("dd"), lit(1))).as("c3"),
+          coalesce(sum(when(col("dd"), col("n_chars"))), lit(0L))
+            .cast("long").as("s3"),
+          count(when(col("dec"), lit(1))).as("c4"),
+          coalesce(sum(when(col("dec"), col("n_chars"))), lit(0L))
+            .cast("long").as("s4"))
+        val w = Window.partitionBy("source")
+          .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+            col("doc_id"))
+        val cap = f.filter(col("dec"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 15)
+          .agg(count(lit(1)).as("c5"),
+            coalesce(sum("n_chars"), lit(0L)).cast("long").as("s5"))
+        s14.crossJoin(cap)
+          .select(expr("stack(5, " +
+            "1L, 'raw', c1, s1, " +
+            "2L, 'quality', c2, s2, " +
+            "3L, 'dedup', c3, s3, " +
+            "4L, 'decontaminated', c4, s4, " +
+            "5L, 'capped', c5, s5) " +
+            "AS (stage, stage_name, n_docs, total_chars)"))
           .orderBy("stage")
       },
       Some("WITH RECURSIVE " + ManifestCtes + " " +
@@ -1236,6 +1271,63 @@ object Dedup {
     val capped = decon.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 15)
     (base, quality, deduped, decon, capped)
+  }
+
+  /** One-pass FLAG form of the [[manifestStages]] chain (r15 opt, the
+    * q157 funnel's input): per document, the monotone survival flags
+    *
+    *   q   — passes the integer quality predicates;
+    *   dd  — q ∧ exact-canonical ∧ near-dup-canonical (stage 3);
+    *   dec — dd ∧ contains no benchmark prefix (stage 4);
+    *
+    * computed in ONE corpus scan: the exact-keep minimum attaches by a
+    * doc_id left join (computed once, not once per consumer), component
+    * labels by the same left join manifestStages uses, and the ≤207-row
+    * bench panel (id-capped by construction: doc_id % 97 = 0 ∧ doc_id <
+    * BenchCap) folds to an `exists` over a collected literal — the q168
+    * set-literal precedent, replacing a per-stage broadcast anti-join.
+    * The result is NARROW (doc_id, source, n_chars, 3 bools): callers
+    * persist it and text never leaves the scan. Flag semantics are
+    * value-identical to filtering the staged frames — each stage's
+    * population is exactly the rows with its flag set (monotone by
+    * construction), which the q157 oracle verifies hash-exactly. */
+  private def manifestFlags(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"), col("source"),
+      col("n_chars"),
+      tokenCount(col("text")).as("n_tokens"),
+      regexp_count(lower(col("text")), lit(TextAnalysis.StopRe)).cast("long")
+        .as("n_stop"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+        .as("n_glyphs"))
+    val qualPred = col("n_tokens") >= 12 && col("n_stop") >= 1 &&
+      col("n_glyphs") <= col("n_tokens") * 15
+    val quality = base.filter(qualPred)
+    val exactKeep = quality
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("kid"))
+      .select(col("kid"), lit(true).as("ek"))
+    val labels = nearDupComponentsOf(s, quality)
+    // bounded collect (≤207 rows by construction — the documented
+    // panel-class exception); empty panel ⇒ nothing is contaminated
+    val panel: Seq[String] = docs(s, d)
+      .filter(pmod(col("doc_id"), lit(97)) === 0 &&
+        col("doc_id") < TextAnalysis.BenchCap)
+      .select(substring(col("text"), 1, 60))
+      .collect().map(_.getString(0)).toSeq
+    val hit =
+      if (panel.isEmpty) lit(false)
+      else exists(typedLit(panel), p => contains(col("text"), p))
+    base
+      .join(exactKeep, col("doc_id") === col("kid"), "left")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        qualPred.as("q"),
+        (qualPred && coalesce(col("ek"), lit(false)) &&
+          (col("canonical").isNull || col("canonical") === col("doc_id")))
+          .as("dd"),
+        (qualPred && coalesce(col("ek"), lit(false)) &&
+          (col("canonical").isNull || col("canonical") === col("doc_id")) &&
+          !hit).as("dec"))
   }
 
   /** The q156/q157 oracle CTE chain (b → q → … → cap), mirroring

@@ -42,6 +42,20 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
+  // ImageIO's default stream wrappers are FILE-cached: every
+  // read/write of an in-memory byte-array payload creates (and deletes)
+  // a temp file on disk — per FRAME in the q190/q193 demux-decode rows,
+  // i.e. tens of thousands of temp-file round-trips per bench pass, and
+  // the source of their 5–10× run-to-run wall variance under filesystem
+  // contention (r15 opt, guide §1.1 — the time was never in the codec:
+  // same-box A/B measured q193 5.09 → 0.41 s and q190 2.34 → 0.28 s
+  // once the temp files were gone). Memory-cached streams are
+  // byte-identical for
+  // ByteArray{Input,Output}Stream sources/sinks; the static write is
+  // idempotent and runs once per JVM at object init (executors included
+  // — every codec call site is a method of this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** STUB — deterministic fake decoder. A real deployment replaces this
     * body (and only this body) with the codec call; signature, batching,
     * and schema stay as-is. */

@@ -144,42 +144,44 @@ object ScalarOps {
     GraftQuery("q39_percentiles",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        // both columns rank in ONE pass: every window shares the flag
-        // partitioning, so the plan is one exchange + three in-partition
-        // sorts, and the bracketing-row aggregate RIDES that
-        // partitioning (grouping key ⊇ partition exprs). lineitem's
-        // quantity/price are non-null by schema; a null-bearing column
-        // would need its own branch so its n excludes nulls per column.
+        // Hybrid exact form (r15 opt, guide §1.2/§2.4): l_quantity is an
+        // INTEGER-VALUED domain column (TPC-H: 1..50), so Spark's
+        // `percentile()` value→count map is bounded by the 50-value
+        // domain — the r14 "data-proportional aggregation state" hazard
+        // (the reason the sort form exists) only applies to CONTINUOUS
+        // columns. Both quantity percentiles therefore run as UNORDERED
+        // window aggregates (one buffered pass, bounded state — the
+        // pre-r14 hash-exact expression), and only l_extendedprice (truly
+        // continuous) keeps the r14 sort + bracketing-rank form. Net: the
+        // same single flag exchange, ONE in-partition sort instead of
+        // three window passes (measured 2.0 → 1.2 s at sf0.1; plan diff
+        // "3 Window + 2 Sort → 2 Window + 1 Sort" in plans/r15).
+        // lineitem's quantity/price are non-null by schema; a
+        // null-bearing column would need its own branch so its n
+        // excludes nulls per column.
         val w = Window.partitionBy("l_returnflag")
-        val ps = Seq(("__q", 0.5, "med_qty"), ("__q", 0.9, "p90_qty"),
-          ("__p", 0.5, "med_price"))
         val ranked = T(s, d, "lineitem")
           .select(col("l_returnflag"),
             col("l_quantity").cast("double").as("__q"),
             col("l_extendedprice").cast("double").as("__p"))
-          .withColumn("__rnq", row_number().over(w.orderBy("__q")).cast("long"))
           .withColumn("__rnp", row_number().over(w.orderBy("__p")).cast("long"))
           .withColumn("__n", count(lit(1)).over(w))
-        def rn(v: String) = if (v == "__q") col("__rnq") else col("__rnp")
-        def idx(p: Double) = (col("__n") - 1L).cast("double") * lit(p)
-        def loRn(p: Double) = floor(idx(p)).cast("long") + 1L
-        def hiRn(p: Double) = least(loRn(p) + 1L, col("__n"))
-        val keep = ps.map { case (v, p, _) =>
-          rn(v) === loRn(p) || rn(v) === hiRn(p)
-        }.reduce(_ || _)
-        val aggs = ps.flatMap { case (v, p, nm) => Seq(
-          max(when(rn(v) === loRn(p), col(v))).as(s"__lo_$nm"),
-          max(when(rn(v) === hiRn(p), col(v))).as(s"__hi_$nm"))
-        } :+ max("__n").as("__n")
-        val outs = ps.map { case (_, p, nm) =>
-          val ix = (col("__n") - 1L).cast("double") * lit(p)
-          val fr = ix - floor(ix)
-          (col(s"__lo_$nm") + fr * (col(s"__hi_$nm") - col(s"__lo_$nm")))
-            .as(nm)
-        }
+          .withColumn("__mq", expr("percentile(__q, 0.5)").over(w))
+          .withColumn("__pq", expr("percentile(__q, 0.9)").over(w))
+        def idx = (col("__n") - 1L).cast("double") * lit(0.5)
+        def loRn = floor(idx).cast("long") + 1L
+        def hiRn = least(loRn + 1L, col("__n"))
+        val keep = col("__rnp") === loRn || col("__rnp") === hiRn
         ranked.filter(keep).groupBy("l_returnflag")
-          .agg(aggs.head, aggs.tail: _*)
-          .select(col("l_returnflag") +: outs: _*)
+          .agg(max(when(col("__rnp") === loRn, col("__p"))).as("__lo"),
+            max(when(col("__rnp") === hiRn, col("__p"))).as("__hi"),
+            max("__n").as("__n"),
+            max("__mq").as("med_qty"), max("__pq").as("p90_qty"))
+          .select(col("l_returnflag"), col("med_qty"), col("p90_qty"), {
+            val ix = (col("__n") - 1L).cast("double") * lit(0.5)
+            val fr = ix - floor(ix)
+            (col("__lo") + fr * (col("__hi") - col("__lo"))).as("med_price")
+          })
           .orderBy("l_returnflag")
       },
       Some("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty, " +

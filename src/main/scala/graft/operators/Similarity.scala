@@ -1562,17 +1562,44 @@ object Similarity {
     import s.implicits._
     val K = 16; val NProbe = nProbe
     val e = emb(s, d)
-    val cent = trainedCentroids(s, d, K, iters = trainIters, sampleMod = 2)
-      .toDF("cid", "cv")
+    val centSeq = trainedCentroids(s, d, K, iters = trainIters, sampleMod = 2)
+      .sortBy(_._1)
+    // r15 opt (guide §2.4): the corpus-side list assignment used to
+    // crossJoin e × K centroids (16× row expansion, each row carrying
+    // the 64-double embedding) and collapse back through a vec_id-keyed
+    // max_by aggregate — a full-corpus Exchange whose only job was an
+    // argmax each row can compute LOCALLY. The K×d centroid matrix is a
+    // bounded literal (the clusterAssign precedent), so the best cid is
+    // now an in-row array_sort over K=16 scored structs: same
+    // (sim DESC, cid ASC) total order — struct(-sim, cid) ascending —
+    // same native cosine, zero exchange, no expansion. Plan diff
+    // (plans/r15): the corpus branch loses its Exchange + 2
+    // HashAggregates. Probe lists (query panel only) keep the
+    // crossJoin+window shape — QueryCount × K rows.
+    val centLit = typedLit(centSeq.map(_._2))
+    // idx is the position in the cid-ASCENDING centroid list, so the
+    // (nsim, idx) tie-break equals the original (sim DESC, cid ASC);
+    // the idx→cid lookup keeps non-contiguous cid sets correct.
+    val cidLit = typedLit(centSeq.map(_._1))
+    val rankedCent = array_sort(zip_with(centLit,
+      sequence(lit(0L), lit(centSeq.size - 1L)),
+      (c, i) => struct((-cosine(col("embedding"), c)).as("nsim"),
+        i.as("idx"))))
+    // empty-quantizer degenerate case (empty corpus): no lists exist —
+    // same empty frame the old crossJoin+max_by shape produced
+    val corpusList =
+      if (centSeq.isEmpty)
+        e.select(col("vec_id").as("n"), col("embedding").as("nv"),
+          lit(0L).as("cid")).filter(lit(false))
+      else e.select(col("vec_id").as("n"),
+        col("embedding").as("nv"),
+        element_at(cidLit,
+          (element_at(rankedCent, 1).getField("idx") + 1L).cast("int"))
+          .as("cid"))
+    val cent = centSeq.toDF("cid", "cv")
     val scored = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cid"),
         cosine(col("embedding"), col("cv")).as("sim"))
-    // argmax by (sim desc, cid asc): max_by on (sim, -cid) struct order
-    val corpusList = scored.groupBy("vec_id")
-      .agg(max_by(struct(col("cid"), col("embedding")),
-        struct(col("sim"), (-col("cid")).as("nc"))).as("best"))
-      .select(col("vec_id").as("n"), col("best.embedding").as("nv"),
-        col("best.cid").as("cid"))
     // Probe lists only exist for the tiny query set — the window here
     // runs over QueryCount × K rows, not the corpus.
     val wProbe = org.apache.spark.sql.expressions.Window

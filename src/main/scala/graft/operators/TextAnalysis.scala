@@ -1174,16 +1174,34 @@ object TextAnalysis {
     GraftQuery("q121_vocab_overlap_sketch",
       (s, d) => {
         val est = vocabOverlapSketch(s, d)
-        val dw = docs(s, d)
+        // r15 opt (guide §2.4 — the word self-join is an exchange the
+        // data's shape never needed): ONE word-keyed aggregate collects
+        // each word's source SET (bounded by the source universe, the
+        // q154 20×20 argument), and both downstream frames are narrow
+        // in-row passes over it — per-source cardinality by exploding
+        // the set, pairwise intersections by expanding each set's
+        // ordered pairs IN-ROW (≤ C(|sources|,2) per word — the
+        // bounded-per-row HOF class, clusterAssign precedent). The old
+        // shape distinct-shuffled (source, word), then self-joined on
+        // word (2 more exchanges + SMJ) and re-aggregated; values are
+        // identical (same distinct (source, word) universe), the
+        // vocab×vocab join machinery is gone. Plan diff in plans/r15:
+        // 8 exchanges → 5, SMJ gone.
+        val ws = docs(s, d)
           .select(col("source"),
             explode(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
               .as("word"))
-          .distinct()
-          .persistTracked() // vocab×sources-bounded; two consumers
-        val card = dw.groupBy("source").agg(count(lit(1)).as("c"))
-        val inter = dw.select(col("source").as("sa"), col("word"))
-          .join(dw.select(col("source").as("sb"), col("word")), "word")
-          .filter(col("sa") < col("sb"))
+          .groupBy("word")
+          .agg(collect_set(col("source")).as("ss"))
+          .persistTracked() // vocab-bounded; two consumers
+        val card = ws.select(explode(col("ss")).as("source"))
+          .groupBy("source").agg(count(lit(1)).as("c"))
+        val sorted = array_sort(col("ss"))
+        val pairRows = flatten(transform(sorted, (x, i) =>
+          transform(slice(sorted, i + 2, size(sorted)),
+            y => struct(x.as("sa"), y.as("sb")))))
+        val inter = ws.select(explode(pairRows).as("p"))
+          .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
           .groupBy("sa", "sb").agg(count(lit(1)).as("i"))
         val exact = inter
           .join(broadcast(card.select(col("source").as("sa"), col("c").as("ca"))), "sa")
