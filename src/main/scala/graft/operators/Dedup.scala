@@ -1226,7 +1226,7 @@ object Dedup {
   /** Stage frames of the q156/q157 manifest pipeline, in application
     * order: (raw, quality, deduped, decontaminated, capped). Shared so
     * the manifest and the funnel agree by construction. */
-  private def manifestStages(s: SparkSession, d: String)
+  private[graft] def manifestStages(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base = docs(s, d).select(col("doc_id"), col("text"), col("lang"),
       col("source"), col("n_chars"),
@@ -1291,7 +1291,7 @@ object Dedup {
     * value-identical to filtering the staged frames — each stage's
     * population is exactly the rows with its flag set (monotone by
     * construction), which the q157 oracle verifies hash-exactly. */
-  private def manifestFlags(s: SparkSession, d: String): DataFrame = {
+  private[graft] def manifestFlags(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("text"), col("source"),
       col("n_chars"),
       tokenCount(col("text")).as("n_tokens"),

@@ -63,20 +63,28 @@ object TextAnalysis {
     * window pass for the transitions. */
   private[graft] def bigramLmModel(docsDf: DataFrame)
       : (Seq[String], Seq[(String, String, Long)]) = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = docsDf.select(col("doc_id"),
-      posexplode(regexp_extract_all(lower(col("text")),
-        lit("\\p{L}+"), lit(0))).as(Seq("pos", "w")))
-    val topV: Seq[String] = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    // r15 opt (guide §2.4): word-to-word transitions are ADJACENT array
+    // elements, so they come from an in-row arrays_zip of two slices
+    // (the q132 bigram shape) — the old posexplode + lag-over-
+    // (doc, pos) window paid a doc-keyed exchange + sort of every
+    // token just to rediscover adjacency the tokenizer array already
+    // encodes. Same pair multiset (consecutive tokens per doc; docs
+    // with < 2 tokens contribute nothing either way), zero window.
+    val toks = docsDf.select(
+      regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0))
+        .as("ws"))
+    val topV: Seq[String] = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(SurpriseVocabCap)
       .collect().map(_.getString(0)).toSeq
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-    val rows = tok
-      .select(col("doc_id"), col("pos"),
-        when(col("w").isin(topV: _*), col("w")).otherwise(lit("#unk"))
-          .as("v"))
-      .withColumn("u", lag("v", 1).over(win))
-      .filter(col("u").isNotNull)
+    def cls(c: Column) =
+      when(c.isin(topV: _*), c).otherwise(lit("#unk"))
+    val rows = toks.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "arrays_zip(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1))"))
+        .as("p"))
+      .select(cls(col("p").getField("0")).as("u"),
+        cls(col("p").getField("1")).as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("cuv"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .toSeq
@@ -228,6 +236,22 @@ object TextAnalysis {
   private val decontPanelCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Long]]
 
+  /** q195's trained bigram LM, per corpus dir (r15 opt): (top-V vocab,
+    * bigram counts) — ≤ (V+1)² rows, bounded by construction (the
+    * SurpriseVocabCap stance). Same versioned-model class as
+    * bowModelCache/mergesCache, with the r15 stamp discipline. */
+  private val bigramLmCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Long), (Seq[String], Seq[(String, String, Long)])]
+
+  /** q192's holdout classifier (trained on the md5 train split), per
+    * corpus dir (r15 opt): 17 bounded model rows — the bowModelCache
+    * class; kept separate because the full-corpus q188 model and the
+    * split-trained holdout model are different artifacts. */
+  private val bowHoldoutCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Long), IndexedSeq[(Long, Long, Long)]]
+
   /** Cache keys carry the source's last-modified stamp (r14 review
     * follow-up, hardened r15 per ADVICE): a corpus dir REWRITTEN IN
     * PLACE re-collects instead of serving stale index metadata — one
@@ -283,6 +307,7 @@ object TextAnalysis {
     * so a rep re-pays the stats first-build. */
   private[graft] def clearStampedCaches(): Unit = {
     bm25StatsCache.clear(); decontPanelCache.clear()
+    bigramLmCache.clear(); bowHoldoutCache.clear()
   }
 
   private[graft] def bm25DocStats(s: SparkSession, d: String): Bm25Stats =
@@ -1805,27 +1830,35 @@ object TextAnalysis {
     // pre-combines before the doc exchange; top-20 is TakeOrdered.
     GraftQuery("q195_bigram_perplexity",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         def flog2(c: org.apache.spark.sql.Column) =
           (length(bin(c)) - 1).cast("long")
         val v1 = SurpriseVocabCap + 1 // classes incl. '#unk' (smoothing)
         // training via the shared helper (the streaming twin trains on
-        // the identical code path — BigramPerplexityStream)
-        val (topV, model) = bigramLmModel(docs(s, d))
+        // the identical code path — BigramPerplexityStream); the
+        // trained LM is a versioned model artifact like the q188
+        // classifier, so it rides the stamped per-dir cache (r15 opt —
+        // the bowModelCache precedent; first_build_wall carries the
+        // cold training cost, SPARK_GRAFT_SCALE_COLD sweeps it)
+        val (topV, model) = stampCached(bigramLmCache,
+          (d, sourceStamp(d, "documents")))(_._1 == d)(
+          bigramLmModel(docs(s, d)))
         val cuv: Map[String, Long] = model.map { case (u, v, c) =>
           (u + "\u0001" + v) -> c }.toMap
         val cu: Map[String, Long] = model.groupBy(_._1)
           .map { case (u, rs) => u -> rs.map(_._3).sum }
-        val tok = docs(s, d).select(col("doc_id"),
-          posexplode(regexp_extract_all(lower(col("text")),
-            lit("\\p{L}+"), lit(0))).as(Seq("pos", "w")))
         def cls(c: org.apache.spark.sql.Column) =
           when(c.isin(topV: _*), c).otherwise(lit("#unk"))
-        val win = Window.partitionBy("doc_id").orderBy("pos")
-        val pairs = tok
-          .select(col("doc_id"), col("pos"), cls(col("w")).as("v"))
-          .withColumn("u", lag("v", 1).over(win))
-          .filter(col("u").isNotNull)
+        // scoring pass: in-row adjacent pairs (see the bigramLmModel
+        // r15 note — no posexplode, no lag window, no doc-keyed sort)
+        val pairs = docs(s, d).select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0))
+              .as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "arrays_zip(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1))"))
+            .as("p"))
+          .select(col("doc_id"), cls(col("p").getField("0")).as("u"),
+            cls(col("p").getField("1")).as("v"))
         pairs
           .select(col("doc_id"),
             (flog2(element_at(typedLit(cu), col("u")) + v1) -
@@ -2031,9 +2064,12 @@ object TextAnalysis {
       (s, d) => {
         graft.functions.HashedBowScore.register(s)
         val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
-        // trained on the SPLIT, not the corpus — bowModelOf directly
-        // (the per-dir cache holds the full-corpus q188 model)
-        val w = bowModelOf(docs(s, d).filter(h2 < lit("cd"))).map(_._3)
+        // trained on the SPLIT, not the corpus — its own stamped
+        // per-dir cache (r15 opt; the full-corpus q188 model lives in
+        // bowModelCache, this artifact is the split-trained twin)
+        val w = stampCached(bowHoldoutCache,
+          (d, sourceStamp(d, "documents")))(_._1 == d)(
+          bowModelOf(docs(s, d).filter(h2 < lit("cd")))).map(_._3)
         val t = coalesce(lower(col("text")), lit(""))
         docs(s, d)
           .select(

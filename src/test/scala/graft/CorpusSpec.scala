@@ -125,6 +125,27 @@ class CorpusSpec extends AnyFunSuite {
       s"split correlation regression: only $splits present")
   }
 
+  test("q157 one-pass flag funnel equals the staged-frame aggregates " +
+    "(the r15 rewrite's equivalence pin)") {
+    // sf0.01 — every stage bites there (see the test above); the funnel
+    // now computes monotone flags in one pass, and this recomputes the
+    // pre-r15 form (five aggregates over Dedup.manifestStages) to prove
+    // the two shapes value-identical beyond the oracle hash.
+    val sf01 = "/root/testdata/sf0.01"
+    val (base, quality, deduped, decon, capped) =
+      operators.Dedup.manifestStages(spark, sf01)
+    def cs(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum("n_chars"), lit(0L)).cast("long")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val expected = Seq(cs(base), cs(quality), cs(deduped), cs(decon),
+      cs(capped))
+    val got = SparkEntry.queries("q157_pipeline_funnel")(spark, sf01)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("q159 truncation recall: three levels, hit counts bounded by the " +
     "possible set, and the full-dim baseline is the q49 panel top-k") {
     val rows = SparkEntry.queries("q159_dim_truncation_recall")(spark, sf)
