@@ -1068,9 +1068,25 @@ object Dedup {
     // (shingles, bench contains) and never enters an exchange.
     GraftQuery("q156_training_manifest",
       (s, d) => {
-        val (_, _, _, _, capped) = manifestStages(s, d)
+        // r15 opt: the chain now rides [[manifestFlags]]' ONE flagged
+        // text pass (the q157 rewrite — quality regexes, exact-keep,
+        // labels and the panel probe each compute once instead of once
+        // per stage reference; the ≤207-prefix panel folds to the q168
+        // set-literal `exists`, replacing the broadcast anti-join). The
+        // cap keeps its shape: dec survivors → row_number ≤ 15 still
+        // plans as WindowGroupLimit with the partial below the source
+        // exchange (PlanShapeSpec pins it) — 15 rows per source leave
+        // each map task at any corpus size. Values identical by the
+        // flag-monotonicity argument (oracle-verified, both SFs;
+        // CorpusSpec pins flags ≡ staged frames).
+        val f = manifestFlags(s, d)
+        val w = Window.partitionBy("source")
+          .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+            col("doc_id"))
         val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
-        capped
+        f.filter(col("dec"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 15)
           .select(when(h2 < "cd", "train").when(h2 < "e6", "val")
             .otherwise("test").as("split"),
             col("source"), col("n_chars"), col("n_tokens"))
@@ -1286,7 +1302,8 @@ object Dedup {
     * bench panel (id-capped by construction: doc_id % 97 = 0 ∧ doc_id <
     * BenchCap) folds to an `exists` over a collected literal — the q168
     * set-literal precedent, replacing a per-stage broadcast anti-join.
-    * The result is NARROW (doc_id, source, n_chars, 3 bools): callers
+    * The result is NARROW (doc_id, source, n_chars, n_tokens, 3 bools):
+    * callers
     * persist it and text never leaves the scan. Flag semantics are
     * value-identical to filtering the staged frames — each stage's
     * population is exactly the rows with its flag set (monotone by
@@ -1320,7 +1337,7 @@ object Dedup {
     base
       .join(exactKeep, col("doc_id") === col("kid"), "left")
       .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("n_chars"),
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n_tokens"),
         qualPred.as("q"),
         (qualPred && coalesce(col("ek"), lit(false)) &&
           (col("canonical").isNull || col("canonical") === col("doc_id")))

@@ -208,13 +208,19 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q156: the source cap plans as WindowGroupLimit with a partial " +
     "below the exchange (15 rows per source leave each map task, not " +
-    "the whole partition); bench panel broadcasts, corpus never " +
+    "the whole partition); bench panel probes in-scan, corpus never " +
     "cartesians") {
     val p = plan("q156_training_manifest")
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
       s"expected partial+final WindowGroupLimit pair:\n$p")
-    assert("BroadcastNestedLoopJoin [^\n]*LeftAnti".r.findFirstIn(p).isDefined,
-      "the ≤207-prefix decontamination panel must broadcast")
+    // r15: the ≤207-prefix decontamination panel folded from a
+    // broadcast anti-join to an in-scan set-literal `exists` (the q168
+    // shape, via Dedup.manifestFlags) — no join machinery may remain
+    // for it, and the corpus must still never cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the panel probe must be the in-scan exists literal, not a join")
+    assert(p.contains("exists"),
+      s"expected the panel exists-literal probe in the scan:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
