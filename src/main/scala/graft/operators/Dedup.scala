@@ -913,6 +913,17 @@ object Dedup {
     // [[graft.CorpusSpec]] proves degree- and id-orientation
     // row-identical; the DuckDB oracle (id-oriented SQL) is the
     // cross-engine proof.
+    //
+    // r16 honest negative (guide §1.1 — measure, don't assume): an
+    // adjacency-intersection form (collect per-node sorted out-lists,
+    // close triangles in-row via array_intersect — no wedge frame ever
+    // shuffles) was built and A/B'd at the bench profile: wall
+    // 1.47 → 1.66 s, exec 11.7 → 13.2 s while untouched controls
+    // drifted the OTHER way — the near-dup graph is pair-bounded (260
+    // edges at sf0.1), so the wedge frame is tiny and the array
+    // plumbing (collect_list + arrays through two joins) costs more
+    // than the avoided wedge exchange returns. Reverted; the wedge
+    // bound above is already the 100 TB skew argument.
     GraftQuery("q119_triangles",
       (s, d) => {
         // persisted: the pair subplan feeds the degree build (twice,
@@ -979,19 +990,40 @@ object Dedup {
         // keeps the unpersisted chain shallow by construction.
         val und = pairs
           .union(pairs.select(col("b").as("a"), col("a").as("b"))).persistTracked()
-        val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("dg"))
-        var r = deg.select(col("n"), lit(1073741824L).as("r"))
+        // r16 (guide §2.4, algebraic strength reduction): the old loop
+        // body was FOUR keyed operators per iteration — und⋈r on b,
+        // und⋈deg on b (to fetch deg(b) per EDGE row), groupBy(a), and
+        // a deg LEFT-join rebuilding the rank frame (coalesce for
+        // contribution-less nodes). Two of the four are redundant:
+        //   (1) deg(b) attaches on the NODE-sized rank frame, not per
+        //       edge — rank state carries its own degree (n, r, dg) and
+        //       each step pre-divides w = r div dg in a narrow
+        //       projection, so the edge join ships one long instead of
+        //       re-joining degrees edge-wise every step;
+        //   (2) the LEFT join is provably dead: und is symmetric by
+        //       construction (pairs ∪ reversed), so every deg node
+        //       appears as a destination AND every destination is a deg
+        //       node — the inner contribution join keeps ALL und rows
+        //       and groupBy(a) yields exactly deg's key set (coalesce
+        //       never fired). That also means count(*) per group ==
+        //       deg(a), so the next step's degree falls out of the SAME
+        //       aggregate for free.
+        // Per step: one edge-keyed join + one partial-aggregating
+        // exchange — plan drops from 4 keyed ops to 2 (plans/r16).
+        // Values identical: same integer w = r div dg per destination,
+        // same BIGINT sum (order-free), same damping arithmetic; the
+        // DuckDB oracle (unchanged) is the cross-engine proof.
+        var r = und.groupBy(col("a").as("n"))
+          .agg(count(lit(1)).as("dg"))
+          .select(col("n"), lit(1073741824L).as("r"), col("dg"))
         for (_ <- 1 to 3) {
-          val contrib = und
-            .join(r.select(col("n").as("b"), col("r").as("rb")), "b")
-            .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
-            .groupBy(col("a").as("m"))
-            .agg(sum(expr("rb div db")).as("sm"))
-          r = deg.select(col("n"))
-            .join(contrib, col("n") === col("m"), "left")
+          val w = r.select(col("n").as("b"), expr("r div dg").as("w"))
+          r = und.join(w, "b")
+            .groupBy(col("a").as("n"))
+            .agg(sum("w").as("sm"), count(lit(1)).as("dg"))
             .select(col("n"),
-              (lit(161061274L) + expr("(coalesce(sm, 0L) * 17) div 20"))
-                .as("r"))
+              (lit(161061274L) + expr("(sm * 17) div 20")).as("r"),
+              col("dg"))
         }
         r.select(col("n").as("doc_id"), col("r").as("pr_grid"))
           .orderBy("doc_id")
@@ -1216,9 +1248,21 @@ object Dedup {
           .select(col("a"), col("b"), col("pa"), col("pb"),
             greatest(length(col("pa")), length(col("pb"))).cast("long")
               .as("maxlen"))
+          // r16 cheap pre-gates (guide §1.2 per-task work, VERDICT r15
+          // item 4) — both value-identical by the DP's own contract:
+          //   - equality: near-dup prefixes are often BYTE-IDENTICAL
+          //     (dist 0) — one memcmp replaces the whole banded DP;
+          //   - length difference: dist ≥ |len(pa)−len(pb)|, so a pair
+          //     whose length gap exceeds the band can only return -1 —
+          //     skip the DP and emit the -1 directly (the banded
+          //     builtin early-exits on this too; the explicit predicate
+          //     keeps the gate visible in the plan and saves the call).
           .select(col("a"), col("b"), col("pa"), col("pb"), col("maxlen"),
-            call_function("levenshtein", col("pa"), col("pb"),
-              (col("maxlen") / lit(4)).cast("int")).as("lev3"))
+            when(col("pa") === col("pb"), lit(0))
+              .when(abs(length(col("pa")) - length(col("pb"))) >
+                (col("maxlen") / lit(4)).cast("int"), lit(-1))
+              .otherwise(call_function("levenshtein", col("pa"), col("pb"),
+                (col("maxlen") / lit(4)).cast("int"))).as("lev3"))
           .select(col("a"), col("b"),
             when(col("lev3") >= 0, col("lev3"))
               .otherwise(levenshtein(col("pa"), col("pb")))
