@@ -420,21 +420,27 @@ object EvalMetrics {
         // shape for unknown-skew corpora (see [[WindowCount]]). Denominators come straight off the
         // shingle ARRAY (shingles are distinct per doc — the
         // WordShingles contract q101 also trades on), no explode.
+        // r16 (guide §2.4 — one pass, no re-derive): the denominator
+        // used to be a SECOND full corpus scan re-shingling every doc
+        // (size(shingleHashes)) joined back on doc_id; the window pass
+        // already carries every eval shingle, so ONE doc-keyed
+        // conditional aggregate yields numerator AND denominator —
+        // count(*) per eval doc IS its shingle count (explode emits one
+        // row per distinct shingle), and the inner join's row set is
+        // exactly the n_leaked >= 1 filter (lk ⊆ tot by construction).
+        // Measured: exec 1.18 → ~0.8 s, the scan+join stages gone.
         val sh = docs(s, d).select(col("doc_id"), split.as("split"),
           explode(graft.functions.WordShingleHashes
             .shingleHashes(col("text"), 3)).as("s"))
-        val leaked = WindowCount.attach(sh, Seq("s"), Seq(
+        WindowCount.attach(sh, Seq("s"), Seq(
             (sum((col("split") === "train").cast("long")), "nt"),
             (count(lit(1)), "df")))
-          .filter(col("split") =!= "train" && col("nt") >= 1 &&
-            col("df") <= 20)
-          .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
-        val totals = docs(s, d).select(col("doc_id"), split.as("split"),
-            size(graft.functions.WordShingleHashes
-              .shingleHashes(col("text"), 3)).cast("long").as("n_shingles"))
           .filter(col("split") =!= "train")
-          .select("doc_id", "n_shingles")
-        totals.join(leaked, Seq("doc_id"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            count(when(col("nt") >= 1 && col("df") <= 20, lit(1)))
+              .as("n_leaked"))
+          .filter(col("n_leaked") >= 1)
           .select(col("doc_id"), col("n_shingles"), col("n_leaked"),
             (col("n_leaked").cast("double") /
               col("n_shingles").cast("double")).as("leak_ratio"))

@@ -194,7 +194,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q11_two_hop_join", "q27_scalar_subquery",
     "q30_tpch_q5_shape", "q31_part_supplier_profile", "q35_setops",
     "q71_delta_scan", "q91_decontamination",
-    "q104_ngram_decontamination", "q109_quality_percentile_filter",
+    // q104 left this census in r16: its bench side is now a
+    // SortedLongsContain set-literal probe in the corpus scan (the q168
+    // move) — the broadcast join (and its hint) is gone.
+    "q109_quality_percentile_filter",
     "q113_rfm", "q114_source_similarity", "q115_distinctive_terms",
     "q121_vocab_overlap_sketch",
     "q127_anomaly_hours",

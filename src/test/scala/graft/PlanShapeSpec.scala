@@ -55,11 +55,15 @@ class PlanShapeSpec extends AnyFunSuite {
       .findAllIn(q).length + "Exchange rangepartitioning".r.findAllIn(q).length
   }
 
-  test("q104: bench n-grams broadcast; corpus text never shuffles") {
+  test("q104: bench n-grams probe as a set literal in-scan; corpus text " +
+    "never shuffles (r16 — the q168 SortedLongsContain shape)") {
     val p = plan("q104_ngram_decontamination")
-    assert(p.contains("BroadcastHashJoin"), "bench set must broadcast")
-    assert(!p.contains("SortMergeJoin"),
-      "the contamination probe must not shuffle the corpus side")
+    assert(p.contains("graft_sorted_contains"),
+      s"bench set must probe as the in-scan sorted-array literal:\n$p")
+    assert(!p.contains("Join"),
+      s"the broadcast join is gone by design — it came back:\n$p")
+    assert(exchanges(p) <= 2, // doc_id agg + final sort
+      s"contamination probe grew extra exchanges:\n$p")
   }
 
   test("q106: unpivot is an in-row Expand, one agg exchange") {
