@@ -544,11 +544,23 @@ object Dedup {
       (s, d) => {
         graft.functions.HashedBowScore.register(s)
         val w = TextAnalysis.bowModel(s, d).map(_._3)
-        val scored = docs(s, d).select(col("doc_id"),
-          graft.functions.HashedBowScore.bowScore(
-            coalesce(lower(col("text")), lit("")), w).as("score_grid"))
+        // r16 (guide §1.2 — don't compute what you throw away): the old
+        // form scored EVERY corpus document and joined the scores to
+        // the component frame — cluster members are the
+        // duplication-proportional minority (485 of 5000 docs at
+        // sf0.1), so most bowScore work was discarded by the join.
+        // Joining membership FIRST and scoring in the post-join
+        // projection scores members only; the planner broadcasts the
+        // bounded-at-this-scale component frame (no hint — census
+        // rule), so text stays in the scan's codegen span and the only
+        // exchange is the cluster aggregate. Values identical: same
+        // per-member score expression, same max_by total order.
         nearDupComponents(s, d)
-          .join(scored, "doc_id")
+          .join(docs(s, d).select(col("doc_id"),
+            coalesce(lower(col("text")), lit("")).as("t")), "doc_id")
+          .select(col("doc_id"), col("canonical"),
+            graft.functions.HashedBowScore.bowScore(col("t"), w)
+              .as("score_grid"))
           .groupBy(col("canonical").as("cluster"))
           .agg(count(lit(1)).as("n_members"),
             max_by(col("doc_id"),
@@ -926,10 +938,20 @@ object Dedup {
     // bound above is already the 100 TB skew argument.
     GraftQuery("q119_triangles",
       (s, d) => {
-        // persisted: the pair subplan feeds the degree build (twice,
-        // via the undirected union) AND the orientation join
-        val e = jaccardPairs(s, d).select("a", "b").persistTracked()
-        val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        // r16: symmetrize IN-ROW (explode both directions from ONE
+        // reader) and persist the undirected list — the old
+        // e.union(e.reversed) put two readers under the cache fill, and
+        // even with the map-side exchanges collapsed by ReuseExchange
+        // the pairs pipeline's reduce stages ran once per branch
+        // (16-task stages in the probe). One reader fills the cache
+        // with the pipeline's tail running once; e recovers the a < b
+        // orientation by a filter on the cached rows.
+        val und = jaccardPairs(s, d).select(explode(array(
+            struct(col("a"), col("b")),
+            struct(col("b").as("a"), col("a").as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .persistTracked()
+        val e = und.filter(col("a") < col("b"))
         val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("dg"))
         // orient by (degree, id); carry the DESTINATION's rank so the
         // wedge join can order out-neighbors without a re-join
@@ -982,14 +1004,19 @@ object Dedup {
     // is fixed (power method), not data-dependent.
     GraftQuery("q120_pagerank",
       (s, d) => {
-        val pairs = jaccardPairs(s, d).select("a", "b")
         // The persisted edge list bounds the chained-lineage growth; a
         // per-iteration persist+materialize was MEASURED SLOWER (3 extra
         // blocking jobs + cache writes beat the 3-deep plan recompute —
         // the "persist is not free" lesson) — fixed iteration depth
         // keeps the unpersisted chain shallow by construction.
-        val und = pairs
-          .union(pairs.select(col("b").as("a"), col("a").as("b"))).persistTracked()
+        // r16: symmetrized IN-ROW from one reader (see q119) so the
+        // pairs pipeline's reduce stages run once at cache fill, not
+        // once per union branch.
+        val und = jaccardPairs(s, d).select(explode(array(
+            struct(col("a"), col("b")),
+            struct(col("b").as("a"), col("a").as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .persistTracked()
         // r16 (guide §2.4, algebraic strength reduction): the old loop
         // body was FOUR keyed operators per iteration — und⋈r on b,
         // und⋈deg on b (to fetch deg(b) per EDGE row), groupBy(a), and
