@@ -3122,12 +3122,9 @@ object DuckDialect {
     * pass-through. */
   private def chainPairsAndBound(
       spark: org.apache.spark.sql.SparkSession,
-      p: AsofChainParts): (Double, Double) = {
+      p: AsofChainParts,
+      probe: String => Double): (Double, Double) = {
     val lrel = p.lrel
-    def probe(q: String): Double = {
-      val r = spark.sql(rewrite(q)).head()
-      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-    }
     val nLeft = probe(
       s"SELECT CAST(count(*) AS DOUBLE) FROM $lrel ${p.lalias}")
     // alias -> column names, rebuilt as the expansion does -- NATURAL
@@ -3154,7 +3151,7 @@ object DuckDialect {
           // conservative whole-relation bound, never a smaller one.
           val ip = asofChainBridge("SELECT __graft_d FROM " + mt.inner)
             .getOrElse(sys.error("unparseable multi-tree inner"))
-          val (imax, ibound) = chainPairsAndBound(spark, ip)
+          val (imax, ibound) = chainPairsAndBound(spark, ip, probe)
           val m = ibound
           val stepPairs = math.max(bound * m, imax)
           if (!j.isAsof) {
@@ -3256,8 +3253,34 @@ object DuckDialect {
       val maxPairs =
         spark.conf.get("spark.graft.asof.maxPairs", "50000000").toDouble
       if (maxPairs >= 0) {
+        // r16 (guide §1.2, fixed per-query job constants): the walk's
+        // probe STATEMENTS are structurally determined — their SQL
+        // depends only on the parse and table schemas, never on probe
+        // VALUES, which feed the bound arithmetic alone — so a
+        // recording walk collects every probe, ONE fused UNION ALL job
+        // evaluates them all (each probe used to be its own Spark job,
+        // the dominant wall cost of the gate on multi-member chains),
+        // and a replay walk re-runs the identical arithmetic on the
+        // collected values. Estimates, refusal thresholds and the
+        // probe-failure pass-through contract are unchanged; the gate
+        // stays paid per statement, as documented.
         val est =
-          try chainPairsAndBound(spark, p)._1
+          try {
+            val recorded = scala.collection.mutable.ArrayBuffer.empty[String]
+            chainPairsAndBound(spark, p, { q => recorded += q; 0.0 })
+            if (recorded.isEmpty) 0.0
+            else {
+              val fused = recorded.zipWithIndex.map { case (q, i) =>
+                s"SELECT $i AS __pi, * FROM (${rewrite(q)}) __gp$i"
+              }.mkString(" UNION ALL ")
+              val vals = spark.sql(fused).collect().map { r =>
+                r.getInt(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+              }.toMap
+              var i = -1
+              chainPairsAndBound(spark, p,
+                { _ => i += 1; vals.getOrElse(i, 0.0) })._1
+            }
+          }
           catch { case scala.util.control.NonFatal(_) => 0.0 }
         if (est > maxPairs)
           throw new IllegalArgumentException(
