@@ -946,8 +946,11 @@ object TextAnalysis {
     // map-side-combined doc_id aggregation. Text never shuffles; only
     // (doc_id, 8-byte hash) rows exist past the scan, and the hit
     // filter keeps the result proportional to the contamination, not
-    // the corpus. Measured: 3 jobs → 2, exec 0.91 → ~0.6 s, wall 0.35
-    // → ~0.25 s (2.5× → under 2× of DuckDB on the baseline pair).
+    // the corpus. Measured: Exchange 3 → 2, Scan 2 → 1, join gone;
+    // exec 0.91 → 0.45-0.53 s; wall 0.35 → 0.22-0.32 across the r16
+    // pairs (the in-window panel collect replaces the broadcast-build
+    // job one-for-one, so job count holds at 3 while the second
+    // corpus-side shingle pass disappears).
     GraftQuery("q104_ngram_decontamination",
       (s, d) => {
         graft.functions.WordShingleHashes.register(s)
